@@ -38,9 +38,10 @@ object SessionFactory {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // Parquet scans: vectorized reader + aggressive pushdown are Spark
-      // defaults, pinned here so a cluster-side spark-defaults.conf can't
-      // silently regress them.
+      // filterPushdown is a Spark default, pinned so a cluster-side
+      // spark-defaults.conf can't silently regress it. aggregatePushdown
+      // defaults to FALSE upstream; deliberately enabled here so bare
+      // count/min/max scans resolve from parquet footers.
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
 

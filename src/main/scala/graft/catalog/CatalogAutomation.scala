@@ -35,13 +35,16 @@ final class CatalogAutomation(spark: SparkSession, profile: CatalogProfile) {
     */
   def provision(specs: Seq[TableSpec]): Seq[String] = specs.map(createTable)
 
-  /** R6: catalog probe. */
+  /** R6: catalog probe — qualified through the profile's catalog so it
+    * resolves against the same catalog `createTable` writes to, regardless
+    * of the session's `spark.sql.defaultCatalog`.
+    */
   def listTables(db: String): Seq[String] =
-    spark.catalog.listTables(db).collect().map(_.name).toSeq
+    spark.catalog.listTables(profile.qualifiedDb(db)).collect().map(_.name).toSeq
 
   /** R7: `SHOW DATABASES` (`test_iceberg.py:86`). */
   def showDatabases(): DataFrame = spark.sql("SHOW DATABASES")
 
   def tableExists(db: String, table: String): Boolean =
-    spark.catalog.tableExists(s"$db.$table")
+    spark.catalog.tableExists(s"${profile.qualifiedDb(db)}.$table")
 }

@@ -48,18 +48,24 @@ object CatalogProfile {
   final case class Iceberg(
       catalog: String = "glue_catalog",
       warehouse: String = "/tmp/warehouse",
-      catalogImpl: String = "org.apache.iceberg.spark.SparkCatalog")
+      sparkCatalogImpl: String = "org.apache.iceberg.spark.SparkCatalog",
+      catalogImpl: String = "org.apache.iceberg.aws.glue.GlueCatalog",
+      ioImpl: String = "org.apache.iceberg.aws.s3.S3FileIO",
+      extraProperties: Seq[(String, String)] = Seq.empty)
       extends CatalogProfile {
     val catalogName: Option[String] = Some(catalog)
     val usingClause: String = "iceberg"
     def tblProperties(spec: TableSpec): Seq[(String, String)] =
       Seq("format-version" -> spec.formatVersion)
     def sessionConfig: Seq[(String, String)] = Seq(
-      s"spark.sql.catalog.$catalog" -> catalogImpl,
+      s"spark.sql.catalog.$catalog" -> sparkCatalogImpl,
+      s"spark.sql.catalog.$catalog.catalog-impl" -> catalogImpl,
+      s"spark.sql.catalog.$catalog.io-impl" -> ioImpl,
       s"spark.sql.catalog.$catalog.warehouse" -> warehouse,
       "spark.sql.extensions" ->
         "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
-      "spark.sql.defaultCatalog" -> catalog)
+      "spark.sql.defaultCatalog" -> catalog) ++
+      extraProperties.map { case (k, v) => s"spark.sql.catalog.$catalog.$k" -> v }
   }
 }
 
@@ -70,8 +76,21 @@ object CatalogProfile {
   */
 object DdlGenerator {
 
+  /** Backtick-quote an identifier, escaping embedded backticks — YAML specs
+    * may contain reserved words or special characters.
+    */
+  def quoteIdent(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+
+  /** Escape a string literal for splicing into DDL (LOCATION path). */
+  def quoteLiteral(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  private def quoteQualified(parts: Seq[String]): String =
+    parts.map(quoteIdent).mkString(".")
+
   def createDatabase(db: String, profile: CatalogProfile): String =
-    s"CREATE DATABASE IF NOT EXISTS ${profile.qualifiedDb(db)}"
+    s"CREATE DATABASE IF NOT EXISTS ${quoteQualified(profile.catalogName.toSeq :+ db)}"
 
   /** Idempotent CREATE TABLE — `IF NOT EXISTS` is the reference's whole
     * "automation" semantic (re-running a deploy converges, never errors;
@@ -82,19 +101,21 @@ object DdlGenerator {
     spec.schema
 
     val cols = spec.columns
-      .map(c => s"  ${c.name} ${c.dataType.toUpperCase}")
+      .map(c => s"  ${quoteIdent(c.name)} ${c.dataType.toUpperCase}")
       .mkString(",\n")
     val partition =
       if (spec.partitionedBy.isEmpty) ""
-      else s"\nPARTITIONED BY (${spec.partitionedBy.mkString(", ")})"
-    val location = spec.location.map(l => s"\nLOCATION '$l'").getOrElse("")
+      else s"\nPARTITIONED BY (${spec.partitionedBy.map(quoteIdent).mkString(", ")})"
+    val location = spec.location.map(l => s"\nLOCATION ${quoteLiteral(l)}").getOrElse("")
     val props = profile.tblProperties(spec) match {
       case Nil => ""
       case ps =>
         ps.map { case (k, v) => s"'$k'='$v'" }
           .mkString("\nTBLPROPERTIES (", ", ", ")")
     }
-    s"""CREATE TABLE IF NOT EXISTS ${profile.qualified(spec)} (
+    val qualifiedName =
+      quoteQualified(profile.catalogName.toSeq :+ spec.database :+ spec.table)
+    s"""CREATE TABLE IF NOT EXISTS $qualifiedName (
 $cols
 )
 USING ${profile.usingClause}$partition$location$props"""

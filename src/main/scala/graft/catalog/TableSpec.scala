@@ -37,6 +37,11 @@ final case class TableSpec(
   require(database.nonEmpty, "database must be non-empty")
   require(table.nonEmpty, "table must be non-empty")
   require(columns.nonEmpty, s"$database.$table: at least one column required")
+  private val dupCols =
+    columns.groupBy(_.name).collect { case (n, cs) if cs.size > 1 => n }
+  require(
+    dupCols.isEmpty,
+    s"$database.$table: duplicate column name(s): ${dupCols.mkString(", ")}")
   private val colNames = columns.map(_.name).toSet
   partitionedBy.foreach { p =>
     require(colNames.contains(p), s"partition column '$p' not in declared columns")

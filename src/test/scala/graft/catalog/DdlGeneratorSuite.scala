@@ -27,13 +27,13 @@ class DdlGeneratorSuite extends AnyFunSuite {
     "(create_iceberg_tables.py:25-37, not the :38-55 dead-code override)") {
     val ddl = DdlGenerator.createTable(spec, CatalogProfile.Iceberg())
     assert(ddl ==
-      """CREATE TABLE IF NOT EXISTS glue_catalog.bronze.customers (
-        |  FirstName STRING,
-        |  CountryRegion STRING,
-        |  PostalCode STRING
+      """CREATE TABLE IF NOT EXISTS `glue_catalog`.`bronze`.`customers` (
+        |  `FirstName` STRING,
+        |  `CountryRegion` STRING,
+        |  `PostalCode` STRING
         |)
         |USING iceberg
-        |PARTITIONED BY (CountryRegion, PostalCode)
+        |PARTITIONED BY (`CountryRegion`, `PostalCode`)
         |LOCATION 's3://bucket/warehouse/bronze/customers'
         |TBLPROPERTIES ('format-version'='2')""".stripMargin)
   }
@@ -42,13 +42,27 @@ class DdlGeneratorSuite extends AnyFunSuite {
     val ddl = DdlGenerator.createTable(
       spec.copy(location = None), CatalogProfile.Builtin())
     assert(ddl ==
-      """CREATE TABLE IF NOT EXISTS bronze.customers (
-        |  FirstName STRING,
-        |  CountryRegion STRING,
-        |  PostalCode STRING
+      """CREATE TABLE IF NOT EXISTS `bronze`.`customers` (
+        |  `FirstName` STRING,
+        |  `CountryRegion` STRING,
+        |  `PostalCode` STRING
         |)
         |USING parquet
-        |PARTITIONED BY (CountryRegion, PostalCode)""".stripMargin)
+        |PARTITIONED BY (`CountryRegion`, `PostalCode`)""".stripMargin)
+  }
+
+  test("identifiers with reserved words/special chars and quoted locations are escaped") {
+    val tricky = TableSpec(
+      database = "select",
+      table = "we`ird",
+      location = Some("/tmp/o'brien"),
+      formatVersion = "2",
+      partitionedBy = Seq.empty,
+      columns = Seq(ColumnSpec("order", "string")))
+    val ddl = DdlGenerator.createTable(tricky, CatalogProfile.Builtin())
+    assert(ddl.contains("`select`.`we``ird`"))
+    assert(ddl.contains("  `order` STRING"))
+    assert(ddl.contains("LOCATION '/tmp/o\\'brien'"))
   }
 
   test("Iceberg profile emits the reference's session config keys " +
@@ -56,6 +70,10 @@ class DdlGeneratorSuite extends AnyFunSuite {
     val conf = CatalogProfile.Iceberg(warehouse = "s3://w").sessionConfig.toMap
     assert(conf("spark.sql.catalog.glue_catalog") ==
       "org.apache.iceberg.spark.SparkCatalog")
+    assert(conf("spark.sql.catalog.glue_catalog.catalog-impl") ==
+      "org.apache.iceberg.aws.glue.GlueCatalog")
+    assert(conf("spark.sql.catalog.glue_catalog.io-impl") ==
+      "org.apache.iceberg.aws.s3.S3FileIO")
     assert(conf("spark.sql.catalog.glue_catalog.warehouse") == "s3://w")
     assert(conf("spark.sql.extensions") ==
       "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions")
@@ -63,11 +81,17 @@ class DdlGeneratorSuite extends AnyFunSuite {
     assert(!conf.keys.exists(_.contains("lock")))
   }
 
+  test("Iceberg profile extraProperties pass through namespaced under the catalog") {
+    val conf = CatalogProfile.Iceberg(
+      extraProperties = Seq("glue.skip-archive" -> "true")).sessionConfig.toMap
+    assert(conf("spark.sql.catalog.glue_catalog.glue.skip-archive") == "true")
+  }
+
   test("CREATE DATABASE is idempotent text") {
     assert(DdlGenerator.createDatabase("bronze", CatalogProfile.Builtin()) ==
-      "CREATE DATABASE IF NOT EXISTS bronze")
+      "CREATE DATABASE IF NOT EXISTS `bronze`")
     assert(DdlGenerator.createDatabase("bronze", CatalogProfile.Iceberg()) ==
-      "CREATE DATABASE IF NOT EXISTS glue_catalog.bronze")
+      "CREATE DATABASE IF NOT EXISTS `glue_catalog`.`bronze`")
   }
 
   // --- property: generated DDL round-trips through Spark's own DDL parser ---

@@ -68,6 +68,13 @@ class TableSpecSuite extends AnyFunSuite {
         StructField("x", IntegerType), StructField("y", StringType)))))))
   }
 
+  test("rejects duplicate column names with a message naming them") {
+    val bad =
+      "database: d\ntable: t\ncolumns:\n  - name: a\n    type: int\n  - name: a\n    type: string\n"
+    val e = intercept[IllegalArgumentException](TableSpec.fromYaml(bad))
+    assert(e.getMessage.contains("duplicate column name(s): a"))
+  }
+
   test("rejects partition column not in declared columns") {
     val bad =
       "database: d\ntable: t\npartitioned_by:\n  - nope\ncolumns:\n  - name: a\n    type: int\n"

@@ -44,6 +44,16 @@ object SessionFactory {
       // count/min/max scans resolve from parquet footers.
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // The fixtures are pyarrow-written parquet whose timestamps carry
+      // isAdjustedToUTC=false; Spark 4 would otherwise infer TIMESTAMP_NTZ
+      // while the DuckDB oracle (and classic warehouse convention) treats
+      // them as instants. Pin the legacy inference so both engines agree.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as a raw
+      // nanosecond long; Tables.events converts via `ts div 1000` →
+      // timestamp_micros, matching DuckDB's truncating ns→µs read exactly.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   /** Attach a SparkSession to an existing session's context (tests). */
   def getActiveOrLocal(appName: String = "graft"): SparkSession =

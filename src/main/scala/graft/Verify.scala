@@ -7,11 +7,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    // Route through SessionFactory.configure so verification runs exactly the
+    // engine's production config (AQE, UTC, parquet pushdown, NTZ inference).
+    val spark = SessionFactory
+      .configure(
+        SparkSession.builder().master(s"local[$cpus]"),
+        appName = "graft-verify",
+        shufflePartitions = cpus.toIntOption.getOrElse(32))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

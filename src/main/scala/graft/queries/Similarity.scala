@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings` (array<float>, dim 64) — SURVEY §2.12.
+  *
+  * Design for 100 TB:
+  *   - the query set is always the broadcast side; the corpus streams through
+  *     executors and is never collected;
+  *   - per-row norms are computed once before the join, not per pair;
+  *   - top-k goes through `row_number` over a window partitioned by query —
+  *     the per-partition heap keeps state O(k·queries), not O(corpus);
+  *   - the LSH variant prunes the crossJoin to same-bucket candidates, the
+  *     scale path when the corpus outgrows brute force.
+  *
+  * All vector math uses codegen'd higher-order array expressions
+  * (`zip_with`/`aggregate`) in double precision — no Scala UDF in the hot
+  * path.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ as a left-to-right fold — deterministic summation order. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def sumSquares(c: Column): Column =
+    aggregate(transform(c, x => x * x), lit(0.0), (acc, x) => acc + x)
+
+  /** Corpus with embeddings upcast to double and L2 norms precomputed. */
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("norm", sqrt(sumSquares(col("emb"))))
+
+  /** L2 norms + dimensionality — the cheap sanity query over the corpus. */
+  val e01EmbeddingNorms = Q(
+    "e01_embedding_norms",
+    (s, dir) => {
+      corpus(s, dir)
+        .select(
+          col("vec_id"),
+          size(col("emb")).as("dim"),
+          round(col("norm"), 6).as("l2_norm"))
+        .orderBy("vec_id")
+    },
+    Some("""SELECT vec_id,
+      CAST(length(embedding) AS INT) AS dim,
+      round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2_norm
+    FROM embeddings ORDER BY vec_id"""))
+
+  /** Brute-force cosine top-5: broadcast the 8-vector query set against the
+    * full corpus. The exact baseline every ANN variant is scored against. */
+  val e02KnnBrute = Q(
+    "e02_knn_brute",
+    (s, dir) => {
+      val c = corpus(s, dir)
+      val q = c.select(
+        col("vec_id").as("query_id"), col("emb").as("qemb"), col("norm").as("qnorm"))
+        .filter(col("query_id") < 8)
+      val pairs = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("cos", dot(col("qemb"), col("emb")) / (col("qnorm") * col("norm")))
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+      pairs
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(
+          col("query_id"), col("vec_id").as("neighbor_id"),
+          round(col("cos"), 6).as("cosine"), col("rnk"))
+        .orderBy("query_id", "rnk")
+    },
+    Some("""WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qemb
+      FROM embeddings WHERE vec_id < 8),
+    p AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+        list_cosine_similarity(qemb, CAST(c.embedding AS DOUBLE[])) AS cos
+      FROM embeddings c, q WHERE c.vec_id <> q.query_id),
+    r AS (
+      SELECT query_id, neighbor_id, cos,
+        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
+      FROM p)
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rnk
+    FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""))
+
+  /** Deterministic random hyperplanes for sign-LSH: `nPlanes` × 64, fixed
+    * seed so every run (and every executor) agrees. */
+  private[queries] def hyperplanes(nPlanes: Int, dim: Int = 64, seed: Long = 42L): Seq[Seq[Double]] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(r.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id: one bit per hyperplane (dot-product sign). */
+  private[queries] def bucketExpr(emb: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(emb, planeLit) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed approximate top-5: candidates are restricted to the
+    * query's sign-LSH bucket, so the pairwise work drops from O(Q·N) to
+    * O(Q·N/2^planes). Approximate ⇒ no SQL oracle (rows-only check); the
+    * sbt suite scores recall against e02's exact answer. */
+  val e03KnnLsh = Q(
+    "e03_knn_lsh",
+    (s, dir) => {
+      val planes = hyperplanes(nPlanes = 6)
+      val c = corpus(s, dir).withColumn("bucket", bucketExpr(col("emb"), planes))
+      val q = c.select(
+        col("vec_id").as("query_id"), col("emb").as("qemb"),
+        col("norm").as("qnorm"), col("bucket").as("qbucket"))
+        .filter(col("query_id") < 8)
+      val pairs = c.join(
+          broadcast(q),
+          col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+        .withColumn("cos", dot(col("qemb"), col("emb")) / (col("qnorm") * col("norm")))
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+      pairs
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(
+          col("query_id"), col("vec_id").as("neighbor_id"),
+          round(col("cos"), 6).as("cosine"), col("rnk"))
+        .orderBy("query_id", "rnk")
+    },
+    None)
+
+  val all: Seq[Q] = Seq(e01EmbeddingNorms, e02KnnBrute, e03KnnLsh)
+}

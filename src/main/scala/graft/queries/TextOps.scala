@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication operators over `documents` — SURVEY.md §2.12.
+  *
+  * Everything here is built from codegen'd built-in expressions (no Scala
+  * UDFs): tokenization via `split`/`regexp_extract_all`, per-document scores
+  * via higher-order array functions. All per-document work is embarrassingly
+  * parallel (narrow transforms over the scan); only the dedup groupBys
+  * shuffle, keyed on a 256-bit content hash so the 100 TB distribution is
+  * uniform regardless of text skew.
+  */
+object TextOps {
+
+  private val stopRe = """\b(the|a|of|and|to|in|is|it|for|on)\b"""
+  /** BPE-ish tokenizer: letter runs, digit runs, single punctuation. */
+  private val bpeRe = """[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"""
+
+  private def nMatches(c: Column, re: String): Column =
+    size(regexp_extract_all(c, lit(re), lit(0)))
+
+  /** Exact dedup: group on a 256-bit content hash, keep the smallest id.
+    * Hashing first means the shuffle key is fixed-width and uniformly
+    * distributed — at 100 TB the raw text never rides the shuffle. */
+  val d01DedupExact = Q(
+    "d01_dedup_exact",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(sha2(col("text"), 256).as("content_hash"))
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")
+    },
+    // Oracle groups on the raw text — equivalent absent SHA-256 collisions.
+    Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY text ORDER BY doc_id"""))
+
+  /** Per-language corpus stats: doc counts, char sums, whitespace-token sums. */
+  val d02TextStats = Q(
+    "d02_text_stats",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("n_tokens", size(split(trim(col("text")), """\s+""")))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          sum("n_tokens").cast("long").as("sum_tokens"),
+          (sum("n_chars").cast("double") / count(lit(1))).as("avg_chars"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang,
+      count(*) AS n_docs,
+      CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      CAST(sum(length(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS sum_tokens,
+      CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+    FROM documents GROUP BY lang ORDER BY lang"""))
+
+  /** Per-document token counts under the BPE-ish regex tokenizer. */
+  val d03TokenCounts = Q(
+    "d03_token_counts",
+    (s, dir) => {
+      val toks = regexp_extract_all(col("text"), lit(bpeRe), lit(0))
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(toks).as("n_bpe_tokens"),
+          size(array_distinct(toks)).as("n_distinct_tokens"),
+          size(split(trim(col("text")), """\s+""")).as("n_ws_tokens"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id,
+      CAST(length(regexp_extract_all(text, '$bpeRe')) AS INT) AS n_bpe_tokens,
+      CAST(length(list_distinct(regexp_extract_all(text, '$bpeRe'))) AS INT) AS n_distinct_tokens,
+      CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_ws_tokens
+    FROM documents ORDER BY doc_id"""))
+
+  /** Heuristic quality score: stopword density, length saturation, low
+    * punctuation noise. Pure integer-derived double arithmetic in a fixed
+    * operation order, so the oracle reproduces it bit-for-bit. */
+  val d04QualityScore = Q(
+    "d04_quality_score",
+    (s, dir) => {
+      val len = length(col("text"))
+      val nTok = size(split(trim(col("text")), """\s+"""))
+      val nStop = nMatches(lower(col("text")), stopRe)
+      val nPunct = length(col("text")) - length(regexp_replace(col("text"), """[.!?,;:]""", ""))
+      val stopRatio = nStop.cast("double") / greatest(nTok, lit(1))
+      val punctRatio = nPunct.cast("double") / greatest(len, lit(1))
+      val lenScore = least(lit(1.0), nTok.cast("double") / 100.0)
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          nTok.as("n_tokens"),
+          nStop.as("n_stopwords"),
+          nPunct.as("n_punct"),
+          (stopRatio * 0.4 + lenScore * 0.3 + (lit(1.0) - least(lit(1.0), punctRatio * 5.0)) * 0.3).as("quality"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id,
+      CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
+      CAST(length(regexp_extract_all(lower(text), '$stopRe')) AS INT) AS n_stopwords,
+      CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS INT) AS n_punct,
+      (CAST(length(regexp_extract_all(lower(text), '$stopRe')) AS DOUBLE)
+         / greatest(length(regexp_split_to_array(trim(text), '\\s+')), 1)) * 0.4
+      + least(1.0, CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) / 100.0) * 0.3
+      + (1.0 - least(1.0, (CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1)) * 5.0)) * 0.3 AS quality
+    FROM documents ORDER BY doc_id"""))
+
+  private val langMarkers: Seq[(String, String)] = Seq(
+    "de" -> """\b(der|die|und|das|ein|nicht)\b""",
+    "en" -> """\b(the|and|of|to|is|that)\b""",
+    "es" -> """\b(el|la|de|que|los|una)\b""",
+    "fr" -> """\b(le|la|et|les|des|une)\b""",
+    "zh" -> """(的|是|不|了|在)""")
+
+  /** N-gram-heuristic language ID: argmax of per-language marker counts,
+    * ties broken to the lexicographically smallest language code. The
+    * greatest-chain encoding below is the tie-break made explicit, mirrored
+    * verbatim in the oracle. */
+  val d05LangId = Q(
+    "d05_lang_id",
+    (s, dir) => {
+      val t = lower(col("text"))
+      val scores = langMarkers.map { case (l, re) => l -> nMatches(t, re) }.toMap
+      val pred =
+        when(scores("zh") > greatest(scores("de"), scores("en"), scores("es"), scores("fr")), "zh")
+          .when(scores("fr") > greatest(scores("de"), scores("en"), scores("es")), "fr")
+          .when(scores("es") > greatest(scores("de"), scores("en")), "es")
+          .when(scores("en") > scores("de"), "en")
+          .otherwise("de")
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"), col("lang").as("labeled_lang"),
+          scores("de").as("s_de"), scores("en").as("s_en"), scores("es").as("s_es"),
+          scores("fr").as("s_fr"), scores("zh").as("s_zh"),
+          pred.as("predicted_lang"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val scoreCols = langMarkers.map { case (l, re) =>
+        s"CAST(length(regexp_extract_all(lower(text), '$re')) AS INT) AS s_$l"
+      }.mkString(",\n        ")
+      s"""SELECT doc_id, labeled_lang, s_de, s_en, s_es, s_fr, s_zh,
+      CASE
+        WHEN s_zh > greatest(s_de, s_en, s_es, s_fr) THEN 'zh'
+        WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+        WHEN s_es > greatest(s_de, s_en) THEN 'es'
+        WHEN s_en > s_de THEN 'en'
+        ELSE 'de' END AS predicted_lang
+    FROM (SELECT doc_id, lang AS labeled_lang,
+        $scoreCols
+      FROM documents) ORDER BY doc_id"""
+    })
+
+  /** Document fingerprinting: a truncated SHA-256 content fingerprint plus a
+    * 31-ary rolling polynomial hash mod 1e9+7 computed with a higher-order
+    * fold — both order-exact and oracle-reproducible. */
+  val d06Fingerprint = Q(
+    "d06_fingerprint",
+    (s, dir) => {
+      val roll = aggregate(
+        split(col("text"), ""),
+        lit(0L),
+        (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          substring(sha2(col("text"), 256), 1, 16).as("fp_sha"),
+          roll.as("fp_roll"))
+        .orderBy("doc_id")
+    },
+    // list_reduce seeds from the first element; that equals a 0-seeded fold
+    // since 0*31 + c0 = c0.
+    Some("""SELECT doc_id,
+      substring(sha256(text), 1, 16) AS fp_sha,
+      list_reduce(
+        list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
+    FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(
+    d01DedupExact, d02TextStats, d03TokenCounts, d04QualityScore,
+    d05LangId, d06Fingerprint)
+}

@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import graft.catalog.{CatalogAutomation, CatalogProfile, TableSpec}
+
+/** Provisioning CLI — the reference's EP1 entry point
+  * (`create_iceberg_tables.py:60-67,140-156`) as a runnable program:
+  * `runMain graft.ProvisionTables <specFileOrDir> [warehouseDir]`.
+  *
+  * Walks a YAML table-spec file or a directory of them, ensures each
+  * database, and executes idempotent CREATEs. Unlike the reference, errors
+  * propagate (non-zero exit) instead of being printed and swallowed
+  * (`create_iceberg_tables.py:149-156`), and there is no jar-download or
+  * boto3 side-channel — the catalog is Spark's.
+  */
+object ProvisionTables {
+
+  def specPaths(root: Path): Seq[Path] =
+    if (Files.isDirectory(root))
+      Files.list(root).iterator().asScala
+        .filter(p => p.toString.endsWith(".yml") || p.toString.endsWith(".yaml"))
+        .toSeq.sortBy(_.toString)
+    else Seq(root)
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ProvisionTables <specFileOrDir> [warehouseDir]")
+    val paths = specPaths(Paths.get(args(0)))
+    require(paths.nonEmpty, s"no .yml/.yaml specs under ${args(0)}")
+    val specs = paths.map(p => TableSpec.fromYamlFile(p.toString))
+
+    val profile = CatalogProfile.Builtin(warehouseDir = args.lift(1))
+    val spark = {
+      val b = SessionFactory.configure(
+        org.apache.spark.sql.SparkSession.builder()
+          .master(s"local[${SessionFactory.defaultCores}]"),
+        appName = "graft-provision")
+      args.lift(1).fold(b)(wh => b.config("spark.sql.warehouse.dir", wh)).getOrCreate()
+    }
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val auto = new CatalogAutomation(spark, profile)
+      specs.zip(auto.provision(specs)).foreach { case (spec, ddl) =>
+        println(s"[provision] created ${spec.fullName}")
+        println(ddl.linesIterator.map("  " + _).mkString("\n"))
+      }
+    } finally spark.stop()
+  }
+}

@@ -37,14 +37,19 @@ final class CatalogAutomation(spark: SparkSession, profile: CatalogProfile) {
 
   /** R6: catalog probe — qualified through the profile's catalog so it
     * resolves against the same catalog `createTable` writes to, regardless
-    * of the session's `spark.sql.defaultCatalog`.
+    * of the session's `spark.sql.defaultCatalog`. Identifier parts are
+    * backtick-quoted so tables the DDL path can create (reserved words,
+    * special characters) can also be probed.
     */
   def listTables(db: String): Seq[String] =
-    spark.catalog.listTables(profile.qualifiedDb(db)).collect().map(_.name).toSeq
+    spark.catalog.listTables(quotedDb(db)).collect().map(_.name).toSeq
 
   /** R7: `SHOW DATABASES` (`test_iceberg.py:86`). */
   def showDatabases(): DataFrame = spark.sql("SHOW DATABASES")
 
   def tableExists(db: String, table: String): Boolean =
-    spark.catalog.tableExists(s"${profile.qualifiedDb(db)}.$table")
+    spark.catalog.tableExists(s"${quotedDb(db)}.${DdlGenerator.quoteIdent(table)}")
+
+  private def quotedDb(db: String): String =
+    (profile.catalogName.toSeq :+ db).map(DdlGenerator.quoteIdent).mkString(".")
 }

@@ -82,9 +82,17 @@ object DdlGenerator {
   def quoteIdent(name: String): String =
     "`" + name.replace("`", "``") + "`"
 
-  /** Escape a string literal for splicing into DDL (LOCATION path). */
+  /** Escape a string literal for splicing into DDL (LOCATION path,
+    * TBLPROPERTIES). Quotes are escaped by doubling (`''`), which Spark's
+    * parser accepts in both default and legacy/Hive-compat
+    * (`spark.sql.parser.escapedStringLiterals=true`) literal modes — a
+    * backslash-quote escape only parses in the former. Backslashes are
+    * doubled for the default mode (the one the engine's sessions pin);
+    * legacy mode treats them literally, where paths with backslashes would
+    * need no escaping at all.
+    */
   def quoteLiteral(s: String): String =
-    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
   private def quoteQualified(parts: Seq[String]): String =
     parts.map(quoteIdent).mkString(".")
@@ -110,7 +118,9 @@ object DdlGenerator {
     val props = profile.tblProperties(spec) match {
       case Nil => ""
       case ps =>
-        ps.map { case (k, v) => s"'$k'='$v'" }
+        // Keys/values come from the same untrusted YAML as identifiers and
+        // LOCATION (e.g. format_version) — render through quoteLiteral.
+        ps.map { case (k, v) => s"${quoteLiteral(k)}=${quoteLiteral(v)}" }
           .mkString("\nTBLPROPERTIES (", ", ", ")")
     }
     val qualifiedName =

@@ -37,8 +37,11 @@ final case class TableSpec(
   require(database.nonEmpty, "database must be non-empty")
   require(table.nonEmpty, "table must be non-empty")
   require(columns.nonEmpty, s"$database.$table: at least one column required")
+  // Case-insensitive: Spark resolves column names case-insensitively by
+  // default (spark.sql.caseSensitive=false), so 'a' and 'A' would pass a
+  // case-sensitive check here and then fail at CREATE TABLE execution.
   private val dupCols =
-    columns.groupBy(_.name).collect { case (n, cs) if cs.size > 1 => n }
+    columns.groupBy(_.name.toLowerCase).collect { case (_, cs) if cs.size > 1 => cs.head.name }
   require(
     dupCols.isEmpty,
     s"$database.$table: duplicate column name(s): ${dupCols.mkString(", ")}")

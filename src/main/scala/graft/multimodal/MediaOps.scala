@@ -1,0 +1,70 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** One multimodal record: an opaque binary payload plus typed metadata.
+  * Top-level case classes so Spark derives product Encoders. */
+final case class MediaRecord(media_id: Long, payload: Array[Byte], format: String)
+
+final case class MediaFeatures(
+    media_id: Long, format: String, n_bytes: Long,
+    width: Int, height: Int, luma: Double)
+
+/** Multimodal-column plumbing — SURVEY.md §2.12.
+  *
+  * Images/audio/video ride Spark as opaque `BinaryType` payload columns next
+  * to a typed metadata struct; decode/feature-extraction runs as a
+  * batch-per-partition operator (`mapPartitions`) so a real decoder can
+  * amortize library initialization per partition rather than per row.
+  *
+  * The decode step itself is a clearly-marked deterministic STUB: real
+  * image/audio codecs are not available in this environment, so
+  * [[MediaOps.decodeStub]] fabricates dimensions from the byte length and
+  * "luma" as the mean byte value. Everything *around* it — schema, encoders,
+  * partitioning, the per-partition batch shape — is the real production
+  * plumbing and is oracle-/sbt-tested.
+  *
+  * Scale posture: payloads never shuffle for feature extraction (narrow
+  * mapPartitions over the scan); downstream analytics select only the
+  * metadata/feature columns, so column pruning keeps the binary out of every
+  * later stage.
+  */
+object MediaOps {
+
+  /** Assemble a media frame: id + binary payload + metadata struct. */
+  def mediaFrame(df: DataFrame, idCol: String, payloadCol: String, formatCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      col(payloadCol).cast("binary").as("payload"),
+      struct(
+        col(formatCol).as("format"),
+        length(col(payloadCol).cast("binary")).cast("long").as("n_bytes")).as("meta"))
+
+  /** STUB decoder — deterministic fake standing in for e.g. an ImageIO /
+    * ffmpeg call. Real implementation would decode `bytes` and return actual
+    * dimensions and channel statistics.
+    */
+  def decodeStub(bytes: Array[Byte]): (Int, Int, Double) = {
+    val w = bytes.length % 640 + 16
+    val h = bytes.length % 480 + 16
+    // Mean byte value, summed in Long for an order-independent exact result.
+    val luma =
+      if (bytes.isEmpty) 0.0
+      else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
+    (w, h, luma)
+  }
+
+  /** Per-partition batch decode: the iterator is the batch, so a real codec
+    * would be initialized once here and stream through the partition. */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // (real codec/session init would happen here, once per partition)
+      it.map { r =>
+        val (w, h, luma) = decodeStub(r.payload)
+        MediaFeatures(r.media_id, r.format, r.payload.length.toLong, w, h, luma)
+      }
+    }
+  }
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + banded LSH near-duplicate detection — SURVEY.md §2.12.
+  *
+  * Pipeline (all narrow until the band groupBy):
+  *
+  *   text ──split──▶ word n-gram shingles ──xxhash64──▶ shingle hashes
+  *        ──per-perm rehash+min──▶ MinHash signature (array<long>, nPerms)
+  *        ──slice+hash──▶ band hashes ──explode──▶ (band_idx, band_hash, id)
+  *        ──self-join on band bucket──▶ candidate pairs
+  *        ──exact Jaccard on shingle sets──▶ verified near-dup pairs
+  *
+  * Scale design: signatures are computed row-local with codegen'd
+  * higher-order array expressions (no shuffle, no UDF); the only shuffles
+  * are the band-bucket join (keyed on 8-byte hashes, uniformly distributed)
+  * and the final pair dedup. Candidate generation is bucket-local — never
+  * all-pairs — so cost tracks the number of colliding pairs, not N².
+  *
+  * Per-permutation hashing uses XOR-then-xxhash64 rather than the classic
+  * `a·h+b mod p` affine family: 64-bit multiplication overflows, which ANSI
+  * mode (Spark 4 default) turns into a runtime error. Rehashing the XOR is
+  * an equally universal family and stays overflow-free.
+  */
+object MinHashLsh {
+
+  final case class Params(
+      shingleSize: Int = 2,
+      nPerms: Int = 64,
+      bands: Int = 16,
+      jaccardThreshold: Double = 0.5) {
+    require(nPerms % bands == 0, s"bands=$bands must divide nPerms=$nPerms")
+    def rowsPerBand: Int = nPerms / bands
+  }
+
+  /** Distinct word n-gram shingles of a text column (row-local). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(trim(lower(text)), """\s+""")
+    val sz = size(toks)
+    val grams =
+      if (n == 1) toks
+      else zip_with(
+        slice(toks, lit(1), sz - lit(n - 1)),
+        slice(toks, lit(n), sz - lit(n - 1)),
+        (a, b) => concat(a, lit(" "), b))
+    array_distinct(grams)
+  }
+
+  /** Deterministic per-permutation salts (fixed seed ⇒ every executor and
+    * every run agrees on the signature function). */
+  private def salts(nPerms: Int, seed: Long): Seq[Long] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(nPerms)(r.nextLong())
+  }
+
+  /** MinHash signature: sig(i) = min over shingles of xxhash64(h ⊕ salt_i). */
+  def signature(shingleArr: Column, nPerms: Int, seed: Long = 7L): Column = {
+    val saltLit = array(salts(nPerms, seed).map(lit): _*)
+    val hashes = transform(shingleArr, s => xxhash64(s))
+    transform(
+      sequence(lit(0), lit(nPerms - 1)),
+      i => array_min(transform(hashes, h => xxhash64(h.bitwiseXOR(element_at(saltLit, i + 1))))))
+  }
+
+  /** Band hashes: murmur3 of each r-row slice of the signature. */
+  def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => hash(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))
+
+  /** Exact Jaccard of two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(a) + size(b) - size(array_intersect(a, b))
+    when(union > 0, inter / union).otherwise(lit(0.0))
+  }
+
+  /** id → (shingles, signature) for a document frame. */
+  def signatures(docs: DataFrame, idCol: String, textCol: String, p: Params): DataFrame =
+    docs.select(
+      col(idCol).as("id"),
+      shingles(col(textCol), p.shingleSize).as("shingles"))
+      .withColumn("sig", signature(col("shingles"), p.nPerms))
+
+  /** Verified near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
+    * Candidates come only from shared LSH band buckets. */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      p: Params = Params()): DataFrame = {
+    val sigs = signatures(docs, idCol, textCol, p)
+    val bands = sigs
+      .select(col("id"), posexplode(bandHashes(col("sig"), p.bands, p.rowsPerBand)))
+      .toDF("id", "band_idx", "band_hash")
+    val candidates = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val sa = sigs.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val sb = sigs.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    candidates
+      .join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= p.jaccardThreshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

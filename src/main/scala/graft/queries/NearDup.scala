@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{MinHashLsh, SimHash}
+
+/** Near-duplicate detection over `documents` — SURVEY.md §2.12.
+  *
+  * The fixture plants ~25 near-dup pairs (2-gram Jaccard ≥ 0.9 at sf0.01)
+  * over a ~0.03 background, so thresholds at 0.5 separate cleanly.
+  */
+object NearDup {
+
+  private val P = MinHashLsh.Params(
+    shingleSize = 2, nPerms = 64, bands = 16, jaccardThreshold = 0.5)
+
+  /** MinHash signatures (first 4 components) — hash-family-specific, so no
+    * SQL oracle; determinism is asserted in the sbt suite. */
+  val n01MinhashSignatures = Q(
+    "n01_minhash_signatures",
+    (s, dir) => {
+      MinHashLsh.signatures(Tables.documents(s, dir), "doc_id", "text", P)
+        .select(
+          col("id").as("doc_id"),
+          size(col("shingles")).as("n_shingles"),
+          element_at(col("sig"), 1).as("sig0"),
+          element_at(col("sig"), 2).as("sig1"),
+          element_at(col("sig"), 3).as("sig2"),
+          element_at(col("sig"), 4).as("sig3"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  /** Banded-LSH candidate pairs verified by exact Jaccard ≥ 0.5. The exact
+    * filter makes the output hash-family-independent, so the oracle is the
+    * brute-force pairwise Jaccard — on the fixture LSH recall is 1.0 (all
+    * planted pairs sit at j ≥ 0.9; 16×4 banding detects j=0.9 w.p.
+    * 1-(1-0.9⁴)¹⁶ ≈ 1-10⁻⁸). */
+  val n02LshNearDups = Q(
+    "n02_lsh_near_dups",
+    (s, dir) => {
+      MinHashLsh.nearDupPairs(Tables.documents(s, dir), "doc_id", "text", P)
+        .select(
+          col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""WITH g AS (
+      SELECT doc_id, list_distinct(list_transform(
+        list_zip(tokens[1:length(tokens)-1], tokens[2:]),
+        s -> s[1] || chr(32) || s[2])) AS grams
+      FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tokens FROM documents))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      round(CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))), 6) AS jaccard
+    FROM g a, g b
+    WHERE a.doc_id < b.doc_id
+      AND CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))) >= 0.5
+    ORDER BY doc_a, doc_b"""))
+
+  /** Exact n-gram Jaccard, all pairs within a bounded id sample — the
+    * oracle-checked ground truth for the shingle/Jaccard machinery. */
+  val n03NgramJaccardSample = Q(
+    "n03_ngram_jaccard_sample",
+    (s, dir) => {
+      val g = Tables.documents(s, dir)
+        .filter(col("doc_id") < 40)
+        .select(col("doc_id"), MinHashLsh.shingles(col("text"), 2).as("grams"))
+      val a = g.select(col("doc_id").as("doc_a"), col("grams").as("ga"))
+      val b = g.select(col("doc_id").as("doc_b"), col("grams").as("gb"))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .select(
+          col("doc_a"), col("doc_b"),
+          round(MinHashLsh.jaccard(col("ga"), col("gb")), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""WITH g AS (
+      SELECT doc_id, list_distinct(list_transform(
+        list_zip(tokens[1:length(tokens)-1], tokens[2:]),
+        s -> s[1] || chr(32) || s[2])) AS grams
+      FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tokens FROM documents)
+      WHERE doc_id < 40)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      round(CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))), 6) AS jaccard
+    FROM g a, g b WHERE a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b"""))
+
+  /** 64-bit SimHash fingerprints — hash-family-specific (rows-only);
+    * near-dup Hamming behavior asserted in the sbt suite. */
+  val n04Simhash = Q(
+    "n04_simhash",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          SimHash.simhash64(SimHash.tokens(col("text"))).as("simhash"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  val all: Seq[Q] = Seq(
+    n01MinhashSignatures, n02LshNearDups, n03NgramJaccardSample, n04Simhash)
+}

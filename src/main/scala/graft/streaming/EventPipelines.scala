@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming pipelines over the `events` shape — SURVEY.md §2.10.
+  *
+  * Each transform takes a DataFrame and so runs identically on a batch frame
+  * (`spark.read.parquet`) and a streaming one (`spark.readStream` /
+  * `MemoryStream`): the logical plan is the same, only the sink differs.
+  * Batch parity is asserted in the sbt suite; the batch twins of the window
+  * aggregations are registered (oracle-checked) as q17/q18.
+  *
+  * Watermarking bounds state: with a 10-minute watermark the tumbling-window
+  * state store retains only open windows, and events arriving later than the
+  * watermark are dropped — both behaviors pinned by tests. At scale this is
+  * what keeps a 100 TB/day stream's state finite.
+  */
+object EventPipelines {
+
+  /** Tumbling per-type counts with late-data eviction. Append mode emits a
+    * window only once its watermark passes — exactly-once per window. */
+  def tumblingCounts(events: DataFrame, window_ : String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(
+        col("w.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Sliding windows: 10-minute span every 5 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("n_events"))
+
+  /** Gap-based session windows per user (native session_window). */
+  def sessionCounts(events: DataFrame, gap: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+
+  // ---- Custom state: flatMapGroupsWithState sessionizer ----
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(start: Long, lastTs: Long, n: Long, sum: Double)
+  final case class SessionOut(user_id: Long, session_start: Long, n_events: Long, sum_value: Double)
+
+  /** Custom stateful sessionization with an explicit gap, closing sessions
+    * via processing of newer events (event-time ordered within a group).
+    * Demonstrates the arbitrary-state API; the declarative `session_window`
+    * above is preferred when the built-in semantics fit. */
+  def statefulSessions(events: Dataset[Event], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Event], state: GroupState[List[SessionState]]) =>
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          var sessions = state.getOption.getOrElse(Nil)
+          val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            sessions match {
+              case cur :: rest if t - cur.lastTs < gapMs =>
+                sessions = cur.copy(lastTs = t, n = cur.n + 1, sum = cur.sum + e.value) :: rest
+              case cur :: rest =>
+                closed += SessionOut(user, cur.start, cur.n, cur.sum)
+                sessions = SessionState(t, t, 1, e.value) :: rest
+              case Nil =>
+                sessions = SessionState(t, t, 1, e.value) :: Nil
+            }
+          }
+          state.update(sessions)
+          closed.iterator
+      }
+  }
+}

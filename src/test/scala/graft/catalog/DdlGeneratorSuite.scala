@@ -62,7 +62,28 @@ class DdlGeneratorSuite extends AnyFunSuite {
     val ddl = DdlGenerator.createTable(tricky, CatalogProfile.Builtin())
     assert(ddl.contains("`select`.`we``ird`"))
     assert(ddl.contains("  `order` STRING"))
-    assert(ddl.contains("LOCATION '/tmp/o\\'brien'"))
+    // Quote escaped by doubling — parses in both default and
+    // escapedStringLiterals parser modes (ADVICE r2).
+    assert(ddl.contains("LOCATION '/tmp/o''brien'"))
+  }
+
+  test("reserved-word names round-trip through the live catalog probes (ADVICE r2)") {
+    // The in-memory SessionCatalog's validateName rejects spaces/backticks
+    // outright, so reserved words are the realistic tricky case the probes
+    // must quote (unquoted, `select`.`order` fails to parse as an
+    // identifier).
+    val spark = graft.SparkTestSession.spark
+    val tricky = TableSpec(
+      database = "select",
+      table = "order",
+      location = None,
+      formatVersion = "2",
+      partitionedBy = Seq.empty,
+      columns = Seq(ColumnSpec("group", "string")))
+    val auto = new CatalogAutomation(spark, CatalogProfile.Builtin())
+    auto.createTable(tricky)
+    assert(auto.tableExists("select", "order"))
+    assert(auto.listTables("select").contains("order"))
   }
 
   test("Iceberg profile emits the reference's session config keys " +

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Deterministic MemoryStream tests for the streaming slice (SURVEY M4):
+  * watermark late-data drop, tumbling/session windows, batch parity, and
+  * the flatMapGroupsWithState sessionizer.
+  */
+/** Top-level so Spark can derive an Encoder (inner classes need outer scope). */
+case class Ev(ts: Timestamp, event_type: String, value: Double, user_id: Long)
+
+class EventPipelinesSuite extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+
+  private def runStream(
+      input: MemoryStream[Ev],
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      mode: OutputMode,
+      batches: Seq[Seq[Ev]]): Seq[org.apache.spark.sql.Row] = {
+    val name = s"mem_${System.nanoTime()}"
+    val q = build(input.toDF())
+      .writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      spark.table(name).collect().toSeq
+    } finally q.stop()
+  }
+
+  test("tumbling windows with watermark drop events later than the watermark") {
+    val input = MemoryStream[Ev]
+    val rows = runStream(
+      input, df => EventPipelines.tumblingCounts(df), OutputMode.Append(),
+      Seq(
+        // window [10:00,10:05): two events; then advance event time far
+        // enough that the watermark (max ts - 10m) passes 10:05.
+        Seq(Ev(ts(0, 10), "click", 1.0, 1), Ev(ts(2, 0), "click", 2.0, 1)),
+        Seq(Ev(ts(20, 0), "view", 1.0, 1)),
+        // late straggler for the already-finalized [10:00,10:05) window —
+        // beyond watermark (20:00 - 10m = 10:10 > 10:05) ⇒ dropped.
+        Seq(Ev(ts(1, 0), "click", 99.0, 1)),
+        // push watermark past [10:20,10:25) so the view window also emits.
+        Seq(Ev(ts(40, 0), "click", 1.0, 1))))
+    val byKey = rows.map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    assert(byKey(("2024-01-01 10:00:00.0", "click")) === 2L,
+      s"late event must not be counted: $byKey")
+    assert(byKey(("2024-01-01 10:20:00.0", "view")) === 1L)
+  }
+
+  test("streaming tumbling counts equal the batch run of the same transform") {
+    val events = Seq(
+      Ev(ts(0, 30), "click", 1.0, 1), Ev(ts(1, 0), "click", 2.0, 2),
+      Ev(ts(6, 0), "view", 3.0, 1), Ev(ts(7, 0), "click", 4.0, 3),
+      Ev(ts(12, 0), "view", 5.0, 2))
+    val input = MemoryStream[Ev]
+    val streamed = runStream(
+      input, df => EventPipelines.tumblingCounts(df), OutputMode.Complete(),
+      Seq(events.take(2), events.drop(2)))
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = EventPipelines.tumblingCounts(events.toDF())
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("session windows merge events within the gap and split across it") {
+    val input = MemoryStream[Ev]
+    val rows = runStream(
+      input, df => EventPipelines.sessionCounts(df), OutputMode.Complete(),
+      Seq(Seq(
+        Ev(ts(0, 0), "click", 1.0, 7), Ev(ts(4, 0), "click", 1.0, 7),
+        Ev(ts(30, 0), "click", 1.0, 7),   // > 10m gap ⇒ new session
+        Ev(ts(2, 0), "view", 1.0, 8))))
+    val sessions = rows.map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2))).toSet
+    assert(sessions === Set(
+      (7L, "2024-01-01 10:00:00.0", 2L),
+      (7L, "2024-01-01 10:30:00.0", 1L),
+      (8L, "2024-01-01 10:02:00.0", 1L)))
+  }
+
+  test("flatMapGroupsWithState sessionizer closes sessions across batches") {
+    import EventPipelines.{Event, SessionOut}
+    val input = MemoryStream[Event]
+    val name = s"mem_${System.nanoTime()}"
+    val q = EventPipelines.statefulSessions(input.toDS(), gapMs = 10 * 60 * 1000)
+      .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(7, ts(0, 0), 1.0), Event(7, ts(4, 0), 2.0))
+      q.processAllAvailable()
+      // second batch: an event past the gap closes the first session
+      input.addData(Event(7, ts(30, 0), 5.0))
+      q.processAllAvailable()
+      val out = spark.table(name).as[SessionOut].collect().toSeq
+      assert(out === Seq(SessionOut(7, ts(0, 0).getTime, 2, 3.0)))
+    } finally q.stop()
+  }
+
+  test("sliding windows overlap: one event lands in two 10m/5m windows") {
+    val input = MemoryStream[Ev]
+    val rows = runStream(
+      input, df => EventPipelines.slidingCounts(df), OutputMode.Complete(),
+      Seq(Seq(Ev(ts(7, 0), "click", 1.0, 1))))
+    val starts = rows.map(_.getTimestamp(0).toString).toSet
+    assert(starts === Set("2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0"))
+  }
+}

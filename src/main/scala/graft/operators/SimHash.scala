@@ -47,4 +47,28 @@ object SimHash {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Relational SimHash: explode tokens → one pass of 64 vote-sum aggregates
+    * (map-side combined, codegen'd) → pack bits. Same function as
+    * [[simhash64]] (parity-tested) but linear and shuffle-light at scale —
+    * the per-row nested fold above doesn't codegen at 64 bits wide.
+    *
+    * Documents with zero tokens produce no row.
+    */
+  def simhashFrame(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val exploded = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"_v$i")
+    }
+    val packed = (0 until 64).map { i =>
+      when(col(s"_v$i") >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    exploded
+      .groupBy("id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"), packed.as("simhash"))
+  }
 }

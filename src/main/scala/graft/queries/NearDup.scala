@@ -22,7 +22,7 @@ object NearDup {
       MinHashLsh.signatures(Tables.documents(s, dir), "doc_id", "text", P)
         .select(
           col("id").as("doc_id"),
-          size(col("shingles")).as("n_shingles"),
+          col("n_shingles").cast("int").as("n_shingles"),
           element_at(col("sig"), 1).as("sig0"),
           element_at(col("sig"), 2).as("sig1"),
           element_at(col("sig"), 3).as("sig2"),
@@ -92,10 +92,8 @@ object NearDup {
   val n04Simhash = Q(
     "n04_simhash",
     (s, dir) => {
-      Tables.documents(s, dir)
-        .select(
-          col("doc_id"),
-          SimHash.simhash64(SimHash.tokens(col("text"))).as("simhash"))
+      SimHash.simhashFrame(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("simhash"))
         .orderBy("doc_id")
     },
     None)

@@ -53,6 +53,18 @@ class MinHashLshSuite extends AnyFunSuite {
     assert(est(1L, 3L) < 0.2, s"unrelated estimate ${est(1L, 3L)}")
   }
 
+  test("relational signatures equal the per-row expression form") {
+    val p = MinHashLsh.Params()
+    val rel = MinHashLsh.signatures(docs, "doc_id", "text", p)
+      .select("id", "sig").as[(Long, Seq[Long])].collect().toMap
+    val expr = docs
+      .select(
+        col("doc_id"),
+        MinHashLsh.signature(MinHashLsh.shingles(col("text"), p.shingleSize), p.nPerms))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(rel === expr)
+  }
+
   test("shingles are distinct word n-grams") {
     val g = Seq((1L, "a b a b c")).toDF("doc_id", "text")
       .select(MinHashLsh.shingles(col("text"), 2).as("g"))

@@ -36,6 +36,18 @@ class SimHashSuite extends AnyFunSuite {
     assert(a(1L) === b(1L))
   }
 
+  test("relational simhashFrame equals the per-row expression form") {
+    val docs = Seq(
+      (1L, "the quick brown fox"), (2L, "spark shuffles and broadcast joins"),
+      (3L, "a b c d e f g")).toDF("doc_id", "text")
+    val rel = SimHash.simhashFrame(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val expr = docs
+      .select(col("doc_id"), SimHash.simhash64(SimHash.tokens(col("text"))))
+      .as[(Long, Long)].collect().toMap
+    assert(rel === expr)
+  }
+
   test("hamming column matches JVM bitCount") {
     val d = Seq((0x0FL, 0xF0L)).toDF("a", "b")
       .select(SimHash.hamming(col("a"), col("b")).cast("int").as("h"))

@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+
+/** Registration of the engine's custom Catalyst expressions as SQL
+  * functions — mirroring how the reference wires Iceberg's extensions into
+  * the session (`create_iceberg_tables.py:127`,
+  * `spark.sql.extensions=IcebergSparkSessionExtensions`).
+  *
+  * Two routes:
+  *   - config: `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  *   - programmatic: `GraftFunctions.register(spark)` (idempotent), for
+  *     sessions built without the extension config.
+  */
+object GraftFunctions {
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"graft_cosine expects 2 arguments, got ${children.length}")
+        CosineSimilarity(children.head, children(1))
+      }))
+
+  /** Idempotent registration into an existing session's function registry. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+
+  /** `graft_cosine(a, b)` as a Column (session must have it registered). */
+  def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach(ext.injectFunction)
+}

@@ -126,5 +126,47 @@ object Similarity {
     },
     None)
 
-  val all: Seq[Q] = Seq(e01EmbeddingNorms, e02KnnBrute, e03KnnLsh)
+  /** Brute-force top-5 again, but through the engine's custom Catalyst layer:
+    * the fused [[graft.functions.CosineSimilarity]] expression (one-pass
+    * dot+norms, codegen'd) and the [[graft.operators.TopKByScore]] Aggregator
+    * (map-side partial top-k heaps instead of a window sort). Produces the
+    * identical answer to e02 — the oracle is the same SQL — which pins the
+    * custom expression's semantics against DuckDB's cosine.
+    */
+  val e04KnnFused = Q(
+    "e04_knn_fused",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val c = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val q = c.select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+        .filter(col("query_id") < 8)
+      val pairs = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(
+          col("query_id"),
+          col("vec_id").as("id"),
+          graft.functions.GraftFunctions.cosine(col("qemb"), col("emb")).as("score"))
+        .as[QueryScored]
+      val topk = new graft.operators.TopKByScore(5).toColumn
+      pairs
+        .groupByKey(_.query_id)
+        .mapValues(r => graft.operators.ScoredId(r.id, r.score))
+        .agg(topk)
+        .flatMap { case (qid, best) =>
+          best.iterator.zipWithIndex.map { case (s, i) => (qid, s.id, s.score, i + 1) }
+        }
+        .toDF("query_id", "neighbor_id", "cos_raw", "rnk")
+        .select(
+          col("query_id"), col("neighbor_id"),
+          round(col("cos_raw"), 6).as("cosine"), col("rnk"))
+        .orderBy("query_id", "rnk")
+    },
+    // Same answer as e02_knn_brute — identical oracle semantics.
+    e02KnnBrute.oracle)
+
+  val all: Seq[Q] = Seq(e01EmbeddingNorms, e02KnnBrute, e03KnnLsh, e04KnnFused)
 }
+
+/** Typed row for the fused-knn pipeline (top-level for Encoder derivation). */
+final case class QueryScored(query_id: Long, id: Long, score: Double)

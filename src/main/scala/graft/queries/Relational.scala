@@ -445,10 +445,44 @@ object Relational {
       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_value
     FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** As-of join: every event matched to the user's most recent order on or
+    * before the event time (union-trick operator, one shuffle — see
+    * [[graft.operators.AsOfJoin]]). The right side is pre-aggregated to one
+    * row per (custkey, orderdate) so ties are well-defined; the oracle is
+    * DuckDB's native ASOF LEFT JOIN.
+    */
+  val q20AsofJoin = Q(
+    "q20_asof_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
+      val ord = Tables.orders(s, dir)
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(max("o_orderkey").as("last_orderkey"), count(lit(1)).as("n_orders_day"))
+        .withColumn("matched_date", to_date(col("o_orderdate")))
+      graft.operators.AsOfJoin.asOf(
+        left = ev, right = ord,
+        leftKey = col("user_id"), rightKey = col("o_custkey"),
+        leftTime = col("ts"), rightTime = col("o_orderdate"),
+        rightCols = Seq("matched_date", "last_orderkey", "n_orders_day"))
+        .select("event_id", "user_id", "matched_date", "last_orderkey", "n_orders_day")
+        .orderBy("event_id")
+    },
+    Some("""WITH r AS (
+      SELECT o_custkey, o_orderdate,
+        CAST(o_orderdate AS DATE) AS matched_date,
+        max(o_orderkey) AS last_orderkey,
+        count(*) AS n_orders_day
+      FROM orders GROUP BY o_custkey, o_orderdate)
+    SELECT e.event_id, e.user_id, r.matched_date, r.last_orderkey, r.n_orders_day
+    FROM events e ASOF LEFT JOIN r
+      ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    ORDER BY e.event_id"""))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RevenueForecast, q03RevenueByNation, q04PrioritySemi,
     q05CustomersNoFinal, q06TopOrdersPerCustomer, q07MonthlyRevenueLag,
     q08RollupPricing, q09CubeOrders, q10TopCustomers, q11SegmentSetops,
     q12DistinctCounts, q13ApproxDistinct, q14StringFuncs, q15DateFuncs,
-    q16JsonExtract, q17EventBuckets, q18EventSessions, q19EventStats)
+    q16JsonExtract, q17EventBuckets, q18EventSessions, q19EventStats,
+    q20AsofJoin)
 }

@@ -1,0 +1,67 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Source/sink coverage (SURVEY §2.2): CSV and JSON round-trips with
+  * explicit schemas, and partitioned parquet writes with partition pruning.
+  */
+class SourcesSuite extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = SparkTestSession.sfDir
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("CSV round-trip preserves rows under an explicit schema") {
+    val out = tmp("graft-csv")
+    val src = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    src.write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_acctbal", DoubleType), StructField("c_mktsegment", StringType)))
+    val back = spark.read.option("header", "true").schema(schema).csv(out)
+    assert(back.count() === src.count())
+    val (sumBack, sumSrc) = (
+      back.agg(sum("c_acctbal")).head.getDouble(0),
+      src.agg(sum("c_acctbal")).head.getDouble(0))
+    assert(math.abs(sumBack - sumSrc) < 1e-6)
+  }
+
+  test("JSON lines round-trip preserves nested structs") {
+    val out = tmp("graft-json")
+    val src = Tables.events(spark, dir)
+      .select(
+        col("event_id"), col("event_type"),
+        struct(col("user_id"), col("value")).as("payload"))
+    src.write.mode("overwrite").json(out)
+    val back = spark.read
+      .schema("event_id BIGINT, event_type STRING, payload STRUCT<user_id: BIGINT, value: DOUBLE>")
+      .json(out)
+    assert(back.count() === src.count())
+    val a = back.select("event_id", "payload.user_id").as[(Long, Long)].collect().toMap
+    val b = src.select("event_id", "payload.user_id").as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val out = tmp("graft-part")
+    Tables.documents(spark, dir)
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    val pruned = spark.read.parquet(out).filter(col("lang") === "en")
+    // Partition pruning shows as PartitionFilters on the file scan (the
+    // directory-level filter; inputFiles would report the pre-pruning index).
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PartitionFilters") && scan.contains("(lang"),
+      s"expected a lang partition filter on the scan:\n$scan")
+    val expected = Tables.documents(spark, dir).filter(col("lang") === "en").count()
+    assert(pruned.count() === expected)
+  }
+}

@@ -24,13 +24,19 @@ object ProvisionTables {
         .toSeq.sortBy(_.toString)
     else Seq(root)
 
+  /** Provision every spec found at `root` against the given session;
+    * returns (spec, executed DDL) pairs. The seam `main` and tests share. */
+  def run(spark: org.apache.spark.sql.SparkSession, root: Path,
+      warehouseDir: Option[String] = None): Seq[(TableSpec, String)] = {
+    val paths = specPaths(root)
+    require(paths.nonEmpty, s"no .yml/.yaml specs under $root")
+    val specs = paths.map(p => TableSpec.fromYamlFile(p.toString))
+    val auto = new CatalogAutomation(spark, CatalogProfile.Builtin(warehouseDir))
+    specs.zip(auto.provision(specs))
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ProvisionTables <specFileOrDir> [warehouseDir]")
-    val paths = specPaths(Paths.get(args(0)))
-    require(paths.nonEmpty, s"no .yml/.yaml specs under ${args(0)}")
-    val specs = paths.map(p => TableSpec.fromYamlFile(p.toString))
-
-    val profile = CatalogProfile.Builtin(warehouseDir = args.lift(1))
     val spark = {
       val b = SessionFactory.configure(
         org.apache.spark.sql.SparkSession.builder()
@@ -39,12 +45,11 @@ object ProvisionTables {
       args.lift(1).fold(b)(wh => b.config("spark.sql.warehouse.dir", wh)).getOrCreate()
     }
     spark.sparkContext.setLogLevel("WARN")
-    try {
-      val auto = new CatalogAutomation(spark, profile)
-      specs.zip(auto.provision(specs)).foreach { case (spec, ddl) =>
+    try
+      run(spark, Paths.get(args(0)), args.lift(1)).foreach { case (spec, ddl) =>
         println(s"[provision] created ${spec.fullName}")
         println(ddl.linesIterator.map("  " + _).mkString("\n"))
       }
-    } finally spark.stop()
+    finally spark.stop()
   }
 }

@@ -478,11 +478,59 @@ object Relational {
       ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
     ORDER BY e.event_id"""))
 
+  /** RANGE-framed window: trailing-90-day revenue per customer. The frame is
+    * value-based (epoch seconds), not row-based — §2.6's rangeBetween. */
+  val q21WindowRange = Q(
+    "q21_window_range",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("epoch_s")
+        .rangeBetween(-90L * 86400, 0)
+      Tables.orders(s, dir)
+        .withColumn("epoch_s", unix_timestamp(col("o_orderdate")))
+        .withColumn(
+          "trailing_90d",
+          sum(dec2(col("o_totalprice"))).over(w).cast("double"))
+        .select("o_orderkey", "o_custkey", "trailing_90d")
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        PARTITION BY o_custkey ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+        RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_90d
+    FROM orders ORDER BY o_orderkey"""))
+
+  /** Ranking-function surface: dense_rank / percent_rank / cume_dist /
+    * ntile over a totally-ordered key (tie-broken by custkey so ntile — the
+    * only row-order-sensitive one — is deterministic). */
+  val q22Ranking = Q(
+    "q22_ranking",
+    (s, dir) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, dir)
+        .select(
+          col("c_custkey"), col("c_mktsegment"),
+          dense_rank().over(w).as("drank"),
+          percent_rank().over(w).as("prank"),
+          cume_dist().over(w).as("cdist"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_mktsegment,
+      CAST(dense_rank() OVER w AS INT) AS drank,
+      percent_rank() OVER w AS prank,
+      cume_dist() OVER w AS cdist,
+      CAST(ntile(4) OVER w AS INT) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    ORDER BY c_custkey"""))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RevenueForecast, q03RevenueByNation, q04PrioritySemi,
     q05CustomersNoFinal, q06TopOrdersPerCustomer, q07MonthlyRevenueLag,
     q08RollupPricing, q09CubeOrders, q10TopCustomers, q11SegmentSetops,
     q12DistinctCounts, q13ApproxDistinct, q14StringFuncs, q15DateFuncs,
     q16JsonExtract, q17EventBuckets, q18EventSessions, q19EventStats,
-    q20AsofJoin)
+    q20AsofJoin, q21WindowRange, q22Ranking)
 }

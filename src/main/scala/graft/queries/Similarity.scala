@@ -165,7 +165,35 @@ object Similarity {
     // Same answer as e02_knn_brute — identical oracle semantics.
     e02KnnBrute.oracle)
 
-  val all: Seq[Q] = Seq(e01EmbeddingNorms, e02KnnBrute, e03KnnLsh, e04KnnFused)
+  /** Embedding-cosine near-duplicate pairs (threshold 0.4). Exact
+    * all-pairs here — the oracle needs the exact answer; at corpus scale the
+    * same threshold filter runs behind the e03 sign-LSH bucketing (or IVF)
+    * to prune the pair space first. Uses the fused custom expression. */
+  val e05EmbeddingNearDup = Q(
+    "e05_embedding_neardup",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val c = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val a = c.select(col("vec_id").as("vec_a"), col("emb").as("ea"))
+      val b = c.select(col("vec_id").as("vec_b"), col("emb").as("eb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("cos", graft.functions.GraftFunctions.cosine(col("ea"), col("eb")))
+        .filter(col("cos") >= 0.4)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
+        .orderBy("vec_a", "vec_b")
+    },
+    Some("""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    ORDER BY vec_a, vec_b"""))
+
+  val all: Seq[Q] =
+    Seq(e01EmbeddingNorms, e02KnnBrute, e03KnnLsh, e04KnnFused, e05EmbeddingNearDup)
 }
 
 /** Typed row for the fused-knn pipeline (top-level for Encoder derivation). */

@@ -182,7 +182,25 @@ object TextOps {
         (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
     FROM documents ORDER BY doc_id"""))
 
+  /** Corpus vocabulary: explode tokens (the §2.11 table-generating path) →
+    * frequency top-20. The explode shuffles nothing; only the token groupBy
+    * does, keyed on the token itself. */
+  val d07TokenFreq = Q(
+    "d07_token_freq",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(explode(split(trim(lower(col("text"))), """\s+""")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+    },
+    Some("""SELECT token, count(*) AS n
+    FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+          FROM documents)
+    GROUP BY token ORDER BY n DESC, token LIMIT 20"""))
+
   val all: Seq[Q] = Seq(
     d01DedupExact, d02TextStats, d03TokenCounts, d04QualityScore,
-    d05LangId, d06Fingerprint)
+    d05LangId, d06Fingerprint, d07TokenFreq)
 }

@@ -526,11 +526,80 @@ object Relational {
     WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
     ORDER BY c_custkey"""))
 
+  /** Outer-join preservation: every customer keeps a row even with no
+    * orders (written as a RIGHT join from orders to exercise that join
+    * type; LEFT is its mirror). count() skips nulls, so orderless
+    * customers report 0. */
+  val q23OuterJoinCounts = Q(
+    "q23_outer_join_counts",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      o.join(c, o("o_custkey") === c("c_custkey"), "right_outer")
+        .groupBy("c_custkey")
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey,
+      count(o_orderkey) AS n_orders,
+      coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS total
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey ORDER BY c_custkey"""))
+
+  /** FULL OUTER join: nations having suppliers vs nations having customers
+    * (supplier coverage is sparse at small SFs, so both null sides occur). */
+  val q24FullOuterNations = Q(
+    "q24_full_outer_nations",
+    (s, dir) => {
+      val sn = Tables.supplier(s, dir)
+        .select(col("s_nationkey").as("nationkey")).distinct()
+        .withColumn("has_supplier", lit(1))
+      val cn = Tables.customer(s, dir)
+        .select(col("c_nationkey").as("nationkey")).distinct()
+        .withColumn("has_customer", lit(1))
+      sn.join(cn, Seq("nationkey"), "full_outer")
+        .select(
+          col("nationkey"),
+          coalesce(col("has_supplier"), lit(0)).as("has_supplier"),
+          coalesce(col("has_customer"), lit(0)).as("has_customer"))
+        .orderBy("nationkey")
+    },
+    Some("""SELECT coalesce(s.nationkey, c.nationkey) AS nationkey,
+      coalesce(s.has_supplier, 0) AS has_supplier,
+      coalesce(c.has_customer, 0) AS has_customer
+    FROM (SELECT DISTINCT s_nationkey AS nationkey, 1 AS has_supplier FROM supplier) s
+    FULL JOIN (SELECT DISTINCT c_nationkey AS nationkey, 1 AS has_customer FROM customer) c
+      USING (nationkey)
+    ORDER BY nationkey"""))
+
+  /** Multiset set operations: INTERSECT ALL / EXCEPT ALL keep duplicate
+    * cardinalities (q11 covers the distinct forms). */
+  val q25SetopsAll = Q(
+    "q25_setops_all",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val a = o.filter(col("o_orderstatus") === "F").select("o_orderpriority")
+      val b = o.filter(col("o_orderstatus") === "O").select("o_orderpriority")
+      val c = o.filter(col("o_orderstatus") === "P").select("o_orderpriority")
+      a.intersectAll(b).exceptAll(c).orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority FROM (
+      SELECT o_orderpriority FROM (
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT ALL
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O')
+      EXCEPT ALL
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'P')
+    ORDER BY o_orderpriority"""))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RevenueForecast, q03RevenueByNation, q04PrioritySemi,
     q05CustomersNoFinal, q06TopOrdersPerCustomer, q07MonthlyRevenueLag,
     q08RollupPricing, q09CubeOrders, q10TopCustomers, q11SegmentSetops,
     q12DistinctCounts, q13ApproxDistinct, q14StringFuncs, q15DateFuncs,
     q16JsonExtract, q17EventBuckets, q18EventSessions, q19EventStats,
-    q20AsofJoin, q21WindowRange, q22Ranking)
+    q20AsofJoin, q21WindowRange, q22Ranking, q23OuterJoinCounts,
+    q24FullOuterNations, q25SetopsAll)
 }

@@ -192,8 +192,21 @@ object Similarity {
                                  CAST(b.embedding AS DOUBLE[])) >= 0.4
     ORDER BY vec_a, vec_b"""))
 
-  val all: Seq[Q] =
-    Seq(e01EmbeddingNorms, e02KnnBrute, e03KnnLsh, e04KnnFused, e05EmbeddingNearDup)
+  /** IVF-flat approximate top-5 — the coarse-quantizer ANN scale path
+    * ([[graft.operators.IvfAnn]]): 16 sampled-centroid cells, 4-cell probe.
+    * Approximate ⇒ rows-only; the sbt suite scores recall against e02. */
+  val e06KnnIvf = Q(
+    "e06_knn_ivf",
+    (s, dir) => {
+      graft.operators.IvfAnn
+        .search(corpus(s, dir), col("vec_id") < 8, nCells = 16, nProbe = 4, k = 5)
+        .orderBy("query_id", "rnk")
+    },
+    None)
+
+  val all: Seq[Q] = Seq(
+    e01EmbeddingNorms, e02KnnBrute, e03KnnLsh, e04KnnFused,
+    e05EmbeddingNearDup, e06KnnIvf)
 }
 
 /** Typed row for the fused-knn pipeline (top-level for Encoder derivation). */

@@ -47,6 +47,21 @@ object EventPipelines {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
 
+  /** Stream-static enrichment join: the static side is planned per
+    * micro-batch (broadcast when small), the stream side never buffers. */
+  def enrichWithUsers(events: DataFrame, users: DataFrame): DataFrame =
+    events.join(users, events("user_id") === users("id"), "left_outer")
+      .select(events("*"), users("segment"))
+
+  /** Streaming exact dedup bounded by the watermark: duplicates of
+    * (event_id) arriving within the watermark horizon are dropped; state is
+    * evicted once the watermark passes, keeping it finite on an unbounded
+    * stream — the streaming twin of d01's batch dedup. */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   // ---- Custom state: flatMapGroupsWithState sessionizer ----
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -46,6 +46,29 @@ class SimilaritySuite extends AnyFunSuite {
     }
   }
 
+  test("IVF knn returns k ranked candidates per query with exact cosines") {
+    val brute = Similarity.e02KnnBrute.run(spark, dir)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    val ivf = Similarity.e06KnnIvf.run(spark, dir)
+      .select("query_id", "neighbor_id", "cosine", "rnk")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._4).sorted.toSeq === (1 to g.length))
+    }
+    // Cosines agree with the brute-force values on shared pairs.
+    ivf.foreach { case (q, n, c, _) =>
+      brute.get((q, n)).foreach(bc => assert(math.abs(bc - c) < 1e-9))
+    }
+    // Recall sanity: probing 4/16 cells should still recover a decent share
+    // of the true top-5 set.
+    val bruteSet = brute.keySet
+    val hit = ivf.count { case (q, n, _, _) => bruteSet.contains((q, n)) }
+    assert(hit >= 10, s"IVF recall too low: $hit/40 of brute-force pairs")
+  }
+
   test("approx_count_distinct lands within 5% of exact") {
     val exact = Relational.q12DistinctCounts.run(spark, dir)
       .as[(Long, Long, Long)].head()

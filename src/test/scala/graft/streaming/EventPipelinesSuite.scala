@@ -15,6 +15,7 @@ import graft.SparkTestSession
   */
 /** Top-level so Spark can derive an Encoder (inner classes need outer scope). */
 case class Ev(ts: Timestamp, event_type: String, value: Double, user_id: Long)
+case class EvId(event_id: Long, ts: Timestamp, value: Double)
 
 class EventPipelinesSuite extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -103,6 +104,35 @@ class EventPipelinesSuite extends AnyFunSuite {
       q.processAllAvailable()
       val out = spark.table(name).as[SessionOut].collect().toSeq
       assert(out === Seq(SessionOut(7, ts(0, 0).getTime, 2, 3.0)))
+    } finally q.stop()
+  }
+
+  test("stream-static join enriches events against a static dimension") {
+    val users = Seq((1L, "gold"), (2L, "silver")).toDF("id", "segment")
+    val input = MemoryStream[Ev]
+    val rows = runStream(
+      input, df => EventPipelines.enrichWithUsers(df, users), OutputMode.Append(),
+      Seq(Seq(
+        Ev(ts(0, 0), "click", 1.0, 1),
+        Ev(ts(1, 0), "view", 2.0, 2),
+        Ev(ts(2, 0), "click", 3.0, 99))))   // no matching user → null segment
+    val seg = rows.map(r => r.getLong(3) -> Option(r.getString(4))).toMap
+    assert(seg === Map(1L -> Some("gold"), 2L -> Some("silver"), 99L -> None))
+  }
+
+  test("dropDuplicatesWithinWatermark drops in-horizon duplicate event_ids") {
+    val input = MemoryStream[EvId]
+    val name = s"mem_${System.nanoTime()}"
+    val q = EventPipelines.dedupWithinWatermark(input.toDF())
+      .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(EvId(100L, ts(0, 0), 1.0), EvId(101L, ts(1, 0), 2.0))
+      q.processAllAvailable()
+      // same ids again within the watermark horizon → dropped
+      input.addData(EvId(100L, ts(2, 0), 99.0), EvId(102L, ts(3, 0), 3.0))
+      q.processAllAvailable()
+      val ids = spark.table(name).select("event_id").as[Long].collect().sorted.toSeq
+      assert(ids === Seq(100L, 101L, 102L))
     } finally q.stop()
   }
 

@@ -200,7 +200,34 @@ object TextOps {
           FROM documents)
     GROUP BY token ORDER BY n DESC, token LIMIT 20"""))
 
+  private[queries] val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private[queries] val phoneRe = """\d{3}[-.]\d{3}[-.]\d{4}"""
+
+  /** PII scrubbing pass: count and redact email/phone shapes. The fixture
+    * corpus is clean, so the oracle verifies the scrub is an exact no-op
+    * there (counts 0, fingerprint unchanged); actual redaction is pinned on
+    * planted PII in the sbt suite. Row-local — a narrow map at any scale. */
+  val d08PiiScrub = Q(
+    "d08_pii_scrub",
+    (s, dir) => {
+      val scrubbed = regexp_replace(
+        regexp_replace(col("text"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          nMatches(col("text"), emailRe).as("n_emails"),
+          nMatches(col("text"), phoneRe).as("n_phones"),
+          substring(sha2(scrubbed, 256), 1, 16).as("scrubbed_fp"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id,
+      CAST(length(regexp_extract_all(text, '$emailRe')) AS INT) AS n_emails,
+      CAST(length(regexp_extract_all(text, '$phoneRe')) AS INT) AS n_phones,
+      substring(sha256(regexp_replace(
+        regexp_replace(text, '$emailRe', '<EMAIL>', 'g'), '$phoneRe', '<PHONE>', 'g')), 1, 16) AS scrubbed_fp
+    FROM documents ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     d01DedupExact, d02TextStats, d03TokenCounts, d04QualityScore,
-    d05LangId, d06Fingerprint, d07TokenFreq)
+    d05LangId, d06Fingerprint, d07TokenFreq, d08PiiScrub)
 }

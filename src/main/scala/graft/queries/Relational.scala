@@ -594,6 +594,57 @@ object Relational {
       SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'P')
     ORDER BY o_orderpriority"""))
 
+  /** Z-score anomaly detection per event type. Mean and variance come from
+    * *exact decimal* moment sums (order-independent), so the z-scores are
+    * bit-identical across engines — the aggregate-then-rejoin shape is one
+    * small broadcastable stats frame against the unaggregated stream. */
+  val q26ZscoreOutliers = Q(
+    "q26_zscore_outliers",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val stats = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        dsum(col("value")).as("s"),
+        sum(dec2(col("value")) * dec2(col("value"))).cast("double").as("sq"))
+      val z = (col("value") - col("s") / col("n")) /
+        sqrt((col("sq") - col("s") * col("s") / col("n")) / (col("n") - 1))
+      ev.join(broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .filter(abs(col("z")) > 3)
+        .select(col("event_id"), col("event_type"), col("value"), round(col("z"), 6).as("zscore"))
+        .orderBy("event_id")
+    },
+    Some("""WITH s AS (
+      SELECT event_type, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
+        CAST(sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sq
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value,
+      round((e.value - s.s / s.n) / sqrt((s.sq - s.s * s.s / s.n) / (s.n - 1)), 6) AS zscore
+    FROM events e JOIN s USING (event_type)
+    WHERE abs((e.value - s.s / s.n) / sqrt((s.sq - s.s * s.s / s.n) / (s.n - 1))) > 3
+    ORDER BY e.event_id"""))
+
+  /** Exact interpolated quantiles per event type (SQL `percentile`;
+    * DuckDB's quantile_cont has identical linear-interpolation semantics —
+    * round 6 absorbs the formula's FP association difference). */
+  val q27Quantiles = Q(
+    "q27_quantiles",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type,
+      round(quantile_cont(value, 0.5), 6) AS p50,
+      round(quantile_cont(value, 0.95), 6) AS p95,
+      round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RevenueForecast, q03RevenueByNation, q04PrioritySemi,
     q05CustomersNoFinal, q06TopOrdersPerCustomer, q07MonthlyRevenueLag,
@@ -601,5 +652,5 @@ object Relational {
     q12DistinctCounts, q13ApproxDistinct, q14StringFuncs, q15DateFuncs,
     q16JsonExtract, q17EventBuckets, q18EventSessions, q19EventStats,
     q20AsofJoin, q21WindowRange, q22Ranking, q23OuterJoinCounts,
-    q24FullOuterNations, q25SetopsAll)
+    q24FullOuterNations, q25SetopsAll, q26ZscoreOutliers, q27Quantiles)
 }

@@ -24,6 +24,13 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.length == 2, s"graft_cosine expects 2 arguments, got ${children.length}")
         CosineSimilarity(children.head, children(1))
+      }),
+    (
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSketchAgg].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, s"graft_minhash expects 1 argument, got ${children.length}")
+        MinHashSketchAgg(children.head).toAggregateExpression()
       }))
 
   /** Idempotent registration into an existing session's function registry. */
@@ -34,6 +41,9 @@ object GraftFunctions {
 
   /** `graft_cosine(a, b)` as a Column (session must have it registered). */
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+
+  /** `graft_minhash(shingleHash)` aggregate as a Column. */
+  def minhash(shingleHash: Column): Column = call_function("graft_minhash", shingleHash)
 }
 
 /** `spark.sql.extensions` entry point. */

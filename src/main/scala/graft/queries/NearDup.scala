@@ -19,7 +19,13 @@ object NearDup {
   val n01MinhashSignatures = Q(
     "n01_minhash_signatures",
     (s, dir) => {
-      MinHashLsh.signatures(Tables.documents(s, dir), "doc_id", "text", P)
+      // Exercised through the TypedImperativeAggregate sketch path —
+      // bit-identical to the relational form (MinHashSketchAggSuite).
+      MinHashLsh.signaturesSketch(
+        Tables.documents(s, dir).select(
+          col("doc_id").as("id"),
+          MinHashLsh.shingles(col("text"), P.shingleSize).as("shingles")),
+        P)
         .select(
           col("id").as("doc_id"),
           col("n_shingles").cast("int").as("n_shingles"),

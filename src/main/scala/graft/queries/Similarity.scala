@@ -204,9 +204,37 @@ object Similarity {
     },
     None)
 
+  /** Symmetric int8 quantization stats: per-vector scale (max-abs / 127)
+    * and reconstruction error — the storage-compression pass an embedding
+    * lake runs before ANN indexing. Pure per-row arithmetic (narrow map);
+    * quantize→dequantize round-trip is exact-formula-mirrored in the
+    * oracle. No vector is clipped by construction (max maps to ±127). */
+  val e07EmbeddingQuantize = Q(
+    "e07_embedding_quantize",
+    (s, dir) => {
+      val emb = col("embedding").cast("array<double>")
+      val scale = array_max(transform(emb, x => abs(x))) / 127.0
+      val err = aggregate(
+        transform(emb, x => abs(x - round(x / scale) * scale)),
+        lit(0.0), (acc, x) => acc + x) / size(emb)
+      Tables.embeddings(s, dir)
+        .select(
+          col("vec_id"),
+          round(scale, 6).as("scale"),
+          round(err, 6).as("mean_abs_err"))
+        .orderBy("vec_id")
+    },
+    Some("""SELECT vec_id,
+      round(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0, 6) AS scale,
+      round(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+          x -> abs(x - round(x / (list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127.0))
+                       * (list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127.0))))
+        / length(embedding), 6) AS mean_abs_err
+    FROM embeddings ORDER BY vec_id"""))
+
   val all: Seq[Q] = Seq(
     e01EmbeddingNorms, e02KnnBrute, e03KnnLsh, e04KnnFused,
-    e05EmbeddingNearDup, e06KnnIvf)
+    e05EmbeddingNearDup, e06KnnIvf, e07EmbeddingQuantize)
 }
 
 /** Typed row for the fused-knn pipeline (top-level for Encoder derivation). */

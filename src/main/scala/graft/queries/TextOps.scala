@@ -227,7 +227,30 @@ object TextOps {
         regexp_replace(text, '$emailRe', '<EMAIL>', 'g'), '$phoneRe', '<PHONE>', 'g')), 1, 16) AS scrubbed_fp
     FROM documents ORDER BY doc_id"""))
 
+  /** Deterministic train/val/test split with per-split per-language
+    * balance stats. Keyed on `doc_id % 10` so the oracle is engine-exact;
+    * a production pipeline uses a hash of a stable id instead
+    * (`pmod(xxhash64(doc_id), 10)`) — same shape, engine-specific values. */
+  val d09DatasetSplit = Q(
+    "d09_dataset_split",
+    (s, dir) => {
+      val split = when(col("doc_id") % 10 < 8, "train")
+        .when(col("doc_id") % 10 === 8, "val")
+        .otherwise("test")
+      Tables.documents(s, dir)
+        .withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("split", "lang")
+    },
+    Some("""SELECT
+      CASE WHEN doc_id % 10 < 8 THEN 'train'
+           WHEN doc_id % 10 = 8 THEN 'val'
+           ELSE 'test' END AS split,
+      lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY 1, 2 ORDER BY split, lang"""))
+
   val all: Seq[Q] = Seq(
     d01DedupExact, d02TextStats, d03TokenCounts, d04QualityScore,
-    d05LangId, d06Fingerprint, d07TokenFreq, d08PiiScrub)
+    d05LangId, d06Fingerprint, d07TokenFreq, d08PiiScrub, d09DatasetSplit)
 }

@@ -56,4 +56,21 @@ class CatalogAutomationSuite extends AnyFunSuite {
     // partition pruning works on the identity partition column
     assert(got.where("CountryRegion = 'DE'").count() == 1)
   }
+
+  test("profile seam: V2 writeTo is rejected on the builtin V1 catalog") {
+    // `df.writeTo(...).append()` (the V2 AppendData path, SURVEY §2.2) needs
+    // a V2 catalog — with the Iceberg profile it is the native write route;
+    // the builtin session catalog serves V1 parquet tables, where Spark
+    // refuses it and `insertInto` (previous test) is the supported path.
+    // Pinned so a future profile change is caught.
+    import spark.implicits._
+    val spec2 = spec.copy(table = "customers_v2")
+    auto.createTable(spec2)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("Cy", "c@x.com", "FR", "75001"))
+        .toDF("FirstName", "EmailAddress", "CountryRegion", "PostalCode")
+        .writeTo("bronze.customers_v2").append()
+    }
+    assert(e.getMessage.contains("v1 table"))
+  }
 }

@@ -51,6 +51,19 @@ class SourcesSuite extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("ORC round-trip preserves rows and pushes filters") {
+    val out = tmp("graft-orc")
+    val src = Tables.orders(spark, dir)
+    src.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(back.count() === src.count())
+    val f = back.filter(col("o_orderstatus") === "F")
+    val scan = f.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PushedFilters") && scan.contains("o_orderstatus"),
+      s"expected pushed ORC filter:\n$scan")
+    assert(f.count() === src.filter(col("o_orderstatus") === "F").count())
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val out = tmp("graft-part")
     Tables.documents(spark, dir)

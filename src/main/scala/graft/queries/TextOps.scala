@@ -250,7 +250,92 @@ object TextOps {
       lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
     FROM documents GROUP BY 1, 2 ORDER BY split, lang"""))
 
+  /** Train/holdout contamination detection: holdout documents whose
+    * distinct-bigram set is ≥50% contained in some single training
+    * document — the decontamination pass every eval pipeline needs. The
+    * join is keyed on the shingle itself (uniform, bucket-local at scale);
+    * on this fixture it finds exactly the planted near-dup pairs that
+    * straddle the split boundary. */
+  val d10Contamination = Q(
+    "d10_contamination",
+    (s, dir) => {
+      import graft.operators.MinHashLsh
+      val d = Tables.documents(s, dir)
+        .withColumn("split",
+          when(col("doc_id") % 10 < 8, "train").otherwise("holdout"))
+        .select(col("doc_id"), col("split"),
+          MinHashLsh.shingles(col("text"), 2).as("grams"))
+        .persist()
+      val g = d.select(
+        col("doc_id"), col("split"), size(col("grams")).as("n_grams"),
+        explode(col("grams")).as("sh"))
+      val h = g.filter(col("split") === "holdout")
+        .select(col("doc_id").as("holdout_doc"), col("n_grams").as("hn"), col("sh"))
+      val t = g.filter(col("split") === "train")
+        .select(col("doc_id").as("train_doc"), col("sh"))
+      h.join(t, "sh")
+        .groupBy("holdout_doc", "train_doc")
+        .agg(count(lit(1)).as("n_shared"), first("hn").as("hn"))
+        .withColumn("containment", col("n_shared").cast("double") / col("hn"))
+        .filter(col("containment") >= 0.5)
+        .select(col("holdout_doc"), col("train_doc"), col("n_shared"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy("holdout_doc", "train_doc")
+    },
+    Some("""WITH d AS (
+      SELECT doc_id, CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'holdout' END AS split,
+        list_distinct(list_transform(
+          list_zip(tokens[1:length(tokens)-1], tokens[2:]),
+          s -> s[1] || chr(32) || s[2])) AS grams
+      FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tokens FROM documents)),
+    g AS (SELECT doc_id, split, length(grams) AS n_grams, unnest(grams) AS sh FROM d),
+    p AS (
+      SELECT h.doc_id AS holdout_doc, t.doc_id AS train_doc,
+        count(*) AS n_shared, any_value(h.n_grams) AS hn
+      FROM (SELECT * FROM g WHERE split = 'holdout') h
+      JOIN (SELECT * FROM g WHERE split = 'train') t USING (sh)
+      GROUP BY 1, 2)
+    SELECT holdout_doc, train_doc, n_shared,
+      round(CAST(n_shared AS DOUBLE) / hn, 6) AS containment
+    FROM p WHERE CAST(n_shared AS DOUBLE) / hn >= 0.5
+    ORDER BY holdout_doc, train_doc"""))
+
+  /** Per-document repetition score: the dominant token and its share of
+    * all tokens — a standard boilerplate/low-quality signal. */
+  val d11Repetition = Q(
+    "d11_repetition",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), """\s+""")).as("token"))
+      val counts = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("doc_id")
+      val rankW = Window.partitionBy("doc_id").orderBy(col("n").desc, col("token"))
+      counts
+        .withColumn("total", sum("n").over(w))
+        .withColumn("rn", row_number().over(rankW))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("token").as("top_token"), col("n").as("top_count"),
+          round(col("n").cast("double") / col("total"), 6).as("repetition"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH c AS (
+      SELECT doc_id, token, count(*) AS n
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+            FROM documents)
+      GROUP BY doc_id, token),
+    r AS (
+      SELECT doc_id, token, n,
+        sum(n) OVER (PARTITION BY doc_id) AS total,
+        row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, token) AS rn
+      FROM c)
+    SELECT doc_id, token AS top_token, CAST(n AS BIGINT) AS top_count,
+      round(CAST(n AS DOUBLE) / total, 6) AS repetition
+    FROM r WHERE rn = 1 ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     d01DedupExact, d02TextStats, d03TokenCounts, d04QualityScore,
-    d05LangId, d06Fingerprint, d07TokenFreq, d08PiiScrub, d09DatasetSplit)
+    d05LangId, d06Fingerprint, d07TokenFreq, d08PiiScrub, d09DatasetSplit,
+    d10Contamination, d11Repetition)
 }

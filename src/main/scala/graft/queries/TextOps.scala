@@ -255,7 +255,16 @@ object TextOps {
     * document — the decontamination pass every eval pipeline needs. The
     * join is keyed on the shingle itself (uniform, bucket-local at scale);
     * on this fixture it finds exactly the planted near-dup pairs that
-    * straddle the split boundary. */
+    * straddle the split boundary.
+    *
+    * Cost note: join fan-out is Σ_sh df_holdout(sh)·df_train(sh). Real
+    * corpora have low per-shingle document frequency so this is
+    * near-linear; the fixture's 31-word vocabulary makes every bigram
+    * common (~38M joined rows at sf0.1, ~10 s) — the worst case by
+    * construction. The production knob is a stop-shingle df cutoff
+    * (dropping shingles present in >x% of training docs), which changes
+    * the containment definition and is therefore not applied under the
+    * exact oracle here. */
   val d10Contamination = Q(
     "d10_contamination",
     (s, dir) => {

@@ -136,6 +136,32 @@ class EventPipelinesSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch sink: micro-batches land in a catalog table with batch ids") {
+    import org.apache.spark.sql.{DataFrame, SaveMode}
+    spark.sql("CREATE DATABASE IF NOT EXISTS stream_sink")
+    spark.sql("DROP TABLE IF EXISTS stream_sink.events_fb")
+    val input = MemoryStream[Ev]
+    val q = input.toDF()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // The standard idempotent-sink pattern: batchId travels with the
+        // rows so a replayed batch can be deduplicated/overwritten.
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode(SaveMode.Append).saveAsTable("stream_sink.events_fb")
+      }
+      .start()
+    try {
+      input.addData(Ev(ts(0, 0), "click", 1.0, 1))
+      q.processAllAvailable()
+      input.addData(Ev(ts(1, 0), "view", 2.0, 2), Ev(ts(2, 0), "click", 3.0, 1))
+      q.processAllAvailable()
+      val rows = spark.table("stream_sink.events_fb")
+        .select("event_type", "batch_id").as[(String, Long)].collect().toSeq
+      assert(rows.length === 3)
+      assert(rows.map(_._2).distinct.sorted === Seq(0L, 1L))
+    } finally q.stop()
+  }
+
   test("sliding windows overlap: one event lands in two 10m/5m windows") {
     val input = MemoryStream[Ev]
     val rows = runStream(

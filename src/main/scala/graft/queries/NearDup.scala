@@ -104,6 +104,43 @@ object NearDup {
     },
     None)
 
+  /** Near-dup clusters: connected components over the verified LSH pairs,
+    * every member labeled with its group's canonical (minimum) doc id.
+    * Oracle: a recursive CTE computing min-reachable-id over the same
+    * (oracle-identical, per n02) pair set. */
+  val n05NearDupClusters = Q(
+    "n05_neardup_clusters",
+    (s, dir) => {
+      val pairs = MinHashLsh.nearDupPairs(Tables.documents(s, dir), "doc_id", "text", P)
+      graft.operators.ConnectedComponents.clusters(pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM (
+        SELECT doc_id, list_distinct(list_transform(
+          list_zip(tokens[1:length(tokens)-1], tokens[2:]),
+          s -> s[1] || chr(32) || s[2])) AS grams
+        FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tokens FROM documents)) a
+      JOIN (
+        SELECT doc_id, list_distinct(list_transform(
+          list_zip(tokens[1:length(tokens)-1], tokens[2:]),
+          s -> s[1] || chr(32) || s[2])) AS grams
+        FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tokens FROM documents)) b
+        ON a.doc_id < b.doc_id
+      WHERE CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))) >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach(id, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+    SELECT id AS doc_id, min(lbl) AS cluster_id
+    FROM reach GROUP BY id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
-    n01MinhashSignatures, n02LshNearDups, n03NgramJaccardSample, n04Simhash)
+    n01MinhashSignatures, n02LshNearDups, n03NgramJaccardSample, n04Simhash,
+    n05NearDupClusters)
 }

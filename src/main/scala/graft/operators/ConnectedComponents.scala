@@ -30,9 +30,15 @@ object ConnectedComponents {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .persist()
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum("lbl")).head.getLong(0)
+    // Labels only ever decrease, so Σlbl is a strictly decreasing monotone
+    // until the fixpoint — an equal sum IS convergence. One aggregate per
+    // round instead of a join+count halves the driver round-trips.
+    var prevSum = labelSum(labels)
     var iters = 0
-    var changed = 1L
-    while (changed > 0 && iters < maxIters) {
+    var converged = false
+    while (!converged && iters < maxIters) {
       val viaNeighbors = edges
         .join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("lbl"))
@@ -40,13 +46,14 @@ object ConnectedComponents {
         .union(viaNeighbors)
         .groupBy("id").agg(min("lbl").as("lbl"))
         .persist()
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .filter(col("lbl") =!= col("old")).count()
+      val newSum = labelSum(next)
+      converged = newSum == prevSum
+      prevSum = newSum
       labels.unpersist()
       labels = next
       iters += 1
     }
-    require(changed == 0, s"connected components did not converge in $maxIters iterations")
+    require(converged, s"connected components did not converge in $maxIters iterations")
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 }

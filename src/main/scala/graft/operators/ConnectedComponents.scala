@@ -30,8 +30,10 @@ object ConnectedComponents {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .persist()
+    // coalesce guards the empty-graph case: sum over zero rows is NULL,
+    // and an empty pair set is a legitimate input (no near-dups found).
     def labelSum(df: DataFrame): Long =
-      df.agg(sum("lbl")).head.getLong(0)
+      df.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
     // Labels only ever decrease, so Σlbl is a strictly decreasing monotone
     // until the fixpoint — an equal sum IS convergence. One aggregate per
     // round instead of a join+count halves the driver round-trips.

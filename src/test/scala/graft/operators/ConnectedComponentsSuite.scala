@@ -12,6 +12,11 @@ class ConnectedComponentsSuite extends AnyFunSuite {
     ConnectedComponents.clusters(pairs.toSeq.toDF("id_a", "id_b"))
       .as[(Long, Long)].collect().toMap
 
+  test("empty pair set yields an empty cluster frame (no NPE)") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(ConnectedComponents.clusters(empty).count() === 0)
+  }
+
   test("disjoint pairs form separate clusters labeled by their minimum") {
     assert(cc((1L, 2L), (3L, 4L)) === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
   }

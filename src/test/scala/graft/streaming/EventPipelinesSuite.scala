@@ -136,6 +136,34 @@ class EventPipelinesSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: restarting the query resumes exactly-once into the file sink") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val input = MemoryStream[Ev]
+    def start() = input.toDF()
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    val q1 = start()
+    try {
+      input.addData(Ev(ts(0, 0), "click", 1.0, 1), Ev(ts(1, 0), "view", 2.0, 2))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // Restart from the same checkpoint: the committed batch must not be
+    // re-emitted; new data lands exactly once.
+    val q2 = start()
+    try {
+      input.addData(Ev(ts(2, 0), "click", 3.0, 3))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val rows = spark.read.parquet(outDir)
+      .select("user_id").as[Long].collect().sorted.toSeq
+    assert(rows === Seq(1L, 2L, 3L), s"expected exactly-once output, got $rows")
+  }
+
   test("foreachBatch sink: micro-batches land in a catalog table with batch ids") {
     import org.apache.spark.sql.{DataFrame, SaveMode}
     spark.sql("CREATE DATABASE IF NOT EXISTS stream_sink")

@@ -18,11 +18,13 @@ import graft.catalog.{CatalogAutomation, CatalogProfile, TableSpec}
 object ProvisionTables {
 
   def specPaths(root: Path): Seq[Path] =
-    if (Files.isDirectory(root))
-      Files.list(root).iterator().asScala
+    if (Files.isDirectory(root)) {
+      val stream = Files.list(root) // must be closed: holds a directory handle
+      try stream.iterator().asScala
         .filter(p => p.toString.endsWith(".yml") || p.toString.endsWith(".yaml"))
         .toSeq.sortBy(_.toString)
-    else Seq(root)
+      finally stream.close()
+    } else Seq(root)
 
   /** Provision every spec found at `root` against the given session;
     * returns (spec, executed DDL) pairs. The seam `main` and tests share. */

@@ -40,8 +40,10 @@ final case class TableSpec(
   // Case-insensitive: Spark resolves column names case-insensitively by
   // default (spark.sql.caseSensitive=false), so 'a' and 'A' would pass a
   // case-sensitive check here and then fail at CREATE TABLE execution.
+  // Locale.ROOT: default-locale lowercasing breaks on e.g. tr_TR ("ID" → "ıd").
   private val dupCols =
-    columns.groupBy(_.name.toLowerCase).collect { case (_, cs) if cs.size > 1 => cs.head.name }
+    columns.groupBy(_.name.toLowerCase(java.util.Locale.ROOT))
+      .collect { case (_, cs) if cs.size > 1 => cs.head.name }
   require(
     dupCols.isEmpty,
     s"$database.$table: duplicate column name(s): ${dupCols.mkString(", ")}")

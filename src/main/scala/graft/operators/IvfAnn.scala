@@ -22,8 +22,9 @@ import org.apache.spark.sql.functions._
   */
 object IvfAnn {
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  // Shared fold: must stay bit-identical to Similarity's cosines (the sbt
+  // suite cross-checks e06 against e02 at 1e-9) — single definition.
+  private def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dot(a, b)
 
   /** Argmax-cosine cell assignment. `vectors`: (vec_id, emb, norm);
     * `centroids`: (cell_id, cemb, cnorm). Ties break to the higher cell_id

@@ -154,9 +154,15 @@ object MinHashLsh {
       .distinct()
     val sa = sh.select(col("id").as("id_a"), col("shingles").as("sh_a"))
     val sb = sh.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    // Materialize the intersection size as a column so the (expensive)
+    // array_intersect runs once per pair, not once each for the numerator
+    // and the union denominator.
+    val inter = col("_inter").cast("double")
+    val union = size(col("sh_a")) + size(col("sh_b")) - col("_inter")
     candidates
       .join(sa, "id_a").join(sb, "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", when(union > 0, inter / union).otherwise(lit(0.0)))
       .filter(col("jaccard") >= p.jaccardThreshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -21,12 +21,9 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ as a left-to-right fold — deterministic summation order. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  private def sumSquares(c: Column): Column =
-    aggregate(transform(c, x => x * x), lit(0.0), (acc, x) => acc + x)
+  // Shared fold (bit-comparable across operators) — see VectorOps.
+  private def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dot(a, b)
+  private def sumSquares(c: Column): Column = graft.functions.VectorOps.sumSquares(c)
 
   /** Corpus with embeddings upcast to double and L2 norms precomputed. */
   private def corpus(s: SparkSession, dir: String): DataFrame =

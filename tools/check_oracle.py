@@ -55,6 +55,12 @@ def main():
     oracle = json.loads(Path(f"{out_dir}/oracle_sql.json").read_text())
 
     n_pass = n_fail = 0
+    # A query that failed inside Verify writes no result dir — that must be
+    # a FAIL here, not a silent skip, or the gate reads green on a broken query.
+    result_dirs = {p.name for p in Path(out_dir).iterdir() if p.is_dir()}
+    for missing in sorted(set(oracle) - result_dirs):
+        print(f"  ✗ {missing}: NO RESULT DIR (query failed in Verify?)")
+        n_fail += 1
     for qdir in sorted(Path(out_dir).iterdir()):
         if not qdir.is_dir():
             continue

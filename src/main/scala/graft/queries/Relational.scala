@@ -645,6 +645,36 @@ object Relational {
       round(quantile_cont(value, 0.99), 6) AS p99
     FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Math-function surface (§2.9 beyond abs/round): log/exp/pow/sqrt are
+    * rounded to 6 dp — libm implementations may differ in the final ulp
+    * between the JVM and DuckDB; floor/ceil/mod/sqrt are IEEE-exact. */
+  val q28MathFuncs = Q(
+    "q28_math_funcs",
+    (s, dir) => {
+      Tables.part(s, dir)
+        .select(
+          col("p_partkey"),
+          round(log(col("p_retailprice")), 6).as("ln_price"),
+          round(exp(col("p_size").cast("double") / 50.0), 6).as("exp_size"),
+          round(pow(col("p_retailprice"), 2.0), 6).as("price_sq"),
+          sqrt(col("p_retailprice")).as("sqrt_price"),
+          floor(col("p_retailprice")).as("floor_price"),
+          ceil(col("p_retailprice")).as("ceil_price"),
+          (col("p_size") % 7).as("size_mod7"),
+          signum(col("p_retailprice") - 1000.0).cast("int").as("sign_gap"))
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey,
+      round(ln(p_retailprice), 6) AS ln_price,
+      round(exp(CAST(p_size AS DOUBLE) / 50.0), 6) AS exp_size,
+      round(pow(p_retailprice, 2.0), 6) AS price_sq,
+      sqrt(p_retailprice) AS sqrt_price,
+      CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
+      CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
+      CAST(p_size % 7 AS INT) AS size_mod7,
+      CAST(sign(p_retailprice - 1000.0) AS INT) AS sign_gap
+    FROM part ORDER BY p_partkey"""))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RevenueForecast, q03RevenueByNation, q04PrioritySemi,
     q05CustomersNoFinal, q06TopOrdersPerCustomer, q07MonthlyRevenueLag,
@@ -652,5 +682,6 @@ object Relational {
     q12DistinctCounts, q13ApproxDistinct, q14StringFuncs, q15DateFuncs,
     q16JsonExtract, q17EventBuckets, q18EventSessions, q19EventStats,
     q20AsofJoin, q21WindowRange, q22Ranking, q23OuterJoinCounts,
-    q24FullOuterNations, q25SetopsAll, q26ZscoreOutliers, q27Quantiles)
+    q24FullOuterNations, q25SetopsAll, q26ZscoreOutliers, q27Quantiles,
+    q28MathFuncs)
 }

@@ -675,6 +675,29 @@ object Relational {
       CAST(sign(p_retailprice - 1000.0) AS INT) AS sign_gap
     FROM part ORDER BY p_partkey"""))
 
+  /** Skyline: parts Pareto-optimal on (max size, min price) — the
+    * dominance operator from the skyline-on-Spark literature
+    * ([[graft.operators.Skyline]]); oracle is the quadratic NOT EXISTS
+    * dominance predicate. */
+  val q29Skyline = Q(
+    "q29_skyline",
+    (s, dir) => {
+      val p = Tables.part(s, dir)
+        .select(
+          col("p_partkey"), col("p_size"), col("p_retailprice"),
+          col("p_size").cast("double").as("_d1"),
+          (-col("p_retailprice")).as("_d2"))
+      graft.operators.Skyline.skyline(p, Seq("_d1", "_d2"))
+        .select("p_partkey", "p_size", "p_retailprice")
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey, p_size, p_retailprice FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+        AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))
+    ORDER BY p_partkey"""))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RevenueForecast, q03RevenueByNation, q04PrioritySemi,
     q05CustomersNoFinal, q06TopOrdersPerCustomer, q07MonthlyRevenueLag,
@@ -683,5 +706,5 @@ object Relational {
     q16JsonExtract, q17EventBuckets, q18EventSessions, q19EventStats,
     q20AsofJoin, q21WindowRange, q22Ranking, q23OuterJoinCounts,
     q24FullOuterNations, q25SetopsAll, q26ZscoreOutliers, q27Quantiles,
-    q28MathFuncs)
+    q28MathFuncs, q29Skyline)
 }

@@ -698,6 +698,49 @@ object Relational {
         AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))
     ORDER BY p_partkey"""))
 
+  /** PIVOT: per-user event-type counts as columns. Explicit value list so
+    * no discovery pass runs and output columns are deterministic; the
+    * oracle is the equivalent conditional aggregation. */
+  val q30Pivot = Q(
+    "q30_pivot",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id,
+      count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+      count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+    FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  /** UNPIVOT (melt): wide part attributes back to long (attribute, value)
+    * rows — the §2.8-adjacent reshaping surface added in Spark 3.4. */
+  val q31Unpivot = Q(
+    "q31_unpivot",
+    (s, dir) => {
+      Tables.part(s, dir)
+        .select(
+          col("p_partkey"),
+          col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("retailprice"))
+        .unpivot(
+          Array(col("p_partkey")),
+          Array(col("size"), col("retailprice")),
+          "attribute", "value")
+        .orderBy("p_partkey", "attribute")
+    },
+    Some("""SELECT p_partkey, attribute, value FROM (
+      SELECT p_partkey, 'size' AS attribute, CAST(p_size AS DOUBLE) AS value FROM part
+      UNION ALL
+      SELECT p_partkey, 'retailprice', p_retailprice FROM part)
+    ORDER BY p_partkey, attribute"""))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RevenueForecast, q03RevenueByNation, q04PrioritySemi,
     q05CustomersNoFinal, q06TopOrdersPerCustomer, q07MonthlyRevenueLag,
@@ -706,5 +749,5 @@ object Relational {
     q16JsonExtract, q17EventBuckets, q18EventSessions, q19EventStats,
     q20AsofJoin, q21WindowRange, q22Ranking, q23OuterJoinCounts,
     q24FullOuterNations, q25SetopsAll, q26ZscoreOutliers, q27Quantiles,
-    q28MathFuncs, q29Skyline)
+    q28MathFuncs, q29Skyline, q30Pivot, q31Unpivot)
 }

@@ -46,8 +46,11 @@ object GraftFunctions {
   def minhash(shingleHash: Column): Column = call_function("graft_minhash", shingleHash)
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: custom SQL functions plus the
+  * skyline planner strategy (SURVEY §2.11 rung (c)). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => graft.plans.SkylinePlan.SkylineStrategy)
+  }
 }

@@ -39,6 +39,10 @@ object AsOfJoin {
       rightTime: Column,
       rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val overlap = leftCols.toSet.intersect(rightCols.toSet)
+    require(overlap.isEmpty,
+      s"rightCols ${overlap.mkString(", ")} collide with left column names; " +
+        "alias the right columns before joining")
     val rightSchema = right.select(rightCols.map(col): _*).schema
     val l = left.select(
       leftKey.as("_k"), leftTime.as("_t"), lit(1).as("_side"),

@@ -32,8 +32,11 @@ object ConnectedComponents {
       .persist()
     // coalesce guards the empty-graph case: sum over zero rows is NULL,
     // and an empty pair set is a legitimate input (no near-dups found).
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
+    // Summed in DECIMAL(38,0): a Long sum can overflow on large/hashed id
+    // domains, which ANSI mode turns into a mid-iteration error.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")), lit(java.math.BigDecimal.ZERO)))
+        .head.getDecimal(0)
     // Labels only ever decrease, so Σlbl is a strictly decreasing monotone
     // until the fixpoint — an equal sum IS convergence. One aggregate per
     // round instead of a join+count halves the driver round-trips.
@@ -49,7 +52,7 @@ object ConnectedComponents {
         .groupBy("id").agg(min("lbl").as("lbl"))
         .persist()
       val newSum = labelSum(next)
-      converged = newSum == prevSum
+      converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
       labels.unpersist()
       labels = next

@@ -39,11 +39,14 @@ object MinHashLsh {
   def shingles(text: Column, n: Int): Column = {
     val toks = split(trim(lower(text)), """\s+""")
     val sz = size(toks)
+    // Clamped at 0: a document with fewer than n-1 tokens would otherwise
+    // produce a negative slice length, which Spark rejects at runtime.
+    val len = greatest(sz - lit(n - 1), lit(0))
     val grams =
       if (n == 1) toks
       else zip_with(
-        slice(toks, lit(1), sz - lit(n - 1)),
-        slice(toks, lit(n), sz - lit(n - 1)),
+        slice(toks, lit(1), len),
+        slice(toks, lit(n), len),
         (a, b) => concat(a, lit(" "), b))
     array_distinct(grams)
   }

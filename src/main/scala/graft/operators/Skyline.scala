@@ -58,13 +58,19 @@ object Skyline {
 
   /** Skyline of `df` maximizing the given numeric columns (cast to double
     * before calling; negate a column to minimize).
+    *
+    * Rows with a NULL or NaN in any dimension are excluded up front:
+    * dominance is undefined for them (NULL would NPE in the row accessor,
+    * NaN compares false both ways and would silently survive every filter).
     */
   def skyline(df: DataFrame, dims: Seq[String]): DataFrame = {
     val schema = df.schema
     val dimIdx = dims.map(schema.fieldIndex).toArray
     require(dimIdx.nonEmpty, "at least one skyline dimension required")
+    import org.apache.spark.sql.functions.{col, isnan, not}
+    val clean = df.na.drop(dims).filter(dims.map(c => not(isnan(col(c)))).reduce(_ && _))
     val enc = Encoders.row(schema)
-    val local = df.mapPartitions(it => localSkyline(it, dimIdx))(enc)
+    val local = clean.mapPartitions(it => localSkyline(it, dimIdx))(enc)
     local.coalesce(1).mapPartitions(it => localSkyline(it, dimIdx))(enc)
   }
 }

@@ -167,18 +167,40 @@ object Relational {
       FROM orders) WHERE rn <= 3
     ORDER BY o_custkey, rn"""))
 
-  /** Aggregate-then-window: monthly revenue with lag/lead deltas. The window
-    * runs over the tiny aggregated frame, not the fact table. */
+  /** Aggregate-then-window: monthly revenue with month-over-month deltas.
+    *
+    * A naive `lag OVER (ORDER BY month)` is an unpartitioned window — Spark
+    * moves the whole frame to one task (and warns). Harmless on a month-level
+    * aggregate, but the scale-clean plan costs nothing extra: lag within a
+    * year partition (parallel window), then fix up each year's first
+    * existing month from a year-level carry frame (previous year-with-data's
+    * last-month revenue) via a broadcast join. Identical semantics to the
+    * global lag — previous *existing* month, month gaps included — with no
+    * single-partition stage anywhere.
+    */
   val q07MonthlyRevenueLag = Q(
     "q07_monthly_revenue_lag",
     (s, dir) => {
       val monthly = Tables.orders(s, dir)
         .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("month"))
         .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
-      val w = Window.orderBy("month")
-      monthly
-        .withColumn("prev_revenue", lag("revenue", 1).over(w))
+      val w = Window.partitionBy(year(col("month"))).orderBy("month")
+      val withLag = monthly.withColumn("prev_revenue", lag("revenue", 1).over(w))
+      // Last existing month's revenue per year, then for each year the most
+      // recent earlier year-with-data's value (non-equi join over a frame
+      // bounded by the calendar, never by data volume).
+      val yearEnd = monthly
+        .groupBy(year(col("month")).as("yr"))
+        .agg(max_by(col("revenue"), col("month")).as("last_rev"))
+      val carry = yearEnd.as("a")
+        .join(yearEnd.as("b"), col("b.yr") < col("a.yr"))
+        .groupBy(col("a.yr").as("yr"))
+        .agg(max_by(col("b.last_rev"), col("b.yr")).as("carry_rev"))
+      withLag
+        .join(broadcast(carry), year(col("month")) === carry("yr"), "left")
+        .withColumn("prev_revenue", coalesce(col("prev_revenue"), col("carry_rev")))
         .withColumn("delta", col("revenue") - col("prev_revenue"))
+        .select("month", "revenue", "n_orders", "prev_revenue", "delta")
         .orderBy("month")
     },
     Some("""WITH monthly AS (
@@ -676,9 +698,11 @@ object Relational {
     FROM part ORDER BY p_partkey"""))
 
   /** Skyline: parts Pareto-optimal on (max size, min price) — the
-    * dominance operator from the skyline-on-Spark literature
-    * ([[graft.operators.Skyline]]); oracle is the quadratic NOT EXISTS
-    * dominance predicate. */
+    * dominance operator from the skyline-on-Spark literature, run through
+    * the plan-integrated form ([[graft.plans.SkylinePlan]]: custom
+    * LogicalPlan + strategy + pruning rule; the composed
+    * [[graft.operators.Skyline]] is its parity-tested twin); oracle is the
+    * quadratic NOT EXISTS dominance predicate. */
   val q29Skyline = Q(
     "q29_skyline",
     (s, dir) => {
@@ -687,7 +711,7 @@ object Relational {
           col("p_partkey"), col("p_size"), col("p_retailprice"),
           col("p_size").cast("double").as("_d1"),
           (-col("p_retailprice")).as("_d2"))
-      graft.operators.Skyline.skyline(p, Seq("_d1", "_d2"))
+      graft.plans.SkylinePlan.skyline(p, Seq("_d1", "_d2"))
         .select("p_partkey", "p_size", "p_retailprice")
         .orderBy("p_partkey")
     },

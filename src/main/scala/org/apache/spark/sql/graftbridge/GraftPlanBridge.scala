@@ -1,0 +1,21 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{DataFrame, SparkSession, classic}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Bridge into the classic `Dataset.ofRows` factory (`private[sql]`) so the
+  * graft package can materialize a DataFrame from its own logical plan nodes
+  * (SURVEY §2.11 rung (c): custom `LogicalPlan` + `SparkStrategy`).
+  *
+  * This file lives under `org.apache.spark.sql` solely to satisfy the
+  * `private[sql]` access scope — the standard pattern for Spark extension
+  * libraries that construct plans directly. It contains no Spark code and
+  * shadows nothing.
+  */
+object GraftPlanBridge {
+
+  /** Wrap a logical plan as a DataFrame on the given session (runs the full
+    * analyzer/optimizer/planner pipeline on collect, like any DataFrame). */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}

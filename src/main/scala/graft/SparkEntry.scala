@@ -2,14 +2,15 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Multimodal, NearDup, Q, Relational, Similarity, TextOps}
+import graft.queries.{Analytics, Multimodal, NearDup, Pipeline, Q, Relational, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** Every registered engine query (SURVEY.md §2 inventory). */
   def registry: Seq[Q] =
-    Relational.all ++ TextOps.all ++ Similarity.all ++ NearDup.all ++ Multimodal.all
+    Relational.all ++ Analytics.all ++ TextOps.all ++ Similarity.all ++
+      NearDup.all ++ Multimodal.all ++ Pipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

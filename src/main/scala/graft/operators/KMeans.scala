@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over an `array<double>` embedding column —
+  * the clustering step a training-data pipeline runs between embedding and
+  * curation (topic balancing, diversity sampling, cluster-level dedup).
+  *
+  * Every stage is relational, in the same scale posture as [[IvfAnn]]:
+  *
+  *   - assignment is corpus ⨯ broadcast(centroids) → argmin-of-struct —
+  *     linear in |corpus|·k, no shuffle of the corpus;
+  *   - centroid recomputation is one shuffle of (cluster, dim, component)
+  *     keyed on k·d keys, aggregated map-side first;
+  *   - only the k·d centroid table ever reaches the driver (bounded by the
+  *     model size, not the data size — the same boundedness argument as
+  *     collecting `listTables`).
+  *
+  * Determinism, for the oracle/spec harness: centroids are seeded from the
+  * k lowest-id vectors, distance ties break to the lower cluster id, and
+  * per-dimension means are aggregated as exact DECIMALs (a plain double
+  * `avg` is partition-order-dependent in its low bits, which would make
+  * assignments flap across partitionings).
+  */
+object KMeans {
+
+  /** Squared L2 as a left-to-right fold (same discipline as
+    * [[graft.functions.VectorOps]] — deterministic summation order). */
+  def sqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** Argmin-distance assignment of `vectors` (idCol, vecCol) to `centroids`
+    * (cluster, cvec). Emits (idCol, vecCol, cluster, dist2). */
+  def assign(vectors: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    vectors.crossJoin(broadcast(centroids))
+      .withColumn("dist2", sqDist(col(vecCol), col("cvec")))
+      .groupBy(idCol)
+      .agg(
+        first(vecCol).as(vecCol),
+        min(struct(col("dist2"), col("cluster"))).as("_m"))
+      .select(
+        col(idCol), col(vecCol),
+        col("_m.cluster").as("cluster"), col("_m.dist2").as("dist2"))
+
+  /** `iters` rounds of Lloyd's algorithm; k seeded from the k lowest-id
+    * vectors. Returns the final assignment (idCol, cluster, dist2). */
+  def fit(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+
+    def centroidDf(cents: Seq[(Int, Seq[Double])]): DataFrame =
+      cents.toDF("cluster", "cvec")
+
+    // Seed: k lowest ids — deterministic, and k·d-bounded on the driver.
+    var centroids: Seq[(Int, Seq[Double])] = vectors
+      .orderBy(col(idCol))
+      .limit(k)
+      .select(col(vecCol))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0)) }
+      .toSeq
+
+    var it = 0
+    while (it < iters) {
+      val assigned = assign(vectors, centroidDf(centroids), idCol, vecCol)
+      // Exact per-dimension means: decimal sums are order-independent, so
+      // the new centroids are identical under any partitioning.
+      val means = assigned
+        .select(col("cluster"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+        .groupBy("cluster", "dim")
+        .agg((sum(col("v").cast("decimal(38,25)")).cast("double") / count(lit(1))).as("m"))
+        .groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cluster"), transform(col("dm"), x => x.getField("m")).as("cvec"))
+        .collect()
+        .map { case Row(c: Int, v: scala.collection.Seq[_]) =>
+          (c, v.asInstanceOf[scala.collection.Seq[Double]].toSeq)
+        }
+        .toMap
+      // An emptied cluster keeps its previous centroid.
+      centroids = centroids.map { case (c, v) => (c, means.getOrElse(c, v)) }
+      it += 1
+    }
+    assign(vectors, centroidDf(centroids), idCol, vecCol)
+      .select(col(idCol), col("cluster"), col("dist2"))
+  }
+}

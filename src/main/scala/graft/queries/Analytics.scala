@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Q.{dec2, dsum}
+
+/** Second relational wave — subquery surfaces, statistical aggregates, and
+  * the range-join rewrite (SURVEY §2.4–§2.5 depth beyond the first 31
+  * queries).
+  *
+  * Scale posture matches [[Relational]]: broadcast hints on provably-small
+  * frames only (scalar aggregates, per-group stats), binned equi-joins
+  * instead of nested-loop theta joins, exact decimal moments so the oracle
+  * hashes match bit-for-bit.
+  */
+object Analytics {
+
+  /** Correlation / covariance / stddev per group from exact decimal moments.
+    *
+    * Spark's built-in `corr`/`covar_samp` stream doubles in partition order,
+    * so their low bits are run-dependent — unusable under a hash-exact
+    * oracle. The five raw moments (n, Σx, Σy, Σx², Σy², Σxy) aggregated in
+    * DECIMAL are exact and order-free; the closed-form combination back in
+    * DOUBLE is a fixed operation sequence both engines execute identically
+    * (same trick as q26's z-scores). One scan, one shuffle on the group key,
+    * map-side partial aggregation — the stats frame is |groups| rows.
+    */
+  val q32CorrStats = Q(
+    "q32_corr_stats",
+    (s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val m = l.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sx"),
+        dsum(col("l_extendedprice")).as("sy"),
+        sum(dec2(col("l_quantity")) * dec2(col("l_quantity"))).cast("double").as("sxx"),
+        sum(dec2(col("l_extendedprice")) * dec2(col("l_extendedprice"))).cast("double").as("syy"),
+        sum(dec2(col("l_quantity")) * dec2(col("l_extendedprice"))).cast("double").as("sxy"))
+      val covar = (col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1)
+      val varX = (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)
+      val varY = (col("syy") - col("sy") * col("sy") / col("n")) / (col("n") - 1)
+      m.select(
+          col("l_returnflag"),
+          col("n"),
+          round(covar, 6).as("covar_qty_price"),
+          round(covar / (sqrt(varX) * sqrt(varY)), 6).as("corr_qty_price"),
+          round(sqrt(varX), 6).as("stddev_qty"),
+          round(sqrt(varY), 6).as("stddev_price"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH m AS (
+      SELECT l_returnflag, count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+        CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+        CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+      round((sxy - sx * sy / n) / (n - 1), 6) AS covar_qty_price,
+      round(((sxy - sx * sy / n) / (n - 1)) /
+            (sqrt((sxx - sx * sx / n) / (n - 1)) * sqrt((syy - sy * sy / n) / (n - 1))), 6) AS corr_qty_price,
+      round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
+      round(sqrt((syy - sy * sy / n) / (n - 1)), 6) AS stddev_price
+    FROM m ORDER BY l_returnflag"""))
+
+  /** TPC-H Q17 shape: revenue lost to small orders — lineitems whose
+    * quantity is below 20% of the per-part average.
+    *
+    * Expressed as SQL with a *correlated scalar subquery* to exercise
+    * Catalyst's decorrelation: the optimizer rewrites the subquery into an
+    * aggregate + join (visible in explain as an Aggregate under a Join, no
+    * per-row re-execution). The per-part average uses the exact decimal-sum
+    * pattern so both engines compute the identical double.
+    *
+    * At 100 TB the rewritten plan is one shuffle of lineitem on l_partkey
+    * against its own pre-aggregate — no broadcast assumption on part count.
+    */
+  val q33SmallQtyRevenue = Q(
+    "q33_small_qty_revenue",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2)
+                 AS avg_yearly
+        FROM lineitem l
+        WHERE l.l_quantity < (
+          SELECT 0.2 * (CAST(sum(CAST(i.l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*))
+          FROM lineitem i WHERE i.l_partkey = l.l_partkey)""")
+    },
+    Some("""SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2)
+               AS avg_yearly
+    FROM lineitem l
+    WHERE l.l_quantity < (
+      SELECT 0.2 * (CAST(sum(CAST(i.l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*))
+      FROM lineitem i WHERE i.l_partkey = l.l_partkey)"""))
+
+  /** TPC-H Q11 shape: nations holding an outsized revenue share — per-nation
+    * order revenue filtered against a fraction of the global total (an
+    * uncorrelated scalar subquery).
+    *
+    * The global total is a one-row frame: `crossJoin(broadcast(...))` ships
+    * it to every task for free. The per-nation aggregate shuffles once on
+    * the (25-value) nation key after a broadcast dimension join — at 100 TB
+    * only the orders→customer join moves data, and AQE handles its skew.
+    */
+  val q34RevenueShare = Q(
+    "q34_revenue_share",
+    (s, dir) => {
+      val byNation = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("o_totalprice")).as("revenue"))
+      val total = byNation.agg(dsum(col("revenue")).as("total"))
+      byNation.crossJoin(broadcast(total))
+        .filter(col("revenue") > col("total") * 0.05)
+        .select(col("n_name"), col("revenue"), round(col("revenue") / col("total"), 6).as("share"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""WITH bn AS (
+      SELECT n_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name),
+    t AS (SELECT CAST(sum(CAST(revenue AS DECIMAL(18,4))) AS DOUBLE) AS total FROM bn)
+    SELECT n_name, revenue, round(revenue / total, 6) AS share
+    FROM bn, t WHERE revenue > total * 0.05
+    ORDER BY revenue DESC, n_name"""))
+
+  /** Range join rewritten as a binned equi-join: for every part, how many
+    * other parts price within ±5.00.
+    *
+    * The naive plan for `|a.price − b.price| ≤ 5` is a broadcast
+    * nested-loop join — O(n·m) comparisons, hopeless at scale. Binning each
+    * side to ⌊price/width⌋ and exploding one side to its three candidate
+    * bins turns the theta join into an equi-join on the bin key (shuffle
+    * hash / sort-merge, partition-local) with a cheap residual band filter;
+    * cost drops to O(n·k) for k = neighbors per bin. Same trick as the LSH
+    * band join. The residual compare runs in DECIMAL so band-edge ties
+    * (exactly 5.00 apart) resolve identically in both engines.
+    */
+  val q35RangeJoinBinned = Q(
+    "q35_range_join_binned",
+    (s, dir) => {
+      val width = 5.0
+      val p = Tables.part(s, dir).select(
+        col("p_partkey"), col("p_retailprice"),
+        floor(col("p_retailprice") / width).as("bin"))
+      val b = p.select(
+          col("p_partkey").as("b_key"), col("p_retailprice").as("b_price"),
+          explode(array(col("bin") - 1, col("bin"), col("bin") + 1)).as("bin"))
+      val band = (dec2(col("p_retailprice")) - dec2(col("b_price"))).between(-5.0, 5.0)
+      p.join(b, p("bin") === b("bin") && band && col("p_partkey") =!= col("b_key"), "left")
+        .groupBy("p_partkey")
+        .agg(count(col("b_key")).as("n_close"))
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT a.p_partkey, count(b.p_partkey) AS n_close
+    FROM part a LEFT JOIN part b
+      ON a.p_partkey <> b.p_partkey
+     AND CAST(a.p_retailprice AS DECIMAL(12,2)) - CAST(b.p_retailprice AS DECIMAL(12,2))
+         BETWEEN -5.0 AND 5.0
+    GROUP BY a.p_partkey ORDER BY a.p_partkey"""))
+
+  /** Explicit GROUPING SETS — the third grouping surface beside rollup (q08)
+    * and cube (q09), through Spark 4's native `Dataset.groupingSets` API.
+    * Group keys are COALESCEd to sentinels (Spark sorts NULLS FIRST, DuckDB
+    * NULLS LAST) and the grouping-ID bitmask disambiguates a real 'ALL'
+    * value from the aggregate rows.
+    */
+  val q36GroupingSets = Q(
+    "q36_grouping_sets",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("gid"), col("n"), col("sum_qty"))
+        .orderBy("gid", "returnflag", "linestatus")
+    },
+    Some("""SELECT
+      coalesce(l_returnflag, 'ALL') AS returnflag,
+      coalesce(l_linestatus, 'ALL') AS linestatus,
+      CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+      count(*) AS n,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY gid, returnflag, linestatus"""))
+
+  val all: Seq[Q] = Seq(
+    q32CorrStats, q33SmallQtyRevenue, q34RevenueShare, q35RangeJoinBinned,
+    q36GroupingSets)
+}

@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline wave 2 (SURVEY §2.12 depth): chunking, TF-IDF,
+  * stratified sampling, and embedding clustering — the curation steps that
+  * sit between the round-3 dedup/quality layer and a tokenizer.
+  *
+  * Scale posture: chunking and scoring are per-row narrow transforms (no
+  * shuffle); TF-IDF shuffles on (doc, token) and token only; sampling is a
+  * pushed-down filter on a hash; k-means touches the corpus only through
+  * broadcast-centroid joins.
+  */
+object Pipeline {
+
+  private val ChunkSize = 32
+  private val ChunkStride = 24
+
+  /** Overlapping token chunking (size 32, stride 24) — the context-window
+    * packing step. Chunk count per doc is ⌈(n−size)/stride⌉+1 (min 1), so
+    * every token lands in ≥1 chunk and consecutive chunks overlap by
+    * size−stride tokens. Pure per-row compute: tokenize → explode chunk
+    * indices → slice; the only wide op is the final presentation sort.
+    */
+  val c01DocChunks = Q(
+    "c01_doc_chunks",
+    (s, dir) => {
+      val toks = split(trim(col("text")), """\s+""")
+      val sz = size(toks)
+      val nChunks = when(sz <= ChunkSize, lit(1L))
+        .otherwise(ceil((sz - ChunkSize) / lit(ChunkStride.toDouble)) + 1)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("toks"),
+          explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+        .select(
+          col("doc_id"),
+          col("chunk_idx").cast("int").as("chunk_idx"),
+          slice(col("toks"), (col("chunk_idx") * ChunkStride + 1).cast("int"), lit(ChunkSize)).as("ctoks"))
+        .select(
+          col("doc_id"), col("chunk_idx"),
+          size(col("ctoks")).as("n_tokens"),
+          array_join(col("ctoks"), " ").as("chunk"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some(s"""WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
+        len(regexp_split_to_array(trim(text), '\\s+')) AS sz
+      FROM documents),
+    x AS (
+      SELECT doc_id, toks,
+        unnest(generate_series(0,
+          CASE WHEN sz <= $ChunkSize THEN 0
+               ELSE CAST(ceil((sz - $ChunkSize) / ${ChunkStride.toDouble}) AS BIGINT) END)) AS ci
+      FROM t)
+    SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+      CAST(len(toks[(ci*$ChunkStride + 1):(ci*$ChunkStride + $ChunkSize)]) AS INT) AS n_tokens,
+      array_to_string(toks[(ci*$ChunkStride + 1):(ci*$ChunkStride + $ChunkSize)], ' ') AS chunk
+    FROM x ORDER BY doc_id, chunk_idx"""))
+
+  /** Per-document top-3 terms by TF-IDF. tf = n/doclen, idf smoothed
+    * ln((N+1)/(df+1)). All inputs are integer counts, so the double formula
+    * is a fixed op sequence; ranking runs on the ROUNDED score (libm `ln`
+    * may differ in the last ulp between engines — ranking on raw doubles
+    * could tie-break differently) with the term as tiebreaker.
+    *
+    * Shuffles: one on (doc, token), one on token (document frequency), one
+    * broadcast scalar (corpus size) — the classic two-pass TF-IDF, no
+    * driver-side vocabulary.
+    */
+  val c02TfidfTopTerms = Q(
+    "c02_tfidf_top_terms",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tok = docs.select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), """\s+""")).as("token"))
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("n"))
+      val dlen = tf.groupBy("doc_id").agg(sum("n").as("dlen"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("nd"))
+      val scored = tf
+        .join(dlen, "doc_id")
+        .join(dfreq, "token")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf",
+          round((col("n") / col("dlen")) * log((col("nd") + 1.0) / (col("df") + 1.0)), 6))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
+      scored
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("token"), col("tfidf"))
+        .orderBy("doc_id", "rk")
+    },
+    Some("""WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS n FROM tok GROUP BY doc_id, token),
+    dlen AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS dlen FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    nd AS (SELECT count(*) AS nd FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+        round((tf.n / dlen.dlen) * ln((nd.nd + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf
+      FROM tf JOIN dlen USING (doc_id) JOIN dfreq USING (token), nd),
+    r AS (
+      SELECT doc_id, token, tfidf,
+        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INT) AS rk
+      FROM scored)
+    SELECT doc_id, rk, token, tfidf FROM r WHERE rk <= 3 ORDER BY doc_id, rk"""))
+
+  /** Deterministic stratified sampling: per-language rates driven by the
+    * first hex char of a salted SHA-256 of the stable id (en 4/16, zh 12/16,
+    * others 8/16). A seeded `sample()` is partition-layout-dependent; a
+    * content hash is reproducible on any cluster shape AND pushes down as a
+    * plain filter — the scan prunes before any shuffle.
+    */
+  val s01StratifiedSample = Q(
+    "s01_stratified_sample",
+    (s, dir) => {
+      val h1 = substring(sha2(concat(lit("graft-s01:"), col("doc_id").cast("string")), 256), 1, 1)
+      val keep = when(col("lang") === "en", h1 <= "3")
+        .when(col("lang") === "zh", h1 <= "b")
+        .otherwise(h1 <= "7")
+      Tables.documents(s, dir)
+        .withColumn("bucket", h1)
+        .filter(keep)
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang,
+      substring(sha256('graft-s01:' || CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
+    FROM documents
+    WHERE CASE
+      WHEN lang = 'en' THEN substring(sha256('graft-s01:' || CAST(doc_id AS VARCHAR)), 1, 1) <= '3'
+      WHEN lang = 'zh' THEN substring(sha256('graft-s01:' || CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+      ELSE substring(sha256('graft-s01:' || CAST(doc_id AS VARCHAR)), 1, 1) <= '7' END
+    ORDER BY doc_id"""))
+
+  /** Nearest-centroid assignment (k-means E-step) against the 8 lowest-id
+    * vectors as fixed centroids — corpus ⨯ broadcast(centroids), argmin
+    * Euclidean distance. Argmin runs on the ROUNDED distance (DuckDB's
+    * `list_distance` may differ from our fold in the last ulp), cluster id
+    * as tiebreak.
+    */
+  val k01KmeansAssign = Q(
+    "k01_kmeans_assign",
+    (s, dir) => {
+      val c = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val cents = c.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cluster"), col("emb").as("cvec"))
+      c.crossJoin(broadcast(cents))
+        .withColumn("dist", round(sqrt(graft.operators.KMeans.sqDist(col("emb"), col("cvec"))), 6))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cluster"))).as("_m"))
+        .select(col("vec_id"), col("_m.cluster").as("cluster"), col("_m.dist").as("dist"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH cents AS (
+      SELECT CAST(vec_id AS INT) AS cluster, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < 8),
+    d AS (
+      SELECT e.vec_id, c.cluster,
+        round(list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) AS dist,
+        row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY round(list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec), 6), c.cluster) AS rn
+      FROM embeddings e, cents c)
+    SELECT vec_id, cluster, dist FROM d WHERE rn = 1 ORDER BY vec_id"""))
+
+  /** Full Lloyd's k-means (k=8, 3 iterations) over the embedding corpus —
+    * cluster sizes and exact-decimal inertia. Not SQL-expressible in one
+    * oracle statement (iterative); pinned instead by the KMeansSuite
+    * determinism/convergence tests, like the other iterative ops.
+    */
+  val k02KmeansClusters = Q(
+    "k02_kmeans_clusters",
+    (s, dir) => {
+      val vecs = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      graft.operators.KMeans.fit(vecs, "vec_id", "emb", k = 8, iters = 3)
+        .groupBy("cluster")
+        .agg(
+          count(lit(1)).as("n_points"),
+          round(sum(col("dist2").cast("decimal(28,10)")).cast("double"), 6).as("inertia"))
+        .orderBy("cluster")
+    },
+    None)
+
+  val all: Seq[Q] = Seq(
+    c01DocChunks, c02TfidfTopTerms, s01StratifiedSample, k01KmeansAssign,
+    k02KmeansClusters)
+}

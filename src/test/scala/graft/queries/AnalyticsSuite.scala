@@ -1,0 +1,47 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Plan-shape assertions for the wave-2 relational queries — the oracle
+  * pins their values; these pin the physical plans that make them viable at
+  * scale. */
+class AnalyticsSuite extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = SparkTestSession.sfDir
+
+  test("q33 correlated subquery is decorrelated into an aggregate+join") {
+    val plan = Analytics.q33SmallQtyRevenue.run(spark, dir)
+      .queryExecution.executedPlan.toString
+    // After decorrelation no subquery survives in the physical plan — the
+    // per-part average shows up as a plain aggregate joined back in.
+    assert(!plan.contains("Subquery"), s"subquery not decorrelated:\n$plan")
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("q35 binned range join plans as an equi-join, not a nested loop") {
+    val plan = Analytics.q35RangeJoinBinned.run(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to a nested loop:\n$plan")
+  }
+
+  test("q34 global total is a broadcast, and the share filter keeps exact ties out") {
+    val plan = Analytics.q34RevenueShare.run(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin")
+      || plan.contains("BroadcastNestedLoopJoin"), plan)
+    // one-row frame ⨯ per-nation frame: the nested loop here is fine (1×25),
+    // what matters is the total never round-trips through the driver.
+    assert(!plan.contains("CollectLimit"), plan)
+  }
+
+  test("q36 grouping sets emits exactly the three declared groupings") {
+    import spark.implicits._
+    val gids = Analytics.q36GroupingSets.run(spark, dir)
+      .select("gid").distinct().as[Int].collect().toSet
+    // (flag,status)=0, (flag)=1, ()=3 under Spark's bitmask (MSB = first col)
+    assert(gids === Set(0, 1, 3))
+  }
+}

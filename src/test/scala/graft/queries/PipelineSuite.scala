@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Invariant tests for the wave-2 pipeline queries — the oracle pins the
+  * values; these pin the semantics the values are supposed to have. */
+class PipelineSuite extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = SparkTestSession.sfDir
+  import spark.implicits._
+
+  test("c01 chunking covers every token and overlaps by size-stride") {
+    val chunks = Pipeline.c01DocChunks.run(spark, dir)
+      .select("doc_id", "chunk_idx", "n_tokens").as[(Long, Int, Int)].collect()
+    val docLens = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(trim(col("text")), """\s+""")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc.keySet == docLens.keySet, "every document must produce chunks")
+    byDoc.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      val n = docLens(doc)
+      // chunk idx dense from 0
+      assert(sorted.map(_._2).toSeq == sorted.indices.toSeq, s"doc $doc gaps in chunk idx")
+      // all chunks full-size except possibly the last; coverage reaches n
+      sorted.init.foreach { case (_, _, t) => assert(t == 32, s"doc $doc short mid-chunk") }
+      val (_, lastIdx, lastTok) = sorted.last
+      assert(lastIdx * 24 + lastTok == n || (sorted.size == 1 && lastTok == n),
+        s"doc $doc: last chunk ends at ${lastIdx * 24 + lastTok}, len $n")
+      // a second-to-last chunk overlaps the last by size-stride when full
+      if (sorted.size > 1) assert(lastIdx * 24 + 1 <= (lastIdx - 1) * 24 + 32,
+        s"doc $doc: no overlap")
+    }
+  }
+
+  test("s01 stratified rates land near their per-language targets") {
+    val total = Tables.documents(spark, "/root/testdata/sf0.01")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val kept = Pipeline.s01StratifiedSample.run(spark, "/root/testdata/sf0.01")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val target = Map("en" -> 4.0 / 16, "zh" -> 12.0 / 16).withDefaultValue(8.0 / 16)
+    total.foreach { case (lang, n) =>
+      val rate = kept.getOrElse(lang, 0L).toDouble / n
+      // SHA-256 first hex char is uniform; fixture strata are ~100 docs, so
+      // allow a generous binomial band rather than a tight tolerance.
+      assert(math.abs(rate - target(lang)) < 0.2, s"$lang rate $rate vs ${target(lang)}")
+    }
+  }
+
+  test("c02 tf-idf ranks at most 3 terms per doc, scores non-increasing") {
+    val rows = Pipeline.c02TfidfTopTerms.run(spark, dir)
+      .select("doc_id", "rk", "tfidf").as[(Long, Int, Double)].collect()
+    rows.groupBy(_._1).foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.size <= 3)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.size), s"doc $doc ranks not dense")
+      sorted.map(_._3).toSeq.sliding(2).foreach {
+        case scala.collection.Seq(a, b) => assert(b <= a, s"doc $doc scores increase")
+        case _ => ()
+      }
+    }
+  }
+
+  test("k01 assignment distances are exact for the centroid rows themselves") {
+    val self = Pipeline.k01KmeansAssign.run(spark, dir)
+      .filter(col("vec_id") < 8)
+      .select("vec_id", "cluster", "dist").as[(Long, Int, Double)].collect()
+    self.foreach { case (id, cl, d) =>
+      assert(cl == id.toInt && d == 0.0, s"vector $id should be its own centroid")
+    }
+  }
+}

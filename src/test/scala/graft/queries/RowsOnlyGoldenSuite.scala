@@ -42,6 +42,15 @@ class RowsOnlyGoldenSuite extends AnyFunSuite {
     assert(rows.head === ((0L, 350L, 0.212477, 1)))
   }
 
+  test("k02_kmeans_clusters golden (all clusters)") {
+    val rows = Pipeline.k02KmeansClusters.run(spark, dir)
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(rows === Seq(
+      (0, 72L, 67.554065), (1, 49L, 44.926542), (2, 64L, 59.624353),
+      (3, 67L, 62.663327), (4, 66L, 61.580925), (5, 62L, 57.646564),
+      (6, 62L, 58.2321), (7, 58L, 54.016705)))
+  }
+
   test("e06_knn_ivf golden (first neighbor of query 0)") {
     val rows = Similarity.e06KnnIvf.run(spark, dir)
       .as[(Long, Long, Double, Int)].collect()

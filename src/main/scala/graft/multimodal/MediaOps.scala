@@ -11,6 +11,9 @@ final case class MediaFeatures(
     media_id: Long, format: String, n_bytes: Long,
     width: Int, height: Int, luma: Double)
 
+final case class FrameFeatures(
+    media_id: Long, frame_idx: Int, n_bytes: Long, mean_byte: Double)
+
 /** Multimodal-column plumbing — SURVEY.md §2.12.
   *
   * Images/audio/video ride Spark as opaque `BinaryType` payload columns next
@@ -53,6 +56,35 @@ object MediaOps {
       if (bytes.isEmpty) 0.0
       else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
     (w, h, luma)
+  }
+
+  /** Frame sampling — the video/audio pipeline step that explodes one
+    * payload into per-frame rows (1:N flatMap inside mapPartitions, so a
+    * real demuxer initializes once per partition and streams). Frames here
+    * are fixed-stride byte windows of the payload (STUB standing in for
+    * keyframe extraction), capped at `maxFrames` per record — the cap is
+    * what keeps the fan-out bounded at 100 TB, and it is part of the
+    * operator's contract, not a test shortcut.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int,
+      maxFrames: Int): Dataset[FrameFeatures] = {
+    require(frameBytes > 0 && maxFrames > 0, "frameBytes and maxFrames must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val n = math.min(
+          (r.payload.length + frameBytes - 1) / frameBytes, maxFrames)
+        (0 until n).iterator.map { i =>
+          val from = i * frameBytes
+          val until = math.min(from + frameBytes, r.payload.length)
+          var sum = 0L
+          var j = from
+          while (j < until) { sum += (r.payload(j) & 0xff); j += 1 }
+          FrameFeatures(r.media_id, i, (until - from).toLong,
+            if (until == from) 0.0 else sum.toDouble / (until - from))
+        }
+      }
+    }
   }
 
   /** Per-partition batch decode: the iterator is the batch, so a real codec

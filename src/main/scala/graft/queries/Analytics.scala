@@ -144,14 +144,22 @@ object Analytics {
   val q35RangeJoinBinned = Q(
     "q35_range_join_binned",
     (s, dir) => {
-      val width = 5.0
+      // Bin width == band width, and both derived from EXACT cents: the bin
+      // key is integer arithmetic on dec2(price)·100, so a pair exactly at
+      // the band edge can never land 2 bins apart through FP division
+      // drift. Width must track the band — a bin much wider than the band
+      // degenerates toward all-pairs (the fixture's prices are uniform on
+      // [900,1000), so a ±5 band would already cover 10% of the table:
+      // candidate count is O(n·band/domain), a property of the data, not
+      // the plan).
+      val cents = (dec2(col("p_retailprice")) * 100).cast("long")
       val p = Tables.part(s, dir).select(
         col("p_partkey"), col("p_retailprice"),
-        floor(col("p_retailprice") / width).as("bin"))
+        floor(cents / 5.0).cast("long").as("bin"))
       val b = p.select(
           col("p_partkey").as("b_key"), col("p_retailprice").as("b_price"),
           explode(array(col("bin") - 1, col("bin"), col("bin") + 1)).as("bin"))
-      val band = (dec2(col("p_retailprice")) - dec2(col("b_price"))).between(-5.0, 5.0)
+      val band = (dec2(col("p_retailprice")) - dec2(col("b_price"))).between(-0.05, 0.05)
       p.join(b, p("bin") === b("bin") && band && col("p_partkey") =!= col("b_key"), "left")
         .groupBy("p_partkey")
         .agg(count(col("b_key")).as("n_close"))
@@ -161,7 +169,7 @@ object Analytics {
     FROM part a LEFT JOIN part b
       ON a.p_partkey <> b.p_partkey
      AND CAST(a.p_retailprice AS DECIMAL(12,2)) - CAST(b.p_retailprice AS DECIMAL(12,2))
-         BETWEEN -5.0 AND 5.0
+         BETWEEN -0.05 AND 0.05
     GROUP BY a.p_partkey ORDER BY a.p_partkey"""))
 
   /** Explicit GROUPING SETS — the third grouping surface beside rollup (q08)
@@ -197,7 +205,63 @@ object Analytics {
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     ORDER BY gid, returnflag, linestatus"""))
 
+  /** Sliding windows (10 min, slide 5 min) in batch mode — the batch twin
+    * of the streaming sliding-window pipeline (each event lands in exactly
+    * two windows; `window()` plans the expansion as a generator, so the
+    * only shuffle is the (window, type) aggregation). Oracle unrolls the
+    * two candidate window starts per event explicitly.
+    */
+  val q37SlidingWindows = Q(
+    "q37_sliding_windows",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(
+          unix_timestamp(col("w.start")).as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("window_start", "event_type")
+    },
+    Some("""WITH b AS (
+      SELECT event_type, value,
+        CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket
+      FROM events),
+    w AS (
+      SELECT event_type, value,
+        unnest([bucket, bucket - 300]) AS window_start
+      FROM b)
+    SELECT window_start, event_type, count(*) AS n_events,
+      CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM w GROUP BY 1, 2 ORDER BY window_start, event_type"""))
+
+  /** Skew-mitigated equi-join through [[graft.operators.SaltedJoin]]: the
+    * events fact salted 8 ways against a replicated per-type dimension.
+    * The oracle is the PLAIN join — salting must be invisible in the
+    * result, which is exactly what makes it a safe skew tool. The group-by
+    * collapses the row-level output so the comparison is order-free.
+    */
+  val q38SaltedJoin = Q(
+    "q38_salted_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val dim = ev.select("event_type").distinct()
+        .withColumn("type_len", length(col("event_type")))
+      graft.operators.SaltedJoin.join(ev, dim, "event_type", buckets = 8)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec2(col("value")) * col("type_len")).cast("double").as("weighted"))
+        .orderBy("event_type")
+    },
+    Some("""WITH dim AS (
+      SELECT DISTINCT event_type, CAST(length(event_type) AS INT) AS type_len
+      FROM events)
+    SELECT e.event_type, count(*) AS n,
+      CAST(sum(CAST(value AS DECIMAL(12,2)) * type_len) AS DOUBLE) AS weighted
+    FROM events e JOIN dim USING (event_type)
+    GROUP BY e.event_type ORDER BY e.event_type"""))
+
   val all: Seq[Q] = Seq(
     q32CorrStats, q33SmallQtyRevenue, q34RevenueShare, q35RangeJoinBinned,
-    q36GroupingSets)
+    q36GroupingSets, q37SlidingWindows, q38SaltedJoin)
 }

@@ -36,5 +36,38 @@ object Multimodal {
         / octet_length(encode(text)) AS luma
     FROM documents ORDER BY media_id"""))
 
-  val all: Seq[Q] = Seq(mm01MediaFeatures)
+  /** Frame sampling over the binary payloads: 256-byte frames, max 4 per
+    * record. Fixture texts are ASCII, so the oracle reproduces the byte
+    * windows as character substrings — frame count, frame sizes, and
+    * per-frame mean byte all verified exactly. */
+  val mm02FrameSample = Q(
+    "mm02_frame_sample",
+    (s, dir) => {
+      import s.implicits._
+      val media = MediaOps
+        .mediaFrame(Tables.documents(s, dir), "doc_id", "text", "source")
+        .select(col("media_id"), col("payload"), col("meta.format").as("format"))
+        .as[MediaRecord]
+      MediaOps.sampleFrames(media, frameBytes = 256, maxFrames = 4)
+        .toDF()
+        .withColumn("mean_byte", round(col("mean_byte"), 6))
+        .orderBy("media_id", "frame_idx")
+    },
+    Some("""WITH f AS (
+      SELECT doc_id AS media_id,
+        unnest(generate_series(0,
+          CAST(least(ceil(octet_length(encode(text)) / 256.0), 4) AS BIGINT) - 1)) AS frame_idx,
+        text
+      FROM documents),
+    s AS (
+      SELECT media_id, frame_idx,
+        substring(text, CAST(frame_idx * 256 + 1 AS INT), 256) AS frame
+      FROM f)
+    SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+      CAST(octet_length(encode(frame)) AS BIGINT) AS n_bytes,
+      round(CAST(list_sum(list_transform(string_split(frame, ''), c -> ascii(c))) AS DOUBLE)
+        / octet_length(encode(frame)), 6) AS mean_byte
+    FROM s ORDER BY media_id, frame_idx"""))
+
+  val all: Seq[Q] = Seq(mm01MediaFeatures, mm02FrameSample)
 }

@@ -108,6 +108,67 @@ object Pipeline {
       FROM scored)
     SELECT doc_id, rk, token, tfidf FROM r WHERE rk <= 3 ORDER BY doc_id, rk"""))
 
+  /** Per-document top-3 terms by BM25 (k1=1.2, b=0.75) — the retrieval-side
+    * twin of [[c02TfidfTopTerms]], sharing its shuffle structure (one
+    * shuffle on (doc, token), one on token, two broadcast scalars). Like
+    * c02, ranking runs on the ROUNDED score with the term as tiebreaker so
+    * last-ulp `ln` differences between engines can't reorder ranks.
+    */
+  val c03Bm25TopTerms = Q(
+    "c03_bm25_top_terms",
+    (s, dir) => {
+      val k1 = 1.2
+      val b = 0.75
+      val docs = Tables.documents(s, dir)
+      val tok = docs.select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), """\s+""")).as("token"))
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("n"))
+      val dlen = tf.groupBy("doc_id").agg(sum("n").as("dlen"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val stats = docs.agg(count(lit(1)).as("nd"))
+        .crossJoin(dlen.agg(sum("dlen").as("toklen")))
+        .withColumn("avgdl", col("toklen") / col("nd"))
+      val idf = log(lit(1.0) + (col("nd") - col("df") + 0.5) / (col("df") + 0.5))
+      // k1+1 written as the literal 2.2: the double parsed from "2.2" and
+      // the double sum 1.2+1.0 differ in the last ulp, and the oracle SQL
+      // can only parse literals.
+      val score = idf * (col("n") * lit(2.2)) /
+        (col("n") + lit(k1) * (lit(1 - b) + lit(b) * col("dlen") / col("avgdl")))
+      val scored = tf
+        .join(dlen, "doc_id")
+        .join(dfreq, "token")
+        .crossJoin(broadcast(stats))
+        .withColumn("bm25", round(score, 6))
+      val w = Window.partitionBy("doc_id").orderBy(col("bm25").desc, col("token"))
+      scored
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("token"), col("bm25"))
+        .orderBy("doc_id", "rk")
+    },
+    Some("""WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS n FROM tok GROUP BY doc_id, token),
+    dlen AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS dlen FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    st AS (
+      SELECT (SELECT count(*) FROM documents) AS nd,
+        (SELECT CAST(sum(dlen) AS BIGINT) FROM dlen) AS toklen),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+        round(
+          ln(1.0 + (st.nd - dfreq.df + 0.5) / (dfreq.df + 0.5))
+          * (tf.n * CAST(2.2 AS DOUBLE)) /
+          (tf.n + CAST(1.2 AS DOUBLE) *
+            (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dlen.dlen / (st.toklen / st.nd))), 6) AS bm25
+      FROM tf JOIN dlen USING (doc_id) JOIN dfreq USING (token), st),
+    r AS (
+      SELECT doc_id, token, bm25,
+        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY bm25 DESC, token) AS INT) AS rk
+      FROM scored)
+    SELECT doc_id, rk, token, bm25 FROM r WHERE rk <= 3 ORDER BY doc_id, rk"""))
+
   /** Deterministic stratified sampling: per-language rates driven by the
     * first hex char of a salted SHA-256 of the stable id (en 4/16, zh 12/16,
     * others 8/16). A seeded `sample()` is partition-layout-dependent; a
@@ -187,6 +248,6 @@ object Pipeline {
     None)
 
   val all: Seq[Q] = Seq(
-    c01DocChunks, c02TfidfTopTerms, s01StratifiedSample, k01KmeansAssign,
-    k02KmeansClusters)
+    c01DocChunks, c02TfidfTopTerms, c03Bm25TopTerms, s01StratifiedSample,
+    k01KmeansAssign, k02KmeansClusters)
 }

@@ -62,6 +62,26 @@ object EventPipelines {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join: click→purchase attribution within an
+    * `horizon` of the click. Both inputs are watermarked and the join
+    * condition bounds event time in BOTH directions, which is what lets the
+    * engine evict buffered rows from each side's state store once the
+    * watermark passes — without the time bound a stream-stream join must
+    * buffer an unbounded past. The same transform on two batch frames is
+    * the parity oracle in the suite. */
+  def attributePurchases(clicks: DataFrame, purchases: DataFrame,
+      watermark: String = "10 minutes", horizon: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("c_user").as("user_id"), col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   // ---- Custom state: flatMapGroupsWithState sessionizer ----
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)

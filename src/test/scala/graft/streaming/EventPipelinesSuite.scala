@@ -198,4 +198,52 @@ class EventPipelinesSuite extends AnyFunSuite {
     val starts = rows.map(_.getTimestamp(0).toString).toSet
     assert(starts === Set("2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0"))
   }
+
+  test("stream-stream join attributes purchases to clicks within the horizon") {
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val name = s"mem_${System.nanoTime()}"
+    val q = EventPipelines.attributePurchases(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(
+        Ev(ts(0, 0), "click", 0.0, 1),   // matched 5 min later
+        Ev(ts(0, 0), "click", 0.0, 3))   // purchase arrives past the horizon
+      purchases.addData(
+        Ev(ts(5, 0), "purchase", 9.99, 1),
+        Ev(ts(20, 0), "purchase", 5.0, 2),  // no click at all
+        Ev(ts(15, 0), "purchase", 7.0, 3))  // 15 min after the click: outside
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .select("user_id", "value").as[(Long, Double)].collect().toSet
+      assert(got === Set((1L, 9.99)))
+    } finally q.stop()
+  }
+
+  test("stream-stream join equals the same transform on batch frames") {
+    val clickRows = Seq(
+      Ev(ts(0, 0), "click", 0.0, 1), Ev(ts(2, 0), "click", 0.0, 2),
+      Ev(ts(0, 0), "click", 0.0, 3))
+    val purchaseRows = Seq(
+      Ev(ts(5, 0), "purchase", 9.99, 1), Ev(ts(11, 0), "purchase", 4.0, 2),
+      Ev(ts(15, 0), "purchase", 7.0, 3))
+    val batch = EventPipelines
+      .attributePurchases(clickRows.toDF(), purchaseRows.toDF())
+      .select("user_id", "value").as[(Long, Double)].collect().toSet
+
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val name = s"mem_${System.nanoTime()}"
+    val q = EventPipelines.attributePurchases(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(clickRows)
+      purchases.addData(purchaseRows)
+      q.processAllAvailable()
+      val streamed = spark.table(name)
+        .select("user_id", "value").as[(Long, Double)].collect().toSet
+      assert(streamed === batch)
+      assert(batch === Set((1L, 9.99), (2L, 4.0)))
+    } finally q.stop()
+  }
 }

@@ -261,7 +261,69 @@ object Analytics {
     FROM events e JOIN dim USING (event_type)
     GROUP BY e.event_type ORDER BY e.event_type"""))
 
+  /** Approximate quantiles via the built-in sketch aggregate
+    * (`percentile_approx`, Greenwald-Khanna summaries) — the mergeable
+    * sketch rounding out q13's HLL and the MinHash family. Sketch results
+    * are deterministic for a fixed input partitioning but not across
+    * partitionings, so like q13 this is rows-only; the sbt suite bounds its
+    * error against q27's exact quantiles instead.
+    */
+  val q39ApproxQuantiles = Q(
+    "q39_approx_quantiles",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)), lit(10000))
+            .as("q"))
+        .select(
+          col("event_type"),
+          round(col("q")(0), 6).as("p50"),
+          round(col("q")(1), 6).as("p95"),
+          round(col("q")(2), 6).as("p99"))
+        .orderBy("event_type")
+    },
+    None)
+
+  /** Higher-order array functions end-to-end: per-order quantity vectors
+    * (deterministically ordered by line number), folded/filtered/indexed
+    * with `transform`/`filter`/`element_at`/`array_max`. The array is built
+    * with `array_sort(collect_list(struct(...)))` — `collect_list` alone
+    * has no deterministic order under parallel aggregation; the sort key
+    * travels inside the struct. The fixture's l_linenumber is NOT unique
+    * within an order, so the quantity itself is part of the sort key on
+    * both sides — a tie on the full key is order-irrelevant by definition.
+    */
+  val q40ArrayFuncs = Q(
+    "q40_array_funcs",
+    (s, dir) => {
+      val arr = transform(
+        array_sort(collect_list(struct(col("l_linenumber"), col("l_quantity")))),
+        x => x.getField("l_quantity"))
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(arr.as("qtys"))
+        .select(
+          col("o_orderkey"),
+          size(col("qtys")).as("n_items"),
+          size(filter(col("qtys"), x => x >= 30)).as("n_big"),
+          element_at(col("qtys"), 1).as("first_qty"),
+          (array_max(col("qtys")) - array_min(col("qtys"))).as("qty_span"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH a AS (
+      SELECT l_orderkey AS o_orderkey,
+        list(l_quantity ORDER BY l_linenumber, l_quantity) AS qtys
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT o_orderkey,
+      CAST(len(qtys) AS INT) AS n_items,
+      CAST(len(list_filter(qtys, x -> x >= 30)) AS INT) AS n_big,
+      qtys[1] AS first_qty,
+      list_max(qtys) - list_min(qtys) AS qty_span
+    FROM a ORDER BY o_orderkey"""))
+
   val all: Seq[Q] = Seq(
     q32CorrStats, q33SmallQtyRevenue, q34RevenueShare, q35RangeJoinBinned,
-    q36GroupingSets, q37SlidingWindows, q38SaltedJoin)
+    q36GroupingSets, q37SlidingWindows, q38SaltedJoin, q39ApproxQuantiles,
+    q40ArrayFuncs)
 }

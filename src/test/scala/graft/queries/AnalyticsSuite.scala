@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
@@ -35,6 +36,32 @@ class AnalyticsSuite extends AnyFunSuite {
     // one-row frame ⨯ per-nation frame: the nested loop here is fine (1×25),
     // what matters is the total never round-trips through the driver.
     assert(!plan.contains("CollectLimit"), plan)
+  }
+
+  test("q39 approx quantiles stay within rank-error distance of q27's exact ones") {
+    import spark.implicits._
+    // With accuracy 10000 and n≈200/group at sf0.001 the sketch is near
+    // exact, but the honest bound is on RANK error (≤ n/accuracy + 1 rank),
+    // which we translate into: the approx value must lie between the exact
+    // neighboring order statistics a few ranks either side of the target.
+    val vals = graft.queries.Tables.events(spark, dir)
+      .select(col("event_type"), col("value")).as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val approx = Analytics.q39ApproxQuantiles.run(spark, dir)
+      .as[(String, Double, Double, Double)].collect()
+    approx.foreach { case (et, p50, p95, p99) =>
+      val xs = vals(et)
+      def bounds(q: Double): (Double, Double) = {
+        val n = xs.length
+        val lo = math.max(0, (q * (n - 1)).toInt - 2)
+        val hi = math.min(n - 1, (q * (n - 1)).toInt + 2)
+        (xs(lo), xs(hi))
+      }
+      Seq(0.5 -> p50, 0.95 -> p95, 0.99 -> p99).foreach { case (q, v) =>
+        val (lo, hi) = bounds(q)
+        assert(v >= lo && v <= hi, s"$et q=$q: $v outside [$lo, $hi]")
+      }
+    }
   }
 
   test("q36 grouping sets emits exactly the three declared groupings") {

@@ -42,6 +42,15 @@ class RowsOnlyGoldenSuite extends AnyFunSuite {
     assert(rows.head === ((0L, 350L, 0.212477, 1)))
   }
 
+  test("q39_approx_quantiles golden") {
+    val got = Analytics.q39ApproxQuantiles.run(spark, dir)
+      .as[(String, Double, Double, Double)].collect().toSeq
+    assert(got === Seq(
+      ("click", 33.19, 148.12, 253.94), ("error", 33.55, 124.6, 185.57),
+      ("purchase", 35.62, 140.64, 213.1), ("signup", 37.9, 156.01, 230.25),
+      ("view", 37.11, 127.11, 285.2)))
+  }
+
   test("k02_kmeans_clusters golden (all clusters)") {
     val rows = Pipeline.k02KmeansClusters.run(spark, dir)
       .as[(Int, Long, Double)].collect().toSeq

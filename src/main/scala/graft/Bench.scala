@@ -30,7 +30,7 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val results = queries.map { case (name, fn) =>
+    def passOnce(): Seq[(String, Double)] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -41,6 +41,17 @@ object Bench {
       spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // Ambient host load distorts single runs by up to ~40× on one query
+    // (BASELINE.md); min-of-2 recovers the quiet-time cost. The second pass
+    // is skipped when the first already ran long — on a loaded host it
+    // would only double a bad run, and on a quiet host it never triggers.
+    val first = passOnce()
+    val results =
+      if (first.map(_._2).sum > 300.0) first
+      else {
+        val second = passOnce().toMap
+        first.map { case (k, v) => k -> math.min(v, second.getOrElse(k, v)) }
+      }
     // Locale-pinned formatting: the f interpolator follows the JVM default
     // locale, which would emit comma decimals (invalid JSON) on e.g. de_DE.
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)

@@ -169,6 +169,47 @@ object Pipeline {
       FROM scored)
     SELECT doc_id, rk, token, bm25 FROM r WHERE rk <= 3 ORDER BY doc_id, rk"""))
 
+  /** Unigram cross-entropy per document — the cheap perplexity proxy used
+    * for LM-based quality filtering: score = mean over doc tokens of
+    * −ln(count(token)/total_tokens) under the corpus unigram distribution.
+    * High score ⇒ rare-token-heavy (noise, code, boilerplate exhaust).
+    *
+    * Same two shuffles as TF-IDF (token frequency, then back on doc). The
+    * per-doc mean sums each −ln(p) through a DECIMAL cast: the cast is
+    * per-value deterministic, making the sum order-free; engine `ln`
+    * differences (≤1 ulp ≈ 1e-16) survive the cast as ≤1e-15 per term,
+    * absorbed by the final round(…, 6).
+    */
+  val c04UnigramXent = Q(
+    "c04_unigram_xent",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tok = docs.select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), """\s+""")).as("token"))
+      val tcount = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val total = tcount.agg(sum("cnt").as("total"))
+      tok
+        .join(tcount, "token")
+        .crossJoin(broadcast(total))
+        .withColumn("surprise", -log(col("cnt") / col("total")))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          round(sum(col("surprise").cast("decimal(28,15)")).cast("double") / count(lit(1)), 6)
+            .as("xent"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents),
+    tc AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM tc)
+    SELECT doc_id, count(*) AS n_tokens,
+      round(CAST(sum(CAST(-ln(tc.cnt / t.total) AS DECIMAL(28,15))) AS DOUBLE)
+        / count(*), 6) AS xent
+    FROM tok JOIN tc USING (token), t
+    GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Deterministic stratified sampling: per-language rates driven by the
     * first hex char of a salted SHA-256 of the stable id (en 4/16, zh 12/16,
     * others 8/16). A seeded `sample()` is partition-layout-dependent; a
@@ -248,6 +289,6 @@ object Pipeline {
     None)
 
   val all: Seq[Q] = Seq(
-    c01DocChunks, c02TfidfTopTerms, c03Bm25TopTerms, s01StratifiedSample,
-    k01KmeansAssign, k02KmeansClusters)
+    c01DocChunks, c02TfidfTopTerms, c03Bm25TopTerms, c04UnigramXent,
+    s01StratifiedSample, k01KmeansAssign, k02KmeansClusters)
 }

@@ -82,6 +82,48 @@ object EventPipelines {
       .select(col("c_user").as("user_id"), col("click_ts"), col("purchase_ts"), col("value"))
   }
 
+  // ---- Custom state: transformWithState running totals ----
+
+  final case class UserTotal(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Spark 4 arbitrary-state API (`transformWithState`): per-user running
+    * totals in a `ValueState`, emitted on every update. Unlike
+    * `flatMapGroupsWithState` the state schema is declared to the store
+    * (RocksDB provider required), enabling per-state TTL and schema
+    * evolution — the modern rung for custom streaming state. */
+  class RunningTotalProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserTotal] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoder, Encoders}
+
+    @transient private var totals: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      implicit val enc: Encoder[(Long, Double)] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+      totals = getHandle.getValueState[(Long, Double)]("totals", TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserTotal] = {
+      var (n, sum) = if (totals.exists()) totals.get() else (0L, 0.0)
+      rows.foreach { e => n += 1; sum += e.value }
+      totals.update((n, sum))
+      Iterator.single(UserTotal(key, n, sum))
+    }
+  }
+
+  /** Per-user running totals via the transformWithState processor. */
+  def runningTotals(events: Dataset[Event]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new RunningTotalProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // ---- Custom state: flatMapGroupsWithState sessionizer ----
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -199,6 +199,42 @@ class EventPipelinesSuite extends AnyFunSuite {
     assert(starts === Set("2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0"))
   }
 
+  test("transformWithState keeps per-user running totals across batches") {
+    import EventPipelines.Event
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    // transformWithState requires the RocksDB state store provider.
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val name = s"mem_${System.nanoTime()}"
+      val q = EventPipelines.runningTotals(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      try {
+        input.addData(Event(1L, ts(0, 0), 2.0), Event(1L, ts(1, 0), 3.0), Event(2L, ts(0, 0), 1.0))
+        q.processAllAvailable()
+        input.addData(Event(1L, ts(2, 0), 5.0))
+        q.processAllAvailable()
+        val rows = spark.table(name)
+          .as[(Long, Long, Double)].collect()
+        // Update mode emits one row per touched key per batch; the latest
+        // row per user carries the accumulated state.
+        val latest = rows.groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+        assert(latest(1L) === ((1L, 3L, 10.0)))
+        assert(latest(2L) === ((2L, 1L, 1.0)))
+        // state really crossed batches: batch 2's user-1 row is (3, 10.0)
+        assert(rows.count(_._1 == 1L) === 2)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-stream join attributes purchases to clicks within the horizon") {
     val clicks = MemoryStream[Ev]
     val purchases = MemoryStream[Ev]

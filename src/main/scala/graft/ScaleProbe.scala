@@ -44,13 +44,34 @@ object ScaleProbe {
       d.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
     }
 
+    val emb = graft.queries.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+
+    // Replicated vec_ids collapse in the argmin groupBy, but the dominant
+    // cost — |rows|·k distance folds feeding a map-side partial argmin —
+    // still scales with the amplification, which is what's being measured.
+    def kmeansAssign(d: DataFrame): DataFrame = {
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cluster"), col("emb").as("cvec"))
+      graft.operators.KMeans.assign(d, cents, "vec_id", "emb")
+    }
+
+    def tfidfTerms(d: DataFrame): DataFrame = {
+      val tok = d.select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), """\s+""")).as("token"))
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("n"))
+      tf.join(tf.groupBy("token").agg(count(lit(1)).as("df")), "token")
+    }
+
     val shapes: Seq[(String, DataFrame => DataFrame, DataFrame)] = Seq(
       ("agg_q01", q01 _, li),
       ("window_topk", topk _, li),
       ("minhash_sigs",
         (d: DataFrame) => graft.operators.MinHashLsh.signatures(d, "doc_id", "text",
           graft.operators.MinHashLsh.Params()),
-        docs))
+        docs),
+      ("tfidf_join", tfidfTerms _, docs),
+      ("kmeans_assign", kmeansAssign _, emb))
 
     // Warm codegen/scan once.
     shapes.foreach { case (_, f, base) => sink(f(base)) }

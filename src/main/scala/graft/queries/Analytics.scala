@@ -322,8 +322,43 @@ object Analytics {
       list_max(qtys) - list_min(qtys) AS qty_span
     FROM a ORDER BY o_orderkey"""))
 
+  /** Recursive CTE (Spark 4.1 `WITH RECURSIVE`): walk the per-source
+    * document chain from its root, emitting (doc, root, depth) — the
+    * lineage-walk shape (dependency chains, retry chains, thread
+    * reconstruction).
+    *
+    * Spark's recursion supports UNION ALL only (no fixpoint dedup), so the
+    * walk must be acyclic AND depth-bounded to be scale-safe: the
+    * `depth < 9` guard caps the recursion at a constant 10 levels
+    * regardless of data volume — without it the recursion depth would grow
+    * with docs-per-source and trip the engine's recursion limit at larger
+    * SFs. Identical SQL runs on both engines.
+    */
+  // Defined before its query: a forward val reference inside an object
+  // body is null at initialization time.
+  private val RecursiveChainSql = """WITH RECURSIVE e AS (
+      SELECT doc_id, lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS nxt
+      FROM documents),
+    roots AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY source),
+    chain(doc_id, root_id, depth) AS (
+      SELECT doc_id, doc_id, 0 FROM roots
+      UNION ALL
+      SELECT e.nxt, c.root_id, c.depth + 1
+      FROM chain c JOIN e ON e.doc_id = c.doc_id
+      WHERE e.nxt IS NOT NULL AND c.depth < 9)
+    SELECT doc_id, root_id, CAST(depth AS INT) AS depth
+    FROM chain ORDER BY root_id, depth"""
+
+  val q41RecursiveChain = Q(
+    "q41_recursive_chain",
+    (s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      s.sql(RecursiveChainSql)
+    },
+    Some(RecursiveChainSql))
+
   val all: Seq[Q] = Seq(
     q32CorrStats, q33SmallQtyRevenue, q34RevenueShare, q35RangeJoinBinned,
     q36GroupingSets, q37SlidingWindows, q38SaltedJoin, q39ApproxQuantiles,
-    q40ArrayFuncs)
+    q40ArrayFuncs, q41RecursiveChain)
 }

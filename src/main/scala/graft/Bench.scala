@@ -30,27 +30,39 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    def passOnce(): Seq[(String, Double)] = queries.map { case (name, fn) =>
+    def passOnce(): Seq[(String, Double, Boolean)] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
       // Operators that persist intermediates (LSH, connected components)
       // must not carry cache into the next query's measurement.
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
     // Ambient host load distorts single runs by up to ~40× on one query
     // (BASELINE.md); min-of-2 recovers the quiet-time cost. The second pass
     // is skipped when the first already ran long — on a loaded host it
     // would only double a bad run, and on a quiet host it never triggers.
+    // Failed executions never contribute a timing: min is taken over
+    // SUCCESSFUL passes only (a fast failure is not a fast query).
     val first = passOnce()
     val results =
-      if (first.map(_._2).sum > 300.0) first
+      if (first.map(_._2).sum > 300.0) first.map { case (k, v, _) => k -> v }
       else {
-        val second = passOnce().toMap
-        first.map { case (k, v) => k -> math.min(v, second.getOrElse(k, v)) }
+        val second = passOnce().map { case (k, v, ok) => k -> (v, ok) }.toMap
+        first.map { case (k, v1, ok1) =>
+          val (v2, ok2) = second.getOrElse(k, (v1, ok1))
+          k -> ((ok1, ok2) match {
+            case (true, true) => math.min(v1, v2)
+            case (true, false) => v1
+            case (false, true) => v2
+            case (false, false) => math.max(v1, v2)
+          })
+        }
       }
     // Locale-pinned formatting: the f interpolator follows the JVM default
     // locale, which would emit comma decimals (invalid JSON) on e.g. de_DE.

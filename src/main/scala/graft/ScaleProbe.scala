@@ -57,10 +57,8 @@ object ScaleProbe {
     }
 
     def tfidfTerms(d: DataFrame): DataFrame = {
-      val tok = d.select(col("doc_id"),
-        explode(split(trim(lower(col("text"))), """\s+""")).as("token"))
-      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("n"))
-      tf.join(tf.groupBy("token").agg(count(lit(1)).as("df")), "token")
+      val (tf, _, dfreq) = graft.queries.Pipeline.termStats(d)
+      tf.join(dfreq, "token")
     }
 
     val shapes: Seq[(String, DataFrame => DataFrame, DataFrame)] = Seq(

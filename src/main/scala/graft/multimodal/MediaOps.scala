@@ -72,8 +72,11 @@ object MediaOps {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.flatMap { r =>
+        // Ceil-division in Long: (len + frameBytes - 1) wraps negative in
+        // Int for ~2 GB payloads (the records frame sampling exists for),
+        // which would silently emit zero frames.
         val n = math.min(
-          (r.payload.length + frameBytes - 1) / frameBytes, maxFrames)
+          (r.payload.length.toLong + frameBytes - 1) / frameBytes, maxFrames.toLong).toInt
         (0 until n).iterator.map { i =>
           val from = i * frameBytes
           val until = math.min(from + frameBytes, r.payload.length)

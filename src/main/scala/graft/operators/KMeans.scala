@@ -73,7 +73,12 @@ object KMeans {
       val means = assigned
         .select(col("cluster"), posexplode(col(vecCol)).as(Seq("dim", "v")))
         .groupBy("cluster", "dim")
-        .agg((sum(col("v").cast("decimal(38,25)")).cast("double") / count(lit(1))).as("m"))
+        // Scale 15 leaves 23 integer digits of headroom: component sums
+        // stay exact-in-decimal up to ~1e23, beyond any realistic cluster
+        // mass (38,25 would overflow — an ANSI-mode error — at ~1e13,
+        // reachable at the operator's own claimed scale). The per-value
+        // cast rounding is deterministic, which is all order-freedom needs.
+        .agg((sum(col("v").cast("decimal(38,15)")).cast("double") / count(lit(1))).as("m"))
         .groupBy("cluster")
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("cluster"), transform(col("dm"), x => x.getField("m")).as("cvec"))

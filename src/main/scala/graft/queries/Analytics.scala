@@ -130,7 +130,7 @@ object Analytics {
     ORDER BY revenue DESC, n_name"""))
 
   /** Range join rewritten as a binned equi-join: for every part, how many
-    * other parts price within ±5.00.
+    * other parts price within ±0.05.
     *
     * The naive plan for `|a.price − b.price| ≤ 5` is a broadcast
     * nested-loop join — O(n·m) comparisons, hopeless at scale. Binning each
@@ -139,7 +139,7 @@ object Analytics {
     * hash / sort-merge, partition-local) with a cheap residual band filter;
     * cost drops to O(n·k) for k = neighbors per bin. Same trick as the LSH
     * band join. The residual compare runs in DECIMAL so band-edge ties
-    * (exactly 5.00 apart) resolve identically in both engines.
+    * (exactly 0.05 apart) resolve identically in both engines.
     */
   val q35RangeJoinBinned = Q(
     "q35_range_join_binned",

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,6 +17,22 @@ object Pipeline {
 
   private val ChunkSize = 32
   private val ChunkStride = 24
+
+  /** Whitespace tokens of the lowercased text — the single tokenizer
+    * definition every scorer in this file builds on. */
+  private[graft] def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(split(trim(lower(col("text"))), """\s+""")).as("token"))
+
+  /** Shared term-statistics frames: per-(doc, token) counts `tf(n)`,
+    * document lengths `dlen`, document frequencies `dfreq(df)`. One
+    * definition so TF-IDF, BM25, and the scaling probe can never drift. */
+  private[graft] def termStats(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val tf = tokens(docs).groupBy("doc_id", "token").agg(count(lit(1)).as("n"))
+    val dlen = tf.groupBy("doc_id").agg(sum("n").as("dlen"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    (tf, dlen, dfreq)
+  }
 
   /** Overlapping token chunking (size 32, stride 24) — the context-window
     * packing step. Chunk count per doc is ⌈(n−size)/stride⌉+1 (min 1), so
@@ -72,11 +89,7 @@ object Pipeline {
     "c02_tfidf_top_terms",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val tok = docs.select(col("doc_id"),
-        explode(split(trim(lower(col("text"))), """\s+""")).as("token"))
-      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("n"))
-      val dlen = tf.groupBy("doc_id").agg(sum("n").as("dlen"))
-      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val (tf, dlen, dfreq) = termStats(docs)
       val nDocs = docs.agg(count(lit(1)).as("nd"))
       val scored = tf
         .join(dlen, "doc_id")
@@ -120,11 +133,7 @@ object Pipeline {
       val k1 = 1.2
       val b = 0.75
       val docs = Tables.documents(s, dir)
-      val tok = docs.select(col("doc_id"),
-        explode(split(trim(lower(col("text"))), """\s+""")).as("token"))
-      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("n"))
-      val dlen = tf.groupBy("doc_id").agg(sum("n").as("dlen"))
-      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val (tf, dlen, dfreq) = termStats(docs)
       val stats = docs.agg(count(lit(1)).as("nd"))
         .crossJoin(dlen.agg(sum("dlen").as("toklen")))
         .withColumn("avgdl", col("toklen") / col("nd"))
@@ -184,8 +193,7 @@ object Pipeline {
     "c04_unigram_xent",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val tok = docs.select(col("doc_id"),
-        explode(split(trim(lower(col("text"))), """\s+""")).as("token"))
+      val tok = tokens(docs)
       val tcount = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
       val total = tcount.agg(sum("cnt").as("total"))
       tok

@@ -46,4 +46,20 @@ class AsOfJoinSuite extends AnyFunSuite {
     assert(out.columns.toSeq === Seq("id", "key", "ts", "tag", "v"))
     assert(out.select("tag", "v").as[(String, Int)].head() === ("keepme", 42))
   }
+
+  test("user columns named like the operator's internal columns don't clash") {
+    // The internals (_k/_t/_side/_l/_r/_match) exist only at the top level
+    // of the union frame; user columns ride inside the _l/_r structs, so
+    // even exact name collisions with the internals must stay unambiguous.
+    // Pins that invariant against refactors.
+    val left = Seq((1L, 100L, t("2024-01-01 10:00:00"), "u"))
+      .toDF("_side", "key", "ts", "_match")
+    val right = Seq((100L, t("2024-01-01 09:00:00"), 7))
+      .toDF("key", "rts", "_k")
+    val out = AsOfJoin.asOf(left, right, col("key"), col("key"),
+      col("ts"), col("rts"), Seq("_k"))
+    assert(out.columns.toSeq === Seq("_side", "key", "ts", "_match", "_k"))
+    assert(out.select("_side", "_match", "_k").as[(Long, String, Int)].head()
+      === ((1L, "u", 7)))
+  }
 }

@@ -31,7 +31,11 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.length == 1, s"graft_minhash expects 1 argument, got ${children.length}")
         MinHashSketchAgg(children.head).toAggregateExpression()
-      }))
+      }),
+    (
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleExplode].getName, "graft_shingles"),
+      ShingleExplode.fromExpressions _))
 
   /** Idempotent registration into an existing session's function registry. */
   def register(spark: SparkSession): Unit =

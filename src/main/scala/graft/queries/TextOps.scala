@@ -343,8 +343,37 @@ object TextOps {
       round(CAST(n AS DOUBLE) / total, 6) AS repetition
     FROM r WHERE rn = 1 ORDER BY doc_id"""))
 
+  /** Bigram vocabulary via the CUSTOM Generator rung
+    * ([[graft.functions.ShingleExplode]], SQL `graft_shingles`): rows
+    * stream out of the generator per document — no per-document n-gram
+    * array ever materializes, the property that matters when one document
+    * fans out to 10⁵ shingles. Count = document frequency (shingles are
+    * per-doc distinct), top-20 with lexicographic tiebreak. */
+  val d12BigramVocab = Q(
+    "d12_bigram_vocab",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), expr("graft_shingles(text, 2)").as("shingle"))
+        .groupBy("shingle")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("shingle"))
+        .limit(20)
+    },
+    Some("""WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        list_zip(toks[1:length(toks)-1], toks[2:]),
+        s -> s[1] || chr(32) || s[2]))) AS shingle
+      FROM t)
+    SELECT shingle, count(*) AS n_docs
+    FROM g GROUP BY shingle
+    ORDER BY n_docs DESC, shingle LIMIT 20"""))
+
   val all: Seq[Q] = Seq(
     d01DedupExact, d02TextStats, d03TokenCounts, d04QualityScore,
     d05LangId, d06Fingerprint, d07TokenFreq, d08PiiScrub, d09DatasetSplit,
-    d10Contamination, d11Repetition)
+    d10Contamination, d11Repetition, d12BigramVocab)
 }

@@ -77,4 +77,28 @@ class SourcesSuite extends AnyFunSuite {
     val expected = Tables.documents(spark, dir).filter(col("lang") === "en").count()
     assert(pruned.count() === expected)
   }
+
+  test("sortWithinPartitions + partitioned write produces files sorted on disk") {
+    // The layout that makes downstream merge-reads and min/max-stat
+    // skipping effective: repartition by the partition column so each
+    // output file covers one value, sort inside, verify each physical
+    // parquet file is actually ordered.
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-sorted-write").toString
+    Tables.documents(spark, dir)
+      .repartition(col("lang"))
+      .sortWithinPartitions("doc_id")
+      .write.partitionBy("lang").mode("overwrite").parquet(out)
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      .filter(p => p.toString.endsWith(".parquet"))
+      .toArray.map(_.toString)
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val ids = spark.read.parquet(f).select("doc_id").as[Long].collect()
+      assert(ids.sameElements(ids.sorted), s"file $f not sorted on doc_id")
+    }
+    // And the partitioned layout is intact: one lang per directory.
+    val langs = Tables.documents(spark, dir).select("lang").distinct().count()
+    assert(files.map(_.split("/").takeWhile(!_.endsWith(".parquet")).last).toSet.size === langs.toInt)
+  }
 }

@@ -357,8 +357,67 @@ object Analytics {
     },
     Some(RecursiveChainSql))
 
+  /** TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning the
+    * joined part dimension. The disjunction exercises the optimizer's
+    * predicate decomposition: the common `l_quantity` bounds and the
+    * per-branch part predicates are pushed below the join where provable,
+    * and the join stays a broadcast hash join on partkey — disjunctive
+    * filters must not degrade the join strategy.
+    */
+  val q42DisjunctivePredicates = Q(
+    "q42_disjunctive_predicates",
+    (s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      val cond =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 21)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 40))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(cond)
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec2(col("l_extendedprice")) * (Q.one2 - dec2(col("l_discount"))))
+            .cast("double").as("revenue"))
+    },
+    Some("""SELECT count(*) AS n,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+               (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 40)"""))
+
+  /** Conditional aggregation via the SQL FILTER clause — one scan, many
+    * differently-filtered aggregates (the idiomatic alternative to N
+    * self-joins or N CASE pyramids). */
+  val q43FilteredAgg = Q(
+    "q43_filtered_agg",
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql("""SELECT
+        CAST(year(o_orderdate) AS INT) AS yr,
+        count(*) AS n_orders,
+        count(*) FILTER (WHERE o_orderstatus = 'F') AS n_final,
+        count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+          FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_revenue
+      FROM orders GROUP BY year(o_orderdate) ORDER BY yr""")
+    },
+    Some("""SELECT
+      CAST(year(o_orderdate) AS INT) AS yr,
+      count(*) AS n_orders,
+      count(*) FILTER (WHERE o_orderstatus = 'F') AS n_final,
+      count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_revenue
+    FROM orders GROUP BY year(o_orderdate) ORDER BY yr"""))
+
   val all: Seq[Q] = Seq(
     q32CorrStats, q33SmallQtyRevenue, q34RevenueShare, q35RangeJoinBinned,
     q36GroupingSets, q37SlidingWindows, q38SaltedJoin, q39ApproxQuantiles,
-    q40ArrayFuncs, q41RecursiveChain)
+    q40ArrayFuncs, q41RecursiveChain, q42DisjunctivePredicates, q43FilteredAgg)
 }

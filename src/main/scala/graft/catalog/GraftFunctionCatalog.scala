@@ -73,11 +73,15 @@ final class BoundDot extends ScalarFunction[java.lang.Double] {
     if (input.isNullAt(0) || input.isNullAt(1)) return null
     val a = input.getArray(0)
     val b = input.getArray(1)
-    require(a.numElements() == b.numElements(),
-      s"dot: length mismatch ${a.numElements()} vs ${b.numElements()}")
+    // NULL semantics mirror the expression route exactly: VectorOps.dot's
+    // zip_with pads a length mismatch with null and a null element poisons
+    // the fold — so both cases are NULL here, never an error or a silent
+    // 0.0 read from the null slot.
+    if (a.numElements() != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < a.numElements()) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getDouble(i) * b.getDouble(i)
       i += 1
     }

@@ -10,13 +10,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * `graft_shingles(text, n)` emits one row per DISTINCT word n-gram of the
   * lowercased, whitespace-split text — the row-generating twin of
   * [[graft.operators.MinHashLsh.shingles]] (identical tokenization and
-  * first-occurrence distinct order, cross-checked in the sbt suite).
+  * first-occurrence distinct order for every n, cross-checked in the sbt
+  * suite).
   *
   * A Generator beats exploding a materialized array when the fan-out is
-  * large: rows stream out of `eval` one at a time through `GenerateExec`,
-  * so a 100 k-token document never allocates its n-gram array as a single
-  * value. `CodegenFallback` is standard for generators — `GenerateExec`
-  * drives codegen around the generator, with per-row `eval` inside.
+  * large: rows stream out of `eval` lazily through `GenerateExec` as the
+  * window slides, so a 100 k-token document never materializes its n-gram
+  * list as one array value — the only buffered state is the string set
+  * distinctness requires. `CodegenFallback` is standard for generators —
+  * `GenerateExec` drives codegen around the generator, with per-row `eval`
+  * inside.
   */
 final case class ShingleExplode(child: Expression, n: Int)
     extends Generator with CodegenFallback {
@@ -44,27 +47,26 @@ final case class ShingleExplode(child: Expression, n: Int)
     val raw = child.eval(input)
     if (raw == null) Iterator.empty
     else {
-      val toks = raw.asInstanceOf[UTF8String].toString
-        .trim.toLowerCase.split("""\s+""")
+      // Tokenization MUST mirror the SQL route exactly (the d12 oracle and
+      // the parity suite compare them): SQL trim() strips SPACES only (not
+      // \t/\n, unlike java.lang.String.trim) and SQL lower() is
+      // locale-independent (UTF8String.toLowerCase), never the JVM default
+      // locale (tr-TR 'I' → 'ı' would silently diverge).
+      // limit = -1: SQL split() KEEPS trailing empty tokens; Java's
+      // default limit 0 silently drops them.
+      val toks = raw.asInstanceOf[UTF8String].trim().toLowerCase.toString
+        .split("""\s+""", -1)
       if (toks.length < n) Iterator.empty
       else {
-        // First-occurrence distinct, matching array_distinct semantics.
-        val seen = new java.util.LinkedHashSet[String]()
-        var i = 0
-        while (i + n <= toks.length) {
-          seen.add(toks.slice(i, i + n).mkString(" "))
-          i += 1
-        }
-        seen.iterator().asInstanceOf[java.util.Iterator[String]].asScala
+        // Lazily emitted, first-occurrence distinct: the only buffered
+        // state is the seen-set needed for distinctness — rows stream out
+        // as the window slides, never as one materialized array.
+        val seen = new java.util.HashSet[String]()
+        Iterator.range(0, toks.length - n + 1)
+          .map(i => toks.slice(i, i + n).mkString(" "))
+          .filter(seen.add)
           .map(g => InternalRow(UTF8String.fromString(g)))
       }
-    }
-  }
-
-  private implicit class JIter[A](it: java.util.Iterator[A]) {
-    def asScala: Iterator[A] = new Iterator[A] {
-      override def hasNext: Boolean = it.hasNext
-      override def next(): A = it.next()
     }
   }
 }

@@ -35,19 +35,34 @@ object MinHashLsh {
     def rowsPerBand: Int = nPerms / bands
   }
 
-  /** Distinct word n-gram shingles of a text column (row-local). */
+  /** Distinct word n-gram shingles of a text column (row-local).
+    *
+    * True n-grams for every n (an earlier zip_with form built 2-token
+    * skip-grams beyond n=2): one slice per start index via `transform` over
+    * `sequence`, length clamped at 0 for documents shorter than n tokens.
+    * Bit-identical to the streaming generator
+    * [[graft.functions.ShingleExplode]] — the sbt suite pins the parity.
+    */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(trim(lower(text)), """\s+""")
     val sz = size(toks)
-    // Clamped at 0: a document with fewer than n-1 tokens would otherwise
-    // produce a negative slice length, which Spark rejects at runtime.
-    val len = greatest(sz - lit(n - 1), lit(0))
+    // Bigrams keep the zip_with form — one pass over two slices; the
+    // general transform-over-start-indices form costs a per-index slice
+    // (measured 6× slower on the signature pipeline) and is only used for
+    // n ≥ 3, where zip_with can't express a true n-gram. Explicit empty
+    // branch there: sequence(1, 0) would generate DESCENDING [1, 0].
     val grams =
       if (n == 1) toks
-      else zip_with(
-        slice(toks, lit(1), len),
-        slice(toks, lit(n), len),
-        (a, b) => concat(a, lit(" "), b))
+      else if (n == 2) {
+        val len = greatest(sz - lit(1), lit(0))
+        zip_with(
+          slice(toks, lit(1), len),
+          slice(toks, lit(2), len),
+          (a, b) => concat(a, lit(" "), b))
+      } else when(sz >= n,
+          transform(sequence(lit(1), sz - lit(n - 1)),
+            i => array_join(slice(toks, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
     array_distinct(grams)
   }
 

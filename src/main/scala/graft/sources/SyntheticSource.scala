@@ -97,12 +97,15 @@ final class SyntheticScanBuilder(rows: Long, partitions: Int)
       case LessThanOrEqual("event_id", _: Long) => true
       case _ => false
     }
+    // Saturating successor: v+1 on Long.MaxValue wraps negative, which
+    // would silently widen (GT) or empty (LTE) the consumed range.
+    def succ(v: Long): Long = if (v == Long.MaxValue) Long.MaxValue else v + 1
     accepted.foreach {
-      case EqualTo("event_id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1)
-      case GreaterThan("event_id", v: Long) => lo = math.max(lo, v + 1)
+      case EqualTo("event_id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, succ(v))
+      case GreaterThan("event_id", v: Long) => lo = math.max(lo, succ(v))
       case GreaterThanOrEqual("event_id", v: Long) => lo = math.max(lo, v)
       case LessThan("event_id", v: Long) => hi = math.min(hi, v)
-      case LessThanOrEqual("event_id", v: Long) => hi = math.min(hi, v + 1)
+      case LessThanOrEqual("event_id", v: Long) => hi = math.min(hi, succ(v))
       case _ => ()
     }
     pushed = accepted

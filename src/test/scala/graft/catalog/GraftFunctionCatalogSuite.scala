@@ -35,6 +35,13 @@ class GraftFunctionCatalogSuite extends AnyFunSuite {
     val r = spark.sql("SELECT graftfns.ops.dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS d")
       .collect().head
     assert(r.isNullAt(0))
+    // NULL-parity with the expression route: length mismatch and null
+    // elements are NULL, never an error or a garbage 0.0 read.
+    assert(spark.sql("SELECT graftfns.ops.dot(array(1.0d), array(1.0d, 2.0d)) AS d")
+      .collect().head.isNullAt(0))
+    assert(spark.sql(
+      "SELECT graftfns.ops.dot(array(1.0d, CAST(NULL AS DOUBLE)), array(2.0d, 3.0d)) AS d")
+      .collect().head.isNullAt(0))
     val err = intercept[Exception] {
       spark.sql("SELECT graftfns.ops.dot(array('a'), array('b'))").collect()
     }

@@ -85,9 +85,14 @@ class SourcesSuite extends AnyFunSuite {
     // parquet file is actually ordered.
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-sorted-write").toString
+    // lang leads the sort key: the partitionBy writer REQUIRES ordering on
+    // the partition column and would insert its own SortExec(lang) above a
+    // doc_id-only sort — doc_id order would then survive only by
+    // unguaranteed sort stability. Leading with lang satisfies the
+    // writer's required ordering, so the user's sort is the one on disk.
     Tables.documents(spark, dir)
       .repartition(col("lang"))
-      .sortWithinPartitions("doc_id")
+      .sortWithinPartitions("lang", "doc_id")
       .write.partitionBy("lang").mode("overwrite").parquet(out)
     val files = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
       .filter(p => p.toString.endsWith(".parquet"))

@@ -66,4 +66,12 @@ class SyntheticSourceSuite extends AnyFunSuite {
     val df = table().filter($"event_id" > 5000)
     assert(df.count() === 0)
   }
+
+  test("Long.MaxValue boundary filters don't wrap the consumed range") {
+    // v+1 overflow on the consumed (non-residual) filter would silently
+    // return ALL rows for > MaxValue and ZERO rows for <= MaxValue.
+    assert(table().filter($"event_id" > Long.MaxValue).count() === 0)
+    assert(table().filter($"event_id" <= Long.MaxValue).count() === 1000)
+    assert(table().filter($"event_id" === Long.MaxValue).count() === 0)
+  }
 }

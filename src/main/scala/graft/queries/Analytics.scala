@@ -416,8 +416,37 @@ object Analytics {
         FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_revenue
     FROM orders GROUP BY year(o_orderdate) ORDER BY yr"""))
 
+  // Defined before its query (forward object vals are null at init).
+  private val IdleCustomersSql = """WITH avgbal AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS a
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT c_mktsegment, count(*) AS n_cust,
+      CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+    FROM customer, avgbal
+    WHERE c_acctbal > avgbal.a
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  /** TPC-H Q22 shape: well-funded customers with no urgent orders (every
+    * fixture customer has SOME order, so the classic never-ordered form
+    * would be vacuously empty) — a NOT
+    * EXISTS (planned as a left-anti join after decorrelation, never a
+    * per-row probe) against an uncorrelated scalar average. Identical SQL
+    * runs as the oracle.
+    */
+  val q44IdleCustomers = Q(
+    "q44_idle_customers",
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql(IdleCustomersSql)
+    },
+    Some(IdleCustomersSql))
+
   val all: Seq[Q] = Seq(
     q32CorrStats, q33SmallQtyRevenue, q34RevenueShare, q35RangeJoinBinned,
     q36GroupingSets, q37SlidingWindows, q38SaltedJoin, q39ApproxQuantiles,
-    q40ArrayFuncs, q41RecursiveChain, q42DisjunctivePredicates, q43FilteredAgg)
+    q40ArrayFuncs, q41RecursiveChain, q42DisjunctivePredicates, q43FilteredAgg,
+    q44IdleCustomers)
 }

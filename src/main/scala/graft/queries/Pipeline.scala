@@ -246,6 +246,65 @@ object Pipeline {
       ELSE substring(sha256('graft-s01:' || CAST(doc_id AS VARCHAR)), 1, 1) <= '7' END
     ORDER BY doc_id"""))
 
+  /** Sequence packing, concat-and-split flavor: documents concatenate into
+    * one global token stream (doc_id order) that is cut every 512 tokens —
+    * the packing step between chunking and a trainer. Each document gets
+    * its stream offset (an exclusive prefix sum), the sequence it starts
+    * in, the sequence its last token lands in, and how many sequence
+    * boundaries cut it.
+    *
+    * The prefix sum is the textbook two-level parallel form — a global
+    * `Window.orderBy` would move every row to ONE task. Level 1: exclusive
+    * sums within doc-id buckets (parallel windows). Level 2: each bucket's
+    * base offset = total tokens of all earlier buckets, computed on the
+    * tiny bucket-totals frame with a non-equi self-join (rows = #buckets,
+    * bounded by data/bucketSize — no unpartitioned window anywhere) and
+    * broadcast back. No iterative packing loop (greedy FFD) is needed for
+    * the concat-and-split semantics every large pretraining pipeline uses.
+    */
+  val p01SequencePacking = Q(
+    "p01_sequence_packing",
+    (s, dir) => {
+      val seqLen = 512
+      val nTok = size(split(trim(col("text")), """\s+"""))
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), nTok.cast("long").as("n_tokens"),
+          (col("doc_id") / 1000).cast("long").as("bkt"))
+      val wIn = Window.partitionBy("bkt").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withLocal = base
+        .withColumn("local_off", coalesce(sum("n_tokens").over(wIn), lit(0L)))
+      val bktTotals = base.groupBy("bkt").agg(sum("n_tokens").as("bkt_tok"))
+      val bktOffsets = bktTotals.as("a")
+        .join(bktTotals.as("b"), col("b.bkt") < col("a.bkt"), "left")
+        .groupBy(col("a.bkt").as("bkt"))
+        .agg(coalesce(sum(col("b.bkt_tok")), lit(0L)).as("bkt_off"))
+      withLocal
+        .join(broadcast(bktOffsets), "bkt")
+        .withColumn("offset", col("local_off") + col("bkt_off"))
+        .select(
+          col("doc_id"), col("n_tokens").cast("int").as("n_tokens"), col("offset"),
+          (col("offset") / seqLen).cast("long").as("seq_start"),
+          ((col("offset") + col("n_tokens") - 1) / seqLen).cast("long").as("seq_end"))
+        .withColumn("n_splits", (col("seq_end") - col("seq_start")).cast("int"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+      SELECT doc_id,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      FROM documents),
+    o AS (
+      SELECT doc_id, n_tokens,
+        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+      FROM t)
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, "offset",
+      CAST(floor("offset" / 512.0) AS BIGINT) AS seq_start,
+      CAST(floor(("offset" + n_tokens - 1) / 512.0) AS BIGINT) AS seq_end,
+      CAST(floor(("offset" + n_tokens - 1) / 512.0)
+         - floor("offset" / 512.0) AS INT) AS n_splits
+    FROM o ORDER BY doc_id"""))
+
   /** Nearest-centroid assignment (k-means E-step) against the 8 lowest-id
     * vectors as fixed centroids — corpus ⨯ broadcast(centroids), argmin
     * Euclidean distance. Argmin runs on the ROUNDED distance (DuckDB's
@@ -298,5 +357,6 @@ object Pipeline {
 
   val all: Seq[Q] = Seq(
     c01DocChunks, c02TfidfTopTerms, c03Bm25TopTerms, c04UnigramXent,
-    s01StratifiedSample, k01KmeansAssign, k02KmeansClusters)
+    p01SequencePacking, s01StratifiedSample, k01KmeansAssign,
+    k02KmeansClusters)
 }

@@ -17,52 +17,46 @@ import graft.SparkTestSession
   * shape at fixture scale — production inherits the defaults.
   */
 class RuntimeFilterSuite extends AnyFunSuite {
-  private lazy val spark = SparkTestSession.spark
-  private val dir = SparkTestSession.sfDir
-
-  private val confs = Seq(
-    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
-    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+  // Own session (shared SparkContext, isolated SessionState): these tests
+  // flip autoBroadcastJoinThreshold, which would flake concurrently-running
+  // suites' plan assertions if set on the shared session's conf.
+  private lazy val spark = {
+    val s = SparkTestSession.spark.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
     // Force a shuffle join: a broadcast join already ships the keys, so
     // Spark (correctly) skips the bloom filter there.
-    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-
-  private def withConfs[A](f: => A): A = {
-    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try f
-    finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s
   }
+  private val dir = SparkTestSession.sfDir
 
   test("selective dim join injects a bloom filter on the fact side, same results") {
-    withConfs {
-      val li = Tables.lineitem(spark, dir)
-      val p = Tables.part(spark, dir).filter(col("p_size") === 1)
-      val j = li.join(p, col("l_partkey") === col("p_partkey"))
-        .groupBy("p_size").count()
-      val optimized = j.queryExecution.optimizedPlan.toString
-      assert(optimized.contains("might_contain") && optimized.contains("bloom_filter_agg"),
-        s"no runtime bloom filter injected:\n$optimized")
-      val withFilter = j.collect().toSeq
-      // Rewrite must be result-invisible.
-      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
-      val plain = li.join(p, col("l_partkey") === col("p_partkey"))
-        .groupBy("p_size").count().collect().toSeq
-      assert(withFilter === plain)
-    }
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir).filter(col("p_size") === 1)
+    val j = li.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_size").count()
+    val optimized = j.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("might_contain") && optimized.contains("bloom_filter_agg"),
+      s"no runtime bloom filter injected:\n$optimized")
+    val withFilter = j.collect().toSeq
+    // Rewrite must be result-invisible: same join with the filter off.
+    val s2 = SparkTestSession.spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plain = Tables.lineitem(s2, dir)
+      .join(Tables.part(s2, dir).filter(col("p_size") === 1),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_size").count().collect().toSeq
+    assert(withFilter === plain)
   }
 
   test("broadcast joins skip the bloom filter (keys already ship with the build side)") {
-    withConfs {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
-      val li = Tables.lineitem(spark, dir)
-      val p = Tables.part(spark, dir).filter(col("p_size") === 1)
-      val plan = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        .queryExecution.optimizedPlan.toString
-      assert(!plan.contains("might_contain"), plan)
-    }
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir).filter(col("p_size") === 1)
+    val plan = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("might_contain"), plan)
   }
 }

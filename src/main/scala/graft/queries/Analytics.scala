@@ -444,9 +444,44 @@ object Analytics {
     },
     Some(IdleCustomersSql))
 
+  /** Map-typed columns end-to-end: `events.props` JSON parsed into a
+    * `map<string,int>`, then `map_keys`/`element_at`/`map_contains_key`
+    * drive per-event features and a per-type aggregate. DuckDB has no
+    * JSON→MAP cast, so the oracle derives the identical scalars through
+    * its JSON functions — the comparison is on the derived values, which
+    * is what makes a map column oracle-checkable at all.
+    */
+  val q45MapFuncs = Q(
+    "q45_map_funcs",
+    (s, dir) => {
+      val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.IntegerType))
+      Tables.events(s, dir)
+        .select(col("event_type"), m.as("pm"))
+        .select(
+          col("event_type"),
+          size(map_keys(col("pm"))).as("n_keys"),
+          element_at(col("pm"), "k").as("k_val"),
+          map_contains_key(col("pm"), "k").as("has_k"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("has_k"), 1).otherwise(0)).as("n_with_k"),
+          sum(col("k_val")).as("sum_k"),
+          max(col("n_keys")).as("max_keys"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n,
+      CAST(sum(CASE WHEN json_extract(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_with_k,
+      CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+      CAST(max(len(json_keys(props))) AS INT) AS max_keys
+    FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(
     q32CorrStats, q33SmallQtyRevenue, q34RevenueShare, q35RangeJoinBinned,
     q36GroupingSets, q37SlidingWindows, q38SaltedJoin, q39ApproxQuantiles,
     q40ArrayFuncs, q41RecursiveChain, q42DisjunctivePredicates, q43FilteredAgg,
-    q44IdleCustomers)
+    q44IdleCustomers, q45MapFuncs)
 }

@@ -265,11 +265,15 @@ object Pipeline {
   val p01SequencePacking = Q(
     "p01_sequence_packing",
     (s, dir) => {
-      val seqLen = 512
       val nTok = size(split(trim(col("text")), """\s+"""))
+      // All id/offset arithmetic stays in Long via `div` (same convention
+      // as Tables.events): a double round-trip through `/` would lose
+      // exactness above 2^53 total tokens — precisely the scale this
+      // query's two-level structure exists for. Truncation == floor here
+      // since every operand is non-negative.
       val base = Tables.documents(s, dir)
         .select(col("doc_id"), nTok.cast("long").as("n_tokens"),
-          (col("doc_id") / 1000).cast("long").as("bkt"))
+          expr("doc_id div 1000").as("bkt"))
       val wIn = Window.partitionBy("bkt").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
       val withLocal = base
@@ -284,8 +288,8 @@ object Pipeline {
         .withColumn("offset", col("local_off") + col("bkt_off"))
         .select(
           col("doc_id"), col("n_tokens").cast("int").as("n_tokens"), col("offset"),
-          (col("offset") / seqLen).cast("long").as("seq_start"),
-          ((col("offset") + col("n_tokens") - 1) / seqLen).cast("long").as("seq_end"))
+          expr("offset div 512").as("seq_start"),
+          expr("(offset + n_tokens - 1) div 512").as("seq_end"))
         .withColumn("n_splits", (col("seq_end") - col("seq_start")).cast("int"))
         .orderBy("doc_id")
     },

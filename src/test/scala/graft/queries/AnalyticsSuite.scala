@@ -64,6 +64,26 @@ class AnalyticsSuite extends AnyFunSuite {
     }
   }
 
+  test("map functions handle missing keys (fixture props always contain 'k')") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{element_at, from_json, map_contains_key, map_keys, size => asize}
+    // Every fixture event's props is exactly {"k": n}, so q45's oracle run
+    // can't distinguish map_contains_key/element_at from constants — this
+    // pins the missing-key and multi-key semantics the oracle can't reach.
+    val df = Seq(
+      """{"k": 3}""", """{"x": 1, "y": 2}""", """{}""")
+      .toDF("props")
+      .select(from_json($"props", org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.IntegerType)).as("pm"))
+      .select(
+        asize(map_keys($"pm")).as("n_keys"),
+        element_at($"pm", "k").as("k_val"),
+        map_contains_key($"pm", "k").as("has_k"))
+    val rows = df.as[(Int, Option[Int], Boolean)].collect().toSet
+    assert(rows === Set((1, Some(3), true), (2, None, false), (0, None, false)))
+  }
+
   test("q36 grouping sets emits exactly the three declared groupings") {
     import spark.implicits._
     val gids = Analytics.q36GroupingSets.run(spark, dir)

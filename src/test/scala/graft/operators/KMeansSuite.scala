@@ -60,6 +60,21 @@ class KMeansSuite extends AnyFunSuite {
     assert(direct == fitted)
   }
 
+  test("assign() equals the brute-force argmin on random vectors") {
+    val r = new scala.util.Random(23)
+    val vecs = (1L to 80L).map(i => (i, Seq.fill(6)(r.nextDouble() * 4 - 2)))
+    val cents = (0 until 5).map(c => (c, Seq.fill(6)(r.nextDouble() * 4 - 2)))
+    val got = KMeans.assign(
+        vecs.toDF("id", "vec"), cents.toDF("cluster", "cvec"), "id", "vec")
+      .select(col("id"), col("cluster")).as[(Long, Int)].collect().toMap
+    val brute = vecs.map { case (id, v) =>
+      id -> cents.map { case (c, cv) =>
+        (v.zip(cv).foldLeft(0.0) { case (a, (x, y)) => a + (x - y) * (x - y) }, c)
+      }.min._2
+    }.toMap
+    assert(got === brute)
+  }
+
   test("empty cluster keeps its previous centroid instead of crashing") {
     // k=3 over 2 distinct points: one seed never wins any point.
     val tiny = Seq(

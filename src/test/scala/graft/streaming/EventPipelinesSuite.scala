@@ -235,6 +235,30 @@ class EventPipelinesSuite extends AnyFunSuite {
     }
   }
 
+  test("file-source streaming: new parquet files are picked up incrementally") {
+    import org.apache.spark.sql.types._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-filestream").toString
+    val schema = new StructType()
+      .add("ts", TimestampType).add("event_type", StringType)
+      .add("value", DoubleType).add("user_id", LongType)
+    // Seed one file BEFORE the stream starts, then drop a second mid-stream:
+    // the file source must process both, each exactly once.
+    Seq(Ev(ts(0, 0), "click", 1.0, 1)).toDF().write.mode("append").parquet(srcDir)
+    val name = s"mem_${System.nanoTime()}"
+    val q = spark.readStream.schema(schema).parquet(srcDir)
+      .groupBy("event_type").count()
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      Seq(Ev(ts(1, 0), "click", 2.0, 2), Ev(ts(2, 0), "view", 3.0, 3))
+        .toDF().write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      val counts = spark.table(name).as[(String, Long)].collect().toMap
+      assert(counts === Map("click" -> 2L, "view" -> 1L))
+    } finally q.stop()
+  }
+
   test("stream-stream join attributes purchases to clicks within the horizon") {
     val clicks = MemoryStream[Ev]
     val purchases = MemoryStream[Ev]

@@ -359,8 +359,51 @@ object Pipeline {
     },
     None)
 
+  /** Diversity sampling via cluster quotas: the 3 corpus vectors closest
+    * to each k01 centroid — the curation step that balances a training mix
+    * across embedding-space regions instead of sampling globally. Rank runs
+    * on the ROUNDED distance (same cross-engine discipline as k01) inside a
+    * per-cluster window; at scale the window shuffles on k keys with
+    * per-partition top-k pruning (WindowGroupLimit).
+    */
+  val k03ClusterDiverseSample = Q(
+    "k03_cluster_diverse_sample",
+    (s, dir) => {
+      val c = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val cents = c.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cluster"), col("emb").as("cvec"))
+      val assigned = c.crossJoin(broadcast(cents))
+        .withColumn("dist",
+          round(sqrt(graft.operators.KMeans.sqDist(col("emb"), col("cvec"))), 6))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cluster"))).as("_m"))
+        .select(col("vec_id"), col("_m.cluster").as("cluster"), col("_m.dist").as("dist"))
+      val w = Window.partitionBy("cluster").orderBy(col("dist"), col("vec_id"))
+      assigned
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("cluster"), col("rk"), col("vec_id"), col("dist"))
+        .orderBy("cluster", "rk")
+    },
+    Some("""WITH cents AS (
+      SELECT CAST(vec_id AS INT) AS cluster, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < 8),
+    d AS (
+      SELECT e.vec_id, c.cluster,
+        round(list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) AS dist,
+        row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY round(list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec), 6), c.cluster) AS rn
+      FROM embeddings e, cents c),
+    a AS (SELECT vec_id, cluster, dist FROM d WHERE rn = 1),
+    r AS (
+      SELECT cluster, vec_id, dist,
+        CAST(row_number() OVER (PARTITION BY cluster ORDER BY dist, vec_id) AS INT) AS rk
+      FROM a)
+    SELECT cluster, rk, vec_id, dist FROM r WHERE rk <= 3 ORDER BY cluster, rk"""))
+
   val all: Seq[Q] = Seq(
     c01DocChunks, c02TfidfTopTerms, c03Bm25TopTerms, c04UnigramXent,
     p01SequencePacking, s01StratifiedSample, k01KmeansAssign,
-    k02KmeansClusters)
+    k02KmeansClusters, k03ClusterDiverseSample)
 }

@@ -45,25 +45,22 @@ object Bench {
     }
     // Ambient host load distorts single runs by up to ~40× on one query
     // (BASELINE.md); min-of-2 recovers the quiet-time cost. The second pass
-    // is skipped when the first already ran long — on a loaded host it
-    // would only double a bad run, and on a quiet host it never triggers.
+    // runs UNCONDITIONALLY: a ">300 s ⇒ single pass" hatch here once reported
+    // one load-distorted pass as the round's artifact (q36 211.8 s vs 1.5 s
+    // warm) — exactly the run where the second pass matters most.
     // Failed executions never contribute a timing: min is taken over
     // SUCCESSFUL passes only (a fast failure is not a fast query).
     val first = passOnce()
-    val results =
-      if (first.map(_._2).sum > 300.0) first.map { case (k, v, _) => k -> v }
-      else {
-        val second = passOnce().map { case (k, v, ok) => k -> (v, ok) }.toMap
-        first.map { case (k, v1, ok1) =>
-          val (v2, ok2) = second.getOrElse(k, (v1, ok1))
-          k -> ((ok1, ok2) match {
-            case (true, true) => math.min(v1, v2)
-            case (true, false) => v1
-            case (false, true) => v2
-            case (false, false) => math.max(v1, v2)
-          })
-        }
-      }
+    val second = passOnce().map { case (k, v, ok) => k -> (v, ok) }.toMap
+    val results = first.map { case (k, v1, ok1) =>
+      val (v2, ok2) = second.getOrElse(k, (v1, ok1))
+      k -> ((ok1, ok2) match {
+        case (true, true) => math.min(v1, v2)
+        case (true, false) => v1
+        case (false, true) => v2
+        case (false, false) => math.max(v1, v2)
+      })
+    }
     // Locale-pinned formatting: the f interpolator follows the JVM default
     // locale, which would emit comma decimals (invalid JSON) on e.g. de_DE.
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)

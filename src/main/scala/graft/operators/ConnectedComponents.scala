@@ -3,62 +3,99 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Small-diameter connected components by iterative min-label propagation —
-  * the clustering step after near-dup pair generation (SURVEY §2.12:
-  * "connected components within bands"), assigning every document of a
-  * duplicate group one canonical id (the group's minimum).
+/** Connected components by large-star/small-star alternation (Kiveris et
+  * al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+  * clustering step after near-dup pair generation (SURVEY §2.12:
+  * "connected components within bands"), assigning every member of a
+  * duplicate group the group's minimum id.
   *
-  * Each iteration is one join + one aggregate (label := min over self and
-  * neighbours); convergence needs O(component diameter) rounds. Near-dup
-  * graphs are almost all tiny cliques, so 2–3 rounds suffice; `maxIters`
-  * bounds the pathological chain. The driver-side loop only reads a scalar
-  * `changed` count per round — the data never leaves the executors. At
-  * web scale with adversarial diameters the standard upgrade is
-  * large/small-star (alternating optimization), same join shape.
+  * Each round is two edge rewrites, each one groupBy-min + join + distinct:
+  *
+  *   - large-star: every node connects its LARGER neighbors to the minimum
+  *     of its closed neighborhood;
+  *   - small-star: every node connects its smaller neighbors (and itself)
+  *     to the smallest of them.
+  *
+  * Both steps preserve the component partition, and the edge set converges
+  * to stars centered at each component's minimum in O(log² n) rounds —
+  * the scale upgrade over one-hop min-label propagation, whose round count
+  * is the component DIAMETER (adversarial chains at 100 TB: thousands).
+  * Each round's edge set is `localCheckpoint`ed: the logical plan stays one
+  * round deep instead of nesting every previous join, so analysis/AQE cost
+  * is constant per round. Only a convergence boolean reaches the driver
+  * per round — the edges never leave the executors.
   */
 object ConnectedComponents {
 
   /** @param pairs two columns `id_a`, `id_b` (undirected edges)
     * @return `id`, `cluster_id` (min reachable id) for every endpoint
     */
-  def clusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
-    val spark = pairs.sparkSession
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+  def clusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    // Canonical edge form throughout: (lo, hi), lo < hi, distinct — the
+    // shape both star steps and the convergence check operate on.
+    var edges = pairs
+      .select(
+        least(col("id_a"), col("id_b")).as("lo"),
+        greatest(col("id_a"), col("id_b")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
       .distinct()
-      .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .persist()
-    // coalesce guards the empty-graph case: sum over zero rows is NULL,
-    // and an empty pair set is a legitimate input (no near-dups found).
-    // Summed in DECIMAL(38,0): a Long sum can overflow on large/hashed id
-    // domains, which ANSI mode turns into a mid-iteration error.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")), lit(java.math.BigDecimal.ZERO)))
-        .head.getDecimal(0)
-    // Labels only ever decrease, so Σlbl is a strictly decreasing monotone
-    // until the fixpoint — an equal sum IS convergence. One aggregate per
-    // round instead of a join+count halves the driver round-trips.
-    var prevSum = labelSum(labels)
+      .localCheckpoint()
+
+    // Convergence = the edge set IS a star forest, checked structurally
+    // (no node is both a root and a leaf; every leaf has exactly one root)
+    // rather than via a fingerprint-stability heuristic: star-ness is the
+    // exact postcondition the label extraction below relies on. One
+    // groupBy + emptiness probe per round; only a boolean reaches the
+    // driver.
+    def isStarForest(e: DataFrame): Boolean = {
+      val flags = e.select(col("lo").as("n"), lit(0L).as("h"))
+        .unionAll(e.select(col("hi").as("n"), lit(1L).as("h")))
+      flags.groupBy("n")
+        .agg(min(col("h")).as("mn"), max(col("h")).as("mx"), sum(col("h")).as("nh"))
+        .filter((col("mn") === 0 && col("mx") === 1) || col("nh") > 1)
+        .isEmpty
+    }
+
+    def canonical(df: DataFrame): DataFrame =
+      df.select(least(col("x"), col("y")).as("lo"), greatest(col("x"), col("y")).as("hi"))
+        .filter(col("lo") =!= col("hi"))
+        .distinct()
+
+    /** Large-star: for each node a with closed-neighborhood min m, rewire
+      * every neighbor b > a to m. Larger-side edges are re-attached low;
+      * smaller-side edges survive via the opposite endpoint's emission. */
+    def largeStar(e: DataFrame): DataFrame = {
+      val adj = e.select(col("lo").as("a"), col("hi").as("b"))
+        .union(e.select(col("hi").as("a"), col("lo").as("b")))
+      val mins = adj.groupBy("a").agg(min(col("b")).as("mn"))
+      canonical(
+        adj.join(mins, "a")
+          .filter(col("b") > col("a"))
+          .select(col("b").as("x"), least(col("mn"), col("a")).as("y")))
+    }
+
+    /** Small-star: orient edges large→small; each node links its smaller
+      * neighbors and itself to the smallest of those neighbors. */
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("hi").agg(min(col("lo")).as("mn"))
+      val withMin = e.join(mins, "hi")
+      canonical(
+        withMin.select(col("lo").as("x"), col("mn").as("y"))
+          .union(withMin.select(col("hi").as("x"), col("mn").as("y"))))
+    }
+
     var iters = 0
-    var converged = false
+    var converged = isStarForest(edges)
     while (!converged && iters < maxIters) {
-      val viaNeighbors = edges
-        .join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("lbl"))
-      val next = labels.select(col("id"), col("lbl"))
-        .union(viaNeighbors)
-        .groupBy("id").agg(min("lbl").as("lbl"))
-        .persist()
-      val newSum = labelSum(next)
-      converged = newSum.compareTo(prevSum) == 0
-      prevSum = newSum
-      labels.unpersist()
-      labels = next
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      converged = isStarForest(edges)
       iters += 1
     }
-    require(converged, s"connected components did not converge in $maxIters iterations")
-    labels.select(col("id"), col("lbl").as("cluster_id"))
+    require(converged, s"connected components did not converge in $maxIters rounds")
+    // Fixpoint edges are stars (lo = component min): leaves label lo, roots
+    // label themselves. Every input endpoint appears as a leaf or a root.
+    edges.select(col("hi").as("id"), col("lo").as("cluster_id"))
+      .union(edges.select(col("lo").as("id"), col("lo").as("cluster_id")))
+      .distinct()
   }
 }

@@ -1,6 +1,7 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.{DataFrame, SparkSession, classic}
+import org.apache.spark.sql.{classic, Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Bridge into the classic `Dataset.ofRows` factory (`private[sql]`) so the
@@ -18,4 +19,12 @@ object GraftPlanBridge {
     * analyzer/optimizer/planner pipeline on collect, like any DataFrame). */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Wrap a raw Catalyst expression as a Column (for custom expressions
+    * that take non-expression constructor parameters and so cannot go
+    * through the FunctionRegistry, e.g. a plane matrix). */
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** The Catalyst expression behind a Column. */
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 }

@@ -32,4 +32,45 @@ class ConnectedComponentsSuite extends AnyFunSuite {
     assert(got === Map(
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
   }
+
+  /** Reference labels by union-find (path-halving). */
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) {
+        parent(r) = parent.getOrElse(parent(r), parent(r))
+        r = parent(r)
+      }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("adversarial 200-node chain converges within the star round bound") {
+    // Diameter 200: one-hop min-label propagation would need ~200 rounds;
+    // large/small-star must finish inside the default maxIters = 25.
+    val chain = (1L until 200L).map(i => (i, i + 1))
+    assert(cc(chain: _*) === chain.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(_ -> 1L).toMap)
+  }
+
+  test("property: random graphs match union-find labels") {
+    val r = new scala.util.Random(99)
+    for (trial <- 0 until 5) {
+      // 120+ nodes, sparse enough to leave many components; ids are spread
+      // out so component minima are non-trivial.
+      val n = 120 + trial * 40
+      val nodes = r.shuffle((0L until 10000L).toVector).take(n)
+      val edges = Seq.fill(n)((nodes(r.nextInt(n)), nodes(r.nextInt(n))))
+        .filter { case (a, b) => a != b }
+      val expected = unionFind(edges)
+      assert(cc(edges: _*) === expected, s"trial $trial")
+    }
+  }
 }

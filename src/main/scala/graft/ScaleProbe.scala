@@ -13,6 +13,20 @@ object ScaleProbe {
   private def amplify(df: DataFrame, factor: Int): DataFrame =
     df.withColumn("_dup", explode(sequence(lit(1), lit(factor)))).drop("_dup")
 
+  /** Token-salted document replication for the JOIN shapes: replica r of a
+    * document shares no shingles with replica r' (every token is suffixed
+    * with the replica tag) and gets a fresh doc_id, so N× data carries N×
+    * independent near-dup structure. Plain replication would make each
+    * band bucket N× deeper in identical copies — an artificial N² pair
+    * blowup that measures the amplifier, not the operator. */
+  private def amplifyDocs(df: DataFrame, factor: Int): DataFrame =
+    df.withColumn("_rep", explode(sequence(lit(1), lit(factor))))
+      .select(
+        (col("doc_id") * factor + (col("_rep") - 1)).as("doc_id"),
+        array_join(
+          transform(split(trim(col("text")), "\\s+"),
+            t => concat(t, lit("_"), col("_rep"))), " ").as("text"))
+
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
     f
@@ -61,22 +75,52 @@ object ScaleProbe {
       tf.join(dfreq, "token")
     }
 
-    val shapes: Seq[(String, DataFrame => DataFrame, DataFrame)] = Seq(
-      ("agg_q01", q01 _, li),
-      ("window_topk", topk _, li),
+    // The two data-dependent-fan-out JOIN pipelines (round-4 verdict gap):
+    // banded-LSH near-dup pairs and the shingle-keyed containment join.
+    def lshBandJoin(d: DataFrame): DataFrame =
+      graft.operators.MinHashLsh.nearDupPairs(d, "doc_id", "text",
+        graft.operators.MinHashLsh.Params())
+
+    def containJoin(d: DataFrame): DataFrame = {
+      import graft.operators.MinHashLsh
+      val sh = d
+        .withColumn("split", when(col("doc_id") % 10 < 8, "train").otherwise("holdout"))
+        .select(col("doc_id"), col("split"), MinHashLsh.shingles(col("text"), 2).as("grams"))
+      val g = sh.select(
+        col("doc_id"), col("split"), size(col("grams")).as("n_grams"),
+        explode(col("grams")).as("sh"))
+      val h = g.filter(col("split") === "holdout")
+        .select(col("doc_id").as("holdout_doc"), col("n_grams").as("hn"), col("sh"))
+      val t = g.filter(col("split") === "train")
+        .select(col("doc_id").as("train_doc"), col("sh"))
+      h.join(t, "sh")
+        .groupBy("holdout_doc", "train_doc")
+        .agg(count(lit(1)).as("n_shared"), first("hn").as("hn"))
+        .filter(col("n_shared").cast("double") / col("hn") >= 0.5)
+    }
+
+    val docAmp = amplifyDocs _
+    val rowAmp = amplify _
+    val shapes: Seq[(String, DataFrame => DataFrame, DataFrame, (DataFrame, Int) => DataFrame)] = Seq(
+      ("agg_q01", q01 _, li, rowAmp),
+      ("window_topk", topk _, li, rowAmp),
       ("minhash_sigs",
         (d: DataFrame) => graft.operators.MinHashLsh.signatures(d, "doc_id", "text",
           graft.operators.MinHashLsh.Params()),
-        docs),
-      ("tfidf_join", tfidfTerms _, docs),
-      ("kmeans_assign", kmeansAssign _, emb))
+        docs, rowAmp),
+      ("tfidf_join", tfidfTerms _, docs, rowAmp),
+      ("kmeans_assign", kmeansAssign _, emb, rowAmp),
+      ("lsh_band_join", lshBandJoin _, docs, docAmp),
+      ("contain_join", containJoin _, docs, docAmp))
 
     // Warm codegen/scan once.
-    shapes.foreach { case (_, f, base) => sink(f(base)) }
+    shapes.foreach { case (_, f, base, _) => sink(f(base)); spark.catalog.clearCache() }
     println(f"shape,base_s,x${factor}_s,ratio")
-    shapes.foreach { case (name, f, base) =>
+    shapes.foreach { case (name, f, base, amp) =>
       val b = time(sink(f(base)))
-      val s = time(sink(f(amplify(base, factor))))
+      spark.catalog.clearCache()
+      val s = time(sink(f(amp(base, factor))))
+      spark.catalog.clearCache()
       println(f"$name,$b%.2f,$s%.2f,${s / b}%.1f")
     }
     spark.stop()

@@ -56,38 +56,39 @@ object ConnectedComponents {
         .isEmpty
     }
 
-    def canonical(df: DataFrame): DataFrame =
-      df.select(least(col("x"), col("y")).as("lo"), greatest(col("x"), col("y")).as("hi"))
-        .filter(col("lo") =!= col("hi"))
-        .distinct()
-
     /** Large-star: for each node a with closed-neighborhood min m, rewire
       * every neighbor b > a to m. Larger-side edges are re-attached low;
-      * smaller-side edges survive via the opposite endpoint's emission. */
+      * smaller-side edges survive via the opposite endpoint's emission.
+      * Output rows are already (lo, hi)-ordered (b > a ≥ m) and bounded by
+      * |E| (one row per undirected edge), so no dedup shuffle here — the
+      * small-star step's distinct cleans the round. */
     def largeStar(e: DataFrame): DataFrame = {
       val adj = e.select(col("lo").as("a"), col("hi").as("b"))
         .union(e.select(col("hi").as("a"), col("lo").as("b")))
       val mins = adj.groupBy("a").agg(min(col("b")).as("mn"))
-      canonical(
-        adj.join(mins, "a")
-          .filter(col("b") > col("a"))
-          .select(col("b").as("x"), least(col("mn"), col("a")).as("y")))
+      adj.join(mins, "a")
+        .filter(col("b") > col("a"))
+        .select(least(col("mn"), col("a")).as("lo"), col("b").as("hi"))
     }
 
     /** Small-star: orient edges large→small; each node links its smaller
-      * neighbors and itself to the smallest of those neighbors. */
+      * neighbors and itself to the smallest of those neighbors. Emissions
+      * are already (lo, hi)-ordered (mn ≤ every lo < hi). */
     def smallStar(e: DataFrame): DataFrame = {
       val mins = e.groupBy("hi").agg(min(col("lo")).as("mn"))
       val withMin = e.join(mins, "hi")
-      canonical(
-        withMin.select(col("lo").as("x"), col("mn").as("y"))
-          .union(withMin.select(col("hi").as("x"), col("mn").as("y"))))
+      withMin.select(col("mn").as("lo"), col("lo").as("hi"))
+        .filter(col("lo") =!= col("hi"))
+        .union(withMin.select(col("mn").as("lo"), col("hi")))
+        .distinct()
     }
 
     var iters = 0
     var converged = isStarForest(edges)
     while (!converged && iters < maxIters) {
-      edges = smallStar(largeStar(edges)).localCheckpoint()
+      // Lazy checkpoint: the convergence check's action materializes it,
+      // saving one job per round over an eager checkpoint.
+      edges = smallStar(largeStar(edges)).localCheckpoint(false)
       converged = isStarForest(edges)
       iters += 1
     }

@@ -108,12 +108,21 @@ object SkylinePlan {
     kept.iterator.map(_._1)
   }
 
-  /** Two-phase physical skyline. Phase 2 runs on one partition: its input is
-    * the union of local skylines, ≈ O((ln N)^(d-1)) rows for independent
-    * dims — bounded by the answer size, not the data size. */
+  /** Multi-phase physical skyline: a dominance filter per child partition,
+    * a tree-reduce middle level (√P partitions) when the child is wide,
+    * then the final single-partition merge. For independent dims local
+    * skylines are ≈ O((ln N)^(d-1)) and the merge is trivial; the middle
+    * level bounds the final task's input even when anti-correlated dims
+    * make the skyline itself O(N) — no single task ever merges more than
+    * √P raw partition outputs' survivors. */
   final case class SkylineExec(dims: Seq[Attribute], child: SparkPlan) extends UnaryExecNode {
     override def output: Seq[Attribute] = child.output
     override def nodeName: String = "GraftSkyline"
+    // The produced RDD genuinely has one partition: declare it, or
+    // EnsureRequirements would elide exchanges based on the CHILD's
+    // distribution while the runtime partition count is 1.
+    override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+      org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     override protected def withNewChildInternal(newChild: SparkPlan): SkylineExec =
       copy(child = newChild)
 
@@ -126,13 +135,22 @@ object SkylinePlan {
         i
       }.toArray
       val local = child.execute().mapPartitions(it => localSkyline(it, dimIdx))
-      local.coalesce(1).mapPartitions(it => localSkyline(it, dimIdx))
+      val p = local.getNumPartitions
+      val reduced =
+        if (p <= 4) local
+        else local.coalesce(math.max(2, math.sqrt(p.toDouble).toInt))
+          .mapPartitions(it => localSkyline(it, dimIdx))
+      reduced.coalesce(1).mapPartitions(it => localSkyline(it, dimIdx))
     }
   }
 
+  private val registerLock = new Object
+
   /** Idempotent programmatic registration (for sessions built without the
-    * `spark.sql.extensions=graft.functions.GraftExtensions` config). */
-  def register(spark: SparkSession): Unit = {
+    * `spark.sql.extensions=graft.functions.GraftExtensions` config).
+    * Synchronized: concurrent first calls on a shared session would both
+    * pass the contains-check and append the strategy twice. */
+  def register(spark: SparkSession): Unit = registerLock.synchronized {
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(SkylineStrategy))
       exp.extraStrategies = exp.extraStrategies :+ SkylineStrategy

@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{CatalogAutomation, CatalogProfile, ColumnSpec, TableSpec}
+
+/** The reference's core workflow as ONE oracle-gated query: declarative
+  * spec → generated DDL → idempotent provision → INSERT OVERWRITE from the
+  * raw source → `spark.table` scan — the full catalog loop a user of the
+  * reference runs (`create_iceberg_tables.py:24-57,140-156` followed by a
+  * read), previously exercised only in sbt suites.
+  *
+  * The curated table is partitioned by `o_orderpriority` (the reference's
+  * identity-transform partitioning, `customers.yml:5-7`), so the final
+  * filtered aggregate exercises partition pruning through the catalog
+  * table — at 100 TB the filter selects 2 of 5 partitions before any IO.
+  * The table lives at an explicit LOCATION (the reference's `location:`
+  * key): the in-memory catalog forgets metadata between sessions while the
+  * warehouse files survive, and re-CREATEing a *managed* table over its
+  * leftover non-empty directory is an error — external + full INSERT
+  * OVERWRITE makes every rerun converge to the same state.
+  */
+object CatalogPipeline {
+
+  private val spec = TableSpec(
+    database = "graft_e2e",
+    table = "orders_curated",
+    location = Some(s"${System.getProperty("java.io.tmpdir")}/graft_e2e/orders_curated"),
+    formatVersion = "2",
+    partitionedBy = Seq("o_orderpriority"),
+    columns = Seq(
+      ColumnSpec("o_orderkey", "bigint"),
+      ColumnSpec("o_custkey", "bigint"),
+      ColumnSpec("o_totalprice", "double"),
+      ColumnSpec("o_orderpriority", "string")))
+
+  val r01CatalogRoundtrip = Q(
+    "r01_catalog_roundtrip",
+    (s, dir) => {
+      // Pre-create the external location: CREATE TABLE lists it for schema
+      // discovery and logs a FileNotFound on the very first provision.
+      spec.location.foreach(l =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(l)))
+      val auto = new CatalogAutomation(s, CatalogProfile.Builtin())
+      auto.createTable(spec)
+      val name = s"${spec.database}.${spec.table}"
+      // insertInto resolves positionally and `PARTITIONED BY` moves the
+      // partition column to the end of the on-disk schema — feed columns
+      // in the table's own declared order.
+      Tables.orders(s, dir)
+        .select(s.table(name).columns.map(col): _*)
+        .write.mode("overwrite").insertInto(name)
+      s.table(name)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          Q.dsum(col("o_totalprice")).as("total_price"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+      count(*) AS n_orders,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""))
+
+  val all: Seq[Q] = Seq(r01CatalogRoundtrip)
+}

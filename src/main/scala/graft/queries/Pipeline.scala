@@ -341,9 +341,14 @@ object Pipeline {
     SELECT vec_id, cluster, dist FROM d WHERE rn = 1 ORDER BY vec_id"""))
 
   /** Full Lloyd's k-means (k=8, 3 iterations) over the embedding corpus —
-    * cluster sizes and exact-decimal inertia. Not SQL-expressible in one
-    * oracle statement (iterative); pinned instead by the KMeansSuite
-    * determinism/convergence tests, like the other iterative ops.
+    * cluster sizes and exact-decimal inertia, oracle-checked by UNROLLING
+    * the three iterations as CTE layers (assignment → exact-decimal means,
+    * ×3, then the final assignment). The unroll is hash-exact because every
+    * step of [[graft.operators.KMeans.fit]] is deterministic cross-engine:
+    * the distance fold is left-to-right (DuckDB `list_reduce` with a `+`
+    * lambda reproduces Spark's `aggregate(…, 0.0, +)` bit-for-bit — adding
+    * the 0.0 seed is exact), means are order-free decimal sums, and
+    * argmin ties break on (d2, cluster) both sides.
     */
   val k02KmeansClusters = Q(
     "k02_kmeans_clusters",
@@ -357,7 +362,7 @@ object Pipeline {
           round(sum(col("dist2").cast("decimal(28,10)")).cast("double"), 6).as("inertia"))
         .orderBy("cluster")
     },
-    None)
+    Some(KMeansOracle.sql(k = 8, iters = 3)))
 
   /** Diversity sampling via cluster quotas: the 3 corpus vectors closest
     * to each k01 centroid — the curation step that balances a training mix

@@ -38,10 +38,18 @@ class SyntheticSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     SyntheticSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // Fail fast on the driver: a user-supplied `.schema(...)` that differs
+    // from the source's fixed schema would otherwise be silently dropped
+    // (or surface as an executor-time unknown-column error).
+    require(schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      SyntheticSource.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"synthetic source has a fixed schema ${SyntheticSource.schema.simpleString}; " +
+        s"user-specified schema ${schema.simpleString} is not supported")
     new SyntheticTable(
       properties.getOrDefault("rows", "1000").toLong,
       properties.getOrDefault("partitions", "4").toInt)
+  }
 }
 
 object SyntheticSource {

@@ -57,6 +57,30 @@ class SkylinePlanSuite extends AnyFunSuite {
     assert(scans.contains("p_size") && scans.contains("p_retailprice"), s"dims pruned away:\n$scans")
   }
 
+  test("wide skyline (anti-correlated dims) survives the tree merge across many partitions") {
+    // d2 = -d1 makes EVERY point non-dominated: the skyline is O(N), the
+    // case the old single coalesce(1) merge was weakest at. 5000 points
+    // over 32 partitions exercises the √P middle level (32 → 5 → 1).
+    val pts = (1L to 5000L).map(i => (i, i.toDouble, -i.toDouble))
+      .toDF("id", "d1", "d2").repartition(32)
+    val got = SkylinePlan.skyline(pts, Seq("d1", "d2")).select("id").as[Long].collect()
+    assert(got.length === 5000)
+    assert(got.toSet === (1L to 5000L).toSet)
+  }
+
+  test("declared outputPartitioning matches the single-partition result RDD") {
+    // sparkPlan is the planner output before AQE wraps it — SkylineExec is
+    // findable there; the runtime partition count comes from the DataFrame.
+    val pts = randomPts(100, 7).toDF("id", "d1", "d2").repartition(8)
+    val df = SkylinePlan.skyline(pts, Seq("d1", "d2"))
+    val exec = df.queryExecution.sparkPlan
+      .collectFirst { case e: SkylinePlan.SkylineExec => e }
+    assert(exec.nonEmpty, df.queryExecution.sparkPlan.toString)
+    assert(exec.get.outputPartitioning ===
+      org.apache.spark.sql.catalyst.plans.physical.SinglePartition)
+    assert(df.rdd.getNumPartitions === 1)
+  }
+
   test("GraftExtensions injects the skyline strategy, and it plans SkylineNode") {
     // Verified against a fresh SparkSessionExtensions rather than a second
     // SparkSession: getOrCreate() on an existing context returns the shared

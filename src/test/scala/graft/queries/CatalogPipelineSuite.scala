@@ -1,0 +1,42 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class CatalogPipelineSuite extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = SparkTestSession.sfDir
+  import spark.implicits._
+
+  test("catalog round-trip equals the direct aggregate and reruns idempotently") {
+    val direct = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), Q.dsum(col("o_totalprice")).as("t"))
+      .orderBy("o_orderpriority")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(direct.nonEmpty)
+    // Two runs in a row: CREATE IF NOT EXISTS converges, INSERT OVERWRITE
+    // replaces — the second result must be identical, not doubled.
+    val r1 = CatalogPipeline.r01CatalogRoundtrip.run(spark, dir)
+      .as[(String, Long, Double)].collect().toSeq
+    val r2 = CatalogPipeline.r01CatalogRoundtrip.run(spark, dir)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(r1 === direct)
+    assert(r2 === direct)
+  }
+
+  test("the filtered aggregate prunes partitions of the catalog table") {
+    CatalogPipeline.r01CatalogRoundtrip.run(spark, dir) // ensure provisioned
+    val plan = spark.table("graft_e2e.orders_curated")
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .queryExecution.executedPlan.toString
+    // DSv1 partitioned scan: the priority filter must land in PartitionFilters
+    // (directory pruning), not in the data filters.
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+      .contains("o_orderpriority"), plan)
+  }
+}

@@ -18,11 +18,18 @@ object ScaleProbe {
     * with the replica tag) and gets a fresh doc_id, so N× data carries N×
     * independent near-dup structure. Plain replication would make each
     * band bucket N× deeper in identical copies — an artificial N² pair
-    * blowup that measures the amplifier, not the operator. */
+    * blowup that measures the amplifier, not the operator.
+    *
+    * New ids are `replica·10⁹ + doc_id`: the low decimal digits are the
+    * ORIGINAL id's, so id-mod routing inside the probed operators (d10's
+    * `doc_id % 10` train/holdout split) keeps its per-replica mix. A
+    * `doc_id·factor + rep` scheme silently made the split depend only on
+    * the replica — whole replicas landed on one side and the salted
+    * cross-side join matched zero rows, timing an empty shuffle. */
   private def amplifyDocs(df: DataFrame, factor: Int): DataFrame =
     df.withColumn("_rep", explode(sequence(lit(1), lit(factor))))
       .select(
-        (col("doc_id") * factor + (col("_rep") - 1)).as("doc_id"),
+        (col("_rep").cast("long") * 1000000000L + col("doc_id")).as("doc_id"),
         array_join(
           transform(split(trim(col("text")), "\\s+"),
             t => concat(t, lit("_"), col("_rep"))), " ").as("text"))
@@ -81,23 +88,10 @@ object ScaleProbe {
       graft.operators.MinHashLsh.nearDupPairs(d, "doc_id", "text",
         graft.operators.MinHashLsh.Params())
 
-    def containJoin(d: DataFrame): DataFrame = {
-      import graft.operators.MinHashLsh
-      val sh = d
-        .withColumn("split", when(col("doc_id") % 10 < 8, "train").otherwise("holdout"))
-        .select(col("doc_id"), col("split"), MinHashLsh.shingles(col("text"), 2).as("grams"))
-      val g = sh.select(
-        col("doc_id"), col("split"), size(col("grams")).as("n_grams"),
-        explode(col("grams")).as("sh"))
-      val h = g.filter(col("split") === "holdout")
-        .select(col("doc_id").as("holdout_doc"), col("n_grams").as("hn"), col("sh"))
-      val t = g.filter(col("split") === "train")
-        .select(col("doc_id").as("train_doc"), col("sh"))
-      h.join(t, "sh")
-        .groupBy("holdout_doc", "train_doc")
-        .agg(count(lit(1)).as("n_shared"), first("hn").as("hn"))
-        .filter(col("n_shared").cast("double") / col("hn") >= 0.5)
-    }
+    // The registered d10 pipeline body itself (shared helper — the probe
+    // must time the same plan the oracle gate checks, not a copy).
+    def containJoin(d: DataFrame): DataFrame =
+      graft.queries.TextOps.containmentPairs(d)
 
     val docAmp = amplifyDocs _
     val rowAmp = amplify _

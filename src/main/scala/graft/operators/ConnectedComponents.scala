@@ -31,6 +31,11 @@ object ConnectedComponents {
     * @return `id`, `cluster_id` (min reachable id) for every endpoint
     */
   def clusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    // Self-pairs (id_a = id_b) carry no connectivity but their endpoint is
+    // still "every endpoint" under the contract: remember them and emit
+    // singleton labels for any that end up in no real component.
+    val selfNodes = pairs.filter(col("id_a") === col("id_b"))
+      .select(col("id_a").as("id")).distinct()
     // Canonical edge form throughout: (lo, hi), lo < hi, distinct — the
     // shape both star steps and the convergence check operate on.
     var edges = pairs
@@ -87,16 +92,22 @@ object ConnectedComponents {
     var converged = isStarForest(edges)
     while (!converged && iters < maxIters) {
       // Lazy checkpoint: the convergence check's action materializes it,
-      // saving one job per round over an eager checkpoint.
+      // saving one job per round over an eager checkpoint. Superseded
+      // rounds' checkpoint caches are RDD-level (not CacheManager
+      // entries), so the ContextCleaner reclaims them as the old Dataset
+      // references go out of scope — no explicit unpersist needed.
       edges = smallStar(largeStar(edges)).localCheckpoint(false)
       converged = isStarForest(edges)
       iters += 1
     }
     require(converged, s"connected components did not converge in $maxIters rounds")
     // Fixpoint edges are stars (lo = component min): leaves label lo, roots
-    // label themselves. Every input endpoint appears as a leaf or a root.
-    edges.select(col("hi").as("id"), col("lo").as("cluster_id"))
+    // label themselves; self-pair-only nodes are their own singletons.
+    val labeled = edges.select(col("hi").as("id"), col("lo").as("cluster_id"))
       .union(edges.select(col("lo").as("id"), col("lo").as("cluster_id")))
       .distinct()
+    labeled.union(
+      selfNodes.join(labeled, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("cluster_id")))
   }
 }

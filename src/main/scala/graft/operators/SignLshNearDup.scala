@@ -83,7 +83,12 @@ object SignLshNearDup {
   /** Verified near-duplicate pairs: candidates from shared sign-LSH buckets,
     * then the exact cosine threshold. `embs` should carry double-precision
     * vectors; the verify cosine uses the engine's fused expression so values
-    * are bit-comparable with the exact baseline (e05) and its oracle. */
+    * are bit-comparable with the exact baseline (e05) and its oracle.
+    *
+    * Cache contract (same as [[MinHashLsh.nearDupPairs]]): the vector and
+    * band frames are persisted because each feeds two plan branches; they
+    * stay cached until the caller releases them (`spark.catalog
+    * .clearCache()` — Verify/Bench do this per query) or the session ends. */
   def pairs(embs: DataFrame, idCol: String, vecCol: String,
       p: Params = Params()): DataFrame = {
     graft.functions.GraftFunctions.register(embs.sparkSession)

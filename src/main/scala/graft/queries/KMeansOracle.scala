@@ -37,6 +37,10 @@ cl$i AS (SELECT cluster, list(mv ORDER BY dim) AS cv FROM m$i GROUP BY cluster),
 c$i AS (SELECT p.cluster, coalesce(n.cv, p.cv) AS cv FROM c${i - 1} p LEFT JOIN cl$i n USING (cluster))"""
 
   def sql(k: Int, iters: Int): String = {
+    // iters = 0 (KMeans.fit allows it) would leave a dangling comma after
+    // c0 — the zero-iteration case is plain nearest-centroid assignment
+    // (k01's oracle shape), not worth a degenerate branch here.
+    require(k >= 1 && iters >= 1, s"need k >= 1 and iters >= 1, got k=$k iters=$iters")
     val layers = (1 to iters).map(i => s"${assign(i, s"c${i - 1}")},${means(i)}").mkString(",")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, v AS cv

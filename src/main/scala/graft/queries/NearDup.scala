@@ -11,7 +11,7 @@ import graft.operators.{MinHashLsh, SimHash}
   */
 object NearDup {
 
-  private val P = MinHashLsh.Params(
+  private[queries] val P = MinHashLsh.Params(
     shingleSize = 2, nPerms = 64, bands = 16, jaccardThreshold = 0.5)
 
   /** MinHash signatures (first 4 components) — hash-family-specific, so no
@@ -140,7 +140,53 @@ object NearDup {
     SELECT id AS doc_id, min(lbl) AS cluster_id
     FROM reach GROUP BY id ORDER BY doc_id"""))
 
+  /** The dedup pipeline's final stage: keep one document per near-dup
+    * cluster — the canonical member (minimum id) survives, every other
+    * cluster member is dropped, untouched documents pass through. This is
+    * the operation the whole detect→cluster chain exists for; output is
+    * the surviving corpus (id + a cheap payload witness).
+    * At scale: the drop set is a left-anti hash join on doc_id, and the
+    * drop frame is |duplicates|, not |corpus|. */
+  val n06DedupSurvivors = Q(
+    "n06_dedup_survivors",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = MinHashLsh.nearDupPairs(docs, "doc_id", "text", P)
+      val drops = graft.operators.ConnectedComponents.clusters(pairs)
+        .filter(col("cluster_id") < col("id"))
+      docs.join(drops, docs("doc_id") === drops("id"), "left_anti")
+        .select(col("doc_id"), length(col("text")).cast("int").as("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM (
+        SELECT doc_id, list_distinct(list_transform(
+          list_zip(tokens[1:length(tokens)-1], tokens[2:]),
+          s -> s[1] || chr(32) || s[2])) AS grams
+        FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tokens FROM documents)) a
+      JOIN (
+        SELECT doc_id, list_distinct(list_transform(
+          list_zip(tokens[1:length(tokens)-1], tokens[2:]),
+          s -> s[1] || chr(32) || s[2])) AS grams
+        FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tokens FROM documents)) b
+        ON a.doc_id < b.doc_id
+      WHERE CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))) >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach(id, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+    SELECT d.doc_id, CAST(length(d.text) AS INT) AS n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (
+      SELECT id FROM (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id)
+      WHERE lbl < id)
+    ORDER BY d.doc_id"""))
+
   val all: Seq[Q] = Seq(
     n01MinhashSignatures, n02LshNearDups, n03NgramJaccardSample, n04Simhash,
-    n05NearDupClusters)
+    n05NearDupClusters, n06DedupSurvivors)
 }

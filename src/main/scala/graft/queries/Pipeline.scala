@@ -407,8 +407,84 @@ object Pipeline {
       FROM a)
     SELECT cluster, rk, vec_id, dist FROM r WHERE rk <= 3 ORDER BY cluster, rk"""))
 
+  /** The curation funnel end-to-end: near-dup dedup (keep the canonical
+    * cluster member) → quality gate (composite score ≥ 0.5) → language
+    * routing → per-language doc/token budget — the ONE summary a
+    * training-mix owner asks of a corpus, composed from the same shared
+    * expressions the individual stage queries (n06, d04, d05) are
+    * oracle-pinned on. Everything after the dedup anti-join is row-local;
+    * the final aggregate shuffles 5 language keys. */
+  val p02CurationFunnel = Q(
+    "p02_curation_funnel",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = graft.operators.MinHashLsh.nearDupPairs(docs, "doc_id", "text", NearDup.P)
+      val drops = graft.operators.ConnectedComponents.clusters(pairs)
+        .filter(col("cluster_id") < col("id"))
+      docs.join(drops, docs("doc_id") === drops("id"), "left_anti")
+        .filter(TextOps.qualityScore(col("text")) >= 0.5)
+        .select(
+          TextOps.predictedLang(col("text")).as("lang"),
+          TextOps.tokenCount(col("text")).as("n_tokens"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("sum_tokens"))
+        .orderBy("lang")
+    },
+    Some {
+      val scoreCols = TextOps.langMarkers.map { case (l, re) =>
+        s"CAST(length(regexp_extract_all(lower(text), '$re')) AS INT) AS s_$l"
+      }.mkString(",\n          ")
+      val stopRe = TextOps.stopRe
+      s"""WITH RECURSIVE pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM (
+        SELECT doc_id, list_distinct(list_transform(
+          list_zip(tokens[1:length(tokens)-1], tokens[2:]),
+          s -> s[1] || chr(32) || s[2])) AS grams
+        FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tokens FROM documents)) a
+      JOIN (
+        SELECT doc_id, list_distinct(list_transform(
+          list_zip(tokens[1:length(tokens)-1], tokens[2:]),
+          s -> s[1] || chr(32) || s[2])) AS grams
+        FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tokens FROM documents)) b
+        ON a.doc_id < b.doc_id
+      WHERE CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))) >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach(id, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+    drops AS (
+      SELECT id FROM (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id) WHERE lbl < id),
+    feat AS (
+      SELECT doc_id,
+        (CAST(length(regexp_extract_all(lower(text), '$stopRe')) AS DOUBLE)
+           / greatest(length(regexp_split_to_array(trim(text), '\\s+')), 1)) * 0.4
+        + least(1.0, CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) / 100.0) * 0.3
+        + (1.0 - least(1.0, (CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1)) * 5.0)) * 0.3 AS quality,
+        CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
+        CASE
+          WHEN s_zh > greatest(s_de, s_en, s_es, s_fr) THEN 'zh'
+          WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+          WHEN s_es > greatest(s_de, s_en) THEN 'es'
+          WHEN s_en > s_de THEN 'en'
+          ELSE 'de' END AS lang
+      FROM (SELECT doc_id, text,
+          $scoreCols
+        FROM documents))
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+    FROM feat
+    WHERE quality >= 0.5 AND doc_id NOT IN (SELECT id FROM drops)
+    GROUP BY lang ORDER BY lang"""
+    })
+
   val all: Seq[Q] = Seq(
     c01DocChunks, c02TfidfTopTerms, c03Bm25TopTerms, c04UnigramXent,
-    p01SequencePacking, s01StratifiedSample, k01KmeansAssign,
-    k02KmeansClusters, k03ClusterDiverseSample)
+    p01SequencePacking, p02CurationFunnel, s01StratifiedSample,
+    k01KmeansAssign, k02KmeansClusters, k03ClusterDiverseSample)
 }

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  private val stopRe = """\b(the|a|of|and|to|in|is|it|for|on)\b"""
+  private[queries] val stopRe = """\b(the|a|of|and|to|in|is|it|for|on)\b"""
   /** BPE-ish tokenizer: letter runs, digit runs, single punctuation. */
   private val bpeRe = """[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"""
 
@@ -77,26 +77,39 @@ object TextOps {
       CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_ws_tokens
     FROM documents ORDER BY doc_id"""))
 
+  /** Whitespace token count — shared by d04 and the curation funnel. */
+  private[queries] def tokenCount(text: Column): Column =
+    size(split(trim(text), """\s+"""))
+
   /** Heuristic quality score: stopword density, length saturation, low
     * punctuation noise. Pure integer-derived double arithmetic in a fixed
-    * operation order, so the oracle reproduces it bit-for-bit. */
+    * operation order, so the oracle reproduces it bit-for-bit. Shared by
+    * d04 and the curation funnel (p02), so the funnel filters on exactly
+    * the score d04's oracle pins. */
+  private[queries] def qualityScore(text: Column): Column = {
+    val len = length(text)
+    val nTok = tokenCount(text)
+    val nStop = nMatches(lower(text), stopRe)
+    val nPunct = length(text) - length(regexp_replace(text, """[.!?,;:]""", ""))
+    val stopRatio = nStop.cast("double") / greatest(nTok, lit(1))
+    val punctRatio = nPunct.cast("double") / greatest(len, lit(1))
+    val lenScore = least(lit(1.0), nTok.cast("double") / 100.0)
+    stopRatio * 0.4 + lenScore * 0.3 + (lit(1.0) - least(lit(1.0), punctRatio * 5.0)) * 0.3
+  }
+
   val d04QualityScore = Q(
     "d04_quality_score",
     (s, dir) => {
-      val len = length(col("text"))
-      val nTok = size(split(trim(col("text")), """\s+"""))
+      val nTok = tokenCount(col("text"))
       val nStop = nMatches(lower(col("text")), stopRe)
       val nPunct = length(col("text")) - length(regexp_replace(col("text"), """[.!?,;:]""", ""))
-      val stopRatio = nStop.cast("double") / greatest(nTok, lit(1))
-      val punctRatio = nPunct.cast("double") / greatest(len, lit(1))
-      val lenScore = least(lit(1.0), nTok.cast("double") / 100.0)
       Tables.documents(s, dir)
         .select(
           col("doc_id"),
           nTok.as("n_tokens"),
           nStop.as("n_stopwords"),
           nPunct.as("n_punct"),
-          (stopRatio * 0.4 + lenScore * 0.3 + (lit(1.0) - least(lit(1.0), punctRatio * 5.0)) * 0.3).as("quality"))
+          qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")
     },
     Some(s"""SELECT doc_id,
@@ -110,7 +123,7 @@ object TextOps {
            / greatest(length(text), 1)) * 5.0)) * 0.3 AS quality
     FROM documents ORDER BY doc_id"""))
 
-  private val langMarkers: Seq[(String, String)] = Seq(
+  private[queries] val langMarkers: Seq[(String, String)] = Seq(
     "de" -> """\b(der|die|und|das|ein|nicht)\b""",
     "en" -> """\b(the|and|of|to|is|that)\b""",
     "es" -> """\b(el|la|de|que|los|una)\b""",
@@ -118,26 +131,30 @@ object TextOps {
     "zh" -> """(的|是|不|了|在)""")
 
   /** N-gram-heuristic language ID: argmax of per-language marker counts,
-    * ties broken to the lexicographically smallest language code. The
-    * greatest-chain encoding below is the tie-break made explicit, mirrored
-    * verbatim in the oracle. */
+    * ties broken to the lexicographically smallest language code (the
+    * greatest-chain encoding is that tie-break made explicit, mirrored
+    * verbatim in the oracles). Shared by d05 and the curation funnel. */
+  private[queries] def predictedLang(text: Column): Column = {
+    val t = lower(text)
+    val scores = langMarkers.map { case (l, re) => l -> nMatches(t, re) }.toMap
+    when(scores("zh") > greatest(scores("de"), scores("en"), scores("es"), scores("fr")), "zh")
+      .when(scores("fr") > greatest(scores("de"), scores("en"), scores("es")), "fr")
+      .when(scores("es") > greatest(scores("de"), scores("en")), "es")
+      .when(scores("en") > scores("de"), "en")
+      .otherwise("de")
+  }
+
   val d05LangId = Q(
     "d05_lang_id",
     (s, dir) => {
       val t = lower(col("text"))
       val scores = langMarkers.map { case (l, re) => l -> nMatches(t, re) }.toMap
-      val pred =
-        when(scores("zh") > greatest(scores("de"), scores("en"), scores("es"), scores("fr")), "zh")
-          .when(scores("fr") > greatest(scores("de"), scores("en"), scores("es")), "fr")
-          .when(scores("es") > greatest(scores("de"), scores("en")), "es")
-          .when(scores("en") > scores("de"), "en")
-          .otherwise("de")
       Tables.documents(s, dir)
         .select(
           col("doc_id"), col("lang").as("labeled_lang"),
           scores("de").as("s_de"), scores("en").as("s_en"), scores("es").as("s_es"),
           scores("fr").as("s_fr"), scores("zh").as("s_zh"),
-          pred.as("predicted_lang"))
+          predictedLang(col("text")).as("predicted_lang"))
         .orderBy("doc_id")
     },
     Some {
@@ -265,28 +282,36 @@ object TextOps {
     * (dropping shingles present in >x% of training docs), which changes
     * the containment definition and is therefore not applied under the
     * exact oracle here. */
+  /** The d10 pipeline body over an arbitrary `(doc_id, text)` frame —
+    * shared with [[graft.ScaleProbe]] so the scaling probe times exactly
+    * the registered plan. Returns (holdout_doc, train_doc, n_shared,
+    * containment) with the ≥ 0.5 filter applied, containment unrounded. */
+  def containmentPairs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.operators.MinHashLsh
+    val d = docs
+      .withColumn("split",
+        when(col("doc_id") % 10 < 8, "train").otherwise("holdout"))
+      .select(col("doc_id"), col("split"),
+        MinHashLsh.shingles(col("text"), 2).as("grams"))
+      .persist()
+    val g = d.select(
+      col("doc_id"), col("split"), size(col("grams")).as("n_grams"),
+      explode(col("grams")).as("sh"))
+    val h = g.filter(col("split") === "holdout")
+      .select(col("doc_id").as("holdout_doc"), col("n_grams").as("hn"), col("sh"))
+    val t = g.filter(col("split") === "train")
+      .select(col("doc_id").as("train_doc"), col("sh"))
+    h.join(t, "sh")
+      .groupBy("holdout_doc", "train_doc")
+      .agg(count(lit(1)).as("n_shared"), first("hn").as("hn"))
+      .withColumn("containment", col("n_shared").cast("double") / col("hn"))
+      .filter(col("containment") >= 0.5)
+  }
+
   val d10Contamination = Q(
     "d10_contamination",
     (s, dir) => {
-      import graft.operators.MinHashLsh
-      val d = Tables.documents(s, dir)
-        .withColumn("split",
-          when(col("doc_id") % 10 < 8, "train").otherwise("holdout"))
-        .select(col("doc_id"), col("split"),
-          MinHashLsh.shingles(col("text"), 2).as("grams"))
-        .persist()
-      val g = d.select(
-        col("doc_id"), col("split"), size(col("grams")).as("n_grams"),
-        explode(col("grams")).as("sh"))
-      val h = g.filter(col("split") === "holdout")
-        .select(col("doc_id").as("holdout_doc"), col("n_grams").as("hn"), col("sh"))
-      val t = g.filter(col("split") === "train")
-        .select(col("doc_id").as("train_doc"), col("sh"))
-      h.join(t, "sh")
-        .groupBy("holdout_doc", "train_doc")
-        .agg(count(lit(1)).as("n_shared"), first("hn").as("hn"))
-        .withColumn("containment", col("n_shared").cast("double") / col("hn"))
-        .filter(col("containment") >= 0.5)
+      containmentPairs(Tables.documents(s, dir))
         .select(col("holdout_doc"), col("train_doc"), col("n_shared"),
           round(col("containment"), 6).as("containment"))
         .orderBy("holdout_doc", "train_doc")

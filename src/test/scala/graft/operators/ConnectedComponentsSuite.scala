@@ -33,6 +33,11 @@ class ConnectedComponentsSuite extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("self-pairs label their endpoint: singleton alone, absorbed when connected") {
+    assert(cc((3L, 3L)) === Map(3L -> 3L))
+    assert(cc((5L, 5L), (1L, 2L), (2L, 5L)) === Map(1L -> 1L, 2L -> 1L, 5L -> 1L))
+  }
+
   /** Reference labels by union-find (path-halving). */
   private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map.empty[Long, Long]

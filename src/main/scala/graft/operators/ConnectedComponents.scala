@@ -31,20 +31,23 @@ object ConnectedComponents {
     * @return `id`, `cluster_id` (min reachable id) for every endpoint
     */
   def clusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    // Self-pairs (id_a = id_b) carry no connectivity but their endpoint is
-    // still "every endpoint" under the contract: remember them and emit
-    // singleton labels for any that end up in no real component.
-    val selfNodes = pairs.filter(col("id_a") === col("id_b"))
-      .select(col("id_a").as("id")).distinct()
-    // Canonical edge form throughout: (lo, hi), lo < hi, distinct — the
-    // shape both star steps and the convergence check operate on.
-    var edges = pairs
+    // ONE pass over the (possibly expensive) caller plan: canonicalize,
+    // dedup, checkpoint — then split self-pairs from real edges off the
+    // materialized frame. Deriving selfNodes lazily from `pairs` would
+    // re-execute the whole upstream pair generation at action time.
+    val canon = pairs
       .select(
         least(col("id_a"), col("id_b")).as("lo"),
         greatest(col("id_a"), col("id_b")).as("hi"))
-      .filter(col("lo") =!= col("hi"))
       .distinct()
       .localCheckpoint()
+    // Self-pairs (id_a = id_b) carry no connectivity but their endpoint is
+    // still "every endpoint" under the contract: remember them and emit
+    // singleton labels for any that end up in no real component.
+    val selfNodes = canon.filter(col("lo") === col("hi")).select(col("lo").as("id"))
+    // Canonical edge form throughout: (lo, hi), lo < hi, distinct — the
+    // shape both star steps and the convergence check operate on.
+    var edges = canon.filter(col("lo") =!= col("hi"))
 
     // Convergence = the edge set IS a star forest, checked structurally
     // (no node is both a root and a leaf; every leaf has exactly one root)

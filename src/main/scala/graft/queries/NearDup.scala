@@ -14,6 +14,49 @@ object NearDup {
   private[queries] val P = MinHashLsh.Params(
     shingleSize = 2, nPerms = 64, bands = 16, jaccardThreshold = 0.5)
 
+  /** Shared oracle CTE chain over `documents`: brute-force bigram Jaccard
+    * pairs (≥ 0.5) → undirected edges → recursive min-label reach. ONE
+    * definition (raw string, embed via interpolation) so n05/n06/p02 can
+    * never drift in the shingle/Jaccard semantics they pin. The `> 0`
+    * denominator guard mirrors Spark's `when(union > 0, …)`: without it a
+    * pair of empty-shingle docs divides 0/0 → NaN, which DuckDB orders
+    * ABOVE the threshold while Spark emits no pair at all. */
+  private[queries] val reachCtesSql: String = """pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM (
+        SELECT doc_id, list_distinct(list_transform(
+          list_zip(tokens[1:length(tokens)-1], tokens[2:]),
+          s -> s[1] || chr(32) || s[2])) AS grams
+        FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tokens FROM documents)) a
+      JOIN (
+        SELECT doc_id, list_distinct(list_transform(
+          list_zip(tokens[1:length(tokens)-1], tokens[2:]),
+          s -> s[1] || chr(32) || s[2])) AS grams
+        FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tokens FROM documents)) b
+        ON a.doc_id < b.doc_id
+      WHERE (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))) > 0
+        AND CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))) >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach(id, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)"""
+
+  /** Oracle CTE for the ids the dedup stage removes (append after
+    * [[reachCtesSql]]). */
+  private[queries] val dropsCteSql: String = """drops AS (
+      SELECT id FROM (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id) WHERE lbl < id)"""
+
+  /** Spark side of the dedup stage: the non-canonical near-dup cluster
+    * members (everything except each cluster's minimum id) — shared by n06
+    * and the curation funnel so both drop exactly the same documents. */
+  private[queries] def dropIds(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.operators.ConnectedComponents
+      .clusters(MinHashLsh.nearDupPairs(docs, "doc_id", "text", P))
+      .filter(col("cluster_id") < col("id"))
+
   /** MinHash signatures (first 4 components) — hash-family-specific, so no
     * SQL oracle; determinism is asserted in the sbt suite. */
   val n01MinhashSignatures = Q(
@@ -61,6 +104,7 @@ object NearDup {
         (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))), 6) AS jaccard
     FROM g a, g b
     WHERE a.doc_id < b.doc_id
+      AND (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))) > 0
       AND CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE) /
         (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))) >= 0.5
     ORDER BY doc_a, doc_b"""))
@@ -88,8 +132,10 @@ object NearDup {
       FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tokens FROM documents)
       WHERE doc_id < 40)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      round(CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-        (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))), 6) AS jaccard
+      round(CASE WHEN (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))) > 0
+        THEN CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+          (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams)))
+        ELSE 0.0 END, 6) AS jaccard
     FROM g a, g b WHERE a.doc_id < b.doc_id
     ORDER BY doc_a, doc_b"""))
 
@@ -116,27 +162,7 @@ object NearDup {
         .select(col("id").as("doc_id"), col("cluster_id"))
         .orderBy("doc_id")
     },
-    Some("""WITH RECURSIVE pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM (
-        SELECT doc_id, list_distinct(list_transform(
-          list_zip(tokens[1:length(tokens)-1], tokens[2:]),
-          s -> s[1] || chr(32) || s[2])) AS grams
-        FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tokens FROM documents)) a
-      JOIN (
-        SELECT doc_id, list_distinct(list_transform(
-          list_zip(tokens[1:length(tokens)-1], tokens[2:]),
-          s -> s[1] || chr(32) || s[2])) AS grams
-        FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tokens FROM documents)) b
-        ON a.doc_id < b.doc_id
-      WHERE CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-        (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))) >= 0.5),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION SELECT id_b, id_a FROM pairs),
-    reach(id, lbl) AS (
-      SELECT src, src FROM edges
-      UNION
-      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+    Some(s"""WITH RECURSIVE $reachCtesSql
     SELECT id AS doc_id, min(lbl) AS cluster_id
     FROM reach GROUP BY id ORDER BY doc_id"""))
 
@@ -151,39 +177,16 @@ object NearDup {
     "n06_dedup_survivors",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = MinHashLsh.nearDupPairs(docs, "doc_id", "text", P)
-      val drops = graft.operators.ConnectedComponents.clusters(pairs)
-        .filter(col("cluster_id") < col("id"))
+      val drops = dropIds(docs)
       docs.join(drops, docs("doc_id") === drops("id"), "left_anti")
         .select(col("doc_id"), length(col("text")).cast("int").as("n_chars"))
         .orderBy("doc_id")
     },
-    Some("""WITH RECURSIVE pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM (
-        SELECT doc_id, list_distinct(list_transform(
-          list_zip(tokens[1:length(tokens)-1], tokens[2:]),
-          s -> s[1] || chr(32) || s[2])) AS grams
-        FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tokens FROM documents)) a
-      JOIN (
-        SELECT doc_id, list_distinct(list_transform(
-          list_zip(tokens[1:length(tokens)-1], tokens[2:]),
-          s -> s[1] || chr(32) || s[2])) AS grams
-        FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tokens FROM documents)) b
-        ON a.doc_id < b.doc_id
-      WHERE CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-        (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))) >= 0.5),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION SELECT id_b, id_a FROM pairs),
-    reach(id, lbl) AS (
-      SELECT src, src FROM edges
-      UNION
-      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+    Some(s"""WITH RECURSIVE $reachCtesSql,
+    $dropsCteSql
     SELECT d.doc_id, CAST(length(d.text) AS INT) AS n_chars
     FROM documents d
-    WHERE d.doc_id NOT IN (
-      SELECT id FROM (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id)
-      WHERE lbl < id)
+    WHERE d.doc_id NOT IN (SELECT id FROM drops)
     ORDER BY d.doc_id"""))
 
   val all: Seq[Q] = Seq(

@@ -418,9 +418,7 @@ object Pipeline {
     "p02_curation_funnel",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = graft.operators.MinHashLsh.nearDupPairs(docs, "doc_id", "text", NearDup.P)
-      val drops = graft.operators.ConnectedComponents.clusters(pairs)
-        .filter(col("cluster_id") < col("id"))
+      val drops = NearDup.dropIds(docs)
       docs.join(drops, docs("doc_id") === drops("id"), "left_anti")
         .filter(TextOps.qualityScore(col("text")) >= 0.5)
         .select(
@@ -437,29 +435,8 @@ object Pipeline {
         s"CAST(length(regexp_extract_all(lower(text), '$re')) AS INT) AS s_$l"
       }.mkString(",\n          ")
       val stopRe = TextOps.stopRe
-      s"""WITH RECURSIVE pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM (
-        SELECT doc_id, list_distinct(list_transform(
-          list_zip(tokens[1:length(tokens)-1], tokens[2:]),
-          s -> s[1] || chr(32) || s[2])) AS grams
-        FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tokens FROM documents)) a
-      JOIN (
-        SELECT doc_id, list_distinct(list_transform(
-          list_zip(tokens[1:length(tokens)-1], tokens[2:]),
-          s -> s[1] || chr(32) || s[2])) AS grams
-        FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tokens FROM documents)) b
-        ON a.doc_id < b.doc_id
-      WHERE CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-        (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))) >= 0.5),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION SELECT id_b, id_a FROM pairs),
-    reach(id, lbl) AS (
-      SELECT src, src FROM edges
-      UNION
-      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-    drops AS (
-      SELECT id FROM (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id) WHERE lbl < id),
+      s"""WITH RECURSIVE ${NearDup.reachCtesSql},
+    ${NearDup.dropsCteSql},
     feat AS (
       SELECT doc_id,
         (CAST(length(regexp_extract_all(lower(text), '$stopRe')) AS DOUBLE)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, CatalogPipeline, Multimodal, NearDup, Pipeline, Q, Relational, Similarity, TextOps}
+import graft.queries.{Analytics, CatalogPipeline, Governance, Linkage, Multimodal, NearDup, Pipeline, Q, Relational, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -10,7 +10,8 @@ object SparkEntry {
   /** Every registered engine query (SURVEY.md §2 inventory). */
   def registry: Seq[Q] =
     Relational.all ++ Analytics.all ++ TextOps.all ++ Similarity.all ++
-      NearDup.all ++ Multimodal.all ++ Pipeline.all ++ CatalogPipeline.all
+      NearDup.all ++ Multimodal.all ++ Pipeline.all ++ CatalogPipeline.all ++
+      Governance.all ++ Linkage.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

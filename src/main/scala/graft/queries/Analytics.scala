@@ -479,9 +479,47 @@ object Analytics {
       CAST(max(len(json_keys(props))) AS INT) AS max_keys
     FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Equi-width histogram with data-driven bounds: 20 buckets over
+    * l_extendedprice between its observed min/max. Two narrow passes — a
+    * scalar min/max aggregate broadcast via cross join (the q34 pattern),
+    * then one groupBy over the bucket index; no row leaves the executors.
+    * The bucket formula `least(floor((x-mn)*20/(mx-mn)), 19)` is identical
+    * IEEE double arithmetic in both engines, so bucketing is exact.
+    */
+  val q46Histogram = Q(
+    "q46_histogram",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val bounds = li.agg(
+        min(col("l_extendedprice")).as("mn"),
+        max(col("l_extendedprice")).as("mx"))
+      li.select(col("l_extendedprice"), col("l_quantity"))
+        .crossJoin(bounds)
+        .select(
+          least(floor((col("l_extendedprice") - col("mn")) * lit(20.0) /
+            (col("mx") - col("mn"))), lit(19L)).cast("int").as("bucket"),
+          col("l_extendedprice"), col("l_quantity"))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          Q.dsum(col("l_extendedprice")).as("sum_price"),
+          Q.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("bucket")
+    },
+    Some("""WITH b AS (
+        SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+        FROM lineitem)
+      SELECT CAST(least(floor((l_extendedprice - mn) * CAST(20.0 AS DOUBLE) /
+          (mx - mn)), 19) AS INT) AS bucket,
+        count(*) AS n_rows,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem, b
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q32CorrStats, q33SmallQtyRevenue, q34RevenueShare, q35RangeJoinBinned,
     q36GroupingSets, q37SlidingWindows, q38SaltedJoin, q39ApproxQuantiles,
     q40ArrayFuncs, q41RecursiveChain, q42DisjunctivePredicates, q43FilteredAgg,
-    q44IdleCustomers, q45MapFuncs)
+    q44IdleCustomers, q45MapFuncs, q46Histogram)
 }

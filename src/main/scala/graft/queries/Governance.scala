@@ -1,0 +1,264 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{MergeInto, ZOrder}
+
+/** Data-management operators a table-automation platform grows into once
+  * tables exist: row-level MERGE (the point of the reference's
+  * `format_version: 2` spec, `customers.yml:4`), pre-ingest data-quality
+  * validation, and multi-dimensional layout (Z-ordering) — each as an
+  * oracle-gated query.
+  */
+object Governance {
+
+  /** MERGE INTO (upsert): apply a change batch to the customer dimension.
+    *
+    * The batch carries two kinds of rows, exercising all three MERGE
+    * branches: per-customer revenue deltas from urgent orders (matched →
+    * acctbal update), and supplier-sourced new accounts under a shifted key
+    * range (not-matched-by-target → insert, `c_mktsegment = 'NEW'`).
+    * Customers with no urgent orders are not matched by source → kept.
+    *
+    * Scale: one equi-join on the merge key — the change batch (≪ target)
+    * broadcasts; a big-big merge would shuffle both sides once, exactly the
+    * join a copy-on-write MERGE plans internally.
+    */
+  val m01MergeUpsert = Q(
+    "m01_merge_upsert",
+    (s, dir) => {
+      val deltas = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(Q.dsum(col("o_totalprice")).as("rev"))
+        .select(col("c_custkey"), col("rev"),
+          lit(null).cast("string").as("new_name"),
+          lit(null).cast("int").as("new_nationkey"),
+          lit(null).cast("double").as("new_acctbal"))
+      val inserts = Tables.supplier(s, dir)
+        .select((col("s_suppkey") + 1000000L).as("c_custkey"),
+          lit(null).cast("double").as("rev"),
+          col("s_name").as("new_name"),
+          col("s_nationkey").as("new_nationkey"),
+          col("s_acctbal").as("new_acctbal"))
+      MergeInto.merge(
+        target = Tables.customer(s, dir),
+        source = deltas.unionAll(inserts),
+        key = "c_custkey",
+        whenMatched = Map(
+          "c_acctbal" -> (col("t.c_acctbal") + coalesce(col("s.rev"), lit(0.0)))),
+        whenNotMatched = Some(Map(
+          "c_custkey" -> col("s.c_custkey"),
+          "c_name" -> col("s.new_name"),
+          "c_nationkey" -> col("s.new_nationkey"),
+          "c_acctbal" -> col("s.new_acctbal"),
+          "c_mktsegment" -> lit("NEW"))))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH delta AS (
+        SELECT o_custkey,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey)
+      SELECT c.c_custkey, c.c_name, c.c_nationkey,
+        CASE WHEN d.o_custkey IS NOT NULL THEN c.c_acctbal + d.rev
+             ELSE c.c_acctbal END AS c_acctbal,
+        c.c_mktsegment
+      FROM customer c LEFT JOIN delta d ON c.c_custkey = d.o_custkey
+      UNION ALL
+      SELECT s_suppkey + 1000000, s_name, s_nationkey, s_acctbal, 'NEW'
+      FROM supplier
+      ORDER BY c_custkey"""))
+
+  /** Data-quality audit (Deequ-style constraint suite): one row per check
+    * with its measured metric and pass verdict. The six lineitem-local
+    * metrics come from ONE single-pass aggregate (a 100 TB audit costs one
+    * scan); referential integrity is a separate anti-join count and the
+    * freshness-mix check a separate orders aggregate — both narrow.
+    */
+  val a01QualityAudit = Q(
+    "a01_quality_audit",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val m = li.agg(
+        count(lit(1)).cast("double").as("row_count"),
+        sum(when(col("l_discount").isNull, 1).otherwise(0)).cast("double")
+          .as("null_discount"),
+        (count(lit(1)) - count_distinct(col("l_orderkey"), col("l_linenumber")))
+          .cast("double").as("dup_line_keys"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1).otherwise(0))
+          .cast("double").as("qty_range_violations"),
+        sum(when(!col("l_discount").between(0.0, 0.1), 1).otherwise(0))
+          .cast("double").as("discount_range_violations"),
+        sum(when(col("l_extendedprice") <= 0, 1).otherwise(0)).cast("double")
+          .as("nonpositive_price"))
+      val local = m.select(explode(array(
+        struct(lit("row_count").as("check_name"), col("row_count").as("metric"),
+          (col("row_count") > 0).as("pass")),
+        struct(lit("null_discount").as("check_name"), col("null_discount").as("metric"),
+          (col("null_discount") === 0).as("pass")),
+        struct(lit("dup_line_keys").as("check_name"), col("dup_line_keys").as("metric"),
+          (col("dup_line_keys") === 0).as("pass")),
+        struct(lit("qty_range_violations").as("check_name"),
+          col("qty_range_violations").as("metric"),
+          (col("qty_range_violations") === 0).as("pass")),
+        struct(lit("discount_range_violations").as("check_name"),
+          col("discount_range_violations").as("metric"),
+          (col("discount_range_violations") === 0).as("pass")),
+        struct(lit("nonpositive_price").as("check_name"),
+          col("nonpositive_price").as("metric"),
+          (col("nonpositive_price") === 0).as("pass")))).as("c"))
+        .select(col("c.check_name"), col("c.metric"), col("c.pass"))
+      val orphans = li.join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).cast("double").as("metric"))
+        .select(lit("orphan_lineitems").as("check_name"), col("metric"),
+          (col("metric") === 0).as("pass"))
+      val urgentShare = Tables.orders(s, dir)
+        .agg((sum(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0))
+          .cast("double") / count(lit(1))).as("metric"))
+        .select(lit("urgent_share_min_25pct").as("check_name"), col("metric"),
+          (col("metric") >= 0.25).as("pass"))
+      local.unionAll(orphans).unionAll(urgentShare).orderBy("check_name")
+    },
+    Some("""WITH m AS (
+        SELECT count(*) AS row_count,
+          sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS null_discount,
+          count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS dup_line_keys,
+          sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+            AS qty_range_violations,
+          sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1) THEN 1 ELSE 0 END)
+            AS discount_range_violations,
+          sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS nonpositive_price
+        FROM lineitem)
+      SELECT * FROM (
+        SELECT 'row_count' AS check_name, CAST(row_count AS DOUBLE) AS metric,
+          row_count > 0 AS pass FROM m
+        UNION ALL SELECT 'null_discount', CAST(null_discount AS DOUBLE),
+          null_discount = 0 FROM m
+        UNION ALL SELECT 'dup_line_keys', CAST(dup_line_keys AS DOUBLE),
+          dup_line_keys = 0 FROM m
+        UNION ALL SELECT 'qty_range_violations', CAST(qty_range_violations AS DOUBLE),
+          qty_range_violations = 0 FROM m
+        UNION ALL SELECT 'discount_range_violations',
+          CAST(discount_range_violations AS DOUBLE),
+          discount_range_violations = 0 FROM m
+        UNION ALL SELECT 'nonpositive_price', CAST(nonpositive_price AS DOUBLE),
+          nonpositive_price = 0 FROM m
+        UNION ALL SELECT 'orphan_lineitems',
+          CAST((SELECT count(*) FROM lineitem l LEFT JOIN orders o
+                ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) AS DOUBLE),
+          (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+           ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) = 0
+        UNION ALL SELECT 'urgent_share_min_25pct',
+          (SELECT CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*) FROM orders),
+          (SELECT CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*) FROM orders) >= 0.25)
+      ORDER BY check_name"""))
+
+  /** Z-order layout audit: Morton keys over (l_partkey, l_suppkey), rows
+    * grouped by the top-12-bit z-prefix. Each bucket's min/max on BOTH
+    * dimensions stay tight simultaneously — the property that makes
+    * z-sorted parquet prunable on either column (OPTIMIZE ZORDER BY).
+    * The key is pure integer shift/mask algebra (codegen'd built-ins);
+    * `ZOrder.zSql` emits the identical formula for the DuckDB oracle.
+    */
+  val z01ZorderLayout = Q(
+    "z01_zorder_layout",
+    (s, dir) => {
+      val zv = ZOrder.zKey(col("l_partkey"), col("l_suppkey"), 12)
+      Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"), zv.as("zval"))
+        .groupBy(shiftright(col("zval"), 12).as("z_bucket"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
+          min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
+        .orderBy("z_bucket")
+    },
+    Some(s"""WITH z AS (
+        SELECT l_partkey, l_suppkey,
+          ${ZOrder.zSql("l_partkey", "l_suppkey", 12)} AS zval
+        FROM lineitem)
+      SELECT zval >> 12 AS z_bucket, count(*) AS n_rows,
+        min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+        min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+      FROM z GROUP BY 1 ORDER BY 1"""))
+
+  /** SCD Type-2 dimension build: each customer's order history becomes a
+    * versioned slowly-changing dimension — one row per (customer, order)
+    * with `valid_from` = that order's date, `valid_to` = the next order's
+    * date (null while current), and an `is_current` flag.
+    *
+    * One window over (key ORDER BY date) — a single hash-partitioned sort
+    * per customer, no self-join. This is how a 100 TB dimension history is
+    * rebuilt: partition by the business key, never by global order.
+    * Ties on (customer, date) are broken by o_orderkey so version numbers
+    * are total and both engines agree.
+    */
+  val m02Scd2History = Q(
+    "m02_scd2_history",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          Q.dec2(col("o_totalprice")).as("attr_price"),
+          col("o_orderdate").as("valid_from"),
+          lead(col("o_orderdate"), 1).over(w).as("valid_to"),
+          row_number().over(w).as("version"),
+          lead(col("o_orderdate"), 1).over(w).isNull.as("is_current"))
+        .orderBy("o_custkey", "version")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+        CAST(o_totalprice AS DECIMAL(12,2)) AS attr_price,
+        o_orderdate AS valid_from,
+        lead(o_orderdate, 1) OVER w AS valid_to,
+        CAST(row_number() OVER w AS INT) AS version,
+        lead(o_orderdate, 1) OVER w IS NULL AS is_current
+      FROM orders WHERE o_orderstatus = 'F'
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, version"""))
+
+  /** Incremental aggregate refresh: maintain a per-customer revenue rollup
+    * as new data arrives WITHOUT rescanning history. The historical
+    * partition's agg is a materialized partial state; the fresh partition
+    * aggregates alone; the refreshed view is a groupBy-merge of the two
+    * partial states (sums add, counts add) — never `history ∪ fresh` re-
+    * aggregated from raw rows.
+    *
+    * The oracle aggregates the full table directly, proving
+    * merge-of-partials ≡ full recompute — the algebraic property (decimal
+    * sums are associative-exact) that makes incremental refresh and
+    * map-side combine correct at any scale.
+    */
+  val m03IncrementalRefresh = Q(
+    "m03_incremental_refresh",
+    (s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val cutoff = "1997-01-01"
+      def partial(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy("o_custkey")
+        .agg(Q.dsum(col("o_totalprice")).as("rev"), count(lit(1)).as("n"))
+      val history = partial(orders.filter(col("o_orderdate") < cutoff))
+      val fresh   = partial(orders.filter(col("o_orderdate") >= cutoff))
+      history.unionAll(fresh)
+        .groupBy("o_custkey")
+        .agg(
+          sum(col("rev").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .cast("double").as("rev"),
+          sum(col("n")).as("n"))
+        .orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev,
+        count(*) AS n
+      FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
+
+  val all: Seq[Q] = Seq(
+    m01MergeUpsert, m02Scd2History, m03IncrementalRefresh,
+    a01QualityAudit, z01ZorderLayout)
+}

@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.PageRank
+
+/** Entity-resolution and graph-analytics queries: blocked fuzzy matching
+  * (record linkage) and fixed-iteration PageRank — the two classic
+  * "relate records that share no key" workloads of a curation platform.
+  */
+object Linkage {
+
+  /** Blocked fuzzy entity-resolution join: part-name pairs within the same
+    * brand at Levenshtein distance ≤ 2.
+    *
+    * Blocking is what makes record linkage scale: candidate pairs come only
+    * from an equi-join on the blocking key (brand) — never an all-pairs
+    * cross product — and a lossless length-band filter (|len(a)−len(b)| ≤ 2,
+    * implied by the edit-distance bound) prunes candidates before the
+    * quadratic-cost `levenshtein` evaluates. At 100 TB the same shape holds
+    * with finer blocking keys (brand × name-prefix × soundex); the expensive
+    * predicate stays inside hash-partitioned blocks.
+    */
+  val f01FuzzyMatch = Q(
+    "f01_fuzzy_match",
+    (s, dir) => {
+      val p = Tables.part(s, dir).select("p_partkey", "p_brand", "p_name")
+      val a = p.toDF("a_key", "brand", "a_name")
+      val b = p.toDF("b_key", "brand_b", "b_name")
+      a.join(b,
+          col("brand") === col("brand_b") && col("a_key") < col("b_key") &&
+            abs(length(col("a_name")) - length(col("b_name"))) <= 2)
+        .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+        .filter(col("dist") <= 2)
+        .select(col("brand"), col("a_key"), col("b_key"),
+          col("a_name"), col("b_name"), col("dist"))
+        .orderBy("a_key", "b_key")
+    },
+    Some("""SELECT a.p_brand AS brand, a.p_partkey AS a_key,
+        b.p_partkey AS b_key, a.p_name AS a_name, b.p_name AS b_name,
+        CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+        AND levenshtein(a.p_name, b.p_name) <= 2
+      ORDER BY a_key, b_key"""))
+
+  /** Weighted PageRank (3 iterations, d = 0.85) over the nation-level trade
+    * graph: edge (customer-nation → supplier-nation) weighted by lineitem
+    * count. The oracle unrolls the identical three iterations as CTE layers;
+    * per-node inflow sums go through the DECIMAL(28,14) exact-sum trick so
+    * both engines produce bit-equal doubles (see `PageRank`).
+    */
+  val g01Pagerank = Q(
+    "g01_pagerank",
+    (s, dir) => {
+      val edges = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val nodes = Tables.nation(s, dir).select(col("n_nationkey").as("id"))
+      PageRank.run(nodes, edges, iterations = 3)
+        .join(Tables.nation(s, dir), col("id") === col("n_nationkey"))
+        .select(col("n_nationkey"), col("n_name"), col("rank").as("pagerank"))
+        .orderBy("n_nationkey")
+    },
+    Some("""WITH edges AS (
+        SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS w
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2),
+      outw AS (
+        SELECT src, CAST(sum(CAST(w AS DECIMAL(18,4))) AS DOUBLE) AS out_w
+        FROM edges GROUP BY src),
+      shares AS (
+        SELECT e.src, e.dst, e.w / o.out_w AS share
+        FROM edges e JOIN outw o ON e.src = o.src),
+      nn AS (SELECT count(*) AS n FROM nation),
+      r0 AS (
+        SELECT n_nationkey AS id,
+          CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr
+        FROM nation),
+      r1 AS (
+        SELECT n.n_nationkey AS id,
+          (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+            + CAST(0.85 AS DOUBLE) * COALESCE(i.inflow, CAST(0.0 AS DOUBLE)) AS pr
+        FROM nation n LEFT JOIN (
+          SELECT s.dst,
+            CAST(sum(CAST(r.pr * s.share AS DECIMAL(28,14))) AS DOUBLE) AS inflow
+          FROM shares s JOIN r0 r ON s.src = r.id GROUP BY s.dst) i
+          ON n.n_nationkey = i.dst),
+      r2 AS (
+        SELECT n.n_nationkey AS id,
+          (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+            + CAST(0.85 AS DOUBLE) * COALESCE(i.inflow, CAST(0.0 AS DOUBLE)) AS pr
+        FROM nation n LEFT JOIN (
+          SELECT s.dst,
+            CAST(sum(CAST(r.pr * s.share AS DECIMAL(28,14))) AS DOUBLE) AS inflow
+          FROM shares s JOIN r1 r ON s.src = r.id GROUP BY s.dst) i
+          ON n.n_nationkey = i.dst),
+      r3 AS (
+        SELECT n.n_nationkey AS id,
+          (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+            + CAST(0.85 AS DOUBLE) * COALESCE(i.inflow, CAST(0.0 AS DOUBLE)) AS pr
+        FROM nation n LEFT JOIN (
+          SELECT s.dst,
+            CAST(sum(CAST(r.pr * s.share AS DECIMAL(28,14))) AS DOUBLE) AS inflow
+          FROM shares s JOIN r2 r ON s.src = r.id GROUP BY s.dst) i
+          ON n.n_nationkey = i.dst)
+      SELECT n_nationkey, n_name, pr AS pagerank
+      FROM r3 JOIN nation ON id = n_nationkey
+      ORDER BY n_nationkey"""))
+
+  val all: Seq[Q] = Seq(f01FuzzyMatch, g01Pagerank)
+}

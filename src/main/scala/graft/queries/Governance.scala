@@ -258,7 +258,77 @@ object Governance {
         count(*) AS n
       FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
 
+  /** Snapshot diff / change-data-capture: compare two deterministic states
+    * of the orders table — snapshot A (orders before 1997-07-01) and
+    * snapshot B (orders before 1998-01-01, urgent pre-A-cutoff orders
+    * repriced +10%, pre-1993 finished orders archived out) — and emit one
+    * row per changed key classified INSERT / DELETE / UPDATE.
+    *
+    * One full outer join on the snapshot key; the change classification is
+    * a row-local CASE. This is the diff an Iceberg `changes` read or a
+    * CDC-to-downstream feed computes between snapshots: at 100 TB both
+    * sides hash-partition on the key once, and unchanged rows (the vast
+    * majority) are filtered before the sort/sink. Prices compare in
+    * DECIMAL(14,4) — wide enough that the +10% product (2 dp × 2 dp = 4 dp)
+    * is carried exactly, so "changed" is exact and no engine ever rounds
+    * (a 2-dp re-cast would hit Spark HALF_UP vs DuckDB half-even ties).
+    */
+  val m04SnapshotDiff = Q(
+    "m04_snapshot_diff",
+    (s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val dec4 = org.apache.spark.sql.types.DecimalType(14, 4)
+      val snapA = orders
+        .filter(col("o_orderdate") < "1997-07-01")
+        .select(col("o_orderkey"), col("o_totalprice").cast(dec4).as("price"))
+      val snapB = orders
+        .filter(col("o_orderdate") < "1998-01-01" &&
+          !(col("o_orderstatus") === "F" && col("o_orderdate") < "1993-01-01"))
+        .select(col("o_orderkey"),
+          when(col("o_orderpriority") === "1-URGENT" &&
+              col("o_orderdate") < "1997-07-01",
+            (Q.dec2(col("o_totalprice")) * Q.dec2(lit(1.10))).cast(dec4))
+            .otherwise(col("o_totalprice").cast(dec4)).as("price"))
+      val a = snapA.as("a")
+      val b = snapB.as("b")
+      a.join(b, col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
+        .withColumn("change_type",
+          when(col("a.o_orderkey").isNull, "INSERT")
+            .when(col("b.o_orderkey").isNull, "DELETE")
+            .when(col("a.price") =!= col("b.price"), "UPDATE"))
+        .filter(col("change_type").isNotNull)
+        .select(
+          coalesce(col("a.o_orderkey"), col("b.o_orderkey")).as("o_orderkey"),
+          col("change_type"),
+          col("a.price").as("old_price"),
+          col("b.price").as("new_price"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH snap_a AS (
+        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(14,4)) AS price
+        FROM orders WHERE o_orderdate < DATE '1997-07-01'),
+      snap_b AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderpriority = '1-URGENT'
+                 AND o_orderdate < DATE '1997-07-01'
+            THEN CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                 * CAST(1.10 AS DECIMAL(12,2)) AS DECIMAL(14,4))
+            ELSE CAST(o_totalprice AS DECIMAL(14,4)) END AS price
+        FROM orders
+        WHERE o_orderdate < DATE '1998-01-01'
+          AND NOT (o_orderstatus = 'F' AND o_orderdate < DATE '1993-01-01'))
+      SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        CASE WHEN a.o_orderkey IS NULL THEN 'INSERT'
+             WHEN b.o_orderkey IS NULL THEN 'DELETE'
+             WHEN a.price <> b.price THEN 'UPDATE' END AS change_type,
+        a.price AS old_price, b.price AS new_price
+      FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+      WHERE CASE WHEN a.o_orderkey IS NULL THEN 'INSERT'
+             WHEN b.o_orderkey IS NULL THEN 'DELETE'
+             WHEN a.price <> b.price THEN 'UPDATE' END IS NOT NULL
+      ORDER BY o_orderkey"""))
+
   val all: Seq[Q] = Seq(
-    m01MergeUpsert, m02Scd2History, m03IncrementalRefresh,
+    m01MergeUpsert, m02Scd2History, m03IncrementalRefresh, m04SnapshotDiff,
     a01QualityAudit, z01ZorderLayout)
 }

@@ -35,7 +35,15 @@ object GraftFunctions {
     (
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShingleExplode].getName, "graft_shingles"),
-      ShingleExplode.fromExpressions _))
+      ShingleExplode.fromExpressions _),
+    (
+      FunctionIdentifier("graft_heavy_hitters"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "graft_heavy_hitters"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_heavy_hitters expects 1 argument, got ${children.length}")
+        MisraGriesAgg(children.head).toAggregateExpression()
+      }))
 
   /** Idempotent registration into an existing session's function registry. */
   def register(spark: SparkSession): Unit =
@@ -48,6 +56,9 @@ object GraftFunctions {
 
   /** `graft_minhash(shingleHash)` aggregate as a Column. */
   def minhash(shingleHash: Column): Column = call_function("graft_minhash", shingleHash)
+
+  /** `graft_heavy_hitters(item)` Misra–Gries aggregate as a Column. */
+  def heavyHitters(item: Column): Column = call_function("graft_heavy_hitters", item)
 }
 
 /** `spark.sql.extensions` entry point: custom SQL functions plus the

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.Q
+
+/** Distributed triangle census over an undirected edge list.
+  *
+  * Input: distinct undirected edges as (u, v) with u < v, one row each.
+  * Output: one row — n_nodes, n_edges, n_wedges (open+closed paths of
+  * length 2), n_triangles, and the global clustering coefficient
+  * 3·triangles / wedges.
+  *
+  * Algorithm: degree orientation. Every edge is directed from its
+  * (degree, key)-smaller endpoint to its larger; out-degrees are then
+  * O(√m)-bounded, so the wedge self-join generates O(m^{3/2}) candidate
+  * rows instead of Σ deg² (the arboricity argument behind every
+  * distributed triangle counter — cf. Suri & Vassilvitskii, WWW'11).
+  * Each triangle is counted exactly once: its nodes are totally ordered
+  * by (degree, key), and only the wedge rooted at the smallest node whose
+  * closing edge is correctly oriented survives the semi-join. All three
+  * steps are equi-joins (wedge join on the shared root, closing probe on
+  * the (src, dst) pair); nothing driver-side, no adjacency lists.
+  */
+object TriangleCensus {
+
+  def census(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val oriented = edges
+      .join(deg.toDF("node_u", "du"), col("u") === col("node_u"))
+      .join(deg.toDF("node_v", "dv"), col("v") === col("node_v"))
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("u")).otherwise(col("v")).as("src"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("v")).otherwise(col("u")).as("dst"))
+    val e1 = oriented.toDF("src", "y")
+    val e2 = oriented.toDF("src", "z")
+    val closing = oriented.toDF("y", "z")
+    val triangles = e1.join(e2, "src").filter(col("y") =!= col("z"))
+      .join(closing, Seq("y", "z"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      (sum(col("d")) / 2).cast("long").as("n_edges"),
+      Q.dsum(col("d") * (col("d") - 1) / 2).as("n_wedges"))
+    stats.crossJoin(triangles)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        (lit(3.0) * col("n_triangles") / col("n_wedges")).as("clustering"))
+  }
+}

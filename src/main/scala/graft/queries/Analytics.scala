@@ -517,9 +517,56 @@ object Analytics {
       FROM lineitem, b
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Heavy-hitter detection via the Misra–Gries sketch
+    * ([[graft.functions.MisraGriesAgg]], k = 128): one streaming pass
+    * builds a 128-counter summary whose guarantee (undercount ≤ n/129,
+    * never overcount) makes the summary a certain superset of every item
+    * with frequency > n/129; the candidates are then exactly recounted
+    * (a groupBy over the candidate-only semi-joined stream) and
+    * thresholded at 1% of the stream — so the result equals the exact
+    * answer deterministically, independent of Spark's partial-merge
+    * order. Sketch-candidates-then-exact-recount is the standard two-pass
+    * shape for hot-key detection at 100 TB: pass 1 ships 128 counters per
+    * task instead of the full key domain, pass 2 aggregates only the ≤128
+    * candidate keys.
+    *
+    * The fixture's keys are uniform by design, so the hot-key structure
+    * is induced deterministically: bucket = ⌊√l_partkey⌋ gives bucket b a
+    * population ∝ 2b+1 — a planted linear skew both engines reproduce
+    * bit-exactly (hardware sqrt is correctly rounded).
+    */
+  val h01HeavyHitters = Q(
+    "h01_heavy_hitters",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val stream = Tables.lineitem(s, dir)
+        .select(floor(sqrt(col("l_partkey"))).cast("long").as("bucket"))
+      val cand = stream
+        .agg(graft.functions.GraftFunctions
+          .heavyHitters(col("bucket").cast("string")).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").cast("long").as("bucket"))
+      val tot = stream.agg(count(lit(1)).as("n"))
+      stream.join(broadcast(cand), "bucket")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot))
+        .filter(col("cnt") >= col("n") / lit(100.0))
+        .select(col("bucket"), col("cnt"),
+          round(col("cnt") / col("n"), 6).as("share"))
+        .orderBy("bucket")
+    },
+    Some("""WITH s AS (
+        SELECT CAST(floor(sqrt(l_partkey)) AS BIGINT) AS bucket FROM lineitem),
+      c AS (SELECT bucket, count(*) AS cnt FROM s GROUP BY bucket),
+      tot AS (SELECT count(*) AS n FROM s)
+      SELECT bucket, cnt, round(cnt / (SELECT n FROM tot), 6) AS share
+      FROM c WHERE cnt >= (SELECT n FROM tot) / 100.0
+      ORDER BY bucket"""))
+
   val all: Seq[Q] = Seq(
     q32CorrStats, q33SmallQtyRevenue, q34RevenueShare, q35RangeJoinBinned,
     q36GroupingSets, q37SlidingWindows, q38SaltedJoin, q39ApproxQuantiles,
     q40ArrayFuncs, q41RecursiveChain, q42DisjunctivePredicates, q43FilteredAgg,
-    q44IdleCustomers, q45MapFuncs, q46Histogram)
+    q44IdleCustomers, q45MapFuncs, q46Histogram, h01HeavyHitters)
 }

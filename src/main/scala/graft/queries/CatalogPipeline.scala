@@ -66,5 +66,41 @@ object CatalogPipeline {
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority"""))
 
-  val all: Seq[Q] = Seq(r01CatalogRoundtrip)
+  /** Schema evolution without rewrite: generation-1 files carry the
+    * original column set, generation-2 files add `o_orderpriority`, and a
+    * single `mergeSchema` read serves both — old files surface the new
+    * column as NULL at scan time, exactly how a columnar table format
+    * evolves a 100 TB table by touching only metadata, never the data
+    * files. (Iceberg resolves by column id rather than name, but the
+    * read-time semantics this query pins — additive column, NULL backfill,
+    * no file rewrite — are the same.) The aggregate routes the NULL-backed
+    * legacy rows to a sentinel bucket, proving pre-evolution files stay
+    * queryable next to post-evolution ones.
+    */
+  val v01SchemaEvolution = Q(
+    "v01_schema_evolution",
+    (s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_e2e/orders_evolved"
+      val orders = Tables.orders(s, dir)
+      orders.filter(col("o_orderdate") < "1996-01-01")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$base/gen1")
+      orders.filter(col("o_orderdate") >= "1996-01-01")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$base/gen2")
+      s.read.option("mergeSchema", "true").parquet(s"$base/gen1", s"$base/gen2")
+        .groupBy(coalesce(col("o_orderpriority"), lit("LEGACY")).as("priority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          Q.dsum(col("o_totalprice")).as("total_price"))
+        .orderBy("priority")
+    },
+    Some("""SELECT
+        CASE WHEN o_orderdate >= DATE '1996-01-01' THEN o_orderpriority
+             ELSE 'LEGACY' END AS priority,
+        count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+      FROM orders GROUP BY 1 ORDER BY priority"""))
+
+  val all: Seq[Q] = Seq(r01CatalogRoundtrip, v01SchemaEvolution)
 }

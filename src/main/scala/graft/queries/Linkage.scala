@@ -131,5 +131,67 @@ object Linkage {
       FROM r3 JOIN nation ON id = n_nationkey
       ORDER BY n_nationkey"""))
 
-  val all: Seq[Q] = Seq(f01FuzzyMatch, g01Pagerank)
+  /** Triangle census of the part co-purchase graph: nodes = parts, edges =
+    * part pairs co-ordered in ≥ 2 distinct orders (the significance
+    * threshold that separates systematic co-purchase from coincidence),
+    * output = one summary row (nodes, edges, wedges, triangles, global
+    * clustering coefficient).
+    *
+    * The triangle join uses **degree orientation** — every edge is directed
+    * from its (degree, key)-smaller endpoint to the larger, making
+    * out-degrees O(√m)-bounded, so the wedge join generates
+    * O(m^{3/2}) candidate rows instead of Σ deg² (the arboricity bound
+    * behind every distributed triangle counter). Each triangle is counted
+    * exactly once: its three nodes are totally ordered by (degree, key),
+    * and only the wedge rooted at the smallest node with the correctly-
+    * oriented closing edge matches. Everything is equi-joins — pair
+    * generation shuffles on order key (per-order fan-out ≤ C(7,2)), the
+    * wedge join on the shared root, the closing probe on the (src,dst)
+    * edge key; no driver-side adjacency structure anywhere.
+    */
+  val g02TriangleCount = Q(
+    "g02_triangle_count",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey").as("okey"), col("l_partkey"))
+      val pairs = li.toDF("okey", "u")
+        .join(li.toDF("okey", "v"), "okey")
+        .filter(col("u") < col("v"))
+        .groupBy("u", "v")
+        .agg(count_distinct(col("okey")).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+        .select("u", "v")
+      graft.operators.TriangleCensus.census(pairs)
+    },
+    Some("""WITH pairs AS (
+        SELECT least(a.l_partkey, b.l_partkey) AS u,
+               greatest(a.l_partkey, b.l_partkey) AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+      deg AS (
+        SELECT node, count(*) AS d FROM (
+          SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+        GROUP BY node),
+      oriented AS (
+        SELECT CASE WHEN (da.d, u) < (db.d, v) THEN u ELSE v END AS src,
+               CASE WHEN (da.d, u) < (db.d, v) THEN v ELSE u END AS dst
+        FROM pairs JOIN deg da ON u = da.node JOIN deg db ON v = db.node),
+      tri AS (
+        SELECT count(*) AS n_triangles
+        FROM oriented e1 JOIN oriented e2 ON e1.src = e2.src
+        WHERE e1.dst <> e2.dst
+          AND EXISTS (SELECT 1 FROM oriented c
+                      WHERE c.src = e1.dst AND c.dst = e2.dst)),
+      stats AS (
+        SELECT count(*) AS n_nodes,
+          CAST(sum(d) / 2 AS BIGINT) AS n_edges,
+          CAST(sum(CAST(d * (d - 1) / 2 AS DECIMAL(18,4))) AS DOUBLE)
+            AS n_wedges
+        FROM deg)
+      SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        3.0 * n_triangles / n_wedges AS clustering
+      FROM stats, tri"""))
+
+  val all: Seq[Q] = Seq(f01FuzzyMatch, g01Pagerank, g02TriangleCount)
 }

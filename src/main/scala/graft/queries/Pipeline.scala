@@ -460,8 +460,54 @@ object Pipeline {
     GROUP BY lang ORDER BY lang"""
     })
 
+  /** Deterministic weighted sampling (probability-proportional-to-size
+    * Poisson design): each order is kept with inclusion probability
+    * p = min(1, n_target · w / W), w = its price, W = total price — so
+    * high-value orders are near-certain and the expected sample size is
+    * ~n_target regardless of table size. The per-row coin is a
+    * multiplicative integer hash of the key (mod 2³²; the final division
+    * by 2³² is exact in doubles), so the sample is reproducible in any
+    * engine with 64-bit integers — no RNG state, no seed coordination
+    * across executors, and the filter is a narrow row-local predicate
+    * under a single broadcast scalar W. `p_incl` is emitted because
+    * 1/p is exactly the Horvitz–Thompson reweight a downstream unbiased
+    * estimator needs.
+    */
+  val s02WeightedSample = Q(
+    "s02_weighted_sample",
+    (s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val tot = orders.agg(Q.dsum(col("o_totalprice")).as("w_total"))
+      val h1 = pmod(col("o_orderkey") * lit(2654435761L), lit(4294967296L))
+      val h2 = pmod(
+        h1.bitwiseXOR(expr("cast(pmod(o_orderkey * 2654435761, 4294967296) div 65536 as bigint)"))
+          * lit(1000000007L),
+        lit(4294967296L))
+      orders.crossJoin(broadcast(tot))
+        .withColumn("u", h2.cast("double") / lit(4294967296.0))
+        .withColumn("p_incl",
+          least(lit(1.0), lit(200.0) * col("o_totalprice") / col("w_total")))
+        .filter(col("u") < col("p_incl"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("p_incl"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH tot AS (
+        SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+          AS w_total FROM orders),
+      h AS (
+        SELECT o_orderkey, o_totalprice, w_total,
+          ((xor((o_orderkey * 2654435761) % 4294967296,
+                ((o_orderkey * 2654435761) % 4294967296) // 65536)
+            * 1000000007) % 4294967296) / 4294967296.0 AS u,
+          least(1.0, 200.0 * o_totalprice / w_total) AS p_incl
+        FROM orders, tot)
+      SELECT o_orderkey, o_totalprice, p_incl
+      FROM h WHERE u < p_incl
+      ORDER BY o_orderkey"""))
+
   val all: Seq[Q] = Seq(
     c01DocChunks, c02TfidfTopTerms, c03Bm25TopTerms, c04UnigramXent,
     p01SequencePacking, p02CurationFunnel, s01StratifiedSample,
+    s02WeightedSample,
     k01KmeansAssign, k02KmeansClusters, k03ClusterDiverseSample)
 }

@@ -334,6 +334,77 @@ object TextOps {
     FROM p WHERE CAST(n_shared AS DOUBLE) / hn >= 0.5
     ORDER BY holdout_doc, train_doc"""))
 
+  /** Contamination detection, production path: the same train/holdout
+    * containment semantics as d10, but candidate pairs come from shared
+    * MinHash-LSH band buckets (cross-split only) instead of the full
+    * shingle-keyed inverted-index join, and the exact containment check
+    * runs per candidate pair on the shingle arrays.
+    *
+    * Where d10's join fan-out is Σ_sh df_holdout(sh)·df_train(sh) — ~38M
+    * rows at sf0.1 on this fixture's deliberately worst-case 31-word
+    * vocabulary — the band join collides only near-identical signatures,
+    * so cost tracks the number of actual near-dups. The trade is recall:
+    * banded MinHash targets Jaccard, and containment ≥ 0.5 against a much
+    * longer training document can sit below the band threshold — the
+    * documented regime split (d10 = exhaustive audit, d13 = production
+    * sweep). On the fixture both find exactly the planted cross-split
+    * pairs, so d13 is oracle-gated against d10's brute-force SQL.
+    */
+  val d13ContaminationLsh = Q(
+    "d13_contamination_lsh",
+    (s, dir) => {
+      import graft.operators.MinHashLsh
+      val p = MinHashLsh.Params()
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"),
+          when(col("doc_id") % 10 < 8, "train").otherwise("holdout").as("split"),
+          MinHashLsh.shingles(col("text"), p.shingleSize).as("shingles"))
+        .persist()
+      val sigs = MinHashLsh.signaturesFromShingles(
+          sh.select("id", "shingles"), p)
+        .join(sh.select("id", "split"), "id")
+      val bands = sigs
+        .select(col("id"), col("split"),
+          posexplode(MinHashLsh.bandHashes(col("sig"), p.bands, p.rowsPerBand)))
+        .toDF("id", "split", "band_idx", "band_hash")
+      val cand = bands.filter(col("split") === "holdout").as("x")
+        .join(bands.filter(col("split") === "train").as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+            col("x.band_hash") === col("y.band_hash"))
+        .select(col("x.id").as("holdout_doc"), col("y.id").as("train_doc"))
+        .distinct()
+      val hs = sh.filter(col("split") === "holdout")
+        .select(col("id").as("holdout_doc"), col("shingles").as("sh_h"))
+      val ts = sh.filter(col("split") === "train")
+        .select(col("id").as("train_doc"), col("shingles").as("sh_t"))
+      cand.join(hs, "holdout_doc").join(ts, "train_doc")
+        .withColumn("n_shared",
+          size(array_intersect(col("sh_h"), col("sh_t"))).cast("long"))
+        .withColumn("containment",
+          col("n_shared").cast("double") / size(col("sh_h")))
+        .filter(col("containment") >= 0.5)
+        .select(col("holdout_doc"), col("train_doc"), col("n_shared"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy("holdout_doc", "train_doc")
+    },
+    Some("""WITH d AS (
+      SELECT doc_id, CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'holdout' END AS split,
+        list_distinct(list_transform(
+          list_zip(tokens[1:length(tokens)-1], tokens[2:]),
+          s -> s[1] || chr(32) || s[2])) AS grams
+      FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tokens FROM documents)),
+    g AS (SELECT doc_id, split, length(grams) AS n_grams, unnest(grams) AS sh FROM d),
+    p AS (
+      SELECT h.doc_id AS holdout_doc, t.doc_id AS train_doc,
+        count(*) AS n_shared, any_value(h.n_grams) AS hn
+      FROM (SELECT * FROM g WHERE split = 'holdout') h
+      JOIN (SELECT * FROM g WHERE split = 'train') t USING (sh)
+      GROUP BY 1, 2)
+    SELECT holdout_doc, train_doc, n_shared,
+      round(CAST(n_shared AS DOUBLE) / hn, 6) AS containment
+    FROM p WHERE CAST(n_shared AS DOUBLE) / hn >= 0.5
+    ORDER BY holdout_doc, train_doc"""))
+
   /** Per-document repetition score: the dominant token and its share of
     * all tokens — a standard boilerplate/low-quality signal. */
   val d11Repetition = Q(
@@ -400,5 +471,5 @@ object TextOps {
   val all: Seq[Q] = Seq(
     d01DedupExact, d02TextStats, d03TokenCounts, d04QualityScore,
     d05LangId, d06Fingerprint, d07TokenFreq, d08PiiScrub, d09DatasetSplit,
-    d10Contamination, d11Repetition, d12BigramVocab)
+    d10Contamination, d11Repetition, d12BigramVocab, d13ContaminationLsh)
 }

@@ -261,10 +261,53 @@ object Similarity {
     // Same exact answer as e05 — identical oracle.
     e05EmbeddingNearDup.oracle)
 
+  /** SemDeDup semantic deduplication ([[graft.operators.SemanticDedup]]):
+    * cluster the corpus into 8 cells (fixed lowest-id centroids, the k01
+    * determinism discipline), then drop every vector with a lower-id
+    * same-cell neighbor at cosine ≥ 0.35. Pairwise work is cell-local —
+    * O(Σ|cell|²), never the corpus square; the oracle replays the
+    * assignment + greedy keep-first drop rule exactly. */
+  val sd01SemanticDedup = Q(
+    "sd01_semantic_dedup",
+    (s, dir) => {
+      val c = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val cents = c.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cluster"), col("emb").as("cvec"))
+      graft.operators.SemanticDedup
+        .drops(c, "vec_id", "emb", cents, tau = 0.35)
+        .orderBy("vec_id")
+    },
+    Some("""WITH cents AS (
+      SELECT CAST(vec_id AS INT) AS cluster, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < 8),
+    d AS (
+      SELECT e.vec_id, c.cluster,
+        row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY round(list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec), 6),
+                   c.cluster) AS rn
+      FROM embeddings e, cents c),
+    a AS (SELECT vec_id, cluster FROM d WHERE rn = 1),
+    p AS (
+      SELECT x.cluster, x.vec_id AS id_a, y.vec_id AS id_b,
+        list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                               CAST(eb.embedding AS DOUBLE[])) AS cos
+      FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      JOIN embeddings ea ON ea.vec_id = x.vec_id
+      JOIN embeddings eb ON eb.vec_id = y.vec_id
+      WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                   CAST(eb.embedding AS DOUBLE[])) >= 0.35),
+    r AS (
+      SELECT cluster, id_b AS vec_id, id_a AS dup_of, round(cos, 6) AS cosine,
+        row_number() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
+      FROM p)
+    SELECT cluster, vec_id, dup_of, cosine FROM r WHERE rn = 1
+    ORDER BY vec_id"""))
+
   val all: Seq[Q] = Seq(
     e01EmbeddingNorms, e02KnnBrute, e03KnnLsh, e04KnnFused,
     e05EmbeddingNearDup, e06KnnIvf, e07EmbeddingQuantize,
-    e08EmbeddingNearDupPruned)
+    e08EmbeddingNearDupPruned, sd01SemanticDedup)
 }
 
 /** Typed row for the fused-knn pipeline (top-level for Encoder derivation). */

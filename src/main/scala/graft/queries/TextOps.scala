@@ -468,8 +468,61 @@ object TextOps {
     FROM g GROUP BY shingle
     ORDER BY n_docs DESC, shingle LIMIT 20"""))
 
+  /** Per-document repeated-n-gram fraction — the corpus-level duplicated-
+    * span signal behind exact-substring dedup (Lee et al. 2022,
+    * arXiv:2107.06499): for each document, the share of its distinct
+    * 5-gram shingles that also occur in at least one OTHER document. Near
+    * 1.0 ⇒ the document is assembled from text seen elsewhere (the planted
+    * near-dups score 1.0 on this fixture); organic documents sit an order
+    * of magnitude lower.
+    *
+    * Shape: shingle-keyed document-frequency aggregate (map-side combined,
+    * uniform key) joined back to the exploded shingle stream on the same
+    * key — co-partitioned, so the join adds no extra shuffle — then a
+    * per-doc aggregate. Cost is linear in total shingle volume; no pairwise
+    * document work anywhere (contrast d10's containment join). At 100 TB
+    * the shingle strings would be xxhash64-compressed before the shuffle
+    * (collision-free in expectation at 2⁶⁴); kept raw here so the oracle is
+    * string-exact. */
+  val d14RepeatedNgrams = Q(
+    "d14_repeated_ngrams",
+    (s, dir) => {
+      import graft.operators.MinHashLsh
+      val g = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(MinHashLsh.shingles(col("text"), 5)).as("sh"))
+      val df = g.groupBy("sh")
+        .agg(count_distinct(col("doc_id")).as("n_docs"))
+      g.join(df, "sh")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_grams"),
+          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_repeated"))
+        .select(col("doc_id"), col("n_grams"), col("n_repeated"),
+          round(col("n_repeated").cast("double") / col("n_grams"), 6)
+            .as("dup_fraction"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents),
+    d AS (
+      SELECT doc_id, list_distinct(list_transform(
+        range(1, greatest(length(toks) - 4, 0) + 1),
+        i -> array_to_string(toks[i:i+4], chr(32)))) AS grams
+      FROM t),
+    g AS (SELECT doc_id, unnest(grams) AS sh FROM d),
+    df AS (SELECT sh, count(DISTINCT doc_id) AS n_docs FROM g GROUP BY sh)
+    SELECT g.doc_id, count(*) AS n_grams,
+      CAST(sum(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+      round(CAST(sum(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        / count(*), 6) AS dup_fraction
+    FROM g JOIN df USING (sh)
+    GROUP BY g.doc_id ORDER BY g.doc_id"""))
+
   val all: Seq[Q] = Seq(
     d01DedupExact, d02TextStats, d03TokenCounts, d04QualityScore,
     d05LangId, d06Fingerprint, d07TokenFreq, d08PiiScrub, d09DatasetSplit,
-    d10Contamination, d11Repetition, d12BigramVocab, d13ContaminationLsh)
+    d10Contamination, d11Repetition, d12BigramVocab, d13ContaminationLsh,
+    d14RepeatedNgrams)
 }

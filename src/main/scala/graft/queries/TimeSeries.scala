@@ -127,5 +127,52 @@ object TimeSeries {
       WINDOW w AS (PARTITION BY r_regionkey ORDER BY mon)
       ORDER BY r_regionkey, mon"""))
 
-  val all: Seq[Q] = Seq(t01GapFill, t02Ewma)
+  /** OHLC downsampling: per (event_type, day) open/high/low/close bars over
+    * the event value stream — the standard raw-ticks → bar-series compaction
+    * of any metrics or market pipeline.
+    *
+    * Open/close are selected by a single struct-min/-max aggregate ordered
+    * by (ts, event_id) — a total order, so both engines pick the identical
+    * row without a sort: the aggregate is one map-side-combined groupBy on
+    * the bar key, no window and no per-bar shuffle-sort anywhere. At 100 TB
+    * this is the shape that matters — downsampling must be a single
+    * partial-aggregable pass, because the raw tick stream is the biggest
+    * table in the lake. (The oracle uses row_number windows instead —
+    * DuckDB's arg_min can't take a composite ordering key — but semantics
+    * are identical under the total order.) */
+  val t03OhlcBars = Q(
+    "t03_ohlc_bars",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(
+          min(struct(col("ts"), col("event_id"), col("value"))).as("_o"),
+          max(struct(col("ts"), col("event_id"), col("value"))).as("_c"),
+          min("value").as("low"),
+          max("value").as("high"),
+          count(lit(1)).as("n_events"))
+        .select(
+          col("event_type"), col("d"),
+          col("_o.value").as("open"), col("high"), col("low"),
+          col("_c.value").as("close"), col("n_events"))
+        .orderBy("event_type", "d")
+    },
+    Some("""WITH e AS (
+        SELECT event_type, date_trunc('day', ts) AS d, ts, event_id, value
+        FROM events),
+      r AS (
+        SELECT *,
+          row_number() OVER (PARTITION BY event_type, d
+            ORDER BY ts, event_id) AS rf,
+          row_number() OVER (PARTITION BY event_type, d
+            ORDER BY ts DESC, event_id DESC) AS rl
+        FROM e)
+      SELECT event_type, d,
+        max(CASE WHEN rf = 1 THEN value END) AS open,
+        max(value) AS high, min(value) AS low,
+        max(CASE WHEN rl = 1 THEN value END) AS close,
+        count(*) AS n_events
+      FROM r GROUP BY event_type, d ORDER BY event_type, d"""))
+
+  val all: Seq[Q] = Seq(t01GapFill, t02Ewma, t03OhlcBars)
 }

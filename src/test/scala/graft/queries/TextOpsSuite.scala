@@ -31,6 +31,31 @@ class TextOpsSuite extends AnyFunSuite {
     assert(row.getLong(1) === 0L)
   }
 
+  test("d14 repeated-ngram fractions: every doc scored, bounds hold, generator-route replay agrees") {
+    import org.apache.spark.sql.functions._
+    val dir = SparkTestSession.sfDir
+    val got = TextOps.d14RepeatedNgrams.run(spark, dir)
+    assert(got.count() === Tables.documents(spark, dir).count())
+    assert(got.filter($"n_repeated" > $"n_grams" || $"n_repeated" < 0 ||
+      $"dup_fraction" < 0.0 || $"dup_fraction" > 1.0).count() === 0)
+
+    // Independent route: stream shingles out of the custom Generator
+    // (graft_shingles) instead of the array pipeline, recompute df + per-doc
+    // counts, and require identical rows.
+    graft.functions.GraftFunctions.register(spark)
+    val g = Tables.documents(spark, dir)
+      .select($"doc_id", expr("graft_shingles(text, 5)").as("sh"))
+    val df = g.groupBy("sh").agg(count_distinct($"doc_id").as("n_docs"))
+    val replay = g.join(df, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"n_docs" >= 2, 1L).otherwise(0L)).as("n_repeated"))
+      .select($"doc_id", $"n_grams", $"n_repeated",
+        round($"n_repeated".cast("double") / $"n_grams", 6).as("dup_fraction"))
+    assert(got.exceptAll(replay).count() === 0 &&
+      replay.exceptAll(got).count() === 0)
+  }
+
   test("language-id scores are deterministic and argmax picks the max") {
     val dir = SparkTestSession.sfDir
     val rows = TextOps.d05LangId.run(spark, dir)

@@ -54,6 +54,9 @@ object SemanticDedup {
     // Nearest-centroid assignment on the ROUNDED distance with cluster-id
     // tiebreak — the k01 cross-engine determinism discipline (DuckDB's
     // list_distance and our fold can differ in the last ulp).
+    // Materialized once: both sides of the within-cluster self-join consume
+    // it, and without the persist Spark would plan the assignment pass —
+    // a full corpus scan — twice.
     val assigned = vecs
       .crossJoin(broadcast(centroids))
       .withColumn("_dist", round(sqrt(KMeans.sqDist(col(embCol), col("cvec"))), 6))
@@ -62,6 +65,7 @@ object SemanticDedup {
         min(struct(col("_dist"), col("cluster"))).as("_m"),
         first(col(embCol)).as("_emb"))
       .select(col(idCol), col("_m.cluster").as("cluster"), col("_emb"))
+      .persist()
     val a = assigned.select(
       col("cluster"), col(idCol).as("_id_a"), col("_emb").as("_ea"))
     val b = assigned.select(

@@ -476,28 +476,38 @@ object TextOps {
     * near-dups score 1.0 on this fixture); organic documents sit an order
     * of magnitude lower.
     *
-    * Shape: shingle-keyed document-frequency aggregate (map-side combined,
-    * uniform key) joined back to the exploded shingle stream on the same
-    * key — co-partitioned, so the join adds no extra shuffle — then a
-    * per-doc aggregate. Cost is linear in total shingle volume; no pairwise
-    * document work anywhere (contrast d10's containment join). At 100 TB
-    * the shingle strings would be xxhash64-compressed before the shuffle
-    * (collision-free in expectation at 2⁶⁴); kept raw here so the oracle is
+    * Shape: shingles are DISTINCT per document, so a shingle with document
+    * frequency 1 has exactly one owner — which means "repeated" counts
+    * derive from two map-side-combined aggregates and a doc-level join,
+    * never a join back onto the exploded shingle stream:
+    * n_repeated(doc) = n_grams(doc) − |shingles owned uniquely by doc|,
+    * where the unique-owner table falls out of the df aggregate itself
+    * (min(doc_id) of a df=1 group IS the owner). Cost is linear in shingle
+    * volume and the only join is on ~|docs| rows; no pairwise document work
+    * anywhere (contrast d10's containment join). At 100 TB the shingle
+    * strings would be xxhash64-compressed before the shuffle (collision-
+    * free in expectation at 2⁶⁴); kept raw here so the oracle is
     * string-exact. */
   val d14RepeatedNgrams = Q(
     "d14_repeated_ngrams",
     (s, dir) => {
       import graft.operators.MinHashLsh
-      val g = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          explode(MinHashLsh.shingles(col("text"), 5)).as("sh"))
-      val df = g.groupBy("sh")
-        .agg(count_distinct(col("doc_id")).as("n_docs"))
-      g.join(df, "sh")
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_grams"),
-          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_repeated"))
+      // Shingle arrays are the expensive narrow step — materialize once
+      // (both the per-doc size and the exploded df aggregate consume them).
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), MinHashLsh.shingles(col("text"), 5).as("grams"))
+        .persist()
+      val uniq = d
+        .select(col("doc_id"), explode(col("grams")).as("sh"))
+        .groupBy("sh")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("owner"))
+        .filter(col("n_docs") === 1L)
+        .groupBy(col("owner").as("doc_id"))
+        .agg(count(lit(1)).as("n_unique"))
+      d.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+        .join(uniq, Seq("doc_id"), "left")
+        .withColumn("n_repeated",
+          col("n_grams") - coalesce(col("n_unique"), lit(0L)))
         .select(col("doc_id"), col("n_grams"), col("n_repeated"),
           round(col("n_repeated").cast("double") / col("n_grams"), 6)
             .as("dup_fraction"))

@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Scaling probe: re-runs flagship shapes on N×-replicated inputs to
   * measure how wall time grows with data volume (the 100 TB question in
-  * miniature). Usage: `runMain graft.ScaleProbe <sfDir> [factor]`.
+  * miniature). Usage: `runMain graft.ScaleProbe <sfDir> [factor] [shape…]`
+  * (trailing shape names restrict the run — re-probing one shape at a
+  * high factor shouldn't pay for the 6-minute containment join).
   * Prints one line per shape: base seconds, scaled seconds, ratio.
   */
 object ScaleProbe {
@@ -93,9 +95,14 @@ object ScaleProbe {
     def containJoin(d: DataFrame): DataFrame =
       graft.queries.TextOps.containmentPairs(d)
 
+    // The no-join-back duplicated-span scorer (round 6): linear shingle
+    // volume, doc-level broadcast join only.
+    def repeatedNgrams(d: DataFrame): DataFrame =
+      graft.queries.TextOps.repeatedNgramFractions(d)
+
     val docAmp = amplifyDocs _
     val rowAmp = amplify _
-    val shapes: Seq[(String, DataFrame => DataFrame, DataFrame, (DataFrame, Int) => DataFrame)] = Seq(
+    val allShapes: Seq[(String, DataFrame => DataFrame, DataFrame, (DataFrame, Int) => DataFrame)] = Seq(
       ("agg_q01", q01 _, li, rowAmp),
       ("window_topk", topk _, li, rowAmp),
       ("minhash_sigs",
@@ -105,7 +112,13 @@ object ScaleProbe {
       ("tfidf_join", tfidfTerms _, docs, rowAmp),
       ("kmeans_assign", kmeansAssign _, emb, rowAmp),
       ("lsh_band_join", lshBandJoin _, docs, docAmp),
-      ("contain_join", containJoin _, docs, docAmp))
+      ("contain_join", containJoin _, docs, docAmp),
+      ("repeated_ngrams", repeatedNgrams _, docs, docAmp))
+    val wanted = args.drop(2).toSet
+    val shapes =
+      if (wanted.isEmpty) allShapes else allShapes.filter(s => wanted(s._1))
+    require(shapes.nonEmpty,
+      s"no shape matches $wanted; known: ${allShapes.map(_._1).mkString(", ")}")
 
     // Warm codegen/scan once.
     shapes.foreach { case (_, f, base, _) => sink(f(base)); spark.catalog.clearCache() }

@@ -505,9 +505,69 @@ object Pipeline {
       FROM h WHERE u < p_incl
       ORDER BY o_orderkey"""))
 
+  /** Training-mix rebalancing: sample the corpus so every language gets an
+    * equal share of a 30%-of-corpus TOKEN budget — the "data mixing" step
+    * that turns an as-crawled distribution (this fixture is ~50% English by
+    * tokens) into a target distribution. Differs from s01 (fixed fraction
+    * per stratum) and s02 (weight-proportional): here the acceptance rate
+    * is a FUNCTION OF GROUP STATISTICS, p_l = min(1, budget·share / T_l),
+    * so over-represented languages are downsampled exactly as hard as
+    * needed and under-represented ones pass through whole.
+    *
+    * Shape: one narrow pass for token counts, a 5-row aggregate for the
+    * per-language totals (broadcast back), then a row-local deterministic
+    * hash coin (s02's multiplicative-hash uniform) — no shuffle of the
+    * corpus at any point, which is the property a 100 TB mix job needs.
+    * `p_incl` is emitted for downstream Horvitz–Thompson reweighting.
+    */
+  val x01MixtureRebalance = Q(
+    "x01_mixture_rebalance",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      val perLang = docs.groupBy("lang")
+        .agg(sum(col("n_tokens")).as("lang_tokens"))
+      val total = docs.agg(sum(col("n_tokens")).as("total_tokens"))
+      val h1 = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+      val h2 = pmod(
+        h1.bitwiseXOR(expr("cast(pmod(doc_id * 2654435761, 4294967296) div 65536 as bigint)"))
+          * lit(1000000007L),
+        lit(4294967296L))
+      docs
+        .join(broadcast(perLang), "lang")
+        .crossJoin(broadcast(total))
+        .withColumn("u", h2.cast("double") / lit(4294967296.0))
+        .withColumn("p_incl",
+          least(lit(1.0),
+            lit(0.3) * col("total_tokens") / lit(5.0) / col("lang_tokens")))
+        .filter(col("u") < col("p_incl"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          round(col("p_incl"), 6).as("p_incl"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, lang,
+          CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+            AS n_tokens
+        FROM documents),
+      per_lang AS (
+        SELECT lang, sum(n_tokens) AS lang_tokens FROM d GROUP BY lang),
+      tot AS (SELECT sum(n_tokens) AS total_tokens FROM d),
+      h AS (
+        SELECT d.doc_id, d.lang, d.n_tokens,
+          ((xor((d.doc_id * 2654435761) % 4294967296,
+                ((d.doc_id * 2654435761) % 4294967296) // 65536)
+            * 1000000007) % 4294967296) / 4294967296.0 AS u,
+          least(1.0, 0.3 * total_tokens / 5.0 / lang_tokens) AS p_incl
+        FROM d JOIN per_lang USING (lang), tot)
+      SELECT doc_id, lang, n_tokens, round(p_incl, 6) AS p_incl
+      FROM h WHERE u < p_incl
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     c01DocChunks, c02TfidfTopTerms, c03Bm25TopTerms, c04UnigramXent,
     p01SequencePacking, p02CurationFunnel, s01StratifiedSample,
-    s02WeightedSample,
+    s02WeightedSample, x01MixtureRebalance,
     k01KmeansAssign, k02KmeansClusters, k03ClusterDiverseSample)
 }

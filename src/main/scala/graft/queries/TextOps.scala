@@ -488,31 +488,36 @@ object TextOps {
     * strings would be xxhash64-compressed before the shuffle (collision-
     * free in expectation at 2⁶⁴); kept raw here so the oracle is
     * string-exact. */
+  /** The d14 pipeline body over an arbitrary `(doc_id, text)` frame —
+    * shared with [[graft.ScaleProbe]] so the scaling probe times exactly
+    * the registered plan. */
+  def repeatedNgramFractions(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.operators.MinHashLsh
+    // Shingle arrays are the expensive narrow step — materialize once
+    // (both the per-doc size and the exploded df aggregate consume them).
+    val d = docs
+      .select(col("doc_id"), MinHashLsh.shingles(col("text"), 5).as("grams"))
+      .persist()
+    val uniq = d
+      .select(col("doc_id"), explode(col("grams")).as("sh"))
+      .groupBy("sh")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("owner"))
+      .filter(col("n_docs") === 1L)
+      .groupBy(col("owner").as("doc_id"))
+      .agg(count(lit(1)).as("n_unique"))
+    d.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+      .join(uniq, Seq("doc_id"), "left")
+      .withColumn("n_repeated",
+        col("n_grams") - coalesce(col("n_unique"), lit(0L)))
+      .select(col("doc_id"), col("n_grams"), col("n_repeated"),
+        round(col("n_repeated").cast("double") / col("n_grams"), 6)
+          .as("dup_fraction"))
+  }
+
   val d14RepeatedNgrams = Q(
     "d14_repeated_ngrams",
-    (s, dir) => {
-      import graft.operators.MinHashLsh
-      // Shingle arrays are the expensive narrow step — materialize once
-      // (both the per-doc size and the exploded df aggregate consume them).
-      val d = Tables.documents(s, dir)
-        .select(col("doc_id"), MinHashLsh.shingles(col("text"), 5).as("grams"))
-        .persist()
-      val uniq = d
-        .select(col("doc_id"), explode(col("grams")).as("sh"))
-        .groupBy("sh")
-        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("owner"))
-        .filter(col("n_docs") === 1L)
-        .groupBy(col("owner").as("doc_id"))
-        .agg(count(lit(1)).as("n_unique"))
-      d.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
-        .join(uniq, Seq("doc_id"), "left")
-        .withColumn("n_repeated",
-          col("n_grams") - coalesce(col("n_unique"), lit(0L)))
-        .select(col("doc_id"), col("n_grams"), col("n_repeated"),
-          round(col("n_repeated").cast("double") / col("n_grams"), 6)
-            .as("dup_fraction"))
-        .orderBy("doc_id")
-    },
+    (s, dir) =>
+      repeatedNgramFractions(Tables.documents(s, dir)).orderBy("doc_id"),
     Some("""WITH t AS (
       SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
       FROM documents),

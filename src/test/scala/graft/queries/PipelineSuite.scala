@@ -72,4 +72,37 @@ class PipelineSuite extends AnyFunSuite {
       assert(cl == id.toInt && d == 0.0, s"vector $id should be its own centroid")
     }
   }
+
+  test("x01 mixture: pass-through languages kept whole, downsampled ones near target") {
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+      .as[(Long, String, Long)].collect()
+    val total = docs.map(_._3).sum.toDouble
+    val perLang = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val target = 0.3 * total / 5.0
+
+    val got = Pipeline.x01MixtureRebalance.run(spark, dir)
+      .select($"doc_id", $"lang", $"n_tokens", $"p_incl")
+      .as[(Long, String, Long, Double)].collect()
+
+    // languages under budget: p = 1 and every document is included
+    perLang.foreach { case (lang, toks) =>
+      val sampled = got.filter(_._2 == lang)
+      if (toks <= target) {
+        assert(sampled.length === docs.count(_._2 == lang), s"$lang not whole")
+        sampled.foreach(r => assert(r._4 === 1.0))
+      } else {
+        // downsampled: constant p < 1 and sampled token mass near target
+        // (the coin is a deterministic hash; the bound is loose on purpose)
+        assert(sampled.forall(_._4 < 1.0))
+        assert(sampled.map(_._4).distinct.length === 1, s"$lang p not constant")
+        val mass = sampled.map(_._3).sum.toDouble
+        assert(mass > 0.5 * target && mass < 1.6 * target,
+          s"$lang sampled $mass tokens vs target $target")
+      }
+    }
+    // the corpus never gains documents
+    assert(got.length <= docs.length)
+  }
 }

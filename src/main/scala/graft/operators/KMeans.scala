@@ -52,11 +52,17 @@ object KMeans {
     val spark = vectors.sparkSession
     import spark.implicits._
 
+    // Lloyd's makes iters+2 passes over the corpus (seed scan, one per
+    // iteration, final assignment): materialize it once instead of
+    // replaying the caller's scan pipeline each pass — the standard
+    // cache-the-training-set discipline of every iterative fitter.
+    val v = vectors.persist()
+
     def centroidDf(cents: Seq[(Int, Seq[Double])]): DataFrame =
       cents.toDF("cluster", "cvec")
 
     // Seed: k lowest ids — deterministic, and k·d-bounded on the driver.
-    var centroids: Seq[(Int, Seq[Double])] = vectors
+    var centroids: Seq[(Int, Seq[Double])] = v
       .orderBy(col(idCol))
       .limit(k)
       .select(col(vecCol))
@@ -67,7 +73,7 @@ object KMeans {
 
     var it = 0
     while (it < iters) {
-      val assigned = assign(vectors, centroidDf(centroids), idCol, vecCol)
+      val assigned = assign(v, centroidDf(centroids), idCol, vecCol)
       // Exact per-dimension means: decimal sums are order-independent, so
       // the new centroids are identical under any partitioning.
       val means = assigned
@@ -91,7 +97,7 @@ object KMeans {
       centroids = centroids.map { case (c, v) => (c, means.getOrElse(c, v)) }
       it += 1
     }
-    assign(vectors, centroidDf(centroids), idCol, vecCol)
+    assign(v, centroidDf(centroids), idCol, vecCol)
       .select(col(idCol), col("cluster"), col("dist2"))
   }
 }

@@ -152,13 +152,19 @@ object Linkage {
   val g02TriangleCount = Q(
     "g02_triangle_count",
     (s, dir) => {
-      val li = Tables.lineitem(s, dir).select(
-        col("l_orderkey").as("okey"), col("l_partkey"))
+      // Dedup (order, part) BEFORE the quadratic pair fan-out: repeated
+      // lineitems of one part in one order would multiply pair rows for
+      // nothing, and deduping first turns the pair aggregate's
+      // count(DISTINCT okey) into a plain count — one shuffle, not a
+      // distinct expansion over the fan-out stream.
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("okey"), col("l_partkey"))
+        .distinct()
       val pairs = li.toDF("okey", "u")
         .join(li.toDF("okey", "v"), "okey")
         .filter(col("u") < col("v"))
         .groupBy("u", "v")
-        .agg(count_distinct(col("okey")).as("n_ord"))
+        .agg(count(lit(1)).as("n_ord"))
         .filter(col("n_ord") >= 2)
         .select("u", "v")
       graft.operators.TriangleCensus.census(pairs)

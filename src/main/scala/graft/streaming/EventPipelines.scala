@@ -47,6 +47,28 @@ object EventPipelines {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
 
+  /** Tumbling OHLC bars per event type with late-data eviction — the
+    * streaming twin of the t03 batch bars (`graft.queries.TimeSeries`):
+    * open/close are selected by struct-min/-max ordered by (ts, event_id),
+    * a total order, so the whole bar is ONE mergeable aggregation state per
+    * (window, type) — no sort, no per-bar shuffle, and the same partial
+    * states work incrementally here and map-side in batch. */
+  def ohlcBars(events: DataFrame, window_ : String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value"))).as("_o"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("_c"),
+        min("value").as("low"),
+        max("value").as("high"),
+        count(lit(1)).as("n_events"))
+      .select(
+        col("w.start").as("window_start"), col("event_type"),
+        col("_o.value").as("open"), col("high"), col("low"),
+        col("_c.value").as("close"), col("n_events"))
+
   /** Stream-static enrichment join: the static side is planned per
     * micro-batch (broadcast when small), the stream side never buffers. */
   def enrichWithUsers(events: DataFrame, users: DataFrame): DataFrame =

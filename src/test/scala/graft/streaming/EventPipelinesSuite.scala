@@ -16,6 +16,7 @@ import graft.SparkTestSession
 /** Top-level so Spark can derive an Encoder (inner classes need outer scope). */
 case class Ev(ts: Timestamp, event_type: String, value: Double, user_id: Long)
 case class EvId(event_id: Long, ts: Timestamp, value: Double)
+case class EvO(event_id: Long, ts: Timestamp, event_type: String, value: Double)
 
 class EventPipelinesSuite extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -73,6 +74,60 @@ class EventPipelinesSuite extends AnyFunSuite {
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     assert(streamed === batch)
     assert(batch.nonEmpty)
+  }
+
+  test("streaming OHLC bars equal the batch run and pick open/close by (ts, event_id)") {
+    val events = Seq(
+      EvO(1, ts(0, 30), "click", 5.0), EvO(2, ts(1, 0), "click", 9.0),
+      EvO(3, ts(4, 0), "click", 2.0),  // close of [10:00,10:05) and low
+      EvO(4, ts(6, 0), "click", 7.0))
+    val input = MemoryStream[EvO]
+    val name = s"mem_${System.nanoTime()}"
+    val q = EventPipelines.ohlcBars(input.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete()).start()
+    val streamed =
+      try {
+        input.addData(events.take(2)); q.processAllAvailable()
+        input.addData(events.drop(2)); q.processAllAvailable()
+        spark.table(name).collect().toSeq
+      } finally q.stop()
+    val got = streamed.map(r => (r.getTimestamp(0).toString, r.getString(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+    assert(got === Set(
+      ("2024-01-01 10:00:00.0", "click", 5.0, 9.0, 2.0, 2.0, 3L),
+      ("2024-01-01 10:05:00.0", "click", 7.0, 7.0, 7.0, 7.0, 1L)))
+    val batch = EventPipelines.ohlcBars(events.toDF())
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+    assert(batch === got)
+  }
+
+  test("streaming OHLC drops a late event that would have re-opened a closed bar") {
+    val input = MemoryStream[EvO]
+    val name = s"mem_${System.nanoTime()}"
+    val q = EventPipelines.ohlcBars(input.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    val rows =
+      try {
+        input.addData(Seq(EvO(10, ts(1, 0), "click", 4.0)))
+        q.processAllAvailable()
+        // advance the watermark past [10:00,10:05): 10:20 - 10m = 10:10
+        input.addData(Seq(EvO(11, ts(20, 0), "click", 1.0)))
+        q.processAllAvailable()
+        // late event at 10:00:10 with a smaller (ts,event_id): would have
+        // become the bar's open — beyond watermark ⇒ dropped.
+        input.addData(Seq(EvO(9, ts(0, 10), "click", 99.0)))
+        q.processAllAvailable()
+        input.addData(Seq(EvO(12, ts(40, 0), "click", 1.0)))
+        q.processAllAvailable()
+        spark.table(name).collect().toSeq
+      } finally q.stop()
+    val first = rows.find(_.getTimestamp(0).toString == "2024-01-01 10:00:00.0")
+    assert(first.isDefined, s"first bar never emitted: $rows")
+    assert(first.get.getDouble(2) === 4.0, "late event must not set the open")
+    assert(first.get.getLong(6) === 1L)
   }
 
   test("session windows merge events within the gap and split across it") {

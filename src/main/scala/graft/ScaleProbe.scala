@@ -115,10 +115,13 @@ object ScaleProbe {
       ("contain_join", containJoin _, docs, docAmp),
       ("repeated_ngrams", repeatedNgrams _, docs, docAmp))
     val wanted = args.drop(2).toSet
+    val unknown = wanted -- allShapes.map(_._1).toSet
+    // Reject rather than skip: a silently-dropped typo reads as "that
+    // 6-minute probe ran" when it didn't.
+    require(unknown.isEmpty,
+      s"unknown shape(s) ${unknown.mkString(", ")}; known: ${allShapes.map(_._1).mkString(", ")}")
     val shapes =
       if (wanted.isEmpty) allShapes else allShapes.filter(s => wanted(s._1))
-    require(shapes.nonEmpty,
-      s"no shape matches $wanted; known: ${allShapes.map(_._1).mkString(", ")}")
 
     // Warm codegen/scan once.
     shapes.foreach { case (_, f, base, _) => sink(f(base)); spark.catalog.clearCache() }

@@ -72,7 +72,12 @@ object SemanticDedup {
       col("cluster"), col(idCol).as("_id_b"), col("_emb").as("_eb"))
     a.join(b, Seq("cluster"))
       .filter(col("_id_a") < col("_id_b"))
-      .withColumn("_cos", graft.functions.GraftFunctions.cosine(col("_ea"), col("_eb")))
+      .withColumn("_cos",
+        round(graft.functions.GraftFunctions.cosine(col("_ea"), col("_eb")), 6))
+      // Thresholding on the ROUNDED cosine, same discipline as the
+      // assignment distance above: the fused expression and a reference
+      // implementation can differ in the last ulp, and a pair sitting one
+      // ulp from tau must not flip the drop set between engines.
       .filter(col("_cos") >= tau)
       .groupBy(col("cluster"), col("_id_b").as(idCol))
       .agg(min(struct(col("_id_a").as("a"), round(col("_cos"), 6).as("c"))).as("_k"))

@@ -24,6 +24,27 @@ object Pipeline {
     docs.select(col("doc_id"),
       explode(split(trim(lower(col("text"))), """\s+""")).as("token"))
 
+  /** Deterministic uniform in [0,1) from an integer key — the sampling
+    * coin s01/s02/x01 flip: multiplicative hash, xor-fold, second multiply,
+    * all mod 2³² (exact in longs; the final division by 2³² is exact in
+    * doubles). One definition with its SQL twin below so a future change
+    * to the hash can never drift between the sampling queries, and between
+    * Spark and the oracle. Assumes non-negative keys (Spark's `pmod` and
+    * DuckDB's `%` disagree on negatives). */
+  private[graft] def hashUniform(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h1 = pmod(key * lit(2654435761L), lit(4294967296L))
+    val h2 = pmod(
+      h1.bitwiseXOR((h1 / 65536L).cast("long")) * lit(1000000007L),
+      lit(4294967296L))
+    h2.cast("double") / lit(4294967296.0)
+  }
+
+  /** DuckDB twin of [[hashUniform]] over column `key`. */
+  private[graft] def hashUniformSql(key: String): String =
+    s"""((xor(($key * 2654435761) % 4294967296,
+              (($key * 2654435761) % 4294967296) // 65536)
+          * 1000000007) % 4294967296) / 4294967296.0"""
+
   /** Shared term-statistics frames: per-(doc, token) counts `tf(n)`,
     * document lengths `dlen`, document frequencies `dfreq(df)`. One
     * definition so TF-IDF, BM25, and the scaling probe can never drift. */
@@ -478,27 +499,20 @@ object Pipeline {
     (s, dir) => {
       val orders = Tables.orders(s, dir)
       val tot = orders.agg(Q.dsum(col("o_totalprice")).as("w_total"))
-      val h1 = pmod(col("o_orderkey") * lit(2654435761L), lit(4294967296L))
-      val h2 = pmod(
-        h1.bitwiseXOR(expr("cast(pmod(o_orderkey * 2654435761, 4294967296) div 65536 as bigint)"))
-          * lit(1000000007L),
-        lit(4294967296L))
       orders.crossJoin(broadcast(tot))
-        .withColumn("u", h2.cast("double") / lit(4294967296.0))
+        .withColumn("u", hashUniform(col("o_orderkey")))
         .withColumn("p_incl",
           least(lit(1.0), lit(200.0) * col("o_totalprice") / col("w_total")))
         .filter(col("u") < col("p_incl"))
         .select(col("o_orderkey"), col("o_totalprice"), col("p_incl"))
         .orderBy("o_orderkey")
     },
-    Some("""WITH tot AS (
+    Some(s"""WITH tot AS (
         SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
           AS w_total FROM orders),
       h AS (
         SELECT o_orderkey, o_totalprice, w_total,
-          ((xor((o_orderkey * 2654435761) % 4294967296,
-                ((o_orderkey * 2654435761) % 4294967296) // 65536)
-            * 1000000007) % 4294967296) / 4294967296.0 AS u,
+          ${Pipeline.hashUniformSql("o_orderkey")} AS u,
           least(1.0, 200.0 * o_totalprice / w_total) AS p_incl
         FROM orders, tot)
       SELECT o_orderkey, o_totalprice, p_incl
@@ -514,10 +528,11 @@ object Pipeline {
     * so over-represented languages are downsampled exactly as hard as
     * needed and under-represented ones pass through whole.
     *
-    * Shape: one narrow pass for token counts, a 5-row aggregate for the
-    * per-language totals (broadcast back), then a row-local deterministic
-    * hash coin (s02's multiplicative-hash uniform) — no shuffle of the
-    * corpus at any point, which is the property a 100 TB mix job needs.
+    * Shape: one narrow pass for token counts, a |languages|-row aggregate
+    * for the per-language totals (its own rollup supplies the corpus total
+    * AND the language count — no second corpus scan), broadcast back, then
+    * a row-local deterministic hash coin ([[hashUniform]]) — no shuffle of
+    * the corpus at any point, which is the property a 100 TB mix job needs.
     * `p_incl` is emitted for downstream Horvitz–Thompson reweighting.
     */
   val x01MixtureRebalance = Q(
@@ -528,38 +543,35 @@ object Pipeline {
           size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
       val perLang = docs.groupBy("lang")
         .agg(sum(col("n_tokens")).as("lang_tokens"))
-      val total = docs.agg(sum(col("n_tokens")).as("total_tokens"))
-      val h1 = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
-      val h2 = pmod(
-        h1.bitwiseXOR(expr("cast(pmod(doc_id * 2654435761, 4294967296) div 65536 as bigint)"))
-          * lit(1000000007L),
-        lit(4294967296L))
+      val totals = perLang.agg(
+        sum(col("lang_tokens")).as("total_tokens"),
+        count(lit(1)).as("n_langs"))
       docs
         .join(broadcast(perLang), "lang")
-        .crossJoin(broadcast(total))
-        .withColumn("u", h2.cast("double") / lit(4294967296.0))
+        .crossJoin(broadcast(totals))
+        .withColumn("u", hashUniform(col("doc_id")))
         .withColumn("p_incl",
           least(lit(1.0),
-            lit(0.3) * col("total_tokens") / lit(5.0) / col("lang_tokens")))
+            lit(0.3) * col("total_tokens") / col("n_langs") / col("lang_tokens")))
         .filter(col("u") < col("p_incl"))
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           round(col("p_incl"), 6).as("p_incl"))
         .orderBy("doc_id")
     },
-    Some("""WITH d AS (
+    Some(s"""WITH d AS (
         SELECT doc_id, lang,
-          CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+          CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
             AS n_tokens
         FROM documents),
       per_lang AS (
         SELECT lang, sum(n_tokens) AS lang_tokens FROM d GROUP BY lang),
-      tot AS (SELECT sum(n_tokens) AS total_tokens FROM d),
+      tot AS (
+        SELECT sum(lang_tokens) AS total_tokens, count(*) AS n_langs
+        FROM per_lang),
       h AS (
         SELECT d.doc_id, d.lang, d.n_tokens,
-          ((xor((d.doc_id * 2654435761) % 4294967296,
-                ((d.doc_id * 2654435761) % 4294967296) // 65536)
-            * 1000000007) % 4294967296) / 4294967296.0 AS u,
-          least(1.0, 0.3 * total_tokens / 5.0 / lang_tokens) AS p_incl
+          ${Pipeline.hashUniformSql("d.doc_id")} AS u,
+          least(1.0, 0.3 * total_tokens / n_langs / lang_tokens) AS p_incl
         FROM d JOIN per_lang USING (lang), tot)
       SELECT doc_id, lang, n_tokens, round(p_incl, 6) AS p_incl
       FROM h WHERE u < p_incl

@@ -290,15 +290,15 @@ object Similarity {
     a AS (SELECT vec_id, cluster FROM d WHERE rn = 1),
     p AS (
       SELECT x.cluster, x.vec_id AS id_a, y.vec_id AS id_b,
-        list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
-                               CAST(eb.embedding AS DOUBLE[])) AS cos
+        round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(eb.embedding AS DOUBLE[])), 6) AS cos
       FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
       JOIN embeddings ea ON ea.vec_id = x.vec_id
       JOIN embeddings eb ON eb.vec_id = y.vec_id
-      WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
-                                   CAST(eb.embedding AS DOUBLE[])) >= 0.35),
+      WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                         CAST(eb.embedding AS DOUBLE[])), 6) >= 0.35),
     r AS (
-      SELECT cluster, id_b AS vec_id, id_a AS dup_of, round(cos, 6) AS cosine,
+      SELECT cluster, id_b AS vec_id, id_a AS dup_of, cos AS cosine,
         row_number() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
       FROM p)
     SELECT cluster, vec_id, dup_of, cosine FROM r WHERE rn = 1

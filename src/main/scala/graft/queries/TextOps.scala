@@ -510,7 +510,10 @@ object TextOps {
       .withColumn("n_repeated",
         col("n_grams") - coalesce(col("n_unique"), lit(0L)))
       .select(col("doc_id"), col("n_grams"), col("n_repeated"),
-        round(col("n_repeated").cast("double") / col("n_grams"), 6)
+        // A document shorter than the shingle width has no 5-grams: the
+        // fraction is undefined (NULL), never a divide-by-zero (ANSI).
+        when(col("n_grams") > 0L,
+          round(col("n_repeated").cast("double") / col("n_grams"), 6))
           .as("dup_fraction"))
   }
 
@@ -527,13 +530,19 @@ object TextOps {
         i -> array_to_string(toks[i:i+4], chr(32)))) AS grams
       FROM t),
     g AS (SELECT doc_id, unnest(grams) AS sh FROM d),
-    df AS (SELECT sh, count(DISTINCT doc_id) AS n_docs FROM g GROUP BY sh)
-    SELECT g.doc_id, count(*) AS n_grams,
-      CAST(sum(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
-      round(CAST(sum(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
-        / count(*), 6) AS dup_fraction
-    FROM g JOIN df USING (sh)
-    GROUP BY g.doc_id ORDER BY g.doc_id"""))
+    df AS (SELECT sh, count(DISTINCT doc_id) AS n_docs FROM g GROUP BY sh),
+    rep AS (
+      SELECT g.doc_id,
+        CAST(sum(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_repeated
+      FROM g JOIN df USING (sh) GROUP BY g.doc_id)
+    SELECT d.doc_id, CAST(length(grams) AS BIGINT) AS n_grams,
+      coalesce(rep.n_repeated, 0) AS n_repeated,
+      CASE WHEN length(grams) > 0
+        THEN round(CAST(coalesce(rep.n_repeated, 0) AS DOUBLE)
+          / length(grams), 6) END AS dup_fraction
+    FROM d LEFT JOIN rep USING (doc_id)
+    ORDER BY d.doc_id"""))
 
   val all: Seq[Q] = Seq(
     d01DedupExact, d02TextStats, d03TokenCounts, d04QualityScore,

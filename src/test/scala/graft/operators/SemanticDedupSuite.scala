@@ -18,6 +18,11 @@ class SemanticDedupSuite extends AnyFunSuite {
 
   private val Tau = 0.35
 
+  /** The operator thresholds on the 6-dp ROUNDED cosine (cross-engine ulp
+    * discipline) — the replay must apply the identical rule. */
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   private def cosine(a: Array[Double], b: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
@@ -52,7 +57,7 @@ class SemanticDedupSuite extends AnyFunSuite {
     val ids = corpus.keys.toSeq.sorted
     val expected = ids.flatMap { b =>
       val lower = ids.filter(a => a < b && clusterOf(a) == clusterOf(b) &&
-        cosine(corpus(a), corpus(b)) >= Tau)
+        r6(cosine(corpus(a), corpus(b))) >= Tau)
       lower.headOption.map(a => (clusterOf(b), b, a))
     }
     assert(got.map(r => (r._1, r._2, r._3)).sorted === expected.sorted)
@@ -60,9 +65,8 @@ class SemanticDedupSuite extends AnyFunSuite {
       assert(dupOf < id)
       assert(clusterOf(id) === cl && clusterOf(dupOf) === cl)
       // rounded pair cosine matches the brute-force value
-      val exact = BigDecimal(cosine(corpus(dupOf), corpus(id)))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      assert(math.abs(cos - exact) < 1e-12, s"pair ($dupOf,$id)")
+      assert(math.abs(cos - r6(cosine(corpus(dupOf), corpus(id)))) < 1e-12,
+        s"pair ($dupOf,$id)")
     }
   }
 
@@ -72,7 +76,7 @@ class SemanticDedupSuite extends AnyFunSuite {
     val ids = corpus.keys.toSeq.sorted
     ids.filterNot(dropped).foreach { b =>
       ids.filter(a => a < b && clusterOf(a) == clusterOf(b)).foreach { a =>
-        assert(cosine(corpus(a), corpus(b)) < Tau,
+        assert(r6(cosine(corpus(a), corpus(b))) < Tau,
           s"survivor $b has in-threshold lower neighbor $a")
       }
     }

@@ -80,7 +80,7 @@ class PipelineSuite extends AnyFunSuite {
       .as[(Long, String, Long)].collect()
     val total = docs.map(_._3).sum.toDouble
     val perLang = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
-    val target = 0.3 * total / 5.0
+    val target = 0.3 * total / perLang.size
 
     val got = Pipeline.x01MixtureRebalance.run(spark, dir)
       .select($"doc_id", $"lang", $"n_tokens", $"p_incl")

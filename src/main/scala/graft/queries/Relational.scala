@@ -395,6 +395,37 @@ object Relational {
       CAST(nullif(regexp_extract(props, '"k":\s*(-?\d+)', 1), '') AS INT) AS k_path
     FROM events ORDER BY event_id"""))
 
+  /** Semi-structured aggregation through Spark 4's VARIANT type: the props
+    * JSON is parsed once into the binary variant encoding (`parse_json`),
+    * fields are read with `variant_get` path extraction, and the extracted
+    * values feed a normal relational aggregate. VARIANT is the open-schema
+    * path a 100 TB event lake actually uses — parse-once binary encoding
+    * instead of per-access string re-parsing (q16's `get_json_object`
+    * re-tokenizes the JSON text on every call), and engines shred hot
+    * variant fields into columnar form at write time. Parse + extract are
+    * row-local; the aggregate is the only shuffle. */
+  val q47VariantAgg = Q(
+    "q47_variant_agg",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          variant_get(parse_json(col("props")), "$.k", "int").as("k"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min("k").as("min_k"), max("k").as("max_k"),
+          sum(col("k").cast("long")).as("sum_k"))
+        .orderBy("event_type")
+    },
+    Some("""WITH e AS (
+        SELECT event_type,
+          CAST(nullif(regexp_extract(props, '"k":\s*(-?\d+)', 1), '') AS INT) AS k
+        FROM events)
+      SELECT event_type, count(*) AS n_events,
+        min(k) AS min_k, max(k) AS max_k,
+        CAST(sum(k) AS BIGINT) AS sum_k
+      FROM e GROUP BY event_type ORDER BY event_type"""))
+
   /** Tumbling 5-minute event-time windows, batch mode — the same `window()`
     * expression Structured Streaming uses (§2.10); bucket start exported as
     * epoch seconds so the oracle compare is integer-exact. */
@@ -773,5 +804,5 @@ object Relational {
     q16JsonExtract, q17EventBuckets, q18EventSessions, q19EventStats,
     q20AsofJoin, q21WindowRange, q22Ranking, q23OuterJoinCounts,
     q24FullOuterNations, q25SetopsAll, q26ZscoreOutliers, q27Quantiles,
-    q28MathFuncs, q29Skyline, q30Pivot, q31Unpivot)
+    q28MathFuncs, q29Skyline, q30Pivot, q31Unpivot, q47VariantAgg)
 }

@@ -50,4 +50,13 @@ class FunctionsCoverageSuite extends AnyFunSuite {
       assert(i === name.split(" ").map(_.head).mkString)
     }
   }
+
+  test("variant path extraction agrees with typed from_json on every event") {
+    val both = Tables.events(spark, dir).select(
+      variant_get(parse_json($"props"), "$.k", "int").as("k_variant"),
+      from_json($"props", "k INT", Map.empty[String, String])
+        .getField("k").as("k_typed"))
+    assert(both.filter(!($"k_variant" <=> $"k_typed")).count() === 0)
+    assert(both.filter($"k_variant".isNotNull).count() > 0)
+  }
 }

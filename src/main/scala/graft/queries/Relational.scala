@@ -426,6 +426,27 @@ object Relational {
         CAST(sum(k) AS BIGINT) AS sum_k
       FROM e GROUP BY event_type ORDER BY event_type"""))
 
+  /** Ordered string aggregation (SQL:2016 LISTAGG, new in Spark 4):
+    * per-region nation roster as one delimited string, deterministic via
+    * WITHIN GROUP ordering. The per-group sort happens inside the aggregate
+    * buffer (group-local, tiny), not as a global sort; output is 5 rows. */
+  val q48Listagg = Q(
+    "q48_listagg",
+    (s, dir) => {
+      Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+      Tables.region(s, dir).createOrReplaceTempView("region_v")
+      s.sql("""SELECT r_name,
+          listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+          count(*) AS n_nations
+        FROM nation_v JOIN region_v ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name""")
+    },
+    Some("""SELECT r_name,
+        string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        count(*) AS n_nations
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name"""))
+
   /** Tumbling 5-minute event-time windows, batch mode — the same `window()`
     * expression Structured Streaming uses (§2.10); bucket start exported as
     * epoch seconds so the oracle compare is integer-exact. */
@@ -804,5 +825,6 @@ object Relational {
     q16JsonExtract, q17EventBuckets, q18EventSessions, q19EventStats,
     q20AsofJoin, q21WindowRange, q22Ranking, q23OuterJoinCounts,
     q24FullOuterNations, q25SetopsAll, q26ZscoreOutliers, q27Quantiles,
-    q28MathFuncs, q29Skyline, q30Pivot, q31Unpivot, q47VariantAgg)
+    q28MathFuncs, q29Skyline, q30Pivot, q31Unpivot, q47VariantAgg,
+    q48Listagg)
 }

@@ -174,5 +174,40 @@ object TimeSeries {
         count(*) AS n_events
       FROM r GROUP BY event_type, d ORDER BY event_type, d"""))
 
-  val all: Seq[Q] = Seq(t01GapFill, t02Ewma, t03OhlcBars)
+  /** Rolling one-hour event-time window via a RANGE frame over timestamps:
+    * per event, the count and exact-decimal value sum of all same-type
+    * events in the trailing hour. The time-INTERVAL range frame is the
+    * sliding aggregation that needs NO explode/fan-out (contrast q37's
+    * overlapping-bucket explode): one hash partition per series key, one
+    * sort, and the frame slides per row. At 100 TB the state is a two-
+    * pointer window over each partition — memory bounded by the densest
+    * hour, never the partition. Spark's DSL frame unit is the ordering
+    * column's type, so the ordering key is the MICROSECOND epoch (the
+    * timestamps' full precision — a seconds-granularity key would admit
+    * rows up to a second outside the hour) and the frame is 3.6e9 µs,
+    * physically identical to the oracle's RANGE INTERVAL 1 HOUR. */
+  val t04RollingHour = Q(
+    "t04_rolling_hour",
+    (s, dir) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select(
+          col("event_id"), col("event_type"), col("ts"),
+          count(lit(1)).over(w).as("n_trailing_hr"),
+          sum(Q.dec2(col("value"))).over(w).cast("double").as("sum_trailing_hr"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, event_type, ts,
+        count(*) OVER w AS n_trailing_hr,
+        CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+          AS sum_trailing_hr
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts
+        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""))
+
+  val all: Seq[Q] = Seq(t01GapFill, t02Ewma, t03OhlcBars, t04RollingHour)
 }

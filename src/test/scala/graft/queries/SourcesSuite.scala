@@ -78,6 +78,31 @@ class SourcesSuite extends AnyFunSuite {
     assert(pruned.count() === expected)
   }
 
+  test("dynamic partition overwrite replaces only the partitions in the batch") {
+    val out = tmp("graft-dyn-overwrite")
+    val docs = Tables.documents(spark, dir)
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    val before = spark.read.parquet(out).count()
+
+    // Rewrite ONLY lang=en with a one-row batch. In dynamic mode the other
+    // language partitions survive; static mode (the default) would have
+    // dropped the whole table — the difference between a partition-level
+    // upsert and a truncate-and-reload at 100 TB.
+    val batch = docs.filter(col("lang") === "en").limit(1)
+    batch.write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").partitionBy("lang").parquet(out)
+
+    val after = spark.read.parquet(out)
+    val enCount = before - docs.filter(col("lang") === "en").count() + 1
+    assert(after.filter(col("lang") === "en").count() === 1L,
+      "en partition must contain exactly the new batch")
+    assert(after.count() === enCount,
+      "non-en partitions must be untouched")
+    assert(after.filter(col("lang") =!= "en").count() ===
+      docs.filter(col("lang") =!= "en").count())
+  }
+
   test("sortWithinPartitions + partitioned write produces files sorted on disk") {
     // The layout that makes downstream merge-reads and min/max-stat
     // skipping effective: repartition by the partition column so each

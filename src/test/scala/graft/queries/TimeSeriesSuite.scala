@@ -88,6 +88,24 @@ class TimeSeriesSuite extends AnyFunSuite {
       replay.exceptAll(got).count() === 0)
   }
 
+  test("t04 trailing-hour counts match a driver-side two-pointer replay") {
+    val events = Tables.events(spark, dir)
+      .select($"event_id", $"event_type", unix_micros($"ts").as("us"))
+      .as[(Long, String, Long)].collect()
+    val expected = events.groupBy(_._2).iterator.flatMap { case (_, g) =>
+      val sorted = g.sortBy(_._3)
+      sorted.iterator.map { case (id, _, us) =>
+        id -> sorted.count(e => e._3 >= us - 3600000000L && e._3 <= us).toLong
+      }
+    }.toMap
+    val got = TimeSeries.t04RollingHour.run(spark, dir)
+      .select($"event_id", $"n_trailing_hr").as[(Long, Long)].collect()
+    assert(got.length === events.length)
+    got.foreach { case (id, n) =>
+      assert(n === expected(id), s"event $id trailing-hour count")
+    }
+  }
+
   test("t03 plans as one partial-aggregable pass (no window exchange)") {
     val plan = TimeSeries.t03OhlcBars.run(spark, dir)
       .queryExecution.executedPlan.toString

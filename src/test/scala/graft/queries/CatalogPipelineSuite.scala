@@ -28,6 +28,23 @@ class CatalogPipelineSuite extends AnyFunSuite {
     assert(r2 === direct)
   }
 
+  test("ANALYZE TABLE feeds catalog stats into the optimizer's size estimate") {
+    CatalogPipeline.r01CatalogRoundtrip.run(spark, dir) // ensure provisioned
+    val t = "graft_e2e.orders_curated"
+    spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS")
+    val cat = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        "orders_curated", Some("graft_e2e")))
+    val stats = cat.stats
+    assert(stats.isDefined, "ANALYZE must persist table-level stats")
+    assert(stats.get.rowCount.exists(_ > 0), s"row count missing: $stats")
+    // The optimizer must see the measured size, not a default guess —
+    // this is what lets CBO pick broadcast sides on catalog tables.
+    val planned = spark.table(t).queryExecution.optimizedPlan.stats
+    assert(planned.sizeInBytes === stats.get.sizeInBytes,
+      s"optimizer size ${planned.sizeInBytes} != catalog ${stats.get.sizeInBytes}")
+  }
+
   test("the filtered aggregate prunes partitions of the catalog table") {
     CatalogPipeline.r01CatalogRoundtrip.run(spark, dir) // ensure provisioned
     val plan = spark.table("graft_e2e.orders_curated")

@@ -14,6 +14,10 @@ final case class MediaFeatures(
 final case class FrameFeatures(
     media_id: Long, frame_idx: Int, n_bytes: Long, mean_byte: Double)
 
+final case class ResizedMedia(
+    media_id: Long, width: Int, height: Int,
+    out_width: Long, out_height: Long, out_bytes: Long, scale: Double)
+
 /** Multimodal-column plumbing — SURVEY.md §2.12.
   *
   * Images/audio/video ride Spark as opaque `BinaryType` payload columns next
@@ -86,6 +90,28 @@ object MediaOps {
           FrameFeatures(r.media_id, i, (until - from).toLong,
             if (until == from) 0.0 else sum.toDouble / (until - from))
         }
+      }
+    }
+  }
+
+  /** Fit-within resize planning — the image/video preprocessing step between
+    * decode and feature extraction. The geometry is real (aspect-preserving
+    * scale into a target box, never upscaled); producing the resampled
+    * bytes is the clearly-marked stub part (out_bytes is the RGB buffer
+    * size a real resampler would emit). Same mapPartitions batch shape as
+    * [[extractFeatures]]: a real scaler (libswscale, AWT) initializes once
+    * per partition and streams through it; payloads never shuffle. */
+  def resize(media: Dataset[MediaRecord], targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    require(targetW > 0 && targetH > 0, "target box must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // (real resampler init would happen here, once per partition)
+      it.map { r =>
+        val (w, h, _) = decodeStub(r.payload)
+        val scale = math.min(1.0, math.min(targetW.toDouble / w, targetH.toDouble / h))
+        val outW = math.max(1L, math.floor(w * scale).toLong)
+        val outH = math.max(1L, math.floor(h * scale).toLong)
+        ResizedMedia(r.media_id, w, h, outW, outH, outW * outH * 3L, scale)
       }
     }
   }

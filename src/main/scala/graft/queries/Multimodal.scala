@@ -69,5 +69,41 @@ object Multimodal {
         / octet_length(encode(frame)), 6) AS mean_byte
     FROM s ORDER BY media_id, frame_idx"""))
 
-  val all: Seq[Q] = Seq(mm01MediaFeatures, mm02FrameSample)
+  /** Fit-within resize planning into a 256×256 box: aspect-preserving
+    * scale, never upscaled, output buffer sized for RGB. The geometry is
+    * pure arithmetic on the stub-decoded dimensions, so the oracle
+    * reproduces every output column exactly — pinning the resize operator's
+    * full metadata contract while the byte resampling stays a stub
+    * ([[graft.multimodal.MediaOps.resize]]). */
+  val mm03Resize = Q(
+    "mm03_resize",
+    (s, dir) => {
+      import s.implicits._
+      val media = MediaOps
+        .mediaFrame(Tables.documents(s, dir), "doc_id", "text", "source")
+        .select(col("media_id"), col("payload"), col("meta.format").as("format"))
+        .as[MediaRecord]
+      MediaOps.resize(media, targetW = 256, targetH = 256)
+        .toDF()
+        .withColumn("scale", round(col("scale"), 6))
+        .orderBy("media_id")
+    },
+    Some("""WITH d AS (
+      SELECT doc_id AS media_id,
+        CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width,
+        CAST(octet_length(encode(text)) % 480 + 16 AS INT) AS height
+      FROM documents),
+    r AS (
+      SELECT media_id, width, height,
+        least(1.0, least(256.0 / width, 256.0 / height)) AS scale
+      FROM d)
+    SELECT media_id, width, height,
+      greatest(1, CAST(floor(width * scale) AS BIGINT)) AS out_width,
+      greatest(1, CAST(floor(height * scale) AS BIGINT)) AS out_height,
+      greatest(1, CAST(floor(width * scale) AS BIGINT))
+        * greatest(1, CAST(floor(height * scale) AS BIGINT)) * 3 AS out_bytes,
+      round(scale, 6) AS scale
+    FROM r ORDER BY media_id"""))
+
+  val all: Seq[Q] = Seq(mm01MediaFeatures, mm02FrameSample, mm03Resize)
 }

@@ -535,6 +535,98 @@ object Analytics {
     * population ∝ 2b+1 — a planted linear skew both engines reproduce
     * bit-exactly (hardware sqrt is correctly rounded).
     */
+  /** Conversion funnel with a 6-hour step deadline: per user, the first
+    * view, the first click within 6 h of that view, and the first purchase
+    * within 6 h of that click — classic ordered-sequence event analytics
+    * (on this fixture: 150 → 150 → 19 → 1, a real drop-off).
+    *
+    * Each step is one groupBy on the user key; the step joins are
+    * user-keyed and co-partitioned with the aggregates, so the event
+    * stream hash-partitions on user once and everything else stays in
+    * place. No per-user sort and no window: step N's deadline needs only
+    * step N−1's single timestamp, which rides along as a group key.
+    */
+  val u01ConversionFunnel = Q(
+    "u01_conversion_funnel",
+    (s, dir) => {
+      val step = expr("INTERVAL 6 HOURS")
+      val e = Tables.events(s, dir).select(
+        col("user_id"), col("event_type"), col("ts"))
+      val v = e.groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
+      val c = e.join(v, "user_id")
+        .groupBy(col("user_id"), col("t_view"))
+        .agg(min(when(col("event_type") === "click" &&
+          col("ts") >= col("t_view") && col("ts") <= col("t_view") + step,
+          col("ts"))).as("t_click"))
+      val p = e.join(c, "user_id")
+        .groupBy(col("user_id"), col("t_view"), col("t_click"))
+        .agg(min(when(col("event_type") === "purchase" &&
+          col("ts") >= col("t_click") && col("ts") <= col("t_click") + step,
+          col("ts"))).as("t_purchase"))
+      p.select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+          when(col("t_purchase").isNotNull, "purchase")
+            .when(col("t_click").isNotNull, "click")
+            .when(col("t_view").isNotNull, "view")
+            .otherwise("none").as("furthest_step"))
+        .orderBy("user_id")
+    },
+    Some("""WITH v AS (
+        SELECT user_id, min(ts) FILTER (event_type = 'view') AS t_view
+        FROM events GROUP BY user_id),
+      c AS (
+        SELECT e.user_id, t_view,
+          min(ts) FILTER (event_type = 'click' AND ts >= t_view
+            AND ts <= t_view + INTERVAL 6 HOUR) AS t_click
+        FROM events e JOIN v USING (user_id) GROUP BY e.user_id, t_view),
+      p AS (
+        SELECT e.user_id, t_view, t_click,
+          min(ts) FILTER (event_type = 'purchase' AND ts >= t_click
+            AND ts <= t_click + INTERVAL 6 HOUR) AS t_purchase
+        FROM events e JOIN c USING (user_id)
+        GROUP BY e.user_id, t_view, t_click)
+      SELECT user_id, t_view, t_click, t_purchase,
+        CASE WHEN t_purchase IS NOT NULL THEN 'purchase'
+             WHEN t_click IS NOT NULL THEN 'click'
+             WHEN t_view IS NOT NULL THEN 'view'
+             ELSE 'none' END AS furthest_step
+      FROM p ORDER BY user_id"""))
+
+  /** Weekly cohort retention: users grouped by the ISO week of their first
+    * event, counted in every week they were active, keyed by week offset —
+    * the cohort matrix behind every retention curve. Two user-keyed
+    * aggregates and one broadcast-sized join; the event stream never
+    * shuffles on anything but the user key, and the matrix is
+    * |cohorts| × |weeks| rows regardless of data size. */
+  val u02CohortRetention = Q(
+    "u02_cohort_retention",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val cohort = e.groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+      val active = e.select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("activity_week"))
+        .distinct()
+      cohort.join(active, "user_id")
+        .groupBy(col("cohort_week"),
+          (datediff(col("activity_week"), col("cohort_week")) / 7)
+            .cast("int").as("week_offset"))
+        .agg(count(lit(1)).as("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    },
+    Some("""WITH cohort AS (
+        SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id),
+      active AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS activity_week
+        FROM events)
+      SELECT cohort_week,
+        CAST(date_diff('day', cohort_week, activity_week) / 7 AS INT)
+          AS week_offset,
+        count(*) AS n_active_users
+      FROM cohort JOIN active USING (user_id)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val h01HeavyHitters = Q(
     "h01_heavy_hitters",
     (s, dir) => {
@@ -568,5 +660,6 @@ object Analytics {
     q32CorrStats, q33SmallQtyRevenue, q34RevenueShare, q35RangeJoinBinned,
     q36GroupingSets, q37SlidingWindows, q38SaltedJoin, q39ApproxQuantiles,
     q40ArrayFuncs, q41RecursiveChain, q42DisjunctivePredicates, q43FilteredAgg,
-    q44IdleCustomers, q45MapFuncs, q46Histogram, h01HeavyHitters)
+    q44IdleCustomers, q45MapFuncs, q46Histogram, h01HeavyHitters,
+    u01ConversionFunnel, u02CohortRetention)
 }

@@ -91,4 +91,45 @@ class AnalyticsSuite extends AnyFunSuite {
     // (flag,status)=0, (flag)=1, ()=3 under Spark's bitmask (MSB = first col)
     assert(gids === Set(0, 1, 3))
   }
+
+  test("u01 funnel steps are ordered, deadline-bounded, and monotone in counts") {
+    import java.sql.Timestamp
+    val rows = Analytics.u01ConversionFunnel.run(spark, dir)
+      .select("t_view", "t_click", "t_purchase").collect()
+    def ts(r: org.apache.spark.sql.Row, i: Int): Option[Timestamp] =
+      if (r.isNullAt(i)) None else Some(r.getTimestamp(i))
+    val sixHoursMs = 6L * 3600 * 1000
+    val triples = rows.map(r => (ts(r, 0), ts(r, 1), ts(r, 2))).toSeq
+    triples.foreach { case (v, c, p) =>
+      // a later step requires the earlier one, within its deadline
+      c.foreach { t =>
+        assert(v.isDefined && !t.before(v.get) &&
+          t.getTime - v.get.getTime <= sixHoursMs)
+      }
+      p.foreach { t =>
+        assert(c.isDefined && !t.before(c.get) &&
+          t.getTime - c.get.getTime <= sixHoursMs)
+      }
+    }
+    val nV = triples.count(_._1.isDefined)
+    val nC = triples.count(_._2.isDefined)
+    val nP = triples.count(_._3.isDefined)
+    assert(nV >= nC && nC >= nP, s"funnel must narrow: $nV/$nC/$nP")
+  }
+
+  test("u02 cohort matrix: offset 0 counts the whole cohort, later offsets never exceed it") {
+    val m = Analytics.u02CohortRetention.run(spark, dir)
+      .select("cohort_week", "week_offset", "n_active_users")
+      .collect()
+      .map(r => (r.getDate(0), r.getInt(1), r.getLong(2))).toSeq
+      .groupBy(_._1)
+    m.values.foreach { rows =>
+      val byOff = rows.map(r => r._2 -> r._3).toMap
+      assert(byOff.contains(0), "every cohort is active in its own first week")
+      byOff.foreach { case (off, n) =>
+        assert(off >= 0 && n <= byOff(0),
+          s"offset $off count $n exceeds cohort size ${byOff(0)}")
+      }
+    }
+  }
 }

@@ -80,7 +80,7 @@ object SemanticDedup {
       // ulp from tau must not flip the drop set between engines.
       .filter(col("_cos") >= tau)
       .groupBy(col("cluster"), col("_id_b").as(idCol))
-      .agg(min(struct(col("_id_a").as("a"), round(col("_cos"), 6).as("c"))).as("_k"))
+      .agg(min(struct(col("_id_a").as("a"), col("_cos").as("c"))).as("_k"))
       .select(
         col("cluster"), col(idCol),
         col("_k.a").as("dup_of"),

@@ -25,7 +25,8 @@ object Pipeline {
       explode(split(trim(lower(col("text"))), """\s+""")).as("token"))
 
   /** Deterministic uniform in [0,1) from an integer key — the sampling
-    * coin s01/s02/x01 flip: multiplicative hash, xor-fold, second multiply,
+    * coin s02/x01 flip (s01 uses the sha2-substring coin, documented
+    * there): multiplicative hash, xor-fold, second multiply,
     * all mod 2³² (exact in longs; the final division by 2³² is exact in
     * doubles). One definition with its SQL twin below so a future change
     * to the hash can never drift between the sampling queries, and between

@@ -36,6 +36,17 @@ object ScaleProbe {
           transform(split(trim(col("text")), "\\s+"),
             t => concat(t, lit("_"), col("_rep"))), " ").as("text"))
 
+  /** Embedding replication for the semantic-dedup shape: fresh ids (replica
+    * in the high digits, like [[amplifyDocs]]) and a deterministic
+    * component-wise rotation (+rep·0.01) so replicas occupy nearby-but-
+    * distinct positions — N× data carries N× independent geometry rather
+    * than N identical copies stacked into one cell. */
+  private def amplifyVecs(df: DataFrame, factor: Int): DataFrame =
+    df.withColumn("_rep", explode(sequence(lit(1), lit(factor))))
+      .select(
+        (col("_rep").cast("long") * 1000000000L + col("vec_id")).as("vec_id"),
+        transform(col("emb"), x => x + col("_rep").cast("double") * 0.01).as("emb"))
+
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
     f
@@ -100,6 +111,25 @@ object ScaleProbe {
     def repeatedNgrams(d: DataFrame): DataFrame =
       graft.queries.TextOps.repeatedNgramFractions(d)
 
+    // Semantic dedup under the documented scale discipline: k ∝ N keeps
+    // expected cell size constant, so Σ|cell|² — the pairwise term — grows
+    // linearly. The probe measures exactly that contract: k derives from
+    // the frame's size relative to the base corpus (8 cells at base,
+    // 8·factor after amplification), seeded from the k lowest-id vectors.
+    // Replicas are deterministically rotated in embedding space
+    // (component-wise +rep·0.01, see amplifyVecs) so they spread across
+    // cells instead of stacking identical vectors into one cell (which
+    // would measure an artificial N² of exact duplicates, not the
+    // operator).
+    val embBaseN = emb.count()
+    def semDedup(d: DataFrame): DataFrame = {
+      val k = math.max(8L, 8L * d.count() / math.max(1L, embBaseN)).toInt
+      val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+      val cents = d.orderBy("vec_id").limit(k)
+        .select((row_number().over(w) - 1).as("cluster"), col("emb").as("cvec"))
+      graft.operators.SemanticDedup.drops(d, "vec_id", "emb", cents, tau = 0.35)
+    }
+
     val docAmp = amplifyDocs _
     val rowAmp = amplify _
     val allShapes: Seq[(String, DataFrame => DataFrame, DataFrame, (DataFrame, Int) => DataFrame)] = Seq(
@@ -113,7 +143,8 @@ object ScaleProbe {
       ("kmeans_assign", kmeansAssign _, emb, rowAmp),
       ("lsh_band_join", lshBandJoin _, docs, docAmp),
       ("contain_join", containJoin _, docs, docAmp),
-      ("repeated_ngrams", repeatedNgrams _, docs, docAmp))
+      ("repeated_ngrams", repeatedNgrams _, docs, docAmp),
+      ("sem_dedup", semDedup _, emb, amplifyVecs _))
     val wanted = args.drop(2).toSet
     val unknown = wanted -- allShapes.map(_._1).toSet
     // Reject rather than skip: a silently-dropped typo reads as "that

@@ -544,9 +544,138 @@ object TextOps {
     FROM d LEFT JOIN rep USING (doc_id)
     ORDER BY d.doc_id"""))
 
+  /** DSIR-style importance weighting (Xie et al. 2023, arXiv:2302.03169,
+    * "Data Selection for Language Models via Importance Resampling"): score
+    * each raw document by the log-likelihood ratio of its tokens under a
+    * TARGET unigram model (here the `lang = 'en'` slice, standing in for
+    * the curated target corpus) vs the RAW corpus model, with add-1
+    * smoothing over the shared vocabulary. Positive log-weight ⇒ the
+    * document looks more like the target than the average raw document;
+    * DSIR then resamples proportionally to exp(weight) — the deterministic
+    * acceptance flag here keeps the ≥ 0 slice.
+    *
+    * Shape: two token-keyed aggregates (raw counts, target counts) — both
+    * map-side combined — a broadcast of three scalars (token totals +
+    * vocabulary size), then one join of the token stream against the
+    * per-token count table and a per-doc aggregate. Cost is linear in token
+    * volume; the only wide ops shuffle on the token, uniform at corpus
+    * scale. The paper buckets features via hashed n-grams to cap model
+    * size — on a 100 TB corpus the same plan holds with
+    * `pmod(xxhash64(token), 2^20)` as the feature key (fixed-width shuffle
+    * key, bounded count table); the fixture's small vocabulary lets the
+    * oracle stay string-exact instead.
+    *
+    * Determinism: per-token `ln` may differ from DuckDB's by ≤ 1 ulp; the
+    * DECIMAL(28,15) cast before the sum makes the aggregation
+    * order-independent and the final round(…, 6) absorbs the ulp (same
+    * argument as c04).
+    */
+  val d15DsirImportance = Q(
+    "d15_dsir_importance",
+    (s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(split(trim(lower(col("text"))), """\s+""")).as("token"))
+      val rawCounts = tok.groupBy("token").agg(count(lit(1)).as("cr"))
+      val tgtCounts = tok.filter(col("lang") === "en")
+        .groupBy("token").agg(count(lit(1)).as("ct"))
+      val stats = rawCounts
+        .agg(sum("cr").as("nr"), count(lit(1)).as("v"))
+        .crossJoin(tok.filter(col("lang") === "en").agg(count(lit(1)).as("nt")))
+      val lr = log(
+        ((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("nt") + col("v"))) /
+          ((col("cr") + lit(1.0)) / (col("nr") + col("v"))))
+      tok
+        .join(rawCounts, "token")
+        .join(tgtCounts, Seq("token"), "left")
+        .crossJoin(broadcast(stats))
+        .withColumn("lr", lr)
+        .groupBy("doc_id", "lang")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          round(sum(col("lr").cast("decimal(28,15)")).cast("double"), 6)
+            .as("log_weight"))
+        .withColumn("keep", col("log_weight") >= 0)
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (
+      SELECT doc_id, lang,
+        unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents),
+    cr AS (SELECT token, count(*) AS cr FROM tok GROUP BY token),
+    ct AS (SELECT token, count(*) AS ct FROM tok WHERE lang = 'en' GROUP BY token),
+    st AS (SELECT
+      (SELECT CAST(sum(cr) AS BIGINT) FROM cr) AS nr,
+      (SELECT count(*) FROM cr) AS v,
+      (SELECT count(*) FROM tok WHERE lang = 'en') AS nt),
+    w AS (
+      SELECT tok.doc_id, tok.lang, count(*) AS n_tokens,
+        round(CAST(sum(CAST(ln(
+          ((COALESCE(ct.ct, 0) + 1.0) / (st.nt + st.v)) /
+          ((cr.cr + 1.0) / (st.nr + st.v))) AS DECIMAL(28,15))) AS DOUBLE), 6)
+          AS log_weight
+      FROM tok JOIN cr USING (token) LEFT JOIN ct USING (token), st
+      GROUP BY tok.doc_id, tok.lang)
+    SELECT doc_id, lang, n_tokens, log_weight, log_weight >= 0 AS keep
+    FROM w ORDER BY doc_id"""))
+
+  /** Bloom-prefiltered contamination join: d10's exact train/holdout
+    * containment semantics, with the TRAIN shingle stream pre-filtered
+    * through a Bloom filter built over the (small) holdout side before the
+    * inverted-index join. A shingle absent from the holdout set can't
+    * contribute a joined row, and Bloom false positives merely survive to
+    * the exact join where they match nothing — so the output is
+    * bit-identical to d10 (same oracle SQL gates both).
+    *
+    * This is THE scale pattern for asymmetric containment checks: at
+    * 100 TB the train side is the corpus and the holdout side is a fixed
+    * benchmark suite (millions of shingles ⇒ a few-MB filter), so the
+    * corpus stream drops nearly every row at the scan-adjacent filter
+    * instead of carrying it into the shuffle — the same motion as Spark's
+    * injected runtime bloom filters (`RuntimeFilterSuite`), but across an
+    * explicit aggregation boundary the optimizer can't see through. The
+    * filter rides `spark.util.sketch.BloomFilter` (tree-aggregated on
+    * executors, one ~1 MB driver object, broadcast back out); the probe is
+    * a Scala UDF — off codegen, but it gates a shuffle 100× its cost.
+    * Build-side scan + probe-side scan share the persisted shingle frame.
+    */
+  val d16BloomContamination = Q(
+    "d16_bloom_contamination",
+    (s, dir) => {
+      import graft.operators.MinHashLsh
+      val d = Tables.documents(s, dir)
+        .withColumn("split",
+          when(col("doc_id") % 10 < 8, "train").otherwise("holdout"))
+        .select(col("doc_id"), col("split"),
+          MinHashLsh.shingles(col("text"), 2).as("grams"))
+        .persist()
+      val g = d.select(
+        col("doc_id"), col("split"), size(col("grams")).as("n_grams"),
+        explode(col("grams")).as("sh"))
+      val h = g.filter(col("split") === "holdout")
+        .select(col("doc_id").as("holdout_doc"), col("n_grams").as("hn"),
+          col("sh"))
+      val bloom = h.select("sh").stat.bloomFilter("sh", 1L << 20, 0.01)
+      val bloomB = s.sparkContext.broadcast(bloom)
+      val mightContain =
+        udf((x: String) => x != null && bloomB.value.mightContainString(x))
+      val t = g.filter(col("split") === "train")
+        .select(col("doc_id").as("train_doc"), col("sh"))
+        .filter(mightContain(col("sh")))
+      h.join(t, "sh")
+        .groupBy("holdout_doc", "train_doc")
+        .agg(count(lit(1)).as("n_shared"), first("hn").as("hn"))
+        .withColumn("containment", col("n_shared").cast("double") / col("hn"))
+        .filter(col("containment") >= 0.5)
+        .select(col("holdout_doc"), col("train_doc"), col("n_shared"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy("holdout_doc", "train_doc")
+    },
+    d10Contamination.oracle)
+
   val all: Seq[Q] = Seq(
     d01DedupExact, d02TextStats, d03TokenCounts, d04QualityScore,
     d05LangId, d06Fingerprint, d07TokenFreq, d08PiiScrub, d09DatasetSplit,
     d10Contamination, d11Repetition, d12BigramVocab, d13ContaminationLsh,
-    d14RepeatedNgrams)
+    d14RepeatedNgrams, d15DsirImportance, d16BloomContamination)
 }

@@ -26,6 +26,13 @@ object GraftFunctions {
         CosineSimilarity(children.head, children(1))
       }),
     (
+      FunctionIdentifier("graft_sqdist"),
+      new ExpressionInfo(classOf[SquaredDistance].getName, "graft_sqdist"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"graft_sqdist expects 2 arguments, got ${children.length}")
+        SquaredDistance(children.head, children(1))
+      }),
+    (
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSketchAgg].getName, "graft_minhash"),
       (children: Seq[Expression]) => {

@@ -26,9 +26,16 @@ import org.apache.spark.sql.functions._
 object KMeans {
 
   /** Squared L2 as a left-to-right fold (same discipline as
-    * [[graft.functions.VectorOps]] — deterministic summation order). */
+    * [[graft.functions.VectorOps]] — deterministic summation order).
+    * Backed by the codegen'd [[graft.functions.SquaredDistance]]: the
+    * composable zip_with/aggregate form is CodegenFallback and made the
+    * N·k assignment pass interpretation-bound (ScaleProbe sem_dedup was
+    * 19.6× at 10× data before the swap). Bit-identical fold semantics. */
   def sqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graftbridge.GraftPlanBridge.column(
+      graft.functions.SquaredDistance(
+        org.apache.spark.sql.graftbridge.GraftPlanBridge.expression(a),
+        org.apache.spark.sql.graftbridge.GraftPlanBridge.expression(b)))
 
   /** Argmin-distance assignment of `vectors` (idCol, vecCol) to `centroids`
     * (cluster, cvec). Emits (idCol, vecCol, cluster, dist2). */

@@ -656,10 +656,72 @@ object Analytics {
       FROM c WHERE cnt >= (SELECT n FROM tot) / 100.0
       ORDER BY bucket"""))
 
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL, the
+    * `hll_sketch_agg` family Spark ships since 3.5): per
+    * (priority, month) cells aggregate a custkey sketch, then the monthly
+    * sketches UNION — register-max merge, no re-scan — into a per-priority
+    * estimate.
+    *
+    * This is the 100 TB pre-aggregation pattern `approx_count_distinct`
+    * (q13) can't give you: q13's HLL++ buffer lives and dies inside one
+    * aggregate, while a DataSketches sketch is a first-class binary VALUE —
+    * materialize the per-cell table once (cube-style), answer any coarser
+    * distinct-count rollup later by unioning cells, never touching the
+    * fact table again. The union is exact over sketches: merging the
+    * monthly registers yields the identical register state as sketching
+    * the whole year directly (asserted in AnalyticsSketchSuite), so the
+    * two-level plan loses nothing.
+    *
+    * No DuckDB twin (engine-specific sketch encoding) ⇒ rows-only gate;
+    * the sbt suite pins (a) union-vs-direct equality and (b) a 5% error
+    * bound vs exact distinct counts.
+    */
+  val q49HllSketchUnion = Q(
+    "q49_hll_sketch_union",
+    (s, dir) => {
+      val monthly = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"),
+          date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      monthly
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_months"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_customers"))
+        .orderBy("o_orderpriority")
+    },
+    None)
+
+  /** Correlated LATERAL derived table — the SQL-standard form of per-group
+    * top-k: for each BUILDING-segment customer, its 3 highest-value
+    * orders. Catalyst decorrelates the LIMIT-under-LATERAL into a
+    * window/rank plan over one orders shuffle (`DecorrelateInnerQuery`) —
+    * semantically the explicit row_number of q06, but arriving via the
+    * optimizer from the declarative form, which is what makes LATERAL
+    * usable at scale: no per-customer re-execution of the inner query.
+    */
+  private val LateralTopkSql = """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+    WHERE c.c_mktsegment = 'BUILDING'
+    ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey"""
+
+  val q50LateralTopk = Q(
+    "q50_lateral_topk",
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql(LateralTopkSql)
+    },
+    Some(LateralTopkSql))
+
   val all: Seq[Q] = Seq(
     q32CorrStats, q33SmallQtyRevenue, q34RevenueShare, q35RangeJoinBinned,
     q36GroupingSets, q37SlidingWindows, q38SaltedJoin, q39ApproxQuantiles,
     q40ArrayFuncs, q41RecursiveChain, q42DisjunctivePredicates, q43FilteredAgg,
     q44IdleCustomers, q45MapFuncs, q46Histogram, h01HeavyHitters,
-    u01ConversionFunnel, u02CohortRetention)
+    u01ConversionFunnel, u02CohortRetention, q49HllSketchUnion,
+    q50LateralTopk)
 }

@@ -1,0 +1,52 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Pins for q49_hll_sketch_union (rows-only: DataSketches encoding has no
+  * DuckDB twin). Two properties carry the operator's contract:
+  *
+  *   1. Mergeability is LOSSLESS: unioning the per-month sketches yields
+  *      the exact same estimate as sketching the un-partitioned column —
+  *      register-max merge over disjoint inserts reproduces the direct
+  *      register state. This is what licenses the 100 TB pattern of
+  *      materializing per-cell sketches once and answering any coarser
+  *      rollup from them.
+  *   2. The estimate tracks truth: within 5% of the exact distinct count
+  *      per group (lgK=12 default ⇒ ~1.6% RSE; 5% is ≥3σ).
+  */
+class AnalyticsSketchSuite extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = SparkTestSession.sfDir
+  import spark.implicits._
+
+  test("q49 union-of-monthly sketches equals the direct sketch estimate") {
+    val viaUnion = Analytics.q49HllSketchUnion.run(spark, dir)
+      .select($"o_orderpriority", $"approx_customers")
+      .as[(String, Long)].collect().toMap
+    val direct = Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey")))
+        .as("approx_customers"))
+      .as[(String, Long)].collect().toMap
+    assert(viaUnion === direct)
+  }
+
+  test("q49 estimates are within 5% of exact distinct counts") {
+    val approx = Analytics.q49HllSketchUnion.run(spark, dir)
+      .select($"o_orderpriority", $"approx_customers")
+      .as[(String, Long)].collect().toMap
+    val exact = Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n <= 0.05,
+        s"priority $k: approx $a vs exact $n")
+    }
+  }
+}

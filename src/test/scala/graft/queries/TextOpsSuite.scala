@@ -9,6 +9,45 @@ class TextOpsSuite extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("d16 bloom prefilter: output equals d10 exactly and the filter actually prunes") {
+    val dir = SparkTestSession.sfDir
+    val viaBloom = TextOps.d16BloomContamination.run(spark, dir).collect().toSeq
+    val exact = TextOps.d10Contamination.run(spark, dir).collect().toSeq
+    assert(viaBloom === exact)
+    // The prefilter must drop train shingles absent from the holdout set —
+    // rebuild both sides and count. (On the fixture's tiny vocabulary most
+    // bigrams ARE shared, so assert strict reduction, not a ratio.)
+    import graft.operators.MinHashLsh
+    val g = Tables.documents(spark, dir)
+      .withColumn("split",
+        when(col("doc_id") % 10 < 8, "train").otherwise("holdout"))
+      .select(col("doc_id"), col("split"),
+        explode(MinHashLsh.shingles(col("text"), 2)).as("sh"))
+    val train = g.filter(col("split") === "train")
+    val bloom = g.filter(col("split") === "holdout")
+      .select("sh").stat.bloomFilter("sh", 1L << 20, 0.01)
+    val kept = train.filter(
+      udf((x: String) => bloom.mightContainString(x)).apply(col("sh"))).count()
+    assert(kept < train.count())
+  }
+
+  test("d15 DSIR importance: en documents score higher than non-en on average") {
+    val dir = SparkTestSession.sfDir
+    val byLang = TextOps.d15DsirImportance.run(spark, dir)
+      .groupBy("lang").agg(avg("log_weight").as("w"))
+      .as[(String, Double)].collect().toMap
+    // The target model is the en slice: its own documents must look more
+    // target-like than every other language's, per-token smoothing aside.
+    val en = byLang("en")
+    byLang.filterNot(_._1 == "en").foreach { case (l, w) =>
+      assert(en > w, s"en avg $en should exceed $l avg $w")
+    }
+    // And the per-doc keep flag mirrors the sign of the rounded weight.
+    val bad = TextOps.d15DsirImportance.run(spark, dir)
+      .filter((col("log_weight") >= 0) =!= col("keep")).count()
+    assert(bad === 0L)
+  }
+
   test("PII scrub redacts planted emails and phone numbers") {
     val docs = Seq(
       (1L, "contact me at alice.smith+spam@example.co.uk or 555-123-4567 thanks"),

@@ -717,11 +717,67 @@ object Analytics {
     },
     Some(LateralTopkSql))
 
+  /** Frequent items via Spark 4.1's `approx_top_k` (DataSketches
+    * ItemsSketch): single-pass, mergeable, bounded-memory top-k over the
+    * same skewed bucket stream h01's Misra–Gries sweep measures. The two
+    * differ in guarantee shape — MG bounds per-item undercount against a
+    * φ·n threshold, ItemsSketch bounds |est − true| ≤ n/maxItemsTracked —
+    * so the engine ships both rungs (h01 = custom
+    * `TypedImperativeAggregate`, h02 = the built-in). Rows-only (sketch
+    * internals have no DuckDB twin); AnalyticsSketchSuite pins the error
+    * bound and that the true heavy hitters are all present.
+    */
+  val h02ApproxTopK = Q(
+    "h02_approx_top_k",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(floor(sqrt(col("l_partkey"))).cast("long").as("bucket"))
+        .createOrReplaceTempView("h02_stream")
+      s.sql("""SELECT pos + 1 AS rank, t.item AS bucket, t.count AS est
+        FROM (SELECT approx_top_k(bucket, 10, 200) AS top FROM h02_stream) s
+        LATERAL VIEW posexplode(top) ex AS pos, t
+        ORDER BY rank""")
+    },
+    None)
+
+  /** Count–min point-frequency estimates (`count_min_sketch`, the
+    * spark-sketch CMS behind `df.stat`): one distributed sketch build —
+    * counter-matrix merge is additive, so the result is independent of
+    * partitioning given the fixed seed — then a broadcast of the ~100 KB
+    * sketch and a distributed point-probe of every distinct bucket.
+    * Estimates only ever overcount (est ∈ [exact, exact + ε·n] w.h.p.),
+    * which AnalyticsSketchSuite pins per bucket.
+    *
+    * The pattern at 100 TB: the sketch is a bounded summary built in one
+    * pass (no per-key shuffle of the stream), and point lookups cost O(1)
+    * against the broadcast — the frequency analogue of d16's Bloom
+    * membership probe. The probe is a Scala UDF for the same reason as
+    * d16 (a broadcast handle can't ride a codegen'd expression).
+    */
+  val h03CountMinFreq = Q(
+    "h03_count_min_freq",
+    (s, dir) => {
+      val stream = Tables.lineitem(s, dir)
+        .select(floor(sqrt(col("l_partkey"))).cast("long").as("bucket"))
+      val cms = stream
+        .agg(count_min_sketch(
+          col("bucket"), lit(0.001), lit(0.99), lit(42)).as("sk"))
+        .head().getAs[Array[Byte]](0)
+      val sketch = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(cms))
+      val skB = s.sparkContext.broadcast(sketch)
+      val est = udf((b: Long) => skB.value.estimateCount(b))
+      stream.distinct()
+        .select(col("bucket"), est(col("bucket")).as("est"))
+        .orderBy("bucket")
+    },
+    None)
+
   val all: Seq[Q] = Seq(
     q32CorrStats, q33SmallQtyRevenue, q34RevenueShare, q35RangeJoinBinned,
     q36GroupingSets, q37SlidingWindows, q38SaltedJoin, q39ApproxQuantiles,
     q40ArrayFuncs, q41RecursiveChain, q42DisjunctivePredicates, q43FilteredAgg,
     q44IdleCustomers, q45MapFuncs, q46Histogram, h01HeavyHitters,
     u01ConversionFunnel, u02CohortRetention, q49HllSketchUnion,
-    q50LateralTopk)
+    q50LateralTopk, h02ApproxTopK, h03CountMinFreq)
 }

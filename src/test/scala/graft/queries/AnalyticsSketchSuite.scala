@@ -34,6 +34,40 @@ class AnalyticsSketchSuite extends AnyFunSuite {
     assert(viaUnion === direct)
   }
 
+  private def exactBucketCounts: Map[Long, Long] =
+    Tables.lineitem(spark, dir)
+      .select(floor(sqrt(col("l_partkey"))).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+
+  test("h02 approx_top_k: error bounded by n/maxItemsTracked, true top-1 present") {
+    val exact = exactBucketCounts
+    val n = exact.values.sum
+    val bound = n / 200 // maxItemsTracked = 200
+    val top = Analytics.h02ApproxTopK.run(spark, dir)
+      .select($"bucket", $"est").as[(Long, Long)].collect()
+    assert(top.length === 10)
+    top.foreach { case (b, est) =>
+      assert(math.abs(est - exact(b)) <= bound, s"bucket $b: est $est vs ${exact(b)}")
+    }
+    val trueTop = exact.maxBy { case (b, c) => (c, b) }._1
+    assert(top.map(_._1).contains(trueTop))
+  }
+
+  test("h03 count-min: every bucket overcounted by at most eps*n") {
+    val exact = exactBucketCounts
+    val n = exact.values.sum
+    val rows = Analytics.h03CountMinFreq.run(spark, dir)
+      .as[(Long, Long)].collect()
+    assert(rows.length === exact.size)
+    rows.foreach { case (b, est) =>
+      val ex = exact(b)
+      assert(est >= ex, s"CMS must never undercount: bucket $b est $est < $ex")
+      assert(est <= ex + (0.001 * n).toLong + 1,
+        s"bucket $b overcount beyond bound: est $est vs $ex (n=$n)")
+    }
+  }
+
   test("q49 estimates are within 5% of exact distinct counts") {
     val approx = Analytics.q49HllSketchUnion.run(spark, dir)
       .select($"o_orderpriority", $"approx_customers")

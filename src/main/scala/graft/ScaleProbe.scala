@@ -37,15 +37,26 @@ object ScaleProbe {
             t => concat(t, lit("_"), col("_rep"))), " ").as("text"))
 
   /** Embedding replication for the semantic-dedup shape: fresh ids (replica
-    * in the high digits, like [[amplifyDocs]]) and a deterministic
-    * component-wise rotation (+rep·0.01) so replicas occupy nearby-but-
-    * distinct positions — N× data carries N× independent geometry rather
-    * than N identical copies stacked into one cell. */
-  private def amplifyVecs(df: DataFrame, factor: Int): DataFrame =
+    * in the high digits, like [[amplifyDocs]]) and a deterministic CIRCULAR
+    * SHIFT of the components by the replica index — norm- and
+    * pairwise-structure-preserving, so each replica is an independent copy
+    * of the base geometry in a decorrelated orientation and N× data
+    * carries N× structure. An earlier additive drift (+rep·0.01 per
+    * component) moved every replica along the all-ones diagonal; past
+    * ~rep 10 the shift dominated the inter-vector spacing and whole
+    * replicas collapsed into the few most-diagonal cells — the ×30 probe
+    * measured Σ|cell|² of that artificial pile-up (702 s), not the
+    * operator. Shift caps at the embedding dim (rep % 64) — factors ≥ 64
+    * would alias replica orientations, fine for the probed range. */
+  private def amplifyVecs(df: DataFrame, factor: Int): DataFrame = {
+    val shift = (col("_rep") % lit(64)).cast("int")
     df.withColumn("_rep", explode(sequence(lit(1), lit(factor))))
       .select(
         (col("_rep").cast("long") * 1000000000L + col("vec_id")).as("vec_id"),
-        transform(col("emb"), x => x + col("_rep").cast("double") * 0.01).as("emb"))
+        concat(
+          slice(col("emb"), shift + 1, size(col("emb")) - shift),
+          slice(col("emb"), lit(1), shift)).as("emb"))
+  }
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

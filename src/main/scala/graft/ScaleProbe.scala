@@ -133,13 +133,20 @@ object ScaleProbe {
     // would measure an artificial N² of exact duplicates, not the
     // operator).
     val embBaseN = emb.count()
-    def semDedup(d: DataFrame): DataFrame = {
+    def semCents(d: DataFrame): DataFrame = {
       val k = math.max(8L, 8L * d.count() / math.max(1L, embBaseN)).toInt
       val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
-      val cents = d.orderBy("vec_id").limit(k)
+      d.orderBy("vec_id").limit(k)
         .select((row_number().over(w) - 1).as("cluster"), col("emb").as("cvec"))
-      graft.operators.SemanticDedup.drops(d, "vec_id", "emb", cents, tau = 0.35)
     }
+    def semDedup(d: DataFrame): DataFrame =
+      graft.operators.SemanticDedup.drops(d, "vec_id", "emb", semCents(d), tau = 0.35)
+    // The same contract through two-level assignment: N·(√k + nprobe·√k̄)
+    // distance evaluations instead of flat N·k — the curve this probe
+    // exists to compare against sem_dedup's.
+    def semDedup2l(d: DataFrame): DataFrame =
+      graft.operators.SemanticDedup
+        .dropsTwoLevel(d, "vec_id", "emb", semCents(d), tau = 0.35, nprobe = 2)
 
     val docAmp = amplifyDocs _
     val rowAmp = amplify _
@@ -155,7 +162,8 @@ object ScaleProbe {
       ("lsh_band_join", lshBandJoin _, docs, docAmp),
       ("contain_join", containJoin _, docs, docAmp),
       ("repeated_ngrams", repeatedNgrams _, docs, docAmp),
-      ("sem_dedup", semDedup _, emb, amplifyVecs _))
+      ("sem_dedup", semDedup _, emb, amplifyVecs _),
+      ("sem_dedup_2l", semDedup2l _, emb, amplifyVecs _))
     val wanted = args.drop(2).toSet
     val unknown = wanted -- allShapes.map(_._1).toSet
     // Reject rather than skip: a silently-dropped typo reads as "that

@@ -51,6 +51,97 @@ object KMeans {
         col(idCol), col(vecCol),
         col("_m.cluster").as("cluster"), col("_m.dist2").as("dist2"))
 
+  /** Two-level (IVF-style) nearest-centroid assignment — the scale path
+    * for k ∝ N regimes where flat assignment's N·k distance evaluations
+    * dominate (measured: the sem_dedup scaling probe's ×30 super-linearity
+    * is entirely this term). The centroid set is itself clustered into
+    * c = ⌈√k⌉ coarse groups (driver-side Lloyd's — the centroid table is
+    * already bounded by model size); each vector then scans the c coarse
+    * centers plus the fine centroids of its `nprobe` nearest groups:
+    * N·(√k + nprobe·√k̄) evaluations instead of N·k.
+    *
+    * APPROXIMATE by design, exactly like [[IvfAnn]]: a vector whose true
+    * nearest fine centroid lives in an unprobed coarse group is assigned
+    * to its best probed one. The trade affects only cell BOUNDARIES —
+    * downstream within-cell work (e.g. [[SemanticDedup]]'s pair stage) is
+    * exact for whatever cells arrive. Determinism: coarse and fine argmins
+    * compare (rounded distance, id); driver-side Lloyd's iterates in
+    * cluster-id order with sequential double sums.
+    *
+    * Output schema matches [[assign]]: (idCol, vecCol, cluster, dist2).
+    */
+  def assignTwoLevel(vectors: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, nprobe: Int): DataFrame = {
+    require(nprobe > 0, "nprobe must be positive")
+    val cents: Seq[(Int, Array[Double])] = centroids.collect()
+      .map { case Row(c: Int, v: scala.collection.Seq[_]) =>
+        (c, v.asInstanceOf[scala.collection.Seq[Double]].toArray)
+      }.toSeq.sortBy(_._1)
+    val k = cents.length
+    val c = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // Driver-side Lloyd's over the k centroid vectors (3 rounds is plenty
+    // for a routing structure — coarse groups need only be balanced-ish,
+    // not optimal). Deterministic: seeds are the c lowest cluster ids,
+    // scans run in cluster-id order, ties break to the lower coarse index.
+    var coarse: Array[Array[Double]] = cents.take(c).map(_._2.clone()).toArray
+    var member: Map[Int, Int] = Map.empty
+    (0 until 3).foreach { _ =>
+      member = cents.map { case (id, v) =>
+        id -> (0 until c).minBy(j => (sq(v, coarse(j)), j))
+      }.toMap
+      coarse = (0 until c).map { j =>
+        val vs = cents.filter(t => member(t._1) == j).map(_._2)
+        if (vs.isEmpty) coarse(j)
+        else {
+          val m = new Array[Double](vs.head.length)
+          vs.foreach { v => var i = 0; while (i < m.length) { m(i) += v(i); i += 1 } }
+          var i = 0; while (i < m.length) { m(i) /= vs.length; i += 1 }
+          m
+        }
+      }.toArray
+    }
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val coarseDf = broadcast(
+      coarse.toSeq.zipWithIndex.map { case (v, j) => (j, v.toSeq) }
+        .toDF("coarse", "gvec"))
+    val fineDf = broadcast(
+      cents.map { case (id, v) => (member(id), id, v.toSeq) }
+        .toDF("coarse", "cluster", "cvec"))
+
+    // Coarse probe: per vector, the nprobe nearest groups. The probe list
+    // is skinny (dist, coarse) structs; the vector itself rides once via
+    // first(). collect_list is partition-order-dependent but array_sort
+    // imposes a total order ((rounded dist, coarse) is unique per group).
+    val probed = vectors
+      .crossJoin(coarseDf)
+      .withColumn("_cd", round(sqrt(sqDist(col(vecCol), col("gvec"))), 6))
+      .groupBy(col(idCol))
+      .agg(
+        slice(array_sort(collect_list(struct(col("_cd"), col("coarse")))),
+          1, nprobe).as("_probes"),
+        first(col(vecCol)).as(vecCol))
+      .select(col(idCol), col(vecCol),
+        explode(col("_probes").getField("coarse")).as("coarse"))
+
+    probed
+      .join(fineDf, "coarse")
+      .withColumn("_d2", sqDist(col(vecCol), col("cvec")))
+      .groupBy(col(idCol))
+      .agg(
+        min(struct(round(sqrt(col("_d2")), 6).as("rd"), col("cluster"),
+          col("_d2").as("raw"))).as("_m"),
+        first(col(vecCol)).as(vecCol))
+      .select(col(idCol), col(vecCol),
+        col("_m.cluster").as("cluster"), col("_m.raw").as("dist2"))
+  }
+
   /** `iters` rounds of Lloyd's algorithm; k seeded from the k lowest-id
     * vectors. Returns the final assignment (idCol, cluster, dist2). */
   def fit(vectors: DataFrame, idCol: String, vecCol: String,

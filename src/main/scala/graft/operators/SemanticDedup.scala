@@ -66,6 +66,39 @@ object SemanticDedup {
         first(col(embCol)).as("_emb"))
       .select(col(idCol), col("_m.cluster").as("cluster"), col("_emb"))
       .persist()
+    dropWithin(assigned, idCol, tau)
+  }
+
+  /** [[drops]] with the assignment pass routed through
+    * [[KMeans.assignTwoLevel]] — the k ∝ N scale path. Flat assignment
+    * costs N·k distance evaluations; two-level costs N·(√k + nprobe·√k̄).
+    * The trade is assignment exactness at cell BOUNDARIES only (a vector
+    * can land in its second-best cell, where it may miss a neighbor that
+    * stayed behind — or meet one it never would have): within whatever
+    * cells arrive, the greedy drop rule is exact. On the fixture (k=8,
+    * nprobe=2) the drop set agrees with [[drops]] on 94.7% of drops;
+    * SemanticDedupSuite pins drop validity and the agreement floor.
+    */
+  def dropsTwoLevel(
+      vecs: DataFrame,
+      idCol: String,
+      embCol: String,
+      centroids: DataFrame,
+      tau: Double,
+      nprobe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val assigned = KMeans
+      .assignTwoLevel(vecs, centroids, idCol, embCol, nprobe)
+      .select(col(idCol), col("cluster"), col(embCol).as("_emb"))
+      .persist()
+    dropWithin(assigned, idCol, tau)
+  }
+
+  /** Cell-local greedy drop over an assigned frame (idCol, cluster, _emb):
+    * self-join keyed on the cluster, keep-lowest-id within the cosine
+    * ball. Shared by the flat and two-level assignment routes. */
+  private def dropWithin(
+      assigned: DataFrame, idCol: String, tau: Double): DataFrame = {
     val a = assigned.select(
       col("cluster"), col(idCol).as("_id_a"), col("_emb").as("_ea"))
     val b = assigned.select(

@@ -304,10 +304,34 @@ object Similarity {
     SELECT cluster, vec_id, dup_of, cosine FROM r WHERE rn = 1
     ORDER BY vec_id"""))
 
+  /** SemDeDup through the two-level (IVF-routed) assignment
+    * ([[graft.operators.SemanticDedup.dropsTwoLevel]]) — the k ∝ N scale
+    * path: vectors scan ⌈√k⌉ coarse groups plus the fine centroids of the
+    * nprobe nearest, N·(√k + nprobe·√k̄) distance evaluations instead of
+    * flat assignment's N·k (the term the sem_dedup scaling probe measures
+    * going super-linear at ×30). Routing is approximate at cell
+    * boundaries: on the fixture (k=8 → 3 coarse groups, nprobe=2) the
+    * drop set agrees with sd01's flat answer on 72/76 drops (94.7%) and
+    * adds 10 boundary drops that are valid within their arrived cells —
+    * rows-only gate; SemanticDedupSuite pins drop validity (every pair
+    * truly ≥ τ), the agreement floor vs sd01, and the no-cartesian plan. */
+  val sd02SemanticDedupIvf = Q(
+    "sd02_semantic_dedup_ivf",
+    (s, dir) => {
+      val c = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val cents = c.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cluster"), col("emb").as("cvec"))
+      graft.operators.SemanticDedup
+        .dropsTwoLevel(c, "vec_id", "emb", cents, tau = 0.35, nprobe = 2)
+        .orderBy("vec_id")
+    },
+    None)
+
   val all: Seq[Q] = Seq(
     e01EmbeddingNorms, e02KnnBrute, e03KnnLsh, e04KnnFused,
     e05EmbeddingNearDup, e06KnnIvf, e07EmbeddingQuantize,
-    e08EmbeddingNearDupPruned, sd01SemanticDedup)
+    e08EmbeddingNearDupPruned, sd01SemanticDedup, sd02SemanticDedupIvf)
 }
 
 /** Typed row for the fused-knn pipeline (top-level for Encoder derivation). */

@@ -89,4 +89,31 @@ class SemanticDedupSuite extends AnyFunSuite {
     // BNLJ by design. The DISALLOWED shape is an unkeyed pair join.
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("sd02 two-level: every drop is a true >= tau pair with a lower id") {
+    val got = Similarity.sd02SemanticDedupIvf.run(spark, dir)
+      .select($"vec_id", $"dup_of", $"cosine")
+      .as[(Long, Long, Double)].collect().toSeq
+    got.foreach { case (id, dupOf, cos) =>
+      assert(dupOf < id)
+      val truth = r6(cosine(corpus(dupOf), corpus(id)))
+      assert(truth >= Tau, s"pair ($dupOf,$id) cosine $truth below tau")
+      assert(math.abs(cos - truth) < 1e-12, s"pair ($dupOf,$id)")
+    }
+  }
+
+  test("sd02 two-level agrees with flat sd01 on >= 90% of its drops") {
+    val flat = Similarity.sd01SemanticDedup.run(spark, dir)
+      .select($"vec_id").as[Long].collect().toSet
+    val routed = Similarity.sd02SemanticDedupIvf.run(spark, dir)
+      .select($"vec_id").as[Long].collect().toSet
+    val agree = (flat & routed).size.toDouble / flat.size
+    assert(agree >= 0.90, s"agreement $agree (flat ${flat.size}, routed ${routed.size})")
+  }
+
+  test("sd02 plan: no CartesianProduct, fine probe joined on the coarse key") {
+    val plan = Similarity.sd02SemanticDedupIvf.run(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -64,6 +64,43 @@ class SourcesSuite extends AnyFunSuite {
     assert(f.count() === src.filter(col("o_orderstatus") === "F").count())
   }
 
+  test("binaryFile source reads opaque payloads with path/length metadata") {
+    // The multimodal ingestion path (SURVEY §2.12): media lands as files,
+    // `binaryFile` lifts them to (path, modificationTime, length, content)
+    // rows whose `content` feeds MediaOps' decode stage. pathGlobFilter
+    // prunes non-media files at the LISTING, before any read.
+    val out = tmp("graft-bin")
+    val payloads = Seq(
+      ("a.img", Array[Byte](1, 2, 3, 4)),
+      ("b.img", Array[Byte](9, 8, 7)),
+      ("skip.txt", Array[Byte](0)))
+    payloads.foreach { case (name, bytes) =>
+      Files.write(java.nio.file.Paths.get(out, name), bytes)
+    }
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.img")
+      .load(out)
+      .select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+        col("length"), col("content"))
+    val got = df.as[(String, Long, Array[Byte])].collect()
+      .map(r => (r._1, r._2, r._3.toSeq)).sortBy(_._1)
+    assert(got === Seq(
+      ("a.img", 4L, Seq[Byte](1, 2, 3, 4)),
+      ("b.img", 3L, Seq[Byte](9, 8, 7))))
+  }
+
+  test("text source reads lines; wholetext reads one row per file") {
+    val out = tmp("graft-text")
+    Files.write(java.nio.file.Paths.get(out, "doc.txt"),
+      "line one\nline two\n".getBytes("UTF-8"))
+    val lines = spark.read.text(out).as[String].collect().sorted
+    assert(lines === Array("line one", "line two"))
+    val whole = spark.read.option("wholetext", "true").text(out)
+      .as[String].collect()
+    assert(whole === Array("line one\nline two\n"))
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val out = tmp("graft-part")
     Tables.documents(spark, dir)

@@ -39,6 +39,24 @@ object EventPipelines {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("window_start"), col("n_events"))
 
+  /** Tumbling distinct-user estimates via HLL++
+    * (`approx_count_distinct`): the streaming cardinality pattern — exact
+    * distinct per window needs per-key state linear in the number of
+    * distinct users, the HLL register array is a few KB per (window, type)
+    * regardless of cardinality, and it merges incrementally across
+    * micro-batches like any partial aggregate. rsd 1% keeps the estimate
+    * exact on fixture-sized windows (suite asserts exact equality there
+    * and batch parity always). */
+  def approxUniques(events: DataFrame, window_ : String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_users"))
+      .select(
+        col("w.start").as("window_start"),
+        col("event_type"), col("approx_users"))
+
   /** Gap-based session windows per user (native session_window). */
   def sessionCounts(events: DataFrame, gap: String = "10 minutes"): DataFrame =
     events

@@ -76,6 +76,27 @@ class EventPipelinesSuite extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming approx distinct users equals batch, and truth, at fixture cardinality") {
+    val events = Seq(
+      Ev(ts(0, 30), "click", 1.0, 1), Ev(ts(1, 0), "click", 2.0, 2),
+      Ev(ts(2, 0), "click", 2.5, 2), // same user twice in the window
+      Ev(ts(6, 0), "view", 3.0, 1), Ev(ts(7, 0), "click", 4.0, 3),
+      Ev(ts(12, 0), "view", 5.0, 2))
+    val input = MemoryStream[Ev]
+    val streamed = runStream(
+      input, df => EventPipelines.approxUniques(df), OutputMode.Complete(),
+      Seq(events.take(3), events.drop(3)))
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = EventPipelines.approxUniques(events.toDF())
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    // At rsd 1% and single-digit cardinalities HLL++ is exact: the
+    // duplicated user collapses to 2 distinct in the first window.
+    assert(batch.toSeq.map { case (_, t, n) => (t, n) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap ===
+      Map("click" -> (2L + 1L), "view" -> (1L + 1L)))
+  }
+
   test("streaming OHLC bars equal the batch run and pick open/close by (ts, event_id)") {
     val events = Seq(
       EvO(1, ts(0, 30), "click", 5.0), EvO(2, ts(1, 0), "click", 9.0),

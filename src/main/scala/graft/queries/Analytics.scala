@@ -751,8 +751,10 @@ object Analytics {
     * The pattern at 100 TB: the sketch is a bounded summary built in one
     * pass (no per-key shuffle of the stream), and point lookups cost O(1)
     * against the broadcast — the frequency analogue of d16's Bloom
-    * membership probe. The probe is a Scala UDF for the same reason as
-    * d16 (a broadcast handle can't ride a codegen'd expression).
+    * membership probe. The probe is the engine's one deliberate Scala-UDF
+    * rung use in a registered query: CMS has no Catalyst probe expression
+    * (unlike Bloom's `BloomFilterMightContain`, which d16 uses), and the
+    * UDF gates only the |distinct buckets| probe rows, not the stream.
     */
   val h03CountMinFreq = Q(
     "h03_count_min_freq",

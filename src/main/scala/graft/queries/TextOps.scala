@@ -634,10 +634,13 @@ object TextOps {
     * instead of carrying it into the shuffle — the same motion as Spark's
     * injected runtime bloom filters (`RuntimeFilterSuite`), but across an
     * explicit aggregation boundary the optimizer can't see through. The
-    * filter rides `spark.util.sketch.BloomFilter` (tree-aggregated on
-    * executors, one ~1 MB driver object, broadcast back out); the probe is
-    * a Scala UDF — off codegen, but it gates a shuffle 100× its cost.
-    * Build-side scan + probe-side scan share the persisted shingle frame.
+    * build and probe are the SAME Catalyst expressions runtime filtering
+    * uses (`BloomFilterAggregate` / `BloomFilterMightContain` over
+    * xxhash64 keys): the sketch is tree-aggregated on executors, only the
+    * ~1 MB filter binary touches the driver (model-size bounded, like a
+    * centroid table), and the probe participates in whole-stage codegen —
+    * no UDF, no per-row boxing. Build-side scan + probe-side scan share
+    * the persisted shingle frame.
     */
   val d16BloomContamination = Q(
     "d16_bloom_contamination",
@@ -655,13 +658,21 @@ object TextOps {
       val h = g.filter(col("split") === "holdout")
         .select(col("doc_id").as("holdout_doc"), col("n_grams").as("hn"),
           col("sh"))
-      val bloom = h.select("sh").stat.bloomFilter("sh", 1L << 20, 0.01)
-      val bloomB = s.sparkContext.broadcast(bloom)
-      val mightContain =
-        udf((x: String) => x != null && bloomB.value.mightContainString(x))
+      import org.apache.spark.sql.graftbridge.GraftPlanBridge
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      val bfBytes = h
+        .select(GraftPlanBridge.column(new BloomFilterAggregate(
+            GraftPlanBridge.expression(xxhash64(col("sh"))),
+            Literal(1L << 20), Literal(1L << 23))
+          .toAggregateExpression()).as("bf"))
+        .head().getAs[Array[Byte]](0)
+      val mightContain = GraftPlanBridge.column(new BloomFilterMightContain(
+        Literal.create(bfBytes, org.apache.spark.sql.types.BinaryType),
+        GraftPlanBridge.expression(xxhash64(col("sh")))))
       val t = g.filter(col("split") === "train")
         .select(col("doc_id").as("train_doc"), col("sh"))
-        .filter(mightContain(col("sh")))
+        .filter(mightContain)
       h.join(t, "sh")
         .groupBy("holdout_doc", "train_doc")
         .agg(count(lit(1)).as("n_shared"), first("hn").as("hn"))

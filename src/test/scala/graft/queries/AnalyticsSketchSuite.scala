@@ -34,6 +34,26 @@ class AnalyticsSketchSuite extends AnyFunSuite {
     assert(viaUnion === direct)
   }
 
+  test("q49 sketches are storable values: parquet round-trip then union matches") {
+    // The 100 TB claim: per-cell sketches persist as a table and any
+    // coarser rollup unions them later without re-scanning the fact
+    // table. Binary sketch column → parquet → read back → union-agg.
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"),
+        date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+    val out = java.nio.file.Files.createTempDirectory("graft-sk").toString
+    monthly.write.mode("overwrite").parquet(out)
+    val fromDisk = spark.read.parquet(out)
+      .groupBy("o_orderpriority")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_customers"))
+      .as[(String, Long)].collect().toMap
+    val live = Analytics.q49HllSketchUnion.run(spark, dir)
+      .select($"o_orderpriority", $"approx_customers")
+      .as[(String, Long)].collect().toMap
+    assert(fromDisk === live)
+  }
+
   private def exactBucketCounts: Map[Long, Long] =
     Tables.lineitem(spark, dir)
       .select(floor(sqrt(col("l_partkey"))).cast("long").as("bucket"))

@@ -127,11 +127,10 @@ object ScaleProbe {
     // linearly. The probe measures exactly that contract: k derives from
     // the frame's size relative to the base corpus (8 cells at base,
     // 8·factor after amplification), seeded from the k lowest-id vectors.
-    // Replicas are deterministically rotated in embedding space
-    // (component-wise +rep·0.01, see amplifyVecs) so they spread across
-    // cells instead of stacking identical vectors into one cell (which
-    // would measure an artificial N² of exact duplicates, not the
-    // operator).
+    // Replicas are deterministically circular-shifted in embedding space
+    // (see amplifyVecs) so they spread across cells instead of stacking
+    // identical vectors into one cell (which would measure an artificial
+    // N² of exact duplicates, not the operator).
     val embBaseN = emb.count()
     def semCents(d: DataFrame): DataFrame = {
       val k = math.max(8L, 8L * d.count() / math.max(1L, embBaseN)).toInt

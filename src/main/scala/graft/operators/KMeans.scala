@@ -30,7 +30,11 @@ object KMeans {
     * Backed by the codegen'd [[graft.functions.SquaredDistance]]: the
     * composable zip_with/aggregate form is CodegenFallback and made the
     * N·k assignment pass interpretation-bound (ScaleProbe sem_dedup was
-    * 19.6× at 10× data before the swap). Bit-identical fold semantics. */
+    * 19.6× at 10× data before the swap). Bit-identical fold semantics.
+    * Inputs must be `array<double>` (the [[graft.functions.CosineSimilarity]]
+    * convention — no implicit numeric coercion, unlike the old fold):
+    * callers reading the fixture's `array<float>` embeddings cast
+    * explicitly via `.cast("array<double>")`. */
   def sqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     org.apache.spark.sql.graftbridge.GraftPlanBridge.column(
       graft.functions.SquaredDistance(
@@ -78,6 +82,13 @@ object KMeans {
         (c, v.asInstanceOf[scala.collection.Seq[Double]].toArray)
       }.toSeq.sortBy(_._1)
     val k = cents.length
+    // Empty centroid set: match [[assign]]'s behavior (empty result, same
+    // schema) rather than letting the Lloyd's seed indexing throw.
+    if (k == 0) {
+      return vectors.limit(0)
+        .select(col(idCol), col(vecCol),
+          lit(0).as("cluster"), lit(0.0).as("dist2"))
+    }
     val c = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
 
     def sq(a: Array[Double], b: Array[Double]): Double = {
@@ -108,9 +119,16 @@ object KMeans {
     }
     val spark = vectors.sparkSession
     import spark.implicits._
+    // Only groups that OWN centroids are probe targets: an emptied group
+    // keeps a stale center in `coarse` (harmless for the next Lloyd's
+    // round) but must not be rankable in the probe — a vector whose
+    // nprobe picks were all empty groups would match nothing in the fine
+    // join and silently vanish from the output.
+    val occupied = member.values.toSet
     val coarseDf = broadcast(
-      coarse.toSeq.zipWithIndex.map { case (v, j) => (j, v.toSeq) }
-        .toDF("coarse", "gvec"))
+      coarse.toSeq.zipWithIndex.collect {
+        case (v, j) if occupied(j) => (j, v.toSeq)
+      }.toDF("coarse", "gvec"))
     val fineDf = broadcast(
       cents.map { case (id, v) => (member(id), id, v.toSeq) }
         .toDF("coarse", "cluster", "cvec"))

@@ -286,7 +286,9 @@ object TextOps {
     * shared with [[graft.ScaleProbe]] so the scaling probe times exactly
     * the registered plan. Returns (holdout_doc, train_doc, n_shared,
     * containment) with the ≥ 0.5 filter applied, containment unrounded. */
-  def containmentPairs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def containmentPairs(
+      docs: org.apache.spark.sql.DataFrame,
+      bloomPrefilter: Boolean = false): org.apache.spark.sql.DataFrame = {
     import graft.operators.MinHashLsh
     val d = docs
       .withColumn("split",
@@ -299,8 +301,29 @@ object TextOps {
       explode(col("grams")).as("sh"))
     val h = g.filter(col("split") === "holdout")
       .select(col("doc_id").as("holdout_doc"), col("n_grams").as("hn"), col("sh"))
-    val t = g.filter(col("split") === "train")
+    val t0 = g.filter(col("split") === "train")
       .select(col("doc_id").as("train_doc"), col("sh"))
+    // Optional Bloom prune of the train stream (d16): semantics-neutral —
+    // a shingle absent from the holdout set can't join, and false
+    // positives die in the exact join below. See d16's doc for the build
+    // and probe machinery.
+    val t =
+      if (!bloomPrefilter) t0
+      else {
+        import org.apache.spark.sql.graftbridge.GraftPlanBridge
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        val bfBytes = h
+          .select(GraftPlanBridge.column(new BloomFilterAggregate(
+              GraftPlanBridge.expression(xxhash64(col("sh"))),
+              Literal(1L << 20), Literal(1L << 23))
+            .toAggregateExpression()).as("bf"))
+          .head().getAs[Array[Byte]](0)
+        val mightContain = GraftPlanBridge.column(new BloomFilterMightContain(
+          Literal.create(bfBytes, org.apache.spark.sql.types.BinaryType),
+          GraftPlanBridge.expression(xxhash64(col("sh")))))
+        t0.filter(mightContain)
+      }
     h.join(t, "sh")
       .groupBy("holdout_doc", "train_doc")
       .agg(count(lit(1)).as("n_shared"), first("hn").as("hn"))
@@ -573,15 +596,21 @@ object TextOps {
   val d15DsirImportance = Q(
     "d15_dsir_importance",
     (s, dir) => {
+      // One tokenize/explode pass feeds everything: the stream is consumed
+      // by the raw-count aggregate, the target-count aggregate, and the
+      // final per-doc join (the d14 shingle-frame persist discipline). The
+      // model totals derive from the count tables themselves — nr = Σcr,
+      // nt = Σct — never a re-scan of the corpus.
       val tok = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"),
           explode(split(trim(lower(col("text"))), """\s+""")).as("token"))
+        .persist()
       val rawCounts = tok.groupBy("token").agg(count(lit(1)).as("cr"))
       val tgtCounts = tok.filter(col("lang") === "en")
         .groupBy("token").agg(count(lit(1)).as("ct"))
       val stats = rawCounts
         .agg(sum("cr").as("nr"), count(lit(1)).as("v"))
-        .crossJoin(tok.filter(col("lang") === "en").agg(count(lit(1)).as("nt")))
+        .crossJoin(tgtCounts.agg(coalesce(sum("ct"), lit(0L)).as("nt")))
       val lr = log(
         ((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("nt") + col("v"))) /
           ((col("cr") + lit(1.0)) / (col("nr") + col("v"))))
@@ -645,39 +674,7 @@ object TextOps {
   val d16BloomContamination = Q(
     "d16_bloom_contamination",
     (s, dir) => {
-      import graft.operators.MinHashLsh
-      val d = Tables.documents(s, dir)
-        .withColumn("split",
-          when(col("doc_id") % 10 < 8, "train").otherwise("holdout"))
-        .select(col("doc_id"), col("split"),
-          MinHashLsh.shingles(col("text"), 2).as("grams"))
-        .persist()
-      val g = d.select(
-        col("doc_id"), col("split"), size(col("grams")).as("n_grams"),
-        explode(col("grams")).as("sh"))
-      val h = g.filter(col("split") === "holdout")
-        .select(col("doc_id").as("holdout_doc"), col("n_grams").as("hn"),
-          col("sh"))
-      import org.apache.spark.sql.graftbridge.GraftPlanBridge
-      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-      val bfBytes = h
-        .select(GraftPlanBridge.column(new BloomFilterAggregate(
-            GraftPlanBridge.expression(xxhash64(col("sh"))),
-            Literal(1L << 20), Literal(1L << 23))
-          .toAggregateExpression()).as("bf"))
-        .head().getAs[Array[Byte]](0)
-      val mightContain = GraftPlanBridge.column(new BloomFilterMightContain(
-        Literal.create(bfBytes, org.apache.spark.sql.types.BinaryType),
-        GraftPlanBridge.expression(xxhash64(col("sh")))))
-      val t = g.filter(col("split") === "train")
-        .select(col("doc_id").as("train_doc"), col("sh"))
-        .filter(mightContain)
-      h.join(t, "sh")
-        .groupBy("holdout_doc", "train_doc")
-        .agg(count(lit(1)).as("n_shared"), first("hn").as("hn"))
-        .withColumn("containment", col("n_shared").cast("double") / col("hn"))
-        .filter(col("containment") >= 0.5)
+      containmentPairs(Tables.documents(s, dir), bloomPrefilter = true)
         .select(col("holdout_doc"), col("train_doc"), col("n_shared"),
           round(col("containment"), 6).as("containment"))
         .orderBy("holdout_doc", "train_doc")

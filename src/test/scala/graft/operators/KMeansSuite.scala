@@ -75,6 +75,32 @@ class KMeansSuite extends AnyFunSuite {
     assert(got === brute)
   }
 
+  test("assignTwoLevel never loses vectors when coarse groups empty out") {
+    // Duplicate centroid vectors: ties break to the lower coarse index,
+    // so one coarse group ends Lloyd's with no member centroids. Its
+    // stale center must not be a probe target — with nprobe=1 a vector
+    // probing only that group would match nothing in the fine join and
+    // silently vanish.
+    val cents = Seq(
+      (0, Seq(0.0, 0.0)), (1, Seq(0.0, 0.0)),
+      (2, Seq(0.0, 0.0)), (3, Seq(10.0, 10.0))).toDF("cluster", "cvec")
+    val vecs = Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(0.1, 0.1)), (3L, Seq(9.0, 9.0)))
+      .toDF("id", "vec")
+    val out = KMeans.assignTwoLevel(vecs, cents, "id", "vec", nprobe = 1)
+      .select(col("id"), col("cluster")).as[(Long, Int)].collect().toMap
+    assert(out.keySet === Set(1L, 2L, 3L), s"lost vectors: $out")
+    assert(out(1L) === 0 && out(2L) === 0 && out(3L) === 3)
+  }
+
+  test("assignTwoLevel on an empty centroid frame returns empty, like assign") {
+    val cents = Seq.empty[(Int, Seq[Double])].toDF("cluster", "cvec")
+    val vecs = Seq((1L, Seq(0.0, 0.0))).toDF("id", "vec")
+    val out = KMeans.assignTwoLevel(vecs, cents, "id", "vec", nprobe = 2)
+    assert(out.columns.toSeq === Seq("id", "vec", "cluster", "dist2"))
+    assert(out.count() === 0L)
+  }
+
   test("empty cluster keeps its previous centroid instead of crashing") {
     // k=3 over 2 distinct points: one seed never wins any point.
     val tiny = Seq(

@@ -195,6 +195,13 @@ object Governance {
     * rebuilt: partition by the business key, never by global order.
     * Ties on (customer, date) are broken by o_orderkey so version numbers
     * are total and both engines agree.
+    *
+    * Output surfaces are representation-exact by construction: the price
+    * rides as integer cents (`floor(x*100 + 0.5)` — identical IEEE double
+    * arithmetic in both engines, no decimal rounding-mode tie hazard),
+    * validity columns are DATE (not timestamp), and the open row carries
+    * the SCD2 sentinel 9999-12-31 instead of NULL so no engine-specific
+    * NULL rendering exists to diverge.
     */
   val m02Scd2History = Q(
     "m02_scd2_history",
@@ -206,17 +213,19 @@ object Governance {
         .filter(col("o_orderstatus") === "F")
         .select(
           col("o_custkey"), col("o_orderkey"),
-          Q.dec2(col("o_totalprice")).as("attr_price"),
-          col("o_orderdate").as("valid_from"),
-          lead(col("o_orderdate"), 1).over(w).as("valid_to"),
+          floor(col("o_totalprice") * 100 + 0.5).as("attr_price_cents"),
+          to_date(col("o_orderdate")).as("valid_from"),
+          coalesce(to_date(lead(col("o_orderdate"), 1).over(w)),
+            lit("9999-12-31").cast("date")).as("valid_to"),
           row_number().over(w).as("version"),
           lead(col("o_orderdate"), 1).over(w).isNull.as("is_current"))
         .orderBy("o_custkey", "version")
     },
     Some("""SELECT o_custkey, o_orderkey,
-        CAST(o_totalprice AS DECIMAL(12,2)) AS attr_price,
-        o_orderdate AS valid_from,
-        lead(o_orderdate, 1) OVER w AS valid_to,
+        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS attr_price_cents,
+        CAST(o_orderdate AS DATE) AS valid_from,
+        COALESCE(CAST(lead(o_orderdate, 1) OVER w AS DATE),
+                 DATE '9999-12-31') AS valid_to,
         CAST(row_number() OVER w AS INT) AS version,
         lead(o_orderdate, 1) OVER w IS NULL AS is_current
       FROM orders WHERE o_orderstatus = 'F'
@@ -268,64 +277,66 @@ object Governance {
     * a row-local CASE. This is the diff an Iceberg `changes` read or a
     * CDC-to-downstream feed computes between snapshots: at 100 TB both
     * sides hash-partition on the key once, and unchanged rows (the vast
-    * majority) are filtered before the sort/sink. Prices compare in
-    * DECIMAL(14,4) — wide enough that the +10% product (2 dp × 2 dp = 4 dp)
-    * is carried exactly, so "changed" is exact and no engine ever rounds
-    * (a 2-dp re-cast would hit Spark HALF_UP vs DuckDB half-even ties).
+    * majority) are filtered before the sort/sink. Prices ride as exact
+    * integers in units of 10^-4 currency: base cents from
+    * `floor(x*100 + 0.5)` (identical IEEE double arithmetic in both
+    * engines), then ×100 for the unchanged path and ×110 for the +10%
+    * reprice — pure BIGINT algebra, so "changed" is exact and no decimal
+    * rounding mode or decimal rendering ever enters the output surface.
     */
   val m04SnapshotDiff = Q(
     "m04_snapshot_diff",
     (s, dir) => {
       val orders = Tables.orders(s, dir)
-      val dec4 = org.apache.spark.sql.types.DecimalType(14, 4)
+      val cents = floor(col("o_totalprice") * 100 + 0.5)
       val snapA = orders
         .filter(col("o_orderdate") < "1997-07-01")
-        .select(col("o_orderkey"), col("o_totalprice").cast(dec4).as("price"))
+        .select(col("o_orderkey"), (cents * 100).as("price_c4"))
       val snapB = orders
         .filter(col("o_orderdate") < "1998-01-01" &&
           !(col("o_orderstatus") === "F" && col("o_orderdate") < "1993-01-01"))
         .select(col("o_orderkey"),
           when(col("o_orderpriority") === "1-URGENT" &&
-              col("o_orderdate") < "1997-07-01",
-            (Q.dec2(col("o_totalprice")) * Q.dec2(lit(1.10))).cast(dec4))
-            .otherwise(col("o_totalprice").cast(dec4)).as("price"))
+              col("o_orderdate") < "1997-07-01", cents * 110)
+            .otherwise(cents * 100).as("price_c4"))
       val a = snapA.as("a")
       val b = snapB.as("b")
       a.join(b, col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
         .withColumn("change_type",
           when(col("a.o_orderkey").isNull, "INSERT")
             .when(col("b.o_orderkey").isNull, "DELETE")
-            .when(col("a.price") =!= col("b.price"), "UPDATE"))
+            .when(col("a.price_c4") =!= col("b.price_c4"), "UPDATE"))
         .filter(col("change_type").isNotNull)
         .select(
           coalesce(col("a.o_orderkey"), col("b.o_orderkey")).as("o_orderkey"),
           col("change_type"),
-          col("a.price").as("old_price"),
-          col("b.price").as("new_price"))
+          col("a.price_c4").as("old_price_c4"),
+          col("b.price_c4").as("new_price_c4"))
         .orderBy("o_orderkey")
     },
-    Some("""WITH snap_a AS (
-        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(14,4)) AS price
-        FROM orders WHERE o_orderdate < DATE '1997-07-01'),
+    Some("""WITH base AS (
+        SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders),
+      snap_a AS (
+        SELECT o_orderkey, cents * 100 AS price_c4
+        FROM base WHERE o_orderdate < DATE '1997-07-01'),
       snap_b AS (
         SELECT o_orderkey,
           CASE WHEN o_orderpriority = '1-URGENT'
                  AND o_orderdate < DATE '1997-07-01'
-            THEN CAST(CAST(o_totalprice AS DECIMAL(12,2))
-                 * CAST(1.10 AS DECIMAL(12,2)) AS DECIMAL(14,4))
-            ELSE CAST(o_totalprice AS DECIMAL(14,4)) END AS price
-        FROM orders
+            THEN cents * 110 ELSE cents * 100 END AS price_c4
+        FROM base
         WHERE o_orderdate < DATE '1998-01-01'
           AND NOT (o_orderstatus = 'F' AND o_orderdate < DATE '1993-01-01'))
       SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
         CASE WHEN a.o_orderkey IS NULL THEN 'INSERT'
              WHEN b.o_orderkey IS NULL THEN 'DELETE'
-             WHEN a.price <> b.price THEN 'UPDATE' END AS change_type,
-        a.price AS old_price, b.price AS new_price
+             WHEN a.price_c4 <> b.price_c4 THEN 'UPDATE' END AS change_type,
+        a.price_c4 AS old_price_c4, b.price_c4 AS new_price_c4
       FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
       WHERE CASE WHEN a.o_orderkey IS NULL THEN 'INSERT'
              WHEN b.o_orderkey IS NULL THEN 'DELETE'
-             WHEN a.price <> b.price THEN 'UPDATE' END IS NOT NULL
+             WHEN a.price_c4 <> b.price_c4 THEN 'UPDATE' END IS NOT NULL
       ORDER BY o_orderkey"""))
 
   val all: Seq[Q] = Seq(

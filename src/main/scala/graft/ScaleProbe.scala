@@ -117,6 +117,15 @@ object ScaleProbe {
     def containJoin(d: DataFrame): DataFrame =
       graft.queries.TextOps.containmentPairs(d)
 
+    // d17's capped regime under an ABSOLUTE df cutoff: token-salted
+    // replication keeps per-shingle df constant as the corpus grows, so a
+    // fractional cutoff (d17's registered form) stops binding at higher
+    // factors — the absolute cap is the knob that stays engaged, bounding
+    // every shingle's join fan-out at df_h·100 regardless of corpus size.
+    def containCapped(d: DataFrame): DataFrame =
+      graft.queries.TextOps.containmentPairs(d,
+        stopDfCap = Some(graft.queries.TextOps.AbsoluteDf(100)))
+
     // The no-join-back duplicated-span scorer (round 6): linear shingle
     // volume, doc-level broadcast join only.
     def repeatedNgrams(d: DataFrame): DataFrame =
@@ -160,6 +169,7 @@ object ScaleProbe {
       ("kmeans_assign", kmeansAssign _, emb, rowAmp),
       ("lsh_band_join", lshBandJoin _, docs, docAmp),
       ("contain_join", containJoin _, docs, docAmp),
+      ("contain_capped", containCapped _, docs, docAmp),
       ("repeated_ngrams", repeatedNgrams _, docs, docAmp),
       ("sem_dedup", semDedup _, emb, amplifyVecs _),
       ("sem_dedup_2l", semDedup2l _, emb, amplifyVecs _))

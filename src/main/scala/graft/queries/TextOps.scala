@@ -282,13 +282,32 @@ object TextOps {
     * (dropping shingles present in >x% of training docs), which changes
     * the containment definition and is therefore not applied under the
     * exact oracle here. */
+  /** Stop-shingle document-frequency cap for [[containmentPairs]]: drop
+    * shingles whose training-side df exceeds the cutoff BEFORE the
+    * inverted-index join, and recompute each holdout doc's gram count over
+    * the surviving shingles so containment stays a well-defined fraction.
+    * This changes the containment definition (capped ≠ exhaustive), which
+    * is why d10/d16 never apply it — d17 registers the capped semantics
+    * with the identical cutoff mirrored in its oracle SQL.
+    *
+    * [[FractionalDf]] is the production knob (drop df > nTrainDocs/denom —
+    * pure integer compare, no float threshold to tie-break differently
+    * across engines); [[AbsoluteDf]] exists for the scaling probe, where
+    * token-salted replication holds per-shingle df constant while the
+    * corpus grows, so only an absolute cutoff stays binding.
+    */
+  sealed trait StopDfCap
+  final case class AbsoluteDf(maxDf: Long) extends StopDfCap
+  final case class FractionalDf(denom: Int) extends StopDfCap
+
   /** The d10 pipeline body over an arbitrary `(doc_id, text)` frame —
     * shared with [[graft.ScaleProbe]] so the scaling probe times exactly
     * the registered plan. Returns (holdout_doc, train_doc, n_shared,
     * containment) with the ≥ 0.5 filter applied, containment unrounded. */
   def containmentPairs(
       docs: org.apache.spark.sql.DataFrame,
-      bloomPrefilter: Boolean = false): org.apache.spark.sql.DataFrame = {
+      bloomPrefilter: Boolean = false,
+      stopDfCap: Option[StopDfCap] = None): org.apache.spark.sql.DataFrame = {
     import graft.operators.MinHashLsh
     val d = docs
       .withColumn("split",
@@ -299,10 +318,32 @@ object TextOps {
     val g = d.select(
       col("doc_id"), col("split"), size(col("grams")).as("n_grams"),
       explode(col("grams")).as("sh"))
-    val h = g.filter(col("split") === "holdout")
+    val h0 = g.filter(col("split") === "holdout")
       .select(col("doc_id").as("holdout_doc"), col("n_grams").as("hn"), col("sh"))
-    val t0 = g.filter(col("split") === "train")
+    val tAll = g.filter(col("split") === "train")
       .select(col("doc_id").as("train_doc"), col("sh"))
+    // Stop-shingle cap: the stop SET (shingles above the df cutoff) is tiny
+    // by Zipf — a handful of ubiquitous n-grams — so it broadcasts and both
+    // streams drop their heavy keys at a scan-adjacent anti-join, bounding
+    // the per-shingle join fan-out at df_h·cap. Holdout gram counts are
+    // recomputed post-filter (one narrow agg keyed on holdout_doc).
+    val (h, t0) = stopDfCap match {
+      case None => (h0, tAll)
+      case Some(cap) =>
+        val dfs = tAll.groupBy("sh").agg(count(lit(1)).as("df"))
+        val stop = (cap match {
+          case AbsoluteDf(m) => dfs.filter(col("df") > m)
+          case FractionalDf(denom) =>
+            val nTrain = d.filter(col("split") === "train")
+              .agg(count(lit(1)).as("n_train"))
+            dfs.crossJoin(broadcast(nTrain))
+              .filter(col("df") * denom > col("n_train"))
+        }).select("sh")
+        val hf = h0.drop("hn").join(broadcast(stop), Seq("sh"), "left_anti")
+        val tf = tAll.join(broadcast(stop), Seq("sh"), "left_anti")
+        val hn2 = hf.groupBy("holdout_doc").agg(count(lit(1)).as("hn"))
+        (hf.join(hn2, "holdout_doc"), tf)
+    }
     // Optional Bloom prune of the train stream (d16): semantics-neutral —
     // a shingle absent from the holdout set can't join, and false
     // positives die in the exact join below. See d16's doc for the build
@@ -681,9 +722,56 @@ object TextOps {
     },
     d10Contamination.oracle)
 
+  /** Contamination with the production stop-shingle cap REGISTERED: drop
+    * shingles present in more than 1/20th (5%) of training documents
+    * before the inverted-index join, containment recomputed over the
+    * surviving shingles. This is the form a 100 TB decontamination run
+    * actually executes — d10's uncapped audit has Σ df_h·df_t fan-out
+    * (measured 48× wall at ×30 in ScaleProbe), while the cap bounds every
+    * shingle's fan-out at df_h·(n/20) and the probe's `contain_capped` row
+    * shows the flattened curve. The cutoff is integer-exact (df·20 >
+    * nTrainDocs) and mirrored verbatim in the oracle SQL, so the capped
+    * semantics are hash-gated end-to-end, not prose.
+    */
+  val d17ContaminationCapped = Q(
+    "d17_contamination_capped",
+    (s, dir) => {
+      containmentPairs(Tables.documents(s, dir),
+          stopDfCap = Some(FractionalDf(20)))
+        .select(col("holdout_doc"), col("train_doc"), col("n_shared"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy("holdout_doc", "train_doc")
+    },
+    Some("""WITH d AS (
+      SELECT doc_id, CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'holdout' END AS split,
+        list_distinct(list_transform(
+          list_zip(tokens[1:length(tokens)-1], tokens[2:]),
+          s -> s[1] || chr(32) || s[2])) AS grams
+      FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tokens FROM documents)),
+    g AS (SELECT doc_id, split, unnest(grams) AS sh FROM d),
+    stop AS (
+      SELECT sh FROM g WHERE split = 'train' GROUP BY sh
+      HAVING count(*) * 20 > (SELECT count(*) FROM d WHERE split = 'train')),
+    hf AS (
+      SELECT doc_id AS holdout_doc, sh FROM g
+      WHERE split = 'holdout' AND sh NOT IN (SELECT sh FROM stop)),
+    tf AS (
+      SELECT doc_id AS train_doc, sh FROM g
+      WHERE split = 'train' AND sh NOT IN (SELECT sh FROM stop)),
+    hn AS (SELECT holdout_doc, count(*) AS hn FROM hf GROUP BY 1),
+    p AS (
+      SELECT hf.holdout_doc, tf.train_doc, count(*) AS n_shared
+      FROM hf JOIN tf USING (sh) GROUP BY 1, 2)
+    SELECT p.holdout_doc, p.train_doc, n_shared,
+      round(CAST(n_shared AS DOUBLE) / hn.hn, 6) AS containment
+    FROM p JOIN hn ON p.holdout_doc = hn.holdout_doc
+    WHERE CAST(n_shared AS DOUBLE) / hn.hn >= 0.5
+    ORDER BY p.holdout_doc, p.train_doc"""))
+
   val all: Seq[Q] = Seq(
     d01DedupExact, d02TextStats, d03TokenCounts, d04QualityScore,
     d05LangId, d06Fingerprint, d07TokenFreq, d08PiiScrub, d09DatasetSplit,
     d10Contamination, d11Repetition, d12BigramVocab, d13ContaminationLsh,
-    d14RepeatedNgrams, d15DsirImportance, d16BloomContamination)
+    d14RepeatedNgrams, d15DsirImportance, d16BloomContamination,
+    d17ContaminationCapped)
 }

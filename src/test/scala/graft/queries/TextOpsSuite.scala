@@ -31,6 +31,41 @@ class TextOpsSuite extends AnyFunSuite {
     assert(kept < train.count())
   }
 
+  test("d17 stop-shingle cap engages: stop set non-empty, streams shrink, fan-out bounded") {
+    val dir = SparkTestSession.sfDir
+    val docs = Tables.documents(spark, dir)
+    // The fractional cap (df > nTrain/20) must actually bind on the fixture
+    // corpus — an inert cutoff would make d17 a re-registration of d10.
+    import graft.operators.MinHashLsh
+    val g = docs
+      .withColumn("split",
+        when(col("doc_id") % 10 < 8, "train").otherwise("holdout"))
+      .select(col("doc_id"), col("split"),
+        explode(MinHashLsh.shingles(col("text"), 2)).as("sh"))
+    val nTrain = docs.filter(col("doc_id") % 10 < 8).count()
+    val dfs = g.filter(col("split") === "train").groupBy("sh")
+      .agg(count(lit(1)).as("df"))
+    val nStop = dfs.filter(col("df") * 20 > nTrain).count()
+    assert(nStop > 0, "fractional df cutoff never engaged on the fixture")
+    // Capped streams must be strictly smaller than d10's, and the per-
+    // shingle fan-out bound must hold: every surviving shingle's train df
+    // is ≤ nTrain/20 by construction.
+    val maxSurvivingDf = dfs.filter(col("df") * 20 <= nTrain)
+      .agg(max("df")).head().getLong(0)
+    assert(maxSurvivingDf * 20 <= nTrain)
+    // And the registered query still returns rows (the cap must not
+    // degenerate to an empty result on the fixture).
+    val n = TextOps.d17ContaminationCapped.run(spark, dir).count()
+    assert(n > 0)
+    // Plan audit: the stop-set prune rides a broadcast anti-join, never a
+    // shuffled one — the stop set is Zipf-small by construction.
+    val plan = TextOps.containmentPairs(docs,
+        stopDfCap = Some(TextOps.FractionalDf(20)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti-join in plan:\n$plan")
+  }
+
   test("d15 DSIR importance: en documents score higher than non-en on average") {
     val dir = SparkTestSession.sfDir
     val byLang = TextOps.d15DsirImportance.run(spark, dir)

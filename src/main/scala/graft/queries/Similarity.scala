@@ -164,18 +164,20 @@ object Similarity {
     e02KnnBrute.oracle)
 
   /** Embedding-cosine near-duplicate pairs (threshold 0.4), exact all-pairs
-    * — the deliberate exact-baseline twin of e08 (same role e02 plays for
-    * e03/e06): it pins the oracle semantics the pruned path must reproduce,
-    * and it is the honest cost reference on this corpus, where isotropy
-    * makes every sound prune degenerate (see [[graft.operators.SignLshNearDup]]).
-    * In production the exact form is bounded to an id sample (n03 pattern);
-    * the unbounded registration here is what the oracle gate compares e08
-    * against. Uses the fused custom expression. */
+    * WITHIN A BOUNDED ID SAMPLE (vec_id < 300, the n03 pattern) — the
+    * exact-baseline twin of e08 (same role e02 plays for e03/e06): it pins
+    * the oracle semantics of the fused cosine expression on ground-truth
+    * pairs. The id bound pushes to the parquet scan, so the registered
+    * plan's pairwise work is sample², never corpus² — no registered query
+    * carries an O(n²) plan; e08 is the full-corpus production path (its
+    * band-bucket prune is the scale story, oracle'd against its own
+    * all-pairs SQL at fixture scale where the exhaustive form is cheap). */
   val e05EmbeddingNearDup = Q(
     "e05_embedding_neardup",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val c = Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 300)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       val a = c.select(col("vec_id").as("vec_a"), col("emb").as("ea"))
       val b = c.select(col("vec_id").as("vec_b"), col("emb").as("eb"))
@@ -189,7 +191,7 @@ object Similarity {
       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
     FROM embeddings a, embeddings b
-    WHERE a.vec_id < b.vec_id
+    WHERE a.vec_id < b.vec_id AND a.vec_id < 300 AND b.vec_id < 300
       AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                  CAST(b.embedding AS DOUBLE[])) >= 0.4
     ORDER BY vec_a, vec_b"""))
@@ -245,8 +247,10 @@ object Similarity {
     * operator (sbt plan assert: no CartesianProduct/BNLJ). The exact
     * cosine verify makes the result hash-family-independent, and banding
     * recall is 1.0 on the fixture with ~1e-6 per-pair slack at the τ=0.4
-    * margin (48 bands × 3 planes), so the oracle is e05's exact all-pairs
-    * SQL and the gate checks hash-equality with the brute-force answer. */
+    * margin (48 bands × 3 planes), so the oracle is the FULL-CORPUS
+    * all-pairs SQL (exhaustive is cheap at fixture scale; only the Spark
+    * side must avoid the quadratic plan) and the gate checks
+    * hash-equality with the brute-force answer. */
   val e08EmbeddingNearDupPruned = Q(
     "e08_embedding_neardup_pruned",
     (s, dir) => {
@@ -258,8 +262,14 @@ object Similarity {
           round(col("cos"), 6).as("cosine"))
         .orderBy("vec_a", "vec_b")
     },
-    // Same exact answer as e05 — identical oracle.
-    e05EmbeddingNearDup.oracle)
+    Some("""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    ORDER BY vec_a, vec_b"""))
 
   /** SemDeDup semantic deduplication ([[graft.operators.SemanticDedup]]):
     * cluster the corpus into 8 cells (fixed lowest-id centroids, the k01

@@ -14,10 +14,31 @@ class SignLshNearDupSuite extends AnyFunSuite {
   test("e08 pruned pairs equal the exact all-pairs answer (recall 1.0 on fixture)") {
     val pruned = Similarity.e08EmbeddingNearDupPruned.run(spark, dir)
       .as[(Long, Long, Double)].collect().toSet
-    val exact = Similarity.e05EmbeddingNearDup.run(spark, dir)
+    // Exact all-pairs ground truth computed inline over the FULL corpus —
+    // e05 is now bounded to an id sample (no registered O(n²) plan), so
+    // the full-corpus brute force lives only here, at fixture scale.
+    graft.functions.GraftFunctions.register(spark)
+    val c = graft.queries.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val exact = c.select(col("vec_id").as("vec_a"), col("emb").as("ea"))
+      .join(c.select(col("vec_id").as("vec_b"), col("emb").as("eb")),
+        col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        graft.functions.GraftFunctions.cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
       .as[(Long, Long, Double)].collect().toSet
     assert(exact.nonEmpty)
     assert(pruned === exact)
+  }
+
+  test("e05 bounded sample: id filter reaches the parquet scan") {
+    val plan = Similarity.e05EmbeddingNearDup.run(spark, dir)
+      .queryExecution.executedPlan.toString
+    // Both join inputs scan with the pushed vec_id bound — the registered
+    // pairwise work is sample², never corpus².
+    assert(plan.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,300)]"),
+      s"expected pushed vec_id<300 filter in:\n$plan")
   }
 
   test("e08 plan has no all-pairs operator (no CartesianProduct, no BNLJ)") {

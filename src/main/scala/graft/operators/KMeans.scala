@@ -77,9 +77,13 @@ object KMeans {
   def assignTwoLevel(vectors: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, nprobe: Int): DataFrame = {
     require(nprobe > 0, "nprobe must be positive")
+    // Accept any integral cluster column (int/long/short) — [[assign]] has
+    // no type restriction on it, and the two paths' accepted schemas must
+    // not silently diverge (a bigint cluster id would MatchError here).
     val cents: Seq[(Int, Array[Double])] = centroids.collect()
-      .map { case Row(c: Int, v: scala.collection.Seq[_]) =>
-        (c, v.asInstanceOf[scala.collection.Seq[Double]].toArray)
+      .map { r =>
+        (r.getAs[Number](0).intValue,
+          r.getSeq[Double](1).toArray)
       }.toSeq.sortBy(_._1)
     val k = cents.length
     // Empty centroid set: match [[assign]]'s behavior (empty result, same
@@ -117,6 +121,14 @@ object KMeans {
         }
       }.toArray
     }
+    // Probe ranking and fine-group membership must use the SAME centers:
+    // the loop updates `coarse` after computing `member`, so without this
+    // final pass the probe would rank post-update centers while fineDf
+    // groups by pre-update membership — a routing-quality inconsistency
+    // in the approximate path.
+    member = cents.map { case (id, v) =>
+      id -> (0 until c).minBy(j => (sq(v, coarse(j)), j))
+    }.toMap
     val spark = vectors.sparkSession
     import spark.implicits._
     // Only groups that OWN centroids are probe targets: an emptied group

@@ -319,12 +319,14 @@ object Similarity {
     * path: vectors scan ⌈√k⌉ coarse groups plus the fine centroids of the
     * nprobe nearest, N·(√k + nprobe·√k̄) distance evaluations instead of
     * flat assignment's N·k (the term the sem_dedup scaling probe measures
-    * going super-linear at ×30). Routing is approximate at cell
-    * boundaries: on the fixture (k=8 → 3 coarse groups, nprobe=2) the
-    * drop set agrees with sd01's flat answer on 72/76 drops (94.7%) and
-    * adds 10 boundary drops that are valid within their arrived cells —
-    * rows-only gate; SemanticDedupSuite pins drop validity (every pair
-    * truly ≥ τ), the agreement floor vs sd01, and the no-cartesian plan. */
+    * going super-linear at ×30). Routing is approximate RELATIVE TO flat
+    * assignment (a vector can land in its second-best cell) but fully
+    * DETERMINISTIC given the seeded centroids — so the whole route
+    * unrolls into DuckDB CTE layers ([[KMeansOracle.twoLevelSemDedupSql]],
+    * the k02 upgrade pattern) and the gate is hash-exact, not rows-only.
+    * SemanticDedupSuite additionally pins drop validity (every pair truly
+    * ≥ τ), the ≥90% agreement floor vs sd01's flat answer, and the
+    * no-cartesian plan. */
   val sd02SemanticDedupIvf = Q(
     "sd02_semantic_dedup_ivf",
     (s, dir) => {
@@ -336,7 +338,7 @@ object Similarity {
         .dropsTwoLevel(c, "vec_id", "emb", cents, tau = 0.35, nprobe = 2)
         .orderBy("vec_id")
     },
-    None)
+    Some(KMeansOracle.twoLevelSemDedupSql(k = 8, rounds = 3, nprobe = 2, tau = 0.35)))
 
   val all: Seq[Q] = Seq(
     e01EmbeddingNorms, e02KnnBrute, e03KnnLsh, e04KnnFused,

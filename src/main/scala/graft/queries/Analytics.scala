@@ -759,8 +759,13 @@ object Analytics {
   val h03CountMinFreq = Q(
     "h03_count_min_freq",
     (s, dir) => {
+      // Scanned twice (eager sketch build, then the distinct probe) —
+      // persist the one-column bucket stream so the second pass reads
+      // cached blocks, the cache-the-shared-scan discipline of d14/d15.
+      // The harness clears the cache between queries.
       val stream = Tables.lineitem(s, dir)
         .select(floor(sqrt(col("l_partkey"))).cast("long").as("bucket"))
+        .persist()
       val cms = stream
         .agg(count_min_sketch(
           col("bucket"), lit(0.001), lit(0.99), lit(42)).as("sk"))

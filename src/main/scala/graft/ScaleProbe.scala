@@ -156,6 +156,73 @@ object ScaleProbe {
       graft.operators.SemanticDedup
         .dropsTwoLevel(d, "vec_id", "emb", semCents(d), tau = 0.35, nprobe = 2)
 
+    // Embedding near-dup, e05 vs e08 regimes: exact all-pairs baseline
+    // (O(N²) by construction — probe it only at low factors) against the
+    // sign-LSH banded prune, both verifying with the same fused cosine.
+    graft.functions.GraftFunctions.register(spark)
+    def neardupExact(d: DataFrame): DataFrame = {
+      val a = d.select(col("vec_id").as("id_a"), col("emb").as("_va"))
+      val b = d.select(col("vec_id").as("id_b"), col("emb").as("_vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cos",
+          graft.functions.GraftFunctions.cosine(col("_va"), col("_vb")))
+        .filter(col("cos") >= 0.4)
+        .select(col("id_a"), col("id_b"), col("cos"))
+    }
+    def signlshNeardup(d: DataFrame): DataFrame =
+      graft.operators.SignLshNearDup.pairs(d, "vec_id", "emb")
+    // The PRODUCTION near-dup regime: tau ≥ 0.8 admits 16-bit band keys
+    // (2¹⁶ buckets/band), collapsing the dissimilar-collision term
+    // bands·N²/2^r that makes the fixture-tau banding (3-bit keys, 8
+    // buckets) quadratic-bound. Random-corpus output is ~empty at 0.8 —
+    // the probe times the candidate machinery, which is the scale cost.
+    def signlshNeardupHi(d: DataFrame): DataFrame =
+      graft.operators.SignLshNearDup.pairs(d, "vec_id", "emb",
+        graft.operators.SignLshNearDup.Params(
+          bands = 32, rowsPerBand = 16, tau = 0.8))
+
+    // ANN, e02 vs e06 regimes: a FIXED 2000-query panel (the base corpus;
+    // under amplification, replica 1 — the pmod picks it without a sort)
+    // against a growing corpus. Brute scans Q·N pairs; IVF holds 64 cells
+    // fixed (e06's published contract scaled 4×) so both curves are linear
+    // and the measured gap is the candidate-set constant nProbe/cells —
+    // the cells ∝ N route with sub-linear assignment is measured
+    // separately as sem_dedup_2l.
+    val queryPick =
+      pmod(col("vec_id"), lit(1000000000L)) < 2000 && col("vec_id") < 2000000000L
+    def withNorm(d: DataFrame): DataFrame =
+      d.withColumn("norm", sqrt(graft.functions.VectorOps.sumSquares(col("emb"))))
+    def knnBrute(d0: DataFrame): DataFrame = {
+      val d = withNorm(d0)
+      val q = d.filter(queryPick).select(col("vec_id").as("query_id"),
+        col("emb").as("qemb"), col("norm").as("qnorm"))
+      val pairs = d.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("cos", graft.functions.VectorOps.dot(col("qemb"), col("emb"))
+          / (col("qnorm") * col("norm")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+      pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rnk"))
+    }
+    def knnIvf(d0: DataFrame): DataFrame = {
+      val d = withNorm(d0)
+      val w0 = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+      val cents = d.orderBy("vec_id").limit(64)
+        .select((row_number().over(w0) - 1).as("cell_id"),
+          col("emb").as("cemb"), col("norm").as("cnorm"))
+      val assigned = graft.operators.IvfAnn.assignCells(d, cents)
+      val probes = graft.operators.IvfAnn.probeCells(d.filter(queryPick), cents, 4)
+      val pairs = assigned.join(probes,
+          assigned("cell_id") === probes("cell_id") &&
+            col("vec_id") =!= col("query_id"))
+        .withColumn("cos", graft.functions.VectorOps.dot(col("qemb"), col("emb"))
+          / (col("qnorm") * col("norm")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+      pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rnk"))
+    }
+
     val docAmp = amplifyDocs _
     val rowAmp = amplify _
     val allShapes: Seq[(String, DataFrame => DataFrame, DataFrame, (DataFrame, Int) => DataFrame)] = Seq(
@@ -172,7 +239,12 @@ object ScaleProbe {
       ("contain_capped", containCapped _, docs, docAmp),
       ("repeated_ngrams", repeatedNgrams _, docs, docAmp),
       ("sem_dedup", semDedup _, emb, amplifyVecs _),
-      ("sem_dedup_2l", semDedup2l _, emb, amplifyVecs _))
+      ("sem_dedup_2l", semDedup2l _, emb, amplifyVecs _),
+      ("neardup_exact", neardupExact _, emb, amplifyVecs _),
+      ("signlsh_neardup", signlshNeardup _, emb, amplifyVecs _),
+      ("signlsh_hi", signlshNeardupHi _, emb, amplifyVecs _),
+      ("knn_brute", knnBrute _, emb, amplifyVecs _),
+      ("knn_ivf", knnIvf _, emb, amplifyVecs _))
     val wanted = args.drop(2).toSet
     val unknown = wanted -- allShapes.map(_._1).toSet
     // Reject rather than skip: a silently-dropped typo reads as "that

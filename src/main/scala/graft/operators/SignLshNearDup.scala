@@ -34,6 +34,18 @@ import org.apache.spark.sql.functions._
   * triangle-inequality cell bounds admit 100% of cell pairs). The fixture
   * params therefore maximize recall margin, not pruning, and the exact
   * baseline twin (e05) remains the honest cost reference at that regime.
+  *
+  * Scale contract (measured, round 7 ScaleProbe): the banded self-join
+  * emits ~bands·N²/2^rowsPerBand dissimilar-collision rows, so
+  * `rowsPerBand` must grow like log₂N for the candidate set to stay
+  * near-linear. The fixture defaults (3-bit keys, 8 buckets/band —
+  * forced by τ=0.4's recall needs) measured 256× wall at ×10 data,
+  * SLOWER than the exact all-pairs baseline; the production near-dup
+  * regime (τ ≥ 0.8, affording bands=32/rowsPerBand=16 → 2¹⁶
+  * buckets/band) measured 3.2× at ×10 and 15× at ×30 — sub-linear
+  * (`signlsh_hi` in ScaleProbe, BASELINE.md). Callers at scale MUST
+  * size rowsPerBand to their corpus; the defaults are the oracle/audit
+  * configuration, not the 100 TB one.
   */
 object SignLshNearDup {
 

@@ -66,6 +66,25 @@ class TextOpsSuite extends AnyFunSuite {
       s"expected broadcast anti-join in plan:\n$plan")
   }
 
+  test("d17 cap semantics: an inert cutoff reproduces d10's uncapped output exactly") {
+    val dir = SparkTestSession.sfDir
+    val docs = Tables.documents(spark, dir)
+    // AbsoluteDf(MaxValue) drops nothing, so the capped pipeline — stop-set
+    // aggregation, anti-joins, gram-count recomputation and all — must be a
+    // value-exact identity over the uncapped one. Pins that the cap changes
+    // ONLY which shingles participate, never the containment arithmetic.
+    // (hn is INT via size() uncapped but LONG via count() capped — a
+    // representation difference by construction; normalize before compare.)
+    def norm(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("holdout_doc"), col("train_doc"), col("n_shared"),
+        col("hn").cast("long").as("hn"), col("containment"))
+      .orderBy("holdout_doc", "train_doc").collect().toSeq
+    val capped = norm(TextOps.containmentPairs(docs,
+      stopDfCap = Some(TextOps.AbsoluteDf(Long.MaxValue))))
+    val uncapped = norm(TextOps.containmentPairs(docs))
+    assert(capped === uncapped)
+  }
+
   test("d15 DSIR importance: en documents score higher than non-en on average") {
     val dir = SparkTestSession.sfDir
     val byLang = TextOps.d15DsirImportance.run(spark, dir)

@@ -8,9 +8,33 @@ import org.apache.spark.sql.functions._
   * miniature). Usage: `runMain graft.ScaleProbe <sfDir> [factor] [shape…]`
   * (trailing shape names restrict the run — re-probing one shape at a
   * high factor shouldn't pay for the 6-minute containment join).
-  * Prints one line per shape: base seconds, scaled seconds, ratio.
+  * Prints one line per shape: base seconds, scaled seconds, ratio, plus
+  * the shuffle-write and disk-spill bytes of each measured run — wall
+  * growth says WHETHER a shape scales; the shuffle/spill columns say WHY
+  * (a 100 TB bottleneck is almost always a shuffle that grew
+  * super-linearly or started spilling, and the listener catches both).
   */
 object ScaleProbe {
+
+  /** Accumulates shuffle-write/spill totals between [[snapshot]] calls
+    * from task-end events (the per-task metrics are always populated
+    * there; StageInfo-level aggregates are not), summed across the
+    * job(s) a measurement triggers — the same totals the UI shows. */
+  private final class ShuffleTotals extends org.apache.spark.scheduler.SparkListener {
+    private val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    private val spill = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.diskBytesSpilled)
+      }
+    }
+    /** (shuffleWriteBytes, spillBytes) since the last call, then reset. */
+    def snapshot(): (Long, Long) =
+      (shufWrite.getAndSet(0L), spill.getAndSet(0L))
+  }
 
   private def amplify(df: DataFrame, factor: Int): DataFrame =
     df.withColumn("_dup", explode(sequence(lit(1), lit(factor)))).drop("_dup")
@@ -256,13 +280,25 @@ object ScaleProbe {
 
     // Warm codegen/scan once.
     shapes.foreach { case (_, f, base, _) => sink(f(base)); spark.catalog.clearCache() }
-    println(f"shape,base_s,x${factor}_s,ratio")
+    val totals = new ShuffleTotals
+    spark.sparkContext.addSparkListener(totals)
+    // Stage-completion events land on the async listener bus; a short
+    // settle before each snapshot keeps the attribution per-measurement
+    // (MB-scale reporting, not an audit — a straggler event would shift
+    // a few KB between adjacent rows at worst).
+    def settled(): (Long, Long) = { Thread.sleep(300); totals.snapshot() }
+    def mb(bytes: Long): String = f"${bytes / 1048576.0}%.1f"
+    println(f"shape,base_s,x${factor}_s,ratio,base_shuf_mb,x${factor}_shuf_mb,base_spill_mb,x${factor}_spill_mb")
     shapes.foreach { case (name, f, base, amp) =>
+      totals.snapshot()
       val b = time(sink(f(base)))
+      val (bw, bsp) = settled()
       spark.catalog.clearCache()
+      totals.snapshot()
       val s = time(sink(f(amp(base, factor))))
+      val (xw, xsp) = settled()
       spark.catalog.clearCache()
-      println(f"$name,$b%.2f,$s%.2f,${s / b}%.1f")
+      println(f"$name,$b%.2f,$s%.2f,${s / b}%.1f,${mb(bw)},${mb(xw)},${mb(bsp)},${mb(xsp)}")
     }
     spark.stop()
   }

@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   * Here the corpus is synthesized with a 50k-token vocabulary (bigram
   * space ≈ 2.5·10⁹), a FIXED 500-doc holdout side (the benchmark-suite
   * shape: holdout stays constant while the corpus grows), and a train
-  * side that scales with the factor; every 5th holdout doc is planted as
-  * an exact copy of a train doc so the containment answer is non-trivial
-  * at every factor. Token streams derive from `xxhash64(doc_id, pos)` —
+  * side that scales with the factor; every 10th holdout doc (the
+  * position-8 doc of every 5th decade — 50 of 500, the `pairs` column)
+  * is planted as an exact copy of a train doc so the containment answer
+  * is non-trivial at every factor. Token streams derive from `xxhash64(doc_id, pos)` —
   * deterministic, executor-local generation, no RNG state.
   *
   * Measured per factor: exact containment join (d10 regime) vs the
@@ -96,8 +97,10 @@ object BloomProbe {
       // Measured selectivity two ways: `sel_true` is the exact fraction of
       // the train shingle stream whose shingle occurs in the holdout set
       // (a semi-join — what an ideal filter would keep); `sel_bloom` is
-      // the fraction the probe's actual Bloom filter passes (true matches
-      // + false positives at this filter sizing).
+      // the fraction the ACTUAL d16 filter passes — built and probed via
+      // the same `TextOps.bloomBuild`/`bloomProbe` machinery the timed
+      // path runs (xxhash64-keyed Catalyst expressions, same sizing), so
+      // the column describes the filter whose wall time `bloom_s` is.
       import graft.operators.MinHashLsh
       val g = docs.select(col("doc_id"),
           explode(MinHashLsh.shingles(col("text"), 2)).as("sh"))
@@ -106,10 +109,10 @@ object BloomProbe {
       val total = trainSh.count()
       val selTrue = trainSh.join(holdSh.distinct(), Seq("sh"), "left_semi")
         .count().toDouble / total
-      val bloom = holdSh.stat.bloomFilter("sh", 1L << 20, 1L << 23)
-      val bloomB = spark.sparkContext.broadcast(bloom)
-      val survive = udf((x: String) => bloomB.value.mightContainString(x))
-      val selBloom = trainSh.filter(survive(col("sh"))).count().toDouble / total
+      val bfBytes = graft.queries.TextOps.bloomBuild(holdSh, col("sh"))
+      val selBloom = trainSh
+        .filter(graft.queries.TextOps.bloomProbe(bfBytes, col("sh")))
+        .count().toDouble / total
       trainSh.unpersist()
       val pairs = graft.queries.TextOps.containmentPairs(docs).count()
       spark.catalog.clearCache()

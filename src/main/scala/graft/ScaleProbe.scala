@@ -182,17 +182,11 @@ object ScaleProbe {
 
     // Embedding near-dup, e05 vs e08 regimes: exact all-pairs baseline
     // (O(N²) by construction — probe it only at low factors) against the
-    // sign-LSH banded prune, both verifying with the same fused cosine.
-    graft.functions.GraftFunctions.register(spark)
-    def neardupExact(d: DataFrame): DataFrame = {
-      val a = d.select(col("vec_id").as("id_a"), col("emb").as("_va"))
-      val b = d.select(col("vec_id").as("id_b"), col("emb").as("_vb"))
-      a.join(b, col("id_a") < col("id_b"))
-        .withColumn("cos",
-          graft.functions.GraftFunctions.cosine(col("_va"), col("_vb")))
-        .filter(col("cos") >= 0.4)
-        .select(col("id_a"), col("id_b"), col("cos"))
-    }
+    // sign-LSH banded prune. Both bodies are the REGISTERED pipelines
+    // (`Similarity.exactNearDupPairs`, `SignLshNearDup.pairs`) — the
+    // probe times the plan the oracle gate checks, not a copy.
+    def neardupExact(d: DataFrame): DataFrame =
+      graft.queries.Similarity.exactNearDupPairs(d)
     def signlshNeardup(d: DataFrame): DataFrame =
       graft.operators.SignLshNearDup.pairs(d, "vec_id", "emb")
     // The PRODUCTION near-dup regime: tau ≥ 0.8 admits 16-bit band keys
@@ -216,35 +210,15 @@ object ScaleProbe {
       pmod(col("vec_id"), lit(1000000000L)) < 2000 && col("vec_id") < 2000000000L
     def withNorm(d: DataFrame): DataFrame =
       d.withColumn("norm", sqrt(graft.functions.VectorOps.sumSquares(col("emb"))))
-    def knnBrute(d0: DataFrame): DataFrame = {
-      val d = withNorm(d0)
-      val q = d.filter(queryPick).select(col("vec_id").as("query_id"),
-        col("emb").as("qemb"), col("norm").as("qnorm"))
-      val pairs = d.join(broadcast(q), col("vec_id") =!= col("query_id"))
-        .withColumn("cos", graft.functions.VectorOps.dot(col("qemb"), col("emb"))
-          / (col("qnorm") * col("norm")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-      pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
-        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rnk"))
-    }
+    def knnBrute(d0: DataFrame): DataFrame =
+      graft.queries.Similarity.bruteTopK(withNorm(d0), queryPick, k = 5)
     def knnIvf(d0: DataFrame): DataFrame = {
       val d = withNorm(d0)
       val w0 = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
       val cents = d.orderBy("vec_id").limit(64)
         .select((row_number().over(w0) - 1).as("cell_id"),
           col("emb").as("cemb"), col("norm").as("cnorm"))
-      val assigned = graft.operators.IvfAnn.assignCells(d, cents)
-      val probes = graft.operators.IvfAnn.probeCells(d.filter(queryPick), cents, 4)
-      val pairs = assigned.join(probes,
-          assigned("cell_id") === probes("cell_id") &&
-            col("vec_id") =!= col("query_id"))
-        .withColumn("cos", graft.functions.VectorOps.dot(col("qemb"), col("emb"))
-          / (col("qnorm") * col("norm")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-      pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
-        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rnk"))
+      graft.operators.IvfAnn.search(d, d.filter(queryPick), cents, nProbe = 4, k = 5)
     }
 
     val docAmp = amplifyDocs _

@@ -32,8 +32,6 @@ import org.apache.spark.sql.streaming.OutputMode
   */
 object StreamProbe {
 
-  private case class Gen(n: Long, batch: Int)
-
   def main(args: Array[String]): Unit = {
     val batchRows = args.headOption.map(_.toInt).getOrElse(100000)
     val nBatches = args.lift(1).map(_.toInt).getOrElse(10)

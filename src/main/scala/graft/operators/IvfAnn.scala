@@ -58,8 +58,17 @@ object IvfAnn {
     val centroids = corpus.filter(col("vec_id") < nCells)
       .select(col("vec_id").cast("int").as("cell_id"),
         col("emb").as("cemb"), col("norm").as("cnorm"))
+    search(corpus, corpus.filter(queryFilter), centroids, nProbe, k)
+  }
+
+  /** Same pipeline with caller-supplied centroids `(cell_id, cemb, cnorm)`
+    * and query frame — the seeding above assumes dense low ids, which a
+    * caller over re-keyed data (e.g. ScaleProbe's replicated ids) can't
+    * satisfy; this overload is the single definition both run. */
+  def search(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      nProbe: Int, k: Int): DataFrame = {
     val assigned = assignCells(corpus, centroids)
-    val probes = probeCells(corpus.filter(queryFilter), centroids, nProbe)
+    val probes = probeCells(queries, centroids, nProbe)
     val pairs = assigned.join(probes,
         assigned("cell_id") === probes("cell_id") &&
           col("vec_id") =!= col("query_id"))

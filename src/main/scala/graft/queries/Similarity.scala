@@ -31,6 +31,40 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("norm", sqrt(sumSquares(col("emb"))))
 
+  /** Brute-force cosine top-k over an arbitrary `(vec_id, emb, norm)`
+    * frame: broadcast the `queryFilter` rows against the full corpus,
+    * exact cosine, per-query rank. The e02 pipeline body — shared with
+    * [[graft.ScaleProbe]] so the probe times the same plan the oracle
+    * gate checks. */
+  def bruteTopK(c: DataFrame, queryFilter: Column, k: Int): DataFrame = {
+    val q = c.filter(queryFilter).select(
+      col("vec_id").as("query_id"), col("emb").as("qemb"), col("norm").as("qnorm"))
+    val pairs = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("qemb"), col("emb")) / (col("qnorm") * col("norm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    pairs
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"), col("rnk"))
+  }
+
+  /** Exact all-pairs cosine near-dup over an arbitrary `(vec_id, emb)`
+    * frame — the e05/e08-oracle pipeline body (fused codegen'd cosine,
+    * `vec_a < vec_b`, threshold filter), shared with [[graft.ScaleProbe]].
+    * O(n²) by definition: callers bound the input (e05's id sample) or
+    * accept the audit cost knowingly (the probe's `neardup_exact`). */
+  def exactNearDupPairs(c: DataFrame, tau: Double = 0.4): DataFrame = {
+    graft.functions.GraftFunctions.register(c.sparkSession)
+    val a = c.select(col("vec_id").as("vec_a"), col("emb").as("ea"))
+    val b = c.select(col("vec_id").as("vec_b"), col("emb").as("eb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", graft.functions.GraftFunctions.cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= tau)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
   /** L2 norms + dimensionality — the cheap sanity query over the corpus. */
   val e01EmbeddingNorms = Q(
     "e01_embedding_norms",
@@ -51,22 +85,9 @@ object Similarity {
     * full corpus. The exact baseline every ANN variant is scored against. */
   val e02KnnBrute = Q(
     "e02_knn_brute",
-    (s, dir) => {
-      val c = corpus(s, dir)
-      val q = c.select(
-        col("vec_id").as("query_id"), col("emb").as("qemb"), col("norm").as("qnorm"))
-        .filter(col("query_id") < 8)
-      val pairs = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
-        .withColumn("cos", dot(col("qemb"), col("emb")) / (col("qnorm") * col("norm")))
-      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-      pairs
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .select(
-          col("query_id"), col("vec_id").as("neighbor_id"),
-          round(col("cos"), 6).as("cosine"), col("rnk"))
-        .orderBy("query_id", "rnk")
-    },
+    (s, dir) =>
+      bruteTopK(corpus(s, dir), col("vec_id") < 8, k = 5)
+        .orderBy("query_id", "rnk"),
     Some("""WITH q AS (
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qemb
       FROM embeddings WHERE vec_id < 8),
@@ -175,15 +196,10 @@ object Similarity {
   val e05EmbeddingNearDup = Q(
     "e05_embedding_neardup",
     (s, dir) => {
-      graft.functions.GraftFunctions.register(s)
       val c = Tables.embeddings(s, dir)
         .filter(col("vec_id") < 300)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      val a = c.select(col("vec_id").as("vec_a"), col("emb").as("ea"))
-      val b = c.select(col("vec_id").as("vec_b"), col("emb").as("eb"))
-      a.join(b, col("vec_a") < col("vec_b"))
-        .withColumn("cos", graft.functions.GraftFunctions.cosine(col("ea"), col("eb")))
-        .filter(col("cos") >= 0.4)
+      exactNearDupPairs(c)
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
         .orderBy("vec_a", "vec_b")
     },

@@ -300,6 +300,34 @@ object TextOps {
   final case class AbsoluteDf(maxDf: Long) extends StopDfCap
   final case class FractionalDf(denom: Int) extends StopDfCap
 
+  /** d16's Bloom build: tree-aggregate a `BloomFilterAggregate` over
+    * `xxhash64(keyCol)` on the executors (≈1 MB binary, the only driver
+    * round-trip — the same contract as a broadcast). Exposed with
+    * [[bloomProbe]] so callers measuring the filter ([[graft.BloomProbe]])
+    * exercise the SAME build/probe machinery the timed d16 path runs,
+    * not a lookalike with different hash insertion. */
+  def bloomBuild(df: org.apache.spark.sql.DataFrame, keyCol: Column,
+      items: Long = 1L << 20, bits: Long = 1L << 23): Array[Byte] = {
+    import org.apache.spark.sql.graftbridge.GraftPlanBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    df.select(GraftPlanBridge.column(new BloomFilterAggregate(
+        GraftPlanBridge.expression(xxhash64(keyCol)),
+        Literal(items), Literal(bits))
+      .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** The matching codegen'd probe: `BloomFilterMightContain` over
+    * `xxhash64(keyCol)` against [[bloomBuild]]'s bytes. */
+  def bloomProbe(bytes: Array[Byte], keyCol: Column): Column = {
+    import org.apache.spark.sql.graftbridge.GraftPlanBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    GraftPlanBridge.column(new BloomFilterMightContain(
+      Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
+      GraftPlanBridge.expression(xxhash64(keyCol))))
+  }
+
   /** The d10 pipeline body over an arbitrary `(doc_id, text)` frame —
     * shared with [[graft.ScaleProbe]] so the scaling probe times exactly
     * the registered plan. Returns (holdout_doc, train_doc, n_shared,
@@ -350,21 +378,7 @@ object TextOps {
     // and probe machinery.
     val t =
       if (!bloomPrefilter) t0
-      else {
-        import org.apache.spark.sql.graftbridge.GraftPlanBridge
-        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-        val bfBytes = h
-          .select(GraftPlanBridge.column(new BloomFilterAggregate(
-              GraftPlanBridge.expression(xxhash64(col("sh"))),
-              Literal(1L << 20), Literal(1L << 23))
-            .toAggregateExpression()).as("bf"))
-          .head().getAs[Array[Byte]](0)
-        val mightContain = GraftPlanBridge.column(new BloomFilterMightContain(
-          Literal.create(bfBytes, org.apache.spark.sql.types.BinaryType),
-          GraftPlanBridge.expression(xxhash64(col("sh")))))
-        t0.filter(mightContain)
-      }
+      else t0.filter(bloomProbe(bloomBuild(h, col("sh")), col("sh")))
     h.join(t, "sh")
       .groupBy("holdout_doc", "train_doc")
       .agg(count(lit(1)).as("n_shared"), first("hn").as("hn"))

@@ -50,9 +50,13 @@ class TextOpsSuite extends AnyFunSuite {
     // Capped streams must be strictly smaller than d10's, and the per-
     // shingle fan-out bound must hold: every surviving shingle's train df
     // is ≤ nTrain/20 by construction.
-    val maxSurvivingDf = dfs.filter(col("df") * 20 <= nTrain)
-      .agg(max("df")).head().getLong(0)
-    assert(maxSurvivingDf * 20 <= nTrain)
+    // getAs boxes to null on an empty survivor set — assert that case
+    // explicitly rather than NPE-ing in getLong.
+    val maxSurvivingDf = Option(dfs.filter(col("df") * 20 <= nTrain)
+      .agg(max("df")).head().getAs[java.lang.Long](0))
+    assert(maxSurvivingDf.isDefined,
+      "cutoff stopped EVERY shingle — cap degenerated on this fixture")
+    assert(maxSurvivingDf.get * 20 <= nTrain)
     // And the registered query still returns rows (the cap must not
     // degenerate to an empty result on the fixture).
     val n = TextOps.d17ContaminationCapped.run(spark, dir).count()

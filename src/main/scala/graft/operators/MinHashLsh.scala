@@ -148,6 +148,14 @@ object MinHashLsh {
         array((0 until p.nPerms).map(i => col(s"_sig$i")): _*).as("sig"))
   }
 
+  /** `(id, band_idx, band_hash)` LSH bucket keys for a signature frame —
+    * the join key surface of both the self-join ([[nearDupPairs]]) and the
+    * batch-vs-corpus probe ([[nearDupAgainst]]). */
+  def bandFrame(sigs: DataFrame, p: Params): DataFrame =
+    sigs
+      .select(col("id"), posexplode(bandHashes(col("sig"), p.bands, p.rowsPerBand)))
+      .toDF("id", "band_idx", "band_hash")
+
   /** Verified near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
     * Candidates come only from shared LSH band buckets. The shingle frame is
     * persisted: it feeds signature aggregation and both sides of the exact-
@@ -160,9 +168,7 @@ object MinHashLsh {
       .select(col(idCol).as("id"), shingles(col(textCol), p.shingleSize).as("shingles"))
       .persist()
     val sigs = signaturesFromShingles(sh, p)
-    val bands = sigs
-      .select(col("id"), posexplode(bandHashes(col("sig"), p.bands, p.rowsPerBand)))
-      .toDF("id", "band_idx", "band_hash")
+    val bands = bandFrame(sigs, p)
     val candidates = bands.as("x")
       .join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
@@ -183,5 +189,47 @@ object MinHashLsh {
       .withColumn("jaccard", when(union > 0, inter / union).otherwise(lit(0.0)))
       .filter(col("jaccard") >= p.jaccardThreshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Incremental-ingest screening: verified near-dup pairs between a NEW
+    * BATCH and an EXISTING CORPUS (batch_id, corpus_id, jaccard ≥
+    * threshold) — the shape every production dedup actually runs (new
+    * crawl slice vs historical store), where the corpus must never
+    * self-join.
+    *
+    * Candidates are batch band keys ⋈ corpus band keys only: cost is
+    * O(|batch| · bands + matches), independent of |corpus|² — and in a
+    * deployment the corpus side of the join is a PRECOMPUTED signature
+    * store (write [[signaturesFromShingles]] → [[bandFrame]] once,
+    * bucketed by (band_idx, band_hash); each ingest then probes it with
+    * the batch's keys, broadcast when the batch is small). Here both
+    * sides compute inline because the fixture has no persisted store;
+    * the plan shape is identical.
+    *
+    * The exact-Jaccard verify keeps the output hash-family-independent —
+    * same contract as [[nearDupPairs]], so the SQL oracle is brute-force
+    * cross-split Jaccard. */
+  def nearDupAgainst(batch: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, p: Params = Params()): DataFrame = {
+    def shingleFrame(d: DataFrame) = d
+      .select(col(idCol).as("id"), shingles(col(textCol), p.shingleSize).as("shingles"))
+      .persist()
+    val shB = shingleFrame(batch)
+    val shC = shingleFrame(corpus)
+    val candidates = bandFrame(signaturesFromShingles(shB, p), p).as("x")
+      .join(bandFrame(signaturesFromShingles(shC, p), p).as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash"))
+      .select(col("x.id").as("batch_id"), col("y.id").as("corpus_id"))
+      .distinct()
+    val inter = col("_inter").cast("double")
+    val union = size(col("sh_b")) + size(col("sh_c")) - col("_inter")
+    candidates
+      .join(shB.select(col("id").as("batch_id"), col("shingles").as("sh_b")), "batch_id")
+      .join(shC.select(col("id").as("corpus_id"), col("shingles").as("sh_c")), "corpus_id")
+      .withColumn("_inter", size(array_intersect(col("sh_b"), col("sh_c"))))
+      .withColumn("jaccard", when(union > 0, inter / union).otherwise(lit(0.0)))
+      .filter(col("jaccard") >= p.jaccardThreshold)
+      .select("batch_id", "corpus_id", "jaccard")
   }
 }

@@ -189,7 +189,45 @@ object NearDup {
     WHERE d.doc_id NOT IN (SELECT id FROM drops)
     ORDER BY d.doc_id"""))
 
+  /** Incremental-ingest near-dup screening — the production dedup shape:
+    * a NEW BATCH (doc_id % 7 = 0, the fixture's stand-in for a fresh
+    * crawl slice) screened against the EXISTING CORPUS (everything else)
+    * via [[MinHashLsh.nearDupAgainst]]. No corpus self-join exists
+    * anywhere in the plan; candidates are batch band keys probing corpus
+    * band keys (in production a precomputed bucketed signature store —
+    * see the operator doc), then exact-Jaccard verified, so the oracle
+    * is brute-force cross-split Jaccard exactly like n02's. On the
+    * fixture, planted near-dups sit at j ≥ 0.9 where the 16×4 banding's
+    * recall is 1-(1-0.9⁴)¹⁶ ≈ 1-10⁻⁸ — hash-exact, not rows-only. */
+  val n07IncrementalNearDup = Q(
+    "n07_incremental_neardup",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      MinHashLsh.nearDupAgainst(
+        docs.filter(col("doc_id") % 7 === 0),
+        docs.filter(col("doc_id") % 7 =!= 0),
+        "doc_id", "text", P)
+        .select(
+          col("batch_id").as("batch_doc"), col("corpus_id").as("corpus_doc"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("batch_doc", "corpus_doc")
+    },
+    Some("""WITH g AS (
+      SELECT doc_id, list_distinct(list_transform(
+        list_zip(tokens[1:length(tokens)-1], tokens[2:]),
+        s -> s[1] || chr(32) || s[2])) AS grams
+      FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tokens FROM documents))
+    SELECT a.doc_id AS batch_doc, b.doc_id AS corpus_doc,
+      round(CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))), 6) AS jaccard
+    FROM g a, g b
+    WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+      AND (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))) > 0
+      AND CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))) >= 0.5
+    ORDER BY batch_doc, corpus_doc"""))
+
   val all: Seq[Q] = Seq(
     n01MinhashSignatures, n02LshNearDups, n03NgramJaccardSample, n04Simhash,
-    n05NearDupClusters, n06DedupSurvivors)
+    n05NearDupClusters, n06DedupSurvivors, n07IncrementalNearDup)
 }

@@ -26,6 +26,32 @@ class MinHashLshSuite extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("nearDupAgainst equals the symmetric pairs restricted to the split") {
+    val fixture = graft.queries.Tables
+      .documents(spark, graft.SparkTestSession.sfDir)
+    val batch = fixture.filter(col("doc_id") % 7 === 0)
+    val corpus = fixture.filter(col("doc_id") % 7 =!= 0)
+    val cross = MinHashLsh.nearDupAgainst(batch, corpus, "doc_id", "text")
+    // The incremental probe must return exactly the n02 self-join's pairs
+    // with one side in the batch and one in the corpus, re-oriented
+    // batch-first (the symmetric form is the oracle-checked ground truth).
+    val symmetric: Set[(Long, Long)] = MinHashLsh
+      .nearDupPairs(fixture, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = symmetric.collect {
+      case (a, b) if a % 7 == 0 && b % 7 != 0 => (a, b)
+      case (a, b) if b % 7 == 0 && a % 7 != 0 => (b, a)
+    }
+    val got = cross.select("batch_id", "corpus_id").as[(Long, Long)]
+      .collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture has no cross-split near-dups to screen")
+    // Plan shape: band-bucket joins only — never a corpus self-product.
+    val plan = cross.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"pairwise plan:\n$plan")
+  }
+
   test("signatures are deterministic across runs") {
     val p = MinHashLsh.Params()
     val s1 = MinHashLsh.signatures(docs, "doc_id", "text", p)

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.MinHashLsh
+
+/** Incremental-ingest cost probe for n07's production contract: when the
+  * corpus's shingle/band frames are a PRECOMPUTED signature store, the
+  * marginal cost of screening a new batch is the batch's own hash pass
+  * plus a re-read of the store — the corpus is never re-tokenized or
+  * re-hashed. This probe measures that contract against the inline form
+  * (both sides hashed per ingest, what n07 runs at fixture scale where no
+  * store exists).
+  *
+  * The corpus is the fixture's non-batch documents token-salted to
+  * `factor`× ([[ScaleProbe.amplifyDocs]] — fresh ids AND disjoint
+  * shingles, so N× corpus carries N× independent band structure); the
+  * batch side (doc_id % 7 = 0) stays FIXED — the production shape: the
+  * store grows, each crawl slice does not. The store variant caches and
+  * materializes the corpus frames OUTSIDE the timed region (standing in
+  * for a bucketed parquet store; either way the per-ingest work excludes
+  * the store build). Timings min-of-3.
+  *
+  * Usage: `runMain graft.IngestProbe [factors…]` (default 1 10 30).
+  * Prints one CSV line per factor:
+  * `factor,corpus_docs,inline_s,store_s,pairs`.
+  */
+object IngestProbe {
+
+  private def minOf3(f: => Unit): Double = {
+    def once: Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    (1 to 3).map(_ => once).min
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factors = if (args.isEmpty) Seq(1, 10, 30) else args.map(_.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SessionFactory
+      .configure(SparkSession.builder().master(s"local[$cpus]"), "graft-ingest-probe")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def sink(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val docs = graft.queries.Tables.documents(spark, sfDir)
+    val batch = docs.filter(col("doc_id") % 7 === 0).persist()
+    batch.count()
+    val corpusBase = docs.filter(col("doc_id") % 7 =!= 0)
+    val p = MinHashLsh.Params()
+
+    // Warm codegen once.
+    sink(MinHashLsh.nearDupAgainst(batch, corpusBase, "doc_id", "text", p))
+    spark.catalog.clearCache()
+    batch.persist().count()
+
+    println("factor,corpus_docs,inline_s,store_s,pairs")
+    factors.foreach { f =>
+      // Original docs ride along unsalted (replica 0) so the batch's
+      // planted near-dups survive at every factor; the salted replicas
+      // are pure haystack — corpus growth with a constant answer, the
+      // production shape. (Salting ALL replicas would disjoint the
+      // corpus from the batch entirely: pairs = 0, an empty screen.)
+      val corpus0 = corpusBase.select(col("doc_id"), col("text"))
+      val corpus = if (f == 1) corpus0
+        else corpus0.unionAll(ScaleProbe.amplifyDocs(corpusBase, f - 1))
+      val nCorpus = corpus.count()
+
+      val inlineS = minOf3 {
+        sink(MinHashLsh.nearDupAgainst(batch, corpus, "doc_id", "text", p))
+        // Release the shingle cache nearDupAgainst creates, keep the batch.
+        spark.catalog.clearCache()
+        batch.persist().count()
+      }
+
+      // Store build (untimed): the one-time signature-store job.
+      val shC = corpus
+        .select(col("doc_id").as("id"),
+          MinHashLsh.shingles(col("text"), p.shingleSize).as("shingles"))
+        .persist()
+      val bandsC = MinHashLsh
+        .bandFrame(MinHashLsh.signaturesFromShingles(shC, p), p).persist()
+      shC.count(); bandsC.count()
+
+      val storeS = minOf3 {
+        sink(MinHashLsh.nearDupAgainstStore(batch, shC, bandsC, "doc_id", "text", p))
+      }
+      val pairs = MinHashLsh
+        .nearDupAgainstStore(batch, shC, bandsC, "doc_id", "text", p).count()
+      spark.catalog.clearCache()
+      batch.persist().count()
+      println(f"$f,$nCorpus,$inlineS%.2f,$storeS%.2f,$pairs")
+    }
+    spark.stop()
+  }
+}

@@ -52,7 +52,7 @@ object ScaleProbe {
     * `doc_id·factor + rep` scheme silently made the split depend only on
     * the replica — whole replicas landed on one side and the salted
     * cross-side join matched zero rows, timing an empty shuffle. */
-  private def amplifyDocs(df: DataFrame, factor: Int): DataFrame =
+  private[graft] def amplifyDocs(df: DataFrame, factor: Int): DataFrame =
     df.withColumn("_rep", explode(sequence(lit(1), lit(factor))))
       .select(
         (col("_rep").cast("long") * 1000000000L + col("doc_id")).as("doc_id"),

@@ -211,13 +211,28 @@ object MinHashLsh {
     * cross-split Jaccard. */
   def nearDupAgainst(batch: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, p: Params = Params()): DataFrame = {
-    def shingleFrame(d: DataFrame) = d
+    val shC = corpus
       .select(col(idCol).as("id"), shingles(col(textCol), p.shingleSize).as("shingles"))
       .persist()
-    val shB = shingleFrame(batch)
-    val shC = shingleFrame(corpus)
+    nearDupAgainstStore(batch, shC, bandFrame(signaturesFromShingles(shC, p), p),
+      idCol, textCol, p)
+  }
+
+  /** The ingest screen against a PRECOMPUTED signature store:
+    * `corpusShingles` is the store's `(id, shingles)` frame and
+    * `corpusBands` its `(id, band_idx, band_hash)` frame, as a store-build
+    * job writes them once ([[signaturesFromShingles]] → [[bandFrame]]).
+    * Only the batch side is tokenized and hashed here — the corpus is
+    * re-read, never re-hashed, which is the marginal-cost contract
+    * [[graft.IngestProbe]] measures. */
+  def nearDupAgainstStore(batch: DataFrame, corpusShingles: DataFrame,
+      corpusBands: DataFrame, idCol: String, textCol: String,
+      p: Params = Params()): DataFrame = {
+    val shB = batch
+      .select(col(idCol).as("id"), shingles(col(textCol), p.shingleSize).as("shingles"))
+      .persist()
     val candidates = bandFrame(signaturesFromShingles(shB, p), p).as("x")
-      .join(bandFrame(signaturesFromShingles(shC, p), p).as("y"),
+      .join(corpusBands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_hash") === col("y.band_hash"))
       .select(col("x.id").as("batch_id"), col("y.id").as("corpus_id"))
@@ -226,7 +241,8 @@ object MinHashLsh {
     val union = size(col("sh_b")) + size(col("sh_c")) - col("_inter")
     candidates
       .join(shB.select(col("id").as("batch_id"), col("shingles").as("sh_b")), "batch_id")
-      .join(shC.select(col("id").as("corpus_id"), col("shingles").as("sh_c")), "corpus_id")
+      .join(corpusShingles.select(col("id").as("corpus_id"), col("shingles").as("sh_c")),
+        "corpus_id")
       .withColumn("_inter", size(array_intersect(col("sh_b"), col("sh_c"))))
       .withColumn("jaccard", when(union > 0, inter / union).otherwise(lit(0.0)))
       .filter(col("jaccard") >= p.jaccardThreshold)

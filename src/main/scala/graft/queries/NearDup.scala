@@ -227,7 +227,102 @@ object NearDup {
         (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))) >= 0.5
     ORDER BY batch_doc, corpus_doc"""))
 
+  /** Incremental-ingest screening against a PERSISTED signature store —
+    * n07's semantics with the corpus side materialized the way a
+    * production deployment holds it: bucketed tables provisioned through
+    * the catalog layer ([[graft.catalog.CatalogAutomation]], the
+    * reference's R2 namespace-ensure), `corpus_bands` bucketed on the
+    * band key so every subsequent ingest probe joins WITHOUT shuffling
+    * the corpus side (only the O(|batch|) band keys move), and
+    * `corpus_shingles` bucketed on id for the verify join. The probe
+    * itself is [[MinHashLsh.nearDupAgainstStore]]: the corpus is READ,
+    * never re-tokenized or re-hashed — the near-flat marginal-ingest
+    * contract [[graft.IngestProbe]] measured (1.6× cost over a ×30
+    * corpus, 19× faster than inline at ×30).
+    *
+    * The registered query times build + probe (the build is the one-off
+    * a deployment amortizes; rebuilt here because the gate must be
+    * hermetic); the sbt suite pins that the probe reads the store
+    * (emptying the store tables empties the probe's answer — no hidden
+    * recompute path) and that no shuffle sits above the store scan.
+    * Output and oracle are identical to n07: same batch/corpus split,
+    * same screening semantics, brute-force cross-split Jaccard SQL. */
+  val n08StoreNearDup = Q(
+    "n08_neardup_store_probe",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      buildCorpusStore(s, docs.filter(col("doc_id") % 7 =!= 0))
+      MinHashLsh.nearDupAgainstStore(
+        docs.filter(col("doc_id") % 7 === 0),
+        s.table(s"$storeDb.corpus_shingles"),
+        s.table(s"$storeDb.corpus_bands"),
+        "doc_id", "text", P)
+        .select(
+          col("batch_id").as("batch_doc"), col("corpus_id").as("corpus_doc"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("batch_doc", "corpus_doc")
+    },
+    n07IncrementalNearDup.oracle)
+
+  private[queries] val storeDb = "graft_store"
+
+  /** Provision the signature store: `(id, shingles)` and
+    * `(id, band_idx, band_hash)` as external bucketed tables under the
+    * catalog database `graft_store`. External + drop-and-rebuild because
+    * the in-memory catalog forgets metadata between sessions while the
+    * warehouse files survive (the r01 lesson) — every run converges to
+    * the same state. The shingle frame is persisted for the build's two
+    * consumers (shingle table + signature aggregation) and released
+    * before returning.
+    *
+    * The store path is PER-PROCESS (pid suffix): the driver runs Verify,
+    * sbt test and Bench as separate JVMs that may overlap in time, and a
+    * shared path would let one process's drop-and-rebuild delete parquet
+    * files out from under another's in-flight probe scan (observed as
+    * FAILED_READ_FILE.FILE_NOT_EXIST). Within a process the path is
+    * stable, so repeated builds still converge; `refreshByPath` after
+    * each write drops the session's cached file listing from the
+    * previous build cycle (saveAsTable registers the new table but the
+    * shared FileStatusCache is keyed by path and would otherwise serve
+    * the pre-rebuild file list). */
+  private[queries] def buildCorpusStore(
+      s: org.apache.spark.sql.SparkSession,
+      corpus: org.apache.spark.sql.DataFrame): Unit = {
+    new graft.catalog.CatalogAutomation(s, graft.catalog.CatalogProfile.Builtin())
+      .ensureDatabase(storeDb)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_store_" +
+      ProcessHandle.current().pid()
+    def rmrf(dir: String): Unit = {
+      val p = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => java.nio.file.Files.delete(q))
+    }
+    s.sql(s"DROP TABLE IF EXISTS $storeDb.corpus_shingles")
+    s.sql(s"DROP TABLE IF EXISTS $storeDb.corpus_bands")
+    rmrf(s"$base/corpus_shingles")
+    rmrf(s"$base/corpus_bands")
+    val sh = corpus
+      .select(col("doc_id").as("id"),
+        MinHashLsh.shingles(col("text"), P.shingleSize).as("shingles"))
+      .persist()
+    try {
+      sh.write.mode("overwrite")
+        .option("path", s"$base/corpus_shingles")
+        .bucketBy(16, "id").sortBy("id")
+        .saveAsTable(s"$storeDb.corpus_shingles")
+      MinHashLsh.bandFrame(MinHashLsh.signaturesFromShingles(sh, P), P)
+        .write.mode("overwrite")
+        .option("path", s"$base/corpus_bands")
+        .bucketBy(16, "band_idx", "band_hash").sortBy("band_idx", "band_hash")
+        .saveAsTable(s"$storeDb.corpus_bands")
+    } finally sh.unpersist()
+    s.catalog.refreshByPath(s"$base/corpus_shingles")
+    s.catalog.refreshByPath(s"$base/corpus_bands")
+  }
+
   val all: Seq[Q] = Seq(
     n01MinhashSignatures, n02LshNearDups, n03NgramJaccardSample, n04Simhash,
-    n05NearDupClusters, n06DedupSurvivors, n07IncrementalNearDup)
+    n05NearDupClusters, n06DedupSurvivors, n07IncrementalNearDup,
+    n08StoreNearDup)
 }

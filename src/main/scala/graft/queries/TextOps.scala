@@ -277,11 +277,17 @@ object TextOps {
     * Cost note: join fan-out is Σ_sh df_holdout(sh)·df_train(sh). Real
     * corpora have low per-shingle document frequency so this is
     * near-linear; the fixture's 31-word vocabulary makes every bigram
-    * common (~38M joined rows at sf0.1, ~10 s) — the worst case by
-    * construction. The production knob is a stop-shingle df cutoff
-    * (dropping shingles present in >x% of training docs), which changes
-    * the containment definition and is therefore not applied under the
-    * exact oracle here. */
+    * common — the worst case by construction (round-7 ScaleProbe
+    * measured the unbounded form 48× wall at ×30 data). The REGISTERED
+    * d10 therefore bounds the HOLDOUT side to an id range pushed to the
+    * parquet scan (the e05 pattern): the audit semantics are exact over
+    * the sampled holdout docs, the train side stays full-corpus, and the
+    * fan-out is Σ_sh df_sample(sh)·df_train(sh) — linear in the corpus
+    * for a fixed sample. The production knobs over the FULL holdout set
+    * are d13 (LSH candidates), d16 (Bloom prune, bit-identical) and d17
+    * (stop-shingle cap, 99.8% shuffle reduction measured); a full
+    * unbounded audit remains available as `containmentPairs(docs)` for
+    * callers who accept the quadratic-fan-out cost knowingly. */
   /** Stop-shingle document-frequency cap for [[containmentPairs]]: drop
     * shingles whose training-side df exceeds the cutoff BEFORE the
     * inverted-index join, and recompute each holdout doc's gram count over
@@ -389,7 +395,14 @@ object TextOps {
   val d10Contamination = Q(
     "d10_contamination",
     (s, dir) => {
-      containmentPairs(Tables.documents(s, dir))
+      // Two scans of the same table: the train side needs every row (the
+      // %10 split is not a pushable predicate), but the holdout sample's
+      // doc_id < 200 bound IS pushed to its scan as a conjunct — the
+      // sampled audit reads O(1) holdout row groups at any corpus size.
+      val train = Tables.documents(s, dir).filter(col("doc_id") % 10 < 8)
+      val holdoutSample = Tables.documents(s, dir)
+        .filter(col("doc_id") < 200 && col("doc_id") % 10 >= 8)
+      containmentPairs(train.unionByName(holdoutSample))
         .select(col("holdout_doc"), col("train_doc"), col("n_shared"),
           round(col("containment"), 6).as("containment"))
         .orderBy("holdout_doc", "train_doc")
@@ -399,7 +412,8 @@ object TextOps {
         list_distinct(list_transform(
           list_zip(tokens[1:length(tokens)-1], tokens[2:]),
           s -> s[1] || chr(32) || s[2])) AS grams
-      FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tokens FROM documents)),
+      FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tokens FROM documents)
+      WHERE doc_id % 10 < 8 OR doc_id < 200),
     g AS (SELECT doc_id, split, length(grams) AS n_grams, unnest(grams) AS sh FROM d),
     p AS (
       SELECT h.doc_id AS holdout_doc, t.doc_id AS train_doc,
@@ -709,7 +723,11 @@ object TextOps {
     * inverted-index join. A shingle absent from the holdout set can't
     * contribute a joined row, and Bloom false positives merely survive to
     * the exact join where they match nothing — so the output is
-    * bit-identical to d10 (same oracle SQL gates both).
+    * bit-identical to the unbounded exhaustive audit, and the oracle is
+    * the full-corpus brute-force SQL (d10's registration samples its
+    * holdout side for scale hygiene; d16 keeps the FULL holdout set —
+    * the Bloom prune is exactly what makes that affordable, measured
+    * 1.5× faster and diverging at ×120 in BloomProbe).
     *
     * This is THE scale pattern for asymmetric containment checks: at
     * 100 TB the train side is the corpus and the holdout side is a fixed
@@ -734,7 +752,23 @@ object TextOps {
           round(col("containment"), 6).as("containment"))
         .orderBy("holdout_doc", "train_doc")
     },
-    d10Contamination.oracle)
+    Some("""WITH d AS (
+      SELECT doc_id, CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'holdout' END AS split,
+        list_distinct(list_transform(
+          list_zip(tokens[1:length(tokens)-1], tokens[2:]),
+          s -> s[1] || chr(32) || s[2])) AS grams
+      FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tokens FROM documents)),
+    g AS (SELECT doc_id, split, length(grams) AS n_grams, unnest(grams) AS sh FROM d),
+    p AS (
+      SELECT h.doc_id AS holdout_doc, t.doc_id AS train_doc,
+        count(*) AS n_shared, any_value(h.n_grams) AS hn
+      FROM (SELECT * FROM g WHERE split = 'holdout') h
+      JOIN (SELECT * FROM g WHERE split = 'train') t USING (sh)
+      GROUP BY 1, 2)
+    SELECT holdout_doc, train_doc, n_shared,
+      round(CAST(n_shared AS DOUBLE) / hn, 6) AS containment
+    FROM p WHERE CAST(n_shared AS DOUBLE) / hn >= 0.5
+    ORDER BY holdout_doc, train_doc"""))
 
   /** Contamination with the production stop-shingle cap REGISTERED: drop
     * shingles present in more than 1/20th (5%) of training documents

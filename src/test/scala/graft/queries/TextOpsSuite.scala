@@ -9,10 +9,16 @@ class TextOpsSuite extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  test("d16 bloom prefilter: output equals d10 exactly and the filter actually prunes") {
+  test("d16 bloom prefilter: output equals the unbounded exact audit and the filter prunes") {
     val dir = SparkTestSession.sfDir
     val viaBloom = TextOps.d16BloomContamination.run(spark, dir).collect().toSeq
-    val exact = TextOps.d10Contamination.run(spark, dir).collect().toSeq
+    // d10's registration samples its holdout side (scale hygiene), so the
+    // Bloom path's bit-identity is pinned against the unbounded pipeline
+    // body directly — same semantics d10 had before the bound.
+    val exact = TextOps.containmentPairs(Tables.documents(spark, dir))
+      .select(col("holdout_doc"), col("train_doc"), col("n_shared"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy("holdout_doc", "train_doc").collect().toSeq
     assert(viaBloom === exact)
     // The prefilter must drop train shingles absent from the holdout set —
     // rebuild both sides and count. (On the fixture's tiny vocabulary most
@@ -29,6 +35,16 @@ class TextOpsSuite extends AnyFunSuite {
     val kept = train.filter(
       udf((x: String) => bloom.mightContainString(x)).apply(col("sh"))).count()
     assert(kept < train.count())
+  }
+
+  test("d10 bounded audit: the holdout id bound is pushed to a parquet scan") {
+    val plan = TextOps.d10Contamination.run(spark, SparkTestSession.sfDir)
+      .queryExecution.executedPlan.toString
+    // Loose regex (exact PushedFilters rendering is engine-version-specific):
+    // the sampled holdout side must read O(1) row groups at any corpus size.
+    assert("""PushedFilters: \[[^\]]*LessThan\(doc_id,200\)""".r
+      .findFirstIn(plan).isDefined,
+      s"expected pushed doc_id<200 bound on the holdout scan in:\n$plan")
   }
 
   test("d17 stop-shingle cap engages: stop set non-empty, streams shrink, fan-out bounded") {

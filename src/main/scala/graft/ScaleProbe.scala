@@ -220,6 +220,21 @@ object ScaleProbe {
           col("emb").as("cemb"), col("norm").as("cnorm"))
       graft.operators.IvfAnn.search(d, d.filter(queryPick), cents, nProbe = 4, k = 5)
     }
+    // The cells ∝ N regime (e10's registered parameterization): cells =
+    // ⌈√N⌉ with two-level routing. Flat assignment at cells ∝ √N costs
+    // N^1.5 evaluations — this shape exists to measure that the coarse
+    // grouping keeps the curve sub-linear per element where the fixed-64
+    // shape above only measures the candidate-set constant.
+    def knnIvf2l(d0: DataFrame): DataFrame = {
+      val d = withNorm(d0)
+      val nCells = math.max(16, math.ceil(math.sqrt(d.count().toDouble)).toInt)
+      val w0 = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+      val cents = d.orderBy("vec_id").limit(nCells)
+        .select((row_number().over(w0) - 1).as("cell_id"),
+          col("emb").as("cemb"), col("norm").as("cnorm"))
+      graft.operators.IvfAnn.searchTwoLevel(d, d.filter(queryPick), cents,
+        coarseProbe = 4, nProbe = 4, k = 5)
+    }
 
     val docAmp = amplifyDocs _
     val rowAmp = amplify _
@@ -242,7 +257,8 @@ object ScaleProbe {
       ("signlsh_neardup", signlshNeardup _, emb, amplifyVecs _),
       ("signlsh_hi", signlshNeardupHi _, emb, amplifyVecs _),
       ("knn_brute", knnBrute _, emb, amplifyVecs _),
-      ("knn_ivf", knnIvf _, emb, amplifyVecs _))
+      ("knn_ivf", knnIvf _, emb, amplifyVecs _),
+      ("knn_ivf_2l", knnIvf2l _, emb, amplifyVecs _))
     val wanted = args.drop(2).toSet
     val unknown = wanted -- allShapes.map(_._1).toSet
     // Reject rather than skip: a silently-dropped typo reads as "that
@@ -256,11 +272,15 @@ object ScaleProbe {
     shapes.foreach { case (_, f, base, _) => sink(f(base)); spark.catalog.clearCache() }
     val totals = new ShuffleTotals
     spark.sparkContext.addSparkListener(totals)
-    // Stage-completion events land on the async listener bus; a short
-    // settle before each snapshot keeps the attribution per-measurement
-    // (MB-scale reporting, not an audit — a straggler event would shift
-    // a few KB between adjacent rows at worst).
-    def settled(): (Long, Long) = { Thread.sleep(300); totals.snapshot() }
+    // Stage-completion events land on the async listener bus; draining it
+    // before each snapshot makes the per-measurement attribution exact by
+    // construction (a fixed sleep bounded stragglers only on a quiet host —
+    // round-7 ADVICE: under load a late task-end could credit bytes to the
+    // next row).
+    def settled(): (Long, Long) = {
+      org.apache.spark.sql.graftbridge.GraftPlanBridge.drainListenerBus(spark)
+      totals.snapshot()
+    }
     def mb(bytes: Long): String = f"${bytes / 1048576.0}%.1f"
     println(f"shape,base_s,x${factor}_s,ratio,base_shuf_mb,x${factor}_shuf_mb,base_spill_mb,x${factor}_spill_mb")
     shapes.foreach { case (name, f, base, amp) =>

@@ -66,9 +66,12 @@ object IvfAnn {
     * caller over re-keyed data (e.g. ScaleProbe's replicated ids) can't
     * satisfy; this overload is the single definition both run. */
   def search(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-      nProbe: Int, k: Int): DataFrame = {
-    val assigned = assignCells(corpus, centroids)
-    val probes = probeCells(queries, centroids, nProbe)
+      nProbe: Int, k: Int): DataFrame =
+    rank(assignCells(corpus, centroids), probeCells(queries, centroids, nProbe), k)
+
+  /** Candidate join + per-query exact-cosine top-k — the shared tail of
+    * the flat and two-level routes. */
+  private def rank(assigned: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val pairs = assigned.join(probes,
         assigned("cell_id") === probes("cell_id") &&
           col("vec_id") =!= col("query_id"))
@@ -79,5 +82,92 @@ object IvfAnn {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(col("cos"), 6).as("cosine"), col("rnk"))
+  }
+
+  /** Two-level (coarse-quantized) IVF search — the cells ∝ N regime.
+    *
+    * Flat [[search]] evaluates every vector against every centroid:
+    * N·cells distance terms, which turns super-linear the moment cells
+    * grows with the corpus (the right IVF discipline at scale is
+    * cells ≈ √N, keeping per-cell candidate lists √N-bounded). Here the
+    * centroid table is itself grouped driver-side into c = ⌈√cells⌉
+    * coarse groups (the centroid table is model-sized — the same
+    * boundedness argument as [[graft.operators.KMeans.assignTwoLevel]],
+    * which measured this trade sub-linear where flat assignment was the
+    * ×30 super-linear term): each vector scores the c coarse centers,
+    * keeps its `coarseProbe` best groups, and scores only those groups'
+    * fine centroids — N·(√cells + coarseProbe·√cells) evaluations.
+    *
+    * Routing is cosine throughout (coarse argmax, fine argmax), so corpus
+    * assignment and query probing agree on geometry; the returned
+    * neighbours are exact cosines on the candidate set, same contract as
+    * [[search]]. APPROXIMATE twice, by design: a vector (or query) whose
+    * best fine cell hides in an unprobed coarse group routes to its best
+    * probed one — the standard IVF recall trade, gated in sbt against the
+    * brute-force answer exactly like e06. Coarse groups are seeded from
+    * the c lowest cell_ids with a single argmax-cosine membership pass —
+    * sampled-centroid discipline at both levels; ties break to the lower
+    * group id. */
+  def searchTwoLevel(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      coarseProbe: Int, nProbe: Int, k: Int): DataFrame = {
+    require(coarseProbe > 0 && nProbe > 0 && k > 0,
+      "coarseProbe, nProbe and k must be positive")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // Driver-side coarse structure over the (model-sized) centroid table.
+    val cents: Seq[(Int, Array[Double], Double)] = centroids.collect()
+      .map { r =>
+        (r.getAs[Number](0).intValue, r.getSeq[Double](1).toArray,
+          r.getAs[Double](2))
+      }.toSeq.sortBy(_._1)
+    if (cents.isEmpty) {
+      return queries.limit(0)
+        .select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+          lit(0.0).as("cosine"), lit(0).as("rnk"))
+    }
+    val c = math.max(1, math.ceil(math.sqrt(cents.length.toDouble)).toInt)
+    val coarse = cents.take(c)
+    def cos(a: (Int, Array[Double], Double), b: (Int, Array[Double], Double)): Double = {
+      var s = 0.0; var i = 0
+      while (i < a._2.length) { s += a._2(i) * b._2(i); i += 1 }
+      s / (a._3 * b._3)
+    }
+    val coarseDf = broadcast(
+      coarse.zipWithIndex
+        .map { case (g, j) => (j, g._2.toSeq, g._3) }
+        .toDF("gid", "gemb", "gnorm"))
+    val fineDf = broadcast(
+      cents.map { cent =>
+        // Argmax cosine over coarse centers; ties to the lower group id.
+        val gid = coarse.indices.maxBy(j => (cos(cent, coarse(j)), -j))
+        (gid, cent._1, cent._2.toSeq, cent._3)
+      }.toDF("gid", "cell_id", "cemb", "cnorm"))
+
+    // Shared two-stage route: coarseProbe best groups, then the fineK best
+    // cells among those groups' centroids. The probe list is skinny
+    // (negated-cos, gid) structs; the vector rides once via first().
+    def topCells(vs: DataFrame, fineK: Int): DataFrame = {
+      val probed = vs.crossJoin(coarseDf)
+        .withColumn("_gcos", dot(col("emb"), col("gemb")) / (col("norm") * col("gnorm")))
+        .groupBy("vec_id")
+        .agg(
+          slice(array_sort(collect_list(struct(-col("_gcos"), col("gid")))),
+            1, coarseProbe).as("_groups"),
+          first("emb").as("emb"), first("norm").as("norm"))
+        .select(col("vec_id"), col("emb"), col("norm"),
+          explode(col("_groups").getField("gid")).as("gid"))
+      val w = Window.partitionBy("vec_id").orderBy(col("_ccos").desc, col("cell_id"))
+      probed.join(fineDf, "gid")
+        .withColumn("_ccos", dot(col("emb"), col("cemb")) / (col("norm") * col("cnorm")))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= fineK)
+        .select(col("vec_id"), col("emb"), col("norm"), col("cell_id"))
+    }
+
+    val assigned = topCells(corpus, 1)
+    val probes = topCells(queries, nProbe)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+        col("norm").as("qnorm"), col("cell_id"))
+    rank(assigned, probes, k)
   }
 }

@@ -43,9 +43,12 @@ import org.apache.spark.sql.functions._
   * SLOWER than the exact all-pairs baseline; the production near-dup
   * regime (τ ≥ 0.8, affording bands=32/rowsPerBand=16 → 2¹⁶
   * buckets/band) measured 3.2× at ×10 and 15× at ×30 — sub-linear
-  * (`signlsh_hi` in ScaleProbe, BASELINE.md). Callers at scale MUST
-  * size rowsPerBand to their corpus; the defaults are the oracle/audit
-  * configuration, not the 100 TB one.
+  * (`signlsh_hi` in ScaleProbe, BASELINE.md). Both regimes are
+  * oracle-gated registrations: e08 runs the fixture-τ defaults over a
+  * bounded id sample (collision term capped at sample²), e09 runs the
+  * production parameterization over the full corpus with planted
+  * ground-truth pairs ([[graft.queries.Similarity.plantedCorpus]]).
+  * Callers at scale size rowsPerBand to their corpus like e09 does.
   */
 object SignLshNearDup {
 

@@ -224,6 +224,33 @@ object Similarity {
     },
     None)
 
+  /** IVF top-5 in the cells ∝ N regime ([[graft.operators.IvfAnn.searchTwoLevel]]):
+    * cells = ⌈√N⌉ — the right IVF discipline at scale (per-cell candidate
+    * lists stay √N-bounded) — with the centroid table itself coarse-grouped
+    * so assignment costs N·O(∜N·coarseProbe) evaluations instead of the
+    * N·√N that makes flat assignment the super-linear term the moment
+    * cells grows with the corpus. e06 keeps the published fixed-16-cell
+    * contract; this registration is the 100 TB parameterization of the
+    * same operator. Approximate at both routing levels ⇒ rows-only; the
+    * sbt suite recall-gates it against e02's brute-force answer exactly
+    * like e06, and ScaleProbe's `knn_ivf_2l` shape measures the curve. */
+  val e10KnnIvfScaled = Q(
+    "e10_knn_ivf_scaled",
+    (s, dir) => {
+      val c = corpus(s, dir)
+      // One count job sizes the index — metadata-cheap on parquet, and at
+      // deployment scale the corpus cardinality is a catalog statistic.
+      val nCells = math.max(16, math.ceil(math.sqrt(c.count().toDouble)).toInt)
+      val centroids = c.filter(col("vec_id") < nCells)
+        .select(col("vec_id").cast("int").as("cell_id"),
+          col("emb").as("cemb"), col("norm").as("cnorm"))
+      graft.operators.IvfAnn
+        .searchTwoLevel(c, c.filter(col("vec_id") < 8), centroids,
+          coarseProbe = 4, nProbe = 4, k = 5)
+        .orderBy("query_id", "rnk")
+    },
+    None)
+
   /** Symmetric int8 quantization stats: per-vector scale (max-abs / 127)
     * and reconstruction error — the storage-compression pass an embedding
     * lake runs before ANN indexing. Pure per-row arithmetic (narrow map);
@@ -256,21 +283,25 @@ object Similarity {
         / length(embedding), 6) AS mean_abs_err
     FROM embeddings ORDER BY vec_id"""))
 
-  /** Embedding near-dup through the banded sign-LSH prune
-    * ([[graft.operators.SignLshNearDup]]) — the production registration the
-    * round-4 verdict asked for: candidates come from shared hyperplane-sign
-    * buckets (band-bucket equi-join, pair dedup), never an all-pairs
-    * operator (sbt plan assert: no CartesianProduct/BNLJ). The exact
-    * cosine verify makes the result hash-family-independent, and banding
-    * recall is 1.0 on the fixture with ~1e-6 per-pair slack at the τ=0.4
-    * margin (48 bands × 3 planes), so the oracle is the FULL-CORPUS
-    * all-pairs SQL (exhaustive is cheap at fixture scale; only the Spark
-    * side must avoid the quadratic plan) and the gate checks
-    * hash-equality with the brute-force answer. */
+  /** Embedding near-dup through the banded sign-LSH prune at the FIXTURE
+    * threshold (τ = 0.4) — the semantics-pinning twin of [[e09EmbeddingNearDupProduction]],
+    * BOUNDED to the vec_id < 300 sample exactly like e05 (the filter
+    * pushes to the parquet scan). The fixture τ forces 3-bit band keys
+    * (recall at the 0.4 margin needs 8 buckets/band), whose
+    * dissimilar-collision term bands·N²/2³ is quadratic-bound — round-7
+    * ScaleProbe measured the unbounded form at 256× wall at ×10 data,
+    * worse than exact all-pairs. The id bound keeps those semantics
+    * oracle-gated (candidates still come only from shared sign buckets;
+    * sbt plan assert: no CartesianProduct/BNLJ) while capping the
+    * registered plan's collision term at sample², never corpus². The
+    * production parameterization that scales sub-linearly is registered
+    * as e09; callers at scale size rowsPerBand ≈ log₂N per the operator
+    * doc ([[graft.operators.SignLshNearDup]]). */
   val e08EmbeddingNearDupPruned = Q(
     "e08_embedding_neardup_pruned",
     (s, dir) => {
       val c = Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 300)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       graft.operators.SignLshNearDup.pairs(c, "vec_id", "emb")
         .select(
@@ -282,9 +313,78 @@ object Similarity {
       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
     FROM embeddings a, embeddings b
-    WHERE a.vec_id < b.vec_id
+    WHERE a.vec_id < b.vec_id AND a.vec_id < 300 AND b.vec_id < 300
       AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                  CAST(b.embedding AS DOUBLE[])) >= 0.4
+    ORDER BY vec_a, vec_b"""))
+
+  /** Fixture corpus augmented with PLANTED near-duplicates for the
+    * production-regime gate (e09): each vec_id < 40 gains a twin at
+    * id + 1 000 000 whose components are scaled by the deterministic
+    * per-index pattern 1 + 0.02·((i mod 5) − 2) ∈ {0.96 … 1.04} — exact
+    * double arithmetic that both engines reproduce bit-identically
+    * (same literals, same IEEE multiply), yielding cosine ≈ 0.9995
+    * against the base vector. The fixture background tops out at
+    * cos 0.513 (measured at sf0.01), so at τ = 0.8 the qualifying set is
+    * EXACTLY the 40 planted pairs: ground truth is known, the margin on
+    * both sides of the threshold is huge, and 32×16 banding's per-pair
+    * miss probability at cos 0.9995 is (1−0.99²)³² ≈ 10⁻²⁶ — hash-exact
+    * territory, not a recall gamble. */
+  private[graft] def plantedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val planted = base.filter(col("vec_id") < 40)
+      .select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("emb"), (x, i) =>
+          x * (lit(1.0) + lit(0.02) * ((i % 5) - lit(2)))).as("emb"))
+    base.unionByName(planted)
+  }
+
+  /** Embedding near-dup in the PRODUCTION regime — the parameterization a
+    * 100 TB corpus actually runs ([[graft.operators.SignLshNearDup]] at
+    * τ = 0.8, bands = 32, rowsPerBand = 16): 2¹⁶ buckets per band collapse
+    * the dissimilar-collision term bands·N²/2^r that makes the fixture-τ
+    * banding (e08's 3-bit keys) quadratic-bound — ScaleProbe measured this
+    * regime at 3.2× wall at ×10 data and 15× at ×30 (sub-linear) where
+    * the 3-bit regime measured 256×. Candidates come only from shared
+    * 16-bit band buckets; no all-pairs operator exists in the plan.
+    *
+    * Correctness: the fixture corpus carries no background pair above
+    * cos 0.52, so [[plantedCorpus]]'s 40 planted twins (cos ≈ 0.9995) are
+    * the entire ≥ 0.8 answer — the oracle is exhaustive all-pairs SQL
+    * over the same planted corpus, and banding recall at that margin is
+    * 1 − 10⁻²⁶ per pair. The sbt suite asserts the band-key width (≥ 16
+    * bits) and the no-cartesian plan. */
+  /** e09's registered parameterization — exposed so the sbt suite pins the
+    * production contract (band-key width ≥ 16 bits) against drift. */
+  private[graft] val e09Params =
+    graft.operators.SignLshNearDup.Params(bands = 32, rowsPerBand = 16, tau = 0.8)
+
+  val e09EmbeddingNearDupProduction = Q(
+    "e09_embedding_neardup_production",
+    (s, dir) => {
+      graft.operators.SignLshNearDup.pairs(plantedCorpus(s, dir), "vec_id", "emb",
+        e09Params)
+        .select(
+          col("id_a").as("vec_a"), col("id_b").as("vec_b"),
+          round(col("cos"), 6).as("cosine"))
+        .orderBy("vec_a", "vec_b")
+    },
+    // DuckDB lambda indices are 1-based (Spark's are 0-based): (i-1) aligns
+    // the perturbation pattern element-for-element.
+    Some("""WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    planted AS (
+      SELECT vec_id + 1000000 AS vec_id,
+        list_transform(emb, (x, i) -> x * (1.0 + 0.02 * (((i - 1) % 5) - 2))) AS emb
+      FROM base WHERE vec_id < 40),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+    FROM corpus a, corpus b
+    WHERE a.vec_id < b.vec_id
+      AND list_cosine_similarity(a.emb, b.emb) >= 0.8
     ORDER BY vec_a, vec_b"""))
 
   /** SemDeDup semantic deduplication ([[graft.operators.SemanticDedup]]):
@@ -359,7 +459,8 @@ object Similarity {
   val all: Seq[Q] = Seq(
     e01EmbeddingNorms, e02KnnBrute, e03KnnLsh, e04KnnFused,
     e05EmbeddingNearDup, e06KnnIvf, e07EmbeddingQuantize,
-    e08EmbeddingNearDupPruned, sd01SemanticDedup, sd02SemanticDedupIvf)
+    e08EmbeddingNearDupPruned, e09EmbeddingNearDupProduction,
+    e10KnnIvfScaled, sd01SemanticDedup, sd02SemanticDedupIvf)
 }
 
 /** Typed row for the fused-knn pipeline (top-level for Encoder derivation). */

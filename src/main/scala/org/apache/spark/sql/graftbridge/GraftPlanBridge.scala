@@ -27,4 +27,12 @@ object GraftPlanBridge {
 
   /** The Catalyst expression behind a Column. */
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Block until every queued listener-bus event has been delivered
+    * (`listenerBus` is `private[spark]`). For measurement harnesses that
+    * attribute task metrics to the job that just ran: a fixed sleep bounds
+    * straggler events only by luck on a loaded host; draining the bus
+    * bounds them by construction. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

@@ -11,14 +11,15 @@ class SignLshNearDupSuite extends AnyFunSuite {
   private val dir = SparkTestSession.sfDir
   import spark.implicits._
 
-  test("e08 pruned pairs equal the exact all-pairs answer (recall 1.0 on fixture)") {
+  test("e08 pruned pairs equal the exact all-pairs answer on its bounded sample") {
     val pruned = Similarity.e08EmbeddingNearDupPruned.run(spark, dir)
       .as[(Long, Long, Double)].collect().toSet
-    // Exact all-pairs ground truth computed inline over the FULL corpus —
-    // e05 is now bounded to an id sample (no registered O(n²) plan), so
-    // the full-corpus brute force lives only here, at fixture scale.
+    // Exact ground truth over the same vec_id < 300 sample (e08's bound —
+    // the fixture-τ banding is oracle-gated on the sample; the production
+    // regime runs full-corpus as e09).
     graft.functions.GraftFunctions.register(spark)
     val c = graft.queries.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 300)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val exact = c.select(col("vec_id").as("vec_a"), col("emb").as("ea"))
       .join(c.select(col("vec_id").as("vec_b"), col("emb").as("eb")),
@@ -32,20 +33,54 @@ class SignLshNearDupSuite extends AnyFunSuite {
     assert(pruned === exact)
   }
 
-  test("e05 bounded sample: id filter reaches the parquet scan") {
-    val plan = Similarity.e05EmbeddingNearDup.run(spark, dir)
-      .queryExecution.executedPlan.toString
-    // Both join inputs scan with the pushed vec_id bound — the registered
-    // pairwise work is sample², never corpus².
-    assert(plan.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,300)]"),
-      s"expected pushed vec_id<300 filter in:\n$plan")
+  test("e05 and e08 bounded samples: id filter reaches the parquet scan") {
+    // Loose match (ADVICE round 7): exact PushedFilters rendering is
+    // engine-version-specific; assert the bound appears within a
+    // PushedFilters clause rather than pinning the full bracketed list.
+    val pushedBound = """PushedFilters: \[[^\]]*LessThan\(vec_id,300\)""".r
+    Seq(Similarity.e05EmbeddingNearDup, Similarity.e08EmbeddingNearDupPruned)
+      .foreach { q =>
+        val plan = q.run(spark, dir).queryExecution.executedPlan.toString
+        assert(pushedBound.findFirstIn(plan).isDefined,
+          s"expected pushed vec_id<300 filter in ${q.name}:\n$plan")
+      }
   }
 
-  test("e08 plan has no all-pairs operator (no CartesianProduct, no BNLJ)") {
-    val plan = Similarity.e08EmbeddingNearDupPruned.run(spark, dir)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct"), plan)
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  test("e08/e09 plans have no all-pairs operator (no CartesianProduct, no BNLJ)") {
+    Seq(Similarity.e08EmbeddingNearDupPruned, Similarity.e09EmbeddingNearDupProduction)
+      .foreach { q =>
+        val plan = q.run(spark, dir).queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"), s"${q.name}: $plan")
+        assert(!plan.contains("BroadcastNestedLoopJoin"), s"${q.name}: $plan")
+      }
+  }
+
+  test("e09 runs the production band contract (key width >= 16 bits) and " +
+    "recovers exactly the planted + background >= 0.8 pairs") {
+    // The contract the round-7 probe measured sub-linear: 2^16 buckets per
+    // band. A parameterization drift back to fixture-width keys would
+    // silently re-register the anti-scaling shape.
+    assert(Similarity.e09Params.rowsPerBand >= 16,
+      s"e09 band-key width ${Similarity.e09Params.rowsPerBand} < 16 bits")
+    assert(Similarity.e09Params.tau >= 0.8)
+
+    val got = Similarity.e09EmbeddingNearDupProduction.run(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    // Exact all-pairs ground truth over the same planted corpus, fixture
+    // scale only (the brute force lives in the suite, not the registry).
+    graft.functions.GraftFunctions.register(spark)
+    val c = Similarity.plantedCorpus(spark, dir)
+    val exact = c.select(col("vec_id").as("vec_a"), col("emb").as("ea"))
+      .join(c.select(col("vec_id").as("vec_b"), col("emb").as("eb")),
+        col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        graft.functions.GraftFunctions.cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= Similarity.e09Params.tau)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
+      .as[(Long, Long, Double)].collect().toSet
+    // Every planted twin qualifies and is found; nothing else collides.
+    assert(exact.size >= 40, s"fixture degenerate: ${exact.size} true pairs")
+    assert(got === exact)
   }
 
   test("SignBandKeys codegen expression matches the composable HOF form") {

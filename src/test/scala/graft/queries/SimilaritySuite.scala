@@ -69,6 +69,29 @@ class SimilaritySuite extends AnyFunSuite {
     assert(hit >= 10, s"IVF recall too low: $hit/40 of brute-force pairs")
   }
 
+  test("two-level IVF (cells ∝ N, e10) keeps exact cosines and e06-grade recall") {
+    val brute = Similarity.e02KnnBrute.run(spark, dir)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    val ivf2 = Similarity.e10KnnIvfScaled.run(spark, dir)
+      .select("query_id", "neighbor_id", "cosine", "rnk")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(ivf2.nonEmpty)
+    // Ranks are dense 1..len per query and cosines are the exact values.
+    ivf2.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._4).sorted.toSeq === (1 to g.length))
+    }
+    ivf2.foreach { case (q, n, c, _) =>
+      brute.get((q, n)).foreach(bc => assert(math.abs(bc - c) < 1e-9))
+    }
+    // Recall floor: the double routing approximation (coarse groups, then
+    // cells) must not collapse below the e06 bar on the fixture.
+    val bruteSet = brute.keySet
+    val hit = ivf2.count { case (q, n, _, _) => bruteSet.contains((q, n)) }
+    assert(hit >= 10, s"two-level IVF recall too low: $hit/40 of brute-force pairs")
+  }
+
   test("approx_count_distinct lands within 5% of exact") {
     val exact = Relational.q12DistinctCounts.run(spark, dir)
       .as[(Long, Long, Long)].head()

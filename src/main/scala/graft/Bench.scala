@@ -44,22 +44,21 @@ object Bench {
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
     // Ambient host load distorts single runs by up to ~40× on one query
-    // (BASELINE.md); min-of-2 recovers the quiet-time cost. The second pass
-    // runs UNCONDITIONALLY: a ">300 s ⇒ single pass" hatch here once reported
+    // (BASELINE.md); min-of-N recovers the quiet-time cost. All passes run
+    // UNCONDITIONALLY: a ">300 s ⇒ single pass" hatch here once reported
     // one load-distorted pass as the round's artifact (q36 211.8 s vs 1.5 s
-    // warm) — exactly the run where the second pass matters most.
+    // warm) — exactly the run where the repeat passes matter most. Three
+    // passes, not two (round-7 verdict): with min-of-2 the r07-vs-r06
+    // driver artifacts still drifted 1.4× median under host load while the
+    // builder's quiet pre-check read 1.2× — the claims file and the driver
+    // artifact must converge without a "quiet run" caveat.
     // Failed executions never contribute a timing: min is taken over
     // SUCCESSFUL passes only (a fast failure is not a fast query).
-    val first = passOnce()
-    val second = passOnce().map { case (k, v, ok) => k -> (v, ok) }.toMap
-    val results = first.map { case (k, v1, ok1) =>
-      val (v2, ok2) = second.getOrElse(k, (v1, ok1))
-      k -> ((ok1, ok2) match {
-        case (true, true) => math.min(v1, v2)
-        case (true, false) => v1
-        case (false, true) => v2
-        case (false, false) => math.max(v1, v2)
-      })
+    val passes = Seq.fill(3)(passOnce())
+    val results = queries.map(_._1).map { k =>
+      val runs = passes.flatMap(_.collect { case (`k`, v, ok) => (v, ok) })
+      val good = runs.collect { case (v, true) => v }
+      k -> (if (good.nonEmpty) good.min else runs.map(_._1).max)
     }
     // Locale-pinned formatting: the f interpolator follows the JVM default
     // locale, which would emit comma decimals (invalid JSON) on e.g. de_DE.

@@ -28,12 +28,21 @@ import graft.operators.MinHashLsh
   */
 object IngestProbe {
 
-  private def minOf3(f: => Unit): Double = {
-    def once: Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }
-    (1 to 3).map(_ => once).min
-  }
+  /** Min-of-3 with an UNTIMED reset between reps: both probe columns must
+    * time exactly the screen (batch hash pass + candidate join + verify),
+    * so cache teardown/re-warm happens outside the timed closure — timing
+    * the reset inside one column but not the other inflated inline_s
+    * relative to store_s in the very comparison this probe exists to make
+    * (round-7 ADVICE). The reset also stops a rep from riding the
+    * previous rep's batch-shingle cache: CacheManager matches by analyzed
+    * plan, so an identical second invocation would silently skip the hash
+    * pass and min-of-3 would report a warm-cache cost neither deployment
+    * regime pays. */
+  private def minOf3(f: => Unit)(reset: => Unit): Double =
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); f; val t = (System.nanoTime() - t0) / 1e9
+      reset; t
+    }.min
 
   def main(args: Array[String]): Unit = {
     val factors = if (args.isEmpty) Seq(1, 10, 30) else args.map(_.toInt).toSeq
@@ -71,7 +80,9 @@ object IngestProbe {
 
       val inlineS = minOf3 {
         sink(MinHashLsh.nearDupAgainst(batch, corpus, "doc_id", "text", p))
-        // Release the shingle cache nearDupAgainst creates, keep the batch.
+      } {
+        // Untimed: release the shingle caches the screen creates, keep the
+        // batch warm for the next rep.
         spark.catalog.clearCache()
         batch.persist().count()
       }
@@ -87,9 +98,19 @@ object IngestProbe {
 
       val storeS = minOf3 {
         sink(MinHashLsh.nearDupAgainstStore(batch, shC, bandsC, "doc_id", "text", p))
+      } {
+        // Untimed: drop the rep's batch-shingle cache, then re-pin the
+        // store frames (clearCache drops them too — they stand in for the
+        // persisted parquet store, which a real ingest re-reads for free).
+        spark.catalog.clearCache()
+        batch.persist().count()
+        shC.persist().count(); bandsC.persist().count()
       }
       val pairs = MinHashLsh
         .nearDupAgainstStore(batch, shC, bandsC, "doc_id", "text", p).count()
+      // Drop this factor's store frames for real (unpersist clears the
+      // persist intent clearCache leaves behind) before the next factor.
+      shC.unpersist(); bandsC.unpersist()
       spark.catalog.clearCache()
       batch.persist().count()
       println(f"$f,$nCorpus,$inlineS%.2f,$storeS%.2f,$pairs")

@@ -105,6 +105,54 @@ object StreamProbe {
         println(f"tws_totals,$totalRows,$wall%.2f,${totalRows / wall}%.0f")
       } finally q.stop()
     }
+
+    // Shape 3: stream-stream interval join (click→purchase attribution,
+    // [[graft.streaming.EventPipelines.attributePurchases]]) — the third
+    // stateful shape a production pipeline runs, and the most state-heavy:
+    // unlike the windowed agg (one row per key·window) or tws (one value
+    // per key), BOTH input sides are buffered row-for-row in the state
+    // store until the watermark + join interval lets them evict, so every
+    // micro-batch pays puts for all arriving rows plus range-scan lookups
+    // against the opposite buffer — its rows/s is dominated by state-store
+    // commit cost (RocksDB here, set by shape 2; same provider a deployment
+    // runs). Every click gets exactly one purchase 5 min later, so the
+    // match work is real (|matches| = |clicks|), not an empty-join fast
+    // path. Rows counted = both sides summed.
+    locally {
+      val half = batchRows / 2
+      def clicksFor(b: Int): Seq[(Timestamp, Long)] = {
+        val off = b.toLong * half
+        (0 until half).map { i =>
+          val k = off + i
+          (new Timestamp(base + k * 1000L), k % 50000)
+        }
+      }
+      def purchasesFor(b: Int): Seq[(Timestamp, Double, Long)] = {
+        val off = b.toLong * half
+        (0 until half).map { i =>
+          val k = off + i
+          (new Timestamp(base + k * 1000L + 300000L), (k % 97).toDouble, k % 50000)
+        }
+      }
+      val clicks = MemoryStream[(Timestamp, Long)]
+      val purchases = MemoryStream[(Timestamp, Double, Long)]
+      val name = s"probe_ssjoin_${System.nanoTime()}"
+      val q = graft.streaming.EventPipelines.attributePurchases(
+          clicks.toDF().toDF("ts", "user_id"),
+          purchases.toDF().toDF("ts", "value", "user_id"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val t0 = System.nanoTime()
+        (0 until nBatches).foreach { b =>
+          clicks.addData(clicksFor(b)); purchases.addData(purchasesFor(b))
+          q.processAllAvailable()
+        }
+        val wall = (System.nanoTime() - t0) / 1e9
+        val rows = 2L * half * nBatches
+        println(f"ss_join,$rows,$wall%.2f,${rows / wall}%.0f")
+      } finally q.stop()
+    }
     spark.stop()
   }
 }

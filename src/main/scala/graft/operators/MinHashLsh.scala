@@ -208,7 +208,15 @@ object MinHashLsh {
     *
     * The exact-Jaccard verify keeps the output hash-family-independent —
     * same contract as [[nearDupPairs]], so the SQL oracle is brute-force
-    * cross-split Jaccard. */
+    * cross-split Jaccard.
+    *
+    * Cache contract (here and [[nearDupAgainstStore]]): the shingle
+    * frame(s) computed inside stay persisted after the returned DataFrame
+    * is consumed — the operator cannot know when the caller is done with
+    * a lazy result, so release is the CALLER's job (`spark.catalog
+    * .clearCache()` between measurements, as Bench/IngestProbe do; a
+    * one-shot pipeline can simply let the session end). Same reliance
+    * [[nearDupPairs]] documents. */
   def nearDupAgainst(batch: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, p: Params = Params()): DataFrame = {
     val shC = corpus

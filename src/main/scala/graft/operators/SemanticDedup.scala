@@ -75,9 +75,11 @@ object SemanticDedup {
     * The trade is assignment exactness at cell BOUNDARIES only (a vector
     * can land in its second-best cell, where it may miss a neighbor that
     * stayed behind — or meet one it never would have): within whatever
-    * cells arrive, the greedy drop rule is exact. On the fixture (k=8,
-    * nprobe=2) the drop set agrees with [[drops]] on 94.7% of drops;
-    * SemanticDedupSuite pins drop validity and the agreement floor.
+    * cells arrive, the greedy drop rule is exact. SemanticDedupSuite pins
+    * drop validity and a ≥90% flat-agreement floor on the fixture (k=8,
+    * nprobe=2) — the floor, not a point measurement, is the contract (a
+    * quoted exact percentage here went stale the moment the routing's
+    * final membership pass changed; round-7 ADVICE).
     */
   def dropsTwoLevel(
       vecs: DataFrame,

@@ -117,10 +117,49 @@ object Similarity {
       when(dot(emb, planeLit) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** e03's oracle, UNROLLED: the seeded hyperplane family is deterministic,
+    * so the bucket computation is expressible in exact SQL with the 6×64
+    * plane literals embedded (the k02/sd02 unrolled-oracle pattern —
+    * round-7 verdict #8, moving e03 from rows-only to hash-exact). Two
+    * bit-exactness facts make this sound: (1) `Double.toString` emits the
+    * shortest round-trip literal, which DuckDB parses back to the
+    * identical double; (2) the bucket's sign decision folds products
+    * left-to-right on both engines — [[graft.functions.VectorOps.dot]] is
+    * `aggregate(…, 0.0, (acc,x) => acc+x)` and DuckDB's `list_reduce`
+    * seeds from the first element, and `0.0 + x ≡ x` in IEEE arithmetic,
+    * so every intermediate sum is bit-identical and a dot product can
+    * never straddle zero differently. Cosine VALUES compare through
+    * `list_cosine_similarity` at round-6 exactly like e02 (already
+    * hash-exact there, which pins that tolerance). */
+  private val e03OracleSql: String = {
+    val bucket = hyperplanes(nPlanes = 6).zipWithIndex.map { case (p, i) =>
+      val lits = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_reduce(list_transform(list_zip(emb, $lits), " +
+        s"s -> s[1] * s[2]), (a, b) -> a + b) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("\n        + ")
+    s"""WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        $bucket AS bucket
+      FROM embeddings),
+    p AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        list_cosine_similarity(q.emb, c.emb) AS cos
+      FROM (SELECT * FROM b WHERE vec_id < 8) q
+      JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id),
+    r AS (
+      SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
+      FROM p)
+    SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5
+    ORDER BY query_id, rnk"""
+  }
+
   /** LSH-bucketed approximate top-5: candidates are restricted to the
     * query's sign-LSH bucket, so the pairwise work drops from O(Q·N) to
-    * O(Q·N/2^planes). Approximate ⇒ no SQL oracle (rows-only check); the
-    * sbt suite scores recall against e02's exact answer. */
+    * O(Q·N/2^planes). Approximate in recall, but DETERMINISTIC given the
+    * seeded plane family — oracle'd hash-exact by [[e03OracleSql]]'s
+    * unrolled SQL; the sbt suite additionally scores recall against e02's
+    * exact answer. */
   val e03KnnLsh = Q(
     "e03_knn_lsh",
     (s, dir) => {
@@ -143,7 +182,7 @@ object Similarity {
           round(col("cos"), 6).as("cosine"), col("rnk"))
         .orderBy("query_id", "rnk")
     },
-    None)
+    Some(e03OracleSql))
 
   /** Brute-force top-5 again, but through the engine's custom Catalyst layer:
     * the fused [[graft.functions.CosineSimilarity]] expression (one-pass

@@ -155,6 +155,13 @@ object ScaleProbe {
     def repeatedNgrams(d: DataFrame): DataFrame =
       graft.queries.TextOps.repeatedNgramFractions(d)
 
+    // Positional span coverage (round 8, d18): gram-keyed df aggregate +
+    // many-to-one join-back + doc-local island windows — expected linear
+    // in token volume (the join-back produces one row per duplicated
+    // window, no fan-out term).
+    def dupSpans(d: DataFrame): DataFrame =
+      graft.queries.TextOps.dupSpanCoverage(d)
+
     // Semantic dedup under the documented scale discipline: k ∝ N keeps
     // expected cell size constant, so Σ|cell|² — the pairwise term — grows
     // linearly. The probe measures exactly that contract: k derives from
@@ -251,6 +258,7 @@ object ScaleProbe {
       ("contain_join", containJoin _, docs, docAmp),
       ("contain_capped", containCapped _, docs, docAmp),
       ("repeated_ngrams", repeatedNgrams _, docs, docAmp),
+      ("dup_span", dupSpans _, docs, docAmp),
       ("sem_dedup", semDedup _, emb, amplifyVecs _),
       ("sem_dedup_2l", semDedup2l _, emb, amplifyVecs _),
       ("neardup_exact", neardupExact _, emb, amplifyVecs _),

@@ -117,6 +117,21 @@ object Similarity {
       when(dot(emb, planeLit) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Shared oracle-SQL fragments for the deterministic ANN unrolls (e06,
+    * e10): the cosine fold and the normalized-corpus CTE body. DuckDB's
+    * `list_reduce` seeds from the first element; `0.0 + x ≡ x` makes that
+    * bit-identical to Spark's zero-seeded fold (the [[e03OracleSql]]
+    * soundness note), and IEEE `sqrt` is correctly rounded, so norms and
+    * cosines agree to the last bit. */
+  private def cosSql(a: String, b: String, na: String, nb: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), s -> s[1] * s[2]), " +
+      s"(acc, x) -> acc + x) / ($na * $nb)"
+
+  private val normalizedSql: String =
+    """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+        (acc, y) -> acc + y)) AS norm FROM embeddings"""
+
   /** e03's oracle, UNROLLED: the seeded hyperplane family is deterministic,
     * so the bucket computation is expressible in exact SQL with the 6×64
     * plane literals embedded (the k02/sd02 unrolled-oracle pattern —
@@ -253,7 +268,46 @@ object Similarity {
 
   /** IVF-flat approximate top-5 — the coarse-quantizer ANN scale path
     * ([[graft.operators.IvfAnn]]): 16 sampled-centroid cells, 4-cell probe.
-    * Approximate ⇒ rows-only; the sbt suite scores recall against e02. */
+    * Approximate in recall, but DETERMINISTIC end-to-end — sampled
+    * centroids, argmax-cosine routing with pinned tie-breaks — so the
+    * whole index unrolls into exact SQL ([[e06OracleSql]]): assignment is
+    * `rn = 1 ORDER BY cos DESC, cell_id DESC` (Spark's max-of-struct ties
+    * to the HIGHER cell), probing `rn ≤ 4 ORDER BY cos DESC, cell_id`
+    * (ties to the LOWER — mirror the asymmetry exactly). Bit-exactness of
+    * every cosine rests on the same two facts as [[e03OracleSql]]; `sqrt`
+    * is correctly rounded in IEEE 754, so norms agree too. The sbt suite
+    * additionally scores recall against e02's exact answer. */
+  private val e06OracleSql: String =
+    s"""WITH n AS ($normalizedSql),
+    c AS (SELECT CAST(vec_id AS INT) AS cell_id, emb AS cemb, norm AS cnorm
+      FROM n WHERE vec_id < 16),
+    xc AS (
+      SELECT n.vec_id, n.emb, n.norm, c.cell_id,
+        ${cosSql("n.emb", "c.cemb", "n.norm", "c.cnorm")} AS cos
+      FROM n CROSS JOIN c),
+    asg AS (
+      SELECT vec_id, emb, norm, cell_id FROM (
+        SELECT vec_id, emb, norm, cell_id, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, cell_id DESC) AS rn
+        FROM xc) WHERE rn = 1),
+    pr AS (
+      SELECT vec_id AS query_id, emb AS qemb, norm AS qnorm, cell_id FROM (
+        SELECT vec_id, emb, norm, cell_id, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, cell_id ASC) AS rn
+        FROM xc WHERE vec_id < 8) WHERE rn <= 4),
+    cand AS (
+      SELECT pr.query_id, a.vec_id,
+        ${cosSql("pr.qemb", "a.emb", "pr.qnorm", "a.norm")} AS cos
+      FROM pr JOIN asg a USING (cell_id)
+      WHERE a.vec_id <> pr.query_id),
+    r AS (
+      SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cosine,
+        CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rnk
+      FROM cand)
+    SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5
+    ORDER BY query_id, rnk"""
+
   val e06KnnIvf = Q(
     "e06_knn_ivf",
     (s, dir) => {
@@ -261,7 +315,7 @@ object Similarity {
         .search(corpus(s, dir), col("vec_id") < 8, nCells = 16, nProbe = 4, k = 5)
         .orderBy("query_id", "rnk")
     },
-    None)
+    Some(e06OracleSql))
 
   /** IVF top-5 in the cells ∝ N regime ([[graft.operators.IvfAnn.searchTwoLevel]]):
     * cells = ⌈√N⌉ — the right IVF discipline at scale (per-cell candidate
@@ -270,9 +324,67 @@ object Similarity {
     * N·√N that makes flat assignment the super-linear term the moment
     * cells grows with the corpus. e06 keeps the published fixed-16-cell
     * contract; this registration is the 100 TB parameterization of the
-    * same operator. Approximate at both routing levels ⇒ rows-only; the
-    * sbt suite recall-gates it against e02's brute-force answer exactly
-    * like e06, and ScaleProbe's `knn_ivf_2l` shape measures the curve. */
+    * same operator. Approximate at both routing levels, yet DETERMINISTIC
+    * like e06, so the whole two-level route unrolls ([[e10OracleSql]]);
+    * the sbt suite additionally recall-gates it against e02's brute-force
+    * answer, and ScaleProbe's `knn_ivf_2l` shape measures the curve. */
+  private val e10OracleSql: String = {
+    // Mirrors searchTwoLevel layer by layer. Tie-break asymmetries to
+    // preserve: coarse membership and coarse probing both break to the
+    // LOWER gid (maxBy(cos, -j) / array_sort on struct(-cos, gid)); fine
+    // selection breaks to the LOWER cell_id (row_number over
+    // (ccos DESC, cell_id)); the final rank to the LOWER vec_id. The
+    // driver-side while-loop cosine is the same zero-seeded left fold as
+    // the Column expression, so `fine` membership agrees bitwise.
+    def topCells(src: String, fineK: Int): String =
+      s"""SELECT vec_id, emb, norm, cell_id FROM (
+        SELECT cp.vec_id, cp.emb, cp.norm, f.cell_id, row_number() OVER (
+          PARTITION BY cp.vec_id ORDER BY
+            ${cosSql("cp.emb", "f.cemb", "cp.norm", "f.cnorm")} DESC,
+            f.cell_id ASC) AS rn
+        FROM (
+          SELECT vec_id, emb, norm, gid FROM (
+            SELECT s.vec_id, s.emb, s.norm, g.gid, row_number() OVER (
+              PARTITION BY s.vec_id ORDER BY
+                ${cosSql("s.emb", "g.gemb", "s.norm", "g.gnorm")} DESC,
+                g.gid ASC) AS grn
+            FROM ($src) s CROSS JOIN coarse g) WHERE grn <= 4) cp
+        JOIN fine f USING (gid)) WHERE rn <= $fineK"""
+    s"""WITH n AS ($normalizedSql),
+    cents AS (
+      SELECT CAST(vec_id AS INT) AS cell_id, emb AS cemb, norm AS cnorm
+      FROM n WHERE vec_id < (
+        SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS INT)) FROM n)),
+    coarse AS (
+      SELECT CAST(row_number() OVER (ORDER BY cell_id) AS INT) - 1 AS gid,
+        cemb AS gemb, cnorm AS gnorm
+      FROM cents QUALIFY row_number() OVER (ORDER BY cell_id) <= (
+        SELECT greatest(1, CAST(ceil(sqrt(count(*))) AS INT)) FROM cents)),
+    fine AS (
+      SELECT gid, cell_id, cemb, cnorm FROM (
+        SELECT g.gid, f.cell_id, f.cemb, f.cnorm, row_number() OVER (
+          PARTITION BY f.cell_id ORDER BY
+            ${cosSql("f.cemb", "g.gemb", "f.cnorm", "g.gnorm")} DESC,
+            g.gid ASC) AS rn
+        FROM cents f CROSS JOIN coarse g) WHERE rn = 1),
+    asg AS (${topCells("SELECT vec_id, emb, norm FROM n", 1)}),
+    pr AS (
+      SELECT vec_id AS query_id, emb AS qemb, norm AS qnorm, cell_id
+      FROM (${topCells("SELECT vec_id, emb, norm FROM n WHERE vec_id < 8", 4)})),
+    cand AS (
+      SELECT pr.query_id, a.vec_id,
+        ${cosSql("pr.qemb", "a.emb", "pr.qnorm", "a.norm")} AS cos
+      FROM pr JOIN asg a USING (cell_id)
+      WHERE a.vec_id <> pr.query_id),
+    r AS (
+      SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cosine,
+        CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rnk
+      FROM cand)
+    SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5
+    ORDER BY query_id, rnk"""
+  }
+
   val e10KnnIvfScaled = Q(
     "e10_knn_ivf_scaled",
     (s, dir) => {
@@ -288,7 +400,7 @@ object Similarity {
           coarseProbe = 4, nProbe = 4, k = 5)
         .orderBy("query_id", "rnk")
     },
-    None)
+    Some(e10OracleSql))
 
   /** Symmetric int8 quantization stats: per-vector scale (max-abs / 127)
     * and reconstruction error — the storage-compression pass an embedding

@@ -816,10 +816,134 @@ object TextOps {
     WHERE CAST(n_shared AS DOUBLE) / hn.hn >= 0.5
     ORDER BY p.holdout_doc, p.train_doc"""))
 
+  /** POSITIONAL k-gram windows of a token array — every window, one per
+    * start index, unlike [[graft.operators.MinHashLsh.shingles]] which
+    * dedups (set semantics). Span scoring needs positions, so duplicates
+    * within a document are kept. Guarded `when`: `sequence(1, 0)` would
+    * generate DESCENDING [1, 0]. */
+  private def posWindows(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - lit(k - 1)),
+        i => array_join(slice(toks, i, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** The d18 pipeline body over an arbitrary `(doc_id, text)` frame —
+    * shared with [[graft.ScaleProbe]] so the scaling probe times exactly
+    * the registered plan. */
+  def dupSpanCoverage(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 5
+    val t = docs.select(
+      col("doc_id"),
+      split(trim(lower(col("text"))), """\s+""").as("toks"))
+    // The exploded positional-window frame feeds two consumers (the df
+    // aggregate and the join-back) — materialize once, d14's discipline.
+    val wins = t
+      .select(col("doc_id"), posexplode(posWindows(col("toks"), k)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
+      .persist()
+    // "Duplicated" = the window text occurs in ≥2 DISTINCT documents.
+    // min≠max over doc_id decides that in ONE map-side-combined aggregate —
+    // no count-distinct expansion, and the Zipf-heavy grams (stopword runs)
+    // cost two longs of agg state each, never a big group materialization.
+    val dup = wins.groupBy("gram")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select("gram")
+    // Join-back is many-to-one on the gram key (no fan-out: output rows =
+    // duplicated window rows), then all remaining work is doc-local.
+    val dw = wins.join(dup, "gram").select("doc_id", "pos")
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    // Windows [p, p+k-1] and [q, q+k-1] belong to one contiguous duplicated
+    // span iff q − p ≤ k (overlap or exact adjacency); a larger gap leaves
+    // uncovered tokens between them and starts a new island. The running
+    // sum of break flags numbers the islands; span length is then pure
+    // interval arithmetic per island. First row: lag is NULL, NULL > k is
+    // NULL, `when` falls to otherwise(0) — the first island starts at 0.
+    val isl = dw
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(byPos) > k, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(byPos))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(
+        (max("pos") - min("pos") + k).cast("long").as("len"),
+        count(lit(1)).as("nw"))
+    val agg = isl.groupBy("doc_id")
+      .agg(
+        sum(col("nw")).as("n_dup_windows"),
+        sum(col("len")).as("covered_tokens"),
+        max(col("len")).as("max_dup_span"))
+    t.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        coalesce(col("max_dup_span"), lit(0L)).as("max_dup_span"),
+        // n_tokens ≥ 1 always (split of "" is [""]), so the ANSI division
+        // cannot hit zero.
+        round(coalesce(col("covered_tokens"), lit(0L)).cast("double")
+          / col("n_tokens"), 6).as("dup_coverage"))
+  }
+
+  /** Cross-document duplicated-SPAN coverage — the positional form of
+    * exact-substring dedup (Lee et al. 2022, arXiv:2107.06499: cut exact
+    * duplicated substrings, not whole documents). d14 scores the share of
+    * a document's DISTINCT 5-grams seen elsewhere; this measures how much
+    * of the document's actual token RUN is covered once overlapping /
+    * adjacent duplicated windows are merged into maximal spans — the
+    * quantity a substring-level cut acts on (`max_dup_span` is the longest
+    * single cut candidate).
+    *
+    * Shape: one gram-keyed aggregate (df via min≠max doc_id), one
+    * many-to-one gram-keyed join-back, then doc-local windows. Cost is
+    * linear in token volume; both shuffles key on the gram text — at
+    * 100 TB the gram would ride as xxhash64(gram) (fixed-width uniform
+    * key), kept raw here so the oracle is string-exact. The island merge
+    * is a doc-partitioned sort — bounded by the longest single document,
+    * never corpus-wide. */
+  val d18DupSpans = Q(
+    "d18_dup_spans",
+    (s, dir) => dupSpanCoverage(Tables.documents(s, dir)).orderBy("doc_id"),
+    Some("""WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents),
+    w AS (
+      SELECT doc_id, pos, array_to_string(toks[pos:pos+4], chr(32)) AS gram
+      FROM (SELECT doc_id, toks,
+              unnest(range(1, greatest(length(toks) - 4, 0) + 1)) AS pos
+            FROM t)),
+    dg AS (SELECT gram FROM w GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+    dw AS (SELECT w.doc_id, w.pos FROM w JOIN dg USING (gram)),
+    i1 AS (
+      SELECT doc_id, pos,
+        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+          THEN 1 ELSE 0 END AS brk
+      FROM dw),
+    i2 AS (
+      SELECT doc_id, pos,
+        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM i1),
+    isl AS (
+      SELECT doc_id, island, max(pos) - min(pos) + 5 AS len, count(*) AS nw
+      FROM i2 GROUP BY doc_id, island),
+    agg AS (
+      SELECT doc_id, sum(nw) AS n_dup_windows, sum(len) AS covered_tokens,
+        max(len) AS max_dup_span
+      FROM isl GROUP BY doc_id)
+    SELECT t.doc_id, CAST(length(toks) AS BIGINT) AS n_tokens,
+      CAST(coalesce(agg.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+      CAST(coalesce(agg.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+      CAST(coalesce(agg.max_dup_span, 0) AS BIGINT) AS max_dup_span,
+      round(CAST(coalesce(agg.covered_tokens, 0) AS DOUBLE) / length(toks), 6)
+        AS dup_coverage
+    FROM t LEFT JOIN agg USING (doc_id)
+    ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     d01DedupExact, d02TextStats, d03TokenCounts, d04QualityScore,
     d05LangId, d06Fingerprint, d07TokenFreq, d08PiiScrub, d09DatasetSplit,
     d10Contamination, d11Repetition, d12BigramVocab, d13ContaminationLsh,
     d14RepeatedNgrams, d15DsirImportance, d16BloomContamination,
-    d17ContaminationCapped)
+    d17ContaminationCapped, d18DupSpans)
 }

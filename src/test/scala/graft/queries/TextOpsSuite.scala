@@ -185,4 +185,30 @@ class TextOpsSuite extends AnyFunSuite {
       assert(best._2 === maxScore)
     }
   }
+
+  test("d18 dup-span coverage: hand-computed islands, gaps, and within-doc-only exclusion") {
+    // doc 1/2 share windows at pos {1,2} → one merged island of length 6.
+    // doc 3 repeats a 5-gram only WITHIN itself → min=max owner, not
+    // duplicated. doc 4 carries the shared gram at pos 1 and pos 12 —
+    // delta 11 > 5 splits two islands of 5, exercising the gap branch.
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f x y"),
+      (3L, "z z z z z z"),
+      (4L, "a b c d e 1 2 3 4 5 6 a b c d e")).toDF("doc_id", "text")
+    val got = TextOps.dupSpanCoverage(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got === Seq(
+      (1L, 8L, 2L, 6L, 6L, 0.75),
+      (2L, 8L, 2L, 6L, 6L, 0.75),
+      (3L, 6L, 0L, 0L, 0L, 0.0),
+      (4L, 16L, 2L, 10L, 5L, 0.625)))
+    // Registered plan: gram-keyed equi-joins only — a cartesian/BNLJ here
+    // would mean the join-back degenerated.
+    val plan = TextOps.d18DupSpans.run(spark, SparkTestSession.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

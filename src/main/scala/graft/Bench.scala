@@ -52,21 +52,28 @@ object Bench {
     // driver artifacts still drifted 1.4× median under host load while the
     // builder's quiet pre-check read 1.2× — the claims file and the driver
     // artifact must converge without a "quiet run" caveat.
-    // Failed executions never contribute a timing: min is taken over
-    // SUCCESSFUL passes only (a fast failure is not a fast query).
+    // Failed executions never contribute a timing: a query with zero
+    // successful passes is reported in a separate "failed" array and
+    // excluded from both the per-query map and the total, so the artifact
+    // cannot look faster by breaking (an elapsed-to-analysis-failure is
+    // not a timing).
     val passes = Seq.fill(3)(passOnce())
-    val results = queries.map(_._1).map { k =>
-      val runs = passes.flatMap(_.collect { case (`k`, v, ok) => (v, ok) })
-      val good = runs.collect { case (v, true) => v }
-      k -> (if (good.nonEmpty) good.min else runs.map(_._1).max)
+    val (results, failed) = {
+      val byName = queries.map(_._1).map { k =>
+        val good = passes.flatMap(_.collect { case (`k`, v, true) => v })
+        k -> good
+      }
+      (byName.collect { case (k, good) if good.nonEmpty => k -> good.min },
+       byName.collect { case (k, good) if good.isEmpty => k })
     }
     // Locale-pinned formatting: the f interpolator follows the JVM default
     // locale, which would emit comma decimals (invalid JSON) on e.g. de_DE.
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
+    val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$failedArr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

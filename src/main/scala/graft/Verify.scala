@@ -26,6 +26,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Leave an explicit error marker so a failing query surfaces as an
+        // `err` row in the driver's correctness artifact instead of being
+        // silently absent (a shorter file must never read as greener).
+        Files.writeString(
+          Paths.get(s"$outDir/$name.err"),
+          s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(2000)}")
       }
       // Release caches persisted inside operators so the 50-query sweep
       // doesn't accumulate pinned storage memory.

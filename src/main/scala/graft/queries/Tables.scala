@@ -21,16 +21,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS): read as a nanosecond long (see
-    * SessionFactory's nanosAsLong pin) and truncate to microseconds with
-    * integer division — `div` keeps the arithmetic in Long (a double round
-    * trip would lose precision above 2^53 ns) and floors exactly like
-    * DuckDB's ns→µs parquet read, so oracle comparisons stay bit-exact.
+  /** events.ts has shipped in two fixture vintages: parquet TIMESTAMP(NANOS)
+    * (which the nanosAsLong pin in SessionFactory surfaces as a raw ns Long)
+    * and plain timestamp[us] (which Spark reads as native TIMESTAMP). Branch
+    * on the scanned type so both vintages load: a ns Long is truncated to
+    * microseconds with integer division — `div` keeps the arithmetic in Long
+    * (a double round trip would lose precision above 2^53 ns) and floors
+    * exactly like DuckDB's ns→µs parquet read, so oracle comparisons stay
+    * bit-exact — while a native TIMESTAMP passes through untouched.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.LongType
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

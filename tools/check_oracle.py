@@ -59,7 +59,10 @@ def main():
     # a FAIL here, not a silent skip, or the gate reads green on a broken query.
     result_dirs = {p.name for p in Path(out_dir).iterdir() if p.is_dir()}
     for missing in sorted(set(oracle) - result_dirs):
-        print(f"  ✗ {missing}: NO RESULT DIR (query failed in Verify?)")
+        err = Path(f"{out_dir}/{missing}.err")
+        detail = err.read_text()[:200] if err.exists() else \
+            "NO RESULT DIR (query failed in Verify?)"
+        print(f"  ✗ {missing}: {detail}")
         n_fail += 1
     for qdir in sorted(Path(out_dir).iterdir()):
         if not qdir.is_dir():

@@ -72,6 +72,7 @@ object IvfAnn {
   /** Candidate join + per-query exact-cosine top-k — the shared tail of
     * the flat and two-level routes. */
   private def rank(assigned: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
     val pairs = assigned.join(probes,
         assigned("cell_id") === probes("cell_id") &&
           col("vec_id") =!= col("query_id"))
@@ -109,22 +110,70 @@ object IvfAnn {
     * sampled-centroid discipline at both levels; ties break to the lower
     * group id. */
   def searchTwoLevel(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-      coarseProbe: Int, nProbe: Int, k: Int): DataFrame = {
-    require(coarseProbe > 0 && nProbe > 0 && k > 0,
-      "coarseProbe, nProbe and k must be positive")
-    val spark = corpus.sparkSession
+      coarseProbe: Int, nProbe: Int, k: Int): DataFrame =
+    routingTables(centroids) match {
+      case None => emptyResult(queries)
+      case Some((coarseDf, fineDf)) =>
+        val assigned = routeCells(corpus, coarseDf, fineDf, coarseProbe, 1)
+        rank(assigned, routeProbes(queries, coarseDf, fineDf, coarseProbe, nProbe), k)
+    }
+
+  /** Two-level cell assignment alone — `(vec_id, emb, norm, cell_id)`, the
+    * frame a deployment PERSISTS as its IVF index (bucketed by cell_id;
+    * see the e11 registration): the N-proportional half of the search is
+    * built once here, and [[searchStored]] probes it without ever touching
+    * the corpus again. */
+  def assignTwoLevel(corpus: DataFrame, centroids: DataFrame,
+      coarseProbe: Int): DataFrame =
+    routingTables(centroids) match {
+      case None => corpus.limit(0).withColumn("cell_id", lit(0))
+        .select(col("vec_id"), col("emb"), col("norm"), col("cell_id"))
+      case Some((coarseDf, fineDf)) =>
+        routeCells(corpus, coarseDf, fineDf, coarseProbe, 1)
+    }
+
+  /** Probe a PERSISTED index: `assigned` is a stored
+    * `(vec_id, emb, norm, cell_id)` assignment table (built once by
+    * [[assignTwoLevel]]), `centroids` the stored model-sized centroid
+    * table. Only the query rows are routed — O(|Q|·√cells) work — and the
+    * candidate join against the stored assignment carries the whole
+    * N-dependent cost as a READ of the cell_id-bucketed table; the corpus
+    * is never re-scanned, re-normed or re-assigned. Identical answer to
+    * [[searchTwoLevel]] over the same centroids (the e11 gate). */
+  def searchStored(assigned: DataFrame, queries: DataFrame, centroids: DataFrame,
+      coarseProbe: Int, nProbe: Int, k: Int): DataFrame =
+    routingTables(centroids) match {
+      case None => emptyResult(queries)
+      case Some((coarseDf, fineDf)) =>
+        rank(assigned, routeProbes(queries, coarseDf, fineDf, coarseProbe, nProbe), k)
+    }
+
+  private def emptyResult(queries: DataFrame): DataFrame =
+    queries.limit(0)
+      .select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        lit(0.0).as("cosine"), lit(0).as("rnk"))
+
+  private def routeProbes(queries: DataFrame, coarseDf: DataFrame,
+      fineDf: DataFrame, coarseProbe: Int, nProbe: Int): DataFrame =
+    routeCells(queries, coarseDf, fineDf, coarseProbe, nProbe)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+        col("norm").as("qnorm"), col("cell_id"))
+
+  /** Driver-side coarse structure over the (model-sized) centroid table:
+    * `(coarseDf(gid, gemb, gnorm), fineDf(gid, cell_id, cemb, cnorm))`,
+    * both broadcast. None when the centroid table is empty. Coarse groups
+    * are seeded from the c = ⌈√cells⌉ lowest cell_ids with a single
+    * argmax-cosine membership pass; ties break to the lower group id. */
+  private def routingTables(centroids: DataFrame)
+      : Option[(DataFrame, DataFrame)] = {
+    val spark = centroids.sparkSession
     import spark.implicits._
-    // Driver-side coarse structure over the (model-sized) centroid table.
     val cents: Seq[(Int, Array[Double], Double)] = centroids.collect()
       .map { r =>
         (r.getAs[Number](0).intValue, r.getSeq[Double](1).toArray,
           r.getAs[Double](2))
       }.toSeq.sortBy(_._1)
-    if (cents.isEmpty) {
-      return queries.limit(0)
-        .select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
-          lit(0.0).as("cosine"), lit(0).as("rnk"))
-    }
+    if (cents.isEmpty) return None
     val c = math.max(1, math.ceil(math.sqrt(cents.length.toDouble)).toInt)
     val coarse = cents.take(c)
     def cos(a: (Int, Array[Double], Double), b: (Int, Array[Double], Double)): Double = {
@@ -142,32 +191,29 @@ object IvfAnn {
         val gid = coarse.indices.maxBy(j => (cos(cent, coarse(j)), -j))
         (gid, cent._1, cent._2.toSeq, cent._3)
       }.toDF("gid", "cell_id", "cemb", "cnorm"))
+    Some((coarseDf, fineDf))
+  }
 
-    // Shared two-stage route: coarseProbe best groups, then the fineK best
-    // cells among those groups' centroids. The probe list is skinny
-    // (negated-cos, gid) structs; the vector rides once via first().
-    def topCells(vs: DataFrame, fineK: Int): DataFrame = {
-      val probed = vs.crossJoin(coarseDf)
-        .withColumn("_gcos", dot(col("emb"), col("gemb")) / (col("norm") * col("gnorm")))
-        .groupBy("vec_id")
-        .agg(
-          slice(array_sort(collect_list(struct(-col("_gcos"), col("gid")))),
-            1, coarseProbe).as("_groups"),
-          first("emb").as("emb"), first("norm").as("norm"))
-        .select(col("vec_id"), col("emb"), col("norm"),
-          explode(col("_groups").getField("gid")).as("gid"))
-      val w = Window.partitionBy("vec_id").orderBy(col("_ccos").desc, col("cell_id"))
-      probed.join(fineDf, "gid")
-        .withColumn("_ccos", dot(col("emb"), col("cemb")) / (col("norm") * col("cnorm")))
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") <= fineK)
-        .select(col("vec_id"), col("emb"), col("norm"), col("cell_id"))
-    }
-
-    val assigned = topCells(corpus, 1)
-    val probes = topCells(queries, nProbe)
-      .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
-        col("norm").as("qnorm"), col("cell_id"))
-    rank(assigned, probes, k)
+  /** Shared two-stage route: coarseProbe best groups, then the fineK best
+    * cells among those groups' centroids. The probe list is skinny
+    * (negated-cos, gid) structs; the vector rides once via first(). */
+  private def routeCells(vs: DataFrame, coarseDf: DataFrame, fineDf: DataFrame,
+      coarseProbe: Int, fineK: Int): DataFrame = {
+    require(coarseProbe > 0 && fineK > 0, "coarseProbe and fineK must be positive")
+    val probed = vs.crossJoin(coarseDf)
+      .withColumn("_gcos", dot(col("emb"), col("gemb")) / (col("norm") * col("gnorm")))
+      .groupBy("vec_id")
+      .agg(
+        slice(array_sort(collect_list(struct(-col("_gcos"), col("gid")))),
+          1, coarseProbe).as("_groups"),
+        first("emb").as("emb"), first("norm").as("norm"))
+      .select(col("vec_id"), col("emb"), col("norm"),
+        explode(col("_groups").getField("gid")).as("gid"))
+    val w = Window.partitionBy("vec_id").orderBy(col("_ccos").desc, col("cell_id"))
+    probed.join(fineDf, "gid")
+      .withColumn("_ccos", dot(col("emb"), col("cemb")) / (col("norm") * col("cnorm")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= fineK)
+      .select(col("vec_id"), col("emb"), col("norm"), col("cell_id"))
   }
 }

@@ -607,11 +607,80 @@ object Similarity {
     },
     Some(KMeansOracle.twoLevelSemDedupSql(k = 8, rounds = 3, nprobe = 2, tau = 0.35)))
 
+  /** Provision the persisted IVF index (the n08 store pattern applied to
+    * ANN): the two-level cell assignment `(vec_id, emb, norm, cell_id)` as
+    * an external catalog table BUCKETED BY cell_id — the candidate join's
+    * key, so a probe joins the index without shuffling the corpus side —
+    * plus the model-sized centroid table. External + drop-and-rebuild +
+    * per-process path + refreshByPath for exactly the reasons documented
+    * on [[NearDup.buildCorpusStore]] (in-memory catalog forgets metadata;
+    * concurrent driver JVMs must not delete files under each other's
+    * scans; the shared FileStatusCache is path-keyed). */
+  private[queries] def buildIvfStore(
+      s: SparkSession, c: DataFrame, centroids: DataFrame,
+      coarseProbe: Int): Unit = {
+    new graft.catalog.CatalogAutomation(s, graft.catalog.CatalogProfile.Builtin())
+      .ensureDatabase(NearDup.storeDb)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_store_" +
+      ProcessHandle.current().pid()
+    def rmrf(dir: String): Unit = {
+      val p = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => java.nio.file.Files.delete(q))
+    }
+    s.sql(s"DROP TABLE IF EXISTS ${NearDup.storeDb}.ivf_centroids")
+    s.sql(s"DROP TABLE IF EXISTS ${NearDup.storeDb}.ivf_assign")
+    rmrf(s"$base/ivf_centroids")
+    rmrf(s"$base/ivf_assign")
+    centroids.write.mode("overwrite")
+      .option("path", s"$base/ivf_centroids")
+      .saveAsTable(s"${NearDup.storeDb}.ivf_centroids")
+    graft.operators.IvfAnn.assignTwoLevel(c, centroids, coarseProbe)
+      .write.mode("overwrite")
+      .option("path", s"$base/ivf_assign")
+      .bucketBy(16, "cell_id").sortBy("cell_id")
+      .saveAsTable(s"${NearDup.storeDb}.ivf_assign")
+    s.catalog.refreshByPath(s"$base/ivf_centroids")
+    s.catalog.refreshByPath(s"$base/ivf_assign")
+  }
+
+  /** e10's two-level IVF search against a PERSISTED index — the last
+    * LLM-layer operator whose production form (index built once, probed
+    * incrementally) goes through the catalog: [[buildIvfStore]] writes the
+    * assignment and centroid tables, and [[graft.operators.IvfAnn.searchStored]]
+    * probes them routing ONLY the query rows — the corpus is never
+    * re-scanned, re-normed or re-assigned at probe time (sbt
+    * IvfStoreSuite asserts the probe plan's file scans touch only store
+    * paths, and that emptying the stored assignment empties the answer).
+    * The registered query times build + probe, like n08 — the build is
+    * the one-off a deployment amortizes; rebuilt here so the gate stays
+    * hermetic. Same centroids, same routing, same tie-breaks as e10 ⇒
+    * the identical answer, oracle'd by the same unrolled two-level SQL. */
+  val e11KnnIvfStore = Q(
+    "e11_knn_ivf_store",
+    (s, dir) => {
+      val c = corpus(s, dir)
+      // One count job sizes the index (catalog statistic at deployment).
+      val nCells = math.max(16, math.ceil(math.sqrt(c.count().toDouble)).toInt)
+      val centroids = c.filter(col("vec_id") < nCells)
+        .select(col("vec_id").cast("int").as("cell_id"),
+          col("emb").as("cemb"), col("norm").as("cnorm"))
+      buildIvfStore(s, c, centroids, coarseProbe = 4)
+      graft.operators.IvfAnn.searchStored(
+        s.table(s"${NearDup.storeDb}.ivf_assign"),
+        c.filter(col("vec_id") < 8),
+        s.table(s"${NearDup.storeDb}.ivf_centroids"),
+        coarseProbe = 4, nProbe = 4, k = 5)
+        .orderBy("query_id", "rnk")
+    },
+    Some(e10OracleSql))
+
   val all: Seq[Q] = Seq(
     e01EmbeddingNorms, e02KnnBrute, e03KnnLsh, e04KnnFused,
     e05EmbeddingNearDup, e06KnnIvf, e07EmbeddingQuantize,
     e08EmbeddingNearDupPruned, e09EmbeddingNearDupProduction,
-    e10KnnIvfScaled, sd01SemanticDedup, sd02SemanticDedupIvf)
+    e10KnnIvfScaled, e11KnnIvfStore, sd01SemanticDedup, sd02SemanticDedupIvf)
 }
 
 /** Typed row for the fused-knn pipeline (top-level for Encoder derivation). */

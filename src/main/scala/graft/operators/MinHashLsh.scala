@@ -233,6 +233,51 @@ object MinHashLsh {
     * Only the batch side is tokenized and hashed here — the corpus is
     * re-read, never re-hashed, which is the marginal-cost contract
     * [[graft.IngestProbe]] measures. */
+  /** Bucket count of the persisted signature store's tables — one
+    * definition shared by the batch store build and the streaming append
+    * so an appended file can never carry a mismatched bucket spec. */
+  val StoreBuckets = 16
+
+  /** Streaming ingest of the signature store: append ONE micro-batch of
+    * documents to existing store tables (the n08 layout — `(id, shingles)`
+    * bucketed by id, `(id, band_idx, band_hash)` bucketed by the band
+    * key). Designed as a `foreachBatch` body: partially apply the first
+    * parameter list and hand the rest to `writeStream.foreachBatch`, and
+    * the store grows with each micro-batch while every probe
+    * ([[nearDupAgainstStore]]) sees the new corpus docs — closing the
+    * loop between the streaming slice and the dedup store (a crawl
+    * pipeline screens each slice against the store, then appends it).
+    *
+    * Append-mode `saveAsTable` writes new bucketed files under the
+    * table's existing location with the SAME bucket spec ([[StoreBuckets]]),
+    * so probe joins stay shuffle-free on the store side; the refreshes
+    * drop the writing session's FileStatusCache entries (the n08
+    * store-build lesson). NOTE the cache is PER-SESSION: foreachBatch
+    * hands this function a cloned micro-batch session, so a probe planned
+    * from any OTHER session (including the stream's parent) must
+    * `refreshTable` in its own session first — standard Spark semantics
+    * for a file table another writer appends to, asserted in
+    * StoreIngestStreamSuite. Work per batch is O(|batch|) tokenize+hash —
+    * the corpus is never re-read. */
+  def appendToStore(storeDb: String, idCol: String, textCol: String,
+      p: Params)(batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val sh = batch
+      .select(col(idCol).as("id"), shingles(col(textCol), p.shingleSize).as("shingles"))
+      .persist()
+    try {
+      sh.write.mode("append")
+        .bucketBy(StoreBuckets, "id").sortBy("id")
+        .saveAsTable(s"$storeDb.corpus_shingles")
+      bandFrame(signaturesFromShingles(sh, p), p)
+        .write.mode("append")
+        .bucketBy(StoreBuckets, "band_idx", "band_hash").sortBy("band_idx", "band_hash")
+        .saveAsTable(s"$storeDb.corpus_bands")
+    } finally sh.unpersist()
+    s.catalog.refreshTable(s"$storeDb.corpus_shingles")
+    s.catalog.refreshTable(s"$storeDb.corpus_bands")
+  }
+
   def nearDupAgainstStore(batch: DataFrame, corpusShingles: DataFrame,
       corpusBands: DataFrame, idCol: String, textCol: String,
       p: Params = Params()): DataFrame = {

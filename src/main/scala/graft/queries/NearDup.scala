@@ -139,8 +139,18 @@ object NearDup {
     FROM g a, g b WHERE a.doc_id < b.doc_id
     ORDER BY doc_a, doc_b"""))
 
-  /** 64-bit SimHash fingerprints — hash-family-specific (rows-only);
-    * near-dup Hamming behavior asserted in the sbt suite. */
+  /** 64-bit SimHash fingerprints — rows-only BY NECESSITY, not oversight:
+    * the unrolled-oracle pattern
+    * that moved e03/e06/e10/sd02 to hash-exact needs every hash the
+    * operator takes to be reproducible in DuckDB SQL, and SimHash's bit
+    * votes are keyed on Spark's `xxhash64` — XXH64 with seed 42 over
+    * Spark's internal UTF8String byte encoding — for which DuckDB has no
+    * equivalent (its `hash()` is a different function entirely, and no
+    * DuckDB builtin computes XXH64). A seeded plane family (e03) or a
+    * centroid table (e06) unrolls into literals; a per-token 64-bit hash
+    * family cannot. The pinning lives in sbt instead: SimHashSuite checks
+    * the relational frame against the per-row fold bit-for-bit and the
+    * hamming-separation bound on near-dup vs unrelated docs. */
   val n04Simhash = Q(
     "n04_simhash",
     (s, dir) => {
@@ -309,12 +319,12 @@ object NearDup {
     try {
       sh.write.mode("overwrite")
         .option("path", s"$base/corpus_shingles")
-        .bucketBy(16, "id").sortBy("id")
+        .bucketBy(MinHashLsh.StoreBuckets, "id").sortBy("id")
         .saveAsTable(s"$storeDb.corpus_shingles")
       MinHashLsh.bandFrame(MinHashLsh.signaturesFromShingles(sh, P), P)
         .write.mode("overwrite")
         .option("path", s"$base/corpus_bands")
-        .bucketBy(16, "band_idx", "band_hash").sortBy("band_idx", "band_hash")
+        .bucketBy(MinHashLsh.StoreBuckets, "band_idx", "band_hash").sortBy("band_idx", "band_hash")
         .saveAsTable(s"$storeDb.corpus_bands")
     } finally sh.unpersist()
     s.catalog.refreshByPath(s"$base/corpus_shingles")

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-quantization ANN with asymmetric distance computation (ADC) —
+  * the MEMORY-bounded similarity-search form (Jégou et al., "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011).
+  *
+  * The 64-dim corpus vector is split into `nSub` = 8 subvectors of 8 dims;
+  * each subspace has a 16-codeword codebook (codeword k of subspace m =
+  * subvector m of corpus vector k — the sampled-centroid discipline every
+  * deterministic index here uses), so a vector compresses to 8 four-bit
+  * codes: **8 bytes instead of 512** — the difference between an index
+  * that fits executor memory at 100 TB and one that doesn't, and the codes
+  * are computed once and reused by every query batch. Scoring is ADC: the
+  * query stays exact, each candidate contributes
+  * Σₘ ⟨qₘ, codebook[m][codeₘ]⟩ / (‖q‖·‖recon‖) — the exact cosine of the
+  * query with the candidate's RECONSTRUCTION, so ranking needs only the
+  * codes (the reconstructed norm is code-derived too). The full vector is
+  * touched at query time only for the `shortlist` ADC survivors per
+  * query, which an exact-cosine refinement pass re-ranks — PQ with
+  * refinement, the deployed shape: the scan-heavy stage reads 8-byte
+  * codes, the exact stage reads |Q|·shortlist rows.
+  *
+  * Everything is deterministic given the seeds — argmin encoding ties
+  * break to the lower codeword id (`array_sort` on (dist, k) structs),
+  * every fold is the shared left-to-right discipline
+  * ([[graft.functions.VectorOps]] / [[graft.functions.SquaredDistance]]) —
+  * so the whole route unrolls into exact SQL (the e06/e10 oracle pattern):
+  * encoding, reconstruction norms and ADC scores are bit-identical in
+  * DuckDB, and the e12 gate is hash-exact, not rows-only.
+  *
+  * Plan shape: encoding is a narrow map over the corpus scan (8×16
+  * codegen'd squared distances per row against broadcast-free literal
+  * codewords); scoring joins the code column against the broadcast query
+  * panel and ranks through the usual `row_number` window
+  * (`WindowGroupLimit` cuts top-k below the exchange). APPROXIMATE in
+  * recall by construction — the sbt suite gates recall against e02's
+  * exact answer — and at deployment scale the candidate stream would
+  * first pass an IVF cell prune ([[IvfAnn]]); the registered full-scan
+  * form pins the ADC semantics the pruned plan reuses.
+  */
+object PqAdc {
+
+  private def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dot(a, b)
+
+  /** ADC shortlist + exact re-rank top-k (PQ with refinement — the form a
+    * deployment runs: the 8-byte codes cut the candidate stream to
+    * `shortlist` rows per query, and only those rows' full vectors are
+    * touched for the exact final ranking). `corpus` and `queries` are
+    * `(vec_id, emb, norm)` frames (emb array<double>). Codebooks seed
+    * from the `nCodewords` lowest corpus vec_ids. Returned cosines are
+    * EXACT (bit-identical to e02's) on the shortlist survivors; recall is
+    * bounded by the shortlist's, which the sbt suite gates. */
+  def search(corpus: DataFrame, queries: DataFrame, k: Int,
+      nSub: Int = 8, nCodewords: Int = 16, shortlist: Int = 50): DataFrame = {
+    require(k > 0 && nSub > 0 && nCodewords > 1, "k, nSub, nCodewords must be positive")
+    require(shortlist >= k, s"shortlist $shortlist must cover k $k")
+    // Model-sized driver collect (the IvfAnn/KMeans centroid bound): the
+    // seed rows ARE the codebook — nCodewords·dim doubles.
+    val seeds: Array[Array[Double]] = corpus
+      .filter(col("vec_id") < nCodewords).orderBy("vec_id")
+      .select("emb").collect().map(_.getSeq[Double](0).toArray)
+    require(seeds.length == nCodewords,
+      s"corpus must contain vec_ids 0..${nCodewords - 1} to seed codebooks, " +
+        s"found ${seeds.length}")
+    val dim = seeds.head.length
+    require(dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
+    val sub = dim / nSub
+
+    def cwLit(m: Int, kk: Int): Column =
+      array(seeds(kk).slice(m * sub, (m + 1) * sub).map(lit).toSeq: _*)
+    def cbArr(m: Int): Column =
+      array((0 until nCodewords).map(kk => cwLit(m, kk)): _*)
+    def subvec(c: Column, m: Int): Column = slice(c, m * sub + 1, sub)
+
+    // Encode: per subspace, argmin squared distance over the codeword
+    // literals; array_sort on (d, k) structs ties to the lower k.
+    val codeCols = (0 until nSub).map { m =>
+      val cands = array((0 until nCodewords).map { kk =>
+        struct(
+          KMeans.sqDist(subvec(col("emb"), m), cwLit(m, kk)).as("d"),
+          lit(kk).as("k"))
+      }: _*)
+      array_sort(cands).getItem(0).getField("k").as(s"_c$m")
+    }
+    // Reconstructed norm — code-derived, left-to-right over subspaces.
+    val reconNorm = sqrt(
+      (0 until nSub).map { m =>
+        graft.functions.VectorOps.sumSquares(
+          element_at(cbArr(m), col(s"_c$m") + 1))
+      }.reduce(_ + _))
+    val encoded = corpus
+      .select(col("vec_id") +: codeCols: _*)
+      .withColumn("rnorm", reconNorm)
+
+    val q = queries.select(
+      col("vec_id").as("query_id"), col("emb").as("qemb"), col("norm").as("qnorm"))
+    // ADC score: the query subvector dots the CHOSEN codeword per
+    // subspace; subspace partials sum left-to-right (m = 0..nSub-1).
+    val approxDot = (0 until nSub).map { m =>
+      dot(subvec(col("qemb"), m), element_at(cbArr(m), col(s"_c$m") + 1))
+    }.reduce(_ + _)
+    val pairs = encoded.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("adc", approxDot / (col("qnorm") * col("rnorm")))
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("vec_id"))
+    val short = pairs
+      .withColumn("_srn", row_number().over(wAdc))
+      .filter(col("_srn") <= shortlist)
+      .select("query_id", "qemb", "qnorm", "vec_id")
+    // Refinement: exact cosine on the shortlist survivors only — the one
+    // place full vectors are read at query time, |Q|·shortlist rows.
+    val exact = short
+      .join(corpus.select(col("vec_id"), col("emb"), col("norm")), "vec_id")
+      .withColumn("cos", dot(col("qemb"), col("emb")) / (col("qnorm") * col("norm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    exact
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"), col("rnk"))
+  }
+}

@@ -676,11 +676,98 @@ object Similarity {
     },
     Some(e10OracleSql))
 
+  /** e12's oracle — the PQ-ADC route unrolled layer by layer
+    * ([[graft.operators.PqAdc]]): codebooks from the 16 lowest vec_ids'
+    * subvectors, argmin encoding (ties to the lower codeword,
+    * `ORDER BY d ASC, k ASC` mirroring `array_sort` on (d, k) structs),
+    * code-derived reconstruction norms, and ADC scores whose subspace
+    * partials fold in m-order (`list(part ORDER BY m)` ≡ the Spark side's
+    * left-to-right reduce; DuckDB's first-element seed matches the
+    * zero-seeded folds because 0.0 + x ≡ x — the [[e03OracleSql]]
+    * soundness argument). All squared distances / dots are the shared
+    * zip-fold, so every intermediate double is bit-identical. */
+  private val e12OracleSql: String =
+    s"""WITH n AS ($normalizedSql),
+    cb AS (
+      SELECT m.range AS m, CAST(c.vec_id AS INT) AS k,
+        c.emb[(m.range*8+1):((m.range+1)*8)] AS cw
+      FROM (SELECT vec_id, emb FROM n WHERE vec_id < 16) c
+      CROSS JOIN range(0, 8) m),
+    enc AS (
+      SELECT vec_id, m, k, cw FROM (
+        SELECT v.vec_id, cb.m, cb.k, cb.cw, row_number() OVER (
+          PARTITION BY v.vec_id, cb.m ORDER BY
+            list_reduce(list_transform(
+              list_zip(v.emb[(cb.m*8+1):((cb.m+1)*8)], cb.cw),
+              s -> (s[1]-s[2])*(s[1]-s[2])), (a, b) -> a + b) ASC,
+            cb.k ASC) AS rn
+        FROM n v CROSS JOIN cb) WHERE rn = 1),
+    rn AS (
+      SELECT vec_id,
+        sqrt(list_reduce(list(sq ORDER BY m), (a, b) -> a + b)) AS rnorm
+      FROM (
+        SELECT vec_id, m,
+          list_reduce(list_transform(cw, x -> x * x), (a, b) -> a + b) AS sq
+        FROM enc)
+      GROUP BY vec_id),
+    parts AS (
+      SELECT q.vec_id AS query_id, e.vec_id, e.m, q.norm AS qnorm,
+        list_reduce(list_transform(
+          list_zip(q.emb[(e.m*8+1):((e.m+1)*8)], e.cw),
+          s -> s[1] * s[2]), (a, b) -> a + b) AS part
+      FROM (SELECT vec_id, emb, norm FROM n WHERE vec_id < 8) q
+      CROSS JOIN enc e
+      WHERE e.vec_id <> q.vec_id),
+    sc AS (
+      SELECT query_id, vec_id,
+        list_reduce(list(part ORDER BY m), (a, b) -> a + b)
+          / (min(qnorm) * min(rn.rnorm)) AS adc
+      FROM parts JOIN rn USING (vec_id)
+      GROUP BY query_id, vec_id),
+    sl AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY adc DESC, vec_id) AS srn
+        FROM sc) WHERE srn <= 50),
+    ex AS (
+      SELECT sl.query_id, sl.vec_id,
+        ${cosSql("q.emb", "c.emb", "q.norm", "c.norm")} AS cos
+      FROM sl
+      JOIN n q ON q.vec_id = sl.query_id
+      JOIN n c ON c.vec_id = sl.vec_id),
+    r AS (
+      SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cosine,
+        CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rnk
+      FROM ex)
+    SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5
+    ORDER BY query_id, rnk"""
+
+  /** Product-quantized top-5 with refinement ([[graft.operators.PqAdc]])
+    * — the memory-bounded ANN form: 8 four-bit codes (8 bytes) stand in
+    * for the 512-byte vector through the scan-heavy ADC stage, and only
+    * the 50-row-per-query shortlist's full vectors are read for the exact
+    * re-rank. Approximate in recall via the shortlist (sbt gates it
+    * against e02's exact answer), deterministic end to end, hash-exact
+    * under [[e12OracleSql]]. At deployment the ADC stage additionally
+    * sits behind an IVF cell prune; the registered full-scan form pins
+    * the semantics the pruned plan reuses. */
+  val e12KnnPqAdc = Q(
+    "e12_knn_pq_adc",
+    (s, dir) => {
+      val c = corpus(s, dir)
+      graft.operators.PqAdc
+        .search(c, c.filter(col("vec_id") < 8), k = 5)
+        .orderBy("query_id", "rnk")
+    },
+    Some(e12OracleSql))
+
   val all: Seq[Q] = Seq(
     e01EmbeddingNorms, e02KnnBrute, e03KnnLsh, e04KnnFused,
     e05EmbeddingNearDup, e06KnnIvf, e07EmbeddingQuantize,
     e08EmbeddingNearDupPruned, e09EmbeddingNearDupProduction,
-    e10KnnIvfScaled, e11KnnIvfStore, sd01SemanticDedup, sd02SemanticDedupIvf)
+    e10KnnIvfScaled, e11KnnIvfStore, e12KnnPqAdc,
+    sd01SemanticDedup, sd02SemanticDedupIvf)
 }
 
 /** Typed row for the fused-knn pipeline (top-level for Encoder derivation). */

@@ -33,52 +33,38 @@ import org.apache.spark.sql.functions._
   * DuckDB, and the e12 gate is hash-exact, not rows-only.
   *
   * Plan shape: encoding is a narrow map over the corpus scan (8×16
-  * codegen'd squared distances per row against broadcast-free literal
-  * codewords); scoring joins the code column against the broadcast query
-  * panel and ranks through the usual `row_number` window
-  * (`WindowGroupLimit` cuts top-k below the exchange). APPROXIMATE in
-  * recall by construction — the sbt suite gates recall against e02's
-  * exact answer — and at deployment scale the candidate stream would
-  * first pass an IVF cell prune ([[IvfAnn]]); the registered full-scan
-  * form pins the ADC semantics the pruned plan reuses.
+  * codegen'd squared distances per row against literal codewords);
+  * scoring joins the code columns against the broadcast query panel and
+  * ranks through the usual `row_number` window (`WindowGroupLimit` cuts
+  * the shortlist below the exchange). APPROXIMATE in recall by
+  * construction — the sbt suite gates recall against e02's exact answer.
+  * [[searchCells]] is the full deployed composition: an IVF cell prune
+  * in front of the ADC scan (IVFADC), so the pair stream is
+  * O(Q·nProbe·N/cells) code rows, not Q·N.
   */
 object PqAdc {
 
   private def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dot(a, b)
 
-  /** ADC shortlist + exact re-rank top-k (PQ with refinement — the form a
-    * deployment runs: the 8-byte codes cut the candidate stream to
-    * `shortlist` rows per query, and only those rows' full vectors are
-    * touched for the exact final ranking). `corpus` and `queries` are
-    * `(vec_id, emb, norm)` frames (emb array<double>). Codebooks seed
-    * from the `nCodewords` lowest corpus vec_ids. Returned cosines are
-    * EXACT (bit-identical to e02's) on the shortlist survivors; recall is
-    * bounded by the shortlist's, which the sbt suite gates. */
-  def search(corpus: DataFrame, queries: DataFrame, k: Int,
-      nSub: Int = 8, nCodewords: Int = 16, shortlist: Int = 50): DataFrame = {
-    require(k > 0 && nSub > 0 && nCodewords > 1, "k, nSub, nCodewords must be positive")
-    require(shortlist >= k, s"shortlist $shortlist must cover k $k")
-    // Model-sized driver collect (the IvfAnn/KMeans centroid bound): the
-    // seed rows ARE the codebook — nCodewords·dim doubles.
-    val seeds: Array[Array[Double]] = corpus
-      .filter(col("vec_id") < nCodewords).orderBy("vec_id")
-      .select("emb").collect().map(_.getSeq[Double](0).toArray)
-    require(seeds.length == nCodewords,
-      s"corpus must contain vec_ids 0..${nCodewords - 1} to seed codebooks, " +
-        s"found ${seeds.length}")
-    val dim = seeds.head.length
+  /** Driver-held codebooks (model-sized: nCodewords·dim doubles — the
+    * IvfAnn/KMeans centroid bound) plus the expression factory for codes,
+    * reconstruction norms and ADC scores, so the flat and IVF-pruned
+    * routes share one definition of the arithmetic. */
+  private final case class Model(seeds: Array[Array[Double]], nSub: Int,
+      nCodewords: Int) {
+    val dim: Int = seeds.head.length
     require(dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
-    val sub = dim / nSub
+    val sub: Int = dim / nSub
 
-    def cwLit(m: Int, kk: Int): Column =
+    private def cwLit(m: Int, kk: Int): Column =
       array(seeds(kk).slice(m * sub, (m + 1) * sub).map(lit).toSeq: _*)
-    def cbArr(m: Int): Column =
+    private def cbArr(m: Int): Column =
       array((0 until nCodewords).map(kk => cwLit(m, kk)): _*)
-    def subvec(c: Column, m: Int): Column = slice(c, m * sub + 1, sub)
+    private def subvec(c: Column, m: Int): Column = slice(c, m * sub + 1, sub)
 
-    // Encode: per subspace, argmin squared distance over the codeword
-    // literals; array_sort on (d, k) structs ties to the lower k.
-    val codeCols = (0 until nSub).map { m =>
+    /** Per subspace: argmin squared distance over the codeword literals;
+      * `array_sort` on (d, k) structs ties to the lower k. */
+    def codeCols: Seq[Column] = (0 until nSub).map { m =>
       val cands = array((0 until nCodewords).map { kk =>
         struct(
           KMeans.sqDist(subvec(col("emb"), m), cwLit(m, kk)).as("d"),
@@ -86,27 +72,40 @@ object PqAdc {
       }: _*)
       array_sort(cands).getItem(0).getField("k").as(s"_c$m")
     }
-    // Reconstructed norm — code-derived, left-to-right over subspaces.
-    val reconNorm = sqrt(
+
+    /** Reconstructed norm — code-derived, left-to-right over subspaces. */
+    def reconNorm: Column = sqrt(
       (0 until nSub).map { m =>
         graft.functions.VectorOps.sumSquares(
           element_at(cbArr(m), col(s"_c$m") + 1))
       }.reduce(_ + _))
-    val encoded = corpus
-      .select(col("vec_id") +: codeCols: _*)
-      .withColumn("rnorm", reconNorm)
 
-    val q = queries.select(
-      col("vec_id").as("query_id"), col("emb").as("qemb"), col("norm").as("qnorm"))
-    // ADC score: the query subvector dots the CHOSEN codeword per
-    // subspace; subspace partials sum left-to-right (m = 0..nSub-1).
-    val approxDot = (0 until nSub).map { m =>
-      dot(subvec(col("qemb"), m), element_at(cbArr(m), col(s"_c$m") + 1))
+    /** ADC dot: the query subvector dots the CHOSEN codeword per
+      * subspace; subspace partials sum left-to-right (m = 0..nSub-1). */
+    def approxDot(qemb: Column): Column = (0 until nSub).map { m =>
+      dot(subvec(qemb, m), element_at(cbArr(m), col(s"_c$m") + 1))
     }.reduce(_ + _)
-    val pairs = encoded.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("adc", approxDot / (col("qnorm") * col("rnorm")))
+  }
+
+  private def fit(corpus: DataFrame, nSub: Int, nCodewords: Int): Model = {
+    val seeds: Array[Array[Double]] = corpus
+      .filter(col("vec_id") < nCodewords).orderBy("vec_id")
+      .select("emb").collect().map(_.getSeq[Double](0).toArray)
+    require(seeds.length == nCodewords,
+      s"corpus must contain vec_ids 0..${nCodewords - 1} to seed codebooks, " +
+        s"found ${seeds.length}")
+    Model(seeds, nSub, nCodewords)
+  }
+
+  /** Shared tail: ADC-score the (already cell-pruned or full) candidate
+    * pairs, shortlist per query, exact-cosine re-rank top-k. `pairs`
+    * must carry (query_id, qemb, qnorm, vec_id, _c0.._cN, rnorm). */
+  private def refine(pairs: DataFrame, corpus: DataFrame, m: Model,
+      k: Int, shortlist: Int): DataFrame = {
+    val scored = pairs.withColumn("adc",
+      m.approxDot(col("qemb")) / (col("qnorm") * col("rnorm")))
     val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("vec_id"))
-    val short = pairs
+    val short = scored
       .withColumn("_srn", row_number().over(wAdc))
       .filter(col("_srn") <= shortlist)
       .select("query_id", "qemb", "qnorm", "vec_id")
@@ -121,5 +120,49 @@ object PqAdc {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(col("cos"), 6).as("cosine"), col("rnk"))
+  }
+
+  /** ADC shortlist + exact re-rank top-k over the FULL corpus (flat scan
+    * of the codes — e12). `corpus` and `queries` are `(vec_id, emb, norm)`
+    * frames (emb array<double>). Codebooks seed from the `nCodewords`
+    * lowest corpus vec_ids. Returned cosines are EXACT (bit-identical to
+    * e02's) on the shortlist survivors; recall is bounded by the
+    * shortlist's, which the sbt suite gates. */
+  def search(corpus: DataFrame, queries: DataFrame, k: Int,
+      nSub: Int = 8, nCodewords: Int = 16, shortlist: Int = 50): DataFrame = {
+    require(k > 0 && nSub > 0 && nCodewords > 1, "k, nSub, nCodewords must be positive")
+    require(shortlist >= k, s"shortlist $shortlist must cover k $k")
+    val m = fit(corpus, nSub, nCodewords)
+    val encoded = corpus
+      .select(col("vec_id") +: m.codeCols: _*)
+      .withColumn("rnorm", m.reconNorm)
+    val q = queries.select(
+      col("vec_id").as("query_id"), col("emb").as("qemb"), col("norm").as("qnorm"))
+    val pairs = encoded.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    refine(pairs, corpus, m, k, shortlist)
+  }
+
+  /** IVFADC — the deployed composition (e13): an IVF cell prune
+    * ([[IvfAnn.assignCells]]/[[IvfAnn.probeCells]], same tie-breaks as
+    * e06) in front of the ADC scan, so each query scores only the codes
+    * in its nProbe best cells: O(Q·nProbe·N/cells) pair rows instead of
+    * Q·N, with each pair an 8-byte code row, not a 512-byte vector. The
+    * same exact-cosine refinement re-ranks the shortlist. `centroids`
+    * is the model-sized `(cell_id, cemb, cnorm)` frame. */
+  def searchCells(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      nProbe: Int, k: Int, nSub: Int = 8, nCodewords: Int = 16,
+      shortlist: Int = 50): DataFrame = {
+    require(nProbe > 0 && k > 0 && shortlist >= k,
+      "nProbe and k must be positive; shortlist must cover k")
+    val m = fit(corpus, nSub, nCodewords)
+    val assigned = IvfAnn.assignCells(corpus, centroids)
+    val encoded = assigned
+      .select(col("vec_id") +: col("cell_id") +: m.codeCols: _*)
+      .withColumn("rnorm", m.reconNorm)
+    val probes = IvfAnn.probeCells(queries, centroids, nProbe)
+    val pairs = encoded.join(probes,
+      encoded("cell_id") === probes("cell_id") &&
+        col("vec_id") =!= col("query_id"))
+    refine(pairs, corpus, m, k, shortlist)
   }
 }

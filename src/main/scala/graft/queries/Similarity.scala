@@ -762,11 +762,113 @@ object Similarity {
     },
     Some(e12OracleSql))
 
+  /** e13's oracle — e06's IVF routing CTEs (flat 16-cell assignment ties
+    * HIGHER cell, 4-cell probing ties lower) composed with e12's PQ CTEs
+    * (codebooks, argmin encoding, recon norms, m-ordered ADC folds,
+    * shortlist, exact refinement), candidate set = probed-cell join. */
+  private val e13OracleSql: String =
+    s"""WITH n AS ($normalizedSql),
+    c AS (SELECT CAST(vec_id AS INT) AS cell_id, emb AS cemb, norm AS cnorm
+      FROM n WHERE vec_id < 16),
+    xc AS (
+      SELECT n.vec_id, n.emb, n.norm, c.cell_id,
+        ${cosSql("n.emb", "c.cemb", "n.norm", "c.cnorm")} AS cos
+      FROM n CROSS JOIN c),
+    asg AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT vec_id, cell_id, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, cell_id DESC) AS rn
+        FROM xc) WHERE rn = 1),
+    pr AS (
+      SELECT vec_id AS query_id, emb AS qemb, norm AS qnorm, cell_id FROM (
+        SELECT vec_id, emb, norm, cell_id, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, cell_id ASC) AS rn
+        FROM xc WHERE vec_id < 8) WHERE rn <= 4),
+    cb AS (
+      SELECT m.range AS m, CAST(s.vec_id AS INT) AS k,
+        s.emb[(m.range*8+1):((m.range+1)*8)] AS cw
+      FROM (SELECT vec_id, emb FROM n WHERE vec_id < 16) s
+      CROSS JOIN range(0, 8) m),
+    enc AS (
+      SELECT vec_id, m, k, cw FROM (
+        SELECT v.vec_id, cb.m, cb.k, cb.cw, row_number() OVER (
+          PARTITION BY v.vec_id, cb.m ORDER BY
+            list_reduce(list_transform(
+              list_zip(v.emb[(cb.m*8+1):((cb.m+1)*8)], cb.cw),
+              s -> (s[1]-s[2])*(s[1]-s[2])), (a, b) -> a + b) ASC,
+            cb.k ASC) AS rn
+        FROM n v CROSS JOIN cb) WHERE rn = 1),
+    rcn AS (
+      SELECT vec_id,
+        sqrt(list_reduce(list(sq ORDER BY m), (a, b) -> a + b)) AS rnorm
+      FROM (
+        SELECT vec_id, m,
+          list_reduce(list_transform(cw, x -> x * x), (a, b) -> a + b) AS sq
+        FROM enc)
+      GROUP BY vec_id),
+    cand AS (
+      SELECT pr.query_id, pr.qemb, pr.qnorm, a.vec_id
+      FROM pr JOIN asg a USING (cell_id)
+      WHERE a.vec_id <> pr.query_id),
+    parts AS (
+      SELECT cd.query_id, cd.vec_id, e.m, cd.qnorm,
+        list_reduce(list_transform(
+          list_zip(cd.qemb[(e.m*8+1):((e.m+1)*8)], e.cw),
+          s -> s[1] * s[2]), (a, b) -> a + b) AS part
+      FROM cand cd JOIN enc e ON e.vec_id = cd.vec_id),
+    sc AS (
+      SELECT query_id, vec_id,
+        list_reduce(list(part ORDER BY m), (a, b) -> a + b)
+          / (min(qnorm) * min(rcn.rnorm)) AS adc
+      FROM parts JOIN rcn USING (vec_id)
+      GROUP BY query_id, vec_id),
+    sl AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY adc DESC, vec_id) AS srn
+        FROM sc) WHERE srn <= 50),
+    ex AS (
+      SELECT sl.query_id, sl.vec_id,
+        ${cosSql("q.emb", "c2.emb", "q.norm", "c2.norm")} AS cos
+      FROM sl
+      JOIN n q ON q.vec_id = sl.query_id
+      JOIN n c2 ON c2.vec_id = sl.vec_id),
+    r AS (
+      SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cosine,
+        CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rnk
+      FROM ex)
+    SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5
+    ORDER BY query_id, rnk"""
+
+  /** IVFADC — the full deployed ANN composition
+    * ([[graft.operators.PqAdc.searchCells]]): e06's 16-cell IVF prune in
+    * front of e12's ADC code scan, then the exact refinement — each query
+    * scores only O(nProbe·N/cells) EIGHT-BYTE code rows and reads full
+    * vectors for just the 50-row shortlist. This is the architecture a
+    * 100 TB embedding lake actually serves: cell prune bounds the pair
+    * stream, PQ bounds the bytes per pair, refinement restores exact
+    * final cosines. Deterministic at every layer (e06's routing
+    * tie-breaks + e12's encoding tie-breaks), hash-exact under the
+    * composed [[e13OracleSql]]; sbt gates recall against e02. */
+  val e13KnnIvfPq = Q(
+    "e13_knn_ivfpq",
+    (s, dir) => {
+      val c = corpus(s, dir)
+      val centroids = c.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("cell_id"),
+          col("emb").as("cemb"), col("norm").as("cnorm"))
+      graft.operators.PqAdc
+        .searchCells(c, c.filter(col("vec_id") < 8), centroids, nProbe = 4, k = 5)
+        .orderBy("query_id", "rnk")
+    },
+    Some(e13OracleSql))
+
   val all: Seq[Q] = Seq(
     e01EmbeddingNorms, e02KnnBrute, e03KnnLsh, e04KnnFused,
     e05EmbeddingNearDup, e06KnnIvf, e07EmbeddingQuantize,
     e08EmbeddingNearDupPruned, e09EmbeddingNearDupProduction,
-    e10KnnIvfScaled, e11KnnIvfStore, e12KnnPqAdc,
+    e10KnnIvfScaled, e11KnnIvfStore, e12KnnPqAdc, e13KnnIvfPq,
     sd01SemanticDedup, sd02SemanticDedupIvf)
 }
 

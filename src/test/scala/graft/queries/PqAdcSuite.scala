@@ -52,6 +52,25 @@ class PqAdcSuite extends AnyFunSuite {
     assert(hits >= 24, s"PQ+refine recall too low: $hits/40")
   }
 
+  test("e13 IVFADC recall clears the floor and survivors carry exact cosines") {
+    val brute = bruteMap()
+    val ivfpq = Similarity.e13KnnIvfPq.run(spark, dir)
+      .select("query_id", "neighbor_id", "cosine", "rnk").collect()
+      .map { case Row(q: Long, n: Long, c: Double, r: Int) => (q, n, c, r) }
+    assert(ivfpq.length === 40)
+    ivfpq.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._4).sorted.toSeq === (1 to g.length))
+    }
+    ivfpq.foreach { case (q, n, c, _) =>
+      brute.get((q, n)).foreach(bc => assert(bc === c,
+        s"IVFADC refined cosine $c != brute $bc for ($q,$n)"))
+    }
+    // The cell prune stacks a second approximation on the PQ shortlist,
+    // so the floor sits at e10's bar (the IVF routing recall), not e12's.
+    val hits = ivfpq.count { case (q, n, _, _) => brute.contains((q, n)) }
+    assert(hits >= 10, s"IVFADC recall too low: $hits/40")
+  }
+
   test("shortlist bounds the refinement: shortlist = k degrades to pure ADC order") {
     val c = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))

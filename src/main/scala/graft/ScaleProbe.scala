@@ -242,6 +242,21 @@ object ScaleProbe {
       graft.operators.IvfAnn.searchTwoLevel(d, d.filter(queryPick), cents,
         coarseProbe = 4, nProbe = 4, k = 5)
     }
+    // IVFADC (e13): fixed 64-cell prune + PQ code scan + refinement. Same
+    // candidate-set constant as knn_ivf; measures that swapping the
+    // per-pair arithmetic from a 64-dim exact cosine to an 8-lookup ADC
+    // (plus the |Q|·shortlist refinement reads) keeps the curve — the
+    // byte-shrink itself only shows at memory scale, not wall at this SF.
+    def knnIvfPq(d0: DataFrame): DataFrame = {
+      val d = withNorm(d0)
+      val w0 = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+      val cents = d.orderBy("vec_id").limit(64)
+        .select((row_number().over(w0) - 1).as("cell_id"),
+          col("emb").as("cemb"), col("norm").as("cnorm"))
+      graft.operators.PqAdc.searchCellsSeeded(
+        d, d.filter(queryPick), cents, d.orderBy("vec_id").limit(16),
+        nProbe = 4, k = 5)
+    }
 
     val docAmp = amplifyDocs _
     val rowAmp = amplify _
@@ -266,7 +281,8 @@ object ScaleProbe {
       ("signlsh_hi", signlshNeardupHi _, emb, amplifyVecs _),
       ("knn_brute", knnBrute _, emb, amplifyVecs _),
       ("knn_ivf", knnIvf _, emb, amplifyVecs _),
-      ("knn_ivf_2l", knnIvf2l _, emb, amplifyVecs _))
+      ("knn_ivf_2l", knnIvf2l _, emb, amplifyVecs _),
+      ("knn_ivfpq", knnIvfPq _, emb, amplifyVecs _))
     val wanted = args.drop(2).toSet
     val unknown = wanted -- allShapes.map(_._1).toSet
     // Reject rather than skip: a silently-dropped typo reads as "that

@@ -87,13 +87,17 @@ object PqAdc {
     }.reduce(_ + _)
   }
 
-  private def fit(corpus: DataFrame, nSub: Int, nCodewords: Int): Model = {
-    val seeds: Array[Array[Double]] = corpus
-      .filter(col("vec_id") < nCodewords).orderBy("vec_id")
+  private def fit(corpus: DataFrame, nSub: Int, nCodewords: Int): Model =
+    fitFrom(corpus.filter(col("vec_id") < nCodewords), nSub, nCodewords)
+
+  /** Codebooks from an explicit seed frame (callers over re-keyed data —
+    * e.g. ScaleProbe's replicated ids — can't satisfy the dense-low-id
+    * seeding the default route assumes). Rows are taken in vec_id order. */
+  private def fitFrom(seedRows: DataFrame, nSub: Int, nCodewords: Int): Model = {
+    val seeds: Array[Array[Double]] = seedRows.orderBy("vec_id")
       .select("emb").collect().map(_.getSeq[Double](0).toArray)
     require(seeds.length == nCodewords,
-      s"corpus must contain vec_ids 0..${nCodewords - 1} to seed codebooks, " +
-        s"found ${seeds.length}")
+      s"expected exactly $nCodewords codebook seed rows, found ${seeds.length}")
     Model(seeds, nSub, nCodewords)
   }
 
@@ -151,10 +155,19 @@ object PqAdc {
     * is the model-sized `(cell_id, cemb, cnorm)` frame. */
   def searchCells(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       nProbe: Int, k: Int, nSub: Int = 8, nCodewords: Int = 16,
-      shortlist: Int = 50): DataFrame = {
+      shortlist: Int = 50): DataFrame =
+    searchCellsSeeded(corpus, queries, centroids,
+      corpus.filter(col("vec_id") < nCodewords), nProbe, k, nSub, nCodewords,
+      shortlist)
+
+  /** [[searchCells]] with an explicit codebook seed frame — for corpora
+    * whose ids aren't dense from 0 (ScaleProbe's replicated data). */
+  def searchCellsSeeded(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, seedRows: DataFrame, nProbe: Int, k: Int,
+      nSub: Int = 8, nCodewords: Int = 16, shortlist: Int = 50): DataFrame = {
     require(nProbe > 0 && k > 0 && shortlist >= k,
       "nProbe and k must be positive; shortlist must cover k")
-    val m = fit(corpus, nSub, nCodewords)
+    val m = fitFrom(seedRows, nSub, nCodewords)
     val assigned = IvfAnn.assignCells(corpus, centroids)
     val encoded = assigned
       .select(col("vec_id") +: col("cell_id") +: m.codeCols: _*)

@@ -278,6 +278,36 @@ object MinHashLsh {
     s.catalog.refreshTable(s"$storeDb.corpus_bands")
   }
 
+  /** The full crawl-loop body: SCREEN the micro-batch against everything
+    * ingested so far ([[nearDupAgainstStore]] — O(|batch|) hashing, the
+    * corpus side read from the store), append the verified pairs to
+    * `pairsTable` (the screening log a curation pipeline consumes), then
+    * [[appendToStore]] the batch so later slices screen against it.
+    * Screen-before-append means a document never pairs with itself and
+    * each cross-batch pair is recorded exactly once, on the later batch;
+    * intra-batch duplicates are deliberately out of scope here (run
+    * [[nearDupPairs]] on the slice if needed). Same cross-session cache
+    * contract as [[appendToStore]]. */
+  def screenAndIngest(storeDb: String, pairsTable: String, idCol: String,
+      textCol: String, p: Params)(batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val pairs = nearDupAgainstStore(
+      batch,
+      s.table(s"$storeDb.corpus_shingles"),
+      s.table(s"$storeDb.corpus_bands"),
+      idCol, textCol, p)
+      .withColumn("batch_nr", lit(batchId))
+    pairs.write.mode("append").saveAsTable(s"$storeDb.$pairsTable")
+    s.catalog.refreshTable(s"$storeDb.$pairsTable")
+    // Release the probe's batch-shingle cache ([[nearDupAgainstStore]]'s
+    // caller-releases contract): a long-running stream would otherwise
+    // pin one frame per micro-batch. The pairs write above fully consumed
+    // it, and the engine's operators only persist within operator scope,
+    // so the global clear matches the Bench/Verify per-query discipline.
+    s.catalog.clearCache()
+    appendToStore(storeDb, idCol, textCol, p)(batch, batchId)
+  }
+
   def nearDupAgainstStore(batch: DataFrame, corpusShingles: DataFrame,
       corpusBands: DataFrame, idCol: String, textCol: String,
       p: Params = Params()): DataFrame = {

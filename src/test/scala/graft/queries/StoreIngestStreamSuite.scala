@@ -79,4 +79,42 @@ class StoreIngestStreamSuite extends AnyFunSuite {
       spark, Tables.documents(spark, SparkTestSession.sfDir)
         .filter(org.apache.spark.sql.functions.col("doc_id") % 7 =!= 0))
   }
+
+  test("screen-and-ingest loop: each slice screens against prior slices, " +
+    "then joins the corpus") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    NearDup.buildCorpusStore(
+      spark, Tables.documents(spark, SparkTestSession.sfDir).limit(0))
+    spark.sql(s"DROP TABLE IF EXISTS ${NearDup.storeDb}.screen_pairs")
+
+    val textA = "one shared crawl document text that will recur across slices"
+    val input = MemoryStream[StreamDoc]
+    val q = input.toDF().writeStream
+      .foreachBatch(MinHashLsh.screenAndIngest(
+        NearDup.storeDb, "screen_pairs", "doc_id", "text", NearDup.P) _)
+      .start()
+    try {
+      // Slice 1: nothing ingested yet — screening must log no pairs.
+      input.addData(StreamDoc(10L, textA),
+        StreamDoc(11L, "some unrelated filler document about window functions"))
+      q.processAllAvailable()
+      spark.catalog.refreshTable(s"${NearDup.storeDb}.screen_pairs")
+      assert(spark.table(s"${NearDup.storeDb}.screen_pairs").count() === 0L,
+        "first slice screened against an empty store must log nothing")
+      // Slice 2: re-crawls doc 10's text — the screen must catch it
+      // against the slice-1 corpus BEFORE ingesting slice 2.
+      input.addData(StreamDoc(20L, textA))
+      q.processAllAvailable()
+      spark.catalog.refreshTable(s"${NearDup.storeDb}.screen_pairs")
+      val logged = spark.table(s"${NearDup.storeDb}.screen_pairs")
+        .select("batch_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(logged === Set((20L, 10L)),
+        s"expected exactly the cross-slice pair (20,10), got $logged")
+    } finally q.stop()
+    NearDup.buildCorpusStore(
+      spark, Tables.documents(spark, SparkTestSession.sfDir)
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 7 =!= 0))
+  }
 }

@@ -168,14 +168,48 @@ object PqAdc {
     require(nProbe > 0 && k > 0 && shortlist >= k,
       "nProbe and k must be positive; shortlist must cover k")
     val m = fitFrom(seedRows, nSub, nCodewords)
-    val assigned = IvfAnn.assignCells(corpus, centroids)
-    val encoded = assigned
+    val encoded = encodeAssigned(corpus, centroids, m)
+    probeEncoded(encoded, corpus, queries, centroids, m, nProbe, k, shortlist)
+  }
+
+  /** The encoded index frame a deployment PERSISTS (the e14 registration):
+    * `(vec_id, cell_id, _c0.._cN, rnorm)` — cell routing + PQ codes +
+    * reconstructed norm, the complete N-proportional state of an IVFADC
+    * index at ~12 bytes of payload per vector. */
+  def encodeIndex(corpus: DataFrame, centroids: DataFrame, seedRows: DataFrame,
+      nSub: Int = 8, nCodewords: Int = 16): DataFrame =
+    encodeAssigned(corpus, centroids, fitFrom(seedRows, nSub, nCodewords))
+
+  /** IVFADC against a PERSISTED code table: `codes` is a stored
+    * [[encodeIndex]] frame (bucketed by cell_id — the probe join's key),
+    * `seedRows` the stored codebook seeds, `vectors` the full-vector
+    * frame the refinement reads (|Q|·shortlist rows — the only full
+    * vectors touched). Only the query rows are routed; the corpus is
+    * never re-scanned, re-assigned or re-encoded at probe time.
+    * Identical answer to [[searchCells]] over the same inputs (the e14
+    * gate). */
+  def searchStored(codes: DataFrame, vectors: DataFrame, queries: DataFrame,
+      centroids: DataFrame, seedRows: DataFrame, nProbe: Int, k: Int,
+      nSub: Int = 8, nCodewords: Int = 16, shortlist: Int = 50): DataFrame = {
+    require(nProbe > 0 && k > 0 && shortlist >= k,
+      "nProbe and k must be positive; shortlist must cover k")
+    val m = fitFrom(seedRows, nSub, nCodewords)
+    probeEncoded(codes, vectors, queries, centroids, m, nProbe, k, shortlist)
+  }
+
+  private def encodeAssigned(corpus: DataFrame, centroids: DataFrame,
+      m: Model): DataFrame =
+    IvfAnn.assignCells(corpus, centroids)
       .select(col("vec_id") +: col("cell_id") +: m.codeCols: _*)
       .withColumn("rnorm", m.reconNorm)
+
+  private def probeEncoded(encoded: DataFrame, vectors: DataFrame,
+      queries: DataFrame, centroids: DataFrame, m: Model, nProbe: Int,
+      k: Int, shortlist: Int): DataFrame = {
     val probes = IvfAnn.probeCells(queries, centroids, nProbe)
     val pairs = encoded.join(probes,
       encoded("cell_id") === probes("cell_id") &&
         col("vec_id") =!= col("query_id"))
-    refine(pairs, corpus, m, k, shortlist)
+    refine(pairs, vectors, m, k, shortlist)
   }
 }

@@ -864,12 +864,81 @@ object Similarity {
     },
     Some(e13OracleSql))
 
+  /** Provision the persisted IVFADC index (e14): the [[graft.operators.PqAdc.encodeIndex]]
+    * frame — cell routing + PQ codes + reconstructed norm, ~12 payload
+    * bytes per vector — as an external catalog table bucketed by cell_id
+    * (the probe join's key), next to the model-sized centroid and
+    * codebook-seed tables. Same external/drop-and-rebuild/per-process-path
+    * discipline as [[buildIvfStore]]. */
+  private[queries] def buildPqStore(
+      s: SparkSession, c: DataFrame, centroids: DataFrame,
+      seedRows: DataFrame): Unit = {
+    new graft.catalog.CatalogAutomation(s, graft.catalog.CatalogProfile.Builtin())
+      .ensureDatabase(NearDup.storeDb)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_pq_store_" +
+      ProcessHandle.current().pid()
+    def rmrf(dir: String): Unit = {
+      val p = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => java.nio.file.Files.delete(q))
+    }
+    Seq("pq_centroids", "pq_seeds", "pq_codes").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS ${NearDup.storeDb}.$t")
+      rmrf(s"$base/$t")
+    }
+    centroids.write.mode("overwrite")
+      .option("path", s"$base/pq_centroids")
+      .saveAsTable(s"${NearDup.storeDb}.pq_centroids")
+    seedRows.select("vec_id", "emb").write.mode("overwrite")
+      .option("path", s"$base/pq_seeds")
+      .saveAsTable(s"${NearDup.storeDb}.pq_seeds")
+    graft.operators.PqAdc.encodeIndex(c, centroids, seedRows)
+      .write.mode("overwrite")
+      .option("path", s"$base/pq_codes")
+      .bucketBy(16, "cell_id").sortBy("cell_id")
+      .saveAsTable(s"${NearDup.storeDb}.pq_codes")
+    Seq("pq_centroids", "pq_seeds", "pq_codes").foreach { t =>
+      s.catalog.refreshByPath(s"$base/$t")
+    }
+  }
+
+  /** IVFADC against the PERSISTED code table
+    * ([[graft.operators.PqAdc.searchStored]]) — e13's search with the
+    * index held the way a deployment holds it: routing + codes + recon
+    * norms read from the cell_id-bucketed catalog table, codebooks from
+    * the stored seed table, and the corpus's full vectors touched ONLY by
+    * the |Q|·shortlist refinement reads. The corpus is never re-assigned
+    * or re-encoded at probe time (sbt PqStoreSuite: emptied code table ⇒
+    * empty answer; parity with inline e13). Build + probe timed together,
+    * as every store registration here is (n08/e11 discipline). Same
+    * centroids, codebooks and tie-breaks as e13 ⇒ identical answer,
+    * oracle'd by the same composed SQL. */
+  val e14KnnIvfPqStore = Q(
+    "e14_knn_ivfpq_store",
+    (s, dir) => {
+      val c = corpus(s, dir)
+      val centroids = c.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("cell_id"),
+          col("emb").as("cemb"), col("norm").as("cnorm"))
+      buildPqStore(s, c, centroids, c.filter(col("vec_id") < 16))
+      graft.operators.PqAdc.searchStored(
+        s.table(s"${NearDup.storeDb}.pq_codes"),
+        c,
+        c.filter(col("vec_id") < 8),
+        s.table(s"${NearDup.storeDb}.pq_centroids"),
+        s.table(s"${NearDup.storeDb}.pq_seeds"),
+        nProbe = 4, k = 5)
+        .orderBy("query_id", "rnk")
+    },
+    Some(e13OracleSql))
+
   val all: Seq[Q] = Seq(
     e01EmbeddingNorms, e02KnnBrute, e03KnnLsh, e04KnnFused,
     e05EmbeddingNearDup, e06KnnIvf, e07EmbeddingQuantize,
     e08EmbeddingNearDupPruned, e09EmbeddingNearDupProduction,
     e10KnnIvfScaled, e11KnnIvfStore, e12KnnPqAdc, e13KnnIvfPq,
-    sd01SemanticDedup, sd02SemanticDedupIvf)
+    e14KnnIvfPqStore, sd01SemanticDedup, sd02SemanticDedupIvf)
 }
 
 /** Typed row for the fused-knn pipeline (top-level for Encoder derivation). */

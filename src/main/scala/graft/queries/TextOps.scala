@@ -830,12 +830,19 @@ object TextOps {
   /** The d18 pipeline body over an arbitrary `(doc_id, text)` frame —
     * shared with [[graft.ScaleProbe]] so the scaling probe times exactly
     * the registered plan. */
-  def dupSpanCoverage(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val k = 5
-    val t = docs.select(
+  /** Tokenized `(doc_id, toks)` frame — d18/d19's shared tokenizer. */
+  private def spanToks(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(
       col("doc_id"),
       split(trim(lower(col("text"))), """\s+""").as("toks"))
+
+  /** Maximal cross-doc duplicated-span intervals in 1-based token
+    * positions: `(doc_id, island, start, end, nw)` — the single
+    * definition both d18 (coverage arithmetic) and d19 (span removal)
+    * consume, so score and cut can never disagree on what a span is. */
+  private def dupSpanIslands(t: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // The exploded positional-window frame feeds two consumers (the df
     // aggregate and the join-back) — materialize once, d14's discipline.
     val wins = t
@@ -857,17 +864,25 @@ object TextOps {
     // Windows [p, p+k-1] and [q, q+k-1] belong to one contiguous duplicated
     // span iff q − p ≤ k (overlap or exact adjacency); a larger gap leaves
     // uncovered tokens between them and starts a new island. The running
-    // sum of break flags numbers the islands; span length is then pure
-    // interval arithmetic per island. First row: lag is NULL, NULL > k is
+    // sum of break flags numbers the islands; the interval is then pure
+    // min/max arithmetic per island. First row: lag is NULL, NULL > k is
     // NULL, `when` falls to otherwise(0) — the first island starts at 0.
-    val isl = dw
+    dw
       .withColumn("brk",
         when(col("pos") - lag("pos", 1).over(byPos) > k, 1).otherwise(0))
       .withColumn("island", sum(col("brk")).over(byPos))
       .groupBy(col("doc_id"), col("island"))
       .agg(
-        (max("pos") - min("pos") + k).cast("long").as("len"),
+        min("pos").cast("long").as("start"),
+        (max("pos") + k - 1).cast("long").as("end"),
         count(lit(1)).as("nw"))
+  }
+
+  def dupSpanCoverage(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val k = 5
+    val t = spanToks(docs)
+    val isl = dupSpanIslands(t, k)
+      .withColumn("len", col("end") - col("start") + 1)
     val agg = isl.groupBy("doc_id")
       .agg(
         sum(col("nw")).as("n_dup_windows"),
@@ -940,10 +955,94 @@ object TextOps {
     FROM t LEFT JOIN agg USING (doc_id)
     ORDER BY doc_id"""))
 
+  /** The d19 pipeline body: CUT the duplicated spans d18 scores — drop
+    * every token inside a maximal cross-doc duplicated-span interval and
+    * re-emit the cleaned document (Lee et al. 2022's substring-level
+    * dedup, the operation that beats whole-doc dropping on partially
+    * duplicated crawl text). Islands come from [[dupSpanIslands]] — the
+    * SAME definition d18 aggregates — so `removed_tokens` here equals
+    * d18's `covered_tokens` by construction (asserted in the sbt suite).
+    * The cut itself is doc-local: the island set collects to a per-doc
+    * sorted interval array (bounded by the doc's own span count), and a
+    * positional `filter` + `exists` lambda keeps tokens outside every
+    * interval — no second shuffle after the islands are known. */
+  def dupSpanRemoval(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val k = 5
+    val t = spanToks(docs)
+    val spans = dupSpanIslands(t, k)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("start"), col("end")))).as("spans"))
+    t.join(spans, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("spans").isNull, col("toks")).otherwise(
+          filter(col("toks"), (_, i) =>
+            !exists(col("spans"), sp =>
+              (i + 1) >= sp.getField("start") && (i + 1) <= sp.getField("end")))))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("kept_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("removed_tokens"),
+        array_join(col("kept"), " ").as("cleaned_text"))
+  }
+
+  /** Duplicated-span REMOVAL — the cut d18's coverage score motivates:
+    * tokens inside maximal cross-doc duplicated 5-gram spans are dropped
+    * and the cleaned text re-emitted. Oracle replays the island CTEs and
+    * rebuilds the kept token run with an anti-join on covered positions. */
+  val d19DupSpanRemoval = Q(
+    "d19_dup_span_removal",
+    (s, dir) => dupSpanRemoval(Tables.documents(s, dir)).orderBy("doc_id"),
+    Some("""WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents),
+    w AS (
+      SELECT doc_id, pos, array_to_string(toks[pos:pos+4], chr(32)) AS gram
+      FROM (SELECT doc_id, toks,
+              unnest(range(1, greatest(length(toks) - 4, 0) + 1)) AS pos
+            FROM t)),
+    dg AS (SELECT gram FROM w GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+    dw AS (SELECT w.doc_id, w.pos FROM w JOIN dg USING (gram)),
+    i1 AS (
+      SELECT doc_id, pos,
+        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+          THEN 1 ELSE 0 END AS brk
+      FROM dw),
+    i2 AS (
+      SELECT doc_id, pos,
+        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM i1),
+    isl AS (
+      SELECT doc_id, island, min(pos) AS s, max(pos) + 4 AS e
+      FROM i2 GROUP BY doc_id, island),
+    tokv AS (
+      SELECT doc_id, unnest(range(1, length(toks) + 1)) AS p, toks
+      FROM t),
+    tok2 AS (SELECT doc_id, p, toks[p] AS tk FROM tokv),
+    rem AS (
+      SELECT DISTINCT tv.doc_id, tv.p
+      FROM tok2 tv JOIN isl ON isl.doc_id = tv.doc_id
+        AND tv.p BETWEEN isl.s AND isl.e),
+    keptl AS (
+      SELECT tv.doc_id,
+        string_agg(tv.tk, chr(32) ORDER BY tv.p) AS cleaned,
+        count(*) AS kept
+      FROM tok2 tv
+      LEFT JOIN rem ON rem.doc_id = tv.doc_id AND rem.p = tv.p
+      WHERE rem.p IS NULL
+      GROUP BY tv.doc_id)
+    SELECT t.doc_id,
+      CAST(length(toks) AS BIGINT) AS n_tokens,
+      CAST(coalesce(keptl.kept, 0) AS BIGINT) AS kept_tokens,
+      CAST(length(toks) - coalesce(keptl.kept, 0) AS BIGINT) AS removed_tokens,
+      coalesce(keptl.cleaned, '') AS cleaned_text
+    FROM t LEFT JOIN keptl USING (doc_id)
+    ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     d01DedupExact, d02TextStats, d03TokenCounts, d04QualityScore,
     d05LangId, d06Fingerprint, d07TokenFreq, d08PiiScrub, d09DatasetSplit,
     d10Contamination, d11Repetition, d12BigramVocab, d13ContaminationLsh,
     d14RepeatedNgrams, d15DsirImportance, d16BloomContamination,
-    d17ContaminationCapped, d18DupSpans)
+    d17ContaminationCapped, d18DupSpans, d19DupSpanRemoval)
 }

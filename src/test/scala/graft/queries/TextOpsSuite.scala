@@ -211,4 +211,36 @@ class TextOpsSuite extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("d19 span removal: hand-computed cuts, and removed == d18's covered") {
+    // Same planted corpus as the d18 test: doc 1/2 lose positions 1–6,
+    // doc 3 keeps everything (within-doc repeat is not cross-doc dup),
+    // doc 4 loses two 5-token islands (pos 1–5 and 12–16).
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f x y"),
+      (3L, "z z z z z z"),
+      (4L, "a b c d e 1 2 3 4 5 6 a b c d e")).toDF("doc_id", "text")
+    val got = TextOps.dupSpanRemoval(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    assert(got === Seq(
+      (1L, 8L, 2L, 6L, "g h"),
+      (2L, 8L, 2L, 6L, "x y"),
+      (3L, 6L, 6L, 0L, "z z z z z z"),
+      (4L, 16L, 6L, 10L, "1 2 3 4 5 6")))
+    // Score/cut consistency on the real fixture: d19's removed_tokens
+    // must equal d18's covered_tokens doc-for-doc — one island
+    // definition feeding both (the refactor this guards).
+    val covered = TextOps.dupSpanCoverage(
+        Tables.documents(spark, SparkTestSession.sfDir))
+      .select("doc_id", "covered_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val removed = TextOps.dupSpanRemoval(
+        Tables.documents(spark, SparkTestSession.sfDir))
+      .select("doc_id", "removed_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(removed === covered)
+    assert(removed.values.sum > 0L, "fixture has planted dups; removal must cut something")
+  }
 }

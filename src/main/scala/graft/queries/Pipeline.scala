@@ -578,9 +578,74 @@ object Pipeline {
       FROM h WHERE u < p_incl
       ORDER BY doc_id"""))
 
+  /** Temperature-based mixture sampling (α-sampling, the multilingual
+    * training-mix knob: sample languages with probability ∝ p_l^α,
+    * α = 0.5, so low-resource languages are upsampled relative to the
+    * crawl distribution without x01's hard equal-share target). The
+    * per-language acceptance rate is p_l = min(1, T·q_l / tok_l) with
+    * q_l = √tok_l / Σ√tok_m and T a 30%-of-corpus token budget — between
+    * as-crawled (α=1) and x01's uniform (α=0).
+    *
+    * Same 100 TB shape as x01: one narrow token-count pass, a
+    * |languages|-row aggregate, broadcast back, row-local hash coin — the
+    * corpus never shuffles. Determinism detail: √tok_l is exact IEEE
+    * (correctly-rounded sqrt of an exact integer-valued double), and the
+    * Σ√tok_m denominator folds in SORTED LANGUAGE ORDER over the
+    * model-sized collected list (`array_sort` + `aggregate`) — a plain
+    * relational SUM of doubles has nondeterministic addend order and
+    * could hash-diverge from the oracle's `list(s ORDER BY lang)` fold. */
+  val x02TemperatureSample = Q(
+    "x02_temperature_sample",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      val perLang = docs.groupBy("lang")
+        .agg(sum(col("n_tokens")).as("lang_tokens"))
+        .withColumn("s", sqrt(col("lang_tokens").cast("double")))
+      val totals = perLang.agg(
+        sum(col("lang_tokens")).as("total_tokens"),
+        aggregate(
+          array_sort(collect_list(struct(col("lang"), col("s")))),
+          lit(0.0), (acc, x) => acc + x.getField("s")).as("denom"))
+      docs
+        .join(broadcast(perLang), "lang")
+        .crossJoin(broadcast(totals))
+        .withColumn("u", hashUniform(col("doc_id")))
+        .withColumn("p_incl",
+          least(lit(1.0),
+            lit(0.3) * col("total_tokens") * col("s") / col("denom")
+              / col("lang_tokens")))
+        .filter(col("u") < col("p_incl"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          round(col("p_incl"), 6).as("p_incl"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH d AS (
+        SELECT doc_id, lang,
+          CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+            AS n_tokens
+        FROM documents),
+      per_lang AS (
+        SELECT lang, sum(n_tokens) AS lang_tokens,
+          sqrt(CAST(sum(n_tokens) AS DOUBLE)) AS sq
+        FROM d GROUP BY lang),
+      tot AS (
+        SELECT sum(lang_tokens) AS total_tokens,
+          list_reduce(list(sq ORDER BY lang), (a, b) -> a + b) AS denom
+        FROM per_lang),
+      h AS (
+        SELECT d.doc_id, d.lang, d.n_tokens,
+          ${Pipeline.hashUniformSql("d.doc_id")} AS u,
+          least(1.0, 0.3 * total_tokens * sq / denom / lang_tokens) AS p_incl
+        FROM d JOIN per_lang USING (lang), tot)
+      SELECT doc_id, lang, n_tokens, round(p_incl, 6) AS p_incl
+      FROM h WHERE u < p_incl
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     c01DocChunks, c02TfidfTopTerms, c03Bm25TopTerms, c04UnigramXent,
     p01SequencePacking, p02CurationFunnel, s01StratifiedSample,
-    s02WeightedSample, x01MixtureRebalance,
+    s02WeightedSample, x01MixtureRebalance, x02TemperatureSample,
     k01KmeansAssign, k02KmeansClusters, k03ClusterDiverseSample)
 }

@@ -105,4 +105,40 @@ class PipelineSuite extends AnyFunSuite {
     // the corpus never gains documents
     assert(got.length <= docs.length)
   }
+
+  test("x02 temperature sampling: per-language p constant, inversely " +
+    "ordered by size, softer than x01's uniform target") {
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+      .as[(Long, String, Long)].collect()
+    val perLang = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+
+    val got = Pipeline.x02TemperatureSample.run(spark, dir)
+      .select($"doc_id", $"lang", $"n_tokens", $"p_incl")
+      .as[(Long, String, Long, Double)].collect()
+
+    // p is a per-language constant…
+    val pByLang = got.groupBy(_._2).view.mapValues(_.map(_._4).distinct).toMap
+    pByLang.foreach { case (lang, ps) =>
+      assert(ps.length === 1, s"$lang acceptance not constant: $ps")
+    }
+    // …and for unclamped languages p ∝ 1/√tok: strictly higher acceptance
+    // for smaller languages (the α-sampling upsample property).
+    val unclamped = pByLang.collect {
+      case (lang, ps) if ps.head < 1.0 => lang -> ps.head
+    }.toSeq
+    unclamped.combinations(2).foreach { case Seq((la, pa), (lb, pb)) =>
+      if (perLang(la) < perLang(lb)) assert(pa >= pb, s"$la/$lb violate 1/sqrt order")
+      else if (perLang(lb) < perLang(la)) assert(pb >= pa, s"$la/$lb violate 1/sqrt order")
+    }
+    // Softer than x01: the expected sampled token mass per language,
+    // tok_l·p_l, must NOT be equalized across the unclamped languages —
+    // bigger languages keep a bigger (√-proportional) share.
+    if (unclamped.length >= 2) {
+      val masses = unclamped.map { case (l, p) => perLang(l) * p }
+      assert(masses.max / masses.min > 1.01,
+        s"alpha=0.5 should not equalize masses like x01: $masses")
+    }
+  }
 }

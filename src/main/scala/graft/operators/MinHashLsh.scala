@@ -238,6 +238,72 @@ object MinHashLsh {
     * so an appended file can never carry a mismatched bucket spec. */
   val StoreBuckets = 16
 
+  /** Stamp of the one-shot bulk store build ([[graft.queries.NearDup.buildCorpusStore]]):
+    * `batch_nr` below any streaming batchId (those start at 0), a fixed
+    * attempt token. */
+  val BulkBatchNr: Long = -1L
+  val BulkAttempt: String = "bulk"
+
+  private def commitsTable(storeDb: String): String = s"$storeDb.ingest_commits"
+
+  /** The committed `(batch_nr, attempt)` markers of a signature store —
+    * the visibility ledger of [[appendToStore]]'s exactly-once protocol.
+    * Every store row carries the (batch_nr, attempt) it was written
+    * under; a row is VISIBLE iff its marker is here. The table is tiny
+    * (one row per committed micro-batch), so [[committedOnly]]'s
+    * semi-join broadcasts. Empty frame if the store predates its first
+    * commit. */
+  def committedBatches(s: org.apache.spark.sql.SparkSession, storeDb: String): DataFrame =
+    if (s.catalog.tableExists(commitsTable(storeDb))) s.table(commitsTable(storeDb))
+    else s.range(0).select(col("id").as("batch_nr"), lit("").as("attempt"))
+
+  private def isCommitted(s: org.apache.spark.sql.SparkSession, storeDb: String,
+      batchId: Long): Boolean =
+    s.catalog.tableExists(commitsTable(storeDb)) &&
+      !s.table(commitsTable(storeDb)).filter(col("batch_nr") === batchId).isEmpty
+
+  /** Restrict a stamped store frame to committed rows. Broadcast
+    * left-semi on the model-sized ledger: preserves the store side's
+    * (bucketed) output partitioning, so probe joins planned on top stay
+    * shuffle-free. Rows from a failed attempt (crash between the data
+    * append and the commit marker) have an attempt id no marker ever
+    * names — invisible forever; compaction reclaims the bytes. */
+  def committedOnly(store: DataFrame, commits: DataFrame): DataFrame =
+    store.join(broadcast(commits.select("batch_nr", "attempt")),
+      Seq("batch_nr", "attempt"), "left_semi")
+
+  /** One ingest attempt's writes: stamped shingle + band appends, then —
+    * as the LAST action, the commit point — the ledger marker. Append-mode
+    * `saveAsTable` resolves columns by name and writes new bucketed files
+    * under the table's existing location with the SAME bucket spec
+    * ([[StoreBuckets]]), so probe joins stay shuffle-free on the store
+    * side; the refreshes drop the writing session's FileStatusCache
+    * entries (the n08 store-build lesson). */
+  private def writeAttempt(s: org.apache.spark.sql.SparkSession, storeDb: String,
+      sh: DataFrame, p: Params, batchId: Long, attempt: String): Unit = {
+    def stamp(df: DataFrame): DataFrame =
+      df.withColumn("batch_nr", lit(batchId)).withColumn("attempt", lit(attempt))
+    stamp(sh).write.mode("append")
+      .bucketBy(StoreBuckets, "id").sortBy("id")
+      .saveAsTable(s"$storeDb.corpus_shingles")
+    stamp(bandFrame(signaturesFromShingles(sh, p), p))
+      .write.mode("append")
+      .bucketBy(StoreBuckets, "band_idx", "band_hash").sortBy("band_idx", "band_hash")
+      .saveAsTable(s"$storeDb.corpus_bands")
+    writeCommit(s, storeDb, batchId, attempt)
+    s.catalog.refreshTable(s"$storeDb.corpus_shingles")
+    s.catalog.refreshTable(s"$storeDb.corpus_bands")
+  }
+
+  /** Append the ledger marker that makes an attempt's rows visible. */
+  private[graft] def writeCommit(s: org.apache.spark.sql.SparkSession,
+      storeDb: String, batchId: Long, attempt: String): Unit = {
+    import s.implicits._
+    Seq((batchId, attempt)).toDF("batch_nr", "attempt")
+      .write.mode("append").saveAsTable(commitsTable(storeDb))
+    s.catalog.refreshTable(commitsTable(storeDb))
+  }
+
   /** Streaming ingest of the signature store: append ONE micro-batch of
     * documents to existing store tables (the n08 layout — `(id, shingles)`
     * bucketed by id, `(id, band_idx, band_hash)` bucketed by the band
@@ -248,65 +314,83 @@ object MinHashLsh {
     * loop between the streaming slice and the dedup store (a crawl
     * pipeline screens each slice against the store, then appends it).
     *
-    * Append-mode `saveAsTable` writes new bucketed files under the
-    * table's existing location with the SAME bucket spec ([[StoreBuckets]]),
-    * so probe joins stay shuffle-free on the store side; the refreshes
-    * drop the writing session's FileStatusCache entries (the n08
-    * store-build lesson). NOTE the cache is PER-SESSION: foreachBatch
-    * hands this function a cloned micro-batch session, so a probe planned
-    * from any OTHER session (including the stream's parent) must
-    * `refreshTable` in its own session first — standard Spark semantics
-    * for a file table another writer appends to, asserted in
-    * StoreIngestStreamSuite. Work per batch is O(|batch|) tokenize+hash —
-    * the corpus is never re-read. */
+    * IDEMPOTENT under foreachBatch's at-least-once delivery: a batchId
+    * already in the commit ledger no-ops (restart replays the last batch
+    * with the same id), and a replay of a PARTIALLY-failed attempt
+    * (shingles appended, bands or marker write lost) re-runs under a
+    * fresh attempt id while the dead attempt's rows stay invisible to
+    * every [[committedOnly]] reader — the marker append is the single
+    * commit point, so the store's visible state moves atomically per
+    * batch.
+    *
+    * NOTE the FileStatusCache is PER-SESSION: foreachBatch hands this
+    * function a cloned micro-batch session, so a probe planned from any
+    * OTHER session (including the stream's parent) must `refreshTable`
+    * in its own session first — standard Spark semantics for a file
+    * table another writer appends to, asserted in StoreIngestStreamSuite.
+    * Work per batch is O(|batch|) tokenize+hash — the corpus is never
+    * re-read. */
   def appendToStore(storeDb: String, idCol: String, textCol: String,
       p: Params)(batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
+    if (isCommitted(s, storeDb, batchId)) return
+    val sh = batch
+      .select(col(idCol).as("id"), shingles(col(textCol), p.shingleSize).as("shingles"))
+      .persist()
+    try writeAttempt(s, storeDb, sh, p, batchId,
+      java.util.UUID.randomUUID().toString)
+    finally sh.unpersist()
+  }
+
+  /** The full crawl-loop body: SCREEN the micro-batch against everything
+    * COMMITTED so far ([[nearDupAgainstStore]] over [[committedOnly]]
+    * views — O(|batch|) hashing, the corpus side read from the store),
+    * append the verified pairs to `pairsTable` (the screening log a
+    * curation pipeline consumes), then ingest the batch so later slices
+    * screen against it. Screen-before-append means a document never pairs
+    * with itself and each cross-batch pair is recorded exactly once, on
+    * the later batch; intra-batch duplicates are deliberately out of
+    * scope here (run [[nearDupPairs]] on the slice if needed).
+    *
+    * Same idempotency protocol as [[appendToStore]] — the pairs log rows
+    * carry the attempt stamp and the SAME end-of-attempt marker commits
+    * pairs + shingles + bands together, so a replayed batch can neither
+    * double-log its pairs nor screen against its own half-ingested copy
+    * (the dead attempt's store rows are not in any committed view).
+    * Consumers read the log through [[committedPairs]].
+    *
+    * The batch is tokenized ONCE: one persisted shingle frame feeds the
+    * screen's signature probe, its verify join, and the store append,
+    * and is unpersisted here — scoped release, not a global
+    * `clearCache()` that would evict unrelated frames in the shared
+    * CacheManager (SharedState-wide, not per-session). */
+  def screenAndIngest(storeDb: String, pairsTable: String, idCol: String,
+      textCol: String, p: Params)(batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    if (isCommitted(s, storeDb, batchId)) return
+    val attempt = java.util.UUID.randomUUID().toString
+    val commits = committedBatches(s, storeDb)
     val sh = batch
       .select(col(idCol).as("id"), shingles(col(textCol), p.shingleSize).as("shingles"))
       .persist()
     try {
-      sh.write.mode("append")
-        .bucketBy(StoreBuckets, "id").sortBy("id")
-        .saveAsTable(s"$storeDb.corpus_shingles")
-      bandFrame(signaturesFromShingles(sh, p), p)
-        .write.mode("append")
-        .bucketBy(StoreBuckets, "band_idx", "band_hash").sortBy("band_idx", "band_hash")
-        .saveAsTable(s"$storeDb.corpus_bands")
+      val pairs = nearDupShinglesAgainstStore(
+        sh,
+        committedOnly(s.table(s"$storeDb.corpus_shingles"), commits),
+        committedOnly(s.table(s"$storeDb.corpus_bands"), commits),
+        p)
+        .withColumn("batch_nr", lit(batchId)).withColumn("attempt", lit(attempt))
+      pairs.write.mode("append").saveAsTable(s"$storeDb.$pairsTable")
+      s.catalog.refreshTable(s"$storeDb.$pairsTable")
+      writeAttempt(s, storeDb, sh, p, batchId, attempt)
     } finally sh.unpersist()
-    s.catalog.refreshTable(s"$storeDb.corpus_shingles")
-    s.catalog.refreshTable(s"$storeDb.corpus_bands")
   }
 
-  /** The full crawl-loop body: SCREEN the micro-batch against everything
-    * ingested so far ([[nearDupAgainstStore]] — O(|batch|) hashing, the
-    * corpus side read from the store), append the verified pairs to
-    * `pairsTable` (the screening log a curation pipeline consumes), then
-    * [[appendToStore]] the batch so later slices screen against it.
-    * Screen-before-append means a document never pairs with itself and
-    * each cross-batch pair is recorded exactly once, on the later batch;
-    * intra-batch duplicates are deliberately out of scope here (run
-    * [[nearDupPairs]] on the slice if needed). Same cross-session cache
-    * contract as [[appendToStore]]. */
-  def screenAndIngest(storeDb: String, pairsTable: String, idCol: String,
-      textCol: String, p: Params)(batch: DataFrame, batchId: Long): Unit = {
-    val s = batch.sparkSession
-    val pairs = nearDupAgainstStore(
-      batch,
-      s.table(s"$storeDb.corpus_shingles"),
-      s.table(s"$storeDb.corpus_bands"),
-      idCol, textCol, p)
-      .withColumn("batch_nr", lit(batchId))
-    pairs.write.mode("append").saveAsTable(s"$storeDb.$pairsTable")
-    s.catalog.refreshTable(s"$storeDb.$pairsTable")
-    // Release the probe's batch-shingle cache ([[nearDupAgainstStore]]'s
-    // caller-releases contract): a long-running stream would otherwise
-    // pin one frame per micro-batch. The pairs write above fully consumed
-    // it, and the engine's operators only persist within operator scope,
-    // so the global clear matches the Bench/Verify per-query discipline.
-    s.catalog.clearCache()
-    appendToStore(storeDb, idCol, textCol, p)(batch, batchId)
-  }
+  /** The committed view of a [[screenAndIngest]] pairs log — replay-safe
+    * reader (uncommitted attempts' rows filtered by the ledger). */
+  def committedPairs(s: org.apache.spark.sql.SparkSession, storeDb: String,
+      pairsTable: String): DataFrame =
+    committedOnly(s.table(s"$storeDb.$pairsTable"), committedBatches(s, storeDb))
 
   def nearDupAgainstStore(batch: DataFrame, corpusShingles: DataFrame,
       corpusBands: DataFrame, idCol: String, textCol: String,
@@ -314,6 +398,14 @@ object MinHashLsh {
     val shB = batch
       .select(col(idCol).as("id"), shingles(col(textCol), p.shingleSize).as("shingles"))
       .persist()
+    nearDupShinglesAgainstStore(shB, corpusShingles, corpusBands, p)
+  }
+
+  /** [[nearDupAgainstStore]] over a prebuilt (persisted) batch-shingle
+    * frame — the caller owns the frame's lifecycle, so a streaming loop
+    * can share one frame across screen + ingest and release exactly it. */
+  def nearDupShinglesAgainstStore(shB: DataFrame, corpusShingles: DataFrame,
+      corpusBands: DataFrame, p: Params): DataFrame = {
     val candidates = bandFrame(signaturesFromShingles(shB, p), p).as("x")
       .join(corpusBands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&

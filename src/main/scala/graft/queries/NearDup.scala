@@ -310,22 +310,30 @@ object NearDup {
     }
     s.sql(s"DROP TABLE IF EXISTS $storeDb.corpus_shingles")
     s.sql(s"DROP TABLE IF EXISTS $storeDb.corpus_bands")
+    s.sql(s"DROP TABLE IF EXISTS $storeDb.ingest_commits")
     rmrf(s"$base/corpus_shingles")
     rmrf(s"$base/corpus_bands")
+    // The bulk rows carry the ingest-ledger stamp columns so streaming
+    // appends (MinHashLsh.appendToStore, by-name schema match) can land in
+    // the same tables, and committed-view readers see the bulk build.
+    def stamp(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.withColumn("batch_nr", lit(MinHashLsh.BulkBatchNr))
+        .withColumn("attempt", lit(MinHashLsh.BulkAttempt))
     val sh = corpus
       .select(col("doc_id").as("id"),
         MinHashLsh.shingles(col("text"), P.shingleSize).as("shingles"))
       .persist()
     try {
-      sh.write.mode("overwrite")
+      stamp(sh).write.mode("overwrite")
         .option("path", s"$base/corpus_shingles")
         .bucketBy(MinHashLsh.StoreBuckets, "id").sortBy("id")
         .saveAsTable(s"$storeDb.corpus_shingles")
-      MinHashLsh.bandFrame(MinHashLsh.signaturesFromShingles(sh, P), P)
+      stamp(MinHashLsh.bandFrame(MinHashLsh.signaturesFromShingles(sh, P), P))
         .write.mode("overwrite")
         .option("path", s"$base/corpus_bands")
         .bucketBy(MinHashLsh.StoreBuckets, "band_idx", "band_hash").sortBy("band_idx", "band_hash")
         .saveAsTable(s"$storeDb.corpus_bands")
+      MinHashLsh.writeCommit(s, storeDb, MinHashLsh.BulkBatchNr, MinHashLsh.BulkAttempt)
     } finally sh.unpersist()
     s.catalog.refreshByPath(s"$base/corpus_shingles")
     s.catalog.refreshByPath(s"$base/corpus_bands")

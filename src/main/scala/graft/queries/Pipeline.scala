@@ -572,7 +572,8 @@ object Pipeline {
       h AS (
         SELECT d.doc_id, d.lang, d.n_tokens,
           ${Pipeline.hashUniformSql("d.doc_id")} AS u,
-          least(1.0, 0.3 * total_tokens / n_langs / lang_tokens) AS p_incl
+          least(1.0, CAST(0.3 AS DOUBLE) * total_tokens / n_langs / lang_tokens)
+            AS p_incl
         FROM d JOIN per_lang USING (lang), tot)
       SELECT doc_id, lang, n_tokens, round(p_incl, 6) AS p_incl
       FROM h WHERE u < p_incl
@@ -637,7 +638,8 @@ object Pipeline {
       h AS (
         SELECT d.doc_id, d.lang, d.n_tokens,
           ${Pipeline.hashUniformSql("d.doc_id")} AS u,
-          least(1.0, 0.3 * total_tokens * sq / denom / lang_tokens) AS p_incl
+          least(1.0, CAST(0.3 AS DOUBLE) * total_tokens * sq / denom / lang_tokens)
+            AS p_incl
         FROM d JOIN per_lang USING (lang), tot)
       SELECT doc_id, lang, n_tokens, round(p_incl, 6) AS p_incl
       FROM h WHERE u < p_incl

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
@@ -113,6 +114,95 @@ class StoreIngestStreamSuite extends AnyFunSuite {
       assert(logged === Set((20L, 10L)),
         s"expected exactly the cross-slice pair (20,10), got $logged")
     } finally q.stop()
+    NearDup.buildCorpusStore(
+      spark, Tables.documents(spark, SparkTestSession.sfDir)
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 7 =!= 0))
+  }
+
+  test("replayed batchId no-ops: appendToStore and screenAndIngest are " +
+    "idempotent under at-least-once delivery") {
+    import spark.implicits._
+    NearDup.buildCorpusStore(
+      spark, Tables.documents(spark, SparkTestSession.sfDir).limit(0))
+    spark.sql(s"DROP TABLE IF EXISTS ${NearDup.storeDb}.replay_pairs")
+
+    val textA = "a crawl document replayed by the streaming engine after restart"
+    val slice = Seq((1L, textA)).toDF("doc_id", "text")
+    // First delivery ingests; the replay (same batchId — exactly what a
+    // restarted stream re-delivers) must change nothing.
+    MinHashLsh.appendToStore(NearDup.storeDb, "doc_id", "text", NearDup.P)(slice, 0L)
+    def counts(): (Long, Long) = {
+      spark.catalog.refreshTable(s"${NearDup.storeDb}.corpus_bands")
+      spark.catalog.refreshTable(s"${NearDup.storeDb}.corpus_shingles")
+      (spark.table(s"${NearDup.storeDb}.corpus_shingles").count(),
+        spark.table(s"${NearDup.storeDb}.corpus_bands").count())
+    }
+    val afterFirst = counts()
+    assert(afterFirst._1 > 0L)
+    MinHashLsh.appendToStore(NearDup.storeDb, "doc_id", "text", NearDup.P)(slice, 0L)
+    assert(counts() === afterFirst, "replayed appendToStore duplicated store rows")
+
+    // screenAndIngest replay: batch 1 duplicates the stored doc — exactly
+    // one pair logged no matter how many times batch 1 is delivered.
+    val dup = Seq((2L, textA)).toDF("doc_id", "text")
+    val screen = MinHashLsh.screenAndIngest(
+      NearDup.storeDb, "replay_pairs", "doc_id", "text", NearDup.P) _
+    screen(dup, 1L)
+    screen(dup, 1L)
+    val pairs = MinHashLsh.committedPairs(spark, NearDup.storeDb, "replay_pairs")
+      .select("batch_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs === Seq((2L, 1L)),
+      s"replayed screenAndIngest must log the cross-batch pair exactly once, got $pairs")
+    NearDup.buildCorpusStore(
+      spark, Tables.documents(spark, SparkTestSession.sfDir)
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 7 =!= 0))
+  }
+
+  test("a failed attempt's rows stay invisible: no self-pairs, no duplicate " +
+    "store rows after the successful replay") {
+    import spark.implicits._
+    NearDup.buildCorpusStore(
+      spark, Tables.documents(spark, SparkTestSession.sfDir).limit(0))
+    spark.sql(s"DROP TABLE IF EXISTS ${NearDup.storeDb}.crash_pairs")
+
+    val textA = "the partially ingested slice that crashed before its commit marker"
+    val slice = Seq((5L, textA)).toDF("doc_id", "text")
+    // Simulate the partial-failure window ADVICE flagged: shingles AND
+    // bands appended under an attempt whose commit marker never landed
+    // (crash between the data append and the ledger write).
+    val deadStamp = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("batch_nr", org.apache.spark.sql.functions.lit(7L))
+        .withColumn("attempt", org.apache.spark.sql.functions.lit("dead-attempt"))
+    val sh = slice.select(col("doc_id").as("id"),
+      MinHashLsh.shingles(col("text"), NearDup.P.shingleSize).as("shingles"))
+    deadStamp(sh).write.mode("append")
+      .bucketBy(MinHashLsh.StoreBuckets, "id").sortBy("id")
+      .saveAsTable(s"${NearDup.storeDb}.corpus_shingles")
+    deadStamp(MinHashLsh.bandFrame(
+        MinHashLsh.signaturesFromShingles(sh, NearDup.P), NearDup.P))
+      .write.mode("append")
+      .bucketBy(MinHashLsh.StoreBuckets, "band_idx", "band_hash")
+      .sortBy("band_idx", "band_hash")
+      .saveAsTable(s"${NearDup.storeDb}.corpus_bands")
+    spark.catalog.refreshTable(s"${NearDup.storeDb}.corpus_shingles")
+    spark.catalog.refreshTable(s"${NearDup.storeDb}.corpus_bands")
+
+    // The replay re-delivers batch 7. If the dead attempt's rows were
+    // visible, doc 5 would screen against its own half-ingested copy and
+    // log a self-pair — the exact bug the ledger prevents.
+    MinHashLsh.screenAndIngest(
+      NearDup.storeDb, "crash_pairs", "doc_id", "text", NearDup.P)(slice, 7L)
+    val pairs = MinHashLsh.committedPairs(spark, NearDup.storeDb, "crash_pairs").count()
+    assert(pairs === 0L, "replayed batch screened against its own dead-attempt copy")
+    // Committed view holds exactly ONE copy of doc 5's shingles (the
+    // replay's); the dead attempt's row is permanently invisible.
+    spark.catalog.refreshTable(s"${NearDup.storeDb}.corpus_shingles")
+    val visible = MinHashLsh.committedOnly(
+      spark.table(s"${NearDup.storeDb}.corpus_shingles"),
+      MinHashLsh.committedBatches(spark, NearDup.storeDb))
+      .filter(col("id") === 5L).count()
+    assert(visible === 1L, s"expected exactly one committed copy of doc 5, got $visible")
     NearDup.buildCorpusStore(
       spark, Tables.documents(spark, SparkTestSession.sfDir)
         .filter(org.apache.spark.sql.functions.col("doc_id") % 7 =!= 0))

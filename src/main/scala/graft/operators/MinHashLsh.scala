@@ -238,39 +238,26 @@ object MinHashLsh {
     * so an appended file can never carry a mismatched bucket spec. */
   val StoreBuckets = 16
 
-  /** Stamp of the one-shot bulk store build ([[graft.queries.NearDup.buildCorpusStore]]):
-    * `batch_nr` below any streaming batchId (those start at 0), a fixed
-    * attempt token. */
-  val BulkBatchNr: Long = -1L
-  val BulkAttempt: String = "bulk"
+  /** Stamp of the one-shot bulk store build ([[graft.queries.NearDup.buildCorpusStore]]). */
+  val BulkBatchNr: Long = IngestLedger.BulkBatchNr
+  val BulkAttempt: String = IngestLedger.BulkAttempt
 
-  private def commitsTable(storeDb: String): String = s"$storeDb.ingest_commits"
+  /** The signature store's commit ledger ([[IngestLedger]] — protocol
+    * documented there; shared with the IVFADC store's
+    * [[PqAdc.appendToPqStore]]). */
+  private def ledger(storeDb: String): IngestLedger =
+    IngestLedger(storeDb, "ingest_commits")
 
-  /** The committed `(batch_nr, attempt)` markers of a signature store —
-    * the visibility ledger of [[appendToStore]]'s exactly-once protocol.
-    * Every store row carries the (batch_nr, attempt) it was written
-    * under; a row is VISIBLE iff its marker is here. The table is tiny
-    * (one row per committed micro-batch), so [[committedOnly]]'s
-    * semi-join broadcasts. Empty frame if the store predates its first
-    * commit. */
+  /** The committed `(batch_nr, attempt)` markers of a signature store. */
   def committedBatches(s: org.apache.spark.sql.SparkSession, storeDb: String): DataFrame =
-    if (s.catalog.tableExists(commitsTable(storeDb))) s.table(commitsTable(storeDb))
-    else s.range(0).select(col("id").as("batch_nr"), lit("").as("attempt"))
+    ledger(storeDb).committed(s)
 
   private def isCommitted(s: org.apache.spark.sql.SparkSession, storeDb: String,
-      batchId: Long): Boolean =
-    s.catalog.tableExists(commitsTable(storeDb)) &&
-      !s.table(commitsTable(storeDb)).filter(col("batch_nr") === batchId).isEmpty
+      batchId: Long): Boolean = ledger(storeDb).isCommitted(s, batchId)
 
-  /** Restrict a stamped store frame to committed rows. Broadcast
-    * left-semi on the model-sized ledger: preserves the store side's
-    * (bucketed) output partitioning, so probe joins planned on top stay
-    * shuffle-free. Rows from a failed attempt (crash between the data
-    * append and the commit marker) have an attempt id no marker ever
-    * names — invisible forever; compaction reclaims the bytes. */
+  /** Restrict a stamped store frame to committed rows ([[IngestLedger.visible]]). */
   def committedOnly(store: DataFrame, commits: DataFrame): DataFrame =
-    store.join(broadcast(commits.select("batch_nr", "attempt")),
-      Seq("batch_nr", "attempt"), "left_semi")
+    IngestLedger.visible(store, commits)
 
   /** One ingest attempt's writes: stamped shingle + band appends, then —
     * as the LAST action, the commit point — the ledger marker. Append-mode
@@ -281,28 +268,23 @@ object MinHashLsh {
     * entries (the n08 store-build lesson). */
   private def writeAttempt(s: org.apache.spark.sql.SparkSession, storeDb: String,
       sh: DataFrame, p: Params, batchId: Long, attempt: String): Unit = {
-    def stamp(df: DataFrame): DataFrame =
-      df.withColumn("batch_nr", lit(batchId)).withColumn("attempt", lit(attempt))
-    stamp(sh).write.mode("append")
+    val led = ledger(storeDb)
+    led.stamp(sh, batchId, attempt).write.mode("append")
       .bucketBy(StoreBuckets, "id").sortBy("id")
       .saveAsTable(s"$storeDb.corpus_shingles")
-    stamp(bandFrame(signaturesFromShingles(sh, p), p))
+    led.stamp(bandFrame(signaturesFromShingles(sh, p), p), batchId, attempt)
       .write.mode("append")
       .bucketBy(StoreBuckets, "band_idx", "band_hash").sortBy("band_idx", "band_hash")
       .saveAsTable(s"$storeDb.corpus_bands")
-    writeCommit(s, storeDb, batchId, attempt)
+    led.commit(s, batchId, attempt)
     s.catalog.refreshTable(s"$storeDb.corpus_shingles")
     s.catalog.refreshTable(s"$storeDb.corpus_bands")
   }
 
   /** Append the ledger marker that makes an attempt's rows visible. */
   private[graft] def writeCommit(s: org.apache.spark.sql.SparkSession,
-      storeDb: String, batchId: Long, attempt: String): Unit = {
-    import s.implicits._
-    Seq((batchId, attempt)).toDF("batch_nr", "attempt")
-      .write.mode("append").saveAsTable(commitsTable(storeDb))
-    s.catalog.refreshTable(commitsTable(storeDb))
-  }
+      storeDb: String, batchId: Long, attempt: String): Unit =
+    ledger(storeDb).commit(s, batchId, attempt)
 
   /** Streaming ingest of the signature store: append ONE micro-batch of
     * documents to existing store tables (the n08 layout — `(id, shingles)`
@@ -337,8 +319,7 @@ object MinHashLsh {
     val sh = batch
       .select(col(idCol).as("id"), shingles(col(textCol), p.shingleSize).as("shingles"))
       .persist()
-    try writeAttempt(s, storeDb, sh, p, batchId,
-      java.util.UUID.randomUUID().toString)
+    try writeAttempt(s, storeDb, sh, p, batchId, IngestLedger.newAttempt())
     finally sh.unpersist()
   }
 
@@ -368,7 +349,7 @@ object MinHashLsh {
       textCol: String, p: Params)(batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     if (isCommitted(s, storeDb, batchId)) return
-    val attempt = java.util.UUID.randomUUID().toString
+    val attempt = IngestLedger.newAttempt()
     val commits = committedBatches(s, storeDb)
     val sh = batch
       .select(col(idCol).as("id"), shingles(col(textCol), p.shingleSize).as("shingles"))

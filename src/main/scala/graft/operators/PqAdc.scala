@@ -203,6 +203,105 @@ object PqAdc {
       .select(col("vec_id") +: col("cell_id") +: m.codeCols: _*)
       .withColumn("rnorm", m.reconNorm)
 
+  /** Bucket count of the persisted code table (the e14 layout) — one
+    * definition shared by the bulk build and the streaming append so an
+    * appended file can never carry a mismatched bucket spec. */
+  val StoreBuckets = 16
+
+  /** The IVFADC store's commit ledger — same exactly-once protocol as the
+    * signature store's ([[IngestLedger]]); a separate ledger table because
+    * each stream numbers its own batchIds from 0. */
+  private[graft] def ledger(storeDb: String): IngestLedger =
+    IngestLedger(storeDb, "pq_ingest_commits")
+
+  /** Streaming ingest of the persisted IVFADC index: route + encode ONE
+    * micro-batch of `(vec_id, emb)` vectors against the STORED centroids
+    * and codebook seeds and append the resulting codes to the
+    * cell_id-bucketed `pq_codes` table — the `foreachBatch` body that
+    * keeps an e14-style store current as the corpus grows, without ever
+    * re-scanning, re-assigning or re-encoding what is already stored
+    * (work per batch is O(|batch|·cells) routing + O(|batch|) encoding).
+    * Partially apply the first parameter list and hand the rest to
+    * `writeStream.foreachBatch`.
+    *
+    * Same bucket-spec discipline as the signature store ([[StoreBuckets]]
+    * matches [[graft.queries.Similarity]]'s bulk build, so probe joins
+    * stay shuffle-free over appended files), same per-session
+    * FileStatusCache contract (readers in OTHER sessions `refreshTable`
+    * before planning), and the same [[IngestLedger]] idempotency: a
+    * committed batchId no-ops on at-least-once re-delivery, and a replay
+    * of a partially-failed attempt strands the dead rows outside every
+    * [[storedCodes]] view.
+    *
+    * DRIFT ACCOUNTING: the stored centroids and codebooks are FROZEN at
+    * build time while the corpus grows — cell routing and PQ encoding
+    * quality decay as the data distribution moves. Each batch therefore
+    * logs `(cell_id, n_assigned, mean_centroid_cos)` to `pq_drift`
+    * (ledger-stamped like the codes); [[driftReport]] aggregates the
+    * per-batch curve a deployment watches to schedule a centroid
+    * re-train + index rebuild (falling mean assignment cosine = stale
+    * centroids; a hot cell's n_assigned growing superlinearly = skewed
+    * routing). */
+  def appendToPqStore(storeDb: String, nSub: Int = 8, nCodewords: Int = 16)
+      (batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val led = ledger(storeDb)
+    if (led.isCommitted(s, batchId)) return
+    val attempt = IngestLedger.newAttempt()
+    val centroids = s.table(s"$storeDb.pq_centroids")
+    val m = fitFrom(s.table(s"$storeDb.pq_seeds"), nSub, nCodewords)
+    // Norms computed here (same fold as every corpus loader) so callers
+    // stream raw (vec_id, emb) rows. Persisted: the encode and the drift
+    // pass both read it, and the batch is micro-batch-sized.
+    val b = batch.select(col("vec_id"), col("emb"))
+      .withColumn("norm", sqrt(graft.functions.VectorOps.sumSquares(col("emb"))))
+      .persist()
+    try {
+      led.stamp(encodeAssigned(b, centroids, m), batchId, attempt)
+        .write.mode("append")
+        .bucketBy(StoreBuckets, "cell_id").sortBy("cell_id")
+        .saveAsTable(s"$storeDb.pq_codes")
+      led.stamp(cellDrift(b, centroids), batchId, attempt)
+        .write.mode("append").saveAsTable(s"$storeDb.pq_drift")
+      led.commit(s, batchId, attempt)
+    } finally b.unpersist()
+    s.catalog.refreshTable(s"$storeDb.pq_codes")
+    s.catalog.refreshTable(s"$storeDb.pq_drift")
+  }
+
+  /** Per-cell routing quality of a vector frame against a centroid table:
+    * `(cell_id, n_assigned, mean_centroid_cos)` — the drift signal both
+    * the bulk build (baseline) and each streamed batch log. */
+  private[graft] def cellDrift(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    vectors.crossJoin(broadcast(centroids))
+      .withColumn("cos",
+        dot(col("emb"), col("cemb")) / (col("norm") * col("cnorm")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos"), col("cell_id"))).as("_m"))
+      .select(col("_m.cell_id").as("cell_id"), col("_m.cos").as("cos"))
+      .groupBy("cell_id")
+      .agg(count(lit(1)).as("n_assigned"), avg("cos").as("mean_centroid_cos"))
+
+  /** The committed view of the stored code table — what [[searchStored]]
+    * probes after streaming appends (replay-safe: a dead attempt's rows
+    * never surface). */
+  def storedCodes(s: org.apache.spark.sql.SparkSession, storeDb: String): DataFrame =
+    ledger(storeDb).committedOnly(s, s.table(s"$storeDb.pq_codes"))
+
+  /** Per-batch centroid-drift curve: `(batch_nr, n_vectors,
+    * mean_centroid_cos)`, count-weighted across cells, committed attempts
+    * only. The bulk build is batch_nr −1; a deployment alerts when the
+    * streamed batches' mean assignment cosine falls away from the bulk
+    * baseline. */
+  def driftReport(s: org.apache.spark.sql.SparkSession, storeDb: String): DataFrame =
+    ledger(storeDb).committedOnly(s, s.table(s"$storeDb.pq_drift"))
+      .groupBy("batch_nr")
+      .agg(
+        sum("n_assigned").as("n_vectors"),
+        (sum(col("mean_centroid_cos") * col("n_assigned")) / sum("n_assigned"))
+          .as("mean_centroid_cos"))
+      .orderBy("batch_nr")
+
   private def probeEncoded(encoded: DataFrame, vectors: DataFrame,
       queries: DataFrame, centroids: DataFrame, m: Model, nProbe: Int,
       k: Int, shortlist: Int): DataFrame = {

@@ -887,17 +887,30 @@ object Similarity {
       s.sql(s"DROP TABLE IF EXISTS ${NearDup.storeDb}.$t")
       rmrf(s"$base/$t")
     }
+    // Ledger + drift are managed tables: dropped and re-seeded with the
+    // bulk stamp so streaming appends (PqAdc.appendToPqStore) land in the
+    // same tables and committed-view readers see the bulk build.
+    s.sql(s"DROP TABLE IF EXISTS ${NearDup.storeDb}.pq_drift")
+    s.sql(s"DROP TABLE IF EXISTS ${NearDup.storeDb}.pq_ingest_commits")
+    val led = graft.operators.PqAdc.ledger(NearDup.storeDb)
+    import graft.operators.IngestLedger.{BulkAttempt, BulkBatchNr}
     centroids.write.mode("overwrite")
       .option("path", s"$base/pq_centroids")
       .saveAsTable(s"${NearDup.storeDb}.pq_centroids")
     seedRows.select("vec_id", "emb").write.mode("overwrite")
       .option("path", s"$base/pq_seeds")
       .saveAsTable(s"${NearDup.storeDb}.pq_seeds")
-    graft.operators.PqAdc.encodeIndex(c, centroids, seedRows)
+    led.stamp(graft.operators.PqAdc.encodeIndex(c, centroids, seedRows),
+        BulkBatchNr, BulkAttempt)
       .write.mode("overwrite")
       .option("path", s"$base/pq_codes")
-      .bucketBy(16, "cell_id").sortBy("cell_id")
+      .bucketBy(graft.operators.PqAdc.StoreBuckets, "cell_id").sortBy("cell_id")
       .saveAsTable(s"${NearDup.storeDb}.pq_codes")
+    // Bulk drift baseline: the build-time routing quality every streamed
+    // batch's mean_centroid_cos is compared against (PqAdc.driftReport).
+    led.stamp(graft.operators.PqAdc.cellDrift(c, centroids), BulkBatchNr, BulkAttempt)
+      .write.mode("append").saveAsTable(s"${NearDup.storeDb}.pq_drift")
+    led.commit(s, BulkBatchNr, BulkAttempt)
     Seq("pq_centroids", "pq_seeds", "pq_codes").foreach { t =>
       s.catalog.refreshByPath(s"$base/$t")
     }
@@ -933,12 +946,55 @@ object Similarity {
     },
     Some(e13OracleSql))
 
+  /** IVFADC against a STREAMED-INTO store — the incremental-maintenance
+    * form of e14: the bulk build covers only two thirds of the corpus
+    * (vec_id % 3 ≠ 0), and the remaining third arrives as two
+    * `foreachBatch` deliveries of [[graft.operators.PqAdc.appendToPqStore]]
+    * — each routed + encoded against the STORED centroids/codebooks and
+    * appended to the cell_id-bucketed code table — with the second batch
+    * REPLAYED (at-least-once delivery) to prove the ledger no-op inside
+    * the gated query itself. The probe reads the committed code view
+    * ([[graft.operators.PqAdc.storedCodes]]).
+    *
+    * Centroids and codebook seeds come from the FULL corpus's 16 lowest
+    * vec_ids (the frozen model both the bulk build and every append
+    * share), so bulk ∪ batch₀ ∪ batch₁ carries exactly the code set e13
+    * encodes inline — identical answer, same composed oracle. Batch
+    * splits are deterministic id arithmetic (% 3, % 2), pushed to the
+    * scan. */
+  val e15KnnIvfPqStreamed = Q(
+    "e15_knn_ivfpq_streamed",
+    (s, dir) => {
+      val c = corpus(s, dir)
+      val centroids = c.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("cell_id"),
+          col("emb").as("cemb"), col("norm").as("cnorm"))
+      buildPqStore(s, c.filter(col("vec_id") % 3 =!= 0), centroids,
+        c.filter(col("vec_id") < 16))
+      val append = graft.operators.PqAdc.appendToPqStore(NearDup.storeDb) _
+      val streamed = c.filter(col("vec_id") % 3 === 0).select("vec_id", "emb")
+      append(streamed.filter(col("vec_id") % 2 === 0), 0L)
+      append(streamed.filter(col("vec_id") % 2 =!= 0), 1L)
+      // At-least-once re-delivery of the last batch: must no-op.
+      append(streamed.filter(col("vec_id") % 2 =!= 0), 1L)
+      graft.operators.PqAdc.searchStored(
+        graft.operators.PqAdc.storedCodes(s, NearDup.storeDb),
+        c,
+        c.filter(col("vec_id") < 8),
+        s.table(s"${NearDup.storeDb}.pq_centroids"),
+        s.table(s"${NearDup.storeDb}.pq_seeds"),
+        nProbe = 4, k = 5)
+        .orderBy("query_id", "rnk")
+    },
+    Some(e13OracleSql))
+
   val all: Seq[Q] = Seq(
     e01EmbeddingNorms, e02KnnBrute, e03KnnLsh, e04KnnFused,
     e05EmbeddingNearDup, e06KnnIvf, e07EmbeddingQuantize,
     e08EmbeddingNearDupPruned, e09EmbeddingNearDupProduction,
     e10KnnIvfScaled, e11KnnIvfStore, e12KnnPqAdc, e13KnnIvfPq,
-    e14KnnIvfPqStore, sd01SemanticDedup, sd02SemanticDedupIvf)
+    e14KnnIvfPqStore, e15KnnIvfPqStreamed, sd01SemanticDedup,
+    sd02SemanticDedupIvf)
 }
 
 /** Typed row for the fused-knn pipeline (top-level for Encoder derivation). */

@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.catalog.{CatalogAutomation, CatalogProfile}
+import graft.operators.MinHashLsh
+
+/** Small-file compaction of the streamed-into signature store
+  * ([[CatalogAutomation.compactTable]]): after a run of micro-batch
+  * appends the bucketed store tables hold one file set per batch;
+  * compaction must (1) cut the file count, (2) leave the probe's answer
+  * byte-identical, (3) leave the probe's plan shape unchanged — the
+  * bucketed store side still joins without a shuffle above its scan —
+  * (4) reclaim ledger-orphan rows when asked, and (5) be idempotent.
+  */
+class CompactionSuite extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = SparkTestSession.sfDir
+
+  private def auto = new CatalogAutomation(spark, CatalogProfile.Builtin())
+
+  private def probe() = MinHashLsh.nearDupAgainstStore(
+    Tables.documents(spark, dir).filter(col("doc_id") % 7 === 0),
+    spark.table(s"${NearDup.storeDb}.corpus_shingles"),
+    spark.table(s"${NearDup.storeDb}.corpus_bands"),
+    "doc_id", "text", NearDup.P)
+
+  private def noShuffleAboveStore(): Unit = {
+    val sp = probe().queryExecution.sparkPlan
+    def storeScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collectFirst {
+        case f: FileSourceScanExec
+            if f.tableIdentifier.exists(t =>
+              t.table == "corpus_bands" || t.table == "corpus_shingles") => f
+      }.isDefined
+    assert(storeScan(sp), s"store tables not scanned:\n$sp")
+    assert(sp.collect { case e: ShuffleExchangeLike if storeScan(e) => e }.isEmpty,
+      s"store side shuffled despite bucketing:\n$sp")
+  }
+
+  test("compaction cuts the file count, keeps answers byte-identical and " +
+    "the probe plan shuffle-free; reruns converge") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    NearDup.buildCorpusStore(spark, docs.filter(col("doc_id") % 7 =!= 0))
+    // A run of streamed appends: three micro-batches of synthetic docs,
+    // each its own file set per bucket — the small-file regime.
+    val append = MinHashLsh.appendToStore(NearDup.storeDb, "doc_id", "text", NearDup.P) _
+    (0 until 3).foreach { b =>
+      append(Seq(
+        (10000L + 2 * b, s"streamed slice $b about shuffle free bucketed joins"),
+        (10001L + 2 * b, s"another slice $b document on catalyst plan shapes"))
+        .toDF("doc_id", "text"), b.toLong)
+    }
+    // One orphan row from a dead ingest attempt — invisible to readers,
+    // reclaimable by compaction.
+    val led = graft.operators.IngestLedger(NearDup.storeDb, "ingest_commits")
+    led.stamp(
+        Seq((99999L, Seq("orphan shingle"))).toDF("id", "shingles"),
+        batchId = 9L, attempt = "dead-attempt")
+      .write.mode("append")
+      .bucketBy(MinHashLsh.StoreBuckets, "id").sortBy("id")
+      .saveAsTable(s"${NearDup.storeDb}.corpus_shingles")
+    spark.catalog.refreshTable(s"${NearDup.storeDb}.corpus_shingles")
+
+    val answerBefore = probe().orderBy("batch_id", "corpus_id").collect().toSeq
+    assert(answerBefore.nonEmpty)
+    noShuffleAboveStore()
+
+    val rBands = auto.compactTable(NearDup.storeDb, "corpus_bands")
+    val rShingles = auto.compactTable(NearDup.storeDb, "corpus_shingles",
+      keepOnly = led.committedOnly(spark, _))
+    assert(rBands.filesAfter < rBands.filesBefore,
+      s"bands: ${rBands.filesBefore} -> ${rBands.filesAfter}")
+    assert(rShingles.filesAfter < rShingles.filesBefore,
+      s"shingles: ${rShingles.filesBefore} -> ${rShingles.filesAfter}")
+    assert(rBands.filesAfter <= MinHashLsh.StoreBuckets)
+
+    // The dead attempt's orphan row was reclaimed (raw count, not just
+    // the committed view)…
+    assert(spark.table(s"${NearDup.storeDb}.corpus_shingles")
+      .filter(col("attempt") === "dead-attempt").count() === 0L)
+    // …the probe's answer is byte-identical, and its plan is still the
+    // shuffle-free bucketed join.
+    val answerAfter = probe().orderBy("batch_id", "corpus_id").collect().toSeq
+    assert(answerAfter === answerBefore)
+    noShuffleAboveStore()
+
+    // Idempotent: a second pass converges (no growth, same answer).
+    val again = auto.compactTable(NearDup.storeDb, "corpus_bands")
+    assert(again.filesAfter <= rBands.filesAfter)
+    assert(probe().orderBy("batch_id", "corpus_id").collect().toSeq === answerBefore)
+
+    // Leave the store in the normal full-corpus state for later suites.
+    NearDup.buildCorpusStore(spark, docs.filter(col("doc_id") % 7 =!= 0))
+  }
+
+  test("unbucketed tables compact to size-targeted coalesced files") {
+    import spark.implicits._
+    auto.ensureDatabase(NearDup.storeDb)
+    spark.sql(s"DROP TABLE IF EXISTS ${NearDup.storeDb}.compact_plain")
+    (0 until 4).foreach { i =>
+      Seq((i.toLong, s"row $i")).toDF("id", "payload")
+        .write.mode("append").saveAsTable(s"${NearDup.storeDb}.compact_plain")
+    }
+    val before = spark.table(s"${NearDup.storeDb}.compact_plain")
+      .orderBy("id").collect().toSeq
+    val r = auto.compactTable(NearDup.storeDb, "compact_plain")
+    assert(r.filesAfter === 1, s"expected 1 coalesced file, got ${r.filesAfter}")
+    assert(r.filesAfter < r.filesBefore)
+    assert(spark.table(s"${NearDup.storeDb}.compact_plain")
+      .orderBy("id").collect().toSeq === before)
+  }
+}

@@ -645,9 +645,124 @@ object Pipeline {
       FROM h WHERE u < p_incl
       ORDER BY doc_id"""))
 
+  /** The END-TO-END curation pipeline as ONE composed query — the
+    * flagship "LLM data pipeline" demo: every stage is an
+    * already-oracle-pinned operator, composed in the order a production
+    * curation run executes them:
+    *
+    *   1. whole-document near-dup dedup (n06's drop rule: LSH pairs →
+    *      connected components → keep each cluster's minimum id);
+    *   2. duplicated-SPAN removal over the SURVIVORS (d19's island cut —
+    *      spans are re-derived on the deduped corpus, where dropped
+    *      documents no longer witness duplication);
+    *   3. quality + language gating ON THE CLEANED TEXT (d04's score ≥
+    *      0.5, d05's language id — scrubbing first means boilerplate
+    *      spans can no longer prop up a document's stopword ratio);
+    *   4. temperature mixture sampling of what remains (x02's α = 0.5
+    *      rates over the gated survivors' kept-token mass).
+    *
+    * Output: the selected training rows (doc_id, lang, n_tokens, p_incl).
+    *
+    * Composition shape: stages 1–2 are the two shuffling operators
+    * (band-bucket join + gram-keyed df aggregate), stage 3 is row-local,
+    * stage 4 adds one |languages|-row aggregate broadcast back — no
+    * corpus shuffle after stage 2. The gated frame is persisted for its
+    * two consumers (the per-language totals and the row-local coin);
+    * every stage reuses the SAME shared expressions its standalone query
+    * pins (NearDup.dropIds, TextOps.dupSpanRemoval / qualityScore /
+    * predictedLang / tokenCount, [[hashUniform]]), so the composed
+    * oracle is the stages' oracle SQL composed as CTE layers. */
+  val p03CurationPipeline = Q(
+    "p03_curation_pipeline",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val drops = NearDup.dropIds(docs)
+      val survivors = docs
+        .join(drops, docs("doc_id") === drops("id"), "left_anti")
+        .select("doc_id", "text")
+      val gated = TextOps.dupSpanRemoval(survivors)
+        .filter(TextOps.qualityScore(col("cleaned_text")) >= 0.5)
+        .select(
+          col("doc_id"),
+          TextOps.predictedLang(col("cleaned_text")).as("lang"),
+          TextOps.tokenCount(col("cleaned_text")).cast("long").as("n_tokens"))
+        .persist()
+      val perLang = gated.groupBy("lang")
+        .agg(sum(col("n_tokens")).as("lang_tokens"))
+        .withColumn("s", sqrt(col("lang_tokens").cast("double")))
+      val totals = perLang.agg(
+        sum(col("lang_tokens")).as("total_tokens"),
+        aggregate(
+          array_sort(collect_list(struct(col("lang"), col("s")))),
+          lit(0.0), (acc, x) => acc + x.getField("s")).as("denom"))
+      gated
+        .join(broadcast(perLang), "lang")
+        .crossJoin(broadcast(totals))
+        .withColumn("u", hashUniform(col("doc_id")))
+        .withColumn("p_incl",
+          least(lit(1.0),
+            lit(0.3) * col("total_tokens") * col("s") / col("denom")
+              / col("lang_tokens")))
+        .filter(col("u") < col("p_incl"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          round(col("p_incl"), 6).as("p_incl"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val scoreCols = TextOps.langMarkers.map { case (l, re) =>
+        s"CAST(length(regexp_extract_all(lower(ctext), '$re')) AS INT) AS s_$l"
+      }.mkString(",\n          ")
+      val stopRe = TextOps.stopRe
+      s"""WITH RECURSIVE ${NearDup.reachCtesSql},
+      ${NearDup.dropsCteSql},
+      surv AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM drops)),
+      ${TextOps.dupSpanCtesSql("surv")},
+      cleaned AS (
+        SELECT t.doc_id, coalesce(keptl.cleaned, '') AS ctext
+        FROM t LEFT JOIN keptl USING (doc_id)),
+      feat AS (
+        SELECT doc_id,
+          (CAST(length(regexp_extract_all(lower(ctext), '$stopRe')) AS DOUBLE)
+             / greatest(length(regexp_split_to_array(trim(ctext), '\\s+')), 1)) * 0.4
+          + least(1.0, CAST(length(regexp_split_to_array(trim(ctext), '\\s+')) AS DOUBLE) / 100.0) * 0.3
+          + (1.0 - least(1.0, (CAST(length(ctext) - length(regexp_replace(ctext, '[.!?,;:]', '', 'g')) AS DOUBLE)
+               / greatest(length(ctext), 1)) * 5.0)) * 0.3 AS quality,
+          CAST(length(regexp_split_to_array(trim(ctext), '\\s+')) AS BIGINT) AS n_tokens,
+          CASE
+            WHEN s_zh > greatest(s_de, s_en, s_es, s_fr) THEN 'zh'
+            WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+            WHEN s_es > greatest(s_de, s_en) THEN 'es'
+            WHEN s_en > s_de THEN 'en'
+            ELSE 'de' END AS lang
+        FROM (SELECT doc_id, ctext,
+            $scoreCols
+          FROM cleaned)),
+      gated AS (SELECT doc_id, lang, n_tokens FROM feat WHERE quality >= 0.5),
+      per_lang AS (
+        SELECT lang, sum(n_tokens) AS lang_tokens,
+          sqrt(CAST(sum(n_tokens) AS DOUBLE)) AS sq
+        FROM gated GROUP BY lang),
+      tot AS (
+        SELECT sum(lang_tokens) AS total_tokens,
+          list_reduce(list(sq ORDER BY lang), (a, b) -> a + b) AS denom
+        FROM per_lang),
+      h AS (
+        SELECT g.doc_id, g.lang, g.n_tokens,
+          ${Pipeline.hashUniformSql("g.doc_id")} AS u,
+          least(1.0, CAST(0.3 AS DOUBLE) * total_tokens * sq / denom / lang_tokens)
+            AS p_incl
+        FROM gated g JOIN per_lang USING (lang), tot)
+      SELECT doc_id, lang, n_tokens, round(p_incl, 6) AS p_incl
+      FROM h WHERE u < p_incl
+      ORDER BY doc_id"""
+    })
+
   val all: Seq[Q] = Seq(
     c01DocChunks, c02TfidfTopTerms, c03Bm25TopTerms, c04UnigramXent,
-    p01SequencePacking, p02CurationFunnel, s01StratifiedSample,
-    s02WeightedSample, x01MixtureRebalance, x02TemperatureSample,
-    k01KmeansAssign, k02KmeansClusters, k03ClusterDiverseSample)
+    p01SequencePacking, p02CurationFunnel, p03CurationPipeline,
+    s01StratifiedSample, s02WeightedSample, x01MixtureRebalance,
+    x02TemperatureSample, k01KmeansAssign, k02KmeansClusters,
+    k03ClusterDiverseSample)
 }

@@ -986,16 +986,16 @@ object TextOps {
         array_join(col("kept"), " ").as("cleaned_text"))
   }
 
-  /** Duplicated-span REMOVAL — the cut d18's coverage score motivates:
-    * tokens inside maximal cross-doc duplicated 5-gram spans are dropped
-    * and the cleaned text re-emitted. Oracle replays the island CTEs and
-    * rebuilds the kept token run with an anti-join on covered positions. */
-  val d19DupSpanRemoval = Q(
-    "d19_dup_span_removal",
-    (s, dir) => dupSpanRemoval(Tables.documents(s, dir)).orderBy("doc_id"),
-    Some("""WITH t AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
-      FROM documents),
+  /** d19's oracle CTE chain over an arbitrary `(doc_id, text)` relation —
+    * islands → covered positions → kept token run. ONE definition (the
+    * reachCtesSql discipline) shared by d19 (src = `documents`) and the
+    * composed curation pipeline p03 (src = the dedup survivors), so the
+    * two gates can never drift on what a removed span is. Exposes CTEs
+    * `t` (doc_id, toks) and `keptl` (doc_id, cleaned, kept); consumers
+    * LEFT JOIN them (a fully-removed doc has no `keptl` row → coalesce). */
+  private[queries] def dupSpanCtesSql(srcRel: String): String = s"""t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM $srcRel),
     w AS (
       SELECT doc_id, pos, array_to_string(toks[pos:pos+4], chr(32)) AS gram
       FROM (SELECT doc_id, toks,
@@ -1030,7 +1030,16 @@ object TextOps {
       FROM tok2 tv
       LEFT JOIN rem ON rem.doc_id = tv.doc_id AND rem.p = tv.p
       WHERE rem.p IS NULL
-      GROUP BY tv.doc_id)
+      GROUP BY tv.doc_id)"""
+
+  /** Duplicated-span REMOVAL — the cut d18's coverage score motivates:
+    * tokens inside maximal cross-doc duplicated 5-gram spans are dropped
+    * and the cleaned text re-emitted. Oracle replays the island CTEs and
+    * rebuilds the kept token run with an anti-join on covered positions. */
+  val d19DupSpanRemoval = Q(
+    "d19_dup_span_removal",
+    (s, dir) => dupSpanRemoval(Tables.documents(s, dir)).orderBy("doc_id"),
+    Some(s"""WITH ${dupSpanCtesSql("documents")}
     SELECT t.doc_id,
       CAST(length(toks) AS BIGINT) AS n_tokens,
       CAST(coalesce(keptl.kept, 0) AS BIGINT) AS kept_tokens,

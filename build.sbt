@@ -1,8 +1,9 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
 name := "awsicebergautomationspark"
-// Spark jars ship with the image at /opt/spark/jars (zero-egress):
-unmanagedBase := file("/opt/spark/jars")
+// Spark jars ship with the image at /opt/spark/jars (zero-egress); CI
+// points SPARK_JARS_DIR at a downloaded spark-4.1.2-bin-hadoop3/jars.
+unmanagedBase := file(sys.env.getOrElse("SPARK_JARS_DIR", "/opt/spark/jars"))
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).
 libraryDependencies ++= Seq(

@@ -13,9 +13,9 @@ object SparkEntry {
       NearDup.all ++ Multimodal.all ++ Pipeline.all ++ CatalogPipeline.all ++
       Governance.all ++ Linkage.all ++ TimeSeries.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on the smallest fixtures; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q03RevenueByNation.run(spark, "/root/testdata/sf0.001")
+    Relational.q03RevenueByNation.run(spark, Fixtures.sf0001)
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -15,6 +15,8 @@ object SparkTestSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
-  /** Smallest fixture dir — tests should stay fast. */
-  val sfDir = "/root/testdata/sf0.001"
+  /** Smallest fixture dir — tests should stay fast. Resolved via
+    * [[Fixtures]] so CI (no driver-generated testdata) falls back to the
+    * committed `ci/fixtures/sf0.001` copy. */
+  val sfDir: String = Fixtures.sf0001
 }

@@ -258,6 +258,40 @@ object ScaleProbe {
         nProbe = 4, k = 5)
     }
 
+    // The composed curation pipeline (p03): dedup anti-join + span cut +
+    // row-local gating + mixture rates — the registered body itself, so
+    // the probe certifies the COMPOSITION adds no super-linear seam on
+    // top of its stages' individual curves (lsh_band_join, dup_span).
+    def curation(d: DataFrame): DataFrame =
+      graft.queries.Pipeline.curationPipeline(d)
+
+    // Governance: big-big MERGE (m01's operator). Target = the replicated
+    // customer table; source = a derived change batch over a third of the
+    // keys (unique keys — the MERGE precondition). Cost is ONE full-outer
+    // equi-join on the merge key; the probe certifies it stays linear with
+    // both sides' growth (the copy-on-write join a table format plans).
+    val cust = graft.queries.Tables.customer(spark, sfDir)
+    def mergeUpsert(c: DataFrame): DataFrame = {
+      val source = c.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") * 0.1).as("rev"))
+      graft.operators.MergeInto.merge(
+        target = c,
+        source = source,
+        key = "c_custkey",
+        whenMatched = Map(
+          "c_acctbal" -> (col("t.c_acctbal") + col("s.rev"))),
+        whenNotMatched = None)
+    }
+    // Fresh custkeys per replica (high-digit replica tag, the amplifyDocs
+    // id scheme): N× data carries N× independent merge keys — plain row
+    // replication would collide every key N× and the full-outer join
+    // would fan out N², measuring the amplifier, not the operator.
+    def amplifyCust(df: DataFrame, factor: Int): DataFrame =
+      df.withColumn("_rep", explode(sequence(lit(1), lit(factor))))
+        .withColumn("c_custkey",
+          col("_rep").cast("long") * 1000000000L + col("c_custkey"))
+        .drop("_rep")
+
     val docAmp = amplifyDocs _
     val rowAmp = amplify _
     val allShapes: Seq[(String, DataFrame => DataFrame, DataFrame, (DataFrame, Int) => DataFrame)] = Seq(
@@ -282,7 +316,10 @@ object ScaleProbe {
       ("knn_brute", knnBrute _, emb, amplifyVecs _),
       ("knn_ivf", knnIvf _, emb, amplifyVecs _),
       ("knn_ivf_2l", knnIvf2l _, emb, amplifyVecs _),
-      ("knn_ivfpq", knnIvfPq _, emb, amplifyVecs _))
+      ("knn_ivfpq", knnIvfPq _, emb, amplifyVecs _),
+      ("curation_pipeline", curation _,
+        docs.select("doc_id", "text"), docAmp),
+      ("merge_upsert", mergeUpsert _, cust, amplifyCust _))
     val wanted = args.drop(2).toSet
     val unknown = wanted -- allShapes.map(_._1).toSet
     // Reject rather than skip: a silently-dropped typo reads as "that

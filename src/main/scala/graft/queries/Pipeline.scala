@@ -31,9 +31,17 @@ object Pipeline {
     * doubles). One definition with its SQL twin below so a future change
     * to the hash can never drift between the sampling queries, and between
     * Spark and the oracle. Assumes non-negative keys (Spark's `pmod` and
-    * DuckDB's `%` disagree on negatives). */
+    * DuckDB's `%` disagree on negatives).
+    *
+    * The key pre-reduces mod 2³¹ BEFORE the first multiply: the product
+    * of an unreduced 10-digit key (ScaleProbe's replica-tagged ids) with
+    * the Knuth constant overflows a long, which ANSI mode (Spark 4
+    * default) raises on; 2³¹·2654435761 < 2⁶³ is overflow-free for every
+    * key. Identity for all fixture ids (< 2³¹), so every oracle output
+    * is unchanged — the same reduction appears in the SQL twin. */
   private[graft] def hashUniform(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val h1 = pmod(key * lit(2654435761L), lit(4294967296L))
+    val k = pmod(key, lit(2147483648L))
+    val h1 = pmod(k * lit(2654435761L), lit(4294967296L))
     val h2 = pmod(
       h1.bitwiseXOR((h1 / 65536L).cast("long")) * lit(1000000007L),
       lit(4294967296L))
@@ -42,8 +50,8 @@ object Pipeline {
 
   /** DuckDB twin of [[hashUniform]] over column `key`. */
   private[graft] def hashUniformSql(key: String): String =
-    s"""((xor(($key * 2654435761) % 4294967296,
-              (($key * 2654435761) % 4294967296) // 65536)
+    s"""((xor((($key % 2147483648) * 2654435761) % 4294967296,
+              ((($key % 2147483648) * 2654435761) % 4294967296) // 65536)
           * 1000000007) % 4294967296) / 4294967296.0"""
 
   /** Shared term-statistics frames: per-(doc, token) counts `tf(n)`,
@@ -672,42 +680,46 @@ object Pipeline {
     * pins (NearDup.dropIds, TextOps.dupSpanRemoval / qualityScore /
     * predictedLang / tokenCount, [[hashUniform]]), so the composed
     * oracle is the stages' oracle SQL composed as CTE layers. */
+  /** The p03 pipeline body over an arbitrary `(doc_id, text)` frame —
+    * shared with [[graft.ScaleProbe]] so the scaling probe times exactly
+    * the registered composition. */
+  def curationPipeline(docs: DataFrame): DataFrame = {
+    val drops = NearDup.dropIds(docs)
+    val survivors = docs
+      .join(drops, docs("doc_id") === drops("id"), "left_anti")
+      .select("doc_id", "text")
+    val gated = TextOps.dupSpanRemoval(survivors)
+      .filter(TextOps.qualityScore(col("cleaned_text")) >= 0.5)
+      .select(
+        col("doc_id"),
+        TextOps.predictedLang(col("cleaned_text")).as("lang"),
+        TextOps.tokenCount(col("cleaned_text")).cast("long").as("n_tokens"))
+      .persist()
+    val perLang = gated.groupBy("lang")
+      .agg(sum(col("n_tokens")).as("lang_tokens"))
+      .withColumn("s", sqrt(col("lang_tokens").cast("double")))
+    val totals = perLang.agg(
+      sum(col("lang_tokens")).as("total_tokens"),
+      aggregate(
+        array_sort(collect_list(struct(col("lang"), col("s")))),
+        lit(0.0), (acc, x) => acc + x.getField("s")).as("denom"))
+    gated
+      .join(broadcast(perLang), "lang")
+      .crossJoin(broadcast(totals))
+      .withColumn("u", hashUniform(col("doc_id")))
+      .withColumn("p_incl",
+        least(lit(1.0),
+          lit(0.3) * col("total_tokens") * col("s") / col("denom")
+            / col("lang_tokens")))
+      .filter(col("u") < col("p_incl"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        round(col("p_incl"), 6).as("p_incl"))
+  }
+
   val p03CurationPipeline = Q(
     "p03_curation_pipeline",
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val drops = NearDup.dropIds(docs)
-      val survivors = docs
-        .join(drops, docs("doc_id") === drops("id"), "left_anti")
-        .select("doc_id", "text")
-      val gated = TextOps.dupSpanRemoval(survivors)
-        .filter(TextOps.qualityScore(col("cleaned_text")) >= 0.5)
-        .select(
-          col("doc_id"),
-          TextOps.predictedLang(col("cleaned_text")).as("lang"),
-          TextOps.tokenCount(col("cleaned_text")).cast("long").as("n_tokens"))
-        .persist()
-      val perLang = gated.groupBy("lang")
-        .agg(sum(col("n_tokens")).as("lang_tokens"))
-        .withColumn("s", sqrt(col("lang_tokens").cast("double")))
-      val totals = perLang.agg(
-        sum(col("lang_tokens")).as("total_tokens"),
-        aggregate(
-          array_sort(collect_list(struct(col("lang"), col("s")))),
-          lit(0.0), (acc, x) => acc + x.getField("s")).as("denom"))
-      gated
-        .join(broadcast(perLang), "lang")
-        .crossJoin(broadcast(totals))
-        .withColumn("u", hashUniform(col("doc_id")))
-        .withColumn("p_incl",
-          least(lit(1.0),
-            lit(0.3) * col("total_tokens") * col("s") / col("denom")
-              / col("lang_tokens")))
-        .filter(col("u") < col("p_incl"))
-        .select(col("doc_id"), col("lang"), col("n_tokens"),
-          round(col("p_incl"), 6).as("p_incl"))
-        .orderBy("doc_id")
-    },
+    (s, dir) => curationPipeline(
+      Tables.documents(s, dir).select("doc_id", "text")).orderBy("doc_id"),
     Some {
       val scoreCols = TextOps.langMarkers.map { case (l, re) =>
         s"CAST(length(regexp_extract_all(lower(ctext), '$re')) AS INT) AS s_$l"

@@ -313,6 +313,12 @@ object NearDup {
     s.sql(s"DROP TABLE IF EXISTS $storeDb.ingest_commits")
     rmrf(s"$base/corpus_shingles")
     rmrf(s"$base/corpus_bands")
+    // The ledger is a MANAGED table: its warehouse directory outlives the
+    // in-memory catalog across JVMs, so a fresh session's DROP IF EXISTS
+    // no-ops while the stale directory still blocks the re-create
+    // (LOCATION_ALREADY_EXISTS) — the same r01 lesson that makes the data
+    // tables external; the managed location is removed physically here.
+    rmrfManagedTable(s, storeDb, "ingest_commits")
     // The bulk rows carry the ingest-ledger stamp columns so streaming
     // appends (MinHashLsh.appendToStore, by-name schema match) can land in
     // the same tables, and committed-view readers see the bulk build.
@@ -337,6 +343,18 @@ object NearDup {
     } finally sh.unpersist()
     s.catalog.refreshByPath(s"$base/corpus_shingles")
     s.catalog.refreshByPath(s"$base/corpus_bands")
+  }
+
+  /** Physically remove a MANAGED table's warehouse directory — the
+    * cross-JVM staleness guard store provisioning needs for the
+    * ledger/drift tables it re-creates (shared with
+    * [[Similarity.buildPqStore]]). */
+  private[queries] def rmrfManagedTable(s: org.apache.spark.sql.SparkSession,
+      db: String, table: String): Unit = {
+    val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+    val p = new org.apache.hadoop.fs.Path(wh, s"$db.db/$table")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
   }
 
   val all: Seq[Q] = Seq(

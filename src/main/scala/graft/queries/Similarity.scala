@@ -889,9 +889,14 @@ object Similarity {
     }
     // Ledger + drift are managed tables: dropped and re-seeded with the
     // bulk stamp so streaming appends (PqAdc.appendToPqStore) land in the
-    // same tables and committed-view readers see the bulk build.
+    // same tables and committed-view readers see the bulk build. Their
+    // warehouse directories are removed physically too — a fresh JVM's
+    // in-memory catalog forgets the tables while the stale managed dirs
+    // would block the re-create (LOCATION_ALREADY_EXISTS; the r01 lesson).
     s.sql(s"DROP TABLE IF EXISTS ${NearDup.storeDb}.pq_drift")
     s.sql(s"DROP TABLE IF EXISTS ${NearDup.storeDb}.pq_ingest_commits")
+    NearDup.rmrfManagedTable(s, NearDup.storeDb, "pq_drift")
+    NearDup.rmrfManagedTable(s, NearDup.storeDb, "pq_ingest_commits")
     val led = graft.operators.PqAdc.ledger(NearDup.storeDb)
     import graft.operators.IngestLedger.{BulkAttempt, BulkBatchNr}
     centroids.write.mode("overwrite")

@@ -54,6 +54,13 @@ object SessionFactory {
       // nanosecond long; Tables.events converts via `ts div 1000` →
       // timestamp_micros, matching DuckDB's truncating ns→µs read exactly.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The engine's versioned V2 catalog: statement-level MERGE/UPDATE/
+      // DELETE (SupportsRowLevelOperations) and VERSION/TIMESTAMP AS OF
+      // time travel — the role IcebergSparkSessionExtensions + a Glue
+      // catalog play in the reference's bootstrap
+      // (create_iceberg_tables.py:121-128), carried natively so the SQL
+      // surface exists without an Iceberg runtime jar.
+      .config("spark.sql.catalog.graft_snap", "graft.sources.SnapshotCatalog")
 
   /** Attach a SparkSession to an existing session's context (tests). */
   def getActiveOrLocal(appName: String = "graft"): SparkSession =

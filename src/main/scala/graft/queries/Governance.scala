@@ -339,7 +339,136 @@ object Governance {
              WHEN a.price_c4 <> b.price_c4 THEN 'UPDATE' END IS NOT NULL
       ORDER BY o_orderkey"""))
 
+  /** Statement-level `MERGE INTO` — m01's exact semantics, but planned by
+    * Spark SQL itself: the change batch merges into a table of the engine's
+    * versioned V2 catalog ([[graft.sources.SnapshotCatalog]]), so the
+    * statement goes through Catalyst's group-based row-level rewrite
+    * (`RewriteMergeIntoTable` → `ReplaceData`) — the planning path the
+    * reference's Iceberg `format_version: 2` tables exist to serve
+    * (`create_iceberg_tables.py:121-128`). Oracle is m01's, byte-identical:
+    * the operator form and the SQL statement must agree.
+    *
+    * Scale: the rewrite is ONE outer equi-join between target and source —
+    * identical to m01's plan; with a file-grouped catalog the same
+    * statement rewrites only matched groups. The snapshot table here is
+    * dimension-sized (the statement's natural target), not a fact table.
+    */
+  val m05SqlMerge = Q(
+    "m05_sql_merge",
+    (s, dir) => {
+      val t = "graft_snap.gov.customer_m05"
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.gov")
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"""CREATE TABLE $t (
+        c_custkey BIGINT, c_name STRING, c_nationkey INT,
+        c_acctbal DOUBLE, c_mktsegment STRING)""")
+      Tables.customer(s, dir).createOrReplaceTempView("m05_customer_src")
+      s.sql(s"INSERT INTO $t SELECT * FROM m05_customer_src")
+      val deltas = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(Q.dsum(col("o_totalprice")).as("rev"))
+        .select(col("c_custkey"), col("rev"),
+          lit(null).cast("string").as("new_name"),
+          lit(null).cast("int").as("new_nationkey"),
+          lit(null).cast("double").as("new_acctbal"))
+      val inserts = Tables.supplier(s, dir)
+        .select((col("s_suppkey") + 1000000L).as("c_custkey"),
+          lit(null).cast("double").as("rev"),
+          col("s_name").as("new_name"),
+          col("s_nationkey").as("new_nationkey"),
+          col("s_acctbal").as("new_acctbal"))
+      deltas.unionAll(inserts).createOrReplaceTempView("m05_changes")
+      s.sql(s"""MERGE INTO $t t USING m05_changes s ON t.c_custkey = s.c_custkey
+        WHEN MATCHED THEN UPDATE SET
+          t.c_acctbal = t.c_acctbal + coalesce(s.rev, CAST(0 AS DOUBLE))
+        WHEN NOT MATCHED THEN INSERT
+          (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+          VALUES (s.c_custkey, s.new_name, s.new_nationkey, s.new_acctbal, 'NEW')""")
+      s.sql(s"SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment " +
+        s"FROM $t ORDER BY c_custkey")
+    },
+    m01MergeUpsert.oracle)
+
+  /** Statement-level `UPDATE` and `DELETE` through the same group-based
+    * rewrite: stale finished orders get cancelled (UPDATE), one customer
+    * decile is purged (DELETE — a GDPR-style erasure), and the survivors
+    * are audited per priority. Exact-decimal sums keep the cross-engine
+    * compare bit-exact. Each statement commits one snapshot, so the audit
+    * reads the third version of the table.
+    */
+  val m06SqlUpdateDelete = Q(
+    "m06_sql_update_delete",
+    (s, dir) => {
+      val t = "graft_snap.gov.orders_m06"
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.gov")
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"""CREATE TABLE $t (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING)""")
+      Tables.orders(s, dir).createOrReplaceTempView("m06_orders_src")
+      s.sql(s"INSERT INTO $t SELECT * FROM m06_orders_src")
+      s.sql(s"""UPDATE $t SET o_orderpriority = '9-CANCELLED'
+        WHERE o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '1993-01-01 00:00:00'""")
+      s.sql(s"DELETE FROM $t WHERE o_custkey % 10 = 7")
+      s.sql(s"""SELECT o_orderpriority, count(*) AS n_orders,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM $t GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+    Some("""WITH upd AS (
+        SELECT o_custkey, o_totalprice,
+          CASE WHEN o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '1993-01-01 00:00:00'
+               THEN '9-CANCELLED' ELSE o_orderpriority END AS o_orderpriority
+        FROM orders)
+      SELECT o_orderpriority, count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM upd WHERE o_custkey % 10 <> 7
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** Iceberg-style time travel: three commits build three snapshots (bulk
+    * load of the 1993-and-earlier book, append of the rest, row-level
+    * DELETE of still-open orders), then `VERSION AS OF 1/2/3` reads each
+    * immutable state and audits it — the `VERSION AS OF` surface
+    * `TableCatalog.loadTable(ident, version)` exists for. The oracle
+    * reconstructs each version's state relationally, so a snapshot that
+    * leaked rows across versions would hash-mismatch.
+    */
+  val m07TimeTravel = Q(
+    "m07_time_travel",
+    (s, dir) => {
+      val t = "graft_snap.gov.orders_m07"
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.gov")
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"""CREATE TABLE $t (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING)""")
+      Tables.orders(s, dir).createOrReplaceTempView("m07_orders_src")
+      s.sql(s"""INSERT INTO $t SELECT * FROM m07_orders_src
+        WHERE o_orderdate < TIMESTAMP '1994-01-01 00:00:00'""")
+      s.sql(s"""INSERT INTO $t SELECT * FROM m07_orders_src
+        WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'""")
+      s.sql(s"DELETE FROM $t WHERE o_orderstatus = 'O'")
+      (1 to 3).map { v =>
+        s.sql(s"""SELECT CAST($v AS BIGINT) AS version, count(*) AS n_orders,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+          FROM $t VERSION AS OF $v""")
+      }.reduce(_.unionAll(_)).orderBy("version")
+    },
+    Some("""SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderdate < TIMESTAMP '1994-01-01 00:00:00'
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), count(*),
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+      FROM orders
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), count(*),
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+      FROM orders WHERE o_orderstatus <> 'O'
+      ORDER BY version"""))
+
   val all: Seq[Q] = Seq(
     m01MergeUpsert, m02Scd2History, m03IncrementalRefresh, m04SnapshotDiff,
+    m05SqlMerge, m06SqlUpdateDelete, m07TimeTravel,
     a01QualityAudit, z01ZorderLayout)
 }

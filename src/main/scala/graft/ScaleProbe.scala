@@ -292,6 +292,30 @@ object ScaleProbe {
           col("_rep").cast("long") * 1000000000L + col("c_custkey"))
         .drop("_rep")
 
+    // Consumer-side CDF + incremental view maintenance (m08/m09 operators)
+    // over plain relations: cur = the book with a tenth of keys erased, a
+    // third of balances repriced, and a full insert wave at fresh keys.
+    // Cost is the diff's full-outer equi-join on the key plus the
+    // group-key delta fold — certifies commit→CDF→maintenance stays
+    // linear in |prev| + |cur| with no driver materialization.
+    def cdfMaint(c: DataFrame): DataFrame = {
+      val inserts = c.withColumn("c_custkey",
+        col("c_custkey") + lit(100000000000L))
+      val cur = c.filter(col("c_custkey") % 10 =!= 7)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 3 === 0, col("c_acctbal") + 10.0)
+            .otherwise(col("c_acctbal")))
+        .unionAll(inserts)
+      val feed = graft.operators.ChangeDataFeed
+        .diff(c, cur, Seq("c_custkey"), commitVersion = 1L)
+      val view = graft.operators.IncrementalMaintenance
+        .initial(c, col("c_mktsegment"), col("c_acctbal"))
+      graft.operators.IncrementalMaintenance.applyDeltas(view,
+        graft.operators.IncrementalMaintenance.aggDeltas(feed,
+          col("old_c_mktsegment"), col("old_c_acctbal"),
+          col("new_c_mktsegment"), col("new_c_acctbal")))
+    }
+
     val docAmp = amplifyDocs _
     val rowAmp = amplify _
     val allShapes: Seq[(String, DataFrame => DataFrame, DataFrame, (DataFrame, Int) => DataFrame)] = Seq(
@@ -319,7 +343,8 @@ object ScaleProbe {
       ("knn_ivfpq", knnIvfPq _, emb, amplifyVecs _),
       ("curation_pipeline", curation _,
         docs.select("doc_id", "text"), docAmp),
-      ("merge_upsert", mergeUpsert _, cust, amplifyCust _))
+      ("merge_upsert", mergeUpsert _, cust, amplifyCust _),
+      ("cdf_maint", cdfMaint _, cust, amplifyCust _))
     val wanted = args.drop(2).toSet
     val unknown = wanted -- allShapes.map(_._1).toSet
     // Reject rather than skip: a silently-dropped typo reads as "that

@@ -467,8 +467,150 @@ object Governance {
       FROM orders WHERE o_orderstatus <> 'O'
       ORDER BY version"""))
 
+  /** Change-data-feed over the versioned catalog: the table's whole history
+    * (bulk load → late append → row-level UPDATE → GDPR-style DELETE, four
+    * commits) replayed as row-level changes by
+    * [[graft.operators.ChangeDataFeed.tableChanges]] — the incremental-read
+    * surface Iceberg/Delta consumers use instead of re-scanning snapshots,
+    * and the feed m03-style incremental refresh would consume. The oracle
+    * reconstructs each version's state relationally and diffs adjacent
+    * states, so a feed that missed a change, emitted an unchanged carry-over
+    * row, or attributed a change to the wrong commit would hash-mismatch.
+    *
+    * Scale: each adjacent diff is one key-equi full-outer join (shuffle on
+    * o_orderkey only); no snapshot is ever collected. See the operator's
+    * scale contract for the manifest-based short-circuit a file catalog adds.
+    */
+  val m08ChangeFeed = Q(
+    "m08_change_feed",
+    (s, dir) => {
+      val t = "graft_snap.gov.orders_m08"
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.gov")
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"""CREATE TABLE $t (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_orderpriority STRING, o_totalprice DOUBLE)""")
+      Tables.orders(s, dir).createOrReplaceTempView("m08_orders_src")
+      s.sql(s"""INSERT INTO $t
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, o_totalprice
+        FROM m08_orders_src WHERE o_orderdate < TIMESTAMP '1994-01-01 00:00:00'""")
+      s.sql(s"""INSERT INTO $t
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, o_totalprice
+        FROM m08_orders_src WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'""")
+      s.sql(s"""UPDATE $t SET o_orderpriority = '9-CANCELLED'
+        WHERE o_orderstatus = 'F' AND o_custkey % 7 = 3""")
+      s.sql(s"DELETE FROM $t WHERE o_custkey % 10 = 7")
+      graft.operators.ChangeDataFeed
+        .tableChanges(s, t, Seq("o_orderkey"), fromVersion = 0L, toVersion = 4L)
+        .orderBy("_commit_version", "o_orderkey")
+    },
+    Some("""WITH v2 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+          o_totalprice, o_orderdate
+        FROM orders),
+      v3 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+          CASE WHEN o_orderstatus = 'F' AND o_custkey % 7 = 3
+               THEN '9-CANCELLED' ELSE o_orderpriority END AS o_orderpriority,
+          o_totalprice
+        FROM v2)
+      SELECT o_orderkey, 'INSERT' AS _change_type,
+        CAST(1 AS BIGINT) AS _commit_version,
+        CAST(NULL AS BIGINT) AS old_o_custkey, o_custkey AS new_o_custkey,
+        CAST(NULL AS VARCHAR) AS old_o_orderstatus,
+        o_orderstatus AS new_o_orderstatus,
+        CAST(NULL AS VARCHAR) AS old_o_orderpriority,
+        o_orderpriority AS new_o_orderpriority,
+        CAST(NULL AS DOUBLE) AS old_o_totalprice, o_totalprice AS new_o_totalprice
+      FROM v2 WHERE o_orderdate < TIMESTAMP '1994-01-01 00:00:00'
+      UNION ALL
+      SELECT o_orderkey, 'INSERT', CAST(2 AS BIGINT),
+        CAST(NULL AS BIGINT), o_custkey,
+        CAST(NULL AS VARCHAR), o_orderstatus,
+        CAST(NULL AS VARCHAR), o_orderpriority,
+        CAST(NULL AS DOUBLE), o_totalprice
+      FROM v2 WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      UNION ALL
+      SELECT o_orderkey, 'UPDATE', CAST(3 AS BIGINT),
+        o_custkey, o_custkey,
+        o_orderstatus, o_orderstatus,
+        o_orderpriority, '9-CANCELLED',
+        o_totalprice, o_totalprice
+      FROM v2 WHERE o_orderstatus = 'F' AND o_custkey % 7 = 3
+        AND o_orderpriority <> '9-CANCELLED'
+      UNION ALL
+      SELECT o_orderkey, 'DELETE', CAST(4 AS BIGINT),
+        o_custkey, CAST(NULL AS BIGINT),
+        o_orderstatus, CAST(NULL AS VARCHAR),
+        o_orderpriority, CAST(NULL AS VARCHAR),
+        o_totalprice, CAST(NULL AS DOUBLE)
+      FROM v3 WHERE o_custkey % 10 = 7
+      ORDER BY _commit_version, o_orderkey"""))
+
+  /** Incremental materialized-view maintenance driven by the change feed:
+    * a per-priority (count, exact-decimal revenue) rollup is built once from
+    * snapshot v1, then folded forward commit by commit using ONLY each
+    * commit's CDF deltas ([[graft.operators.IncrementalMaintenance]]) —
+    * never re-scanning the table. The history deliberately includes the two
+    * cases naive maintenance gets wrong: the UPDATE commit moves rows
+    * BETWEEN groups (priority is the group key and it changes, even birthing
+    * a brand-new '9-CANCELLED' group), and the DELETE commit shrinks groups.
+    * The oracle recomputes the rollup from scratch on the final state;
+    * decimal delta-addition is associative, so the incremental view must be
+    * hash-identical — any missed/double-counted delta fails the gate.
+    *
+    * Scale: each fold is one group-key outer join of |view| + |changed
+    * groups| rows; the fact table is touched only by the CDF's own key-equi
+    * diffs. This is how a 100 TB table's rollups stay fresh per commit.
+    */
+  val m09IncrementalMaint = Q(
+    "m09_incremental_maint",
+    (s, dir) => {
+      import graft.operators.{ChangeDataFeed, IncrementalMaintenance => IM}
+      val t = "graft_snap.gov.orders_m09"
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.gov")
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"""CREATE TABLE $t (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_orderpriority STRING, o_totalprice DOUBLE)""")
+      Tables.orders(s, dir).createOrReplaceTempView("m09_orders_src")
+      s.sql(s"""INSERT INTO $t
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, o_totalprice
+        FROM m09_orders_src WHERE o_orderdate < TIMESTAMP '1994-01-01 00:00:00'""")
+      s.sql(s"""INSERT INTO $t
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, o_totalprice
+        FROM m09_orders_src WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'""")
+      s.sql(s"""UPDATE $t SET o_orderpriority = '9-CANCELLED'
+        WHERE o_orderstatus = 'F' AND o_custkey % 7 = 3""")
+      s.sql(s"DELETE FROM $t WHERE o_custkey % 10 = 7")
+
+      val v1 = s.sql(s"SELECT * FROM $t VERSION AS OF 1")
+      val maintained = (2L to 4L).foldLeft(
+        IM.initial(v1, col("o_orderpriority"), col("o_totalprice"))) { (mv, v) =>
+        val feed = ChangeDataFeed.tableChanges(s, t, Seq("o_orderkey"), v - 1, v)
+        IM.applyDeltas(mv, IM.aggDeltas(feed,
+          col("old_o_orderpriority"), col("old_o_totalprice"),
+          col("new_o_orderpriority"), col("new_o_totalprice")))
+      }
+      maintained
+        .select(col("group_key").as("o_orderpriority"), col("n_rows"),
+          col("total").cast("double").as("total"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH v3 AS (
+        SELECT o_custkey,
+          CASE WHEN o_orderstatus = 'F' AND o_custkey % 7 = 3
+               THEN '9-CANCELLED' ELSE o_orderpriority END AS o_orderpriority,
+          o_totalprice
+        FROM orders)
+      SELECT o_orderpriority, count(*) AS n_rows,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM v3 WHERE o_custkey % 10 <> 7
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   val all: Seq[Q] = Seq(
     m01MergeUpsert, m02Scd2History, m03IncrementalRefresh, m04SnapshotDiff,
-    m05SqlMerge, m06SqlUpdateDelete, m07TimeTravel,
+    m05SqlMerge, m06SqlUpdateDelete, m07TimeTravel, m08ChangeFeed,
+    m09IncrementalMaint,
     a01QualityAudit, z01ZorderLayout)
 }

@@ -117,14 +117,17 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   /** `VERSION AS OF v` — a read-only pin of snapshot v (0 = the empty
-    * just-created table). Expired or future versions fail loudly. */
+    * just-created table), or of a named tag (`VERSION AS OF 'release_1'`,
+    * Iceberg's tag surface). Expired/future versions and unknown tags fail
+    * loudly. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val k = key(ident)
     val st = SnapshotStore.tables.getOrElse(k, throw new NoSuchTableException(ident))
-    val v = try version.toLong catch {
-      case _: NumberFormatException =>
-        throw new IllegalArgumentException(s"non-numeric snapshot version '$version'")
-    }
+    val v = version.toLongOption.getOrElse(
+      st.tags.getOrElse(version,
+        throw new IllegalArgumentException(
+          s"'$version' is neither a snapshot version nor a tag of $ident; " +
+            s"tags: ${st.tags.keys.toSeq.sorted.mkString("[", ", ", "]")}")))
     new MemTable(s"$ident@v$version", k, st.schema, pinned = Some(SnapshotStore.rowsAt(k, v)))
   }
 
@@ -176,9 +179,59 @@ object SnapshotCatalog {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val k = (catalog +: ident).mkString("\u0000")
     SnapshotStore.update(k) { st =>
-      st.copy(snapshots = st.snapshots.takeRight(keepLast))
+      // Tagged snapshots are never expired (Iceberg's tag-retention rule).
+      val keep = st.snapshots.takeRight(keepLast).map(_.version).toSet ++
+        st.tags.values
+      st.copy(snapshots = st.snapshots.filter(s => keep(s.version)))
     } match {
       case (before, after) => before.snapshots.size - after.snapshots.size
+    }
+  }
+
+  /** Name snapshot `version` of `catalog.ns.table` (Iceberg `CREATE TAG`):
+    * the tag resolves in `VERSION AS OF '<name>'` and shields its snapshot
+    * from [[expire]]. Re-tagging an existing name moves it. */
+  def tag(catalog: String, ident: Seq[String], name: String, version: Long): Unit = {
+    require(name.toLongOption.isEmpty,
+      s"tag name '$name' would be ambiguous with a numeric snapshot version")
+    val k = (catalog +: ident).mkString("\u0000")
+    SnapshotStore.update(k) { st =>
+      // Existence validated inside the atomic update: a concurrent expire
+      // cannot drop the snapshot between check and tag.
+      require(st.snapshots.exists(_.version == version),
+        s"cannot tag version $version: not a live snapshot " +
+          s"(have ${st.snapshots.map(_.version).mkString("[", ", ", "]")})")
+      st.copy(tags = st.tags + (name -> version))
+    }
+    ()
+  }
+
+  /** Drop a tag; its snapshot becomes expirable again. True if it existed. */
+  def removeTag(catalog: String, ident: Seq[String], name: String): Boolean = {
+    val k = (catalog +: ident).mkString("\u0000")
+    SnapshotStore.update(k)(st => st.copy(tags = st.tags - name)) match {
+      case (before, _) => before.tags.contains(name)
+    }
+  }
+
+  /** Roll the live table back to `toVersion`'s state (Iceberg
+    * `rollback_to_snapshot`) by COMMITTING A NEW SNAPSHOT with that state —
+    * history stays monotonic and auditable (the bad commits remain
+    * time-travelable until expired) and every concurrent reader keeps its
+    * pinned view. Returns the new snapshot's version. */
+  def rollback(catalog: String, ident: Seq[String], toVersion: Long): Long = {
+    val k = (catalog +: ident).mkString("\u0000")
+    SnapshotStore.update(k) { st =>
+      val rows =
+        if (toVersion == 0L) Vector.empty[UnsafeRow]
+        else st.snapshots.find(_.version == toVersion).map(_.rows).getOrElse(
+          throw new IllegalArgumentException(
+            s"cannot roll back to version $toVersion: not a live snapshot " +
+              s"(have ${st.snapshots.map(_.version).mkString("[", ", ", "]")})"))
+      st.copy(snapshots = st.snapshots :+
+        SnapshotStore.Snapshot(st.nextVersion, SnapshotStore.nowMicros(), rows))
+    } match {
+      case (_, after) => after.snapshots.last.version
     }
   }
 
@@ -206,7 +259,8 @@ object SnapshotCatalog {
   * catalog's metastore. */
 private[sources] object SnapshotStore {
   final case class Snapshot(version: Long, commitMicros: Long, rows: Vector[UnsafeRow])
-  final case class TableState(schema: StructType, snapshots: Vector[Snapshot]) {
+  final case class TableState(schema: StructType, snapshots: Vector[Snapshot],
+      tags: Map[String, Long] = Map.empty) {
     def currentRows: Vector[UnsafeRow] =
       if (snapshots.isEmpty) Vector.empty else snapshots.last.rows
     def nextVersion: Long =

@@ -102,6 +102,45 @@ class SnapshotCatalogSuite extends AnyFunSuite {
     assert(e.getMessage.contains("expired or future"))
   }
 
+  test("tags name snapshots, resolve in VERSION AS OF, and survive expiry") {
+    val t = freshTable("tags")
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")
+    (1 to 4).foreach(i => spark.sql(s"INSERT INTO $t VALUES ($i)"))
+    SnapshotCatalog.tag(cat, Seq("t", "tags"), "first_load", 1L)
+    assert(sqlRows(s"SELECT count(*) AS c FROM $t VERSION AS OF 'first_load'") ===
+      Seq(Row(1L)))
+    // Expiry keeps the newest 2 AND the tagged v1; v2 goes.
+    assert(SnapshotCatalog.expire(cat, Seq("t", "tags"), keepLast = 2) === 1)
+    assert(SnapshotCatalog.history(cat, Seq("t", "tags")).map(_._1) ===
+      Seq(1L, 3L, 4L))
+    assert(sqlRows(s"SELECT count(*) AS c FROM $t VERSION AS OF 'first_load'") ===
+      Seq(Row(1L)))
+    // Dropping the tag makes v1 expirable again.
+    assert(SnapshotCatalog.removeTag(cat, Seq("t", "tags"), "first_load"))
+    assert(SnapshotCatalog.expire(cat, Seq("t", "tags"), keepLast = 2) === 1)
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM $t VERSION AS OF 'first_load'").collect())
+    assert(e.getMessage.contains("neither a snapshot version nor a tag"))
+    // Numeric-looking tag names are rejected (would shadow version numbers).
+    intercept[IllegalArgumentException](
+      SnapshotCatalog.tag(cat, Seq("t", "tags"), "7", 3L))
+  }
+
+  test("rollback commits the old state as a NEW snapshot (history monotonic)") {
+    val t = freshTable("rb")
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")
+    spark.sql(s"INSERT INTO $t VALUES (1)")            // v1: {1}
+    spark.sql(s"INSERT INTO $t VALUES (2)")            // v2: {1,2}
+    spark.sql(s"DELETE FROM $t WHERE id = 1")          // v3: {2} — the bad commit
+    val v = SnapshotCatalog.rollback(cat, Seq("t", "rb"), toVersion = 2L)
+    assert(v === 4L)
+    assert(sqlRows(s"SELECT id FROM $t ORDER BY id") === Seq(Row(1L), Row(2L)))
+    // The bad commit remains auditable until expired.
+    assert(sqlRows(s"SELECT id FROM $t VERSION AS OF 3") === Seq(Row(2L)))
+    intercept[IllegalArgumentException](
+      SnapshotCatalog.rollback(cat, Seq("t", "rb"), toVersion = 99L))
+  }
+
   test("time-travel views are read-only") {
     val t = freshTable("ro")
     spark.sql(s"CREATE TABLE $t (id BIGINT)")

@@ -60,6 +60,39 @@ object IncrementalMaintenance {
       .agg(sum("_dn").as("dn"), sum("_dx").cast(Total).as("dx"))
   }
 
+  /** Fold one delta batch into a STORED view — a catalog table with columns
+    * `(group_key, n_rows, total)` on a catalog supporting row-level
+    * operations (e.g. the engine's versioned [[graft.sources
+    * .SnapshotCatalog]]) — via ONE statement-level `MERGE INTO`, so each
+    * maintenance step is an atomic, time-travelable commit of its own:
+    *
+    *   - a group whose count reaches zero is DELETEd from the view,
+    *   - an existing group is UPDATEd by pure decimal addition,
+    *   - a net-positive new group is INSERTed (a zero-net group that never
+    *     existed — e.g. a row moved in and back out within one batch — is
+    *     NOT inserted).
+    *
+    * This is [[applyDeltas]]'s algebra pushed through the SQL row-level
+    * path: Catalyst plans the same key-equi join, and the view table's
+    * history becomes an audit log of every refresh (tag/rollback apply to
+    * the VIEW too). The temp-view name is caller-scoped so concurrent
+    * maintainers of different views don't collide. */
+  def maintainInto(spark: org.apache.spark.sql.SparkSession, viewTable: String,
+      deltas: DataFrame): Unit = {
+    val src = "graft_im_deltas_" + viewTable.replaceAll("[^A-Za-z0-9_]", "_")
+    deltas.createOrReplaceTempView(src)
+    spark.sql(s"""MERGE INTO $viewTable t USING $src s
+      ON t.group_key = s.group_key
+      WHEN MATCHED AND t.n_rows + s.dn <= 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET
+        t.n_rows = t.n_rows + s.dn,
+        t.total = CAST(t.total + s.dx AS DECIMAL(38,4))
+      WHEN NOT MATCHED AND s.dn > 0 THEN INSERT (group_key, n_rows, total)
+        VALUES (s.group_key, s.dn, s.dx)""")
+    spark.catalog.dropTempView(src)
+    ()
+  }
+
   /** Fold one delta batch into the view: full-outer join on the group key,
     * add, drop groups whose count reached zero. The join shuffles only
     * |view| + |changed groups| rows. */

@@ -1,10 +1,17 @@
 package graft.operators
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
+
+/** Top-level so Spark derives an Encoder: one CDC change row as a stream
+  * element (Options become nullable columns — INSERTs carry no pre-image). */
+case class CdcEvent(k: Long, _change_type: String,
+    old_grp: Option[String], old_amt: Option[Double],
+    new_grp: Option[String], new_amt: Option[Double])
 
 /** Delta-propagation maintenance must equal from-scratch recompute through
   * the cases that break naive "add the inserts": group-moving updates,
@@ -43,6 +50,81 @@ class IncrementalMaintenanceSuite extends AnyFunSuite {
       .select(col("group_key"), col("n_rows"), col("total").cast("double").as("total"))
       .orderBy("group_key").collect().toSeq
     assert(got === scratch)
+  }
+
+  test("stored view maintained by statement-level MERGE, commit by commit") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.im")
+    val t = s"$cat.im.sales_mv_src"
+    val mv = s"$cat.im.sales_mv"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS $mv")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, grp STRING, amt DOUBLE)")
+    spark.sql(s"INSERT INTO $t VALUES (1,'a',1.10), (2,'a',2.20), (3,'b',3.30)") // v1
+    spark.sql(s"UPDATE $t SET grp = 'c' WHERE id = 2")  // v2
+    spark.sql(s"DELETE FROM $t WHERE grp = 'b'")        // v3
+    spark.sql(s"UPDATE $t SET amt = 9.90 WHERE id = 1") // v4
+
+    spark.sql(s"CREATE TABLE $mv (group_key STRING, n_rows BIGINT, total DECIMAL(38,4))")
+    IncrementalMaintenance.initial(
+        spark.sql(s"SELECT * FROM $t VERSION AS OF 1"), col("grp"), col("amt"))
+      .createOrReplaceTempView("im_mv_init")
+    spark.sql(s"INSERT INTO $mv SELECT * FROM im_mv_init")
+    (2L to 4L).foreach { v =>
+      val feed = ChangeDataFeed.tableChanges(spark, t, Seq("id"), v - 1, v)
+      IncrementalMaintenance.maintainInto(spark, mv,
+        IncrementalMaintenance.aggDeltas(feed,
+          col("old_grp"), col("old_amt"), col("new_grp"), col("new_amt")))
+    }
+    val got = spark.sql(
+      s"SELECT group_key, n_rows, CAST(total AS DOUBLE) AS total FROM $mv ORDER BY group_key")
+      .collect().toSeq
+    assert(got === Seq(Row("a", 1L, 9.90), Row("c", 1L, 2.20)),
+      "group b must be DELETEd, c INSERTed, a UPDATEd in place")
+    // Every refresh is an auditable commit of the VIEW's own history:
+    // 1 initial insert + 3 MERGE folds.
+    assert(graft.sources.SnapshotCatalog.history(cat, Seq("im", "sales_mv"))
+      .map(_._1) === Seq(1L, 2L, 3L, 4L))
+    // Time travel reads the view as of any refresh: after v2's fold the
+    // moved row sits in c, b still alive.
+    assert(spark.sql(s"SELECT group_key, n_rows FROM $mv VERSION AS OF 2 ORDER BY group_key")
+      .collect().toSeq === Seq(Row("a", 1L), Row("b", 1L), Row("c", 1L)))
+  }
+
+  test("streamed CDC tap maintains the stored view per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.im")
+    val mv = s"$cat.im.stream_mv"
+    spark.sql(s"DROP TABLE IF EXISTS $mv")
+    spark.sql(s"CREATE TABLE $mv (group_key STRING, n_rows BIGINT, total DECIMAL(38,4))")
+
+    val input = MemoryStream[CdcEvent]
+    val q = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        IncrementalMaintenance.maintainInto(batch.sparkSession, mv,
+          IncrementalMaintenance.aggDeltas(batch,
+            col("old_grp"), col("old_amt"), col("new_grp"), col("new_amt")))
+      }
+      .start()
+    def view(): Seq[Row] = {
+      spark.catalog.refreshTable(mv)
+      spark.sql(s"SELECT group_key, n_rows, CAST(total AS DOUBLE) AS total " +
+        s"FROM $mv ORDER BY group_key").collect().toSeq
+    }
+    try {
+      input.addData(
+        CdcEvent(1L, "INSERT", None, None, Some("a"), Some(1.5)),
+        CdcEvent(2L, "INSERT", None, None, Some("a"), Some(2.5)),
+        CdcEvent(3L, "INSERT", None, None, Some("b"), Some(4.0)))
+      q.processAllAvailable()
+      assert(view() === Seq(Row("a", 2L, 4.0), Row("b", 1L, 4.0)))
+
+      input.addData(
+        CdcEvent(2L, "UPDATE", Some("a"), Some(2.5), Some("b"), Some(2.5)),
+        CdcEvent(3L, "DELETE", Some("b"), Some(4.0), None, None))
+      q.processAllAvailable()
+      assert(view() === Seq(Row("a", 1L, 1.5), Row("b", 1L, 2.5)))
+    } finally q.stop()
   }
 
   test("empty delta batch leaves the view unchanged") {

@@ -94,6 +94,48 @@ class PlanInvariantsSuite extends AnyFunSuite {
     }
   }
 
+  test("m08/m09 building blocks: the CDF diff is one full-outer equi-join " +
+    "(no nested loop), and the delta fold never shuffles the fact side") {
+    import org.apache.spark.sql.functions._
+    val orders = Tables.orders(spark, dir)
+    val cur = orders.filter(col("o_custkey") % 10 =!= 7)
+    val before = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val diffPlan = graft.operators.ChangeDataFeed
+        .diff(orders, cur, Seq("o_orderkey"), 1L)
+        .queryExecution.executedPlan
+      assert(diffPlan.collectFirst {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, s"cartesian product in the CDF diff:\n$diffPlan")
+      assert(diffPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      }.isEmpty, s"nested-loop join in the CDF diff:\n$diffPlan")
+      val fullOuterEqui = diffPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+            if j.joinType.sql == "FULL OUTER" => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+            if j.joinType.sql == "FULL OUTER" => j
+      }
+      assert(fullOuterEqui.length === 1,
+        s"expected exactly one full-outer equi-join, got ${fullOuterEqui.length}:\n$diffPlan")
+
+      // The delta aggregation is |changes|-keyed with a map-side partial:
+      // two HashAggregates (partial below, final above the exchange).
+      val feed = graft.operators.ChangeDataFeed.diff(orders, cur, Seq("o_orderkey"), 1L)
+      val deltaPlan = graft.operators.IncrementalMaintenance.aggDeltas(feed,
+          col("old_o_orderpriority"), col("old_o_totalprice"),
+          col("new_o_orderpriority"), col("new_o_totalprice"))
+        .queryExecution.executedPlan
+      val aggs = deltaPlan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }
+      assert(aggs.exists(_.aggregateExpressions.exists(_.mode ==
+          org.apache.spark.sql.catalyst.expressions.aggregate.Partial)),
+        s"no map-side partial aggregation in the delta fold:\n$deltaPlan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", before)
+  }
+
   test("n08 and e14: no cartesian product, and no N-proportional store " +
     "table under a nested-loop join") {
     // Model-sized nested-loop joins (broadcast centroid panels, one-row

@@ -126,6 +126,41 @@ class SnapshotCatalogSuite extends AnyFunSuite {
       SnapshotCatalog.tag(cat, Seq("t", "tags"), "7", 3L))
   }
 
+  test("write-audit-publish: consumers pin the 'published' tag; a bad " +
+    "write never becomes visible to them") {
+    val t = freshTable("wap")
+    val idSeq = Seq("t", "wap")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, qty BIGINT)")
+
+    def publishedCount(): Long =
+      sqlRows(s"SELECT count(*) AS c FROM $t VERSION AS OF 'published'").head.getLong(0)
+    def auditPasses(version: Long): Boolean =
+      sqlRows(s"SELECT count(*) AS c FROM $t VERSION AS OF $version WHERE qty < 0")
+        .head.getLong(0) == 0
+
+    // Write wave 1 → audit the new snapshot → publish (move the tag).
+    spark.sql(s"INSERT INTO $t VALUES (1, 10), (2, 20)")
+    assert(auditPasses(1L))
+    SnapshotCatalog.tag(cat, idSeq, "published", 1L)
+    assert(publishedCount() === 2L)
+
+    // Write wave 2 is BAD (negative qty): audit fails, tag stays put —
+    // consumers still read wave 1 even though the live table moved.
+    spark.sql(s"INSERT INTO $t VALUES (3, -5)")
+    assert(!auditPasses(2L))
+    assert(publishedCount() === 2L)
+    assert(sqlRows(s"SELECT count(*) AS c FROM $t") === Seq(Row(3L)))
+
+    // Remediate (roll back to the audited state), write wave 3, publish.
+    SnapshotCatalog.rollback(cat, idSeq, toVersion = 1L) // v3 = wave-1 state
+    spark.sql(s"INSERT INTO $t VALUES (3, 30)")          // v4
+    assert(auditPasses(4L))
+    SnapshotCatalog.tag(cat, idSeq, "published", 4L)
+    assert(publishedCount() === 3L)
+    assert(sqlRows(s"SELECT id, qty FROM $t VERSION AS OF 'published' ORDER BY id") ===
+      Seq(Row(1L, 10L), Row(2L, 20L), Row(3L, 30L)))
+  }
+
   test("rollback commits the old state as a NEW snapshot (history monotonic)") {
     val t = freshTable("rb")
     spark.sql(s"CREATE TABLE $t (id BIGINT)")

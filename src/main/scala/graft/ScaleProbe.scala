@@ -316,6 +316,22 @@ object ScaleProbe {
           col("new_c_mktsegment"), col("new_c_acctbal")))
     }
 
+    // Graph family: the registered g02 triangle-census body. Fresh order
+    // AND part keys per replica (the amplifyDocs id scheme on both
+    // endpoints) make N× data carry N independent copies of the same graph
+    // — plain replication would deepen every co-occurrence count N× and
+    // the pair aggregate would measure the amplifier. Expected: the
+    // O(m^{3/2}) wedge bound shows as mildly super-linear shuffle on an
+    // m-linear input, bounded wall growth.
+    val liGraph = li.select("l_orderkey", "l_partkey")
+    def triangleCensus(d: DataFrame): DataFrame =
+      graft.queries.Linkage.triangleCensusOverLineitem(d)
+    def amplifyGraph(df: DataFrame, factor: Int): DataFrame =
+      df.withColumn("_rep", explode(sequence(lit(1), lit(factor))))
+        .select(
+          (col("_rep").cast("long") * 1000000000L + col("l_orderkey")).as("l_orderkey"),
+          (col("_rep").cast("long") * 1000000000L + col("l_partkey")).as("l_partkey"))
+
     val docAmp = amplifyDocs _
     val rowAmp = amplify _
     val allShapes: Seq[(String, DataFrame => DataFrame, DataFrame, (DataFrame, Int) => DataFrame)] = Seq(
@@ -344,7 +360,8 @@ object ScaleProbe {
       ("curation_pipeline", curation _,
         docs.select("doc_id", "text"), docAmp),
       ("merge_upsert", mergeUpsert _, cust, amplifyCust _),
-      ("cdf_maint", cdfMaint _, cust, amplifyCust _))
+      ("cdf_maint", cdfMaint _, cust, amplifyCust _),
+      ("triangle_census", triangleCensus _, liGraph, amplifyGraph _))
     val wanted = args.drop(2).toSet
     val unknown = wanted -- allShapes.map(_._1).toSet
     // Reject rather than skip: a silently-dropped typo reads as "that

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.operators.PageRank
@@ -149,26 +150,31 @@ object Linkage {
     * wedge join on the shared root, the closing probe on the (src,dst)
     * edge key; no driver-side adjacency structure anywhere.
     */
+  /** The registered g02 body over any `(l_orderkey, l_partkey)` frame —
+    * shared with `ScaleProbe`'s `triangle_census` shape so the probe times
+    * the exact plan the oracle gate checks. */
+  def triangleCensusOverLineitem(liRaw: DataFrame): DataFrame = {
+    // Dedup (order, part) BEFORE the quadratic pair fan-out: repeated
+    // lineitems of one part in one order would multiply pair rows for
+    // nothing, and deduping first turns the pair aggregate's
+    // count(DISTINCT okey) into a plain count — one shuffle, not a
+    // distinct expansion over the fan-out stream.
+    val li = liRaw
+      .select(col("l_orderkey").as("okey"), col("l_partkey"))
+      .distinct()
+    val pairs = li.toDF("okey", "u")
+      .join(li.toDF("okey", "v"), "okey")
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("n_ord"))
+      .filter(col("n_ord") >= 2)
+      .select("u", "v")
+    graft.operators.TriangleCensus.census(pairs)
+  }
+
   val g02TriangleCount = Q(
     "g02_triangle_count",
-    (s, dir) => {
-      // Dedup (order, part) BEFORE the quadratic pair fan-out: repeated
-      // lineitems of one part in one order would multiply pair rows for
-      // nothing, and deduping first turns the pair aggregate's
-      // count(DISTINCT okey) into a plain count — one shuffle, not a
-      // distinct expansion over the fan-out stream.
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("okey"), col("l_partkey"))
-        .distinct()
-      val pairs = li.toDF("okey", "u")
-        .join(li.toDF("okey", "v"), "okey")
-        .filter(col("u") < col("v"))
-        .groupBy("u", "v")
-        .agg(count(lit(1)).as("n_ord"))
-        .filter(col("n_ord") >= 2)
-        .select("u", "v")
-      graft.operators.TriangleCensus.census(pairs)
-    },
+    (s, dir) => triangleCensusOverLineitem(Tables.lineitem(s, dir)),
     Some("""WITH pairs AS (
         SELECT least(a.l_partkey, b.l_partkey) AS u,
                greatest(a.l_partkey, b.l_partkey) AS v

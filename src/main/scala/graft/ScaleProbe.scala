@@ -92,8 +92,14 @@ object ScaleProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Partition-count knob: probing whether a spill is a plan defect or
+    // just per-partition working set vs execution memory (a cluster
+    // deployment sizes shuffle.partitions to the input; the fixture
+    // default is 32).
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32").toInt
     val spark = SessionFactory
-      .configure(SparkSession.builder().master(s"local[$cpus]"), "graft-scale-probe")
+      .configure(SparkSession.builder().master(s"local[$cpus]"), "graft-scale-probe",
+        shufflePartitions = parts)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -122,6 +122,31 @@ object EventPipelines {
       .select(col("c_user").as("user_id"), col("click_ts"), col("purchase_ts"), col("value"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: every click emits exactly
+    * once — either attributed to a purchase inside the horizon, or
+    * null-padded as UNCONVERTED once the watermark proves no matching
+    * purchase can still arrive. The null emission is watermark-driven
+    * state eviction: an unmatched click is buffered until
+    * `click_ts + horizon` falls behind the watermark, then released with
+    * nulls — so "conversion rate per window" is computable on an infinite
+    * stream with bounded state. Same condition shape as
+    * [[attributePurchases]]; only the join type differs, and the batch
+    * twin (`left_outer` on static frames) is the parity oracle. */
+  def attributeWithUnconverted(clicks: DataFrame, purchases: DataFrame,
+      watermark: String = "10 minutes", horizon: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"),
+      "left_outer")
+      .select(col("c_user").as("user_id"), col("click_ts"), col("purchase_ts"),
+        col("value"), col("purchase_ts").isNull.as("unconverted"))
+  }
+
   // ---- Custom state: transformWithState running totals ----
 
   final case class UserTotal(user_id: Long, n_events: Long, sum_value: Double)

@@ -356,6 +356,43 @@ class EventPipelinesSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unconverted clicks after the " +
+    "watermark passes, exactly once") {
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val name = s"mem_${System.nanoTime()}"
+    val q = EventPipelines.attributeWithUnconverted(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(
+        Ev(ts(0, 0), "click", 0.0, 1),  // converts 5 min later
+        Ev(ts(0, 0), "click", 0.0, 3))  // never converts inside the horizon
+      purchases.addData(
+        Ev(ts(5, 0), "purchase", 9.99, 1),
+        Ev(ts(15, 0), "purchase", 7.0, 3)) // 15 min out: beyond the horizon
+      q.processAllAvailable()
+      // Advance event time far past click_ts + horizon + watermark on BOTH
+      // streams (the watermark is the min across inputs), so user 3's
+      // buffered click must be evicted null-padded.
+      clicks.addData(Ev(ts(120, 0), "click", 0.0, 99))
+      purchases.addData(Ev(ts(120, 0), "purchase", 1.0, 98))
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .select("user_id", "unconverted").as[(Long, Boolean)].collect().toSeq
+        .filter(r => r._1 != 99L && r._1 != 98L)
+      assert(got.toSet === Set((1L, false), (3L, true)),
+        s"expected one conversion and one watermark-evicted null row, got $got")
+      assert(got.size === 2, s"a click emitted more than once: $got")
+
+      // Batch twin on static frames agrees on the converted/unconverted split.
+      val batch = EventPipelines.attributeWithUnconverted(
+          Seq(Ev(ts(0, 0), "click", 0.0, 1), Ev(ts(0, 0), "click", 0.0, 3)).toDF(),
+          Seq(Ev(ts(5, 0), "purchase", 9.99, 1), Ev(ts(15, 0), "purchase", 7.0, 3)).toDF())
+        .select("user_id", "unconverted").as[(Long, Boolean)].collect().toSet
+      assert(batch === Set((1L, false), (3L, true)))
+    } finally q.stop()
+  }
+
   test("stream-stream join equals the same transform on batch frames") {
     val clickRows = Seq(
       Ev(ts(0, 0), "click", 0.0, 1), Ev(ts(2, 0), "click", 0.0, 2),

@@ -338,6 +338,25 @@ object ScaleProbe {
           (col("_rep").cast("long") * 1000000000L + col("l_orderkey")).as("l_orderkey"),
           (col("_rep").cast("long") * 1000000000L + col("l_partkey")).as("l_partkey"))
 
+    // Time-series family: t04's per-type trailing-hour RANGE window vs
+    // t05's ghost-replicated bucket rewrite, SAME semantics. Amplification
+    // keeps the 5 event types and the time span fixed (fresh event_ids,
+    // deeper hours) — exactly how a real stream grows — so t04's
+    // parallelism stays pinned at 5 tasks while t05's stays types × hours.
+    // The frame evaluation is two-pointer linear in both; the measured gap
+    // is the serialization.
+    val events = graft.queries.Tables.events(spark, sfDir)
+      .select("event_id", "event_type", "ts", "value")
+    def rollingHour(d: DataFrame): DataFrame =
+      graft.queries.TimeSeries.rollingHourWindowPlan(d)
+    def rollingHourBucketed(d: DataFrame): DataFrame =
+      graft.queries.TimeSeries.rollingHourBucketed(d)
+    def amplifyEvents(df: DataFrame, factor: Int): DataFrame =
+      df.withColumn("_rep", explode(sequence(lit(1), lit(factor))))
+        .withColumn("event_id",
+          col("_rep").cast("long") * 1000000000L + col("event_id"))
+        .drop("_rep")
+
     val docAmp = amplifyDocs _
     val rowAmp = amplify _
     val allShapes: Seq[(String, DataFrame => DataFrame, DataFrame, (DataFrame, Int) => DataFrame)] = Seq(
@@ -367,7 +386,9 @@ object ScaleProbe {
         docs.select("doc_id", "text"), docAmp),
       ("merge_upsert", mergeUpsert _, cust, amplifyCust _),
       ("cdf_maint", cdfMaint _, cust, amplifyCust _),
-      ("triangle_census", triangleCensus _, liGraph, amplifyGraph _))
+      ("triangle_census", triangleCensus _, liGraph, amplifyGraph _),
+      ("rolling_hour", rollingHour _, events, amplifyEvents _),
+      ("rolling_hour_bucketed", rollingHourBucketed _, events, amplifyEvents _))
     val wanted = args.drop(2).toSet
     val unknown = wanted -- allShapes.map(_._1).toSet
     // Reject rather than skip: a silently-dropped typo reads as "that

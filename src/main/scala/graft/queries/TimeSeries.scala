@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -186,20 +187,38 @@ object TimeSeries {
     * timestamps' full precision — a seconds-granularity key would admit
     * rows up to a second outside the hour) and the frame is 3.6e9 µs,
     * physically identical to the oracle's RANGE INTERVAL 1 HOUR. */
+  /** t04's registered body over any events frame — shared with
+    * `ScaleProbe`'s `rolling_hour` shape. */
+  def rollingHourWindowPlan(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, 0L)
+    events
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select(
+        col("event_id"), col("event_type"), col("ts"),
+        count(lit(1)).over(w).as("n_trailing_hr"),
+        sum(Q.dec2(col("value"))).over(w).cast("double").as("sum_trailing_hr"))
+      .orderBy("event_id")
+  }
+
+  /** t05's body: identical semantics through the ghost-replicated bucketed
+    * rewrite ([[graft.operators.BoundedRangeWindow]]) — (type × hour)-way
+    * parallel instead of one task per event_type. */
+  def rollingHourBucketed(events: DataFrame): DataFrame =
+    graft.operators.BoundedRangeWindow.trailingCountSum(
+        events, Seq("event_type"), unix_micros(col("ts")),
+        rangeMicros = 3600000000L, value = Q.dec2(col("value")),
+        outCount = "n_trailing_hr", outSum = "_sum_dec")
+      .select(
+        col("event_id"), col("event_type"), col("ts"),
+        col("n_trailing_hr"),
+        col("_sum_dec").cast("double").as("sum_trailing_hr"))
+      .orderBy("event_id")
+
   val t04RollingHour = Q(
     "t04_rolling_hour",
-    (s, dir) => {
-      val w = Window.partitionBy("event_type")
-        .orderBy(col("ts_us"))
-        .rangeBetween(-3600000000L, 0L)
-      Tables.events(s, dir)
-        .withColumn("ts_us", unix_micros(col("ts")))
-        .select(
-          col("event_id"), col("event_type"), col("ts"),
-          count(lit(1)).over(w).as("n_trailing_hr"),
-          sum(Q.dec2(col("value"))).over(w).cast("double").as("sum_trailing_hr"))
-        .orderBy("event_id")
-    },
+    (s, dir) => rollingHourWindowPlan(Tables.events(s, dir)),
     Some("""SELECT event_id, event_type, ts,
         count(*) OVER w AS n_trailing_hr,
         CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
@@ -209,5 +228,18 @@ object TimeSeries {
         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
       ORDER BY event_id"""))
 
-  val all: Seq[Q] = Seq(t01GapFill, t02Ewma, t03OhlcBars, t04RollingHour)
+  /** The scale-out form of t04 (same oracle, byte-identical output): at
+    * low key cardinality Spark's window execution serializes each key into
+    * ONE task; the ghost-replicated bucket rewrite restores (keys × hours)
+    * parallelism with a per-task working set of two buckets. See
+    * [[graft.operators.BoundedRangeWindow]] for the exactness argument;
+    * the `rolling_hour` vs `rolling_hour_bucketed` ScaleProbe shapes
+    * measure the serialization this removes. */
+  val t05RollingHourBucketed = Q(
+    "t05_rolling_hour_bucketed",
+    (s, dir) => rollingHourBucketed(Tables.events(s, dir)),
+    t04RollingHour.oracle)
+
+  val all: Seq[Q] =
+    Seq(t01GapFill, t02Ewma, t03OhlcBars, t04RollingHour, t05RollingHourBucketed)
 }

@@ -106,6 +106,28 @@ class TimeSeriesSuite extends AnyFunSuite {
     }
   }
 
+  test("t05 bucketed rewrite is row-identical to t04, including exact " +
+    "bucket-boundary and range-boundary events") {
+    import org.apache.spark.sql.Row
+    // Hand-built pathological rows: events exactly ON an hour-bucket edge,
+    // exactly range-distant (inclusive), 1µs outside (exclusive), and a
+    // frame spanning two buckets — plus a second key to prove isolation.
+    val hr = 3600000000L
+    val rows = Seq(
+      (1L, "a", 0L, 1.00), (2L, "a", hr, 2.00),        // exactly 1h apart: inclusive
+      (3L, "a", 2 * hr + 1L, 4.00),                    // 1µs past 2's hour: excluded
+      (4L, "a", 2 * hr + hr / 2, 8.00),                // mid-bucket, sees 3
+      (5L, "b", hr, 16.00))                            // other key, same instant as 2
+    val df = spark.createDataFrame(rows).toDF("event_id", "event_type", "us", "value")
+      .select($"event_id", $"event_type",
+        timestamp_micros($"us").as("ts"), $"value")
+    val t04 = TimeSeries.rollingHourWindowPlan(df).collect().toSeq
+    val t05 = TimeSeries.rollingHourBucketed(df).collect().toSeq
+    assert(t04 === t05)
+    val byId = t05.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(byId === Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L, 5L -> 1L))
+  }
+
   test("t03 plans as one partial-aggregable pass (no window exchange)") {
     val plan = TimeSeries.t03OhlcBars.run(spark, dir)
       .queryExecution.executedPlan.toString

@@ -51,6 +51,51 @@ class SourcesSuite extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("XML round-trip (Spark 4 built-in source) preserves nested structs") {
+    val out = tmp("graft-xml")
+    val src = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"),
+        struct(col("n_regionkey")).as("region"))
+    src.write.mode("overwrite").option("rowTag", "nation").xml(out)
+    val back = spark.read
+      .schema("n_nationkey BIGINT, n_name STRING, region STRUCT<n_regionkey: BIGINT>")
+      .option("rowTag", "nation").xml(out)
+    assert(back.count() === src.count())
+    val a = back.select($"n_nationkey", $"n_name", $"region.n_regionkey")
+      .as[(Long, String, Long)].collect().toSet
+    val b = src.select($"n_nationkey", $"n_name", $"region.n_regionkey")
+      .as[(Long, String, Long)].collect().toSet
+    assert(a === b)
+  }
+
+  test("state-store reader: a streaming aggregation's checkpointed state " +
+    "is queryable as a batch DataFrame (observability surface)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = tmp("graft-state-ckpt")
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    val name = s"statestore_${System.nanoTime()}"
+    val q = input.toDF().toDF("k", "v")
+      .groupBy("k").agg(sum("v").as("total"))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+    try {
+      input.addData(("a", 1L), ("a", 2L), ("b", 10L))
+      q.processAllAvailable()
+      input.addData(("b", 5L))
+      q.processAllAvailable()
+    } finally q.stop()
+    // The state data source reads the operator's keyed state offline from
+    // the checkpoint — how a production debugger inspects a stuck query's
+    // state without replaying it.
+    val state = spark.read.format("statestore").load(ckpt)
+    // The store holds the AGGREGATION BUFFER, so the value field carries
+    // the buffer schema (`sum`), not the query's output alias.
+    val totals = state.select(col("key.k"), col("value.sum"))
+      .as[(String, Long)].collect().toMap
+    assert(totals === Map("a" -> 3L, "b" -> 15L))
+  }
+
   test("ORC round-trip preserves rows and pushes filters") {
     val out = tmp("graft-orc")
     val src = Tables.orders(spark, dir)

@@ -74,5 +74,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => graft.plans.SkylinePlan.SkylineStrategy)
+    // Conf-gated (off by default): transparent ghost-replication rewrite of
+    // low-parallelism trailing-range windows.
+    ext.injectOptimizerRule(_ => graft.plans.GhostedRangeWindowRewrite)
   }
 }

@@ -43,7 +43,12 @@ object BoundedRangeWindow {
         expr(s"CAST(FLOOR(ts_us / ${rangeMicros}L) AS BIGINT)"))
     val real = withTs.withColumn("_owner", col("_bucket"))
       .withColumn("_ghost", lit(false))
-    val ghost = withTs.withColumn("_owner", col("_bucket") + 1)
+    // Null order values form their own peer group (RANGE-frame null
+    // semantics); their ghost copy would land in the SAME null-owner
+    // partition and double every null frame — so ghosts carry only
+    // non-null timestamps.
+    val ghost = withTs.filter(col("ts_us").isNotNull)
+      .withColumn("_owner", col("_bucket") + 1)
       .withColumn("_ghost", lit(true))
     val w = Window.partitionBy((partCols :+ "_owner").map(col): _*)
       .orderBy("ts_us")

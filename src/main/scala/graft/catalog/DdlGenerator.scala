@@ -114,6 +114,9 @@ object DdlGenerator {
     val partition =
       if (spec.partitionedBy.isEmpty) ""
       else s"\nPARTITIONED BY (${spec.partitionedBy.map(quoteIdent).mkString(", ")})"
+    val cluster =
+      if (spec.clusterBy.isEmpty) ""
+      else s"\nCLUSTER BY (${spec.clusterBy.map(quoteIdent).mkString(", ")})"
     val location = spec.location.map(l => s"\nLOCATION ${quoteLiteral(l)}").getOrElse("")
     val props = profile.tblProperties(spec) match {
       case Nil => ""
@@ -128,6 +131,6 @@ object DdlGenerator {
     s"""CREATE TABLE IF NOT EXISTS $qualifiedName (
 $cols
 )
-USING ${profile.usingClause}$partition$location$props"""
+USING ${profile.usingClause}$partition$cluster$location$props"""
   }
 }

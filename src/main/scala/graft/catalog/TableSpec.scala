@@ -32,7 +32,8 @@ final case class TableSpec(
     location: Option[String],
     formatVersion: String,
     partitionedBy: Seq[String],
-    columns: Seq[ColumnSpec]) {
+    columns: Seq[ColumnSpec],
+    clusterBy: Seq[String] = Seq.empty) {
 
   require(database.nonEmpty, "database must be non-empty")
   require(table.nonEmpty, "table must be non-empty")
@@ -51,6 +52,12 @@ final case class TableSpec(
   partitionedBy.foreach { p =>
     require(colNames.contains(p), s"partition column '$p' not in declared columns")
   }
+  clusterBy.foreach { c =>
+    require(colNames.contains(c), s"cluster column '$c' not in declared columns")
+  }
+  // Spark's CREATE TABLE rejects combining them; fail at spec load instead.
+  require(partitionedBy.isEmpty || clusterBy.isEmpty,
+    s"$database.$table: PARTITIONED BY and CLUSTER BY are mutually exclusive")
 
   def fullName: String = s"$database.$table"
 
@@ -87,7 +94,7 @@ object TableSpec {
         }
       case _ => sys.error("spec missing 'columns' list")
     }
-    val parts = m.get("partitioned_by") match {
+    def strList(k: String): Seq[String] = m.get(k) match {
       case Some(l: java.util.List[_]) => l.asScala.toSeq.map(_.toString)
       case _                          => Seq.empty
     }
@@ -96,8 +103,12 @@ object TableSpec {
       table = str("table").getOrElse(sys.error("spec missing 'table'")),
       location = str("location"),
       formatVersion = str("format_version").getOrElse("2"),
-      partitionedBy = parts,
-      columns = cols)
+      partitionedBy = strList("partitioned_by"),
+      columns = cols,
+      // Spec extension beyond the reference's five keys: Spark 4 clustered
+      // tables (`CLUSTER BY`) — the modern layout declaration (Iceberg and
+      // Delta both map it to their clustering metadata).
+      clusterBy = strList("cluster_by"))
   }
 
   def fromYamlFile(path: String): TableSpec =

@@ -73,4 +73,22 @@ class CatalogAutomationSuite extends AnyFunSuite {
     }
     assert(e.getMessage.contains("v1 table"))
   }
+
+  test("clustered spec provisions a CLUSTER BY table; layout lands in " +
+    "catalog metadata and a clustered write round-trips") {
+    import spark.implicits._
+    val clustered = spec.copy(table = "customers_clustered",
+      partitionedBy = Seq.empty, clusterBy = Seq("CountryRegion"))
+    auto.createTable(clustered)
+    auto.createTable(clustered) // idempotence holds for clustered DDL too
+    // Spark records clustering as a spec the DESCRIBE surface exposes.
+    val describe = spark.sql("DESCRIBE TABLE EXTENDED bronze.customers_clustered")
+      .collect().map(_.mkString("|")).mkString("\n")
+    assert(describe.contains("Clustering Information") ||
+      describe.toLowerCase.contains("countryregion"), describe)
+    Seq(("Ada", "a@x.com", "DE", "10115"), ("Bo", "b@x.com", "FR", "75001"))
+      .toDF("FirstName", "EmailAddress", "CountryRegion", "PostalCode")
+      .write.mode("append").insertInto("bronze.customers_clustered")
+    assert(spark.table("bronze.customers_clustered").count() === 2)
+  }
 }

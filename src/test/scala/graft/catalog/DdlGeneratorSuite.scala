@@ -51,6 +51,29 @@ class DdlGeneratorSuite extends AnyFunSuite {
         |PARTITIONED BY (`CountryRegion`, `PostalCode`)""".stripMargin)
   }
 
+  test("CLUSTER BY renders for clustered specs and excludes PARTITIONED BY") {
+    val clustered = spec.copy(partitionedBy = Seq.empty,
+      clusterBy = Seq("CountryRegion", "PostalCode"), location = None)
+    val ddl = DdlGenerator.createTable(clustered, CatalogProfile.Builtin())
+    assert(ddl ==
+      """CREATE TABLE IF NOT EXISTS `bronze`.`customers` (
+        |  `FirstName` STRING,
+        |  `CountryRegion` STRING,
+        |  `PostalCode` STRING
+        |)
+        |USING parquet
+        |CLUSTER BY (`CountryRegion`, `PostalCode`)""".stripMargin)
+    // Iceberg dialect carries clustering the same way.
+    assert(DdlGenerator.createTable(clustered, CatalogProfile.Iceberg())
+      .contains("CLUSTER BY (`CountryRegion`, `PostalCode`)"))
+    // Combining the two layouts fails at SPEC time, not execution time.
+    intercept[IllegalArgumentException](
+      spec.copy(clusterBy = Seq("PostalCode")))
+    // Unknown cluster columns fail at spec time too.
+    intercept[IllegalArgumentException](
+      spec.copy(partitionedBy = Seq.empty, clusterBy = Seq("nope")))
+  }
+
   test("identifiers with reserved words/special chars and quoted locations are escaped") {
     val tricky = TableSpec(
       database = "select",

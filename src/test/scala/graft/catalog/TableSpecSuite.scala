@@ -38,6 +38,17 @@ class TableSpecSuite extends AnyFunSuite {
     assert(spec.columns.forall(_.dataType == "string"))
   }
 
+  test("cluster_by parses from YAML and validates against declared columns") {
+    val spec = TableSpec.fromYaml(
+      "database: d\ntable: t\ncluster_by:\n  - a\ncolumns:\n  - name: a\n    type: int\n")
+    assert(spec.clusterBy == Seq("a") && spec.partitionedBy.isEmpty)
+    intercept[IllegalArgumentException](TableSpec.fromYaml(
+      "database: d\ntable: t\ncluster_by:\n  - nope\ncolumns:\n  - name: a\n    type: int\n"))
+    intercept[IllegalArgumentException](TableSpec.fromYaml(
+      "database: d\ntable: t\npartitioned_by:\n  - a\ncluster_by:\n  - a\n" +
+        "columns:\n  - name: a\n    type: int\n"))
+  }
+
   test("format_version defaults to 2 when omitted (create_iceberg_tables.py:36)") {
     val spec = TableSpec.fromYaml(
       "database: d\ntable: t\ncolumns:\n  - name: a\n    type: int\n")

@@ -1,0 +1,82 @@
+package graft.catalog
+
+import scala.jdk.CollectionConverters._
+
+import org.yaml.snakeyaml.{LoaderOptions, Yaml}
+import org.yaml.snakeyaml.constructor.SafeConstructor
+
+/** One step of a declaratively-specified curation pipeline: an operator
+  * name from [[graft.PipelineRunner]]'s vocabulary plus its parameters
+  * (YAML scalars, validated by the op at build time). */
+final case class PipelineStep(op: String, params: Map[String, String]) {
+  def param(key: String): String = params.getOrElse(key,
+    sys.error(s"op '$op' missing required param '$key'"))
+  def paramOr(key: String, default: String): String = params.getOrElse(key, default)
+}
+
+/** Declarative pipeline specification — the reference's YAML-driven table
+  * provisioning (`customers.yml` → DDL) extended to the DATA path: a
+  * source fixture table, an ordered op list, and an optional sink. The
+  * same deploy loop that provisions tables from specs can then run
+  * curation from specs (`create_iceberg_tables.py:158-166` iterates spec
+  * files; [[graft.PipelineRunner]] is that loop's data-plane twin).
+  */
+final case class PipelineSpec(
+    name: String,
+    sourceTable: String,
+    steps: Seq[PipelineStep],
+    sinkFormat: Option[String],
+    sinkPath: Option[String]) {
+  require(name.nonEmpty, "pipeline name must be non-empty")
+  require(sourceTable.nonEmpty, s"$name: source table must be non-empty")
+  require(steps.nonEmpty, s"$name: at least one step required")
+  require(sinkFormat.isDefined == sinkPath.isDefined,
+    s"$name: sink needs both 'format' and 'path' (or neither)")
+}
+
+object PipelineSpec {
+
+  def fromYaml(text: String): PipelineSpec = {
+    val yaml = new Yaml(new SafeConstructor(new LoaderOptions()))
+    val root = yaml.load[java.util.Map[String, Object]](text)
+    require(root != null, "empty YAML document")
+    val m = root.asScala
+
+    val source = m.get("source") match {
+      case Some(sm: java.util.Map[_, _]) =>
+        sm.asScala.map { case (k, v) => k.toString -> v.toString }
+          .getOrElse("table", sys.error("source missing 'table'"))
+      case _ => sys.error("spec missing 'source' map")
+    }
+    val steps = m.get("steps") match {
+      case Some(l: java.util.List[_]) =>
+        l.asScala.toSeq.map {
+          case sm: java.util.Map[_, _] =>
+            val s = sm.asScala.map { case (k, v) => k.toString -> v.toString }
+            PipelineStep(
+              s.getOrElse("op", sys.error("step missing 'op'")),
+              (s - "op").toMap)
+          case other => sys.error(s"bad step entry: $other")
+        }
+      case _ => sys.error("spec missing 'steps' list")
+    }
+    val (fmt, path) = m.get("sink") match {
+      case Some(sm: java.util.Map[_, _]) =>
+        val s = sm.asScala.map { case (k, v) => k.toString -> v.toString }
+        (s.get("format"), s.get("path"))
+      case _ => (None, None)
+    }
+    PipelineSpec(
+      name = m.get("pipeline").map(_.toString)
+        .getOrElse(sys.error("spec missing 'pipeline' name")),
+      sourceTable = source,
+      steps = steps,
+      sinkFormat = fmt,
+      sinkPath = path)
+  }
+
+  def fromYamlFile(path: String): PipelineSpec =
+    fromYaml(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
+}

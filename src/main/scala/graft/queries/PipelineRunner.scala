@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{PipelineSpec, PipelineStep}
+
+/** Executes a [[graft.catalog.PipelineSpec]]: the declarative data-plane
+  * twin of the catalog provisioning loop. Each op maps to the SAME shared
+  * expression its registered oracle-gated query pins (`NearDup.dropIds`,
+  * `TextOps.dupSpanRemoval/qualityScore/predictedLang/tokenCount`, x02's
+  * temperature arithmetic), so a YAML-specified pipeline cannot drift from
+  * the gated operators — the suite proves a spec replaying p03's stages is
+  * row-identical to the registered `Pipeline.curationPipeline`.
+  *
+  * Vocabulary (validated eagerly; unknown ops fail naming the known set):
+  *
+  *   - `filter` (`expr`): SQL predicate over current columns
+  *   - `select` (`cols`: comma-separated): projection
+  *   - `dedup_exact` (`cols`): dropDuplicates on the listed key
+  *   - `near_dup_drop`: n06's rule — LSH pairs → connected components →
+  *     keep each cluster's minimum id (needs doc_id, text)
+  *   - `span_removal`: d19's duplicated-span cut; text := cleaned text
+  *   - `quality_gate` (`min_score`, default 0.5): d04's score on text
+  *   - `lang_id`: adds `lang` (d05's classifier)
+  *   - `token_count`: adds `n_tokens`
+  *   - `sample_hash` (`rate`): deterministic doc_id-hash coin < rate
+  *   - `temperature_mix` (`alpha` default 0.5, `budget_fraction` default
+  *     0.3): x02's α-mixture acceptance over (lang, n_tokens) — α = 0.5
+  *     uses IEEE sqrt (bit-identical to x02); other α use pow
+  *
+  * Scale posture: pure composition of the gated operators — the runner
+  * adds no shuffle, collect, or driver loop of its own; `build` returns
+  * the lazy frame and `run` writes it to the sink.
+  */
+final class PipelineRunner(spark: SparkSession) {
+
+  private val knownOps = Seq("filter", "select", "dedup_exact", "near_dup_drop",
+    "span_removal", "quality_gate", "lang_id", "token_count", "sample_hash",
+    "temperature_mix")
+
+  /** Build the pipeline's lazy frame from fixture tables in `sfDir`. */
+  def build(spec: PipelineSpec, sfDir: String): DataFrame = {
+    val source = spec.sourceTable match {
+      case "events" => Tables.events(spark, sfDir) // ts-vintage-safe loader
+      case t        => Tables.table(spark, sfDir, t)
+    }
+    spec.steps.foldLeft(source)(applyStep)
+  }
+
+  /** Build and write to the spec's sink (parquet/csv/json/orc). */
+  def run(spec: PipelineSpec, sfDir: String): Unit = {
+    val out = build(spec, sfDir)
+    (spec.sinkFormat, spec.sinkPath) match {
+      case (Some(fmt), Some(path)) =>
+        out.write.mode("overwrite").format(fmt).save(path)
+      case _ =>
+        sys.error(s"${spec.name}: run() needs a sink; use build() for a frame")
+    }
+  }
+
+  private def applyStep(df: DataFrame, step: PipelineStep): DataFrame = step.op match {
+    case "filter" => df.filter(expr(step.param("expr")))
+    case "select" => df.selectExpr(splitCols(step.param("cols")): _*)
+    case "dedup_exact" => df.dropDuplicates(splitCols(step.param("cols")))
+    case "near_dup_drop" =>
+      requireCols(df, step, "doc_id", "text")
+      val drops = NearDup.dropIds(df.select("doc_id", "text"))
+      df.join(drops, df("doc_id") === drops("id"), "left_anti")
+    case "span_removal" =>
+      requireCols(df, step, "doc_id", "text")
+      val others = df.columns.filterNot(c => c == "doc_id" || c == "text")
+      // d19 re-emits (doc_id, cleaned_text); carry any other columns along
+      // and keep the pipeline's text-column contract.
+      val cleaned = TextOps.dupSpanRemoval(df.select("doc_id", "text"))
+        .select(col("doc_id"), col("cleaned_text").as("text"))
+      if (others.isEmpty) cleaned
+      else cleaned.join(df.drop("text"), "doc_id")
+    case "quality_gate" =>
+      requireCols(df, step, "text")
+      df.filter(TextOps.qualityScore(col("text")) >=
+        step.paramOr("min_score", "0.5").toDouble)
+    case "lang_id" =>
+      requireCols(df, step, "text")
+      df.withColumn("lang", TextOps.predictedLang(col("text")))
+    case "token_count" =>
+      requireCols(df, step, "text")
+      df.withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("long"))
+    case "sample_hash" =>
+      requireCols(df, step, "doc_id")
+      df.filter(Pipeline.hashUniform(col("doc_id")) < step.param("rate").toDouble)
+    case "temperature_mix" =>
+      requireCols(df, step, "doc_id", "lang", "n_tokens")
+      temperatureMix(df, step.paramOr("alpha", "0.5").toDouble,
+        step.paramOr("budget_fraction", "0.3").toDouble)
+    case other =>
+      sys.error(s"unknown op '$other'; known: ${knownOps.mkString(", ")}")
+  }
+
+  /** x02's α-mixture acceptance: rates from the per-language token masses,
+    * denominator folded in sorted-language order (cross-engine-exact), a
+    * row-local hash coin — the corpus never shuffles. α = 0.5 routes
+    * through IEEE sqrt so the default is bit-identical to x02/p03. */
+  private def temperatureMix(df: DataFrame, alpha: Double,
+      budgetFraction: Double): DataFrame = {
+    def weight(c: Column): Column =
+      if (alpha == 0.5) sqrt(c.cast("double")) else pow(c.cast("double"), alpha)
+    val perLang = df.groupBy("lang")
+      .agg(sum(col("n_tokens")).as("lang_tokens"))
+      .withColumn("s", weight(col("lang_tokens")))
+    val totals = perLang.agg(
+      sum(col("lang_tokens")).as("total_tokens"),
+      aggregate(
+        array_sort(collect_list(struct(col("lang"), col("s")))),
+        lit(0.0), (acc, x) => acc + x.getField("s")).as("denom"))
+    df.join(broadcast(perLang), "lang")
+      .crossJoin(broadcast(totals))
+      .withColumn("u", Pipeline.hashUniform(col("doc_id")))
+      .withColumn("p_incl",
+        least(lit(1.0),
+          lit(budgetFraction) * col("total_tokens") * col("s") / col("denom")
+            / col("lang_tokens")))
+      .filter(col("u") < col("p_incl"))
+      .drop("lang_tokens", "s", "total_tokens", "denom", "u")
+  }
+
+  private def splitCols(s: String): Seq[String] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  private def requireCols(df: DataFrame, step: PipelineStep, cols: String*): Unit = {
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"op '${step.op}' requires column(s) ${missing.mkString(", ")}; " +
+        s"frame has ${df.columns.mkString(", ")}")
+  }
+}

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.catalog.PipelineSpec
+
+/** The YAML pipeline runner: specs parse, ops compose the SAME shared
+  * expressions the oracle gate pins (a spec replaying p03's stages is
+  * row-identical to the registered composition), and misuse fails eagerly
+  * with named ops/params/columns.
+  */
+class PipelineRunnerSuite extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = SparkTestSession.sfDir
+  private lazy val runner = new PipelineRunner(spark)
+
+  private val curationYaml = """pipeline: curation_demo
+source:
+  table: documents
+steps:
+  - op: select
+    cols: doc_id, text
+  - op: near_dup_drop
+  - op: span_removal
+  - op: quality_gate
+    min_score: 0.5
+  - op: lang_id
+  - op: token_count
+  - op: temperature_mix
+"""
+
+  test("spec parses: name, source, ordered steps with params, optional sink") {
+    val spec = PipelineSpec.fromYaml(curationYaml)
+    assert(spec.name === "curation_demo")
+    assert(spec.sourceTable === "documents")
+    assert(spec.steps.map(_.op) === Seq("select", "near_dup_drop", "span_removal",
+      "quality_gate", "lang_id", "token_count", "temperature_mix"))
+    assert(spec.steps(3).param("min_score") === "0.5")
+    assert(spec.sinkFormat.isEmpty && spec.sinkPath.isEmpty)
+    // Sink must be both-or-neither.
+    intercept[IllegalArgumentException](PipelineSpec.fromYaml(
+      curationYaml + "sink:\n  format: parquet\n"))
+  }
+
+  test("a spec replaying p03's stages is row-identical to the registered " +
+    "curation pipeline") {
+    val spec = PipelineSpec.fromYaml(curationYaml)
+    val fromSpec = runner.build(spec, dir)
+      .selectExpr("doc_id", "lang", "n_tokens", "round(p_incl, 6) AS p_incl")
+      .collect().toSet
+    val registered = Pipeline.curationPipeline(
+        Tables.documents(spark, dir).select("doc_id", "text"))
+      .collect().toSet
+    assert(fromSpec === registered)
+    assert(fromSpec.nonEmpty)
+  }
+
+  test("generic ops: filter, dedup, hash sampling compose and stay lazy") {
+    val spec = PipelineSpec.fromYaml("""pipeline: slice
+source:
+  table: documents
+steps:
+  - op: select
+    cols: doc_id, text
+  - op: filter
+    expr: doc_id % 2 = 0
+  - op: dedup_exact
+    cols: text
+  - op: sample_hash
+    rate: 0.5
+""")
+    val out = runner.build(spec, dir)
+    val n = out.count()
+    val evens = Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0)
+      .dropDuplicates("text").count()
+    assert(n > 0 && n < evens, s"sampled $n of $evens")
+  }
+
+  test("run() writes the sink; misuse fails eagerly with names") {
+    val sink = java.nio.file.Files.createTempDirectory("graft-pipe").toString + "/out"
+    val spec = PipelineSpec.fromYaml(s"""pipeline: to_parquet
+source:
+  table: documents
+steps:
+  - op: select
+    cols: doc_id, text
+sink:
+  format: parquet
+  path: $sink
+""")
+    runner.run(spec, dir)
+    assert(spark.read.parquet(sink).count() ===
+      Tables.documents(spark, dir).count())
+
+    val unknown = intercept[RuntimeException](runner.build(
+      PipelineSpec.fromYaml(
+        "pipeline: p\nsource:\n  table: documents\nsteps:\n  - op: nope\n"), dir))
+    assert(unknown.getMessage.contains("known:"), unknown.getMessage)
+
+    val missingParam = intercept[RuntimeException](runner.build(
+      PipelineSpec.fromYaml(
+        "pipeline: p\nsource:\n  table: documents\nsteps:\n  - op: filter\n"), dir))
+    assert(missingParam.getMessage.contains("missing required param 'expr'"))
+
+    val missingCol = intercept[IllegalArgumentException](runner.build(
+      PipelineSpec.fromYaml(
+        "pipeline: p\nsource:\n  table: region\nsteps:\n  - op: lang_id\n"), dir))
+    assert(missingCol.getMessage.contains("requires column"))
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import graft.catalog.PipelineSpec
+import graft.queries.PipelineRunner
+
+/** Pipeline CLI — the data-plane twin of [[ProvisionTables]]:
+  * `runMain graft.RunPipeline <specFileOrDir> <sfDir>`.
+  *
+  * Walks a YAML pipeline-spec file or a directory of them and executes
+  * each against the fixture tables in `sfDir`. Specs without a sink are
+  * validated, built, and counted (a dry-run that still exercises the whole
+  * plan); specs with a sink are written. Errors propagate — a bad spec
+  * fails the run, matching the engine-wide fail-loudly convention.
+  */
+object RunPipeline {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: RunPipeline <specFileOrDir> <sfDir>")
+    val root = Paths.get(args(0))
+    val sfDir = args(1)
+    val paths: Seq[Path] = ProvisionTables.specPaths(root)
+    require(paths.nonEmpty, s"no .yml/.yaml specs under $root")
+
+    val spark = SessionFactory
+      .configure(
+        org.apache.spark.sql.SparkSession.builder()
+          .master(s"local[${SessionFactory.defaultCores}]"),
+        appName = "graft-pipeline")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val runner = new PipelineRunner(spark)
+      paths.foreach { p =>
+        val spec = PipelineSpec.fromYamlFile(p.toString)
+        if (spec.sinkPath.isDefined) {
+          runner.run(spec, sfDir)
+          println(s"[pipeline] ${spec.name}: wrote ${spec.sinkFormat.get} " +
+            s"sink at ${spec.sinkPath.get}")
+        } else {
+          val n = runner.build(spec, sfDir).count()
+          println(s"[pipeline] ${spec.name}: dry-run OK, $n rows")
+        }
+      }
+    } finally spark.stop()
+  }
+}

@@ -105,5 +105,50 @@ object Multimodal {
       round(scale, 6) AS scale
     FROM r ORDER BY media_id"""))
 
-  val all: Seq[Q] = Seq(mm01MediaFeatures, mm02FrameSample, mm03Resize)
+  /** The REAL codec path, oracle-gated: each document id becomes an actual
+    * PNG (constant-grey `id % 256`, dimensions derived from the id),
+    * encoded with the JDK's ImageIO writer inside the distributed map and
+    * decoded back through [[graft.multimodal.MediaOps.extractFeatures]]'s
+    * format-dispatched REAL decode. Because PNG is lossless and the image
+    * is constant-grey, every decoded statistic has a closed form the DuckDB
+    * oracle computes relationally: width/height from the id arithmetic and
+    * `round(luma) = id % 256` exactly (the per-pixel Rec.601 weights sum to
+    * 1 within 1 ulp; rounding absorbs it). A decoder that mis-read
+    * dimensions, dropped rows, or mangled pixel values hash-mismatches.
+    *
+    * Scale: payload generation + decode are one narrow mapPartitions pass —
+    * no shuffle; the binary never leaves the partition. */
+  val mm04RealPngDecode = Q(
+    "mm04_real_png_decode",
+    (s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (16 + id % 32).toInt
+          val h = (16 + id % 16).toInt
+          val grey = (id % 256).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (grey << 16) | (grey << 8) | grey
+          var y = 0
+          while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MediaRecord(id, bos.toByteArray, "png")
+        }
+      MediaOps.extractFeatures(media)
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("luma")).cast("long").as("grey"))
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id,
+      CAST(16 + doc_id % 32 AS INT) AS width,
+      CAST(16 + doc_id % 16 AS INT) AS height,
+      doc_id % 256 AS grey
+    FROM documents ORDER BY media_id"""))
+
+  val all: Seq[Q] = Seq(mm01MediaFeatures, mm02FrameSample, mm03Resize,
+    mm04RealPngDecode)
 }

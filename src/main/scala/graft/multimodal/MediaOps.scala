@@ -14,6 +14,10 @@ final case class MediaFeatures(
 final case class FrameFeatures(
     media_id: Long, frame_idx: Int, n_bytes: Long, mean_byte: Double)
 
+final case class AudioFeatures(
+    media_id: Long, format: String, n_bytes: Long,
+    sample_rate: Double, channels: Int, n_frames: Long, rms: Double)
+
 final case class ResizedMedia(
     media_id: Long, width: Int, height: Int,
     out_width: Long, out_height: Long, out_bytes: Long, scale: Double)
@@ -93,6 +97,70 @@ object MediaOps {
     if (format != null && ImageFormats(format.toLowerCase(java.util.Locale.ROOT)))
       decodeImage(bytes).getOrElse(decodeStub(bytes))
     else decodeStub(bytes)
+
+  /** Formats the JDK's bundled `javax.sound.sampled` readers decode without
+    * external libraries: WAV, AIFF, AU. (Compressed audio — MP3/AAC/OGG —
+    * has no bundled JDK codec and stays on the stand-in path.) */
+  val AudioFormats: Set[String] = Set("wav", "wave", "aiff", "aif", "au", "snd")
+
+  /** REAL audio decode via the JDK: container header (sample rate,
+    * channels, frame count) plus the RMS amplitude of the 16-bit PCM
+    * samples — the amplitude statistic an audio curation pipeline filters
+    * on (silence/clipping detection). None when no bundled reader claims
+    * the bytes or the encoding is not 16-bit PCM. */
+  def decodeAudio(bytes: Array[Byte]): Option[(Double, Int, Long, Double)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) None
+        else {
+          val data = ais.readAllBytes()
+          val n = data.length / 2
+          var sumSq = 0.0
+          var i = 0
+          while (i < n) {
+            val lo = data(2 * i) & 0xff
+            val hi = data(2 * i + 1)
+            val s = if (fmt.isBigEndian) ((data(2 * i) << 8) | (data(2 * i + 1) & 0xff))
+                    else ((hi << 8) | lo)
+            sumSq += s.toDouble * s
+            i += 1
+          }
+          val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+          Some((fmt.getSampleRate.toDouble, fmt.getChannels, ais.getFrameLength, rms))
+        }
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException | _: RuntimeException => None
+    }
+
+  /** Per-partition REAL audio feature extraction (format-dispatched like
+    * [[extractFeatures]]): non-audio or undecodable records get zeroed
+    * audio fields rather than failing the partition. */
+  def extractAudioFeatures(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val decoded =
+          if (r.format != null &&
+              AudioFormats(r.format.toLowerCase(java.util.Locale.ROOT)))
+            decodeAudio(r.payload)
+          else None
+        decoded match {
+          case Some((rate, ch, frames, rms)) =>
+            AudioFeatures(r.media_id, r.format, r.payload.length.toLong,
+              rate, ch, frames, rms)
+          case None =>
+            AudioFeatures(r.media_id, r.format, r.payload.length.toLong,
+              0.0, 0, 0L, 0.0)
+        }
+      }
+    }
+  }
 
   /** Deterministic stand-in for NON-image media (no bundled JDK codec):
     * fabricates dimensions from the byte length and "luma" as the mean byte

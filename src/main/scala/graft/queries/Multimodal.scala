@@ -149,6 +149,55 @@ object Multimodal {
       doc_id % 256 AS grey
     FROM documents ORDER BY media_id"""))
 
+  /** The REAL audio path, oracle-gated (mm04's pattern for sound): each
+    * document id becomes an actual 16-bit PCM WAV (JDK `AudioSystem`
+    * writer, mono, 8 kHz, constant amplitude `id % 1000`, `64 + id % 64`
+    * frames) and is decoded back through
+    * [[graft.multimodal.MediaOps.extractAudioFeatures]]. Constant samples
+    * make the RMS integer-exact (`sqrt` of an exactly-representable
+    * perfect square), so every decoded field — rate, channels, frame
+    * count, RMS — has a closed form the DuckDB oracle computes
+    * relationally. Compressed audio (MP3/AAC) has no bundled JDK codec and
+    * stays on the documented stand-in path. */
+  val mm05RealWavDecode = Q(
+    "mm05_real_wav_decode",
+    (s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val nFrames = (64 + id % 64).toInt
+          val amp = (id % 1000).toInt
+          val pcm = new Array[Byte](nFrames * 2)
+          var i = 0
+          while (i < nFrames) {
+            pcm(2 * i) = (amp & 0xff).toByte
+            pcm(2 * i + 1) = ((amp >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          MediaRecord(id, bos.toByteArray, "wav")
+        }
+      MediaOps.extractAudioFeatures(media)
+        .toDF()
+        .select(col("media_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels"), col("n_frames"),
+          col("rms").cast("long").as("rms"))
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id,
+      CAST(8000 AS BIGINT) AS sample_rate,
+      CAST(1 AS INT) AS channels,
+      CAST(64 + doc_id % 64 AS BIGINT) AS n_frames,
+      doc_id % 1000 AS rms
+    FROM documents ORDER BY media_id"""))
+
   val all: Seq[Q] = Seq(mm01MediaFeatures, mm02FrameSample, mm03Resize,
-    mm04RealPngDecode)
+    mm04RealPngDecode, mm05RealWavDecode)
 }

@@ -74,6 +74,38 @@ class MediaOpsSuite extends AnyFunSuite {
     assert(f.width === MediaOps.decodeStub(junk)._1)
   }
 
+  test("WAV decode is real: header fields exact, sine RMS = amp/sqrt(2)") {
+    import spark.implicits._
+    val rate = 8000f
+    val n = 8000
+    val amp = 10000.0
+    val pcm = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val s = math.round(amp * math.sin(2 * math.Pi * 440 * i / rate)).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+
+    val media = Seq(
+      MediaRecord(1L, bos.toByteArray, "wav"),
+      MediaRecord(2L, bos.toByteArray, "mp3")). // same bytes, non-JDK format
+      toDS()
+    val got = MediaOps.extractAudioFeatures(media).collect()
+      .map(a => a.media_id -> a).toMap
+    val wav = got(1L)
+    assert(wav.sample_rate === 8000.0 && wav.channels === 1 && wav.n_frames === n.toLong)
+    assert(math.abs(wav.rms - amp / math.sqrt(2)) < amp * 0.01,
+      s"sine RMS ${wav.rms} should be ~${amp / math.sqrt(2)}")
+    // Formats without a bundled JDK codec never claim to have decoded.
+    assert(got(2L).sample_rate === 0.0 && got(2L).n_frames === 0L)
+  }
+
   test("resize plans real dimensions for images and resample emits pixels") {
     import spark.implicits._
     val media = Seq(MediaRecord(1L, encode("png"), "png")).toDS()

@@ -258,7 +258,12 @@ object SnapshotCatalog {
   * [[SnapshotCatalog]]'s doc) and shared across sessions like a real
   * catalog's metastore. */
 private[sources] object SnapshotStore {
-  final case class Snapshot(version: Long, commitMicros: Long, rows: Vector[UnsafeRow])
+  /** `appendedCount` >= 0 marks an APPEND commit that added exactly that
+    * many rows (the streaming source's unit of progress); -1 marks a
+    * rewrite (truncate-overwrite, row-level replace, rollback), which an
+    * append-only stream must refuse. */
+  final case class Snapshot(version: Long, commitMicros: Long,
+      rows: Vector[UnsafeRow], appendedCount: Int = -1)
   final case class TableState(schema: StructType, snapshots: Vector[Snapshot],
       tags: Map[String, Long] = Map.empty) {
     def currentRows: Vector[UnsafeRow] =
@@ -303,7 +308,8 @@ private[sources] object SnapshotStore {
   def commit(k: String, newRows: Vector[UnsafeRow], replace: Boolean): Unit = {
     update(k) { st =>
       val rows = if (replace) newRows else st.currentRows ++ newRows
-      st.copy(snapshots = st.snapshots :+ Snapshot(st.nextVersion, nowMicros(), rows))
+      st.copy(snapshots = st.snapshots :+ Snapshot(st.nextVersion, nowMicros(), rows,
+        appendedCount = if (replace) -1 else newRows.size))
     }
     ()
   }
@@ -331,14 +337,16 @@ private[sources] final class MemTable(fullName: String, k: String,
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
 
   override def metadataColumns(): Array[MetadataColumn] =
     Array(MemTable.GroupColumn)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MemScanBuilder(tableSchema,
-      pinned.getOrElse(SnapshotStore.tables(k).currentRows))
+      pinned.getOrElse(SnapshotStore.tables(k).currentRows),
+      // Time-travel pins are batch-only; the LIVE table is streamable.
+      streamKey = if (pinned.isEmpty) Some(k) else None)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinned.isEmpty, s"$fullName is a time-travel view and not writable")
@@ -432,34 +440,21 @@ private[sources] final class MemWriterFactory(writeSchema: StructType)
 }
 
 private[sources] final class MemScanBuilder(fullSchema: StructType,
-    rows: Vector[UnsafeRow]) extends ScanBuilder with SupportsPushDownRequiredColumns {
+    rows: Vector[UnsafeRow], streamKey: Option[String] = None)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new MemScan(fullSchema, required, rows)
+  override def build(): Scan = new MemScan(fullSchema, required, rows, streamKey)
 }
 
 private[sources] final case class MemPartition(rows: Array[UnsafeRow])
     extends InputPartition
 
-private[sources] final class MemScan(fullSchema: StructType,
-    required: StructType, rows: Vector[UnsafeRow]) extends Scan with Batch {
-  override def readSchema(): StructType = required
-  override def toBatch: Batch = this
-  override def description(): String = s"graft-snapshot scan (${rows.size} rows)"
-
-  override def planInputPartitions(): Array[InputPartition] = {
-    if (rows.isEmpty) return Array.empty
-    val parts = math.min(4, rows.size)
-    (0 until parts).map { i =>
-      val s = i * rows.size / parts
-      val e = (i + 1) * rows.size / parts
-      MemPartition(rows.slice(s, e).toArray)
-    }.toArray
-  }
-
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // `_group` is the constant rewrite-group metadata column (ordinal -1);
-    // every data column resolves by name against the stored row layout.
+private[sources] object MemReaders {
+  /** Shared batch/streaming reader factory: `_group` is the constant
+    * rewrite-group metadata column (ordinal -1); every data column resolves
+    * by name against the stored row layout. */
+  def factory(fullSchema: StructType, required: StructType): PartitionReaderFactory = {
     val ordinals = required.fieldNames.map {
       case MemTable.GroupColumnName => -1
       case f => fullSchema.fieldIndex(f)
@@ -480,4 +475,94 @@ private[sources] final class MemScan(fullSchema: StructType,
       }
     }
   }
+}
+
+private[sources] final class MemScan(fullSchema: StructType,
+    required: StructType, rows: Vector[UnsafeRow], streamKey: Option[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-snapshot scan (${rows.size} rows)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (rows.isEmpty) return Array.empty
+    val parts = math.min(4, rows.size)
+    (0 until parts).map { i =>
+      val s = i * rows.size / parts
+      val e = (i + 1) * rows.size / parts
+      MemPartition(rows.slice(s, e).toArray)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    MemReaders.factory(fullSchema, required)
+
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new MemMicroBatchStream(
+      streamKey.getOrElse(sys.error("time-travel views are not streamable")),
+      fullSchema, required)
+}
+
+/** Streaming read of a snapshot-catalog table: SNAPSHOT VERSIONS are the
+  * offsets, each micro-batch carries exactly the rows APPENDED by the
+  * commits in `(start, end]` — the versioned catalog as an exactly-once
+  * streaming source (Iceberg/Delta's streaming-read surface), including
+  * replay of the full commit history on first start.
+  *
+  * Contract: append-only. A rewrite commit (truncate-overwrite, row-level
+  * UPDATE/DELETE, rollback) inside the offset range fails the stream
+  * loudly — its row delta is not representable as appends; the CDF
+  * operator (m08) is the read for rewriting tables. Snapshots expired past
+  * a restarting stream's offset also fail loudly rather than silently
+  * skipping rows.
+  */
+private[sources] final class MemMicroBatchStream(k: String,
+    fullSchema: StructType, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  // Keys join on NUL; render dotted in messages so logs stay printable.
+  private val shown = k.split('\u0000').mkString(".")
+
+  private def versionNow(): Long = {
+    val st = SnapshotStore.tables.getOrElse(k,
+      throw new IllegalStateException(s"streamed table dropped: $shown"))
+    if (st.snapshots.isEmpty) 0L else st.snapshots.last.version
+  }
+
+  override def initialOffset(): Offset = VersionOffset(0L)
+  override def latestOffset(): Offset = VersionOffset(versionNow())
+  override def deserializeOffset(json: String): Offset = VersionOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[VersionOffset].version,
+      end.asInstanceOf[VersionOffset].version)
+    if (s >= e) return Array.empty
+    val st = SnapshotStore.tables.getOrElse(k,
+      throw new IllegalStateException(s"streamed table dropped: $shown"))
+    val inRange = st.snapshots.filter(sn => sn.version > s && sn.version <= e)
+    // Expired snapshots inside the range would silently lose rows.
+    require(inRange.size == (e - s),
+      s"stream offset range ($s, $e] of $shown covers ${e - s} commits but only " +
+        s"${inRange.size} snapshots are live — expired past the stream's offset")
+    val appended = inRange.flatMap { sn =>
+      require(sn.appendedCount >= 0,
+        s"commit v${sn.version} of $shown is a rewrite (overwrite/row-level/rollback); " +
+          "append-only streaming cannot represent it — read changes via " +
+          "ChangeDataFeed (m08) instead")
+      sn.rows.takeRight(sn.appendedCount)
+    }
+    if (appended.isEmpty) Array.empty else Array(MemPartition(appended.toArray))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    MemReaders.factory(fullSchema, required)
+}
+
+private[sources] final case class VersionOffset(version: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = version.toString
 }

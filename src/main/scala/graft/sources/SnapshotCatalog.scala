@@ -264,8 +264,11 @@ private[sources] object SnapshotStore {
     * append-only stream must refuse. */
   final case class Snapshot(version: Long, commitMicros: Long,
       rows: Vector[UnsafeRow], appendedCount: Int = -1)
+  /** `lastEpoch` is the newest streaming epoch committed into this table
+    * (-1 = none): the replay guard that makes the streaming SINK
+    * exactly-once-visible under the engine's at-least-once epoch retries. */
   final case class TableState(schema: StructType, snapshots: Vector[Snapshot],
-      tags: Map[String, Long] = Map.empty) {
+      tags: Map[String, Long] = Map.empty, lastEpoch: Long = -1L) {
     def currentRows: Vector[UnsafeRow] =
       if (snapshots.isEmpty) Vector.empty else snapshots.last.rows
     def nextVersion: Long =
@@ -313,6 +316,20 @@ private[sources] object SnapshotStore {
     }
     ()
   }
+
+  /** Epoch-stamped streaming append: a replayed epoch (≤ `lastEpoch`) is a
+    * NO-OP, so at-least-once micro-batch retries commit exactly once. The
+    * check and the append are one atomic state transition. */
+  def commitEpoch(k: String, epochId: Long, newRows: Vector[UnsafeRow]): Unit = {
+    update(k) { st =>
+      if (epochId <= st.lastEpoch) st // replay of an already-visible epoch
+      else st.copy(
+        snapshots = st.snapshots :+ Snapshot(st.nextVersion, nowMicros(),
+          st.currentRows ++ newRows, appendedCount = newRows.size),
+        lastEpoch = epochId)
+    }
+    ()
+  }
 }
 
 /** One table of the snapshot catalog. `pinned = Some(rows)` is a read-only
@@ -337,7 +354,8 @@ private[sources] final class MemTable(fullName: String, k: String,
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
 
   override def metadataColumns(): Array[MetadataColumn] =
     Array(MemTable.GroupColumn)
@@ -399,7 +417,35 @@ private[sources] final class MemWriteBuilder(k: String, writeSchema: StructType,
     override def description(): String =
       s"graft-snapshot ${if (replace) "replace" else "append"}"
     override def toBatch: BatchWrite = new MemBatchWrite(k, writeSchema, replace)
+    override def toStreaming:
+        org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(!replace,
+        "streaming writes to the snapshot catalog are append-only " +
+          "(complete/truncate modes would rewrite history per epoch)")
+      new MemStreamingWrite(k, writeSchema)
+    }
   }
+}
+
+/** Exactly-once streaming SINK: each epoch's rows buffer per task and land
+  * as ONE epoch-stamped append commit at the driver-side commit point —
+  * [[SnapshotStore.commitEpoch]] no-ops replayed epochs, so a restarted or
+  * retried micro-batch never double-appends. The mirror of
+  * [[MemMicroBatchStream]]: a table can be streamed INTO and OUT OF, each
+  * epoch becoming one time-travelable snapshot version. */
+private[sources] final class MemStreamingWrite(k: String, writeSchema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo):
+      org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    MemStreamWriterFactory(writeSchema)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val rows = messages.iterator
+      .map(_.asInstanceOf[MemCommitMessage])
+      .flatMap(_.rows)
+      .toVector
+    SnapshotStore.commitEpoch(k, epochId, rows)
+  }
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 /** Executors buffer normalized UnsafeRow copies per task; the driver-side
@@ -422,9 +468,18 @@ private[sources] final class MemBatchWrite(k: String, writeSchema: StructType,
 private[sources] final case class MemCommitMessage(rows: Array[UnsafeRow])
     extends WriterCommitMessage
 
-private[sources] final class MemWriterFactory(writeSchema: StructType)
-    extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+/** Top-level case class (Serializable) — a lambda here would capture the
+  * non-serializable StreamingWrite instance and fail task serialization. */
+private[sources] final case class MemStreamWriterFactory(writeSchema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = MemWriters.writer(writeSchema)
+}
+
+private[sources] object MemWriters {
+  /** Shared batch/streaming task writer: buffers normalized UnsafeRow
+    * copies, emits them in one commit message. */
+  def writer(writeSchema: StructType): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val proj = UnsafeProjection.create(writeSchema)
       private val buf = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
@@ -437,6 +492,12 @@ private[sources] final class MemWriterFactory(writeSchema: StructType)
       override def abort(): Unit = buf.clear()
       override def close(): Unit = ()
     }
+}
+
+private[sources] final class MemWriterFactory(writeSchema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    MemWriters.writer(writeSchema)
 }
 
 private[sources] final class MemScanBuilder(fullSchema: StructType,

@@ -101,9 +101,18 @@ final class CatalogAutomation(spark: SparkSession, profile: CatalogProfile) {
     val df = keepOnly(spark.table(fqn))
     val provider = meta.provider.getOrElse("parquet")
 
-    // Stage the full rewrite before touching the live table.
+    // Stage the full rewrite before touching the live table. Reclaim ANY
+    // prior staging directory for this table first — a crashed run's
+    // staging dir carries a different pid, and deleting only our own name
+    // would orphan full-table-size copies forever.
+    val stagingPrefix = s".${table}__compact_"
+    if (fs.exists(loc.getParent)) {
+      fs.listStatus(loc.getParent).toSeq
+        .filter(f => f.isDirectory && f.getPath.getName.startsWith(stagingPrefix))
+        .foreach(f => fs.delete(f.getPath, true))
+    }
     val staging = new Path(loc.getParent,
-      s".${table}__compact_${ProcessHandle.current().pid()}")
+      s"$stagingPrefix${ProcessHandle.current().pid()}")
     fs.delete(staging, true)
     val tmpFqn = s"${DdlGenerator.quoteIdent(db)}.${DdlGenerator.quoteIdent(table + "__compact")}"
     spark.sql(s"DROP TABLE IF EXISTS $tmpFqn")

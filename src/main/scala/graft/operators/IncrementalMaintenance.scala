@@ -81,14 +81,19 @@ object IncrementalMaintenance {
       deltas: DataFrame): Unit = {
     val src = "graft_im_deltas_" + viewTable.replaceAll("[^A-Za-z0-9_]", "_")
     deltas.createOrReplaceTempView(src)
+    // Null-safe ON and coalesced measures, matching applyDeltas exactly: a
+    // NULL group key is a real group (plain `=` would never match it,
+    // inserting a duplicate NULL row per batch), and an all-NULL-measure
+    // delta batch must not null the running total.
     spark.sql(s"""MERGE INTO $viewTable t USING $src s
-      ON t.group_key = s.group_key
+      ON t.group_key <=> s.group_key
       WHEN MATCHED AND t.n_rows + s.dn <= 0 THEN DELETE
       WHEN MATCHED THEN UPDATE SET
         t.n_rows = t.n_rows + s.dn,
-        t.total = CAST(t.total + s.dx AS DECIMAL(38,4))
+        t.total = CAST(t.total + coalesce(s.dx, CAST(0 AS DECIMAL(38,4)))
+          AS DECIMAL(38,4))
       WHEN NOT MATCHED AND s.dn > 0 THEN INSERT (group_key, n_rows, total)
-        VALUES (s.group_key, s.dn, s.dx)""")
+        VALUES (s.group_key, s.dn, coalesce(s.dx, CAST(0 AS DECIMAL(38,4))))""")
     spark.catalog.dropTempView(src)
     ()
   }

@@ -42,11 +42,18 @@ final case class IngestLedger(db: String, table: String) {
     * Empty frame (not an error) if the store predates its first commit. */
   def committed(s: SparkSession): DataFrame =
     if (s.catalog.tableExists(fqn)) s.table(fqn)
-    else s.range(0).select(col("id").as("batch_nr"), lit("").as("attempt"))
+    else s.range(0).select(col("id").as("batch_nr"), lit("").as("attempt"),
+      lit("").as("stream_id"))
 
-  def isCommitted(s: SparkSession, batchId: Long): Boolean =
+  /** Replay detection keys on (STREAM, batch): a new logical stream over
+    * an existing store restarts its batchIds at 0 (fresh checkpoint), and
+    * a bare-batchId check would silently skip its first batches as
+    * "replays" of the previous stream's. */
+  def isCommitted(s: SparkSession, batchId: Long,
+      streamId: String = IngestLedger.DefaultStream): Boolean =
     s.catalog.tableExists(fqn) &&
-      !s.table(fqn).filter(col("batch_nr") === batchId).isEmpty
+      !s.table(fqn).filter(col("batch_nr") === batchId &&
+        col("stream_id") === streamId).isEmpty
 
   /** Stamp data rows with the attempt identity they are written under. */
   def stamp(df: DataFrame, batchId: Long, attempt: String): DataFrame =
@@ -54,9 +61,10 @@ final case class IngestLedger(db: String, table: String) {
 
   /** The commit point: append the marker that makes an attempt's rows
     * visible. Must be the LAST write of the batch body. */
-  def commit(s: SparkSession, batchId: Long, attempt: String): Unit = {
+  def commit(s: SparkSession, batchId: Long, attempt: String,
+      streamId: String = IngestLedger.DefaultStream): Unit = {
     import s.implicits._
-    Seq((batchId, attempt)).toDF("batch_nr", "attempt")
+    Seq((batchId, attempt, streamId)).toDF("batch_nr", "attempt", "stream_id")
       .write.mode("append").saveAsTable(fqn)
     s.catalog.refreshTable(fqn)
   }
@@ -72,6 +80,11 @@ object IngestLedger {
     * batchId (those start at 0), a fixed attempt token. */
   val BulkBatchNr: Long = -1L
   val BulkAttempt: String = "bulk"
+
+  /** Stream identity for single-stream stores. A SECOND logical stream
+    * ingesting into the same store (new checkpoint, batchIds restarting at
+    * 0) must pass its own id, or its first batches would read as replays. */
+  val DefaultStream: String = "default"
 
   /** Attempt ids need only be unique per (store, batch) across retries —
     * operational metadata, never part of a query's deterministic output. */

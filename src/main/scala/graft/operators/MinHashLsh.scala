@@ -253,7 +253,8 @@ object MinHashLsh {
     ledger(storeDb).committed(s)
 
   private def isCommitted(s: org.apache.spark.sql.SparkSession, storeDb: String,
-      batchId: Long): Boolean = ledger(storeDb).isCommitted(s, batchId)
+      batchId: Long, streamId: String): Boolean =
+    ledger(storeDb).isCommitted(s, batchId, streamId)
 
   /** Restrict a stamped store frame to committed rows ([[IngestLedger.visible]]). */
   def committedOnly(store: DataFrame, commits: DataFrame): DataFrame =
@@ -267,7 +268,8 @@ object MinHashLsh {
     * side; the refreshes drop the writing session's FileStatusCache
     * entries (the n08 store-build lesson). */
   private def writeAttempt(s: org.apache.spark.sql.SparkSession, storeDb: String,
-      sh: DataFrame, p: Params, batchId: Long, attempt: String): Unit = {
+      sh: DataFrame, p: Params, batchId: Long, attempt: String,
+      streamId: String): Unit = {
     val led = ledger(storeDb)
     led.stamp(sh, batchId, attempt).write.mode("append")
       .bucketBy(StoreBuckets, "id").sortBy("id")
@@ -276,7 +278,7 @@ object MinHashLsh {
       .write.mode("append")
       .bucketBy(StoreBuckets, "band_idx", "band_hash").sortBy("band_idx", "band_hash")
       .saveAsTable(s"$storeDb.corpus_bands")
-    led.commit(s, batchId, attempt)
+    led.commit(s, batchId, attempt, streamId)
     s.catalog.refreshTable(s"$storeDb.corpus_shingles")
     s.catalog.refreshTable(s"$storeDb.corpus_bands")
   }
@@ -313,13 +315,14 @@ object MinHashLsh {
     * Work per batch is O(|batch|) tokenize+hash — the corpus is never
     * re-read. */
   def appendToStore(storeDb: String, idCol: String, textCol: String,
-      p: Params)(batch: DataFrame, batchId: Long): Unit = {
+      p: Params, streamId: String = IngestLedger.DefaultStream)(
+      batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
-    if (isCommitted(s, storeDb, batchId)) return
+    if (isCommitted(s, storeDb, batchId, streamId)) return
     val sh = batch
       .select(col(idCol).as("id"), shingles(col(textCol), p.shingleSize).as("shingles"))
       .persist()
-    try writeAttempt(s, storeDb, sh, p, batchId, IngestLedger.newAttempt())
+    try writeAttempt(s, storeDb, sh, p, batchId, IngestLedger.newAttempt(), streamId)
     finally sh.unpersist()
   }
 
@@ -346,9 +349,11 @@ object MinHashLsh {
     * `clearCache()` that would evict unrelated frames in the shared
     * CacheManager (SharedState-wide, not per-session). */
   def screenAndIngest(storeDb: String, pairsTable: String, idCol: String,
-      textCol: String, p: Params)(batch: DataFrame, batchId: Long): Unit = {
+      textCol: String, p: Params,
+      streamId: String = IngestLedger.DefaultStream)(
+      batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
-    if (isCommitted(s, storeDb, batchId)) return
+    if (isCommitted(s, storeDb, batchId, streamId)) return
     val attempt = IngestLedger.newAttempt()
     val commits = committedBatches(s, storeDb)
     val sh = batch
@@ -363,7 +368,7 @@ object MinHashLsh {
         .withColumn("batch_nr", lit(batchId)).withColumn("attempt", lit(attempt))
       pairs.write.mode("append").saveAsTable(s"$storeDb.$pairsTable")
       s.catalog.refreshTable(s"$storeDb.$pairsTable")
-      writeAttempt(s, storeDb, sh, p, batchId, attempt)
+      writeAttempt(s, storeDb, sh, p, batchId, attempt, streamId)
     } finally sh.unpersist()
   }
 

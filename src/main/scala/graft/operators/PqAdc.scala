@@ -242,11 +242,12 @@ object PqAdc {
     * re-train + index rebuild (falling mean assignment cosine = stale
     * centroids; a hot cell's n_assigned growing superlinearly = skewed
     * routing). */
-  def appendToPqStore(storeDb: String, nSub: Int = 8, nCodewords: Int = 16)
+  def appendToPqStore(storeDb: String, nSub: Int = 8, nCodewords: Int = 16,
+      streamId: String = IngestLedger.DefaultStream)
       (batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     val led = ledger(storeDb)
-    if (led.isCommitted(s, batchId)) return
+    if (led.isCommitted(s, batchId, streamId)) return
     val attempt = IngestLedger.newAttempt()
     val centroids = s.table(s"$storeDb.pq_centroids")
     val m = fitFrom(s.table(s"$storeDb.pq_seeds"), nSub, nCodewords)
@@ -263,7 +264,7 @@ object PqAdc {
         .saveAsTable(s"$storeDb.pq_codes")
       led.stamp(cellDrift(b, centroids), batchId, attempt)
         .write.mode("append").saveAsTable(s"$storeDb.pq_drift")
-      led.commit(s, batchId, attempt)
+      led.commit(s, batchId, attempt, streamId)
     } finally b.unpersist()
     s.catalog.refreshTable(s"$storeDb.pq_codes")
     s.catalog.refreshTable(s"$storeDb.pq_drift")

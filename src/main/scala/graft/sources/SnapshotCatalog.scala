@@ -132,11 +132,19 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   /** `TIMESTAMP AS OF t` — Spark hands micros-since-epoch; resolve to the
-    * newest snapshot committed at or before it. */
+    * newest snapshot committed at or before it. Timestamps older than the
+    * oldest LIVE snapshot of a table whose earlier history was expired fail
+    * loudly (the state at that instant is unknowable, not empty) — the
+    * timestamp twin of `rowsAt`'s expired-version failure. An instant
+    * before a never-expired table's first commit is genuinely empty. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val k = key(ident)
     val st = SnapshotStore.tables.getOrElse(k, throw new NoSuchTableException(ident))
     val visible = st.snapshots.filter(_.commitMicros <= timestampMicros)
+    if (visible.isEmpty && st.snapshots.headOption.exists(_.version > 1L))
+      throw new IllegalArgumentException(
+        s"state of $ident at timestamp $timestampMicros is expired: history " +
+          s"before v${st.snapshots.head.version} was removed by expire()")
     val rows = if (visible.isEmpty) Vector.empty[UnsafeRow] else visible.last.rows
     new MemTable(s"$ident@t$timestampMicros", k, st.schema, pinned = Some(rows))
   }
@@ -264,11 +272,15 @@ private[sources] object SnapshotStore {
     * append-only stream must refuse. */
   final case class Snapshot(version: Long, commitMicros: Long,
       rows: Vector[UnsafeRow], appendedCount: Int = -1)
-  /** `lastEpoch` is the newest streaming epoch committed into this table
-    * (-1 = none): the replay guard that makes the streaming SINK
-    * exactly-once-visible under the engine's at-least-once epoch retries. */
+  /** `epochs` maps each streaming QUERY id to the newest epoch it committed
+    * into this table: the replay guard that makes the streaming SINK
+    * exactly-once-visible under at-least-once epoch retries. Keyed per
+    * query — not per table — because a NEW query (fresh checkpoint)
+    * restarts its epoch numbering at 0, and a table-wide watermark would
+    * silently swallow its first batches. */
   final case class TableState(schema: StructType, snapshots: Vector[Snapshot],
-      tags: Map[String, Long] = Map.empty, lastEpoch: Long = -1L) {
+      tags: Map[String, Long] = Map.empty,
+      epochs: Map[String, Long] = Map.empty) {
     def currentRows: Vector[UnsafeRow] =
       if (snapshots.isEmpty) Vector.empty else snapshots.last.rows
     def nextVersion: Long =
@@ -297,6 +309,16 @@ private[sources] object SnapshotStore {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Internal keys join on NUL; messages render them dotted. */
+  def dotted(k: String): String = k.split('\u0000').mkString(".")
+
+  /** Table state or a clean failure (never a raw NoSuchElementException
+    * with an unprintable key — a table can be dropped concurrently between
+    * name resolution and scan/write build). */
+  def stateOf(k: String): TableState =
+    tables.getOrElse(k, throw new IllegalStateException(
+      s"snapshot table ${dotted(k)} does not exist (dropped concurrently?)"))
+
   def rowsAt(k: String, version: Long): Vector[UnsafeRow] = {
     val st = tables.getOrElse(k, throw new IllegalStateException(s"no such snapshot table: $k"))
     if (version == 0L) Vector.empty
@@ -308,8 +330,21 @@ private[sources] object SnapshotStore {
     }
   }
 
-  def commit(k: String, newRows: Vector[UnsafeRow], replace: Boolean): Unit = {
+  /** `expectedBase`: optimistic-concurrency guard for row-level rewrites —
+    * the commit FAILS if the live version moved past the snapshot the
+    * rewrite scanned (a silent last-writer-wins would erase the concurrent
+    * commit's rows; Iceberg validates the base snapshot the same way).
+    * Plain INSERT OVERWRITE passes None: truncate-replace is last-writer-
+    * wins by SQL semantics. */
+  def commit(k: String, newRows: Vector[UnsafeRow], replace: Boolean,
+      expectedBase: Option[Long] = None): Unit = {
     update(k) { st =>
+      val live = if (st.snapshots.isEmpty) 0L else st.snapshots.last.version
+      expectedBase.filter(_ != live).foreach { base =>
+        throw new IllegalStateException(
+          s"concurrent commit on ${dotted(k)}: the row-level rewrite read " +
+            s"v$base but the table is now at v$live — rerun the statement")
+      }
       val rows = if (replace) newRows else st.currentRows ++ newRows
       st.copy(snapshots = st.snapshots :+ Snapshot(st.nextVersion, nowMicros(), rows,
         appendedCount = if (replace) -1 else newRows.size))
@@ -317,16 +352,18 @@ private[sources] object SnapshotStore {
     ()
   }
 
-  /** Epoch-stamped streaming append: a replayed epoch (≤ `lastEpoch`) is a
-    * NO-OP, so at-least-once micro-batch retries commit exactly once. The
+  /** Epoch-stamped streaming append, replay-deduped PER QUERY: a retried
+    * epoch of the same query no-ops (at-least-once → exactly-once-visible),
+    * while a NEW query's epoch 0 over the same table commits normally. The
     * check and the append are one atomic state transition. */
-  def commitEpoch(k: String, epochId: Long, newRows: Vector[UnsafeRow]): Unit = {
+  def commitEpoch(k: String, queryId: String, epochId: Long,
+      newRows: Vector[UnsafeRow]): Unit = {
     update(k) { st =>
-      if (epochId <= st.lastEpoch) st // replay of an already-visible epoch
+      if (st.epochs.get(queryId).exists(epochId <= _)) st // replayed epoch
       else st.copy(
         snapshots = st.snapshots :+ Snapshot(st.nextVersion, nowMicros(),
           st.currentRows ++ newRows, appendedCount = newRows.size),
-        lastEpoch = epochId)
+        epochs = st.epochs + (queryId -> epochId))
     }
     ()
   }
@@ -362,13 +399,13 @@ private[sources] final class MemTable(fullName: String, k: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MemScanBuilder(tableSchema,
-      pinned.getOrElse(SnapshotStore.tables(k).currentRows),
+      pinned.getOrElse(SnapshotStore.stateOf(k).currentRows),
       // Time-travel pins are batch-only; the LIVE table is streamable.
       streamKey = if (pinned.isEmpty) Some(k) else None)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinned.isEmpty, s"$fullName is a time-travel view and not writable")
-    new MemWriteBuilder(k, info.schema())
+    new MemWriteBuilder(k, info.schema(), queryId = info.queryId())
   }
 
   /** Group-based row-level operation: the scan pins the current snapshot as
@@ -396,12 +433,21 @@ private[sources] object MemTable {
 private[sources] final class MemRowLevelOperation(
     cmd: RowLevelOperation.Command, k: String, tableSchema: StructType)
     extends RowLevelOperation {
+  /** The version the rewrite's scan read — the optimistic-concurrency base
+    * the replacing write validates at commit (lost-update guard). */
+  @volatile private var baseVersion: Option[Long] = None
+
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"graft-snapshot $cmd [whole-table group]"
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MemScanBuilder(tableSchema, SnapshotStore.tables(k).currentRows)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val st = SnapshotStore.stateOf(k)
+    baseVersion = Some(
+      if (st.snapshots.isEmpty) 0L else st.snapshots.last.version)
+    new MemScanBuilder(tableSchema, st.currentRows)
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new MemWriteBuilder(k, info.schema(), forceReplace = true)
+    new MemWriteBuilder(k, info.schema(), forceReplace = true,
+      queryId = info.queryId(), expectedBase = baseVersion)
   /** Forces the projecting write path — see [[MemTable]]'s doc. */
   override def requiredMetadataAttributes(): Array[
       org.apache.spark.sql.connector.expressions.NamedReference] =
@@ -410,19 +456,26 @@ private[sources] final class MemRowLevelOperation(
 }
 
 private[sources] final class MemWriteBuilder(k: String, writeSchema: StructType,
-    forceReplace: Boolean = false) extends WriteBuilder with SupportsTruncate {
+    forceReplace: Boolean = false, queryId: String = "",
+    expectedBase: Option[Long] = None)
+    extends WriteBuilder with SupportsTruncate {
   private var replace = forceReplace
   override def truncate(): WriteBuilder = { replace = true; this }
   override def build(): Write = new Write {
     override def description(): String =
       s"graft-snapshot ${if (replace) "replace" else "append"}"
-    override def toBatch: BatchWrite = new MemBatchWrite(k, writeSchema, replace)
+    override def toBatch: BatchWrite =
+      new MemBatchWrite(k, writeSchema, replace,
+        // The base validation applies only to row-level rewrites (which
+        // force replace at construction); a user truncate is last-writer-
+        // wins by SQL semantics.
+        if (forceReplace) expectedBase else None)
     override def toStreaming:
         org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(!replace,
         "streaming writes to the snapshot catalog are append-only " +
           "(complete/truncate modes would rewrite history per epoch)")
-      new MemStreamingWrite(k, writeSchema)
+      new MemStreamingWrite(k, writeSchema, queryId)
     }
   }
 }
@@ -433,7 +486,8 @@ private[sources] final class MemWriteBuilder(k: String, writeSchema: StructType,
   * retried micro-batch never double-appends. The mirror of
   * [[MemMicroBatchStream]]: a table can be streamed INTO and OUT OF, each
   * epoch becoming one time-travelable snapshot version. */
-private[sources] final class MemStreamingWrite(k: String, writeSchema: StructType)
+private[sources] final class MemStreamingWrite(k: String, writeSchema: StructType,
+    queryId: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo):
       org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
@@ -443,7 +497,7 @@ private[sources] final class MemStreamingWrite(k: String, writeSchema: StructTyp
       .map(_.asInstanceOf[MemCommitMessage])
       .flatMap(_.rows)
       .toVector
-    SnapshotStore.commitEpoch(k, epochId, rows)
+    SnapshotStore.commitEpoch(k, queryId, epochId, rows)
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -452,7 +506,7 @@ private[sources] final class MemStreamingWrite(k: String, writeSchema: StructTyp
   * commit point assembles them in partition order and appends ONE snapshot —
   * all-or-nothing visibility, like any V2 batch write. */
 private[sources] final class MemBatchWrite(k: String, writeSchema: StructType,
-    replace: Boolean) extends BatchWrite {
+    replace: Boolean, expectedBase: Option[Long] = None) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new MemWriterFactory(writeSchema)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -460,7 +514,7 @@ private[sources] final class MemBatchWrite(k: String, writeSchema: StructType,
       .map(_.asInstanceOf[MemCommitMessage])
       .flatMap(_.rows)
       .toVector
-    SnapshotStore.commit(k, rows, replace)
+    SnapshotStore.commit(k, rows, replace, expectedBase)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }

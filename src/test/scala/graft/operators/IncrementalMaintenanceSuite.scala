@@ -127,6 +127,29 @@ class IncrementalMaintenanceSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stored view handles NULL group keys and all-NULL-measure deltas " +
+    "(null-safe MERGE ON, coalesced totals)") {
+    import spark.implicits._
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.im")
+    val mv = s"$cat.im.null_mv"
+    spark.sql(s"DROP TABLE IF EXISTS $mv")
+    spark.sql(s"CREATE TABLE $mv (group_key STRING, n_rows BIGINT, total DECIMAL(38,4))")
+    def deltasOf(events: Seq[CdcEvent]) =
+      IncrementalMaintenance.aggDeltas(events.toDF(),
+        col("old_grp"), col("old_amt"), col("new_grp"), col("new_amt"))
+    // Batch 1 creates the NULL group; batch 2 must MATCH it (null-safe ON),
+    // and its NULL-measure delta must not null the running total.
+    IncrementalMaintenance.maintainInto(spark, mv, deltasOf(Seq(
+      CdcEvent(1L, "INSERT", None, None, None, Some(2.0)))))
+    IncrementalMaintenance.maintainInto(spark, mv, deltasOf(Seq(
+      CdcEvent(2L, "INSERT", None, None, None, None))))
+    val got = spark.sql(
+      s"SELECT group_key, n_rows, CAST(total AS DOUBLE) AS total FROM $mv")
+      .collect().toSeq
+    assert(got === Seq(Row(null, 2L, 2.0)),
+      s"NULL group must stay ONE row with a non-null total, got $got")
+  }
+
   test("empty delta batch leaves the view unchanged") {
     import spark.implicits._
     val view = Seq(("a", 2L, BigDecimal("3.3000"))).toDF("group_key", "n_rows", "total")

@@ -176,6 +176,44 @@ class SnapshotCatalogSuite extends AnyFunSuite {
       SnapshotCatalog.rollback(cat, Seq("t", "rb"), toVersion = 99L))
   }
 
+  test("TIMESTAMP AS OF an expired instant fails loudly; pre-creation " +
+    "instants on unexpired tables are genuinely empty") {
+    val t = freshTable("ts_exp")
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")
+    // Before the first commit of a never-expired table: empty, not an error.
+    assert(sqlRows(s"SELECT count(*) AS c FROM $t TIMESTAMP AS OF '1990-01-01'") ===
+      Seq(Row(0L)))
+    (1 to 3).foreach(i => spark.sql(s"INSERT INTO $t VALUES ($i)"))
+    val t1 = SnapshotCatalog.history(cat, Seq("t", "ts_exp")).head._2
+    SnapshotCatalog.expire(cat, Seq("t", "ts_exp"), keepLast = 1)
+    // An instant inside the expired history is unknowable — loud failure,
+    // never a silently-empty answer.
+    val ts = java.time.Instant.EPOCH.plus(java.time.Duration.ofNanos(t1 * 1000))
+      .toString.replace("T", " ").stripSuffix("Z")
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM $t TIMESTAMP AS OF '$ts'").collect())
+    assert(e.getMessage.contains("expired"), e.getMessage)
+  }
+
+  test("row-level rewrites validate their base version: a concurrent " +
+    "commit is a loud failure, not a lost update") {
+    val t = freshTable("occ")
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")
+    spark.sql(s"INSERT INTO $t VALUES (1)") // v1
+    val key = ("graft_snap" +: Seq("t", "occ")).mkString("\u0000")
+    // Simulate: a rewrite read v1, then a concurrent INSERT moved to v2.
+    spark.sql(s"INSERT INTO $t VALUES (2)") // v2
+    val e = intercept[IllegalStateException](
+      SnapshotStore.commit(key, Vector.empty, replace = true,
+        expectedBase = Some(1L)))
+    assert(e.getMessage.contains("concurrent commit"), e.getMessage)
+    // The table still holds both rows (nothing was erased).
+    assert(sqlRows(s"SELECT count(*) AS c FROM $t") === Seq(Row(2L)))
+    // With the right base the rewrite commits.
+    SnapshotStore.commit(key, Vector.empty, replace = true, expectedBase = Some(2L))
+    assert(sqlRows(s"SELECT count(*) AS c FROM $t") === Seq(Row(0L)))
+  }
+
   test("time-travel views are read-only") {
     val t = freshTable("ro")
     spark.sql(s"CREATE TABLE $t (id BIGINT)")

@@ -81,11 +81,16 @@ class SnapshotStreamSuite extends AnyFunSuite {
     // One snapshot per non-empty epoch; each is append-marked + time-travelable.
     val hist = SnapshotCatalog.history(cat, Seq("stream", "sink"))
     assert(hist.map(_._3) === Seq(2L, 3L), s"history: $hist")
-    // Replay guard: re-committing an old epoch must not double-append.
-    SnapshotStore.commitEpoch(
-      ("graft_snap" +: Seq("stream", "sink")).mkString("\u0000"), 0L,
-      Vector.empty)
+    // Replay guard: re-committing an old epoch of the SAME query must not
+    // double-append; a NEW query's epoch 0 commits normally (per-query
+    // watermark, not per-table).
+    val key = ("graft_snap" +: Seq("stream", "sink")).mkString("\u0000")
+    val qid = SnapshotStore.stateOf(key).epochs.keys.head
+    SnapshotStore.commitEpoch(key, qid, 0L, Vector.empty)
     assert(SnapshotCatalog.history(cat, Seq("stream", "sink")).size === hist.size)
+    SnapshotStore.commitEpoch(key, "another-query", 0L, Vector.empty)
+    assert(SnapshotCatalog.history(cat, Seq("stream", "sink")).size === hist.size + 1,
+      "a new query's epoch 0 must commit, not read as a replay")
   }
 
   test("the full loop: stream INTO the catalog, stream OUT, maintain a view") {

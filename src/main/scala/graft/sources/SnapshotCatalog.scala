@@ -401,7 +401,9 @@ private[sources] final class MemTable(fullName: String, k: String,
     new MemScanBuilder(tableSchema,
       pinned.getOrElse(SnapshotStore.stateOf(k).currentRows),
       // Time-travel pins are batch-only; the LIVE table is streamable.
-      streamKey = if (pinned.isEmpty) Some(k) else None)
+      streamKey = if (pinned.isEmpty) Some(k) else None,
+      maxVersionsPerTrigger =
+        Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinned.isEmpty, s"$fullName is a time-travel view and not writable")
@@ -555,11 +557,13 @@ private[sources] final class MemWriterFactory(writeSchema: StructType)
 }
 
 private[sources] final class MemScanBuilder(fullSchema: StructType,
-    rows: Vector[UnsafeRow], streamKey: Option[String] = None)
+    rows: Vector[UnsafeRow], streamKey: Option[String] = None,
+    maxVersionsPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new MemScan(fullSchema, required, rows, streamKey)
+  override def build(): Scan =
+    new MemScan(fullSchema, required, rows, streamKey, maxVersionsPerTrigger)
 }
 
 private[sources] final case class MemPartition(rows: Array[UnsafeRow])
@@ -593,7 +597,8 @@ private[sources] object MemReaders {
 }
 
 private[sources] final class MemScan(fullSchema: StructType,
-    required: StructType, rows: Vector[UnsafeRow], streamKey: Option[String])
+    required: StructType, rows: Vector[UnsafeRow], streamKey: Option[String],
+    maxVersionsPerTrigger: Option[Long] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -616,7 +621,7 @@ private[sources] final class MemScan(fullSchema: StructType,
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new MemMicroBatchStream(
       streamKey.getOrElse(sys.error("time-travel views are not streamable")),
-      fullSchema, required)
+      fullSchema, required, maxVersionsPerTrigger)
 }
 
 /** Streaming read of a snapshot-catalog table: SNAPSHOT VERSIONS are the
@@ -633,9 +638,14 @@ private[sources] final class MemScan(fullSchema: StructType,
   * skipping rows.
   */
 private[sources] final class MemMicroBatchStream(k: String,
-    fullSchema: StructType, required: StructType)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    fullSchema: StructType, required: StructType,
+    maxVersionsPerTrigger: Option[Long] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  maxVersionsPerTrigger.foreach(m => require(m >= 1,
+    s"maxVersionsPerTrigger must be >= 1, got $m"))
 
   // Keys join on NUL; render dotted in messages so logs stay printable.
   private val shown = k.split('\u0000').mkString(".")
@@ -648,6 +658,19 @@ private[sources] final class MemMicroBatchStream(k: String,
 
   override def initialOffset(): Offset = VersionOffset(0L)
   override def latestOffset(): Offset = VersionOffset(versionNow())
+
+  /** Admission control: `maxVersionsPerTrigger` caps how many COMMITS one
+    * micro-batch may carry — without it the first start replays the whole
+    * history in a single batch, the classic unbounded-first-batch failure
+    * of table-streaming sources at scale (Delta/Kafka cap with
+    * maxFilesPerTrigger / maxOffsetsPerTrigger; this is the versions
+    * twin). The engine keeps triggering until caught up. */
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val start = startOffset.asInstanceOf[VersionOffset].version
+    val now = versionNow()
+    VersionOffset(maxVersionsPerTrigger.fold(now)(m => math.min(now, start + m)))
+  }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
   override def deserializeOffset(json: String): Offset = VersionOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

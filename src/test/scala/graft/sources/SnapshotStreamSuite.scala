@@ -132,6 +132,30 @@ class SnapshotStreamSuite extends AnyFunSuite {
     } finally { qIn.stop(); qOut.stop() }
   }
 
+  test("maxVersionsPerTrigger bounds each micro-batch to N commits " +
+    "(no unbounded first-batch history replay)") {
+    val t = freshTable("paced")
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")
+    (1 to 5).foreach(i => spark.sql(s"INSERT INTO $t VALUES ($i)")) // 5 commits
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream
+      .option("maxVersionsPerTrigger", "2")
+      .table(t)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = batch.count()
+        batchSizes.synchronized { batchSizes += n }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      val sizes = batchSizes.synchronized(batchSizes.filter(_ > 0).toSeq)
+      // 5 one-row commits under a 2-commit cap: paced as 2, 2, 1 — never
+      // the whole history at once.
+      assert(sizes === Seq(2L, 2L, 1L), s"batch sizes: $sizes")
+    } finally q.stop()
+  }
+
   test("streamed aggregation: the catalog feeds a stateful query") {
     import spark.implicits._
     val t = freshTable("agg")

@@ -101,16 +101,26 @@ final class CatalogAutomation(spark: SparkSession, profile: CatalogProfile) {
     val df = keepOnly(spark.table(fqn))
     val provider = meta.provider.getOrElse("parquet")
 
-    // Stage the full rewrite before touching the live table. Reclaim ANY
-    // prior staging directory for this table first — a crashed run's
-    // staging dir carries a different pid, and deleting only our own name
-    // would orphan full-table-size copies forever.
+    // Stage the full rewrite before touching the live table. Reclaim prior
+    // CRASHED runs' staging directories (their pid is dead) — a crashed
+    // run's dir carries a different pid, and deleting only our own name
+    // would orphan full-table-size copies forever. Directories whose pid
+    // is still ALIVE are another live compaction's only copy and must not
+    // be touched (concurrent compactions of one table violate this
+    // method's exclusivity contract, but data loss is never an acceptable
+    // way to surface that).
     val stagingPrefix = s".${table}__compact_"
     if (fs.exists(loc.getParent)) {
       fs.listStatus(loc.getParent).toSeq
         .filter(f => f.isDirectory && f.getPath.getName.startsWith(stagingPrefix))
+        .filter { f =>
+          val pid = f.getPath.getName.stripPrefix(stagingPrefix).toLongOption
+          !pid.exists(p => ProcessHandle.of(p).isPresent)
+        }
         .foreach(f => fs.delete(f.getPath, true))
     }
+    // Our own pid is alive, so the sweep above skipped our own name from
+    // any earlier run in this JVM — delete it explicitly.
     val staging = new Path(loc.getParent,
       s"$stagingPrefix${ProcessHandle.current().pid()}")
     fs.delete(staging, true)

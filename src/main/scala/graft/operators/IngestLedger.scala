@@ -48,22 +48,39 @@ final case class IngestLedger(db: String, table: String) {
   /** Replay detection keys on (STREAM, batch): a new logical stream over
     * an existing store restarts its batchIds at 0 (fresh checkpoint), and
     * a bare-batchId check would silently skip its first batches as
-    * "replays" of the previous stream's. */
+    * "replays" of the previous stream's. Ledger tables written before the
+    * stream_id column existed read as the default stream (their one
+    * stream), via the same migration [[commit]] performs. */
   def isCommitted(s: SparkSession, batchId: Long,
       streamId: String = IngestLedger.DefaultStream): Boolean =
-    s.catalog.tableExists(fqn) &&
-      !s.table(fqn).filter(col("batch_nr") === batchId &&
+    s.catalog.tableExists(fqn) && {
+      val t = s.table(fqn)
+      val withStream =
+        if (t.columns.contains("stream_id"))
+          t.withColumn("stream_id",
+            coalesce(col("stream_id"), lit(IngestLedger.DefaultStream)))
+        else t.withColumn("stream_id", lit(IngestLedger.DefaultStream))
+      !withStream.filter(col("batch_nr") === batchId &&
         col("stream_id") === streamId).isEmpty
+    }
 
   /** Stamp data rows with the attempt identity they are written under. */
   def stamp(df: DataFrame, batchId: Long, attempt: String): DataFrame =
     df.withColumn("batch_nr", lit(batchId)).withColumn("attempt", lit(attempt))
 
   /** The commit point: append the marker that makes an attempt's rows
-    * visible. Must be the LAST write of the batch body. */
+    * visible. Must be the LAST write of the batch body. A ledger table
+    * written before stream_id existed is migrated in place (ADD COLUMNS;
+    * its old rows read NULL → default stream) so existing stores keep
+    * working across the schema change. */
   def commit(s: SparkSession, batchId: Long, attempt: String,
       streamId: String = IngestLedger.DefaultStream): Unit = {
     import s.implicits._
+    if (s.catalog.tableExists(fqn) &&
+        !s.table(fqn).columns.contains("stream_id")) {
+      s.sql(s"ALTER TABLE $fqn ADD COLUMNS (stream_id STRING)")
+      s.catalog.refreshTable(fqn)
+    }
     Seq((batchId, attempt, streamId)).toDF("batch_nr", "attempt", "stream_id")
       .write.mode("append").saveAsTable(fqn)
     s.catalog.refreshTable(fqn)

@@ -141,10 +141,28 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
     val k = key(ident)
     val st = SnapshotStore.tables.getOrElse(k, throw new NoSuchTableException(ident))
     val visible = st.snapshots.filter(_.commitMicros <= timestampMicros)
-    if (visible.isEmpty && st.snapshots.headOption.exists(_.version > 1L))
-      throw new IllegalArgumentException(
-        s"state of $ident at timestamp $timestampMicros is expired: history " +
-          s"before v${st.snapshots.head.version} was removed by expire()")
+    def expired(detail: String): Nothing = throw new IllegalArgumentException(
+      s"state of $ident at timestamp $timestampMicros is expired: $detail")
+    visible.lastOption match {
+      case None =>
+        // Before every live snapshot: empty only if v1 is still live (the
+        // table genuinely did not exist yet); otherwise the instant falls
+        // in expired history.
+        if (st.snapshots.headOption.exists(_.version > 1L))
+          expired(s"history before v${st.snapshots.head.version} was removed by expire()")
+      case Some(sn) =>
+        // Tag retention can leave INTERIOR gaps (tagged v1 survives, v2..v5
+        // expired, v6.. live). If versions right after the resolved snapshot
+        // are gone AND the instant precedes the next live commit, the true
+        // state is one of the expired versions — unknowable, so fail rather
+        // than silently serve the older snapshot. (The newest snapshot is
+        // always live — expire keeps the tail — so "no next" means no gap.)
+        st.snapshots.find(_.version > sn.version).foreach { next =>
+          if (next.version != sn.version + 1L && timestampMicros < next.commitMicros)
+            expired(s"versions v${sn.version + 1}..v${next.version - 1} " +
+              "were removed by expire() and the instant falls in that range")
+        }
+    }
     val rows = if (visible.isEmpty) Vector.empty[UnsafeRow] else visible.last.rows
     new MemTable(s"$ident@t$timestampMicros", k, st.schema, pinned = Some(rows))
   }
@@ -280,7 +298,8 @@ private[sources] object SnapshotStore {
     * silently swallow its first batches. */
   final case class TableState(schema: StructType, snapshots: Vector[Snapshot],
       tags: Map[String, Long] = Map.empty,
-      epochs: Map[String, Long] = Map.empty) {
+      epochs: scala.collection.immutable.ListMap[String, Long] =
+        scala.collection.immutable.ListMap.empty) {
     def currentRows: Vector[UnsafeRow] =
       if (snapshots.isEmpty) Vector.empty else snapshots.last.rows
     def nextVersion: Long =
@@ -301,8 +320,7 @@ private[sources] object SnapshotStore {
   /** Atomic read-modify-write of one table's state; returns (before, after). */
   def update(k: String)(f: TableState => TableState): (TableState, TableState) = {
     while (true) {
-      val before = tables.getOrElse(k,
-        throw new IllegalStateException(s"no such snapshot table: $k"))
+      val before = stateOf(k)
       val after = f(before)
       if (tables.replace(k, before, after)) return (before, after)
     }
@@ -320,12 +338,12 @@ private[sources] object SnapshotStore {
       s"snapshot table ${dotted(k)} does not exist (dropped concurrently?)"))
 
   def rowsAt(k: String, version: Long): Vector[UnsafeRow] = {
-    val st = tables.getOrElse(k, throw new IllegalStateException(s"no such snapshot table: $k"))
+    val st = stateOf(k)
     if (version == 0L) Vector.empty
     else st.snapshots.find(_.version == version).map(_.rows).getOrElse {
       val have = st.snapshots.map(_.version)
       throw new IllegalArgumentException(
-        s"snapshot version $version of $k does not exist (expired or future); " +
+        s"snapshot version $version of ${dotted(k)} does not exist (expired or future); " +
           s"available: ${have.mkString("[", ", ", "]")}")
     }
   }
@@ -360,10 +378,21 @@ private[sources] object SnapshotStore {
       newRows: Vector[UnsafeRow]): Unit = {
     update(k) { st =>
       if (st.epochs.get(queryId).exists(epochId <= _)) st // replayed epoch
-      else st.copy(
-        snapshots = st.snapshots :+ Snapshot(st.nextVersion, nowMicros(),
-          st.currentRows ++ newRows, appendedCount = newRows.size),
-        epochs = st.epochs + (queryId -> epochId))
+      else {
+        // Bound the watermark map: evict the oldest-inserted query once 128
+        // distinct queries have written (FIFO via ListMap insertion order).
+        // An evicted query's late replay would re-append — the same bounded
+        // guarantee real sinks give by pruning txn app ids; unbounded
+        // growth in the driver-held store is the worse failure.
+        val pruned =
+          if (st.epochs.size >= 128 && !st.epochs.contains(queryId))
+            st.epochs - st.epochs.head._1
+          else st.epochs
+        st.copy(
+          snapshots = st.snapshots :+ Snapshot(st.nextVersion, nowMicros(),
+            st.currentRows ++ newRows, appendedCount = newRows.size),
+          epochs = pruned + (queryId -> epochId))
+      }
     }
     ()
   }

@@ -195,6 +195,26 @@ class SnapshotCatalogSuite extends AnyFunSuite {
     assert(e.getMessage.contains("expired"), e.getMessage)
   }
 
+  test("TIMESTAMP AS OF an instant inside an INTERIOR expiry gap (tagged " +
+    "old snapshot survives) fails instead of serving the stale snapshot") {
+    val t = freshTable("ts_gap")
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")
+    (1 to 5).foreach(i => spark.sql(s"INSERT INTO $t VALUES ($i)")) // v1..v5
+    SnapshotCatalog.tag(cat, Seq("t", "ts_gap"), "keep_v1", 1L)
+    val hist = SnapshotCatalog.history(cat, Seq("t", "ts_gap"))
+    val t3 = hist.find(_._1 == 3L).get._2 // an instant at expired v3's commit
+    SnapshotCatalog.expire(cat, Seq("t", "ts_gap"), keepLast = 1) // live: v1, v5
+    def tsLit(micros: Long): String =
+      java.time.Instant.EPOCH.plus(java.time.Duration.ofNanos(micros * 1000))
+        .toString.replace("T", " ").stripSuffix("Z")
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM $t TIMESTAMP AS OF '${tsLit(t3)}'").collect())
+    assert(e.getMessage.contains("expired"), e.getMessage)
+    // Instants at/after the newest live snapshot still resolve normally.
+    assert(sqlRows(s"SELECT count(*) AS c FROM $t TIMESTAMP AS OF " +
+      s"'${tsLit(hist.find(_._1 == 5L).get._2)}'") === Seq(Row(5L)))
+  }
+
   test("row-level rewrites validate their base version: a concurrent " +
     "commit is a loud failure, not a lost update") {
     val t = freshTable("occ")

@@ -34,10 +34,11 @@ object RunPipeline {
       val runner = new PipelineRunner(spark)
       paths.foreach { p =>
         val spec = PipelineSpec.fromYamlFile(p.toString)
-        if (spec.sinkPath.isDefined) {
+        if (spec.sinkPath.isDefined || spec.sinkTable.isDefined) {
           runner.run(spec, sfDir)
-          println(s"[pipeline] ${spec.name}: wrote ${spec.sinkFormat.get} " +
-            s"sink at ${spec.sinkPath.get}")
+          val dest = spec.sinkTable.map(t => s"table $t")
+            .getOrElse(s"${spec.sinkFormat.get} sink at ${spec.sinkPath.get}")
+          println(s"[pipeline] ${spec.name}: wrote $dest")
         } else {
           val n = runner.build(spec, sfDir).count()
           println(s"[pipeline] ${spec.name}: dry-run OK, $n rows")

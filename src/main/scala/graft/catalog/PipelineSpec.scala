@@ -26,12 +26,18 @@ final case class PipelineSpec(
     sourceTable: String,
     steps: Seq[PipelineStep],
     sinkFormat: Option[String],
-    sinkPath: Option[String]) {
+    sinkPath: Option[String],
+    sinkTable: Option[String] = None,
+    sinkMode: String = "append") {
   require(name.nonEmpty, "pipeline name must be non-empty")
   require(sourceTable.nonEmpty, s"$name: source table must be non-empty")
   require(steps.nonEmpty, s"$name: at least one step required")
   require(sinkFormat.isDefined == sinkPath.isDefined,
-    s"$name: sink needs both 'format' and 'path' (or neither)")
+    s"$name: a path sink needs both 'format' and 'path'")
+  require(sinkTable.isEmpty || sinkPath.isEmpty,
+    s"$name: sink is EITHER a path (format+path) OR a catalog table, not both")
+  require(Set("append", "overwrite")(sinkMode),
+    s"$name: sink mode must be append or overwrite, got '$sinkMode'")
 }
 
 object PipelineSpec {
@@ -60,11 +66,11 @@ object PipelineSpec {
         }
       case _ => sys.error("spec missing 'steps' list")
     }
-    val (fmt, path) = m.get("sink") match {
+    val (fmt, path, table, mode) = m.get("sink") match {
       case Some(sm: java.util.Map[_, _]) =>
         val s = sm.asScala.map { case (k, v) => k.toString -> v.toString }
-        (s.get("format"), s.get("path"))
-      case _ => (None, None)
+        (s.get("format"), s.get("path"), s.get("table"), s.get("mode"))
+      case _ => (None, None, None, None)
     }
     PipelineSpec(
       name = m.get("pipeline").map(_.toString)
@@ -72,7 +78,9 @@ object PipelineSpec {
       sourceTable = source,
       steps = steps,
       sinkFormat = fmt,
-      sinkPath = path)
+      sinkPath = path,
+      sinkTable = table,
+      sinkMode = mode.getOrElse("append"))
   }
 
   def fromYamlFile(path: String): PipelineSpec =

@@ -48,12 +48,17 @@ final class PipelineRunner(spark: SparkSession) {
     spec.steps.foldLeft(source)(applyStep)
   }
 
-  /** Build and write to the spec's sink (parquet/csv/json/orc). */
+  /** Build and write to the spec's sink: a path (parquet/csv/json/orc,
+    * overwrite) or a catalog table (`sink: {table: db.t, mode: append}` —
+    * any writable catalog, including the versioned snapshot catalog, where
+    * each run lands as one auditable commit). */
   def run(spec: PipelineSpec, sfDir: String): Unit = {
     val out = build(spec, sfDir)
-    (spec.sinkFormat, spec.sinkPath) match {
-      case (Some(fmt), Some(path)) =>
+    (spec.sinkFormat, spec.sinkPath, spec.sinkTable) match {
+      case (Some(fmt), Some(path), _) =>
         out.write.mode("overwrite").format(fmt).save(path)
+      case (_, _, Some(table)) =>
+        out.write.mode(spec.sinkMode).saveAsTable(table)
       case _ =>
         sys.error(s"${spec.name}: run() needs a sink; use build() for a frame")
     }

@@ -78,6 +78,36 @@ steps:
     assert(n > 0 && n < evens, s"sampled $n of $evens")
   }
 
+  test("catalog-table sink: each run lands as one auditable commit of a " +
+    "versioned table; path+table sinks are mutually exclusive") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.pipe")
+    spark.sql("DROP TABLE IF EXISTS graft_snap.pipe.slice_out")
+    spark.sql("CREATE TABLE graft_snap.pipe.slice_out (doc_id BIGINT, text STRING)")
+    val spec = PipelineSpec.fromYaml("""pipeline: to_table
+source:
+  table: documents
+steps:
+  - op: select
+    cols: doc_id, text
+  - op: filter
+    expr: doc_id < 10
+sink:
+  table: graft_snap.pipe.slice_out
+""")
+    runner.run(spec, dir)
+    runner.run(spec, dir) // append mode: second run = second commit
+    assert(spark.table("graft_snap.pipe.slice_out").count() === 20L)
+    assert(graft.sources.SnapshotCatalog
+      .history("graft_snap", Seq("pipe", "slice_out")).map(_._1) === Seq(1L, 2L))
+
+    intercept[IllegalArgumentException](PipelineSpec.fromYaml(
+      "pipeline: p\nsource:\n  table: documents\nsteps:\n  - op: lang_id\n" +
+        "sink:\n  format: parquet\n  path: /tmp/x\n  table: t\n"))
+    intercept[IllegalArgumentException](PipelineSpec.fromYaml(
+      "pipeline: p\nsource:\n  table: documents\nsteps:\n  - op: lang_id\n" +
+        "sink:\n  table: t\n  mode: truncate\n"))
+  }
+
   test("run() writes the sink; misuse fails eagerly with names") {
     val sink = java.nio.file.Files.createTempDirectory("graft-pipe").toString + "/out"
     val spec = PipelineSpec.fromYaml(s"""pipeline: to_parquet

@@ -34,11 +34,9 @@ object RunPipeline {
       val runner = new PipelineRunner(spark)
       paths.foreach { p =>
         val spec = PipelineSpec.fromYamlFile(p.toString)
-        if (spec.sinkPath.isDefined || spec.sinkTable.isDefined) {
+        if (spec.hasSink) {
           runner.run(spec, sfDir)
-          val dest = spec.sinkTable.map(t => s"table $t")
-            .getOrElse(s"${spec.sinkFormat.get} sink at ${spec.sinkPath.get}")
-          println(s"[pipeline] ${spec.name}: wrote $dest")
+          println(s"[pipeline] ${spec.name}: wrote ${spec.sinkDescription}")
         } else {
           val n = runner.build(spec, sfDir).count()
           println(s"[pipeline] ${spec.name}: dry-run OK, $n rows")

@@ -28,7 +28,7 @@ final case class PipelineSpec(
     sinkFormat: Option[String],
     sinkPath: Option[String],
     sinkTable: Option[String] = None,
-    sinkMode: String = "append") {
+    sinkMode: Option[String] = None) {
   require(name.nonEmpty, "pipeline name must be non-empty")
   require(sourceTable.nonEmpty, s"$name: source table must be non-empty")
   require(steps.nonEmpty, s"$name: at least one step required")
@@ -36,8 +36,23 @@ final case class PipelineSpec(
     s"$name: a path sink needs both 'format' and 'path'")
   require(sinkTable.isEmpty || sinkPath.isEmpty,
     s"$name: sink is EITHER a path (format+path) OR a catalog table, not both")
-  require(Set("append", "overwrite")(sinkMode),
-    s"$name: sink mode must be append or overwrite, got '$sinkMode'")
+  require(sinkMode.forall(Set("append", "overwrite")),
+    s"$name: sink mode must be append or overwrite, got '${sinkMode.get}'")
+  require(sinkMode.isEmpty || hasSink,
+    s"$name: sink 'mode' given but no path or table sink")
+
+  def hasSink: Boolean = sinkPath.isDefined || sinkTable.isDefined
+
+  /** Effective write mode: tables default to APPEND (each run = one more
+    * auditable commit), paths default to OVERWRITE (a materialized
+    * artifact regenerated per run) — each kind's least-surprising default,
+    * overridable with `mode:`. */
+  def effectiveMode: String =
+    sinkMode.getOrElse(if (sinkTable.isDefined) "append" else "overwrite")
+
+  def sinkDescription: String =
+    sinkTable.map(t => s"table $t ($effectiveMode)")
+      .getOrElse(s"${sinkFormat.getOrElse("?")} sink at ${sinkPath.getOrElse("?")} ($effectiveMode)")
 }
 
 object PipelineSpec {
@@ -69,6 +84,12 @@ object PipelineSpec {
     val (fmt, path, table, mode) = m.get("sink") match {
       case Some(sm: java.util.Map[_, _]) =>
         val s = sm.asScala.map { case (k, v) => k.toString -> v.toString }
+        // A typoed key must not silently degrade the run to a dry-run.
+        val unknown = s.keySet -- Set("format", "path", "table", "mode")
+        require(unknown.isEmpty,
+          s"unknown sink key(s) ${unknown.mkString(", ")}; known: format, path, table, mode")
+        require(s.contains("path") || s.contains("table"),
+          "a sink block needs a 'path' (with 'format') or a 'table'")
         (s.get("format"), s.get("path"), s.get("table"), s.get("mode"))
       case _ => (None, None, None, None)
     }
@@ -80,7 +101,7 @@ object PipelineSpec {
       sinkFormat = fmt,
       sinkPath = path,
       sinkTable = table,
-      sinkMode = mode.getOrElse("append"))
+      sinkMode = mode)
   }
 
   def fromYamlFile(path: String): PipelineSpec =

@@ -48,17 +48,22 @@ final class PipelineRunner(spark: SparkSession) {
     spec.steps.foldLeft(source)(applyStep)
   }
 
-  /** Build and write to the spec's sink: a path (parquet/csv/json/orc,
-    * overwrite) or a catalog table (`sink: {table: db.t, mode: append}` —
-    * any writable catalog, including the versioned snapshot catalog, where
-    * each run lands as one auditable commit). */
+  /** Build and write to the spec's sink: a path (parquet/csv/json/orc;
+    * default overwrite) or a V2 catalog table (`sink: {table: db.t}`;
+    * default append). Table writes go through `writeTo` — append is
+    * AppendData and overwrite is a TRUNCATE-overwrite commit
+    * (`OverwriteByExpression`), so on the versioned snapshot catalog BOTH
+    * modes land as one auditable commit and the table's history/tags
+    * survive (a `saveAsTable(Overwrite)` would drop + recreate the table,
+    * wiping its history). Path sinks honor `mode:` too. */
   def run(spec: PipelineSpec, sfDir: String): Unit = {
     val out = build(spec, sfDir)
     (spec.sinkFormat, spec.sinkPath, spec.sinkTable) match {
       case (Some(fmt), Some(path), _) =>
-        out.write.mode("overwrite").format(fmt).save(path)
+        out.write.mode(spec.effectiveMode).format(fmt).save(path)
       case (_, _, Some(table)) =>
-        out.write.mode(spec.sinkMode).saveAsTable(table)
+        if (spec.effectiveMode == "append") out.writeTo(table).append()
+        else out.writeTo(table).overwrite(org.apache.spark.sql.functions.lit(true))
       case _ =>
         sys.error(s"${spec.name}: run() needs a sink; use build() for a frame")
     }

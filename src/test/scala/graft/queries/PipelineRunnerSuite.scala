@@ -100,12 +100,36 @@ sink:
     assert(graft.sources.SnapshotCatalog
       .history("graft_snap", Seq("pipe", "slice_out")).map(_._1) === Seq(1L, 2L))
 
+    // Overwrite mode truncates IN ONE COMMIT: history and tags survive.
+    val ow = PipelineSpec.fromYaml("""pipeline: to_table_ow
+source:
+  table: documents
+steps:
+  - op: select
+    cols: doc_id, text
+  - op: filter
+    expr: doc_id < 5
+sink:
+  table: graft_snap.pipe.slice_out
+  mode: overwrite
+""")
+    runner.run(ow, dir)
+    assert(spark.table("graft_snap.pipe.slice_out").count() === 5L)
+    assert(graft.sources.SnapshotCatalog
+      .history("graft_snap", Seq("pipe", "slice_out")).map(_._1) === Seq(1L, 2L, 3L),
+      "overwrite must be a truncate COMMIT, not a drop+recreate that wipes history")
+
     intercept[IllegalArgumentException](PipelineSpec.fromYaml(
       "pipeline: p\nsource:\n  table: documents\nsteps:\n  - op: lang_id\n" +
         "sink:\n  format: parquet\n  path: /tmp/x\n  table: t\n"))
     intercept[IllegalArgumentException](PipelineSpec.fromYaml(
       "pipeline: p\nsource:\n  table: documents\nsteps:\n  - op: lang_id\n" +
         "sink:\n  table: t\n  mode: truncate\n"))
+    // Typoed sink keys fail loudly instead of degrading to a dry-run.
+    val typo = intercept[IllegalArgumentException](PipelineSpec.fromYaml(
+      "pipeline: p\nsource:\n  table: documents\nsteps:\n  - op: lang_id\n" +
+        "sink:\n  tabel: t\n"))
+    assert(typo.getMessage.contains("unknown sink key"), typo.getMessage)
   }
 
   test("run() writes the sink; misuse fails eagerly with names") {

@@ -82,7 +82,8 @@ final class CatalogAutomation(spark: SparkSession, profile: CatalogProfile) {
     */
   def compactTable(db: String, table: String,
       keepOnly: DataFrame => DataFrame = identity,
-      targetFileBytes: Long = 128L << 20): CompactionResult = {
+      targetFileBytes: Long = 128L << 20,
+      stagingReclaimTtlMs: Long = 24L * 3600 * 1000): CompactionResult = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.graftbridge.GraftPlanBridge
@@ -102,27 +103,40 @@ final class CatalogAutomation(spark: SparkSession, profile: CatalogProfile) {
     val provider = meta.provider.getOrElse("parquet")
 
     // Stage the full rewrite before touching the live table. Reclaim prior
-    // CRASHED runs' staging directories (their pid is dead) — a crashed
-    // run's dir carries a different pid, and deleting only our own name
-    // would orphan full-table-size copies forever. Directories whose pid
-    // is still ALIVE are another live compaction's only copy and must not
-    // be touched (concurrent compactions of one table violate this
-    // method's exclusivity contract, but data loss is never an acceptable
-    // way to surface that).
+    // CRASHED runs' staging directories — a crashed run's dir carries a
+    // different name, and deleting only our own would orphan
+    // full-table-size copies forever. Staging names are stamped
+    // `<host>_<pid>` because pid liveness is only checkable LOCALLY: on a
+    // shared filesystem another host's pid space is invisible (its live
+    // pid could read as dead here, deleting an in-flight compaction's only
+    // copy; a recycled pid could read as alive, preserving garbage
+    // forever). So: same-host dirs are reclaimed exactly when their pid is
+    // dead; foreign-host (or unparseable) dirs only once their
+    // modification time is older than `stagingReclaimTtlMs` — past any
+    // plausible compaction runtime, the crashed-not-finished signal that
+    // needs no cross-host pid oracle. Directories that might back a LIVE
+    // run are never touched (concurrent compactions of one table violate
+    // this method's exclusivity contract, but data loss is never an
+    // acceptable way to surface that).
     val stagingPrefix = s".${table}__compact_"
     if (fs.exists(loc.getParent)) {
+      val now = System.currentTimeMillis()
       fs.listStatus(loc.getParent).toSeq
         .filter(f => f.isDirectory && f.getPath.getName.startsWith(stagingPrefix))
         .filter { f =>
-          val pid = f.getPath.getName.stripPrefix(stagingPrefix).toLongOption
-          !pid.exists(p => ProcessHandle.of(p).isPresent)
+          f.getPath.getName.stripPrefix(stagingPrefix).split('_') match {
+            case Array(host, pid) if host == CatalogAutomation.localHost =>
+              !pid.toLongOption.exists(p => ProcessHandle.of(p).isPresent)
+            case _ => // foreign host or legacy/unparseable stamp: TTL only
+              now - f.getModificationTime > stagingReclaimTtlMs
+          }
         }
         .foreach(f => fs.delete(f.getPath, true))
     }
     // Our own pid is alive, so the sweep above skipped our own name from
     // any earlier run in this JVM — delete it explicitly.
     val staging = new Path(loc.getParent,
-      s"$stagingPrefix${ProcessHandle.current().pid()}")
+      s"$stagingPrefix${CatalogAutomation.localHost}_${ProcessHandle.current().pid()}")
     fs.delete(staging, true)
     val tmpFqn = s"${DdlGenerator.quoteIdent(db)}.${DdlGenerator.quoteIdent(table + "__compact")}"
     spark.sql(s"DROP TABLE IF EXISTS $tmpFqn")
@@ -180,6 +194,17 @@ final class CatalogAutomation(spark: SparkSession, profile: CatalogProfile) {
 
   private def quotedDb(db: String): String =
     (profile.catalogName.toSeq :+ db).map(DdlGenerator.quoteIdent).mkString(".")
+}
+
+object CatalogAutomation {
+  /** This host's staging-dir stamp: hostname sanitized to name-safe chars
+    * (underscore is the host/pid separator, so it is stripped too). */
+  private[graft] val localHost: String = {
+    val raw = try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: java.net.UnknownHostException => "localhost" }
+    val safe = raw.replaceAll("[^A-Za-z0-9.-]", "-")
+    if (safe.isEmpty) "localhost" else safe
+  }
 }
 
 /** Outcome of [[CatalogAutomation.compactTable]]: data-file counts around

@@ -37,10 +37,16 @@ object BoundedRangeWindow {
       rangeMicros: Long, value: Column,
       outCount: String, outSum: String): DataFrame = {
     require(rangeMicros > 0, s"rangeMicros must be positive, got $rangeMicros")
+    // Exact integer floor(ts_us / range): `div` truncates toward zero, so
+    // adjust by one when the remainder is negative. A double-precision
+    // FLOOR(ts/r) would misbucket sort keys above 2^53 (nanosecond epochs),
+    // corrupting neighboring frames; integer arithmetic is exact for every
+    // Long value.
     val withTs = df.withColumn("ts_us", tsMicros)
       .withColumn("_val", value)
       .withColumn("_bucket",
-        expr(s"CAST(FLOOR(ts_us / ${rangeMicros}L) AS BIGINT)"))
+        expr(s"ts_us DIV ${rangeMicros}L - " +
+          s"CASE WHEN ts_us % ${rangeMicros}L < 0 THEN 1L ELSE 0L END"))
     val real = withTs.withColumn("_owner", col("_bucket"))
       .withColumn("_ghost", lit(false))
     // Null order values form their own peer group (RANGE-frame null

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Change-data-feed over a versioned catalog table: the row-level changes
@@ -18,11 +19,20 @@ import org.apache.spark.sql.functions._
   * downstream consumers can read row-level deltas instead of re-scanning
   * snapshots; this operator is that consumer-side read.
   *
-  * SCALE CONTRACT: each adjacent-version diff is ONE full-outer equi-join on
-  * the key columns — it shuffles both snapshots by key and nothing else, so
-  * cost is O(|prev| + |cur|) per commit step with no driver materialization.
-  * That is the engine-agnostic fallback plan; a file-backed lakehouse catalog
-  * short-circuits it from manifests/delete files without touching unchanged
+  * PRECONDITION: key columns are unique within each snapshot (the standard
+  * CDF contract — a feed keyed on a non-key would be ambiguous).
+  * `tableChanges` enforces it for free inside its window pass (duplicate
+  * keys in one version fail the query loudly instead of emitting spurious
+  * cross-product changes); [[diff]]'s join form documents it (see there).
+  *
+  * SCALE CONTRACT: a K-commit feed scans each snapshot version EXACTLY ONCE
+  * and shuffles the unioned K·|snapshot| rows by key in ONE exchange — the
+  * per-key version timeline is then compared with lag/lead inside each
+  * partition. (The previous fold-of-full-outer-joins plan scanned every
+  * interior version twice and shuffled K separate times; the timeline plan
+  * halves scan volume and collapses K shuffles into one.) No driver
+  * materialization anywhere. A file-backed lakehouse catalog can still
+  * short-circuit from manifests/delete files without touching unchanged
   * data files, and swapping that in changes no caller. Downstream consumers
   * (incremental refresh m03, SCD2 m02) take this feed as their change batch,
   * closing the loop: commit → CDF → incremental maintenance.
@@ -37,30 +47,109 @@ object ChangeDataFeed {
     * UPDATE rows are emitted only when some non-key column actually changed
     * (null-safe compare) — a copy-on-write rewrite that carries a row over
     * unmodified is NOT a change, exactly like Iceberg/Delta CDF.
+    *
+    * Plan: union the K+1 snapshots tagged with their version, shuffle once
+    * by key, and walk each key's version timeline with lag/lead:
+    *   - first occurrence after `fromVersion`, or one following a version
+    *     gap, is an INSERT at that version;
+    *   - a version gap additionally means the key was absent in between —
+    *     a DELETE at (previous occurrence + 1), pre-image from the lagged
+    *     row;
+    *   - adjacent occurrences with any non-key column changed (null-safe)
+    *     are an UPDATE;
+    *   - a last occurrence before `toVersion` is a DELETE at (occurrence
+    *     + 1), pre-image from the row itself.
+    * Every event the old per-commit full-outer-join fold emitted is exactly
+    * one of these timeline cases, so the output is row-identical (m08/m09
+    * hash gates pin it).
     */
   def tableChanges(spark: SparkSession, table: String, keyCols: Seq[String],
       fromVersion: Long, toVersion: Long): DataFrame = {
     require(0 <= fromVersion && fromVersion < toVersion,
       s"need 0 <= fromVersion < toVersion, got [$fromVersion, $toVersion]")
-    (fromVersion + 1 to toVersion).map { v =>
-      diff(spark.sql(s"SELECT * FROM $table VERSION AS OF ${v - 1}"),
-        spark.sql(s"SELECT * FROM $table VERSION AS OF $v"),
-        keyCols, commitVersion = v)
+    require(keyCols.nonEmpty, "tableChanges needs at least one key column")
+    val snaps = (fromVersion to toVersion).map { v =>
+      spark.sql(s"SELECT * FROM $table VERSION AS OF $v").withColumn("_v", lit(v))
     }.reduce(_.unionAll(_))
+    val dataCols = snaps.columns.filterNot(c => keyCols.contains(c) || c == "_v").toSeq
+    val dataTypes = dataCols.map(d => snaps.schema(d).dataType)
+
+    // One exchange: all lag/lead expressions share this window spec.
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy("_v")
+    val timeline = dataCols.foldLeft(
+      snaps.withColumn("_pv", lag(col("_v"), 1).over(w))
+        .withColumn("_nv", lead(col("_v"), 1).over(w))) { (df, d) =>
+      df.withColumn(s"_graft_old_$d", lag(col(d), 1).over(w))
+    }
+
+    // Duplicate keys within one snapshot sort adjacently in the timeline
+    // (same _v), so the uniqueness precondition is checked for free:
+    // assert_true returns NULL when the condition holds and throws
+    // otherwise, making this filter pass-all-or-fail-loudly.
+    val checked = timeline.filter(assert_true(
+      col("_pv").isNull || col("_pv") =!= col("_v"),
+      lit(s"CDF precondition violated: key ${keyCols.mkString("(", ", ", ")")} " +
+        s"is duplicated within one snapshot of $table")).isNull)
+
+    val oldImage = dataCols.map(d => col(s"_graft_old_$d"))
+    val curImage = dataCols.map(col)
+    val nullImage = dataTypes.map(t => lit(null).cast(t))
+    def event(ctype: String, ver: Column, old: Seq[Column], nw: Seq[Column]): Column =
+      struct(Seq(lit(ctype).as("_change_type"), ver.cast("long").as("_commit_version")) ++
+        dataCols.indices.flatMap(i =>
+          Seq(old(i).as(s"old_${dataCols(i)}"), nw(i).as(s"new_${dataCols(i)}"))): _*)
+    val anyChanged = dataCols
+      .map(d => !(col(s"_graft_old_$d") <=> col(d)))
+      .reduceOption(_ || _)
+      .getOrElse(lit(false)) // key-only table: only INSERT/DELETE are possible
+    val gap = col("_pv").isNotNull && col("_pv") < col("_v") - 1
+    val events = array(
+      when((col("_pv").isNull && col("_v") > fromVersion) || gap,
+        event("INSERT", col("_v"), nullImage, curImage)),
+      when(gap, event("DELETE", col("_pv") + 1, oldImage, nullImage)),
+      when(col("_pv") === col("_v") - 1 && anyChanged,
+        event("UPDATE", col("_v"), oldImage, curImage)),
+      when(col("_nv").isNull && col("_v") < toVersion,
+        event("DELETE", col("_v") + 1, curImage, nullImage)))
+
+    checked
+      .select(keyCols.map(col) :+
+        explode(filter(events, e => e.isNotNull)).as("_ev"): _*)
+      .select(keyCols.map(col) ++
+        Seq(col("_ev._change_type").as("_change_type"),
+          col("_ev._commit_version").as("_commit_version")) ++
+        dataCols.flatMap(d => Seq(col(s"_ev.old_$d").as(s"old_$d"),
+          col(s"_ev.new_$d").as(s"new_$d"))): _*)
   }
 
   /** The change set `prev → cur` of any two same-schema relations: one
-    * distributed full-outer key join, no catalog required — the building
-    * block `tableChanges` folds per commit, and the standalone form for
-    * diffing parquet snapshots, table dumps, or staging vs production. */
+    * distributed full-outer key join, no catalog required — the standalone
+    * form for diffing parquet snapshots, table dumps, or staging vs
+    * production.
+    *
+    * PRECONDITION: `keyCols` uniquely identify rows in BOTH relations.
+    * Duplicate keys make the full-outer join emit a cross product of
+    * spurious UPDATE rows; pass `validateUniqueKeys = true` to fail loudly
+    * instead (adds one windowed count per side over the join's own key
+    * shuffle). */
   def diff(prevRel: DataFrame, curRel: DataFrame, keyCols: Seq[String],
-      commitVersion: Long): DataFrame = {
+      commitVersion: Long, validateUniqueKeys: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "diff needs at least one key column")
     val v = commitVersion
+    def guarded(df: DataFrame, side: String): DataFrame =
+      if (!validateUniqueKeys) df
+      else {
+        val kw = Window.partitionBy(keyCols.map(col): _*)
+        df.withColumn("_kn", count(lit(1)).over(kw))
+          .filter(assert_true(col("_kn") === 1,
+            lit(s"diff precondition violated: key " +
+              s"${keyCols.mkString("(", ", ", ")")} is duplicated in $side")).isNull)
+          .drop("_kn")
+      }
     // Presence markers instead of key-null tests: keys are typically non-null,
     // but a marker is correct even when a key column is legitimately null.
-    val prev = prevRel.withColumn("_in_prev", lit(1))
-    val cur = curRel.withColumn("_in_cur", lit(1))
+    val prev = guarded(prevRel, "prev").withColumn("_in_prev", lit(1))
+    val cur = guarded(curRel, "cur").withColumn("_in_cur", lit(1))
     val dataCols = prev.columns.filterNot(c => keyCols.contains(c) || c == "_in_prev")
 
     val p = prev.as("p")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.LongType
 
 /** Catalyst optimizer rule: the ghost-replication rewrite of
   * [[graft.operators.BoundedRangeWindow]] applied TRANSPARENTLY to any
@@ -30,9 +30,12 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * per-(keys, bucket) frames are content-identical to the global ones.
   * Rows with NULL sort keys are their own peer group and are not ghosted
   * (a ghost would land back in the same null partition and double the
-  * group). The µs-granularity bucket arithmetic (`floor(ts / r)` in
-  * double) is exact to well under 1 µs for any epoch value |ts| ≲ 2⁵³
-  * (ratio ulp · r < 1 µs), i.e. for all physical timestamps.
+  * group). Bucket = floor(ts / r) is computed in EXACT 64-bit integer
+  * arithmetic (truncating `div` with a negative-remainder adjustment) —
+  * a double-precision division would misbucket sort keys above 2⁵³
+  * (e.g. nanosecond epochs ≈ 1.7·10¹⁸), silently corrupting neighboring
+  * frames, so no magnitude guard is needed: every LongType value buckets
+  * exactly.
   *
   * Gated off by default (`spark.graft.window.ghostRewrite.enabled`): the
   * rewrite doubles pre-shuffle row volume, a trade that wins when keys ≪
@@ -87,8 +90,14 @@ object GhostedRangeWindowRewrite extends Rule[LogicalPlan] {
 
   private def rewrite(w: Window, ts: Expression, range: Long,
       child: LogicalPlan): LogicalPlan = {
-    // floor(ts / r) in double — see the class doc for the exactness bound.
-    val bucket = Floor(Divide(Cast(ts, DoubleType), Literal(range.toDouble)))
+    // Exact integer floor division: Long `div` truncates toward zero, so
+    // adjust by one when the remainder is negative (ts < 0 and not on a
+    // bucket boundary). NULL ts: every operand is null, so bucket is null
+    // (If's predicate is null → else branch → null quotient), matching the
+    // null-owner grouping the doc describes.
+    val q = IntegralDivide(ts, Literal(range))
+    val rem = Remainder(ts, Literal(range))
+    val bucket = If(LessThan(rem, Literal(0L)), Subtract(q, Literal(1L)), q)
     val realP = Project(child.output ++ Seq(
       Alias(bucket, OwnerCol)(), Alias(Literal(false), GhostCol)()), child)
     val ghostP = Project(child.output ++ Seq(

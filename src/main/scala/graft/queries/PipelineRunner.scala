@@ -81,11 +81,26 @@ final class PipelineRunner(spark: SparkSession) {
       requireCols(df, step, "doc_id", "text")
       val others = df.columns.filterNot(c => c == "doc_id" || c == "text")
       // d19 re-emits (doc_id, cleaned_text); carry any other columns along
-      // and keep the pipeline's text-column contract.
-      val cleaned = TextOps.dupSpanRemoval(df.select("doc_id", "text"))
+      // and keep the pipeline's text-column contract. The carry-along
+      // rejoin assumes doc_id is unique (the same contract near_dup_drop's
+      // LSH key already holds); a duplicated doc_id would silently multiply
+      // rows through the inner join, so enforce it in-plan: assert_true
+      // returns NULL when the count is 1 and throws otherwise, making the
+      // guard pass-all-or-fail-loudly with no extra action.
+      val guarded =
+        if (others.isEmpty) df
+        else {
+          val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          df.withColumn("_graft_idn", count(lit(1)).over(w))
+            .filter(assert_true(col("_graft_idn") === 1,
+              lit("span_removal requires unique doc_id; found duplicates " +
+                "(the carry-along rejoin would multiply rows)")).isNull)
+            .drop("_graft_idn")
+        }
+      val cleaned = TextOps.dupSpanRemoval(guarded.select("doc_id", "text"))
         .select(col("doc_id"), col("cleaned_text").as("text"))
       if (others.isEmpty) cleaned
-      else cleaned.join(df.drop("text"), "doc_id")
+      else cleaned.join(guarded.drop("text"), "doc_id")
     case "quality_gate" =>
       requireCols(df, step, "text")
       df.filter(TextOps.qualityScore(col("text")) >=

@@ -379,11 +379,16 @@ private[sources] object SnapshotStore {
     update(k) { st =>
       if (st.epochs.get(queryId).exists(epochId <= _)) st // replayed epoch
       else {
-        // Bound the watermark map: evict the oldest-inserted query once 128
-        // distinct queries have written (FIFO via ListMap insertion order).
-        // An evicted query's late replay would re-append — the same bounded
-        // guarantee real sinks give by pruning txn app ids; unbounded
-        // growth in the driver-held store is the worse failure.
+        // Bound the watermark map: evict the LEAST-RECENTLY-ACTIVE query
+        // once 128 distinct queries have written. Every commit removes and
+        // re-inserts the committing query, so ListMap insertion order IS
+        // recency order — a long-running busy writer is never evicted in
+        // favor of queries that went idle long ago (plain FIFO would evict
+        // the longest-running ACTIVE query first, re-opening its
+        // replay/double-append window). An evicted-then-replaying idle
+        // query would re-append — the same bounded guarantee real sinks
+        // give by pruning txn app ids; unbounded growth in the driver-held
+        // store is the worse failure.
         val pruned =
           if (st.epochs.size >= 128 && !st.epochs.contains(queryId))
             st.epochs - st.epochs.head._1
@@ -391,7 +396,7 @@ private[sources] object SnapshotStore {
         st.copy(
           snapshots = st.snapshots :+ Snapshot(st.nextVersion, nowMicros(),
             st.currentRows ++ newRows, appendedCount = newRows.size),
-          epochs = pruned + (queryId -> epochId))
+          epochs = (pruned - queryId) + (queryId -> epochId))
       }
     }
     ()

@@ -66,6 +66,49 @@ class ChangeDataFeedSuite extends AnyFunSuite {
     assert(byName("old_n") === "BIGINT" && byName("new_n") === "BIGINT")
   }
 
+  test("feed scans each version once and shuffles once") {
+    val t = freshTable("plan")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a')")
+    spark.sql(s"UPDATE $t SET v = 'b' WHERE id = 1")
+    spark.sql(s"UPDATE $t SET v = 'c' WHERE id = 1")
+    val feed = ChangeDataFeed.tableChanges(spark, t, Seq("id"), 0L, 3L)
+    // AQE wraps the tree, so count nodes in the rendered plan.
+    val plan = feed.queryExecution.executedPlan.toString
+    // 4 versions in [0, 3] → exactly 4 scans (the old join fold scanned the
+    // two interior versions twice: 6).
+    assert("BatchScan".r.findAllIn(plan).size === 4,
+      s"expected one scan per version:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size === 1,
+      s"expected a single key shuffle:\n$plan")
+    assert(feed.count() === 3L) // INSERT + 2 UPDATEs
+  }
+
+  test("duplicate keys within one snapshot fail the feed loudly") {
+    val t = freshTable("dup")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (1, 'b')") // duplicate key in v1
+    val ex = intercept[Exception](
+      ChangeDataFeed.tableChanges(spark, t, Seq("id"), 0L, 1L).collect())
+    assert(ex.getMessage != null && ex.getMessage.contains("CDF precondition") ||
+      Option(ex.getCause).exists(_.getMessage.contains("CDF precondition")),
+      s"unexpected failure: $ex")
+  }
+
+  test("diff validateUniqueKeys flags duplicated join keys instead of cross-producting") {
+    import spark.implicits._
+    val prev = Seq((1L, "a"), (1L, "b")).toDF("id", "v")
+    val cur = Seq((1L, "c")).toDF("id", "v")
+    // Default: documented precondition, caller's responsibility (no failure).
+    assert(ChangeDataFeed.diff(prev, cur, Seq("id"), 1L).count() === 2L)
+    val ex = intercept[Exception](
+      ChangeDataFeed.diff(prev, cur, Seq("id"), 1L, validateUniqueKeys = true)
+        .collect())
+    assert(ex.getMessage != null && ex.getMessage.contains("diff precondition") ||
+      Option(ex.getCause).exists(_.getMessage.contains("diff precondition")),
+      s"unexpected failure: $ex")
+  }
+
   test("invalid version windows fail loudly") {
     val t = freshTable("bad")
     spark.sql(s"CREATE TABLE $t (id BIGINT)")

@@ -86,6 +86,38 @@ class GhostedRangeWindowRewriteSuite extends AnyFunSuite {
     }
   }
 
+  test("bucketing is exact beyond 2^53 (nanosecond epochs) and for negative keys") {
+    // Sort keys ~1.15e18 sit where double has 256-unit ulps: floor(ts/r) in
+    // double misbuckets rows near bucket boundaries, so ghosts land in the
+    // wrong partition and trailing counts silently diverge. Integer
+    // floor-division must reproduce the single-task window exactly. The
+    // negative block additionally exercises the truncate-vs-floor adjustment.
+    val r = 1000L
+    val base = 1L << 60
+    val rows = (0 until 80).map(i => (i.toLong, "a", base + i * 333L - 13000L, 1.0)) ++
+      (0 until 40).map(i => (100L + i, "b", -base + i * 777L, 2.0)) ++
+      Seq((999L, "b", -base + 5L * r, 4.0))
+    val df = rows.toDF("id", "k", "ts_us", "v")
+    val w = Window.partitionBy("k").orderBy("ts_us").rangeBetween(-r, 0)
+    val q = df.select($"id", count(lit(1)).over(w).as("n"), sum($"v").over(w).as("s"))
+    val baseline = q.collect().toSet
+    withRule {
+      val got = df.select($"id", count(lit(1)).over(w).as("n"),
+        sum($"v").over(w).as("s"))
+      assert(got.queryExecution.optimizedPlan
+        .collectFirst { case u: Union => u }.isDefined, "rule did not fire")
+      assert(got.collect().toSet === baseline)
+    }
+    // Operator form shares the arithmetic contract.
+    val op = graft.operators.BoundedRangeWindow.trailingCountSum(
+      df, Seq("k"), $"ts_us", r, $"v".cast("decimal(20,2)"), "n", "s")
+      .select($"id", $"n", $"s".cast("double").as("s")).collect().toSet
+    val oracle = df.select($"id", count(lit(1)).over(w).as("n"),
+      sum($"v".cast("decimal(20,2)")).over(w).cast("double").as("s"))
+      .collect().toSet
+    assert(op === oracle)
+  }
+
   test("rewrite matches the registered t04 semantics on fixture data") {
     val events = graft.queries.Tables.events(spark, SparkTestSession.sfDir)
     val baseline = graft.queries.TimeSeries.rollingHourWindowPlan(events)

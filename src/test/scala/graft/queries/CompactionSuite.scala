@@ -99,6 +99,46 @@ class CompactionSuite extends AnyFunSuite {
     NearDup.buildCorpusStore(spark, docs.filter(col("doc_id") % 7 =!= 0))
   }
 
+  test("staging reclamation: local dead pids swept; foreign hosts only past TTL") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    auto.ensureDatabase(NearDup.storeDb)
+    spark.sql(s"DROP TABLE IF EXISTS ${NearDup.storeDb}.compact_stage")
+    Seq((1L, "x")).toDF("id", "payload")
+      .write.saveAsTable(s"${NearDup.storeDb}.compact_stage")
+    val meta = org.apache.spark.sql.graftbridge.GraftPlanBridge
+      .tableMetadata(spark, NearDup.storeDb, "compact_stage")
+    val parent = new Path(meta.location).getParent
+    val fs = parent.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = ".compact_stage__compact_"
+
+    def mk(name: String, mtime: Option[Long] = None): Path = {
+      val p = new Path(parent, prefix + name)
+      fs.mkdirs(p)
+      mtime.foreach(t => fs.setTimes(p, t, -1))
+      p
+    }
+    // A pid this host has certainly never assigned twice concurrently.
+    val deadPid = (1 to 20).map(i => 4000000L + i * 7919)
+      .find(p => !ProcessHandle.of(p).isPresent).get
+    val host = graft.catalog.CatalogAutomation.localHost
+    val localDead = mk(s"${host}_$deadPid")
+    val foreignFresh = mk("otherhost_12345")
+    val foreignStale = mk("otherhost_67890",
+      mtime = Some(System.currentTimeMillis() - 48L * 3600 * 1000))
+    val localLive =
+      if (ProcessHandle.of(1L).isPresent) Some(mk(s"${host}_1")) else None
+
+    auto.compactTable(NearDup.storeDb, "compact_stage")
+    assert(!fs.exists(localDead), "same-host dead-pid staging dir not reclaimed")
+    assert(!fs.exists(foreignStale), "stale foreign-host staging dir not reclaimed")
+    assert(fs.exists(foreignFresh),
+      "fresh foreign-host staging dir deleted — could be a live run's only copy")
+    localLive.foreach(p =>
+      assert(fs.exists(p), "same-host LIVE-pid staging dir deleted"))
+    (Seq(foreignFresh) ++ localLive).foreach(p => fs.delete(p, true))
+  }
+
   test("unbucketed tables compact to size-targeted coalesced files") {
     import spark.implicits._
     auto.ensureDatabase(NearDup.storeDb)

@@ -93,6 +93,25 @@ class SnapshotStreamSuite extends AnyFunSuite {
       "a new query's epoch 0 must commit, not read as a replay")
   }
 
+  test("epoch-watermark eviction is least-recently-ACTIVE, not first-inserted") {
+    val t = freshTable("lru")
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")
+    val key = ("graft_snap" +: Seq("stream", "lru")).mkString("\u0000")
+    // 128 distinct writers fill the watermark map in insertion order q0..q127.
+    (0 until 128).foreach(i => SnapshotStore.commitEpoch(key, s"q$i", 0L, Vector.empty))
+    // q0 — the FIRST-inserted — commits again: still active, must be protected.
+    SnapshotStore.commitEpoch(key, "q0", 1L, Vector.empty)
+    // A 129th writer forces one eviction: the least-recently-active is q1.
+    SnapshotStore.commitEpoch(key, "q-new", 0L, Vector.empty)
+    val epochs = SnapshotStore.stateOf(key).epochs
+    assert(epochs.contains("q0"), "still-active q0 evicted (FIFO, not LRU)")
+    assert(!epochs.contains("q1"), "expected idle q1 to be the evicted entry")
+    // q0's replay guard survived: a replayed old epoch still no-ops.
+    val before = SnapshotCatalog.history(cat, Seq("stream", "lru")).size
+    SnapshotStore.commitEpoch(key, "q0", 1L, Vector.empty)
+    assert(SnapshotCatalog.history(cat, Seq("stream", "lru")).size === before)
+  }
+
   test("the full loop: stream INTO the catalog, stream OUT, maintain a view") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

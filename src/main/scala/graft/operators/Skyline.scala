@@ -11,16 +11,20 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row}
   * > on at least one (all dimensions maximized; negate a column to
   * minimize it).
   *
-  * Two-phase execution, the canonical distributed scheme:
+  * Tree execution, the canonical distributed scheme:
   *   1. local skyline per partition (`mapPartitions`, dominance filter) —
   *      embarrassingly parallel, removes the vast majority of rows;
-  *   2. global skyline over the union of local candidates.
-  * Phase 2 runs on a single partition: the candidate set is the union of
-  * local skylines, which for d-dimensional data is tiny relative to N
-  * (≈ O((ln N)^(d-1)) for independent dims). A pathological distribution
-  * (everything on the front) degrades to the true skyline size — in that
-  * case the result itself is that large and a tree-reduce of phase 2
-  * would be the upgrade.
+  *   2. a √P-way MIDDLE merge level (candidates repartitioned into √P
+  *      tasks, dominance-filtered again) whenever the input had more than
+  *      a handful of partitions — so anti-correlated dimensions, whose
+  *      per-partition fronts stay large, are reduced in parallel instead
+  *      of serially in one final task (the same √P tree
+  *      [[graft.plans.SkylinePlan]] plans for the registered q29);
+  *   3. global skyline over the union of middle candidates in one task.
+  * The final task's input is the union of √P middle skylines — for
+  * d-dimensional independent dims each is ≈ O((ln N)^(d-1)), and a
+  * pathological all-on-the-front distribution degrades to the true skyline
+  * size, which is the result itself.
   */
 object Skyline {
 
@@ -71,6 +75,14 @@ object Skyline {
     val clean = df.na.drop(dims).filter(dims.map(c => not(isnan(col(c)))).reduce(_ && _))
     val enc = Encoders.row(schema)
     val local = clean.mapPartitions(it => localSkyline(it, dimIdx))(enc)
-    local.coalesce(1).mapPartitions(it => localSkyline(it, dimIdx))(enc)
+    // √P middle merge level (see the class doc): only worth its shuffle of
+    // the (small) candidate set when there are enough partitions for the
+    // final task to otherwise become the bottleneck.
+    val parts = clean.rdd.getNumPartitions
+    val mid = math.max(1, math.sqrt(parts.toDouble).round.toInt)
+    val merged =
+      if (parts <= 4) local
+      else local.repartition(mid).mapPartitions(it => localSkyline(it, dimIdx))(enc)
+    merged.coalesce(1).mapPartitions(it => localSkyline(it, dimIdx))(enc)
   }
 }

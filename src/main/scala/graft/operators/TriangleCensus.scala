@@ -25,7 +25,17 @@ import graft.queries.Q
   */
 object TriangleCensus {
 
-  def census(edges: DataFrame): DataFrame = {
+  /** `wedgeTasks`: task count for the wedge join stage — the census's ONE
+    * memory-sensitive stage. Its per-task working set is the sorted run of
+    * O(m^{3/2} / tasks) candidate rows, so the spill condition is
+    * (executor memory × memoryFraction) / concurrent tasks < that set: at
+    * ×30 on a 32-thread shared heap the default 32 tasks sorted ~0.7 GB to
+    * disk (BASELINE.md g02 row) while the PLAN stayed linear — the fix is
+    * more, smaller tasks, not a different plan. Defaults to the session's
+    * `spark.sql.shuffle.partitions`; raise it ∝ m^{3/2} / (per-task memory)
+    * when the census spills. Both wedge sides are hash-repartitioned on the
+    * shared root so the join itself adds no further exchange. */
+  def census(edges: DataFrame, wedgeTasks: Option[Int] = None): DataFrame = {
     // The edge list is consumed by the degree aggregate AND the orientation
     // join, and the oriented list three more times (both wedge sides + the
     // closing probe). Without persists every reuse replays the caller's
@@ -44,8 +54,11 @@ object TriangleCensus {
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
           col("v")).otherwise(col("u")).as("dst"))
       .persist()
-    val e1 = oriented.toDF("src", "y")
-    val e2 = oriented.toDF("src", "z")
+    wedgeTasks.foreach(n => require(n >= 1, s"wedgeTasks must be >= 1, got $n"))
+    def sized(df: DataFrame): DataFrame =
+      wedgeTasks.fold(df)(n => df.repartition(n, col("src")))
+    val e1 = sized(oriented.toDF("src", "y"))
+    val e2 = sized(oriented.toDF("src", "z"))
     val closing = oriented.toDF("y", "z")
     val triangles = e1.join(e2, "src").filter(col("y") =!= col("z"))
       .join(closing, Seq("y", "z"), "left_semi")

@@ -608,9 +608,69 @@ object Governance {
       FROM v3 WHERE o_custkey % 10 <> 7
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** Partitioned copy-on-write governance: the table is identity-partitioned
+    * by priority (the reference's `PARTITIONED BY` shape, `customers.yml:5-7`),
+    * and each statement takes the CHEAPEST path its predicate allows —
+    * `DELETE` on a partition predicate is a metadata-only commit (whole
+    * files retire, nothing is read or written), `UPDATE` on a partition
+    * predicate statically prunes its copy-on-write rewrite to that
+    * partition's files, and `INSERT OVERWRITE ... PARTITION` swaps exactly
+    * one partition's file set. FileSnapshotCowSuite pins the file-identity
+    * mechanics (untouched files carry over by path); this gate pins the
+    * cross-engine semantics of the composed statements.
+    *
+    * Scale: partition-decidable statements are the difference between an
+    * O(partition) commit and an O(table) rewrite at 100 TB; the final audit
+    * reads a live file set already pruned of the deleted partition.
+    */
+  val m10PartitionedCow = Q(
+    "m10_partitioned_cow",
+    (s, dir) => {
+      val t = "graft_snap.gov.orders_m10"
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.gov")
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"""CREATE TABLE $t (
+        o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
+        o_orderpriority STRING) PARTITIONED BY (o_orderpriority)""")
+      Tables.orders(s, dir).createOrReplaceTempView("m10_orders_src")
+      s.sql(s"""INSERT INTO $t
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        FROM m10_orders_src""")
+      // Metadata-only: the partition predicate retires whole files.
+      s.sql(s"DELETE FROM $t WHERE o_orderpriority = '5-LOW'")
+      // Statically pruned rewrite: only the 1-URGENT partition's files are
+      // scanned and replaced (decimal arithmetic keeps the oracle bit-exact).
+      s.sql(s"""UPDATE $t SET o_totalprice =
+          CAST(CAST(o_totalprice AS DECIMAL(18,4)) + CAST(100 AS DECIMAL(18,4)) AS DOUBLE)
+        WHERE o_orderpriority = '1-URGENT'""")
+      // Partition-scoped overwrite: 2-HIGH is republished from source with a
+      // flat 10% discount; every other partition's files carry over.
+      s.sql(s"""INSERT OVERWRITE $t PARTITION (o_orderpriority = '2-HIGH')
+        SELECT o_orderkey, o_custkey,
+          CAST(CAST(o_totalprice AS DECIMAL(18,4)) * CAST(0.9 AS DECIMAL(2,1)) AS DOUBLE)
+        FROM m10_orders_src WHERE o_orderpriority = '2-HIGH'""")
+      s.sql(s"""SELECT o_orderpriority, count(*) AS n_orders,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM $t GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+    Some("""WITH kept AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderpriority <> '5-LOW'),
+      cur AS (
+        SELECT o_orderpriority,
+          CASE WHEN o_orderpriority = '1-URGENT'
+                 THEN CAST(CAST(o_totalprice AS DECIMAL(18,4)) + CAST(100 AS DECIMAL(18,4)) AS DOUBLE)
+               WHEN o_orderpriority = '2-HIGH'
+                 THEN CAST(CAST(o_totalprice AS DECIMAL(18,4)) * CAST(0.9 AS DECIMAL(2,1)) AS DOUBLE)
+               ELSE o_totalprice END AS o_totalprice
+        FROM kept)
+      SELECT o_orderpriority, count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM cur GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   val all: Seq[Q] = Seq(
     m01MergeUpsert, m02Scd2History, m03IncrementalRefresh, m04SnapshotDiff,
     m05SqlMerge, m06SqlUpdateDelete, m07TimeTravel, m08ChangeFeed,
-    m09IncrementalMaint,
+    m09IncrementalMaint, m10PartitionedCow,
     a01QualityAudit, z01ZorderLayout)
 }

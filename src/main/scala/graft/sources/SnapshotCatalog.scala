@@ -1,26 +1,31 @@
 package graft.sources
 
 import java.util
+import java.util.UUID
 import java.util.concurrent.atomic.AtomicLong
 
 import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
-import org.apache.spark.sql.catalyst.expressions.UnsafeRow
+import org.apache.spark.sql.catalyst.{expressions => ce}
+import org.apache.spark.sql.catalyst.expressions.{UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform, Expression => VExpression, Literal => VLiteral}
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsPushDownV2Filters, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
-/** A versioned DataSource V2 catalog with row-level-operation support — the
-  * piece that makes statement-level `MERGE INTO` / `UPDATE` / `DELETE` and
-  * Iceberg-style time travel (`VERSION AS OF` / `TIMESTAMP AS OF`) REAL
-  * Spark SQL in this engine rather than operator-library calls.
+/** A versioned, FILE-BACKED DataSource V2 catalog with row-level-operation
+  * support — the piece that makes statement-level `MERGE INTO` / `UPDATE` /
+  * `DELETE` and Iceberg-style time travel (`VERSION AS OF` / `TIMESTAMP AS
+  * OF`) REAL Spark SQL in this engine rather than operator-library calls.
   *
   * The reference provisions Iceberg `format_version: 2` tables precisely so
   * that engines can run row-level SQL against them
@@ -34,33 +39,55 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     statements are rewritten by Catalyst's group-based row-level plans
   *     (`RewriteMergeIntoTable` → `ReplaceData`) against the operation's
   *     scan + write pair below — the exact planning path Iceberg's
-  *     copy-on-write mode uses, with the whole table as one rewrite group.
+  *     copy-on-write mode uses. The rewrite GROUP is a DATA FILE (Iceberg's
+  *     COW granularity): only files that can contain matching rows are
+  *     read, rewritten, and replaced; every other file carries over as pure
+  *     metadata. Files are pruned two ways — statically, from pushed
+  *     predicates over identity-partition values, and at runtime through
+  *     [[SupportsRuntimeV2Filtering]] on the `_file` metadata column
+  *     (Spark's `RowLevelOperationRuntimeGroupFiltering` plans a subquery
+  *     for the matching `_file`s — the mechanism Iceberg uses).
+  *   - [[SupportsDeleteV2]]: a `DELETE` whose predicate is decidable from
+  *     partition values alone never rewrites anything — the commit just
+  *     drops the matching files (Iceberg's metadata delete).
   *   - `TableCatalog.loadTable(ident, version|timestamp)`: `VERSION AS OF n`
   *     and `TIMESTAMP AS OF t` resolve to immutable snapshots; every commit
-  *     (append, truncate-overwrite, or row-level replace) creates a new
-  *     numbered, timestamped snapshot, and [[SnapshotCatalog.expire]] is the
-  *     retention operation (Iceberg's `expire_snapshots`).
+  *     creates a new numbered, timestamped snapshot, and
+  *     [[SnapshotCatalog.expire]] is the retention operation (Iceberg's
+  *     `expire_snapshots`), including physical garbage collection of data
+  *     files no live snapshot references.
   *
-  * SCALE CONTRACT — what is modeled vs what is real: the *planning surface*
-  * (statement → rewrite → replace-data write; version resolution) is the
-  * production path bit-for-bit, and everything downstream of the scan is
-  * ordinary distributed Spark (the MERGE join itself shuffles/broadcasts
-  * like any join). The *storage* is deliberately a driver-held snapshot
-  * vector — right-sized for the dimension/ledger tables these statements
-  * target in the gate (≤ 15k rows at sf0.01), NOT for a 100 TB fact table.
-  * At lake scale the same statements plan against a file-backed catalog
-  * whose rewrite groups are files/partitions (Iceberg COW/MOR); swapping
-  * the storage does not change a single query. Partitioned tables are
-  * rejected at create time for that reason: one snapshot = one rewrite
-  * group here, and accepting a partitioning we don't group by would
-  * misrepresent the rewrite granularity.
+  * SCALE CONTRACT: the driver holds ONLY metadata — per snapshot, the list
+  * of (file path, partition values, row count); row data lives in data
+  * files under the catalog's warehouse and flows executor → filesystem →
+  * executor without ever materializing on the driver. Write tasks stream
+  * rows straight to per-(task, partition) files and ship back one
+  * [[SnapshotStore.DataFile]] descriptor each; the driver-side commit is an
+  * O(#files) metadata splice, exactly Iceberg's manifest model. Rollback
+  * re-references the old snapshot's files (no data copy); truncate/
+  * overwrite only retire references (old versions stay time-travelable
+  * until expired). Tables may be partitioned by identity transforms — the
+  * shape the reference declares (`customers.yml:5-7`, `PARTITIONED BY
+  * (CountryRegion, PostalCode)`) — and partition values ride in file
+  * metadata, giving partition-pruned scans, partition-scoped overwrite
+  * (static and dynamic), metadata-only deletes, and file-grained
+  * copy-on-write. The data-file format is a Spark-native UnsafeRow stream
+  * (length-prefixed rows; schema is fixed per table) — a deliberate
+  * implementation detail behind the DataFile abstraction: swapping parquet
+  * in changes the reader/writer pair only, none of the catalog semantics.
+  * Readers of an expired snapshot can fail mid-scan if expire() collects
+  * their files first — the same contract as Iceberg's expire_snapshots.
   */
 class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
+  private var warehouse: String = _
 
-  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      sys.props("java.io.tmpdir") + "/graft-snap-warehouse")
+  }
   override def name(): String = catalogName
 
   private def key(ident: Identifier): String =
@@ -97,7 +124,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
     val owned = SnapshotStore.tables.keys.filter(_.startsWith(prefix)).toSeq
     if (owned.nonEmpty && !cascade)
       throw new IllegalStateException(s"namespace ${ns.mkString(".")} is not empty")
-    owned.foreach(SnapshotStore.tables.remove)
+    owned.foreach(SnapshotStore.dropTableAndData)
     SnapshotStore.namespaces.remove(nsKey(ns)).isDefined
   }
 
@@ -113,7 +140,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table = {
     val k = key(ident)
     val st = SnapshotStore.tables.getOrElse(k, throw new NoSuchTableException(ident))
-    new MemTable(ident.toString, k, st.schema, pinned = None)
+    new MemTable(ident.toString, k, st.schema, st.partitionCols, st.properties,
+      pinned = None)
   }
 
   /** `VERSION AS OF v` — a read-only pin of snapshot v (0 = the empty
@@ -128,14 +156,15 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
         throw new IllegalArgumentException(
           s"'$version' is neither a snapshot version nor a tag of $ident; " +
             s"tags: ${st.tags.keys.toSeq.sorted.mkString("[", ", ", "]")}")))
-    new MemTable(s"$ident@v$version", k, st.schema, pinned = Some(SnapshotStore.rowsAt(k, v)))
+    new MemTable(s"$ident@v$version", k, st.schema, st.partitionCols, st.properties,
+      pinned = Some(SnapshotStore.filesAt(k, v)))
   }
 
   /** `TIMESTAMP AS OF t` — Spark hands micros-since-epoch; resolve to the
     * newest snapshot committed at or before it. Timestamps older than the
     * oldest LIVE snapshot of a table whose earlier history was expired fail
     * loudly (the state at that instant is unknowable, not empty) — the
-    * timestamp twin of `rowsAt`'s expired-version failure. An instant
+    * timestamp twin of `filesAt`'s expired-version failure. An instant
     * before a never-expired table's first commit is genuinely empty. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val k = key(ident)
@@ -163,20 +192,40 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
               "were removed by expire() and the instant falls in that range")
         }
     }
-    val rows = if (visible.isEmpty) Vector.empty[UnsafeRow] else visible.last.rows
-    new MemTable(s"$ident@t$timestampMicros", k, st.schema, pinned = Some(rows))
+    val files =
+      if (visible.isEmpty) Vector.empty[SnapshotStore.DataFile] else visible.last.files
+    new MemTable(s"$ident@t$timestampMicros", k, st.schema, st.partitionCols,
+      st.properties, pinned = Some(files))
   }
 
+  /** Accepts identity partition transforms — the only kind the reference
+    * uses (`customers.yml:5-7`) — and any provider/properties the DDL
+    * carries (`USING iceberg` + TBLPROPERTIES from the Iceberg-dialect DDL
+    * land here as the `provider` / table properties, so the generated
+    * reference DDL executes against this catalog as-is). A declared
+    * `location` is recorded as metadata; data files live under the
+    * catalog's own warehouse (external stores aren't mounted offline). */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "snapshot catalog tables are unpartitioned (one snapshot = one rewrite group); " +
-        "partition-grouped rewrites are the file-catalog scale path")
+    val partCols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1 =>
+        t.references()(0).fieldNames()(0)
+      case other => throw new UnsupportedOperationException(
+        s"snapshot catalog supports identity partition transforms only, got: $other")
+    }
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c is not in the table schema"))
     val k = key(ident)
+    val dataDir = new Path(new Path(warehouse),
+      (catalogName +: ident.namespace() :+
+        s"${ident.name()}_${UUID.randomUUID.toString.take(8)}").mkString("/")).toString
+    val props = properties.asScala.toMap
     if (SnapshotStore.tables.putIfAbsent(k,
-        SnapshotStore.TableState(schema, Vector.empty)).isDefined)
+        SnapshotStore.TableState(schema, partCols, dataDir, props, Vector.empty))
+        .isDefined)
       throw new TableAlreadyExistsException(ident)
-    new MemTable(ident.toString, k, schema, pinned = None)
+    new MemTable(ident.toString, k, schema, partCols, props, pinned = None)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
@@ -184,7 +233,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
       "ALTER TABLE is not supported; schema evolution is exercised through the file catalog (v01)")
 
   override def dropTable(ident: Identifier): Boolean =
-    SnapshotStore.tables.remove(key(ident)).isDefined
+    SnapshotStore.dropTableAndData(key(ident))
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     val st = SnapshotStore.tables.remove(key(oldIdent))
@@ -200,18 +249,21 @@ object SnapshotCatalog {
   /** Snapshot retention (Iceberg `expire_snapshots`): keep the newest
     * `keepLast` snapshots of `catalog.ns.table`; older versions stop being
     * time-travelable (load fails loudly) while the live table is untouched.
-    * Returns the number of snapshots expired. */
+    * Data files referenced by no surviving snapshot are physically deleted
+    * (Iceberg's expire-with-GC). Returns the number of snapshots expired. */
   def expire(catalog: String, ident: Seq[String], keepLast: Int): Int = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val k = (catalog +: ident).mkString("\u0000")
-    SnapshotStore.update(k) { st =>
+    val (before, after) = SnapshotStore.update(k) { st =>
       // Tagged snapshots are never expired (Iceberg's tag-retention rule).
       val keep = st.snapshots.takeRight(keepLast).map(_.version).toSet ++
         st.tags.values
       st.copy(snapshots = st.snapshots.filter(s => keep(s.version)))
-    } match {
-      case (before, after) => before.snapshots.size - after.snapshots.size
     }
+    val live = after.snapshots.iterator.flatMap(_.files.map(_.path)).toSet
+    val orphaned = before.snapshots.iterator.flatMap(_.files.map(_.path)).toSet -- live
+    RowFiles.delete(orphaned)
+    before.snapshots.size - after.snapshots.size
   }
 
   /** Name snapshot `version` of `catalog.ns.table` (Iceberg `CREATE TAG`):
@@ -241,21 +293,22 @@ object SnapshotCatalog {
   }
 
   /** Roll the live table back to `toVersion`'s state (Iceberg
-    * `rollback_to_snapshot`) by COMMITTING A NEW SNAPSHOT with that state —
-    * history stays monotonic and auditable (the bad commits remain
+    * `rollback_to_snapshot`) by COMMITTING A NEW SNAPSHOT that re-references
+    * that version's data files — a pure metadata operation, no data copy.
+    * History stays monotonic and auditable (the bad commits remain
     * time-travelable until expired) and every concurrent reader keeps its
     * pinned view. Returns the new snapshot's version. */
   def rollback(catalog: String, ident: Seq[String], toVersion: Long): Long = {
     val k = (catalog +: ident).mkString("\u0000")
     SnapshotStore.update(k) { st =>
-      val rows =
-        if (toVersion == 0L) Vector.empty[UnsafeRow]
-        else st.snapshots.find(_.version == toVersion).map(_.rows).getOrElse(
+      val files =
+        if (toVersion == 0L) Vector.empty[SnapshotStore.DataFile]
+        else st.snapshots.find(_.version == toVersion).map(_.files).getOrElse(
           throw new IllegalArgumentException(
             s"cannot roll back to version $toVersion: not a live snapshot " +
               s"(have ${st.snapshots.map(_.version).mkString("[", ", ", "]")})"))
       st.copy(snapshots = st.snapshots :+
-        SnapshotStore.Snapshot(st.nextVersion, SnapshotStore.nowMicros(), rows))
+        SnapshotStore.Snapshot(st.nextVersion, SnapshotStore.nowMicros(), files))
     } match {
       case (_, after) => after.snapshots.last.version
     }
@@ -266,44 +319,63 @@ object SnapshotCatalog {
   def history(catalog: String, ident: Seq[String]): Seq[(Long, Long, Long)] = {
     val k = (catalog +: ident).mkString("\u0000")
     SnapshotStore.tables.get(k).toSeq.flatMap(_.snapshots)
-      .map(s => (s.version, s.commitMicros, s.rows.size.toLong))
+      .map(s => (s.version, s.commitMicros, s.files.map(_.rowCount).sum))
   }
 
-  /** Test/gate hygiene: drop every table and namespace this JVM has
-    * registered under `catalog`, so re-runs converge from a clean slate. */
+  /** Test/gate hygiene: drop every table (and its data files) and namespace
+    * this JVM has registered under `catalog`, so re-runs converge from a
+    * clean slate. */
   def reset(catalog: String): Unit = {
     val prefix = catalog + "\u0000"
-    SnapshotStore.tables.keys.filter(_.startsWith(prefix)).foreach(SnapshotStore.tables.remove)
+    SnapshotStore.tables.keys.filter(_.startsWith(prefix))
+      .foreach(SnapshotStore.dropTableAndData)
     SnapshotStore.namespaces.keys.filter(_.startsWith(prefix))
       .foreach(SnapshotStore.namespaces.remove)
   }
 }
 
-/** JVM-wide backing store: snapshot vectors keyed by catalog-qualified table
-  * name. Driver-held by design (see the scale contract in
-  * [[SnapshotCatalog]]'s doc) and shared across sessions like a real
-  * catalog's metastore. */
+/** JVM-wide backing store: per table, a vector of snapshots, each a list of
+  * data-file descriptors — METADATA ONLY (path, partition values, row
+  * count). Shared across sessions like a real catalog's metastore; row data
+  * lives in the files and never passes through this object. */
 private[sources] object SnapshotStore {
-  /** `appendedCount` >= 0 marks an APPEND commit that added exactly that
-    * many rows (the streaming source's unit of progress); -1 marks a
-    * rewrite (truncate-overwrite, row-level replace, rollback), which an
+
+  /** One immutable data file: rows live at `path` (UnsafeRow stream, see
+    * [[RowFiles]]), `partitionValues` are the file's constant identity-
+    * partition values in table partition-column order (empty for
+    * unpartitioned tables), `rowCount` sizes scan partitions without
+    * opening the file. */
+  final case class DataFile(path: String, partitionValues: Seq[Any], rowCount: Long)
+
+  /** `appendedFiles` >= 0 marks an APPEND commit whose LAST `appendedFiles`
+    * entries of `files` are the newly added ones (the streaming source's
+    * unit of progress); -1 marks a rewrite (truncate-overwrite, row-level
+    * replace, partition overwrite, metadata delete, rollback), which an
     * append-only stream must refuse. */
   final case class Snapshot(version: Long, commitMicros: Long,
-      rows: Vector[UnsafeRow], appendedCount: Int = -1)
+      files: Vector[DataFile], appendedFiles: Int = -1)
+
   /** `epochs` maps each streaming QUERY id to the newest epoch it committed
     * into this table: the replay guard that makes the streaming SINK
     * exactly-once-visible under at-least-once epoch retries. Keyed per
     * query — not per table — because a NEW query (fresh checkpoint)
     * restarts its epoch numbering at 0, and a table-wide watermark would
     * silently swallow its first batches. */
-  final case class TableState(schema: StructType, snapshots: Vector[Snapshot],
+  final case class TableState(schema: StructType, partitionCols: Seq[String],
+      dataDir: String, properties: Map[String, String],
+      snapshots: Vector[Snapshot],
       tags: Map[String, Long] = Map.empty,
       epochs: scala.collection.immutable.ListMap[String, Long] =
         scala.collection.immutable.ListMap.empty) {
-    def currentRows: Vector[UnsafeRow] =
-      if (snapshots.isEmpty) Vector.empty else snapshots.last.rows
+    def currentFiles: Vector[DataFile] =
+      if (snapshots.isEmpty) Vector.empty else snapshots.last.files
     def nextVersion: Long =
       if (snapshots.isEmpty) 1L else snapshots.last.version + 1L
+    /** partition column name (lowercased) -> (index in partitionValues, type) */
+    def partColMap: Map[String, (Int, DataType)] =
+      partitionCols.zipWithIndex.map { case (c, i) =>
+        c.toLowerCase -> (i, schema(c).dataType)
+      }.toMap
   }
 
   val tables = new TrieMap[String, TableState]
@@ -327,8 +399,13 @@ private[sources] object SnapshotStore {
     throw new IllegalStateException("unreachable")
   }
 
+  /** The store key of `catalog.ns...table` (keys join on NUL — a character
+    * no identifier part can contain). */
+  def keyOf(catalog: String, ident: Seq[String]): String =
+    (catalog +: ident).mkString(0.toChar.toString)
+
   /** Internal keys join on NUL; messages render them dotted. */
-  def dotted(k: String): String = k.split('\u0000').mkString(".")
+  def dotted(k: String): String = k.split(' ').mkString(".")
 
   /** Table state or a clean failure (never a raw NoSuchElementException
     * with an unprintable key — a table can be dropped concurrently between
@@ -337,10 +414,10 @@ private[sources] object SnapshotStore {
     tables.getOrElse(k, throw new IllegalStateException(
       s"snapshot table ${dotted(k)} does not exist (dropped concurrently?)"))
 
-  def rowsAt(k: String, version: Long): Vector[UnsafeRow] = {
+  def filesAt(k: String, version: Long): Vector[DataFile] = {
     val st = stateOf(k)
     if (version == 0L) Vector.empty
-    else st.snapshots.find(_.version == version).map(_.rows).getOrElse {
+    else st.snapshots.find(_.version == version).map(_.files).getOrElse {
       val have = st.snapshots.map(_.version)
       throw new IllegalArgumentException(
         s"snapshot version $version of ${dotted(k)} does not exist (expired or future); " +
@@ -348,14 +425,33 @@ private[sources] object SnapshotStore {
     }
   }
 
-  /** `expectedBase`: optimistic-concurrency guard for row-level rewrites —
+  /** Drop a table's metadata and physically delete its data directory. */
+  def dropTableAndData(k: String): Boolean =
+    tables.remove(k) match {
+      case Some(st) => RowFiles.deleteDir(st.dataDir); true
+      case None => false
+    }
+
+  /** Commit `newFiles` as the next snapshot.
+    *
+    * `replace = false`: append (new files join the current list).
+    * `replace = true` with no `replacedSelector`: truncate-overwrite (the
+    * new files ARE the table).
+    * `replace = true` with a `replacedSelector`: file-grained copy-on-write
+    * — the selector picks, against the commit-time state, exactly the
+    * files this commit retires (a row-level rewrite's scanned files, an
+    * overwritten partition's files, a metadata delete's matches); every
+    * other file carries over untouched.
+    *
+    * `expectedBase`: optimistic-concurrency guard for row-level rewrites —
     * the commit FAILS if the live version moved past the snapshot the
     * rewrite scanned (a silent last-writer-wins would erase the concurrent
     * commit's rows; Iceberg validates the base snapshot the same way).
     * Plain INSERT OVERWRITE passes None: truncate-replace is last-writer-
     * wins by SQL semantics. */
-  def commit(k: String, newRows: Vector[UnsafeRow], replace: Boolean,
-      expectedBase: Option[Long] = None): Unit = {
+  def commit(k: String, newFiles: Vector[DataFile], replace: Boolean,
+      expectedBase: Option[Long] = None,
+      replacedSelector: Option[TableState => Vector[DataFile]] = None): Unit = {
     update(k) { st =>
       val live = if (st.snapshots.isEmpty) 0L else st.snapshots.last.version
       expectedBase.filter(_ != live).foreach { base =>
@@ -363,20 +459,28 @@ private[sources] object SnapshotStore {
           s"concurrent commit on ${dotted(k)}: the row-level rewrite read " +
             s"v$base but the table is now at v$live — rerun the statement")
       }
-      val rows = if (replace) newRows else st.currentRows ++ newRows
-      st.copy(snapshots = st.snapshots :+ Snapshot(st.nextVersion, nowMicros(), rows,
-        appendedCount = if (replace) -1 else newRows.size))
+      val files =
+        if (!replace) st.currentFiles ++ newFiles
+        else replacedSelector match {
+          case None => newFiles
+          case Some(sel) =>
+            val retired = sel(st).map(_.path).toSet
+            st.currentFiles.filterNot(f => retired(f.path)) ++ newFiles
+        }
+      st.copy(snapshots = st.snapshots :+ Snapshot(st.nextVersion, nowMicros(), files,
+        appendedFiles = if (replace) -1 else newFiles.size))
     }
     ()
   }
 
   /** Epoch-stamped streaming append, replay-deduped PER QUERY: a retried
-    * epoch of the same query no-ops (at-least-once → exactly-once-visible),
-    * while a NEW query's epoch 0 over the same table commits normally. The
-    * check and the append are one atomic state transition. */
+    * epoch of the same query no-ops (at-least-once → exactly-once-visible)
+    * and its already-written files are deleted as orphans, while a NEW
+    * query's epoch 0 over the same table commits normally. The check and
+    * the append are one atomic state transition. */
   def commitEpoch(k: String, queryId: String, epochId: Long,
-      newRows: Vector[UnsafeRow]): Unit = {
-    update(k) { st =>
+      newFiles: Vector[DataFile]): Unit = {
+    val (before, after) = update(k) { st =>
       if (st.epochs.get(queryId).exists(epochId <= _)) st // replayed epoch
       else {
         // Bound the watermark map: evict the LEAST-RECENTLY-ACTIVE query
@@ -395,45 +499,196 @@ private[sources] object SnapshotStore {
           else st.epochs
         st.copy(
           snapshots = st.snapshots :+ Snapshot(st.nextVersion, nowMicros(),
-            st.currentRows ++ newRows, appendedCount = newRows.size),
+            st.currentFiles ++ newFiles, appendedFiles = newFiles.size),
           epochs = (pruned - queryId) + (queryId -> epochId))
       }
     }
+    if (before eq after) RowFiles.delete(newFiles.map(_.path)) // replay: orphans
+  }
+}
+
+/** The data-file format: a Spark-native stream of length-prefixed UnsafeRow
+  * payloads behind the Hadoop FileSystem API (file://, hdfs://, s3a:// —
+  * whatever the warehouse URI resolves to). Header: magic + field count.
+  * Writers stream rows straight through a buffered FS stream (no task-side
+  * row buffering); readers replay exactly the row count the file's
+  * [[SnapshotStore.DataFile]] descriptor declares. */
+private[sources] object RowFiles {
+  val Magic = 0x47524654 // "GRFT"
+
+  def fs(path: Path): FileSystem = path.getFileSystem(new Configuration())
+
+  final class Writer(pathStr: String, numFields: Int) {
+    private val path = new Path(pathStr)
+    private val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(RowFiles.fs(path).create(path, false), 1 << 16))
+    out.writeInt(Magic)
+    out.writeInt(numFields)
+    private val scratch = new Array[Byte](4096)
+    private var count = 0L
+    def write(row: UnsafeRow): Unit = {
+      out.writeInt(row.getSizeInBytes)
+      row.writeToStream(out, scratch)
+      count += 1
+    }
+    def rowCount: Long = count
+    def close(): Unit = out.close()
+    def abort(): Unit = {
+      try out.close() catch { case _: Exception => () }
+      try RowFiles.fs(path).delete(path, false) catch { case _: Exception => () }
+    }
+  }
+
+  final class Reader(pathStr: String) {
+    private val path = new Path(pathStr)
+    val stream = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(RowFiles.fs(path).open(path), 1 << 16))
+    require(stream.readInt() == Magic, s"not a graft row file: $pathStr")
+    val numFields: Int = stream.readInt()
+    def close(): Unit = stream.close()
+  }
+
+  def delete(paths: Iterable[String]): Unit = paths.foreach { p =>
+    val hp = new Path(p)
+    try fs(hp).delete(hp, false) catch { case _: Exception => () }
+  }
+
+  def deleteDir(dir: String): Unit = {
+    val hp = new Path(dir)
+    try fs(hp).delete(hp, true) catch { case _: Exception => () }
     ()
   }
 }
 
-/** One table of the snapshot catalog. `pinned = Some(rows)` is a read-only
+/** Three-valued evaluation of connector [[VPredicate]]s against a file's
+  * constant identity-partition values. Outer None = the predicate is not
+  * decidable from partition values alone (unknown node, non-partition
+  * column, type mismatch) — callers must stay conservative; inner None =
+  * SQL NULL. Comparison semantics delegate to the corresponding Catalyst
+  * expressions over literals, so engine and pruning can never disagree. */
+private[sources] object PartitionPredicates {
+  type PartCols = Map[String, (Int, DataType)]
+
+  /** Can `p` be decided from partition values alone? (Structural check —
+    * evaluates against an all-null value row, which exercises every node.) */
+  def evaluable(p: VPredicate, cols: PartCols): Boolean =
+    eval(p, cols, null).isDefined
+
+  /** True iff NO row of a file with `values` can satisfy `p` (false or
+    * NULL under three-valued logic — both filter the row out). */
+  def definitelyExcludes(p: VPredicate, cols: PartCols,
+      values: Seq[Any]): Boolean = eval(p, cols, values.toIndexedSeq) match {
+    case Some(Some(false)) | Some(None) => true
+    case _ => false
+  }
+
+  /** True iff EVERY row of a file with `values` satisfies `p`. */
+  def matchesSurely(p: VPredicate, cols: PartCols, values: Seq[Any]): Boolean =
+    eval(p, cols, values.toIndexedSeq) == Some(Some(true))
+
+  def eval(p: VPredicate, cols: PartCols,
+      values: IndexedSeq[Any]): Option[Option[Boolean]] = {
+    def valueOf(e: VExpression): Option[(Any, DataType)] = e match {
+      case l: VLiteral[_] => Some((l.value, l.dataType))
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        cols.get(r.fieldNames()(0).toLowerCase).map { case (i, dt) =>
+          (if (values == null) null else values(i), dt)
+        }
+      case _ => None
+    }
+    def child(i: Int): Option[VPredicate] = p.children()(i) match {
+      case c: VPredicate => Some(c)
+      case _ => None
+    }
+    def cmp(make: (ce.Expression, ce.Expression) => ce.Expression): Option[Option[Boolean]] =
+      for {
+        l <- valueOf(p.children()(0))
+        r <- valueOf(p.children()(1))
+        if l._2 == r._2
+      } yield Option(make(ce.Literal(l._1, l._2), ce.Literal(r._1, r._2)).eval(null))
+        .map(_.asInstanceOf[Boolean])
+
+    p.name() match {
+      case "ALWAYS_TRUE" => Some(Some(true))
+      case "ALWAYS_FALSE" => Some(Some(false))
+      case "AND" =>
+        (child(0).flatMap(eval(_, cols, values)), child(1).flatMap(eval(_, cols, values))) match {
+          case (Some(Some(false)), _) | (_, Some(Some(false))) => Some(Some(false))
+          case (Some(a), Some(b)) =>
+            Some(if (a == Some(true) && b == Some(true)) Some(true) else None)
+          case _ => None
+        }
+      case "OR" =>
+        (child(0).flatMap(eval(_, cols, values)), child(1).flatMap(eval(_, cols, values))) match {
+          case (Some(Some(true)), _) | (_, Some(Some(true))) => Some(Some(true))
+          case (Some(a), Some(b)) =>
+            Some(if (a == Some(false) && b == Some(false)) Some(false) else None)
+          case _ => None
+        }
+      case "NOT" => child(0).flatMap(eval(_, cols, values)).map(_.map(!_))
+      case "=" => cmp(ce.EqualTo)
+      case "<=>" => cmp(ce.EqualNullSafe)
+      case "<>" => cmp(ce.EqualTo).map(_.map(!_))
+      case "<" => cmp(ce.LessThan)
+      case "<=" => cmp(ce.LessThanOrEqual)
+      case ">" => cmp(ce.GreaterThan)
+      case ">=" => cmp(ce.GreaterThanOrEqual)
+      case "IS_NULL" => valueOf(p.children()(0)).map(v => Some(v._1 == null))
+      case "IS_NOT_NULL" => valueOf(p.children()(0)).map(v => Some(v._1 != null))
+      case "IN" =>
+        val head = valueOf(p.children()(0))
+        val rest = p.children().drop(1).toSeq.map(valueOf)
+        if (head.isEmpty || rest.exists(_.isEmpty) ||
+            rest.exists(_.get._2 != head.get._2)) None
+        else Some(Option(
+          ce.In(ce.Literal(head.get._1, head.get._2),
+            rest.map(r => ce.Literal(r.get._1, r.get._2))).eval(null))
+          .map(_.asInstanceOf[Boolean]))
+      case _ => None
+    }
+  }
+}
+
+/** One table of the snapshot catalog. `pinned = Some(files)` is a read-only
   * time-travel view; `None` reads the latest snapshot at scan build.
   *
-  * The `_group` metadata column is the table's rewrite-group id (always 0:
-  * the whole table is one copy-on-write group). Row-level operations REQUIRE
-  * it — not because the write consumes it, but because Spark's
-  * `ReplaceDataExec` only routes rows through the data/metadata
-  * `ProjectingInternalRow`s when the operation demands metadata; with no
-  * required metadata attributes it hands the writer the rewrite plan's RAW
-  * output, operation column included (`RowDeltaUtils.OPERATION_COLUMN`),
-  * which would corrupt the written rows. Iceberg's group-based operations
-  * require `_file`/`_partition` for the same structural reason.
-  */
+  * The `_file` metadata column is each row's data-file path — the rewrite-
+  * group id for copy-on-write row-level operations (Iceberg's `_file`).
+  * Row-level operations REQUIRE it for two reasons: it is the runtime
+  * group-filtering attribute (Spark's RowLevelOperationRuntimeGroupFiltering
+  * plans the matching `_file`s subquery over it), and requiring metadata
+  * forces Spark's `ReplaceDataExec` through the data/metadata
+  * `ProjectingInternalRow`s — with no required metadata attributes the
+  * writer would receive the rewrite plan's RAW output, operation column
+  * included, corrupting the written rows. */
 private[sources] final class MemTable(fullName: String, k: String,
-    tableSchema: StructType, pinned: Option[Vector[UnsafeRow]])
+    tableSchema: StructType, partCols: Seq[String], props: Map[String, String],
+    pinned: Option[Vector[SnapshotStore.DataFile]])
     extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations
-    with SupportsMetadataColumns {
+    with SupportsMetadataColumns with SupportsDeleteV2 {
 
   override def name(): String = fullName
   override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] =
+    partCols.map(Expressions.identity).toArray
+  override def properties(): util.Map[String, String] = props.asJava
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC, TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE)
 
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(MemTable.GroupColumn)
+    Array(MemTable.FileColumn)
+
+  private def partColMap: PartitionPredicates.PartCols =
+    partCols.zipWithIndex.map { case (c, i) =>
+      c.toLowerCase -> (i, tableSchema(c).dataType)
+    }.toMap
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MemScanBuilder(tableSchema,
-      pinned.getOrElse(SnapshotStore.stateOf(k).currentRows),
+    new MemScanBuilder(tableSchema, partColMap,
+      pinned.getOrElse(SnapshotStore.stateOf(k).currentFiles),
       // Time-travel pins are batch-only; the LIVE table is streamable.
       streamKey = if (pinned.isEmpty) Some(k) else None,
       maxVersionsPerTrigger =
@@ -441,71 +696,230 @@ private[sources] final class MemTable(fullName: String, k: String,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinned.isEmpty, s"$fullName is a time-travel view and not writable")
-    new MemWriteBuilder(k, info.schema(), queryId = info.queryId())
+    new MemWriteBuilder(k, info.schema(), partColMap, queryId = info.queryId())
   }
 
-  /** Group-based row-level operation: the scan pins the current snapshot as
-    * the single rewrite group; the write REPLACES the table with the rows
-    * Catalyst's rewrite produces (carry-over + merged/updated/surviving). */
+  /** Group-based row-level operation: the scan pins the current snapshot's
+    * files and prunes them (statically from pushed partition predicates,
+    * at runtime from the `_file` group filter); the write REPLACES exactly
+    * the files the pruned scan read with the rows Catalyst's rewrite
+    * produces (carry-over + merged/updated/surviving). */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(pinned.isEmpty, s"$fullName is a time-travel view and not writable")
-    () => new MemRowLevelOperation(info.command(), k, tableSchema)
+    () => new MemRowLevelOperation(info.command(), k, tableSchema, partColMap)
+  }
+
+  /** Metadata-only DELETE (Iceberg's delete-by-partition): a predicate
+    * decidable from identity-partition values alone retires whole files in
+    * one metadata commit — nothing is read or rewritten. */
+  override def canDeleteWhere(predicates: Array[VPredicate]): Boolean =
+    pinned.isEmpty &&
+      predicates.forall(PartitionPredicates.evaluable(_, partColMap))
+  override def deleteWhere(predicates: Array[VPredicate]): Unit = {
+    val cols = partColMap
+    SnapshotStore.commit(k, Vector.empty, replace = true,
+      replacedSelector = Some(st => st.currentFiles.filter(f =>
+        predicates.forall(
+          PartitionPredicates.matchesSurely(_, cols, f.partitionValues)))))
   }
 }
 
 private[sources] object MemTable {
-  /** The rewrite-group id metadata column (see [[MemTable]]'s doc). */
-  val GroupColumnName = "_group"
-  val GroupColumn: MetadataColumn = new MetadataColumn {
-    override def name(): String = GroupColumnName
-    override def dataType(): org.apache.spark.sql.types.DataType =
-      org.apache.spark.sql.types.IntegerType
+  /** Each row's data-file path (Iceberg's `_file`): the copy-on-write
+    * rewrite-group id and the runtime group-filtering attribute. */
+  val FileColumnName = "_file"
+  val FileColumn: MetadataColumn = new MetadataColumn {
+    override def name(): String = FileColumnName
+    override def dataType(): DataType = org.apache.spark.sql.types.StringType
     override def isNullable: Boolean = false
-    override def comment(): String = "copy-on-write rewrite group (whole table = group 0)"
+    override def comment(): String =
+      "data file path (copy-on-write rewrite group)"
   }
 }
 
 private[sources] final class MemRowLevelOperation(
-    cmd: RowLevelOperation.Command, k: String, tableSchema: StructType)
+    cmd: RowLevelOperation.Command, k: String, tableSchema: StructType,
+    partCols: PartitionPredicates.PartCols)
     extends RowLevelOperation {
   /** The version the rewrite's scan read — the optimistic-concurrency base
     * the replacing write validates at commit (lost-update guard). */
   @volatile private var baseVersion: Option[Long] = None
+  /** The files the (pruned) scan will read — exactly the rewrite groups the
+    * replacing write retires. Narrowed twice: statically at scan build
+    * (pushed partition predicates), then at runtime by the `_file` group
+    * filter. Read at commit time, after both prunings. */
+  @volatile private[sources] var scanned: Vector[SnapshotStore.DataFile] = Vector.empty
 
   override def command(): RowLevelOperation.Command = cmd
-  override def description(): String = s"graft-snapshot $cmd [whole-table group]"
+  override def description(): String = s"graft-snapshot $cmd [file-grained COW]"
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val st = SnapshotStore.stateOf(k)
     baseVersion = Some(
       if (st.snapshots.isEmpty) 0L else st.snapshots.last.version)
-    new MemScanBuilder(tableSchema, st.currentRows)
+    scanned = st.currentFiles
+    new MemRowLevelScanBuilder(this, tableSchema, partCols, st.currentFiles)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new MemWriteBuilder(k, info.schema(), forceReplace = true,
-      queryId = info.queryId(), expectedBase = baseVersion)
-  /** Forces the projecting write path — see [[MemTable]]'s doc. */
-  override def requiredMetadataAttributes(): Array[
-      org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column(
-      MemTable.GroupColumnName))
+    new MemWriteBuilder(k, info.schema(), partCols, forceReplace = true,
+      queryId = info.queryId(), expectedBase = baseVersion,
+      rowLevelScanned = Some(() => scanned.map(_.path).toSet))
+  /** Forces the projecting write path and feeds the runtime group filter —
+    * see [[MemTable]]'s doc. */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(MemTable.FileColumnName))
 }
 
+/** Scan builder for row-level operations: pushes partition predicates down
+  * to file-level static pruning (everything stays residual — the engine
+  * re-applies the filters post-scan, so pruning only has to be SOUND:
+  * a file is dropped only when no row in it can match). */
+private[sources] final class MemRowLevelScanBuilder(op: MemRowLevelOperation,
+    fullSchema: StructType, partCols: PartitionPredicates.PartCols,
+    files: Vector[SnapshotStore.DataFile])
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownV2Filters {
+  private var required: StructType = fullSchema
+  private var pushed: Array[VPredicate] = Array.empty
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def pushPredicates(predicates: Array[VPredicate]): Array[VPredicate] = {
+    pushed = predicates.filter(PartitionPredicates.evaluable(_, partCols))
+    predicates // all residual: pruning is file-level, rows still need the filter
+  }
+  override def pushedPredicates(): Array[VPredicate] = pushed
+  override def build(): Scan = {
+    val retained = files.filter(f => !pushed.exists(
+      PartitionPredicates.definitelyExcludes(_, partCols, f.partitionValues)))
+    op.scanned = retained
+    new MemRowLevelScan(op, fullSchema, required, retained)
+  }
+}
+
+/** The row-level operation's scan: batch over the statically-retained
+  * files, further narrowed at runtime by Spark's group filter on `_file`
+  * (an IN-subquery over the rows matching the operation's condition). The
+  * operation's `scanned` set tracks every narrowing so the replacing write
+  * retires exactly what was read. */
+private[sources] final class MemRowLevelScan(op: MemRowLevelOperation,
+    fullSchema: StructType, required: StructType,
+    initial: Vector[SnapshotStore.DataFile])
+    extends Scan with Batch with SupportsRuntimeV2Filtering {
+  private var files = initial
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-snapshot cow scan (${files.size} candidate files)"
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(MemTable.FileColumnName))
+
+  override def filter(predicates: Array[VPredicate]): Unit = {
+    predicates.foreach { p =>
+      fileSet(p).foreach { allowed =>
+        files = files.filter(f => allowed(f.path))
+      }
+    }
+    op.scanned = files
+  }
+
+  /** Parse the runtime filter's `_file IN (...)` / `_file = ...` shape;
+    * anything else is ignored (no pruning — sound, just less sharp). */
+  private def fileSet(p: VPredicate): Option[Set[String]] = {
+    def isFileRef(e: VExpression): Boolean = e match {
+      case r: NamedReference => r.fieldNames().sameElements(Array(MemTable.FileColumnName))
+      case _ => false
+    }
+    p.name() match {
+      case "IN" if p.children().nonEmpty && isFileRef(p.children()(0)) =>
+        Some(p.children().drop(1).collect {
+          case l: VLiteral[_] if l.value != null => l.value.toString
+        }.toSet)
+      case "=" if p.children().length == 2 && isFileRef(p.children()(0)) =>
+        Some(p.children().drop(1).collect {
+          case l: VLiteral[_] if l.value != null => l.value.toString
+        }.toSet)
+      case _ => None
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.filter(_.rowCount > 0)
+      .map(f => MemFilePartition(f.path, f.rowCount): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    MemReaders.factory(fullSchema, required)
+}
+
+/** Write modes, resolved at build time, applied at the driver-side commit:
+  * append, truncate, partition-scoped overwrite (static predicate or
+  * dynamic by written partitions), or the row-level rewrite's file-grained
+  * replace. */
 private[sources] final class MemWriteBuilder(k: String, writeSchema: StructType,
+    partCols: PartitionPredicates.PartCols,
     forceReplace: Boolean = false, queryId: String = "",
-    expectedBase: Option[Long] = None)
-    extends WriteBuilder with SupportsTruncate {
+    expectedBase: Option[Long] = None,
+    rowLevelScanned: Option[() => Set[String]] = None)
+    extends WriteBuilder with SupportsOverwriteV2 with SupportsDynamicOverwrite {
+
   private var replace = forceReplace
+  private var overwritePreds: Option[Array[VPredicate]] = None
+  private var dynamicParts = false
+
   override def truncate(): WriteBuilder = { replace = true; this }
+
+  override def canOverwrite(predicates: Array[VPredicate]): Boolean =
+    predicates.forall(PartitionPredicates.evaluable(_, partCols))
+
+  /** INSERT OVERWRITE ... [WHERE p] — p must be decidable from identity-
+    * partition values (whole files retire or survive); `true` is a plain
+    * truncate. */
+  override def overwrite(predicates: Array[VPredicate]): WriteBuilder = {
+    require(canOverwrite(predicates),
+      "overwrite predicates must be decidable from the table's identity " +
+        s"partition columns ${partCols.keys.toSeq.sorted.mkString("(", ", ", ")")}; " +
+        s"got: ${predicates.mkString(", ")}")
+    replace = true
+    if (!predicates.forall(_.name() == "ALWAYS_TRUE"))
+      overwritePreds = Some(predicates)
+    this
+  }
+
+  /** Dynamic partition overwrite: retire exactly the partitions the new
+    * data lands in (Hive/Iceberg dynamic mode). */
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    replace = true
+    dynamicParts = true
+    this
+  }
+
   override def build(): Write = new Write {
     override def description(): String =
       s"graft-snapshot ${if (replace) "replace" else "append"}"
-    override def toBatch: BatchWrite =
+    override def toBatch: BatchWrite = {
+      val selector: Option[SnapshotStore.TableState => Vector[SnapshotStore.DataFile]] =
+        (rowLevelScanned, overwritePreds) match {
+          case (Some(scanned), _) =>
+            // Row-level rewrite: retire exactly the files the pruned scan
+            // read. Evaluated at commit time, after runtime group filtering
+            // (the OCC base check guarantees commit-time state == the
+            // scanned base, so the paths still resolve).
+            Some(cur => {
+              val paths = scanned()
+              cur.currentFiles.filter(f => paths(f.path))
+            })
+          case (_, Some(preds)) =>
+            val cols = partCols
+            Some(cur => cur.currentFiles.filter(f => preds.forall(
+              PartitionPredicates.matchesSurely(_, cols, f.partitionValues))))
+          case _ => None // plain truncate (if replace) or append
+        }
       new MemBatchWrite(k, writeSchema, replace,
-        // The base validation applies only to row-level rewrites (which
-        // force replace at construction); a user truncate is last-writer-
-        // wins by SQL semantics.
-        if (forceReplace) expectedBase else None)
+        // Base validation applies only to row-level rewrites; a user
+        // truncate/overwrite is last-writer-wins by SQL semantics.
+        if (forceReplace) expectedBase else None,
+        selector, dynamicParts)
+    }
     override def toStreaming:
         org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(!replace,
@@ -516,137 +930,234 @@ private[sources] final class MemWriteBuilder(k: String, writeSchema: StructType,
   }
 }
 
-/** Exactly-once streaming SINK: each epoch's rows buffer per task and land
-  * as ONE epoch-stamped append commit at the driver-side commit point —
-  * [[SnapshotStore.commitEpoch]] no-ops replayed epochs, so a restarted or
-  * retried micro-batch never double-appends. The mirror of
-  * [[MemMicroBatchStream]]: a table can be streamed INTO and OUT OF, each
-  * epoch becoming one time-travelable snapshot version. */
+/** Exactly-once streaming SINK: each epoch's rows stream to per-task data
+  * files and land as ONE epoch-stamped append commit at the driver-side
+  * commit point — [[SnapshotStore.commitEpoch]] no-ops replayed epochs
+  * (deleting their orphan files), so a restarted or retried micro-batch
+  * never double-appends. The mirror of [[MemMicroBatchStream]]: a table can
+  * be streamed INTO and OUT OF, each epoch becoming one time-travelable
+  * snapshot version. */
 private[sources] final class MemStreamingWrite(k: String, writeSchema: StructType,
     queryId: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo):
-      org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    MemStreamWriterFactory(writeSchema)
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val rows = messages.iterator
-      .map(_.asInstanceOf[MemCommitMessage])
-      .flatMap(_.rows)
-      .toVector
-    SnapshotStore.commitEpoch(k, queryId, epochId, rows)
+      org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val st = SnapshotStore.stateOf(k)
+    MemStreamWriterFactory(writeSchema, st.partitionCols, st.dataDir)
   }
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.iterator
+      .map(_.asInstanceOf[MemCommitMessage])
+      .flatMap(_.files)
+      .toVector
+    SnapshotStore.commitEpoch(k, queryId, epochId, files)
+  }
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    RowFiles.delete(messages.iterator.map(_.asInstanceOf[MemCommitMessage])
+      .flatMap(_.files).map(_.path).toSeq)
 }
 
-/** Executors buffer normalized UnsafeRow copies per task; the driver-side
-  * commit point assembles them in partition order and appends ONE snapshot —
+/** Executor tasks stream rows to data files and ship back file descriptors;
+  * the driver-side commit point splices them into one new snapshot —
   * all-or-nothing visibility, like any V2 batch write. */
 private[sources] final class MemBatchWrite(k: String, writeSchema: StructType,
-    replace: Boolean, expectedBase: Option[Long] = None) extends BatchWrite {
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new MemWriterFactory(writeSchema)
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val rows = messages.iterator
-      .map(_.asInstanceOf[MemCommitMessage])
-      .flatMap(_.rows)
-      .toVector
-    SnapshotStore.commit(k, rows, replace, expectedBase)
+    replace: Boolean, expectedBase: Option[Long] = None,
+    replacedSelector: Option[SnapshotStore.TableState => Vector[SnapshotStore.DataFile]] = None,
+    dynamicParts: Boolean = false) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val st = SnapshotStore.stateOf(k)
+    new MemWriterFactory(writeSchema, st.partitionCols, st.dataDir)
   }
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.iterator
+      .map(_.asInstanceOf[MemCommitMessage])
+      .flatMap(_.files)
+      .toVector
+    val selector =
+      if (!dynamicParts) replacedSelector
+      else {
+        // Dynamic overwrite: retire the partitions the new files land in.
+        val newParts = files.map(_.partitionValues).toSet
+        Some((cur: SnapshotStore.TableState) =>
+          cur.currentFiles.filter(f => newParts(f.partitionValues)))
+      }
+    SnapshotStore.commit(k, files, replace, expectedBase, selector)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    RowFiles.delete(messages.iterator.map(_.asInstanceOf[MemCommitMessage])
+      .flatMap(_.files).map(_.path).toSeq)
 }
 
-private[sources] final case class MemCommitMessage(rows: Array[UnsafeRow])
+private[sources] final case class MemCommitMessage(files: Array[SnapshotStore.DataFile])
     extends WriterCommitMessage
 
 /** Top-level case class (Serializable) — a lambda here would capture the
   * non-serializable StreamingWrite instance and fail task serialization. */
-private[sources] final case class MemStreamWriterFactory(writeSchema: StructType)
+private[sources] final case class MemStreamWriterFactory(writeSchema: StructType,
+    partitionCols: Seq[String], dataDir: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
-      epochId: Long): DataWriter[InternalRow] = MemWriters.writer(writeSchema)
+      epochId: Long): DataWriter[InternalRow] =
+    MemWriters.writer(writeSchema, partitionCols, dataDir,
+      s"e$epochId-p$partitionId-t$taskId-${UUID.randomUUID.toString.take(8)}")
 }
 
 private[sources] object MemWriters {
-  /** Shared batch/streaming task writer: buffers normalized UnsafeRow
-    * copies, emits them in one commit message. */
-  def writer(writeSchema: StructType): DataWriter[InternalRow] =
+  /** Shared batch/streaming task writer: routes each row to its partition's
+    * file (opened lazily per distinct partition value tuple) and streams it
+    * straight through — no task-side row buffering, so task memory is
+    * O(open files), not O(rows). */
+  def writer(writeSchema: StructType, partitionCols: Seq[String],
+      dataDir: String, taskTag: String): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val proj = UnsafeProjection.create(writeSchema)
-      private val buf = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
-      override def write(row: InternalRow): Unit = buf += proj(row).copy()
-      // Metadata-carrying writes (the projecting ReplaceData task): `_group`
-      // is required to force the projection, not to route anything — every
-      // row lands in the single whole-table group.
+      private val ords = partitionCols.map { c =>
+        require(writeSchema.fieldNames.contains(c),
+          s"write schema ${writeSchema.fieldNames.mkString("(", ", ", ")")} " +
+            s"is missing partition column $c")
+        writeSchema.fieldIndex(c)
+      }.toArray
+      private val types = ords.map(writeSchema.fields(_).dataType)
+      private val open = scala.collection.mutable.LinkedHashMap
+        .empty[Seq[Any], (RowFiles.Writer, String, Seq[Any])]
+      private var fileSeq = 0
+
+      private def writerFor(u: UnsafeRow): RowFiles.Writer = {
+        // The probe key holds views into the reused row buffer — fine for
+        // lookup (UTF8String equality is content-based); deep-copy only
+        // when registering a new partition.
+        val probe: Seq[Any] =
+          ords.indices.map(i => u.get(ords(i), types(i))).toVector
+        open.get(probe) match {
+          case Some((w, _, _)) => w
+          case None =>
+            val copied: Seq[Any] = probe.map(v =>
+              if (v == null) null else InternalRow.copyValue(v)).toVector
+            val path = s"$dataDir/$taskTag-$fileSeq.grf"
+            fileSeq += 1
+            val w = new RowFiles.Writer(path, writeSchema.length)
+            open.put(copied, (w, path, copied))
+            w
+        }
+      }
+
+      override def write(row: InternalRow): Unit = {
+        val u = proj(row)
+        writerFor(u).write(u)
+      }
+      // Metadata-carrying writes (the projecting ReplaceData task): `_file`
+      // is required to force the projection and feed the group filter; the
+      // written row carries data columns only.
       override def write(metadata: InternalRow, row: InternalRow): Unit = write(row)
-      override def commit(): WriterCommitMessage = MemCommitMessage(buf.toArray)
-      override def abort(): Unit = buf.clear()
+      override def commit(): WriterCommitMessage = {
+        val files = open.valuesIterator.map { case (w, path, pv) =>
+          w.close()
+          SnapshotStore.DataFile(path, pv, w.rowCount)
+        }.toArray
+        open.clear()
+        MemCommitMessage(files)
+      }
+      override def abort(): Unit = {
+        open.valuesIterator.foreach(_._1.abort())
+        open.clear()
+      }
       override def close(): Unit = ()
     }
 }
 
-private[sources] final class MemWriterFactory(writeSchema: StructType)
-    extends DataWriterFactory {
+private[sources] final class MemWriterFactory(writeSchema: StructType,
+    partitionCols: Seq[String], dataDir: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    MemWriters.writer(writeSchema)
+    MemWriters.writer(writeSchema, partitionCols, dataDir,
+      s"p$partitionId-t$taskId-${UUID.randomUUID.toString.take(8)}")
 }
 
+/** Plain read path: column pruning plus file-level partition pruning from
+  * pushed predicates (a `WHERE partCol = 'x'` scan opens only that
+  * partition's files — predicates stay residual, pruning only has to be
+  * sound). */
 private[sources] final class MemScanBuilder(fullSchema: StructType,
-    rows: Vector[UnsafeRow], streamKey: Option[String] = None,
+    partCols: PartitionPredicates.PartCols,
+    files: Vector[SnapshotStore.DataFile], streamKey: Option[String] = None,
     maxVersionsPerTrigger: Option[Long] = None)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownV2Filters {
   private var required: StructType = fullSchema
+  private var pushed: Array[VPredicate] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan =
-    new MemScan(fullSchema, required, rows, streamKey, maxVersionsPerTrigger)
+  override def pushPredicates(predicates: Array[VPredicate]): Array[VPredicate] = {
+    pushed = predicates.filter(PartitionPredicates.evaluable(_, partCols))
+    predicates
+  }
+  override def pushedPredicates(): Array[VPredicate] = pushed
+  override def build(): Scan = {
+    val retained = files.filter(f => !pushed.exists(
+      PartitionPredicates.definitelyExcludes(_, partCols, f.partitionValues)))
+    new MemScan(fullSchema, required, retained, streamKey, maxVersionsPerTrigger)
+  }
 }
 
-private[sources] final case class MemPartition(rows: Array[UnsafeRow])
+/** One scan partition per data file — the descriptor's row count bounds the
+  * read without opening the file. */
+private[sources] final case class MemFilePartition(path: String, rowCount: Long)
     extends InputPartition
 
 private[sources] object MemReaders {
-  /** Shared batch/streaming reader factory: `_group` is the constant
-    * rewrite-group metadata column (ordinal -1); every data column resolves
-    * by name against the stored row layout. */
+  /** Shared batch/streaming reader factory: `_file` is the file-path
+    * metadata column (ordinal -1); every data column resolves by name
+    * against the stored row layout. The reader replays the declared row
+    * count from the file's UnsafeRow stream, reusing one row buffer
+    * (values are valid until the next `next()` call — the standard
+    * PartitionReader contract; downstream operators copy what they keep). */
   def factory(fullSchema: StructType, required: StructType): PartitionReaderFactory = {
     val ordinals = required.fieldNames.map {
-      case MemTable.GroupColumnName => -1
+      case MemTable.FileColumnName => -1
       case f => fullSchema.fieldIndex(f)
     }
     val types = ordinals.map(i => if (i < 0) null else fullSchema.fields(i).dataType)
+    val numFields = fullSchema.length
     (partition: InputPartition) => {
-      val data = partition.asInstanceOf[MemPartition].rows
+      val part = partition.asInstanceOf[MemFilePartition]
       new PartitionReader[InternalRow] {
-        private var i = -1
-        override def next(): Boolean = { i += 1; i < data.length }
-        override def get(): InternalRow = {
-          val row = data(i)
-          InternalRow.fromSeq(ordinals.indices.map { j =>
-            if (ordinals(j) < 0) 0 else row.get(ordinals(j), types(j))
-          })
+        private val reader = new RowFiles.Reader(part.path)
+        require(reader.numFields == numFields,
+          s"row file ${part.path} has ${reader.numFields} fields; table has $numFields")
+        private val row = new UnsafeRow(numFields)
+        private var buf = new Array[Byte](1 << 10)
+        private var remaining = part.rowCount
+        private val pathValue = UTF8String.fromString(part.path)
+        override def next(): Boolean = {
+          if (remaining <= 0) false
+          else {
+            val size = reader.stream.readInt()
+            if (buf.length < size) buf = new Array[Byte](Integer.highestOneBit(size) << 1)
+            reader.stream.readFully(buf, 0, size)
+            row.pointTo(buf, size)
+            remaining -= 1
+            true
+          }
         }
-        override def close(): Unit = ()
+        override def get(): InternalRow = InternalRow.fromSeq(ordinals.indices.map { j =>
+          if (ordinals(j) < 0) pathValue else row.get(ordinals(j), types(j))
+        })
+        override def close(): Unit = reader.close()
       }
     }
   }
 }
 
 private[sources] final class MemScan(fullSchema: StructType,
-    required: StructType, rows: Vector[UnsafeRow], streamKey: Option[String],
-    maxVersionsPerTrigger: Option[Long] = None)
+    required: StructType, files: Vector[SnapshotStore.DataFile],
+    streamKey: Option[String], maxVersionsPerTrigger: Option[Long] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String = s"graft-snapshot scan (${rows.size} rows)"
+  override def description(): String =
+    s"graft-snapshot scan (${files.map(_.rowCount).sum} rows, ${files.size} files)"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    if (rows.isEmpty) return Array.empty
-    val parts = math.min(4, rows.size)
-    (0 until parts).map { i =>
-      val s = i * rows.size / parts
-      val e = (i + 1) * rows.size / parts
-      MemPartition(rows.slice(s, e).toArray)
-    }.toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    files.filter(_.rowCount > 0)
+      .map(f => MemFilePartition(f.path, f.rowCount): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     MemReaders.factory(fullSchema, required)
@@ -659,17 +1170,17 @@ private[sources] final class MemScan(fullSchema: StructType,
 }
 
 /** Streaming read of a snapshot-catalog table: SNAPSHOT VERSIONS are the
-  * offsets, each micro-batch carries exactly the rows APPENDED by the
+  * offsets, each micro-batch carries exactly the files APPENDED by the
   * commits in `(start, end]` — the versioned catalog as an exactly-once
   * streaming source (Iceberg/Delta's streaming-read surface), including
   * replay of the full commit history on first start.
   *
   * Contract: append-only. A rewrite commit (truncate-overwrite, row-level
-  * UPDATE/DELETE, rollback) inside the offset range fails the stream
-  * loudly — its row delta is not representable as appends; the CDF
-  * operator (m08) is the read for rewriting tables. Snapshots expired past
-  * a restarting stream's offset also fail loudly rather than silently
-  * skipping rows.
+  * UPDATE/DELETE, partition overwrite, rollback) inside the offset range
+  * fails the stream loudly — its row delta is not representable as
+  * appends; the CDF operator (m08) is the read for rewriting tables.
+  * Snapshots expired past a restarting stream's offset also fail loudly
+  * rather than silently skipping rows.
   */
 private[sources] final class MemMicroBatchStream(k: String,
     fullSchema: StructType, required: StructType,
@@ -681,8 +1192,7 @@ private[sources] final class MemMicroBatchStream(k: String,
   maxVersionsPerTrigger.foreach(m => require(m >= 1,
     s"maxVersionsPerTrigger must be >= 1, got $m"))
 
-  // Keys join on NUL; render dotted in messages so logs stay printable.
-  private val shown = k.split('\u0000').mkString(".")
+  private val shown = SnapshotStore.dotted(k)
 
   private def versionNow(): Long = {
     val st = SnapshotStore.tables.getOrElse(k,
@@ -721,13 +1231,14 @@ private[sources] final class MemMicroBatchStream(k: String,
       s"stream offset range ($s, $e] of $shown covers ${e - s} commits but only " +
         s"${inRange.size} snapshots are live — expired past the stream's offset")
     val appended = inRange.flatMap { sn =>
-      require(sn.appendedCount >= 0,
+      require(sn.appendedFiles >= 0,
         s"commit v${sn.version} of $shown is a rewrite (overwrite/row-level/rollback); " +
           "append-only streaming cannot represent it — read changes via " +
           "ChangeDataFeed (m08) instead")
-      sn.rows.takeRight(sn.appendedCount)
+      sn.files.takeRight(sn.appendedFiles)
     }
-    if (appended.isEmpty) Array.empty else Array(MemPartition(appended.toArray))
+    appended.filter(_.rowCount > 0)
+      .map(f => MemFilePartition(f.path, f.rowCount): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -738,3 +1249,4 @@ private[sources] final case class VersionOffset(version: Long)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String = version.toString
 }
+

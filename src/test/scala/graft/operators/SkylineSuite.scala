@@ -38,6 +38,25 @@ class SkylineSuite extends AnyFunSuite {
     }
   }
 
+  test("wide inputs get a √P middle merge level; narrow inputs do not") {
+    val pts = (1L to 100L).map(i => (i, i.toDouble, (101 - i).toDouble))
+      .toDF("id", "d1", "d2") // anti-correlated: every point on the front
+    def mapLevels(plan: String): Int = "MapPartitions".r.findAllIn(plan).size
+    val widePlan = Skyline.skyline(pts.repartition(16), Seq("d1", "d2"))
+      .queryExecution.optimizedPlan.toString
+    assert(widePlan.contains("Repartition 4, true"),
+      s"expected a √16 = 4-way middle merge:\n$widePlan")
+    assert(mapLevels(widePlan) === 3, s"local + middle + final:\n$widePlan")
+    val narrowPlan = Skyline.skyline(pts.repartition(2), Seq("d1", "d2"))
+      .queryExecution.optimizedPlan.toString
+    assert(mapLevels(narrowPlan) === 2,
+      s"narrow input should skip the middle level:\n$narrowPlan")
+    // Anti-correlated worst case still exact through the tree.
+    val got = Skyline.skyline(pts.repartition(16), Seq("d1", "d2"))
+      .count()
+    assert(got === 100L)
+  }
+
   test("single dimension degenerates to the max (with ties)") {
     val pts = Seq((1L, 2.0), (2L, 9.0), (3L, 9.0), (4L, 1.0)).toDF("id", "d")
     val got = Skyline.skyline(pts, Seq("d")).select("id").as[Long].collect().toSet

@@ -36,6 +36,20 @@ class TriangleCensusSuite extends AnyFunSuite {
     assert(cc === 3.0 / 5.0)
   }
 
+  test("wedgeTasks resizes the wedge-join stage without changing the answer") {
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val dflt = TriangleCensus.census(k4.toDF("u", "v"))
+      .as[(Long, Long, Double, Long, Double)].head()
+    val sizedDf = TriangleCensus.census(k4.toDF("u", "v"), wedgeTasks = Some(64))
+    val sized = sizedDf.as[(Long, Long, Double, Long, Double)].head()
+    assert(sized === dflt)
+    // The wedge sides really run at the requested width.
+    assert(sizedDf.queryExecution.executedPlan.toString
+      .contains("hashpartitioning(src"), "wedge sides not hash-repartitioned")
+    intercept[IllegalArgumentException](
+      TriangleCensus.census(k4.toDF("u", "v"), wedgeTasks = Some(0)))
+  }
+
   test("two disjoint triangles sharing no node") {
     val g = Seq((0L, 1L), (0L, 2L), (1L, 2L), (10L, 11L), (10L, 12L), (11L, 12L))
     val (_, _, _, tris, cc) = census(g)

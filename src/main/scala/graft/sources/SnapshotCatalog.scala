@@ -338,7 +338,7 @@ object SnapshotCatalog {
   * data-file descriptors — METADATA ONLY (path, partition values, row
   * count). Shared across sessions like a real catalog's metastore; row data
   * lives in the files and never passes through this object. */
-private[sources] object SnapshotStore {
+private[graft] object SnapshotStore {
 
   /** One immutable data file: rows live at `path` (UnsafeRow stream, see
     * [[RowFiles]]), `partitionValues` are the file's constant identity-

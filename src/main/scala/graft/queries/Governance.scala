@@ -668,9 +668,44 @@ object Governance {
         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
       FROM cur GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** m08's feed computed the way a lake-scale consumer actually reads it:
+    * [[graft.operators.ChangeDataFeed.tableChangesPruned]] diffs each
+    * commit's MANIFEST (files added vs retired — copy-on-write guarantees a
+    * file present in both versions holds identical rows) and scans only the
+    * changed files, O(changed) per commit instead of O(table). Same table
+    * history as m08, same relational oracle — the pruned and full feeds
+    * must hash-identically agree, which is exactly the claim that file
+    * pruning loses no change and invents none.
+    */
+  val m11ChangeFeedPruned = Q(
+    "m11_change_feed_pruned",
+    (s, dir) => {
+      val t = "graft_snap.gov.orders_m11"
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.gov")
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"""CREATE TABLE $t (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_orderpriority STRING, o_totalprice DOUBLE)""")
+      Tables.orders(s, dir).createOrReplaceTempView("m11_orders_src")
+      s.sql(s"""INSERT INTO $t
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, o_totalprice
+        FROM m11_orders_src WHERE o_orderdate < TIMESTAMP '1994-01-01 00:00:00'""")
+      s.sql(s"""INSERT INTO $t
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, o_totalprice
+        FROM m11_orders_src WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'""")
+      s.sql(s"""UPDATE $t SET o_orderpriority = '9-CANCELLED'
+        WHERE o_orderstatus = 'F' AND o_custkey % 7 = 3""")
+      s.sql(s"DELETE FROM $t WHERE o_custkey % 10 = 7")
+      graft.operators.ChangeDataFeed
+        .tableChangesPruned(s, "graft_snap", Seq("gov", "orders_m11"),
+          Seq("o_orderkey"), fromVersion = 0L, toVersion = 4L)
+        .orderBy("_commit_version", "o_orderkey")
+    },
+    m08ChangeFeed.oracle)
+
   val all: Seq[Q] = Seq(
     m01MergeUpsert, m02Scd2History, m03IncrementalRefresh, m04SnapshotDiff,
     m05SqlMerge, m06SqlUpdateDelete, m07TimeTravel, m08ChangeFeed,
-    m09IncrementalMaint, m10PartitionedCow,
+    m09IncrementalMaint, m10PartitionedCow, m11ChangeFeedPruned,
     a01QualityAudit, z01ZorderLayout)
 }

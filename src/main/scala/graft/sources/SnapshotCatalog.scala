@@ -322,6 +322,38 @@ object SnapshotCatalog {
       .map(s => (s.version, s.commitMicros, s.files.map(_.rowCount).sum))
   }
 
+  /** Small-file compaction (Iceberg's `rewrite_data_files`): every commit
+    * adds its own file set, so a hot table degrades into many small files —
+    * scan-task explosion, the #1 operational failure of file-backed
+    * tables. Rewrites the live data as one truncate-overwrite commit shaped
+    * to one file per partition (partitioned tables; the clustering
+    * repartition guarantees it regardless of `write.distribution-mode`) or
+    * ⌈rows / targetFileRows⌉ files (unpartitioned). Snapshot semantics make
+    * the self-read safe: the SELECT pins the pre-compaction file list, the
+    * commit only retires references, and files are physically deleted only
+    * by [[expire]] — so history (time travel, tags) survives compaction
+    * intact. The commit is a REWRITE: an append-only stream tailing the
+    * table must pass it via its own offset management (same contract as
+    * Iceberg's rewrite commits). Returns (files before, files after). */
+  def compact(spark: org.apache.spark.sql.SparkSession, catalog: String,
+      ident: Seq[String], targetFileRows: Long = 1L << 20): (Int, Int) = {
+    require(targetFileRows >= 1, s"targetFileRows must be >= 1, got $targetFileRows")
+    val k = SnapshotStore.keyOf(catalog, ident)
+    val st = SnapshotStore.stateOf(k)
+    val before = st.currentFiles.size
+    val name = (catalog +: ident).map(p => s"`$p`").mkString(".")
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = spark.table(name)
+    val shaped =
+      if (st.partitionCols.nonEmpty) df.repartition(st.partitionCols.map(col): _*)
+      else {
+        val rows = st.currentFiles.map(_.rowCount).sum
+        df.repartition(math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt))
+      }
+    shaped.writeTo(name).overwrite(lit(true))
+    (before, SnapshotStore.stateOf(k).currentFiles.size)
+  }
+
   /** Test/gate hygiene: drop every table (and its data files) and namespace
     * this JVM has registered under `catalog`, so re-runs converge from a
     * clean slate. */
@@ -687,12 +719,28 @@ private[sources] final class MemTable(fullName: String, k: String,
     }.toMap
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MemScanBuilder(tableSchema, partColMap,
-      pinned.getOrElse(SnapshotStore.stateOf(k).currentFiles),
-      // Time-travel pins are batch-only; the LIVE table is streamable.
-      streamKey = if (pinned.isEmpty) Some(k) else None,
+  {
+    val base = pinned.getOrElse(SnapshotStore.stateOf(k).currentFiles)
+    // `files` reader option: restrict the scan to the named data files of
+    // THIS snapshot — the incremental-read hook a manifest-diffing consumer
+    // (ChangeDataFeed's pruned feed) uses to touch only changed files.
+    // Unknown paths fail loudly (a typo must not silently read as empty).
+    val restricted = Option(options.get("files")).map { csv =>
+      val allow = csv.split(',').filter(_.nonEmpty).toSet
+      val have = base.map(_.path).toSet
+      val unknown = allow -- have
+      require(unknown.isEmpty,
+        s"files option names ${unknown.size} path(s) not in this snapshot of " +
+          s"$fullName, e.g. ${unknown.take(2).mkString(", ")}")
+      base.filter(f => allow(f.path))
+    }
+    new MemScanBuilder(tableSchema, partColMap, restricted.getOrElse(base),
+      // Time-travel pins and file-restricted reads are batch-only; the
+      // LIVE whole table is streamable.
+      streamKey = if (pinned.isEmpty && restricted.isEmpty) Some(k) else None,
       maxVersionsPerTrigger =
         Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinned.isEmpty, s"$fullName is a time-travel view and not writable")
@@ -893,7 +941,30 @@ private[sources] final class MemWriteBuilder(k: String, writeSchema: StructType,
     this
   }
 
-  override def build(): Write = new Write {
+  override def build(): Write = {
+    // Iceberg's write.distribution-mode=hash: ask Spark to CLUSTER the
+    // incoming rows by the identity-partition columns, so each partition
+    // lands wholly in one task and the write produces one file per
+    // partition instead of (tasks × partitions) — the first operational
+    // lever against small-file explosion on partitioned tables. Off by
+    // default (a table property opt-in): clustering is one extra shuffle
+    // per write, the wrong trade for single-partition appends.
+    val st = SnapshotStore.stateOf(k)
+    val hashDistribute = st.partitionCols.nonEmpty &&
+      st.properties.get("write.distribution-mode").exists(_.equalsIgnoreCase("hash"))
+    if (hashDistribute)
+      new GraftWrite with RequiresDistributionAndOrdering {
+        override def requiredDistribution():
+            org.apache.spark.sql.connector.distributions.Distribution =
+          org.apache.spark.sql.connector.distributions.Distributions.clustered(
+            st.partitionCols.map(c => Expressions.identity(c): VExpression).toArray)
+        override def requiredOrdering():
+            Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+      }
+    else new GraftWrite
+  }
+
+  private class GraftWrite extends Write {
     override def description(): String =
       s"graft-snapshot ${if (replace) "replace" else "append"}"
     override def toBatch: BatchWrite = {

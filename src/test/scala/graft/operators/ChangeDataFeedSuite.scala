@@ -109,6 +109,35 @@ class ChangeDataFeedSuite extends AnyFunSuite {
       s"unexpected failure: $ex")
   }
 
+  test("manifest-pruned feed: identical output, reads only changed files") {
+    val t = freshTable("pruned")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v STRING)")
+    // v1/v2: two separate append commits → two files. v3 touches only v1's
+    // file (COW replaces just it); v2's file is untouched by every commit.
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a')")
+    spark.sql(s"INSERT INTO $t VALUES (2, 'b')")
+    spark.sql(s"UPDATE $t SET v = 'A' WHERE id = 1")
+    val full = ChangeDataFeed.tableChanges(spark, t, Seq("id"), 0L, 3L)
+    val pruned = ChangeDataFeed.tableChangesPruned(
+      spark, "graft_snap", Seq("cdf", "pruned"), Seq("id"), 0L, 3L)
+    assert(pruned.orderBy("_commit_version", "id").collect().toSeq ===
+      full.orderBy("_commit_version", "id").collect().toSeq)
+    def filesScanned(df: org.apache.spark.sql.DataFrame): Int =
+      "(\\d+) files".r.findAllMatchIn(df.queryExecution.executedPlan.toString)
+        .map(_.group(1).toInt).sum
+    // Full feed scans each version wholly (v1:1 + v2:2 + v3:2 files = 5);
+    // the pruned feed reads only each commit's added/retired files
+    // (1 + 1 + 2 = 4 here, and the gap widens with every untouched file).
+    assert(filesScanned(pruned) < filesScanned(full),
+      s"pruned=${filesScanned(pruned)} full=${filesScanned(full)}")
+    assert(filesScanned(pruned) === 4)
+    // Unknown file paths in the reader option fail loudly.
+    val e = intercept[Exception](
+      spark.read.option("versionAsOf", 1).option("files", "/no/such.grf")
+        .table(t).collect())
+    assert(e.getMessage.contains("files option"), e.getMessage)
+  }
+
   test("invalid version windows fail loudly") {
     val t = freshTable("bad")
     spark.sql(s"CREATE TABLE $t (id BIGINT)")

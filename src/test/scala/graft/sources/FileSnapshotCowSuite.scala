@@ -178,6 +178,31 @@ class FileSnapshotCowSuite extends AnyFunSuite {
       e.getMessage)
   }
 
+  test("write.distribution-mode=hash clusters writes to one file per partition") {
+    import spark.implicits._
+    val t = fresh("dist")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, region STRING) PARTITIONED BY (region) " +
+      "TBLPROPERTIES ('write.distribution-mode'='hash')")
+    // 8 input partitions × 3 regions would write up to 24 files unclustered;
+    // the requested hash distribution must land each region in one task.
+    (1L to 90L).map(i => (i, s"r${i % 3}")).toDF("id", "region")
+      .repartition(8)
+      .writeTo(t).append()
+    val files = filesOf("dist", 1L)
+    assert(files.size === 3, s"expected one file per partition, got:\n$files")
+    assert(files.map(parts).toSet === Set(Seq("r0"), Seq("r1"), Seq("r2")))
+    assert(spark.sql(s"SELECT count(*) AS c FROM $t").collect() === Array(Row(90L)))
+
+    // Contrast: without the property the same write fans out per task.
+    val u = fresh("dist_u")
+    spark.sql(s"CREATE TABLE $u (id BIGINT, region STRING) PARTITIONED BY (region)")
+    (1L to 90L).map(i => (i, s"r${i % 3}")).toDF("id", "region")
+      .repartition(8)
+      .writeTo(u).append()
+    assert(filesOf("dist_u", 1L).size > 3,
+      "unclustered write should produce per-(task, partition) files")
+  }
+
   test("expire physically deletes files no live snapshot references; " +
     "live and tagged files survive") {
     val t = fresh("gc")
@@ -192,6 +217,28 @@ class FileSnapshotCowSuite extends AnyFunSuite {
     assert(new java.io.File(fileB).isFile, "live snapshot's file must survive")
     assert(spark.sql(s"SELECT id FROM $t").collect() === Array(Row(2L)))
     intercept[Exception](spark.sql(s"SELECT * FROM $t VERSION AS OF 1").collect())
+  }
+
+  test("compact rewrites small files to one per partition, preserving " +
+    "history and answers") {
+    val t = fresh("cmp")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, region STRING) PARTITIONED BY (region)")
+    // Six append commits → at least six files across two partitions.
+    (1 to 6).foreach(i =>
+      spark.sql(s"INSERT INTO $t VALUES ($i, '${if (i % 2 == 0) "a" else "b"}')"))
+    val answer = spark.sql(s"SELECT id, region FROM $t ORDER BY id").collect().toSeq
+    val (before, after) = SnapshotCatalog.compact(spark, cat, Seq("cow", "cmp"))
+    assert(before >= 6 && after === 2, s"$before -> $after")
+    assert(spark.sql(s"SELECT id, region FROM $t ORDER BY id").collect().toSeq ===
+      answer)
+    // History intact: the pre-compaction version still reads (files are only
+    // retired, not deleted) until expire() collects it.
+    assert(spark.sql(s"SELECT count(*) AS c FROM $t VERSION AS OF 6").collect() ===
+      Array(Row(6L)))
+    SnapshotCatalog.expire(cat, Seq("cow", "cmp"), keepLast = 1)
+    assert(filesOf("cmp", liveVersion("cmp")).forall(f =>
+      new java.io.File(f.path).isFile))
+    intercept[Exception](spark.sql(s"SELECT * FROM $t VERSION AS OF 6").collect())
   }
 
   test("rollback re-references files (no data copy); drop deletes the data dir") {

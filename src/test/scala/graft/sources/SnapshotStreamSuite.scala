@@ -93,6 +93,35 @@ class SnapshotStreamSuite extends AnyFunSuite {
       "a new query's epoch 0 must commit, not read as a replay")
   }
 
+  test("streaming sink on a PARTITIONED table routes each epoch's rows into " +
+    "per-partition files") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t = freshTable("psink")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, region STRING) PARTITIONED BY (region)")
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-psink").toString
+    val q = input.toDF().toDF("id", "region").writeStream
+      .option("checkpointLocation", ckpt).toTable(t)
+    try {
+      input.addData((1L, "a"), (2L, "b"), (3L, "a"))
+      q.processAllAvailable()
+      input.addData((4L, "b"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val k = SnapshotStore.keyOf("graft_snap", Seq("stream", "psink"))
+    val v1Parts = SnapshotStore.filesAt(k, 1L)
+      .map(_.partitionValues.map(String.valueOf(_))).toSet
+    assert(v1Parts === Set(Seq("a"), Seq("b")),
+      "epoch 1's rows must land in per-partition files")
+    assert(spark.sql(s"SELECT id FROM $t WHERE region = 'b' ORDER BY id")
+      .collect().toSeq === Seq(Row(2L), Row(4L)))
+    // Partition-pruned read opens only region b's files.
+    val plan = spark.sql(s"SELECT id FROM $t WHERE region = 'b'")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("2 files"), plan)
+  }
+
   test("epoch-watermark eviction is least-recently-ACTIVE, not first-inserted") {
     val t = freshTable("lru")
     spark.sql(s"CREATE TABLE $t (id BIGINT)")

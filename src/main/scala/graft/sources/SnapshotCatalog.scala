@@ -156,7 +156,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
         throw new IllegalArgumentException(
           s"'$version' is neither a snapshot version nor a tag of $ident; " +
             s"tags: ${st.tags.keys.toSeq.sorted.mkString("[", ", ", "]")}")))
-    new MemTable(s"$ident@v$version", k, st.schema, st.partitionCols, st.properties,
+    new MemTable(s"$ident@v$version", k, SnapshotStore.schemaAt(k, v),
+      st.partitionCols, st.properties,
       pinned = Some(SnapshotStore.filesAt(k, v)))
   }
 
@@ -194,7 +195,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
     }
     val files =
       if (visible.isEmpty) Vector.empty[SnapshotStore.DataFile] else visible.last.files
-    new MemTable(s"$ident@t$timestampMicros", k, st.schema, st.partitionCols,
+    val schema = visible.lastOption.flatMap(s => Option(s.schema)).getOrElse(st.schema)
+    new MemTable(s"$ident@t$timestampMicros", k, schema, st.partitionCols,
       st.properties, pinned = Some(files))
   }
 
@@ -228,9 +230,47 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
     new MemTable(ident.toString, k, schema, partCols, props, pinned = None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported; schema evolution is exercised through the file catalog (v01)")
+  /** Schema evolution, honestly scoped to what a name-positional file
+    * format supports: `ADD COLUMN` (nullable, appended — existing files
+    * simply hold no value, readers pad NULL; per-snapshot schemas keep
+    * time travel reading each version as written) and table-property
+    * changes. Drops, renames, repositions, and type changes need per-file
+    * field IDs (Iceberg's mechanism) and are rejected loudly rather than
+    * approximated. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val k = key(ident)
+    if (!SnapshotStore.tables.contains(k)) throw new NoSuchTableException(ident)
+    SnapshotStore.update(k) { st =>
+      changes.foldLeft(st) { (cur, ch) =>
+        ch match {
+          case add: TableChange.AddColumn =>
+            require(add.fieldNames().length == 1,
+              s"nested ADD COLUMN is not supported: ${add.fieldNames().mkString(".")}")
+            val colName = add.fieldNames()(0)
+            require(!cur.schema.fieldNames.exists(_.equalsIgnoreCase(colName)),
+              s"column $colName already exists")
+            require(add.isNullable,
+              s"added column $colName must be nullable: existing data files hold no value for it")
+            require(add.position() == null,
+              "column position is not supported; new columns append at the end " +
+                "(a position would re-map every existing file's layout)")
+            val field = org.apache.spark.sql.types.StructField(
+              colName, add.dataType(), nullable = true)
+            cur.copy(schema = cur.schema.add(
+              Option(add.comment()).fold(field)(field.withComment)))
+          case set: TableChange.SetProperty =>
+            cur.copy(properties = cur.properties + (set.property -> set.value))
+          case rm: TableChange.RemoveProperty =>
+            cur.copy(properties = cur.properties - rm.property)
+          case other => throw new UnsupportedOperationException(
+            s"ALTER TABLE change not supported: $other — this catalog supports " +
+              "ADD COLUMN (nullable, appended) and table properties; drop/rename/" +
+              "retype need per-file field IDs (the Iceberg-runtime path)")
+        }
+      }
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     SnapshotStore.dropTableAndData(key(ident))
@@ -308,7 +348,8 @@ object SnapshotCatalog {
             s"cannot roll back to version $toVersion: not a live snapshot " +
               s"(have ${st.snapshots.map(_.version).mkString("[", ", ", "]")})"))
       st.copy(snapshots = st.snapshots :+
-        SnapshotStore.Snapshot(st.nextVersion, SnapshotStore.nowMicros(), files))
+        SnapshotStore.Snapshot(st.nextVersion, SnapshotStore.nowMicros(), files,
+          schema = st.schema))
     } match {
       case (_, after) => after.snapshots.last.version
     }
@@ -383,9 +424,13 @@ private[graft] object SnapshotStore {
     * entries of `files` are the newly added ones (the streaming source's
     * unit of progress); -1 marks a rewrite (truncate-overwrite, row-level
     * replace, partition overwrite, metadata delete, rollback), which an
-    * append-only stream must refuse. */
+    * append-only stream must refuse. `schema` is the table schema AS OF
+    * this commit — time travel reads each version under the schema it was
+    * written with (Iceberg's per-snapshot schema), so an `ALTER TABLE ADD
+    * COLUMN` never retroactively widens history. */
   final case class Snapshot(version: Long, commitMicros: Long,
-      files: Vector[DataFile], appendedFiles: Int = -1)
+      files: Vector[DataFile], appendedFiles: Int = -1,
+      schema: StructType = null)
 
   /** `epochs` maps each streaming QUERY id to the newest epoch it committed
     * into this table: the replay guard that makes the streaming SINK
@@ -457,6 +502,15 @@ private[graft] object SnapshotStore {
     }
   }
 
+  /** The table schema AS OF `version` (see [[Snapshot.schema]]); the
+    * current schema for version 0 (the empty just-created table) and,
+    * defensively, for snapshots predating per-snapshot schemas. */
+  def schemaAt(k: String, version: Long): StructType = {
+    val st = stateOf(k)
+    st.snapshots.find(_.version == version).flatMap(s => Option(s.schema))
+      .getOrElse(st.schema)
+  }
+
   /** Drop a table's metadata and physically delete its data directory. */
   def dropTableAndData(k: String): Boolean =
     tables.remove(k) match {
@@ -500,7 +554,7 @@ private[graft] object SnapshotStore {
             st.currentFiles.filterNot(f => retired(f.path)) ++ newFiles
         }
       st.copy(snapshots = st.snapshots :+ Snapshot(st.nextVersion, nowMicros(), files,
-        appendedFiles = if (replace) -1 else newFiles.size))
+        appendedFiles = if (replace) -1 else newFiles.size, schema = st.schema))
     }
     ()
   }
@@ -531,7 +585,8 @@ private[graft] object SnapshotStore {
           else st.epochs
         st.copy(
           snapshots = st.snapshots :+ Snapshot(st.nextVersion, nowMicros(),
-            st.currentFiles ++ newFiles, appendedFiles = newFiles.size),
+            st.currentFiles ++ newFiles, appendedFiles = newFiles.size,
+            schema = st.schema),
           epochs = (pruned - queryId) + (queryId -> epochId))
       }
     }
@@ -1191,9 +1246,13 @@ private[sources] object MemReaders {
       val part = partition.asInstanceOf[MemFilePartition]
       new PartitionReader[InternalRow] {
         private val reader = new RowFiles.Reader(part.path)
-        require(reader.numFields == numFields,
+        // A file may be NARROWER than the table (written before an ALTER
+        // TABLE ADD COLUMN): readers pad the added columns with NULL.
+        // Wider is impossible — drops are rejected at alter time.
+        require(reader.numFields <= numFields,
           s"row file ${part.path} has ${reader.numFields} fields; table has $numFields")
-        private val row = new UnsafeRow(numFields)
+        private val fileFields = reader.numFields
+        private val row = new UnsafeRow(fileFields)
         private var buf = new Array[Byte](1 << 10)
         private var remaining = part.rowCount
         private val pathValue = UTF8String.fromString(part.path)
@@ -1209,7 +1268,9 @@ private[sources] object MemReaders {
           }
         }
         override def get(): InternalRow = InternalRow.fromSeq(ordinals.indices.map { j =>
-          if (ordinals(j) < 0) pathValue else row.get(ordinals(j), types(j))
+          if (ordinals(j) < 0) pathValue
+          else if (ordinals(j) >= fileFields) null
+          else row.get(ordinals(j), types(j))
         })
         override def close(): Unit = reader.close()
       }

@@ -254,6 +254,36 @@ class FileSnapshotCowSuite extends AnyFunSuite {
     assert(!dir.exists, s"dropped table's data dir must be deleted: $dir")
   }
 
+  test("ALTER TABLE ADD COLUMN: old files pad NULL, time travel keeps each " +
+    "version's own schema, rewrites cross the boundary") {
+    val t = fresh("evo")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, region STRING) PARTITIONED BY (region)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a')") // v1: 2-field files
+    spark.sql(s"ALTER TABLE $t ADD COLUMN score DOUBLE")
+    spark.sql(s"INSERT INTO $t VALUES (2, 'b', 0.5)") // v2: 3-field files
+    assert(spark.sql(s"SELECT id, score FROM $t ORDER BY id").collect().toSeq ===
+      Seq(Row(1L, null), Row(2L, 0.5)))
+    // Time travel reads v1 under the schema it was written with.
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF 1").columns.toSeq ===
+      Seq("id", "region"))
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF 2").columns.toSeq ===
+      Seq("id", "region", "score"))
+    // A row-level rewrite across the evolution boundary reads padded rows
+    // and writes full-width ones.
+    spark.sql(s"UPDATE $t SET score = 9.9 WHERE id = 1")
+    assert(spark.sql(s"SELECT score FROM $t WHERE id = 1").collect() ===
+      Array(Row(9.9)))
+    // Unsupported evolutions fail loudly instead of corrupting layouts.
+    val e = intercept[Exception](spark.sql(s"ALTER TABLE $t DROP COLUMN region"))
+    assert(e.getMessage.contains("field IDs") || e.getMessage.contains("not supported"),
+      e.getMessage)
+    // Table properties evolve through the same path.
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('write.distribution-mode'='hash')")
+    val k = SnapshotStore.keyOf(cat, Seq("cow", "evo"))
+    assert(SnapshotStore.stateOf(k).properties
+      .get("write.distribution-mode") === Some("hash"))
+  }
+
   test("non-identity partition transforms are rejected loudly") {
     val t = fresh("badpt")
     val e = intercept[Exception](

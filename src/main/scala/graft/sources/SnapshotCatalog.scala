@@ -482,7 +482,7 @@ private[graft] object SnapshotStore {
     (catalog +: ident).mkString(0.toChar.toString)
 
   /** Internal keys join on NUL; messages render them dotted. */
-  def dotted(k: String): String = k.split(' ').mkString(".")
+  def dotted(k: String): String = k.split(0.toChar).mkString(".")
 
   /** Table state or a clean failure (never a raw NoSuchElementException
     * with an unprintable key — a table can be dropped concurrently between
@@ -853,6 +853,13 @@ private[sources] final class MemRowLevelOperation(
     * (pushed partition predicates), then at runtime by the `_file` group
     * filter. Read at commit time, after both prunings. */
   @volatile private[sources] var scanned: Vector[SnapshotStore.DataFile] = Vector.empty
+  /** Set once the runtime `_file` group filter narrows the scan. Scan
+    * BUILDS happen at planning time (the rewrite relation and the
+    * group-filter subquery may each build a scan); `filter` runs at
+    * execution. Should any build land after the filter, it must not widen
+    * `scanned` back to the static set — replacing a file whose rows were
+    * never read would silently drop them. */
+  @volatile private[sources] var runtimeNarrowed = false
 
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"graft-snapshot $cmd [file-grained COW]"
@@ -893,7 +900,7 @@ private[sources] final class MemRowLevelScanBuilder(op: MemRowLevelOperation,
   override def build(): Scan = {
     val retained = files.filter(f => !pushed.exists(
       PartitionPredicates.definitelyExcludes(_, partCols, f.partitionValues)))
-    op.scanned = retained
+    if (!op.runtimeNarrowed) op.scanned = retained
     new MemRowLevelScan(op, fullSchema, required, retained)
   }
 }
@@ -923,6 +930,7 @@ private[sources] final class MemRowLevelScan(op: MemRowLevelOperation,
         files = files.filter(f => allowed(f.path))
       }
     }
+    op.runtimeNarrowed = true
     op.scanned = files
   }
 

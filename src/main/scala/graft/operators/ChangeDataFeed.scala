@@ -68,8 +68,20 @@ object ChangeDataFeed {
     require(0 <= fromVersion && fromVersion < toVersion,
       s"need 0 <= fromVersion < toVersion, got [$fromVersion, $toVersion]")
     require(keyCols.nonEmpty, "tableChanges needs at least one key column")
-    val snaps = (fromVersion to toVersion).map { v =>
-      spark.sql(s"SELECT * FROM $table VERSION AS OF $v").withColumn("_v", lit(v))
+    // The timeline pass reserves working-column names; a user column with
+    // one of them would be silently REPLACED by withColumn (its changes
+    // dropped from the feed, or lagged version numbers leaking into its
+    // pre-images) — fail loudly instead, checked on the table's own schema
+    // BEFORE the version tag is attached.
+    val versions = (fromVersion to toVersion).map(v =>
+      spark.sql(s"SELECT * FROM $table VERSION AS OF $v"))
+    val reserved = versions.head.columns.filter(c =>
+      c == "_v" || c == "_pv" || c == "_nv" || c.startsWith("_graft_old_"))
+    require(reserved.isEmpty,
+      s"tableChanges reserves column names _v, _pv, _nv, _graft_old_*; " +
+        s"$table has: ${reserved.mkString(", ")}")
+    val snaps = versions.zipWithIndex.map { case (df, i) =>
+      df.withColumn("_v", lit(fromVersion + i))
     }.reduce(_.unionAll(_))
     val dataCols = snaps.columns.filterNot(c => keyCols.contains(c) || c == "_v").toSeq
     val dataTypes = dataCols.map(d => snaps.schema(d).dataType)

@@ -448,11 +448,6 @@ private[graft] object SnapshotStore {
       if (snapshots.isEmpty) Vector.empty else snapshots.last.files
     def nextVersion: Long =
       if (snapshots.isEmpty) 1L else snapshots.last.version + 1L
-    /** partition column name (lowercased) -> (index in partitionValues, type) */
-    def partColMap: Map[String, (Int, DataType)] =
-      partitionCols.zipWithIndex.map { case (c, i) =>
-        c.toLowerCase -> (i, schema(c).dataType)
-      }.toMap
   }
 
   val tables = new TrieMap[String, TableState]
@@ -603,12 +598,29 @@ private[graft] object SnapshotStore {
 private[sources] object RowFiles {
   val Magic = 0x47524654 // "GRFT"
 
-  def fs(path: Path): FileSystem = path.getFileSystem(new Configuration())
+  /** The session's Hadoop configuration, wrapped serializable for shipping
+    * to task-side writers/readers — this is what carries `spark.hadoop.*`
+    * settings (s3a credentials, HA nameservices, custom fs impls) to the
+    * file IO; a bare `new Configuration()` would see classpath defaults
+    * only. Driver-side helpers fall back to defaults when no session is
+    * active (JVM teardown paths). */
+  def sessionConf(): org.apache.spark.util.SerializableConfiguration =
+    new org.apache.spark.util.SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .map(_.sessionState.newHadoopConf())
+        .getOrElse(new Configuration()))
 
-  final class Writer(pathStr: String, numFields: Int) {
+  /** Driver-side filesystem handle (metadata ops: GC, drops, orphan
+    * cleanup). Task-side IO gets its conf shipped via the write/read
+    * factories instead. */
+  def fs(path: Path): FileSystem = path.getFileSystem(sessionConf().value)
+
+  final class Writer(pathStr: String, numFields: Int, conf: Configuration) {
     private val path = new Path(pathStr)
+    private val fileSystem = path.getFileSystem(conf)
     private val out = new java.io.DataOutputStream(
-      new java.io.BufferedOutputStream(RowFiles.fs(path).create(path, false), 1 << 16))
+      new java.io.BufferedOutputStream(fileSystem.create(path, false), 1 << 16))
     out.writeInt(Magic)
     out.writeInt(numFields)
     private val scratch = new Array[Byte](4096)
@@ -622,14 +634,14 @@ private[sources] object RowFiles {
     def close(): Unit = out.close()
     def abort(): Unit = {
       try out.close() catch { case _: Exception => () }
-      try RowFiles.fs(path).delete(path, false) catch { case _: Exception => () }
+      try fileSystem.delete(path, false) catch { case _: Exception => () }
     }
   }
 
-  final class Reader(pathStr: String) {
+  final class Reader(pathStr: String, conf: Configuration) {
     private val path = new Path(pathStr)
     val stream = new java.io.DataInputStream(
-      new java.io.BufferedInputStream(RowFiles.fs(path).open(path), 1 << 16))
+      new java.io.BufferedInputStream(path.getFileSystem(conf).open(path), 1 << 16))
     require(stream.readInt() == Magic, s"not a graft row file: $pathStr")
     val numFields: Int = stream.readInt()
     def close(): Unit = stream.close()
@@ -656,10 +668,50 @@ private[sources] object RowFiles {
 private[sources] object PartitionPredicates {
   type PartCols = Map[String, (Int, DataType)]
 
-  /** Can `p` be decided from partition values alone? (Structural check —
-    * evaluates against an all-null value row, which exercises every node.) */
-  def evaluable(p: VPredicate, cols: PartCols): Boolean =
-    eval(p, cols, null).isDefined
+  /** Can `p` be decided from partition values alone — for EVERY possible
+    * file? This must be a STRUCTURAL check (each leaf is a literal or a
+    * partition column, each node a supported operator, operand types
+    * agree): running eval on a sample row instead would let three-valued
+    * short-circuits hide undecidable branches (`region IS NOT NULL AND
+    * id > 5` evaluates to FALSE on an all-null probe without ever looking
+    * at `id`), and a caller like `canDeleteWhere` would then route a
+    * rewrite-requiring statement down the metadata path, where
+    * `matchesSurely` conservatively matches nothing — a DELETE/OVERWRITE
+    * that silently does nothing. */
+  def evaluable(p: VPredicate, cols: PartCols): Boolean = {
+    def leafType(e: VExpression): Option[DataType] = e match {
+      case l: VLiteral[_] => Some(l.dataType)
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        cols.get(r.fieldNames()(0).toLowerCase).map(_._2)
+      case _ => None
+    }
+    def childPred(i: Int): Option[VPredicate] = p.children()(i) match {
+      case c: VPredicate => Some(c)
+      case _ => None
+    }
+    p.name() match {
+      case "ALWAYS_TRUE" | "ALWAYS_FALSE" => true
+      case "AND" | "OR" =>
+        p.children().length == 2 &&
+          childPred(0).exists(evaluable(_, cols)) &&
+          childPred(1).exists(evaluable(_, cols))
+      case "NOT" =>
+        p.children().length == 1 && childPred(0).exists(evaluable(_, cols))
+      case "=" | "<=>" | "<>" | "<" | "<=" | ">" | ">=" =>
+        p.children().length == 2 && {
+          val ts = p.children().toSeq.map(leafType)
+          ts.forall(_.isDefined) && ts.head == ts(1)
+        }
+      case "IS_NULL" | "IS_NOT_NULL" =>
+        p.children().length == 1 && leafType(p.children()(0)).isDefined
+      case "IN" =>
+        p.children().length >= 2 && {
+          val ts = p.children().toSeq.map(leafType)
+          ts.forall(_.isDefined) && ts.tail.forall(_ == ts.head)
+        }
+      case _ => false
+    }
+  }
 
   /** True iff NO row of a file with `values` can satisfy `p` (false or
     * NULL under three-valued logic — both filter the row out). */
@@ -959,7 +1011,7 @@ private[sources] final class MemRowLevelScan(op: MemRowLevelOperation,
       .map(f => MemFilePartition(f.path, f.rowCount): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    MemReaders.factory(fullSchema, required)
+    MemReaders.factory(fullSchema, required, RowFiles.sessionConf())
 }
 
 /** Write modes, resolved at build time, applied at the driver-side commit:
@@ -1077,7 +1129,8 @@ private[sources] final class MemStreamingWrite(k: String, writeSchema: StructTyp
   override def createStreamingWriterFactory(info: PhysicalWriteInfo):
       org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
     val st = SnapshotStore.stateOf(k)
-    MemStreamWriterFactory(writeSchema, st.partitionCols, st.dataDir)
+    MemStreamWriterFactory(writeSchema, st.partitionCols, st.dataDir,
+      RowFiles.sessionConf())
   }
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.iterator
@@ -1100,7 +1153,8 @@ private[sources] final class MemBatchWrite(k: String, writeSchema: StructType,
     dynamicParts: Boolean = false) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val st = SnapshotStore.stateOf(k)
-    new MemWriterFactory(writeSchema, st.partitionCols, st.dataDir)
+    new MemWriterFactory(writeSchema, st.partitionCols, st.dataDir,
+      RowFiles.sessionConf())
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.iterator
@@ -1128,12 +1182,14 @@ private[sources] final case class MemCommitMessage(files: Array[SnapshotStore.Da
 /** Top-level case class (Serializable) — a lambda here would capture the
   * non-serializable StreamingWrite instance and fail task serialization. */
 private[sources] final case class MemStreamWriterFactory(writeSchema: StructType,
-    partitionCols: Seq[String], dataDir: String)
+    partitionCols: Seq[String], dataDir: String,
+    fsConf: org.apache.spark.util.SerializableConfiguration)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     MemWriters.writer(writeSchema, partitionCols, dataDir,
-      s"e$epochId-p$partitionId-t$taskId-${UUID.randomUUID.toString.take(8)}")
+      s"e$epochId-p$partitionId-t$taskId-${UUID.randomUUID.toString.take(8)}",
+      fsConf.value)
 }
 
 private[sources] object MemWriters {
@@ -1142,7 +1198,8 @@ private[sources] object MemWriters {
     * straight through — no task-side row buffering, so task memory is
     * O(open files), not O(rows). */
   def writer(writeSchema: StructType, partitionCols: Seq[String],
-      dataDir: String, taskTag: String): DataWriter[InternalRow] =
+      dataDir: String, taskTag: String,
+      conf: Configuration): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val proj = UnsafeProjection.create(writeSchema)
       private val ords = partitionCols.map { c =>
@@ -1155,24 +1212,56 @@ private[sources] object MemWriters {
       private val open = scala.collection.mutable.LinkedHashMap
         .empty[Seq[Any], (RowFiles.Writer, String, Seq[Any])]
       private var fileSeq = 0
+      // Hot-path fast paths: unpartitioned tables route every row to ONE
+      // writer with zero per-row allocation, and partitioned writes are
+      // typically clustered (runs of equal partition values — guaranteed
+      // under write.distribution-mode=hash), so an element-wise compare
+      // against the LAST key usually short-circuits the Seq allocation +
+      // map lookup.
+      private var lastKey: Seq[Any] = null
+      private var lastWriter: RowFiles.Writer = null
+
+      private def sameAsLast(u: UnsafeRow): Boolean = {
+        if (lastKey == null) return false
+        var i = 0
+        while (i < ords.length) {
+          val v = u.get(ords(i), types(i))
+          val lv = lastKey(i)
+          if (if (v == null) lv != null else !v.equals(lv)) return false
+          i += 1
+        }
+        true
+      }
 
       private def writerFor(u: UnsafeRow): RowFiles.Writer = {
+        if (ords.isEmpty) {
+          if (lastWriter == null) lastWriter = register(Vector.empty)
+          return lastWriter
+        }
+        if (sameAsLast(u)) return lastWriter
         // The probe key holds views into the reused row buffer — fine for
         // lookup (UTF8String equality is content-based); deep-copy only
         // when registering a new partition.
         val probe: Seq[Any] =
           ords.indices.map(i => u.get(ords(i), types(i))).toVector
-        open.get(probe) match {
-          case Some((w, _, _)) => w
+        val w = open.get(probe) match {
+          case Some((existing, _, key)) => lastKey = key; existing
           case None =>
             val copied: Seq[Any] = probe.map(v =>
               if (v == null) null else InternalRow.copyValue(v)).toVector
-            val path = s"$dataDir/$taskTag-$fileSeq.grf"
-            fileSeq += 1
-            val w = new RowFiles.Writer(path, writeSchema.length)
-            open.put(copied, (w, path, copied))
-            w
+            lastKey = copied
+            register(copied)
         }
+        lastWriter = w
+        w
+      }
+
+      private def register(key: Seq[Any]): RowFiles.Writer = {
+        val path = s"$dataDir/$taskTag-$fileSeq.grf"
+        fileSeq += 1
+        val w = new RowFiles.Writer(path, writeSchema.length, conf)
+        open.put(key, (w, path, key))
+        w
       }
 
       override def write(row: InternalRow): Unit = {
@@ -1200,10 +1289,12 @@ private[sources] object MemWriters {
 }
 
 private[sources] final class MemWriterFactory(writeSchema: StructType,
-    partitionCols: Seq[String], dataDir: String) extends DataWriterFactory {
+    partitionCols: Seq[String], dataDir: String,
+    fsConf: org.apache.spark.util.SerializableConfiguration) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     MemWriters.writer(writeSchema, partitionCols, dataDir,
-      s"p$partitionId-t$taskId-${UUID.randomUUID.toString.take(8)}")
+      s"p$partitionId-t$taskId-${UUID.randomUUID.toString.take(8)}",
+      fsConf.value)
 }
 
 /** Plain read path: column pruning plus file-level partition pruning from
@@ -1243,7 +1334,8 @@ private[sources] object MemReaders {
     * count from the file's UnsafeRow stream, reusing one row buffer
     * (values are valid until the next `next()` call — the standard
     * PartitionReader contract; downstream operators copy what they keep). */
-  def factory(fullSchema: StructType, required: StructType): PartitionReaderFactory = {
+  def factory(fullSchema: StructType, required: StructType,
+      fsConf: org.apache.spark.util.SerializableConfiguration): PartitionReaderFactory = {
     val ordinals = required.fieldNames.map {
       case MemTable.FileColumnName => -1
       case f => fullSchema.fieldIndex(f)
@@ -1253,7 +1345,7 @@ private[sources] object MemReaders {
     (partition: InputPartition) => {
       val part = partition.asInstanceOf[MemFilePartition]
       new PartitionReader[InternalRow] {
-        private val reader = new RowFiles.Reader(part.path)
+        private val reader = new RowFiles.Reader(part.path, fsConf.value)
         // A file may be NARROWER than the table (written before an ALTER
         // TABLE ADD COLUMN): readers pad the added columns with NULL.
         // Wider is impossible — drops are rejected at alter time.
@@ -1300,7 +1392,7 @@ private[sources] final class MemScan(fullSchema: StructType,
       .map(f => MemFilePartition(f.path, f.rowCount): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    MemReaders.factory(fullSchema, required)
+    MemReaders.factory(fullSchema, required, RowFiles.sessionConf())
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -1382,7 +1474,7 @@ private[sources] final class MemMicroBatchStream(k: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    MemReaders.factory(fullSchema, required)
+    MemReaders.factory(fullSchema, required, RowFiles.sessionConf())
 }
 
 private[sources] final case class VersionOffset(version: Long)

@@ -134,6 +134,33 @@ class FileSnapshotCowSuite extends AnyFunSuite {
     assert(v2.filter(parts(_) == Seq("b")).forall(f => new java.io.File(f.path).isFile))
   }
 
+  test("mixed partition/data predicates are NOT metadata-decidable: DELETE " +
+    "takes the rewrite path and actually deletes") {
+    import spark.implicits._
+    val t = fresh("mixed")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, region STRING) PARTITIONED BY (region)")
+    spark.sql(s"INSERT INTO $t VALUES (1,'a'),(7,'a'),(9,'b')")
+    // A three-valued eval on an all-null probe row would short-circuit
+    // `region IS NOT NULL AND id > 5` to decidable-false and route this
+    // down the metadata path, where no file fully matches — a DELETE that
+    // silently deletes nothing. The structural check must refuse, forcing
+    // the copy-on-write rewrite.
+    spark.sql(s"DELETE FROM $t WHERE region IS NOT NULL AND id > 5")
+    assert(spark.sql(s"SELECT id FROM $t ORDER BY id").collect().toSeq ===
+      Seq(Row(1L)), "mixed-predicate DELETE must actually delete")
+    // Same trap through the null-safe comparator.
+    spark.sql(s"INSERT INTO $t VALUES (8, 'a')")
+    spark.sql(s"DELETE FROM $t WHERE region <=> 'a' AND id > 5")
+    assert(spark.sql(s"SELECT id FROM $t ORDER BY id").collect().toSeq ===
+      Seq(Row(1L)))
+    // Overwrite cannot scope a mixed predicate to whole files: loud
+    // failure, never an overwrite that behaves as an append.
+    val e = intercept[Exception](
+      Seq((30L, "a")).toDF("id", "region").writeTo(t)
+        .overwrite($"region".isNotNull && $"id" > 5))
+    assert(e.getMessage != null, e.toString)
+  }
+
   test("scans open only the partitions the predicate selects") {
     val t = fresh("prune")
     spark.sql(s"CREATE TABLE $t (id BIGINT, region STRING) PARTITIONED BY (region)")

@@ -71,12 +71,17 @@ object ChangeDataFeed {
     // The timeline pass reserves working-column names; a user column with
     // one of them would be silently REPLACED by withColumn (its changes
     // dropped from the feed, or lagged version numbers leaking into its
-    // pre-images) — fail loudly instead, checked on the table's own schema
-    // BEFORE the version tag is attached.
+    // pre-images) — fail loudly instead. Checked on EVERY version's schema
+    // (per-snapshot evolution can introduce a colliding column mid-range)
+    // and case-insensitively (withColumn resolves case-insensitively under
+    // the default spark.sql.caseSensitive=false), BEFORE the version tag
+    // is attached.
     val versions = (fromVersion to toVersion).map(v =>
       spark.sql(s"SELECT * FROM $table VERSION AS OF $v"))
-    val reserved = versions.head.columns.filter(c =>
-      c == "_v" || c == "_pv" || c == "_nv" || c.startsWith("_graft_old_"))
+    val reserved = versions.flatMap(_.columns).distinct.filter { c =>
+      val lc = c.toLowerCase
+      lc == "_v" || lc == "_pv" || lc == "_nv" || lc.startsWith("_graft_old_")
+    }
     require(reserved.isEmpty,
       s"tableChanges reserves column names _v, _pv, _nv, _graft_old_*; " +
         s"$table has: ${reserved.mkString(", ")}")

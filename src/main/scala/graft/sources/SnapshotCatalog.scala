@@ -647,9 +647,15 @@ private[sources] object RowFiles {
     def close(): Unit = stream.close()
   }
 
-  def delete(paths: Iterable[String]): Unit = paths.foreach { p =>
-    val hp = new Path(p)
-    try fs(hp).delete(hp, false) catch { case _: Exception => () }
+  def delete(paths: Iterable[String]): Unit = if (paths.nonEmpty) {
+    // One conf for the whole batch: sessionConf() copies the full session
+    // configuration, far too heavy to rebuild per deleted file (orphan GC
+    // can retire thousands).
+    val conf = sessionConf().value
+    paths.foreach { p =>
+      val hp = new Path(p)
+      try hp.getFileSystem(conf).delete(hp, false) catch { case _: Exception => () }
+    }
   }
 
   def deleteDir(dir: String): Unit = {
@@ -724,6 +730,23 @@ private[sources] object PartitionPredicates {
   /** True iff EVERY row of a file with `values` satisfies `p`. */
   def matchesSurely(p: VPredicate, cols: PartCols, values: Seq[Any]): Boolean =
     eval(p, cols, values.toIndexedSeq) == Some(Some(true))
+
+  /** [[matchesSurely]] over a conjunct set that already passed
+    * [[evaluable]]: an undecided eval here means the two operator tables
+    * drifted apart — fail LOUDLY rather than conservatively matching
+    * nothing, which would re-open the silent-no-op DELETE/OVERWRITE class
+    * the structural check exists to prevent. */
+  def matchesAllDecided(preds: Seq[VPredicate], cols: PartCols,
+      values: Seq[Any]): Boolean =
+    preds.forall { p =>
+      eval(p, cols, values.toIndexedSeq) match {
+        case None => throw new IllegalStateException(
+          s"internal: predicate $p passed the structural decidability check " +
+            "but eval could not decide it — the evaluable/eval operator " +
+            "tables drifted; fix PartitionPredicates before trusting this path")
+        case Some(b) => b.contains(true)
+      }
+    }
 
   def eval(p: VPredicate, cols: PartCols,
       values: IndexedSeq[Any]): Option[Option[Boolean]] = {
@@ -875,8 +898,8 @@ private[sources] final class MemTable(fullName: String, k: String,
     val cols = partColMap
     SnapshotStore.commit(k, Vector.empty, replace = true,
       replacedSelector = Some(st => st.currentFiles.filter(f =>
-        predicates.forall(
-          PartitionPredicates.matchesSurely(_, cols, f.partitionValues)))))
+        PartitionPredicates.matchesAllDecided(
+          predicates.toSeq, cols, f.partitionValues))))
   }
 }
 
@@ -1096,8 +1119,9 @@ private[sources] final class MemWriteBuilder(k: String, writeSchema: StructType,
             })
           case (_, Some(preds)) =>
             val cols = partCols
-            Some(cur => cur.currentFiles.filter(f => preds.forall(
-              PartitionPredicates.matchesSurely(_, cols, f.partitionValues))))
+            Some(cur => cur.currentFiles.filter(f =>
+              PartitionPredicates.matchesAllDecided(
+                preds.toSeq, cols, f.partitionValues)))
           case _ => None // plain truncate (if replace) or append
         }
       new MemBatchWrite(k, writeSchema, replace,

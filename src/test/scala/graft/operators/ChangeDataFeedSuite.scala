@@ -138,6 +138,27 @@ class ChangeDataFeedSuite extends AnyFunSuite {
     assert(e.getMessage.contains("files option"), e.getMessage)
   }
 
+  test("reserved working-column names fail loudly — any case, any version") {
+    // Case-insensitive: withColumn resolves case-insensitively, so `_V`
+    // would be clobbered exactly like `_v`.
+    val t1 = freshTable("resv1")
+    spark.sql(s"CREATE TABLE $t1 (id BIGINT, _V STRING)")
+    spark.sql(s"INSERT INTO $t1 VALUES (1, 'x')")
+    val e1 = intercept[IllegalArgumentException](
+      ChangeDataFeed.tableChanges(spark, t1, Seq("id"), 0L, 1L))
+    assert(e1.getMessage.contains("reserves"), e1.getMessage)
+    // Mid-range evolution: a colliding column added AFTER fromVersion must
+    // be caught too (only the head version's schema would miss it).
+    val t2 = freshTable("resv2")
+    spark.sql(s"CREATE TABLE $t2 (id BIGINT)")
+    spark.sql(s"INSERT INTO $t2 VALUES (1)")
+    spark.sql(s"ALTER TABLE $t2 ADD COLUMN _pv STRING")
+    spark.sql(s"INSERT INTO $t2 VALUES (2, 'y')")
+    val e2 = intercept[IllegalArgumentException](
+      ChangeDataFeed.tableChanges(spark, t2, Seq("id"), 0L, 2L))
+    assert(e2.getMessage.contains("reserves"), e2.getMessage)
+  }
+
   test("invalid version windows fail loudly") {
     val t = freshTable("bad")
     spark.sql(s"CREATE TABLE $t (id BIGINT)")

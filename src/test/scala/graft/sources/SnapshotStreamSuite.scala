@@ -204,6 +204,52 @@ class SnapshotStreamSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("interleave: a sink epoch landing MID-MERGE is a loud conflict — " +
+    "no lost update, and the rerun MERGE sees the epoch's rows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t = freshTable("ilv")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'base')")
+    // A real streaming sink feeds the table first (epoch 0)…
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ilv").toString
+    val q = input.toDF().toDF("id", "v").writeStream
+      .option("checkpointLocation", ckpt).toTable(t)
+    try {
+      input.addData((2L, "epoch"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // …then a batch MERGE races the sink's NEXT epoch: the MERGE's source
+    // fires the epoch commit (the sink's exact commit path) from a task,
+    // i.e. strictly AFTER the rewrite captured its base version at scan
+    // planning and strictly BEFORE its replacing write commits. replay
+    // dedup makes the multi-task UDF commit exactly one version.
+    val key = SnapshotStore.keyOf("graft_snap", Seq("stream", "ilv"))
+    val race = org.apache.spark.sql.functions.udf { (id: Long) =>
+      SnapshotStore.commitEpoch(key, "racing-sink", 0L, Vector.empty); id
+    }
+    spark.udf.register("graft_race_commit", race)
+    val merge =
+      s"""MERGE INTO $t u
+         |USING (SELECT graft_race_commit(CAST(1 AS BIGINT)) AS id, 'merged' AS v) s
+         |ON u.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin
+    val e = intercept[Exception](spark.sql(merge))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString("\n")
+    assert(msgs.contains("concurrent commit") && msgs.contains("rerun"), msgs)
+    // No lost update: the base row is un-merged, the sink's row survived,
+    // and the racing epoch's version is in the history.
+    assert(spark.sql(s"SELECT id, v FROM $t ORDER BY id").collect().toSeq ===
+      Seq(Row(1L, "base"), Row(2L, "epoch")))
+    // The rerun (Iceberg's documented remedy, quoted in the error) now
+    // reads the post-epoch base and commits cleanly.
+    spark.sql(merge)
+    assert(spark.sql(s"SELECT id, v FROM $t ORDER BY id").collect().toSeq ===
+      Seq(Row(1L, "merged"), Row(2L, "epoch")))
+  }
+
   test("streamed aggregation: the catalog feeds a stateful query") {
     import spark.implicits._
     val t = freshTable("agg")

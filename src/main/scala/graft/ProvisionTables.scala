@@ -27,13 +27,21 @@ object ProvisionTables {
     } else Seq(root)
 
   /** Provision every spec found at `root` against the given session;
-    * returns (spec, executed DDL) pairs. The seam `main` and tests share. */
+    * returns (spec, executed DDL) pairs. The seam `main` and tests share.
+    * `profile` selects the DDL dialect: the default Builtin profile
+    * (parquet, session catalog) or the reference's Iceberg dialect
+    * (`create_iceberg_tables.py:121-128`) pointed at any V2 catalog that
+    * accepts `USING iceberg` — offline, the engine's own
+    * [[graft.sources.SnapshotCatalog]] (IcebergSeamSuite drives this path
+    * end-to-end). */
   def run(spark: org.apache.spark.sql.SparkSession, root: Path,
-      warehouseDir: Option[String] = None): Seq[(TableSpec, String)] = {
+      warehouseDir: Option[String] = None,
+      profile: Option[CatalogProfile] = None): Seq[(TableSpec, String)] = {
     val paths = specPaths(root)
     require(paths.nonEmpty, s"no .yml/.yaml specs under $root")
     val specs = paths.map(p => TableSpec.fromYamlFile(p.toString))
-    val auto = new CatalogAutomation(spark, CatalogProfile.Builtin(warehouseDir))
+    val auto = new CatalogAutomation(spark,
+      profile.getOrElse(CatalogProfile.Builtin(warehouseDir)))
     specs.zip(auto.provision(specs))
   }
 

@@ -29,15 +29,33 @@ import graft.catalog.{PipelineSpec, PipelineStep}
   *     0.3): x02's α-mixture acceptance over (lang, n_tokens) — α = 0.5
   *     uses IEEE sqrt (bit-identical to x02); other α use pow
   *
+  * STORE-PROVISIONING ops — the data-plane twin of the deploy loop's DDL
+  * (`deploy_iceberg_tables.yml` provisions tables; these provision the
+  * operator stores the probes read), EXECUTING at build time (they are
+  * actions, not transforms) and passing the frame through unchanged so a
+  * spec can filter → build → sink. A provisioning spec needs no sink:
+  * the stores are its output.
+  *
+  *   - `build_signature_store`: n08's bucketed MinHash store
+  *     (`graft_store.corpus_shingles` / `corpus_bands`) from the current
+  *     frame's (doc_id, text) — the exact build `n08_neardup_store_probe`
+  *     gates, so a spec-provisioned store probes row-identically
+  *   - `build_ivf_store` (`coarse_probe` default 4): e11's two-level IVF
+  *     index (`graft_store.ivf_centroids` / `ivf_assign`, bucketed on
+  *     cell_id) from the current frame's (vec_id, embedding)
+  *
   * Scale posture: pure composition of the gated operators — the runner
   * adds no shuffle, collect, or driver loop of its own; `build` returns
-  * the lazy frame and `run` writes it to the sink.
+  * the lazy frame (store builds excepted, by contract above) and `run`
+  * writes it to the sink.
   */
 final class PipelineRunner(spark: SparkSession) {
 
   private val knownOps = Seq("filter", "select", "dedup_exact", "near_dup_drop",
     "span_removal", "quality_gate", "lang_id", "token_count", "sample_hash",
-    "temperature_mix")
+    "temperature_mix", "build_signature_store", "build_ivf_store")
+
+  private val storeOps = Set("build_signature_store", "build_ivf_store")
 
   /** Build the pipeline's lazy frame from fixture tables in `sfDir`. */
   def build(spec: PipelineSpec, sfDir: String): DataFrame = {
@@ -64,6 +82,8 @@ final class PipelineRunner(spark: SparkSession) {
       case (_, _, Some(table)) =>
         if (spec.effectiveMode == "append") out.writeTo(table).append()
         else out.writeTo(table).overwrite(org.apache.spark.sql.functions.lit(true))
+      case _ if spec.steps.exists(s => storeOps(s.op)) =>
+        () // provisioning spec: the stores ARE the output, built above
       case _ =>
         sys.error(s"${spec.name}: run() needs a sink; use build() for a frame")
     }
@@ -118,6 +138,16 @@ final class PipelineRunner(spark: SparkSession) {
       requireCols(df, step, "doc_id", "lang", "n_tokens")
       temperatureMix(df, step.paramOr("alpha", "0.5").toDouble,
         step.paramOr("budget_fraction", "0.3").toDouble)
+    case "build_signature_store" =>
+      requireCols(df, step, "doc_id", "text")
+      NearDup.buildCorpusStore(spark, df)
+      df
+    case "build_ivf_store" =>
+      requireCols(df, step, "vec_id", "embedding")
+      val c = Similarity.normalized(df)
+      Similarity.buildIvfStore(spark, c, Similarity.defaultIvfCentroids(c),
+        step.paramOr("coarse_probe", "4").toInt)
+      df
     case other =>
       sys.error(s"unknown op '$other'; known: ${knownOps.mkString(", ")}")
   }

@@ -25,11 +25,28 @@ object Similarity {
   private def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dot(a, b)
   private def sumSquares(c: Column): Column = graft.functions.VectorOps.sumSquares(c)
 
+  /** `(vec_id, embedding)` → `(vec_id, emb double[], norm)` — the shape
+    * every ANN operator consumes. Shared with [[PipelineRunner]]'s
+    * `build_ivf_store` op so a spec-provisioned index holds exactly the
+    * vectors the registered queries search. */
+  private[queries] def normalized(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("norm", sqrt(sumSquares(col("emb"))))
+
   /** Corpus with embeddings upcast to double and L2 norms precomputed. */
   private def corpus(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      .withColumn("norm", sqrt(sumSquares(col("emb"))))
+    normalized(Tables.embeddings(s, dir))
+
+  /** e11's index sizing: √N cells (16 minimum), centroids = the lowest
+    * vec_ids' vectors — deterministic, so a spec-driven build and the
+    * registered query derive the IDENTICAL index from the same corpus.
+    * One count job: the catalog statistic a deployment reads instead. */
+  private[queries] def defaultIvfCentroids(c: DataFrame): DataFrame = {
+    val nCells = math.max(16, math.ceil(math.sqrt(c.count().toDouble)).toInt)
+    c.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("int").as("cell_id"),
+        col("emb").as("cemb"), col("norm").as("cnorm"))
+  }
 
   /** Brute-force cosine top-k over an arbitrary `(vec_id, emb, norm)`
     * frame: broadcast the `queryFilter` rows against the full corpus,
@@ -661,12 +678,7 @@ object Similarity {
     "e11_knn_ivf_store",
     (s, dir) => {
       val c = corpus(s, dir)
-      // One count job sizes the index (catalog statistic at deployment).
-      val nCells = math.max(16, math.ceil(math.sqrt(c.count().toDouble)).toInt)
-      val centroids = c.filter(col("vec_id") < nCells)
-        .select(col("vec_id").cast("int").as("cell_id"),
-          col("emb").as("cemb"), col("norm").as("cnorm"))
-      buildIvfStore(s, c, centroids, coarseProbe = 4)
+      buildIvfStore(s, c, defaultIvfCentroids(c), coarseProbe = 4)
       graft.operators.IvfAnn.searchStored(
         s.table(s"${NearDup.storeDb}.ivf_assign"),
         c.filter(col("vec_id") < 8),

@@ -57,6 +57,59 @@ steps:
     assert(fromSpec.nonEmpty)
   }
 
+  test("a spec-provisioned signature store probes row-identically to the " +
+    "registered n08 store query") {
+    // The registered build+probe first (it rebuilds the store itself)…
+    val registered = graft.SparkEntry.queries("n08_neardup_store_probe")(spark, dir)
+      .collect().toSet
+    // …then the YAML plane provisions the SAME store (corpus split as a
+    // plain filter step, sinkless: the stores are the output)…
+    val spec = PipelineSpec.fromYaml(
+      """pipeline: provision_sig_store
+        |source: {table: documents}
+        |steps:
+        |  - op: filter
+        |    expr: doc_id % 7 != 0
+        |  - op: build_signature_store
+        |""".stripMargin)
+    runner.run(spec, dir)
+    // …and the registered probe over the spec-built store answers
+    // identically (same select/round/order as the gated query).
+    val probed = graft.operators.MinHashLsh.nearDupAgainstStore(
+        Tables.documents(spark, dir).filter(col("doc_id") % 7 === 0),
+        spark.table(s"${NearDup.storeDb}.corpus_shingles"),
+        spark.table(s"${NearDup.storeDb}.corpus_bands"),
+        "doc_id", "text", NearDup.P)
+      .select(col("batch_id").as("batch_doc"), col("corpus_id").as("corpus_doc"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .collect().toSet
+    assert(probed === registered)
+    assert(probed.nonEmpty)
+  }
+
+  test("a spec-provisioned IVF store serves the registered e11 probe " +
+    "row-identically") {
+    val registered = graft.SparkEntry.queries("e11_knn_ivf_store")(spark, dir)
+      .collect().toSet
+    val spec = PipelineSpec.fromYaml(
+      """pipeline: provision_ivf_store
+        |source: {table: embeddings}
+        |steps:
+        |  - op: build_ivf_store
+        |    coarse_probe: 4
+        |""".stripMargin)
+    runner.run(spec, dir)
+    val c = Similarity.normalized(Tables.table(spark, dir, "embeddings"))
+    val probed = graft.operators.IvfAnn.searchStored(
+        spark.table(s"${NearDup.storeDb}.ivf_assign"),
+        c.filter(col("vec_id") < 8),
+        spark.table(s"${NearDup.storeDb}.ivf_centroids"),
+        coarseProbe = 4, nProbe = 4, k = 5)
+      .collect().toSet
+    assert(probed === registered)
+    assert(probed.nonEmpty)
+  }
+
   test("generic ops: filter, dedup, hash sampling compose and stay lazy") {
     val spec = PipelineSpec.fromYaml("""pipeline: slice
 source:

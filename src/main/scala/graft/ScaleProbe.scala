@@ -72,7 +72,7 @@ object ScaleProbe {
     * measured Σ|cell|² of that artificial pile-up (702 s), not the
     * operator. Shift caps at the embedding dim (rep % 64) — factors ≥ 64
     * would alias replica orientations, fine for the probed range. */
-  private def amplifyVecs(df: DataFrame, factor: Int): DataFrame = {
+  private[graft] def amplifyVecs(df: DataFrame, factor: Int): DataFrame = {
     val shift = (col("_rep") % lit(64)).cast("int")
     df.withColumn("_rep", explode(sequence(lit(1), lit(factor))))
       .select(
@@ -332,6 +332,26 @@ object ScaleProbe {
     val liGraph = li.select("l_orderkey", "l_partkey")
     def triangleCensus(d: DataFrame): DataFrame =
       graft.queries.Linkage.triangleCensusOverLineitem(d)
+    // The sized form applies the measured-best remedy: wedgeTasks ∝
+    // factor (sf0.1×30: 52.1 s → 32.0 s). The pipeline's residual spill
+    // is the pair aggregate's task-memory contention (see
+    // Linkage.coPurchasePairs — bounded by the fan-out stream, benign,
+    // and NOT fixable by partition count; pairTasks relocates rather
+    // than removes it). The spill bound below is that stream's linear
+    // ceiling: the probe fails loudly if the spill ever grows
+    // super-linearly or the census stages start spilling on top.
+    def triangleCensusSized(d: DataFrame): DataFrame =
+      graft.queries.Linkage.triangleCensusOverLineitem(d,
+        wedgeTasks = Some(32 * factor))
+    def graphPairs(d: DataFrame): DataFrame =
+      graft.queries.Linkage.coPurchasePairs(d)
+    def graphDistinct(d: DataFrame): DataFrame =
+      d.select(col("l_orderkey").as("okey"), col("l_partkey")).distinct()
+    def graphFanout(d: DataFrame): DataFrame = {
+      val li2 = graphDistinct(d)
+      li2.toDF("okey", "u").join(li2.toDF("okey", "v"), "okey")
+        .filter(col("u") < col("v"))
+    }
     def amplifyGraph(df: DataFrame, factor: Int): DataFrame =
       df.withColumn("_rep", explode(sequence(lit(1), lit(factor))))
         .select(
@@ -387,6 +407,10 @@ object ScaleProbe {
       ("merge_upsert", mergeUpsert _, cust, amplifyCust _),
       ("cdf_maint", cdfMaint _, cust, amplifyCust _),
       ("triangle_census", triangleCensus _, liGraph, amplifyGraph _),
+      ("triangle_census_sized", triangleCensusSized _, liGraph, amplifyGraph _),
+      ("graph_pairs", graphPairs _, liGraph, amplifyGraph _),
+      ("graph_distinct", graphDistinct _, liGraph, amplifyGraph _),
+      ("graph_fanout", graphFanout _, liGraph, amplifyGraph _),
       ("rolling_hour", rollingHour _, events, amplifyEvents _),
       ("rolling_hour_bucketed", rollingHourBucketed _, events, amplifyEvents _))
     val wanted = args.drop(2).toSet
@@ -412,6 +436,17 @@ object ScaleProbe {
       totals.snapshot()
     }
     def mb(bytes: Long): String = f"${bytes / 1048576.0}%.1f"
+    // Attributed-bound assertions: shapes with a documented memory
+    // attribution fail the probe loudly if the amplified run exceeds the
+    // bound — the finding stays enforced, not prose. The census
+    // pipeline's spill is the pair aggregate's contention spill, whose
+    // ceiling is the WHOLE fan-out stream — linear in factor (the
+    // spilled fraction rises with contention toward 1: measured sf0.1
+    // 23 MB/× at ×30 → 36 MB/× at ×60). 48 MB × factor is that ceiling
+    // with headroom; crossing it means genuinely super-linear spill
+    // (a quadratic stage) or a previously spill-free census stage
+    // regressed.
+    val spillBounds = Map("triangle_census_sized" -> factor * (48L << 20))
     println(f"shape,base_s,x${factor}_s,ratio,base_shuf_mb,x${factor}_shuf_mb,base_spill_mb,x${factor}_spill_mb")
     shapes.foreach { case (name, f, base, amp) =>
       totals.snapshot()
@@ -423,6 +458,10 @@ object ScaleProbe {
       val (xw, xsp) = settled()
       spark.catalog.clearCache()
       println(f"$name,$b%.2f,$s%.2f,${s / b}%.1f,${mb(bw)},${mb(xw)},${mb(bsp)},${mb(xsp)}")
+      spillBounds.get(name).filter(_ < xsp).foreach(bound => sys.error(
+        f"$name spilled ${mb(xsp)} MB at x$factor — over the ${mb(bound)} MB " +
+          "attributed linear bound (calibrated on sf0.1); the spill went " +
+          "super-linear or a previously spill-free stage regressed"))
     }
     spark.stop()
   }

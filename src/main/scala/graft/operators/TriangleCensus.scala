@@ -25,16 +25,18 @@ import graft.queries.Q
   */
 object TriangleCensus {
 
-  /** `wedgeTasks`: task count for the wedge join stage — the census's ONE
-    * memory-sensitive stage. Its per-task working set is the sorted run of
-    * O(m^{3/2} / tasks) candidate rows, so the spill condition is
-    * (executor memory × memoryFraction) / concurrent tasks < that set: at
-    * ×30 on a 32-thread shared heap the default 32 tasks sorted ~0.7 GB to
-    * disk (BASELINE.md g02 row) while the PLAN stayed linear — the fix is
-    * more, smaller tasks, not a different plan. Defaults to the session's
-    * `spark.sql.shuffle.partitions`; raise it ∝ m^{3/2} / (per-task memory)
-    * when the census spills. Both wedge sides are hash-repartitioned on the
-    * shared root so the join itself adds no further exchange. */
+  /** `wedgeTasks`: task count for the wedge join stage — the census's
+    * memory-sensitive stage, whose per-task working set is the sorted run
+    * of O(m^{3/2} / tasks) candidate rows. Defaults to the session's
+    * `spark.sql.shuffle.partitions`; raise it ∝ m^{3/2} / (per-task
+    * memory) as the graph grows. Both wedge sides are hash-repartitioned
+    * on the shared root so the join itself adds no further exchange.
+    * Measured effect at sf0.1×30 (BASELINE.md round-11 graph row): tasks
+    * ∝ factor cuts the g02 pipeline's wall 52.1 → 32.0 s. Note the
+    * pipeline's 0.7 GB spill at that scale is NOT this stage — it is the
+    * caller's pair-aggregate contention spill
+    * ([[graft.queries.Linkage.coPurchasePairs]] documents the mechanism
+    * and its own knob); round 10 attributed it here, one stage off. */
   def census(edges: DataFrame, wedgeTasks: Option[Int] = None): DataFrame = {
     // The edge list is consumed by the degree aggregate AND the orientation
     // join, and the oriented list three more times (both wedge sides + the

@@ -153,7 +153,32 @@ object Linkage {
   /** The registered g02 body over any `(l_orderkey, l_partkey)` frame —
     * shared with `ScaleProbe`'s `triangle_census` shape so the probe times
     * the exact plan the oracle gate checks. */
-  def triangleCensusOverLineitem(liRaw: DataFrame): DataFrame = {
+  /** g02's edge construction alone — the co-purchase pair aggregate over
+    * the quadratic per-order fan-out. Exposed so [[graft.ScaleProbe]] can
+    * attribute the census pipeline's memory behavior stage by stage.
+    *
+    * This aggregate is where g02's measured ×30 spill actually lives
+    * (the round-10 attribution to the census's wedge stage was one stage
+    * off — ScaleProbe's graph_pairs/graph_fanout/graph_distinct shapes
+    * isolate it: fan-out join alone 0 spill, + pair agg 695 MB at
+    * sf0.1×30). The mechanism is TASK-MEMORY CONTENTION, not map
+    * cardinality: the partial agg pipelines inside the fan-out join's
+    * tasks, its hash map competing with the SMJ sort buffers for the
+    * shared execution pool, so the sort-based fallback spills the stream
+    * — identically at 32 and 960 shuffle partitions, because concurrency
+    * (32 slots), not partition size, sets the per-task budget. The spill
+    * is LINEAR in the fan-out and sequential-IO benign; the probe bounds
+    * it ∝ factor so it can never silently go super-linear.
+    *
+    * `pairTasks = Some(n)` relocates the aggregate into its own stage by
+    * hash-routing the RAW (u, v) stream first. Measured at local[32]
+    * sf0.1×30 this traded 695 MB of agg-fallback spill for 405 MB of
+    * shuffle-writer spill and a slower wall (the raw fan-out crosses the
+    * wire un-combined; reduction ratio here is only ~1.3×) — keep the
+    * default unless a deployment's memory-per-slot makes the fallback
+    * thrash. */
+  def coPurchasePairs(liRaw: DataFrame,
+      pairTasks: Option[Int] = None): DataFrame = {
     // Dedup (order, part) BEFORE the quadratic pair fan-out: repeated
     // lineitems of one part in one order would multiply pair rows for
     // nothing, and deduping first turns the pair aggregate's
@@ -162,15 +187,21 @@ object Linkage {
     val li = liRaw
       .select(col("l_orderkey").as("okey"), col("l_partkey"))
       .distinct()
-    val pairs = li.toDF("okey", "u")
+    val fanout = li.toDF("okey", "u")
       .join(li.toDF("okey", "v"), "okey")
       .filter(col("u") < col("v"))
+    pairTasks.fold(fanout)(n => fanout.repartition(n, col("u"), col("v")))
       .groupBy("u", "v")
       .agg(count(lit(1)).as("n_ord"))
       .filter(col("n_ord") >= 2)
       .select("u", "v")
-    graft.operators.TriangleCensus.census(pairs)
   }
+
+  def triangleCensusOverLineitem(liRaw: DataFrame,
+      wedgeTasks: Option[Int] = None,
+      pairTasks: Option[Int] = None): DataFrame =
+    graft.operators.TriangleCensus.census(
+      coPurchasePairs(liRaw, pairTasks), wedgeTasks)
 
   val g02TriangleCount = Q(
     "g02_triangle_count",

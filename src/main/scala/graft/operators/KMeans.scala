@@ -176,6 +176,17 @@ object KMeans {
     * vectors. Returns the final assignment (idCol, cluster, dist2). */
   def fit(vectors: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
+    val v = vectors.persist()
+    assign(v, fitCentroids(v, idCol, vecCol, k, iters), idCol, vecCol)
+      .select(col(idCol), col("cluster"), col("dist2"))
+  }
+
+  /** The fitted MODEL itself — `(cluster, cvec)`, k·d driver-bounded — for
+    * consumers that route against the centroids rather than needing the
+    * corpus assignment (IVF index builds, the AnnSweep production regime).
+    * Same seeding/iteration as [[fit]], so `fit ≡ assign ∘ fitCentroids`. */
+  def fitCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
     val spark = vectors.sparkSession
     import spark.implicits._
@@ -225,7 +236,6 @@ object KMeans {
       centroids = centroids.map { case (c, v) => (c, means.getOrElse(c, v)) }
       it += 1
     }
-    assign(v, centroidDf(centroids), idCol, vecCol)
-      .select(col(idCol), col("cluster"), col("dist2"))
+    centroidDf(centroids)
   }
 }

@@ -703,9 +703,55 @@ object Governance {
     },
     m08ChangeFeed.oracle)
 
+  /** The `history` METADATA TABLE as a relation (`SELECT … FROM t.history`
+    * — Iceberg's `db.table.history` surface, served by the catalog's
+    * metadata-suffix fallback as a driver-local scan): commit lineage
+    * (version, kind, live row count) of a deterministic three-commit
+    * script over the orders fixture. The oracle reconstructs each
+    * version's expected lineage row from the SAME fixture predicates, so
+    * a history that misnumbered versions, misclassified a commit
+    * (append vs rewrite), or miscounted a snapshot's live rows would
+    * hash-mismatch. `committed_at` and file counts are excluded: wall
+    * clock and write-task parallelism are not cross-engine-deterministic
+    * (they are sbt-gated in SnapshotMetaSuite instead).
+    *
+    * Scale: the relation is |snapshots|-bounded metadata — a LocalScan by
+    * design (the catalog's driver-holds-metadata-only contract), so there
+    * is nothing to distribute.
+    */
+  val m12MetadataHistory = Q(
+    "m12_metadata_history",
+    (s, dir) => {
+      val t = "graft_snap.gov.orders_m12"
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.gov")
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"""CREATE TABLE $t (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_totalprice DOUBLE)""")
+      Tables.orders(s, dir).createOrReplaceTempView("m12_orders_src")
+      s.sql(s"""INSERT INTO $t
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM m12_orders_src WHERE o_orderdate < TIMESTAMP '1994-01-01 00:00:00'""")
+      s.sql(s"""INSERT INTO $t
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM m12_orders_src WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'""")
+      s.sql(s"DELETE FROM $t WHERE o_orderstatus = 'O'")
+      s.sql(s"""SELECT version, operation, total_rows
+        FROM $t.history ORDER BY version""")
+    },
+    Some("""SELECT CAST(1 AS BIGINT) AS version, 'append' AS operation,
+        count(*) AS total_rows
+      FROM orders WHERE o_orderdate < TIMESTAMP '1994-01-01 00:00:00'
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'append', count(*) FROM orders
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), 'rewrite', count(*)
+      FROM orders WHERE o_orderstatus <> 'O'
+      ORDER BY version"""))
+
   val all: Seq[Q] = Seq(
     m01MergeUpsert, m02Scd2History, m03IncrementalRefresh, m04SnapshotDiff,
     m05SqlMerge, m06SqlUpdateDelete, m07TimeTravel, m08ChangeFeed,
     m09IncrementalMaint, m10PartitionedCow, m11ChangeFeedPruned,
-    a01QualityAudit, z01ZorderLayout)
+    m12MetadataHistory, a01QualityAudit, z01ZorderLayout)
 }

@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.catalyst.{expressions => ce}
 import org.apache.spark.sql.catalyst.expressions.{UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform, Expression => VExpression, Literal => VLiteral}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsPushDownV2Filters, SupportsRuntimeV2Filtering}
@@ -78,7 +79,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Readers of an expired snapshot can fail mid-scan if expire() collects
   * their files first — the same contract as Iceberg's expire_snapshots.
   */
-class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
+class SnapshotCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -139,10 +141,37 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val k = key(ident)
-    val st = SnapshotStore.tables.getOrElse(k, throw new NoSuchTableException(ident))
-    new MemTable(ident.toString, k, st.schema, st.partitionCols, st.properties,
-      pinned = None)
+    SnapshotStore.tables.get(k) match {
+      case Some(st) =>
+        new MemTable(ident.toString, k, st.schema, st.partitionCols, st.properties,
+          pinned = None)
+      case None =>
+        // Metadata-table fallback (`db.t.history` / `.files` / `.tags`):
+        // only when the FULL identifier names no real table and its
+        // namespace tail names one — a genuine table always wins.
+        val meta = for {
+          ns <- Option(ident.namespace()).filter(_.nonEmpty)
+          parent = Identifier.of(ns.init, ns.last)
+          pk = key(parent) if SnapshotStore.tables.contains(pk)
+          t <- MetaTables.forSuffix(parent.toString, pk, ident.name())
+        } yield t
+        meta.getOrElse(throw new NoSuchTableException(ident))
+    }
   }
+
+  // -- procedures (`CALL <catalog>.system.<proc>(…)`) ----------------------
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    SnapshotProcedures.load(catalogName, ident).getOrElse(
+      throw new RuntimeException(
+        s"procedure $ident not found; known: " +
+          SnapshotProcedures.names.map(n => s"$catalogName.system.$n")
+            .mkString(", ")))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      SnapshotProcedures.names.map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
 
   /** `VERSION AS OF v` — a read-only pin of snapshot v (0 = the empty
     * just-created table), or of a named tag (`VERSION AS OF 'release_1'`,

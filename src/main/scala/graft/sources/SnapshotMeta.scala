@@ -1,0 +1,190 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, Procedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Iceberg-parity METADATA TABLES for the snapshot catalog: appending a
+  * reserved suffix to a table identifier reads its metadata as a relation —
+  * `SELECT * FROM graft_snap.db.t.history` / `.files` / `.tags` — so lake
+  * maintenance queries (commit audit, small-file detection, tag inventory)
+  * are plain SQL joins, not API calls (Iceberg's `db.table.history` surface;
+  * the reference provisions exactly such a catalog,
+  * `create_iceberg_tables.py:121-128`).
+  *
+  * Served as [[LocalScan]]s: snapshot metadata is driver-held by design
+  * (SCALE CONTRACT in [[SnapshotCatalog]] — metadata only, never row data),
+  * so a local scan is the honest plan: no executor round-trip for a frame
+  * bounded by |snapshots| or |files|. A REAL table named like a metadata
+  * suffix always wins — the fallback fires only when the full identifier
+  * resolves to nothing.
+  */
+private[sources] object MetaTables {
+
+  val Suffixes: Set[String] = Set("history", "files", "tags")
+
+  /** The metadata table for `parentKey`'s `suffix`, or None if the suffix
+    * is not a metadata name. */
+  def forSuffix(display: String, parentKey: String, suffix: String): Option[Table] = {
+    def ts(micros: Long): Any = micros // TimestampType carries micros
+    suffix match {
+      case "history" => Some(new MetaTable(s"$display.history",
+        StructType(Seq(
+          StructField("version", LongType, nullable = false),
+          StructField("committed_at", TimestampType, nullable = false),
+          StructField("operation", StringType, nullable = false),
+          StructField("appended_files", IntegerType, nullable = true),
+          StructField("total_files", IntegerType, nullable = false),
+          StructField("total_rows", LongType, nullable = false))),
+        () => SnapshotStore.stateOf(parentKey).snapshots.toArray.map { s =>
+          new GenericInternalRow(Array[Any](
+            s.version, ts(s.commitMicros),
+            UTF8String.fromString(if (s.appendedFiles >= 0) "append" else "rewrite"),
+            if (s.appendedFiles >= 0) s.appendedFiles else null,
+            s.files.size, s.files.map(_.rowCount).sum))
+        }))
+      case "files" => Some(new MetaTable(s"$display.files",
+        StructType(Seq(
+          StructField("file_path", StringType, nullable = false),
+          StructField("partition", StringType, nullable = true),
+          StructField("row_count", LongType, nullable = false))),
+        () => {
+          val st = SnapshotStore.stateOf(parentKey)
+          st.currentFiles.toArray.map { f =>
+            val part =
+              if (st.partitionCols.isEmpty) null
+              else UTF8String.fromString(st.partitionCols.zip(f.partitionValues)
+                .map { case (c, v) => s"$c=${String.valueOf(v)}" }.mkString("/"))
+            new GenericInternalRow(Array[Any](
+              UTF8String.fromString(f.path), part, f.rowCount))
+          }
+        }))
+      case "tags" => Some(new MetaTable(s"$display.tags",
+        StructType(Seq(
+          StructField("tag", StringType, nullable = false),
+          StructField("version", LongType, nullable = false))),
+        () => SnapshotStore.stateOf(parentKey).tags.toArray.sortBy(_._1).map {
+          case (t, v) => new GenericInternalRow(Array[Any](UTF8String.fromString(t), v))
+        }))
+      case _ => None
+    }
+  }
+}
+
+private[sources] final class MetaTable(name0: String, schema0: StructType,
+    rowsFn: () => Array[InternalRow]) extends Table with SupportsRead {
+  override def name(): String = name0
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = rowsFn()
+        override def readSchema(): StructType = schema0
+      }
+    }
+}
+
+/** Iceberg-parity SQL PROCEDURES (`CALL graft_snap.system.<proc>(…)`) — the
+  * maintenance surface as statements, not API calls, so the same deploy
+  * tooling that issues DDL can issue retention/rollback/compaction
+  * (Iceberg's `CALL catalog.system.expire_snapshots(…)` family):
+  *
+  *   - `expire_snapshots(table, keep_last)` → rows expired + files deleted
+  *   - `rollback_to_version(table, version)` → the new live version
+  *   - `create_tag(table, tag, version)` / `drop_tag(table, tag)`
+  *   - `rewrite_data_files(table)` → files before/after (compaction)
+  *
+  * Each wraps the corresponding [[SnapshotCatalog]] operation; `table` is
+  * the dot-joined identifier within THIS catalog (`'db.t'` — plain names,
+  * no quoting: the argument is data, not parsed SQL). Results come back as
+  * a one-row [[LocalScan]] (driver-bounded, like the metadata tables).
+  */
+private[sources] object SnapshotProcedures {
+
+  def names: Seq[String] =
+    Seq("expire_snapshots", "rollback_to_version", "create_tag", "drop_tag",
+      "rewrite_data_files")
+
+  def load(catalogName: String, ident: Identifier): Option[UnboundProcedure] = {
+    if (!ident.namespace().sameElements(Array("system"))) return None
+    def identOf(s: String): Seq[String] = s.split('.').toSeq
+    def str(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
+
+    ident.name() match {
+      case "expire_snapshots" => Some(proc("expire_snapshots",
+        "expire all but the newest keep_last snapshots; GC unreferenced files",
+        Seq(in("table", StringType), in("keep_last", IntegerType)),
+        StructType(Seq(StructField("expired_snapshots", IntegerType, nullable = false))),
+        r => {
+          val n = SnapshotCatalog.expire(catalogName, identOf(str(r, 0)), r.getInt(1))
+          Array[Any](n)
+        }))
+      case "rollback_to_version" => Some(proc("rollback_to_version",
+        "commit a new snapshot re-referencing the given version's files",
+        Seq(in("table", StringType), in("version", LongType)),
+        StructType(Seq(StructField("current_version", LongType, nullable = false))),
+        r => Array[Any](
+          SnapshotCatalog.rollback(catalogName, identOf(str(r, 0)), r.getLong(1)))))
+      case "create_tag" => Some(proc("create_tag",
+        "name a snapshot; tags resolve in VERSION AS OF and shield from expire",
+        Seq(in("table", StringType), in("tag", StringType), in("version", LongType)),
+        StructType(Seq(
+          StructField("tag", StringType, nullable = false),
+          StructField("version", LongType, nullable = false))),
+        r => {
+          SnapshotCatalog.tag(catalogName, identOf(str(r, 0)), str(r, 1), r.getLong(2))
+          Array[Any](r.getUTF8String(1).copy(), r.getLong(2))
+        }))
+      case "drop_tag" => Some(proc("drop_tag",
+        "remove a tag; its snapshot becomes expirable again",
+        Seq(in("table", StringType), in("tag", StringType)),
+        StructType(Seq(StructField("existed", BooleanType, nullable = false))),
+        r => Array[Any](
+          SnapshotCatalog.removeTag(catalogName, identOf(str(r, 0)), str(r, 1)))))
+      case "rewrite_data_files" => Some(proc("rewrite_data_files",
+        "compact live data to one file per partition (history preserved)",
+        Seq(in("table", StringType)),
+        StructType(Seq(
+          StructField("files_before", IntegerType, nullable = false),
+          StructField("files_after", IntegerType, nullable = false))),
+        r => {
+          val (b, a) = SnapshotCatalog.compact(SparkSession.active, catalogName,
+            identOf(str(r, 0)))
+          Array[Any](b, a)
+        }))
+      case _ => None
+    }
+  }
+
+  private def in(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+
+  /** A one-result-row procedure: `body` receives the coerced argument row
+    * (declared parameter order) and returns the output row's values. */
+  private def proc(name0: String, desc: String, params: Seq[ProcedureParameter],
+      outSchema: StructType, body: InternalRow => Array[Any]): UnboundProcedure =
+    new UnboundProcedure with BoundProcedure {
+      override def name(): String = name0
+      override def description(): String = desc
+      override def bind(inputType: StructType): BoundProcedure = this
+      override def parameters(): Array[ProcedureParameter] = params.toArray
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val row: InternalRow = new GenericInternalRow(body(input))
+        util.Collections.singletonList[Scan](new LocalScan {
+          override def rows(): Array[InternalRow] = Array(row)
+          override def readSchema(): StructType = outSchema
+        }).iterator()
+      }
+    }
+}

@@ -1,0 +1,127 @@
+package graft.sources
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Metadata tables (`db.t.history` / `.files` / `.tags`) and SQL
+  * procedures (`CALL graft_snap.system.…`) — the lake maintenance surface
+  * as plain SQL, end-to-end through the parser/analyzer (no API calls in
+  * the statements under test).
+  */
+class SnapshotMetaSuite extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val cat = "graft_snap"
+
+  private def freshTable(name: String): String = {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.meta")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.meta.$name")
+    s"$cat.meta.$name"
+  }
+
+  test("history reflects commit kinds; files shows the live layout; " +
+    "tags lists names — and joins against data work") {
+    val t = freshTable("meta1")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, region STRING) PARTITIONED BY (region)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b')") // v1: append, 2 files
+    spark.sql(s"DELETE FROM $t WHERE id = 1")              // v2: rewrite
+    val hist = spark.sql(
+      s"SELECT version, operation, total_files, total_rows FROM $t.history ORDER BY version")
+      .collect().toSeq
+    assert(hist === Seq(
+      Row(1L, "append", 2, 2L),
+      Row(2L, "rewrite", 1, 1L)), hist)
+    // committed_at is a real timestamp (filterable SQL surface).
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM $t.history WHERE committed_at <= current_timestamp()")
+      .collect().head.getLong(0) === 2L)
+
+    val files = spark.sql(
+      s"SELECT partition, row_count FROM $t.files ORDER BY partition")
+      .collect().toSeq
+    assert(files === Seq(Row("region=b", 1L)), files)
+
+    SnapshotCatalog.tag(cat, Seq("meta", "meta1"), "v1_tag", 1L)
+    assert(spark.sql(s"SELECT tag, version FROM $t.tags").collect().toSeq ===
+      Seq(Row("v1_tag", 1L)))
+
+    // The metadata relation joins like any other: live rows per partition
+    // from files × the data itself.
+    val joined = spark.sql(
+      s"""SELECT d.region, f.row_count FROM $t d
+         |JOIN $t.files f ON f.partition = concat('region=', d.region)""".stripMargin)
+      .collect().toSeq
+    assert(joined === Seq(Row("b", 1L)))
+  }
+
+  test("a REAL table always outranks the metadata fallback; unknown " +
+    "suffixes still fail loudly") {
+    // A genuine table named `history` under namespace (meta, meta2),
+    // created BEFORE meta2 itself exists as a table (afterwards the
+    // suffix is effectively reserved — the fallback makes the identifier
+    // resolve, so CREATE sees it as taken; Iceberg's metadata suffixes
+    // behave the same way).
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.meta.meta2")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.meta.meta2.history")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.meta.meta2")
+    spark.sql(s"CREATE TABLE $cat.meta.meta2.history (note STRING)")
+    spark.sql(s"INSERT INTO $cat.meta.meta2.history VALUES ('real table')")
+    val t = s"$cat.meta.meta2"
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")
+    spark.sql(s"INSERT INTO $t VALUES (7)")
+    // The full identifier resolves to the REAL table, not meta2's metadata.
+    assert(spark.sql(s"SELECT note FROM $t.history").collect().toSeq ===
+      Seq(Row("real table")))
+    spark.sql(s"DROP TABLE $t.history")
+    // With the shadow gone the suffix serves metadata again.
+    assert(spark.sql(s"SELECT operation FROM $t.history ORDER BY version")
+      .collect().toSeq === Seq(Row("append")))
+    val e = intercept[Exception](spark.sql(s"SELECT * FROM $t.nonsense").collect())
+    assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      e.getMessage.toLowerCase.contains("cannot be found"), e.getMessage)
+  }
+
+  test("CALL procedures: tag, rollback, expire, rewrite_data_files — " +
+    "the full maintenance loop in SQL") {
+    val t = freshTable("proc1")
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")
+    spark.sql(s"INSERT INTO $t VALUES (1)") // v1
+    spark.sql(s"INSERT INTO $t VALUES (2)") // v2
+    spark.sql(s"INSERT INTO $t VALUES (3)") // v3
+
+    assert(spark.sql(
+      s"CALL $cat.system.create_tag('meta.proc1', 'good', 1)")
+      .collect().toSeq === Seq(Row("good", 1L)))
+
+    // Roll back to v2 — a NEW commit (v4) re-referencing v2's files.
+    assert(spark.sql(
+      s"CALL $cat.system.rollback_to_version('meta.proc1', 2)")
+      .collect().toSeq === Seq(Row(4L)))
+    assert(spark.sql(s"SELECT id FROM $t ORDER BY id").collect().toSeq ===
+      Seq(Row(1L), Row(2L)))
+
+    // Expire all but the newest snapshot; the tagged v1 survives.
+    val expired = spark.sql(
+      s"CALL $cat.system.expire_snapshots('meta.proc1', 1)")
+      .collect().head.getInt(0)
+    assert(expired === 2, s"expected v2+v3 expired, tagged v1 kept: $expired")
+    assert(spark.sql(s"SELECT id FROM $t VERSION AS OF 'good'").collect().toSeq ===
+      Seq(Row(1L)))
+
+    // Compact the 2-file live state into 1 (named-argument CALL syntax).
+    assert(spark.sql(
+      s"CALL $cat.system.rewrite_data_files(`table` => 'meta.proc1')")
+      .collect().toSeq === Seq(Row(2, 1)))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t.files").collect().head.getLong(0) === 1L)
+
+    assert(spark.sql(s"CALL $cat.system.drop_tag('meta.proc1', 'good')")
+      .collect().toSeq === Seq(Row(true)))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t.tags").collect().head.getLong(0) === 0L)
+
+    val e = intercept[Exception](spark.sql(s"CALL $cat.system.no_such_proc()"))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString("\n")
+    assert(msgs.contains("expire_snapshots"), msgs) // names the known set
+  }
+}

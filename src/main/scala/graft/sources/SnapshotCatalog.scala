@@ -898,7 +898,8 @@ private[sources] final class MemTable(fullName: String, k: String,
       // LIVE whole table is streamable.
       streamKey = if (pinned.isEmpty && restricted.isEmpty) Some(k) else None,
       maxVersionsPerTrigger =
-        Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
+        Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
+      startingVersion = Option(options.get("startingVersion")))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -1357,7 +1358,8 @@ private[sources] final class MemWriterFactory(writeSchema: StructType,
 private[sources] final class MemScanBuilder(fullSchema: StructType,
     partCols: PartitionPredicates.PartCols,
     files: Vector[SnapshotStore.DataFile], streamKey: Option[String] = None,
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    startingVersion: Option[String] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownV2Filters {
   private var required: StructType = fullSchema
@@ -1371,7 +1373,8 @@ private[sources] final class MemScanBuilder(fullSchema: StructType,
   override def build(): Scan = {
     val retained = files.filter(f => !pushed.exists(
       PartitionPredicates.definitelyExcludes(_, partCols, f.partitionValues)))
-    new MemScan(fullSchema, required, retained, streamKey, maxVersionsPerTrigger)
+    new MemScan(fullSchema, required, retained, streamKey, maxVersionsPerTrigger,
+      startingVersion)
   }
 }
 
@@ -1433,7 +1436,8 @@ private[sources] object MemReaders {
 
 private[sources] final class MemScan(fullSchema: StructType,
     required: StructType, files: Vector[SnapshotStore.DataFile],
-    streamKey: Option[String], maxVersionsPerTrigger: Option[Long] = None)
+    streamKey: Option[String], maxVersionsPerTrigger: Option[Long] = None,
+    startingVersion: Option[String] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -1451,7 +1455,7 @@ private[sources] final class MemScan(fullSchema: StructType,
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new MemMicroBatchStream(
       streamKey.getOrElse(sys.error("time-travel views are not streamable")),
-      fullSchema, required, maxVersionsPerTrigger)
+      fullSchema, required, maxVersionsPerTrigger, startingVersion)
 }
 
 /** Streaming read of a snapshot-catalog table: SNAPSHOT VERSIONS are the
@@ -1469,7 +1473,8 @@ private[sources] final class MemScan(fullSchema: StructType,
   */
 private[sources] final class MemMicroBatchStream(k: String,
     fullSchema: StructType, required: StructType,
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    startingVersion: Option[String] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -1485,7 +1490,22 @@ private[sources] final class MemMicroBatchStream(k: String,
     if (st.snapshots.isEmpty) 0L else st.snapshots.last.version
   }
 
-  override def initialOffset(): Offset = VersionOffset(0L)
+  /** `startingVersion` reader option (Delta's knob of the same name): the
+    * FIRST commit whose appends the stream delivers — history before it is
+    * skipped without scanning (offsets are versions, so skipping is free).
+    * `"latest"` delivers only commits after stream start. Default: full
+    * history replay. A starting version whose history was expired fails
+    * loudly at the first batch (planInputPartitions' liveness guard), not
+    * silently as an empty stream. */
+  override def initialOffset(): Offset = VersionOffset(startingVersion match {
+    case None => 0L
+    case Some("latest") => versionNow()
+    case Some(v) =>
+      val n = v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"startingVersion must be a version number or 'latest', got '$v'"))
+      require(n >= 1, s"startingVersion must be >= 1, got $n")
+      n - 1 // offset = versions consumed THROUGH n-1; first delivery is n
+  })
   override def latestOffset(): Offset = VersionOffset(versionNow())
 
   /** Admission control: `maxVersionsPerTrigger` caps how many COMMITS one

@@ -14,9 +14,9 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Iceberg-parity METADATA TABLES for the snapshot catalog: appending a
   * reserved suffix to a table identifier reads its metadata as a relation —
-  * `SELECT * FROM graft_snap.db.t.history` / `.files` / `.tags` — so lake
-  * maintenance queries (commit audit, small-file detection, tag inventory)
-  * are plain SQL joins, not API calls (Iceberg's `db.table.history` surface;
+  * `SELECT * FROM graft_snap.db.t.history` / `.files` / `.partitions` /
+  * `.tags` — so lake maintenance queries (commit audit, small-file
+  * detection, tag inventory) are plain SQL joins, not API calls (Iceberg's `db.table.history` surface;
   * the reference provisions exactly such a catalog,
   * `create_iceberg_tables.py:121-128`).
   *
@@ -29,7 +29,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 private[sources] object MetaTables {
 
-  val Suffixes: Set[String] = Set("history", "files", "tags")
+  val Suffixes: Set[String] = Set("history", "files", "tags", "partitions")
 
   /** The metadata table for `parentKey`'s `suffix`, or None if the suffix
     * is not a metadata name. */
@@ -66,6 +66,27 @@ private[sources] object MetaTables {
             new GenericInternalRow(Array[Any](
               UTF8String.fromString(f.path), part, f.rowCount))
           }
+        }))
+      case "partitions" => Some(new MetaTable(s"$display.partitions",
+        // The compaction diagnostic: per-partition file/row counts — a
+        // partition whose file_count outgrows its row mass is the
+        // rewrite_data_files trigger (small-file detection as SQL).
+        StructType(Seq(
+          StructField("partition", StringType, nullable = true),
+          StructField("file_count", LongType, nullable = false),
+          StructField("row_count", LongType, nullable = false))),
+        () => {
+          val st = SnapshotStore.stateOf(parentKey)
+          st.currentFiles.groupBy(_.partitionValues).toArray
+            .sortBy { case (pv, _) => pv.map(String.valueOf).mkString("/") }
+            .map { case (pv, fs) =>
+              val part =
+                if (st.partitionCols.isEmpty) null
+                else UTF8String.fromString(st.partitionCols.zip(pv)
+                  .map { case (c, v) => s"$c=${String.valueOf(v)}" }.mkString("/"))
+              new GenericInternalRow(Array[Any](
+                part, fs.size.toLong, fs.map(_.rowCount).sum))
+            }
         }))
       case "tags" => Some(new MetaTable(s"$display.tags",
         StructType(Seq(

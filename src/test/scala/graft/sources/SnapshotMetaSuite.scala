@@ -55,6 +55,60 @@ class SnapshotMetaSuite extends AnyFunSuite {
     assert(joined === Seq(Row("b", 1L)))
   }
 
+  test("partitions metadata: per-partition file/row counts drive " +
+    "small-file detection, and compaction shows up in it") {
+    val t = freshTable("mp")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, region STRING) PARTITIONED BY (region)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"INSERT INTO $t VALUES (3, 'a')")
+    spark.sql(s"INSERT INTO $t VALUES (4, 'a')")
+    val before = spark.sql(
+      s"SELECT partition, file_count, row_count FROM $t.partitions ORDER BY partition")
+      .collect().toSeq
+    assert(before === Seq(Row("region=a", 3L, 3L), Row("region=b", 1L, 1L)), before)
+    // The SQL a maintenance job runs: partitions fragmented past a bound.
+    assert(spark.sql(
+      s"SELECT partition FROM $t.partitions WHERE file_count > 2")
+      .collect().toSeq === Seq(Row("region=a")))
+    spark.sql(s"CALL $cat.system.rewrite_data_files('meta.mp')")
+    assert(spark.sql(
+      s"SELECT partition, file_count, row_count FROM $t.partitions ORDER BY partition")
+      .collect().toSeq === Seq(Row("region=a", 1L, 3L), Row("region=b", 1L, 1L)))
+  }
+
+  test("startingVersion bounds history replay: numeric starts at that " +
+    "commit, 'latest' skips all history") {
+    val t = freshTable("sv")
+    spark.sql(s"CREATE TABLE $t (id BIGINT)")
+    (1 to 4).foreach(i => spark.sql(s"INSERT INTO $t VALUES ($i)")) // v1..v4
+    val n1 = s"sv_stream_${System.nanoTime()}"
+    val q1 = spark.readStream.option("startingVersion", "3").table(t)
+      .writeStream.format("memory").queryName(n1).start()
+    try {
+      q1.processAllAvailable()
+      assert(spark.table(n1).orderBy("id").collect().toSeq ===
+        Seq(Row(3L), Row(4L)), "delivery must begin AT version 3")
+    } finally q1.stop()
+    val n2 = s"sv_stream_${System.nanoTime()}"
+    val q2 = spark.readStream.option("startingVersion", "latest").table(t)
+      .writeStream.format("memory").queryName(n2).start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table(n2).isEmpty, "'latest' must skip all history")
+      spark.sql(s"INSERT INTO $t VALUES (9)")
+      q2.processAllAvailable()
+      assert(spark.table(n2).collect().toSeq === Seq(Row(9L)))
+    } finally q2.stop()
+    val e = intercept[Exception] {
+      val q = spark.readStream.option("startingVersion", "nope").table(t)
+        .writeStream.format("memory").queryName(s"sv_bad_${System.nanoTime()}").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(String.valueOf(_)).mkString("\n")
+    assert(msgs.contains("startingVersion"), msgs)
+  }
+
   test("a REAL table always outranks the metadata fallback; unknown " +
     "suffixes still fail loudly") {
     // A genuine table named `history` under namespace (meta, meta2),

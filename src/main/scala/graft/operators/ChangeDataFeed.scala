@@ -171,6 +171,9 @@ object ChangeDataFeed {
     val name = (catalog +: ident).map(p => s"`$p`").mkString(".")
     def pathsAt(v: Long): Set[String] =
       graft.sources.SnapshotStore.filesAt(k, v).map(_.path).toSet
+    def delMapAt(v: Long): Map[String, Set[String]] =
+      graft.sources.SnapshotStore.deletesAt(k, v).groupBy(_.dataPath)
+        .map { case (dp, ds) => dp -> ds.map(_.path).toSet }
     def slice(version: Long, files: Set[String]): DataFrame =
       spark.read
         .option("versionAsOf", version)
@@ -179,7 +182,18 @@ object ChangeDataFeed {
     (fromVersion + 1 to toVersion).map { v =>
       val prev = pathsAt(v - 1)
       val cur = pathsAt(v)
-      diff(slice(v - 1, prev -- cur), slice(v, cur -- prev), keyCols, v)
+      // Merge-on-read delta commits change VISIBLE rows without touching
+      // the data-file set: a data file present in both versions but with a
+      // different position-delete set must be read on BOTH sides (its
+      // carried rows still cancel in the null-safe diff; its newly-deleted
+      // rows surface as DELETEs) — otherwise the pruned feed would
+      // silently miss every MOR deletion.
+      val dPrev = delMapAt(v - 1)
+      val dCur = delMapAt(v)
+      val deltaTouched = (prev intersect cur).filter(p =>
+        dPrev.getOrElse(p, Set.empty) != dCur.getOrElse(p, Set.empty))
+      diff(slice(v - 1, (prev -- cur) ++ deltaTouched),
+        slice(v, (cur -- prev) ++ deltaTouched), keyCols, v)
     }.reduce(_.unionAll(_))
   }
 

@@ -749,9 +749,54 @@ object Governance {
       FROM orders WHERE o_orderstatus <> 'O'
       ORDER BY version"""))
 
+  /** m06's UPDATE + DELETE under MERGE-ON-READ (`write.update.mode` /
+    * `write.delete.mode` = merge-on-read, Iceberg v2's delta mode): the
+    * statements append position-delete files and new data files instead of
+    * rewriting groups — every original data file survives byte-identical —
+    * and the audit reads through the delete-applying scan. Same oracle as
+    * m06, so the MOR read/write path is gated hash-exact against the
+    * copy-on-write semantics it must match. The in-query assertion pins
+    * that the mode actually engaged (v1's data files all carried into v3):
+    * without it a silently-COW run would pass the oracle too.
+    *
+    * Scale: THIS is the fast-write mode for a 100 TB table — a k-row
+    * DELETE writes O(k) position bytes instead of rewriting every touched
+    * file; reads pay a per-file delete-set union until
+    * `rewrite_data_files` folds the deletes in (MergeOnReadSuite pins the
+    * compaction purge).
+    */
+  val m13MergeOnRead = Q(
+    "m13_mor_update_delete",
+    (s, dir) => {
+      val t = "graft_snap.gov.orders_m13"
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.gov")
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"""CREATE TABLE $t (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING)
+        TBLPROPERTIES (
+          'write.update.mode'='merge-on-read',
+          'write.delete.mode'='merge-on-read')""")
+      Tables.orders(s, dir).createOrReplaceTempView("m13_orders_src")
+      s.sql(s"INSERT INTO $t SELECT * FROM m13_orders_src")
+      s.sql(s"""UPDATE $t SET o_orderpriority = '9-CANCELLED'
+        WHERE o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '1993-01-01 00:00:00'""")
+      s.sql(s"DELETE FROM $t WHERE o_custkey % 10 = 7")
+      val k = graft.sources.SnapshotStore.keyOf("graft_snap", Seq("gov", "orders_m13"))
+      val v1 = graft.sources.SnapshotStore.filesAt(k, 1L).map(_.path).toSet
+      val v3 = graft.sources.SnapshotStore.filesAt(k, 3L).map(_.path).toSet
+      require(v1.subsetOf(v3) &&
+        graft.sources.SnapshotStore.deletesAt(k, 3L).nonEmpty,
+        "merge-on-read did not engage: expected carried data files + delete files")
+      s.sql(s"""SELECT o_orderpriority, count(*) AS n_orders,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM $t GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+    m06SqlUpdateDelete.oracle)
+
   val all: Seq[Q] = Seq(
     m01MergeUpsert, m02Scd2History, m03IncrementalRefresh, m04SnapshotDiff,
     m05SqlMerge, m06SqlUpdateDelete, m07TimeTravel, m08ChangeFeed,
     m09IncrementalMaint, m10PartitionedCow, m11ChangeFeedPruned,
-    m12MetadataHistory, a01QualityAudit, z01ZorderLayout)
+    m12MetadataHistory, m13MergeOnRead, a01QualityAudit, z01ZorderLayout)
 }

@@ -48,9 +48,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *     [[SupportsRuntimeV2Filtering]] on the `_file` metadata column
   *     (Spark's `RowLevelOperationRuntimeGroupFiltering` plans a subquery
   *     for the matching `_file`s — the mechanism Iceberg uses).
+  *   - [[org.apache.spark.sql.connector.write.SupportsDelta]]: the same
+  *     statements in MERGE-ON-READ mode (Iceberg v2's delta path, selected
+  *     by `write.delete/update/merge.mode=merge-on-read` table properties)
+  *     plan `WriteDelta` instead: the scan exposes the stable row id
+  *     (`_file`, `_pos`), the write appends POSITION-DELETE files, and no
+  *     data file is rewritten — see [[MemDeltaRowLevelOperation]].
   *   - [[SupportsDeleteV2]]: a `DELETE` whose predicate is decidable from
   *     partition values alone never rewrites anything — the commit just
-  *     drops the matching files (Iceberg's metadata delete).
+  *     drops the matching files (Iceberg's metadata delete; it outranks
+  *     both row-level modes).
   *   - `TableCatalog.loadTable(ident, version|timestamp)`: `VERSION AS OF n`
   *     and `TIMESTAMP AS OF t` resolve to immutable snapshots; every commit
   *     creates a new numbered, timestamped snapshot, and
@@ -187,7 +194,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
             s"tags: ${st.tags.keys.toSeq.sorted.mkString("[", ", ", "]")}")))
     new MemTable(s"$ident@v$version", k, SnapshotStore.schemaAt(k, v),
       st.partitionCols, st.properties,
-      pinned = Some(SnapshotStore.filesAt(k, v)))
+      pinned = Some(SnapshotStore.filesAt(k, v)),
+      pinnedDeletes = Some(SnapshotStore.deletesAt(k, v)))
   }
 
   /** `TIMESTAMP AS OF t` — Spark hands micros-since-epoch; resolve to the
@@ -226,7 +234,9 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       if (visible.isEmpty) Vector.empty[SnapshotStore.DataFile] else visible.last.files
     val schema = visible.lastOption.flatMap(s => Option(s.schema)).getOrElse(st.schema)
     new MemTable(s"$ident@t$timestampMicros", k, schema, st.partitionCols,
-      st.properties, pinned = Some(files))
+      st.properties, pinned = Some(files),
+      pinnedDeletes = Some(visible.lastOption.fold(
+        Vector.empty[SnapshotStore.DeleteFile])(_.deleteFiles)))
   }
 
   /** Accepts identity partition transforms — the only kind the reference
@@ -329,8 +339,10 @@ object SnapshotCatalog {
         st.tags.values
       st.copy(snapshots = st.snapshots.filter(s => keep(s.version)))
     }
-    val live = after.snapshots.iterator.flatMap(_.files.map(_.path)).toSet
-    val orphaned = before.snapshots.iterator.flatMap(_.files.map(_.path)).toSet -- live
+    def paths(sns: Vector[SnapshotStore.Snapshot]) =
+      sns.iterator.flatMap(sn =>
+        sn.files.iterator.map(_.path) ++ sn.deleteFiles.iterator.map(_.path)).toSet
+    val orphaned = paths(before.snapshots) -- paths(after.snapshots)
     RowFiles.delete(orphaned)
     before.snapshots.size - after.snapshots.size
   }
@@ -370,15 +382,18 @@ object SnapshotCatalog {
   def rollback(catalog: String, ident: Seq[String], toVersion: Long): Long = {
     val k = (catalog +: ident).mkString("\u0000")
     SnapshotStore.update(k) { st =>
-      val files =
-        if (toVersion == 0L) Vector.empty[SnapshotStore.DataFile]
-        else st.snapshots.find(_.version == toVersion).map(_.files).getOrElse(
+      val target =
+        if (toVersion == 0L) None
+        else Some(st.snapshots.find(_.version == toVersion).getOrElse(
           throw new IllegalArgumentException(
             s"cannot roll back to version $toVersion: not a live snapshot " +
-              s"(have ${st.snapshots.map(_.version).mkString("[", ", ", "]")})"))
+              s"(have ${st.snapshots.map(_.version).mkString("[", ", ", "]")})")))
       st.copy(snapshots = st.snapshots :+
-        SnapshotStore.Snapshot(st.nextVersion, SnapshotStore.nowMicros(), files,
-          schema = st.schema))
+        SnapshotStore.Snapshot(st.nextVersion, SnapshotStore.nowMicros(),
+          target.fold(Vector.empty[SnapshotStore.DataFile])(_.files),
+          schema = st.schema,
+          deleteFiles = target.fold(
+            Vector.empty[SnapshotStore.DeleteFile])(_.deleteFiles)))
     } match {
       case (_, after) => after.snapshots.last.version
     }
@@ -449,17 +464,30 @@ private[graft] object SnapshotStore {
     * opening the file. */
   final case class DataFile(path: String, partitionValues: Seq[Any], rowCount: Long)
 
+  /** One immutable POSITION-DELETE file (Iceberg format-v2's merge-on-read
+    * mechanism): `entryCount` sorted row positions at `path` (see
+    * [[RowFiles.writeDeletes]]) that are deleted from the data file at
+    * `dataPath`. Readers of `dataPath` skip those positions; the data file
+    * itself is never rewritten — that is the whole point. Keyed to ONE
+    * data file so a scan task loads exactly the delete entries that apply
+    * to its file (Iceberg scopes position deletes the same way). */
+  final case class DeleteFile(path: String, dataPath: String, entryCount: Long)
+
   /** `appendedFiles` >= 0 marks an APPEND commit whose LAST `appendedFiles`
     * entries of `files` are the newly added ones (the streaming source's
     * unit of progress); -1 marks a rewrite (truncate-overwrite, row-level
-    * replace, partition overwrite, metadata delete, rollback), which an
-    * append-only stream must refuse. `schema` is the table schema AS OF
-    * this commit — time travel reads each version under the schema it was
-    * written with (Iceberg's per-snapshot schema), so an `ALTER TABLE ADD
-    * COLUMN` never retroactively widens history. */
+    * replace, partition overwrite, metadata delete, rollback, or a
+    * merge-on-read delta commit), which an append-only stream must refuse.
+    * `schema` is the table schema AS OF this commit — time travel reads
+    * each version under the schema it was written with (Iceberg's
+    * per-snapshot schema), so an `ALTER TABLE ADD COLUMN` never
+    * retroactively widens history. `deleteFiles` are the position deletes
+    * LIVE at this snapshot (merge-on-read row-level operations append
+    * them; copy-on-write commits retire those of replaced data files). */
   final case class Snapshot(version: Long, commitMicros: Long,
       files: Vector[DataFile], appendedFiles: Int = -1,
-      schema: StructType = null)
+      schema: StructType = null,
+      deleteFiles: Vector[DeleteFile] = Vector.empty)
 
   /** `epochs` maps each streaming QUERY id to the newest epoch it committed
     * into this table: the replay guard that makes the streaming SINK
@@ -475,6 +503,8 @@ private[graft] object SnapshotStore {
         scala.collection.immutable.ListMap.empty) {
     def currentFiles: Vector[DataFile] =
       if (snapshots.isEmpty) Vector.empty else snapshots.last.files
+    def currentDeletes: Vector[DeleteFile] =
+      if (snapshots.isEmpty) Vector.empty else snapshots.last.deleteFiles
     def nextVersion: Long =
       if (snapshots.isEmpty) 1L else snapshots.last.version + 1L
   }
@@ -524,6 +554,20 @@ private[graft] object SnapshotStore {
         s"snapshot version $version of ${dotted(k)} does not exist (expired or future); " +
           s"available: ${have.mkString("[", ", ", "]")}")
     }
+  }
+
+  /** Delete files grouped by the data file they apply to — the shape a
+    * scan needs (each file's task loads exactly its own delete entries). */
+  def deleteMap(dels: Vector[DeleteFile]): Map[String, Vector[String]] =
+    dels.groupBy(_.dataPath).map { case (dp, ds) => dp -> ds.map(_.path) }
+
+  /** The position-delete files live AS OF `version` (companion of
+    * [[filesAt]]; empty for version 0). */
+  def deletesAt(k: String, version: Long): Vector[DeleteFile] = {
+    val st = stateOf(k)
+    if (version == 0L) Vector.empty
+    else st.snapshots.find(_.version == version).map(_.deleteFiles).getOrElse(
+      Vector.empty)
   }
 
   /** The table schema AS OF `version` (see [[Snapshot.schema]]); the
@@ -577,8 +621,43 @@ private[graft] object SnapshotStore {
             val retired = sel(st).map(_.path).toSet
             st.currentFiles.filterNot(f => retired(f.path)) ++ newFiles
         }
+      // Position deletes follow their data file: a surviving (carried)
+      // data file keeps its delete files — they still apply — while a
+      // replaced/truncated one sheds them (its rewritten successor was
+      // written with the deletes APPLIED, so carrying them over would
+      // delete arbitrary rows of the new file).
+      val surviving = files.map(_.path).toSet
+      val deletes = st.currentDeletes.filter(d => surviving(d.dataPath))
       st.copy(snapshots = st.snapshots :+ Snapshot(st.nextVersion, nowMicros(), files,
-        appendedFiles = if (replace) -1 else newFiles.size, schema = st.schema))
+        appendedFiles = if (replace) -1 else newFiles.size, schema = st.schema,
+        deleteFiles = deletes))
+    }
+    ()
+  }
+
+  /** Merge-on-read DELTA commit (Iceberg v2's row-level mode): the new
+    * snapshot carries every existing data file UNCHANGED plus the delta's
+    * appended data files (MERGE/UPDATE inserts) and position-delete files.
+    * Marked a rewrite for the append-only streaming source (a row removal
+    * is not representable as appends). Same optimistic base validation as
+    * the copy-on-write path. */
+  def commitDelta(k: String, newFiles: Vector[DataFile],
+      newDeletes: Vector[DeleteFile], expectedBase: Option[Long]): Unit = {
+    update(k) { st =>
+      val live = if (st.snapshots.isEmpty) 0L else st.snapshots.last.version
+      expectedBase.filter(_ != live).foreach { base =>
+        throw new IllegalStateException(
+          s"concurrent commit on ${dotted(k)}: the row-level rewrite read " +
+            s"v$base but the table is now at v$live — rerun the statement")
+      }
+      val known = (st.currentFiles.map(_.path) ++ newFiles.map(_.path)).toSet
+      newDeletes.find(d => !known(d.dataPath)).foreach(d =>
+        throw new IllegalStateException(
+          s"delta commit on ${dotted(k)} deletes positions of unknown data " +
+            s"file ${d.dataPath}"))
+      st.copy(snapshots = st.snapshots :+ Snapshot(st.nextVersion, nowMicros(),
+        st.currentFiles ++ newFiles, appendedFiles = -1, schema = st.schema,
+        deleteFiles = st.currentDeletes ++ newDeletes))
     }
     ()
   }
@@ -610,7 +689,7 @@ private[graft] object SnapshotStore {
         st.copy(
           snapshots = st.snapshots :+ Snapshot(st.nextVersion, nowMicros(),
             st.currentFiles ++ newFiles, appendedFiles = newFiles.size,
-            schema = st.schema),
+            schema = st.schema, deleteFiles = st.currentDeletes),
           epochs = (pruned - queryId) + (queryId -> epochId))
       }
     }
@@ -674,6 +753,31 @@ private[sources] object RowFiles {
     require(stream.readInt() == Magic, s"not a graft row file: $pathStr")
     val numFields: Int = stream.readInt()
     def close(): Unit = stream.close()
+  }
+
+  /** Position-delete file format: magic + entry count + sorted distinct
+    * positions as raw longs. Small by construction (8 bytes per deleted
+    * row), loaded whole by the one scan task that reads its data file. */
+  def writeDeletes(pathStr: String, positions: Array[Long],
+      conf: Configuration): Unit = {
+    val p = new Path(pathStr)
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(p.getFileSystem(conf).create(p, false), 1 << 16))
+    try {
+      out.writeInt(Magic)
+      out.writeInt(positions.length)
+      positions.foreach(out.writeLong)
+    } finally out.close()
+  }
+
+  def readDeletes(pathStr: String, conf: Configuration): Array[Long] = {
+    val p = new Path(pathStr)
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(p.getFileSystem(conf).open(p), 1 << 16))
+    try {
+      require(in.readInt() == Magic, s"not a graft delete file: $pathStr")
+      Array.fill(in.readInt())(in.readLong())
+    } finally in.close()
   }
 
   def delete(paths: Iterable[String]): Unit = if (paths.nonEmpty) {
@@ -854,7 +958,8 @@ private[sources] object PartitionPredicates {
   * included, corrupting the written rows. */
 private[sources] final class MemTable(fullName: String, k: String,
     tableSchema: StructType, partCols: Seq[String], props: Map[String, String],
-    pinned: Option[Vector[SnapshotStore.DataFile]])
+    pinned: Option[Vector[SnapshotStore.DataFile]],
+    pinnedDeletes: Option[Vector[SnapshotStore.DeleteFile]] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations
     with SupportsMetadataColumns with SupportsDeleteV2 {
 
@@ -870,7 +975,7 @@ private[sources] final class MemTable(fullName: String, k: String,
       TableCapability.STREAMING_WRITE)
 
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(MemTable.FileColumn)
+    Array(MemTable.FileColumn, MemTable.PosColumn)
 
   private def partColMap: PartitionPredicates.PartCols =
     partCols.zipWithIndex.map { case (c, i) =>
@@ -879,7 +984,13 @@ private[sources] final class MemTable(fullName: String, k: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
   {
-    val base = pinned.getOrElse(SnapshotStore.stateOf(k).currentFiles)
+    val (base, deletes) = pinned match {
+      case Some(files) =>
+        (files, SnapshotStore.deleteMap(pinnedDeletes.getOrElse(Vector.empty)))
+      case None =>
+        val st = SnapshotStore.stateOf(k)
+        (st.currentFiles, SnapshotStore.deleteMap(st.currentDeletes))
+    }
     // `files` reader option: restrict the scan to the named data files of
     // THIS snapshot — the incremental-read hook a manifest-diffing consumer
     // (ChangeDataFeed's pruned feed) uses to touch only changed files.
@@ -894,6 +1005,7 @@ private[sources] final class MemTable(fullName: String, k: String,
       base.filter(f => allow(f.path))
     }
     new MemScanBuilder(tableSchema, partColMap, restricted.getOrElse(base),
+      deletes = deletes,
       // Time-travel pins and file-restricted reads are batch-only; the
       // LIVE whole table is streamable.
       streamKey = if (pinned.isEmpty && restricted.isEmpty) Some(k) else None,
@@ -915,7 +1027,23 @@ private[sources] final class MemTable(fullName: String, k: String,
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(pinned.isEmpty, s"$fullName is a time-travel view and not writable")
-    () => new MemRowLevelOperation(info.command(), k, tableSchema, partColMap)
+    // Iceberg's per-statement mode properties: copy-on-write (default)
+    // rewrites whole files; merge-on-read appends position-delete files
+    // and leaves every data file untouched — the fast-write/deferred-merge
+    // trade a 100 TB table wants for frequent small deletes.
+    val modeKey = info.command() match {
+      case RowLevelOperation.Command.DELETE => "write.delete.mode"
+      case RowLevelOperation.Command.UPDATE => "write.update.mode"
+      case RowLevelOperation.Command.MERGE => "write.merge.mode"
+    }
+    props.getOrElse(modeKey, "copy-on-write") match {
+      case "copy-on-write" =>
+        () => new MemRowLevelOperation(info.command(), k, tableSchema, partColMap)
+      case "merge-on-read" =>
+        () => new MemDeltaRowLevelOperation(info.command(), k, tableSchema, partColMap)
+      case other => throw new IllegalArgumentException(
+        s"$fullName: $modeKey must be copy-on-write or merge-on-read, got '$other'")
+    }
   }
 
   /** Metadata-only DELETE (Iceberg's delete-by-partition): a predicate
@@ -943,6 +1071,17 @@ private[sources] object MemTable {
     override def isNullable: Boolean = false
     override def comment(): String =
       "data file path (copy-on-write rewrite group)"
+  }
+
+  /** Row position within its data file (Iceberg's `_pos`): with `_file`,
+    * the stable row identity merge-on-read position deletes reference. */
+  val PosColumnName = "_pos"
+  val PosColumn: MetadataColumn = new MetadataColumn {
+    override def name(): String = PosColumnName
+    override def dataType(): DataType = org.apache.spark.sql.types.LongType
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "row position in its data file (merge-on-read row id)"
   }
 }
 
@@ -973,7 +1112,8 @@ private[sources] final class MemRowLevelOperation(
     baseVersion = Some(
       if (st.snapshots.isEmpty) 0L else st.snapshots.last.version)
     scanned = st.currentFiles
-    new MemRowLevelScanBuilder(this, tableSchema, partCols, st.currentFiles)
+    new MemRowLevelScanBuilder(this, tableSchema, partCols, st.currentFiles,
+      SnapshotStore.deleteMap(st.currentDeletes))
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new MemWriteBuilder(k, info.schema(), partCols, forceReplace = true,
@@ -991,7 +1131,8 @@ private[sources] final class MemRowLevelOperation(
   * a file is dropped only when no row in it can match). */
 private[sources] final class MemRowLevelScanBuilder(op: MemRowLevelOperation,
     fullSchema: StructType, partCols: PartitionPredicates.PartCols,
-    files: Vector[SnapshotStore.DataFile])
+    files: Vector[SnapshotStore.DataFile],
+    deletes: Map[String, Vector[String]] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownV2Filters {
   private var required: StructType = fullSchema
@@ -1006,7 +1147,7 @@ private[sources] final class MemRowLevelScanBuilder(op: MemRowLevelOperation,
     val retained = files.filter(f => !pushed.exists(
       PartitionPredicates.definitelyExcludes(_, partCols, f.partitionValues)))
     if (!op.runtimeNarrowed) op.scanned = retained
-    new MemRowLevelScan(op, fullSchema, required, retained)
+    new MemRowLevelScan(op, fullSchema, required, retained, deletes)
   }
 }
 
@@ -1017,7 +1158,8 @@ private[sources] final class MemRowLevelScanBuilder(op: MemRowLevelOperation,
   * retires exactly what was read. */
 private[sources] final class MemRowLevelScan(op: MemRowLevelOperation,
     fullSchema: StructType, required: StructType,
-    initial: Vector[SnapshotStore.DataFile])
+    initial: Vector[SnapshotStore.DataFile],
+    deletes: Map[String, Vector[String]] = Map.empty)
     extends Scan with Batch with SupportsRuntimeV2Filtering {
   private var files = initial
 
@@ -1061,10 +1203,154 @@ private[sources] final class MemRowLevelScan(op: MemRowLevelOperation,
 
   override def planInputPartitions(): Array[InputPartition] =
     files.filter(_.rowCount > 0)
-      .map(f => MemFilePartition(f.path, f.rowCount): InputPartition).toArray
+      .map(f => MemFilePartition(f.path, f.rowCount,
+        deletes.getOrElse(f.path, Vector.empty)): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     MemReaders.factory(fullSchema, required, RowFiles.sessionConf())
+}
+
+/** MERGE-ON-READ row-level operation (Iceberg v2's delta mode, selected
+  * per statement kind by `write.delete.mode` / `write.update.mode` /
+  * `write.merge.mode` = merge-on-read): Catalyst plans `WriteDelta`
+  * instead of `ReplaceData`, the scan exposes the stable row identity
+  * (`_file`, `_pos`), and the write appends POSITION-DELETE files plus
+  * (for MERGE/UPDATE) new data files — no existing data file is read for
+  * rewriting or replaced. Updates are represented as delete+reinsert
+  * ([[SupportsDelta.representUpdateAsDeleteAndInsert]]), the Iceberg
+  * position-delta shape.
+  *
+  * SCALE CONTRACT: a delete of k rows from an N-row table writes O(k)
+  * bytes (the positions) instead of copy-on-write's O(files-touched)
+  * rewrite — the fast-write side of the trade; reads then pay the
+  * per-file delete-set union until `rewrite_data_files` folds the
+  * deletes in (compaction purges: it reads with deletes applied and
+  * truncate-overwrites, and the commit rule sheds delete files of
+  * replaced data files). Same optimistic base-version validation as the
+  * copy-on-write path. */
+private[sources] final class MemDeltaRowLevelOperation(
+    cmd: RowLevelOperation.Command, k: String, tableSchema: StructType,
+    partCols: PartitionPredicates.PartCols)
+    extends RowLevelOperation with SupportsDelta {
+  @volatile private var baseVersion: Option[Long] = None
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"graft-snapshot $cmd [position-delete MOR]"
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val st = SnapshotStore.stateOf(k)
+    baseVersion = Some(
+      if (st.snapshots.isEmpty) 0L else st.snapshots.last.version)
+    // A plain pruned scan of the current snapshot (deletes applied — a
+    // second MOR statement must not resurrect or re-delete rows): no
+    // group filtering, because nothing is replaced.
+    new MemScanBuilder(tableSchema, partCols, st.currentFiles,
+      deletes = SnapshotStore.deleteMap(st.currentDeletes))
+  }
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new MemDeltaWriteBuilder(k, info.schema(), baseVersion)
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(MemTable.FileColumnName),
+      Expressions.column(MemTable.PosColumnName))
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(MemTable.FileColumnName),
+      Expressions.column(MemTable.PosColumnName))
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+}
+
+private[sources] final class MemDeltaWriteBuilder(k: String,
+    rowSchema: StructType, expectedBase: Option[Long]) extends DeltaWriteBuilder {
+  override def build(): DeltaWrite = new DeltaWrite {
+    override def description(): String = "graft-snapshot delta (merge-on-read)"
+    override def toBatch: DeltaBatchWrite =
+      new MemDeltaBatchWrite(k, rowSchema, expectedBase)
+  }
+}
+
+private[sources] final class MemDeltaBatchWrite(k: String, rowSchema: StructType,
+    expectedBase: Option[Long]) extends DeltaBatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
+    val st = SnapshotStore.stateOf(k)
+    MemDeltaWriterFactory(rowSchema, st.partitionCols, st.dataDir,
+      RowFiles.sessionConf())
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.iterator.map(_.asInstanceOf[MemDeltaCommitMessage]).toVector
+    SnapshotStore.commitDelta(k,
+      msgs.flatMap(_.files), msgs.flatMap(_.deletes), expectedBase)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.iterator.map(_.asInstanceOf[MemDeltaCommitMessage]).toVector
+    RowFiles.delete(msgs.flatMap(m =>
+      m.files.map(_.path) ++ m.deletes.map(_.path)))
+  }
+}
+
+private[sources] final case class MemDeltaCommitMessage(
+    files: Array[SnapshotStore.DataFile],
+    deletes: Array[SnapshotStore.DeleteFile]) extends WriterCommitMessage
+
+/** Task-side delta writer: inserts stream through the shared
+  * partition-routing writer (new data files); deletes buffer (data path →
+  * positions) and flush at commit as one sorted position-delete file per
+  * targeted data file — task memory is O(deleted rows of this task), the
+  * positions themselves. */
+private[sources] final case class MemDeltaWriterFactory(rowSchema: StructType,
+    partitionCols: Seq[String], dataDir: String,
+    fsConf: org.apache.spark.util.SerializableConfiguration)
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DeltaWriter[InternalRow] =
+    new DeltaWriter[InternalRow] {
+      private val tag = s"mor-p$partitionId-t$taskId-${UUID.randomUUID.toString.take(8)}"
+      // LAZY: a pure DELETE plans WriteDelta with an EMPTY row schema (no
+      // inserts exist), which cannot satisfy the partition-routing
+      // writer's column lookup — and needs no data files at all.
+      private var inserts: DataWriter[InternalRow] = null
+      private def insertWriter: DataWriter[InternalRow] = {
+        if (inserts == null)
+          inserts = MemWriters.writer(rowSchema, partitionCols, dataDir,
+            tag, fsConf.value)
+        inserts
+      }
+      private val positions = scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+      private val writtenDeleteFiles = scala.collection.mutable.ArrayBuffer.empty[String]
+
+      override def insert(row: InternalRow): Unit = insertWriter.write(row)
+      override def delete(metadata: InternalRow, id: InternalRow): Unit =
+        positions.getOrElseUpdate(id.getUTF8String(0).toString,
+          scala.collection.mutable.ArrayBuffer.empty[Long]) += id.getLong(1)
+      override def update(metadata: InternalRow, id: InternalRow,
+          row: InternalRow): Unit = {
+        // Unreachable under representUpdateAsDeleteAndInsert, but the
+        // semantics are exactly delete + insert either way.
+        delete(metadata, id); insert(row)
+      }
+      override def commit(): WriterCommitMessage = {
+        val dataMsg =
+          if (inserts == null) MemCommitMessage(Array.empty)
+          else inserts.commit().asInstanceOf[MemCommitMessage]
+        var seq = 0
+        val dels = positions.iterator.map { case (dataPath, poss) =>
+          val sorted = poss.distinct.sorted.toArray
+          val path = s"$dataDir/$tag-del$seq.grfd"
+          seq += 1
+          RowFiles.writeDeletes(path, sorted, fsConf.value)
+          writtenDeleteFiles += path
+          SnapshotStore.DeleteFile(path, dataPath, sorted.length.toLong)
+        }.toArray
+        MemDeltaCommitMessage(dataMsg.files, dels)
+      }
+      override def abort(): Unit = {
+        if (inserts != null) inserts.abort()
+        writtenDeleteFiles.foreach { p =>
+          val hp = new Path(p)
+          try hp.getFileSystem(fsConf.value).delete(hp, false)
+          catch { case _: Exception => () }
+        }
+      }
+      override def close(): Unit = ()
+    }
 }
 
 /** Write modes, resolved at build time, applied at the driver-side commit:
@@ -1359,7 +1645,8 @@ private[sources] final class MemScanBuilder(fullSchema: StructType,
     partCols: PartitionPredicates.PartCols,
     files: Vector[SnapshotStore.DataFile], streamKey: Option[String] = None,
     maxVersionsPerTrigger: Option[Long] = None,
-    startingVersion: Option[String] = None)
+    startingVersion: Option[String] = None,
+    deletes: Map[String, Vector[String]] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownV2Filters {
   private var required: StructType = fullSchema
@@ -1374,14 +1661,14 @@ private[sources] final class MemScanBuilder(fullSchema: StructType,
     val retained = files.filter(f => !pushed.exists(
       PartitionPredicates.definitelyExcludes(_, partCols, f.partitionValues)))
     new MemScan(fullSchema, required, retained, streamKey, maxVersionsPerTrigger,
-      startingVersion)
+      startingVersion, deletes)
   }
 }
 
 /** One scan partition per data file — the descriptor's row count bounds the
   * read without opening the file. */
-private[sources] final case class MemFilePartition(path: String, rowCount: Long)
-    extends InputPartition
+private[sources] final case class MemFilePartition(path: String, rowCount: Long,
+    deletePaths: Seq[String] = Nil) extends InputPartition
 
 private[sources] object MemReaders {
   /** Shared batch/streaming reader factory: `_file` is the file-path
@@ -1394,6 +1681,7 @@ private[sources] object MemReaders {
       fsConf: org.apache.spark.util.SerializableConfiguration): PartitionReaderFactory = {
     val ordinals = required.fieldNames.map {
       case MemTable.FileColumnName => -1
+      case MemTable.PosColumnName => -2
       case f => fullSchema.fieldIndex(f)
     }
     val types = ordinals.map(i => if (i < 0) null else fullSchema.fields(i).dataType)
@@ -1412,19 +1700,36 @@ private[sources] object MemReaders {
         private var buf = new Array[Byte](1 << 10)
         private var remaining = part.rowCount
         private val pathValue = UTF8String.fromString(part.path)
-        override def next(): Boolean = {
-          if (remaining <= 0) false
+        // Merge-on-read: union this data file's position-delete entries
+        // (each file small by construction; several delta commits may each
+        // have deleted rows of this file) and skip those positions while
+        // streaming. `pos` is the PHYSICAL row index — the stable identity
+        // `_pos` exposes and delete files reference — so it advances on
+        // skipped rows too.
+        private val deleted: java.util.HashSet[java.lang.Long] =
+          if (part.deletePaths.isEmpty) null
           else {
+            val set = new java.util.HashSet[java.lang.Long]()
+            part.deletePaths.foreach(dp =>
+              RowFiles.readDeletes(dp, fsConf.value).foreach(set.add(_)))
+            set
+          }
+        private var pos = -1L
+        override def next(): Boolean = {
+          while (remaining > 0) {
             val size = reader.stream.readInt()
             if (buf.length < size) buf = new Array[Byte](Integer.highestOneBit(size) << 1)
             reader.stream.readFully(buf, 0, size)
             row.pointTo(buf, size)
             remaining -= 1
-            true
+            pos += 1
+            if (deleted == null || !deleted.contains(pos)) return true
           }
+          false
         }
         override def get(): InternalRow = InternalRow.fromSeq(ordinals.indices.map { j =>
-          if (ordinals(j) < 0) pathValue
+          if (ordinals(j) == -1) pathValue
+          else if (ordinals(j) == -2) pos
           else if (ordinals(j) >= fileFields) null
           else row.get(ordinals(j), types(j))
         })
@@ -1437,7 +1742,8 @@ private[sources] object MemReaders {
 private[sources] final class MemScan(fullSchema: StructType,
     required: StructType, files: Vector[SnapshotStore.DataFile],
     streamKey: Option[String], maxVersionsPerTrigger: Option[Long] = None,
-    startingVersion: Option[String] = None)
+    startingVersion: Option[String] = None,
+    deletes: Map[String, Vector[String]] = Map.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -1446,7 +1752,8 @@ private[sources] final class MemScan(fullSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] =
     files.filter(_.rowCount > 0)
-      .map(f => MemFilePartition(f.path, f.rowCount): InputPartition).toArray
+      .map(f => MemFilePartition(f.path, f.rowCount,
+        deletes.getOrElse(f.path, Vector.empty)): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     MemReaders.factory(fullSchema, required, RowFiles.sessionConf())

@@ -52,20 +52,31 @@ private[sources] object MetaTables {
             s.files.size, s.files.map(_.rowCount).sum))
         }))
       case "files" => Some(new MetaTable(s"$display.files",
+        // `content` distinguishes data files from merge-on-read position
+        // deletes (Iceberg's files-metadata content column); `row_count`
+        // is PHYSICAL — a data file's written rows (before position
+        // deletes) or a delete file's entry count.
         StructType(Seq(
+          StructField("content", StringType, nullable = false),
           StructField("file_path", StringType, nullable = false),
           StructField("partition", StringType, nullable = true),
           StructField("row_count", LongType, nullable = false))),
         () => {
           val st = SnapshotStore.stateOf(parentKey)
-          st.currentFiles.toArray.map { f =>
+          val data = st.currentFiles.toArray.map { f =>
             val part =
               if (st.partitionCols.isEmpty) null
               else UTF8String.fromString(st.partitionCols.zip(f.partitionValues)
                 .map { case (c, v) => s"$c=${String.valueOf(v)}" }.mkString("/"))
             new GenericInternalRow(Array[Any](
+              UTF8String.fromString("data"),
               UTF8String.fromString(f.path), part, f.rowCount))
           }
+          val dels = st.currentDeletes.toArray.map(d =>
+            new GenericInternalRow(Array[Any](
+              UTF8String.fromString("position-deletes"),
+              UTF8String.fromString(d.path), null, d.entryCount)))
+          data ++ dels
         }))
       case "partitions" => Some(new MetaTable(s"$display.partitions",
         // The compaction diagnostic: per-partition file/row counts — a

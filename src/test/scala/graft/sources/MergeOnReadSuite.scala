@@ -151,6 +151,35 @@ class MergeOnReadSuite extends AnyFunSuite {
     assert(msgs.contains("rewrite") && msgs.contains("ChangeDataFeed"), msgs)
   }
 
+  test("partitioned MOR MERGE: inserts route into per-partition data " +
+    "files, deletes stay positional, partition-pruned reads still work") {
+    val t = s"$cat.mor.pm1"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.mor")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, region STRING) PARTITIONED BY (region) " +
+      "TBLPROPERTIES ('write.merge.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t VALUES (1,'a'), (2,'b')")
+    spark.sql(
+      s"""MERGE INTO $t x USING (
+         |  SELECT * FROM VALUES (CAST(2 AS BIGINT),'b'), (CAST(3 AS BIGINT),'c')
+         |    AS s(id, region)) s
+         |ON x.id = s.id
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql(s"SELECT id FROM $t ORDER BY id").collect().toSeq ===
+      Seq(Row(1L), Row(3L)))
+    val k = key("pm1")
+    // The inserted row landed in a NEW per-partition file for region c…
+    val cFiles = SnapshotStore.stateOf(k).currentFiles
+      .filter(_.partitionValues.map(String.valueOf(_)) == Seq("c"))
+    assert(cFiles.size === 1 && cFiles.head.rowCount === 1L)
+    // …the delete stayed positional (region b's file survives untouched)…
+    assert(SnapshotStore.deletesAt(k, 2L).map(_.entryCount).sum === 1L)
+    // …and a partition-pruned read of region b opens only b's files and
+    // applies the delete.
+    assert(spark.sql(s"SELECT id FROM $t WHERE region = 'b'").collect().isEmpty)
+  }
+
   test("change-data-feed over MOR commits: full and manifest-pruned feeds " +
     "agree — a delta commit's deletions are not invisible to pruning") {
     val t = freshTable("cdf1", "'write.delete.mode'='merge-on-read'")
@@ -167,6 +196,35 @@ class MergeOnReadSuite extends AnyFunSuite {
     assert(full.exists(r => r.getAs[String]("_change_type") == "DELETE" &&
       r.getAs[Long]("_commit_version") == 3L),
       s"the MOR deletion must appear in the feed: $full")
+  }
+
+  test("mixed modes: a copy-on-write UPDATE over a table carrying MOR " +
+    "deletes neither resurrects deleted rows nor strands delete files") {
+    import spark.implicits._
+    // delete mode MOR, update mode left at the copy-on-write default.
+    val t = freshTable("mx1", "'write.delete.mode'='merge-on-read'")
+    // Single-task appends pin the file layout: F = {1, 2}, G = {3, 4}.
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1).writeTo(t).append() // v1
+    Seq((3L, "c"), (4L, "d")).toDF("id", "v").coalesce(1).writeTo(t).append() // v2
+    val k = key("mx1")
+    val fileF = SnapshotStore.filesAt(k, 1L).map(_.path).toSet
+    val fileG = SnapshotStore.filesAt(k, 2L).map(_.path).toSet -- fileF
+    assert(fileF.size === 1 && fileG.size === 1)
+    spark.sql(s"DELETE FROM $t WHERE id = 1") // v3: MOR delete in F
+    spark.sql(s"DELETE FROM $t WHERE id = 3") // v4: MOR delete in G
+    assert(SnapshotStore.deletesAt(k, 4L).map(_.dataPath).toSet === fileF ++ fileG)
+    // COW UPDATE of id=2 rewrites F: the rewrite read F WITH its delete
+    // applied (id=1 stays gone), F's delete file is shed with F — while G
+    // carries over, its delete file still applying to id=3.
+    spark.sql(s"UPDATE $t SET v = 'B' WHERE id = 2") // v5: COW rewrite of F
+    val st = SnapshotStore.stateOf(k)
+    assert(!st.currentFiles.map(_.path).toSet.contains(fileF.head),
+      "F must be replaced by the copy-on-write rewrite")
+    assert(st.currentDeletes.map(_.dataPath).toSet === fileG,
+      s"exactly G's delete file may survive: ${st.currentDeletes}")
+    assert(spark.sql(s"SELECT id, v FROM $t ORDER BY id").collect().toSeq ===
+      Seq(Row(2L, "B"), Row(4L, "d")),
+      "no resurrection of 1 or 3; 2 updated")
   }
 
   test("an unknown row-level mode fails loudly at plan time") {

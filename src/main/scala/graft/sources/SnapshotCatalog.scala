@@ -1661,7 +1661,7 @@ private[sources] final class MemScanBuilder(fullSchema: StructType,
     val retained = files.filter(f => !pushed.exists(
       PartitionPredicates.definitelyExcludes(_, partCols, f.partitionValues)))
     new MemScan(fullSchema, required, retained, streamKey, maxVersionsPerTrigger,
-      startingVersion, deletes)
+      startingVersion, deletes, partCols)
   }
 }
 
@@ -1740,15 +1740,45 @@ private[sources] object MemReaders {
 }
 
 private[sources] final class MemScan(fullSchema: StructType,
-    required: StructType, files: Vector[SnapshotStore.DataFile],
+    required: StructType, initial: Vector[SnapshotStore.DataFile],
     streamKey: Option[String], maxVersionsPerTrigger: Option[Long] = None,
     startingVersion: Option[String] = None,
-    deletes: Map[String, Vector[String]] = Map.empty)
-    extends Scan with Batch {
+    deletes: Map[String, Vector[String]] = Map.empty,
+    partCols: PartitionPredicates.PartCols = Map.empty)
+    extends Scan with Batch with SupportsRuntimeV2Filtering {
+  private var files = initial
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-snapshot scan (${files.map(_.rowCount).sum} rows, ${files.size} files)"
+
+  /** DYNAMIC PARTITION PRUNING for plain scans: declaring the identity-
+    * partition columns filterable lets Spark's `PartitionPruning` rule
+    * plan a dynamic-pruning subquery over the (broadcast) dimension side
+    * of a star join and re-filter this scan's FILES at execution with the
+    * dimension's actual join keys — the fact side of
+    * `fact JOIN dim ON fact.pk = dim.k WHERE dim.x = …` opens only the
+    * partitions that can match, without a static predicate anywhere
+    * (Iceberg's runtime filtering surface). Pruning reuses the same
+    * three-valued evaluator as static pushdown, so it is sound by the
+    * same argument: a file is dropped only when a predicate DEFINITELY
+    * excludes every row it can hold. */
+  override def filterAttributes(): Array[NamedReference] = {
+    // Report the schema's original casing (the partCols map keys are
+    // lowercased for case-insensitive predicate matching) — and ONLY
+    // columns this scan actually OUTPUTS: Spark's PartitionPruning rule
+    // resolves the reported attributes against the pruned scan relation
+    // and throws (rather than skips) on a miss, so a column-pruned scan
+    // that dropped the partition column must not advertise it.
+    val lower = partCols.keySet
+    val out = required.fieldNames.toSet
+    fullSchema.fieldNames.filter(n => lower(n.toLowerCase) && out(n))
+      .map(Expressions.column)
+  }
+  override def filter(predicates: Array[VPredicate]): Unit =
+    files = files.filter(f => !predicates.exists(
+      PartitionPredicates.definitelyExcludes(_, partCols, f.partitionValues)))
 
   override def planInputPartitions(): Array[InputPartition] =
     files.filter(_.rowCount > 0)

@@ -136,6 +136,35 @@ class SnapshotMetaSuite extends AnyFunSuite {
       e.getMessage.toLowerCase.contains("cannot be found"), e.getMessage)
   }
 
+  test("dynamic partition pruning: a star join's fact scan opens only the " +
+    "partitions the broadcast dimension side actually selects") {
+    // Fact: suppliers partitioned by nation; dim: the nation PARQUET
+    // fixture with a selective filter (a file-backed dim keeps its Filter
+    // node — a literal in-memory dim constant-folds to a LocalRelation,
+    // which the PartitionPruning rule rightly judges unprunable).
+    val t = freshTable("dpp_fact")
+    spark.sql(s"CREATE TABLE $t (s_suppkey BIGINT, s_acctbal DOUBLE, nk INT) " +
+      "PARTITIONED BY (nk)")
+    val src = graft.queries.Tables.supplier(spark, graft.SparkTestSession.sfDir)
+      .selectExpr("s_suppkey", "s_acctbal", "CAST(s_nationkey AS INT) AS nk")
+    src.createOrReplaceTempView("dpp_supp_src")
+    src.writeTo(t).append()
+    graft.queries.Tables.nation(spark, graft.SparkTestSession.sfDir)
+      .createOrReplaceTempView("dpp_nation")
+    val q = spark.sql(
+      s"""SELECT count(*) AS n, sum(f.s_suppkey) AS sk FROM $t f
+         |JOIN dpp_nation d ON f.nk = d.n_nationkey
+         |WHERE d.n_regionkey = 1""".stripMargin)
+    val expected = spark.sql(
+      """SELECT count(*) AS n, sum(s_suppkey) AS sk FROM dpp_supp_src f
+        |JOIN dpp_nation d ON f.nk = d.n_nationkey
+        |WHERE d.n_regionkey = 1""".stripMargin)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("RuntimeFilters: [dynamicpruning"),
+      s"expected a dynamic-pruning runtime filter on the fact scan:\n$plan")
+    assert(q.collect().toSeq === expected.collect().toSeq)
+  }
+
   test("CALL procedures: tag, rollback, expire, rewrite_data_files — " +
     "the full maintenance loop in SQL") {
     val t = freshTable("proc1")

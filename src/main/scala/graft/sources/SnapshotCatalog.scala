@@ -257,6 +257,17 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     }
     partCols.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column $c is not in the table schema"))
+    // `_file` / `_pos` are this catalog's metadata columns (the row-level
+    // rewrite group id and the merge-on-read row id). A DATA column with
+    // either name would shadow them in resolution and silently corrupt
+    // row-level operations — reject at creation, the only safe time.
+    val clash = schema.fieldNames.filter(n =>
+      n.equalsIgnoreCase(MemTable.FileColumnName) ||
+        n.equalsIgnoreCase(MemTable.PosColumnName))
+    require(clash.isEmpty,
+      s"column name(s) ${clash.mkString(", ")} are reserved metadata columns " +
+        s"(${MemTable.FileColumnName}, ${MemTable.PosColumnName}) of the " +
+        "snapshot catalog")
     val k = key(ident)
     val dataDir = new Path(new Path(warehouse),
       (catalogName +: ident.namespace() :+
@@ -288,6 +299,10 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
             val colName = add.fieldNames()(0)
             require(!cur.schema.fieldNames.exists(_.equalsIgnoreCase(colName)),
               s"column $colName already exists")
+            require(!colName.equalsIgnoreCase(MemTable.FileColumnName) &&
+              !colName.equalsIgnoreCase(MemTable.PosColumnName),
+              s"column name $colName is a reserved metadata column of the " +
+                "snapshot catalog")
             require(add.isNullable,
               s"added column $colName must be nullable: existing data files hold no value for it")
             require(add.position() == null,

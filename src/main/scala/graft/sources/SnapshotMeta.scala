@@ -37,19 +37,45 @@ private[sources] object MetaTables {
     def ts(micros: Long): Any = micros // TimestampType carries micros
     suffix match {
       case "history" => Some(new MetaTable(s"$display.history",
+        // Per-commit accounting (Iceberg's snapshot summary as columns):
+        // added/removed figures diff each snapshot against its LIVE
+        // predecessor by file path — physical counts (a merge-on-read
+        // commit removes rows via `delete_entries_added` instead of
+        // removing files). `total_rows` is likewise physical.
         StructType(Seq(
           StructField("version", LongType, nullable = false),
           StructField("committed_at", TimestampType, nullable = false),
           StructField("operation", StringType, nullable = false),
-          StructField("appended_files", IntegerType, nullable = true),
+          StructField("added_files", IntegerType, nullable = false),
+          StructField("added_rows", LongType, nullable = false),
+          StructField("removed_files", IntegerType, nullable = false),
+          StructField("removed_rows", LongType, nullable = false),
+          StructField("delete_entries_added", LongType, nullable = false),
           StructField("total_files", IntegerType, nullable = false),
           StructField("total_rows", LongType, nullable = false))),
-        () => SnapshotStore.stateOf(parentKey).snapshots.toArray.map { s =>
-          new GenericInternalRow(Array[Any](
-            s.version, ts(s.commitMicros),
-            UTF8String.fromString(if (s.appendedFiles >= 0) "append" else "rewrite"),
-            if (s.appendedFiles >= 0) s.appendedFiles else null,
-            s.files.size, s.files.map(_.rowCount).sum))
+        () => {
+          val sns = SnapshotStore.stateOf(parentKey).snapshots.toArray
+          sns.indices.toArray.map { i =>
+            val s = sns(i)
+            val (prevFiles, prevDels) =
+              if (i == 0) (Vector.empty[SnapshotStore.DataFile],
+                Vector.empty[SnapshotStore.DeleteFile])
+              else (sns(i - 1).files, sns(i - 1).deleteFiles)
+            val prevPaths = prevFiles.map(_.path).toSet
+            val curPaths = s.files.map(_.path).toSet
+            val added = s.files.filterNot(f => prevPaths(f.path))
+            val removed = prevFiles.filterNot(f => curPaths(f.path))
+            val prevDel = prevDels.map(_.path).toSet
+            val delAdded = s.deleteFiles.filterNot(d => prevDel(d.path))
+            new GenericInternalRow(Array[Any](
+              s.version, ts(s.commitMicros),
+              UTF8String.fromString(
+                if (s.appendedFiles >= 0) "append" else "rewrite"),
+              added.size, added.map(_.rowCount).sum,
+              removed.size, removed.map(_.rowCount).sum,
+              delAdded.map(_.entryCount).sum,
+              s.files.size, s.files.map(_.rowCount).sum)): InternalRow
+          }
         }))
       case "files" => Some(new MetaTable(s"$display.files",
         // `content` distinguishes data files from merge-on-read position
@@ -82,6 +108,8 @@ private[sources] object MetaTables {
         // The compaction diagnostic: per-partition file/row counts — a
         // partition whose file_count outgrows its row mass is the
         // rewrite_data_files trigger (small-file detection as SQL).
+        // row_count is PHYSICAL (before merge-on-read position deletes),
+        // like Iceberg's files-metadata record_count.
         StructType(Seq(
           StructField("partition", StringType, nullable = true),
           StructField("file_count", LongType, nullable = false),

@@ -47,6 +47,12 @@ class MergeOnReadSuite extends AnyFunSuite {
     // A SECOND MOR delete must not resurrect anything.
     spark.sql(s"DELETE FROM $t WHERE id = 1")
     assert(spark.sql(s"SELECT id FROM $t").collect().toSeq === Seq(Row(3L)))
+    // The history accounting shows the MOR shape: rows removed via delete
+    // entries, zero files added or removed.
+    assert(spark.sql(
+      s"""SELECT added_files, removed_files, delete_entries_added
+         |FROM $t.history WHERE version >= 2 ORDER BY version""".stripMargin)
+      .collect().toSeq === Seq(Row(0, 0, 1L), Row(0, 0, 1L)))
   }
 
   test("MOR UPDATE is delete + reinsert: old file keeps its bytes, the new " +
@@ -225,6 +231,19 @@ class MergeOnReadSuite extends AnyFunSuite {
     assert(spark.sql(s"SELECT id, v FROM $t ORDER BY id").collect().toSeq ===
       Seq(Row(2L, "B"), Row(4L, "d")),
       "no resurrection of 1 or 3; 2 updated")
+  }
+
+  test("data columns named like metadata columns are rejected at CREATE " +
+    "and ALTER — they would shadow the row-level machinery") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.mor")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.mor.resv")
+    val e1 = intercept[Exception](
+      spark.sql(s"CREATE TABLE $cat.mor.resv (id BIGINT, _POS BIGINT)"))
+    assert(e1.getMessage.contains("reserved metadata"), e1.getMessage)
+    spark.sql(s"CREATE TABLE $cat.mor.resv (id BIGINT)")
+    val e2 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.mor.resv ADD COLUMN _file STRING"))
+    assert(e2.getMessage.contains("reserved metadata"), e2.getMessage)
   }
 
   test("an unknown row-level mode fails loudly at plan time") {

@@ -32,6 +32,14 @@ class SnapshotMetaSuite extends AnyFunSuite {
     assert(hist === Seq(
       Row(1L, "append", 2, 2L),
       Row(2L, "rewrite", 1, 1L)), hist)
+    // Per-commit accounting: the DELETE's copy-on-write rewrite removed
+    // region a's one-row file and (its only row gone) produced no
+    // replacement file.
+    assert(spark.sql(
+      s"""SELECT version, added_files, added_rows, removed_files,
+         |  removed_rows, delete_entries_added
+         |FROM $t.history ORDER BY version""".stripMargin).collect().toSeq ===
+      Seq(Row(1L, 2, 2L, 0, 0L, 0L), Row(2L, 0, 0L, 1, 1L, 0L)))
     // committed_at is a real timestamp (filterable SQL surface).
     assert(spark.sql(
       s"SELECT count(*) AS n FROM $t.history WHERE committed_at <= current_timestamp()")

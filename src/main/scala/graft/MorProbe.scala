@@ -22,6 +22,10 @@ import graft.sources.SnapshotStore
   * Statements mutate the tables, so each is timed once per factor; reads
   * are min-of-2 after a warm run. Usage: `runMain graft.MorProbe
   * [factors…]` (default 1 4 10); one CSV line per factor.
+  * `SPARK_GRAFT_MOR_MODULUS` (default 997) sets the delete density —
+  * rows where `k % modulus = 5` are deleted (~1/modulus of the table) —
+  * so sweeping it charts the READ-TAX-vs-density curve that tells a
+  * deployment when the carried deletes warrant a compaction run.
   */
 object MorProbe {
 
@@ -80,8 +84,10 @@ object MorProbe {
 
       val rows = baseRows * f
       val files = stateOf(s"morp_cow_$f").currentFiles.size
-      // ~0.1% of keys, coprime to the mod-8 routing: every partition hit.
-      val delPred = "k % 997 = 5"
+      // ~1/modulus of keys, coprime to the mod-8 routing: every partition
+      // hit (defaults to ~0.1%).
+      val modulus = sys.env.getOrElse("SPARK_GRAFT_MOR_MODULUS", "997").toInt
+      val delPred = s"k % $modulus = 5"
       val nDel = spark.sql(s"SELECT count(*) AS n FROM $cowT WHERE $delPred")
         .collect().head.getLong(0)
 

@@ -29,13 +29,16 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 private[sources] object MetaTables {
 
-  val Suffixes: Set[String] = Set("history", "files", "tags", "partitions")
+  val Suffixes: Set[String] = Set("history", "snapshots", "files", "tags", "partitions")
 
   /** The metadata table for `parentKey`'s `suffix`, or None if the suffix
     * is not a metadata name. */
   def forSuffix(display: String, parentKey: String, suffix: String): Option[Table] = {
     def ts(micros: Long): Any = micros // TimestampType carries micros
     suffix match {
+      // `snapshots` is Iceberg's name for the same lineage relation —
+      // serve it as an alias of `history`.
+      case "snapshots" => forSuffix(display, parentKey, "history")
       case "history" => Some(new MetaTable(s"$display.history",
         // Per-commit accounting (Iceberg's snapshot summary as columns):
         // added/removed figures diff each snapshot against its LIVE

@@ -44,6 +44,10 @@ class SnapshotMetaSuite extends AnyFunSuite {
     assert(spark.sql(
       s"SELECT count(*) AS n FROM $t.history WHERE committed_at <= current_timestamp()")
       .collect().head.getLong(0) === 2L)
+    // `snapshots` is Iceberg's name for the same relation — alias works.
+    assert(spark.sql(
+      s"SELECT version, operation, total_files, total_rows FROM $t.snapshots ORDER BY version")
+      .collect().toSeq === hist)
 
     val files = spark.sql(
       s"SELECT partition, row_count FROM $t.files ORDER BY partition")

@@ -794,9 +794,54 @@ object Governance {
     },
     m06SqlUpdateDelete.oracle)
 
+  /** Star join against a PARTITIONED catalog table under DYNAMIC partition
+    * pruning: suppliers land partitioned by nation in the snapshot
+    * catalog, the nation dim carries a selective region filter, and the
+    * fact scan's file list is pruned at execution by the dim's actual
+    * keys (`SupportsRuntimeV2Filtering`; the in-query assertion pins the
+    * dynamic-pruning runtime filter is IN the executed plan, so a
+    * silently-unpruned run cannot pass). Oracle: the same join over the
+    * raw parquet — DPP must be invisible in the answer.
+    *
+    * Scale: this is the 100 TB star-join pattern — the fact side opens
+    * only the partitions the dimension selects, with no static predicate
+    * anywhere in the query text.
+    */
+  val m14DppStar = Q(
+    "m14_dpp_star",
+    (s, dir) => {
+      val t = "graft_snap.gov.supplier_m14"
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.gov")
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"""CREATE TABLE $t (
+        s_suppkey BIGINT, s_name STRING, s_acctbal DOUBLE, nk INT)
+        PARTITIONED BY (nk)""")
+      Tables.supplier(s, dir)
+        .selectExpr("s_suppkey", "s_name", "s_acctbal",
+          "CAST(s_nationkey AS INT) AS nk")
+        .writeTo(t).append()
+      Tables.nation(s, dir).createOrReplaceTempView("m14_nation_src")
+      val q = s.sql(
+        s"""SELECT n.n_name, count(*) AS n_supp,
+           |  CAST(sum(CAST(f.s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+           |FROM $t f JOIN m14_nation_src n ON f.nk = n.n_nationkey
+           |WHERE n.n_regionkey IN (1, 2)
+           |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+      require(q.queryExecution.executedPlan.toString
+          .contains("RuntimeFilters: [dynamicpruning"),
+        "dynamic partition pruning did not engage on the fact scan")
+      q
+    },
+    Some("""SELECT n.n_name, count(*) AS n_supp,
+        CAST(sum(CAST(s.s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_regionkey IN (1, 2)
+      GROUP BY n.n_name ORDER BY n.n_name"""))
+
   val all: Seq[Q] = Seq(
     m01MergeUpsert, m02Scd2History, m03IncrementalRefresh, m04SnapshotDiff,
     m05SqlMerge, m06SqlUpdateDelete, m07TimeTravel, m08ChangeFeed,
     m09IncrementalMaint, m10PartitionedCow, m11ChangeFeedPruned,
-    m12MetadataHistory, m13MergeOnRead, a01QualityAudit, z01ZorderLayout)
+    m12MetadataHistory, m13MergeOnRead, m14DppStar,
+    a01QualityAudit, z01ZorderLayout)
 }

@@ -45,21 +45,45 @@ object ProvisionTables {
     specs.zip(auto.provision(specs))
   }
 
+  /** `--iceberg`: provision through the Iceberg DIALECT offline — the
+    * profile's own sessionConfig wires `glue_catalog` to the engine's
+    * [[graft.sources.SnapshotCatalog]] (the V2 catalog honoring the same
+    * contracts, since no Iceberg runtime jar exists offline), minus the
+    * two keys that need the real runtime (`spark.sql.extensions`) or
+    * would change the session default catalog. */
+  private def icebergProfile(warehouseDir: Option[String]): CatalogProfile =
+    CatalogProfile.Iceberg(
+      warehouse = warehouseDir.getOrElse("/tmp/graft-iceberg-warehouse"),
+      sparkCatalogImpl = "graft.sources.SnapshotCatalog")
+
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: ProvisionTables <specFileOrDir> [warehouseDir]")
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    val unknown = flags.filterNot(_ == "--iceberg")
+    require(positional.nonEmpty && unknown.isEmpty,
+      "usage: ProvisionTables <specFileOrDir> [warehouseDir] [--iceberg]" +
+        (if (unknown.nonEmpty) s"; unknown flag(s): ${unknown.mkString(", ")}" else ""))
+    val warehouseDir = positional.lift(1)
+    val profile = if (flags.contains("--iceberg"))
+      Some(icebergProfile(warehouseDir)) else None
     val spark = {
-      val b = SessionFactory.configure(
+      val b0 = SessionFactory.configure(
         org.apache.spark.sql.SparkSession.builder()
           .master(s"local[${SessionFactory.defaultCores}]"),
         appName = "graft-provision")
-      args.lift(1).fold(b)(wh => b.config("spark.sql.warehouse.dir", wh)).getOrCreate()
+      val b1 = warehouseDir.fold(b0)(wh => b0.config("spark.sql.warehouse.dir", wh))
+      profile.fold(b1)(p =>
+        p.sessionConfig.filterNot { case (k, _) =>
+          k == "spark.sql.extensions" || k == "spark.sql.defaultCatalog"
+        }.foldLeft(b1) { case (b, (k, v)) => b.config(k, v) })
+        .getOrCreate()
     }
     spark.sparkContext.setLogLevel("WARN")
     try
-      run(spark, Paths.get(args(0)), args.lift(1)).foreach { case (spec, ddl) =>
-        println(s"[provision] created ${spec.fullName}")
-        println(ddl.linesIterator.map("  " + _).mkString("\n"))
-      }
+      run(spark, Paths.get(positional(0)), warehouseDir, profile)
+        .foreach { case (spec, ddl) =>
+          println(s"[provision] created ${profile.fold(spec.fullName)(_.qualified(spec))}")
+          println(ddl.linesIterator.map("  " + _).mkString("\n"))
+        }
     finally spark.stop()
   }
 }

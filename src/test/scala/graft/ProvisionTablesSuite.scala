@@ -56,6 +56,12 @@ class ProvisionTablesSuite extends AnyFunSuite {
     assert(e.getMessage.contains("no .yml/.yaml specs"))
   }
 
+  test("CLI flag parsing rejects unknown flags BEFORE starting Spark") {
+    val e = intercept[IllegalArgumentException](
+      ProvisionTables.main(Array("tables/", "--bogus")))
+    assert(e.getMessage.contains("unknown flag"), e.getMessage)
+  }
+
   test("specPaths accepts a single file path") {
     val f = Files.createTempFile("solo", ".yml")
     assert(ProvisionTables.specPaths(f) === Seq(f))

@@ -710,8 +710,8 @@ object Governance {
     * script over the orders fixture. The oracle reconstructs each
     * version's expected lineage row from the SAME fixture predicates, so
     * a history that misnumbered versions, misclassified a commit
-    * (append vs rewrite), or miscounted a snapshot's live rows would
-    * hash-mismatch. `committed_at` and file counts are excluded: wall
+    * (append vs copy-on-write overwrite), or miscounted a snapshot's live
+    * rows would hash-mismatch. `committed_at` and file counts are excluded: wall
     * clock and write-task parallelism are not cross-engine-deterministic
     * (they are sbt-gated in SnapshotMetaSuite instead).
     *
@@ -745,7 +745,7 @@ object Governance {
       UNION ALL
       SELECT CAST(2 AS BIGINT), 'append', count(*) FROM orders
       UNION ALL
-      SELECT CAST(3 AS BIGINT), 'rewrite', count(*)
+      SELECT CAST(3 AS BIGINT), 'overwrite', count(*)
       FROM orders WHERE o_orderstatus <> 'O'
       ORDER BY version"""))
 
@@ -838,10 +838,85 @@ object Governance {
       WHERE n.n_regionkey IN (1, 2)
       GROUP BY n.n_name ORDER BY n.n_name"""))
 
+  /** The `.changes` RELATION (Delta's `table_changes` / Iceberg's changelog
+    * surface, served by the catalog's metadata-suffix fallback as a
+    * DISTRIBUTED scan): the whole commit history replayed as row-level
+    * changes computed exactly from the catalog's own metadata — manifest
+    * diffs for appends, position-delete files for merge-on-read commits —
+    * with NO key columns and NO joins, unlike the m08 operator feed. The
+    * script runs under merge-on-read modes so every rewrite is row-exact:
+    * the UPDATE surfaces as DELETE (old image, read from the delete file's
+    * positions) + INSERT (new image), the DELETE as row-exact DELETEs
+    * against the live v3 state. The oracle reconstructs all five change
+    * blocks relationally from the same fixture predicates — a feed that
+    * leaked a carried row, missed a position, or misnumbered a commit
+    * hash-mismatches.
+    *
+    * Scale: this is the CDC story for a 100 TB table — each commit's feed
+    * reads only the files that commit touched (O(changes), never O(table)),
+    * and the same relation streams (`readStream.table("t.changes")`), so
+    * downstream view maintenance tails rewrites the append-only source must
+    * refuse. ChangeFeedSuite pins streaming, rollback-restore, compaction
+    * transparency, and expired-history loudness.
+    */
+  val m15ChangesRelation = Q(
+    "m15_changes_relation",
+    (s, dir) => {
+      val t = "graft_snap.gov.orders_m15"
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.gov")
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"""CREATE TABLE $t (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_totalprice DOUBLE, o_orderdate TIMESTAMP)
+        TBLPROPERTIES (
+          'write.update.mode'='merge-on-read',
+          'write.delete.mode'='merge-on-read')""")
+      Tables.orders(s, dir).createOrReplaceTempView("m15_orders_src")
+      s.sql(s"""INSERT INTO $t
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+        FROM m15_orders_src WHERE o_orderdate < TIMESTAMP '1994-01-01 00:00:00'""")
+      s.sql(s"""INSERT INTO $t
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+        FROM m15_orders_src WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'""")
+      s.sql(s"""UPDATE $t SET o_totalprice =
+          CAST(CAST(o_totalprice AS DECIMAL(18,4)) * CAST(0.9 AS DECIMAL(2,1)) AS DOUBLE)
+        WHERE o_orderstatus = 'F' AND o_custkey % 7 = 3""")
+      s.sql(s"DELETE FROM $t WHERE o_custkey % 10 = 7")
+      s.sql(s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+          _change_type, _commit_version
+        FROM $t.changes
+        ORDER BY _commit_version, _change_type, o_orderkey""")
+    },
+    Some("""WITH v3 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate,
+          o_totalprice AS orig,
+          CASE WHEN o_orderstatus = 'F' AND o_custkey % 7 = 3
+            THEN CAST(CAST(o_totalprice AS DECIMAL(18,4)) * CAST(0.9 AS DECIMAL(2,1)) AS DOUBLE)
+            ELSE o_totalprice END AS updated
+        FROM orders),
+      feed AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, orig AS o_totalprice,
+          'INSERT' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+        FROM v3 WHERE o_orderdate < TIMESTAMP '1994-01-01 00:00:00'
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, orig, 'INSERT', 2
+        FROM v3 WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, orig, 'DELETE', 3
+        FROM v3 WHERE o_orderstatus = 'F' AND o_custkey % 7 = 3
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, updated, 'INSERT', 3
+        FROM v3 WHERE o_orderstatus = 'F' AND o_custkey % 7 = 3
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, updated, 'DELETE', 4
+        FROM v3 WHERE o_custkey % 10 = 7)
+      SELECT * FROM feed
+      ORDER BY _commit_version, _change_type, o_orderkey"""))
+
   val all: Seq[Q] = Seq(
     m01MergeUpsert, m02Scd2History, m03IncrementalRefresh, m04SnapshotDiff,
     m05SqlMerge, m06SqlUpdateDelete, m07TimeTravel, m08ChangeFeed,
     m09IncrementalMaint, m10PartitionedCow, m11ChangeFeedPruned,
-    m12MetadataHistory, m13MergeOnRead, m14DppStar,
+    m12MetadataHistory, m13MergeOnRead, m14DppStar, m15ChangesRelation,
     a01QualityAudit, z01ZorderLayout)
 }

@@ -258,15 +258,16 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     partCols.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column $c is not in the table schema"))
     // `_file` / `_pos` are this catalog's metadata columns (the row-level
-    // rewrite group id and the merge-on-read row id). A DATA column with
-    // either name would shadow them in resolution and silently corrupt
-    // row-level operations — reject at creation, the only safe time.
+    // rewrite group id and the merge-on-read row id), and `_change_type` /
+    // `_commit_version` / `_commit_timestamp` are the change-feed relation's
+    // virtual columns. A DATA column with any of these names would shadow
+    // them in resolution and silently corrupt row-level operations or the
+    // change feed — reject at creation, the only safe time.
     val clash = schema.fieldNames.filter(n =>
-      n.equalsIgnoreCase(MemTable.FileColumnName) ||
-        n.equalsIgnoreCase(MemTable.PosColumnName))
+      MemTable.ReservedColumnNames.exists(_.equalsIgnoreCase(n)))
     require(clash.isEmpty,
       s"column name(s) ${clash.mkString(", ")} are reserved metadata columns " +
-        s"(${MemTable.FileColumnName}, ${MemTable.PosColumnName}) of the " +
+        s"(${MemTable.ReservedColumnNames.mkString(", ")}) of the " +
         "snapshot catalog")
     val k = key(ident)
     val dataDir = new Path(new Path(warehouse),
@@ -299,8 +300,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
             val colName = add.fieldNames()(0)
             require(!cur.schema.fieldNames.exists(_.equalsIgnoreCase(colName)),
               s"column $colName already exists")
-            require(!colName.equalsIgnoreCase(MemTable.FileColumnName) &&
-              !colName.equalsIgnoreCase(MemTable.PosColumnName),
+            require(!MemTable.ReservedColumnNames.exists(_.equalsIgnoreCase(colName)),
               s"column name $colName is a reserved metadata column of the " +
                 "snapshot catalog")
             require(add.isNullable,
@@ -408,7 +408,8 @@ object SnapshotCatalog {
           target.fold(Vector.empty[SnapshotStore.DataFile])(_.files),
           schema = st.schema,
           deleteFiles = target.fold(
-            Vector.empty[SnapshotStore.DeleteFile])(_.deleteFiles)))
+            Vector.empty[SnapshotStore.DeleteFile])(_.deleteFiles),
+          operation = "rollback"))
     } match {
       case (_, after) => after.snapshots.last.version
     }
@@ -450,7 +451,10 @@ object SnapshotCatalog {
         val rows = st.currentFiles.map(_.rowCount).sum
         df.repartition(math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt))
       }
-    shaped.writeTo(name).overwrite(lit(true))
+    // `graft.operation=replace` stamps the snapshot as a compaction — the
+    // files change, the logical rows do not, so the change feed skips it
+    // (Iceberg excludes REPLACE snapshots from changelog scans the same way).
+    shaped.writeTo(name).option("graft.operation", "replace").overwrite(lit(true))
     (before, SnapshotStore.stateOf(k).currentFiles.size)
   }
 
@@ -498,11 +502,18 @@ private[graft] object SnapshotStore {
     * per-snapshot schema), so an `ALTER TABLE ADD COLUMN` never
     * retroactively widens history. `deleteFiles` are the position deletes
     * LIVE at this snapshot (merge-on-read row-level operations append
-    * them; copy-on-write commits retire those of replaced data files). */
+    * them; copy-on-write commits retire those of replaced data files).
+    * `operation` names WHAT the commit did (Iceberg's snapshot-summary
+    * operation): `append` | `overwrite` (truncate, partition overwrite, or
+    * copy-on-write row-level rewrite) | `delete` (metadata-only partition
+    * delete) | `delta` (merge-on-read row-level commit) | `rollback` |
+    * `replace` (compaction — files change, logical rows do not; the change
+    * feed skips it). */
   final case class Snapshot(version: Long, commitMicros: Long,
       files: Vector[DataFile], appendedFiles: Int = -1,
       schema: StructType = null,
-      deleteFiles: Vector[DeleteFile] = Vector.empty)
+      deleteFiles: Vector[DeleteFile] = Vector.empty,
+      operation: String = "append")
 
   /** `epochs` maps each streaming QUERY id to the newest epoch it committed
     * into this table: the replay guard that makes the streaming SINK
@@ -617,10 +628,14 @@ private[graft] object SnapshotStore {
     * rewrite scanned (a silent last-writer-wins would erase the concurrent
     * commit's rows; Iceberg validates the base snapshot the same way).
     * Plain INSERT OVERWRITE passes None: truncate-replace is last-writer-
-    * wins by SQL semantics. */
+    * wins by SQL semantics.
+    *
+    * `operation` stamps the snapshot's [[Snapshot.operation]]; None derives
+    * the unrefined default (`append` / `overwrite`). */
   def commit(k: String, newFiles: Vector[DataFile], replace: Boolean,
       expectedBase: Option[Long] = None,
-      replacedSelector: Option[TableState => Vector[DataFile]] = None): Unit = {
+      replacedSelector: Option[TableState => Vector[DataFile]] = None,
+      operation: Option[String] = None): Unit = {
     update(k) { st =>
       val live = if (st.snapshots.isEmpty) 0L else st.snapshots.last.version
       expectedBase.filter(_ != live).foreach { base =>
@@ -645,7 +660,8 @@ private[graft] object SnapshotStore {
       val deletes = st.currentDeletes.filter(d => surviving(d.dataPath))
       st.copy(snapshots = st.snapshots :+ Snapshot(st.nextVersion, nowMicros(), files,
         appendedFiles = if (replace) -1 else newFiles.size, schema = st.schema,
-        deleteFiles = deletes))
+        deleteFiles = deletes,
+        operation = operation.getOrElse(if (replace) "overwrite" else "append")))
     }
     ()
   }
@@ -672,7 +688,7 @@ private[graft] object SnapshotStore {
             s"file ${d.dataPath}"))
       st.copy(snapshots = st.snapshots :+ Snapshot(st.nextVersion, nowMicros(),
         st.currentFiles ++ newFiles, appendedFiles = -1, schema = st.schema,
-        deleteFiles = st.currentDeletes ++ newDeletes))
+        deleteFiles = st.currentDeletes ++ newDeletes, operation = "delta"))
     }
     ()
   }
@@ -704,7 +720,8 @@ private[graft] object SnapshotStore {
         st.copy(
           snapshots = st.snapshots :+ Snapshot(st.nextVersion, nowMicros(),
             st.currentFiles ++ newFiles, appendedFiles = newFiles.size,
-            schema = st.schema, deleteFiles = st.currentDeletes),
+            schema = st.schema, deleteFiles = st.currentDeletes,
+            operation = "append"),
           epochs = (pruned - queryId) + (queryId -> epochId))
       }
     }
@@ -1031,7 +1048,15 @@ private[sources] final class MemTable(fullName: String, k: String,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinned.isEmpty, s"$fullName is a time-travel view and not writable")
-    new MemWriteBuilder(k, info.schema(), partColMap, queryId = info.queryId())
+    // Maintenance writes (compact) stamp their snapshot's operation via a
+    // write option so the change feed can tell a file reshuffle from a
+    // logical rewrite. Only `replace` may be claimed — anything else could
+    // relabel a data change as a no-op.
+    val op = Option(info.options().get("graft.operation"))
+    op.filter(_ != "replace").foreach(o => throw new IllegalArgumentException(
+      s"write option graft.operation only accepts 'replace' (compaction), got '$o'"))
+    new MemWriteBuilder(k, info.schema(), partColMap, queryId = info.queryId(),
+      operationOverride = op)
   }
 
   /** Group-based row-level operation: the scan pins the current snapshot's
@@ -1072,7 +1097,8 @@ private[sources] final class MemTable(fullName: String, k: String,
     SnapshotStore.commit(k, Vector.empty, replace = true,
       replacedSelector = Some(st => st.currentFiles.filter(f =>
         PartitionPredicates.matchesAllDecided(
-          predicates.toSeq, cols, f.partitionValues))))
+          predicates.toSeq, cols, f.partitionValues))),
+      operation = Some("delete"))
   }
 }
 
@@ -1091,6 +1117,14 @@ private[sources] object MemTable {
   /** Row position within its data file (Iceberg's `_pos`): with `_file`,
     * the stable row identity merge-on-read position deletes reference. */
   val PosColumnName = "_pos"
+
+  /** Every name the catalog may materialize alongside data columns —
+    * the metadata columns plus the change-feed relation's virtual columns
+    * ([[ChangesTable]]). Rejected as DATA column names at create/alter. */
+  def ReservedColumnNames: Seq[String] =
+    Seq(FileColumnName, PosColumnName,
+      ChangesTable.TypeColumn, ChangesTable.VersionColumn,
+      ChangesTable.TimestampColumn)
   val PosColumn: MetadataColumn = new MetadataColumn {
     override def name(): String = PosColumnName
     override def dataType(): DataType = org.apache.spark.sql.types.LongType
@@ -1376,7 +1410,8 @@ private[sources] final class MemWriteBuilder(k: String, writeSchema: StructType,
     partCols: PartitionPredicates.PartCols,
     forceReplace: Boolean = false, queryId: String = "",
     expectedBase: Option[Long] = None,
-    rowLevelScanned: Option[() => Set[String]] = None)
+    rowLevelScanned: Option[() => Set[String]] = None,
+    operationOverride: Option[String] = None)
     extends WriteBuilder with SupportsOverwriteV2 with SupportsDynamicOverwrite {
 
   private var replace = forceReplace
@@ -1455,11 +1490,14 @@ private[sources] final class MemWriteBuilder(k: String, writeSchema: StructType,
                 preds.toSeq, cols, f.partitionValues)))
           case _ => None // plain truncate (if replace) or append
         }
+      operationOverride.foreach(_ => require(replace,
+        "graft.operation=replace is only valid on a truncate-overwrite " +
+          "(compaction) write, not an append"))
       new MemBatchWrite(k, writeSchema, replace,
         // Base validation applies only to row-level rewrites; a user
         // truncate/overwrite is last-writer-wins by SQL semantics.
         if (forceReplace) expectedBase else None,
-        selector, dynamicParts)
+        selector, dynamicParts, operationOverride)
     }
     override def toStreaming:
         org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
@@ -1505,7 +1543,8 @@ private[sources] final class MemStreamingWrite(k: String, writeSchema: StructTyp
 private[sources] final class MemBatchWrite(k: String, writeSchema: StructType,
     replace: Boolean, expectedBase: Option[Long] = None,
     replacedSelector: Option[SnapshotStore.TableState => Vector[SnapshotStore.DataFile]] = None,
-    dynamicParts: Boolean = false) extends BatchWrite {
+    dynamicParts: Boolean = false,
+    operationOverride: Option[String] = None) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val st = SnapshotStore.stateOf(k)
     new MemWriterFactory(writeSchema, st.partitionCols, st.dataDir,
@@ -1524,7 +1563,8 @@ private[sources] final class MemBatchWrite(k: String, writeSchema: StructType,
         Some((cur: SnapshotStore.TableState) =>
           cur.currentFiles.filter(f => newParts(f.partitionValues)))
       }
-    SnapshotStore.commit(k, files, replace, expectedBase, selector)
+    SnapshotStore.commit(k, files, replace, expectedBase, selector,
+      operationOverride)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     RowFiles.delete(messages.iterator.map(_.asInstanceOf[MemCommitMessage])
@@ -1752,6 +1792,73 @@ private[sources] object MemReaders {
       }
     }
   }
+
+  /** Reader for [[MemChangePartition]]s: the data columns stream from the
+    * row file exactly like [[factory]] (narrow pre-ALTER files pad NULL),
+    * and the three change columns are per-partition constants. Keep-mode
+    * stops as soon as every kept position has been emitted — a
+    * merge-on-read delete of k rows reads at most the prefix containing
+    * them, not the whole file. */
+  def changeFactory(dataSchema: StructType, required: StructType,
+      fsConf: org.apache.spark.util.SerializableConfiguration): PartitionReaderFactory = {
+    val ordinals = required.fieldNames.map {
+      case ChangesTable.TypeColumn => -3
+      case ChangesTable.VersionColumn => -4
+      case ChangesTable.TimestampColumn => -5
+      case f => dataSchema.fieldIndex(f)
+    }
+    val types = ordinals.map(i => if (i < 0) null else dataSchema.fields(i).dataType)
+    val numFields = dataSchema.length
+    (partition: InputPartition) => {
+      val part = partition.asInstanceOf[MemChangePartition]
+      new PartitionReader[InternalRow] {
+        private val reader = new RowFiles.Reader(part.path, fsConf.value)
+        require(reader.numFields <= numFields,
+          s"row file ${part.path} has ${reader.numFields} fields; table has $numFields")
+        private val fileFields = reader.numFields
+        private val row = new UnsafeRow(fileFields)
+        private var buf = new Array[Byte](1 << 10)
+        private var remaining = part.rowCount
+        private val ctValue = UTF8String.fromString(part.changeType)
+        private def positions(paths: Seq[String]): java.util.HashSet[java.lang.Long] =
+          if (paths.isEmpty) null
+          else {
+            val set = new java.util.HashSet[java.lang.Long]()
+            paths.foreach(p =>
+              RowFiles.readDeletes(p, fsConf.value).foreach(set.add(_)))
+            set
+          }
+        private val keep = positions(part.keepPositionPaths)
+        private val skip = positions(part.skipDeletePaths)
+        private var kept = 0L
+        private var pos = -1L
+        override def next(): Boolean = {
+          while (remaining > 0 && (keep == null || kept < keep.size)) {
+            val size = reader.stream.readInt()
+            if (buf.length < size) buf = new Array[Byte](Integer.highestOneBit(size) << 1)
+            reader.stream.readFully(buf, 0, size)
+            row.pointTo(buf, size)
+            remaining -= 1
+            pos += 1
+            if (keep != null) {
+              if (keep.contains(pos)) { kept += 1; return true }
+            } else if (skip == null || !skip.contains(pos)) return true
+          }
+          false
+        }
+        override def get(): InternalRow = InternalRow.fromSeq(ordinals.indices.map { j =>
+          ordinals(j) match {
+            case -3 => ctValue
+            case -4 => part.commitVersion
+            case -5 => part.commitMicros
+            case i if i >= fileFields => null
+            case i => row.get(i, types(j))
+          }
+        })
+        override def close(): Unit = reader.close()
+      }
+    }
+  }
 }
 
 private[sources] final class MemScan(fullSchema: StructType,
@@ -1906,4 +2013,263 @@ private[sources] final case class VersionOffset(version: Long)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String = version.toString
 }
+
+/** The CHANGE FEED of a snapshot-catalog table, exact from its own
+  * metadata — no key columns, no joins, no row through the driver. Each
+  * commit's row-level changes are derivable from what the commit recorded:
+  *
+  *   - data files ADDED → their live rows are INSERTs;
+  *   - data files REMOVED → their previously-live rows are DELETEs
+  *     (rows a position delete had already removed are excluded — they
+  *     were not live at the predecessor version);
+  *   - position-delete files ADDED on surviving data files (merge-on-read)
+  *     → exactly those positions' rows are DELETEs;
+  *   - position-delete files REMOVED from surviving data files (rollback)
+  *     → those positions' rows are restored INSERTs;
+  *   - `replace` commits (compaction) reshuffle files without changing
+  *     rows → no changes (Iceberg excludes REPLACE snapshots from
+  *     changelog scans the same way).
+  *
+  * A copy-on-write rewrite surfaces at FILE grain — carried rows of a
+  * rewritten file appear as DELETE+INSERT pairs of the same commit, which
+  * is Iceberg's changelog semantics for COW; the key-based
+  * [[graft.operators.ChangeDataFeed]] (m08) is the net-changes view.
+  * Merge-on-read commits are exact at ROW grain — the reason MOR mode is
+  * what a CDC-tailed 100 TB table wants. */
+private[sources] object ChangeLog {
+  import SnapshotStore.{DataFile, DeleteFile, Snapshot}
+
+  /** The scan partitions carrying commit `cur`'s change rows. Appends are
+    * computed from the commit's own record (no predecessor needed — an
+    * append-only tail tolerates expired history); every other operation
+    * diffs against the predecessor snapshot and fails loudly if it was
+    * expired (the changes would be unknowable, not empty). */
+  def changePartitions(st: SnapshotStore.TableState, cur: Snapshot,
+      shown: String): Seq[MemChangePartition] = {
+    def part(f: DataFile, ctype: String, skip: Seq[String]) =
+      MemChangePartition(f.path, f.rowCount, ctype, cur.version,
+        cur.commitMicros, skipDeletePaths = skip)
+    val curDelByData = SnapshotStore.deleteMap(cur.deleteFiles)
+    val out: Seq[MemChangePartition] = cur.operation match {
+      case "replace" => Nil
+      case "append" =>
+        cur.files.takeRight(math.max(cur.appendedFiles, 0))
+          .map(f => part(f, "INSERT", curDelByData.getOrElse(f.path, Vector.empty)))
+      case _ =>
+        val (prevFiles, prevDels) =
+          if (cur.version == 1L)
+            (Vector.empty[DataFile], Vector.empty[DeleteFile])
+          else st.snapshots.find(_.version == cur.version - 1)
+            .map(p => (p.files, p.deleteFiles))
+            .getOrElse(throw new IllegalStateException(
+              s"cannot compute changes of $shown at v${cur.version}: its " +
+                s"predecessor snapshot v${cur.version - 1} was expired"))
+        val prevPaths = prevFiles.map(_.path).toSet
+        val curPaths = cur.files.map(_.path).toSet
+        val prevDelByData = SnapshotStore.deleteMap(prevDels)
+        val prevDelPaths = prevDels.map(_.path).toSet
+        val curDelPaths = cur.deleteFiles.map(_.path).toSet
+        def survived(p: String) = prevPaths(p) && curPaths(p)
+        val rowCountOf = (prevFiles ++ cur.files).map(f => f.path -> f.rowCount).toMap
+
+        val inserts = cur.files.filterNot(f => prevPaths(f.path))
+          .map(f => part(f, "INSERT", curDelByData.getOrElse(f.path, Vector.empty)))
+        val fileDeletes = prevFiles.filterNot(f => curPaths(f.path))
+          .map(f => part(f, "DELETE", prevDelByData.getOrElse(f.path, Vector.empty)))
+        // New position deletes on carried files: exactly those rows died.
+        val posDeletes = cur.deleteFiles
+          .filter(d => !prevDelPaths(d.path) && survived(d.dataPath))
+          .groupBy(_.dataPath).toSeq.map { case (dp, ds) =>
+            MemChangePartition(dp, rowCountOf(dp), "DELETE", cur.version,
+              cur.commitMicros, keepPositionPaths = ds.map(_.path)) }
+        // Position deletes dropped from carried files (rollback): restored.
+        val restored = prevDels
+          .filter(d => !curDelPaths(d.path) && survived(d.dataPath))
+          .groupBy(_.dataPath).toSeq.map { case (dp, ds) =>
+            MemChangePartition(dp, rowCountOf(dp), "INSERT", cur.version,
+              cur.commitMicros, keepPositionPaths = ds.map(_.path)) }
+        inserts ++ fileDeletes ++ posDeletes ++ restored
+    }
+    out.filter(_.rowCount > 0)
+  }
+}
+
+private[sources] object ChangesTable {
+  /** Delta's CDF column names (m08's operator feed uses the same two). */
+  val TypeColumn = "_change_type"
+  val VersionColumn = "_commit_version"
+  val TimestampColumn = "_commit_timestamp"
+
+  def schemaFor(data: StructType): StructType = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, TimestampType}
+    StructType(data.fields ++ Seq(
+      StructField(TypeColumn, StringType, nullable = false),
+      StructField(VersionColumn, LongType, nullable = false),
+      StructField(TimestampColumn, TimestampType, nullable = false)))
+  }
+}
+
+/** `SELECT … FROM cat.db.t.changes` / `spark.readStream.table("….changes")`
+  * — the change feed as a RELATION (Delta's `table_changes` + CDF-streaming
+  * surface): batch reads replay a version range of changes, streaming reads
+  * tail every commit — including the rewrites the append-only stream must
+  * refuse — with snapshot versions as exactly-once offsets. Unlike the
+  * other metadata suffixes this is a DISTRIBUTED scan: change rows are row
+  * data and never pass through the driver.
+  *
+  * Options: `startingVersion` (first commit delivered; streaming also
+  * accepts `latest`), `endingVersion` (batch, inclusive),
+  * `maxVersionsPerTrigger` (streaming admission control). */
+private[sources] final class ChangesTable(display: String, k: String)
+    extends Table with SupportsRead {
+  private val dataSchema = SnapshotStore.stateOf(k).schema
+  override def name(): String = display
+  override def schema(): StructType = ChangesTable.schemaFor(dataSchema)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ChangesScanBuilder(k, dataSchema, schema(), options)
+}
+
+private[sources] final class ChangesScanBuilder(k: String,
+    dataSchema: StructType, full: StructType, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required = full
+  override def pruneColumns(r: StructType): Unit = required = r
+  override def build(): Scan = {
+    def opt(name: String): Option[String] = Option(options.get(name))
+    def longOpt(name: String): Option[Long] = opt(name).map(v =>
+      v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"$name must be a version number, got '$v'")))
+    new ChangesScan(k, dataSchema, required,
+      startingVersion = opt("startingVersion"),
+      endingVersion = longOpt("endingVersion"),
+      maxVersionsPerTrigger = longOpt("maxVersionsPerTrigger"))
+  }
+}
+
+private[sources] final class ChangesScan(k: String, dataSchema: StructType,
+    required: StructType, startingVersion: Option[String],
+    endingVersion: Option[Long], maxVersionsPerTrigger: Option[Long])
+    extends Scan with Batch {
+  private val shown = SnapshotStore.dotted(k)
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-snapshot changes $shown [" +
+      startingVersion.fold("")(s => s"from v$s") +
+      endingVersion.fold("")(e => s" to v$e") + "]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val st = SnapshotStore.stateOf(k)
+    val start = startingVersion.map(v => v.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"batch startingVersion must be a version number, got '$v'")))
+    start.foreach(s => require(s >= 1, s"startingVersion must be >= 1, got $s"))
+    endingVersion.foreach(e => require(start.forall(_ <= e),
+      s"endingVersion $e precedes startingVersion ${start.get}"))
+    val sns = st.snapshots.filter(sn =>
+      start.forall(sn.version >= _) && endingVersion.forall(sn.version <= _))
+    // Silent gaps would read as "no changes happened" — every failure to
+    // cover the requested range must be loud.
+    start.foreach(s => require(sns.headOption.exists(_.version == s),
+      s"startingVersion $s of $shown is not a live snapshot (expired or future)"))
+    endingVersion.foreach(e => require(sns.lastOption.exists(_.version == e),
+      s"endingVersion $e of $shown is not a live snapshot (expired or future)"))
+    if (start.isEmpty) sns.headOption.foreach(first =>
+      require(first.version == 1L,
+        s"history of $shown before v${first.version} was expired; pass " +
+          "startingVersion to read the live range"))
+    sns.iterator.sliding(2).withPartial(false).foreach { pair =>
+      require(pair(1).version == pair(0).version + 1,
+        s"versions v${pair(0).version + 1}..v${pair(1).version - 1} of $shown " +
+          "were expired — their changes are unknowable")
+    }
+    sns.flatMap(sn => ChangeLog.changePartitions(st, sn, shown))
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    MemReaders.changeFactory(dataSchema, required, RowFiles.sessionConf())
+
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(endingVersion.isEmpty,
+      "endingVersion is a batch option; a stream has no end")
+    new ChangesMicroBatchStream(k, dataSchema, required,
+      maxVersionsPerTrigger, startingVersion)
+  }
+}
+
+/** Streaming change feed: identical offset/admission semantics to the
+  * append-only [[MemMicroBatchStream]] (versions are offsets,
+  * `maxVersionsPerTrigger` bounds replay, expired in-range snapshots fail
+  * loudly) — but each micro-batch carries the commits' CHANGE rows, so
+  * rewrites (row-level UPDATE/DELETE, partition overwrite, rollback) flow
+  * through instead of failing the stream. Compactions pass as empty. */
+private[sources] final class ChangesMicroBatchStream(k: String,
+    dataSchema: StructType, required: StructType,
+    maxVersionsPerTrigger: Option[Long], startingVersion: Option[String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  maxVersionsPerTrigger.foreach(m => require(m >= 1,
+    s"maxVersionsPerTrigger must be >= 1, got $m"))
+
+  private val shown = SnapshotStore.dotted(k)
+
+  private def versionNow(): Long = {
+    val st = SnapshotStore.tables.getOrElse(k,
+      throw new IllegalStateException(s"streamed table dropped: $shown"))
+    if (st.snapshots.isEmpty) 0L else st.snapshots.last.version
+  }
+
+  override def initialOffset(): Offset = VersionOffset(startingVersion match {
+    case None => 0L
+    case Some("latest") => versionNow()
+    case Some(v) =>
+      val n = v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"startingVersion must be a version number or 'latest', got '$v'"))
+      require(n >= 1, s"startingVersion must be >= 1, got $n")
+      n - 1
+  })
+  override def latestOffset(): Offset = VersionOffset(versionNow())
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val start = startOffset.asInstanceOf[VersionOffset].version
+    val now = versionNow()
+    VersionOffset(maxVersionsPerTrigger.fold(now)(m => math.min(now, start + m)))
+  }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def deserializeOffset(json: String): Offset = VersionOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[VersionOffset].version,
+      end.asInstanceOf[VersionOffset].version)
+    if (s >= e) return Array.empty
+    val st = SnapshotStore.tables.getOrElse(k,
+      throw new IllegalStateException(s"streamed table dropped: $shown"))
+    val inRange = st.snapshots.filter(sn => sn.version > s && sn.version <= e)
+    require(inRange.size == (e - s),
+      s"stream offset range ($s, $e] of $shown covers ${e - s} commits but only " +
+        s"${inRange.size} snapshots are live — expired past the stream's offset")
+    inRange.flatMap(sn => ChangeLog.changePartitions(st, sn, shown)).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    MemReaders.changeFactory(dataSchema, required, RowFiles.sessionConf())
+}
+
+/** One data file's contribution to one commit's change feed. Either
+  * skip-mode (emit all rows EXCEPT `skipDeletePaths`' positions — whole
+  * files entering/leaving the table) or keep-mode (emit ONLY
+  * `keepPositionPaths`' positions — merge-on-read deletes/restores).
+  * `rowCount` is the data file's physical row count. */
+private[sources] final case class MemChangePartition(path: String, rowCount: Long,
+    changeType: String, commitVersion: Long, commitMicros: Long,
+    skipDeletePaths: Seq[String] = Nil,
+    keepPositionPaths: Seq[String] = Nil) extends InputPartition
 

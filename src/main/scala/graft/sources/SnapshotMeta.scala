@@ -29,7 +29,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 private[sources] object MetaTables {
 
-  val Suffixes: Set[String] = Set("history", "snapshots", "files", "tags", "partitions")
+  val Suffixes: Set[String] =
+    Set("history", "snapshots", "files", "tags", "partitions", "changes")
 
   /** The metadata table for `parentKey`'s `suffix`, or None if the suffix
     * is not a metadata name. */
@@ -39,6 +40,9 @@ private[sources] object MetaTables {
       // `snapshots` is Iceberg's name for the same lineage relation —
       // serve it as an alias of `history`.
       case "snapshots" => forSuffix(display, parentKey, "history")
+      // The change feed is ROW data, not metadata: a distributed scan
+      // (batch + micro-batch), never a LocalScan — see [[ChangesTable]].
+      case "changes" => Some(new ChangesTable(s"$display.changes", parentKey))
       case "history" => Some(new MetaTable(s"$display.history",
         // Per-commit accounting (Iceberg's snapshot summary as columns):
         // added/removed figures diff each snapshot against its LIVE
@@ -72,8 +76,7 @@ private[sources] object MetaTables {
             val delAdded = s.deleteFiles.filterNot(d => prevDel(d.path))
             new GenericInternalRow(Array[Any](
               s.version, ts(s.commitMicros),
-              UTF8String.fromString(
-                if (s.appendedFiles >= 0) "append" else "rewrite"),
+              UTF8String.fromString(s.operation),
               added.size, added.map(_.rowCount).sum,
               removed.size, removed.map(_.rowCount).sum,
               delAdded.map(_.entryCount).sum,

@@ -25,13 +25,13 @@ class SnapshotMetaSuite extends AnyFunSuite {
     val t = freshTable("meta1")
     spark.sql(s"CREATE TABLE $t (id BIGINT, region STRING) PARTITIONED BY (region)")
     spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b')") // v1: append, 2 files
-    spark.sql(s"DELETE FROM $t WHERE id = 1")              // v2: rewrite
+    spark.sql(s"DELETE FROM $t WHERE id = 1")              // v2: COW rewrite
     val hist = spark.sql(
       s"SELECT version, operation, total_files, total_rows FROM $t.history ORDER BY version")
       .collect().toSeq
     assert(hist === Seq(
       Row(1L, "append", 2, 2L),
-      Row(2L, "rewrite", 1, 1L)), hist)
+      Row(2L, "overwrite", 1, 1L)), hist)
     // Per-commit accounting: the DELETE's copy-on-write rewrite removed
     // region a's one-row file and (its only row gone) produced no
     // replacement file.

@@ -913,10 +913,62 @@ object Governance {
       SELECT * FROM feed
       ORDER BY _commit_version, _change_type, o_orderkey"""))
 
+  /** WRITE-AUDIT-PUBLISH via branches (Iceberg's branch refs +
+    * `fast_forward`): the 1994+ order cohort is staged on a branch —
+    * committed data files, ZERO visibility on main — audited through the
+    * branch read, then published by splicing the staged commits onto the
+    * main log as ordinary time-travelable versions. The in-query pins make
+    * the isolation load-bearing: a catalog that leaked staged rows to main
+    * (or served the branch read from main) fails BEFORE the oracle runs,
+    * and the final audit over published main must hash-match the plain
+    * full-fixture aggregate — publish is exactly append, nothing lost or
+    * doubled.
+    *
+    * Scale: staging is O(new data) file writes + one metadata splice to
+    * publish — the pattern that lets a 100 TB table take hours-long
+    * validated ingest without readers ever seeing half a load.
+    */
+  val m16WapPublish = Q(
+    "m16_wap_publish",
+    (s, dir) => {
+      val t = "graft_snap.gov.orders_m16"
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.gov")
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"""CREATE TABLE $t (
+        o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE,
+        o_orderdate TIMESTAMP)""")
+      Tables.orders(s, dir).createOrReplaceTempView("m16_orders_src")
+      s.sql(s"""INSERT INTO $t
+        SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderdate
+        FROM m16_orders_src WHERE o_orderdate < TIMESTAMP '1994-01-01 00:00:00'""")
+      s.sql("CALL graft_snap.system.create_branch('gov.orders_m16', 'ingest')")
+      // WRITE: stage the new cohort on the branch.
+      s.sql(s"""INSERT INTO $t.branch_ingest
+        SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderdate
+        FROM m16_orders_src WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'""")
+      // AUDIT: staged rows visible on the branch, invisible on main.
+      val mainN = s.sql(s"SELECT count(*) FROM $t").head().getLong(0)
+      val branchN =
+        s.sql(s"SELECT count(*) FROM $t.branch_ingest").head().getLong(0)
+      val oldN = s.sql("""SELECT count(*) FROM m16_orders_src
+        WHERE o_orderdate < TIMESTAMP '1994-01-01 00:00:00'""").head().getLong(0)
+      val allN = s.sql("SELECT count(*) FROM m16_orders_src").head().getLong(0)
+      require(mainN == oldN && branchN == allN,
+        s"WAP isolation broke: main=$mainN (want $oldN), branch=$branchN (want $allN)")
+      // PUBLISH.
+      s.sql("CALL graft_snap.system.fast_forward('gov.orders_m16', 'ingest')")
+      s.sql(s"""SELECT o_orderpriority, count(*) AS n_orders,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM $t GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   val all: Seq[Q] = Seq(
     m01MergeUpsert, m02Scd2History, m03IncrementalRefresh, m04SnapshotDiff,
     m05SqlMerge, m06SqlUpdateDelete, m07TimeTravel, m08ChangeFeed,
     m09IncrementalMaint, m10PartitionedCow, m11ChangeFeedPruned,
     m12MetadataHistory, m13MergeOnRead, m14DppStar, m15ChangesRelation,
-    a01QualityAudit, z01ZorderLayout)
+    m16WapPublish, a01QualityAudit, z01ZorderLayout)
 }

@@ -153,18 +153,33 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         new MemTable(ident.toString, k, st.schema, st.partitionCols, st.properties,
           pinned = None)
       case None =>
-        // Metadata-table fallback (`db.t.history` / `.files` / `.tags`):
-        // only when the FULL identifier names no real table and its
-        // namespace tail names one — a genuine table always wins.
+        // Suffix fallback (`db.t.history` / `.files` / `.changes` /
+        // `.branch_<name>`): only when the FULL identifier names no real
+        // table and its namespace tail names one — a genuine table always
+        // wins.
         val meta = for {
           ns <- Option(ident.namespace()).filter(_.nonEmpty)
           parent = Identifier.of(ns.init, ns.last)
           pk = key(parent) if SnapshotStore.tables.contains(pk)
           t <- MetaTables.forSuffix(parent.toString, pk, ident.name())
+            .orElse(branchFor(parent, pk, ident.name()))
         } yield t
         meta.getOrElse(throw new NoSuchTableException(ident))
     }
   }
+
+  /** `db.t.branch_<name>` — the BRANCH as a readable/appendable relation
+    * (Iceberg's branch identifier surface): reads serve the branch head,
+    * `INSERT INTO` stages commits on the branch. An unknown branch falls
+    * through to NOT_FOUND (loadTable doubles as Spark's existence probe, so
+    * throwing anything else here would break `CREATE TABLE db.t.branch_x`
+    * shadow creation). */
+  private def branchFor(parent: Identifier, pk: String,
+      suffix: String): Option[Table] =
+    Option(suffix).filter(_.startsWith("branch_"))
+      .map(_.stripPrefix("branch_"))
+      .filter(SnapshotStore.stateOf(pk).branches.contains)
+      .map(name => new BranchTable(s"$parent.branch_$name", pk, name))
 
   // -- procedures (`CALL <catalog>.system.<proc>(…)`) ----------------------
 
@@ -181,21 +196,31 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     else Array.empty
 
   /** `VERSION AS OF v` — a read-only pin of snapshot v (0 = the empty
-    * just-created table), or of a named tag (`VERSION AS OF 'release_1'`,
-    * Iceberg's tag surface). Expired/future versions and unknown tags fail
+    * just-created table), of a named tag (`VERSION AS OF 'release_1'`,
+    * Iceberg's tag surface), or of a BRANCH head (the audit read of
+    * write-audit-publish). Expired/future versions and unknown names fail
     * loudly. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val k = key(ident)
     val st = SnapshotStore.tables.getOrElse(k, throw new NoSuchTableException(ident))
-    val v = version.toLongOption.getOrElse(
-      st.tags.getOrElse(version,
-        throw new IllegalArgumentException(
-          s"'$version' is neither a snapshot version nor a tag of $ident; " +
-            s"tags: ${st.tags.keys.toSeq.sorted.mkString("[", ", ", "]")}")))
-    new MemTable(s"$ident@v$version", k, SnapshotStore.schemaAt(k, v),
-      st.partitionCols, st.properties,
-      pinned = Some(SnapshotStore.filesAt(k, v)),
-      pinnedDeletes = Some(SnapshotStore.deletesAt(k, v)))
+    st.branches.get(version) match {
+      case Some(br) if version.toLongOption.isEmpty =>
+        val (files, deletes) = br.head(st)
+        new MemTable(s"$ident@branch:$version", k, st.schema,
+          st.partitionCols, st.properties,
+          pinned = Some(files), pinnedDeletes = Some(deletes))
+      case _ =>
+        val v = version.toLongOption.getOrElse(
+          st.tags.getOrElse(version,
+            throw new IllegalArgumentException(
+              s"'$version' is not a snapshot version, tag, or branch of $ident; " +
+                s"tags: ${st.tags.keys.toSeq.sorted.mkString("[", ", ", "]")}; " +
+                s"branches: ${st.branches.keys.toSeq.sorted.mkString("[", ", ", "]")}")))
+        new MemTable(s"$ident@v$version", k, SnapshotStore.schemaAt(k, v),
+          st.partitionCols, st.properties,
+          pinned = Some(SnapshotStore.filesAt(k, v)),
+          pinnedDeletes = Some(SnapshotStore.deletesAt(k, v)))
+    }
   }
 
   /** `TIMESTAMP AS OF t` — Spark hands micros-since-epoch; resolve to the
@@ -349,9 +374,11 @@ object SnapshotCatalog {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val k = (catalog +: ident).mkString("\u0000")
     val (before, after) = SnapshotStore.update(k) { st =>
-      // Tagged snapshots are never expired (Iceberg's tag-retention rule).
+      // Tagged snapshots are never expired (Iceberg's tag-retention rule),
+      // and neither is any live branch's BASE — expiring it would strand
+      // the branch's fork point and break its reads and fast-forward.
       val keep = st.snapshots.takeRight(keepLast).map(_.version).toSet ++
-        st.tags.values
+        st.tags.values ++ st.branches.values.map(_.base)
       st.copy(snapshots = st.snapshots.filter(s => keep(s.version)))
     }
     def paths(sns: Vector[SnapshotStore.Snapshot]) =
@@ -375,6 +402,9 @@ object SnapshotCatalog {
       require(st.snapshots.exists(_.version == version),
         s"cannot tag version $version: not a live snapshot " +
           s"(have ${st.snapshots.map(_.version).mkString("[", ", ", "]")})")
+      require(!st.branches.contains(name),
+        s"'$name' is already a branch of this table — tags and branches " +
+          "share the VERSION AS OF namespace")
       st.copy(tags = st.tags + (name -> version))
     }
     ()
@@ -412,6 +442,73 @@ object SnapshotCatalog {
           operation = "rollback"))
     } match {
       case (_, after) => after.snapshots.last.version
+    }
+  }
+
+  /** Create a BRANCH at the table's current version (Iceberg
+    * `create_branch`): a named fork whose appends stage OUTSIDE the main
+    * log — the write half of write-audit-publish. Read it via
+    * `SELECT … FROM t.branch_<name>` or `VERSION AS OF '<name>'`; write
+    * with `INSERT INTO t.branch_<name>`; publish with [[fastForward]]. */
+  def createBranch(catalog: String, ident: Seq[String], name: String): Long = {
+    require(name.toLongOption.isEmpty,
+      s"branch name '$name' would be ambiguous with a numeric snapshot version")
+    val k = SnapshotStore.keyOf(catalog, ident)
+    SnapshotStore.update(k) { st =>
+      require(!st.branches.contains(name), s"branch '$name' already exists")
+      require(!st.tags.contains(name),
+        s"'$name' is already a tag of this table — tags and branches share " +
+          "the VERSION AS OF namespace")
+      val base = if (st.snapshots.isEmpty) 0L else st.snapshots.last.version
+      st.copy(branches = st.branches +
+        (name -> SnapshotStore.Branch(base, Vector.empty)))
+    } match { case (_, after) => after.branches(name).base }
+  }
+
+  /** Drop a branch; its staged (unpublished) data files are physically
+    * deleted unless another ref still references them. True if it existed. */
+  def dropBranch(catalog: String, ident: Seq[String], name: String): Boolean = {
+    val k = SnapshotStore.keyOf(catalog, ident)
+    val (before, after) = SnapshotStore.update(k)(st =>
+      st.copy(branches = st.branches - name))
+    before.branches.get(name) match {
+      case None => false
+      case Some(br) =>
+        // GC: the branch's appended files minus anything main or another
+        // branch still references (branch snapshots CARRY base files too —
+        // only the genuinely branch-local ones may die).
+        val keep = (after.snapshots.iterator.flatMap(_.files) ++
+          after.branches.valuesIterator.flatMap(_.snapshots).flatMap(_.files))
+          .map(_.path).toSet
+        val mine = br.snapshots.iterator.flatMap(_.files).map(_.path).toSet
+        RowFiles.delete(mine -- keep)
+        true
+    }
+  }
+
+  /** PUBLISH a branch (Iceberg `fast_forward`): splice its staged commits
+    * onto the main log and drop the ref — every staged version becomes a
+    * real, time-travelable main version in one atomic step, and the
+    * append-only stream tailing the table delivers them in order. Fails
+    * loudly if main advanced past the fork point (replaying staged commits
+    * onto a moved base would silently interleave histories — rebase is a
+    * decision, not a default). Returns the new head version. */
+  def fastForward(catalog: String, ident: Seq[String], name: String): Long = {
+    val k = SnapshotStore.keyOf(catalog, ident)
+    SnapshotStore.update(k) { st =>
+      val br = st.branches.getOrElse(name, throw new IllegalArgumentException(
+        s"branch '$name' does not exist; " +
+          s"branches: ${st.branches.keys.toSeq.sorted.mkString("[", ", ", "]")}"))
+      val live = if (st.snapshots.isEmpty) 0L else st.snapshots.last.version
+      if (live != br.base) throw new IllegalStateException(
+        s"cannot fast-forward branch '$name': it forked at v${br.base} but " +
+          s"the table is now at v$live — drop the branch or re-stage its " +
+          "writes on a fresh fork")
+      st.copy(snapshots = st.snapshots ++ br.snapshots,
+        branches = st.branches - name)
+    } match {
+      case (_, after) =>
+        if (after.snapshots.isEmpty) 0L else after.snapshots.last.version
     }
   }
 
@@ -515,6 +612,24 @@ private[graft] object SnapshotStore {
       deleteFiles: Vector[DeleteFile] = Vector.empty,
       operation: String = "append")
 
+  /** A BRANCH (Iceberg's mutable ref): staged commits forked at `base` (a
+    * main-log version), held OUTSIDE the main snapshot log until
+    * fast-forward publishes them — the write-audit-publish isolation unit.
+    * Branch snapshots are numbered `base+1, base+2, …` provisionally;
+    * fast-forward validates main's head is still `base` (a moved main is a
+    * loud conflict, never a silent interleave), so the numbering is final
+    * exactly when it becomes visible. */
+  final case class Branch(base: Long, snapshots: Vector[Snapshot]) {
+    def head(st: TableState): (Vector[DataFile], Vector[DeleteFile]) =
+      snapshots.lastOption.map(s => (s.files, s.deleteFiles)).getOrElse {
+        if (base == 0L) (Vector.empty, Vector.empty)
+        else st.snapshots.find(_.version == base)
+          .map(s => (s.files, s.deleteFiles))
+          .getOrElse(throw new IllegalStateException(
+            s"branch base snapshot v$base was expired"))
+      }
+  }
+
   /** `epochs` maps each streaming QUERY id to the newest epoch it committed
     * into this table: the replay guard that makes the streaming SINK
     * exactly-once-visible under at-least-once epoch retries. Keyed per
@@ -526,7 +641,8 @@ private[graft] object SnapshotStore {
       snapshots: Vector[Snapshot],
       tags: Map[String, Long] = Map.empty,
       epochs: scala.collection.immutable.ListMap[String, Long] =
-        scala.collection.immutable.ListMap.empty) {
+        scala.collection.immutable.ListMap.empty,
+      branches: Map[String, Branch] = Map.empty) {
     def currentFiles: Vector[DataFile] =
       if (snapshots.isEmpty) Vector.empty else snapshots.last.files
     def currentDeletes: Vector[DeleteFile] =
@@ -689,6 +805,24 @@ private[graft] object SnapshotStore {
       st.copy(snapshots = st.snapshots :+ Snapshot(st.nextVersion, nowMicros(),
         st.currentFiles ++ newFiles, appendedFiles = -1, schema = st.schema,
         deleteFiles = st.currentDeletes ++ newDeletes, operation = "delta"))
+    }
+    ()
+  }
+
+  /** Append `newFiles` onto a BRANCH (no main-log commit — the staged rows
+    * are invisible to every reader of the table until fast-forward). The
+    * branch head's position deletes carry over: a branch forked past a
+    * merge-on-read commit still reads its base exactly. */
+  def commitBranch(k: String, name: String, newFiles: Vector[DataFile]): Unit = {
+    update(k) { st =>
+      val br = st.branches.getOrElse(name, throw new IllegalStateException(
+        s"branch '$name' of ${dotted(k)} does not exist (dropped concurrently?)"))
+      val (headFiles, headDeletes) = br.head(st)
+      val next = Snapshot(br.base + br.snapshots.size + 1, nowMicros(),
+        headFiles ++ newFiles, appendedFiles = newFiles.size,
+        schema = st.schema, deleteFiles = headDeletes, operation = "append")
+      st.copy(branches = st.branches.updated(name,
+        br.copy(snapshots = br.snapshots :+ next)))
     }
     ()
   }
@@ -2261,6 +2395,63 @@ private[sources] final class ChangesMicroBatchStream(k: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     MemReaders.changeFactory(dataSchema, required, RowFiles.sessionConf())
+}
+
+/** A branch as a relation (`db.t.branch_<name>`): reads pin the branch
+  * HEAD (base files + staged appends, base position deletes applied);
+  * writes are APPEND-ONLY commits staged on the branch — invisible to the
+  * table's readers until `fast_forward` publishes them. Truncate/overwrite
+  * and row-level statements are not offered (no `SupportsOverwriteV2` /
+  * row-level interfaces): write-audit-publish stages NEW data; rewriting
+  * shared history belongs on main, after publish, where OCC guards it. */
+private[sources] final class BranchTable(display: String, k: String,
+    branch: String) extends Table with SupportsRead with SupportsWrite {
+  private val st0 = SnapshotStore.stateOf(k)
+  override def name(): String = display
+  override def schema(): StructType = st0.schema
+  override def partitioning(): Array[Transform] =
+    st0.partitionCols.map(Expressions.identity).toArray
+  override def properties(): util.Map[String, String] = st0.properties.asJava
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val st = SnapshotStore.stateOf(k)
+    val br = st.branches.getOrElse(branch, throw new IllegalStateException(
+      s"branch '$branch' of ${SnapshotStore.dotted(k)} was dropped"))
+    val (files, deletes) = br.head(st)
+    val partColMap: PartitionPredicates.PartCols =
+      st.partitionCols.zipWithIndex.map { case (c, i) =>
+        c.toLowerCase -> (i, st.schema(c).dataType)
+      }.toMap
+    new MemScanBuilder(st.schema, partColMap, files,
+      deletes = SnapshotStore.deleteMap(deletes))
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def description(): String = s"graft-snapshot branch $branch append"
+      override def toBatch: BatchWrite = new BatchWrite {
+        override def createBatchWriterFactory(
+            info: PhysicalWriteInfo): DataWriterFactory = {
+          val st = SnapshotStore.stateOf(k)
+          // Branch files land in the table's own data dir: fast-forward is
+          // pure metadata, never a copy.
+          new MemWriterFactory(schema(), st.partitionCols, st.dataDir,
+            RowFiles.sessionConf())
+        }
+        override def commit(messages: Array[WriterCommitMessage]): Unit = {
+          val files = messages.iterator.map(_.asInstanceOf[MemCommitMessage])
+            .flatMap(_.files).toVector
+          SnapshotStore.commitBranch(k, branch, files)
+        }
+        override def abort(messages: Array[WriterCommitMessage]): Unit =
+          RowFiles.delete(messages.iterator.map(_.asInstanceOf[MemCommitMessage])
+            .flatMap(_.files).map(_.path).toSeq)
+        }
+      }
+    }
 }
 
 /** One data file's contribution to one commit's change feed. Either

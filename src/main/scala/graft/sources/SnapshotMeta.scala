@@ -30,7 +30,7 @@ import org.apache.spark.unsafe.types.UTF8String
 private[sources] object MetaTables {
 
   val Suffixes: Set[String] =
-    Set("history", "snapshots", "files", "tags", "partitions", "changes")
+    Set("history", "snapshots", "files", "tags", "partitions", "changes", "refs")
 
   /** The metadata table for `parentKey`'s `suffix`, or None if the suffix
     * is not a metadata name. */
@@ -140,6 +140,28 @@ private[sources] object MetaTables {
         () => SnapshotStore.stateOf(parentKey).tags.toArray.sortBy(_._1).map {
           case (t, v) => new GenericInternalRow(Array[Any](UTF8String.fromString(t), v))
         }))
+      case "refs" => Some(new MetaTable(s"$display.refs",
+        // Iceberg's refs metadata table: every named ref — tags (immutable,
+        // version = the tagged snapshot) and branches (mutable, version =
+        // the fork base, staged_commits = unpublished snapshot count).
+        StructType(Seq(
+          StructField("name", StringType, nullable = false),
+          StructField("type", StringType, nullable = false),
+          StructField("version", LongType, nullable = false),
+          StructField("staged_commits", LongType, nullable = false))),
+        () => {
+          val st = SnapshotStore.stateOf(parentKey)
+          val tags = st.tags.toArray.sortBy(_._1).map { case (t, v) =>
+            new GenericInternalRow(Array[Any](
+              UTF8String.fromString(t), UTF8String.fromString("tag"), v, 0L))
+          }
+          val branches = st.branches.toArray.sortBy(_._1).map { case (b, br) =>
+            new GenericInternalRow(Array[Any](
+              UTF8String.fromString(b), UTF8String.fromString("branch"),
+              br.base, br.snapshots.size.toLong))
+          }
+          (tags ++ branches).map(r => r: InternalRow)
+        }))
       case _ => None
     }
   }
@@ -179,7 +201,7 @@ private[sources] object SnapshotProcedures {
 
   def names: Seq[String] =
     Seq("expire_snapshots", "rollback_to_version", "create_tag", "drop_tag",
-      "rewrite_data_files")
+      "rewrite_data_files", "create_branch", "drop_branch", "fast_forward")
 
   def load(catalogName: String, ident: Identifier): Option[UnboundProcedure] = {
     if (!ident.namespace().sameElements(Array("system"))) return None
@@ -217,6 +239,31 @@ private[sources] object SnapshotProcedures {
         StructType(Seq(StructField("existed", BooleanType, nullable = false))),
         r => Array[Any](
           SnapshotCatalog.removeTag(catalogName, identOf(str(r, 0)), str(r, 1)))))
+      case "create_branch" => Some(proc("create_branch",
+        "fork a branch at the current version; stage appends on it, " +
+          "audit, then fast_forward to publish",
+        Seq(in("table", StringType), in("branch", StringType)),
+        StructType(Seq(
+          StructField("branch", StringType, nullable = false),
+          StructField("base_version", LongType, nullable = false))),
+        r => {
+          val base = SnapshotCatalog.createBranch(
+            catalogName, identOf(str(r, 0)), str(r, 1))
+          Array[Any](r.getUTF8String(1).copy(), base)
+        }))
+      case "drop_branch" => Some(proc("drop_branch",
+        "abandon a branch; its unpublished staged files are deleted",
+        Seq(in("table", StringType), in("branch", StringType)),
+        StructType(Seq(StructField("existed", BooleanType, nullable = false))),
+        r => Array[Any](
+          SnapshotCatalog.dropBranch(catalogName, identOf(str(r, 0)), str(r, 1)))))
+      case "fast_forward" => Some(proc("fast_forward",
+        "publish a branch: splice its staged commits onto the main log " +
+          "(loud conflict if main advanced past the fork)",
+        Seq(in("table", StringType), in("branch", StringType)),
+        StructType(Seq(StructField("current_version", LongType, nullable = false))),
+        r => Array[Any](
+          SnapshotCatalog.fastForward(catalogName, identOf(str(r, 0)), str(r, 1)))))
       case "rewrite_data_files" => Some(proc("rewrite_data_files",
         "compact live data to one file per partition (history preserved)",
         Seq(in("table", StringType)),

@@ -120,7 +120,7 @@ class SnapshotCatalogSuite extends AnyFunSuite {
     assert(SnapshotCatalog.expire(cat, Seq("t", "tags"), keepLast = 2) === 1)
     val e = intercept[Exception](
       spark.sql(s"SELECT * FROM $t VERSION AS OF 'first_load'").collect())
-    assert(e.getMessage.contains("neither a snapshot version nor a tag"))
+    assert(e.getMessage.contains("is not a snapshot version, tag, or branch"))
     // Numeric-looking tag names are rejected (would shadow version numbers).
     intercept[IllegalArgumentException](
       SnapshotCatalog.tag(cat, Seq("t", "tags"), "7", 3L))

@@ -151,6 +151,30 @@ class BranchWapSuite extends AnyFunSuite {
     assert(e3.getMessage.contains("ambiguous"), e3.getMessage)
   }
 
+  test("publish is exactly append: a stream tailing main delivers staged rows " +
+    "at fast-forward, per staged commit") {
+    val t = freshTable("tail")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a')")
+    val name = s"wap_tail_${System.nanoTime()}"
+    val q = spark.readStream.table(t)
+      .writeStream.format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 1L)
+      spark.sql(s"CALL $cat.system.create_branch('wap.tail', 'stage')")
+      spark.sql(s"INSERT INTO $t.branch_stage VALUES (2, 'b')")
+      spark.sql(s"INSERT INTO $t.branch_stage VALUES (3, 'c')")
+      q.processAllAvailable()
+      // Staged commits are invisible to the stream...
+      assert(spark.table(name).count() === 1L)
+      spark.sql(s"CALL $cat.system.fast_forward('wap.tail', 'stage')")
+      q.processAllAvailable()
+      // ...and arrive as ordinary appends at publish, nothing doubled.
+      assert(spark.table(name).orderBy("id").collect().toSeq ===
+        Seq(Row(1L, "a"), Row(2L, "b"), Row(3L, "c")))
+    } finally q.stop()
+  }
+
   test("a real table named like a branch suffix outranks the fallback") {
     val t = freshTable("shadow")
     // The REAL table exists first (CREATE TABLE itself resolves the

@@ -28,7 +28,9 @@ final case class PipelineSpec(
     sinkFormat: Option[String],
     sinkPath: Option[String],
     sinkTable: Option[String] = None,
-    sinkMode: Option[String] = None) {
+    sinkMode: Option[String] = None,
+    sinkBranch: Option[String] = None,
+    sinkPublish: Option[Boolean] = None) {
   require(name.nonEmpty, "pipeline name must be non-empty")
   require(sourceTable.nonEmpty, s"$name: source table must be non-empty")
   require(steps.nonEmpty, s"$name: at least one step required")
@@ -40,6 +42,16 @@ final case class PipelineSpec(
     s"$name: sink mode must be append or overwrite, got '${sinkMode.get}'")
   require(sinkMode.isEmpty || hasSink,
     s"$name: sink 'mode' given but no path or table sink")
+  // Write-audit-publish: `branch` stages the run's append on a branch of
+  // the (versioned-catalog) sink table; `publish: false` leaves it staged
+  // for an external audit, the default fast-forwards after the write.
+  require(sinkBranch.forall(_.nonEmpty), s"$name: sink branch must be non-empty")
+  require(sinkBranch.isEmpty || sinkTable.isDefined,
+    s"$name: sink 'branch' needs a catalog 'table' sink")
+  require(sinkBranch.isEmpty || effectiveMode == "append",
+    s"$name: branch staging is append-only; mode overwrite is not stageable")
+  require(sinkPublish.isEmpty || sinkBranch.isDefined,
+    s"$name: sink 'publish' given but no 'branch'")
 
   def hasSink: Boolean = sinkPath.isDefined || sinkTable.isDefined
 
@@ -51,8 +63,14 @@ final case class PipelineSpec(
     sinkMode.getOrElse(if (sinkTable.isDefined) "append" else "overwrite")
 
   def sinkDescription: String =
-    sinkTable.map(t => s"table $t ($effectiveMode)")
-      .getOrElse(s"${sinkFormat.getOrElse("?")} sink at ${sinkPath.getOrElse("?")} ($effectiveMode)")
+    sinkTable.map(t => sinkBranch match {
+      case Some(b) =>
+        s"table $t via branch $b (${if (publishAfterWrite) "publish" else "staged"})"
+      case None => s"table $t ($effectiveMode)"
+    }).getOrElse(
+      s"${sinkFormat.getOrElse("?")} sink at ${sinkPath.getOrElse("?")} ($effectiveMode)")
+
+  def publishAfterWrite: Boolean = sinkPublish.getOrElse(true)
 }
 
 object PipelineSpec {
@@ -81,17 +99,25 @@ object PipelineSpec {
         }
       case _ => sys.error("spec missing 'steps' list")
     }
-    val (fmt, path, table, mode) = m.get("sink") match {
+    val (fmt, path, table, mode, branch, publish) = m.get("sink") match {
       case Some(sm: java.util.Map[_, _]) =>
         val s = sm.asScala.map { case (k, v) => k.toString -> v.toString }
         // A typoed key must not silently degrade the run to a dry-run.
-        val unknown = s.keySet -- Set("format", "path", "table", "mode")
+        val unknown = s.keySet --
+          Set("format", "path", "table", "mode", "branch", "publish")
         require(unknown.isEmpty,
-          s"unknown sink key(s) ${unknown.mkString(", ")}; known: format, path, table, mode")
+          s"unknown sink key(s) ${unknown.mkString(", ")}; " +
+            "known: format, path, table, mode, branch, publish")
         require(s.contains("path") || s.contains("table"),
           "a sink block needs a 'path' (with 'format') or a 'table'")
-        (s.get("format"), s.get("path"), s.get("table"), s.get("mode"))
-      case _ => (None, None, None, None)
+        val pub = s.get("publish").map {
+          case "true" => true
+          case "false" => false
+          case other => sys.error(s"sink publish must be true or false, got '$other'")
+        }
+        (s.get("format"), s.get("path"), s.get("table"), s.get("mode"),
+          s.get("branch"), pub)
+      case _ => (None, None, None, None, None, None)
     }
     PipelineSpec(
       name = m.get("pipeline").map(_.toString)
@@ -101,7 +127,9 @@ object PipelineSpec {
       sinkFormat = fmt,
       sinkPath = path,
       sinkTable = table,
-      sinkMode = mode)
+      sinkMode = mode,
+      sinkBranch = branch,
+      sinkPublish = publish)
   }
 
   def fromYamlFile(path: String): PipelineSpec =

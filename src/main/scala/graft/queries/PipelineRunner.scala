@@ -79,6 +79,26 @@ final class PipelineRunner(spark: SparkSession) {
     (spec.sinkFormat, spec.sinkPath, spec.sinkTable) match {
       case (Some(fmt), Some(path), _) =>
         out.write.mode(spec.effectiveMode).format(fmt).save(path)
+      case (_, _, Some(table)) if spec.sinkBranch.isDefined =>
+        // Write-audit-publish in the declarative plane: the run's append is
+        // STAGED on a branch of the versioned-catalog sink (created at the
+        // current head if this run starts the staging), invisible to the
+        // table's readers; `publish: true` (default) fast-forwards after
+        // the write, `false` leaves it staged for an external audit + a
+        // later `CALL <cat>.system.fast_forward(…)`.
+        val branch = spec.sinkBranch.get
+        val parts = table.split('.')
+        require(parts.length >= 3,
+          s"${spec.name}: a branch sink needs a catalog-qualified table " +
+            s"(catalog.db.t), got '$table'")
+        val (cat, ident) = (parts.head, parts.tail.toSeq)
+        val st = graft.sources.SnapshotStore.stateOf(
+          graft.sources.SnapshotStore.keyOf(cat, ident)) // loud if not versioned
+        if (!st.branches.contains(branch))
+          graft.sources.SnapshotCatalog.createBranch(cat, ident, branch)
+        out.writeTo(s"$table.branch_$branch").append()
+        if (spec.publishAfterWrite)
+          graft.sources.SnapshotCatalog.fastForward(cat, ident, branch)
       case (_, _, Some(table)) =>
         if (spec.effectiveMode == "append") out.writeTo(table).append()
         else out.writeTo(table).overwrite(org.apache.spark.sql.functions.lit(true))

@@ -185,6 +185,51 @@ sink:
     assert(typo.getMessage.contains("unknown sink key"), typo.getMessage)
   }
 
+  test("branch sink: the run stages on a branch and publishes (WAP in the " +
+    "declarative plane); publish: false leaves it staged") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.pipe")
+    spark.sql("DROP TABLE IF EXISTS graft_snap.pipe.wap_out")
+    spark.sql("CREATE TABLE graft_snap.pipe.wap_out (doc_id BIGINT, text STRING)")
+    def wapYaml(publish: String) = s"""pipeline: to_branch
+source:
+  table: documents
+steps:
+  - op: select
+    cols: doc_id, text
+  - op: filter
+    expr: doc_id < 10
+sink:
+  table: graft_snap.pipe.wap_out
+  branch: ingest
+  publish: $publish
+"""
+    // Staged only: main untouched, rows audit-readable on the branch.
+    runner.run(PipelineSpec.fromYaml(wapYaml("false")), dir)
+    assert(spark.table("graft_snap.pipe.wap_out").count() === 0L)
+    assert(spark.table("graft_snap.pipe.wap_out.branch_ingest").count() === 10L)
+    // A second staged-run APPENDS to the same branch; publish releases all.
+    runner.run(PipelineSpec.fromYaml(wapYaml("true")), dir)
+    assert(spark.table("graft_snap.pipe.wap_out").count() === 20L)
+    assert(graft.sources.SnapshotCatalog
+      .history("graft_snap", Seq("pipe", "wap_out")).map(_._1) === Seq(1L, 2L),
+      "each staged run must publish as its own auditable commit")
+    // Validation: branch needs a table sink, append-only, publish needs branch.
+    intercept[IllegalArgumentException](PipelineSpec.fromYaml(
+      "pipeline: p\nsource:\n  table: documents\nsteps:\n  - op: lang_id\n" +
+        "sink:\n  format: parquet\n  path: /tmp/x\n  branch: b\n"))
+    intercept[IllegalArgumentException](PipelineSpec.fromYaml(
+      "pipeline: p\nsource:\n  table: documents\nsteps:\n  - op: lang_id\n" +
+        "sink:\n  table: t\n  branch: b\n  mode: overwrite\n"))
+    intercept[IllegalArgumentException](PipelineSpec.fromYaml(
+      "pipeline: p\nsource:\n  table: documents\nsteps:\n  - op: lang_id\n" +
+        "sink:\n  table: t\n  publish: true\n"))
+    // A branch sink against a non-catalog-qualified table is loud.
+    val e = intercept[Exception](runner.run(PipelineSpec.fromYaml(
+      "pipeline: p\nsource:\n  table: documents\nsteps:\n  - op: lang_id\n" +
+        "sink:\n  table: just_a_table\n  branch: b\n"), dir))
+    assert(e.getMessage.contains("catalog-qualified"), e.getMessage)
+  }
+
   test("run() writes the sink; misuse fails eagerly with names") {
     val sink = java.nio.file.Files.createTempDirectory("graft-pipe").toString + "/out"
     val spec = PipelineSpec.fromYaml(s"""pipeline: to_parquet

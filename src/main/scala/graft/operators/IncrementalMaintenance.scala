@@ -60,6 +60,31 @@ object IncrementalMaintenance {
       .agg(sum("_dn").as("dn"), sum("_dx").cast(Total).as("dx"))
   }
 
+  /** Per-group (count, sum) deltas from the `.changes` RELATION (the
+    * catalog's file-exact feed: separate INSERT/DELETE rows, no old/new
+    * images) — each row contributes `+(1, x)` for INSERT and `−(1, x)` for
+    * DELETE. Exact even at the feed's copy-on-write FILE grain: a carried
+    * row of a rewritten file surfaces as a DELETE+INSERT pair of equal
+    * value whose decimal contributions cancel, so maintenance from the
+    * keyless relation lands on the same view as maintenance from the
+    * key-joined [[ChangeDataFeed]] (the m17 gate hash-compares against a
+    * from-scratch recompute). Any other `_change_type` fails the batch
+    * loudly — silently skipping one would corrupt the view. */
+  def aggDeltasFromChanges(changes: DataFrame, groupKey: Column,
+      measure: Column): DataFrame = {
+    val x = measure.cast(Partial)
+    val signedN = when(col("_change_type") === "INSERT", lit(1L))
+      .when(col("_change_type") === "DELETE", lit(-1L))
+      .otherwise(raise_error(concat(
+        lit("aggDeltasFromChanges: unexpected _change_type "),
+        col("_change_type"))))
+    val signedX = when(col("_change_type") === "INSERT", x).otherwise(-x)
+    changes.select(groupKey.as("group_key"),
+        signedN.as("_dn"), signedX.as("_dx"))
+      .groupBy("group_key")
+      .agg(sum("_dn").as("dn"), sum("_dx").cast(Total).as("dx"))
+  }
+
   /** Fold one delta batch into a STORED view — a catalog table with columns
     * `(group_key, n_rows, total)` on a catalog supporting row-level
     * operations (e.g. the engine's versioned [[graft.sources

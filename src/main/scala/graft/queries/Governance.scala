@@ -965,10 +965,59 @@ object Governance {
         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** m09's incremental view maintenance re-driven from the `.changes`
+    * RELATION instead of the key-joined operator feed: the relation carries
+    * no old/new images and no keys — just signed INSERT/DELETE rows — and
+    * under DEFAULT copy-on-write modes its rewrites surface at FILE grain,
+    * so every carried row of a rewritten file arrives as a DELETE+INSERT
+    * pair. The sign-fold is exact anyway (equal decimal contributions
+    * cancel; group-moving updates split into −old-group/+new-group rows
+    * naturally), so the maintained view must hash-match the from-scratch
+    * recompute — m09's own oracle. This is the claim that a CDC consumer
+    * needs NO key knowledge and NO net-changes view to maintain exact
+    * distributive rollups.
+    *
+    * Scale: deltas aggregate O(changed files)' rows (the feed never scans
+    * unchanged files — CdfProbe's flat curve), then one |view|-sized fold.
+    */
+  val m17ChangesMaint = Q(
+    "m17_changes_maint",
+    (s, dir) => {
+      import graft.operators.{IncrementalMaintenance => IM}
+      val t = "graft_snap.gov.orders_m17"
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.gov")
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"""CREATE TABLE $t (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_orderpriority STRING, o_totalprice DOUBLE)""")
+      Tables.orders(s, dir).createOrReplaceTempView("m17_orders_src")
+      s.sql(s"""INSERT INTO $t
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, o_totalprice
+        FROM m17_orders_src WHERE o_orderdate < TIMESTAMP '1994-01-01 00:00:00'""")
+      s.sql(s"""INSERT INTO $t
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, o_totalprice
+        FROM m17_orders_src WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'""")
+      s.sql(s"""UPDATE $t SET o_orderpriority = '9-CANCELLED'
+        WHERE o_orderstatus = 'F' AND o_custkey % 7 = 3""")
+      s.sql(s"DELETE FROM $t WHERE o_custkey % 10 = 7")
+
+      val v1 = s.sql(s"SELECT * FROM $t VERSION AS OF 1")
+      val feed = s.read.option("startingVersion", "2").table(s"$t.changes")
+      val maintained = IM.applyDeltas(
+        IM.initial(v1, col("o_orderpriority"), col("o_totalprice")),
+        IM.aggDeltasFromChanges(feed,
+          col("o_orderpriority"), col("o_totalprice")))
+      maintained
+        .select(col("group_key").as("o_orderpriority"), col("n_rows"),
+          col("total").cast("double").as("total"))
+        .orderBy("o_orderpriority")
+    },
+    m09IncrementalMaint.oracle)
+
   val all: Seq[Q] = Seq(
     m01MergeUpsert, m02Scd2History, m03IncrementalRefresh, m04SnapshotDiff,
     m05SqlMerge, m06SqlUpdateDelete, m07TimeTravel, m08ChangeFeed,
     m09IncrementalMaint, m10PartitionedCow, m11ChangeFeedPruned,
     m12MetadataHistory, m13MergeOnRead, m14DppStar, m15ChangesRelation,
-    m16WapPublish, a01QualityAudit, z01ZorderLayout)
+    m16WapPublish, m17ChangesMaint, a01QualityAudit, z01ZorderLayout)
 }

@@ -44,6 +44,27 @@ class IncrementalMaintenanceSuite extends AnyFunSuite {
       col("total").cast("double").as("total")).orderBy("group_key").collect().toSeq
     assert(got === Seq(Row("a", 1L, 9.90), Row("c", 1L, 2.20)))
 
+    // The SAME view maintained from the keyless `.changes` relation — whose
+    // copy-on-write rewrites arrive at FILE grain as DELETE+INSERT pairs —
+    // folds to the identical state (pairs cancel exactly in decimal).
+    val fromChanges = IncrementalMaintenance.applyDeltas(
+      IncrementalMaintenance.initial(v1, col("grp"), col("amt")),
+      IncrementalMaintenance.aggDeltasFromChanges(
+        spark.read.option("startingVersion", "2").table(s"$t.changes"),
+        col("grp"), col("amt")))
+    assert(fromChanges.select(col("group_key"), col("n_rows"),
+      col("total").cast("double").as("total")).orderBy("group_key")
+      .collect().toSeq === got)
+
+    // An unexpected _change_type fails the batch loudly, never skips.
+    import spark.implicits._
+    val bad = Seq(("a", 1.0, "UPSERT")).toDF("grp", "amt", "_change_type")
+    val e = intercept[Exception](IncrementalMaintenance
+      .aggDeltasFromChanges(bad, col("grp"), col("amt")).collect())
+    assert(e.getMessage.contains("unexpected _change_type") ||
+      Option(e.getCause).exists(_.getMessage.contains("unexpected _change_type")),
+      e.getMessage)
+
     // From-scratch recompute on the live table matches exactly.
     val scratch = IncrementalMaintenance.initial(
         spark.sql(s"SELECT * FROM $t"), col("grp"), col("amt"))

@@ -94,6 +94,14 @@ final class PipelineRunner(spark: SparkSession) {
         val (cat, ident) = (parts.head, parts.tail.toSeq)
         val st = graft.sources.SnapshotStore.stateOf(
           graft.sources.SnapshotStore.keyOf(cat, ident)) // loud if not versioned
+        // A REAL table named `t.branch_<name>` outranks the branch suffix in
+        // resolution (the catalog's documented shadow precedence) — staging
+        // through it would silently mis-route the rows and then publish an
+        // empty branch. Refuse before writing.
+        require(!graft.sources.SnapshotStore.tables.contains(
+            graft.sources.SnapshotStore.keyOf(cat, ident :+ s"branch_$branch")),
+          s"${spec.name}: a real table named $table.branch_$branch shadows " +
+            "the branch suffix — staging through it would mis-route the rows")
         if (!st.branches.contains(branch))
           graft.sources.SnapshotCatalog.createBranch(cat, ident, branch)
         out.writeTo(s"$table.branch_$branch").append()

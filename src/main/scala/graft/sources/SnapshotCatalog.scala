@@ -451,6 +451,7 @@ object SnapshotCatalog {
     * `SELECT … FROM t.branch_<name>` or `VERSION AS OF '<name>'`; write
     * with `INSERT INTO t.branch_<name>`; publish with [[fastForward]]. */
   def createBranch(catalog: String, ident: Seq[String], name: String): Long = {
+    require(name.nonEmpty, "branch name must be non-empty")
     require(name.toLongOption.isEmpty,
       s"branch name '$name' would be ambiguous with a numeric snapshot version")
     val k = SnapshotStore.keyOf(catalog, ident)
@@ -2187,7 +2188,13 @@ private[sources] object ChangeLog {
     val out: Seq[MemChangePartition] = cur.operation match {
       case "replace" => Nil
       case "append" =>
-        cur.files.takeRight(math.max(cur.appendedFiles, 0))
+        // Every append constructor stamps appendedFiles >= 0; a violation
+        // would silently VANISH the commit's rows from the feed, so it is
+        // loud here exactly as in the append-only stream's guard.
+        require(cur.appendedFiles >= 0,
+          s"append snapshot v${cur.version} of $shown carries no " +
+            s"appendedFiles count (${cur.appendedFiles}) — feed would be silently empty")
+        cur.files.takeRight(cur.appendedFiles)
           .map(f => part(f, "INSERT", curDelByData.getOrElse(f.path, Vector.empty)))
       case _ =>
         val (prevFiles, prevDels) =

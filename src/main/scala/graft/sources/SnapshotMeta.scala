@@ -29,6 +29,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 private[sources] object MetaTables {
 
+  /** The complete metadata-suffix vocabulary — LOAD-BEARING: [[forSuffix]]
+    * refuses any name outside it before matching, so this set and the match
+    * below cannot drift apart silently (a suffix added to one but not the
+    * other trips the exhaustiveness error in tests immediately). */
   val Suffixes: Set[String] =
     Set("history", "snapshots", "files", "tags", "partitions", "changes", "refs")
 
@@ -36,6 +40,7 @@ private[sources] object MetaTables {
     * is not a metadata name. */
   def forSuffix(display: String, parentKey: String, suffix: String): Option[Table] = {
     def ts(micros: Long): Any = micros // TimestampType carries micros
+    if (!Suffixes(suffix)) return None
     suffix match {
       // `snapshots` is Iceberg's name for the same lineage relation —
       // serve it as an alias of `history`.
@@ -162,7 +167,8 @@ private[sources] object MetaTables {
           }
           (tags ++ branches).map(r => r: InternalRow)
         }))
-      case _ => None
+      case other => throw new IllegalStateException(
+        s"metadata suffix '$other' is declared in Suffixes but not implemented")
     }
   }
 }

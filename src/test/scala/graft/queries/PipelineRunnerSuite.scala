@@ -228,6 +228,16 @@ sink:
       "pipeline: p\nsource:\n  table: documents\nsteps:\n  - op: lang_id\n" +
         "sink:\n  table: just_a_table\n  branch: b\n"), dir))
     assert(e.getMessage.contains("catalog-qualified"), e.getMessage)
+    // A REAL table shadowing the branch suffix must refuse the staging
+    // write — name resolution would silently mis-route the rows into it.
+    spark.sql("DROP TABLE IF EXISTS graft_snap.pipe.wap_out.branch_shad")
+    spark.sql(
+      "CREATE TABLE graft_snap.pipe.wap_out.branch_shad (doc_id BIGINT, text STRING)")
+    val shadow = intercept[Exception](runner.run(PipelineSpec.fromYaml(
+      "pipeline: p\nsource:\n  table: documents\nsteps:\n  - op: lang_id\n" +
+        "sink:\n  table: graft_snap.pipe.wap_out\n  branch: shad\n"), dir))
+    assert(shadow.getMessage.contains("shadows"), shadow.getMessage)
+    spark.sql("DROP TABLE graft_snap.pipe.wap_out.branch_shad")
   }
 
   test("run() writes the sink; misuse fails eagerly with names") {

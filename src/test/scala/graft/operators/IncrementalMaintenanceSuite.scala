@@ -148,6 +148,48 @@ class IncrementalMaintenanceSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("the streaming .changes feed maintains the stored view through " +
+    "rewrites, from an EMPTY view (history arrives as changes)") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.im")
+    val t = s"$cat.im.live_src"
+    val mv = s"$cat.im.live_mv"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS $mv")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, grp STRING, amt DOUBLE)")
+    spark.sql(s"CREATE TABLE $mv (group_key STRING, n_rows BIGINT, total DECIMAL(38,4))")
+    spark.sql(s"INSERT INTO $t VALUES (1,'a',1.10), (2,'a',2.20), (3,'b',3.30)")
+
+    // No initial(): the stream replays v1 as INSERT changes, so the view is
+    // built AND maintained from the feed alone — the full CDC consumer loop
+    // the append-only source cannot run (rewrites below flow through).
+    val q = spark.readStream.table(s"$t.changes").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        IncrementalMaintenance.maintainInto(batch.sparkSession, mv,
+          IncrementalMaintenance.aggDeltasFromChanges(
+            batch, col("grp"), col("amt")))
+      }
+      .start()
+    def view(): Seq[Row] = {
+      spark.catalog.refreshTable(mv)
+      spark.sql(s"SELECT group_key, n_rows, CAST(total AS DOUBLE) AS total " +
+        s"FROM $mv ORDER BY group_key").collect().toSeq
+    }
+    try {
+      q.processAllAvailable()
+      assert(view() === Seq(Row("a", 2L, 3.30), Row("b", 1L, 3.30)))
+      spark.sql(s"UPDATE $t SET grp = 'c' WHERE id = 2")  // COW rewrite
+      spark.sql(s"DELETE FROM $t WHERE grp = 'b'")        // COW rewrite
+      q.processAllAvailable()
+      val scratch = IncrementalMaintenance.initial(
+          spark.sql(s"SELECT * FROM $t"), col("grp"), col("amt"))
+        .select(col("group_key"), col("n_rows"),
+          col("total").cast("double").as("total"))
+        .orderBy("group_key").collect().toSeq
+      assert(view() === scratch,
+        "view maintained from the streamed feed must equal recompute")
+    } finally q.stop()
+  }
+
   test("stored view handles NULL group keys and all-NULL-measure deltas " +
     "(null-safe MERGE ON, coalesced totals)") {
     import spark.implicits._

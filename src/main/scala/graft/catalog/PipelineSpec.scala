@@ -30,7 +30,8 @@ final case class PipelineSpec(
     sinkTable: Option[String] = None,
     sinkMode: Option[String] = None,
     sinkBranch: Option[String] = None,
-    sinkPublish: Option[Boolean] = None) {
+    sinkPublish: Option[Boolean] = None,
+    sinkAudit: Option[String] = None) {
   require(name.nonEmpty, "pipeline name must be non-empty")
   require(sourceTable.nonEmpty, s"$name: source table must be non-empty")
   require(steps.nonEmpty, s"$name: at least one step required")
@@ -52,6 +53,12 @@ final case class PipelineSpec(
     s"$name: branch staging is append-only; mode overwrite is not stageable")
   require(sinkPublish.isEmpty || sinkBranch.isDefined,
     s"$name: sink 'publish' given but no 'branch'")
+  // The AUDIT of write-audit-publish: a row-level boolean constraint checked
+  // against the staged branch (base + this run's rows) — publish happens
+  // only if every row satisfies it.
+  require(sinkAudit.forall(_.nonEmpty), s"$name: sink audit must be non-empty")
+  require(sinkAudit.isEmpty || sinkBranch.isDefined,
+    s"$name: sink 'audit' given but no 'branch' to audit")
 
   def hasSink: Boolean = sinkPath.isDefined || sinkTable.isDefined
 
@@ -99,15 +106,15 @@ object PipelineSpec {
         }
       case _ => sys.error("spec missing 'steps' list")
     }
-    val (fmt, path, table, mode, branch, publish) = m.get("sink") match {
+    val (fmt, path, table, mode, branch, publish, audit) = m.get("sink") match {
       case Some(sm: java.util.Map[_, _]) =>
         val s = sm.asScala.map { case (k, v) => k.toString -> v.toString }
         // A typoed key must not silently degrade the run to a dry-run.
         val unknown = s.keySet --
-          Set("format", "path", "table", "mode", "branch", "publish")
+          Set("format", "path", "table", "mode", "branch", "publish", "audit")
         require(unknown.isEmpty,
           s"unknown sink key(s) ${unknown.mkString(", ")}; " +
-            "known: format, path, table, mode, branch, publish")
+            "known: format, path, table, mode, branch, publish, audit")
         require(s.contains("path") || s.contains("table"),
           "a sink block needs a 'path' (with 'format') or a 'table'")
         val pub = s.get("publish").map {
@@ -116,8 +123,8 @@ object PipelineSpec {
           case other => sys.error(s"sink publish must be true or false, got '$other'")
         }
         (s.get("format"), s.get("path"), s.get("table"), s.get("mode"),
-          s.get("branch"), pub)
-      case _ => (None, None, None, None, None, None)
+          s.get("branch"), pub, s.get("audit"))
+      case _ => (None, None, None, None, None, None, None)
     }
     PipelineSpec(
       name = m.get("pipeline").map(_.toString)
@@ -129,7 +136,8 @@ object PipelineSpec {
       sinkTable = table,
       sinkMode = mode,
       sinkBranch = branch,
-      sinkPublish = publish)
+      sinkPublish = publish,
+      sinkAudit = audit)
   }
 
   def fromYamlFile(path: String): PipelineSpec =

@@ -105,6 +105,21 @@ final class PipelineRunner(spark: SparkSession) {
         if (!st.branches.contains(branch))
           graft.sources.SnapshotCatalog.createBranch(cat, ident, branch)
         out.writeTo(s"$table.branch_$branch").append()
+        // AUDIT gate: every row of the staged branch (base + this run) must
+        // satisfy the constraint, or the run fails loudly WITHOUT
+        // publishing — the staged rows stay on the branch for inspection.
+        spec.sinkAudit.foreach { constraint =>
+          import org.apache.spark.sql.functions.{expr, lit, not}
+          // NULL-hostile: a row where the constraint evaluates to NULL is a
+          // violation too (<=> true), not a silent pass.
+          val violations = spark.table(s"$table.branch_$branch")
+            .filter(not(expr(constraint).cast("boolean") <=> lit(true)))
+            .count()
+          require(violations == 0L,
+            s"${spec.name}: audit '$constraint' failed for $violations row(s) " +
+              s"on $table.branch_$branch — NOT published; staged rows kept " +
+              "for inspection (drop_branch to discard)")
+        }
         if (spec.publishAfterWrite)
           graft.sources.SnapshotCatalog.fastForward(cat, ident, branch)
       case (_, _, Some(table)) =>

@@ -228,6 +228,39 @@ sink:
       "pipeline: p\nsource:\n  table: documents\nsteps:\n  - op: lang_id\n" +
         "sink:\n  table: just_a_table\n  branch: b\n"), dir))
     assert(e.getMessage.contains("catalog-qualified"), e.getMessage)
+    // AUDIT gate: a failing constraint blocks publish, keeps the staging.
+    spark.sql("DROP TABLE IF EXISTS graft_snap.pipe.audit_out")
+    spark.sql("CREATE TABLE graft_snap.pipe.audit_out (doc_id BIGINT, text STRING)")
+    def auditYaml(constraint: String) = s"""pipeline: audited
+source:
+  table: documents
+steps:
+  - op: select
+    cols: doc_id, text
+  - op: filter
+    expr: doc_id < 10
+sink:
+  table: graft_snap.pipe.audit_out
+  branch: gate
+  audit: "$constraint"
+"""
+    val fail = intercept[IllegalArgumentException](
+      runner.run(PipelineSpec.fromYaml(auditYaml("doc_id < 5")), dir))
+    assert(fail.getMessage.contains("audit") &&
+      fail.getMessage.contains("NOT published"), fail.getMessage)
+    assert(spark.table("graft_snap.pipe.audit_out").count() === 0L,
+      "failed audit must not publish")
+    assert(spark.table("graft_snap.pipe.audit_out.branch_gate").count() === 10L,
+      "failed audit keeps the staging for inspection")
+    // A passing constraint publishes base + staged (the second run appends
+    // another 10 staged rows before the gate runs).
+    runner.run(PipelineSpec.fromYaml(auditYaml("doc_id < 10 AND text IS NOT NULL")), dir)
+    assert(spark.table("graft_snap.pipe.audit_out").count() === 20L)
+    // audit requires a branch.
+    intercept[IllegalArgumentException](PipelineSpec.fromYaml(
+      "pipeline: p\nsource:\n  table: documents\nsteps:\n  - op: lang_id\n" +
+        "sink:\n  table: t\n  audit: \"doc_id IS NOT NULL\"\n"))
+
     // A REAL table shadowing the branch suffix must refuse the staging
     // write — name resolution would silently mis-route the rows into it.
     spark.sql("DROP TABLE IF EXISTS graft_snap.pipe.wap_out.branch_shad")

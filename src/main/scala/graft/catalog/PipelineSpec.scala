@@ -54,8 +54,8 @@ final case class PipelineSpec(
   require(sinkPublish.isEmpty || sinkBranch.isDefined,
     s"$name: sink 'publish' given but no 'branch'")
   // The AUDIT of write-audit-publish: a row-level boolean constraint checked
-  // against the staged branch (base + this run's rows) — publish happens
-  // only if every row satisfies it.
+  // against THIS RUN'S rows before staging — a failing audit stages nothing
+  // (retries cannot duplicate), and pre-existing base rows never block.
   require(sinkAudit.forall(_.nonEmpty), s"$name: sink audit must be non-empty")
   require(sinkAudit.isEmpty || sinkBranch.isDefined,
     s"$name: sink 'audit' given but no 'branch' to audit")

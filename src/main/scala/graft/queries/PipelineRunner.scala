@@ -102,24 +102,25 @@ final class PipelineRunner(spark: SparkSession) {
             graft.sources.SnapshotStore.keyOf(cat, ident :+ s"branch_$branch")),
           s"${spec.name}: a real table named $table.branch_$branch shadows " +
             "the branch suffix — staging through it would mis-route the rows")
+        // AUDIT gate on THIS RUN'S rows, BEFORE staging: a failing audit
+        // stages NOTHING (so a retry can never duplicate rows), and a
+        // violating row already living in the base can never block valid
+        // new loads. NULL-hostile: a row where the constraint evaluates to
+        // NULL is a violation too (<=> true), not a silent pass.
+        // Concurrency contract (as with Iceberg WAP): publish splices
+        // whatever the branch holds; each staging writer audits its own
+        // rows — co-writers to one branch are the operator's choice.
+        spec.sinkAudit.foreach { constraint =>
+          val violations =
+            out.filter(!(expr(constraint).cast("boolean") <=> lit(true))).count()
+          require(violations == 0L,
+            s"${spec.name}: audit '$constraint' failed for $violations row(s) " +
+              "— nothing staged, nothing published (inspect with a dry-run " +
+              "build of the same spec)")
+        }
         if (!st.branches.contains(branch))
           graft.sources.SnapshotCatalog.createBranch(cat, ident, branch)
         out.writeTo(s"$table.branch_$branch").append()
-        // AUDIT gate: every row of the staged branch (base + this run) must
-        // satisfy the constraint, or the run fails loudly WITHOUT
-        // publishing — the staged rows stay on the branch for inspection.
-        spec.sinkAudit.foreach { constraint =>
-          import org.apache.spark.sql.functions.{expr, lit, not}
-          // NULL-hostile: a row where the constraint evaluates to NULL is a
-          // violation too (<=> true), not a silent pass.
-          val violations = spark.table(s"$table.branch_$branch")
-            .filter(not(expr(constraint).cast("boolean") <=> lit(true)))
-            .count()
-          require(violations == 0L,
-            s"${spec.name}: audit '$constraint' failed for $violations row(s) " +
-              s"on $table.branch_$branch — NOT published; staged rows kept " +
-              "for inspection (drop_branch to discard)")
-        }
         if (spec.publishAfterWrite)
           graft.sources.SnapshotCatalog.fastForward(cat, ident, branch)
       case (_, _, Some(table)) =>

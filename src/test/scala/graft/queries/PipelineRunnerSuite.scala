@@ -247,15 +247,19 @@ sink:
     val fail = intercept[IllegalArgumentException](
       runner.run(PipelineSpec.fromYaml(auditYaml("doc_id < 5")), dir))
     assert(fail.getMessage.contains("audit") &&
-      fail.getMessage.contains("NOT published"), fail.getMessage)
+      fail.getMessage.contains("nothing staged"), fail.getMessage)
     assert(spark.table("graft_snap.pipe.audit_out").count() === 0L,
       "failed audit must not publish")
-    assert(spark.table("graft_snap.pipe.audit_out.branch_gate").count() === 10L,
-      "failed audit keeps the staging for inspection")
-    // A passing constraint publishes base + staged (the second run appends
-    // another 10 staged rows before the gate runs).
+    // Pre-staging audit: a failed run stages NOTHING, so the retry below
+    // cannot duplicate rows (and a violating row already in the BASE could
+    // never block a valid new load).
+    assert(!graft.sources.SnapshotStore.stateOf(
+        graft.sources.SnapshotStore.keyOf("graft_snap", Seq("pipe", "audit_out")))
+      .branches.get("gate").exists(_.snapshots.nonEmpty),
+      "failed audit must stage nothing")
+    // A passing constraint stages and publishes exactly this run's rows.
     runner.run(PipelineSpec.fromYaml(auditYaml("doc_id < 10 AND text IS NOT NULL")), dir)
-    assert(spark.table("graft_snap.pipe.audit_out").count() === 20L)
+    assert(spark.table("graft_snap.pipe.audit_out").count() === 10L)
     // audit requires a branch.
     intercept[IllegalArgumentException](PipelineSpec.fromYaml(
       "pipeline: p\nsource:\n  table: documents\nsteps:\n  - op: lang_id\n" +

@@ -521,6 +521,44 @@ object SnapshotCatalog {
       .map(s => (s.version, s.commitMicros, s.files.map(_.rowCount).sum))
   }
 
+  /** Orphan-file GC (Iceberg's `remove_orphan_files`): delete files under
+    * the table's data directory that NO snapshot, delete file, or branch
+    * references — the crash residue this procedure exists for (a JVM dying
+    * between task file writes and the driver-side commit leaves files no
+    * abort() ever saw). Only files older than `olderThanMicros` (wall
+    * clock) are touched: an IN-FLIGHT writer's files are unreferenced by
+    * definition until their commit lands, so an age floor is the safety
+    * contract (Iceberg defaults to 3 days for the same reason). Returns
+    * the deleted paths; `dryRun` lists without deleting. */
+  def removeOrphanFiles(catalog: String, ident: Seq[String],
+      olderThanMicros: Long, dryRun: Boolean = false): Seq[String] = {
+    val k = SnapshotStore.keyOf(catalog, ident)
+    val st = SnapshotStore.stateOf(k)
+    val dir = new Path(st.dataDir)
+    val fs = RowFiles.fs(dir)
+    if (!fs.exists(dir)) return Nil
+    // Manifests may record scheme-less paths while the listing yields
+    // qualified ones (file:/…): compare both sides fully qualified, or
+    // every referenced file would read as an orphan — a total-data-loss
+    // class of bug for a GC.
+    def qualified(p: String): String = fs.makeQualified(new Path(p)).toString
+    val referenced =
+      (st.snapshots.iterator ++ st.branches.valuesIterator.flatMap(_.snapshots))
+        .flatMap(sn => sn.files.iterator.map(_.path) ++
+          sn.deleteFiles.iterator.map(_.path))
+        .map(qualified).toSet
+    val cutoffMillis = olderThanMicros / 1000L
+    val iter = fs.listFiles(dir, true)
+    val orphans = Iterator.continually(iter)
+      .takeWhile(_.hasNext).map(_.next())
+      .filter(f => f.isFile && f.getModificationTime < cutoffMillis)
+      .map(f => qualified(f.getPath.toString))
+      .filterNot(referenced)
+      .toVector
+    if (!dryRun) RowFiles.delete(orphans)
+    orphans
+  }
+
   /** Small-file compaction (Iceberg's `rewrite_data_files`): every commit
     * adds its own file set, so a hot table degrades into many small files —
     * scan-task explosion, the #1 operational failure of file-backed

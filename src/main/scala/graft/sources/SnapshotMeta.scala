@@ -207,7 +207,8 @@ private[sources] object SnapshotProcedures {
 
   def names: Seq[String] =
     Seq("expire_snapshots", "rollback_to_version", "create_tag", "drop_tag",
-      "rewrite_data_files", "create_branch", "drop_branch", "fast_forward")
+      "rewrite_data_files", "create_branch", "drop_branch", "fast_forward",
+      "remove_orphan_files")
 
   def load(catalogName: String, ident: Identifier): Option[UnboundProcedure] = {
     if (!ident.namespace().sameElements(Array("system"))) return None
@@ -270,6 +271,24 @@ private[sources] object SnapshotProcedures {
         StructType(Seq(StructField("current_version", LongType, nullable = false))),
         r => Array[Any](
           SnapshotCatalog.fastForward(catalogName, identOf(str(r, 0)), str(r, 1)))))
+      case "remove_orphan_files" => Some(proc("remove_orphan_files",
+        "delete unreferenced files under the table's data dir older than " +
+          "older_than_hours (age floor protects in-flight writers); " +
+          "dry_run lists without deleting",
+        Seq(in("table", StringType), in("older_than_hours", DoubleType),
+          in("dry_run", BooleanType)),
+        StructType(Seq(
+          StructField("orphan_files", IntegerType, nullable = false),
+          StructField("deleted", BooleanType, nullable = false))),
+        r => {
+          val hours = r.getDouble(1)
+          require(hours >= 0, s"older_than_hours must be >= 0, got $hours")
+          val cutoff = SnapshotStore.nowMicros() - (hours * 3600e6).toLong
+          val dry = r.getBoolean(2)
+          val orphans = SnapshotCatalog.removeOrphanFiles(
+            catalogName, identOf(str(r, 0)), cutoff, dryRun = dry)
+          Array[Any](orphans.size, !dry)
+        }))
       case "rewrite_data_files" => Some(proc("rewrite_data_files",
         "compact live data to one file per partition (history preserved)",
         Seq(in("table", StringType)),

@@ -219,4 +219,38 @@ class SnapshotMetaSuite extends AnyFunSuite {
       .map(_.getMessage).mkString("\n")
     assert(msgs.contains("expire_snapshots"), msgs) // names the known set
   }
+
+  test("remove_orphan_files deletes crash residue only: referenced data, " +
+    "delete files, and branch-staged files all survive") {
+    val t = freshTable("orphans")
+    spark.sql(s"""CREATE TABLE $t (id BIGINT, v STRING) TBLPROPERTIES (
+      'write.delete.mode'='merge-on-read')""")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"DELETE FROM $t WHERE id = 1") // live position-delete file
+    spark.sql(s"CALL $cat.system.create_branch('meta.orphans', 'stage')")
+    spark.sql(s"INSERT INTO $t.branch_stage VALUES (3, 'c')") // branch-only file
+    // Plant crash residue: a file in the data dir no manifest references.
+    val st = SnapshotStore.stateOf(SnapshotStore.keyOf(cat, Seq("meta", "orphans")))
+    val orphan = new java.io.File(new java.net.URI(
+      if (st.dataDir.contains(":")) st.dataDir else "file:" + st.dataDir)
+      .getPath, "crash-residue.bin")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    // dry_run lists it without deleting.
+    assert(spark.sql(s"CALL $cat.system.remove_orphan_files(" +
+      "'meta.orphans', 0.0D, true)").collect().toSeq === Seq(Row(1, false)))
+    assert(orphan.exists())
+    // The real run deletes exactly the orphan.
+    assert(spark.sql(s"CALL $cat.system.remove_orphan_files(" +
+      "'meta.orphans', 0.0D, false)").collect().toSeq === Seq(Row(1, true)))
+    assert(!orphan.exists())
+    // Everything referenced still reads: live rows, the MOR delete still
+    // applied, the staged branch intact.
+    assert(spark.sql(s"SELECT id FROM $t ORDER BY id").collect().toSeq ===
+      Seq(Row(2L)))
+    assert(spark.sql(s"SELECT id FROM $t.branch_stage ORDER BY id")
+      .collect().toSeq === Seq(Row(2L), Row(3L)))
+    // Nothing left to collect.
+    assert(spark.sql(s"CALL $cat.system.remove_orphan_files(" +
+      "'meta.orphans', 0.0D, true)").collect().toSeq === Seq(Row(0, false)))
+  }
 }

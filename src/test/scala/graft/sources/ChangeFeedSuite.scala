@@ -154,6 +154,39 @@ class ChangeFeedSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("changes stream restarts from its checkpoint: commits landing while " +
+    "down arrive exactly once, none replayed") {
+    val t = freshTable("ckptfeed", mor)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.cdf")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.cdf.ckptsink")
+    val sink = s"$cat.cdf.ckptsink"
+    // The catalog reserves the _-prefixed change columns as DATA names, so
+    // the sink materializes them under plain aliases.
+    spark.sql(s"""CREATE TABLE $sink (id BIGINT, v STRING,
+      change_type STRING, commit_version BIGINT)""")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdf-ckpt").toString
+    def start() = spark.readStream.table(s"$t.changes")
+      .selectExpr("id", "v", "_change_type AS change_type",
+        "_commit_version AS commit_version")
+      .writeStream.option("checkpointLocation", ckpt).toTable(sink)
+
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a')")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.table(sink).count() === 1L)
+    // Commits land WHILE THE STREAM IS DOWN — including a rewrite.
+    spark.sql(s"INSERT INTO $t VALUES (2, 'b')")
+    spark.sql(s"DELETE FROM $t WHERE id = 1")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.sql(s"""SELECT id, v, change_type, commit_version
+      FROM $sink ORDER BY commit_version, change_type, id""").collect().toSeq
+    assert(got === Seq(
+      Row(1L, "a", "INSERT", 1L), // from the FIRST run only — not replayed
+      Row(2L, "b", "INSERT", 2L),
+      Row(1L, "a", "DELETE", 3L)))
+  }
+
   test("startingVersion bounds the batch feed; expired history is loud") {
     val t = freshTable("expfeed", mor)
     spark.sql(s"INSERT INTO $t VALUES (1, 'a')") // v1

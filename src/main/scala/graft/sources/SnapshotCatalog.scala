@@ -533,8 +533,7 @@ object SnapshotCatalog {
   def removeOrphanFiles(catalog: String, ident: Seq[String],
       olderThanMicros: Long, dryRun: Boolean = false): Seq[String] = {
     val k = SnapshotStore.keyOf(catalog, ident)
-    val st = SnapshotStore.stateOf(k)
-    val dir = new Path(st.dataDir)
+    val dir = new Path(SnapshotStore.stateOf(k).dataDir)
     val fs = RowFiles.fs(dir)
     if (!fs.exists(dir)) return Nil
     // Manifests may record scheme-less paths while the listing yields
@@ -542,20 +541,35 @@ object SnapshotCatalog {
     // every referenced file would read as an orphan — a total-data-loss
     // class of bug for a GC.
     def qualified(p: String): String = fs.makeQualified(new Path(p)).toString
+    val cutoffMillis = olderThanMicros / 1000L
+    val iter = fs.listFiles(dir, true)
+    val aged = Iterator.continually(iter)
+      .takeWhile(_.hasNext).map(_.next())
+      .filter(f => f.isFile && f.getModificationTime < cutoffMillis)
+      .map(f => qualified(f.getPath.toString))
+      .toVector
+    // Capture the referenced set AFTER the (potentially long) listing: any
+    // commit landing mid-listing is then in the set before its files could
+    // be judged — only a writer whose write-to-commit latency exceeds the
+    // age floor remains exposed, which is the floor's documented contract.
+    val st = SnapshotStore.stateOf(k)
     val referenced =
       (st.snapshots.iterator ++ st.branches.valuesIterator.flatMap(_.snapshots))
         .flatMap(sn => sn.files.iterator.map(_.path) ++
           sn.deleteFiles.iterator.map(_.path))
         .map(qualified).toSet
-    val cutoffMillis = olderThanMicros / 1000L
-    val iter = fs.listFiles(dir, true)
-    val orphans = Iterator.continually(iter)
-      .takeWhile(_.hasNext).map(_.next())
-      .filter(f => f.isFile && f.getModificationTime < cutoffMillis)
-      .map(f => qualified(f.getPath.toString))
-      .filterNot(referenced)
-      .toVector
-    if (!dryRun) RowFiles.delete(orphans)
+    val orphans = aged.filterNot(referenced)
+    if (!dryRun) {
+      // A GC that swallows delete failures and reports success leaves the
+      // operator believing residue is gone — fail loudly instead.
+      val failed = orphans.filter { p =>
+        try !fs.delete(new Path(p), false)
+        catch { case _: java.io.IOException => true }
+      }
+      if (failed.nonEmpty) throw new IllegalStateException(
+        s"remove_orphan_files: ${failed.size} of ${orphans.size} orphan(s) " +
+          s"could not be deleted, e.g. ${failed.take(3).mkString(", ")}")
+    }
     orphans
   }
 

@@ -271,23 +271,34 @@ private[sources] object SnapshotProcedures {
         StructType(Seq(StructField("current_version", LongType, nullable = false))),
         r => Array[Any](
           SnapshotCatalog.fastForward(catalogName, identOf(str(r, 0)), str(r, 1)))))
-      case "remove_orphan_files" => Some(proc("remove_orphan_files",
+      case "remove_orphan_files" => Some(procRows("remove_orphan_files",
         "delete unreferenced files under the table's data dir older than " +
-          "older_than_hours (age floor protects in-flight writers); " +
-          "dry_run lists without deleting",
+          "older_than_hours (age floor protects in-flight writers; a " +
+          "DESTRUCTIVE run requires a positive floor); dry_run lists the " +
+          "orphan paths without deleting — one row per orphan",
         Seq(in("table", StringType), in("older_than_hours", DoubleType),
           in("dry_run", BooleanType)),
         StructType(Seq(
-          StructField("orphan_files", IntegerType, nullable = false),
+          StructField("orphan_file_location", StringType, nullable = false),
           StructField("deleted", BooleanType, nullable = false))),
         r => {
+          // The age floor is the ONLY thing protecting an in-flight
+          // writer's not-yet-committed files — a NULL or 0 floor on a
+          // destructive run silently disables it, so both are refused.
+          require(!r.isNullAt(1), "older_than_hours must not be NULL")
+          require(!r.isNullAt(2), "dry_run must not be NULL")
           val hours = r.getDouble(1)
-          require(hours >= 0, s"older_than_hours must be >= 0, got $hours")
-          val cutoff = SnapshotStore.nowMicros() - (hours * 3600e6).toLong
           val dry = r.getBoolean(2)
+          require(hours >= 0, s"older_than_hours must be >= 0, got $hours")
+          require(dry || hours > 0,
+            "a destructive run needs a POSITIVE older_than_hours floor — " +
+              "an in-flight writer's files are unreferenced until its " +
+              "commit lands; use dry_run => true to inspect with floor 0")
+          val cutoff = SnapshotStore.nowMicros() - (hours * 3600e6).toLong
           val orphans = SnapshotCatalog.removeOrphanFiles(
             catalogName, identOf(str(r, 0)), cutoff, dryRun = dry)
-          Array[Any](orphans.size, !dry)
+          orphans.map(p => new GenericInternalRow(
+            Array[Any](UTF8String.fromString(p), !dry)): InternalRow).toArray
         }))
       case "rewrite_data_files" => Some(proc("rewrite_data_files",
         "compact live data to one file per partition (history preserved)",
@@ -311,6 +322,13 @@ private[sources] object SnapshotProcedures {
     * (declared parameter order) and returns the output row's values. */
   private def proc(name0: String, desc: String, params: Seq[ProcedureParameter],
       outSchema: StructType, body: InternalRow => Array[Any]): UnboundProcedure =
+    procRows(name0, desc, params, outSchema,
+      input => Array(new GenericInternalRow(body(input)): InternalRow))
+
+  /** A multi-row procedure (e.g. one row per orphan file). */
+  private def procRows(name0: String, desc: String,
+      params: Seq[ProcedureParameter], outSchema: StructType,
+      body: InternalRow => Array[InternalRow]): UnboundProcedure =
     new UnboundProcedure with BoundProcedure {
       override def name(): String = name0
       override def description(): String = desc
@@ -318,9 +336,9 @@ private[sources] object SnapshotProcedures {
       override def parameters(): Array[ProcedureParameter] = params.toArray
       override def isDeterministic: Boolean = false
       override def call(input: InternalRow): util.Iterator[Scan] = {
-        val row: InternalRow = new GenericInternalRow(body(input))
+        val out = body(input)
         util.Collections.singletonList[Scan](new LocalScan {
-          override def rows(): Array[InternalRow] = Array(row)
+          override def rows(): Array[InternalRow] = out
           override def readSchema(): StructType = outSchema
         }).iterator()
       }

@@ -235,13 +235,28 @@ class SnapshotMetaSuite extends AnyFunSuite {
       if (st.dataDir.contains(":")) st.dataDir else "file:" + st.dataDir)
       .getPath, "crash-residue.bin")
     java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
-    // dry_run lists it without deleting.
-    assert(spark.sql(s"CALL $cat.system.remove_orphan_files(" +
-      "'meta.orphans', 0.0D, true)").collect().toSeq === Seq(Row(1, false)))
+    // Backdate past the floor: the residue is "old", the live files are
+    // "fresh" — exactly the discrimination the age floor exists to make.
+    assert(orphan.setLastModified(System.currentTimeMillis() - 3600_000L))
+    // ALSO backdate a referenced data file: it passes the age filter, so
+    // only the referenced-set check protects it — load-bearing, not
+    // vacuous (a GC comparing paths wrongly would delete it).
+    val referencedFile = new java.io.File(
+      new java.net.URI(
+        if (st.currentFiles.head.path.contains(":")) st.currentFiles.head.path
+        else "file:" + st.currentFiles.head.path).getPath)
+    assert(referencedFile.setLastModified(System.currentTimeMillis() - 3600_000L))
+    // dry_run lists the orphan's PATH (the audit-before-delete loop)
+    // without deleting.
+    val listed = spark.sql(s"CALL $cat.system.remove_orphan_files(" +
+      "'meta.orphans', 0.5D, true)").collect().toSeq
+    assert(listed.map(_.getBoolean(1)) === Seq(false) &&
+      listed.head.getString(0).endsWith("crash-residue.bin"), listed)
     assert(orphan.exists())
     // The real run deletes exactly the orphan.
-    assert(spark.sql(s"CALL $cat.system.remove_orphan_files(" +
-      "'meta.orphans', 0.0D, false)").collect().toSeq === Seq(Row(1, true)))
+    val deleted = spark.sql(s"CALL $cat.system.remove_orphan_files(" +
+      "'meta.orphans', 0.5D, false)").collect().toSeq
+    assert(deleted.map(_.getBoolean(1)) === Seq(true))
     assert(!orphan.exists())
     // Everything referenced still reads: live rows, the MOR delete still
     // applied, the staged branch intact.
@@ -251,6 +266,17 @@ class SnapshotMetaSuite extends AnyFunSuite {
       .collect().toSeq === Seq(Row(2L), Row(3L)))
     // Nothing left to collect.
     assert(spark.sql(s"CALL $cat.system.remove_orphan_files(" +
-      "'meta.orphans', 0.0D, true)").collect().toSeq === Seq(Row(0, false)))
+      "'meta.orphans', 0.5D, true)").collect().isEmpty)
+    // The age floor cannot be silently disabled on a DESTRUCTIVE run:
+    // zero and NULL floors are refused (dry-run with 0 stays legal).
+    val e = intercept[Exception](spark.sql(
+      s"CALL $cat.system.remove_orphan_files('meta.orphans', 0.0D, false)")
+      .collect())
+    assert(e.getMessage.contains("POSITIVE"), e.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      s"CALL $cat.system.remove_orphan_files(" +
+        "'meta.orphans', CAST(NULL AS DOUBLE), false)").collect())
+    assert(e2.getMessage.contains("NULL") ||
+      e2.getMessage.toLowerCase.contains("null"), e2.getMessage)
   }
 }

@@ -85,6 +85,20 @@ object ChangeDataFeed {
     require(reserved.isEmpty,
       s"tableChanges reserves column names _v, _pv, _nv, _graft_old_*; " +
         s"$table has: ${reserved.mkString(", ")}")
+    // The positional union below requires ONE schema across the whole
+    // range: a catalog serving per-snapshot schemas (the engine's own —
+    // ALTER TABLE ADD COLUMN mid-range) would otherwise fail with a
+    // generic NUM_COLUMNS_MISMATCH deep in analysis. Name the evolution
+    // instead: the caller should split the feed at the evolving version
+    // (before/after read under their own schemas).
+    // Column NAMES only: nullability/metadata differences are
+    // union-tolerable and must not trip the guard.
+    val colSets = versions.map(_.columns.toSeq).distinct
+    require(colSets.size == 1,
+      s"tableChanges range [$fromVersion, $toVersion] of $table spans a " +
+        "schema change — versions read as: " +
+        colSets.map(_.mkString("(", ", ", ")")).mkString(" vs ") +
+        "; split the range at the ALTER TABLE commit and union the feeds")
     val snaps = versions.zipWithIndex.map { case (df, i) =>
       df.withColumn("_v", lit(fromVersion + i))
     }.reduce(_.unionAll(_))
@@ -214,6 +228,14 @@ object ChangeDataFeed {
     def guarded(df: DataFrame, side: String): DataFrame =
       if (!validateUniqueKeys) df
       else {
+        // `_kn` is this guard's working column: a pre-existing `_kn` would
+        // be silently overwritten by withColumn and then dropped —
+        // vanishing from the old_/new_ images. Loud, like tableChanges'
+        // reserved-name check (case-insensitive: withColumn resolves that
+        // way under default spark.sql.caseSensitive=false).
+        require(!df.columns.exists(_.equalsIgnoreCase("_kn")),
+          s"diff(validateUniqueKeys=true) reserves column name _kn; $side " +
+            "relation already has it")
         val kw = Window.partitionBy(keyCols.map(col): _*)
         df.withColumn("_kn", count(lit(1)).over(kw))
           .filter(assert_true(col("_kn") === 1,

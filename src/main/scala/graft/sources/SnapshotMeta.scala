@@ -42,13 +42,14 @@ private[sources] object MetaTables {
     def ts(micros: Long): Any = micros // TimestampType carries micros
     if (!Suffixes(suffix)) return None
     suffix match {
-      // `snapshots` is Iceberg's name for the same lineage relation —
-      // serve it as an alias of `history`.
-      case "snapshots" => forSuffix(display, parentKey, "history")
       // The change feed is ROW data, not metadata: a distributed scan
       // (batch + micro-batch), never a LocalScan — see [[ChangesTable]].
       case "changes" => Some(new ChangesTable(s"$display.changes", parentKey))
-      case "history" => Some(new MetaTable(s"$display.history",
+      // `snapshots` is Iceberg's name for the same lineage relation as
+      // `history` — one implementation, but each alias reports ITSELF as
+      // the relation name (a `.snapshots` read must not surface as
+      // `.history` in plans and error messages).
+      case "history" | "snapshots" => Some(new MetaTable(s"$display.$suffix",
         // Per-commit accounting (Iceberg's snapshot summary as columns):
         // added/removed figures diff each snapshot against its LIVE
         // predecessor by file path — physical counts (a merge-on-read

@@ -167,4 +167,35 @@ class ChangeDataFeedSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](
       ChangeDataFeed.tableChanges(spark, t, Seq.empty, 0L, 1L))
   }
+
+  test("a range spanning ADD COLUMN names the evolution instead of a union error") {
+    val t = freshTable("evorange")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a')")           // v1: (id, v)
+    spark.sql(s"INSERT INTO $t VALUES (2, 'b')")           // v2: (id, v)
+    spark.sql(s"ALTER TABLE $t ADD COLUMN w STRING")
+    spark.sql(s"INSERT INTO $t VALUES (3, 'c', 'C')")      // v3: (id, v, w)
+    val e = intercept[IllegalArgumentException](
+      ChangeDataFeed.tableChanges(spark, t, Seq("id"), 1L, 3L))
+    assert(e.getMessage.contains("schema change"), e.getMessage)
+    assert(e.getMessage.contains("split the range"), e.getMessage)
+    // A same-schema sub-range before the ALTER still works.
+    assert(ChangeDataFeed.tableChanges(spark, t, Seq("id"), 1L, 2L).count() === 1L)
+  }
+
+  test("diff rejects a pre-existing _kn column when validating uniqueness") {
+    import spark.implicits._
+    val withKn = Seq((1L, "x")).toDF("id", "_kn")
+    val plain = Seq((1L, "x")).toDF("id", "v")
+    val e = intercept[IllegalArgumentException](
+      ChangeDataFeed.diff(withKn, withKn, Seq("id"), 1L, validateUniqueKeys = true))
+    assert(e.getMessage.contains("_kn"), e.getMessage)
+    // Without validation the column passes through untouched as data.
+    val out = ChangeDataFeed.diff(withKn,
+      Seq((1L, "y")).toDF("id", "_kn"), Seq("id"), 1L)
+    assert(out.collect().toSeq === Seq(Row(1L, "UPDATE", 1L, "x", "y")))
+    // And a clean frame under validation still works.
+    assert(ChangeDataFeed.diff(plain, plain, Seq("id"), 1L,
+      validateUniqueKeys = true).count() === 0L)
+  }
 }

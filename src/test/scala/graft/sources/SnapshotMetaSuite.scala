@@ -48,6 +48,10 @@ class SnapshotMetaSuite extends AnyFunSuite {
     assert(spark.sql(
       s"SELECT version, operation, total_files, total_rows FROM $t.snapshots ORDER BY version")
       .collect().toSeq === hist)
+    // …and each alias reports ITSELF in plans, not the shared impl's name.
+    val snapPlan = spark.table(s"$t.snapshots").queryExecution.analyzed.toString
+    assert(snapPlan.contains(".snapshots") && !snapPlan.contains(".history"),
+      snapPlan)
 
     val files = spark.sql(
       s"SELECT partition, row_count FROM $t.files ORDER BY partition")

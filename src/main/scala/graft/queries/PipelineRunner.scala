@@ -98,8 +98,8 @@ final class PipelineRunner(spark: SparkSession) {
         // resolution (the catalog's documented shadow precedence) — staging
         // through it would silently mis-route the rows and then publish an
         // empty branch. Refuse before writing.
-        require(!graft.sources.SnapshotStore.tables.contains(
-            graft.sources.SnapshotStore.keyOf(cat, ident :+ s"branch_$branch")),
+        require(graft.sources.SnapshotStore.resolve(
+            graft.sources.SnapshotStore.keyOf(cat, ident :+ s"branch_$branch")).isEmpty,
           s"${spec.name}: a real table named $table.branch_$branch shadows " +
             "the branch suffix — staging through it would mis-route the rows")
         // AUDIT gate on THIS RUN'S rows, BEFORE staging: a failing audit

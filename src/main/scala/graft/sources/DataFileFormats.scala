@@ -1,0 +1,435 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.{ParquetReader, ParquetWriter}
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeRow}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, ParquetWriteSupport}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Expression => VExpression, Literal => VLiteral}
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Data-file formats behind the snapshot catalog's [[SnapshotStore.DataFile]]
+  * seam — the swap the `DataFile` abstraction was designed for:
+  *
+  *   - `parquet` (the default): COLUMNAR files written task-side through
+  *     Spark's own [[ParquetWriteSupport]] and read back through
+  *     [[ParquetReadSupport]], so a column-pruned scan DECODES only the
+  *     requested columns (the `.grf` row stream always paid every byte of
+  *     every row) and the bytes ride parquet's encodings + snappy. This is
+  *     the Iceberg scan stack's shape: manifests for pruning, parquet for
+  *     the data plane.
+  *   - `grf` (`write.format=grf` table property): the Spark-native
+  *     length-prefixed UnsafeRow stream ([[RowFiles]]) — kept as the
+  *     zero-decode baseline the BASELINE.md scan row measures against.
+  *
+  * Readers pick per FILE (by extension), so a table whose property changed
+  * mid-history — or a compaction that rewrote history into the new format —
+  * reads mixed files transparently.
+  *
+  * Every writer also collects PER-FILE COLUMN STATS (min / max / null count
+  * of supported atomic columns) into the file's manifest entry; scans skip
+  * whole files on pushed DATA predicates through [[StatsPredicates]] —
+  * Iceberg's manifest-stats file skipping, the difference between "open
+  * every file of an unpartitioned 100 TB table" and "open the files whose
+  * range can match".
+  */
+private[sources] object DataFiles {
+  val Grf = "grf"
+  val Parquet = "parquet"
+
+  /** The table's write format (property `write.format`, default parquet). */
+  def formatOf(properties: Map[String, String]): String =
+    properties.getOrElse("write.format", Parquet) match {
+      case f @ (Grf | Parquet) => f
+      case other => throw new IllegalArgumentException(
+        s"write.format must be '$Grf' or '$Parquet', got '$other'")
+    }
+
+  def extensionOf(format: String): String = format match {
+    case Grf => ".grf"
+    case Parquet => ".parquet"
+  }
+
+  private def isParquet(path: String): Boolean = path.endsWith(".parquet")
+
+  // -- writing -----------------------------------------------------------------
+
+  /** A task-side data-file writer: streams UnsafeRows, tracks row count +
+    * column stats, and never buffers rows. */
+  trait RowFileWriter {
+    def write(u: UnsafeRow): Unit
+    def rowCount: Long
+    /** Close and return the per-column stats for the manifest entry. */
+    def close(): Map[String, SnapshotStore.ColStats]
+    def abort(): Unit
+  }
+
+  /** Writer for `path` — format chosen by the extension the caller minted
+    * from [[extensionOf]]. */
+  def writer(path: String, schema: StructType, conf: Configuration): RowFileWriter =
+    if (isParquet(path)) new ParquetRowFileWriter(path, schema, conf)
+    else new GrfRowFileWriter(path, schema, conf)
+
+  private final class GrfRowFileWriter(path: String, schema: StructType,
+      conf: Configuration) extends RowFileWriter {
+    private val w = new RowFiles.Writer(path, schema.length, conf)
+    private val stats = new StatsCollector(schema)
+    override def write(u: UnsafeRow): Unit = { w.write(u); stats.update(u) }
+    override def rowCount: Long = w.rowCount
+    override def close(): Map[String, SnapshotStore.ColStats] = {
+      w.close(); stats.result(w.rowCount)
+    }
+    override def abort(): Unit = w.abort()
+  }
+
+  /** Parquet via Spark's own WriteSupport — InternalRow in, Spark-standard
+    * parquet (logical types, TIMESTAMP_MICROS, snappy) out, so any parquet
+    * reader (DuckDB, Spark's native scan) can read the warehouse. */
+  private final class ParquetRowFileWriter(path: String, schema: StructType,
+      conf: Configuration) extends RowFileWriter {
+    private val hp = new Path(path)
+    private val writer = {
+      val c = new Configuration(conf)
+      ParquetWriteSupport.setSchema(schema, c)
+      // The session Hadoop conf carries only EXPLICITLY-SET SQL entries;
+      // ParquetWriteSupport.init asserts these keys exist — pin the Spark
+      // defaults for any the session left implicit.
+      c.setIfUnset("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      c.setIfUnset("spark.sql.parquet.writeLegacyFormat", "false")
+      c.setIfUnset("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+      c.setIfUnset("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+      c.setIfUnset("spark.sql.parquet.fieldId.write.enabled", "true")
+      c.setIfUnset("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
+      new SupportBuilder(hp)
+        .withConf(c)
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .build()
+    }
+    private val stats = new StatsCollector(schema)
+    private var count = 0L
+    override def write(u: UnsafeRow): Unit = {
+      writer.write(u); stats.update(u); count += 1
+    }
+    override def rowCount: Long = count
+    override def close(): Map[String, SnapshotStore.ColStats] = {
+      writer.close(); stats.result(count)
+    }
+    override def abort(): Unit = {
+      try writer.close() catch { case _: Exception => () }
+      try hp.getFileSystem(conf).delete(hp, false) catch { case _: Exception => () }
+    }
+  }
+
+  private final class SupportBuilder(path: Path)
+      extends ParquetWriter.Builder[InternalRow, SupportBuilder](path) {
+    override def self(): SupportBuilder = this
+    override def getWriteSupport(conf: Configuration): WriteSupport[InternalRow] =
+      new ParquetWriteSupport
+  }
+
+  // -- reading -----------------------------------------------------------------
+
+  /** A stream of rows in the REQUESTED data-column shape (missing columns —
+    * files written before an ALTER TABLE ADD COLUMN — read as NULL). The
+    * returned row is reused; callers copy what they keep. */
+  trait DataStream {
+    /** Next row, or null at end of stream. */
+    def next(): InternalRow
+    def close(): Unit
+  }
+
+  /** Open `path` projecting `dataSchema` (a subset of `fullSchema`, the
+    * table schema the file was addressed under). */
+  def stream(path: String, rowCount: Long, dataSchema: StructType,
+      fullSchema: StructType, conf: Configuration): DataStream =
+    if (isParquet(path)) new ParquetStream(path, dataSchema, conf)
+    else new GrfStream(path, rowCount, dataSchema, fullSchema, conf)
+
+  private final class GrfStream(path: String, rowCount: Long,
+      dataSchema: StructType, fullSchema: StructType,
+      conf: Configuration) extends DataStream {
+    private val reader = new RowFiles.Reader(path, conf)
+    require(reader.numFields <= fullSchema.length,
+      s"row file $path has ${reader.numFields} fields; table has ${fullSchema.length}")
+    private val fileFields = reader.numFields
+    private val ords = dataSchema.fieldNames.map(fullSchema.fieldIndex)
+    private val types = ords.map(fullSchema.fields(_).dataType)
+    private val row = new UnsafeRow(fileFields)
+    private var buf = new Array[Byte](1 << 10)
+    private var remaining = rowCount
+    private val out = new GenericInternalRow(dataSchema.length)
+    override def next(): InternalRow = {
+      if (remaining <= 0) return null
+      val size = reader.stream.readInt()
+      if (buf.length < size) buf = new Array[Byte](Integer.highestOneBit(size) << 1)
+      reader.stream.readFully(buf, 0, size)
+      row.pointTo(buf, size)
+      remaining -= 1
+      var j = 0
+      while (j < ords.length) {
+        out.update(j,
+          if (ords(j) >= fileFields) null else row.get(ords(j), types(j)))
+        j += 1
+      }
+      out
+    }
+    override def close(): Unit = reader.close()
+  }
+
+  /** Parquet through Spark's ReadSupport: the requested catalyst schema is
+    * pushed into the parquet layer, so only those columns are DECODED —
+    * the columnar win the `.grf` stream could never give. */
+  private final class ParquetStream(path: String, dataSchema: StructType,
+      conf: Configuration) extends DataStream {
+    private val reader = {
+      val c = new Configuration(conf)
+      c.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, dataSchema.json)
+      // The session Hadoop conf carries only EXPLICITLY-SET SQL entries;
+      // the read-side schema converter requires these — pin Spark defaults
+      // for any the session left implicit.
+      c.setIfUnset("spark.sql.parquet.binaryAsString", "false")
+      c.setIfUnset("spark.sql.parquet.int96AsTimestamp", "true")
+      c.setIfUnset("spark.sql.caseSensitive", "false")
+      c.setIfUnset("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+      c.setIfUnset("spark.sql.legacy.parquet.nanosAsLong", "false")
+      c.setIfUnset("spark.sql.parquet.fieldId.read.enabled", "false")
+      c.setIfUnset("spark.sql.parquet.ignoreVariantAnnotation", "false")
+      c.setIfUnset(
+        "spark.sql.parquet.reader.respectUnknownTypeAnnotation.enabled", "false")
+      ParquetReader.builder(new ParquetReadSupport, new Path(path))
+        .withConf(c)
+        .build()
+    }
+    override def next(): InternalRow = reader.read()
+    override def close(): Unit = reader.close()
+  }
+
+  // -- per-file column stats -----------------------------------------------------
+
+  def statsSupported(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | ShortType | ByteType | BooleanType |
+         DoubleType | FloatType | StringType | DateType | TimestampType |
+         TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** Stats stay useful only if bounded: a string longer than this many
+    * chars invalidates its column's stats for the file (Iceberg truncates
+    * bounds instead; a sound truncation of MAX needs successor logic —
+    * dropping the column is the simple sound choice). */
+  private val MaxStatsStringLen = 256
+
+  /** Streaming min/max/null-count per supported column. Values read from
+    * the reused row buffer are deep-copied only when they become the new
+    * bound. */
+  final class StatsCollector(schema: StructType) {
+    private val cols = schema.fields.zipWithIndex
+      .filter { case (f, _) => statsSupported(f.dataType) }
+    private val n = cols.length
+    private val ordinals = cols.map(_._2)
+    private val types = cols.map(_._1.dataType)
+    private val orderings: Array[Ordering[Any]] =
+      types.map(t => TypeUtils.getInterpretedOrdering(t))
+    private val mins = new Array[Any](n)
+    private val maxs = new Array[Any](n)
+    private val nulls = new Array[Long](n)
+    private val valid = Array.fill(n)(true)
+
+    def update(u: UnsafeRow): Unit = {
+      var i = 0
+      while (i < n) {
+        if (valid(i)) {
+          val v = u.get(ordinals(i), types(i))
+          if (v == null) nulls(i) += 1
+          else v match {
+            case s: UTF8String if s.numChars() > MaxStatsStringLen =>
+              valid(i) = false
+            case _ =>
+              if (mins(i) == null || orderings(i).lt(v, mins(i)))
+                mins(i) = InternalRow.copyValue(v)
+              if (maxs(i) == null || orderings(i).gt(v, maxs(i)))
+                maxs(i) = InternalRow.copyValue(v)
+          }
+        }
+        i += 1
+      }
+    }
+
+    def result(rowCount: Long): Map[String, SnapshotStore.ColStats] = {
+      val b = Map.newBuilder[String, SnapshotStore.ColStats]
+      var i = 0
+      while (i < n) {
+        // An invalidated column reports nothing; an all-null column reports
+        // (null, null, nulls == rowCount) — the marker every comparison
+        // predicate excludes.
+        if (valid(i))
+          b += cols(i)._1.name -> SnapshotStore.ColStats(mins(i), maxs(i), nulls(i))
+        i += 1
+      }
+      b.result()
+    }
+  }
+}
+
+/** Sound file skipping from per-file column stats: `definitelyExcludes`
+  * returns true only when NO row of the file can satisfy the predicate —
+  * the same soundness contract as partition pruning, extended to DATA
+  * columns via each file's (min, max, nullCount). Anything unrecognized
+  * (unsupported operator, missing stats, type mismatch) conservatively
+  * keeps the file; predicates stay residual, so skipping never changes
+  * results — only how many files open. */
+private[sources] object StatsPredicates {
+  import SnapshotStore.ColStats
+
+  /** Data columns stats may exist for, lowercased (predicate matching is
+    * case-insensitive like the rest of the engine). */
+  def statCols(schema: StructType): Map[String, DataType] =
+    schema.fields.iterator
+      .filter(f => DataFiles.statsSupported(f.dataType))
+      .map(f => f.name.toLowerCase -> f.dataType).toMap
+
+  /** Can `p` EVER skip a file from stats? (The structural gate for
+    * reporting a predicate as pushed.) */
+  def usable(p: VPredicate, cols: Map[String, DataType]): Boolean = p.name() match {
+    case "AND" | "OR" =>
+      p.children().length == 2 && p.children().forall {
+        case c: VPredicate => usable(c, cols)
+        case _ => false
+      }
+    case "=" | "<=>" | "<" | "<=" | ">" | ">=" =>
+      p.children().length == 2 && colLit(p, cols).isDefined
+    case "IS_NULL" | "IS_NOT_NULL" =>
+      p.children().length == 1 && colOf(p.children()(0), cols).isDefined
+    case "IN" => p.children().length >= 2 && inShape(p, cols).isDefined
+    case _ => false
+  }
+
+  private def colOf(e: VExpression,
+      cols: Map[String, DataType]): Option[(String, DataType)] = e match {
+    case r: NamedReference if r.fieldNames().length == 1 =>
+      val lc = r.fieldNames()(0).toLowerCase
+      cols.get(lc).map(lc -> _)
+    case _ => None
+  }
+
+  /** `col <op> literal` in either child order (reversed ops normalize). */
+  private def colLit(p: VPredicate,
+      cols: Map[String, DataType]): Option[(String, DataType, Any, Boolean)] = {
+    def lit(e: VExpression): Option[VLiteral[_]] = e match {
+      case l: VLiteral[_] => Some(l)
+      case _ => None
+    }
+    (colOf(p.children()(0), cols), lit(p.children()(1))) match {
+      case (Some((c, dt)), Some(l)) if l.dataType == dt => Some((c, dt, l.value, false))
+      case _ =>
+        (lit(p.children()(0)), colOf(p.children()(1), cols)) match {
+          case (Some(l), Some((c, dt))) if l.dataType == dt =>
+            Some((c, dt, l.value, true)) // reversed: literal <op> col
+          case _ => None
+        }
+    }
+  }
+
+  private def inShape(p: VPredicate,
+      cols: Map[String, DataType]): Option[(String, DataType, Seq[Any])] =
+    colOf(p.children()(0), cols).flatMap { case (c, dt) =>
+      val lits = p.children().drop(1).toSeq.map {
+        case l: VLiteral[_] if l.dataType == dt => Some(l.value)
+        case _ => None
+      }
+      if (lits.forall(_.isDefined)) Some((c, dt, lits.map(_.get))) else None
+    }
+
+  /** True iff the file (stats + physical row count) cannot satisfy `p`. */
+  def definitelyExcludes(p: VPredicate, cols: Map[String, DataType],
+      stats: Map[String, ColStats], rowCount: Long): Boolean = {
+    def child(i: Int): Option[VPredicate] = p.children()(i) match {
+      case c: VPredicate => Some(c)
+      case _ => None
+    }
+    def statOf(c: String): Option[ColStats] =
+      stats.collectFirst { case (name, s) if name.equalsIgnoreCase(c) => s }
+    def lt(dt: DataType, a: Any, b: Any): Boolean =
+      org.apache.spark.sql.catalyst.expressions.LessThan(
+        org.apache.spark.sql.catalyst.expressions.Literal(a, dt),
+        org.apache.spark.sql.catalyst.expressions.Literal(b, dt))
+        .eval(null).asInstanceOf[Boolean]
+    // A comparison can only be satisfied by a non-null value in [min, max].
+    def rangeExcludes(op: String): Boolean = colLit(p, cols) match {
+      case None => false
+      case Some((c, dt, litV, reversed)) =>
+        if (litV == null) {
+          // `col <op> NULL` matches nothing; `col <=> NULL` matches exactly
+          // the file's null rows.
+          return if (op != "<=>") true
+          else statOf(c).exists(_.nulls == 0L)
+        }
+        statOf(c) match {
+          case None => false
+          case Some(s) =>
+            if (s.nulls == rowCount) return true // all-null column
+            if (s.min == null || s.max == null) return false
+            val effOp =
+              if (!reversed) op
+              else op match { // lit <op> col  ≡  col <flipped> lit
+                case "<" => ">"
+                case "<=" => ">="
+                case ">" => "<"
+                case ">=" => "<="
+                case other => other
+              }
+            effOp match {
+              case "=" | "<=>" => lt(dt, litV, s.min) || lt(dt, s.max, litV)
+              case "<" => !lt(dt, s.min, litV) // satisfiable iff min < lit
+              case "<=" => lt(dt, litV, s.min) // satisfiable iff min <= lit
+              case ">" => !lt(dt, litV, s.max) // satisfiable iff max > lit
+              case ">=" => lt(dt, s.max, litV) // satisfiable iff max >= lit
+              case _ => false
+            }
+        }
+    }
+    p.name() match {
+      case "ALWAYS_FALSE" => true
+      case "AND" =>
+        (child(0), child(1)) match {
+          case (Some(a), Some(b)) =>
+            definitelyExcludes(a, cols, stats, rowCount) ||
+              definitelyExcludes(b, cols, stats, rowCount)
+          case _ => false
+        }
+      case "OR" =>
+        (child(0), child(1)) match {
+          case (Some(a), Some(b)) =>
+            definitelyExcludes(a, cols, stats, rowCount) &&
+              definitelyExcludes(b, cols, stats, rowCount)
+          case _ => false
+        }
+      case op @ ("=" | "<=>" | "<" | "<=" | ">" | ">=") => rangeExcludes(op)
+      case "IS_NULL" =>
+        colOf(p.children()(0), cols).exists(c =>
+          statOf(c._1).exists(_.nulls == 0L))
+      case "IS_NOT_NULL" =>
+        colOf(p.children()(0), cols).exists(c =>
+          statOf(c._1).exists(_.nulls == rowCount))
+      case "IN" => inShape(p, cols) match {
+        case None => false
+        case Some((c, dt, vals)) => statOf(c) match {
+          case None => false
+          case Some(s) =>
+            if (s.nulls == rowCount) true
+            else if (s.min == null || s.max == null) false
+            else vals.forall(v =>
+              v == null || lt(dt, v, s.min) || lt(dt, s.max, v))
+        }
+      }
+      case _ => false
+    }
+  }
+}

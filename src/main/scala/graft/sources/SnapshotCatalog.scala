@@ -94,29 +94,48 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    // The default warehouse is PER-PROCESS (pid-suffixed): cross-session
+    // sharing of a warehouse is the durable log's feature, but it must be
+    // an explicit decision (`warehouse` option) — two unrelated JVMs
+    // landing in one shared /tmp dir by default would silently entangle
+    // their catalogs.
     warehouse = Option(options.get("warehouse")).getOrElse(
-      sys.props("java.io.tmpdir") + "/graft-snap-warehouse")
+      sys.props("java.io.tmpdir") + "/graft-snap-warehouse-" +
+        ProcessHandle.current().pid())
+    // How bare store keys (catalog\0ns\0table) resolve back to disk.
+    SnapshotStore.warehouses.put(catalogName, warehouse)
+    ()
   }
   override def name(): String = catalogName
 
   private def key(ident: Identifier): String =
-    (catalogName +: ident.namespace() :+ ident.name()).mkString("\u0000")
+    (catalogName +: ident.namespace() :+ ident.name()).mkString(SnapshotStore.Sep)
   private def nsKey(ns: Array[String]): String =
-    (catalogName +: ns).mkString("\u0000")
+    (catalogName +: ns).mkString(SnapshotStore.Sep)
 
   // -- namespaces ----------------------------------------------------------
 
-  override def listNamespaces(): Array[Array[String]] =
-    SnapshotStore.namespaces.keys.toArray
-      .filter(_.startsWith(catalogName + "\u0000"))
-      .map(_.split('\u0000').drop(1))
+  // Namespaces are DIRECTORIES under the warehouse (Iceberg HadoopCatalog's
+  // model): CREATE NAMESPACE mkdirs, existence is a dir probe — namespaces
+  // survive the JVM like the tables they hold. The in-JVM set remains as a
+  // fast path.
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val cached = SnapshotStore.namespaces.keys.toSeq
+      .filter(_.startsWith(catalogName + SnapshotStore.Sep))
+      .map(_.split(0.toChar).drop(1).toSeq)
+    val onDisk = MetadataLog.listDiskNamespaces(warehouse, catalogName)
+      .map(Seq(_))
+    (cached ++ onDisk).distinct.map(_.toArray).toArray
+  }
   override def listNamespaces(ns: Array[String]): Array[Array[String]] = {
     if (ns.isEmpty) listNamespaces()
     else if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
     else Array.empty
   }
   override def namespaceExists(ns: Array[String]): Boolean =
-    SnapshotStore.namespaces.contains(nsKey(ns))
+    SnapshotStore.namespaces.contains(nsKey(ns)) ||
+      MetadataLog.namespaceDirExists(warehouse, catalogName +: ns.toSeq)
   override def loadNamespaceMetadata(ns: Array[String]): util.Map[String, String] = {
     if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
     util.Collections.emptyMap()
@@ -124,31 +143,43 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
   override def createNamespace(ns: Array[String],
       metadata: util.Map[String, String]): Unit = {
     SnapshotStore.namespaces.putIfAbsent(nsKey(ns), ())
-    ()
+    MetadataLog.mkNamespaceDir(warehouse, catalogName +: ns.toSeq)
   }
   override def alterNamespace(ns: Array[String], changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
   override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
-    val prefix = nsKey(ns) + "\u0000"
-    val owned = SnapshotStore.tables.keys.filter(_.startsWith(prefix)).toSeq
+    val existed = namespaceExists(ns)
+    val owned = if (existed) listTablesIn(ns) else Nil
     if (owned.nonEmpty && !cascade)
       throw new IllegalStateException(s"namespace ${ns.mkString(".")} is not empty")
-    owned.foreach(SnapshotStore.dropTableAndData)
-    SnapshotStore.namespaces.remove(nsKey(ns)).isDefined
+    owned.foreach(t => SnapshotStore.dropTableAndData(key(t)))
+    SnapshotStore.namespaces.remove(nsKey(ns))
+    RowFiles.deleteDir(
+      MetadataLog.tableDir(warehouse, catalogName +: ns.toSeq))
+    existed
   }
 
   // -- tables --------------------------------------------------------------
 
+  /** Tables of `ns`: in-JVM cache ∪ warehouse directories holding a
+    * metadata log (the cross-session / post-restart listing). */
+  private def listTablesIn(ns: Array[String]): Seq[Identifier] = {
+    val prefix = nsKey(ns) + SnapshotStore.Sep
+    val cached = SnapshotStore.tables.keys.toSeq.filter(_.startsWith(prefix))
+      .map(_.split(0.toChar).last)
+    val onDisk =
+      MetadataLog.listDiskTables(warehouse, catalogName +: ns.toSeq)
+    (cached ++ onDisk).distinct.map(Identifier.of(ns, _))
+  }
+
   override def listTables(ns: Array[String]): Array[Identifier] = {
     if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
-    val prefix = nsKey(ns) + "\u0000"
-    SnapshotStore.tables.keys.toArray.filter(_.startsWith(prefix))
-      .map(k => Identifier.of(ns, k.split('\u0000').last))
+    listTablesIn(ns).toArray
   }
 
   override def loadTable(ident: Identifier): Table = {
     val k = key(ident)
-    SnapshotStore.tables.get(k) match {
+    SnapshotStore.resolve(k) match {
       case Some(st) =>
         new MemTable(ident.toString, k, st.schema, st.partitionCols, st.properties,
           pinned = None)
@@ -160,7 +191,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         val meta = for {
           ns <- Option(ident.namespace()).filter(_.nonEmpty)
           parent = Identifier.of(ns.init, ns.last)
-          pk = key(parent) if SnapshotStore.tables.contains(pk)
+          pk = key(parent) if SnapshotStore.resolve(pk).isDefined
           t <- MetaTables.forSuffix(parent.toString, pk, ident.name())
             .orElse(branchFor(parent, pk, ident.name()))
         } yield t
@@ -202,7 +233,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     * loudly. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val k = key(ident)
-    val st = SnapshotStore.tables.getOrElse(k, throw new NoSuchTableException(ident))
+    val st = SnapshotStore.resolve(k).getOrElse(throw new NoSuchTableException(ident))
     st.branches.get(version) match {
       case Some(br) if version.toLongOption.isEmpty =>
         val (files, deletes) = br.head(st)
@@ -231,7 +262,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     * before a never-expired table's first commit is genuinely empty. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val k = key(ident)
-    val st = SnapshotStore.tables.getOrElse(k, throw new NoSuchTableException(ident))
+    val st = SnapshotStore.resolve(k).getOrElse(throw new NoSuchTableException(ident))
     val visible = st.snapshots.filter(_.commitMicros <= timestampMicros)
     def expired(detail: String): Nothing = throw new IllegalArgumentException(
       s"state of $ident at timestamp $timestampMicros is expired: $detail")
@@ -295,13 +326,19 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         s"(${MemTable.ReservedColumnNames.mkString(", ")}) of the " +
         "snapshot catalog")
     val k = key(ident)
-    val dataDir = new Path(new Path(warehouse),
-      (catalogName +: ident.namespace() :+
-        s"${ident.name()}_${UUID.randomUUID.toString.take(8)}").mkString("/")).toString
+    // DETERMINISTIC table directory (no uuid): it is the durable identity a
+    // fresh session resolves this identifier to, and claiming
+    // `metadata/v1.json` inside it is what makes CREATE TABLE exclusive
+    // ACROSS sessions sharing the warehouse — not just within this JVM.
+    val dataDir = MetadataLog.tableDir(warehouse,
+      catalogName +: ident.namespace().toSeq :+ ident.name())
     val props = properties.asScala.toMap
-    if (SnapshotStore.tables.putIfAbsent(k,
-        SnapshotStore.TableState(schema, partCols, dataDir, props, Vector.empty))
-        .isDefined)
+    if (SnapshotStore.tables.contains(k))
+      throw new TableAlreadyExistsException(ident)
+    val persisted = MetadataLog.createInitial(
+      SnapshotStore.TableState(schema, partCols, dataDir, props, Vector.empty))
+      .getOrElse(throw new TableAlreadyExistsException(ident))
+    if (SnapshotStore.tables.putIfAbsent(k, persisted).isDefined)
       throw new TableAlreadyExistsException(ident)
     new MemTable(ident.toString, k, schema, partCols, props, pinned = None)
   }
@@ -315,7 +352,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     * approximated. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val k = key(ident)
-    if (!SnapshotStore.tables.contains(k)) throw new NoSuchTableException(ident)
+    if (SnapshotStore.resolve(k).isEmpty) throw new NoSuchTableException(ident)
     SnapshotStore.update(k) { st =>
       changes.foldLeft(st) { (cur, ch) =>
         ch match {
@@ -338,6 +375,10 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
             cur.copy(schema = cur.schema.add(
               Option(add.comment()).fold(field)(field.withComment)))
           case set: TableChange.SetProperty =>
+            // Validate format switches HERE, not at first write — a bad
+            // value must not sit latent until some streaming epoch trips it.
+            if (set.property == "write.format")
+              DataFiles.formatOf(Map("write.format" -> set.value))
             cur.copy(properties = cur.properties + (set.property -> set.value))
           case rm: TableChange.RemoveProperty =>
             cur.copy(properties = cur.properties - rm.property)
@@ -354,13 +395,29 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
   override def dropTable(ident: Identifier): Boolean =
     SnapshotStore.dropTableAndData(key(ident))
 
+  /** RENAME = one directory rename: manifests record paths RELATIVE to the
+    * table dir, so nothing inside the metadata log needs rewriting — the
+    * renamed table lazily reloads from its new location (Iceberg keeps
+    * metadata location-relative for the same reason). Concurrent readers
+    * holding the old absolute paths fail like readers of an expired
+    * snapshot — the documented catalog contract for metadata races. */
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
-    val st = SnapshotStore.tables.remove(key(oldIdent))
+    val ok = key(oldIdent)
+    val nk = key(newIdent)
+    val st = SnapshotStore.resolve(ok)
       .getOrElse(throw new NoSuchTableException(oldIdent))
-    if (SnapshotStore.tables.putIfAbsent(key(newIdent), st).isDefined) {
-      SnapshotStore.tables.put(key(oldIdent), st)
+    if (SnapshotStore.resolve(nk).isDefined)
       throw new TableAlreadyExistsException(newIdent)
-    }
+    val newDir = new Path(MetadataLog.tableDir(warehouse,
+      catalogName +: newIdent.namespace().toSeq :+ newIdent.name()))
+    val fs = RowFiles.fs(newDir)
+    fs.mkdirs(newDir.getParent)
+    if (!fs.rename(new Path(st.dataDir), newDir))
+      throw new IllegalStateException(
+        s"rename $oldIdent -> $newIdent failed at the filesystem " +
+          s"(${st.dataDir} -> $newDir)")
+    SnapshotStore.tables.remove(ok)
+    () // the new identifier lazy-loads from the moved metadata log
   }
 }
 
@@ -372,7 +429,7 @@ object SnapshotCatalog {
     * (Iceberg's expire-with-GC). Returns the number of snapshots expired. */
   def expire(catalog: String, ident: Seq[String], keepLast: Int): Int = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
-    val k = (catalog +: ident).mkString("\u0000")
+    val k = (catalog +: ident).mkString(SnapshotStore.Sep)
     val (before, after) = SnapshotStore.update(k) { st =>
       // Tagged snapshots are never expired (Iceberg's tag-retention rule),
       // and neither is any live branch's BASE — expiring it would strand
@@ -395,7 +452,7 @@ object SnapshotCatalog {
   def tag(catalog: String, ident: Seq[String], name: String, version: Long): Unit = {
     require(name.toLongOption.isEmpty,
       s"tag name '$name' would be ambiguous with a numeric snapshot version")
-    val k = (catalog +: ident).mkString("\u0000")
+    val k = (catalog +: ident).mkString(SnapshotStore.Sep)
     SnapshotStore.update(k) { st =>
       // Existence validated inside the atomic update: a concurrent expire
       // cannot drop the snapshot between check and tag.
@@ -412,7 +469,7 @@ object SnapshotCatalog {
 
   /** Drop a tag; its snapshot becomes expirable again. True if it existed. */
   def removeTag(catalog: String, ident: Seq[String], name: String): Boolean = {
-    val k = (catalog +: ident).mkString("\u0000")
+    val k = (catalog +: ident).mkString(SnapshotStore.Sep)
     SnapshotStore.update(k)(st => st.copy(tags = st.tags - name)) match {
       case (before, _) => before.tags.contains(name)
     }
@@ -425,7 +482,7 @@ object SnapshotCatalog {
     * time-travelable until expired) and every concurrent reader keeps its
     * pinned view. Returns the new snapshot's version. */
   def rollback(catalog: String, ident: Seq[String], toVersion: Long): Long = {
-    val k = (catalog +: ident).mkString("\u0000")
+    val k = (catalog +: ident).mkString(SnapshotStore.Sep)
     SnapshotStore.update(k) { st =>
       val target =
         if (toVersion == 0L) None
@@ -516,8 +573,8 @@ object SnapshotCatalog {
   /** The snapshot history of a table: (version, commit micros, row count) —
     * the metadata surface `DESCRIBE HISTORY` exposes on lakehouse tables. */
   def history(catalog: String, ident: Seq[String]): Seq[(Long, Long, Long)] = {
-    val k = (catalog +: ident).mkString("\u0000")
-    SnapshotStore.tables.get(k).toSeq.flatMap(_.snapshots)
+    val k = (catalog +: ident).mkString(SnapshotStore.Sep)
+    SnapshotStore.resolve(k).toSeq.flatMap(_.snapshots)
       .map(s => (s.version, s.commitMicros, s.files.map(_.rowCount).sum))
   }
 
@@ -547,6 +604,10 @@ object SnapshotCatalog {
       .takeWhile(_.hasNext).map(_.next())
       .filter(f => f.isFile && f.getModificationTime < cutoffMillis)
       .map(f => qualified(f.getPath.toString))
+      // The metadata log (v<N>.json + manifests) is referenced by the log
+      // STRUCTURE, not by manifests — a GC that judged it by manifest
+      // reference would delete the table's own commit history.
+      .filterNot(p => MetadataLog.isMetadataPath(dir.toString, p))
       .toVector
     // Capture the referenced set AFTER the (potentially long) listing: any
     // commit landing mid-listing is then in the set before its files could
@@ -561,9 +622,15 @@ object SnapshotCatalog {
     val orphans = aged.filterNot(referenced)
     if (!dryRun) {
       // A GC that swallows delete failures and reports success leaves the
-      // operator believing residue is gone — fail loudly instead.
+      // operator believing residue is gone — fail loudly instead. The
+      // failure test is "does the path still exist afterwards", not
+      // delete()'s return value: Hadoop returns false for an already-gone
+      // path, and a concurrent expire()/dropBranch/second GC removing the
+      // same orphan between listing and delete reached the desired end
+      // state — aborting on that benign race would report failure for a
+      // file that is, in fact, gone.
       val failed = orphans.filter { p =>
-        try !fs.delete(new Path(p), false)
+        try { fs.delete(new Path(p), false); fs.exists(new Path(p)) }
         catch { case _: java.io.IOException => true }
       }
       if (failed.nonEmpty) throw new IllegalStateException(
@@ -612,11 +679,17 @@ object SnapshotCatalog {
     * this JVM has registered under `catalog`, so re-runs converge from a
     * clean slate. */
   def reset(catalog: String): Unit = {
-    val prefix = catalog + "\u0000"
+    val prefix = catalog + SnapshotStore.Sep
     SnapshotStore.tables.keys.filter(_.startsWith(prefix))
       .foreach(SnapshotStore.dropTableAndData)
     SnapshotStore.namespaces.keys.filter(_.startsWith(prefix))
       .foreach(SnapshotStore.namespaces.remove)
+    // The durable log: wipe the catalog's warehouse subtree too, so a
+    // re-run converges from a genuinely clean slate (tables a previous
+    // session left behind included).
+    SnapshotStore.warehouses.get(catalog).foreach { wh =>
+      RowFiles.deleteDir(new Path(wh, catalog).toString)
+    }
   }
 }
 
@@ -631,7 +704,17 @@ private[graft] object SnapshotStore {
     * partition values in table partition-column order (empty for
     * unpartitioned tables), `rowCount` sizes scan partitions without
     * opening the file. */
-  final case class DataFile(path: String, partitionValues: Seq[Any], rowCount: Long)
+  final case class DataFile(path: String, partitionValues: Seq[Any], rowCount: Long,
+      /** Per-column (min, max, nullCount) collected at write — the
+        * manifest stats scans skip files on (see [[StatsPredicates]]).
+        * Keyed by column name; absent = no stats (pre-stats file, or the
+        * column's values invalidated tracking). */
+      stats: Map[String, ColStats] = Map.empty)
+
+  /** One column's per-file stats. `min`/`max` are Catalyst-internal values
+    * of the column's type over the file's NON-NULL rows; both null with
+    * `nulls == rowCount` marks an all-null column. */
+  final case class ColStats(min: Any, max: Any, nulls: Long)
 
   /** One immutable POSITION-DELETE file (Iceberg format-v2's merge-on-read
     * mechanism): `entryCount` sorted row positions at `path` (see
@@ -663,7 +746,11 @@ private[graft] object SnapshotStore {
       files: Vector[DataFile], appendedFiles: Int = -1,
       schema: StructType = null,
       deleteFiles: Vector[DeleteFile] = Vector.empty,
-      operation: String = "append")
+      operation: String = "append",
+      /** This snapshot's durable file inventory in the metadata log
+        * (relative to the table dir) — null until first persisted;
+        * [[MetadataLog.tryCommit]] writes each manifest exactly once. */
+      manifestPath: String = null)
 
   /** A BRANCH (Iceberg's mutable ref): staged commits forked at `base` (a
     * main-log version), held OUTSIDE the main snapshot log until
@@ -695,7 +782,10 @@ private[graft] object SnapshotStore {
       tags: Map[String, Long] = Map.empty,
       epochs: scala.collection.immutable.ListMap[String, Long] =
         scala.collection.immutable.ListMap.empty,
-      branches: Map[String, Branch] = Map.empty) {
+      branches: Map[String, Branch] = Map.empty,
+      /** The metadata-log commit number backing this state (`v<N>.json`) —
+        * the CAS token of the durable commit protocol. */
+      metaVersion: Long = 0L) {
     def currentFiles: Vector[DataFile] =
       if (snapshots.isEmpty) Vector.empty else snapshots.last.files
     def currentDeletes: Vector[DeleteFile] =
@@ -704,8 +794,17 @@ private[graft] object SnapshotStore {
       if (snapshots.isEmpty) 1L else snapshots.last.version + 1L
   }
 
+  /** In-JVM CACHE of the durable metadata log ([[MetadataLog]]) — the log
+    * on disk is the source of truth; every mutation commits there first
+    * (create-exclusive CAS on the next metadata file) and only then lands
+    * here. A fresh JVM starts empty and lazily loads tables from the
+    * warehouse on first reference. */
   val tables = new TrieMap[String, TableState]
   val namespaces = new TrieMap[String, Unit]
+
+  /** catalog name → warehouse root, registered at catalog initialize —
+    * how a bare store key resolves to its on-disk table directory. */
+  val warehouses = new TrieMap[String, String]
 
   /** Monotonic commit clock: strictly increasing micros even for commits in
     * the same millisecond, so `TIMESTAMP AS OF` totally orders snapshots. */
@@ -714,30 +813,76 @@ private[graft] object SnapshotStore {
     val wall = System.currentTimeMillis() * 1000L
     lastMicros.updateAndGet(prev => math.max(prev + 1, wall))
   }
+  /** Keep the clock ahead of history loaded from disk (restart path). */
+  def bumpClock(micros: Long): Unit = {
+    lastMicros.updateAndGet(prev => math.max(prev, micros))
+    ()
+  }
 
-  /** Atomic read-modify-write of one table's state; returns (before, after). */
+  /** Cache `st` unless a NEWER metadata version is already cached — a
+    * slow thread's put must never regress reads behind a committed state. */
+  private def cachePutNewer(k: String, st: TableState): Unit = {
+    while (true) {
+      tables.get(k) match {
+        case Some(cur) if cur.metaVersion >= st.metaVersion => return
+        case Some(cur) => if (tables.replace(k, cur, st)) return
+        case None => if (tables.putIfAbsent(k, st).isEmpty) return
+      }
+    }
+  }
+
+  /** The table's state — cache hit, or lazy load from the warehouse (the
+    * restart / cross-session path). None if it exists in neither. */
+  def resolve(k: String): Option[TableState] =
+    tables.get(k).orElse {
+      MetadataLog.load(k).map { st => cachePutNewer(k, st); st }
+    }
+
+  /** Atomic, DURABLE read-modify-write of one table's state; returns
+    * (before, after). The transition persists as one metadata-log commit
+    * (append a manifest + claim `v<N+1>.json`); a conflicting writer —
+    * another thread or another session on the same warehouse — makes the
+    * claim fail, and the whole transition re-runs against the reloaded
+    * state (re-validating any optimistic-concurrency base, so a moved
+    * row-level base stays a loud error). `f` returning its input commits
+    * nothing (the replayed-epoch no-op). */
   def update(k: String)(f: TableState => TableState): (TableState, TableState) = {
     while (true) {
       val before = stateOf(k)
       val after = f(before)
-      if (tables.replace(k, before, after)) return (before, after)
+      if (after eq before) return (before, after)
+      MetadataLog.tryCommit(before, after) match {
+        case Some(done) =>
+          cachePutNewer(k, done)
+          return (before, done)
+        case None =>
+          // Lost the claim. If another thread in this JVM won, the cache
+          // already moved past our base; otherwise reload from disk.
+          if (!tables.get(k).exists(_.metaVersion > before.metaVersion)) {
+            tables.remove(k, before)
+            MetadataLog.load(k).foreach(cachePutNewer(k, _))
+          }
+      }
     }
     throw new IllegalStateException("unreachable")
   }
 
-  /** The store key of `catalog.ns...table` (keys join on NUL — a character
-    * no identifier part can contain). */
+  /** Key separator: NUL — a character no identifier part can contain. */
+  val Sep: String = 0.toChar.toString
+
+  /** The store key of `catalog.ns...table` (keys join on NUL). */
   def keyOf(catalog: String, ident: Seq[String]): String =
-    (catalog +: ident).mkString(0.toChar.toString)
+    (catalog +: ident).mkString(Sep)
 
   /** Internal keys join on NUL; messages render them dotted. */
   def dotted(k: String): String = k.split(0.toChar).mkString(".")
 
   /** Table state or a clean failure (never a raw NoSuchElementException
     * with an unprintable key — a table can be dropped concurrently between
-    * name resolution and scan/write build). */
+    * name resolution and scan/write build). Falls through to the durable
+    * log when uncached. */
   def stateOf(k: String): TableState =
-    tables.getOrElse(k, throw new IllegalStateException(
+    resolve(k).getOrElse(throw new IllegalStateException(
       s"snapshot table ${dotted(k)} does not exist (dropped concurrently?)"))
 
   def filesAt(k: String, version: Long): Vector[DataFile] = {
@@ -774,12 +919,16 @@ private[graft] object SnapshotStore {
       .getOrElse(st.schema)
   }
 
-  /** Drop a table's metadata and physically delete its data directory. */
-  def dropTableAndData(k: String): Boolean =
-    tables.remove(k) match {
-      case Some(st) => RowFiles.deleteDir(st.dataDir); true
+  /** Drop a table's metadata and physically delete its data directory
+    * (metadata log included — DROP TABLE erases history, like Iceberg's
+    * `purge`). Finds the table on disk even when uncached. */
+  def dropTableAndData(k: String): Boolean = {
+    val st = tables.remove(k).orElse(MetadataLog.load(k))
+    st match {
+      case Some(s) => RowFiles.deleteDir(s.dataDir); true
       case None => false
     }
+  }
 
   /** Commit `newFiles` as the next snapshot.
     *
@@ -1347,7 +1496,13 @@ private[sources] final class MemRowLevelOperation(
     val st = SnapshotStore.stateOf(k)
     baseVersion = Some(
       if (st.snapshots.isEmpty) 0L else st.snapshots.last.version)
-    scanned = st.currentFiles
+    // Never WIDEN a scan set the runtime `_file` group filter already
+    // narrowed: should a scan build ever land after filter() ran (plan
+    // re-execution), resetting `scanned` to the full file list would make
+    // the replacing commit retire files whose rows were never read —
+    // silent row loss. Unreachable under normal plan-then-execute
+    // ordering; enforced, not just documented.
+    if (!runtimeNarrowed) scanned = st.currentFiles
     new MemRowLevelScanBuilder(this, tableSchema, partCols, st.currentFiles,
       SnapshotStore.deleteMap(st.currentDeletes))
   }
@@ -1371,17 +1526,27 @@ private[sources] final class MemRowLevelScanBuilder(op: MemRowLevelOperation,
     deletes: Map[String, Vector[String]] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownV2Filters {
+  private val statCols = StatsPredicates.statCols(fullSchema)
   private var required: StructType = fullSchema
   private var pushed: Array[VPredicate] = Array.empty
+  private var statsUsable: Array[VPredicate] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   override def pushPredicates(predicates: Array[VPredicate]): Array[VPredicate] = {
     pushed = predicates.filter(PartitionPredicates.evaluable(_, partCols))
+    // Column-stats skipping narrows the REWRITE GROUP set too, and is
+    // sound for the same reason partition pruning is: a skipped file
+    // cannot contain a matching row, so not rewriting it loses nothing.
+    statsUsable = predicates.filter(p =>
+      !pushed.contains(p) && StatsPredicates.usable(p, statCols))
     predicates // all residual: pruning is file-level, rows still need the filter
   }
-  override def pushedPredicates(): Array[VPredicate] = pushed
+  override def pushedPredicates(): Array[VPredicate] = pushed ++ statsUsable
   override def build(): Scan = {
-    val retained = files.filter(f => !pushed.exists(
-      PartitionPredicates.definitelyExcludes(_, partCols, f.partitionValues)))
+    val retained = files.filter(f =>
+      !pushed.exists(
+        PartitionPredicates.definitelyExcludes(_, partCols, f.partitionValues)) &&
+      !statsUsable.exists(
+        StatsPredicates.definitelyExcludes(_, statCols, f.stats, f.rowCount)))
     if (!op.runtimeNarrowed) op.scanned = retained
     new MemRowLevelScan(op, fullSchema, required, retained, deletes)
   }
@@ -1507,7 +1672,7 @@ private[sources] final class MemDeltaBatchWrite(k: String, rowSchema: StructType
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     val st = SnapshotStore.stateOf(k)
     MemDeltaWriterFactory(rowSchema, st.partitionCols, st.dataDir,
-      RowFiles.sessionConf())
+      RowFiles.sessionConf(), DataFiles.formatOf(st.properties))
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.iterator.map(_.asInstanceOf[MemDeltaCommitMessage]).toVector
@@ -1532,7 +1697,8 @@ private[sources] final case class MemDeltaCommitMessage(
   * positions themselves. */
 private[sources] final case class MemDeltaWriterFactory(rowSchema: StructType,
     partitionCols: Seq[String], dataDir: String,
-    fsConf: org.apache.spark.util.SerializableConfiguration)
+    fsConf: org.apache.spark.util.SerializableConfiguration,
+    format: String)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DeltaWriter[InternalRow] =
@@ -1545,7 +1711,7 @@ private[sources] final case class MemDeltaWriterFactory(rowSchema: StructType,
       private def insertWriter: DataWriter[InternalRow] = {
         if (inserts == null)
           inserts = MemWriters.writer(rowSchema, partitionCols, dataDir,
-            tag, fsConf.value)
+            tag, fsConf.value, format)
         inserts
       }
       private val positions = scala.collection.mutable.LinkedHashMap
@@ -1710,7 +1876,7 @@ private[sources] final class MemStreamingWrite(k: String, writeSchema: StructTyp
       org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
     val st = SnapshotStore.stateOf(k)
     MemStreamWriterFactory(writeSchema, st.partitionCols, st.dataDir,
-      RowFiles.sessionConf())
+      RowFiles.sessionConf(), DataFiles.formatOf(st.properties))
   }
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.iterator
@@ -1735,7 +1901,7 @@ private[sources] final class MemBatchWrite(k: String, writeSchema: StructType,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val st = SnapshotStore.stateOf(k)
     new MemWriterFactory(writeSchema, st.partitionCols, st.dataDir,
-      RowFiles.sessionConf())
+      RowFiles.sessionConf(), DataFiles.formatOf(st.properties))
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.iterator
@@ -1765,23 +1931,25 @@ private[sources] final case class MemCommitMessage(files: Array[SnapshotStore.Da
   * non-serializable StreamingWrite instance and fail task serialization. */
 private[sources] final case class MemStreamWriterFactory(writeSchema: StructType,
     partitionCols: Seq[String], dataDir: String,
-    fsConf: org.apache.spark.util.SerializableConfiguration)
+    fsConf: org.apache.spark.util.SerializableConfiguration,
+    format: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     MemWriters.writer(writeSchema, partitionCols, dataDir,
       s"e$epochId-p$partitionId-t$taskId-${UUID.randomUUID.toString.take(8)}",
-      fsConf.value)
+      fsConf.value, format)
 }
 
 private[sources] object MemWriters {
   /** Shared batch/streaming task writer: routes each row to its partition's
     * file (opened lazily per distinct partition value tuple) and streams it
     * straight through — no task-side row buffering, so task memory is
-    * O(open files), not O(rows). */
+    * O(open files), not O(rows). `format` picks the data-file format
+    * ([[DataFiles]]); per-file column stats ride back in the descriptor. */
   def writer(writeSchema: StructType, partitionCols: Seq[String],
       dataDir: String, taskTag: String,
-      conf: Configuration): DataWriter[InternalRow] =
+      conf: Configuration, format: String = DataFiles.Parquet): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val proj = UnsafeProjection.create(writeSchema)
       private val ords = partitionCols.map { c =>
@@ -1792,7 +1960,7 @@ private[sources] object MemWriters {
       }.toArray
       private val types = ords.map(writeSchema.fields(_).dataType)
       private val open = scala.collection.mutable.LinkedHashMap
-        .empty[Seq[Any], (RowFiles.Writer, String, Seq[Any])]
+        .empty[Seq[Any], (DataFiles.RowFileWriter, String, Seq[Any])]
       private var fileSeq = 0
       // Hot-path fast paths: unpartitioned tables route every row to ONE
       // writer with zero per-row allocation, and partitioned writes are
@@ -1801,7 +1969,7 @@ private[sources] object MemWriters {
       // against the LAST key usually short-circuits the Seq allocation +
       // map lookup.
       private var lastKey: Seq[Any] = null
-      private var lastWriter: RowFiles.Writer = null
+      private var lastWriter: DataFiles.RowFileWriter = null
 
       private def sameAsLast(u: UnsafeRow): Boolean = {
         if (lastKey == null) return false
@@ -1815,7 +1983,7 @@ private[sources] object MemWriters {
         true
       }
 
-      private def writerFor(u: UnsafeRow): RowFiles.Writer = {
+      private def writerFor(u: UnsafeRow): DataFiles.RowFileWriter = {
         if (ords.isEmpty) {
           if (lastWriter == null) lastWriter = register(Vector.empty)
           return lastWriter
@@ -1838,10 +2006,10 @@ private[sources] object MemWriters {
         w
       }
 
-      private def register(key: Seq[Any]): RowFiles.Writer = {
-        val path = s"$dataDir/$taskTag-$fileSeq.grf"
+      private def register(key: Seq[Any]): DataFiles.RowFileWriter = {
+        val path = s"$dataDir/$taskTag-$fileSeq${DataFiles.extensionOf(format)}"
         fileSeq += 1
-        val w = new RowFiles.Writer(path, writeSchema.length, conf)
+        val w = DataFiles.writer(path, writeSchema, conf)
         open.put(key, (w, path, key))
         w
       }
@@ -1856,8 +2024,8 @@ private[sources] object MemWriters {
       override def write(metadata: InternalRow, row: InternalRow): Unit = write(row)
       override def commit(): WriterCommitMessage = {
         val files = open.valuesIterator.map { case (w, path, pv) =>
-          w.close()
-          SnapshotStore.DataFile(path, pv, w.rowCount)
+          val stats = w.close()
+          SnapshotStore.DataFile(path, pv, w.rowCount, stats)
         }.toArray
         open.clear()
         MemCommitMessage(files)
@@ -1872,11 +2040,12 @@ private[sources] object MemWriters {
 
 private[sources] final class MemWriterFactory(writeSchema: StructType,
     partitionCols: Seq[String], dataDir: String,
-    fsConf: org.apache.spark.util.SerializableConfiguration) extends DataWriterFactory {
+    fsConf: org.apache.spark.util.SerializableConfiguration,
+    format: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     MemWriters.writer(writeSchema, partitionCols, dataDir,
       s"p$partitionId-t$taskId-${UUID.randomUUID.toString.take(8)}",
-      fsConf.value)
+      fsConf.value, format)
 }
 
 /** Plain read path: column pruning plus file-level partition pruning from
@@ -1891,17 +2060,29 @@ private[sources] final class MemScanBuilder(fullSchema: StructType,
     deletes: Map[String, Vector[String]] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownV2Filters {
+  private val statCols = StatsPredicates.statCols(fullSchema)
   private var required: StructType = fullSchema
   private var pushed: Array[VPredicate] = Array.empty
+  private var statsUsable: Array[VPredicate] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   override def pushPredicates(predicates: Array[VPredicate]): Array[VPredicate] = {
+    // Two pruning channels, both file-level and both SOUND: partition
+    // predicates decide from a file's constant identity-partition values;
+    // anything else referencing a stats-tracked column skips files whose
+    // (min, max, nullCount) cannot satisfy it. All predicates stay
+    // residual — the engine re-applies them row-level after the scan.
     pushed = predicates.filter(PartitionPredicates.evaluable(_, partCols))
+    statsUsable = predicates.filter(p =>
+      !pushed.contains(p) && StatsPredicates.usable(p, statCols))
     predicates
   }
-  override def pushedPredicates(): Array[VPredicate] = pushed
+  override def pushedPredicates(): Array[VPredicate] = pushed ++ statsUsable
   override def build(): Scan = {
-    val retained = files.filter(f => !pushed.exists(
-      PartitionPredicates.definitelyExcludes(_, partCols, f.partitionValues)))
+    val retained = files.filter(f =>
+      !pushed.exists(
+        PartitionPredicates.definitelyExcludes(_, partCols, f.partitionValues)) &&
+      !statsUsable.exists(
+        StatsPredicates.definitelyExcludes(_, statCols, f.stats, f.rowCount)))
     new MemScan(fullSchema, required, retained, streamKey, maxVersionsPerTrigger,
       startingVersion, deletes, partCols)
   }
@@ -1913,41 +2094,37 @@ private[sources] final case class MemFilePartition(path: String, rowCount: Long,
     deletePaths: Seq[String] = Nil) extends InputPartition
 
 private[sources] object MemReaders {
-  /** Shared batch/streaming reader factory: `_file` is the file-path
-    * metadata column (ordinal -1); every data column resolves by name
-    * against the stored row layout. The reader replays the declared row
-    * count from the file's UnsafeRow stream, reusing one row buffer
-    * (values are valid until the next `next()` call — the standard
-    * PartitionReader contract; downstream operators copy what they keep). */
+  /** Shared batch/streaming reader factory: data columns come from the
+    * file through a format-dispatched [[DataFiles.DataStream]] (parquet
+    * decodes only the requested columns; narrow pre-ALTER files pad NULL),
+    * `_file`/`_pos` are woven in as the file path and the PHYSICAL row
+    * index — the stable identity position deletes reference, so it
+    * advances on skipped rows too. The output row is reused (values valid
+    * until the next `next()` — the standard PartitionReader contract;
+    * downstream operators copy what they keep). */
   def factory(fullSchema: StructType, required: StructType,
       fsConf: org.apache.spark.util.SerializableConfiguration): PartitionReaderFactory = {
-    val ordinals = required.fieldNames.map {
-      case MemTable.FileColumnName => -1
-      case MemTable.PosColumnName => -2
-      case f => fullSchema.fieldIndex(f)
+    val dataSchema = StructType(required.fields.filter(f =>
+      f.name != MemTable.FileColumnName && f.name != MemTable.PosColumnName))
+    // Each required field: -1 = `_file`, -2 = `_pos`, else index into the
+    // stream's data-column shape.
+    val ordinals = {
+      var di = -1
+      required.fieldNames.map {
+        case MemTable.FileColumnName => -1
+        case MemTable.PosColumnName => -2
+        case _ => di += 1; di
+      }
     }
-    val types = ordinals.map(i => if (i < 0) null else fullSchema.fields(i).dataType)
-    val numFields = fullSchema.length
     (partition: InputPartition) => {
       val part = partition.asInstanceOf[MemFilePartition]
       new PartitionReader[InternalRow] {
-        private val reader = new RowFiles.Reader(part.path, fsConf.value)
-        // A file may be NARROWER than the table (written before an ALTER
-        // TABLE ADD COLUMN): readers pad the added columns with NULL.
-        // Wider is impossible — drops are rejected at alter time.
-        require(reader.numFields <= numFields,
-          s"row file ${part.path} has ${reader.numFields} fields; table has $numFields")
-        private val fileFields = reader.numFields
-        private val row = new UnsafeRow(fileFields)
-        private var buf = new Array[Byte](1 << 10)
-        private var remaining = part.rowCount
+        private val stream = DataFiles.stream(part.path, part.rowCount,
+          dataSchema, fullSchema, fsConf.value)
         private val pathValue = UTF8String.fromString(part.path)
         // Merge-on-read: union this data file's position-delete entries
         // (each file small by construction; several delta commits may each
-        // have deleted rows of this file) and skip those positions while
-        // streaming. `pos` is the PHYSICAL row index — the stable identity
-        // `_pos` exposes and delete files reference — so it advances on
-        // skipped rows too.
+        // have deleted rows of this file) and skip those positions.
         private val deleted: java.util.HashSet[java.lang.Long] =
           if (part.deletePaths.isEmpty) null
           else {
@@ -1957,55 +2134,58 @@ private[sources] object MemReaders {
             set
           }
         private var pos = -1L
+        private var cur: InternalRow = null
+        private val out = new ce.GenericInternalRow(required.length)
         override def next(): Boolean = {
-          while (remaining > 0) {
-            val size = reader.stream.readInt()
-            if (buf.length < size) buf = new Array[Byte](Integer.highestOneBit(size) << 1)
-            reader.stream.readFully(buf, 0, size)
-            row.pointTo(buf, size)
-            remaining -= 1
+          while (true) {
+            cur = stream.next()
+            if (cur == null) return false
             pos += 1
             if (deleted == null || !deleted.contains(pos)) return true
           }
           false
         }
-        override def get(): InternalRow = InternalRow.fromSeq(ordinals.indices.map { j =>
-          if (ordinals(j) == -1) pathValue
-          else if (ordinals(j) == -2) pos
-          else if (ordinals(j) >= fileFields) null
-          else row.get(ordinals(j), types(j))
-        })
-        override def close(): Unit = reader.close()
+        override def get(): InternalRow = {
+          var j = 0
+          while (j < ordinals.length) {
+            out.update(j, ordinals(j) match {
+              case -1 => pathValue
+              case -2 => pos
+              case i => cur.get(i, dataSchema.fields(i).dataType)
+            })
+            j += 1
+          }
+          out
+        }
+        override def close(): Unit = stream.close()
       }
     }
   }
 
-  /** Reader for [[MemChangePartition]]s: the data columns stream from the
-    * row file exactly like [[factory]] (narrow pre-ALTER files pad NULL),
-    * and the three change columns are per-partition constants. Keep-mode
-    * stops as soon as every kept position has been emitted — a
-    * merge-on-read delete of k rows reads at most the prefix containing
-    * them, not the whole file. */
+  /** Reader for [[MemChangePartition]]s: the data columns stream exactly
+    * like [[factory]], and the three change columns are per-partition
+    * constants. Keep-mode stops as soon as every kept position has been
+    * emitted — a merge-on-read delete of k rows reads at most the prefix
+    * containing them, not the whole file. */
   def changeFactory(dataSchema: StructType, required: StructType,
       fsConf: org.apache.spark.util.SerializableConfiguration): PartitionReaderFactory = {
-    val ordinals = required.fieldNames.map {
-      case ChangesTable.TypeColumn => -3
-      case ChangesTable.VersionColumn => -4
-      case ChangesTable.TimestampColumn => -5
-      case f => dataSchema.fieldIndex(f)
+    val streamSchema = StructType(required.fields.filter(f =>
+      f.name != ChangesTable.TypeColumn && f.name != ChangesTable.VersionColumn &&
+        f.name != ChangesTable.TimestampColumn))
+    val ordinals = {
+      var di = -1
+      required.fieldNames.map {
+        case ChangesTable.TypeColumn => -3
+        case ChangesTable.VersionColumn => -4
+        case ChangesTable.TimestampColumn => -5
+        case _ => di += 1; di
+      }
     }
-    val types = ordinals.map(i => if (i < 0) null else dataSchema.fields(i).dataType)
-    val numFields = dataSchema.length
     (partition: InputPartition) => {
       val part = partition.asInstanceOf[MemChangePartition]
       new PartitionReader[InternalRow] {
-        private val reader = new RowFiles.Reader(part.path, fsConf.value)
-        require(reader.numFields <= numFields,
-          s"row file ${part.path} has ${reader.numFields} fields; table has $numFields")
-        private val fileFields = reader.numFields
-        private val row = new UnsafeRow(fileFields)
-        private var buf = new Array[Byte](1 << 10)
-        private var remaining = part.rowCount
+        private val stream = DataFiles.stream(part.path, part.rowCount,
+          streamSchema, dataSchema, fsConf.value)
         private val ctValue = UTF8String.fromString(part.changeType)
         private def positions(paths: Seq[String]): java.util.HashSet[java.lang.Long] =
           if (paths.isEmpty) null
@@ -2019,13 +2199,12 @@ private[sources] object MemReaders {
         private val skip = positions(part.skipDeletePaths)
         private var kept = 0L
         private var pos = -1L
+        private var cur: InternalRow = null
+        private val out = new ce.GenericInternalRow(required.length)
         override def next(): Boolean = {
-          while (remaining > 0 && (keep == null || kept < keep.size)) {
-            val size = reader.stream.readInt()
-            if (buf.length < size) buf = new Array[Byte](Integer.highestOneBit(size) << 1)
-            reader.stream.readFully(buf, 0, size)
-            row.pointTo(buf, size)
-            remaining -= 1
+          while (keep == null || kept < keep.size) {
+            cur = stream.next()
+            if (cur == null) return false
             pos += 1
             if (keep != null) {
               if (keep.contains(pos)) { kept += 1; return true }
@@ -2033,16 +2212,20 @@ private[sources] object MemReaders {
           }
           false
         }
-        override def get(): InternalRow = InternalRow.fromSeq(ordinals.indices.map { j =>
-          ordinals(j) match {
-            case -3 => ctValue
-            case -4 => part.commitVersion
-            case -5 => part.commitMicros
-            case i if i >= fileFields => null
-            case i => row.get(i, types(j))
+        override def get(): InternalRow = {
+          var j = 0
+          while (j < ordinals.length) {
+            out.update(j, ordinals(j) match {
+              case -3 => ctValue
+              case -4 => part.commitVersion
+              case -5 => part.commitMicros
+              case i => cur.get(i, streamSchema.fields(i).dataType)
+            })
+            j += 1
           }
-        })
-        override def close(): Unit = reader.close()
+          out
+        }
+        override def close(): Unit = stream.close()
       }
     }
   }
@@ -2131,7 +2314,7 @@ private[sources] final class MemMicroBatchStream(k: String,
   private val shown = SnapshotStore.dotted(k)
 
   private def versionNow(): Long = {
-    val st = SnapshotStore.tables.getOrElse(k,
+    val st = SnapshotStore.resolve(k).getOrElse(
       throw new IllegalStateException(s"streamed table dropped: $shown"))
     if (st.snapshots.isEmpty) 0L else st.snapshots.last.version
   }
@@ -2174,7 +2357,7 @@ private[sources] final class MemMicroBatchStream(k: String,
     val (s, e) = (start.asInstanceOf[VersionOffset].version,
       end.asInstanceOf[VersionOffset].version)
     if (s >= e) return Array.empty
-    val st = SnapshotStore.tables.getOrElse(k,
+    val st = SnapshotStore.resolve(k).getOrElse(
       throw new IllegalStateException(s"streamed table dropped: $shown"))
     val inRange = st.snapshots.filter(sn => sn.version > s && sn.version <= e)
     // Expired snapshots inside the range would silently lose rows.
@@ -2414,7 +2597,7 @@ private[sources] final class ChangesMicroBatchStream(k: String,
   private val shown = SnapshotStore.dotted(k)
 
   private def versionNow(): Long = {
-    val st = SnapshotStore.tables.getOrElse(k,
+    val st = SnapshotStore.resolve(k).getOrElse(
       throw new IllegalStateException(s"streamed table dropped: $shown"))
     if (st.snapshots.isEmpty) 0L else st.snapshots.last.version
   }
@@ -2443,7 +2626,7 @@ private[sources] final class ChangesMicroBatchStream(k: String,
     val (s, e) = (start.asInstanceOf[VersionOffset].version,
       end.asInstanceOf[VersionOffset].version)
     if (s >= e) return Array.empty
-    val st = SnapshotStore.tables.getOrElse(k,
+    val st = SnapshotStore.resolve(k).getOrElse(
       throw new IllegalStateException(s"streamed table dropped: $shown"))
     val inRange = st.snapshots.filter(sn => sn.version > s && sn.version <= e)
     require(inRange.size == (e - s),
@@ -2498,7 +2681,7 @@ private[sources] final class BranchTable(display: String, k: String,
           // Branch files land in the table's own data dir: fast-forward is
           // pure metadata, never a copy.
           new MemWriterFactory(schema(), st.partitionCols, st.dataDir,
-            RowFiles.sessionConf())
+            RowFiles.sessionConf(), DataFiles.formatOf(st.properties))
         }
         override def commit(messages: Array[WriterCommitMessage]): Unit = {
           val files = messages.iterator.map(_.asInstanceOf[MemCommitMessage])

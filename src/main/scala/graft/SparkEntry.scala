@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, CatalogPipeline, Governance, Linkage, Multimodal, NearDup, Pipeline, Q, Relational, Similarity, TextOps, TimeSeries}
+import graft.queries.{Analytics, CatalogBench, CatalogPipeline, Governance, Linkage, Multimodal, NearDup, Pipeline, Q, Relational, Similarity, TextOps, TimeSeries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -11,7 +11,7 @@ object SparkEntry {
   def registry: Seq[Q] =
     Relational.all ++ Analytics.all ++ TextOps.all ++ Similarity.all ++
       NearDup.all ++ Multimodal.all ++ Pipeline.all ++ CatalogPipeline.all ++
-      Governance.all ++ Linkage.all ++ TimeSeries.all
+      Governance.all ++ Linkage.all ++ TimeSeries.all ++ CatalogBench.all
 
   /** Flagship query on the smallest fixtures; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.queries.Q.{davg, dec2, dsum, one2}
+import graft.sources.SnapshotStore
+
+/** CATALOG-TABLE bench lane: the heavy q01-shape scan run against tables of
+  * the engine's own versioned catalog — in BOTH data-file formats — plus a
+  * stats-skipped selective scan, so the catalog's data plane has measured
+  * rows in BENCH/BASELINE instead of being bench-invisible behind the raw
+  * parquet fixtures. Each gate first ENSURES its catalog table holds the
+  * fixture's lineitem rows (idempotent by row count: built once per
+  * JVM/scale, so bench's min-of-3 measures the SCAN, with pass 1 carrying
+  * the one-time build); the aggregation is then byte-identical to the
+  * fixture-side oracle.
+  *
+  * Scale notes: the build writes through `repartitionByRange(l_orderkey)`,
+  * so files carry DISJOINT orderkey ranges — exactly the clustered layout a
+  * lakehouse compaction (`rewrite_data_files` + sort) produces — and the
+  * manifest column stats make cat03's narrow BETWEEN open a fraction of the
+  * files (Iceberg's stats pruning; the plan-level pin lives in
+  * DataFileFormatSuite).
+  */
+object CatalogBench {
+
+  /** Build-or-reuse `graft_snap.bench.lineitem_<fmt>` from the fixture dir.
+    * Reuse test = exact physical row count from driver metadata (free) vs
+    * the fixture count — a different scale factor rebuilds. */
+  private def ensureLineitem(s: SparkSession, dir: String, fmt: String): String = {
+    val table = s"lineitem_$fmt"
+    val name = s"graft_snap.bench.$table"
+    val src = Tables.lineitem(s, dir)
+    val expected = src.count()
+    val current = SnapshotStore
+      .resolve(SnapshotStore.keyOf("graft_snap", Seq("bench", table)))
+      .map(_.currentFiles.map(_.rowCount).sum)
+    if (!current.contains(expected)) {
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.bench")
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      src.repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .writeTo(name)
+        .tableProperty("write.format", fmt)
+        .create()
+    }
+    name
+  }
+
+  private def pricingSummary(s: SparkSession, table: String) =
+    s.table(table)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (one2 - dec2(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val pricingOracle = """SELECT l_returnflag, l_linestatus,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+      count(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
+  /** q01-shape pricing summary over a PARQUET catalog table — the catalog
+    * data plane's headline scan (columnar decode of 6 of 16 columns). */
+  val cat01ScanParquet = Q(
+    "cat01_scan_parquet",
+    (s, dir) => pricingSummary(s, ensureLineitem(s, dir, "parquet")),
+    Some(pricingOracle))
+
+  /** The identical scan over a `write.format=grf` table — the row-stream
+    * baseline the parquet swap is measured against (BASELINE.md row). */
+  val cat02ScanGrf = Q(
+    "cat02_scan_grf",
+    (s, dir) => pricingSummary(s, ensureLineitem(s, dir, "grf")),
+    Some(pricingOracle))
+
+  /** Selective scan the manifest column stats prune: the BETWEEN touches
+    * one of the eight range-clustered files; without stats every file of
+    * the unpartitioned table would open. */
+  val cat03StatsSkip = Q(
+    "cat03_stats_skip",
+    (s, dir) => s.table(ensureLineitem(s, dir, "parquet"))
+      .filter(col("l_orderkey").between(1L, 1000L))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag, count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem WHERE l_orderkey BETWEEN 1 AND 1000
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  val all: Seq[Q] = Seq(cat01ScanParquet, cat02ScanGrf, cat03StatsSkip)
+}

@@ -18,9 +18,13 @@ object PlanProbe {
     val df = q(spark, dir)
     df.write.format("noop").mode("overwrite").save()
     println(f"[probe] $name cold ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    val t1 = System.nanoTime()
-    q(spark, dir).write.format("noop").mode("overwrite").save()
-    println(f"[probe] $name warm ${(System.nanoTime() - t1) / 1e9}%.2f s")
+    // Min-of-3 warm: ambient host load distorts single passes (BASELINE.md).
+    val warms = (1 to 3).map { _ =>
+      val t1 = System.nanoTime()
+      q(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t1) / 1e9
+    }
+    println(f"[probe] $name warm ${warms.min}%.2f s (3 passes)")
     df.explain("formatted")
     spark.stop()
   }

@@ -43,6 +43,25 @@ private[sources] object DataFiles {
   val Grf = "grf"
   val Parquet = "parquet"
 
+  /** Everything a closed writer reports into the manifest entry: column
+    * stats, the file's byte size, and its SPLIT POINTS — (rowOffset,
+    * byteOffset) starts of independently readable chunks (parquet row
+    * groups; grf byte-interval checkpoints). Iceberg records the same
+    * `split_offsets` so scan planning can cut one big file into several
+    * tasks WITHOUT opening it — the difference between a compacted
+    * one-file-per-partition table scanning with 1 task and with N. */
+  final case class FileMeta(stats: Map[String, SnapshotStore.ColStats],
+      sizeBytes: Long, splitPoints: Vector[(Long, Long)])
+
+  /** One scan task's slice of a data file. `rowStart` is the slice's first
+    * PHYSICAL row index (the `_pos` identity keeps counting file-globally,
+    * so position deletes and row-level rewrites are split-agnostic);
+    * `byteEnd == Long.MaxValue` with `byteStart == 0` means the whole
+    * file (the only shape legacy descriptors without split points get). */
+  final case class Split(rowStart: Long, rowCount: Long,
+      byteStart: Long, byteEnd: Long)
+  def wholeFile(rowCount: Long): Split = Split(0L, rowCount, 0L, Long.MaxValue)
+
   /** The table's write format (property `write.format`, default parquet). */
   def formatOf(properties: Map[String, String]): String =
     properties.getOrElse("write.format", Parquet) match {
@@ -61,29 +80,51 @@ private[sources] object DataFiles {
   // -- writing -----------------------------------------------------------------
 
   /** A task-side data-file writer: streams UnsafeRows, tracks row count +
-    * column stats, and never buffers rows. */
+    * column stats + split points, and never buffers rows. */
   trait RowFileWriter {
     def write(u: UnsafeRow): Unit
     def rowCount: Long
-    /** Close and return the per-column stats for the manifest entry. */
-    def close(): Map[String, SnapshotStore.ColStats]
+    /** Close and return the manifest metadata (stats, size, splits). */
+    def close(): FileMeta
     def abort(): Unit
   }
 
+  /** Grf chunk granularity: a split point is recorded whenever this many
+    * bytes accrued since the last one. Scan planning GROUPS chunks up to
+    * its (larger) target split size, so a fine grain costs only manifest
+    * bytes, never tiny tasks. Table property `write.grf.chunk-bytes`. */
+  private val DefaultGrfChunkBytes = 32L << 20
+
   /** Writer for `path` — format chosen by the extension the caller minted
-    * from [[extensionOf]]. */
-  def writer(path: String, schema: StructType, conf: Configuration): RowFileWriter =
-    if (isParquet(path)) new ParquetRowFileWriter(path, schema, conf)
-    else new GrfRowFileWriter(path, schema, conf)
+    * from [[extensionOf]]; `props` are the table properties carrying
+    * format tuning (grf chunk size, parquet row-group size). */
+  def writer(path: String, schema: StructType, conf: Configuration,
+      props: Map[String, String] = Map.empty): RowFileWriter =
+    if (isParquet(path)) new ParquetRowFileWriter(path, schema, conf, props)
+    else new GrfRowFileWriter(path, schema, conf, props)
 
   private final class GrfRowFileWriter(path: String, schema: StructType,
-      conf: Configuration) extends RowFileWriter {
+      conf: Configuration, props: Map[String, String]) extends RowFileWriter {
     private val w = new RowFiles.Writer(path, schema.length, conf)
     private val stats = new StatsCollector(schema)
-    override def write(u: UnsafeRow): Unit = { w.write(u); stats.update(u) }
+    private val chunkBytes = props.get("write.grf.chunk-bytes")
+      .map(_.toLong).getOrElse(DefaultGrfChunkBytes)
+    private val points = Vector.newBuilder[(Long, Long)]
+    points += ((0L, RowFiles.HeaderBytes))
+    private var chunkStart = RowFiles.HeaderBytes
+    override def write(u: UnsafeRow): Unit = {
+      // Chunk boundaries land BEFORE a row, so every recorded point starts
+      // a non-empty, row-aligned slice a ranged reader can seek to.
+      if (w.bytesWritten - chunkStart >= chunkBytes) {
+        points += ((w.rowCount, w.bytesWritten))
+        chunkStart = w.bytesWritten
+      }
+      w.write(u); stats.update(u)
+    }
     override def rowCount: Long = w.rowCount
-    override def close(): Map[String, SnapshotStore.ColStats] = {
-      w.close(); stats.result(w.rowCount)
+    override def close(): FileMeta = {
+      w.close()
+      FileMeta(stats.result(w.rowCount), w.bytesWritten, points.result())
     }
     override def abort(): Unit = w.abort()
   }
@@ -92,7 +133,7 @@ private[sources] object DataFiles {
     * parquet (logical types, TIMESTAMP_MICROS, snappy) out, so any parquet
     * reader (DuckDB, Spark's native scan) can read the warehouse. */
   private final class ParquetRowFileWriter(path: String, schema: StructType,
-      conf: Configuration) extends RowFileWriter {
+      conf: Configuration, props: Map[String, String]) extends RowFileWriter {
     private val hp = new Path(path)
     private val writer = {
       val c = new Configuration(conf)
@@ -106,10 +147,14 @@ private[sources] object DataFiles {
       c.setIfUnset("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
       c.setIfUnset("spark.sql.parquet.fieldId.write.enabled", "true")
       c.setIfUnset("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
-      new SupportBuilder(hp)
+      val b = new SupportBuilder(hp)
         .withConf(c)
         .withCompressionCodec(CompressionCodecName.SNAPPY)
-        .build()
+      // Row-group size bounds split granularity (a file is never split
+      // finer than its groups). Table property `write.parquet.row-group-bytes`.
+      props.get("write.parquet.row-group-bytes").map(_.toLong)
+        .foreach(b.withRowGroupSize)
+      b.build()
     }
     private val stats = new StatsCollector(schema)
     private var count = 0L
@@ -117,8 +162,22 @@ private[sources] object DataFiles {
       writer.write(u); stats.update(u); count += 1
     }
     override def rowCount: Long = count
-    override def close(): Map[String, SnapshotStore.ColStats] = {
-      writer.close(); stats.result(count)
+    override def close(): FileMeta = {
+      writer.close()
+      // One footer read reports the row-group layout as split points —
+      // task-side and O(footer), the price of planning N tasks per file
+      // later without opening it (Iceberg's split_offsets, same trade).
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hp, conf)
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        var rows = 0L
+        val pts = Vector.newBuilder[(Long, Long)]
+        rd.getFooter.getBlocks.forEach { blk =>
+          pts += ((rows, blk.getStartingPos))
+          rows += blk.getRowCount
+        }
+        FileMeta(stats.result(count), in.getLength, pts.result())
+      } finally rd.close()
     }
     override def abort(): Unit = {
       try writer.close() catch { case _: Exception => () }
@@ -144,17 +203,22 @@ private[sources] object DataFiles {
     def close(): Unit
   }
 
-  /** Open `path` projecting `dataSchema` (a subset of `fullSchema`, the
-    * table schema the file was addressed under). */
-  def stream(path: String, rowCount: Long, dataSchema: StructType,
+  /** Open `split` of `path` projecting `dataSchema` (a subset of
+    * `fullSchema`, the table schema the file was addressed under). The grf
+    * reader seeks to the split's byte offset and replays exactly its row
+    * count; the parquet reader hands the byte range to the row-group
+    * filter (groups whose start falls inside the range are read — the
+    * planner cuts ranges exactly on recorded group boundaries, so the two
+    * views agree). */
+  def stream(path: String, split: Split, dataSchema: StructType,
       fullSchema: StructType, conf: Configuration): DataStream =
-    if (isParquet(path)) new ParquetStream(path, dataSchema, conf)
-    else new GrfStream(path, rowCount, dataSchema, fullSchema, conf)
+    if (isParquet(path)) new ParquetStream(path, split, dataSchema, conf)
+    else new GrfStream(path, split, dataSchema, fullSchema, conf)
 
-  private final class GrfStream(path: String, rowCount: Long,
+  private final class GrfStream(path: String, split: Split,
       dataSchema: StructType, fullSchema: StructType,
       conf: Configuration) extends DataStream {
-    private val reader = new RowFiles.Reader(path, conf)
+    private val reader = new RowFiles.Reader(path, conf, split.byteStart)
     require(reader.numFields <= fullSchema.length,
       s"row file $path has ${reader.numFields} fields; table has ${fullSchema.length}")
     private val fileFields = reader.numFields
@@ -162,7 +226,7 @@ private[sources] object DataFiles {
     private val types = ords.map(fullSchema.fields(_).dataType)
     private val row = new UnsafeRow(fileFields)
     private var buf = new Array[Byte](1 << 10)
-    private var remaining = rowCount
+    private var remaining = split.rowCount
     private val out = new GenericInternalRow(dataSchema.length)
     override def next(): InternalRow = {
       if (remaining <= 0) return null
@@ -185,8 +249,8 @@ private[sources] object DataFiles {
   /** Parquet through Spark's ReadSupport: the requested catalyst schema is
     * pushed into the parquet layer, so only those columns are DECODED —
     * the columnar win the `.grf` stream could never give. */
-  private final class ParquetStream(path: String, dataSchema: StructType,
-      conf: Configuration) extends DataStream {
+  private final class ParquetStream(path: String, split: Split,
+      dataSchema: StructType, conf: Configuration) extends DataStream {
     private val reader = {
       val c = new Configuration(conf)
       c.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, dataSchema.json)
@@ -202,9 +266,11 @@ private[sources] object DataFiles {
       c.setIfUnset("spark.sql.parquet.ignoreVariantAnnotation", "false")
       c.setIfUnset(
         "spark.sql.parquet.reader.respectUnknownTypeAnnotation.enabled", "false")
-      ParquetReader.builder(new ParquetReadSupport, new Path(path))
+      val b = ParquetReader.builder(new ParquetReadSupport, new Path(path))
         .withConf(c)
-        .build()
+      if (split.byteStart > 0L || split.byteEnd != Long.MaxValue)
+        b.withFileRange(split.byteStart, split.byteEnd)
+      b.build()
     }
     override def next(): InternalRow = reader.read()
     override def close(): Unit = reader.close()

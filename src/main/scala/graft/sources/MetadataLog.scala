@@ -158,60 +158,147 @@ private[sources] object MetadataLog {
   private def field(j: JValue, name: String): JValue =
     jObj(j).collectFirst { case (`name`, v) => v }.getOrElse(
       throw new IllegalStateException(s"metadata is missing field '$name'"))
+  private def fieldOpt(j: JValue, name: String): Option[JValue] =
+    jObj(j).collectFirst { case (`name`, v) => v }
 
   // -- manifests --------------------------------------------------------------
 
   /** Write one snapshot's manifest; returns (relative name, absolute path).
     * Names are uuid'd — manifests are never contended. Each file entry is
-    * `[relPath, rowCount, [partitionValues…], {col: [min, max, nulls]}]` —
-    * the column stats scans skip files on. */
-  private def writeManifest(dataDir: String, sn: Snapshot,
-      pvTypes: Seq[DataType], colTypes: Map[String, DataType]): (String, Path) = {
-    val name =
-      s"metadata/manifest-v${sn.version}-${UUID.randomUUID.toString.take(8)}.json"
-    def statsJson(f: DataFile): JValue = JObject(f.stats.toList.collect {
-      // A column the CURRENT schema no longer types identically is
-      // unserializable — cannot happen today (no drop/retype), guarded
-      // anyway so a future evolution bug loses stats, not correctness.
+    * `[relPath, rowCount, [partitionValues…], {col: [min, max, nulls]},
+    * sizeBytes, [[rowOffset, byteOffset]…]]` — the column stats scans skip
+    * files on, plus the size and split points scan planning cuts big files
+    * into multiple tasks with (both optional: older manifests lack them
+    * and read back as unsplittable). */
+  /** Entries per manifest CHUNK: a snapshot inventorying more files than
+    * this writes its file list as several chunk files referenced from an
+    * index manifest, so metadata-table reads (`.files` / `.partitions`)
+    * can DISTRIBUTE — one scan task per chunk — instead of materializing
+    * millions of rows on the driver. Table property
+    * `write.manifest.chunk-entries`. */
+  private val DefaultChunkEntries = 100000
+  def chunkEntriesOf(props: Map[String, String]): Int =
+    props.get("write.manifest.chunk-entries").map(_.toInt)
+      .getOrElse(DefaultChunkEntries)
+
+  private def fileEntryJson(dataDir: String, pvTypes: Seq[DataType],
+      colTypes: Map[String, DataType], f: DataFile): JValue = {
+    // A column the CURRENT schema no longer types identically is
+    // unserializable — cannot happen today (no drop/retype), guarded
+    // anyway so a future evolution bug loses stats, not correctness.
+    val statsJson: JValue = JObject(f.stats.toList.collect {
       case (c, s) if colTypes.contains(c) =>
         val dt = colTypes(c)
         c -> (JArray(List(pvToJson(dt, s.min), pvToJson(dt, s.max),
           JLong(s.nulls))): JValue)
     })
-    val json = JObject(
-      "files" -> JArray(sn.files.toList.map(f => JArray(List(
-        JString(rel(dataDir, f.path)),
-        JLong(f.rowCount),
-        JArray(pvTypes.zip(f.partitionValues)
-          .map { case (t, v) => pvToJson(t, v) }.toList),
-        statsJson(f))))),
-      "deletes" -> JArray(sn.deleteFiles.toList.map(d => JArray(List(
-        JString(rel(dataDir, d.path)),
-        JString(rel(dataDir, d.dataPath)),
-        JLong(d.entryCount))))))
+    JArray(List(
+      JString(rel(dataDir, f.path)),
+      JLong(f.rowCount),
+      JArray(pvTypes.zip(f.partitionValues)
+        .map { case (t, v) => pvToJson(t, v) }.toList),
+      statsJson,
+      JLong(f.sizeBytes),
+      JArray(f.splitPoints.toList.map { case (r, b) =>
+        JArray(List(JLong(r), JLong(b))) })))
+  }
+
+  /** Parse one manifest file entry — shared by the driver-side state load
+    * and the EXECUTOR-side distributed `.files` chunk reader. */
+  private[sources] def fileEntryFromJson(dataDir: String, pvTypes: Seq[DataType],
+      colTypes: Map[String, DataType], e: JValue): DataFile = {
+    val es = jArr(e)
+    val stats =
+      if (es.length < 4) Map.empty[String, SnapshotStore.ColStats]
+      else jObj(es(3)).collect {
+        case (c, v) if colTypes.contains(c) =>
+          val dt = colTypes(c)
+          val vs = jArr(v)
+          c -> SnapshotStore.ColStats(
+            pvFromJson(dt, vs.head), pvFromJson(dt, vs(1)), jLong(vs(2)))
+      }.toMap
+    val sizeBytes = if (es.length > 4) jLong(es(4)) else 0L
+    val splits =
+      if (es.length > 5) jArr(es(5)).map { sp =>
+        val ps = jArr(sp); (jLong(ps.head), jLong(ps(1)))
+      }.toVector
+      else Vector.empty[(Long, Long)]
+    DataFile(abs(dataDir, jStr(es.head)), jArr(es(2)).zip(pvTypes)
+      .map { case (v, t) => pvFromJson(t, v) }.toVector, jLong(es(1)), stats,
+      sizeBytes, splits)
+  }
+
+  private def writeManifest(dataDir: String, sn: Snapshot,
+      pvTypes: Seq[DataType], colTypes: Map[String, DataType],
+      chunkEntries: Int): (String, Seq[Path]) = {
+    val stem =
+      s"metadata/manifest-v${sn.version}-${UUID.randomUUID.toString.take(8)}"
+    val name = s"$stem.json"
+    val deletesJson = JArray(sn.deleteFiles.toList.map(d => JArray(List(
+      JString(rel(dataDir, d.path)),
+      JString(rel(dataDir, d.dataPath)),
+      JLong(d.entryCount)))))
+    def entry(f: DataFile) = fileEntryJson(dataDir, pvTypes, colTypes, f)
+    val written = Seq.newBuilder[Path]
+    val json =
+      if (sn.files.size <= chunkEntries)
+        JObject(
+          "files" -> JArray(sn.files.toList.map(entry)),
+          "deletes" -> deletesJson)
+      else {
+        // CHUNKED: the index manifest lists chunk names; each chunk holds a
+        // slice of the file inventory. Chunk files are written before the
+        // index, so a reader never observes a dangling reference.
+        val chunkNames = sn.files.grouped(chunkEntries).zipWithIndex.map {
+          case (slice, i) =>
+            val cn = s"$stem-c$i.json"
+            val p = new Path(dataDir, cn)
+            writeFile(p, JsonMethods.compact(JsonMethods.render(
+              JObject("files" -> JArray(slice.toList.map(entry)))))
+              .getBytes(UTF_8))
+            written += p
+            cn
+        }.toList
+        JObject(
+          "chunks" -> JArray(chunkNames.map(JString(_))),
+          "deletes" -> deletesJson)
+      }
     val p = new Path(dataDir, name)
     writeFile(p, JsonMethods.compact(JsonMethods.render(json)).getBytes(UTF_8))
-    (name, p)
+    written += p
+    (name, written.result())
+  }
+
+  /** The chunk names (relative) of `name` if it is a chunked index
+    * manifest; None for a plain single-file manifest. */
+  def manifestChunks(dataDir: String, name: String): Option[Vector[String]] = {
+    val j = JsonMethods.parse(readFully(new Path(dataDir, name)))
+    fieldOpt(j, "chunks").map(c => jArr(c).map(jStr).toVector)
+  }
+
+  /** Read one CHUNK's file entries — the executor-side body of the
+    * distributed `.files` metadata scan. */
+  def readChunkFiles(dataDir: String, chunkName: String,
+      pvTypes: Seq[DataType], colTypes: Map[String, DataType],
+      conf: org.apache.hadoop.conf.Configuration): Vector[DataFile] = {
+    val p = new Path(dataDir, chunkName)
+    val j = JsonMethods.parse(readFullyWith(p, conf))
+    jArr(field(j, "files"))
+      .map(fileEntryFromJson(dataDir, pvTypes, colTypes, _)).toVector
   }
 
   private def readManifest(dataDir: String, name: String,
       pvTypes: Seq[DataType],
       colTypes: Map[String, DataType]): (Vector[DataFile], Vector[DeleteFile]) = {
     val j = JsonMethods.parse(readFully(new Path(dataDir, name)))
-    val files = jArr(field(j, "files")).map { e =>
-      val es = jArr(e)
-      val stats =
-        if (es.length < 4) Map.empty[String, SnapshotStore.ColStats]
-        else jObj(es(3)).collect {
-          case (c, v) if colTypes.contains(c) =>
-            val dt = colTypes(c)
-            val vs = jArr(v)
-            c -> SnapshotStore.ColStats(
-              pvFromJson(dt, vs.head), pvFromJson(dt, vs(1)), jLong(vs(2)))
-        }.toMap
-      DataFile(abs(dataDir, jStr(es.head)), jArr(es(2)).zip(pvTypes)
-        .map { case (v, t) => pvFromJson(t, v) }.toVector, jLong(es(1)), stats)
-    }.toVector
+    val entries = fieldOpt(j, "chunks") match {
+      case None => jArr(field(j, "files"))
+      case Some(chunks) => jArr(chunks).flatMap(c =>
+        jArr(field(JsonMethods.parse(
+          readFully(new Path(dataDir, jStr(c)))), "files")))
+    }
+    val files =
+      entries.map(fileEntryFromJson(dataDir, pvTypes, colTypes, _)).toVector
     val deletes = jArr(field(j, "deletes")).map { e =>
       val es = jArr(e)
       DeleteFile(abs(dataDir, jStr(es.head)), abs(dataDir, jStr(es(1))),
@@ -308,12 +395,13 @@ private[sources] object MetadataLog {
     val dataDir = after.dataDir
     val pvTypes = after.partitionCols.map(c => after.schema(c).dataType)
     val colTypes = after.schema.fields.map(f => f.name -> f.dataType).toMap
+    val chunkEntries = chunkEntriesOf(after.properties)
     val written = scala.collection.mutable.ArrayBuffer.empty[Path]
     def withManifests(sns: Vector[Snapshot]): Vector[Snapshot] = sns.map { sn =>
       if (sn.manifestPath != null) sn
       else {
-        val (name, p) = writeManifest(dataDir, sn, pvTypes, colTypes)
-        written += p
+        val (name, ps) = writeManifest(dataDir, sn, pvTypes, colTypes, chunkEntries)
+        written ++= ps
         sn.copy(manifestPath = name)
       }
     }
@@ -414,8 +502,14 @@ private[sources] object MetadataLog {
     try out.write(bytes) finally out.close()
   }
 
-  private def readFully(p: Path): String = {
-    val fs = fsOf(p)
+  private def readFully(p: Path): String = readFullyWith(p, null)
+
+  /** Read a metadata file whole. `conf` is the EXPLICIT Hadoop conf shipped
+    * to executor-side readers (the distributed `.files` chunk scan); null
+    * falls back to the driver's session conf. */
+  private def readFullyWith(p: Path,
+      conf: org.apache.hadoop.conf.Configuration): String = {
+    val fs = if (conf == null) fsOf(p) else p.getFileSystem(conf)
     val len = fs.getFileStatus(p).getLen.toInt
     val in = fs.open(p)
     try {

@@ -709,7 +709,15 @@ private[graft] object SnapshotStore {
         * manifest stats scans skip files on (see [[StatsPredicates]]).
         * Keyed by column name; absent = no stats (pre-stats file, or the
         * column's values invalidated tracking). */
-      stats: Map[String, ColStats] = Map.empty)
+      stats: Map[String, ColStats] = Map.empty,
+      /** File byte size (0 = unknown, legacy descriptor). */
+      sizeBytes: Long = 0L,
+      /** (rowOffset, byteOffset) starts of independently readable chunks
+        * (parquet row groups / grf checkpoints), first chunk included —
+        * scan planning cuts one big file into several tasks on these
+        * boundaries without opening it (Iceberg's `split_offsets`).
+        * Empty/singleton = unsplittable. */
+      splitPoints: Vector[(Long, Long)] = Vector.empty)
 
   /** One column's per-file stats. `min`/`max` are Catalyst-internal values
     * of the column's type over the file's NON-NULL rows; both null with
@@ -1092,6 +1100,9 @@ private[sources] object RowFiles {
     * factories instead. */
   def fs(path: Path): FileSystem = path.getFileSystem(sessionConf().value)
 
+  /** Fixed header: magic + field count. Ranged readers seek past it. */
+  val HeaderBytes: Long = 8L
+
   final class Writer(pathStr: String, numFields: Int, conf: Configuration) {
     private val path = new Path(pathStr)
     private val fileSystem = path.getFileSystem(conf)
@@ -1101,12 +1112,17 @@ private[sources] object RowFiles {
     out.writeInt(numFields)
     private val scratch = new Array[Byte](4096)
     private var count = 0L
+    private var bytes = HeaderBytes
     def write(row: UnsafeRow): Unit = {
       out.writeInt(row.getSizeInBytes)
       row.writeToStream(out, scratch)
       count += 1
+      bytes += 4L + row.getSizeInBytes
     }
     def rowCount: Long = count
+    /** Bytes written so far (header included) — the byte offset the NEXT
+      * row will start at, i.e. a valid split point. */
+    def bytesWritten: Long = bytes
     def close(): Unit = out.close()
     def abort(): Unit = {
       try out.close() catch { case _: Exception => () }
@@ -1114,12 +1130,17 @@ private[sources] object RowFiles {
     }
   }
 
-  final class Reader(pathStr: String, conf: Configuration) {
+  final class Reader(pathStr: String, conf: Configuration, byteStart: Long = 0L) {
     private val path = new Path(pathStr)
+    private val raw = path.getFileSystem(conf).open(path)
+    // FSDataInputStream is a DataInputStream: read the header off the raw
+    // stream, seek to the split's offset (a row boundary the writer
+    // recorded), THEN buffer — a seek through a buffer would tear it.
+    require(raw.readInt() == Magic, s"not a graft row file: $pathStr")
+    val numFields: Int = raw.readInt()
+    if (byteStart > HeaderBytes) raw.seek(byteStart)
     val stream = new java.io.DataInputStream(
-      new java.io.BufferedInputStream(path.getFileSystem(conf).open(path), 1 << 16))
-    require(stream.readInt() == Magic, s"not a graft row file: $pathStr")
-    val numFields: Int = stream.readInt()
+      new java.io.BufferedInputStream(raw, 1 << 16))
     def close(): Unit = stream.close()
   }
 
@@ -1379,7 +1400,8 @@ private[sources] final class MemTable(fullName: String, k: String,
       streamKey = if (pinned.isEmpty && restricted.isEmpty) Some(k) else None,
       maxVersionsPerTrigger =
         Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
-      startingVersion = Option(options.get("startingVersion")))
+      startingVersion = Option(options.get("startingVersion")),
+      splitTargetBytes = ScanSplits.targetBytes(props))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -1471,8 +1493,8 @@ private[sources] object MemTable {
 }
 
 private[sources] final class MemRowLevelOperation(
-    cmd: RowLevelOperation.Command, k: String, tableSchema: StructType,
-    partCols: PartitionPredicates.PartCols)
+    cmd: RowLevelOperation.Command, private[sources] val k: String,
+    tableSchema: StructType, partCols: PartitionPredicates.PartCols)
     extends RowLevelOperation {
   /** The version the rewrite's scan read — the optimistic-concurrency base
     * the replacing write validates at commit (lost-update guard). */
@@ -1603,9 +1625,10 @@ private[sources] final class MemRowLevelScan(op: MemRowLevelOperation,
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    files.filter(_.rowCount > 0)
-      .map(f => MemFilePartition(f.path, f.rowCount,
-        deletes.getOrElse(f.path, Vector.empty)): InputPartition).toArray
+    // Split-planned like the plain scan: `_pos` counts file-globally from
+    // each slice's rowStart, so the rewrite's row identity is unaffected.
+    ScanSplits.partitions(files, deletes,
+      ScanSplits.targetBytes(SnapshotStore.stateOf(op.k).properties))
 
   override def createReaderFactory(): PartitionReaderFactory =
     MemReaders.factory(fullSchema, required, RowFiles.sessionConf())
@@ -1645,7 +1668,8 @@ private[sources] final class MemDeltaRowLevelOperation(
     // second MOR statement must not resurrect or re-delete rows): no
     // group filtering, because nothing is replaced.
     new MemScanBuilder(tableSchema, partCols, st.currentFiles,
-      deletes = SnapshotStore.deleteMap(st.currentDeletes))
+      deletes = SnapshotStore.deleteMap(st.currentDeletes),
+      splitTargetBytes = ScanSplits.targetBytes(st.properties))
   }
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new MemDeltaWriteBuilder(k, info.schema(), baseVersion)
@@ -1672,7 +1696,7 @@ private[sources] final class MemDeltaBatchWrite(k: String, rowSchema: StructType
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     val st = SnapshotStore.stateOf(k)
     MemDeltaWriterFactory(rowSchema, st.partitionCols, st.dataDir,
-      RowFiles.sessionConf(), DataFiles.formatOf(st.properties))
+      RowFiles.sessionConf(), st.properties)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.iterator.map(_.asInstanceOf[MemDeltaCommitMessage]).toVector
@@ -1698,7 +1722,7 @@ private[sources] final case class MemDeltaCommitMessage(
 private[sources] final case class MemDeltaWriterFactory(rowSchema: StructType,
     partitionCols: Seq[String], dataDir: String,
     fsConf: org.apache.spark.util.SerializableConfiguration,
-    format: String)
+    props: Map[String, String])
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DeltaWriter[InternalRow] =
@@ -1711,7 +1735,7 @@ private[sources] final case class MemDeltaWriterFactory(rowSchema: StructType,
       private def insertWriter: DataWriter[InternalRow] = {
         if (inserts == null)
           inserts = MemWriters.writer(rowSchema, partitionCols, dataDir,
-            tag, fsConf.value, format)
+            tag, fsConf.value, props)
         inserts
       }
       private val positions = scala.collection.mutable.LinkedHashMap
@@ -1876,7 +1900,7 @@ private[sources] final class MemStreamingWrite(k: String, writeSchema: StructTyp
       org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
     val st = SnapshotStore.stateOf(k)
     MemStreamWriterFactory(writeSchema, st.partitionCols, st.dataDir,
-      RowFiles.sessionConf(), DataFiles.formatOf(st.properties))
+      RowFiles.sessionConf(), st.properties)
   }
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.iterator
@@ -1901,7 +1925,7 @@ private[sources] final class MemBatchWrite(k: String, writeSchema: StructType,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val st = SnapshotStore.stateOf(k)
     new MemWriterFactory(writeSchema, st.partitionCols, st.dataDir,
-      RowFiles.sessionConf(), DataFiles.formatOf(st.properties))
+      RowFiles.sessionConf(), st.properties)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.iterator
@@ -1932,13 +1956,13 @@ private[sources] final case class MemCommitMessage(files: Array[SnapshotStore.Da
 private[sources] final case class MemStreamWriterFactory(writeSchema: StructType,
     partitionCols: Seq[String], dataDir: String,
     fsConf: org.apache.spark.util.SerializableConfiguration,
-    format: String)
+    props: Map[String, String])
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     MemWriters.writer(writeSchema, partitionCols, dataDir,
       s"e$epochId-p$partitionId-t$taskId-${UUID.randomUUID.toString.take(8)}",
-      fsConf.value, format)
+      fsConf.value, props)
 }
 
 private[sources] object MemWriters {
@@ -1949,8 +1973,10 @@ private[sources] object MemWriters {
     * ([[DataFiles]]); per-file column stats ride back in the descriptor. */
   def writer(writeSchema: StructType, partitionCols: Seq[String],
       dataDir: String, taskTag: String,
-      conf: Configuration, format: String = DataFiles.Parquet): DataWriter[InternalRow] =
+      conf: Configuration,
+      props: Map[String, String] = Map.empty): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
+      private val format = DataFiles.formatOf(props)
       private val proj = UnsafeProjection.create(writeSchema)
       private val ords = partitionCols.map { c =>
         require(writeSchema.fieldNames.contains(c),
@@ -2009,7 +2035,7 @@ private[sources] object MemWriters {
       private def register(key: Seq[Any]): DataFiles.RowFileWriter = {
         val path = s"$dataDir/$taskTag-$fileSeq${DataFiles.extensionOf(format)}"
         fileSeq += 1
-        val w = DataFiles.writer(path, writeSchema, conf)
+        val w = DataFiles.writer(path, writeSchema, conf, props)
         open.put(key, (w, path, key))
         w
       }
@@ -2024,8 +2050,9 @@ private[sources] object MemWriters {
       override def write(metadata: InternalRow, row: InternalRow): Unit = write(row)
       override def commit(): WriterCommitMessage = {
         val files = open.valuesIterator.map { case (w, path, pv) =>
-          val stats = w.close()
-          SnapshotStore.DataFile(path, pv, w.rowCount, stats)
+          val meta = w.close()
+          SnapshotStore.DataFile(path, pv, w.rowCount, meta.stats,
+            meta.sizeBytes, meta.splitPoints)
         }.toArray
         open.clear()
         MemCommitMessage(files)
@@ -2041,11 +2068,11 @@ private[sources] object MemWriters {
 private[sources] final class MemWriterFactory(writeSchema: StructType,
     partitionCols: Seq[String], dataDir: String,
     fsConf: org.apache.spark.util.SerializableConfiguration,
-    format: String) extends DataWriterFactory {
+    props: Map[String, String]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     MemWriters.writer(writeSchema, partitionCols, dataDir,
       s"p$partitionId-t$taskId-${UUID.randomUUID.toString.take(8)}",
-      fsConf.value, format)
+      fsConf.value, props)
 }
 
 /** Plain read path: column pruning plus file-level partition pruning from
@@ -2057,7 +2084,8 @@ private[sources] final class MemScanBuilder(fullSchema: StructType,
     files: Vector[SnapshotStore.DataFile], streamKey: Option[String] = None,
     maxVersionsPerTrigger: Option[Long] = None,
     startingVersion: Option[String] = None,
-    deletes: Map[String, Vector[String]] = Map.empty)
+    deletes: Map[String, Vector[String]] = Map.empty,
+    splitTargetBytes: Long = ScanSplits.DefaultTargetBytes)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownV2Filters {
   private val statCols = StatsPredicates.statCols(fullSchema)
@@ -2084,14 +2112,65 @@ private[sources] final class MemScanBuilder(fullSchema: StructType,
       !statsUsable.exists(
         StatsPredicates.definitelyExcludes(_, statCols, f.stats, f.rowCount)))
     new MemScan(fullSchema, required, retained, streamKey, maxVersionsPerTrigger,
-      startingVersion, deletes, partCols)
+      startingVersion, deletes, partCols, splitTargetBytes)
   }
 }
 
-/** One scan partition per data file — the descriptor's row count bounds the
+/** One scan partition per data-file SLICE — whole file by default;
+  * split-planned big files carry a byte range plus the slice's starting
+  * physical row index so `_pos` identity (and with it position deletes and
+  * row-level rewrites) is split-agnostic. The descriptor's counts bound the
   * read without opening the file. */
 private[sources] final case class MemFilePartition(path: String, rowCount: Long,
-    deletePaths: Seq[String] = Nil) extends InputPartition
+    deletePaths: Seq[String] = Nil, rowStart: Long = 0L,
+    byteStart: Long = 0L, byteEnd: Long = Long.MaxValue) extends InputPartition {
+  def split: DataFiles.Split = DataFiles.Split(rowStart, rowCount, byteStart, byteEnd)
+}
+
+/** SPLIT-BY-OFFSET scan planning: cut each data file into tasks of about
+  * `read.split.target-bytes` (default 128 MiB) on its recorded chunk
+  * boundaries. Without this, `planInputPartitions` emits one task per file
+  * and a compacted one-file partition SERIALIZES its whole scan — at 100 TB
+  * the compaction that should help reads would cap their parallelism.
+  * Files without split metadata (legacy descriptors) stay whole-file. */
+private[sources] object ScanSplits {
+  val DefaultTargetBytes: Long = 128L << 20
+
+  def targetBytes(props: Map[String, String]): Long =
+    props.get("read.split.target-bytes").map(_.toLong)
+      .getOrElse(DefaultTargetBytes)
+
+  def partitions(files: Vector[SnapshotStore.DataFile],
+      deletes: Map[String, Vector[String]],
+      target: Long): Array[InputPartition] =
+    files.filter(_.rowCount > 0).flatMap { f =>
+      val dels = deletes.getOrElse(f.path, Vector.empty)
+      val pts = f.splitPoints
+      if (pts.length <= 1 || f.sizeBytes <= 0L || f.sizeBytes <= target)
+        Vector(MemFilePartition(f.path, f.rowCount, dels): InputPartition)
+      else {
+        // Greedily group consecutive chunks until a split reaches target.
+        // Every recorded point starts a non-empty chunk, so (rowEnd >
+        // rowStart) holds; guarded anyway against a degenerate descriptor.
+        val out = Vector.newBuilder[InputPartition]
+        var startIdx = 0
+        var i = 1
+        while (i <= pts.length) {
+          val endByte = if (i == pts.length) f.sizeBytes else pts(i)._2
+          if (i == pts.length || endByte - pts(startIdx)._2 >= target) {
+            val rowStart = pts(startIdx)._1
+            val rowEnd = if (i == pts.length) f.rowCount else pts(i)._1
+            if (rowEnd > rowStart)
+              out += MemFilePartition(f.path, rowEnd - rowStart, dels,
+                rowStart, pts(startIdx)._2, endByte)
+            startIdx = i
+          }
+          i += 1
+        }
+        out.result()
+      }
+    }.toArray
+}
 
 private[sources] object MemReaders {
   /** Shared batch/streaming reader factory: data columns come from the
@@ -2119,7 +2198,7 @@ private[sources] object MemReaders {
     (partition: InputPartition) => {
       val part = partition.asInstanceOf[MemFilePartition]
       new PartitionReader[InternalRow] {
-        private val stream = DataFiles.stream(part.path, part.rowCount,
+        private val stream = DataFiles.stream(part.path, part.split,
           dataSchema, fullSchema, fsConf.value)
         private val pathValue = UTF8String.fromString(part.path)
         // Merge-on-read: union this data file's position-delete entries
@@ -2133,7 +2212,9 @@ private[sources] object MemReaders {
               RowFiles.readDeletes(dp, fsConf.value).foreach(set.add(_)))
             set
           }
-        private var pos = -1L
+        // `_pos` counts FILE-globally from the slice's first physical row,
+        // so position deletes and rewrite row ids are split-agnostic.
+        private var pos = part.rowStart - 1L
         private var cur: InternalRow = null
         private val out = new ce.GenericInternalRow(required.length)
         override def next(): Boolean = {
@@ -2184,8 +2265,9 @@ private[sources] object MemReaders {
     (partition: InputPartition) => {
       val part = partition.asInstanceOf[MemChangePartition]
       new PartitionReader[InternalRow] {
-        private val stream = DataFiles.stream(part.path, part.rowCount,
-          streamSchema, dataSchema, fsConf.value)
+        private val stream = DataFiles.stream(part.path,
+          DataFiles.wholeFile(part.rowCount), streamSchema, dataSchema,
+          fsConf.value)
         private val ctValue = UTF8String.fromString(part.changeType)
         private def positions(paths: Seq[String]): java.util.HashSet[java.lang.Long] =
           if (paths.isEmpty) null
@@ -2236,7 +2318,8 @@ private[sources] final class MemScan(fullSchema: StructType,
     streamKey: Option[String], maxVersionsPerTrigger: Option[Long] = None,
     startingVersion: Option[String] = None,
     deletes: Map[String, Vector[String]] = Map.empty,
-    partCols: PartitionPredicates.PartCols = Map.empty)
+    partCols: PartitionPredicates.PartCols = Map.empty,
+    splitTargetBytes: Long = ScanSplits.DefaultTargetBytes)
     extends Scan with Batch with SupportsRuntimeV2Filtering {
   private var files = initial
 
@@ -2273,9 +2356,7 @@ private[sources] final class MemScan(fullSchema: StructType,
       PartitionPredicates.definitelyExcludes(_, partCols, f.partitionValues)))
 
   override def planInputPartitions(): Array[InputPartition] =
-    files.filter(_.rowCount > 0)
-      .map(f => MemFilePartition(f.path, f.rowCount,
-        deletes.getOrElse(f.path, Vector.empty)): InputPartition).toArray
+    ScanSplits.partitions(files, deletes, splitTargetBytes)
 
   override def createReaderFactory(): PartitionReaderFactory =
     MemReaders.factory(fullSchema, required, RowFiles.sessionConf())
@@ -2371,8 +2452,8 @@ private[sources] final class MemMicroBatchStream(k: String,
           "ChangeDataFeed (m08) instead")
       sn.files.takeRight(sn.appendedFiles)
     }
-    appended.filter(_.rowCount > 0)
-      .map(f => MemFilePartition(f.path, f.rowCount): InputPartition).toArray
+    ScanSplits.partitions(appended.toVector, Map.empty,
+      ScanSplits.targetBytes(st.properties))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -2667,7 +2748,8 @@ private[sources] final class BranchTable(display: String, k: String,
         c.toLowerCase -> (i, st.schema(c).dataType)
       }.toMap
     new MemScanBuilder(st.schema, partColMap, files,
-      deletes = SnapshotStore.deleteMap(deletes))
+      deletes = SnapshotStore.deleteMap(deletes),
+      splitTargetBytes = ScanSplits.targetBytes(st.properties))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -2681,7 +2763,7 @@ private[sources] final class BranchTable(display: String, k: String,
           // Branch files land in the table's own data dir: fast-forward is
           // pure metadata, never a copy.
           new MemWriterFactory(schema(), st.partitionCols, st.dataDir,
-            RowFiles.sessionConf(), DataFiles.formatOf(st.properties))
+            RowFiles.sessionConf(), st.properties)
         }
         override def commit(messages: Array[WriterCommitMessage]): Unit = {
           val files = messages.iterator.map(_.asInstanceOf[MemCommitMessage])

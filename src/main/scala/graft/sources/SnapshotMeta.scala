@@ -89,55 +89,33 @@ private[sources] object MetaTables {
               s.files.size, s.files.map(_.rowCount).sum)): InternalRow
           }
         }))
-      case "files" => Some(new MetaTable(s"$display.files",
-        // `content` distinguishes data files from merge-on-read position
-        // deletes (Iceberg's files-metadata content column); `row_count`
-        // is PHYSICAL — a data file's written rows (before position
-        // deletes) or a delete file's entry count.
-        StructType(Seq(
-          StructField("content", StringType, nullable = false),
-          StructField("file_path", StringType, nullable = false),
-          StructField("partition", StringType, nullable = true),
-          StructField("row_count", LongType, nullable = false))),
-        () => {
-          val st = SnapshotStore.stateOf(parentKey)
-          val data = st.currentFiles.toArray.map { f =>
-            val part =
-              if (st.partitionCols.isEmpty) null
-              else UTF8String.fromString(st.partitionCols.zip(f.partitionValues)
-                .map { case (c, v) => s"$c=${String.valueOf(v)}" }.mkString("/"))
-            new GenericInternalRow(Array[Any](
-              UTF8String.fromString("data"),
-              UTF8String.fromString(f.path), part, f.rowCount))
-          }
-          val dels = st.currentDeletes.toArray.map(d =>
-            new GenericInternalRow(Array[Any](
-              UTF8String.fromString("position-deletes"),
-              UTF8String.fromString(d.path), null, d.entryCount)))
-          data ++ dels
-        }))
+      case "files" => Some(new FilesMetaTable(s"$display.files", parentKey))
       case "partitions" => Some(new MetaTable(s"$display.partitions",
         // The compaction diagnostic: per-partition file/row counts — a
         // partition whose file_count outgrows its row mass is the
         // rewrite_data_files trigger (small-file detection as SQL).
         // row_count is PHYSICAL (before merge-on-read position deletes),
         // like Iceberg's files-metadata record_count.
-        StructType(Seq(
-          StructField("partition", StringType, nullable = true),
-          StructField("file_count", LongType, nullable = false),
-          StructField("row_count", LongType, nullable = false))),
+        FilesMetaTable.PartitionsSchema,
         () => {
           val st = SnapshotStore.stateOf(parentKey)
-          st.currentFiles.groupBy(_.partitionValues).toArray
-            .sortBy { case (pv, _) => pv.map(String.valueOf).mkString("/") }
-            .map { case (pv, fs) =>
-              val part =
-                if (st.partitionCols.isEmpty) null
-                else UTF8String.fromString(st.partitionCols.zip(pv)
-                  .map { case (c, v) => s"$c=${String.valueOf(v)}" }.mkString("/"))
-              new GenericInternalRow(Array[Any](
-                part, fs.size.toLong, fs.map(_.rowCount).sum))
-            }
+          if (st.currentFiles.size > FilesMetaTable.localThreshold(st.properties))
+            // Above the driver-safe bound: aggregate DISTRIBUTED over the
+            // `.files` relation (itself a chunk-manifest BatchScan at this
+            // size) — the driver holds only |partitions| result rows,
+            // never the file inventory.
+            FilesMetaTable.distributedPartitionRows(parentKey)
+          else
+            st.currentFiles.groupBy(_.partitionValues).toArray
+              .sortBy { case (pv, _) => pv.map(String.valueOf).mkString("/") }
+              .map { case (pv, fs) =>
+                val part =
+                  if (st.partitionCols.isEmpty) null
+                  else UTF8String.fromString(st.partitionCols.zip(pv)
+                    .map { case (c, v) => s"$c=${String.valueOf(v)}" }.mkString("/"))
+                new GenericInternalRow(Array[Any](
+                  part, fs.size.toLong, fs.map(_.rowCount).sum)): InternalRow
+              }
         }))
       case "tags" => Some(new MetaTable(s"$display.tags",
         StructType(Seq(
@@ -170,6 +148,156 @@ private[sources] object MetaTables {
         }))
       case other => throw new IllegalStateException(
         s"metadata suffix '$other' is declared in Suffixes but not implemented")
+    }
+  }
+}
+
+private[sources] object FilesMetaTable {
+  /** `content` distinguishes data files from merge-on-read position
+    * deletes (Iceberg's files-metadata content column); `row_count` is
+    * PHYSICAL — a data file's written rows (before position deletes) or a
+    * delete file's entry count. */
+  val FilesSchema: StructType = StructType(Seq(
+    StructField("content", StringType, nullable = false),
+    StructField("file_path", StringType, nullable = false),
+    StructField("partition", StringType, nullable = true),
+    StructField("row_count", LongType, nullable = false)))
+
+  val PartitionsSchema: StructType = StructType(Seq(
+    StructField("partition", StringType, nullable = true),
+    StructField("file_count", LongType, nullable = false),
+    StructField("row_count", LongType, nullable = false)))
+
+  /** |files| above which `.files` / `.partitions` stop being driver-built
+    * [[LocalScan]]s: past it, a million-file table's inventory must not
+    * materialize as driver rows (Iceberg reads manifests distributed for
+    * the same reason). Table property `read.meta.local-threshold`. */
+  def localThreshold(props: Map[String, String]): Int =
+    props.get("read.meta.local-threshold").map(_.toInt).getOrElse(100000)
+
+  def partitionString(partitionCols: Seq[String], pv: Seq[Any]): UTF8String =
+    if (partitionCols.isEmpty) null
+    else UTF8String.fromString(partitionCols.zip(pv)
+      .map { case (c, v) => s"$c=${String.valueOf(v)}" }.mkString("/"))
+
+  /** `.partitions` above the threshold: a DISTRIBUTED aggregation over the
+    * `.files` relation (itself a chunk-manifest BatchScan at this size);
+    * the driver holds only the |partitions|-bounded result. */
+  def distributedPartitionRows(parentKey: String): Array[InternalRow] = {
+    import org.apache.spark.sql.functions._
+    val name = parentKey.split(0.toChar)
+      .map(p => s"`${p.replace("`", "``")}`").mkString(".") + ".`files`"
+    SparkSession.active.table(name)
+      .where(col("content") === "data")
+      .groupBy(col("partition"))
+      .agg(count(lit(1)).as("file_count"), sum(col("row_count")).as("row_count"))
+      .orderBy(col("partition"))
+      .collect()
+      .map(r => new GenericInternalRow(Array[Any](
+        if (r.isNullAt(0)) null else UTF8String.fromString(r.getString(0)),
+        r.getLong(1), r.getLong(2))): InternalRow)
+  }
+}
+
+/** The `.files` metadata relation: a [[LocalScan]] while the inventory is
+  * driver-safe; above [[FilesMetaTable.localThreshold]] (and once the
+  * snapshot's manifest is CHUNKED — `write.manifest.chunk-entries`), a
+  * distributed batch scan with one task per manifest chunk, parsed
+  * executor-side — the driver never materializes the file rows. */
+private[sources] final class FilesMetaTable(name0: String, parentKey: String)
+    extends Table with SupportsRead {
+  override def name(): String = name0
+  override def schema(): StructType = FilesMetaTable.FilesSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = {
+        val st = SnapshotStore.stateOf(parentKey)
+        val chunks = st.snapshots.lastOption
+          .flatMap(sn => Option(sn.manifestPath))
+          .flatMap(mp => MetadataLog.manifestChunks(st.dataDir, mp))
+        if (chunks.isDefined &&
+            st.currentFiles.size > FilesMetaTable.localThreshold(st.properties))
+          new DistributedFilesScan(st.dataDir, chunks.get, st.partitionCols,
+            st.partitionCols.map(c => st.schema(c).dataType),
+            st.schema.fields.map(f => f.name -> f.dataType).toMap,
+            st.currentDeletes.map(d => (d.path, d.entryCount)).toArray)
+        else new LocalScan {
+          override def readSchema(): StructType = FilesMetaTable.FilesSchema
+          override def rows(): Array[InternalRow] = {
+            val data = st.currentFiles.toArray.map { f =>
+              new GenericInternalRow(Array[Any](
+                UTF8String.fromString("data"), UTF8String.fromString(f.path),
+                FilesMetaTable.partitionString(st.partitionCols, f.partitionValues),
+                f.rowCount))
+            }
+            val dels = st.currentDeletes.toArray.map(d =>
+              new GenericInternalRow(Array[Any](
+                UTF8String.fromString("position-deletes"),
+                UTF8String.fromString(d.path), null, d.entryCount)))
+            (data ++ dels).map(r => r: InternalRow)
+          }
+        }
+      }
+    }
+}
+
+private[sources] final case class ManifestChunkPartition(dataDir: String,
+    chunkName: String, partitionCols: Seq[String], pvTypes: Seq[DataType],
+    colTypes: Map[String, DataType])
+  extends org.apache.spark.sql.connector.read.InputPartition
+
+private[sources] final case class DeleteEntriesPartition(
+    entries: Array[(String, Long)])
+  extends org.apache.spark.sql.connector.read.InputPartition
+
+private[sources] final class DistributedFilesScan(dataDir: String,
+    chunks: Vector[String], partitionCols: Seq[String], pvTypes: Seq[DataType],
+    colTypes: Map[String, DataType], deletes: Array[(String, Long)])
+    extends Scan with org.apache.spark.sql.connector.read.Batch {
+  override def readSchema(): StructType = FilesMetaTable.FilesSchema
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+  override def description(): String =
+    s"graft-snapshot files metadata (distributed, ${chunks.size} manifest chunks)"
+  override def planInputPartitions():
+      Array[org.apache.spark.sql.connector.read.InputPartition] =
+    chunks.map(c => ManifestChunkPartition(dataDir, c, partitionCols, pvTypes,
+      colTypes): org.apache.spark.sql.connector.read.InputPartition).toArray ++
+      (if (deletes.isEmpty) Nil else Seq(DeleteEntriesPartition(deletes):
+        org.apache.spark.sql.connector.read.InputPartition))
+  override def createReaderFactory():
+      org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    FilesChunkReaderFactory(RowFiles.sessionConf())
+}
+
+private[sources] final case class FilesChunkReaderFactory(
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  override def createReader(
+      p: org.apache.spark.sql.connector.read.InputPartition):
+      org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val it: Iterator[InternalRow] = p match {
+      case ManifestChunkPartition(dataDir, chunk, partCols, pvTypes, colTypes) =>
+        MetadataLog.readChunkFiles(dataDir, chunk, pvTypes, colTypes, conf.value)
+          .iterator.map(f => new GenericInternalRow(Array[Any](
+            UTF8String.fromString("data"), UTF8String.fromString(f.path),
+            FilesMetaTable.partitionString(partCols, f.partitionValues),
+            f.rowCount)))
+      case DeleteEntriesPartition(entries) =>
+        entries.iterator.map { case (path, n) =>
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString("position-deletes"),
+            UTF8String.fromString(path), null, n))
+        }
+      case other => throw new IllegalStateException(
+        s"unexpected metadata partition: $other")
+    }
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      private var cur: InternalRow = null
+      override def next(): Boolean = { if (it.hasNext) { cur = it.next(); true } else false }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
     }
   }
 }

@@ -102,5 +102,58 @@ object CatalogPipeline {
         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
       FROM orders GROUP BY 1 ORDER BY priority"""))
 
-  val all: Seq[Q] = Seq(r01CatalogRoundtrip, v01SchemaEvolution)
+  /** FIELD-ID schema evolution as an oracle-gated query (the Iceberg
+    * mechanism the snapshot catalog implements — see
+    * [[graft.sources.FieldIds]]): generation-1 rows land under the
+    * original column names, then the table RENAMES `o_totalprice` to
+    * `price` and DROPS `note`, and generation-2 rows land under the new
+    * shape. The live read serves BOTH vintages under the renamed column
+    * (files resolve requested columns by immutable field id, not name),
+    * while `VERSION AS OF 1` still reads the dropped/pre-rename columns
+    * under their own names — rename + drop + time travel, each hash-gated
+    * against DuckDB over the raw fixture. */
+  val v02FieldIdEvolution = Q(
+    "v02_field_id_evolution",
+    (s, dir) => {
+      val t = "graft_snap.evo.orders_fid"
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.evo")
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "o_totalprice DOUBLE, note STRING)")
+      val orders = Tables.orders(s, dir)
+      orders.filter(col("o_orderdate") < "1996-01-01")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority").as("note"))
+        .writeTo(t).append() // v1: pre-evolution shape
+      s.sql(s"ALTER TABLE $t RENAME COLUMN o_totalprice TO price")
+      s.sql(s"ALTER TABLE $t DROP COLUMN note")
+      orders.filter(col("o_orderdate") >= "1996-01-01")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").as("price"))
+        .writeTo(t).append() // v2: post-evolution shape
+      val live = s.table(t).agg(
+        count(lit(1)).as("n_orders"),
+        Q.dsum(col("price")).as("total_price"))
+        .select(lit("live").as("epoch"), col("n_orders"),
+          lit(0L).as("n_priorities"), col("total_price")) // dropped col: none
+      val v1 = s.sql(s"SELECT * FROM $t VERSION AS OF 1").agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("note")).as("n_priorities"),
+        Q.dsum(col("o_totalprice")).as("total_price"))
+        .select(lit("v1").as("epoch"), col("n_orders"),
+          col("n_priorities"), col("total_price"))
+      live.unionAll(v1).orderBy("epoch")
+    },
+    Some("""SELECT 'live' AS epoch, count(*) AS n_orders,
+        CAST(0 AS BIGINT) AS n_priorities,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+      FROM orders
+      UNION ALL
+      SELECT 'v1', count(*), count(DISTINCT o_orderpriority),
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+      FROM orders WHERE o_orderdate < DATE '1996-01-01'
+      ORDER BY epoch"""))
+
+  val all: Seq[Q] = Seq(r01CatalogRoundtrip, v01SchemaEvolution,
+    v02FieldIdEvolution)
 }

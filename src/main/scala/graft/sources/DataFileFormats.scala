@@ -203,31 +203,71 @@ private[sources] object DataFiles {
     def close(): Unit
   }
 
-  /** Open `split` of `path` projecting `dataSchema` (a subset of
-    * `fullSchema`, the table schema the file was addressed under). The grf
+  /** How a scan task projects its requested data columns out of ONE file —
+    * computed per file from the scan schema and the file's write-time
+    * (field id, name) column list: for each requested column, the
+    * FILE-relative name (parquet reads by name) and the FILE-relative
+    * ordinal (grf positional decode; -1 = the file holds no such field →
+    * NULL). This indirection is what makes RENAME/DROP (and a dropped
+    * name's reuse) read correctly against files of every vintage. */
+  final case class Projection(names: Array[String], ords: Array[Int],
+      types: Array[DataType]) {
+    def length: Int = names.length
+    def parquetSchema: StructType = StructType(
+      names.zip(types).map { case (n, t) => StructField(n, t, nullable = true) })
+  }
+
+  def projectionFor(fullSchema: StructType, dataSchema: StructType,
+      writeCols: Seq[(Int, String)]): Projection =
+    if (writeCols.isEmpty)
+      // Legacy file (pre-field-id): physical columns are a positional
+      // prefix of the scan schema — valid because rename/drop REQUIRE
+      // write-time mappings on every current file before they commit.
+      Projection(dataSchema.fieldNames,
+        dataSchema.fieldNames.map(fullSchema.fieldIndex),
+        dataSchema.fields.map(_.dataType))
+    else {
+      val n = dataSchema.length
+      val names = new Array[String](n)
+      val ords = new Array[Int](n)
+      val types = new Array[DataType](n)
+      var i = 0
+      while (i < n) {
+        val f = dataSchema.fields(i)
+        val id = FieldIds.requireId(fullSchema, f.name)
+        val ord = writeCols.indexWhere(_._1 == id)
+        // A missing id must request a name NO file column can bear — the
+        // current name could collide with a dropped column's reused name
+        // and silently read the WRONG bytes.
+        names(i) = if (ord >= 0) writeCols(ord)._2 else s"_graft_absent_$id"
+        ords(i) = ord
+        types(i) = f.dataType
+        i += 1
+      }
+      Projection(names, ords, types)
+    }
+
+  /** Open `split` of `path` emitting `projection`'s columns. The grf
     * reader seeks to the split's byte offset and replays exactly its row
     * count; the parquet reader hands the byte range to the row-group
     * filter (groups whose start falls inside the range are read — the
     * planner cuts ranges exactly on recorded group boundaries, so the two
     * views agree). */
-  def stream(path: String, split: Split, dataSchema: StructType,
-      fullSchema: StructType, conf: Configuration): DataStream =
-    if (isParquet(path)) new ParquetStream(path, split, dataSchema, conf)
-    else new GrfStream(path, split, dataSchema, fullSchema, conf)
+  def stream(path: String, split: Split, projection: Projection,
+      conf: Configuration): DataStream =
+    if (isParquet(path)) new ParquetStream(path, split, projection, conf)
+    else new GrfStream(path, split, projection, conf)
 
   private final class GrfStream(path: String, split: Split,
-      dataSchema: StructType, fullSchema: StructType,
-      conf: Configuration) extends DataStream {
+      projection: Projection, conf: Configuration) extends DataStream {
     private val reader = new RowFiles.Reader(path, conf, split.byteStart)
-    require(reader.numFields <= fullSchema.length,
-      s"row file $path has ${reader.numFields} fields; table has ${fullSchema.length}")
     private val fileFields = reader.numFields
-    private val ords = dataSchema.fieldNames.map(fullSchema.fieldIndex)
-    private val types = ords.map(fullSchema.fields(_).dataType)
+    private val ords = projection.ords
+    private val types = projection.types
     private val row = new UnsafeRow(fileFields)
     private var buf = new Array[Byte](1 << 10)
     private var remaining = split.rowCount
-    private val out = new GenericInternalRow(dataSchema.length)
+    private val out = new GenericInternalRow(projection.length)
     override def next(): InternalRow = {
       if (remaining <= 0) return null
       val size = reader.stream.readInt()
@@ -238,7 +278,8 @@ private[sources] object DataFiles {
       var j = 0
       while (j < ords.length) {
         out.update(j,
-          if (ords(j) >= fileFields) null else row.get(ords(j), types(j)))
+          if (ords(j) < 0 || ords(j) >= fileFields) null
+          else row.get(ords(j), types(j)))
         j += 1
       }
       out
@@ -250,10 +291,14 @@ private[sources] object DataFiles {
     * pushed into the parquet layer, so only those columns are DECODED —
     * the columnar win the `.grf` stream could never give. */
   private final class ParquetStream(path: String, split: Split,
-      dataSchema: StructType, conf: Configuration) extends DataStream {
+      projection: Projection, conf: Configuration) extends DataStream {
     private val reader = {
       val c = new Configuration(conf)
-      c.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, dataSchema.json)
+      // Request the columns under their FILE-relative names (write-time
+      // names, or a sentinel no column bears for fields the file predates
+      // → NULL-padded by the clipped-schema read path).
+      c.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA,
+        projection.parquetSchema.json)
       // The session Hadoop conf carries only EXPLICITLY-SET SQL entries;
       // the read-side schema converter requires these — pin Spark defaults
       // for any the session left implicit.
@@ -354,16 +399,21 @@ private[sources] object DataFiles {
 private[sources] object StatsPredicates {
   import SnapshotStore.ColStats
 
-  /** Data columns stats may exist for, lowercased (predicate matching is
-    * case-insensitive like the rest of the engine). */
-  def statCols(schema: StructType): Map[String, DataType] =
+  /** lowercased column name → (field id, type) for stats-tracked columns
+    * of the SCAN schema (predicate matching is case-insensitive like the
+    * rest of the engine; stats are stored by field id so renames never
+    * detach them from their data). */
+  type StatCols = Map[String, (Int, DataType)]
+
+  def statCols(schema: StructType): StatCols =
     schema.fields.iterator
       .filter(f => DataFiles.statsSupported(f.dataType))
-      .map(f => f.name.toLowerCase -> f.dataType).toMap
+      .flatMap(f => FieldIds.idOf(f).map(id =>
+        f.name.toLowerCase -> (id, f.dataType))).toMap
 
   /** Can `p` EVER skip a file from stats? (The structural gate for
     * reporting a predicate as pushed.) */
-  def usable(p: VPredicate, cols: Map[String, DataType]): Boolean = p.name() match {
+  def usable(p: VPredicate, cols: StatCols): Boolean = p.name() match {
     case "AND" | "OR" =>
       p.children().length == 2 && p.children().forall {
         case c: VPredicate => usable(c, cols)
@@ -378,16 +428,15 @@ private[sources] object StatsPredicates {
   }
 
   private def colOf(e: VExpression,
-      cols: Map[String, DataType]): Option[(String, DataType)] = e match {
+      cols: StatCols): Option[(Int, DataType)] = e match {
     case r: NamedReference if r.fieldNames().length == 1 =>
-      val lc = r.fieldNames()(0).toLowerCase
-      cols.get(lc).map(lc -> _)
+      cols.get(r.fieldNames()(0).toLowerCase)
     case _ => None
   }
 
   /** `col <op> literal` in either child order (reversed ops normalize). */
   private def colLit(p: VPredicate,
-      cols: Map[String, DataType]): Option[(String, DataType, Any, Boolean)] = {
+      cols: StatCols): Option[(Int, DataType, Any, Boolean)] = {
     def lit(e: VExpression): Option[VLiteral[_]] = e match {
       case l: VLiteral[_] => Some(l)
       case _ => None
@@ -404,7 +453,7 @@ private[sources] object StatsPredicates {
   }
 
   private def inShape(p: VPredicate,
-      cols: Map[String, DataType]): Option[(String, DataType, Seq[Any])] =
+      cols: StatCols): Option[(Int, DataType, Seq[Any])] =
     colOf(p.children()(0), cols).flatMap { case (c, dt) =>
       val lits = p.children().drop(1).toSeq.map {
         case l: VLiteral[_] if l.dataType == dt => Some(l.value)
@@ -414,14 +463,13 @@ private[sources] object StatsPredicates {
     }
 
   /** True iff the file (stats + physical row count) cannot satisfy `p`. */
-  def definitelyExcludes(p: VPredicate, cols: Map[String, DataType],
-      stats: Map[String, ColStats], rowCount: Long): Boolean = {
+  def definitelyExcludes(p: VPredicate, cols: StatCols,
+      stats: Map[Int, ColStats], rowCount: Long): Boolean = {
     def child(i: Int): Option[VPredicate] = p.children()(i) match {
       case c: VPredicate => Some(c)
       case _ => None
     }
-    def statOf(c: String): Option[ColStats] =
-      stats.collectFirst { case (name, s) if name.equalsIgnoreCase(c) => s }
+    def statOf(id: Int): Option[ColStats] = stats.get(id)
     def lt(dt: DataType, a: Any, b: Any): Boolean =
       org.apache.spark.sql.catalyst.expressions.LessThan(
         org.apache.spark.sql.catalyst.expressions.Literal(a, dt),

@@ -181,15 +181,25 @@ private[sources] object MetadataLog {
     props.get("write.manifest.chunk-entries").map(_.toInt)
       .getOrElse(DefaultChunkEntries)
 
+  /** The column-type context a manifest (de)serializes file entries
+    * against: field id → type (the stats key space) plus lowercased
+    * name → id (legacy manifests keyed stats by name). */
+  private[sources] final case class ColCtx(byId: Map[Int, DataType],
+      nameToId: Map[String, Int])
+  private[sources] def colCtxOf(schema: StructType): ColCtx = ColCtx(
+    schema.fields.iterator.flatMap(f =>
+      FieldIds.idOf(f).map(_ -> f.dataType)).toMap,
+    FieldIds.idsByName(schema))
+
   private def fileEntryJson(dataDir: String, pvTypes: Seq[DataType],
-      colTypes: Map[String, DataType], f: DataFile): JValue = {
-    // A column the CURRENT schema no longer types identically is
-    // unserializable — cannot happen today (no drop/retype), guarded
-    // anyway so a future evolution bug loses stats, not correctness.
+      ctx: ColCtx, f: DataFile): JValue = {
+    // Stats are keyed by FIELD ID (stable across renames); an id the
+    // current schema no longer types (dropped column) is unserializable —
+    // skipped, losing stats, never correctness.
     val statsJson: JValue = JObject(f.stats.toList.collect {
-      case (c, s) if colTypes.contains(c) =>
-        val dt = colTypes(c)
-        c -> (JArray(List(pvToJson(dt, s.min), pvToJson(dt, s.max),
+      case (id, s) if ctx.byId.contains(id) =>
+        val dt = ctx.byId(id)
+        id.toString -> (JArray(List(pvToJson(dt, s.min), pvToJson(dt, s.max),
           JLong(s.nulls))): JValue)
     })
     JArray(List(
@@ -200,22 +210,30 @@ private[sources] object MetadataLog {
       statsJson,
       JLong(f.sizeBytes),
       JArray(f.splitPoints.toList.map { case (r, b) =>
-        JArray(List(JLong(r), JLong(b))) })))
+        JArray(List(JLong(r), JLong(b))) }),
+      JLong(f.seq),
+      JArray(f.writeCols.toList.map { case (id, n) =>
+        JArray(List(JLong(id.toLong), JString(n))) })))
   }
 
   /** Parse one manifest file entry — shared by the driver-side state load
-    * and the EXECUTOR-side distributed `.files` chunk reader. */
+    * and the EXECUTOR-side distributed `.files` chunk reader. Legacy
+    * manifests keyed stats by column NAME; those resolve through the
+    * current name → id map (a name no longer present conservatively drops
+    * its stats). */
   private[sources] def fileEntryFromJson(dataDir: String, pvTypes: Seq[DataType],
-      colTypes: Map[String, DataType], e: JValue): DataFile = {
+      ctx: ColCtx, e: JValue): DataFile = {
     val es = jArr(e)
     val stats =
-      if (es.length < 4) Map.empty[String, SnapshotStore.ColStats]
-      else jObj(es(3)).collect {
-        case (c, v) if colTypes.contains(c) =>
-          val dt = colTypes(c)
+      if (es.length < 4) Map.empty[Int, SnapshotStore.ColStats]
+      else jObj(es(3)).flatMap { case (key, v) =>
+        val id = key.toIntOption.orElse(ctx.nameToId.get(key.toLowerCase))
+        id.filter(ctx.byId.contains).map { i =>
+          val dt = ctx.byId(i)
           val vs = jArr(v)
-          c -> SnapshotStore.ColStats(
+          i -> SnapshotStore.ColStats(
             pvFromJson(dt, vs.head), pvFromJson(dt, vs(1)), jLong(vs(2)))
+        }
       }.toMap
     val sizeBytes = if (es.length > 4) jLong(es(4)) else 0L
     val splits =
@@ -223,22 +241,32 @@ private[sources] object MetadataLog {
         val ps = jArr(sp); (jLong(ps.head), jLong(ps(1)))
       }.toVector
       else Vector.empty[(Long, Long)]
+    val seq = if (es.length > 6) jLong(es(6)) else 0L
+    val writeCols =
+      if (es.length > 7) jArr(es(7)).map { wc =>
+        val ws = jArr(wc); (jInt(ws.head), jStr(ws(1)))
+      }.toVector
+      else Vector.empty[(Int, String)]
     DataFile(abs(dataDir, jStr(es.head)), jArr(es(2)).zip(pvTypes)
       .map { case (v, t) => pvFromJson(t, v) }.toVector, jLong(es(1)), stats,
-      sizeBytes, splits)
+      sizeBytes, splits, seq, writeCols)
   }
 
   private def writeManifest(dataDir: String, sn: Snapshot,
-      pvTypes: Seq[DataType], colTypes: Map[String, DataType],
+      pvTypes: Seq[DataType], ctx: ColCtx,
       chunkEntries: Int): (String, Seq[Path]) = {
     val stem =
       s"metadata/manifest-v${sn.version}-${UUID.randomUUID.toString.take(8)}"
     val name = s"$stem.json"
     val deletesJson = JArray(sn.deleteFiles.toList.map(d => JArray(List(
       JString(rel(dataDir, d.path)),
-      JString(rel(dataDir, d.dataPath)),
-      JLong(d.entryCount)))))
-    def entry(f: DataFile) = fileEntryJson(dataDir, pvTypes, colTypes, f)
+      // Equality deletes are file-spanning: no dataPath to relativize.
+      JString(if (d.dataPath.isEmpty) "" else rel(dataDir, d.dataPath)),
+      JLong(d.entryCount),
+      JString(d.kind),
+      JArray(d.equalityCols.toList.map(id => JLong(id.toLong))),
+      JLong(d.seq)))))
+    def entry(f: DataFile) = fileEntryJson(dataDir, pvTypes, ctx, f)
     val written = Seq.newBuilder[Path]
     val json =
       if (sn.files.size <= chunkEntries)
@@ -279,17 +307,17 @@ private[sources] object MetadataLog {
   /** Read one CHUNK's file entries — the executor-side body of the
     * distributed `.files` metadata scan. */
   def readChunkFiles(dataDir: String, chunkName: String,
-      pvTypes: Seq[DataType], colTypes: Map[String, DataType],
+      pvTypes: Seq[DataType], ctx: ColCtx,
       conf: org.apache.hadoop.conf.Configuration): Vector[DataFile] = {
     val p = new Path(dataDir, chunkName)
     val j = JsonMethods.parse(readFullyWith(p, conf))
     jArr(field(j, "files"))
-      .map(fileEntryFromJson(dataDir, pvTypes, colTypes, _)).toVector
+      .map(fileEntryFromJson(dataDir, pvTypes, ctx, _)).toVector
   }
 
   private def readManifest(dataDir: String, name: String,
       pvTypes: Seq[DataType],
-      colTypes: Map[String, DataType]): (Vector[DataFile], Vector[DeleteFile]) = {
+      ctx: ColCtx): (Vector[DataFile], Vector[DeleteFile]) = {
     val j = JsonMethods.parse(readFully(new Path(dataDir, name)))
     val entries = fieldOpt(j, "chunks") match {
       case None => jArr(field(j, "files"))
@@ -298,11 +326,17 @@ private[sources] object MetadataLog {
           readFully(new Path(dataDir, jStr(c)))), "files")))
     }
     val files =
-      entries.map(fileEntryFromJson(dataDir, pvTypes, colTypes, _)).toVector
+      entries.map(fileEntryFromJson(dataDir, pvTypes, ctx, _)).toVector
     val deletes = jArr(field(j, "deletes")).map { e =>
       val es = jArr(e)
-      DeleteFile(abs(dataDir, jStr(es.head)), abs(dataDir, jStr(es(1))),
-        jLong(es(2)))
+      val dataRel = jStr(es(1))
+      DeleteFile(abs(dataDir, jStr(es.head)),
+        if (dataRel.isEmpty) "" else abs(dataDir, dataRel),
+        jLong(es(2)),
+        kind = if (es.length > 3) jStr(es(3)) else "pos",
+        equalityCols =
+          if (es.length > 4) jArr(es(4)).map(jInt) else Nil,
+        seq = if (es.length > 5) jLong(es(5)) else 0L)
     }.toVector
     (files, deletes)
   }
@@ -322,15 +356,22 @@ private[sources] object MetadataLog {
   }
 
   private def snapFromJson(dataDir: String, pvTypes: Seq[DataType],
-      colTypes: Map[String, DataType], j: JValue): Snapshot = {
+      tableCtx: ColCtx, j: JValue): Snapshot = {
     val manifest = jStr(field(j, "manifest"))
-    val (files, deletes) = readManifest(dataDir, manifest, pvTypes, colTypes)
+    // A pre-field-id snapshot schema migrates POSITIONALLY — sound because
+    // pre-id history was append-only (see FieldIds.assign).
+    val schema = field(j, "schema") match {
+      case JNull => null
+      case s => FieldIds.assign(
+        DataType.fromJson(jStr(s)).asInstanceOf[StructType])._1
+    }
+    // Manifest stats resolve against the SNAPSHOT's own schema (the types
+    // and names its entries were serialized under).
+    val ctx = if (schema == null) tableCtx else colCtxOf(schema)
+    val (files, deletes) = readManifest(dataDir, manifest, pvTypes, ctx)
     Snapshot(jLong(field(j, "v")), jLong(field(j, "ts")), files,
       appendedFiles = jInt(field(j, "appended")),
-      schema = field(j, "schema") match {
-        case JNull => null
-        case s => DataType.fromJson(jStr(s)).asInstanceOf[StructType]
-      },
+      schema = schema,
       deleteFiles = deletes,
       operation = jStr(field(j, "op")),
       manifestPath = manifest)
@@ -340,6 +381,7 @@ private[sources] object MetadataLog {
     val json = JObject(
       "format" -> JLong(1L),
       "schema" -> JString(st.schema.json),
+      "lastFieldId" -> JLong(st.lastFieldId.toLong),
       "partitionCols" -> JArray(st.partitionCols.toList.map(JString(_))),
       "properties" -> JObject(st.properties.toList.map {
         case (k, v) => k -> (JString(v): JValue) }),
@@ -360,18 +402,23 @@ private[sources] object MetadataLog {
   private def parseState(dataDir: String, metaVersion: Long,
       jsonStr: String): TableState = {
     val j = JsonMethods.parse(jsonStr)
-    val schema = DataType.fromJson(jStr(field(j, "schema"))).asInstanceOf[StructType]
+    // Pre-field-id metadata migrates on load: ids assigned positionally
+    // (sound — pre-id history was append-only), lastFieldId derived.
+    val (schema, assignedLast) = FieldIds.assign(
+      DataType.fromJson(jStr(field(j, "schema"))).asInstanceOf[StructType])
+    val lastFieldId = fieldOpt(j, "lastFieldId")
+      .map(jLong(_).toInt).getOrElse(assignedLast)
     val partitionCols = jArr(field(j, "partitionCols")).map(jStr)
     val pvTypes = partitionCols.map(c => schema(c).dataType)
-    val colTypes = schema.fields.map(f => f.name -> f.dataType).toMap
-    TableState(
+    val ctx = colCtxOf(schema)
+    val st = TableState(
       schema = schema,
       partitionCols = partitionCols,
       dataDir = dataDir, // derived from location, never trusted from content
       properties = jObj(field(j, "properties")).map {
         case (k, v) => k -> jStr(v) }.toMap,
       snapshots = jArr(field(j, "snapshots"))
-        .map(snapFromJson(dataDir, pvTypes, colTypes, _)).toVector,
+        .map(snapFromJson(dataDir, pvTypes, ctx, _)).toVector,
       tags = jObj(field(j, "tags")).map { case (n, v) => n -> jLong(v) }.toMap,
       epochs = scala.collection.immutable.ListMap(
         jArr(field(j, "epochs")).map { e =>
@@ -380,9 +427,35 @@ private[sources] object MetadataLog {
       branches = jObj(field(j, "branches")).map { case (n, b) =>
         n -> Branch(jLong(field(b, "base")),
           jArr(field(b, "snapshots"))
-            .map(snapFromJson(dataDir, pvTypes, colTypes, _)).toVector)
+            .map(snapFromJson(dataDir, pvTypes, ctx, _)).toVector)
       }.toMap,
-      metaVersion = metaVersion)
+      metaVersion = metaVersion,
+      lastFieldId = lastFieldId)
+    assignLegacySeqs(st)
+  }
+
+  /** Legacy descriptors (pre-seq manifests) get their data sequence number
+    * reconstructed as the FIRST retained snapshot version referencing the
+    * path. That can overestimate a file's true age when its original
+    * commit was expired — safe here because equality deletes postdate
+    * sequence tracking, so every delete's seq exceeds any reconstructed
+    * file seq. */
+  private def assignLegacySeqs(st: TableState): TableState = {
+    def anyLegacy(sns: Vector[Snapshot]) =
+      sns.exists(_.files.exists(_.seq == 0L))
+    if (!anyLegacy(st.snapshots) && !st.branches.values.exists(b => anyLegacy(b.snapshots)))
+      return st
+    val first = scala.collection.mutable.HashMap.empty[String, Long]
+    (st.snapshots.sortBy(_.version) ++
+      st.branches.values.toSeq.flatMap(_.snapshots).sortBy(_.version))
+      .foreach(sn => sn.files.foreach(f =>
+        if (!first.contains(f.path)) first(f.path) = sn.version))
+    def fix(sns: Vector[Snapshot]) = sns.map(sn => sn.copy(files =
+      sn.files.map(f => if (f.seq == 0L) f.copy(seq = first(f.path)) else f)))
+    st.copy(
+      snapshots = fix(st.snapshots),
+      branches = st.branches.map { case (n, b) =>
+        n -> b.copy(snapshots = fix(b.snapshots)) })
   }
 
   // -- commit / create / load ---------------------------------------------------
@@ -394,13 +467,16 @@ private[sources] object MetadataLog {
   def tryCommit(before: TableState, after: TableState): Option[TableState] = {
     val dataDir = after.dataDir
     val pvTypes = after.partitionCols.map(c => after.schema(c).dataType)
-    val colTypes = after.schema.fields.map(f => f.name -> f.dataType).toMap
+    val tableCtx = colCtxOf(after.schema)
     val chunkEntries = chunkEntriesOf(after.properties)
     val written = scala.collection.mutable.ArrayBuffer.empty[Path]
     def withManifests(sns: Vector[Snapshot]): Vector[Snapshot] = sns.map { sn =>
       if (sn.manifestPath != null) sn
       else {
-        val (name, ps) = writeManifest(dataDir, sn, pvTypes, colTypes, chunkEntries)
+        // Serialize under the SNAPSHOT's own schema: stats ids/types must
+        // match what that version's readers resolve against.
+        val ctx = if (sn.schema == null) tableCtx else colCtxOf(sn.schema)
+        val (name, ps) = writeManifest(dataDir, sn, pvTypes, ctx, chunkEntries)
         written ++= ps
         sn.copy(manifestPath = name)
       }

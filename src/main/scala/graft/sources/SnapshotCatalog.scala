@@ -335,24 +335,47 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     val props = properties.asScala.toMap
     if (SnapshotStore.tables.contains(k))
       throw new TableAlreadyExistsException(ident)
+    // Assign FIELD IDS at birth (1..n): names become labels over ids, the
+    // indirection that later makes RENAME/DROP safe (see [[FieldIds]]).
+    // STRIP any incoming id metadata first — a CTAS query schema inherits
+    // upstream tables' ids through Spark's metadata propagation, and those
+    // foreign ids would collide with this table's own assignment.
+    val (idSchema, lastId) = FieldIds.assign(FieldIds.strip(schema))
+    require(idSchema.fields.flatMap(FieldIds.idOf).distinct.length ==
+      idSchema.length, s"internal: duplicate field ids in $idSchema")
     val persisted = MetadataLog.createInitial(
-      SnapshotStore.TableState(schema, partCols, dataDir, props, Vector.empty))
+      SnapshotStore.TableState(idSchema, partCols, dataDir, props, Vector.empty,
+        lastFieldId = lastId))
       .getOrElse(throw new TableAlreadyExistsException(ident))
     if (SnapshotStore.tables.putIfAbsent(k, persisted).isDefined)
       throw new TableAlreadyExistsException(ident)
-    new MemTable(ident.toString, k, schema, partCols, props, pinned = None)
+    new MemTable(ident.toString, k, idSchema, partCols, props, pinned = None)
   }
 
-  /** Schema evolution, honestly scoped to what a name-positional file
-    * format supports: `ADD COLUMN` (nullable, appended — existing files
-    * simply hold no value, readers pad NULL; per-snapshot schemas keep
-    * time travel reading each version as written) and table-property
-    * changes. Drops, renames, repositions, and type changes need per-file
-    * field IDs (Iceberg's mechanism) and are rejected loudly rather than
-    * approximated. */
+  /** Schema evolution over per-column FIELD IDS (see [[FieldIds]]):
+    * `ADD COLUMN` (nullable, appended; a fresh id — existing files hold
+    * no value, readers pad NULL), `RENAME COLUMN` (the id keeps the data;
+    * the name is just its label), `DROP COLUMN` (the id retires, never
+    * reused; files keep the bytes, readers stop asking for them), and
+    * table-property changes. Per-snapshot schemas keep time travel
+    * reading each version under its own names. Type changes remain
+    * rejected (safe promotion needs per-type widening rules).
+    *
+    * RENAME/DROP require every CURRENT data file to carry its write-time
+    * (id, name) column list — files written before field-id tracking are
+    * resolved positionally against the live schema and would silently
+    * mis-read after either change; `rewrite_data_files` upgrades them. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val k = key(ident)
     if (SnapshotStore.resolve(k).isEmpty) throw new NoSuchTableException(ident)
+    def requireIdCoverage(st: SnapshotStore.TableState, what: String): Unit = {
+      val legacy = st.currentFiles.filter(_.writeCols.isEmpty)
+      require(legacy.isEmpty,
+        s"$what requires every current data file to carry its write-time " +
+          s"column mapping, but ${legacy.size} file(s) predate field-id " +
+          "tracking (e.g. " + legacy.take(1).map(_.path).mkString + ") — " +
+          "run CALL <catalog>.system.rewrite_data_files first")
+    }
     SnapshotStore.update(k) { st =>
       changes.foldLeft(st) { (cur, ch) =>
         ch match {
@@ -370,10 +393,49 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
             require(add.position() == null,
               "column position is not supported; new columns append at the end " +
                 "(a position would re-map every existing file's layout)")
-            val field = org.apache.spark.sql.types.StructField(
-              colName, add.dataType(), nullable = true)
-            cur.copy(schema = cur.schema.add(
-              Option(add.comment()).fold(field)(field.withComment)))
+            val field = FieldIds.withId(org.apache.spark.sql.types.StructField(
+              colName, add.dataType(), nullable = true), cur.lastFieldId + 1)
+            cur.copy(
+              schema = cur.schema.add(
+                Option(add.comment()).fold(field)(field.withComment)),
+              lastFieldId = cur.lastFieldId + 1)
+          case rn: TableChange.RenameColumn =>
+            require(rn.fieldNames().length == 1,
+              s"nested RENAME COLUMN is not supported: ${rn.fieldNames().mkString(".")}")
+            val from = rn.fieldNames()(0)
+            val to = rn.newName()
+            val idx = cur.schema.fieldNames.indexWhere(_.equalsIgnoreCase(from))
+            require(idx >= 0, s"column $from does not exist")
+            require(!cur.schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+              s"column $to already exists")
+            require(!MemTable.ReservedColumnNames.exists(_.equalsIgnoreCase(to)),
+              s"column name $to is a reserved metadata column of the " +
+                "snapshot catalog")
+            requireIdCoverage(cur, s"RENAME COLUMN $from")
+            val fields = cur.schema.fields.clone()
+            fields(idx) = fields(idx).copy(name = to)
+            cur.copy(
+              schema = org.apache.spark.sql.types.StructType(fields),
+              partitionCols = cur.partitionCols.map(c =>
+                if (c.equalsIgnoreCase(from)) to else c))
+          case del: TableChange.DeleteColumn =>
+            require(del.fieldNames().length == 1,
+              s"nested DROP COLUMN is not supported: ${del.fieldNames().mkString(".")}")
+            val colName = del.fieldNames()(0)
+            val idx = cur.schema.fieldNames.indexWhere(_.equalsIgnoreCase(colName))
+            if (idx < 0) {
+              require(del.ifExists(), s"column $colName does not exist")
+              cur
+            } else {
+              require(!cur.partitionCols.exists(_.equalsIgnoreCase(colName)),
+                s"cannot drop partition column $colName — partition values " +
+                  "are file identity")
+              require(cur.schema.length > 1,
+                s"cannot drop $colName: a table needs at least one column")
+              requireIdCoverage(cur, s"DROP COLUMN $colName")
+              cur.copy(schema = org.apache.spark.sql.types.StructType(
+                cur.schema.fields.patch(idx, Nil, 1)))
+            }
           case set: TableChange.SetProperty =>
             // Validate format switches HERE, not at first write — a bad
             // value must not sit latent until some streaming epoch trips it.
@@ -384,8 +446,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
             cur.copy(properties = cur.properties - rm.property)
           case other => throw new UnsupportedOperationException(
             s"ALTER TABLE change not supported: $other — this catalog supports " +
-              "ADD COLUMN (nullable, appended) and table properties; drop/rename/" +
-              "retype need per-file field IDs (the Iceberg-runtime path)")
+              "ADD/RENAME/DROP COLUMN and table properties; type changes need " +
+              "per-type widening rules and stay rejected")
         }
       }
     }
@@ -707,9 +769,9 @@ private[graft] object SnapshotStore {
   final case class DataFile(path: String, partitionValues: Seq[Any], rowCount: Long,
       /** Per-column (min, max, nullCount) collected at write — the
         * manifest stats scans skip files on (see [[StatsPredicates]]).
-        * Keyed by column name; absent = no stats (pre-stats file, or the
-        * column's values invalidated tracking). */
-      stats: Map[String, ColStats] = Map.empty,
+        * Keyed by FIELD ID (stable across renames); absent = no stats
+        * (pre-stats file, or the column's values invalidated tracking). */
+      stats: Map[Int, ColStats] = Map.empty,
       /** File byte size (0 = unknown, legacy descriptor). */
       sizeBytes: Long = 0L,
       /** (rowOffset, byteOffset) starts of independently readable chunks
@@ -717,21 +779,47 @@ private[graft] object SnapshotStore {
         * scan planning cuts one big file into several tasks on these
         * boundaries without opening it (Iceberg's `split_offsets`).
         * Empty/singleton = unsplittable. */
-      splitPoints: Vector[(Long, Long)] = Vector.empty)
+      splitPoints: Vector[(Long, Long)] = Vector.empty,
+      /** The snapshot version whose commit first added this file —
+        * Iceberg's data sequence number: an equality-delete file applies
+        * exactly to data files with a LOWER seq. 0 = legacy descriptor
+        * (predates sequence tracking, treated as older-than-everything). */
+      seq: Long = 0L,
+      /** The (field id, name) column list the file was WRITTEN under, in
+        * the file's physical column order — the self-contained mapping
+        * that lets readers resolve requested columns by FIELD ID against
+        * any file, making RENAME/DROP safe with history intact (Iceberg
+        * stores field ids inside each data file; the manifest entry is
+        * this catalog's equivalent). Empty = legacy file: resolved
+        * positionally against the scan schema, valid only while the
+        * schema evolved append-only. */
+      writeCols: Vector[(Int, String)] = Vector.empty)
 
   /** One column's per-file stats. `min`/`max` are Catalyst-internal values
     * of the column's type over the file's NON-NULL rows; both null with
     * `nulls == rowCount` marks an all-null column. */
   final case class ColStats(min: Any, max: Any, nulls: Long)
 
-  /** One immutable POSITION-DELETE file (Iceberg format-v2's merge-on-read
-    * mechanism): `entryCount` sorted row positions at `path` (see
-    * [[RowFiles.writeDeletes]]) that are deleted from the data file at
-    * `dataPath`. Readers of `dataPath` skip those positions; the data file
-    * itself is never rewritten — that is the whole point. Keyed to ONE
-    * data file so a scan task loads exactly the delete entries that apply
-    * to its file (Iceberg scopes position deletes the same way). */
-  final case class DeleteFile(path: String, dataPath: String, entryCount: Long)
+  /** One immutable DELETE file — Iceberg format-v2's two merge-on-read
+    * flavors:
+    *
+    *   - `kind = "pos"` (POSITION delete): `entryCount` sorted row
+    *     positions at `path` (see [[RowFiles.writeDeletes]]) deleted from
+    *     the data file at `dataPath`. Keyed to ONE data file so a scan
+    *     task loads exactly the entries that apply to its file.
+    *   - `kind = "eq"` (EQUALITY delete): `entryCount` key tuples at
+    *     `path` (a regular data file whose columns are the key columns,
+    *     canonically named `k0..kn`); `equalityCols` holds the key
+    *     columns' FIELD IDS and `dataPath` is empty. The delete applies
+    *     to every data file whose `seq` is LOWER than this delete's `seq`
+    *     — which is exactly what lets a streaming upsert commit
+    *     delete-by-key + append WITHOUT reading the target (rows appended
+    *     in the same commit carry an equal seq and are immune).
+    *
+    * Readers skip matching rows; data files are never rewritten — that is
+    * the whole point. */
+  final case class DeleteFile(path: String, dataPath: String, entryCount: Long,
+      kind: String = "pos", equalityCols: Seq[Int] = Nil, seq: Long = 0L)
 
   /** `appendedFiles` >= 0 marks an APPEND commit whose LAST `appendedFiles`
     * entries of `files` are the newly added ones (the streaming source's
@@ -793,7 +881,10 @@ private[graft] object SnapshotStore {
       branches: Map[String, Branch] = Map.empty,
       /** The metadata-log commit number backing this state (`v<N>.json`) —
         * the CAS token of the durable commit protocol. */
-      metaVersion: Long = 0L) {
+      metaVersion: Long = 0L,
+      /** Highest FIELD ID ever assigned in this table (ids are never
+        * reused — a dropped column's id stays retired, see [[FieldIds]]). */
+      lastFieldId: Int = 0) {
     def currentFiles: Vector[DataFile] =
       if (snapshots.isEmpty) Vector.empty else snapshots.last.files
     def currentDeletes: Vector[DeleteFile] =
@@ -904,10 +995,48 @@ private[graft] object SnapshotStore {
     }
   }
 
-  /** Delete files grouped by the data file they apply to — the shape a
-    * scan needs (each file's task loads exactly its own delete entries). */
+  /** POSITION-delete files grouped by the data file they apply to — the
+    * shape a scan needs (each file's task loads exactly its own delete
+    * entries). Equality deletes are file-spanning and ride separately
+    * (see [[eqDeletes]]). */
   def deleteMap(dels: Vector[DeleteFile]): Map[String, Vector[String]] =
-    dels.groupBy(_.dataPath).map { case (dp, ds) => dp -> ds.map(_.path) }
+    dels.filter(_.kind == "pos").groupBy(_.dataPath)
+      .map { case (dp, ds) => dp -> ds.map(_.path) }
+
+  /** The equality-delete files of a delete list (scan-planning companion
+    * of [[deleteMap]]). */
+  def eqDeletes(dels: Vector[DeleteFile]): Vector[DeleteFile] =
+    dels.filter(_.kind == "eq")
+
+  /** Epoch-guarded merge-on-read DELTA commit — the streaming UPSERT
+    * sink's unit: one atomic snapshot carrying the epoch's appended data
+    * files plus an equality-delete file of its keys, WITHOUT reading the
+    * target (the appended files' seq equals the delete's, so they are
+    * immune; every older file is subject). Replayed epochs no-op exactly
+    * like [[commitEpoch]], and the replay's already-written files are
+    * deleted as orphans. */
+  def commitEpochDelta(k: String, queryId: String, epochId: Long,
+      newFiles: Vector[DataFile], newDeletes: Vector[DeleteFile]): Unit = {
+    val (before, after) = update(k) { st =>
+      if (st.epochs.get(queryId).exists(epochId <= _)) st // replayed epoch
+      else {
+        val pruned =
+          if (st.epochs.size >= 128 && !st.epochs.contains(queryId))
+            st.epochs - st.epochs.head._1
+          else st.epochs
+        st.copy(
+          snapshots = st.snapshots :+ Snapshot(st.nextVersion, nowMicros(),
+            st.currentFiles ++ newFiles.map(_.copy(seq = st.nextVersion)),
+            appendedFiles = -1, schema = st.schema,
+            deleteFiles = st.currentDeletes ++
+              newDeletes.map(_.copy(seq = st.nextVersion)),
+            operation = "delta"),
+          epochs = (pruned - queryId) + (queryId -> epochId))
+      }
+    }
+    if (before eq after)
+      RowFiles.delete(newFiles.map(_.path) ++ newDeletes.map(_.path))
+  }
 
   /** The position-delete files live AS OF `version` (companion of
     * [[filesAt]]; empty for version 0). */
@@ -969,21 +1098,31 @@ private[graft] object SnapshotStore {
           s"concurrent commit on ${dotted(k)}: the row-level rewrite read " +
             s"v$base but the table is now at v$live — rerun the statement")
       }
+      // Stamp the new files' data sequence number with the version they
+      // land in (carried files keep theirs): the ordering equality deletes
+      // and write-schema resolution key on.
+      val stamped = newFiles.map(_.copy(seq = st.nextVersion))
       val files =
-        if (!replace) st.currentFiles ++ newFiles
+        if (!replace) st.currentFiles ++ stamped
         else replacedSelector match {
-          case None => newFiles
+          case None => stamped
           case Some(sel) =>
             val retired = sel(st).map(_.path).toSet
-            st.currentFiles.filterNot(f => retired(f.path)) ++ newFiles
+            st.currentFiles.filterNot(f => retired(f.path)) ++ stamped
         }
       // Position deletes follow their data file: a surviving (carried)
       // data file keeps its delete files — they still apply — while a
       // replaced/truncated one sheds them (its rewritten successor was
       // written with the deletes APPLIED, so carrying them over would
-      // delete arbitrary rows of the new file).
+      // delete arbitrary rows of the new file). Equality deletes follow
+      // their APPLICABILITY: kept while any current file is older than
+      // the delete (new/rewritten files carry a newer seq and are immune),
+      // dropped — folded — once compaction/rewrites retire every older
+      // file.
       val surviving = files.map(_.path).toSet
-      val deletes = st.currentDeletes.filter(d => surviving(d.dataPath))
+      val deletes = st.currentDeletes.filter(d =>
+        if (d.kind == "eq") files.exists(_.seq < d.seq)
+        else surviving(d.dataPath))
       st.copy(snapshots = st.snapshots :+ Snapshot(st.nextVersion, nowMicros(), files,
         appendedFiles = if (replace) -1 else newFiles.size, schema = st.schema,
         deleteFiles = deletes,
@@ -1008,13 +1147,16 @@ private[graft] object SnapshotStore {
             s"v$base but the table is now at v$live — rerun the statement")
       }
       val known = (st.currentFiles.map(_.path) ++ newFiles.map(_.path)).toSet
-      newDeletes.find(d => !known(d.dataPath)).foreach(d =>
+      newDeletes.find(d => d.kind == "pos" && !known(d.dataPath)).foreach(d =>
         throw new IllegalStateException(
           s"delta commit on ${dotted(k)} deletes positions of unknown data " +
             s"file ${d.dataPath}"))
       st.copy(snapshots = st.snapshots :+ Snapshot(st.nextVersion, nowMicros(),
-        st.currentFiles ++ newFiles, appendedFiles = -1, schema = st.schema,
-        deleteFiles = st.currentDeletes ++ newDeletes, operation = "delta"))
+        st.currentFiles ++ newFiles.map(_.copy(seq = st.nextVersion)),
+        appendedFiles = -1, schema = st.schema,
+        deleteFiles = st.currentDeletes ++
+          newDeletes.map(_.copy(seq = st.nextVersion)),
+        operation = "delta"))
     }
     ()
   }
@@ -1028,8 +1170,10 @@ private[graft] object SnapshotStore {
       val br = st.branches.getOrElse(name, throw new IllegalStateException(
         s"branch '$name' of ${dotted(k)} does not exist (dropped concurrently?)"))
       val (headFiles, headDeletes) = br.head(st)
-      val next = Snapshot(br.base + br.snapshots.size + 1, nowMicros(),
-        headFiles ++ newFiles, appendedFiles = newFiles.size,
+      val version = br.base + br.snapshots.size + 1
+      val next = Snapshot(version, nowMicros(),
+        headFiles ++ newFiles.map(_.copy(seq = version)),
+        appendedFiles = newFiles.size,
         schema = st.schema, deleteFiles = headDeletes, operation = "append")
       st.copy(branches = st.branches.updated(name,
         br.copy(snapshots = br.snapshots :+ next)))
@@ -1063,7 +1207,8 @@ private[graft] object SnapshotStore {
           else st.epochs
         st.copy(
           snapshots = st.snapshots :+ Snapshot(st.nextVersion, nowMicros(),
-            st.currentFiles ++ newFiles, appendedFiles = newFiles.size,
+            st.currentFiles ++ newFiles.map(_.copy(seq = st.nextVersion)),
+            appendedFiles = newFiles.size,
             schema = st.schema, deleteFiles = st.currentDeletes,
             operation = "append"),
           epochs = (pruned - queryId) + (queryId -> epochId))
@@ -1373,13 +1518,14 @@ private[sources] final class MemTable(fullName: String, k: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
   {
-    val (base, deletes) = pinned match {
-      case Some(files) =>
-        (files, SnapshotStore.deleteMap(pinnedDeletes.getOrElse(Vector.empty)))
+    val (base, allDeletes) = pinned match {
+      case Some(files) => (files, pinnedDeletes.getOrElse(Vector.empty))
       case None =>
         val st = SnapshotStore.stateOf(k)
-        (st.currentFiles, SnapshotStore.deleteMap(st.currentDeletes))
+        (st.currentFiles, st.currentDeletes)
     }
+    val deletes = SnapshotStore.deleteMap(allDeletes)
+    val eqDels = SnapshotStore.eqDeletes(allDeletes)
     // `files` reader option: restrict the scan to the named data files of
     // THIS snapshot — the incremental-read hook a manifest-diffing consumer
     // (ChangeDataFeed's pruned feed) uses to touch only changed files.
@@ -1401,7 +1547,8 @@ private[sources] final class MemTable(fullName: String, k: String,
       maxVersionsPerTrigger =
         Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
       startingVersion = Option(options.get("startingVersion")),
-      splitTargetBytes = ScanSplits.targetBytes(props))
+      splitTargetBytes = ScanSplits.targetBytes(props),
+      eqDeletes = eqDels)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -1526,7 +1673,8 @@ private[sources] final class MemRowLevelOperation(
     // ordering; enforced, not just documented.
     if (!runtimeNarrowed) scanned = st.currentFiles
     new MemRowLevelScanBuilder(this, tableSchema, partCols, st.currentFiles,
-      SnapshotStore.deleteMap(st.currentDeletes))
+      SnapshotStore.deleteMap(st.currentDeletes),
+      SnapshotStore.eqDeletes(st.currentDeletes))
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new MemWriteBuilder(k, info.schema(), partCols, forceReplace = true,
@@ -1545,7 +1693,8 @@ private[sources] final class MemRowLevelOperation(
 private[sources] final class MemRowLevelScanBuilder(op: MemRowLevelOperation,
     fullSchema: StructType, partCols: PartitionPredicates.PartCols,
     files: Vector[SnapshotStore.DataFile],
-    deletes: Map[String, Vector[String]] = Map.empty)
+    deletes: Map[String, Vector[String]] = Map.empty,
+    eqDeletes: Vector[SnapshotStore.DeleteFile] = Vector.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownV2Filters {
   private val statCols = StatsPredicates.statCols(fullSchema)
@@ -1570,7 +1719,7 @@ private[sources] final class MemRowLevelScanBuilder(op: MemRowLevelOperation,
       !statsUsable.exists(
         StatsPredicates.definitelyExcludes(_, statCols, f.stats, f.rowCount)))
     if (!op.runtimeNarrowed) op.scanned = retained
-    new MemRowLevelScan(op, fullSchema, required, retained, deletes)
+    new MemRowLevelScan(op, fullSchema, required, retained, deletes, eqDeletes)
   }
 }
 
@@ -1582,7 +1731,8 @@ private[sources] final class MemRowLevelScanBuilder(op: MemRowLevelOperation,
 private[sources] final class MemRowLevelScan(op: MemRowLevelOperation,
     fullSchema: StructType, required: StructType,
     initial: Vector[SnapshotStore.DataFile],
-    deletes: Map[String, Vector[String]] = Map.empty)
+    deletes: Map[String, Vector[String]] = Map.empty,
+    eqDeletes: Vector[SnapshotStore.DeleteFile] = Vector.empty)
     extends Scan with Batch with SupportsRuntimeV2Filtering {
   private var files = initial
 
@@ -1628,7 +1778,7 @@ private[sources] final class MemRowLevelScan(op: MemRowLevelOperation,
     // Split-planned like the plain scan: `_pos` counts file-globally from
     // each slice's rowStart, so the rewrite's row identity is unaffected.
     ScanSplits.partitions(files, deletes,
-      ScanSplits.targetBytes(SnapshotStore.stateOf(op.k).properties))
+      ScanSplits.targetBytes(SnapshotStore.stateOf(op.k).properties), eqDeletes)
 
   override def createReaderFactory(): PartitionReaderFactory =
     MemReaders.factory(fullSchema, required, RowFiles.sessionConf())
@@ -1669,7 +1819,8 @@ private[sources] final class MemDeltaRowLevelOperation(
     // group filtering, because nothing is replaced.
     new MemScanBuilder(tableSchema, partCols, st.currentFiles,
       deletes = SnapshotStore.deleteMap(st.currentDeletes),
-      splitTargetBytes = ScanSplits.targetBytes(st.properties))
+      splitTargetBytes = ScanSplits.targetBytes(st.properties),
+      eqDeletes = SnapshotStore.eqDeletes(st.currentDeletes))
   }
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new MemDeltaWriteBuilder(k, info.schema(), baseVersion)
@@ -1696,7 +1847,9 @@ private[sources] final class MemDeltaBatchWrite(k: String, rowSchema: StructType
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     val st = SnapshotStore.stateOf(k)
     MemDeltaWriterFactory(rowSchema, st.partitionCols, st.dataDir,
-      RowFiles.sessionConf(), st.properties)
+      RowFiles.sessionConf(), st.properties,
+      if (rowSchema.isEmpty) Vector.empty
+      else FieldIds.writeColsFor(st.schema, rowSchema))
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.iterator.map(_.asInstanceOf[MemDeltaCommitMessage]).toVector
@@ -1722,7 +1875,7 @@ private[sources] final case class MemDeltaCommitMessage(
 private[sources] final case class MemDeltaWriterFactory(rowSchema: StructType,
     partitionCols: Seq[String], dataDir: String,
     fsConf: org.apache.spark.util.SerializableConfiguration,
-    props: Map[String, String])
+    props: Map[String, String], writeCols: Vector[(Int, String)])
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DeltaWriter[InternalRow] =
@@ -1735,7 +1888,7 @@ private[sources] final case class MemDeltaWriterFactory(rowSchema: StructType,
       private def insertWriter: DataWriter[InternalRow] = {
         if (inserts == null)
           inserts = MemWriters.writer(rowSchema, partitionCols, dataDir,
-            tag, fsConf.value, props)
+            tag, fsConf.value, props, writeCols)
         inserts
       }
       private val positions = scala.collection.mutable.LinkedHashMap
@@ -1900,7 +2053,8 @@ private[sources] final class MemStreamingWrite(k: String, writeSchema: StructTyp
       org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
     val st = SnapshotStore.stateOf(k)
     MemStreamWriterFactory(writeSchema, st.partitionCols, st.dataDir,
-      RowFiles.sessionConf(), st.properties)
+      RowFiles.sessionConf(), st.properties,
+      FieldIds.writeColsFor(st.schema, writeSchema))
   }
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.iterator
@@ -1925,7 +2079,8 @@ private[sources] final class MemBatchWrite(k: String, writeSchema: StructType,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val st = SnapshotStore.stateOf(k)
     new MemWriterFactory(writeSchema, st.partitionCols, st.dataDir,
-      RowFiles.sessionConf(), st.properties)
+      RowFiles.sessionConf(), st.properties,
+      FieldIds.writeColsFor(st.schema, writeSchema))
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.iterator
@@ -1956,13 +2111,13 @@ private[sources] final case class MemCommitMessage(files: Array[SnapshotStore.Da
 private[sources] final case class MemStreamWriterFactory(writeSchema: StructType,
     partitionCols: Seq[String], dataDir: String,
     fsConf: org.apache.spark.util.SerializableConfiguration,
-    props: Map[String, String])
+    props: Map[String, String], writeCols: Vector[(Int, String)])
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     MemWriters.writer(writeSchema, partitionCols, dataDir,
       s"e$epochId-p$partitionId-t$taskId-${UUID.randomUUID.toString.take(8)}",
-      fsConf.value, props)
+      fsConf.value, props, writeCols)
 }
 
 private[sources] object MemWriters {
@@ -1974,9 +2129,13 @@ private[sources] object MemWriters {
   def writer(writeSchema: StructType, partitionCols: Seq[String],
       dataDir: String, taskTag: String,
       conf: Configuration,
-      props: Map[String, String] = Map.empty): DataWriter[InternalRow] =
+      props: Map[String, String] = Map.empty,
+      writeCols: Vector[(Int, String)] = Vector.empty): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val format = DataFiles.formatOf(props)
+      // Stats come back keyed by write-schema NAME; the descriptor keys
+      // them by FIELD ID (stable across renames). Name → id via writeCols.
+      private val idByName: Map[String, Int] = writeCols.map(_.swap).toMap
       private val proj = UnsafeProjection.create(writeSchema)
       private val ords = partitionCols.map { c =>
         require(writeSchema.fieldNames.contains(c),
@@ -2051,8 +2210,10 @@ private[sources] object MemWriters {
       override def commit(): WriterCommitMessage = {
         val files = open.valuesIterator.map { case (w, path, pv) =>
           val meta = w.close()
-          SnapshotStore.DataFile(path, pv, w.rowCount, meta.stats,
-            meta.sizeBytes, meta.splitPoints)
+          val idStats = meta.stats.flatMap { case (n, s) =>
+            idByName.get(n).map(_ -> s) }
+          SnapshotStore.DataFile(path, pv, w.rowCount, idStats,
+            meta.sizeBytes, meta.splitPoints, writeCols = writeCols)
         }.toArray
         open.clear()
         MemCommitMessage(files)
@@ -2068,11 +2229,12 @@ private[sources] object MemWriters {
 private[sources] final class MemWriterFactory(writeSchema: StructType,
     partitionCols: Seq[String], dataDir: String,
     fsConf: org.apache.spark.util.SerializableConfiguration,
-    props: Map[String, String]) extends DataWriterFactory {
+    props: Map[String, String],
+    writeCols: Vector[(Int, String)]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     MemWriters.writer(writeSchema, partitionCols, dataDir,
       s"p$partitionId-t$taskId-${UUID.randomUUID.toString.take(8)}",
-      fsConf.value, props)
+      fsConf.value, props, writeCols)
 }
 
 /** Plain read path: column pruning plus file-level partition pruning from
@@ -2085,7 +2247,8 @@ private[sources] final class MemScanBuilder(fullSchema: StructType,
     maxVersionsPerTrigger: Option[Long] = None,
     startingVersion: Option[String] = None,
     deletes: Map[String, Vector[String]] = Map.empty,
-    splitTargetBytes: Long = ScanSplits.DefaultTargetBytes)
+    splitTargetBytes: Long = ScanSplits.DefaultTargetBytes,
+    eqDeletes: Vector[SnapshotStore.DeleteFile] = Vector.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownV2Filters {
   private val statCols = StatsPredicates.statCols(fullSchema)
@@ -2112,7 +2275,7 @@ private[sources] final class MemScanBuilder(fullSchema: StructType,
       !statsUsable.exists(
         StatsPredicates.definitelyExcludes(_, statCols, f.stats, f.rowCount)))
     new MemScan(fullSchema, required, retained, streamKey, maxVersionsPerTrigger,
-      startingVersion, deletes, partCols, splitTargetBytes)
+      startingVersion, deletes, partCols, splitTargetBytes, eqDeletes)
   }
 }
 
@@ -2123,7 +2286,12 @@ private[sources] final class MemScanBuilder(fullSchema: StructType,
   * read without opening the file. */
 private[sources] final case class MemFilePartition(path: String, rowCount: Long,
     deletePaths: Seq[String] = Nil, rowStart: Long = 0L,
-    byteStart: Long = 0L, byteEnd: Long = Long.MaxValue) extends InputPartition {
+    byteStart: Long = 0L, byteEnd: Long = Long.MaxValue,
+    writeCols: Seq[(Int, String)] = Nil,
+    /** Equality-delete files APPLICABLE to this data file (delete seq >
+      * file seq), as (path, key field ids, entry count) — the reader
+      * probes each row's key tuple against their union. */
+    eqDeletePaths: Seq[(String, Seq[Int], Long)] = Nil) extends InputPartition {
   def split: DataFiles.Split = DataFiles.Split(rowStart, rowCount, byteStart, byteEnd)
 }
 
@@ -2142,12 +2310,18 @@ private[sources] object ScanSplits {
 
   def partitions(files: Vector[SnapshotStore.DataFile],
       deletes: Map[String, Vector[String]],
-      target: Long): Array[InputPartition] =
+      target: Long,
+      eqDels: Vector[SnapshotStore.DeleteFile] = Vector.empty): Array[InputPartition] =
     files.filter(_.rowCount > 0).flatMap { f =>
       val dels = deletes.getOrElse(f.path, Vector.empty)
+      // An equality delete applies to STRICTLY OLDER files — rows appended
+      // in the delete's own commit (equal seq) are the upsert's winners.
+      val eqs = eqDels.filter(_.seq > f.seq)
+        .map(d => (d.path, d.equalityCols, d.entryCount))
       val pts = f.splitPoints
       if (pts.length <= 1 || f.sizeBytes <= 0L || f.sizeBytes <= target)
-        Vector(MemFilePartition(f.path, f.rowCount, dels): InputPartition)
+        Vector(MemFilePartition(f.path, f.rowCount, dels,
+          writeCols = f.writeCols, eqDeletePaths = eqs): InputPartition)
       else {
         // Greedily group consecutive chunks until a split reaches target.
         // Every recorded point starts a non-empty chunk, so (rowEnd >
@@ -2162,7 +2336,7 @@ private[sources] object ScanSplits {
             val rowEnd = if (i == pts.length) f.rowCount else pts(i)._1
             if (rowEnd > rowStart)
               out += MemFilePartition(f.path, rowEnd - rowStart, dels,
-                rowStart, pts(startIdx)._2, endByte)
+                rowStart, pts(startIdx)._2, endByte, f.writeCols, eqs)
             startIdx = i
           }
           i += 1
@@ -2198,9 +2372,65 @@ private[sources] object MemReaders {
     (partition: InputPartition) => {
       val part = partition.asInstanceOf[MemFilePartition]
       new PartitionReader[InternalRow] {
+        // Equality deletes probe key columns the projection may have
+        // pruned: extend the READ schema with them (streamed, never
+        // emitted) and remember each key set's ordinals in it.
+        private val readSchema = {
+          val have = dataSchema.fieldNames
+            .map(n => FieldIds.requireId(fullSchema, n)).toSet
+          val extraIds = part.eqDeletePaths.flatMap(_._2)
+            .distinct.filterNot(have)
+          StructType(dataSchema.fields ++ extraIds.map(id =>
+            fullSchema.fields.find(f => FieldIds.idOf(f).contains(id))
+              .getOrElse(sys.error(
+                s"equality-delete key field id $id is not in the scan schema"))))
+        }
+        private val proj =
+          DataFiles.projectionFor(fullSchema, readSchema, part.writeCols)
         private val stream = DataFiles.stream(part.path, part.split,
-          dataSchema, fullSchema, fsConf.value)
+          proj, fsConf.value)
         private val pathValue = UTF8String.fromString(part.path)
+        // One (ordinals, key set) per applicable equality-delete file. The
+        // delete file's columns are canonically named k0..kn in key order;
+        // values deep-copy out of the reused stream row.
+        private val eqSets: Array[(Array[Int], java.util.HashSet[Vector[Any]])] =
+          part.eqDeletePaths.toArray.map { case (delPath, keyIds, entryCount) =>
+            val idPos = readSchema.fieldNames.zipWithIndex.map { case (n, i) =>
+              FieldIds.requireId(fullSchema, n) -> i
+            }.toMap
+            val ords = keyIds.map(idPos(_)).toArray
+            val types = keyIds.map(id => readSchema.fields(idPos(id)).dataType)
+            val keyProj = DataFiles.Projection(
+              keyIds.indices.map(i => s"k$i").toArray,
+              keyIds.indices.toArray, types.toArray)
+            val set = new java.util.HashSet[Vector[Any]]()
+            val s = DataFiles.stream(delPath,
+              DataFiles.wholeFile(entryCount), keyProj, fsConf.value)
+            try {
+              var r = s.next()
+              while (r != null) {
+                set.add(types.indices.map(i =>
+                  if (r.isNullAt(i)) null
+                  else InternalRow.copyValue(r.get(i, types(i)))).toVector)
+                r = s.next()
+              }
+            } finally s.close()
+            (ords, set)
+          }
+        private def eqMatched(r: InternalRow): Boolean = {
+          var g = 0
+          while (g < eqSets.length) {
+            val (ords, set) = eqSets(g)
+            val probe = ords.indices.map { i =>
+              val o = ords(i)
+              if (r.isNullAt(o)) null
+              else r.get(o, readSchema.fields(o).dataType)
+            }.toVector
+            if (set.contains(probe)) return true
+            g += 1
+          }
+          false
+        }
         // Merge-on-read: union this data file's position-delete entries
         // (each file small by construction; several delta commits may each
         // have deleted rows of this file) and skip those positions.
@@ -2222,7 +2452,8 @@ private[sources] object MemReaders {
             cur = stream.next()
             if (cur == null) return false
             pos += 1
-            if (deleted == null || !deleted.contains(pos)) return true
+            if ((deleted == null || !deleted.contains(pos)) &&
+                (eqSets.isEmpty || !eqMatched(cur))) return true
           }
           false
         }
@@ -2266,7 +2497,8 @@ private[sources] object MemReaders {
       val part = partition.asInstanceOf[MemChangePartition]
       new PartitionReader[InternalRow] {
         private val stream = DataFiles.stream(part.path,
-          DataFiles.wholeFile(part.rowCount), streamSchema, dataSchema,
+          DataFiles.wholeFile(part.rowCount),
+          DataFiles.projectionFor(dataSchema, streamSchema, part.writeCols),
           fsConf.value)
         private val ctValue = UTF8String.fromString(part.changeType)
         private def positions(paths: Seq[String]): java.util.HashSet[java.lang.Long] =
@@ -2319,7 +2551,8 @@ private[sources] final class MemScan(fullSchema: StructType,
     startingVersion: Option[String] = None,
     deletes: Map[String, Vector[String]] = Map.empty,
     partCols: PartitionPredicates.PartCols = Map.empty,
-    splitTargetBytes: Long = ScanSplits.DefaultTargetBytes)
+    splitTargetBytes: Long = ScanSplits.DefaultTargetBytes,
+    eqDeletes: Vector[SnapshotStore.DeleteFile] = Vector.empty)
     extends Scan with Batch with SupportsRuntimeV2Filtering {
   private var files = initial
 
@@ -2356,7 +2589,7 @@ private[sources] final class MemScan(fullSchema: StructType,
       PartitionPredicates.definitelyExcludes(_, partCols, f.partitionValues)))
 
   override def planInputPartitions(): Array[InputPartition] =
-    ScanSplits.partitions(files, deletes, splitTargetBytes)
+    ScanSplits.partitions(files, deletes, splitTargetBytes, eqDeletes)
 
   override def createReaderFactory(): PartitionReaderFactory =
     MemReaders.factory(fullSchema, required, RowFiles.sessionConf())
@@ -2386,7 +2619,8 @@ private[sources] final class MemMicroBatchStream(k: String,
     maxVersionsPerTrigger: Option[Long] = None,
     startingVersion: Option[String] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   maxVersionsPerTrigger.foreach(m => require(m >= 1,
@@ -2394,10 +2628,18 @@ private[sources] final class MemMicroBatchStream(k: String,
 
   private val shown = SnapshotStore.dotted(k)
 
+  /** Trigger.AvailableNow: pin the catch-up target at prepare time so the
+    * run honors `maxVersionsPerTrigger` per batch and stops at the
+    * prepare-time head (see [[ChangesMicroBatchStream]]). */
+  @volatile private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(versionNow())
+
   private def versionNow(): Long = {
     val st = SnapshotStore.resolve(k).getOrElse(
       throw new IllegalStateException(s"streamed table dropped: $shown"))
-    if (st.snapshots.isEmpty) 0L else st.snapshots.last.version
+    val now = if (st.snapshots.isEmpty) 0L else st.snapshots.last.version
+    availableNowTarget.fold(now)(math.min(now, _))
   }
 
   /** `startingVersion` reader option (Delta's knob of the same name): the
@@ -2499,8 +2741,18 @@ private[sources] object ChangeLog {
       shown: String): Seq[MemChangePartition] = {
     def part(f: DataFile, ctype: String, skip: Seq[String]) =
       MemChangePartition(f.path, f.rowCount, ctype, cur.version,
-        cur.commitMicros, skipDeletePaths = skip)
+        cur.commitMicros, skipDeletePaths = skip, writeCols = f.writeCols)
     val curDelByData = SnapshotStore.deleteMap(cur.deleteFiles)
+    // Equality-delete commits don't record WHICH rows died (that is their
+    // write-side economy); serving their changes would need a keyed scan of
+    // every older file. Refuse loudly rather than emit an incomplete feed —
+    // compaction folds the deletes and re-opens the feed downstream.
+    val newEq = cur.deleteFiles.filter(d => d.kind == "eq" && d.seq == cur.version)
+    require(newEq.isEmpty,
+      s"commit v${cur.version} of $shown added ${newEq.size} EQUALITY-delete " +
+        "file(s); the change feed cannot reconstruct row-level deletes from " +
+        "key tuples — read the table state directly, or compact and restart " +
+        "the feed past this commit")
     val out: Seq[MemChangePartition] = cur.operation match {
       case "replace" => Nil
       case "append" =>
@@ -2527,7 +2779,7 @@ private[sources] object ChangeLog {
         val prevDelPaths = prevDels.map(_.path).toSet
         val curDelPaths = cur.deleteFiles.map(_.path).toSet
         def survived(p: String) = prevPaths(p) && curPaths(p)
-        val rowCountOf = (prevFiles ++ cur.files).map(f => f.path -> f.rowCount).toMap
+        val fileOf = (prevFiles ++ cur.files).map(f => f.path -> f).toMap
 
         val inserts = cur.files.filterNot(f => prevPaths(f.path))
           .map(f => part(f, "INSERT", curDelByData.getOrElse(f.path, Vector.empty)))
@@ -2537,14 +2789,16 @@ private[sources] object ChangeLog {
         val posDeletes = cur.deleteFiles
           .filter(d => !prevDelPaths(d.path) && survived(d.dataPath))
           .groupBy(_.dataPath).toSeq.map { case (dp, ds) =>
-            MemChangePartition(dp, rowCountOf(dp), "DELETE", cur.version,
-              cur.commitMicros, keepPositionPaths = ds.map(_.path)) }
+            MemChangePartition(dp, fileOf(dp).rowCount, "DELETE", cur.version,
+              cur.commitMicros, keepPositionPaths = ds.map(_.path),
+              writeCols = fileOf(dp).writeCols) }
         // Position deletes dropped from carried files (rollback): restored.
         val restored = prevDels
           .filter(d => !curDelPaths(d.path) && survived(d.dataPath))
           .groupBy(_.dataPath).toSeq.map { case (dp, ds) =>
-            MemChangePartition(dp, rowCountOf(dp), "INSERT", cur.version,
-              cur.commitMicros, keepPositionPaths = ds.map(_.path)) }
+            MemChangePartition(dp, fileOf(dp).rowCount, "INSERT", cur.version,
+              cur.commitMicros, keepPositionPaths = ds.map(_.path),
+              writeCols = fileOf(dp).writeCols) }
         inserts ++ fileDeletes ++ posDeletes ++ restored
     }
     out.filter(_.rowCount > 0)
@@ -2669,7 +2923,8 @@ private[sources] final class ChangesMicroBatchStream(k: String,
     dataSchema: StructType, required: StructType,
     maxVersionsPerTrigger: Option[Long], startingVersion: Option[String])
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   maxVersionsPerTrigger.foreach(m => require(m >= 1,
@@ -2677,10 +2932,19 @@ private[sources] final class ChangesMicroBatchStream(k: String,
 
   private val shown = SnapshotStore.dotted(k)
 
+  /** Trigger.AvailableNow: the catch-up TARGET is pinned at prepare time,
+    * so the run still honors `maxVersionsPerTrigger` PER BATCH (several
+    * rate-limited batches, then stop) instead of one unbounded batch —
+    * and commits landing after prepare wait for the next run. */
+  @volatile private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(versionNow())
+
   private def versionNow(): Long = {
     val st = SnapshotStore.resolve(k).getOrElse(
       throw new IllegalStateException(s"streamed table dropped: $shown"))
-    if (st.snapshots.isEmpty) 0L else st.snapshots.last.version
+    val now = if (st.snapshots.isEmpty) 0L else st.snapshots.last.version
+    availableNowTarget.fold(now)(math.min(now, _))
   }
 
   override def initialOffset(): Offset = VersionOffset(startingVersion match {
@@ -2749,7 +3013,8 @@ private[sources] final class BranchTable(display: String, k: String,
       }.toMap
     new MemScanBuilder(st.schema, partColMap, files,
       deletes = SnapshotStore.deleteMap(deletes),
-      splitTargetBytes = ScanSplits.targetBytes(st.properties))
+      splitTargetBytes = ScanSplits.targetBytes(st.properties),
+      eqDeletes = SnapshotStore.eqDeletes(deletes))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -2763,7 +3028,8 @@ private[sources] final class BranchTable(display: String, k: String,
           // Branch files land in the table's own data dir: fast-forward is
           // pure metadata, never a copy.
           new MemWriterFactory(schema(), st.partitionCols, st.dataDir,
-            RowFiles.sessionConf(), st.properties)
+            RowFiles.sessionConf(), st.properties,
+            FieldIds.writeColsFor(st.schema, schema()))
         }
         override def commit(messages: Array[WriterCommitMessage]): Unit = {
           val files = messages.iterator.map(_.asInstanceOf[MemCommitMessage])
@@ -2786,5 +3052,6 @@ private[sources] final class BranchTable(display: String, k: String,
 private[sources] final case class MemChangePartition(path: String, rowCount: Long,
     changeType: String, commitVersion: Long, commitMicros: Long,
     skipDeletePaths: Seq[String] = Nil,
-    keepPositionPaths: Seq[String] = Nil) extends InputPartition
+    keepPositionPaths: Seq[String] = Nil,
+    writeCols: Seq[(Int, String)] = Nil) extends InputPartition
 

@@ -300,10 +300,15 @@ class FileSnapshotCowSuite extends AnyFunSuite {
     spark.sql(s"UPDATE $t SET score = 9.9 WHERE id = 1")
     assert(spark.sql(s"SELECT score FROM $t WHERE id = 1").collect() ===
       Array(Row(9.9)))
-    // Unsupported evolutions fail loudly instead of corrupting layouts.
+    // Unsupported evolutions fail loudly instead of corrupting layouts:
+    // a PARTITION column cannot drop (its values are file identity), and
+    // type changes stay rejected (SchemaEvolutionSuite covers the
+    // supported rename/drop paths over field ids).
     val e = intercept[Exception](spark.sql(s"ALTER TABLE $t DROP COLUMN region"))
-    assert(e.getMessage.contains("field IDs") || e.getMessage.contains("not supported"),
-      e.getMessage)
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN score TYPE STRING"))
+    assert(e2.getMessage.contains("not supported"), e2.getMessage)
     // Table properties evolve through the same path.
     spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('write.distribution-mode'='hash')")
     val k = SnapshotStore.keyOf(cat, Seq("cow", "evo"))

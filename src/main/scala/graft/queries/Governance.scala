@@ -1014,10 +1014,57 @@ object Governance {
     },
     m09IncrementalMaint.oracle)
 
+  /** STREAMING UPSERT over EQUALITY-DELETE files (Iceberg v2's second
+    * merge-on-read flavor, [[graft.sources.SnapshotUpsert]]): three
+    * upsert batches land as delta commits that never read the target —
+    * each commits its rows as appends plus its keys as one equality-delete
+    * file applying to strictly-older data files. The final table must be
+    * exactly last-batch-wins MERGE semantics, which the oracle reproduces
+    * with a CASE over the deterministic batch membership. */
+  val m18EqualityUpsert = Q(
+    "m18_equality_upsert",
+    (s, dir) => {
+      val t = "graft_snap.gov.orders_m18"
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.gov")
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "price DOUBLE)")
+      val src = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").as("price"))
+      // Batch 1: keys ≡ 0,1 (mod 4); batch 2 REVISES ≡ 1 and adds ≡ 2;
+      // batch 3 revises ≡ 2 and adds ≡ 3. Winners: 0→b1, 1→b2, 2→b3(×3
+      // via b2's ×2? no: b3 covers ≡2,3 at ×3), see the oracle CASE.
+      import graft.sources.SnapshotUpsert
+      SnapshotUpsert.upsertBatch(t,
+        src.filter(col("o_orderkey") % 4 <= 1), Seq("o_orderkey"))
+      SnapshotUpsert.upsertBatch(t,
+        src.filter(col("o_orderkey") % 4 === 1)
+          .withColumn("price", col("price") * 2)
+          .unionAll(src.filter(col("o_orderkey") % 4 === 2)
+            .withColumn("price", col("price") * 2)),
+        Seq("o_orderkey"))
+      SnapshotUpsert.upsertBatch(t,
+        src.filter(col("o_orderkey") % 4 >= 2)
+          .withColumn("price", col("price") * 3), Seq("o_orderkey"))
+      s.table(t)
+        .groupBy((col("o_orderkey") % 4).as("bucket"))
+        .agg(count(lit(1)).as("n"), Q.dsum(col("price")).as("total"))
+        .orderBy("bucket")
+    },
+    Some("""SELECT o_orderkey % 4 AS bucket, count(*) AS n,
+        CAST(sum(CAST(o_totalprice *
+          CASE WHEN o_orderkey % 4 >= 2 THEN 3
+               WHEN o_orderkey % 4 = 1 THEN 2
+               ELSE 1 END AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY 1 ORDER BY bucket"""))
+
   val all: Seq[Q] = Seq(
     m01MergeUpsert, m02Scd2History, m03IncrementalRefresh, m04SnapshotDiff,
     m05SqlMerge, m06SqlUpdateDelete, m07TimeTravel, m08ChangeFeed,
     m09IncrementalMaint, m10PartitionedCow, m11ChangeFeedPruned,
     m12MetadataHistory, m13MergeOnRead, m14DppStar, m15ChangesRelation,
-    m16WapPublish, m17ChangesMaint, a01QualityAudit, z01ZorderLayout)
+    m16WapPublish, m17ChangesMaint, m18EqualityUpsert,
+    a01QualityAudit, z01ZorderLayout)
 }

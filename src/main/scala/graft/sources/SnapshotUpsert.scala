@@ -1,0 +1,148 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** STREAMING UPSERT into a versioned snapshot-catalog table WITHOUT
+  * reading the target — Iceberg v2's equality-delete pattern: each batch
+  * commits, as ONE merge-on-read delta snapshot, (a) its rows as new data
+  * files and (b) its keys as an equality-delete file. The delete applies
+  * to every data file with a LOWER sequence number, so older rows with the
+  * same key die and the batch's own rows (equal seq) survive — MERGE
+  * semantics at append cost, the shape a CDC upsert sink needs when the
+  * target is 100 TB and a per-batch target read would dominate the
+  * trigger interval. Reads pay the key-probe until `rewrite_data_files`
+  * folds the deletes (see [[SnapshotStore.DeleteFile]]).
+  *
+  * Exactly-once: pass `sinkId`/`epochId` (e.g. from `foreachBatch`) and a
+  * replayed epoch no-ops via the table's durable epoch watermark, its
+  * already-written files deleted as orphans. */
+object SnapshotUpsert {
+
+  /** Upsert `batch` into `table` (`catalog.db.t`) by `keyCols`. The batch
+    * must carry exactly the table's columns (any order) and UNIQUE keys —
+    * duplicate keys in one batch have no well-defined winner, exactly why
+    * SQL MERGE rejects multiple matches. */
+  def upsertBatch(table: String, batch: DataFrame, keyCols: Seq[String],
+      sinkId: String = "", epochId: Long = -1L): Unit = {
+    val parts = table.split('.').toSeq
+    require(parts.length >= 3,
+      s"upsert needs a catalog-qualified table (catalog.db.t), got '$table'")
+    val k = SnapshotStore.keyOf(parts.head, parts.tail)
+    val st = SnapshotStore.stateOf(k)
+    val tableCols = st.schema.fieldNames.toSeq
+    require(batch.columns.toSet == tableCols.toSet,
+      s"upsert batch columns ${batch.columns.mkString("(", ", ", ")")} must " +
+        s"be exactly the table's ${tableCols.mkString("(", ", ", ")")}")
+    keyCols.foreach(c => require(tableCols.contains(c),
+      s"key column $c is not a table column"))
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val aligned = batch.select(tableCols.map(col): _*)
+    st.schema.fields.zip(aligned.schema.fields).foreach { case (t, b) =>
+      require(t.dataType == b.dataType,
+        s"column ${t.name}: batch type ${b.dataType} != table type ${t.dataType}")
+    }
+    val dup = aligned.groupBy(keyCols.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"upsert batch has duplicate keys (e.g. ${dup.headOption.fold("")(_.toString)}) " +
+        "— a multi-match upsert has no well-defined winner; dedup upstream")
+
+    val keyIds = keyCols.map(c => FieldIds.requireId(st.schema, c))
+    val conf = RowFiles.sessionConf()
+    val props = st.properties
+    val writeSchema = st.schema
+    val writeCols = FieldIds.writeColsFor(st.schema, writeSchema)
+    val partitionCols = st.partitionCols
+    val dataDir = st.dataDir
+    val tag = java.util.UUID.randomUUID.toString.take(8)
+
+    // (a) Data files: the batch's rows, task-parallel through the shared
+    // partition-routing writer — the target is never opened.
+    val files = aligned.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val w = MemWriters.writer(writeSchema, partitionCols, dataDir,
+          s"ups-$tag-p$pid", conf.value, props, writeCols)
+        it.foreach(w.write)
+        Iterator.single(w.commit().asInstanceOf[MemCommitMessage].files)
+      }
+    }.collect().flatten.toVector
+
+    if (files.isEmpty) return // empty batch: nothing to delete, nothing to add
+
+    // (b) One equality-delete file per non-empty key partition, columns
+    // canonically named k0..kn in key order (rename-proof: the manifest
+    // records the key FIELD IDS; readers resolve types from them).
+    val keySchema = StructType(keyCols.zipWithIndex.map { case (c, i) =>
+      StructField(s"k$i", st.schema(c).dataType, nullable = true)
+    })
+    val keyDf = aligned.select(keyCols.map(col): _*).toDF(keySchema.fieldNames: _*)
+    val ext = DataFiles.extensionOf(DataFiles.formatOf(props))
+    val eqFiles = keyDf.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val proj = UnsafeProjection.create(keySchema)
+        val w = DataFiles.writer(s"$dataDir/ups-$tag-eq-p$pid$ext",
+          keySchema, conf.value, props)
+        var n = 0L
+        it.foreach { r => w.write(proj(r)); n += 1 }
+        w.close()
+        Iterator.single(SnapshotStore.DeleteFile(
+          s"$dataDir/ups-$tag-eq-p$pid$ext", "", n, "eq", keyIds))
+      }
+    }.collect().toVector
+
+    if (sinkId.nonEmpty && epochId >= 0L)
+      SnapshotStore.commitEpochDelta(k, sinkId, epochId, files, eqFiles)
+    else
+      SnapshotStore.commitDelta(k, files, eqFiles, expectedBase = None)
+  }
+
+  /** A `writeStream.foreachBatch` body: epoch-deduped upserts keyed by
+    * `sinkId` (pick one stable id per logical sink+checkpoint). */
+  def upserter(table: String, keyCols: Seq[String],
+      sinkId: String): (DataFrame, Long) => Unit =
+    (batch, epochId) => upsertBatch(table, batch, keyCols, sinkId, epochId)
+
+  /** Epoch-guarded plain APPEND of `batch` into `table` — the exactly-once
+    * building block a `foreachBatch` body needs when it maintains a table
+    * incrementally (a retried epoch must not double-append; the table's
+    * durable per-query epoch watermark swallows the replay and the
+    * replay's files are deleted as orphans). Column handling mirrors
+    * [[upsertBatch]]. */
+  def appendEpoch(table: String, batch: DataFrame, sinkId: String,
+      epochId: Long): Unit = {
+    require(sinkId.nonEmpty && epochId >= 0L,
+      "appendEpoch needs a sink id and a non-negative epoch")
+    val parts = table.split('.').toSeq
+    require(parts.length >= 3,
+      s"append needs a catalog-qualified table (catalog.db.t), got '$table'")
+    val k = SnapshotStore.keyOf(parts.head, parts.tail)
+    val st = SnapshotStore.stateOf(k)
+    val tableCols = st.schema.fieldNames.toSeq
+    require(batch.columns.toSet == tableCols.toSet,
+      s"batch columns ${batch.columns.mkString("(", ", ", ")")} must be " +
+        s"exactly the table's ${tableCols.mkString("(", ", ", ")")}")
+    val aligned = batch.select(tableCols.map(col): _*)
+    val conf = RowFiles.sessionConf()
+    val props = st.properties
+    val writeSchema = st.schema
+    val writeCols = FieldIds.writeColsFor(st.schema, writeSchema)
+    val partitionCols = st.partitionCols
+    val dataDir = st.dataDir
+    val tag = java.util.UUID.randomUUID.toString.take(8)
+    val files = aligned.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val w = MemWriters.writer(writeSchema, partitionCols, dataDir,
+          s"app-$tag-p$pid", conf.value, props, writeCols)
+        it.foreach(w.write)
+        Iterator.single(w.commit().asInstanceOf[MemCommitMessage].files)
+      }
+    }.collect().flatten.toVector
+    SnapshotStore.commitEpoch(k, sinkId, epochId, files)
+  }
+}

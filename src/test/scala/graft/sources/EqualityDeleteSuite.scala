@@ -1,0 +1,172 @@
+package graft.sources
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** EQUALITY-DELETE files (Iceberg v2's second merge-on-read flavor) and the
+  * streaming upsert sink built on them: a batch commits delete-by-key +
+  * append in ONE snapshot WITHOUT reading the target — the delete applies
+  * to data files with a lower sequence number, so the batch's own rows are
+  * immune and every older row with a matching key dies at read time. */
+class EqualityDeleteSuite extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val cat = "graft_snap"
+
+  private def fresh(name: String): String = {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.eqd")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.eqd.$name")
+    s"$cat.eqd.$name"
+  }
+  private def keyOf(name: String) = SnapshotStore.keyOf(cat, Seq("eqd", name))
+
+  private def batchDf(rows: (Long, String, Double)*) = {
+    import spark.implicits._
+    rows.toDF("id", "name", "score")
+  }
+
+  test("upsertBatch = MERGE semantics at append cost: no target file is " +
+      "read or rewritten, older keys die, batch rows win") {
+    val t = fresh("ups")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, name STRING, score DOUBLE)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 1.0), (2, 'b', 2.0), (3, 'c', 3.0)")
+    val v1Files = SnapshotStore.stateOf(keyOf("ups")).currentFiles.map(_.path).toSet
+    SnapshotUpsert.upsertBatch(t, batchDf((2L, "B", 20.0), (4L, "d", 4.0)), Seq("id"))
+    val st = SnapshotStore.stateOf(keyOf("ups"))
+    // Every v1 data file is still live — nothing was rewritten.
+    assert(v1Files.subsetOf(st.currentFiles.map(_.path).toSet))
+    val eqs = SnapshotStore.eqDeletes(st.currentDeletes)
+    assert(eqs.nonEmpty && eqs.forall(_.seq == 2L), eqs.toString)
+    assert(spark.sql(s"SELECT id, name, score FROM $t ORDER BY id").collect().toSeq ===
+      Seq(Row(1L, "a", 1.0), Row(2L, "B", 20.0), Row(3L, "c", 3.0), Row(4L, "d", 4.0)))
+    // Time travel to v1 is untouched by the later delete (seq ordering).
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 1")
+      .collect().head.getLong(0) === 3L)
+  }
+
+  test("chained upserts: each batch's delete applies to everything older, " +
+      "never to its own rows") {
+    val t = fresh("chain")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, name STRING, score DOUBLE)")
+    SnapshotUpsert.upsertBatch(t, batchDf((1L, "a", 1.0), (2L, "b", 2.0)), Seq("id"))
+    SnapshotUpsert.upsertBatch(t, batchDf((1L, "A", 10.0), (3L, "c", 3.0)), Seq("id"))
+    SnapshotUpsert.upsertBatch(t, batchDf((3L, "C", 30.0)), Seq("id"))
+    assert(spark.sql(s"SELECT id, name, score FROM $t ORDER BY id").collect().toSeq ===
+      Seq(Row(1L, "A", 10.0), Row(2L, "b", 2.0), Row(3L, "C", 30.0)))
+  }
+
+  test("mixed position + equality deletes compose; compaction folds BOTH " +
+      "and further history stays healthy") {
+    val t = fresh("mixed")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, name STRING, score DOUBLE) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 1.0), (2, 'b', 2.0), (3, 'c', 3.0)")
+    SnapshotUpsert.upsertBatch(t, batchDf((2L, "B", 20.0)), Seq("id"))
+    spark.sql(s"DELETE FROM $t WHERE id = 3") // positional MOR delete
+    assert(spark.sql(s"SELECT id, name FROM $t ORDER BY id").collect().toSeq ===
+      Seq(Row(1L, "a"), Row(2L, "B")))
+    val preCompact = SnapshotStore.stateOf(keyOf("mixed")).currentDeletes
+    assert(preCompact.exists(_.kind == "eq") && preCompact.exists(_.kind == "pos"))
+    spark.sql(s"CALL $cat.system.rewrite_data_files('eqd.mixed')")
+    val st = SnapshotStore.stateOf(keyOf("mixed"))
+    assert(st.currentDeletes.isEmpty, "compaction must fold both delete kinds")
+    assert(spark.sql(s"SELECT id, name FROM $t ORDER BY id").collect().toSeq ===
+      Seq(Row(1L, "a"), Row(2L, "B")))
+    // Post-compaction upserts keep working (fresh seqs beat folded files).
+    SnapshotUpsert.upsertBatch(t, batchDf((1L, "A2", 100.0)), Seq("id"))
+    assert(spark.sql(s"SELECT name FROM $t WHERE id = 1").collect().toSeq ===
+      Seq(Row("A2")))
+  }
+
+  test("a COW UPDATE over a table with live equality deletes does not " +
+      "resurrect deleted rows") {
+    val t = fresh("cow")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, name STRING, score DOUBLE)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    SnapshotUpsert.upsertBatch(t, batchDf((2L, "B", 20.0)), Seq("id"))
+    spark.sql(s"UPDATE $t SET score = score + 0.5 WHERE id <= 2")
+    assert(spark.sql(s"SELECT id, name, score FROM $t ORDER BY id").collect().toSeq ===
+      Seq(Row(1L, "a", 1.5), Row(2L, "B", 20.5)))
+  }
+
+  test("equality deletes survive the metadata log (restart) with kind, key " +
+      "ids, and seq intact") {
+    val t = fresh("dur")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, name STRING, score DOUBLE)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    SnapshotUpsert.upsertBatch(t, batchDf((1L, "A", 10.0)), Seq("id"))
+    val before = SnapshotStore.eqDeletes(
+      SnapshotStore.stateOf(keyOf("dur")).currentDeletes)
+    SnapshotStore.tables.clear()
+    val after = SnapshotStore.eqDeletes(
+      SnapshotStore.stateOf(keyOf("dur")).currentDeletes)
+    assert(after === before)
+    assert(spark.sql(s"SELECT name FROM $t ORDER BY id").collect().toSeq ===
+      Seq(Row("A"), Row("b")))
+  }
+
+  test("upserts stay correct across a key-column RENAME (field ids, not names)") {
+    val t = fresh("ren")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, name STRING, score DOUBLE)")
+    SnapshotUpsert.upsertBatch(t, batchDf((1L, "a", 1.0), (2L, "b", 2.0)), Seq("id"))
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN id TO pk")
+    import spark.implicits._
+    val b2 = Seq((2L, "B", 20.0)).toDF("pk", "name", "score")
+    SnapshotUpsert.upsertBatch(t, b2, Seq("pk"))
+    assert(spark.sql(s"SELECT pk, name FROM $t ORDER BY pk").collect().toSeq ===
+      Seq(Row(1L, "a"), Row(2L, "B")))
+  }
+
+  test("the change feed refuses equality-delete commits loudly (their row " +
+      "deletes are not reconstructible), instead of emitting an incomplete feed") {
+    val t = fresh("cdf")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, name STRING, score DOUBLE)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 1.0)")
+    SnapshotUpsert.upsertBatch(t, batchDf((1L, "A", 10.0)), Seq("id"))
+    val e = intercept[Exception](
+      spark.read.option("startingVersion", 1).option("endingVersion", 2)
+        .table(s"$t.changes").collect())
+    assert(e.getMessage.contains("EQUALITY-delete"), e.getMessage)
+    // The pre-upsert range still serves.
+    assert(spark.read.option("startingVersion", 1).option("endingVersion", 1)
+      .table(s"$t.changes").count() === 1L)
+  }
+
+  test("duplicate keys in one batch are refused (no well-defined winner)") {
+    val t = fresh("dup")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, name STRING, score DOUBLE)")
+    val e = intercept[Exception](SnapshotUpsert.upsertBatch(
+      t, batchDf((1L, "a", 1.0), (1L, "b", 2.0)), Seq("id")))
+    assert(e.getMessage.contains("duplicate keys"), e.getMessage)
+    assert(SnapshotStore.stateOf(keyOf("dup")).snapshots.isEmpty)
+  }
+
+  test("streaming upsert sink: foreachBatch upserter is exactly-once per " +
+      "epoch and end-to-end MERGE-correct") {
+    val t = fresh("stream")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, name STRING, score DOUBLE)")
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String, Double)]
+    val q = in.toDF().toDF("id", "name", "score").writeStream
+      .foreachBatch(SnapshotUpsert.upserter(t, Seq("id"), sinkId = "eqd-stream"))
+      .option("checkpointLocation",
+        s"${System.getProperty("java.io.tmpdir")}/eqd-stream-ckpt-${System.nanoTime()}")
+      .start()
+    try {
+      in.addData((1L, "a", 1.0), (2L, "b", 2.0))
+      q.processAllAvailable()
+      in.addData((2L, "B", 20.0), (3L, "c", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.sql(s"SELECT id, name FROM $t ORDER BY id").collect().toSeq ===
+      Seq(Row(1L, "a"), Row(2L, "B"), Row(3L, "c")))
+    // A replayed epoch no-ops: same sink id, already-watermarked epoch.
+    SnapshotUpsert.upsertBatch(t, batchDf((9L, "ghost", 9.0)),
+      Seq("id"), sinkId = "eqd-stream", epochId = 0L)
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE id = 9")
+      .collect().head.getLong(0) === 0L)
+  }
+}

@@ -31,9 +31,29 @@ final case class PipelineSpec(
     sinkMode: Option[String] = None,
     sinkBranch: Option[String] = None,
     sinkPublish: Option[Boolean] = None,
-    sinkAudit: Option[String] = None) {
+    sinkAudit: Option[String] = None,
+    /** `changes: true` — the source is a VERSIONED catalog table consumed
+      * INCREMENTALLY through its `.changes` stream: each trigger reads
+      * only the new commits (O(changed) source IO), maintains a mirror of
+      * the accumulated corpus, and refreshes the sink with the steps
+      * recomputed over it — so the published sink always equals the batch
+      * pipeline over everything ingested so far. */
+    sourceChanges: Boolean = false,
+    sourceStartingVersion: Option[Long] = None,
+    /** Streaming admission control: at most this many source COMMITS per
+      * trigger (rate-limits the refresh cadence against a bursty source). */
+    sourceMaxVersionsPerTrigger: Option[Long] = None) {
   require(name.nonEmpty, "pipeline name must be non-empty")
   require(sourceTable.nonEmpty, s"$name: source table must be non-empty")
+  require(!sourceChanges || sourceTable.split('.').length >= 3,
+    s"$name: a changes source needs a catalog-qualified versioned table " +
+      s"(catalog.db.t), got '$sourceTable'")
+  require(!sourceChanges || sinkTable.isDefined,
+    s"$name: a changes source refreshes a catalog 'table' sink")
+  require(sourceStartingVersion.isEmpty || sourceChanges,
+    s"$name: source 'starting_version' needs 'changes: true'")
+  require(sourceMaxVersionsPerTrigger.isEmpty || sourceChanges,
+    s"$name: source 'max_versions_per_trigger' needs 'changes: true'")
   require(steps.nonEmpty, s"$name: at least one step required")
   require(sinkFormat.isDefined == sinkPath.isDefined,
     s"$name: a path sink needs both 'format' and 'path'")
@@ -88,12 +108,25 @@ object PipelineSpec {
     require(root != null, "empty YAML document")
     val m = root.asScala
 
-    val source = m.get("source") match {
+    val sourceMap = m.get("source") match {
       case Some(sm: java.util.Map[_, _]) =>
-        sm.asScala.map { case (k, v) => k.toString -> v.toString }
-          .getOrElse("table", sys.error("source missing 'table'"))
+        sm.asScala.map { case (k, v) => k.toString -> v.toString }.toMap
       case _ => sys.error("spec missing 'source' map")
     }
+    val unknownSrc = sourceMap.keySet --
+      Set("table", "changes", "starting_version", "max_versions_per_trigger")
+    require(unknownSrc.isEmpty,
+      s"unknown source key(s) ${unknownSrc.mkString(", ")}; " +
+        "known: table, changes, starting_version, max_versions_per_trigger")
+    val source = sourceMap.getOrElse("table", sys.error("source missing 'table'"))
+    val changes = sourceMap.get("changes") match {
+      case None => false
+      case Some("true") => true
+      case Some("false") => false
+      case Some(other) => sys.error(s"source changes must be true or false, got '$other'")
+    }
+    def srcLong(key: String): Option[Long] = sourceMap.get(key).map(v =>
+      v.toLongOption.getOrElse(sys.error(s"source $key must be a number, got '$v'")))
     val steps = m.get("steps") match {
       case Some(l: java.util.List[_]) =>
         l.asScala.toSeq.map {
@@ -137,7 +170,10 @@ object PipelineSpec {
       sinkMode = mode,
       sinkBranch = branch,
       sinkPublish = publish,
-      sinkAudit = audit)
+      sinkAudit = audit,
+      sourceChanges = changes,
+      sourceStartingVersion = srcLong("starting_version"),
+      sourceMaxVersionsPerTrigger = srcLong("max_versions_per_trigger"))
   }
 
   def fromYamlFile(path: String): PipelineSpec =

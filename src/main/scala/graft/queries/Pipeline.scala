@@ -771,9 +771,59 @@ object Pipeline {
       ORDER BY doc_id"""
     })
 
+  /** CURATION OVER CHANGES, spec-driven (the declarative plane's
+    * incremental flagship): the documents corpus lands in a versioned
+    * catalog table across THREE commits; a YAML spec with
+    * `source: {changes: true, max_versions_per_trigger: 1}` streams the
+    * table's `.changes` relation one commit per trigger — each trigger
+    * reads only the new commit's files — maintains the accumulated mirror
+    * exactly-once, and refreshes the sink with p03's stages recomputed
+    * over it. After catch-up the sink must be ROW-IDENTICAL to the batch
+    * p03 pipeline on the same corpus (same oracle), proving commit slicing
+    * never leaks into the published result. */
+  val p04ChangesCuration = Q(
+    "p04_changes_curation",
+    (s, dir) => {
+      val src = "graft_snap.pipe.docs_src"
+      val sink = "graft_snap.pipe.docs_curated"
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.pipe")
+      Seq(src, sink, s"${sink}_mirror").foreach(t =>
+        s.sql(s"DROP TABLE IF EXISTS $t"))
+      s.sql(s"CREATE TABLE $src (doc_id BIGINT, text STRING)")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      (0 to 2).foreach(i =>
+        docs.filter(col("doc_id") % 3 === i).writeTo(src).append())
+      val spec = graft.catalog.PipelineSpec.fromYaml(
+        s"""pipeline: changes_curation
+           |source:
+           |  table: $src
+           |  changes: true
+           |  max_versions_per_trigger: 1
+           |steps:
+           |  - op: near_dup_drop
+           |  - op: span_removal
+           |  - op: quality_gate
+           |    min_score: 0.5
+           |  - op: lang_id
+           |  - op: token_count
+           |  - op: temperature_mix
+           |sink:
+           |  table: $sink
+           |""".stripMargin)
+      val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-p04-ckpt-" +
+        java.util.UUID.randomUUID
+      new PipelineRunner(s).runChanges(spec, ckpt).awaitTermination()
+      s.table(sink)
+        .selectExpr("doc_id", "lang", "n_tokens", "round(p_incl, 6) AS p_incl")
+        .orderBy("doc_id")
+    },
+    p03CurationPipeline.oracle)
+
   val all: Seq[Q] = Seq(
     c01DocChunks, c02TfidfTopTerms, c03Bm25TopTerms, c04UnigramXent,
     p01SequencePacking, p02CurationFunnel, p03CurationPipeline,
+    p04ChangesCuration,
     s01StratifiedSample, s02WeightedSample, x01MixtureRebalance,
     x02TemperatureSample, k01KmeansAssign, k02KmeansClusters,
     k03ClusterDiverseSample)

@@ -308,4 +308,68 @@ sink:
         "pipeline: p\nsource:\n  table: region\nsteps:\n  - op: lang_id\n"), dir))
     assert(missingCol.getMessage.contains("requires column"))
   }
+
+  test("changes-source spec: rate-limited incremental curation refreshes the " +
+    "sink to the batch answer; the checkpoint resumes past restarts") {
+    val src = "graft_snap.pipe.chg_src"
+    val sink = "graft_snap.pipe.chg_out"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.pipe")
+    Seq(src, sink, s"${sink}_mirror").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.sql(s"CREATE TABLE $src (doc_id BIGINT, text STRING)")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .filter(col("doc_id") < 90)
+    docs.filter(col("doc_id") % 2 === 0).writeTo(src).append() // commit 1
+    docs.filter(col("doc_id") % 2 === 1).writeTo(src).append() // commit 2
+    val spec = PipelineSpec.fromYaml(
+      s"""pipeline: chg_curation
+         |source:
+         |  table: $src
+         |  changes: true
+         |  max_versions_per_trigger: 1
+         |steps:
+         |  - op: quality_gate
+         |    min_score: 0.4
+         |  - op: lang_id
+         |  - op: token_count
+         |sink:
+         |  table: $sink
+         |""".stripMargin)
+    assert(spec.sourceChanges && spec.sourceMaxVersionsPerTrigger === Some(1L))
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-chg-ckpt-" +
+      java.util.UUID.randomUUID
+    new PipelineRunner(spark).runChanges(spec, ckpt).awaitTermination()
+    def batchAnswer() = docs
+      .filter(TextOps.qualityScore(col("text")) >= 0.4)
+      .withColumn("lang", TextOps.predictedLang(col("text")))
+      .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("long"))
+      .collect().toSet
+    assert(spark.table(sink).collect().toSet === batchAnswer())
+    assert(spark.table(sink).count() > 0)
+    // A third commit lands while the stream is DOWN; resuming from the
+    // checkpoint picks up exactly the new commit and refreshes again.
+    val late = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .filter(col("doc_id") >= 90 && col("doc_id") < 120)
+    late.writeTo(src).append() // commit 3
+    new PipelineRunner(spark).runChanges(spec, ckpt).awaitTermination()
+    val expected = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .filter(col("doc_id") < 120)
+      .filter(TextOps.qualityScore(col("text")) >= 0.4)
+      .withColumn("lang", TextOps.predictedLang(col("text")))
+      .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("long"))
+      .collect().toSet
+    assert(spark.table(sink).collect().toSet === expected)
+    // Source-key typos and misuse fail eagerly at parse.
+    intercept[RuntimeException](PipelineSpec.fromYaml(
+      "pipeline: p\nsource:\n  table: a.b.c\n  change: true\nsteps:\n  - op: lang_id\n"))
+    intercept[IllegalArgumentException](PipelineSpec.fromYaml(
+      "pipeline: p\nsource:\n  table: documents\n  changes: true\n" +
+        "steps:\n  - op: lang_id\nsink:\n  table: a.b.c\n"))
+    intercept[IllegalArgumentException](PipelineSpec.fromYaml(
+      "pipeline: p\nsource:\n  table: a.b.c\n  changes: true\n" +
+        "steps:\n  - op: lang_id\n"))
+  }
 }

@@ -221,7 +221,7 @@ private[sources] final class FilesMetaTable(name0: String, parentKey: String)
             st.currentFiles.size > FilesMetaTable.localThreshold(st.properties))
           new DistributedFilesScan(st.dataDir, chunks.get, st.partitionCols,
             st.partitionCols.map(c => st.schema(c).dataType),
-            st.schema.fields.map(f => f.name -> f.dataType).toMap,
+            MetadataLog.colCtxOf(st.schema),
             st.currentDeletes.map(d => (d.path, d.entryCount)).toArray)
         else new LocalScan {
           override def readSchema(): StructType = FilesMetaTable.FilesSchema
@@ -245,7 +245,7 @@ private[sources] final class FilesMetaTable(name0: String, parentKey: String)
 
 private[sources] final case class ManifestChunkPartition(dataDir: String,
     chunkName: String, partitionCols: Seq[String], pvTypes: Seq[DataType],
-    colTypes: Map[String, DataType])
+    ctx: MetadataLog.ColCtx)
   extends org.apache.spark.sql.connector.read.InputPartition
 
 private[sources] final case class DeleteEntriesPartition(
@@ -254,7 +254,7 @@ private[sources] final case class DeleteEntriesPartition(
 
 private[sources] final class DistributedFilesScan(dataDir: String,
     chunks: Vector[String], partitionCols: Seq[String], pvTypes: Seq[DataType],
-    colTypes: Map[String, DataType], deletes: Array[(String, Long)])
+    ctx: MetadataLog.ColCtx, deletes: Array[(String, Long)])
     extends Scan with org.apache.spark.sql.connector.read.Batch {
   override def readSchema(): StructType = FilesMetaTable.FilesSchema
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
@@ -263,7 +263,7 @@ private[sources] final class DistributedFilesScan(dataDir: String,
   override def planInputPartitions():
       Array[org.apache.spark.sql.connector.read.InputPartition] =
     chunks.map(c => ManifestChunkPartition(dataDir, c, partitionCols, pvTypes,
-      colTypes): org.apache.spark.sql.connector.read.InputPartition).toArray ++
+      ctx): org.apache.spark.sql.connector.read.InputPartition).toArray ++
       (if (deletes.isEmpty) Nil else Seq(DeleteEntriesPartition(deletes):
         org.apache.spark.sql.connector.read.InputPartition))
   override def createReaderFactory():
@@ -278,8 +278,8 @@ private[sources] final case class FilesChunkReaderFactory(
       p: org.apache.spark.sql.connector.read.InputPartition):
       org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
     val it: Iterator[InternalRow] = p match {
-      case ManifestChunkPartition(dataDir, chunk, partCols, pvTypes, colTypes) =>
-        MetadataLog.readChunkFiles(dataDir, chunk, pvTypes, colTypes, conf.value)
+      case ManifestChunkPartition(dataDir, chunk, partCols, pvTypes, ctx) =>
+        MetadataLog.readChunkFiles(dataDir, chunk, pvTypes, ctx, conf.value)
           .iterator.map(f => new GenericInternalRow(Array[Any](
             UTF8String.fromString("data"), UTF8String.fromString(f.path),
             FilesMetaTable.partitionString(partCols, f.partitionValues),

@@ -156,6 +156,15 @@ final class PipelineRunner(spark: SparkSession) {
       sys.error(s"${spec.name}: a changes run refreshes a catalog table sink"))
     val mirror = s"${sink}_mirror"
     val srcCols = spark.table(spec.sourceTable).columns
+    // A FRESH checkpoint replays the feed from its start; a surviving
+    // mirror from an earlier run would then double-ingest every commit.
+    // The checkpoint owns the stream's identity, so a fresh one restarts
+    // the mirror too (epoch replay-dedup is likewise checkpoint-scoped).
+    val ckptPath = new org.apache.hadoop.fs.Path(checkpointDir)
+    val ckptFresh =
+      !ckptPath.getFileSystem(spark.sessionState.newHadoopConf()).exists(ckptPath)
+    if (ckptFresh && spark.catalog.tableExists(mirror))
+      spark.sql(s"DROP TABLE $mirror")
     if (!spark.catalog.tableExists(mirror))
       spark.table(spec.sourceTable).limit(0).writeTo(mirror).create()
     var reader = spark.readStream
@@ -173,11 +182,23 @@ final class PipelineRunner(spark: SparkSession) {
             s"commit range delivered ${kinds.mkString(", ")} — deletions need " +
             "retraction logic no curation operator defines")
         val rows = batch.select(srcCols.head, srcCols.tail: _*)
-        graft.sources.SnapshotUpsert.appendEpoch(
-          mirror, rows, s"pipeline:${spec.name}", epochId)
-        val curated = spec.steps.foldLeft(spark.table(mirror))(applyStep)
-        if (!spark.catalog.tableExists(sink)) curated.writeTo(sink).create()
-        else curated.writeTo(sink).overwrite(lit(true))
+        // The replay guard keys on spec AND checkpoint: a fresh checkpoint
+        // restarts epoch numbering at 0, and a spec-name-only id would
+        // swallow its first batches as "replays" of the previous run.
+        val sinkId = s"pipeline:${spec.name}:" +
+          java.util.UUID.nameUUIDFromBytes(
+            checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .toString.take(8)
+        graft.sources.SnapshotUpsert.appendEpoch(mirror, rows, sinkId, epochId)
+        // The refresh reads the accumulated corpus several times (near-dup,
+        // span stats, gate features) — pin it for the duration.
+        val corpus = spark.table(mirror).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val curated = spec.steps.foldLeft(corpus: DataFrame)(applyStep)
+          if (!spark.catalog.tableExists(sink)) curated.writeTo(sink).create()
+          else curated.writeTo(sink).overwrite(lit(true))
+        } finally corpus.unpersist()
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -67,11 +67,15 @@ private[sources] object MetadataLog {
 
   def metaDir(dataDir: String): Path = new Path(dataDir, "metadata")
 
-  /** Is `path` part of the metadata log (vN.json / manifests)? Orphan-file
-    * GC must never judge these: they are referenced by the log structure
-    * itself, not by manifests. */
-  def isMetadataPath(dataDir: String, qualifiedPath: String): Boolean =
-    qualifiedPath.contains("/metadata/")
+  /** Is `path` inside THIS table's metadata log (vN.json / manifests)?
+    * Orphan-file GC must never judge these: they are referenced by the log
+    * structure itself, not by manifests. Both arguments must be
+    * fs-qualified the same way — and the check is anchored at the table
+    * dir, so the data files of a table merely NAMED (or namespaced)
+    * "metadata" are still GC-eligible. */
+  def isMetadataPath(qualifiedDataDir: String, qualifiedPath: String): Boolean =
+    qualifiedPath.startsWith(
+      qualifiedDataDir.stripSuffix("/") + "/metadata/")
 
   private def fsOf(p: Path): FileSystem =
     p.getFileSystem(RowFiles.sessionConf().value)
@@ -196,10 +200,13 @@ private[sources] object MetadataLog {
     // Stats are keyed by FIELD ID (stable across renames); an id the
     // current schema no longer types (dropped column) is unserializable —
     // skipped, losing stats, never correctness.
+    // Keys are "#<field id>" — the '#' marks the id keyspace so a LEGACY
+    // name-keyed entry whose column is literally named like a number can
+    // never be misread as an id (and vice versa).
     val statsJson: JValue = JObject(f.stats.toList.collect {
       case (id, s) if ctx.byId.contains(id) =>
         val dt = ctx.byId(id)
-        id.toString -> (JArray(List(pvToJson(dt, s.min), pvToJson(dt, s.max),
+        s"#$id" -> (JArray(List(pvToJson(dt, s.min), pvToJson(dt, s.max),
           JLong(s.nulls))): JValue)
     })
     JArray(List(
@@ -227,7 +234,11 @@ private[sources] object MetadataLog {
     val stats =
       if (es.length < 4) Map.empty[Int, SnapshotStore.ColStats]
       else jObj(es(3)).flatMap { case (key, v) =>
-        val id = key.toIntOption.orElse(ctx.nameToId.get(key.toLowerCase))
+        // "#<id>" = the id keyspace; anything else is a legacy NAME key
+        // resolved through the schema (see statsJson's keyspace note).
+        val id =
+          if (key.startsWith("#")) key.drop(1).toIntOption
+          else ctx.nameToId.get(key.toLowerCase)
         id.filter(ctx.byId.contains).map { i =>
           val dt = ctx.byId(i)
           val vs = jArr(v)

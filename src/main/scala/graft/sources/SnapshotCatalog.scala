@@ -343,12 +343,17 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     val (idSchema, lastId) = FieldIds.assign(FieldIds.strip(schema))
     require(idSchema.fields.flatMap(FieldIds.idOf).distinct.length ==
       idSchema.length, s"internal: duplicate field ids in $idSchema")
+    // Validate the write format NOW (the ALTER path already does): a bad
+    // value must not sit latent until the first write task trips it.
+    DataFiles.formatOf(props)
     val persisted = MetadataLog.createInitial(
       SnapshotStore.TableState(idSchema, partCols, dataDir, props, Vector.empty,
         lastFieldId = lastId))
       .getOrElse(throw new TableAlreadyExistsException(ident))
-    if (SnapshotStore.tables.putIfAbsent(k, persisted).isDefined)
-      throw new TableAlreadyExistsException(ident)
+    // The DISK claim (createInitial) decided existence; the cache insert
+    // must tolerate a concurrent reader having already loaded OUR v1.json
+    // — putIfAbsent-then-throw would report failure for a create that won.
+    SnapshotStore.cachePutNewer(k, persisted)
     new MemTable(ident.toString, k, idSchema, partCols, props, pinned = None)
   }
 
@@ -433,6 +438,19 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
               require(cur.schema.length > 1,
                 s"cannot drop $colName: a table needs at least one column")
               requireIdCoverage(cur, s"DROP COLUMN $colName")
+              // A LIVE equality delete keyed on this column would make every
+              // subsequent scan of older files fail (the reader must probe
+              // the key id) — reject now, while the statement can still be
+              // reordered after a compaction folds the deletes.
+              val colId = FieldIds.requireId(cur.schema, colName)
+              val liveEq = (cur.currentDeletes ++
+                cur.branches.values.flatMap(_.snapshots.lastOption
+                  .toSeq.flatMap(_.deleteFiles)))
+                .filter(d => d.kind == "eq" && d.equalityCols.contains(colId))
+              require(liveEq.isEmpty,
+                s"cannot drop $colName: ${liveEq.size} live equality-delete " +
+                  "file(s) key on it — run CALL <catalog>.system." +
+                  "rewrite_data_files first to fold them")
               cur.copy(schema = org.apache.spark.sql.types.StructType(
                 cur.schema.fields.patch(idx, Nil, 1)))
             }
@@ -668,8 +686,10 @@ object SnapshotCatalog {
       .map(f => qualified(f.getPath.toString))
       // The metadata log (v<N>.json + manifests) is referenced by the log
       // STRUCTURE, not by manifests — a GC that judged it by manifest
-      // reference would delete the table's own commit history.
-      .filterNot(p => MetadataLog.isMetadataPath(dir.toString, p))
+      // reference would delete the table's own commit history. Both sides
+      // qualified: a substring match would also shield the DATA of any
+      // table merely named/namespaced "metadata".
+      .filterNot(p => MetadataLog.isMetadataPath(qualified(dir.toString), p))
       .toVector
     // Capture the referenced set AFTER the (potentially long) listing: any
     // commit landing mid-listing is then in the set before its files could
@@ -920,7 +940,7 @@ private[graft] object SnapshotStore {
 
   /** Cache `st` unless a NEWER metadata version is already cached — a
     * slow thread's put must never regress reads behind a committed state. */
-  private def cachePutNewer(k: String, st: TableState): Unit = {
+  private[sources] def cachePutNewer(k: String, st: TableState): Unit = {
     while (true) {
       tables.get(k) match {
         case Some(cur) if cur.metaVersion >= st.metaVersion => return
@@ -2347,6 +2367,37 @@ private[sources] object ScanSplits {
 }
 
 private[sources] object MemReaders {
+  /** JVM-wide soft cache of equality-delete key sets, keyed by file path —
+    * sound because delete files are IMMUTABLE once committed. Soft
+    * references let the sets go under memory pressure (they reload). */
+  private val eqSetCache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.lang.ref.SoftReference[java.util.HashSet[Vector[Any]]]]()
+
+  def eqDeleteSet(path: String, entryCount: Long,
+      types: Array[org.apache.spark.sql.types.DataType],
+      conf: Configuration): java.util.HashSet[Vector[Any]] = {
+    val cached = Option(eqSetCache.get(path)).flatMap(r => Option(r.get()))
+    cached.getOrElse {
+      val keyProj = DataFiles.Projection(
+        types.indices.map(i => s"k$i").toArray,
+        types.indices.toArray, types)
+      val set = new java.util.HashSet[Vector[Any]]()
+      val s = DataFiles.stream(path,
+        DataFiles.wholeFile(entryCount), keyProj, conf)
+      try {
+        var r = s.next()
+        while (r != null) {
+          set.add(types.indices.map(i =>
+            if (r.isNullAt(i)) null
+            else InternalRow.copyValue(r.get(i, types(i)))).toVector)
+          r = s.next()
+        }
+      } finally s.close()
+      eqSetCache.put(path, new java.lang.ref.SoftReference(set))
+      set
+    }
+  }
+
   /** Shared batch/streaming reader factory: data columns come from the
     * file through a format-dispatched [[DataFiles.DataStream]] (parquet
     * decodes only the requested columns; narrow pre-ALTER files pad NULL),
@@ -2392,7 +2443,9 @@ private[sources] object MemReaders {
         private val pathValue = UTF8String.fromString(part.path)
         // One (ordinals, key set) per applicable equality-delete file. The
         // delete file's columns are canonically named k0..kn in key order;
-        // values deep-copy out of the reused stream row.
+        // sets are shared JVM-wide per immutable file (several splits and
+        // several data files of one scan all probe the same delete file —
+        // loading it once per task would be O(splits × delete bytes) IO).
         private val eqSets: Array[(Array[Int], java.util.HashSet[Vector[Any]])] =
           part.eqDeletePaths.toArray.map { case (delPath, keyIds, entryCount) =>
             val idPos = readSchema.fieldNames.zipWithIndex.map { case (n, i) =>
@@ -2400,22 +2453,8 @@ private[sources] object MemReaders {
             }.toMap
             val ords = keyIds.map(idPos(_)).toArray
             val types = keyIds.map(id => readSchema.fields(idPos(id)).dataType)
-            val keyProj = DataFiles.Projection(
-              keyIds.indices.map(i => s"k$i").toArray,
-              keyIds.indices.toArray, types.toArray)
-            val set = new java.util.HashSet[Vector[Any]]()
-            val s = DataFiles.stream(delPath,
-              DataFiles.wholeFile(entryCount), keyProj, fsConf.value)
-            try {
-              var r = s.next()
-              while (r != null) {
-                set.add(types.indices.map(i =>
-                  if (r.isNullAt(i)) null
-                  else InternalRow.copyValue(r.get(i, types(i)))).toVector)
-                r = s.next()
-              }
-            } finally s.close()
-            (ords, set)
+            (ords, MemReaders.eqDeleteSet(delPath, entryCount,
+              types.toArray, fsConf.value))
           }
         private def eqMatched(r: InternalRow): Boolean = {
           var g = 0

@@ -180,6 +180,10 @@ private[sources] object FilesMetaTable {
     else UTF8String.fromString(partitionCols.zip(pv)
       .map { case (c, v) => s"$c=${String.valueOf(v)}" }.mkString("/"))
 
+  /** Iceberg's files-metadata content label for a delete file. */
+  def contentOf(d: SnapshotStore.DeleteFile): String =
+    if (d.kind == "eq") "equality-deletes" else "position-deletes"
+
   /** `.partitions` above the threshold: a DISTRIBUTED aggregation over the
     * `.files` relation (itself a chunk-manifest BatchScan at this size);
     * the driver holds only the |partitions|-bounded result. */
@@ -222,7 +226,8 @@ private[sources] final class FilesMetaTable(name0: String, parentKey: String)
           new DistributedFilesScan(st.dataDir, chunks.get, st.partitionCols,
             st.partitionCols.map(c => st.schema(c).dataType),
             MetadataLog.colCtxOf(st.schema),
-            st.currentDeletes.map(d => (d.path, d.entryCount)).toArray)
+            st.currentDeletes.map(d =>
+              (d.path, d.entryCount, FilesMetaTable.contentOf(d))).toArray)
         else new LocalScan {
           override def readSchema(): StructType = FilesMetaTable.FilesSchema
           override def rows(): Array[InternalRow] = {
@@ -234,7 +239,7 @@ private[sources] final class FilesMetaTable(name0: String, parentKey: String)
             }
             val dels = st.currentDeletes.toArray.map(d =>
               new GenericInternalRow(Array[Any](
-                UTF8String.fromString("position-deletes"),
+                UTF8String.fromString(FilesMetaTable.contentOf(d)),
                 UTF8String.fromString(d.path), null, d.entryCount)))
             (data ++ dels).map(r => r: InternalRow)
           }
@@ -249,12 +254,12 @@ private[sources] final case class ManifestChunkPartition(dataDir: String,
   extends org.apache.spark.sql.connector.read.InputPartition
 
 private[sources] final case class DeleteEntriesPartition(
-    entries: Array[(String, Long)])
+    entries: Array[(String, Long, String)])
   extends org.apache.spark.sql.connector.read.InputPartition
 
 private[sources] final class DistributedFilesScan(dataDir: String,
     chunks: Vector[String], partitionCols: Seq[String], pvTypes: Seq[DataType],
-    ctx: MetadataLog.ColCtx, deletes: Array[(String, Long)])
+    ctx: MetadataLog.ColCtx, deletes: Array[(String, Long, String)])
     extends Scan with org.apache.spark.sql.connector.read.Batch {
   override def readSchema(): StructType = FilesMetaTable.FilesSchema
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
@@ -285,9 +290,9 @@ private[sources] final case class FilesChunkReaderFactory(
             FilesMetaTable.partitionString(partCols, f.partitionValues),
             f.rowCount)))
       case DeleteEntriesPartition(entries) =>
-        entries.iterator.map { case (path, n) =>
+        entries.iterator.map { case (path, n, content) =>
           new GenericInternalRow(Array[Any](
-            UTF8String.fromString("position-deletes"),
+            UTF8String.fromString(content),
             UTF8String.fromString(path), null, n))
         }
       case other => throw new IllegalStateException(

@@ -44,61 +44,76 @@ object SnapshotUpsert {
       require(t.dataType == b.dataType,
         s"column ${t.name}: batch type ${b.dataType} != table type ${t.dataType}")
     }
-    val dup = aligned.groupBy(keyCols.map(col): _*).count()
-      .filter(col("count") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"upsert batch has duplicate keys (e.g. ${dup.headOption.fold("")(_.toString)}) " +
-        "— a multi-match upsert has no well-defined winner; dedup upstream")
+    // PIN the batch before running three jobs over it (duplicate check,
+    // data write, key write): an uncached frame over a live source would
+    // re-plan per job, and keys could then diverge from the rows actually
+    // appended — the delete would kill old rows whose replacements were
+    // never written. The cache also saves two of the three full reads.
+    val pinned = aligned.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dup = pinned.groupBy(keyCols.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"upsert batch has duplicate keys (e.g. ${dup.headOption.fold("")(_.toString)}) " +
+          "— a multi-match upsert has no well-defined winner; dedup upstream")
 
-    val keyIds = keyCols.map(c => FieldIds.requireId(st.schema, c))
-    val conf = RowFiles.sessionConf()
-    val props = st.properties
-    val writeSchema = st.schema
-    val writeCols = FieldIds.writeColsFor(st.schema, writeSchema)
-    val partitionCols = st.partitionCols
-    val dataDir = st.dataDir
-    val tag = java.util.UUID.randomUUID.toString.take(8)
+      val keyIds = keyCols.map(c => FieldIds.requireId(st.schema, c))
+      val conf = RowFiles.sessionConf()
+      val props = st.properties
+      val writeSchema = st.schema
+      val writeCols = FieldIds.writeColsFor(st.schema, writeSchema)
+      val partitionCols = st.partitionCols
+      val dataDir = st.dataDir
+      val tag = java.util.UUID.randomUUID.toString.take(8)
 
-    // (a) Data files: the batch's rows, task-parallel through the shared
-    // partition-routing writer — the target is never opened.
-    val files = aligned.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
-      if (it.isEmpty) Iterator.empty
-      else {
-        val w = MemWriters.writer(writeSchema, partitionCols, dataDir,
-          s"ups-$tag-p$pid", conf.value, props, writeCols)
-        it.foreach(w.write)
-        Iterator.single(w.commit().asInstanceOf[MemCommitMessage].files)
-      }
-    }.collect().flatten.toVector
+      // (a) Data files: the batch's rows, task-parallel through the shared
+      // partition-routing writer — the target is never opened. File names
+      // carry a per-ATTEMPT uuid: a task retry or speculative attempt must
+      // never collide with a failed attempt's partial file on the
+      // create-exclusive open (the retry's file wins at collect time; the
+      // orphan is GC'd).
+      val files = pinned.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val attempt = java.util.UUID.randomUUID.toString.take(8)
+          val w = MemWriters.writer(writeSchema, partitionCols, dataDir,
+            s"ups-$tag-p$pid-$attempt", conf.value, props, writeCols)
+          it.foreach(w.write)
+          Iterator.single(w.commit().asInstanceOf[MemCommitMessage].files)
+        }
+      }.collect().flatten.toVector
 
-    if (files.isEmpty) return // empty batch: nothing to delete, nothing to add
+      if (files.isEmpty) return // empty batch: nothing to delete or add
 
-    // (b) One equality-delete file per non-empty key partition, columns
-    // canonically named k0..kn in key order (rename-proof: the manifest
-    // records the key FIELD IDS; readers resolve types from them).
-    val keySchema = StructType(keyCols.zipWithIndex.map { case (c, i) =>
-      StructField(s"k$i", st.schema(c).dataType, nullable = true)
-    })
-    val keyDf = aligned.select(keyCols.map(col): _*).toDF(keySchema.fieldNames: _*)
-    val ext = DataFiles.extensionOf(DataFiles.formatOf(props))
-    val eqFiles = keyDf.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
-      if (it.isEmpty) Iterator.empty
-      else {
-        val proj = UnsafeProjection.create(keySchema)
-        val w = DataFiles.writer(s"$dataDir/ups-$tag-eq-p$pid$ext",
-          keySchema, conf.value, props)
-        var n = 0L
-        it.foreach { r => w.write(proj(r)); n += 1 }
-        w.close()
-        Iterator.single(SnapshotStore.DeleteFile(
-          s"$dataDir/ups-$tag-eq-p$pid$ext", "", n, "eq", keyIds))
-      }
-    }.collect().toVector
+      // (b) One equality-delete file per non-empty key partition, columns
+      // canonically named k0..kn in key order (rename-proof: the manifest
+      // records the key FIELD IDS; readers resolve types from them).
+      val keySchema = StructType(keyCols.zipWithIndex.map { case (c, i) =>
+        StructField(s"k$i", st.schema(c).dataType, nullable = true)
+      })
+      val keyDf = pinned.select(keyCols.map(col): _*)
+        .toDF(keySchema.fieldNames: _*)
+      val ext = DataFiles.extensionOf(DataFiles.formatOf(props))
+      val eqFiles = keyDf.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val attempt = java.util.UUID.randomUUID.toString.take(8)
+          val path = s"$dataDir/ups-$tag-eq-p$pid-$attempt$ext"
+          val proj = UnsafeProjection.create(keySchema)
+          val w = DataFiles.writer(path, keySchema, conf.value, props)
+          var n = 0L
+          it.foreach { r => w.write(proj(r)); n += 1 }
+          w.close()
+          Iterator.single(SnapshotStore.DeleteFile(path, "", n, "eq", keyIds))
+        }
+      }.collect().toVector
 
-    if (sinkId.nonEmpty && epochId >= 0L)
-      SnapshotStore.commitEpochDelta(k, sinkId, epochId, files, eqFiles)
-    else
-      SnapshotStore.commitDelta(k, files, eqFiles, expectedBase = None)
+      if (sinkId.nonEmpty && epochId >= 0L)
+        SnapshotStore.commitEpochDelta(k, sinkId, epochId, files, eqFiles)
+      else
+        SnapshotStore.commitDelta(k, files, eqFiles, expectedBase = None)
+    } finally pinned.unpersist()
   }
 
   /** A `writeStream.foreachBatch` body: epoch-deduped upserts keyed by
@@ -137,8 +152,10 @@ object SnapshotUpsert {
     val files = aligned.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
       if (it.isEmpty) Iterator.empty
       else {
+        // Per-attempt uuid: retries must not collide on create-exclusive.
+        val attempt = java.util.UUID.randomUUID.toString.take(8)
         val w = MemWriters.writer(writeSchema, partitionCols, dataDir,
-          s"app-$tag-p$pid", conf.value, props, writeCols)
+          s"app-$tag-p$pid-$attempt", conf.value, props, writeCols)
         it.foreach(w.write)
         Iterator.single(w.commit().asInstanceOf[MemCommitMessage].files)
       }

@@ -185,6 +185,28 @@ class DurableCatalogSuite extends AnyFunSuite {
     assert(nss.contains("dur"), nss)
   }
 
+  test("orphan-file GC still judges the DATA of a table literally named " +
+      "'metadata' (the log check is anchored, not a substring match)") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.dur")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.dur.metadata")
+    spark.sql(s"CREATE TABLE $cat.dur.metadata (id BIGINT)")
+    spark.sql(s"INSERT INTO $cat.dur.metadata VALUES (1)")
+    // Plant a crash-residue file in the table's DATA area.
+    val st = SnapshotStore.stateOf(SnapshotStore.keyOf(cat, Seq("dur", "metadata")))
+    val residue = new org.apache.hadoop.fs.Path(st.dataDir, "crashed-task.parquet")
+    val fs = residue.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(residue, false); out.write(1); out.close()
+    val orphans = spark.sql(
+      s"CALL $cat.system.remove_orphan_files('dur.metadata', 0.0D, true)")
+      .collect().map(_.getString(0))
+    assert(orphans.exists(_.endsWith("crashed-task.parquet")),
+      s"the residue must be judged even though every path of this table " +
+        s"contains '/metadata/': ${orphans.mkString(", ")}")
+    assert(orphans.forall(!_.contains("/metadata/metadata/")),
+      "the LOG of the metadata-named table must still be shielded: " +
+        orphans.mkString(", "))
+  }
+
   test("orphan-file GC never judges the metadata log") {
     val t = fresh("gcmeta")
     spark.sql(s"CREATE TABLE $t (id BIGINT)")

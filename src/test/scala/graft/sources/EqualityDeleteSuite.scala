@@ -134,6 +134,40 @@ class EqualityDeleteSuite extends AnyFunSuite {
       .table(s"$t.changes").count() === 1L)
   }
 
+  test("DROP COLUMN of a live equality-delete KEY column is refused (older " +
+      "files would become unreadable); compaction folds the deletes and " +
+      "re-opens the drop") {
+    val t = fresh("dropkey")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, name STRING, score DOUBLE)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    SnapshotUpsert.upsertBatch(t, batchDf((2L, "B", 20.0)), Seq("id"))
+    val e = intercept[Exception](spark.sql(s"ALTER TABLE $t DROP COLUMN id"))
+    assert(e.getMessage.contains("equality-delete"), e.getMessage)
+    // Non-key columns still drop fine.
+    spark.sql(s"ALTER TABLE $t DROP COLUMN score")
+    assert(spark.sql(s"SELECT id, name FROM $t ORDER BY id").collect().toSeq ===
+      Seq(Row(1L, "a"), Row(2L, "B")))
+    // Folding the deletes makes the key column droppable.
+    spark.sql(s"CALL $cat.system.rewrite_data_files('eqd.dropkey')")
+    spark.sql(s"ALTER TABLE $t DROP COLUMN id")
+    assert(spark.sql(s"SELECT name FROM $t ORDER BY name").collect().toSeq ===
+      Seq(Row("B"), Row("a")))
+  }
+
+  test(".files labels the two delete flavors distinctly") {
+    val t = fresh("label")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, name STRING, score DOUBLE) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    SnapshotUpsert.upsertBatch(t, batchDf((2L, "B", 20.0)), Seq("id"))
+    spark.sql(s"DELETE FROM $t WHERE id = 1")
+    val byContent = spark.sql(
+      s"SELECT content, count(*) FROM $t.files GROUP BY content ORDER BY content")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(byContent.exists(_._1 == "equality-deletes"), byContent.toString)
+    assert(byContent.exists(_._1 == "position-deletes"), byContent.toString)
+  }
+
   test("duplicate keys in one batch are refused (no well-defined winner)") {
     val t = fresh("dup")
     spark.sql(s"CREATE TABLE $t (id BIGINT, name STRING, score DOUBLE)")

@@ -34,7 +34,16 @@ object RunPipeline {
       val runner = new PipelineRunner(spark)
       paths.foreach { p =>
         val spec = PipelineSpec.fromYamlFile(p.toString)
-        if (spec.hasSink) {
+        if (spec.sourceChanges) {
+          // Incremental run over the source's `.changes` stream: catch up
+          // (AvailableNow), rate-limited per the spec, then stop. The
+          // checkpoint is derived from the spec name so a re-run resumes.
+          val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-pipeline-" +
+            s"ckpt-${spec.name}"
+          runner.runChanges(spec, ckpt).awaitTermination()
+          println(s"[pipeline] ${spec.name}: changes run caught up into " +
+            spec.sinkDescription)
+        } else if (spec.hasSink) {
           runner.run(spec, sfDir)
           println(s"[pipeline] ${spec.name}: wrote ${spec.sinkDescription}")
         } else {

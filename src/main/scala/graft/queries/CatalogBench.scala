@@ -100,5 +100,39 @@ object CatalogBench {
       FROM lineitem WHERE l_orderkey BETWEEN 1 AND 1000
       GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  val all: Seq[Q] = Seq(cat01ScanParquet, cat02ScanGrf, cat03StatsSkip)
+  /** Build-or-reuse the COMPACTED one-file variant: everything in a single
+    * parquet file with small row groups and a small split target, so the
+    * scan's parallelism comes entirely from SPLIT-BY-OFFSET planning — the
+    * post-`rewrite_data_files` shape where, without splits, one task would
+    * serialize the whole read. */
+  private def ensureOneFile(s: SparkSession, dir: String): String = {
+    val name = "graft_snap.bench.lineitem_onefile"
+    val src = Tables.lineitem(s, dir)
+    val expected = src.count()
+    val current = SnapshotStore
+      .resolve(SnapshotStore.keyOf("graft_snap", Seq("bench", "lineitem_onefile")))
+      .map(_.currentFiles.map(_.rowCount).sum)
+    if (!current.contains(expected)) {
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.bench")
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      src.coalesce(1)
+        .writeTo(name)
+        .tableProperty("write.format", "parquet")
+        .tableProperty("write.parquet.row-group-bytes", (2L << 20).toString)
+        .tableProperty("read.split.target-bytes", (4L << 20).toString)
+        .create()
+    }
+    name
+  }
+
+  /** The q01-shape scan over ONE compacted file read as N ranged tasks
+    * (split-by-offset planning) — compaction's read benefit without its
+    * parallelism cliff. Answer identical to cat01's. */
+  val cat04ScanSplit = Q(
+    "cat04_scan_split",
+    (s, dir) => pricingSummary(s, ensureOneFile(s, dir)),
+    Some(pricingOracle))
+
+  val all: Seq[Q] = Seq(cat01ScanParquet, cat02ScanGrf, cat03StatsSkip,
+    cat04ScanSplit)
 }

@@ -773,14 +773,18 @@ object Pipeline {
 
   /** CURATION OVER CHANGES, spec-driven (the declarative plane's
     * incremental flagship): the documents corpus lands in a versioned
-    * catalog table across THREE commits; a YAML spec with
+    * catalog table across TWO commits; a YAML spec with
     * `source: {changes: true, max_versions_per_trigger: 1}` streams the
     * table's `.changes` relation one commit per trigger — each trigger
     * reads only the new commit's files — maintains the accumulated mirror
     * exactly-once, and refreshes the sink with p03's stages recomputed
     * over it. After catch-up the sink must be ROW-IDENTICAL to the batch
     * p03 pipeline on the same corpus (same oracle), proving commit slicing
-    * never leaks into the published result. */
+    * never leaks into the published result. (Two commits, not more: each
+    * trigger's refresh recomputes corpus-level curation over the mirror,
+    * so the gate's cost is ~1.5× p03 — the slicing-independence claim
+    * needs at least two triggers, and more would only re-prove it at
+    * linear extra bench cost.) */
   val p04ChangesCuration = Q(
     "p04_changes_curation",
     (s, dir) => {
@@ -792,8 +796,8 @@ object Pipeline {
       s.sql(s"CREATE TABLE $src (doc_id BIGINT, text STRING)")
       val docs = Tables.documents(s, dir)
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      (0 to 2).foreach(i =>
-        docs.filter(col("doc_id") % 3 === i).writeTo(src).append())
+      (0 to 1).foreach(i =>
+        docs.filter(col("doc_id") % 2 === i).writeTo(src).append())
       val spec = graft.catalog.PipelineSpec.fromYaml(
         s"""pipeline: changes_curation
            |source:

@@ -194,8 +194,10 @@ object ChangeDataFeed {
         .option("files", files.mkString(","))
         .table(name)
     (fromVersion + 1 to toVersion).map { v =>
-      val prev = pathsAt(v - 1)
-      val cur = pathsAt(v)
+      val prevFiles = graft.sources.SnapshotStore.filesAt(k, v - 1)
+      val curFiles = graft.sources.SnapshotStore.filesAt(k, v)
+      val prev = prevFiles.map(_.path).toSet
+      val cur = curFiles.map(_.path).toSet
       // Merge-on-read delta commits change VISIBLE rows without touching
       // the data-file set: a data file present in both versions but with a
       // different position-delete set must be read on BOTH sides (its
@@ -204,8 +206,22 @@ object ChangeDataFeed {
       // silently miss every MOR deletion.
       val dPrev = delMapAt(v - 1)
       val dCur = delMapAt(v)
-      val deltaTouched = (prev intersect cur).filter(p =>
+      val posTouched = (prev intersect cur).filter(p =>
         dPrev.getOrElse(p, Set.empty) != dCur.getOrElse(p, Set.empty))
+      // EQUALITY deletes are file-spanning (dataPath is empty): a carried
+      // file is touched when the set of eq deletes APPLICABLE to it (seq
+      // strictly newer than the file's) differs between the versions —
+      // an upsert's delete-by-key changes visible rows of every older file.
+      val eqPrev = graft.sources.SnapshotStore.eqDeletes(
+        graft.sources.SnapshotStore.deletesAt(k, v - 1))
+      val eqCur = graft.sources.SnapshotStore.eqDeletes(
+        graft.sources.SnapshotStore.deletesAt(k, v))
+      val eqTouched =
+        if (eqPrev == eqCur) Set.empty[String]
+        else curFiles.filter(f => prev(f.path) &&
+          eqPrev.filter(_.seq > f.seq) != eqCur.filter(_.seq > f.seq))
+          .map(_.path).toSet
+      val deltaTouched = posTouched ++ eqTouched
       diff(slice(v - 1, (prev -- cur) ++ deltaTouched),
         slice(v, (cur -- prev) ++ deltaTouched), keyCols, v)
     }.reduce(_.unionAll(_))

@@ -1060,11 +1060,65 @@ object Governance {
       FROM orders
       GROUP BY 1 ORDER BY bucket"""))
 
+  /** The CHANGE FEED over an equality-delete history: an upsert commit
+    * records only key tuples, so its row-level DELETEs are RECONSTRUCTED
+    * by probing each older file with the commit's key sets, minus rows
+    * already dead (earlier upserts' keys, position deletes) — Iceberg's
+    * changelog semantics for eq deletes, here oracle-gated: the whole
+    * 3-upsert feed aggregated by (change_type, bucket) must match the
+    * closed-form membership algebra of the batches. */
+  val m19UpsertChanges = Q(
+    "m19_upsert_changes",
+    (s, dir) => {
+      val t = "graft_snap.gov.orders_m19"
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.gov")
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "price DOUBLE)")
+      val src = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").as("price"))
+      import graft.sources.SnapshotUpsert
+      SnapshotUpsert.upsertBatch(t,
+        src.filter(col("o_orderkey") % 4 <= 1), Seq("o_orderkey"))
+      SnapshotUpsert.upsertBatch(t,
+        src.filter(col("o_orderkey") % 4 === 1)
+          .withColumn("price", col("price") * 2)
+          .unionAll(src.filter(col("o_orderkey") % 4 === 2)
+            .withColumn("price", col("price") * 2)),
+        Seq("o_orderkey"))
+      SnapshotUpsert.upsertBatch(t,
+        src.filter(col("o_orderkey") % 4 >= 2)
+          .withColumn("price", col("price") * 3), Seq("o_orderkey"))
+      s.read.option("startingVersion", 1).option("endingVersion", 3)
+        .table(s"$t.changes")
+        .select(col("_change_type").as("change_type"),
+          (col("o_orderkey") % 4).as("bucket"), col("price"))
+        .groupBy("change_type", "bucket")
+        .agg(count(lit(1)).as("n"), Q.dsum(col("price")).as("total"))
+        .orderBy("change_type", "bucket")
+    },
+    // Batch membership: b1 inserts ≡0,1 (×1); b2 revises ≡1 and adds ≡2
+    // (×2); b3 revises ≡2 and adds ≡3 (×3). Deletes: v2 kills b1's ≡1
+    // rows (×1), v3 kills b2's ≡2 rows (×2) — ≡3 had nothing older.
+    Some("""WITH base AS (
+        SELECT o_orderkey % 4 AS bucket, o_totalprice AS p FROM orders),
+      ev AS (
+        SELECT 'INSERT' AS change_type, bucket, p * 1 AS v FROM base WHERE bucket <= 1
+        UNION ALL SELECT 'INSERT', bucket, p * 2 FROM base WHERE bucket IN (1, 2)
+        UNION ALL SELECT 'INSERT', bucket, p * 3 FROM base WHERE bucket >= 2
+        UNION ALL SELECT 'DELETE', bucket, p * 1 FROM base WHERE bucket = 1
+        UNION ALL SELECT 'DELETE', bucket, p * 2 FROM base WHERE bucket = 2)
+      SELECT change_type, bucket, count(*) AS n,
+        CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM ev GROUP BY 1, 2
+      ORDER BY change_type, bucket"""))
+
   val all: Seq[Q] = Seq(
     m01MergeUpsert, m02Scd2History, m03IncrementalRefresh, m04SnapshotDiff,
     m05SqlMerge, m06SqlUpdateDelete, m07TimeTravel, m08ChangeFeed,
     m09IncrementalMaint, m10PartitionedCow, m11ChangeFeedPruned,
     m12MetadataHistory, m13MergeOnRead, m14DppStar, m15ChangesRelation,
-    m16WapPublish, m17ChangesMaint, m18EqualityUpsert,
+    m16WapPublish, m17ChangesMaint, m18EqualityUpsert, m19UpsertChanges,
     a01QualityAudit, z01ZorderLayout)
 }

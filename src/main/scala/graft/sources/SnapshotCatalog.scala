@@ -2373,6 +2373,53 @@ private[sources] object MemReaders {
   private val eqSetCache = new java.util.concurrent.ConcurrentHashMap[
     String, java.lang.ref.SoftReference[java.util.HashSet[Vector[Any]]]]()
 
+  /** The read schema a scan must STREAM so equality-delete keys can be
+    * probed: the requested data columns plus any key columns the
+    * projection pruned (streamed, never emitted). */
+  def schemaWithEqKeys(fullSchema: StructType, dataSchema: StructType,
+      keyIds: Seq[Int]): StructType = {
+    val have = dataSchema.fieldNames
+      .map(n => FieldIds.requireId(fullSchema, n)).toSet
+    val extra = keyIds.distinct.filterNot(have)
+    StructType(dataSchema.fields ++ extra.map(id =>
+      fullSchema.fields.find(f => FieldIds.idOf(f).contains(id))
+        .getOrElse(sys.error(
+          s"equality-delete key field id $id is not in the scan schema"))))
+  }
+
+  /** Loaded (probe ordinals, key set) pairs for a list of equality-delete
+    * files against `readSchema` (already extended by [[schemaWithEqKeys]]). */
+  def eqSetsFor(paths: Seq[(String, Seq[Int], Long)], readSchema: StructType,
+      fullSchema: StructType, conf: Configuration):
+      Array[(Array[Int], java.util.HashSet[Vector[Any]])] = {
+    if (paths.isEmpty) return Array.empty
+    val idPos = readSchema.fieldNames.zipWithIndex.map { case (n, i) =>
+      FieldIds.requireId(fullSchema, n) -> i
+    }.toMap
+    paths.toArray.map { case (delPath, keyIds, entryCount) =>
+      val ords = keyIds.map(idPos(_)).toArray
+      val types = keyIds.map(id => readSchema.fields(idPos(id)).dataType)
+      (ords, eqDeleteSet(delPath, entryCount, types.toArray, conf))
+    }
+  }
+
+  /** Does row `r` (in `readSchema` shape) match ANY of the key sets? */
+  def eqMatched(r: InternalRow, readSchema: StructType,
+      eqSets: Array[(Array[Int], java.util.HashSet[Vector[Any]])]): Boolean = {
+    var g = 0
+    while (g < eqSets.length) {
+      val (ords, set) = eqSets(g)
+      val probe = ords.indices.map { i =>
+        val o = ords(i)
+        if (r.isNullAt(o)) null
+        else r.get(o, readSchema.fields(o).dataType)
+      }.toVector
+      if (set.contains(probe)) return true
+      g += 1
+    }
+    false
+  }
+
   def eqDeleteSet(path: String, entryCount: Long,
       types: Array[org.apache.spark.sql.types.DataType],
       conf: Configuration): java.util.HashSet[Vector[Any]] = {
@@ -2425,51 +2472,21 @@ private[sources] object MemReaders {
       new PartitionReader[InternalRow] {
         // Equality deletes probe key columns the projection may have
         // pruned: extend the READ schema with them (streamed, never
-        // emitted) and remember each key set's ordinals in it.
-        private val readSchema = {
-          val have = dataSchema.fieldNames
-            .map(n => FieldIds.requireId(fullSchema, n)).toSet
-          val extraIds = part.eqDeletePaths.flatMap(_._2)
-            .distinct.filterNot(have)
-          StructType(dataSchema.fields ++ extraIds.map(id =>
-            fullSchema.fields.find(f => FieldIds.idOf(f).contains(id))
-              .getOrElse(sys.error(
-                s"equality-delete key field id $id is not in the scan schema"))))
-        }
+        // emitted). Key sets are shared JVM-wide per immutable delete file
+        // (several splits and several data files of one scan all probe the
+        // same file — loading per task would be O(splits × delete bytes)).
+        private val readSchema = MemReaders.schemaWithEqKeys(
+          fullSchema, dataSchema, part.eqDeletePaths.flatMap(_._2))
         private val proj =
           DataFiles.projectionFor(fullSchema, readSchema, part.writeCols)
         private val stream = DataFiles.stream(part.path, part.split,
           proj, fsConf.value)
         private val pathValue = UTF8String.fromString(part.path)
-        // One (ordinals, key set) per applicable equality-delete file. The
-        // delete file's columns are canonically named k0..kn in key order;
-        // sets are shared JVM-wide per immutable file (several splits and
-        // several data files of one scan all probe the same delete file —
-        // loading it once per task would be O(splits × delete bytes) IO).
-        private val eqSets: Array[(Array[Int], java.util.HashSet[Vector[Any]])] =
-          part.eqDeletePaths.toArray.map { case (delPath, keyIds, entryCount) =>
-            val idPos = readSchema.fieldNames.zipWithIndex.map { case (n, i) =>
-              FieldIds.requireId(fullSchema, n) -> i
-            }.toMap
-            val ords = keyIds.map(idPos(_)).toArray
-            val types = keyIds.map(id => readSchema.fields(idPos(id)).dataType)
-            (ords, MemReaders.eqDeleteSet(delPath, entryCount,
-              types.toArray, fsConf.value))
-          }
-        private def eqMatched(r: InternalRow): Boolean = {
-          var g = 0
-          while (g < eqSets.length) {
-            val (ords, set) = eqSets(g)
-            val probe = ords.indices.map { i =>
-              val o = ords(i)
-              if (r.isNullAt(o)) null
-              else r.get(o, readSchema.fields(o).dataType)
-            }.toVector
-            if (set.contains(probe)) return true
-            g += 1
-          }
-          false
-        }
+        private val eqSets =
+          MemReaders.eqSetsFor(part.eqDeletePaths, readSchema, fullSchema,
+            fsConf.value)
+        private def eqMatched(r: InternalRow): Boolean =
+          MemReaders.eqMatched(r, readSchema, eqSets)
         // Merge-on-read: union this data file's position-delete entries
         // (each file small by construction; several delta commits may each
         // have deleted rows of this file) and skip those positions.
@@ -2535,9 +2552,13 @@ private[sources] object MemReaders {
     (partition: InputPartition) => {
       val part = partition.asInstanceOf[MemChangePartition]
       new PartitionReader[InternalRow] {
+        // Equality modes probe key columns the projection may have pruned:
+        // stream them, never emit them (streamSchema stays the prefix).
+        private val readSchema = MemReaders.schemaWithEqKeys(dataSchema,
+          streamSchema, (part.keepEqPaths ++ part.skipEqPaths).flatMap(_._2))
         private val stream = DataFiles.stream(part.path,
           DataFiles.wholeFile(part.rowCount),
-          DataFiles.projectionFor(dataSchema, streamSchema, part.writeCols),
+          DataFiles.projectionFor(dataSchema, readSchema, part.writeCols),
           fsConf.value)
         private val ctValue = UTF8String.fromString(part.changeType)
         private def positions(paths: Seq[String]): java.util.HashSet[java.lang.Long] =
@@ -2550,6 +2571,10 @@ private[sources] object MemReaders {
           }
         private val keep = positions(part.keepPositionPaths)
         private val skip = positions(part.skipDeletePaths)
+        private val keepEq = MemReaders.eqSetsFor(part.keepEqPaths,
+          readSchema, dataSchema, fsConf.value)
+        private val skipEq = MemReaders.eqSetsFor(part.skipEqPaths,
+          readSchema, dataSchema, fsConf.value)
         private var kept = 0L
         private var pos = -1L
         private var cur: InternalRow = null
@@ -2560,8 +2585,19 @@ private[sources] object MemReaders {
             if (cur == null) return false
             pos += 1
             if (keep != null) {
+              // Position-keep mode: the commit's delete entries name the
+              // exact rows (alive by construction — the MOR writer only
+              // targets rows its eq-applied scan saw).
               if (keep.contains(pos)) { kept += 1; return true }
-            } else if (skip == null || !skip.contains(pos)) return true
+            } else if (keepEq.nonEmpty) {
+              // EQUALITY-keep mode: the commit's key sets select the rows,
+              // minus rows already dead before it.
+              if ((skip == null || !skip.contains(pos)) &&
+                  !MemReaders.eqMatched(cur, readSchema, skipEq) &&
+                  MemReaders.eqMatched(cur, readSchema, keepEq)) return true
+            } else if ((skip == null || !skip.contains(pos)) &&
+                (skipEq.isEmpty ||
+                  !MemReaders.eqMatched(cur, readSchema, skipEq))) return true
           }
           false
         }
@@ -2782,16 +2818,7 @@ private[sources] object ChangeLog {
       MemChangePartition(f.path, f.rowCount, ctype, cur.version,
         cur.commitMicros, skipDeletePaths = skip, writeCols = f.writeCols)
     val curDelByData = SnapshotStore.deleteMap(cur.deleteFiles)
-    // Equality-delete commits don't record WHICH rows died (that is their
-    // write-side economy); serving their changes would need a keyed scan of
-    // every older file. Refuse loudly rather than emit an incomplete feed —
-    // compaction folds the deletes and re-opens the feed downstream.
-    val newEq = cur.deleteFiles.filter(d => d.kind == "eq" && d.seq == cur.version)
-    require(newEq.isEmpty,
-      s"commit v${cur.version} of $shown added ${newEq.size} EQUALITY-delete " +
-        "file(s); the change feed cannot reconstruct row-level deletes from " +
-        "key tuples — read the table state directly, or compact and restart " +
-        "the feed past this commit")
+    def eqTuple(d: DeleteFile) = (d.path, d.equalityCols, d.entryCount)
     val out: Seq[MemChangePartition] = cur.operation match {
       case "replace" => Nil
       case "append" =>
@@ -2819,26 +2846,74 @@ private[sources] object ChangeLog {
         val curDelPaths = cur.deleteFiles.map(_.path).toSet
         def survived(p: String) = prevPaths(p) && curPaths(p)
         val fileOf = (prevFiles ++ cur.files).map(f => f.path -> f).toMap
+        val prevEq = SnapshotStore.eqDeletes(prevDels)
+        val curEq = SnapshotStore.eqDeletes(cur.deleteFiles)
+        // Equality deletes applicable to `f` from `dels` — strictly newer.
+        def applEq(dels: Vector[DeleteFile], f: DataFile) =
+          dels.filter(_.seq > f.seq).map(eqTuple)
 
+        // An (re-)added file's INSERT reports only rows alive under the
+        // commit's own deletes — a rollback re-adding a file still subject
+        // to a live equality delete must not resurrect its dead rows.
         val inserts = cur.files.filterNot(f => prevPaths(f.path))
-          .map(f => part(f, "INSERT", curDelByData.getOrElse(f.path, Vector.empty)))
+          .map(f => part(f, "INSERT", curDelByData.getOrElse(f.path, Vector.empty))
+            .copy(skipEqPaths = applEq(curEq, f)))
+        // A retired file's DELETE reports only rows that were still ALIVE:
+        // minus its position deletes AND minus rows prior equality deletes
+        // had already killed.
         val fileDeletes = prevFiles.filterNot(f => curPaths(f.path))
-          .map(f => part(f, "DELETE", prevDelByData.getOrElse(f.path, Vector.empty)))
-        // New position deletes on carried files: exactly those rows died.
+          .map(f => part(f, "DELETE", prevDelByData.getOrElse(f.path, Vector.empty))
+            .copy(skipEqPaths = applEq(prevEq, f)))
+        // New position deletes on carried files: exactly those rows died
+        // (alive by construction — the MOR writer's eq-applied scan only
+        // targets live rows).
         val posDeletes = cur.deleteFiles
-          .filter(d => !prevDelPaths(d.path) && survived(d.dataPath))
+          .filter(d => d.kind == "pos" && !prevDelPaths(d.path) && survived(d.dataPath))
           .groupBy(_.dataPath).toSeq.map { case (dp, ds) =>
             MemChangePartition(dp, fileOf(dp).rowCount, "DELETE", cur.version,
               cur.commitMicros, keepPositionPaths = ds.map(_.path),
               writeCols = fileOf(dp).writeCols) }
-        // Position deletes dropped from carried files (rollback): restored.
+        // New EQUALITY deletes (an upsert's delete-by-key): the dead rows
+        // are reconstructed by probing each OLDER carried file with the
+        // commit's key sets, minus rows already dead (position deletes or
+        // prior equality deletes) — exact row-level changes from key
+        // tuples, Iceberg's changelog semantics for eq deletes.
+        val newEq = curEq.filter(d => !prevDelPaths(d.path))
+        val eqDeletes =
+          if (newEq.isEmpty) Nil
+          else cur.files.filter(f =>
+              prevPaths(f.path) && newEq.exists(_.seq > f.seq)).map { f =>
+            MemChangePartition(f.path, f.rowCount, "DELETE", cur.version,
+              cur.commitMicros,
+              skipDeletePaths = curDelByData.getOrElse(f.path, Vector.empty),
+              writeCols = f.writeCols,
+              keepEqPaths = applEq(newEq, f),
+              skipEqPaths = applEq(prevEq, f))
+          }
+        // Position deletes dropped from carried files (rollback): restored
+        // — unless a still-live equality delete keeps the row dead.
         val restored = prevDels
-          .filter(d => !curDelPaths(d.path) && survived(d.dataPath))
+          .filter(d => d.kind == "pos" && !curDelPaths(d.path) && survived(d.dataPath))
           .groupBy(_.dataPath).toSeq.map { case (dp, ds) =>
             MemChangePartition(dp, fileOf(dp).rowCount, "INSERT", cur.version,
               cur.commitMicros, keepPositionPaths = ds.map(_.path),
               writeCols = fileOf(dp).writeCols) }
-        inserts ++ fileDeletes ++ posDeletes ++ restored
+        // Equality deletes dropped from carried files (rollback): rows
+        // matching the dropped keys come back — minus rows still dead via
+        // the commit's remaining deletes.
+        val droppedEq = prevEq.filter(d => !curDelPaths(d.path))
+        val eqRestored =
+          if (droppedEq.isEmpty) Nil
+          else cur.files.filter(f =>
+              prevPaths(f.path) && droppedEq.exists(_.seq > f.seq)).map { f =>
+            MemChangePartition(f.path, f.rowCount, "INSERT", cur.version,
+              cur.commitMicros,
+              skipDeletePaths = curDelByData.getOrElse(f.path, Vector.empty),
+              writeCols = f.writeCols,
+              keepEqPaths = applEq(droppedEq, f),
+              skipEqPaths = applEq(curEq, f))
+          }
+        inserts ++ fileDeletes ++ posDeletes ++ eqDeletes ++ restored ++ eqRestored
     }
     out.filter(_.rowCount > 0)
   }
@@ -3092,5 +3167,13 @@ private[sources] final case class MemChangePartition(path: String, rowCount: Lon
     changeType: String, commitVersion: Long, commitMicros: Long,
     skipDeletePaths: Seq[String] = Nil,
     keepPositionPaths: Seq[String] = Nil,
-    writeCols: Seq[(Int, String)] = Nil) extends InputPartition
+    writeCols: Seq[(Int, String)] = Nil,
+    /** EQUALITY-keep mode: emit exactly the rows matching any of these key
+      * sets (an equality-delete commit's row-level changes, reconstructed
+      * by probing the OLDER file) … */
+    keepEqPaths: Seq[(String, Seq[Int], Long)] = Nil,
+    /** … minus rows that were ALREADY dead before the commit (prior
+      * applicable equality deletes; prior position deletes ride
+      * `skipDeletePaths`). */
+    skipEqPaths: Seq[(String, Seq[Int], Long)] = Nil) extends InputPartition
 

@@ -119,19 +119,51 @@ class EqualityDeleteSuite extends AnyFunSuite {
       Seq(Row(1L, "a"), Row(2L, "B")))
   }
 
-  test("the change feed refuses equality-delete commits loudly (their row " +
-      "deletes are not reconstructible), instead of emitting an incomplete feed") {
+  test("the change feed serves equality-delete commits EXACTLY: DELETE rows " +
+      "reconstructed by probing older files with the commit's keys, minus " +
+      "rows already dead") {
     val t = fresh("cdf")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, name STRING, score DOUBLE) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 1.0), (2, 'b', 2.0), (3, 'c', 3.0)") // v1
+    spark.sql(s"DELETE FROM $t WHERE id = 3") // v2: position delete
+    SnapshotUpsert.upsertBatch(t,
+      batchDf((1L, "A", 10.0), (3L, "c2", 30.0), (4L, "d", 4.0)), Seq("id")) // v3
+    val feed = spark.read.option("startingVersion", 1).option("endingVersion", 3)
+      .table(s"$t.changes")
+      .selectExpr("id", "name", "_change_type", "_commit_version")
+      .orderBy("_commit_version", "id", "_change_type").collect().toSeq
+    assert(feed === Seq(
+      Row(1L, "a", "INSERT", 1L), Row(2L, "b", "INSERT", 1L),
+      Row(3L, "c", "INSERT", 1L),
+      Row(3L, "c", "DELETE", 2L), // the positional delete
+      // v3: the upsert — old id=1 dies by key (id=3 was ALREADY dead, so it
+      // must NOT be re-reported), the three batch rows insert.
+      Row(1L, "a", "DELETE", 3L),
+      Row(1L, "A", "INSERT", 3L), Row(3L, "c2", "INSERT", 3L),
+      Row(4L, "d", "INSERT", 3L)))
+    // Folding the feed reproduces the table state (net-changes sanity;
+    // id=2 was not in the upsert batch, so it stays alive).
+    val live = spark.sql(s"SELECT id, name FROM $t ORDER BY id").collect().toSeq
+    assert(live === Seq(Row(1L, "A"), Row(2L, "b"), Row(3L, "c2"), Row(4L, "d")))
+  }
+
+  test("chained upserts in the feed: each commit's eq-DELETE excludes rows " +
+      "killed by EARLIER eq deletes") {
+    val t = fresh("cdfchain")
     spark.sql(s"CREATE TABLE $t (id BIGINT, name STRING, score DOUBLE)")
-    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 1.0)")
-    SnapshotUpsert.upsertBatch(t, batchDf((1L, "A", 10.0)), Seq("id"))
-    val e = intercept[Exception](
-      spark.read.option("startingVersion", 1).option("endingVersion", 2)
-        .table(s"$t.changes").collect())
-    assert(e.getMessage.contains("EQUALITY-delete"), e.getMessage)
-    // The pre-upsert range still serves.
-    assert(spark.read.option("startingVersion", 1).option("endingVersion", 1)
-      .table(s"$t.changes").count() === 1L)
+    SnapshotUpsert.upsertBatch(t, batchDf((1L, "a", 1.0), (2L, "b", 2.0)), Seq("id")) // v1
+    SnapshotUpsert.upsertBatch(t, batchDf((1L, "A", 10.0)), Seq("id"))                // v2
+    SnapshotUpsert.upsertBatch(t, batchDf((1L, "A2", 100.0), (2L, "B", 20.0)), Seq("id")) // v3
+    val feed = spark.read.option("startingVersion", 2).option("endingVersion", 3)
+      .table(s"$t.changes")
+      .selectExpr("id", "name", "_change_type", "_commit_version")
+      .orderBy("_commit_version", "id", "_change_type", "name").collect().toSeq
+    assert(feed === Seq(
+      Row(1L, "a", "DELETE", 2L), Row(1L, "A", "INSERT", 2L),
+      // v3 kills v2's id=1 (NOT v1's — already dead) and v1's id=2.
+      Row(1L, "A", "DELETE", 3L), Row(1L, "A2", "INSERT", 3L),
+      Row(2L, "b", "DELETE", 3L), Row(2L, "B", "INSERT", 3L)))
   }
 
   test("DROP COLUMN of a live equality-delete KEY column is refused (older " +
@@ -166,6 +198,26 @@ class EqualityDeleteSuite extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(byContent.exists(_._1 == "equality-deletes"), byContent.toString)
     assert(byContent.exists(_._1 == "position-deletes"), byContent.toString)
+  }
+
+  test("the manifest-PRUNED operator feed detects equality-delete commits " +
+      "(file-spanning deletes mark every applicable older file touched) and " +
+      "matches the full key-joined feed") {
+    val t = fresh("pruned")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, name STRING, score DOUBLE)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 1.0), (2, 'b', 2.0)") // v1
+    SnapshotUpsert.upsertBatch(t, batchDf((2L, "B", 20.0), (3L, "c", 3.0)), Seq("id")) // v2
+    import graft.operators.ChangeDataFeed
+    val full = ChangeDataFeed.tableChanges(spark, t, Seq("id"), 1L, 2L)
+      .orderBy("_commit_version", "id", "_change_type").collect().toSeq
+    val pruned = ChangeDataFeed.tableChangesPruned(spark, cat,
+      Seq("eqd", "pruned"), Seq("id"), 1L, 2L)
+      .orderBy("_commit_version", "id", "_change_type").collect().toSeq
+    assert(pruned === full)
+    // The upsert's key-death is in the feed (id=2 old image died at v2).
+    assert(pruned.exists(r =>
+      r.getAs[String]("_change_type") == "UPDATE" ||
+        r.getAs[String]("_change_type") == "DELETE"), pruned.mkString("\n"))
   }
 
   test("duplicate keys in one batch are refused (no well-defined winner)") {

@@ -20,6 +20,9 @@ import graft.catalog.{PipelineSpec, PipelineStep}
   *   - `dedup_exact` (`cols`): dropDuplicates on the listed key
   *   - `near_dup_drop`: n06's rule — LSH pairs → connected components →
   *     keep each cluster's minimum id (needs doc_id, text)
+  *   - `near_dup_screen`: the INCREMENTAL form — drop rows near-duplicate
+  *     against the persisted `graft_store` signature store (n07/n08's
+  *     probe, no corpus self-join); pair with `build_signature_store`
   *   - `span_removal`: d19's duplicated-span cut; text := cleaned text
   *   - `quality_gate` (`min_score`, default 0.5): d04's score on text
   *   - `lang_id`: adds `lang` (d05's classifier)
@@ -52,8 +55,8 @@ import graft.catalog.{PipelineSpec, PipelineStep}
 final class PipelineRunner(spark: SparkSession) {
 
   private val knownOps = Seq("filter", "select", "dedup_exact", "near_dup_drop",
-    "span_removal", "quality_gate", "lang_id", "token_count", "sample_hash",
-    "temperature_mix", "build_signature_store", "build_ivf_store")
+    "near_dup_screen", "span_removal", "quality_gate", "lang_id", "token_count",
+    "sample_hash", "temperature_mix", "build_signature_store", "build_ivf_store")
 
   private val storeOps = Set("build_signature_store", "build_ivf_store")
 
@@ -216,6 +219,20 @@ final class PipelineRunner(spark: SparkSession) {
       requireCols(df, step, "doc_id", "text")
       val drops = NearDup.dropIds(df.select("doc_id", "text"))
       df.join(drops, df("doc_id") === drops("id"), "left_anti")
+    case "near_dup_screen" =>
+      // The INCREMENTAL near-dup form: drop rows near-duplicate against
+      // the PERSISTED signature store (n07/n08's probe — no corpus
+      // self-join, no corpus re-hash), instead of within the frame. The
+      // scale-honest step for a changes-driven spec: each batch screens
+      // against everything already ingested in O(batch) work.
+      requireCols(df, step, "doc_id", "text")
+      val dupes = graft.operators.MinHashLsh.nearDupAgainstStore(
+          df.select("doc_id", "text"),
+          spark.table(s"${NearDup.storeDb}.corpus_shingles"),
+          spark.table(s"${NearDup.storeDb}.corpus_bands"),
+          "doc_id", "text", NearDup.P)
+        .select(col("batch_id").as("doc_id")).distinct()
+      df.join(dupes, Seq("doc_id"), "left_anti")
     case "span_removal" =>
       requireCols(df, step, "doc_id", "text")
       val others = df.columns.filterNot(c => c == "doc_id" || c == "text")

@@ -110,6 +110,40 @@ steps:
     assert(probed.nonEmpty)
   }
 
+  test("near_dup_screen drops exactly the batch rows the persisted store " +
+    "flags — the incremental near-dup step a changes-driven spec uses") {
+    // Provision the store from the corpus slice (declaratively)…
+    runner.run(PipelineSpec.fromYaml(
+      """pipeline: screen_store
+        |source: {table: documents}
+        |steps:
+        |  - op: filter
+        |    expr: doc_id % 7 != 0
+        |  - op: build_signature_store
+        |""".stripMargin), dir)
+    // …then screen the incoming batch against it via the spec op.
+    val screened = runner.build(PipelineSpec.fromYaml(
+      """pipeline: screen_batch
+        |source: {table: documents}
+        |steps:
+        |  - op: filter
+        |    expr: doc_id % 7 = 0
+        |  - op: near_dup_screen
+        |""".stripMargin), dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batch = Tables.documents(spark, dir).filter(col("doc_id") % 7 === 0)
+    val flagged = graft.operators.MinHashLsh.nearDupAgainstStore(
+        batch.select("doc_id", "text"),
+        spark.table(s"${NearDup.storeDb}.corpus_shingles"),
+        spark.table(s"${NearDup.storeDb}.corpus_bands"),
+        "doc_id", "text", NearDup.P)
+      .select("batch_id").collect().map(_.getLong(0)).toSet
+    val expected = batch.select("doc_id").collect().map(_.getLong(0)).toSet -- flagged
+    assert(screened === expected)
+    assert(flagged.nonEmpty && screened.nonEmpty,
+      s"degenerate fixture: flagged=${flagged.size} surviving=${screened.size}")
+  }
+
   test("generic ops: filter, dedup, hash sampling compose and stay lazy") {
     val spec = PipelineSpec.fromYaml("""pipeline: slice
 source:

@@ -24,6 +24,7 @@ object LogProbe {
 
   def main(args: Array[String]): Unit = {
     val commits = args.headOption.map(_.toInt).getOrElse(40)
+    require(commits >= 2, s"commitsPerStep must be >= 2 (half-medians), got $commits")
     val widths = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 8, 32)
     val spark = SessionFactory
       .configure(SparkSession.builder().master("local[4]"), "graft-log-probe")

@@ -183,8 +183,6 @@ object ChangeDataFeed {
     require(keyCols.nonEmpty, "tableChangesPruned needs at least one key column")
     val k = graft.sources.SnapshotStore.keyOf(catalog, ident)
     val name = (catalog +: ident).map(p => s"`$p`").mkString(".")
-    def pathsAt(v: Long): Set[String] =
-      graft.sources.SnapshotStore.filesAt(k, v).map(_.path).toSet
     def delMapAt(v: Long): Map[String, Set[String]] =
       graft.sources.SnapshotStore.deletesAt(k, v).groupBy(_.dataPath)
         .map { case (dp, ds) => dp -> ds.map(_.path).toSet }

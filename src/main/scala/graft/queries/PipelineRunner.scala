@@ -226,11 +226,19 @@ final class PipelineRunner(spark: SparkSession) {
       // scale-honest step for a changes-driven spec: each batch screens
       // against everything already ingested in O(batch) work.
       requireCols(df, step, "doc_id", "text")
-      val dupes = graft.operators.MinHashLsh.nearDupAgainstStore(
-          df.select("doc_id", "text"),
+      // Build the shingle frame UNPERSISTED: the returned pipeline frame is
+      // lazy, so nothing could safely own a persist's release here — the
+      // per-trigger caller re-shingles instead of leaking one cached frame
+      // per invocation (the convenience wrapper persists for callers that
+      // probe AND ingest from one frame).
+      val shB = df.select(col("doc_id").as("id"),
+        graft.operators.MinHashLsh.shingles(col("text"),
+          NearDup.P.shingleSize).as("shingles"))
+      val dupes = graft.operators.MinHashLsh.nearDupShinglesAgainstStore(
+          shB,
           spark.table(s"${NearDup.storeDb}.corpus_shingles"),
           spark.table(s"${NearDup.storeDb}.corpus_bands"),
-          "doc_id", "text", NearDup.P)
+          NearDup.P)
         .select(col("batch_id").as("doc_id")).distinct()
       df.join(dupes, Seq("doc_id"), "left_anti")
     case "span_removal" =>

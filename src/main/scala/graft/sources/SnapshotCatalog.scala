@@ -2423,7 +2423,9 @@ private[sources] object MemReaders {
   def eqDeleteSet(path: String, entryCount: Long,
       types: Array[org.apache.spark.sql.types.DataType],
       conf: Configuration): java.util.HashSet[Vector[Any]] = {
-    val cached = Option(eqSetCache.get(path)).flatMap(r => Option(r.get()))
+    val ref = eqSetCache.get(path)
+    val cached = Option(ref).flatMap(r => Option(r.get()))
+    if (ref != null && cached.isEmpty) eqSetCache.remove(path, ref) // stale entry
     cached.getOrElse {
       val keyProj = DataFiles.Projection(
         types.indices.map(i => s"k$i").toArray,
@@ -2586,9 +2588,15 @@ private[sources] object MemReaders {
             pos += 1
             if (keep != null) {
               // Position-keep mode: the commit's delete entries name the
-              // exact rows (alive by construction — the MOR writer only
-              // targets rows its eq-applied scan saw).
-              if (keep.contains(pos)) { kept += 1; return true }
+              // exact rows (alive by construction for DELETE changes — the
+              // MOR writer only targets rows its eq-applied scan saw; for
+              // restore-INSERTs a still-applicable equality delete keeps
+              // the row dead, so it is counted but suppressed).
+              if (keep.contains(pos)) {
+                kept += 1
+                if (skipEq.isEmpty ||
+                    !MemReaders.eqMatched(cur, readSchema, skipEq)) return true
+              }
             } else if (keepEq.nonEmpty) {
               // EQUALITY-keep mode: the commit's key sets select the rows,
               // minus rows already dead before it.
@@ -2891,16 +2899,22 @@ private[sources] object ChangeLog {
               skipEqPaths = applEq(prevEq, f))
           }
         // Position deletes dropped from carried files (rollback): restored
-        // — unless a still-live equality delete keeps the row dead.
+        // — unless a still-live equality delete keeps the row dead (the
+        // reader's keep mode consults skipEqPaths, still counting the
+        // suppressed position toward its early exit).
         val restored = prevDels
           .filter(d => d.kind == "pos" && !curDelPaths(d.path) && survived(d.dataPath))
           .groupBy(_.dataPath).toSeq.map { case (dp, ds) =>
             MemChangePartition(dp, fileOf(dp).rowCount, "INSERT", cur.version,
               cur.commitMicros, keepPositionPaths = ds.map(_.path),
-              writeCols = fileOf(dp).writeCols) }
+              writeCols = fileOf(dp).writeCols,
+              skipEqPaths = applEq(curEq, fileOf(dp))) }
         // Equality deletes dropped from carried files (rollback): rows
         // matching the dropped keys come back — minus rows still dead via
-        // the commit's remaining deletes.
+        // the commit's remaining deletes, and minus rows that were ALSO
+        // position-dead at prev (if they resurrect, the positional
+        // `restored` path owns the INSERT — emitting here too would
+        // duplicate it; if they stay pos-dead, they did not resurrect).
         val droppedEq = prevEq.filter(d => !curDelPaths(d.path))
         val eqRestored =
           if (droppedEq.isEmpty) Nil
@@ -2908,7 +2922,9 @@ private[sources] object ChangeLog {
               prevPaths(f.path) && droppedEq.exists(_.seq > f.seq)).map { f =>
             MemChangePartition(f.path, f.rowCount, "INSERT", cur.version,
               cur.commitMicros,
-              skipDeletePaths = curDelByData.getOrElse(f.path, Vector.empty),
+              skipDeletePaths =
+                (prevDelByData.getOrElse(f.path, Vector.empty) ++
+                  curDelByData.getOrElse(f.path, Vector.empty)).distinct,
               writeCols = f.writeCols,
               keepEqPaths = applEq(droppedEq, f),
               skipEqPaths = applEq(curEq, f))

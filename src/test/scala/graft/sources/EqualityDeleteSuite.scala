@@ -200,6 +200,27 @@ class EqualityDeleteSuite extends AnyFunSuite {
     assert(byContent.exists(_._1 == "position-deletes"), byContent.toString)
   }
 
+  test("rollback dropping BOTH a position delete and a matching equality " +
+      "delete restores the row exactly ONCE in the feed") {
+    val t = fresh("rb")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, name STRING, score DOUBLE) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 1.0), (2, 'b', 2.0)") // v1
+    spark.sql(s"DELETE FROM $t WHERE id = 1")                        // v2 (pos)
+    SnapshotUpsert.upsertBatch(t, batchDf((1L, "A", 10.0)), Seq("id")) // v3 (eq + append)
+    spark.sql(s"CALL $cat.system.rollback_to_version('eqd.rb', 1)")  // v4
+    val feed = spark.read.option("startingVersion", 4).option("endingVersion", 4)
+      .table(s"$t.changes")
+      .selectExpr("id", "name", "_change_type")
+      .orderBy("_change_type", "id", "name").collect().toSeq
+    // v3's appended row dies with its file; the old (1,'a') resurrects
+    // EXACTLY once (positional restore owns it; the dropped eq delete's
+    // restore path must not duplicate it).
+    assert(feed === Seq(Row(1L, "A", "DELETE"), Row(1L, "a", "INSERT")))
+    assert(spark.sql(s"SELECT id, name FROM $t ORDER BY id").collect().toSeq ===
+      Seq(Row(1L, "a"), Row(2L, "b")))
+  }
+
   test("the manifest-PRUNED operator feed detects equality-delete commits " +
       "(file-spanning deletes mark every applicable older file touched) and " +
       "matches the full key-joined feed") {

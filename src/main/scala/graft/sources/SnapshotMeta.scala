@@ -161,7 +161,11 @@ private[sources] object FilesMetaTable {
     StructField("content", StringType, nullable = false),
     StructField("file_path", StringType, nullable = false),
     StructField("partition", StringType, nullable = true),
-    StructField("row_count", LongType, nullable = false)))
+    StructField("row_count", LongType, nullable = false),
+    // Iceberg's file_size_in_bytes (null = legacy descriptor / delete
+    // file) and the data SEQUENCE number equality deletes key on.
+    StructField("size_bytes", LongType, nullable = true),
+    StructField("seq", LongType, nullable = false)))
 
   val PartitionsSchema: StructType = StructType(Seq(
     StructField("partition", StringType, nullable = true),
@@ -227,7 +231,7 @@ private[sources] final class FilesMetaTable(name0: String, parentKey: String)
             st.partitionCols.map(c => st.schema(c).dataType),
             MetadataLog.colCtxOf(st.schema),
             st.currentDeletes.map(d =>
-              (d.path, d.entryCount, FilesMetaTable.contentOf(d))).toArray)
+              (d.path, d.entryCount, FilesMetaTable.contentOf(d), d.seq)).toArray)
         else new LocalScan {
           override def readSchema(): StructType = FilesMetaTable.FilesSchema
           override def rows(): Array[InternalRow] = {
@@ -235,12 +239,13 @@ private[sources] final class FilesMetaTable(name0: String, parentKey: String)
               new GenericInternalRow(Array[Any](
                 UTF8String.fromString("data"), UTF8String.fromString(f.path),
                 FilesMetaTable.partitionString(st.partitionCols, f.partitionValues),
-                f.rowCount))
+                f.rowCount,
+                if (f.sizeBytes > 0L) f.sizeBytes else null, f.seq))
             }
             val dels = st.currentDeletes.toArray.map(d =>
               new GenericInternalRow(Array[Any](
                 UTF8String.fromString(FilesMetaTable.contentOf(d)),
-                UTF8String.fromString(d.path), null, d.entryCount)))
+                UTF8String.fromString(d.path), null, d.entryCount, null, d.seq)))
             (data ++ dels).map(r => r: InternalRow)
           }
         }
@@ -254,12 +259,12 @@ private[sources] final case class ManifestChunkPartition(dataDir: String,
   extends org.apache.spark.sql.connector.read.InputPartition
 
 private[sources] final case class DeleteEntriesPartition(
-    entries: Array[(String, Long, String)])
+    entries: Array[(String, Long, String, Long)])
   extends org.apache.spark.sql.connector.read.InputPartition
 
 private[sources] final class DistributedFilesScan(dataDir: String,
     chunks: Vector[String], partitionCols: Seq[String], pvTypes: Seq[DataType],
-    ctx: MetadataLog.ColCtx, deletes: Array[(String, Long, String)])
+    ctx: MetadataLog.ColCtx, deletes: Array[(String, Long, String, Long)])
     extends Scan with org.apache.spark.sql.connector.read.Batch {
   override def readSchema(): StructType = FilesMetaTable.FilesSchema
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
@@ -288,12 +293,13 @@ private[sources] final case class FilesChunkReaderFactory(
           .iterator.map(f => new GenericInternalRow(Array[Any](
             UTF8String.fromString("data"), UTF8String.fromString(f.path),
             FilesMetaTable.partitionString(partCols, f.partitionValues),
-            f.rowCount)))
+            f.rowCount,
+            if (f.sizeBytes > 0L) f.sizeBytes else null, f.seq)))
       case DeleteEntriesPartition(entries) =>
-        entries.iterator.map { case (path, n, content) =>
+        entries.iterator.map { case (path, n, content, seq) =>
           new GenericInternalRow(Array[Any](
             UTF8String.fromString(content),
-            UTF8String.fromString(path), null, n))
+            UTF8String.fromString(path), null, n, null, seq))
         }
       case other => throw new IllegalStateException(
         s"unexpected metadata partition: $other")

@@ -52,6 +52,13 @@ class DistributedMetaSuite extends AnyFunSuite {
     assert(spark.sql(s"SELECT * FROM $t.partitions ORDER BY partition")
       .collect().toSeq ===
       Seq(Row("region=ap", 1L, 1L), Row("region=eu", 2L, 2L), Row("region=us", 1L, 1L)))
+    // size_bytes and seq serve through the distributed chunk path too.
+    val meta = spark.sql(
+      s"SELECT size_bytes, seq FROM $t.files ORDER BY seq").collect().toSeq
+    assert(meta.map(_.getLong(1)) === Seq(1L, 2L, 3L, 4L),
+      "each single-commit file carries its data sequence number")
+    assert(meta.forall(r => !r.isNullAt(0) && r.getLong(0) > 0L),
+      "parquet files report their byte size")
   }
 
   test("below the threshold the local plan stays (no executor round-trip " +

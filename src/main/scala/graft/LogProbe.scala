@@ -62,16 +62,57 @@ object LogProbe {
       val firstHalf = median(walls.take(commits / 2))
       val secondHalf = median(walls.drop(commits / 2))
 
-      // Cold load: clear the cache, time the warehouse reload.
+      // Cold load: clear the cache, time the warehouse reload. With lazy
+      // manifest residency the load reads SUMMARIES only — resident file
+      // entries right after load must be ZERO regardless of history depth,
+      // and touching currentFiles materializes exactly ONE snapshot's
+      // inventory.
       SnapshotStore.tables.clear()
       val t0 = System.nanoTime()
       val st = SnapshotStore.stateOf(k)
       val loadMs = (System.nanoTime() - t0) / 1e6
+      val residentAtLoad = st.snapshots.map(_.residentFileEntries).sum
+      val live = st.currentFiles.size // forces the CURRENT manifest only
+      val residentAfterScanPlan = st.snapshots.map(_.residentFileEntries).sum
       println(f"[logprobe] width=$width%3d commits=$commits " +
         f"medianCommitMs(first half)=$firstHalf%7.2f " +
         f"(second half)=$secondHalf%7.2f " +
-        f"coldLoadMs=$loadMs%8.2f liveFiles=${st.currentFiles.size}%6d " +
-        f"snapshots=${st.snapshots.size}%4d")
+        f"coldLoadMs=$loadMs%8.2f liveFiles=$live%6d " +
+        f"snapshots=${st.snapshots.size}%4d " +
+        f"residentEntries(load)=$residentAtLoad%6d " +
+        f"(after current-files touch)=$residentAfterScanPlan%6d")
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+    }
+
+    // LOAD-TIME-vs-HISTORY probe: same live inventory width, growing
+    // history depth — cold load must stay near-flat (summaries only) and
+    // the post-load resident entries must be zero at every depth.
+    val width = widths.max
+    Seq(commits, commits * 4).foreach { depth =>
+      val table = s"t_hist_$depth"
+      val name = s"$cat.logprobe.$table"
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      spark.sql(s"CREATE TABLE $name (id BIGINT, v DOUBLE)")
+      val k = SnapshotStore.keyOf(cat, Seq("logprobe", table))
+      val dir = SnapshotStore.stateOf(k).dataDir
+      (1 to depth).foreach { c =>
+        val files = (0 until width).map(i => SnapshotStore.DataFile(
+          s"$dir/h$c-$i.parquet", Vector.empty, 100L,
+          Map(1 -> SnapshotStore.ColStats(1L, 100L, 0L)),
+          1024L, Vector((0L, 4L)), writeCols = Vector((1, "id"), (2, "v"))))
+          .toVector
+        // Truncate-overwrite: live inventory stays `width` files while
+        // history deepens — isolating depth from live size.
+        SnapshotStore.commit(k, files, replace = true)
+      }
+      SnapshotStore.tables.clear()
+      val t0 = System.nanoTime()
+      val st = SnapshotStore.stateOf(k)
+      val loadMs = (System.nanoTime() - t0) / 1e6
+      val resident = st.snapshots.map(_.residentFileEntries).sum
+      println(f"[logprobe] historyDepth=$depth%4d liveFiles=${st.currentFiles.size}%4d " +
+        f"coldLoadMs=$loadMs%8.2f residentEntries(load)=$resident%6d " +
+        f"lazySnapshots=${st.snapshots.count(_.isLazy)}%4d/${st.snapshots.size}%4d")
       spark.sql(s"DROP TABLE IF EXISTS $name")
     }
     spark.stop()

@@ -37,9 +37,22 @@ object RunPipeline {
         if (spec.sourceChanges) {
           // Incremental run over the source's `.changes` stream: catch up
           // (AvailableNow), rate-limited per the spec, then stop. The
-          // checkpoint is derived from the spec name so a re-run resumes.
+          // checkpoint is keyed on the spec name AND the source table's
+          // CREATION identity: a spec-name-only path would let a stale
+          // checkpoint from a run against a since-dropped-and-recreated
+          // source resume from an offset belonging to the dead table's
+          // history — silently skipping the new table's commits. A
+          // recreated source has a fresh tableId, hence a fresh checkpoint
+          // and a full replay.
+          val srcParts = spec.sourceTable.split('.').toSeq
+          val srcState = graft.sources.SnapshotStore.stateOf(
+            graft.sources.SnapshotStore.keyOf(srcParts.head, srcParts.tail))
+          val srcId =
+            if (srcState.tableId.nonEmpty) srcState.tableId.take(8)
+            else java.util.UUID.nameUUIDFromBytes(srcState.dataDir.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
           val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-pipeline-" +
-            s"ckpt-${spec.name}"
+            s"ckpt-${spec.name}-$srcId"
           runner.runChanges(spec, ckpt).awaitTermination()
           println(s"[pipeline] ${spec.name}: changes run caught up into " +
             spec.sinkDescription)

@@ -1114,11 +1114,50 @@ object Governance {
       FROM ev GROUP BY 1, 2
       ORDER BY change_type, bucket"""))
 
+  /** HIDDEN PARTITIONING (Iceberg partition transforms,
+    * [[graft.sources.PTransform]]): a table `PARTITIONED BY (days(ts),
+    * bucket(4, user_id))` — queries filter on the DATA columns (`ts`
+    * BETWEEN, `user_id =`) and never name a partition column; the engine
+    * routes writes through the transforms and prunes day/bucket files by
+    * pushing the data predicates THROUGH them (PartitionTransformSuite
+    * pins the scan volume: the range below opens only its days' files).
+    * The oracle runs the identical filter over the raw parquet — results
+    * must be hash-exact, proving transform routing + pruning lose and
+    * invent nothing. */
+  val m20HiddenPartitioning = Q(
+    "m20_hidden_partitioning",
+    (s, dir) => {
+      val t = "graft_snap.gov.events_m20"
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.gov")
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (event_id BIGINT, user_id BIGINT, " +
+        "event_type STRING, ts TIMESTAMP, value DOUBLE) " +
+        "PARTITIONED BY (days(ts), bucket(4, user_id))")
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"), col("value"))
+        .writeTo(t).append()
+      s.table(t)
+        .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), Q.dsum(col("value")).as("total"),
+          countDistinct(col("user_id")).as("users"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        count(DISTINCT user_id) AS users
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        AND ts < TIMESTAMP '2024-01-16 00:00:00'
+      GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(
     m01MergeUpsert, m02Scd2History, m03IncrementalRefresh, m04SnapshotDiff,
     m05SqlMerge, m06SqlUpdateDelete, m07TimeTravel, m08ChangeFeed,
     m09IncrementalMaint, m10PartitionedCow, m11ChangeFeedPruned,
     m12MetadataHistory, m13MergeOnRead, m14DppStar, m15ChangesRelation,
     m16WapPublish, m17ChangesMaint, m18EqualityUpsert, m19UpsertChanges,
-    a01QualityAudit, z01ZorderLayout)
+    m20HiddenPartitioning, a01QualityAudit, z01ZorderLayout)
 }

@@ -326,6 +326,17 @@ private[sources] object MetadataLog {
       .map(fileEntryFromJson(dataDir, pvTypes, ctx, _)).toVector
   }
 
+  /** A deferred manifest read: everything needed to materialize one
+    * snapshot's file inventory on first touch — the LAZY residency handle
+    * [[SnapshotStore.Snapshot]] holds for history loaded from the log
+    * (`ctx` is the snapshot's OWN column context, so stats resolve exactly
+    * as an eager load would). */
+  private[sources] final case class ManifestRef(dataDir: String, name: String,
+      pvTypes: Seq[DataType], ctx: ColCtx) {
+    def load(): (Vector[DataFile], Vector[DeleteFile]) =
+      readManifest(dataDir, name, pvTypes, ctx)
+  }
+
   private def readManifest(dataDir: String, name: String,
       pvTypes: Seq[DataType],
       ctx: ColCtx): (Vector[DataFile], Vector[DeleteFile]) = {
@@ -363,7 +374,13 @@ private[sources] object MetadataLog {
       "appended" -> JLong(sn.appendedFiles.toLong),
       "op" -> JString(sn.operation),
       "schema" -> (if (sn.schema == null) JNull else JString(sn.schema.json)),
-      "manifest" -> JString(sn.manifestPath))
+      "manifest" -> JString(sn.manifestPath),
+      // Certifies every manifest entry carries a real sequence number, so
+      // a loader may defer the manifest read (lazy residency) — an
+      // UNFLAGGED summary forces the eager path and the legacy-seq
+      // reconstruction. Carried from the in-memory snapshot: computing it
+      // here would force lazy history back into memory on every commit.
+      "seqs" -> JBool(sn.seqsKnown))
   }
 
   private def snapFromJson(dataDir: String, pvTypes: Seq[DataType],
@@ -379,21 +396,46 @@ private[sources] object MetadataLog {
     // Manifest stats resolve against the SNAPSHOT's own schema (the types
     // and names its entries were serialized under).
     val ctx = if (schema == null) tableCtx else colCtxOf(schema)
-    val (files, deletes) = readManifest(dataDir, manifest, pvTypes, ctx)
-    Snapshot(jLong(field(j, "v")), jLong(field(j, "ts")), files,
-      appendedFiles = jInt(field(j, "appended")),
-      schema = schema,
-      deleteFiles = deletes,
-      operation = jStr(field(j, "op")),
-      manifestPath = manifest)
+    val seqsKnown = fieldOpt(j, "seqs").exists {
+      case JBool(b) => b
+      case _ => false
+    }
+    if (seqsKnown)
+      // LAZY: the summary certifies seq-stamped entries, so the manifest
+      // stays on disk until this snapshot's inventory is actually touched
+      // — table load is O(snapshots) summaries, not O(history × files).
+      Snapshot.lazyLoaded(jLong(field(j, "v")), jLong(field(j, "ts")),
+        appendedFiles = jInt(field(j, "appended")),
+        schema = schema,
+        operation = jStr(field(j, "op")),
+        manifestPath = manifest,
+        loader = ManifestRef(dataDir, manifest, pvTypes, ctx))
+    else {
+      // EAGER: unflagged summary (legacy metadata) — entries may predate
+      // sequence tracking and need the global reconstruction in
+      // [[assignLegacySeqs]], which must see them materialized.
+      val (files, deletes) = readManifest(dataDir, manifest, pvTypes, ctx)
+      Snapshot(jLong(field(j, "v")), jLong(field(j, "ts")), files,
+        appendedFiles = jInt(field(j, "appended")),
+        schema = schema,
+        deleteFiles = deletes,
+        operation = jStr(field(j, "op")),
+        manifestPath = manifest)
+    }
   }
 
   private def renderState(st: TableState): String = {
     val json = JObject(
       "format" -> JLong(1L),
+      "tableId" -> JString(st.tableId),
       "schema" -> JString(st.schema.json),
       "lastFieldId" -> JLong(st.lastFieldId.toLong),
       "partitionCols" -> JArray(st.partitionCols.toList.map(JString(_))),
+      // Hidden-partitioning transforms, parallel to partitionCols by wire
+      // name ("identity", "days", "bucket[8]", …). Absent in legacy
+      // metadata = all identity.
+      "partitionTransforms" -> JArray(
+        st.transformsOrIdentity.toList.map(t => JString(t.name))),
       "properties" -> JObject(st.properties.toList.map {
         case (k, v) => k -> (JString(v): JValue) }),
       "tags" -> JObject(st.tags.toList.map {
@@ -420,7 +462,12 @@ private[sources] object MetadataLog {
     val lastFieldId = fieldOpt(j, "lastFieldId")
       .map(jLong(_).toInt).getOrElse(assignedLast)
     val partitionCols = jArr(field(j, "partitionCols")).map(jStr)
-    val pvTypes = partitionCols.map(c => schema(c).dataType)
+    val transforms = fieldOpt(j, "partitionTransforms")
+      .map(ts => jArr(ts).map(t => PTransform.fromName(jStr(t))))
+      .getOrElse(partitionCols.map(_ => PIdentity))
+    // Manifests carry TRANSFORMED partition values — decode in their types.
+    val pvTypes = partitionCols.zip(transforms)
+      .map { case (c, t) => t.resultType(schema(c).dataType) }
     val ctx = colCtxOf(schema)
     val st = TableState(
       schema = schema,
@@ -441,7 +488,9 @@ private[sources] object MetadataLog {
             .map(snapFromJson(dataDir, pvTypes, ctx, _)).toVector)
       }.toMap,
       metaVersion = metaVersion,
-      lastFieldId = lastFieldId)
+      lastFieldId = lastFieldId,
+      tableId = fieldOpt(j, "tableId").map(jStr).getOrElse(""),
+      partitionTransforms = transforms)
     assignLegacySeqs(st)
   }
 
@@ -450,19 +499,29 @@ private[sources] object MetadataLog {
     * path. That can overestimate a file's true age when its original
     * commit was expired — safe here because equality deletes postdate
     * sequence tracking, so every delete's seq exceeds any reconstructed
-    * file seq. */
+    * file seq.
+    *
+    * LAZY snapshots are exempt by construction: their summaries certify
+    * every entry seq-stamped (`seqs` flag), so only EAGER (unflagged)
+    * snapshots can hold legacy entries — the scan below never forces a
+    * lazy load. A legacy path's first retained reference is itself in an
+    * unflagged snapshot (carrying a seq-0 entry unflags the manifest), so
+    * reconstructing over the eager subset is complete for legacy paths. */
   private def assignLegacySeqs(st: TableState): TableState = {
     def anyLegacy(sns: Vector[Snapshot]) =
-      sns.exists(_.files.exists(_.seq == 0L))
+      sns.exists(sn => !sn.seqsKnown && sn.files.exists(_.seq == 0L))
     if (!anyLegacy(st.snapshots) && !st.branches.values.exists(b => anyLegacy(b.snapshots)))
       return st
     val first = scala.collection.mutable.HashMap.empty[String, Long]
     (st.snapshots.sortBy(_.version) ++
       st.branches.values.toSeq.flatMap(_.snapshots).sortBy(_.version))
+      .filterNot(_.seqsKnown)
       .foreach(sn => sn.files.foreach(f =>
         if (!first.contains(f.path)) first(f.path) = sn.version))
-    def fix(sns: Vector[Snapshot]) = sns.map(sn => sn.copy(files =
-      sn.files.map(f => if (f.seq == 0L) f.copy(seq = first(f.path)) else f)))
+    def fix(sns: Vector[Snapshot]) = sns.map(sn =>
+      if (sn.seqsKnown) sn
+      else sn.copy(files =
+        sn.files.map(f => if (f.seq == 0L) f.copy(seq = first(f.path)) else f)))
     st.copy(
       snapshots = fix(st.snapshots),
       branches = st.branches.map { case (n, b) =>
@@ -477,7 +536,7 @@ private[sources] object MetadataLog {
     * commit number; the caller reloads and retries its transition. */
   def tryCommit(before: TableState, after: TableState): Option[TableState] = {
     val dataDir = after.dataDir
-    val pvTypes = after.partitionCols.map(c => after.schema(c).dataType)
+    val pvTypes = after.partitionValueTypes
     val tableCtx = colCtxOf(after.schema)
     val chunkEntries = chunkEntriesOf(after.properties)
     val written = scala.collection.mutable.ArrayBuffer.empty[Path]

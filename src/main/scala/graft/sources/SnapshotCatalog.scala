@@ -182,7 +182,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     SnapshotStore.resolve(k) match {
       case Some(st) =>
         new MemTable(ident.toString, k, st.schema, st.partitionCols, st.properties,
-          pinned = None)
+          pinned = None, partTransforms = st.partitionTransforms)
       case None =>
         // Suffix fallback (`db.t.history` / `.files` / `.changes` /
         // `.branch_<name>`): only when the FULL identifier names no real
@@ -239,7 +239,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         val (files, deletes) = br.head(st)
         new MemTable(s"$ident@branch:$version", k, st.schema,
           st.partitionCols, st.properties,
-          pinned = Some(files), pinnedDeletes = Some(deletes))
+          pinned = Some(files), pinnedDeletes = Some(deletes),
+          partTransforms = st.partitionTransforms)
       case _ =>
         val v = version.toLongOption.getOrElse(
           st.tags.getOrElse(version,
@@ -250,7 +251,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         new MemTable(s"$ident@v$version", k, SnapshotStore.schemaAt(k, v),
           st.partitionCols, st.properties,
           pinned = Some(SnapshotStore.filesAt(k, v)),
-          pinnedDeletes = Some(SnapshotStore.deletesAt(k, v)))
+          pinnedDeletes = Some(SnapshotStore.deletesAt(k, v)),
+          partTransforms = st.partitionTransforms)
     }
   }
 
@@ -292,27 +294,35 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     new MemTable(s"$ident@t$timestampMicros", k, schema, st.partitionCols,
       st.properties, pinned = Some(files),
       pinnedDeletes = Some(visible.lastOption.fold(
-        Vector.empty[SnapshotStore.DeleteFile])(_.deleteFiles)))
+        Vector.empty[SnapshotStore.DeleteFile])(_.deleteFiles)),
+      partTransforms = st.partitionTransforms)
   }
 
-  /** Accepts identity partition transforms — the only kind the reference
-    * uses (`customers.yml:5-7`) — and any provider/properties the DDL
-    * carries (`USING iceberg` + TBLPROPERTIES from the Iceberg-dialect DDL
-    * land here as the `provider` / table properties, so the generated
-    * reference DDL executes against this catalog as-is). A declared
-    * `location` is recorded as metadata; data files live under the
-    * catalog's own warehouse (external stores aren't mounted offline). */
+  /** Accepts identity AND HIDDEN partition transforms (`PARTITIONED BY
+    * (days(ts))` / `bucket(n, id)` / `truncate(w, s)` — see [[PTransform]];
+    * the reference's own tables use identity, `customers.yml:5-7`, but
+    * format-v2 Iceberg tables partition through transforms) and any
+    * provider/properties the DDL carries (`USING iceberg` + TBLPROPERTIES
+    * from the Iceberg-dialect DDL land here as the `provider` / table
+    * properties, so the generated reference DDL executes against this
+    * catalog as-is). A declared `location` is recorded as metadata; data
+    * files live under the catalog's own warehouse (external stores aren't
+    * mounted offline). */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    val partCols = partitions.toSeq.map {
-      case t if t.name == "identity" && t.references().length == 1 &&
-          t.references()(0).fieldNames().length == 1 =>
-        t.references()(0).fieldNames()(0)
-      case other => throw new UnsupportedOperationException(
-        s"snapshot catalog supports identity partition transforms only, got: $other")
+    val partFields = partitions.toSeq.map(PTransform.fromV2)
+    val partCols = partFields.map(_._1)
+    val partTransforms = partFields.map(_._2)
+    partFields.foreach { case (c, t) =>
+      require(schema.fieldNames.contains(c),
+        s"partition column $c is not in the table schema")
+      require(t.accepts(schema(c).dataType),
+        s"partition transform ${t.name} does not accept column $c's type " +
+          s"${schema(c).dataType.simpleString}")
     }
-    partCols.foreach(c => require(schema.fieldNames.contains(c),
-      s"partition column $c is not in the table schema"))
+    require(partCols.map(_.toLowerCase).distinct.length == partCols.length,
+      s"duplicate partition source column in ${partCols.mkString("(", ", ", ")")}" +
+        " — one transform per source column")
     // `_file` / `_pos` are this catalog's metadata columns (the row-level
     // rewrite group id and the merge-on-read row id), and `_change_type` /
     // `_commit_version` / `_commit_timestamp` are the change-feed relation's
@@ -348,13 +358,15 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     DataFiles.formatOf(props)
     val persisted = MetadataLog.createInitial(
       SnapshotStore.TableState(idSchema, partCols, dataDir, props, Vector.empty,
-        lastFieldId = lastId))
+        partitionTransforms = partTransforms,
+        lastFieldId = lastId, tableId = UUID.randomUUID().toString))
       .getOrElse(throw new TableAlreadyExistsException(ident))
     // The DISK claim (createInitial) decided existence; the cache insert
     // must tolerate a concurrent reader having already loaded OUR v1.json
     // — putIfAbsent-then-throw would report failure for a create that won.
     SnapshotStore.cachePutNewer(k, persisted)
-    new MemTable(ident.toString, k, idSchema, partCols, props, pinned = None)
+    new MemTable(ident.toString, k, idSchema, partCols, props, pinned = None,
+      partTransforms = partTransforms)
   }
 
   /** Schema evolution over per-column FIELD IDS (see [[FieldIds]]):
@@ -374,11 +386,20 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     val k = key(ident)
     if (SnapshotStore.resolve(k).isEmpty) throw new NoSuchTableException(ident)
     def requireIdCoverage(st: SnapshotStore.TableState, what: String): Unit = {
-      val legacy = st.currentFiles.filter(_.writeCols.isEmpty)
+      // BRANCH HEADS count too: a branch's staged files are scanned against
+      // the LIVE schema after the rename/drop (BranchTable resolves files
+      // via the current schema), so a legacy file parked on a branch would
+      // mis-read positionally exactly like one on main — same gate, same
+      // remedy (the eq-delete-key DROP check below inspects branch heads
+      // for the same reason).
+      val branchHead = st.branches.values.flatMap(_.head(st)._1)
+      val legacy = (st.currentFiles ++ branchHead)
+        .filter(_.writeCols.isEmpty).distinctBy(_.path)
       require(legacy.isEmpty,
-        s"$what requires every current data file to carry its write-time " +
-          s"column mapping, but ${legacy.size} file(s) predate field-id " +
-          "tracking (e.g. " + legacy.take(1).map(_.path).mkString + ") — " +
+        s"$what requires every current data file (branch heads included) " +
+          s"to carry its write-time column mapping, but ${legacy.size} " +
+          "file(s) predate field-id tracking (e.g. " +
+          legacy.take(1).map(_.path).mkString + ") — " +
           "run CALL <catalog>.system.rewrite_data_files first")
     }
     SnapshotStore.update(k) { st =>
@@ -857,16 +878,116 @@ private[graft] object SnapshotStore {
     * copy-on-write row-level rewrite) | `delete` (metadata-only partition
     * delete) | `delta` (merge-on-read row-level commit) | `rollback` |
     * `replace` (compaction — files change, logical rows do not; the change
-    * feed skips it). */
-  final case class Snapshot(version: Long, commitMicros: Long,
-      files: Vector[DataFile], appendedFiles: Int = -1,
-      schema: StructType = null,
-      deleteFiles: Vector[DeleteFile] = Vector.empty,
-      operation: String = "append",
-      /** This snapshot's durable file inventory in the metadata log
-        * (relative to the table dir) — null until first persisted;
-        * [[MetadataLog.tryCommit]] writes each manifest exactly once. */
-      manifestPath: String = null)
+    * feed skips it). `manifestPath` is this snapshot's durable file
+    * inventory in the metadata log (relative to the table dir) — null
+    * until first persisted; [[MetadataLog.tryCommit]] writes each manifest
+    * exactly once.
+    *
+    * LAZY MANIFEST RESIDENCY: a snapshot loaded from the metadata log
+    * holds a manifest REFERENCE, not the inventory — `files` /
+    * `deleteFiles` read the manifest on first access and soft-cache the
+    * result (reclaimable under memory pressure). Table LOAD therefore
+    * reads summaries only: driver-resident file entries are O(snapshots
+    * actually touched) — the current snapshot for scans/commits, the
+    * pinned one for time travel — never O(history × files). Fresh commits
+    * are EAGER (their inventory is in hand); only history pays the lazy
+    * indirection. A history-spanning operation (expire's GC set, the
+    * `.history` diff relation, a full changes replay) still loads what it
+    * touches — that cost is the operation's semantics, not the load's. */
+  final class Snapshot private (val version: Long, val commitMicros: Long,
+      filesIn: Vector[DataFile],
+      val appendedFiles: Int,
+      val schema: StructType,
+      deletesIn: Vector[DeleteFile],
+      val operation: String,
+      val manifestPath: String,
+      loader: MetadataLog.ManifestRef,
+      /** True iff EVERY file/delete entry of this snapshot carries a real
+        * data sequence number (`seq > 0`) — persisted in the snapshot
+        * summary so a LOADER can decide lazy vs eager WITHOUT reading the
+        * manifest (an unflagged manifest may hold pre-seq legacy entries
+        * needing the global reconstruction in
+        * [[MetadataLog.assignLegacySeqs]]). */
+      val seqsKnown: Boolean) {
+
+    /** Soft-cached lazily-loaded (files, deletes); null until first touch. */
+    @volatile private var cached:
+        java.lang.ref.SoftReference[(Vector[DataFile], Vector[DeleteFile])] = null
+
+    private def loaded: (Vector[DataFile], Vector[DeleteFile]) = {
+      val c = if (cached == null) null else cached.get()
+      if (c != null) c
+      else {
+        // Benign race: two threads may both load; the manifest is
+        // immutable, so either result is identical.
+        val v = loader.load()
+        cached = new java.lang.ref.SoftReference(v)
+        v
+      }
+    }
+
+    def files: Vector[DataFile] =
+      if (filesIn != null) filesIn else loaded._1
+    def deleteFiles: Vector[DeleteFile] =
+      if (deletesIn != null) deletesIn else loaded._2
+
+    /** File entries currently resident on the driver for THIS snapshot —
+      * the probe surface for the lazy-residency contract (never forces a
+      * load). */
+    def residentFileEntries: Int =
+      if (filesIn != null) filesIn.size
+      else {
+        val c = if (cached == null) null else cached.get()
+        if (c == null) 0 else c._1.size
+      }
+
+    def isLazy: Boolean = filesIn == null
+
+    def copy(version: Long = version, commitMicros: Long = commitMicros,
+        files: Vector[DataFile] = null, appendedFiles: Int = appendedFiles,
+        schema: StructType = schema, deleteFiles: Vector[DeleteFile] = null,
+        operation: String = operation,
+        manifestPath: String = manifestPath): Snapshot =
+      if (files == null && deleteFiles == null)
+        // Inventory untouched: carry the existing source — eager vector or
+        // lazy reference — WITHOUT forcing a load.
+        new Snapshot(version, commitMicros, filesIn, appendedFiles, schema,
+          deletesIn, operation, manifestPath, loader, seqsKnown)
+      else {
+        val f = if (files != null) files else this.files
+        val d = if (deleteFiles != null) deleteFiles else this.deleteFiles
+        new Snapshot(version, commitMicros, f, appendedFiles, schema, d,
+          operation, manifestPath, null, Snapshot.allSeqStamped(f, d))
+      }
+
+    override def toString: String =
+      s"Snapshot(v$version, $operation, " +
+        (if (filesIn != null) s"${filesIn.size} files" else "lazy") + ")"
+  }
+
+  object Snapshot {
+    private[sources] def allSeqStamped(files: Vector[DataFile],
+        deletes: Vector[DeleteFile]): Boolean =
+      files.forall(_.seq > 0L) && deletes.forall(_.seq > 0L)
+
+    /** EAGER snapshot — the commit-path constructor (inventory in hand). */
+    def apply(version: Long, commitMicros: Long, files: Vector[DataFile],
+        appendedFiles: Int = -1, schema: StructType = null,
+        deleteFiles: Vector[DeleteFile] = Vector.empty,
+        operation: String = "append", manifestPath: String = null): Snapshot =
+      new Snapshot(version, commitMicros, files, appendedFiles, schema,
+        deleteFiles, operation, manifestPath, null,
+        allSeqStamped(files, deleteFiles))
+
+    /** LAZY snapshot — the load-path constructor: the inventory stays in
+      * its manifest until touched. Only sound when the summary's `seqs`
+      * flag certifies every entry carries a real sequence number. */
+    private[sources] def lazyLoaded(version: Long, commitMicros: Long,
+        appendedFiles: Int, schema: StructType, operation: String,
+        manifestPath: String, loader: MetadataLog.ManifestRef): Snapshot =
+      new Snapshot(version, commitMicros, null, appendedFiles, schema,
+        null, operation, manifestPath, loader, seqsKnown = true)
+  }
 
   /** A BRANCH (Iceberg's mutable ref): staged commits forked at `base` (a
     * main-log version), held OUTSIDE the main snapshot log until
@@ -899,18 +1020,43 @@ private[graft] object SnapshotStore {
       epochs: scala.collection.immutable.ListMap[String, Long] =
         scala.collection.immutable.ListMap.empty,
       branches: Map[String, Branch] = Map.empty,
+      /** HIDDEN-PARTITIONING transforms, parallel to `partitionCols` (the
+        * SOURCE column names). Empty = all identity (the pre-transform
+        * metadata shape). File partition values are the TRANSFORMED
+        * values; writes route through [[PTransform.eval]] and scans prune
+        * data predicates through [[TransformPruning]]. */
+      partitionTransforms: Seq[PTransform] = Nil,
       /** The metadata-log commit number backing this state (`v<N>.json`) —
         * the CAS token of the durable commit protocol. */
       metaVersion: Long = 0L,
       /** Highest FIELD ID ever assigned in this table (ids are never
         * reused — a dropped column's id stays retired, see [[FieldIds]]). */
-      lastFieldId: Int = 0) {
+      lastFieldId: Int = 0,
+      /** CREATION identity (uuid, assigned once at CREATE TABLE and never
+        * changed — Iceberg's table-uuid): distinguishes a table from a
+        * later drop-and-recreate at the same identifier/directory, so
+        * consumers that key durable state on a table (stream checkpoints)
+        * can detect the swap instead of resuming against a stranger's
+        * history. Empty = legacy metadata predating the field. */
+      tableId: String = "") {
     def currentFiles: Vector[DataFile] =
       if (snapshots.isEmpty) Vector.empty else snapshots.last.files
     def currentDeletes: Vector[DeleteFile] =
       if (snapshots.isEmpty) Vector.empty else snapshots.last.deleteFiles
     def nextVersion: Long =
       if (snapshots.isEmpty) 1L else snapshots.last.version + 1L
+    /** The transforms with the all-identity default expanded. */
+    def transformsOrIdentity: Seq[PTransform] =
+      if (partitionTransforms.nonEmpty) partitionTransforms
+      else partitionCols.map(_ => PIdentity)
+    /** Partition labels for metadata rendering ("ts_day", "id_bucket"). */
+    def partitionLabels: Seq[String] =
+      partitionCols.zip(transformsOrIdentity).map { case (c, t) => t.label(c) }
+    /** The TRANSFORMED partition-value types — what file descriptors and
+      * the manifest codec carry. */
+    def partitionValueTypes: Seq[DataType] =
+      partitionCols.zip(transformsOrIdentity)
+        .map { case (c, t) => t.resultType(schema(c).dataType) }
   }
 
   /** In-JVM CACHE of the durable metadata log ([[MetadataLog]]) — the log
@@ -1513,14 +1659,18 @@ private[sources] object PartitionPredicates {
 private[sources] final class MemTable(fullName: String, k: String,
     tableSchema: StructType, partCols: Seq[String], props: Map[String, String],
     pinned: Option[Vector[SnapshotStore.DataFile]],
-    pinnedDeletes: Option[Vector[SnapshotStore.DeleteFile]] = None)
+    pinnedDeletes: Option[Vector[SnapshotStore.DeleteFile]] = None,
+    partTransforms: Seq[PTransform] = Nil)
     extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations
     with SupportsMetadataColumns with SupportsDeleteV2 {
+
+  private def tOf(i: Int): PTransform =
+    if (partTransforms.isEmpty) PIdentity else partTransforms(i)
 
   override def name(): String = fullName
   override def schema(): StructType = tableSchema
   override def partitioning(): Array[Transform] =
-    partCols.map(Expressions.identity).toArray
+    partCols.zipWithIndex.map { case (c, i) => PTransform.toV2(c, tOf(i)) }.toArray
   override def properties(): util.Map[String, String] = props.asJava
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -1531,10 +1681,18 @@ private[sources] final class MemTable(fullName: String, k: String,
   override def metadataColumns(): Array[MetadataColumn] =
     Array(MemTable.FileColumn, MemTable.PosColumn)
 
+  /** IDENTITY partition fields only — the map the row-decidable machinery
+    * (metadata delete, static overwrite predicates, DPP) consults. A
+    * TRANSFORM field's file values are transformed, so predicates over its
+    * source column are NOT row-decidable from them; those prune through
+    * [[TransformPruning]]'s file-level channel instead. */
   private def partColMap: PartitionPredicates.PartCols =
-    partCols.zipWithIndex.map { case (c, i) =>
+    partCols.zipWithIndex.collect { case (c, i) if tOf(i).isIdentity =>
       c.toLowerCase -> (i, tableSchema(c).dataType)
     }.toMap
+
+  private def tFields: Seq[TransformPruning.TField] =
+    TransformPruning.fieldsOf(partCols, partTransforms, tableSchema)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
   {
@@ -1568,7 +1726,8 @@ private[sources] final class MemTable(fullName: String, k: String,
         Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
       startingVersion = Option(options.get("startingVersion")),
       splitTargetBytes = ScanSplits.targetBytes(props),
-      eqDeletes = eqDels)
+      eqDeletes = eqDels,
+      tFields = tFields)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -1694,7 +1853,9 @@ private[sources] final class MemRowLevelOperation(
     if (!runtimeNarrowed) scanned = st.currentFiles
     new MemRowLevelScanBuilder(this, tableSchema, partCols, st.currentFiles,
       SnapshotStore.deleteMap(st.currentDeletes),
-      SnapshotStore.eqDeletes(st.currentDeletes))
+      SnapshotStore.eqDeletes(st.currentDeletes),
+      TransformPruning.fieldsOf(st.partitionCols, st.partitionTransforms,
+        st.schema))
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new MemWriteBuilder(k, info.schema(), partCols, forceReplace = true,
@@ -1714,28 +1875,37 @@ private[sources] final class MemRowLevelScanBuilder(op: MemRowLevelOperation,
     fullSchema: StructType, partCols: PartitionPredicates.PartCols,
     files: Vector[SnapshotStore.DataFile],
     deletes: Map[String, Vector[String]] = Map.empty,
-    eqDeletes: Vector[SnapshotStore.DeleteFile] = Vector.empty)
+    eqDeletes: Vector[SnapshotStore.DeleteFile] = Vector.empty,
+    tFields: Seq[TransformPruning.TField] = Nil)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownV2Filters {
   private val statCols = StatsPredicates.statCols(fullSchema)
   private var required: StructType = fullSchema
   private var pushed: Array[VPredicate] = Array.empty
   private var statsUsable: Array[VPredicate] = Array.empty
+  private var transformUsable: Array[VPredicate] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   override def pushPredicates(predicates: Array[VPredicate]): Array[VPredicate] = {
     pushed = predicates.filter(PartitionPredicates.evaluable(_, partCols))
-    // Column-stats skipping narrows the REWRITE GROUP set too, and is
-    // sound for the same reason partition pruning is: a skipped file
-    // cannot contain a matching row, so not rewriting it loses nothing.
+    // Transform pruning and column-stats skipping narrow the REWRITE
+    // GROUP set too, and are sound for the same reason partition pruning
+    // is: a skipped file cannot contain a matching row, so not rewriting
+    // it loses nothing.
+    transformUsable = predicates.filter(p =>
+      !pushed.contains(p) && TransformPruning.usable(p, tFields))
     statsUsable = predicates.filter(p =>
-      !pushed.contains(p) && StatsPredicates.usable(p, statCols))
+      !pushed.contains(p) && !transformUsable.contains(p) &&
+        StatsPredicates.usable(p, statCols))
     predicates // all residual: pruning is file-level, rows still need the filter
   }
-  override def pushedPredicates(): Array[VPredicate] = pushed ++ statsUsable
+  override def pushedPredicates(): Array[VPredicate] =
+    pushed ++ transformUsable ++ statsUsable
   override def build(): Scan = {
     val retained = files.filter(f =>
       !pushed.exists(
         PartitionPredicates.definitelyExcludes(_, partCols, f.partitionValues)) &&
+      !transformUsable.exists(
+        TransformPruning.definitelyExcludes(_, tFields, f.partitionValues)) &&
       !statsUsable.exists(
         StatsPredicates.definitelyExcludes(_, statCols, f.stats, f.rowCount)))
     if (!op.runtimeNarrowed) op.scanned = retained
@@ -1840,7 +2010,9 @@ private[sources] final class MemDeltaRowLevelOperation(
     new MemScanBuilder(tableSchema, partCols, st.currentFiles,
       deletes = SnapshotStore.deleteMap(st.currentDeletes),
       splitTargetBytes = ScanSplits.targetBytes(st.properties),
-      eqDeletes = SnapshotStore.eqDeletes(st.currentDeletes))
+      eqDeletes = SnapshotStore.eqDeletes(st.currentDeletes),
+      tFields = TransformPruning.fieldsOf(st.partitionCols,
+        st.partitionTransforms, st.schema))
   }
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new MemDeltaWriteBuilder(k, info.schema(), baseVersion)
@@ -1869,7 +2041,8 @@ private[sources] final class MemDeltaBatchWrite(k: String, rowSchema: StructType
     MemDeltaWriterFactory(rowSchema, st.partitionCols, st.dataDir,
       RowFiles.sessionConf(), st.properties,
       if (rowSchema.isEmpty) Vector.empty
-      else FieldIds.writeColsFor(st.schema, rowSchema))
+      else FieldIds.writeColsFor(st.schema, rowSchema),
+      st.partitionTransforms)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.iterator.map(_.asInstanceOf[MemDeltaCommitMessage]).toVector
@@ -1895,7 +2068,8 @@ private[sources] final case class MemDeltaCommitMessage(
 private[sources] final case class MemDeltaWriterFactory(rowSchema: StructType,
     partitionCols: Seq[String], dataDir: String,
     fsConf: org.apache.spark.util.SerializableConfiguration,
-    props: Map[String, String], writeCols: Vector[(Int, String)])
+    props: Map[String, String], writeCols: Vector[(Int, String)],
+    transforms: Seq[PTransform] = Nil)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DeltaWriter[InternalRow] =
@@ -1908,7 +2082,7 @@ private[sources] final case class MemDeltaWriterFactory(rowSchema: StructType,
       private def insertWriter: DataWriter[InternalRow] = {
         if (inserts == null)
           inserts = MemWriters.writer(rowSchema, partitionCols, dataDir,
-            tag, fsConf.value, props, writeCols)
+            tag, fsConf.value, props, writeCols, transforms)
         inserts
       }
       private val positions = scala.collection.mutable.LinkedHashMap
@@ -2074,7 +2248,8 @@ private[sources] final class MemStreamingWrite(k: String, writeSchema: StructTyp
     val st = SnapshotStore.stateOf(k)
     MemStreamWriterFactory(writeSchema, st.partitionCols, st.dataDir,
       RowFiles.sessionConf(), st.properties,
-      FieldIds.writeColsFor(st.schema, writeSchema))
+      FieldIds.writeColsFor(st.schema, writeSchema),
+      st.partitionTransforms)
   }
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.iterator
@@ -2100,7 +2275,8 @@ private[sources] final class MemBatchWrite(k: String, writeSchema: StructType,
     val st = SnapshotStore.stateOf(k)
     new MemWriterFactory(writeSchema, st.partitionCols, st.dataDir,
       RowFiles.sessionConf(), st.properties,
-      FieldIds.writeColsFor(st.schema, writeSchema))
+      FieldIds.writeColsFor(st.schema, writeSchema),
+      st.partitionTransforms)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.iterator
@@ -2131,13 +2307,14 @@ private[sources] final case class MemCommitMessage(files: Array[SnapshotStore.Da
 private[sources] final case class MemStreamWriterFactory(writeSchema: StructType,
     partitionCols: Seq[String], dataDir: String,
     fsConf: org.apache.spark.util.SerializableConfiguration,
-    props: Map[String, String], writeCols: Vector[(Int, String)])
+    props: Map[String, String], writeCols: Vector[(Int, String)],
+    transforms: Seq[PTransform] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     MemWriters.writer(writeSchema, partitionCols, dataDir,
       s"e$epochId-p$partitionId-t$taskId-${UUID.randomUUID.toString.take(8)}",
-      fsConf.value, props, writeCols)
+      fsConf.value, props, writeCols, transforms)
 }
 
 private[sources] object MemWriters {
@@ -2150,7 +2327,8 @@ private[sources] object MemWriters {
       dataDir: String, taskTag: String,
       conf: Configuration,
       props: Map[String, String] = Map.empty,
-      writeCols: Vector[(Int, String)] = Vector.empty): DataWriter[InternalRow] =
+      writeCols: Vector[(Int, String)] = Vector.empty,
+      transforms: Seq[PTransform] = Nil): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val format = DataFiles.formatOf(props)
       // Stats come back keyed by write-schema NAME; the descriptor keys
@@ -2164,6 +2342,14 @@ private[sources] object MemWriters {
         writeSchema.fieldIndex(c)
       }.toArray
       private val types = ords.map(writeSchema.fields(_).dataType)
+      // Hidden partitioning: each row's routing key is the TRANSFORMED
+      // value (identity = pass-through), so a `days(ts)` table opens one
+      // file per day per task, not one per distinct timestamp.
+      private val tfs: Array[PTransform] =
+        if (transforms.isEmpty) partitionCols.map(_ => PIdentity).toArray
+        else transforms.toArray
+      private def tval(u: UnsafeRow, i: Int): Any =
+        tfs(i).eval(u.get(ords(i), types(i)), types(i))
       private val open = scala.collection.mutable.LinkedHashMap
         .empty[Seq[Any], (DataFiles.RowFileWriter, String, Seq[Any])]
       private var fileSeq = 0
@@ -2180,7 +2366,7 @@ private[sources] object MemWriters {
         if (lastKey == null) return false
         var i = 0
         while (i < ords.length) {
-          val v = u.get(ords(i), types(i))
+          val v = tval(u, i)
           val lv = lastKey(i)
           if (if (v == null) lv != null else !v.equals(lv)) return false
           i += 1
@@ -2198,7 +2384,7 @@ private[sources] object MemWriters {
         // lookup (UTF8String equality is content-based); deep-copy only
         // when registering a new partition.
         val probe: Seq[Any] =
-          ords.indices.map(i => u.get(ords(i), types(i))).toVector
+          ords.indices.map(i => tval(u, i)).toVector
         val w = open.get(probe) match {
           case Some((existing, _, key)) => lastKey = key; existing
           case None =>
@@ -2250,11 +2436,12 @@ private[sources] final class MemWriterFactory(writeSchema: StructType,
     partitionCols: Seq[String], dataDir: String,
     fsConf: org.apache.spark.util.SerializableConfiguration,
     props: Map[String, String],
-    writeCols: Vector[(Int, String)]) extends DataWriterFactory {
+    writeCols: Vector[(Int, String)],
+    transforms: Seq[PTransform] = Nil) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     MemWriters.writer(writeSchema, partitionCols, dataDir,
       s"p$partitionId-t$taskId-${UUID.randomUUID.toString.take(8)}",
-      fsConf.value, props, writeCols)
+      fsConf.value, props, writeCols, transforms)
 }
 
 /** Plain read path: column pruning plus file-level partition pruning from
@@ -2268,30 +2455,40 @@ private[sources] final class MemScanBuilder(fullSchema: StructType,
     startingVersion: Option[String] = None,
     deletes: Map[String, Vector[String]] = Map.empty,
     splitTargetBytes: Long = ScanSplits.DefaultTargetBytes,
-    eqDeletes: Vector[SnapshotStore.DeleteFile] = Vector.empty)
+    eqDeletes: Vector[SnapshotStore.DeleteFile] = Vector.empty,
+    tFields: Seq[TransformPruning.TField] = Nil)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownV2Filters {
   private val statCols = StatsPredicates.statCols(fullSchema)
   private var required: StructType = fullSchema
   private var pushed: Array[VPredicate] = Array.empty
   private var statsUsable: Array[VPredicate] = Array.empty
+  private var transformUsable: Array[VPredicate] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   override def pushPredicates(predicates: Array[VPredicate]): Array[VPredicate] = {
-    // Two pruning channels, both file-level and both SOUND: partition
-    // predicates decide from a file's constant identity-partition values;
-    // anything else referencing a stats-tracked column skips files whose
-    // (min, max, nullCount) cannot satisfy it. All predicates stay
-    // residual — the engine re-applies them row-level after the scan.
+    // Three pruning channels, all file-level and all SOUND: identity-
+    // partition predicates decide from a file's constant partition values;
+    // HIDDEN-partitioning predicates push a DATA predicate through the
+    // partition transform (`ts BETWEEN …` prunes day files); anything else
+    // referencing a stats-tracked column skips files whose (min, max,
+    // nullCount) cannot satisfy it. All predicates stay residual — the
+    // engine re-applies them row-level after the scan.
     pushed = predicates.filter(PartitionPredicates.evaluable(_, partCols))
+    transformUsable = predicates.filter(p =>
+      !pushed.contains(p) && TransformPruning.usable(p, tFields))
     statsUsable = predicates.filter(p =>
-      !pushed.contains(p) && StatsPredicates.usable(p, statCols))
+      !pushed.contains(p) && !transformUsable.contains(p) &&
+        StatsPredicates.usable(p, statCols))
     predicates
   }
-  override def pushedPredicates(): Array[VPredicate] = pushed ++ statsUsable
+  override def pushedPredicates(): Array[VPredicate] =
+    pushed ++ transformUsable ++ statsUsable
   override def build(): Scan = {
     val retained = files.filter(f =>
       !pushed.exists(
         PartitionPredicates.definitelyExcludes(_, partCols, f.partitionValues)) &&
+      !transformUsable.exists(
+        TransformPruning.definitelyExcludes(_, tFields, f.partitionValues)) &&
       !statsUsable.exists(
         StatsPredicates.definitelyExcludes(_, statCols, f.stats, f.rowCount)))
     new MemScan(fullSchema, required, retained, streamKey, maxVersionsPerTrigger,
@@ -2367,11 +2564,79 @@ private[sources] object ScanSplits {
 }
 
 private[sources] object MemReaders {
+  /** An equality-delete KEY tuple as a hash-set element: array-backed with
+    * content equality/hash. Exists so the innermost scan loop can probe
+    * with ONE REUSABLE instance (fill the array in place, `contains`) —
+    * the Vector-per-row-per-group allocation this replaces was a measured
+    * tax on every row of every older file while any equality delete was
+    * live. Stored instances (built once per delete file) hold copied
+    * values and are never mutated; only each reader's private probe
+    * instance is. */
+  private[sources] final class EqKey(val values: Array[Any]) {
+    override def hashCode: Int = {
+      // Arrays.hashCode over the boxed values — content-based for
+      // UTF8String/Decimal/boxed primitives, matching equals below.
+      var h = 1
+      var i = 0
+      while (i < values.length) {
+        val v = values(i)
+        h = 31 * h + (if (v == null) 0 else v.hashCode)
+        i += 1
+      }
+      h
+    }
+    override def equals(o: Any): Boolean = o match {
+      case k: EqKey =>
+        val a = values; val b = k.values
+        if (a.length != b.length) return false
+        var i = 0
+        while (i < a.length) {
+          val x = a(i); val y = b(i)
+          if (if (x == null) y != null else !x.equals(y)) return false
+          i += 1
+        }
+        true
+      case _ => false
+    }
+  }
+
+  /** Per-reader probe over a set of equality-delete key groups: one
+    * preallocated key buffer per group, filled in place per row — zero
+    * per-row allocation. NOT thread-safe (one instance per partition
+    * reader, the PartitionReader contract). */
+  private[sources] final class EqProbe(
+      groups: Array[(Array[Int], java.util.HashSet[EqKey])],
+      readSchema: StructType) {
+    private val probes = groups.map { case (ords, _) =>
+      new EqKey(new Array[Any](ords.length)) }
+    private val types = groups.map { case (ords, _) =>
+      ords.map(o => readSchema.fields(o).dataType) }
+    def isEmpty: Boolean = groups.isEmpty
+    def nonEmpty: Boolean = groups.nonEmpty
+    /** Does row `r` (in `readSchema` shape) match ANY of the key sets? */
+    def matched(r: InternalRow): Boolean = {
+      var g = 0
+      while (g < groups.length) {
+        val ords = groups(g)._1
+        val pk = probes(g)
+        var i = 0
+        while (i < ords.length) {
+          val o = ords(i)
+          pk.values(i) = if (r.isNullAt(o)) null else r.get(o, types(g)(i))
+          i += 1
+        }
+        if (groups(g)._2.contains(pk)) return true
+        g += 1
+      }
+      false
+    }
+  }
+
   /** JVM-wide soft cache of equality-delete key sets, keyed by file path —
     * sound because delete files are IMMUTABLE once committed. Soft
     * references let the sets go under memory pressure (they reload). */
   private val eqSetCache = new java.util.concurrent.ConcurrentHashMap[
-    String, java.lang.ref.SoftReference[java.util.HashSet[Vector[Any]]]]()
+    String, java.lang.ref.SoftReference[java.util.HashSet[EqKey]]]()
 
   /** The read schema a scan must STREAM so equality-delete keys can be
     * probed: the requested data columns plus any key columns the
@@ -2387,42 +2652,25 @@ private[sources] object MemReaders {
           s"equality-delete key field id $id is not in the scan schema"))))
   }
 
-  /** Loaded (probe ordinals, key set) pairs for a list of equality-delete
-    * files against `readSchema` (already extended by [[schemaWithEqKeys]]). */
-  def eqSetsFor(paths: Seq[(String, Seq[Int], Long)], readSchema: StructType,
-      fullSchema: StructType, conf: Configuration):
-      Array[(Array[Int], java.util.HashSet[Vector[Any]])] = {
-    if (paths.isEmpty) return Array.empty
+  /** A per-reader [[EqProbe]] over a list of equality-delete files against
+    * `readSchema` (already extended by [[schemaWithEqKeys]]). */
+  def eqProbeFor(paths: Seq[(String, Seq[Int], Long)], readSchema: StructType,
+      fullSchema: StructType, conf: Configuration): EqProbe = {
+    if (paths.isEmpty)
+      return new EqProbe(Array.empty, readSchema)
     val idPos = readSchema.fieldNames.zipWithIndex.map { case (n, i) =>
       FieldIds.requireId(fullSchema, n) -> i
     }.toMap
-    paths.toArray.map { case (delPath, keyIds, entryCount) =>
+    new EqProbe(paths.toArray.map { case (delPath, keyIds, entryCount) =>
       val ords = keyIds.map(idPos(_)).toArray
       val types = keyIds.map(id => readSchema.fields(idPos(id)).dataType)
       (ords, eqDeleteSet(delPath, entryCount, types.toArray, conf))
-    }
-  }
-
-  /** Does row `r` (in `readSchema` shape) match ANY of the key sets? */
-  def eqMatched(r: InternalRow, readSchema: StructType,
-      eqSets: Array[(Array[Int], java.util.HashSet[Vector[Any]])]): Boolean = {
-    var g = 0
-    while (g < eqSets.length) {
-      val (ords, set) = eqSets(g)
-      val probe = ords.indices.map { i =>
-        val o = ords(i)
-        if (r.isNullAt(o)) null
-        else r.get(o, readSchema.fields(o).dataType)
-      }.toVector
-      if (set.contains(probe)) return true
-      g += 1
-    }
-    false
+    }, readSchema)
   }
 
   def eqDeleteSet(path: String, entryCount: Long,
       types: Array[org.apache.spark.sql.types.DataType],
-      conf: Configuration): java.util.HashSet[Vector[Any]] = {
+      conf: Configuration): java.util.HashSet[EqKey] = {
     val ref = eqSetCache.get(path)
     val cached = Option(ref).flatMap(r => Option(r.get()))
     if (ref != null && cached.isEmpty) eqSetCache.remove(path, ref) // stale entry
@@ -2430,15 +2678,15 @@ private[sources] object MemReaders {
       val keyProj = DataFiles.Projection(
         types.indices.map(i => s"k$i").toArray,
         types.indices.toArray, types)
-      val set = new java.util.HashSet[Vector[Any]]()
+      val set = new java.util.HashSet[EqKey]()
       val s = DataFiles.stream(path,
         DataFiles.wholeFile(entryCount), keyProj, conf)
       try {
         var r = s.next()
         while (r != null) {
-          set.add(types.indices.map(i =>
+          set.add(new EqKey(types.indices.map(i =>
             if (r.isNullAt(i)) null
-            else InternalRow.copyValue(r.get(i, types(i)))).toVector)
+            else InternalRow.copyValue(r.get(i, types(i)))).toArray))
           r = s.next()
         }
       } finally s.close()
@@ -2484,11 +2732,9 @@ private[sources] object MemReaders {
         private val stream = DataFiles.stream(part.path, part.split,
           proj, fsConf.value)
         private val pathValue = UTF8String.fromString(part.path)
-        private val eqSets =
-          MemReaders.eqSetsFor(part.eqDeletePaths, readSchema, fullSchema,
+        private val eqProbe =
+          MemReaders.eqProbeFor(part.eqDeletePaths, readSchema, fullSchema,
             fsConf.value)
-        private def eqMatched(r: InternalRow): Boolean =
-          MemReaders.eqMatched(r, readSchema, eqSets)
         // Merge-on-read: union this data file's position-delete entries
         // (each file small by construction; several delta commits may each
         // have deleted rows of this file) and skip those positions.
@@ -2511,7 +2757,7 @@ private[sources] object MemReaders {
             if (cur == null) return false
             pos += 1
             if ((deleted == null || !deleted.contains(pos)) &&
-                (eqSets.isEmpty || !eqMatched(cur))) return true
+                (eqProbe.isEmpty || !eqProbe.matched(cur))) return true
           }
           false
         }
@@ -2573,9 +2819,9 @@ private[sources] object MemReaders {
           }
         private val keep = positions(part.keepPositionPaths)
         private val skip = positions(part.skipDeletePaths)
-        private val keepEq = MemReaders.eqSetsFor(part.keepEqPaths,
+        private val keepEq = MemReaders.eqProbeFor(part.keepEqPaths,
           readSchema, dataSchema, fsConf.value)
-        private val skipEq = MemReaders.eqSetsFor(part.skipEqPaths,
+        private val skipEq = MemReaders.eqProbeFor(part.skipEqPaths,
           readSchema, dataSchema, fsConf.value)
         private var kept = 0L
         private var pos = -1L
@@ -2594,18 +2840,15 @@ private[sources] object MemReaders {
               // the row dead, so it is counted but suppressed).
               if (keep.contains(pos)) {
                 kept += 1
-                if (skipEq.isEmpty ||
-                    !MemReaders.eqMatched(cur, readSchema, skipEq)) return true
+                if (skipEq.isEmpty || !skipEq.matched(cur)) return true
               }
             } else if (keepEq.nonEmpty) {
               // EQUALITY-keep mode: the commit's key sets select the rows,
               // minus rows already dead before it.
               if ((skip == null || !skip.contains(pos)) &&
-                  !MemReaders.eqMatched(cur, readSchema, skipEq) &&
-                  MemReaders.eqMatched(cur, readSchema, keepEq)) return true
+                  !skipEq.matched(cur) && keepEq.matched(cur)) return true
             } else if ((skip == null || !skip.contains(pos)) &&
-                (skipEq.isEmpty ||
-                  !MemReaders.eqMatched(cur, readSchema, skipEq))) return true
+                (skipEq.isEmpty || !skipEq.matched(cur))) return true
           }
           false
         }
@@ -3127,7 +3370,8 @@ private[sources] final class BranchTable(display: String, k: String,
   override def name(): String = display
   override def schema(): StructType = st0.schema
   override def partitioning(): Array[Transform] =
-    st0.partitionCols.map(Expressions.identity).toArray
+    st0.partitionCols.zip(st0.transformsOrIdentity)
+      .map { case (c, t) => PTransform.toV2(c, t) }.toArray
   override def properties(): util.Map[String, String] = st0.properties.asJava
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
@@ -3137,14 +3381,18 @@ private[sources] final class BranchTable(display: String, k: String,
     val br = st.branches.getOrElse(branch, throw new IllegalStateException(
       s"branch '$branch' of ${SnapshotStore.dotted(k)} was dropped"))
     val (files, deletes) = br.head(st)
+    // Identity fields only — transform fields prune via their own channel.
     val partColMap: PartitionPredicates.PartCols =
-      st.partitionCols.zipWithIndex.map { case (c, i) =>
-        c.toLowerCase -> (i, st.schema(c).dataType)
+      st.partitionCols.zip(st.transformsOrIdentity).zipWithIndex.collect {
+        case ((c, t), i) if t.isIdentity =>
+          c.toLowerCase -> (i, st.schema(c).dataType)
       }.toMap
     new MemScanBuilder(st.schema, partColMap, files,
       deletes = SnapshotStore.deleteMap(deletes),
       splitTargetBytes = ScanSplits.targetBytes(st.properties),
-      eqDeletes = SnapshotStore.eqDeletes(deletes))
+      eqDeletes = SnapshotStore.eqDeletes(deletes),
+      tFields = TransformPruning.fieldsOf(st.partitionCols,
+        st.partitionTransforms, st.schema))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -3159,7 +3407,8 @@ private[sources] final class BranchTable(display: String, k: String,
           // pure metadata, never a copy.
           new MemWriterFactory(schema(), st.partitionCols, st.dataDir,
             RowFiles.sessionConf(), st.properties,
-            FieldIds.writeColsFor(st.schema, schema()))
+            FieldIds.writeColsFor(st.schema, schema()),
+            st.partitionTransforms)
         }
         override def commit(messages: Array[WriterCommitMessage]): Unit = {
           val files = messages.iterator.map(_.asInstanceOf[MemCommitMessage])

@@ -66,7 +66,7 @@ private[sources] object MetaTables {
           StructField("delete_entries_added", LongType, nullable = false),
           StructField("total_files", IntegerType, nullable = false),
           StructField("total_rows", LongType, nullable = false))),
-        () => {
+        _ => {
           val sns = SnapshotStore.stateOf(parentKey).snapshots.toArray
           sns.indices.toArray.map { i =>
             val s = sns(i)
@@ -97,21 +97,24 @@ private[sources] object MetaTables {
         // row_count is PHYSICAL (before merge-on-read position deletes),
         // like Iceberg's files-metadata record_count.
         FilesMetaTable.PartitionsSchema,
-        () => {
+        spark => {
           val st = SnapshotStore.stateOf(parentKey)
           if (st.currentFiles.size > FilesMetaTable.localThreshold(st.properties))
             // Above the driver-safe bound: aggregate DISTRIBUTED over the
             // `.files` relation (itself a chunk-manifest BatchScan at this
             // size) — the driver holds only |partitions| result rows,
-            // never the file inventory.
-            FilesMetaTable.distributedPartitionRows(parentKey)
+            // never the file inventory. The nested query runs in the
+            // SESSION THAT BUILT THIS SCAN (threaded in, not
+            // SparkSession.active at execution — a concurrent second
+            // session must not hijack the read into its own conf/catalog).
+            FilesMetaTable.distributedPartitionRows(parentKey, spark)
           else
             st.currentFiles.groupBy(_.partitionValues).toArray
               .sortBy { case (pv, _) => pv.map(String.valueOf).mkString("/") }
               .map { case (pv, fs) =>
                 val part =
                   if (st.partitionCols.isEmpty) null
-                  else UTF8String.fromString(st.partitionCols.zip(pv)
+                  else UTF8String.fromString(st.partitionLabels.zip(pv)
                     .map { case (c, v) => s"$c=${String.valueOf(v)}" }.mkString("/"))
                 new GenericInternalRow(Array[Any](
                   part, fs.size.toLong, fs.map(_.rowCount).sum)): InternalRow
@@ -121,7 +124,7 @@ private[sources] object MetaTables {
         StructType(Seq(
           StructField("tag", StringType, nullable = false),
           StructField("version", LongType, nullable = false))),
-        () => SnapshotStore.stateOf(parentKey).tags.toArray.sortBy(_._1).map {
+        _ => SnapshotStore.stateOf(parentKey).tags.toArray.sortBy(_._1).map {
           case (t, v) => new GenericInternalRow(Array[Any](UTF8String.fromString(t), v))
         }))
       case "refs" => Some(new MetaTable(s"$display.refs",
@@ -133,7 +136,7 @@ private[sources] object MetaTables {
           StructField("type", StringType, nullable = false),
           StructField("version", LongType, nullable = false),
           StructField("staged_commits", LongType, nullable = false))),
-        () => {
+        _ => {
           val st = SnapshotStore.stateOf(parentKey)
           val tags = st.tags.toArray.sortBy(_._1).map { case (t, v) =>
             new GenericInternalRow(Array[Any](
@@ -190,17 +193,29 @@ private[sources] object FilesMetaTable {
 
   /** `.partitions` above the threshold: a DISTRIBUTED aggregation over the
     * `.files` relation (itself a chunk-manifest BatchScan at this size);
-    * the driver holds only the |partitions|-bounded result. */
-  def distributedPartitionRows(parentKey: String): Array[InternalRow] = {
+    * the driver holds only the |partitions|-bounded result. `spark` is the
+    * session that BUILT the enclosing scan (threaded through, never
+    * `SparkSession.active` at execution time — with concurrent sessions
+    * the nested read must run under the owning session's conf/catalog).
+    * Rows are sorted DRIVER-SIDE by the same key as the local path (raw
+    * partition VALUES, `String.valueOf`-rendered, '/'-joined) so the two
+    * paths order identically, null partition included. */
+  def distributedPartitionRows(parentKey: String,
+      spark: SparkSession): Array[InternalRow] = {
     import org.apache.spark.sql.functions._
     val name = parentKey.split(0.toChar)
       .map(p => s"`${p.replace("`", "``")}`").mkString(".") + ".`files`"
-    SparkSession.active.table(name)
+    spark.table(name)
       .where(col("content") === "data")
       .groupBy(col("partition"))
       .agg(count(lit(1)).as("file_count"), sum(col("row_count")).as("row_count"))
-      .orderBy(col("partition"))
       .collect()
+      .sortBy(r =>
+        // "c=v/d=w" → "v/w", the local path's sort key shape; the null
+        // partition (unpartitioned table, a single group) sorts as "".
+        if (r.isNullAt(0)) ""
+        else r.getString(0).split('/')
+          .map(seg => seg.substring(seg.indexOf('=') + 1)).mkString("/"))
       .map(r => new GenericInternalRow(Array[Any](
         if (r.isNullAt(0)) null else UTF8String.fromString(r.getString(0)),
         r.getLong(1), r.getLong(2))): InternalRow)
@@ -227,8 +242,8 @@ private[sources] final class FilesMetaTable(name0: String, parentKey: String)
           .flatMap(mp => MetadataLog.manifestChunks(st.dataDir, mp))
         if (chunks.isDefined &&
             st.currentFiles.size > FilesMetaTable.localThreshold(st.properties))
-          new DistributedFilesScan(st.dataDir, chunks.get, st.partitionCols,
-            st.partitionCols.map(c => st.schema(c).dataType),
+          new DistributedFilesScan(st.dataDir, chunks.get, st.partitionLabels,
+            st.partitionValueTypes,
             MetadataLog.colCtxOf(st.schema),
             st.currentDeletes.map(d =>
               (d.path, d.entryCount, FilesMetaTable.contentOf(d), d.seq)).toArray)
@@ -238,7 +253,7 @@ private[sources] final class FilesMetaTable(name0: String, parentKey: String)
             val data = st.currentFiles.toArray.map { f =>
               new GenericInternalRow(Array[Any](
                 UTF8String.fromString("data"), UTF8String.fromString(f.path),
-                FilesMetaTable.partitionString(st.partitionCols, f.partitionValues),
+                FilesMetaTable.partitionString(st.partitionLabels, f.partitionValues),
                 f.rowCount,
                 if (f.sizeBytes > 0L) f.sizeBytes else null, f.seq))
             }
@@ -314,18 +329,23 @@ private[sources] final case class FilesChunkReaderFactory(
 }
 
 private[sources] final class MetaTable(name0: String, schema0: StructType,
-    rowsFn: () => Array[InternalRow]) extends Table with SupportsRead {
+    rowsFn: SparkSession => Array[InternalRow]) extends Table with SupportsRead {
   override def name(): String = name0
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // Captured at scan BUILD (the owning session's planning thread):
+    // LocalScan.rows() may execute on a thread where `active` is a
+    // DIFFERENT concurrent session.
+    val owner = SparkSession.active
     new ScanBuilder {
       override def build(): Scan = new LocalScan {
-        override def rows(): Array[InternalRow] = rowsFn()
+        override def rows(): Array[InternalRow] = rowsFn(owner)
         override def readSchema(): StructType = schema0
       }
     }
+  }
 }
 
 /** Iceberg-parity SQL PROCEDURES (`CALL graft_snap.system.<proc>(…)`) — the

@@ -44,11 +44,12 @@ object SnapshotUpsert {
       require(t.dataType == b.dataType,
         s"column ${t.name}: batch type ${b.dataType} != table type ${t.dataType}")
     }
-    // PIN the batch before running three jobs over it (duplicate check,
-    // data write, key write): an uncached frame over a live source would
-    // re-plan per job, and keys could then diverge from the rows actually
-    // appended — the delete would kill old rows whose replacements were
-    // never written. The cache also saves two of the three full reads.
+    // PIN the batch: the duplicate-key check is a separate job and the
+    // cache saves its full recompute. Correctness does NOT lean on the
+    // cache — data files and the equality-delete key file are written in
+    // ONE pass over ONE iterator below, so the keys can never diverge from
+    // the rows actually appended, even if a lost cached partition
+    // recomputes differently from a non-deterministic source.
     val pinned = aligned.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -64,50 +65,48 @@ object SnapshotUpsert {
       val writeSchema = st.schema
       val writeCols = FieldIds.writeColsFor(st.schema, writeSchema)
       val partitionCols = st.partitionCols
+      val transforms = st.partitionTransforms
       val dataDir = st.dataDir
       val tag = java.util.UUID.randomUUID.toString.take(8)
 
-      // (a) Data files: the batch's rows, task-parallel through the shared
-      // partition-routing writer — the target is never opened. File names
-      // carry a per-ATTEMPT uuid: a task retry or speculative attempt must
-      // never collide with a failed attempt's partial file on the
-      // create-exclusive open (the retry's file wins at collect time; the
-      // orphan is GC'd).
-      val files = pinned.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+      // Key columns, canonically named k0..kn in key order (rename-proof:
+      // the manifest records the key FIELD IDS; readers resolve from them).
+      val keySchema = StructType(keyCols.zipWithIndex.map { case (c, i) =>
+        StructField(s"k$i", st.schema(c).dataType, nullable = true)
+      })
+      val keyOrds = keyCols.map(tableCols.indexOf).toArray
+      val ext = DataFiles.extensionOf(DataFiles.formatOf(props))
+
+      // ONE pass per task writes BOTH the data files and that task's
+      // equality-delete key file from the SAME rows — a retried task
+      // re-derives both together, so keys and appends cannot diverge.
+      // The target is never opened. File names carry a per-ATTEMPT uuid:
+      // a task retry or speculative attempt must never collide with a
+      // failed attempt's partial file on the create-exclusive open (the
+      // retry's files win at collect time; orphans are GC'd).
+      val results = pinned.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
         if (it.isEmpty) Iterator.empty
         else {
           val attempt = java.util.UUID.randomUUID.toString.take(8)
           val w = MemWriters.writer(writeSchema, partitionCols, dataDir,
-            s"ups-$tag-p$pid-$attempt", conf.value, props, writeCols)
-          it.foreach(w.write)
-          Iterator.single(w.commit().asInstanceOf[MemCommitMessage].files)
-        }
-      }.collect().flatten.toVector
-
-      if (files.isEmpty) return // empty batch: nothing to delete or add
-
-      // (b) One equality-delete file per non-empty key partition, columns
-      // canonically named k0..kn in key order (rename-proof: the manifest
-      // records the key FIELD IDS; readers resolve types from them).
-      val keySchema = StructType(keyCols.zipWithIndex.map { case (c, i) =>
-        StructField(s"k$i", st.schema(c).dataType, nullable = true)
-      })
-      val keyDf = pinned.select(keyCols.map(col): _*)
-        .toDF(keySchema.fieldNames: _*)
-      val ext = DataFiles.extensionOf(DataFiles.formatOf(props))
-      val eqFiles = keyDf.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
-        if (it.isEmpty) Iterator.empty
-        else {
-          val attempt = java.util.UUID.randomUUID.toString.take(8)
-          val path = s"$dataDir/ups-$tag-eq-p$pid-$attempt$ext"
-          val proj = UnsafeProjection.create(keySchema)
-          val w = DataFiles.writer(path, keySchema, conf.value, props)
+            s"ups-$tag-p$pid-$attempt", conf.value, props, writeCols, transforms)
+          val keyPath = s"$dataDir/ups-$tag-eq-p$pid-$attempt$ext"
+          val keyProj = UnsafeProjection.create(
+            keyOrds.toIndexedSeq.map(o =>
+              org.apache.spark.sql.catalyst.expressions.BoundReference(
+                o, writeSchema.fields(o).dataType, nullable = true)))
+          val kw = DataFiles.writer(keyPath, keySchema, conf.value, props)
           var n = 0L
-          it.foreach { r => w.write(proj(r)); n += 1 }
-          w.close()
-          Iterator.single(SnapshotStore.DeleteFile(path, "", n, "eq", keyIds))
+          it.foreach { r => w.write(r); kw.write(keyProj(r)); n += 1 }
+          kw.close()
+          Iterator.single((w.commit().asInstanceOf[MemCommitMessage].files,
+            SnapshotStore.DeleteFile(keyPath, "", n, "eq", keyIds)))
         }
       }.collect().toVector
+
+      val files = results.flatMap(_._1)
+      val eqFiles = results.map(_._2)
+      if (files.isEmpty) return // empty batch: nothing to delete or add
 
       if (sinkId.nonEmpty && epochId >= 0L)
         SnapshotStore.commitEpochDelta(k, sinkId, epochId, files, eqFiles)
@@ -147,6 +146,7 @@ object SnapshotUpsert {
     val writeSchema = st.schema
     val writeCols = FieldIds.writeColsFor(st.schema, writeSchema)
     val partitionCols = st.partitionCols
+    val transforms = st.partitionTransforms
     val dataDir = st.dataDir
     val tag = java.util.UUID.randomUUID.toString.take(8)
     val files = aligned.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
@@ -155,7 +155,7 @@ object SnapshotUpsert {
         // Per-attempt uuid: retries must not collide on create-exclusive.
         val attempt = java.util.UUID.randomUUID.toString.take(8)
         val w = MemWriters.writer(writeSchema, partitionCols, dataDir,
-          s"app-$tag-p$pid-$attempt", conf.value, props, writeCols)
+          s"app-$tag-p$pid-$attempt", conf.value, props, writeCols, transforms)
         it.foreach(w.write)
         Iterator.single(w.commit().asInstanceOf[MemCommitMessage].files)
       }

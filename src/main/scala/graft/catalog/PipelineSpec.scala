@@ -42,7 +42,15 @@ final case class PipelineSpec(
     sourceStartingVersion: Option[Long] = None,
     /** Streaming admission control: at most this many source COMMITS per
       * trigger (rate-limits the refresh cadence against a bursty source). */
-    sourceMaxVersionsPerTrigger: Option[Long] = None) {
+    sourceMaxVersionsPerTrigger: Option[Long] = None,
+    /** `refresh: incremental` — maintain the sink with O(changed)-shaped
+      * per-trigger work (maintained near-dup components, gram index, and
+      * per-language aggregates; see [[graft.queries.IncrementalCuration]])
+      * instead of the default FULL recompute of the steps over the
+      * accumulated mirror. Requires the step list to fit the incremental
+      * grammar (near_dup_drop? span_removal? row-local* temperature_mix?);
+      * the published sink is row-identical either way. */
+    sourceRefresh: Option[String] = None) {
   require(name.nonEmpty, "pipeline name must be non-empty")
   require(sourceTable.nonEmpty, s"$name: source table must be non-empty")
   require(!sourceChanges || sourceTable.split('.').length >= 3,
@@ -54,6 +62,10 @@ final case class PipelineSpec(
     s"$name: source 'starting_version' needs 'changes: true'")
   require(sourceMaxVersionsPerTrigger.isEmpty || sourceChanges,
     s"$name: source 'max_versions_per_trigger' needs 'changes: true'")
+  require(sourceRefresh.forall(Set("full", "incremental")),
+    s"$name: source refresh must be full or incremental, got '${sourceRefresh.get}'")
+  require(sourceRefresh.isEmpty || sourceChanges,
+    s"$name: source 'refresh' needs 'changes: true'")
   require(steps.nonEmpty, s"$name: at least one step required")
   require(sinkFormat.isDefined == sinkPath.isDefined,
     s"$name: a path sink needs both 'format' and 'path'")
@@ -114,10 +126,11 @@ object PipelineSpec {
       case _ => sys.error("spec missing 'source' map")
     }
     val unknownSrc = sourceMap.keySet --
-      Set("table", "changes", "starting_version", "max_versions_per_trigger")
+      Set("table", "changes", "starting_version", "max_versions_per_trigger",
+        "refresh")
     require(unknownSrc.isEmpty,
       s"unknown source key(s) ${unknownSrc.mkString(", ")}; " +
-        "known: table, changes, starting_version, max_versions_per_trigger")
+        "known: table, changes, starting_version, max_versions_per_trigger, refresh")
     val source = sourceMap.getOrElse("table", sys.error("source missing 'table'"))
     val changes = sourceMap.get("changes") match {
       case None => false
@@ -173,7 +186,8 @@ object PipelineSpec {
       sinkAudit = audit,
       sourceChanges = changes,
       sourceStartingVersion = srcLong("starting_version"),
-      sourceMaxVersionsPerTrigger = srcLong("max_versions_per_trigger"))
+      sourceMaxVersionsPerTrigger = srcLong("max_versions_per_trigger"),
+      sourceRefresh = sourceMap.get("refresh"))
   }
 
   def fromYamlFile(path: String): PipelineSpec =

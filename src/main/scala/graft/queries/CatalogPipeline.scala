@@ -154,6 +154,77 @@ object CatalogPipeline {
       FROM orders WHERE o_orderdate < DATE '1996-01-01'
       ORDER BY epoch"""))
 
+  /** TYPE WIDENING as an oracle-gated query ([[graft.sources.TypeWidening]],
+    * Iceberg's safe promotions): generation-1 rows land as (INT, FLOAT,
+    * DECIMAL(12,2)), the table widens all three columns (int→bigint,
+    * float→double, decimal(12,2)→decimal(22,2) — metadata-only, no file
+    * rewritten), and generation-2 rows land in the widened types. The live
+    * read aggregates BOTH vintages under the widened schema (readers
+    * decode each file's write-time types through its data sequence number
+    * and up-cast); `VERSION AS OF 1` still reads generation 1 in its OWN
+    * narrow types. Aggregates chosen order-independent (count / integral
+    * and decimal sums / float min-max) so the DuckDB hash compare is
+    * exact. */
+  val v03TypeWidening = Q(
+    "v03_type_widening",
+    (s, dir) => {
+      val t = "graft_snap.evo.orders_widen"
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.evo")
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (o_orderkey BIGINT, cust INT, price FLOAT, " +
+        "total DECIMAL(12,2))")
+      val orders = Tables.orders(s, dir)
+      orders.filter(col("o_orderdate") < "1996-01-01")
+        .select(col("o_orderkey"), col("o_custkey").cast("int").as("cust"),
+          col("o_totalprice").cast("float").as("price"),
+          col("o_totalprice").cast("decimal(12,2)").as("total"))
+        .writeTo(t).append() // v1: narrow vintage
+      s.sql(s"ALTER TABLE $t ALTER COLUMN cust TYPE BIGINT")
+      s.sql(s"ALTER TABLE $t ALTER COLUMN price TYPE DOUBLE")
+      s.sql(s"ALTER TABLE $t ALTER COLUMN total TYPE DECIMAL(22,2)")
+      orders.filter(col("o_orderdate") >= "1996-01-01")
+        .select(col("o_orderkey"), col("o_custkey").as("cust"),
+          col("o_totalprice").as("price"),
+          col("o_totalprice").cast("decimal(22,2)").as("total"))
+        .writeTo(t).append() // v2: widened vintage
+      val live = s.table(t).agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("cust")).as("sum_cust"),
+        sum(col("total")).cast("decimal(28,2)").as("sum_total"),
+        min(col("price")).as("min_price"),
+        max(col("price")).as("max_price"))
+        .select(lit("live").as("epoch"), col("n_orders"), col("sum_cust"),
+          col("sum_total"), col("min_price"), col("max_price"))
+      val v1 = s.sql(s"SELECT * FROM $t VERSION AS OF 1").agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("cust")).as("sum_cust"),
+        sum(col("total")).cast("decimal(28,2)").as("sum_total"),
+        min(col("price")).cast("double").as("min_price"),
+        max(col("price")).cast("double").as("max_price"))
+        .select(lit("v1").as("epoch"), col("n_orders"), col("sum_cust"),
+          col("sum_total"), col("min_price"), col("max_price"))
+      live.unionAll(v1).orderBy("epoch")
+    },
+    Some("""SELECT 'live' AS epoch, count(*) AS n_orders,
+        CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS sum_total,
+        -- generation 1 landed as FLOAT (and reads back up-cast); generation
+        -- 2 landed as full DOUBLE — replicate the per-vintage rounding
+        min(CASE WHEN o_orderdate < DATE '1996-01-01'
+            THEN CAST(CAST(o_totalprice AS REAL) AS DOUBLE)
+            ELSE o_totalprice END) AS min_price,
+        max(CASE WHEN o_orderdate < DATE '1996-01-01'
+            THEN CAST(CAST(o_totalprice AS REAL) AS DOUBLE)
+            ELSE o_totalprice END) AS max_price
+      FROM orders
+      UNION ALL
+      SELECT 'v1', count(*), CAST(sum(o_custkey) AS BIGINT),
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)),
+        CAST(min(CAST(o_totalprice AS REAL)) AS DOUBLE),
+        CAST(max(CAST(o_totalprice AS REAL)) AS DOUBLE)
+      FROM orders WHERE o_orderdate < DATE '1996-01-01'
+      ORDER BY epoch"""))
+
   val all: Seq[Q] = Seq(r01CatalogRoundtrip, v01SchemaEvolution,
-    v02FieldIdEvolution)
+    v02FieldIdEvolution, v03TypeWidening)
 }

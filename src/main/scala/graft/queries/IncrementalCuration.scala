@@ -1,0 +1,461 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{PipelineSpec, PipelineStep}
+import graft.operators.{ConnectedComponents, IncrementalMaintenance, MinHashLsh}
+import graft.sources.{SnapshotStore, SnapshotUpsert}
+
+/** INCREMENTAL CHANGES-DRIVEN CURATION — the O(changed)-shaped refresh of a
+  * declarative curation pipeline (`source: {changes: true, refresh:
+  * incremental}`), replacing [[PipelineRunner.runChanges]]'s
+  * full-recompute-per-trigger with MAINTAINED state, while the published
+  * sink stays ROW-IDENTICAL to the batch pipeline over everything ingested
+  * (the p05 gate shares p03's oracle):
+  *
+  *   - `near_dup_drop` (keep each near-dup cluster's minimum doc_id):
+  *     maintained CONNECTED COMPONENTS. Each trigger LSH-probes the batch
+  *     against the persisted signature store (O(batch), the corpus is
+  *     never re-hashed), unions the new edges with the previous
+  *     assignment's star edges, and re-runs [[ConnectedComponents]] over
+  *     that contracted graph — O(connected docs), not O(corpus). Cluster
+  *     minima only DECREASE as components grow, so kept→dropped is the
+  *     only possible flip: the delta is "retract newly dropped docs",
+  *     never "resurrect".
+  *   - `span_removal` (cut 5-gram runs duplicated across KEPT docs):
+  *     maintained GRAM INDEX — `(gram, doc_id)` pairs of kept docs plus
+  *     per-gram distinct-doc counts, both snapshot-catalog tables updated
+  *     by equality-delete key replace ([[SnapshotUpsert.replaceByKey]]).
+  *     A trigger recomputes exactly the docs whose grams' duplicated
+  *     status (count crossing 2, EITHER direction — a retracted doc can
+  *     un-duplicate a gram) flipped, plus the batch itself.
+  *   - row-local steps (quality_gate / lang_id / token_count /
+  *     sample_hash / filter / select): applied only to the recompute set.
+  *   - `temperature_mix`: per-language token aggregates MAINTAINED from
+  *     the gated table's own `.changes` feed
+  *     ([[IncrementalMaintenance.aggDeltasFromChanges]] — the m17
+  *     mechanism), idempotent via an `as_of` version column; the sink is
+  *     re-derived from the compact gated table joined to the model-sized
+  *     rates — never from re-running the text pipeline.
+  *
+  * Scale shape per trigger, honestly:
+  *   - near_dup_drop / row-local / temperature_mix: text CPU (tokenize,
+  *     shingle, 128-perm MinHash) is strictly O(batch); the residual
+  *     linear terms are scans of compact state (store bands, 3-column
+  *     gated rows). [[graft.CurationProbe]] measures this shape:
+  *     full-refresh wall grows ~2.3× across a 16× mirror growth while
+  *     this engine's stays near-flat (~1.2×, crossover ~40k docs at
+  *     sf0.1 local[32]).
+  *   - span_removal: the maintained gram index IS gram-volume-sized
+  *     (≈ the corpus token volume), so its per-trigger scans cost the
+  *     same ORDER as recomputing the gram aggregate — what maintenance
+  *     buys here is exact per-doc deltas (only flip-affected docs are
+  *     re-cut and restated downstream) and avoided re-tokenization CPU,
+  *     not an asymptotic class. End-of-trigger compaction
+  *     ([[maintainState]]) keeps the index's merge-on-read delta commits
+  *     folded so read amplification stays bounded by data, not by
+  *     trigger count.
+  *
+  * Exactly-once: every state mutation is epoch-guarded (the table's
+  * durable per-query watermark or the LSH store's ingest ledger), and the
+  * derivations are deterministic, so a replayed trigger converges —
+  * including a crash between state updates.
+  */
+final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
+    checkpointDir: String) {
+
+  import IncrementalCuration.Grammar
+
+  /** The session the CURRENT trigger reads/writes through. foreachBatch
+    * hands each batch a CLONED session with its own FileStatusCache;
+    * probing the parquet signature store through the long-lived outer
+    * session would serve STALE file listings for files earlier triggers'
+    * clones appended (the StoreIngestStreamSuite lesson) — silently
+    * missing near-dup edges. Set per batch; outside a trigger it is the
+    * constructor session. */
+  @volatile private var s: SparkSession = spark
+
+  private lazy val runner = new PipelineRunner(spark)
+  private val sink = spec.sinkTable.getOrElse(
+    sys.error(s"${spec.name}: incremental refresh needs a catalog table sink"))
+  private val plan: Grammar = IncrementalCuration.parseSteps(spec)
+
+  // State-table identifiers (all under the sink's catalog namespace).
+  private val raw = s"${sink}_raw"
+  private val ccT = s"${sink}_cc"
+  private val gramsT = s"${sink}_grams"
+  private val gramstatT = s"${sink}_gramstat"
+  private val gatedT = if (plan.mix.isDefined) s"${sink}_gated" else sink
+  private val aggT = s"${sink}_agg"
+  /** The LSH signature store lives in the SESSION catalog (bucketed
+    * parquet + ingest ledger — n08's layout), one database per sink. */
+  private val storeDb = "graft_store_inc_" +
+    sink.split('.').drop(1).mkString("_").replaceAll("[^A-Za-z0-9_]", "_")
+
+  private val base = s"p05:${spec.name}:" + java.util.UUID.nameUUIDFromBytes(
+    checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    .toString.take(8)
+
+  private def srcCols: Array[String] = s.table(spec.sourceTable).columns
+
+  private def keyOf(t: String): String = {
+    val parts = t.split('.')
+    SnapshotStore.keyOf(parts.head, parts.tail.toSeq)
+  }
+
+  private def versionOf(t: String): Long = {
+    val st = SnapshotStore.stateOf(keyOf(t))
+    if (st.snapshots.isEmpty) 0L else st.snapshots.last.version
+  }
+
+  /** The table as this epoch's processing must SEE it: the live table on a
+    * first delivery; the PRE-EPOCH snapshot when this epoch's write
+    * already committed (a replay after a crash mid-trigger) — each state
+    * table is written once per epoch, so the pre-state is simply `current
+    * version − 1`. Without this, a replay would diff the batch against
+    * its own half-applied effects and silently skip retractions. */
+  private def preEpochView(t: String, sinkId: String, epochId: Long): DataFrame = {
+    val st = SnapshotStore.stateOf(keyOf(t))
+    val done = st.epochs.get(sinkId).exists(epochId <= _)
+    if (!done) s.table(t)
+    else {
+      // The epoch's own write is the last NON-replace snapshot: the
+      // end-of-trigger compaction ([[maintainState]]) may have appended
+      // `replace` commits after it, which rewrite files without changing
+      // logical rows — skip them, then step one version below the write.
+      val v = st.snapshots.reverseIterator.find(_.operation != "replace")
+        .map(_.version).getOrElse(0L)
+      s.sql(s"SELECT * FROM $t VERSION AS OF ${math.max(v - 1, 0L)}")
+    }
+  }
+
+  /** End-of-trigger state-table maintenance: fold accumulated merge-on-read
+    * delta commits back into plain files once a table carries enough of
+    * them. Without this, every per-trigger `replaceByKey` leaves one more
+    * equality-delete file, and each later scan probes every older file
+    * against every applicable key set — per-trigger wall grows with
+    * TRIGGER COUNT, not data. Compaction is a `replace` commit: the change
+    * feed skips it (the maintained aggregate's `.changes` consumption stays
+    * exact) and [[preEpochView]] steps over it on replay. Thresholds keep
+    * the amortized cost sub-linear: a table is rewritten only after ~8
+    * delta commits, so each row is recompacted O(log triggers) times. */
+  private def maintainState(): Unit =
+    Seq(gramsT, gramstatT, gatedT, raw).distinct.foreach { t =>
+      if (s.catalog.tableExists(t)) {
+        val st = SnapshotStore.stateOf(keyOf(t))
+        val deletes = st.currentDeletes.size
+        val files = st.currentFiles.size
+        if (deletes >= 8 || files >= 64) {
+          val parts = t.split('.')
+          graft.sources.SnapshotCatalog.compact(s, parts.head, parts.tail.toSeq)
+        }
+      }
+    }
+
+  /** Drop every state table + the LSH store — the fresh-checkpoint reset
+    * (the checkpoint owns the stream's identity, so a fresh one restarts
+    * the maintained state too, mirroring runChanges' mirror reset). */
+  def resetState(): Unit = {
+    Seq(raw, ccT, gramsT, gramstatT, aggT, s"${sink}_gated", sink)
+      .distinct.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    new graft.catalog.CatalogAutomation(spark,
+      graft.catalog.CatalogProfile.Builtin()).ensureDatabase(storeDb)
+    Seq("corpus_shingles", "corpus_bands", "ingest_commits").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $storeDb.$t")
+      NearDup.rmrfManagedTable(spark, storeDb, t)
+    }
+  }
+
+  /** Create the state tables that must pre-exist (idempotent). */
+  def ensureState(): Unit = {
+    val src = spark.table(spec.sourceTable)
+    if (!spark.catalog.tableExists(raw))
+      // Bucket-partitioned by doc_id: retraction-time text fetches prune
+      // to the ids' buckets instead of scanning the whole raw mirror.
+      src.limit(0).writeTo(raw)
+        .partitionedBy(bucket(16, col("doc_id"))).create()
+    if (plan.nearDup && !spark.catalog.tableExists(ccT))
+      spark.sql(s"CREATE TABLE $ccT (id BIGINT, root BIGINT)")
+    if (plan.span) {
+      if (!spark.catalog.tableExists(gramsT))
+        spark.sql(s"CREATE TABLE $gramsT (gram STRING, doc_id BIGINT)")
+      if (!spark.catalog.tableExists(gramstatT))
+        spark.sql(s"CREATE TABLE $gramstatT (gram STRING, n_docs BIGINT)")
+    }
+    if (!spark.catalog.tableExists(gatedT)) {
+      val shape = IncrementalCuration.gatedShape(runner, plan, src.limit(0))
+      shape.writeTo(gatedT).create()
+    }
+    if (plan.mix.isDefined && !spark.catalog.tableExists(aggT))
+      spark.sql(s"CREATE TABLE $aggT (group_key STRING, n_rows BIGINT, " +
+        "total DECIMAL(38,4), as_of BIGINT)")
+  }
+
+  /** Fetch full raw rows for an id frame: an IN-list point read (pruned to
+    * the ids' buckets through the raw mirror's bucket transform) while the
+    * id set is driver-small; a semi-join scan beyond that. */
+  private def fetchDocs(ids: DataFrame): DataFrame = {
+    val sample = ids.select(col("doc_id")).limit(10001).collect().map(_.getLong(0))
+    if (sample.length <= 10000) {
+      if (sample.isEmpty) s.table(raw).limit(0)
+      else s.table(raw).filter(col("doc_id").isin(sample.map(Long.box): _*))
+    } else
+      s.table(raw).join(ids.select("doc_id"), Seq("doc_id"), "left_semi")
+  }
+
+  /** Intra-batch verified near-dup pairs from a prebuilt shingle frame —
+    * [[MinHashLsh.nearDupPairs]]'s body over a caller-owned frame (no
+    * hidden persist to leak per trigger). */
+  private def pairsWithin(sh: DataFrame, p: MinHashLsh.Params): DataFrame = {
+    val bands = MinHashLsh.bandFrame(MinHashLsh.signaturesFromShingles(sh, p), p)
+    val candidates = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val sa = sh.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val sb = sh.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    val inter = col("_inter").cast("double")
+    val union = size(col("sh_a")) + size(col("sh_b")) - col("_inter")
+    candidates.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", when(union > 0, inter / union).otherwise(lit(0.0)))
+      .filter(col("jaccard") >= p.jaccardThreshold)
+      .select("id_a", "id_b")
+  }
+
+  private def storeTableOr(name: String, empty: => DataFrame): DataFrame =
+    if (s.catalog.tableExists(s"$storeDb.$name")) s.table(s"$storeDb.$name")
+    else empty
+
+  /** One trigger: maintain every piece of state from the batch's rows and
+    * re-derive the sink. Deterministic + per-table epoch guards ⇒ a
+    * replayed epoch converges. */
+  def processBatch(batch: DataFrame, epochId: Long): Unit = {
+    // Read/plan through the batch's OWN (cloned) session — see `s`'s doc.
+    s = batch.sparkSession
+    val kinds = batch.select("_change_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    require(kinds.subsetOf(Set("INSERT")),
+      s"${spec.name}: incremental curation consumes APPEND-only sources; " +
+        s"commit range delivered ${kinds.mkString(", ")}")
+    val cols = srcCols
+    val rows = batch.select(cols.head, cols.tail: _*).localCheckpoint()
+    if (rows.isEmpty) return
+
+    // 1. Raw mirror (exactly-once append) — the retraction-time text source.
+    SnapshotUpsert.appendEpoch(raw, rows, s"$base:raw", epochId)
+
+    val P = NearDup.P
+
+    // 2. Near-dup components.
+    val (keptBatch, keptRemovedIds): (DataFrame, DataFrame) =
+      if (!plan.nearDup) (rows, rows.select("doc_id").limit(0).localCheckpoint())
+      else {
+        val shB = rows
+          .select(col("doc_id").as("id"),
+            MinHashLsh.shingles(col("text"), P.shingleSize).as("shingles"))
+          .persist()
+        try {
+          val commits = MinHashLsh.committedBatches(s, storeDb)
+          val storeSh = MinHashLsh.committedOnly(
+            storeTableOr("corpus_shingles",
+              shB.limit(0).withColumn("batch_nr", lit(0L))
+                .withColumn("attempt", lit(""))), commits)
+          val storeBands = MinHashLsh.committedOnly(
+            storeTableOr("corpus_bands",
+              MinHashLsh.bandFrame(
+                MinHashLsh.signaturesFromShingles(shB.limit(0), P), P)
+                .withColumn("batch_nr", lit(0L))
+                .withColumn("attempt", lit(""))), commits)
+          val cross = MinHashLsh.nearDupShinglesAgainstStore(
+            shB, storeSh, storeBands, P)
+            .select(col("batch_id").as("id_a"), col("corpus_id").as("id_b"))
+          val intra = pairsWithin(shB, P)
+          val prevCC = preEpochView(ccT, s"$base:cc", epochId).localCheckpoint()
+          val prevEdges = prevCC.filter(col("id") =!= col("root"))
+            .select(col("id").as("id_a"), col("root").as("id_b"))
+          // Materialize the NEW pair set BEFORE the store ingest: the
+          // cross-pair plan reads the store's committed view, which the
+          // ingest below advances.
+          val newPairs = cross.unionByName(intra).localCheckpoint()
+          // Fast path: no new edge ⇒ the assignment is unchanged — skip
+          // the iterative CC and the state write entirely (deterministic,
+          // so replays take the same branch).
+          val newCC =
+            if (newPairs.isEmpty) prevCC
+            else ConnectedComponents
+              .clusters(newPairs.unionByName(prevEdges))
+              .select(col("id"), col("cluster_id").as("root"))
+              .localCheckpoint()
+          MinHashLsh.appendToStore(storeDb, "doc_id", "text", P,
+            streamId = base)(rows, epochId)
+          if (!(newCC eq prevCC))
+            SnapshotUpsert.overwriteEpoch(ccT, newCC, s"$base:cc", epochId)
+          val droppedNow = newCC.filter(col("id") =!= col("root")).select("id")
+          val prevDropped = prevCC.filter(col("id") =!= col("root")).select("id")
+          // Minima only decrease ⇒ drops only grow; the delta to retract.
+          val newlyDropped = droppedNow.exceptAll(prevDropped)
+          val kept = rows.join(droppedNow,
+            rows("doc_id") === droppedNow("id"), "left_anti")
+          val removedOld = newlyDropped
+            .join(rows, newlyDropped("id") === rows("doc_id"), "left_anti")
+            .select(col("id").as("doc_id"))
+          (kept.localCheckpoint(), removedOld.localCheckpoint())
+        } finally shB.unpersist()
+      }
+
+    // 3. Span-removal gram index + the recompute set R.
+    val (recomputeDocs, cleaned): (DataFrame, DataFrame) =
+      if (!plan.span) (keptBatch, keptBatch)
+      else {
+        val removedDocs = fetchDocs(keptRemovedIds)
+        val addPairs = TextOps.spanGramPairs(
+          keptBatch.select("doc_id", "text")).localCheckpoint()
+        val delPairs = TextOps.spanGramPairs(
+          removedDocs.select("doc_id", "text"))
+        val deltas = addPairs.select(col("gram"), lit(1L).as("dn"))
+          .unionByName(delPairs.select(col("gram"), lit(-1L).as("dn")))
+          .groupBy("gram").agg(sum("dn").as("dn"))
+          .filter(col("dn") =!= 0L)
+        // Old counts pinned BEFORE the gramstat update below (pre-epoch
+        // view, so a replay after a crash mid-trigger diffs against the
+        // same base as the original attempt).
+        val changed = deltas.join(
+            preEpochView(gramstatT, s"$base:gramstat", epochId), Seq("gram"), "left")
+          .select(col("gram"),
+            coalesce(col("n_docs"), lit(0L)).as("old_n"),
+            (coalesce(col("n_docs"), lit(0L)) + col("dn")).as("new_n"))
+          .localCheckpoint()
+        val flipped = changed
+          .filter((col("old_n") >= 2) =!= (col("new_n") >= 2))
+          .select("gram").localCheckpoint()
+        SnapshotUpsert.replaceByKey(gramstatT,
+          changed.filter(col("new_n") > 0)
+            .select(col("gram"), col("new_n").as("n_docs")),
+          changed.select("gram"), Seq("gram"), s"$base:gramstat", epochId)
+        SnapshotUpsert.replaceByKey(gramsT, addPairs,
+          keptRemovedIds.select("doc_id"), Seq("doc_id"),
+          s"$base:grams", epochId)
+        // Kept OLD docs holding a flipped gram — their spans changed.
+        val affectedOld = s.table(gramsT).join(flipped, Seq("gram"))
+          .select("doc_id").distinct()
+          .join(rows, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        val r = keptBatch.unionByName(fetchDocs(affectedOld))
+        val dupGrams = s.table(gramstatT).filter(col("n_docs") >= 2)
+        val cut = TextOps.dupSpanRemovalWith(r.select("doc_id", "text"), dupGrams)
+          .select(col("doc_id"), col("cleaned_text").as("text"))
+        val others = r.columns.filterNot(c => c == "text")
+        (r, if (others.sameElements(Array("doc_id"))) cut
+            else cut.join(r.drop("text"), "doc_id"))
+      }
+
+    // 4. Row-local steps on the recompute set only.
+    val gatedR = plan.rowLocal.foldLeft(cleaned)(runner.applyStep)
+
+    // 5. Restate the recompute set in the gated table (retract + append in
+    // ONE delta commit — a doc that now fails a filter simply has no
+    // restated row).
+    val replaceKeys = recomputeDocs.select("doc_id")
+      .unionByName(keptRemovedIds.select("doc_id")).distinct()
+    SnapshotUpsert.replaceByKey(gatedT,
+      gatedR.select(s.table(gatedT).columns.map(col): _*),
+      replaceKeys, Seq("doc_id"), s"$base:gated", epochId)
+
+    // 6. Maintained per-language aggregates + the derived sink.
+    plan.mix.foreach { step =>
+      val vGated = versionOf(gatedT)
+      val aggNow = s.table(aggT)
+      val asOf = Option(aggNow.agg(max("as_of")).collect()(0).get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      if (asOf < vGated) {
+        val feed = s.read
+          .option("startingVersion", (asOf + 1).toString)
+          .option("endingVersion", vGated.toString)
+          .table(s"$gatedT.changes")
+        val deltas = IncrementalMaintenance.aggDeltasFromChanges(
+          feed, col("lang"), col("n_tokens"))
+        val newAgg = IncrementalMaintenance
+          .applyDeltas(aggNow.drop("as_of"), deltas)
+          .withColumn("as_of", lit(vGated))
+          .localCheckpoint()
+        newAgg.writeTo(aggT).overwrite(lit(true))
+      }
+      val out = IncrementalCuration.mixFromAgg(
+        s.table(gatedT), s.table(aggT), step)
+      if (!s.catalog.tableExists(sink)) out.writeTo(sink).create()
+      else out.writeTo(sink).overwrite(lit(true))
+    }
+    maintainState()
+  }
+}
+
+object IncrementalCuration {
+
+  /** The incremental grammar: `[near_dup_drop] [span_removal] rowLocal*
+    * [temperature_mix]` — exactly the shapes whose maintenance the engine
+    * implements. Anything else must run through the full-recompute path. */
+  final case class Grammar(nearDup: Boolean, span: Boolean,
+      rowLocal: Seq[PipelineStep], mix: Option[PipelineStep])
+
+  private val RowLocalOps =
+    Set("quality_gate", "lang_id", "token_count", "sample_hash", "filter",
+      "select")
+
+  def parseSteps(spec: PipelineSpec): Grammar = {
+    var rest = spec.steps
+    val nearDup = rest.headOption.exists(_.op == "near_dup_drop")
+    if (nearDup) rest = rest.tail
+    val span = rest.headOption.exists(_.op == "span_removal")
+    if (span) rest = rest.tail
+    val mix = rest.lastOption.filter(_.op == "temperature_mix")
+    if (mix.isDefined) rest = rest.init
+    val bad = rest.filterNot(s => RowLocalOps(s.op))
+    require(bad.isEmpty,
+      s"${spec.name}: refresh=incremental supports steps of the shape " +
+        "[near_dup_drop] [span_removal] rowLocal* [temperature_mix] with " +
+        s"rowLocal in ${RowLocalOps.toSeq.sorted.mkString("{", ", ", "}")}; " +
+        s"unsupported: ${bad.map(_.op).mkString(", ")}")
+    Grammar(nearDup, span, rest, mix)
+  }
+
+  /** The gated table's schema, derived by running the row-local segment
+    * over an empty frame shaped like the (span-cleaned) source. */
+  private[queries] def gatedShape(runner: PipelineRunner, plan: Grammar,
+      emptySrc: DataFrame): DataFrame =
+    plan.rowLocal.foldLeft(emptySrc)(runner.applyStep)
+
+  /** p03's temperature mix with the per-language masses taken from the
+    * MAINTAINED aggregate view instead of a corpus groupBy — arithmetic
+    * bit-identical to [[PipelineRunner]]'s `temperature_mix` op (decimal
+    * token sums cast back to long, IEEE sqrt for α = 0.5, denominator
+    * folded in sorted-language order). */
+  private[queries] def mixFromAgg(gated: DataFrame, agg: DataFrame,
+      step: PipelineStep): DataFrame = {
+    val alpha = step.paramOr("alpha", "0.5").toDouble
+    val budgetFraction = step.paramOr("budget_fraction", "0.3").toDouble
+    def weight(c: Column): Column =
+      if (alpha == 0.5) sqrt(c.cast("double")) else pow(c.cast("double"), alpha)
+    val perLang = agg
+      .select(col("group_key").as("lang"), col("total").cast("long").as("lang_tokens"))
+      .withColumn("s", weight(col("lang_tokens")))
+    val totals = perLang.agg(
+      sum(col("lang_tokens")).as("total_tokens"),
+      aggregate(
+        array_sort(collect_list(struct(col("lang"), col("s")))),
+        lit(0.0), (acc, x) => acc + x.getField("s")).as("denom"))
+    gated.join(broadcast(perLang), "lang")
+      .crossJoin(broadcast(totals))
+      .withColumn("u", Pipeline.hashUniform(col("doc_id")))
+      .withColumn("p_incl",
+        least(lit(1.0),
+          lit(budgetFraction) * col("total_tokens") * col("s") / col("denom")
+            / col("lang_tokens")))
+      .filter(col("u") < col("p_incl"))
+      .drop("lang_tokens", "s", "total_tokens", "denom", "u")
+  }
+}

@@ -683,12 +683,17 @@ object Pipeline {
   /** The p03 pipeline body over an arbitrary `(doc_id, text)` frame —
     * shared with [[graft.ScaleProbe]] so the scaling probe times exactly
     * the registered composition. */
-  def curationPipeline(docs: DataFrame): DataFrame = {
+  def curationPipeline(docs: DataFrame, span: Boolean = true): DataFrame = {
     val drops = NearDup.dropIds(docs)
     val survivors = docs
       .join(drops, docs("doc_id") === drops("id"), "left_anti")
       .select("doc_id", "text")
-    val gated = TextOps.dupSpanRemoval(survivors)
+    // `span = false` is the probe shape ([[graft.CurationProbe]]): the
+    // same funnel without the duplicated-span cut.
+    val cleaned =
+      if (span) TextOps.dupSpanRemoval(survivors)
+      else survivors.withColumn("cleaned_text", col("text"))
+    val gated = cleaned
       .filter(TextOps.qualityScore(col("cleaned_text")) >= 0.5)
       .select(
         col("doc_id"),
@@ -824,10 +829,61 @@ object Pipeline {
     },
     p03CurationPipeline.oracle)
 
+  /** INCREMENTAL curation over changes (`refresh: incremental` —
+    * [[IncrementalCuration]]): the same corpus lands across THREE commits,
+    * each trigger does O(changed)-shaped work — LSH-probes the batch
+    * against the persisted signature store, updates maintained connected
+    * components / gram index / per-language aggregates, restates only the
+    * batch + flip-affected docs — and the published sink must STILL match
+    * p03's batch oracle exactly (same oracle as p04's full-recompute
+    * path). This is the 100 TB-honest shape: the full path re-runs the
+    * whole text pipeline over the whole mirror per trigger; this one
+    * re-runs it over the delta. */
+  val p05IncrementalCuration = Q(
+    "p05_incremental_curation",
+    (s, dir) => {
+      val src = "graft_snap.pipe.docs_src5"
+      val sink = "graft_snap.pipe.docs_curated5"
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.pipe")
+      s.sql(s"DROP TABLE IF EXISTS $src")
+      s.sql(s"CREATE TABLE $src (doc_id BIGINT, text STRING)")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      (0 to 2).foreach(i =>
+        docs.filter(col("doc_id") % 3 === i).writeTo(src).append())
+      val spec = graft.catalog.PipelineSpec.fromYaml(
+        s"""pipeline: incremental_curation
+           |source:
+           |  table: $src
+           |  changes: true
+           |  max_versions_per_trigger: 1
+           |  refresh: incremental
+           |steps:
+           |  - op: near_dup_drop
+           |  - op: span_removal
+           |  - op: quality_gate
+           |    min_score: 0.5
+           |  - op: lang_id
+           |  - op: token_count
+           |  - op: select
+           |    cols: doc_id, lang, n_tokens
+           |  - op: temperature_mix
+           |sink:
+           |  table: $sink
+           |""".stripMargin)
+      val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-p05-ckpt-" +
+        java.util.UUID.randomUUID
+      new PipelineRunner(s).runChanges(spec, ckpt).awaitTermination()
+      s.table(sink)
+        .selectExpr("doc_id", "lang", "n_tokens", "round(p_incl, 6) AS p_incl")
+        .orderBy("doc_id")
+    },
+    p03CurationPipeline.oracle)
+
   val all: Seq[Q] = Seq(
     c01DocChunks, c02TfidfTopTerms, c03Bm25TopTerms, c04UnigramXent,
     p01SequencePacking, p02CurationFunnel, p03CurationPipeline,
-    p04ChangesCuration,
+    p04ChangesCuration, p05IncrementalCuration,
     s01StratifiedSample, s02WeightedSample, x01MixtureRebalance,
     x02TemperatureSample, k01KmeansAssign, k02KmeansClusters,
     k03ClusterDiverseSample)

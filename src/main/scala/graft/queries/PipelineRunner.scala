@@ -155,6 +155,8 @@ final class PipelineRunner(spark: SparkSession) {
       continuous: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
     require(spec.sourceChanges,
       s"${spec.name}: runChanges needs 'changes: true' on the source")
+    if (spec.sourceRefresh.contains("incremental"))
+      return runChangesIncremental(spec, checkpointDir, continuous)
     val sink = spec.sinkTable.getOrElse(
       sys.error(s"${spec.name}: a changes run refreshes a catalog table sink"))
     val mirror = s"${sink}_mirror"
@@ -211,7 +213,38 @@ final class PipelineRunner(spark: SparkSession) {
     writer.trigger(trigger).start()
   }
 
-  private def applyStep(df: DataFrame, step: PipelineStep): DataFrame = step.op match {
+  /** The INCREMENTAL refresh (`source: {refresh: incremental}`) — per-
+    * trigger work shaped O(changed) via maintained state, published sink
+    * row-identical to the full recompute; the engine and its exactness
+    * argument live in [[IncrementalCuration]]. */
+  private def runChangesIncremental(spec: PipelineSpec, checkpointDir: String,
+      continuous: Boolean): org.apache.spark.sql.streaming.StreamingQuery = {
+    val engine = new IncrementalCuration(spark, spec, checkpointDir)
+    // Checkpoint identity owns the maintained state — a fresh checkpoint
+    // restarts it (the full-refresh path's mirror-reset contract).
+    val ckptPath = new org.apache.hadoop.fs.Path(checkpointDir)
+    val ckptFresh =
+      !ckptPath.getFileSystem(spark.sessionState.newHadoopConf()).exists(ckptPath)
+    if (ckptFresh) engine.resetState()
+    engine.ensureState()
+    var reader = spark.readStream
+    spec.sourceStartingVersion.foreach(v =>
+      reader = reader.option("startingVersion", v))
+    spec.sourceMaxVersionsPerTrigger.foreach(v =>
+      reader = reader.option("maxVersionsPerTrigger", v))
+    val feed = reader.table(s"${spec.sourceTable}.changes")
+    val writer = feed.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        engine.processBatch(batch, epochId)
+      }
+      .option("checkpointLocation", checkpointDir)
+    val trigger =
+      if (continuous) org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)
+      else org.apache.spark.sql.streaming.Trigger.AvailableNow()
+    writer.trigger(trigger).start()
+  }
+
+  private[queries] def applyStep(df: DataFrame, step: PipelineStep): DataFrame = step.op match {
     case "filter" => df.filter(expr(step.param("expr")))
     case "select" => df.selectExpr(splitCols(step.param("cols")): _*)
     case "dedup_exact" => df.dropDuplicates(splitCols(step.param("cols")))

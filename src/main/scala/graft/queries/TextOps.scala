@@ -840,26 +840,29 @@ object TextOps {
     * positions: `(doc_id, island, start, end, nw)` — the single
     * definition both d18 (coverage arithmetic) and d19 (span removal)
     * consume, so score and cut can never disagree on what a span is. */
-  private def dupSpanIslands(t: org.apache.spark.sql.DataFrame, k: Int)
+  /** The exploded positional-window frame `(doc_id, pos, gram)` of a
+    * tokenized corpus — the inverted-index surface both the in-frame dup
+    * derivation below and the INCREMENTAL gram index
+    * ([[IncrementalCuration]]) are built from: maintaining it per batch is
+    * what makes span removal O(changed) instead of O(corpus) per trigger. */
+  private[queries] def spanWindowFrame(t: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame =
+    t.select(col("doc_id"), posexplode(posWindows(col("toks"), k)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
+
+  /** Islands from an EXPLICIT duplicated-gram set: identical doc-local
+    * arithmetic to [[dupSpanIslands]], but "duplicated" membership comes
+    * from the caller's `dupGrams` relation — the seam the incremental
+    * engine plugs its MAINTAINED gram counts into. The in-frame variant
+    * is exactly this with `dupGrams` derived from `wins` itself, so the
+    * two can never disagree on what a span is. */
+  private[queries] def islandsFromDup(wins: org.apache.spark.sql.DataFrame,
+      dupGrams: org.apache.spark.sql.DataFrame, k: Int)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // The exploded positional-window frame feeds two consumers (the df
-    // aggregate and the join-back) — materialize once, d14's discipline.
-    val wins = t
-      .select(col("doc_id"), posexplode(posWindows(col("toks"), k)))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
-      .persist()
-    // "Duplicated" = the window text occurs in ≥2 DISTINCT documents.
-    // min≠max over doc_id decides that in ONE map-side-combined aggregate —
-    // no count-distinct expansion, and the Zipf-heavy grams (stopword runs)
-    // cost two longs of agg state each, never a big group materialization.
-    val dup = wins.groupBy("gram")
-      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
-      .filter(col("mn") =!= col("mx"))
-      .select("gram")
     // Join-back is many-to-one on the gram key (no fan-out: output rows =
     // duplicated window rows), then all remaining work is doc-local.
-    val dw = wins.join(dup, "gram").select("doc_id", "pos")
+    val dw = wins.join(dupGrams.select("gram"), "gram").select("doc_id", "pos")
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     // Windows [p, p+k-1] and [q, q+k-1] belong to one contiguous duplicated
     // span iff q − p ≤ k (overlap or exact adjacency); a larger gap leaves
@@ -876,6 +879,22 @@ object TextOps {
         min("pos").cast("long").as("start"),
         (max("pos") + k - 1).cast("long").as("end"),
         count(lit(1)).as("nw"))
+  }
+
+  private def dupSpanIslands(t: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    // The exploded positional-window frame feeds two consumers (the df
+    // aggregate and the join-back) — materialize once, d14's discipline.
+    val wins = spanWindowFrame(t, k).persist()
+    // "Duplicated" = the window text occurs in ≥2 DISTINCT documents.
+    // min≠max over doc_id decides that in ONE map-side-combined aggregate —
+    // no count-distinct expansion, and the Zipf-heavy grams (stopword runs)
+    // cost two longs of agg state each, never a big group materialization.
+    val dup = wins.groupBy("gram")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select("gram")
+    islandsFromDup(wins, dup, k)
   }
 
   def dupSpanCoverage(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -967,9 +986,39 @@ object TextOps {
     * positional `filter` + `exists` lambda keeps tokens outside every
     * interval — no second shuffle after the islands are known. */
   def dupSpanRemoval(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val k = 5
+    val k = SpanK
+    cutIslands(spanToks(docs), dupSpanIslands(spanToks(docs), k), k)
+  }
+
+  /** Span-removal window width (5-grams) — one definition for the batch
+    * operator and the incremental gram index. */
+  private[queries] val SpanK = 5
+
+  /** The DISTINCT (gram, doc_id) pairs of a document frame — the rows the
+    * incremental engine's maintained gram index holds per kept document
+    * (gram text exactly as [[spanWindowFrame]] renders it, so maintained
+    * counts and the in-frame dup derivation can never disagree). */
+  private[queries] def spanGramPairs(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    spanWindowFrame(spanToks(docs), SpanK).select("gram", "doc_id").distinct()
+
+  /** [[dupSpanRemoval]] with an EXPLICIT duplicated-gram set (membership
+    * from `dupGrams(gram)`) — the incremental engine's entry: it maintains
+    * gram → distinct-kept-doc counts across triggers and recomputes only
+    * documents whose grams' duplicated status flipped. Output is
+    * column-identical to [[dupSpanRemoval]]; the in-frame operator equals
+    * this with the dup set derived from the same frame. */
+  def dupSpanRemovalWith(docs: org.apache.spark.sql.DataFrame,
+      dupGrams: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val k = SpanK
     val t = spanToks(docs)
-    val spans = dupSpanIslands(t, k)
+    cutIslands(t, islandsFromDup(spanWindowFrame(t, k), dupGrams, k), k)
+  }
+
+  private def cutIslands(t: org.apache.spark.sql.DataFrame,
+      islands: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val spans = islands
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("start"), col("end")))).as("spans"))
     t.join(spans, Seq("doc_id"), "left")

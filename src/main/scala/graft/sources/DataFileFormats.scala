@@ -211,17 +211,37 @@ private[sources] object DataFiles {
     * NULL). This indirection is what makes RENAME/DROP (and a dropped
     * name's reuse) read correctly against files of every vintage. */
   final case class Projection(names: Array[String], ords: Array[Int],
-      types: Array[DataType]) {
+      types: Array[DataType],
+      /** Per requested column: the FILE's write-time type (differs from
+        * `types` only for columns widened after the file was written —
+        * [[TypeWidening]]); readers decode in this type and up-cast. */
+      fileTypes: Array[DataType]) {
     def length: Int = names.length
+    /** null = no widened column (the hot path pays nothing); else one
+      * converter or null per column. */
+    val casts: Array[Any => Any] =
+      if (java.util.Arrays.equals(fileTypes.asInstanceOf[Array[AnyRef]],
+        types.asInstanceOf[Array[AnyRef]])) null
+      else fileTypes.indices.map(i =>
+        TypeWidening.caster(fileTypes(i), types(i))).toArray
     def parquetSchema: StructType = StructType(
-      names.zip(types).map { case (n, t) => StructField(n, t, nullable = true) })
+      names.zip(fileTypes).map { case (n, t) => StructField(n, t, nullable = true) })
+  }
+
+  object Projection {
+    def apply(names: Array[String], ords: Array[Int],
+        types: Array[DataType]): Projection =
+      Projection(names, ords, types, types)
   }
 
   def projectionFor(fullSchema: StructType, dataSchema: StructType,
-      writeCols: Seq[(Int, String)]): Projection =
+      writeCols: Seq[(Int, String)],
+      /** field id → WRITE-TIME type, for ids widened since this file was
+        * written (empty for every file of a never-widened table). */
+      widen: Map[Int, DataType] = Map.empty): Projection =
     if (writeCols.isEmpty)
       // Legacy file (pre-field-id): physical columns are a positional
-      // prefix of the scan schema — valid because rename/drop REQUIRE
+      // prefix of the scan schema — valid because rename/drop/widen REQUIRE
       // write-time mappings on every current file before they commit.
       Projection(dataSchema.fieldNames,
         dataSchema.fieldNames.map(fullSchema.fieldIndex),
@@ -231,6 +251,7 @@ private[sources] object DataFiles {
       val names = new Array[String](n)
       val ords = new Array[Int](n)
       val types = new Array[DataType](n)
+      val fileTypes = new Array[DataType](n)
       var i = 0
       while (i < n) {
         val f = dataSchema.fields(i)
@@ -242,9 +263,10 @@ private[sources] object DataFiles {
         names(i) = if (ord >= 0) writeCols(ord)._2 else s"_graft_absent_$id"
         ords(i) = ord
         types(i) = f.dataType
+        fileTypes(i) = widen.getOrElse(id, f.dataType)
         i += 1
       }
-      Projection(names, ords, types)
+      Projection(names, ords, types, fileTypes)
     }
 
   /** Open `split` of `path` emitting `projection`'s columns. The grf
@@ -263,7 +285,11 @@ private[sources] object DataFiles {
     private val reader = new RowFiles.Reader(path, conf, split.byteStart)
     private val fileFields = reader.numFields
     private val ords = projection.ords
-    private val types = projection.types
+    // Decode each slot in the type the file WROTE (positional UnsafeRow
+    // layout — reading a widened type over a narrow slot would misread
+    // bytes), then up-cast widened columns ([[TypeWidening]]).
+    private val types = projection.fileTypes
+    private val casts = projection.casts
     private val row = new UnsafeRow(fileFields)
     private var buf = new Array[Byte](1 << 10)
     private var remaining = split.rowCount
@@ -277,9 +303,11 @@ private[sources] object DataFiles {
       remaining -= 1
       var j = 0
       while (j < ords.length) {
-        out.update(j,
+        val v =
           if (ords(j) < 0 || ords(j) >= fileFields) null
-          else row.get(ords(j), types(j)))
+          else row.get(ords(j), types(j))
+        out.update(j,
+          if (v == null || casts == null || casts(j) == null) v else casts(j)(v))
         j += 1
       }
       out
@@ -317,7 +345,23 @@ private[sources] object DataFiles {
         b.withFileRange(split.byteStart, split.byteEnd)
       b.build()
     }
-    override def next(): InternalRow = reader.read()
+    // Widened columns: the parquet layer decoded the file's NATIVE types
+    // (the requested schema above is fileTypes); up-cast into a fresh
+    // output row. Never-widened files skip this branch entirely.
+    private val casts = projection.casts
+    private val out =
+      if (casts == null) null else new GenericInternalRow(projection.length)
+    override def next(): InternalRow = {
+      val r = reader.read()
+      if (r == null || casts == null) return r
+      var j = 0
+      while (j < casts.length) {
+        val v = if (r.isNullAt(j)) null else r.get(j, projection.fileTypes(j))
+        out.update(j, if (v == null || casts(j) == null) v else casts(j)(v))
+        j += 1
+      }
+      out
+    }
     override def close(): Unit = reader.close()
   }
 
@@ -469,7 +513,12 @@ private[sources] object StatsPredicates {
       case c: VPredicate => Some(c)
       case _ => None
     }
-    def statOf(id: Int): Option[ColStats] = stats.get(id)
+    // Stats of files written before a type widen hold NARROW boxes (an
+    // Int min under a now-Long column) — coerce into the live type before
+    // comparing ([[TypeWidening.coerce]]; identity when never widened).
+    def statOf(id: Int, dt: DataType): Option[ColStats] = stats.get(id).map(s =>
+      ColStats(TypeWidening.coerce(dt, s.min), TypeWidening.coerce(dt, s.max),
+        s.nulls))
     def lt(dt: DataType, a: Any, b: Any): Boolean =
       org.apache.spark.sql.catalyst.expressions.LessThan(
         org.apache.spark.sql.catalyst.expressions.Literal(a, dt),
@@ -483,9 +532,9 @@ private[sources] object StatsPredicates {
           // `col <op> NULL` matches nothing; `col <=> NULL` matches exactly
           // the file's null rows.
           return if (op != "<=>") true
-          else statOf(c).exists(_.nulls == 0L)
+          else statOf(c, dt).exists(_.nulls == 0L)
         }
-        statOf(c) match {
+        statOf(c, dt) match {
           case None => false
           case Some(s) =>
             if (s.nulls == rowCount) return true // all-null column
@@ -528,13 +577,13 @@ private[sources] object StatsPredicates {
       case op @ ("=" | "<=>" | "<" | "<=" | ">" | ">=") => rangeExcludes(op)
       case "IS_NULL" =>
         colOf(p.children()(0), cols).exists(c =>
-          statOf(c._1).exists(_.nulls == 0L))
+          stats.get(c._1).exists(_.nulls == 0L))
       case "IS_NOT_NULL" =>
         colOf(p.children()(0), cols).exists(c =>
-          statOf(c._1).exists(_.nulls == rowCount))
+          stats.get(c._1).exists(_.nulls == rowCount))
       case "IN" => inShape(p, cols) match {
         case None => false
-        case Some((c, dt, vals)) => statOf(c) match {
+        case Some((c, dt, vals)) => statOf(c, dt) match {
           case None => false
           case Some(s) =>
             if (s.nulls == rowCount) true

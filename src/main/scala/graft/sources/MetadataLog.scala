@@ -206,7 +206,12 @@ private[sources] object MetadataLog {
     val statsJson: JValue = JObject(f.stats.toList.collect {
       case (id, s) if ctx.byId.contains(id) =>
         val dt = ctx.byId(id)
-        s"#$id" -> (JArray(List(pvToJson(dt, s.min), pvToJson(dt, s.max),
+        // A file written before a type WIDEN carries narrow stat boxes (an
+        // Int min under a now-Long column) — coerce into the manifest
+        // schema's type (identity for never-widened tables).
+        s"#$id" -> (JArray(List(
+          pvToJson(dt, TypeWidening.coerce(dt, s.min)),
+          pvToJson(dt, TypeWidening.coerce(dt, s.max)),
           JLong(s.nulls))): JValue)
     })
     JArray(List(
@@ -276,7 +281,17 @@ private[sources] object MetadataLog {
       JLong(d.entryCount),
       JString(d.kind),
       JArray(d.equalityCols.toList.map(id => JLong(id.toLong))),
-      JLong(d.seq)))))
+      JLong(d.seq),
+      // Key-column bounds ("#id" keyspace like data-file stats) — the
+      // delete-file pruning surface; widen-coerced like file stats.
+      JObject(d.stats.toList.collect {
+        case (id, cs) if ctx.byId.contains(id) =>
+          val dt = ctx.byId(id)
+          s"#$id" -> (JArray(List(
+            pvToJson(dt, TypeWidening.coerce(dt, cs.min)),
+            pvToJson(dt, TypeWidening.coerce(dt, cs.max)),
+            JLong(cs.nulls))): JValue)
+      })))))
     def entry(f: DataFile) = fileEntryJson(dataDir, pvTypes, ctx, f)
     val written = Seq.newBuilder[Path]
     val json =
@@ -358,7 +373,17 @@ private[sources] object MetadataLog {
         kind = if (es.length > 3) jStr(es(3)) else "pos",
         equalityCols =
           if (es.length > 4) jArr(es(4)).map(jInt) else Nil,
-        seq = if (es.length > 5) jLong(es(5)) else 0L)
+        seq = if (es.length > 5) jLong(es(5)) else 0L,
+        stats =
+          if (es.length > 6) jObj(es(6)).flatMap { case (key, v) =>
+            key.drop(1).toIntOption.filter(ctx.byId.contains).map { i =>
+              val dt = ctx.byId(i)
+              val vs = jArr(v)
+              i -> SnapshotStore.ColStats(
+                pvFromJson(dt, vs.head), pvFromJson(dt, vs(1)), jLong(vs(2)))
+            }
+          }.toMap
+          else Map.empty)
     }.toVector
     (files, deletes)
   }
@@ -436,6 +461,13 @@ private[sources] object MetadataLog {
       // metadata = all identity.
       "partitionTransforms" -> JArray(
         st.transformsOrIdentity.toList.map(t => JString(t.name))),
+      // Type-widening history: field id -> ascending [(throughSeq,
+      // oldType.json)] — how readers resolve a file's WRITE-TIME types.
+      // Absent in legacy metadata = never widened.
+      "typeHistory" -> JObject(st.typeHistory.toList.map { case (id, hist) =>
+        id.toString -> (JArray(hist.toList.map { case (v, dt) =>
+          JArray(List(JLong(v), JString(dt.json))) }): JValue)
+      }),
       "properties" -> JObject(st.properties.toList.map {
         case (k, v) => k -> (JString(v): JValue) }),
       "tags" -> JObject(st.tags.toList.map {
@@ -490,7 +522,14 @@ private[sources] object MetadataLog {
       metaVersion = metaVersion,
       lastFieldId = lastFieldId,
       tableId = fieldOpt(j, "tableId").map(jStr).getOrElse(""),
-      partitionTransforms = transforms)
+      partitionTransforms = transforms,
+      typeHistory = fieldOpt(j, "typeHistory").map(th =>
+        jObj(th).map { case (id, hist) =>
+          id.toInt -> jArr(hist).map { e =>
+            val es = jArr(e)
+            (jLong(es.head), DataType.fromJson(jStr(es(1))))
+          }.toVector
+        }.toMap).getOrElse(Map.empty))
     assignLegacySeqs(st)
   }
 

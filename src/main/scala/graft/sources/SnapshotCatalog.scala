@@ -353,9 +353,11 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     val (idSchema, lastId) = FieldIds.assign(FieldIds.strip(schema))
     require(idSchema.fields.flatMap(FieldIds.idOf).distinct.length ==
       idSchema.length, s"internal: duplicate field ids in $idSchema")
-    // Validate the write format NOW (the ALTER path already does): a bad
-    // value must not sit latent until the first write task trips it.
+    // Validate the write format and sort order NOW (the ALTER path
+    // already does): a bad value must not sit latent until the first
+    // write task trips it.
     DataFiles.formatOf(props)
+    SortOrders.of(props, idSchema)
     val persisted = MetadataLog.createInitial(
       SnapshotStore.TableState(idSchema, partCols, dataDir, props, Vector.empty,
         partitionTransforms = partTransforms,
@@ -375,8 +377,11 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     * the name is just its label), `DROP COLUMN` (the id retires, never
     * reused; files keep the bytes, readers stop asking for them), and
     * table-property changes. Per-snapshot schemas keep time travel
-    * reading each version under its own names. Type changes remain
-    * rejected (safe promotion needs per-type widening rules).
+    * reading each version under its own names. `ALTER COLUMN … TYPE`
+    * accepts SAFE WIDENING promotions only ([[TypeWidening]]): the change
+    * is metadata (a [[SnapshotStore.TableState.typeHistory]] entry);
+    * readers up-cast old files' values at decode time through each file's
+    * data sequence number.
     *
     * RENAME/DROP require every CURRENT data file to carry its write-time
     * (id, name) column list — files written before field-id tracking are
@@ -475,18 +480,66 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
               cur.copy(schema = org.apache.spark.sql.types.StructType(
                 cur.schema.fields.patch(idx, Nil, 1)))
             }
+          case upd: TableChange.UpdateColumnType =>
+            require(upd.fieldNames().length == 1,
+              s"nested ALTER COLUMN TYPE is not supported: ${upd.fieldNames().mkString(".")}")
+            val colName = upd.fieldNames()(0)
+            val idx = cur.schema.fieldNames.indexWhere(_.equalsIgnoreCase(colName))
+            require(idx >= 0, s"column $colName does not exist")
+            val from = cur.schema.fields(idx).dataType
+            val to = upd.newDataType()
+            if (from == to) cur // no-op retype
+            else {
+              require(TypeWidening.safePromotion(from, to),
+                s"cannot change $colName from $from to $to: only safe " +
+                  "WIDENING promotions are supported (byte/short/int→long, " +
+                  "float→double, decimal precision-up)")
+              // Partition values (identity AND transform results) ride in
+              // manifests under immutable types — widening the source
+              // would silently re-type every file's identity.
+              require(!cur.partitionCols.exists(_.equalsIgnoreCase(colName)),
+                s"cannot widen partition column $colName — partition values " +
+                  "are file identity")
+              requireIdCoverage(cur, s"ALTER COLUMN $colName TYPE")
+              // A LIVE equality delete keyed on this column stores key
+              // tuples in the OLD type; widening would make every probe
+              // compare long-vs-int. Compaction folds them first.
+              val colId = FieldIds.requireId(cur.schema, colName)
+              val liveEq = (cur.currentDeletes ++
+                cur.branches.values.flatMap(_.snapshots.lastOption
+                  .toSeq.flatMap(_.deleteFiles)))
+                .filter(d => d.kind == "eq" && d.equalityCols.contains(colId))
+              require(liveEq.isEmpty,
+                s"cannot widen $colName: ${liveEq.size} live equality-delete " +
+                  "file(s) key on it — run CALL <catalog>.system." +
+                  "rewrite_data_files first to fold them")
+              // Every file committed so far (main or branch) was written
+              // under `from`; future files get seq > W and the new type.
+              val w = (cur.snapshots.map(_.version) ++
+                cur.branches.values.flatMap(_.snapshots.map(_.version)))
+                .foldLeft(0L)(math.max)
+              val fields = cur.schema.fields.clone()
+              fields(idx) = fields(idx).copy(dataType = to)
+              cur.copy(
+                schema = org.apache.spark.sql.types.StructType(fields),
+                typeHistory = cur.typeHistory +
+                  (colId -> (cur.typeHistory.getOrElse(colId, Vector.empty)
+                    :+ (w, from))))
+            }
           case set: TableChange.SetProperty =>
             // Validate format switches HERE, not at first write — a bad
             // value must not sit latent until some streaming epoch trips it.
             if (set.property == "write.format")
               DataFiles.formatOf(Map("write.format" -> set.value))
+            if (set.property == SortOrders.Prop)
+              SortOrders.of(Map(SortOrders.Prop -> set.value), cur.schema)
             cur.copy(properties = cur.properties + (set.property -> set.value))
           case rm: TableChange.RemoveProperty =>
             cur.copy(properties = cur.properties - rm.property)
           case other => throw new UnsupportedOperationException(
             s"ALTER TABLE change not supported: $other — this catalog supports " +
-              "ADD/RENAME/DROP COLUMN and table properties; type changes need " +
-              "per-type widening rules and stay rejected")
+              "ADD/RENAME/DROP COLUMN, safe type WIDENING (ALTER COLUMN " +
+              "TYPE), and table properties")
         }
       }
     }
@@ -765,11 +818,23 @@ object SnapshotCatalog {
     val name = (catalog +: ident).map(p => s"`$p`").mkString(".")
     import org.apache.spark.sql.functions.{col, lit}
     val df = spark.table(name)
+    // Declared clustering (`write.sort-order`): compaction RESTORES it —
+    // partitioned tables re-sort within each partition's file; an
+    // unpartitioned table RANGE-repartitions on the sort key so each
+    // output file covers a disjoint range (tight stats -> fewer files
+    // opened by a sort-key range predicate).
+    val order = SortOrders.of(st.properties, st.schema)
+    def sortCols = order.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }
     val shaped =
-      if (st.partitionCols.nonEmpty) df.repartition(st.partitionCols.map(col): _*)
-      else {
+      if (st.partitionCols.nonEmpty) {
+        val r = df.repartition(st.partitionCols.map(col): _*)
+        if (order.nonEmpty) r.sortWithinPartitions(sortCols: _*) else r
+      } else {
         val rows = st.currentFiles.map(_.rowCount).sum
-        df.repartition(math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt))
+        val n = math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt)
+        if (order.nonEmpty)
+          df.repartitionByRange(n, sortCols: _*).sortWithinPartitions(sortCols: _*)
+        else df.repartition(n)
       }
     // `graft.operation=replace` stamps the snapshot as a compaction — the
     // files change, the logical rows do not, so the change feed skips it
@@ -841,6 +906,46 @@ private[graft] object SnapshotStore {
     * `nulls == rowCount` marks an all-null column. */
   final case class ColStats(min: Any, max: Any, nulls: Long)
 
+  /** lowercased-independent field id → live type map of `schema` — the
+    * comparison context for stats-range pruning. */
+  def idTypes(schema: StructType): Map[Int, DataType] =
+    schema.fields.iterator.flatMap(f =>
+      FieldIds.idOf(f).map(_ -> f.dataType)).toMap
+
+  /** Does equality-delete `d` possibly apply to data file `f`? Sequence
+    * rule first (a delete hits strictly OLDER files); then KEY-RANGE
+    * pruning: a key tuple can only match if EVERY key column's value
+    * ranges overlap, so ONE disjoint column proves the whole file clean.
+    * Missing stats (legacy descriptors, untracked types) conservatively
+    * apply. This is what keeps an upsert touching one key from probing
+    * every older file of a 100 TB table — on the read path AND in the
+    * change feed's row-level reconstruction. */
+  def eqApplies(d: DeleteFile, f: DataFile,
+      types: Map[Int, DataType]): Boolean =
+    d.seq > f.seq && !d.equalityCols.exists { id =>
+      (for {
+        dt <- types.get(id)
+        ds <- d.stats.get(id)
+        fs <- f.stats.get(id)
+      } yield statRangesDisjoint(dt, ds, fs)).getOrElse(false)
+    }
+
+  private def statRangesDisjoint(dt: DataType, a: ColStats,
+      b: ColStats): Boolean = {
+    // A null key matches a null value: overlap unless one side has none.
+    if (a.nulls > 0 && b.nulls > 0) return false
+    if (a.min == null || a.max == null || b.min == null || b.max == null)
+      return false // all-null or untracked side — cannot prove disjoint
+    val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(dt)
+    // Pre-widen descriptors hold narrow boxes — compare in the live type.
+    val amin = TypeWidening.coerce(dt, a.min)
+    val amax = TypeWidening.coerce(dt, a.max)
+    val bmin = TypeWidening.coerce(dt, b.min)
+    val bmax = TypeWidening.coerce(dt, b.max)
+    ord.lt(amax, bmin) || ord.lt(bmax, amin)
+  }
+
   /** One immutable DELETE file — Iceberg format-v2's two merge-on-read
     * flavors:
     *
@@ -860,7 +965,14 @@ private[graft] object SnapshotStore {
     * Readers skip matching rows; data files are never rewritten — that is
     * the whole point. */
   final case class DeleteFile(path: String, dataPath: String, entryCount: Long,
-      kind: String = "pos", equalityCols: Seq[Int] = Nil, seq: Long = 0L)
+      kind: String = "pos", equalityCols: Seq[Int] = Nil, seq: Long = 0L,
+      /** Per KEY-COLUMN (min, max, nullCount) of the delete file's tuples,
+        * keyed by field id — collected at write exactly like data-file
+        * stats. Lets both the read path and the change-feed reconstruction
+        * SKIP probing data files whose key ranges are disjoint from the
+        * delete's (Iceberg records delete-file bounds for the same
+        * pruning). Empty = legacy descriptor, probe everything. */
+      stats: Map[Int, ColStats] = Map.empty)
 
   /** `appendedFiles` >= 0 marks an APPEND commit whose LAST `appendedFiles`
     * entries of `files` are the newly added ones (the streaming source's
@@ -1038,7 +1150,17 @@ private[graft] object SnapshotStore {
         * consumers that key durable state on a table (stream checkpoints)
         * can detect the swap instead of resuming against a stranger's
         * history. Empty = legacy metadata predating the field. */
-      tableId: String = "") {
+      tableId: String = "",
+      /** TYPE-WIDENING history per FIELD ID (Iceberg's safe promotions:
+        * int→long, float→double, decimal precision-up). Each entry
+        * `(throughSeq, oldType)` says "data files with seq <= throughSeq
+        * were written while this field's type was oldType" — ascending,
+        * appended by `ALTER COLUMN … TYPE`. Readers resolve each file's
+        * WRITE-TIME type through this map ([[MemReaders.widenOverrides]])
+        * and up-cast decoded values to the live type; files written after
+        * the widen carry the new type natively. Empty = no column ever
+        * widened (every scan takes the zero-cost path). */
+      typeHistory: Map[Int, Vector[(Long, DataType)]] = Map.empty) {
     def currentFiles: Vector[DataFile] =
       if (snapshots.isEmpty) Vector.empty else snapshots.last.files
     def currentDeletes: Vector[DeleteFile] =
@@ -1057,6 +1179,12 @@ private[graft] object SnapshotStore {
     def partitionValueTypes: Seq[DataType] =
       partitionCols.zip(transformsOrIdentity)
         .map { case (c, t) => t.resultType(schema(c).dataType) }
+    /** The type field `id` had when a file of data sequence number `seq`
+      * was written: the oldType of the first widening whose watermark
+      * covers `seq`, else the live type. Legacy files (`seq = 0`) resolve
+      * to the OLDEST recorded type — they predate every widen. */
+    def writeTypeAt(id: Int, seq: Long): Option[DataType] =
+      typeHistory.get(id).flatMap(_.find(seq <= _._1)).map(_._2)
   }
 
   /** In-JVM CACHE of the durable metadata log ([[MetadataLog]]) — the log
@@ -1381,6 +1509,32 @@ private[graft] object SnapshotStore {
       }
     }
     if (before eq after) RowFiles.delete(newFiles.map(_.path)) // replay: orphans
+  }
+
+  /** Epoch-stamped TRUNCATE-OVERWRITE — [[commitEpoch]]'s replace twin for
+    * maintained-state tables an incremental engine rewrites once per
+    * trigger (e.g. a connected-components assignment): a replayed epoch
+    * no-ops and its files are deleted as orphans, so the pre-epoch
+    * snapshot stays the replay's readable base. */
+  def commitEpochReplace(k: String, queryId: String, epochId: Long,
+      newFiles: Vector[DataFile]): Unit = {
+    val (before, after) = update(k) { st =>
+      if (st.epochs.get(queryId).exists(epochId <= _)) st // replayed epoch
+      else {
+        val pruned =
+          if (st.epochs.size >= 128 && !st.epochs.contains(queryId))
+            st.epochs - st.epochs.head._1
+          else st.epochs
+        st.copy(
+          snapshots = st.snapshots :+ Snapshot(st.nextVersion, nowMicros(),
+            newFiles.map(_.copy(seq = st.nextVersion)),
+            appendedFiles = -1,
+            schema = st.schema, deleteFiles = Vector.empty,
+            operation = "overwrite"),
+          epochs = (pruned - queryId) + (queryId -> epochId))
+      }
+    }
+    if (before eq after) RowFiles.delete(newFiles.map(_.path))
   }
 }
 
@@ -1727,7 +1881,11 @@ private[sources] final class MemTable(fullName: String, k: String,
       startingVersion = Option(options.get("startingVersion")),
       splitTargetBytes = ScanSplits.targetBytes(props),
       eqDeletes = eqDels,
-      tFields = tFields)
+      tFields = tFields,
+      // Per-file write-time type resolution: the overrides compare against
+      // the SCAN schema (the pinned snapshot's for time travel), so a
+      // pre-widen pin reads old files natively with no override.
+      typeHist = SnapshotStore.resolve(k).map(_.typeHistory).getOrElse(Map.empty))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -1876,7 +2034,8 @@ private[sources] final class MemRowLevelScanBuilder(op: MemRowLevelOperation,
     files: Vector[SnapshotStore.DataFile],
     deletes: Map[String, Vector[String]] = Map.empty,
     eqDeletes: Vector[SnapshotStore.DeleteFile] = Vector.empty,
-    tFields: Seq[TransformPruning.TField] = Nil)
+    tFields: Seq[TransformPruning.TField] = Nil,
+    typeHist: Map[Int, Vector[(Long, DataType)]] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownV2Filters {
   private val statCols = StatsPredicates.statCols(fullSchema)
@@ -1968,10 +2127,12 @@ private[sources] final class MemRowLevelScan(op: MemRowLevelOperation,
     // Split-planned like the plain scan: `_pos` counts file-globally from
     // each slice's rowStart, so the rewrite's row identity is unaffected.
     ScanSplits.partitions(files, deletes,
-      ScanSplits.targetBytes(SnapshotStore.stateOf(op.k).properties), eqDeletes)
+      ScanSplits.targetBytes(SnapshotStore.stateOf(op.k).properties), eqDeletes,
+      SnapshotStore.idTypes(fullSchema))
 
   override def createReaderFactory(): PartitionReaderFactory =
-    MemReaders.factory(fullSchema, required, RowFiles.sessionConf())
+    MemReaders.factory(fullSchema, required, RowFiles.sessionConf(),
+      SnapshotStore.stateOf(op.k).typeHistory)
 }
 
 /** MERGE-ON-READ row-level operation (Iceberg v2's delta mode, selected
@@ -2012,7 +2173,8 @@ private[sources] final class MemDeltaRowLevelOperation(
       splitTargetBytes = ScanSplits.targetBytes(st.properties),
       eqDeletes = SnapshotStore.eqDeletes(st.currentDeletes),
       tFields = TransformPruning.fieldsOf(st.partitionCols,
-        st.partitionTransforms, st.schema))
+        st.partitionTransforms, st.schema),
+      typeHist = st.typeHistory)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new MemDeltaWriteBuilder(k, info.schema(), baseVersion)
@@ -2130,6 +2292,53 @@ private[sources] final case class MemDeltaWriterFactory(rowSchema: StructType,
   * append, truncate, partition-scoped overwrite (static predicate or
   * dynamic by written partitions), or the row-level rewrite's file-grained
   * replace. */
+/** TABLE SORT ORDER (Iceberg's `write.sort-order`, e.g. "ts" or
+  * "region ASC, amount DESC"): a declarative clustering contract carried
+  * as a table property. Batch WRITES enforce it through Spark's
+  * [[RequiresDistributionAndOrdering]] (the engine sorts rows within each
+  * write task before they reach the file writers — no writer-side
+  * buffering), and COMPACTION restores it globally: partitioned tables
+  * re-sort within each partition; unpartitioned tables range-repartition
+  * on the sort key so each output file covers a DISJOINT range. The payoff
+  * is per-file stats tightness — a range predicate on the sort key opens
+  * O(matching) files instead of all of them. */
+private[sources] object SortOrders {
+  val Prop = "write.sort-order"
+
+  /** Parse the property into (column, ascending) pairs; empty = unsorted.
+    * Fails loudly on unknown columns or malformed directions. */
+  def of(props: Map[String, String], schema: StructType): Seq[(String, Boolean)] =
+    props.get(Prop).map(_.trim).filter(_.nonEmpty).fold(
+      Seq.empty[(String, Boolean)]) { spec =>
+      spec.split(',').toSeq.map { part =>
+        val toks = part.trim.split("\\s+")
+        require(toks.nonEmpty && toks.length <= 2,
+          s"$Prop entry '$part' must be '<col> [ASC|DESC]'")
+        val colName = toks(0)
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(colName)),
+          s"$Prop names unknown column '$colName' (schema: " +
+            s"${schema.fieldNames.mkString(", ")})")
+        val asc = toks.lift(1).map(_.toUpperCase) match {
+          case None | Some("ASC") => true
+          case Some("DESC") => false
+          case Some(other) =>
+            throw new IllegalArgumentException(
+              s"$Prop direction must be ASC or DESC, got '$other'")
+        }
+        (colName, asc)
+      }
+    }
+
+  /** The connector-API ordering the write advertises. */
+  def v2Ordering(order: Seq[(String, Boolean)]):
+      Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    order.map { case (c, asc) =>
+      Expressions.sort(Expressions.identity(c),
+        if (asc) org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING
+        else org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING)
+    }.toArray
+}
+
 private[sources] final class MemWriteBuilder(k: String, writeSchema: StructType,
     partCols: PartitionPredicates.PartCols,
     forceReplace: Boolean = false, queryId: String = "",
@@ -2180,14 +2389,33 @@ private[sources] final class MemWriteBuilder(k: String, writeSchema: StructType,
     val st = SnapshotStore.stateOf(k)
     val hashDistribute = st.partitionCols.nonEmpty &&
       st.properties.get("write.distribution-mode").exists(_.equalsIgnoreCase("hash"))
-    if (hashDistribute)
+    // `write.sort-order`: the engine sorts each task's rows before they
+    // reach the writers, so every produced file is internally clustered
+    // and its sort-key stats are tight ([[SortOrders]]).
+    val sortOrder = SortOrders.of(st.properties, st.schema)
+      .filter { case (c, _) => writeSchema.fieldNames.exists(_.equalsIgnoreCase(c)) }
+    // write.distribution-mode=range + a sort order = a GLOBAL range sort
+    // (Iceberg's range mode): Spark range-partitions the incoming rows on
+    // the sort key, so each task's file covers a DISJOINT key range —
+    // tight per-file stats straight from the write, not only after
+    // compaction. Plain sort order without range mode = task-local sort.
+    val rangeDistribute = sortOrder.nonEmpty &&
+      st.properties.get("write.distribution-mode").exists(_.equalsIgnoreCase("range"))
+    if (hashDistribute || rangeDistribute || sortOrder.nonEmpty)
       new GraftWrite with RequiresDistributionAndOrdering {
         override def requiredDistribution():
             org.apache.spark.sql.connector.distributions.Distribution =
-          org.apache.spark.sql.connector.distributions.Distributions.clustered(
-            st.partitionCols.map(c => Expressions.identity(c): VExpression).toArray)
+          if (rangeDistribute)
+            org.apache.spark.sql.connector.distributions.Distributions.ordered(
+              SortOrders.v2Ordering(sortOrder))
+          else if (hashDistribute)
+            org.apache.spark.sql.connector.distributions.Distributions.clustered(
+              st.partitionCols.map(c => Expressions.identity(c): VExpression).toArray)
+          else
+            org.apache.spark.sql.connector.distributions.Distributions.unspecified()
         override def requiredOrdering():
-            Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+            Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          SortOrders.v2Ordering(sortOrder)
       }
     else new GraftWrite
   }
@@ -2456,7 +2684,8 @@ private[sources] final class MemScanBuilder(fullSchema: StructType,
     deletes: Map[String, Vector[String]] = Map.empty,
     splitTargetBytes: Long = ScanSplits.DefaultTargetBytes,
     eqDeletes: Vector[SnapshotStore.DeleteFile] = Vector.empty,
-    tFields: Seq[TransformPruning.TField] = Nil)
+    tFields: Seq[TransformPruning.TField] = Nil,
+    typeHist: Map[Int, Vector[(Long, DataType)]] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownV2Filters {
   private val statCols = StatsPredicates.statCols(fullSchema)
@@ -2492,7 +2721,8 @@ private[sources] final class MemScanBuilder(fullSchema: StructType,
       !statsUsable.exists(
         StatsPredicates.definitelyExcludes(_, statCols, f.stats, f.rowCount)))
     new MemScan(fullSchema, required, retained, streamKey, maxVersionsPerTrigger,
-      startingVersion, deletes, partCols, splitTargetBytes, eqDeletes)
+      startingVersion, deletes, partCols, splitTargetBytes, eqDeletes,
+      typeHist = typeHist)
   }
 }
 
@@ -2508,7 +2738,10 @@ private[sources] final case class MemFilePartition(path: String, rowCount: Long,
     /** Equality-delete files APPLICABLE to this data file (delete seq >
       * file seq), as (path, key field ids, entry count) — the reader
       * probes each row's key tuple against their union. */
-    eqDeletePaths: Seq[(String, Seq[Int], Long)] = Nil) extends InputPartition {
+    eqDeletePaths: Seq[(String, Seq[Int], Long)] = Nil,
+    /** The file's data sequence number — resolves its WRITE-TIME column
+      * types through the table's type-widening history. */
+    seq: Long = 0L) extends InputPartition {
   def split: DataFiles.Split = DataFiles.Split(rowStart, rowCount, byteStart, byteEnd)
 }
 
@@ -2528,17 +2761,22 @@ private[sources] object ScanSplits {
   def partitions(files: Vector[SnapshotStore.DataFile],
       deletes: Map[String, Vector[String]],
       target: Long,
-      eqDels: Vector[SnapshotStore.DeleteFile] = Vector.empty): Array[InputPartition] =
+      eqDels: Vector[SnapshotStore.DeleteFile] = Vector.empty,
+      /** Live field types for KEY-RANGE pruning of equality deletes
+        * ([[SnapshotStore.eqApplies]]); empty = sequence rule only. */
+      idTypes: Map[Int, DataType] = Map.empty): Array[InputPartition] =
     files.filter(_.rowCount > 0).flatMap { f =>
       val dels = deletes.getOrElse(f.path, Vector.empty)
       // An equality delete applies to STRICTLY OLDER files — rows appended
-      // in the delete's own commit (equal seq) are the upsert's winners.
-      val eqs = eqDels.filter(_.seq > f.seq)
+      // in the delete's own commit (equal seq) are the upsert's winners —
+      // and only where its key ranges can overlap the file's.
+      val eqs = eqDels.filter(SnapshotStore.eqApplies(_, f, idTypes))
         .map(d => (d.path, d.equalityCols, d.entryCount))
       val pts = f.splitPoints
       if (pts.length <= 1 || f.sizeBytes <= 0L || f.sizeBytes <= target)
         Vector(MemFilePartition(f.path, f.rowCount, dels,
-          writeCols = f.writeCols, eqDeletePaths = eqs): InputPartition)
+          writeCols = f.writeCols, eqDeletePaths = eqs,
+          seq = f.seq): InputPartition)
       else {
         // Greedily group consecutive chunks until a split reaches target.
         // Every recorded point starts a non-empty chunk, so (rowEnd >
@@ -2553,7 +2791,7 @@ private[sources] object ScanSplits {
             val rowEnd = if (i == pts.length) f.rowCount else pts(i)._1
             if (rowEnd > rowStart)
               out += MemFilePartition(f.path, rowEnd - rowStart, dels,
-                rowStart, pts(startIdx)._2, endByte, f.writeCols, eqs)
+                rowStart, pts(startIdx)._2, endByte, f.writeCols, eqs, f.seq)
             startIdx = i
           }
           i += 1
@@ -2564,6 +2802,21 @@ private[sources] object ScanSplits {
 }
 
 private[sources] object MemReaders {
+  /** field id → WRITE-TIME type for the columns of `readSchema` a type
+    * widen re-typed AFTER the file of data sequence number `seq` was
+    * written — what [[DataFiles.projectionFor]] needs to decode the file
+    * natively and up-cast. Empty (the zero-cost path) unless the table
+    * was ever widened. */
+  def widenOverrides(typeHist: Map[Int, Vector[(Long, DataType)]],
+      readSchema: StructType, seq: Long): Map[Int, DataType] =
+    if (typeHist.isEmpty) Map.empty
+    else readSchema.fields.iterator.flatMap { f =>
+      FieldIds.idOf(f).flatMap(id =>
+        typeHist.get(id).flatMap(_.find(seq <= _._1)).collect {
+          case (_, wt) if wt != f.dataType => id -> wt
+        })
+    }.toMap
+
   /** An equality-delete KEY tuple as a hash-set element: array-backed with
     * content equality/hash. Exists so the innermost scan loop can probe
     * with ONE REUSABLE instance (fill the array in place, `contains`) —
@@ -2704,7 +2957,8 @@ private[sources] object MemReaders {
     * until the next `next()` — the standard PartitionReader contract;
     * downstream operators copy what they keep). */
   def factory(fullSchema: StructType, required: StructType,
-      fsConf: org.apache.spark.util.SerializableConfiguration): PartitionReaderFactory = {
+      fsConf: org.apache.spark.util.SerializableConfiguration,
+      typeHist: Map[Int, Vector[(Long, DataType)]] = Map.empty): PartitionReaderFactory = {
     val dataSchema = StructType(required.fields.filter(f =>
       f.name != MemTable.FileColumnName && f.name != MemTable.PosColumnName))
     // Each required field: -1 = `_file`, -2 = `_pos`, else index into the
@@ -2728,7 +2982,8 @@ private[sources] object MemReaders {
         private val readSchema = MemReaders.schemaWithEqKeys(
           fullSchema, dataSchema, part.eqDeletePaths.flatMap(_._2))
         private val proj =
-          DataFiles.projectionFor(fullSchema, readSchema, part.writeCols)
+          DataFiles.projectionFor(fullSchema, readSchema, part.writeCols,
+            MemReaders.widenOverrides(typeHist, readSchema, part.seq))
         private val stream = DataFiles.stream(part.path, part.split,
           proj, fsConf.value)
         private val pathValue = UTF8String.fromString(part.path)
@@ -2784,7 +3039,8 @@ private[sources] object MemReaders {
     * emitted — a merge-on-read delete of k rows reads at most the prefix
     * containing them, not the whole file. */
   def changeFactory(dataSchema: StructType, required: StructType,
-      fsConf: org.apache.spark.util.SerializableConfiguration): PartitionReaderFactory = {
+      fsConf: org.apache.spark.util.SerializableConfiguration,
+      typeHist: Map[Int, Vector[(Long, DataType)]] = Map.empty): PartitionReaderFactory = {
     val streamSchema = StructType(required.fields.filter(f =>
       f.name != ChangesTable.TypeColumn && f.name != ChangesTable.VersionColumn &&
         f.name != ChangesTable.TimestampColumn))
@@ -2806,7 +3062,8 @@ private[sources] object MemReaders {
           streamSchema, (part.keepEqPaths ++ part.skipEqPaths).flatMap(_._2))
         private val stream = DataFiles.stream(part.path,
           DataFiles.wholeFile(part.rowCount),
-          DataFiles.projectionFor(dataSchema, readSchema, part.writeCols),
+          DataFiles.projectionFor(dataSchema, readSchema, part.writeCols,
+            MemReaders.widenOverrides(typeHist, readSchema, part.seq)),
           fsConf.value)
         private val ctValue = UTF8String.fromString(part.changeType)
         private def positions(paths: Seq[String]): java.util.HashSet[java.lang.Long] =
@@ -2878,7 +3135,8 @@ private[sources] final class MemScan(fullSchema: StructType,
     deletes: Map[String, Vector[String]] = Map.empty,
     partCols: PartitionPredicates.PartCols = Map.empty,
     splitTargetBytes: Long = ScanSplits.DefaultTargetBytes,
-    eqDeletes: Vector[SnapshotStore.DeleteFile] = Vector.empty)
+    eqDeletes: Vector[SnapshotStore.DeleteFile] = Vector.empty,
+    typeHist: Map[Int, Vector[(Long, DataType)]] = Map.empty)
     extends Scan with Batch with SupportsRuntimeV2Filtering {
   private var files = initial
 
@@ -2915,10 +3173,11 @@ private[sources] final class MemScan(fullSchema: StructType,
       PartitionPredicates.definitelyExcludes(_, partCols, f.partitionValues)))
 
   override def planInputPartitions(): Array[InputPartition] =
-    ScanSplits.partitions(files, deletes, splitTargetBytes, eqDeletes)
+    ScanSplits.partitions(files, deletes, splitTargetBytes, eqDeletes,
+      SnapshotStore.idTypes(fullSchema))
 
   override def createReaderFactory(): PartitionReaderFactory =
-    MemReaders.factory(fullSchema, required, RowFiles.sessionConf())
+    MemReaders.factory(fullSchema, required, RowFiles.sessionConf(), typeHist)
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -3025,7 +3284,8 @@ private[sources] final class MemMicroBatchStream(k: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    MemReaders.factory(fullSchema, required, RowFiles.sessionConf())
+    MemReaders.factory(fullSchema, required, RowFiles.sessionConf(),
+      SnapshotStore.resolve(k).map(_.typeHistory).getOrElse(Map.empty))
 }
 
 private[sources] final case class VersionOffset(version: Long)
@@ -3067,7 +3327,8 @@ private[sources] object ChangeLog {
       shown: String): Seq[MemChangePartition] = {
     def part(f: DataFile, ctype: String, skip: Seq[String]) =
       MemChangePartition(f.path, f.rowCount, ctype, cur.version,
-        cur.commitMicros, skipDeletePaths = skip, writeCols = f.writeCols)
+        cur.commitMicros, skipDeletePaths = skip, writeCols = f.writeCols,
+        seq = f.seq)
     val curDelByData = SnapshotStore.deleteMap(cur.deleteFiles)
     def eqTuple(d: DeleteFile) = (d.path, d.equalityCols, d.entryCount)
     val out: Seq[MemChangePartition] = cur.operation match {
@@ -3100,8 +3361,13 @@ private[sources] object ChangeLog {
         val prevEq = SnapshotStore.eqDeletes(prevDels)
         val curEq = SnapshotStore.eqDeletes(cur.deleteFiles)
         // Equality deletes applicable to `f` from `dels` — strictly newer.
+        val liveTypes = SnapshotStore.idTypes(st.schema)
+        // Applicable = newer AND key ranges overlap (stats pruning — the
+        // reconstruction must not probe every older file per upsert).
         def applEq(dels: Vector[DeleteFile], f: DataFile) =
-          dels.filter(_.seq > f.seq).map(eqTuple)
+          dels.filter(SnapshotStore.eqApplies(_, f, liveTypes)).map(eqTuple)
+        def anyApplies(dels: Vector[DeleteFile], f: DataFile) =
+          dels.exists(SnapshotStore.eqApplies(_, f, liveTypes))
 
         // An (re-)added file's INSERT reports only rows alive under the
         // commit's own deletes — a rollback re-adding a file still subject
@@ -3123,7 +3389,7 @@ private[sources] object ChangeLog {
           .groupBy(_.dataPath).toSeq.map { case (dp, ds) =>
             MemChangePartition(dp, fileOf(dp).rowCount, "DELETE", cur.version,
               cur.commitMicros, keepPositionPaths = ds.map(_.path),
-              writeCols = fileOf(dp).writeCols) }
+              writeCols = fileOf(dp).writeCols, seq = fileOf(dp).seq) }
         // New EQUALITY deletes (an upsert's delete-by-key): the dead rows
         // are reconstructed by probing each OLDER carried file with the
         // commit's key sets, minus rows already dead (position deletes or
@@ -3133,11 +3399,11 @@ private[sources] object ChangeLog {
         val eqDeletes =
           if (newEq.isEmpty) Nil
           else cur.files.filter(f =>
-              prevPaths(f.path) && newEq.exists(_.seq > f.seq)).map { f =>
+              prevPaths(f.path) && anyApplies(newEq, f)).map { f =>
             MemChangePartition(f.path, f.rowCount, "DELETE", cur.version,
               cur.commitMicros,
               skipDeletePaths = curDelByData.getOrElse(f.path, Vector.empty),
-              writeCols = f.writeCols,
+              writeCols = f.writeCols, seq = f.seq,
               keepEqPaths = applEq(newEq, f),
               skipEqPaths = applEq(prevEq, f))
           }
@@ -3150,7 +3416,7 @@ private[sources] object ChangeLog {
           .groupBy(_.dataPath).toSeq.map { case (dp, ds) =>
             MemChangePartition(dp, fileOf(dp).rowCount, "INSERT", cur.version,
               cur.commitMicros, keepPositionPaths = ds.map(_.path),
-              writeCols = fileOf(dp).writeCols,
+              writeCols = fileOf(dp).writeCols, seq = fileOf(dp).seq,
               skipEqPaths = applEq(curEq, fileOf(dp))) }
         // Equality deletes dropped from carried files (rollback): rows
         // matching the dropped keys come back — minus rows still dead via
@@ -3162,13 +3428,13 @@ private[sources] object ChangeLog {
         val eqRestored =
           if (droppedEq.isEmpty) Nil
           else cur.files.filter(f =>
-              prevPaths(f.path) && droppedEq.exists(_.seq > f.seq)).map { f =>
+              prevPaths(f.path) && anyApplies(droppedEq, f)).map { f =>
             MemChangePartition(f.path, f.rowCount, "INSERT", cur.version,
               cur.commitMicros,
               skipDeletePaths =
                 (prevDelByData.getOrElse(f.path, Vector.empty) ++
                   curDelByData.getOrElse(f.path, Vector.empty)).distinct,
-              writeCols = f.writeCols,
+              writeCols = f.writeCols, seq = f.seq,
               keepEqPaths = applEq(droppedEq, f),
               skipEqPaths = applEq(curEq, f))
           }
@@ -3275,7 +3541,8 @@ private[sources] final class ChangesScan(k: String, dataSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    MemReaders.changeFactory(dataSchema, required, RowFiles.sessionConf())
+    MemReaders.changeFactory(dataSchema, required, RowFiles.sessionConf(),
+      SnapshotStore.resolve(k).map(_.typeHistory).getOrElse(Map.empty))
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -3354,7 +3621,8 @@ private[sources] final class ChangesMicroBatchStream(k: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    MemReaders.changeFactory(dataSchema, required, RowFiles.sessionConf())
+    MemReaders.changeFactory(dataSchema, required, RowFiles.sessionConf(),
+      SnapshotStore.resolve(k).map(_.typeHistory).getOrElse(Map.empty))
 }
 
 /** A branch as a relation (`db.t.branch_<name>`): reads pin the branch
@@ -3392,7 +3660,8 @@ private[sources] final class BranchTable(display: String, k: String,
       splitTargetBytes = ScanSplits.targetBytes(st.properties),
       eqDeletes = SnapshotStore.eqDeletes(deletes),
       tFields = TransformPruning.fieldsOf(st.partitionCols,
-        st.partitionTransforms, st.schema))
+        st.partitionTransforms, st.schema),
+      typeHist = st.typeHistory)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -3440,5 +3709,8 @@ private[sources] final case class MemChangePartition(path: String, rowCount: Lon
     /** … minus rows that were ALREADY dead before the commit (prior
       * applicable equality deletes; prior position deletes ride
       * `skipDeletePaths`). */
-    skipEqPaths: Seq[(String, Seq[Int], Long)] = Nil) extends InputPartition
+    skipEqPaths: Seq[(String, Seq[Int], Long)] = Nil,
+    /** The data file's sequence number — write-time type resolution
+      * through the widening history, exactly like [[MemFilePartition]]. */
+    seq: Long = 0L) extends InputPartition
 

@@ -461,14 +461,19 @@ private[sources] object SnapshotProcedures {
             Array[Any](UTF8String.fromString(p), !dry)): InternalRow).toArray
         }))
       case "rewrite_data_files" => Some(proc("rewrite_data_files",
-        "compact live data to one file per partition (history preserved)",
-        Seq(in("table", StringType)),
+        "compact live data to one file per partition, or about " +
+          "target_file_rows per file when unpartitioned (history preserved; " +
+          "a declared write.sort-order is restored — range-clustered files)",
+        Seq(in("table", StringType),
+          ProcedureParameter.in("target_file_rows", LongType)
+            .defaultValue((1L << 20).toString).build()),
         StructType(Seq(
           StructField("files_before", IntegerType, nullable = false),
           StructField("files_after", IntegerType, nullable = false))),
         r => {
+          val target = if (r.isNullAt(1)) 1L << 20 else r.getLong(1)
           val (b, a) = SnapshotCatalog.compact(SparkSession.active, catalogName,
-            identOf(str(r, 0)))
+            identOf(str(r, 0)), target)
           Array[Any](b, a)
         }))
       case _ => None

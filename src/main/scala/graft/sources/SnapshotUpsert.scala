@@ -98,9 +98,10 @@ object SnapshotUpsert {
           val kw = DataFiles.writer(keyPath, keySchema, conf.value, props)
           var n = 0L
           it.foreach { r => w.write(r); kw.write(keyProj(r)); n += 1 }
-          kw.close()
+          val keyMeta = kw.close()
           Iterator.single((w.commit().asInstanceOf[MemCommitMessage].files,
-            SnapshotStore.DeleteFile(keyPath, "", n, "eq", keyIds)))
+            SnapshotStore.DeleteFile(keyPath, "", n, "eq", keyIds,
+              stats = SnapshotUpsert.keyStats(keyMeta, keyIds))))
         }
       }.collect().toVector
 
@@ -115,11 +116,158 @@ object SnapshotUpsert {
     } finally pinned.unpersist()
   }
 
+  /** Map a key file's name-keyed stats ("k0".."kn", write order) onto the
+    * key FIELD IDS — the delete-file manifest stats range pruning keys on
+    * ([[SnapshotStore.eqApplies]]). */
+  private[sources] def keyStats(meta: DataFiles.FileMeta,
+      keyIds: Seq[Int]): Map[Int, SnapshotStore.ColStats] =
+    meta.stats.flatMap { case (name, cs) =>
+      name.stripPrefix("k").toIntOption.collect {
+        case i if i < keyIds.length => keyIds(i) -> cs
+      }
+    }
+
   /** A `writeStream.foreachBatch` body: epoch-deduped upserts keyed by
     * `sinkId` (pick one stable id per logical sink+checkpoint). */
   def upserter(table: String, keyCols: Seq[String],
       sinkId: String): (DataFrame, Long) => Unit =
     (batch, epochId) => upsertBatch(table, batch, keyCols, sinkId, epochId)
+
+  /** GENERALIZED key-replace: one atomic merge-on-read delta commit that
+    * (a) equality-DELETES every existing row whose key tuple is in
+    * `deleteKeys` ∪ keys(`rows`), and (b) appends `rows` — the maintenance
+    * primitive an incremental view needs ("retract these keys, restate
+    * those"), at append cost: the target is never read. Unlike
+    * [[upsertBatch]], `rows` may carry SEVERAL rows per key (replace-all
+    * semantics, not upsert-one), and `rows` may be empty (pure retraction).
+    * Epoch-guarded exactly like [[upsertBatch]]. */
+  def replaceByKey(table: String, rows: DataFrame, deleteKeys: DataFrame,
+      keyCols: Seq[String], sinkId: String = "", epochId: Long = -1L): Unit = {
+    val parts = table.split('.').toSeq
+    require(parts.length >= 3,
+      s"replaceByKey needs a catalog-qualified table (catalog.db.t), got '$table'")
+    val k = SnapshotStore.keyOf(parts.head, parts.tail)
+    val st = SnapshotStore.stateOf(k)
+    val tableCols = st.schema.fieldNames.toSeq
+    require(rows.columns.toSet == tableCols.toSet,
+      s"replaceByKey rows columns ${rows.columns.mkString("(", ", ", ")")} " +
+        s"must be exactly the table's ${tableCols.mkString("(", ", ", ")")}")
+    require(keyCols.nonEmpty && keyCols.forall(tableCols.contains),
+      s"key columns ${keyCols.mkString(", ")} must be table columns")
+    require(deleteKeys.columns.toSet == keyCols.toSet,
+      s"deleteKeys columns ${deleteKeys.columns.mkString("(", ", ", ")")} " +
+        s"must be exactly the keys ${keyCols.mkString("(", ", ", ")")}")
+    val aligned = rows.select(tableCols.map(col): _*)
+    st.schema.fields.zip(aligned.schema.fields).foreach { case (t, b) =>
+      require(t.dataType == b.dataType,
+        s"column ${t.name}: rows type ${b.dataType} != table type ${t.dataType}")
+    }
+    val keyIds = keyCols.map(c => FieldIds.requireId(st.schema, c))
+    val conf = RowFiles.sessionConf()
+    val props = st.properties
+    val writeSchema = st.schema
+    val writeCols = FieldIds.writeColsFor(st.schema, writeSchema)
+    val partitionCols = st.partitionCols
+    val transforms = st.partitionTransforms
+    val dataDir = st.dataDir
+    val tag = java.util.UUID.randomUUID.toString.take(8)
+    val keySchema = StructType(keyCols.zipWithIndex.map { case (c, i) =>
+      StructField(s"k$i", st.schema(c).dataType, nullable = true)
+    })
+    val keyOrds = keyCols.map(tableCols.indexOf).toArray
+    val ext = DataFiles.extensionOf(DataFiles.formatOf(props))
+
+    // One pass per task over `rows`: data files + that task's key file
+    // (same no-divergence argument as upsertBatch).
+    val results = aligned.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val attempt = java.util.UUID.randomUUID.toString.take(8)
+        val w = MemWriters.writer(writeSchema, partitionCols, dataDir,
+          s"rpl-$tag-p$pid-$attempt", conf.value, props, writeCols, transforms)
+        val keyPath = s"$dataDir/rpl-$tag-eq-p$pid-$attempt$ext"
+        val keyProj = UnsafeProjection.create(
+          keyOrds.toIndexedSeq.map(o =>
+            org.apache.spark.sql.catalyst.expressions.BoundReference(
+              o, writeSchema.fields(o).dataType, nullable = true)))
+        val kw = DataFiles.writer(keyPath, keySchema, conf.value, props)
+        var n = 0L
+        it.foreach { r => w.write(r); kw.write(keyProj(r)); n += 1 }
+        val keyMeta = kw.close()
+        Iterator.single((w.commit().asInstanceOf[MemCommitMessage].files,
+          SnapshotStore.DeleteFile(keyPath, "", n, "eq", keyIds,
+            stats = SnapshotUpsert.keyStats(keyMeta, keyIds))))
+      }
+    }.collect().toVector
+
+    // The retraction keys, as their own equality-delete files.
+    val delAligned = deleteKeys.select(keyCols.map(col): _*)
+      .toDF(keySchema.fieldNames: _*)
+    val extraDeletes = delAligned.queryExecution.toRdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val attempt = java.util.UUID.randomUUID.toString.take(8)
+          val path = s"$dataDir/rpl-$tag-del-p$pid-$attempt$ext"
+          val proj = UnsafeProjection.create(keySchema)
+          val w = DataFiles.writer(path, keySchema, conf.value, props)
+          var n = 0L
+          it.foreach { r => w.write(proj(r)); n += 1 }
+          val meta = w.close()
+          Iterator.single(SnapshotStore.DeleteFile(path, "", n, "eq", keyIds,
+            stats = SnapshotUpsert.keyStats(meta, keyIds)))
+        }
+      }.collect().toVector
+
+    val files = results.flatMap(_._1)
+    val eqFiles = results.map(_._2) ++ extraDeletes
+    if (files.isEmpty && eqFiles.isEmpty) return // nothing to commit
+    if (sinkId.nonEmpty && epochId >= 0L)
+      SnapshotStore.commitEpochDelta(k, sinkId, epochId, files, eqFiles)
+    else
+      SnapshotStore.commitDelta(k, files, eqFiles, expectedBase = None)
+  }
+
+  /** Epoch-guarded TRUNCATE-OVERWRITE of `table` with `batch` — the
+    * exactly-once building block for maintained state a trigger REWRITES
+    * (e.g. an incremental connected-components assignment). A replayed
+    * epoch no-ops via the table's durable per-query watermark and its
+    * already-written files are deleted as orphans, so the pre-epoch
+    * snapshot remains the replay's readable base. */
+  def overwriteEpoch(table: String, batch: DataFrame, sinkId: String,
+      epochId: Long): Unit = {
+    require(sinkId.nonEmpty && epochId >= 0L,
+      "overwriteEpoch needs a sink id and a non-negative epoch")
+    val parts = table.split('.').toSeq
+    require(parts.length >= 3,
+      s"overwrite needs a catalog-qualified table (catalog.db.t), got '$table'")
+    val k = SnapshotStore.keyOf(parts.head, parts.tail)
+    val st = SnapshotStore.stateOf(k)
+    val tableCols = st.schema.fieldNames.toSeq
+    require(batch.columns.toSet == tableCols.toSet,
+      s"batch columns ${batch.columns.mkString("(", ", ", ")")} must be " +
+        s"exactly the table's ${tableCols.mkString("(", ", ", ")")}")
+    val aligned = batch.select(tableCols.map(col): _*)
+    val conf = RowFiles.sessionConf()
+    val props = st.properties
+    val writeSchema = st.schema
+    val writeCols = FieldIds.writeColsFor(st.schema, writeSchema)
+    val partitionCols = st.partitionCols
+    val transforms = st.partitionTransforms
+    val dataDir = st.dataDir
+    val tag = java.util.UUID.randomUUID.toString.take(8)
+    val files = aligned.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val attempt = java.util.UUID.randomUUID.toString.take(8)
+        val w = MemWriters.writer(writeSchema, partitionCols, dataDir,
+          s"ovr-$tag-p$pid-$attempt", conf.value, props, writeCols, transforms)
+        it.foreach(w.write)
+        Iterator.single(w.commit().asInstanceOf[MemCommitMessage].files)
+      }
+    }.collect().flatten.toVector
+    SnapshotStore.commitEpochReplace(k, sinkId, epochId, files)
+  }
 
   /** Epoch-guarded plain APPEND of `batch` into `table` — the exactly-once
     * building block a `foreachBatch` body needs when it maintains a table

@@ -276,4 +276,57 @@ class EqualityDeleteSuite extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $t WHERE id = 9")
       .collect().head.getLong(0) === 0L)
   }
+
+  test("KEY-RANGE stats prune probing: a narrow upsert's delete attaches " +
+      "to 1 of N disjoint files on the read path AND in the feed") {
+    val t = fresh("prune")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, name STRING, score DOUBLE)")
+    // Three files with DISJOINT id ranges (separate commits → one file each
+    // per value run; 1 row per insert keeps it one file).
+    spark.sql(s"INSERT INTO $t VALUES (1, 'lo', 1.0), (9, 'lo', 1.5)")
+    spark.sql(s"INSERT INTO $t VALUES (100, 'mid', 2.0), (190, 'mid', 2.5)")
+    spark.sql(s"INSERT INTO $t VALUES (1000, 'hi', 3.0), (1900, 'hi', 3.5)")
+    val preFiles = SnapshotStore.stateOf(keyOf("prune")).currentFiles.size
+    // Single-row files (parallel insert tasks) — the upsert key overlaps
+    // exactly the file holding id=100.
+    SnapshotUpsert.upsertBatch(t, batchDf((100L, "MID", 20.0)), Seq("id"))
+    val st = SnapshotStore.stateOf(keyOf("prune"))
+    val eq = SnapshotStore.eqDeletes(st.currentDeletes)
+    assert(eq.size === 1 && eq.head.stats.nonEmpty,
+      s"upsert must record key bounds: $eq")
+    // Read path: only files whose id range covers 150 carry the probe.
+    val parts = ScanSplits.partitions(st.currentFiles,
+      SnapshotStore.deleteMap(st.currentDeletes), Long.MaxValue, eq,
+      SnapshotStore.idTypes(st.schema))
+    val probed = parts.collect {
+      case p: MemFilePartition if p.eqDeletePaths.nonEmpty => p.path }
+    assert(probed.length === 1,
+      s"expected 1 of $preFiles older files probed, got ${probed.length}")
+    // Feed reconstruction: the upsert commit's DELETE rows are rebuilt by
+    // probing ONLY that file too.
+    val sn = st.snapshots.last
+    val delParts = ChangeLog.changePartitions(st, sn, t)
+      .filter(p => p.changeType == "DELETE")
+    assert(delParts.map(_.path).distinct === probed.toSeq,
+      s"feed must probe exactly the overlapping file: $delParts")
+    // And the answers stay exact.
+    assert(spark.sql(s"SELECT name FROM $t WHERE id = 100").collect()
+      .map(_.getString(0)).toSeq === Seq("MID"))
+    val changes = spark.read.option("startingVersion", sn.version)
+      .option("endingVersion", sn.version).table(s"$t.changes")
+      .selectExpr("id", "_change_type").orderBy("id", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(changes === Seq((100L, "DELETE"), (100L, "INSERT")))
+    // Pruning survives the metadata log (stats round-trip).
+    SnapshotStore.tables.clear()
+    val st2 = SnapshotStore.stateOf(keyOf("prune"))
+    val eq2 = SnapshotStore.eqDeletes(st2.currentDeletes)
+    assert(eq2.head.stats.nonEmpty, "delete-file stats must survive restart")
+    val parts2 = ScanSplits.partitions(st2.currentFiles,
+      SnapshotStore.deleteMap(st2.currentDeletes), Long.MaxValue, eq2,
+      SnapshotStore.idTypes(st2.schema))
+    assert(parts2.collect {
+      case p: MemFilePartition if p.eqDeletePaths.nonEmpty => p.path
+    }.length === 1)
+  }
 }

@@ -302,13 +302,13 @@ class FileSnapshotCowSuite extends AnyFunSuite {
       Array(Row(9.9)))
     // Unsupported evolutions fail loudly instead of corrupting layouts:
     // a PARTITION column cannot drop (its values are file identity), and
-    // type changes stay rejected (SchemaEvolutionSuite covers the
-    // supported rename/drop paths over field ids).
+    // non-widening retypes stay rejected (TypeWideningSuite covers the
+    // safe promotions; SchemaEvolutionSuite the rename/drop paths).
     val e = intercept[Exception](spark.sql(s"ALTER TABLE $t DROP COLUMN region"))
     assert(e.getMessage.contains("partition column"), e.getMessage)
     val e2 = intercept[Exception](
       spark.sql(s"ALTER TABLE $t ALTER COLUMN score TYPE STRING"))
-    assert(e2.getMessage.contains("not supported"), e2.getMessage)
+    assert(e2.getMessage.contains("WIDENING"), e2.getMessage)
     // Table properties evolve through the same path.
     spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('write.distribution-mode'='hash')")
     val k = SnapshotStore.keyOf(cat, Seq("cow", "evo"))
@@ -316,11 +316,12 @@ class FileSnapshotCowSuite extends AnyFunSuite {
       .get("write.distribution-mode") === Some("hash"))
   }
 
-  test("non-identity partition transforms are rejected loudly") {
+  test("unknown partition transforms are rejected loudly (the supported " +
+      "days/hours/months/years/bucket/truncate live in PartitionTransformSuite)") {
     val t = fresh("badpt")
     val e = intercept[Exception](
-      spark.sql(s"CREATE TABLE $t (id BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))"))
-    assert(e.getMessage.contains("identity"), e.getMessage)
+      spark.sql(s"CREATE TABLE $t (id BIGINT, ts TIMESTAMP) PARTITIONED BY (foo(ts))"))
+    assert(e.getMessage.toLowerCase.contains("transform"), e.getMessage)
   }
 
   test("the reference's Iceberg-dialect DDL executes against this catalog: " +

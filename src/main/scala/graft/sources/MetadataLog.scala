@@ -195,7 +195,7 @@ private[sources] object MetadataLog {
       FieldIds.idOf(f).map(_ -> f.dataType)).toMap,
     FieldIds.idsByName(schema))
 
-  private def fileEntryJson(dataDir: String, pvTypes: Seq[DataType],
+  private def fileEntryJson(dataDir: String, specTypes: Map[Int, Seq[DataType]],
       ctx: ColCtx, f: DataFile): JValue = {
     // Stats are keyed by FIELD ID (stable across renames); an id the
     // current schema no longer types (dropped column) is unserializable —
@@ -214,10 +214,14 @@ private[sources] object MetadataLog {
           pvToJson(dt, TypeWidening.coerce(dt, s.max)),
           JLong(s.nulls))): JValue)
     })
+    // Partition values are typed by the file's OWN spec (spec evolution).
+    val pvT = specTypes.getOrElse(f.specId,
+      throw new IllegalStateException(
+        s"file ${f.path} carries unknown partition spec id ${f.specId}"))
     JArray(List(
       JString(rel(dataDir, f.path)),
       JLong(f.rowCount),
-      JArray(pvTypes.zip(f.partitionValues)
+      JArray(pvT.zip(f.partitionValues)
         .map { case (t, v) => pvToJson(t, v) }.toList),
       statsJson,
       JLong(f.sizeBytes),
@@ -225,7 +229,8 @@ private[sources] object MetadataLog {
         JArray(List(JLong(r), JLong(b))) }),
       JLong(f.seq),
       JArray(f.writeCols.toList.map { case (id, n) =>
-        JArray(List(JLong(id.toLong), JString(n))) })))
+        JArray(List(JLong(id.toLong), JString(n))) }),
+      JLong(f.specId.toLong)))
   }
 
   /** Parse one manifest file entry — shared by the driver-side state load
@@ -233,7 +238,8 @@ private[sources] object MetadataLog {
     * manifests keyed stats by column NAME; those resolve through the
     * current name → id map (a name no longer present conservatively drops
     * its stats). */
-  private[sources] def fileEntryFromJson(dataDir: String, pvTypes: Seq[DataType],
+  private[sources] def fileEntryFromJson(dataDir: String,
+      specTypes: Map[Int, Seq[DataType]],
       ctx: ColCtx, e: JValue): DataFile = {
     val es = jArr(e)
     val stats =
@@ -263,13 +269,17 @@ private[sources] object MetadataLog {
         val ws = jArr(wc); (jInt(ws.head), jStr(ws(1)))
       }.toVector
       else Vector.empty[(Int, String)]
-    DataFile(abs(dataDir, jStr(es.head)), jArr(es(2)).zip(pvTypes)
+    val specId = if (es.length > 8) jInt(es(8)) else 0
+    val pvT = specTypes.getOrElse(specId,
+      throw new IllegalStateException(
+        s"manifest entry carries unknown partition spec id $specId"))
+    DataFile(abs(dataDir, jStr(es.head)), jArr(es(2)).zip(pvT)
       .map { case (v, t) => pvFromJson(t, v) }.toVector, jLong(es(1)), stats,
-      sizeBytes, splits, seq, writeCols)
+      sizeBytes, splits, seq, writeCols, specId)
   }
 
   private def writeManifest(dataDir: String, sn: Snapshot,
-      pvTypes: Seq[DataType], ctx: ColCtx,
+      specTypes: Map[Int, Seq[DataType]], ctx: ColCtx,
       chunkEntries: Int): (String, Seq[Path]) = {
     val stem =
       s"metadata/manifest-v${sn.version}-${UUID.randomUUID.toString.take(8)}"
@@ -292,7 +302,7 @@ private[sources] object MetadataLog {
             pvToJson(dt, TypeWidening.coerce(dt, cs.max)),
             JLong(cs.nulls))): JValue)
       })))))
-    def entry(f: DataFile) = fileEntryJson(dataDir, pvTypes, ctx, f)
+    def entry(f: DataFile) = fileEntryJson(dataDir, specTypes, ctx, f)
     val written = Seq.newBuilder[Path]
     val json =
       if (sn.files.size <= chunkEntries)
@@ -300,21 +310,50 @@ private[sources] object MetadataLog {
           "files" -> JArray(sn.files.toList.map(entry)),
           "deletes" -> deletesJson)
       else {
-        // CHUNKED: the index manifest lists chunk names; each chunk holds a
-        // slice of the file inventory. Chunk files are written before the
-        // index, so a reader never observes a dangling reference.
-        val chunkNames = sn.files.grouped(chunkEntries).zipWithIndex.map {
-          case (slice, i) =>
-            val cn = s"$stem-c$i.json"
-            val p = new Path(dataDir, cn)
-            writeFile(p, JsonMethods.compact(JsonMethods.render(
-              JObject("files" -> JArray(slice.toList.map(entry)))))
-              .getBytes(UTF_8))
-            written += p
-            cn
-        }.toList
+        // CHUNKED: the index manifest lists chunk entries; each chunk holds
+        // a slice of the file inventory. Chunk files are written before the
+        // index, so a reader never observes a dangling reference. Slices
+        // are grouped PER PARTITION SPEC and each index entry records the
+        // chunk's spec id plus per-position partition-value RANGES
+        // [min, max, nullState 0|1|2] — Iceberg's manifest-list partition
+        // summaries: scan planning skips whole chunks a partition
+        // predicate cannot match without reading them.
+        var ci = -1
+        val chunkEntriesJson = sn.files.groupBy(_.specId).toList
+          .sortBy(_._1).flatMap { case (specId, ofSpec) =>
+            val pvT = specTypes.getOrElse(specId, Seq.empty)
+            ofSpec.grouped(chunkEntries).map { slice =>
+              ci += 1
+              val cn = s"$stem-c$ci.json"
+              val p = new Path(dataDir, cn)
+              writeFile(p, JsonMethods.compact(JsonMethods.render(
+                JObject("files" -> JArray(slice.toList.map(entry)))))
+                .getBytes(UTF_8))
+              written += p
+              val ranges: JValue = JArray(pvT.zipWithIndex.toList.map {
+                case (dt, pos) =>
+                  val vs = slice.map(_.partitionValues(pos))
+                  val nonNull = vs.filter(_ != null)
+                  val nullState =
+                    if (nonNull.size == vs.size) 0L
+                    else if (nonNull.isEmpty) 2L else 1L
+                  if (nonNull.isEmpty)
+                    JArray(List(JNull, JNull, JLong(nullState)))
+                  else {
+                    val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+                      .getInterpretedOrdering(dt)
+                    JArray(List(
+                      pvToJson(dt, nonNull.min(ord)),
+                      pvToJson(dt, nonNull.max(ord)),
+                      JLong(nullState)))
+                  }
+              })
+              JObject("n" -> JString(cn), "s" -> JLong(specId.toLong),
+                "r" -> ranges): JValue
+            }
+          }
         JObject(
-          "chunks" -> JArray(chunkNames.map(JString(_))),
+          "chunks" -> JArray(chunkEntriesJson),
           "deletes" -> deletesJson)
       }
     val p = new Path(dataDir, name)
@@ -323,22 +362,63 @@ private[sources] object MetadataLog {
     (name, written.result())
   }
 
+  /** One chunk of a chunked index manifest: its file name, the partition
+    * spec its files share, and per-position partition-value ranges
+    * `(min, max, nullState)` with nullState 0=no nulls, 1=some, 2=all —
+    * the summary scan planning skips chunks on. Legacy string entries
+    * parse with no summary (never skipped). */
+  final case class ChunkEntry(name: String, specId: Int,
+      ranges: Seq[(Any, Any, Long)])
+
+  private def chunkEntryFromJson(specTypes: Map[Int, Seq[DataType]],
+      e: JValue): ChunkEntry = e match {
+    case JString(n) => ChunkEntry(n, 0, Nil) // legacy: names only
+    case obj =>
+      val specId = jInt(field(obj, "s"))
+      val pvT = specTypes.getOrElse(specId, Seq.empty)
+      val ranges = jArr(field(obj, "r")).zip(pvT).map { case (r, dt) =>
+        val rs = jArr(r)
+        (pvFromJson(dt, rs.head), pvFromJson(dt, rs(1)), jLong(rs(2)))
+      }
+      ChunkEntry(jStr(field(obj, "n")), specId, ranges)
+  }
+
   /** The chunk names (relative) of `name` if it is a chunked index
     * manifest; None for a plain single-file manifest. */
   def manifestChunks(dataDir: String, name: String): Option[Vector[String]] = {
     val j = JsonMethods.parse(readFully(new Path(dataDir, name)))
-    fieldOpt(j, "chunks").map(c => jArr(c).map(jStr).toVector)
+    fieldOpt(j, "chunks").map(c => jArr(c).map {
+      case JString(n) => n
+      case obj => jStr(field(obj, "n"))
+    }.toVector)
   }
+
+  /** The chunk index WITH partition summaries plus the manifest's delete
+    * files — everything chunk-skipping scan planning needs WITHOUT
+    * touching a single chunk. None for unchunked manifests. */
+  def chunkIndex(dataDir: String, name: String,
+      specTypes: Map[Int, Seq[DataType]], ctx: ColCtx):
+      Option[(Vector[ChunkEntry], Vector[DeleteFile])] = {
+    val j = JsonMethods.parse(readFully(new Path(dataDir, name)))
+    fieldOpt(j, "chunks").map { c =>
+      (jArr(c).map(chunkEntryFromJson(specTypes, _)).toVector,
+        deletesFromJson(dataDir, ctx, j))
+    }
+  }
+
+  /** Chunk loads since JVM start — the observable for chunk-skip tests. */
+  val chunkLoads = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Read one CHUNK's file entries — the executor-side body of the
     * distributed `.files` metadata scan. */
   def readChunkFiles(dataDir: String, chunkName: String,
-      pvTypes: Seq[DataType], ctx: ColCtx,
+      specTypes: Map[Int, Seq[DataType]], ctx: ColCtx,
       conf: org.apache.hadoop.conf.Configuration): Vector[DataFile] = {
+    chunkLoads.incrementAndGet()
     val p = new Path(dataDir, chunkName)
     val j = JsonMethods.parse(readFullyWith(p, conf))
     jArr(field(j, "files"))
-      .map(fileEntryFromJson(dataDir, pvTypes, ctx, _)).toVector
+      .map(fileEntryFromJson(dataDir, specTypes, ctx, _)).toVector
   }
 
   /** A deferred manifest read: everything needed to materialize one
@@ -347,24 +427,36 @@ private[sources] object MetadataLog {
     * (`ctx` is the snapshot's OWN column context, so stats resolve exactly
     * as an eager load would). */
   private[sources] final case class ManifestRef(dataDir: String, name: String,
-      pvTypes: Seq[DataType], ctx: ColCtx) {
+      specTypes: Map[Int, Seq[DataType]], ctx: ColCtx) {
     def load(): (Vector[DataFile], Vector[DeleteFile]) =
-      readManifest(dataDir, name, pvTypes, ctx)
+      readManifest(dataDir, name, specTypes, ctx)
   }
 
   private def readManifest(dataDir: String, name: String,
-      pvTypes: Seq[DataType],
+      specTypes: Map[Int, Seq[DataType]],
       ctx: ColCtx): (Vector[DataFile], Vector[DeleteFile]) = {
     val j = JsonMethods.parse(readFully(new Path(dataDir, name)))
     val entries = fieldOpt(j, "chunks") match {
       case None => jArr(field(j, "files"))
-      case Some(chunks) => jArr(chunks).flatMap(c =>
+      case Some(chunks) => jArr(chunks).flatMap { c =>
+        // Entries are objects (name + partition summary) since chunk
+        // summaries landed; bare strings are the legacy form.
+        val cn = c match {
+          case JString(n) => n
+          case obj => jStr(field(obj, "n"))
+        }
         jArr(field(JsonMethods.parse(
-          readFully(new Path(dataDir, jStr(c)))), "files")))
+          readFully(new Path(dataDir, cn))), "files"))
+      }
     }
     val files =
-      entries.map(fileEntryFromJson(dataDir, pvTypes, ctx, _)).toVector
-    val deletes = jArr(field(j, "deletes")).map { e =>
+      entries.map(fileEntryFromJson(dataDir, specTypes, ctx, _)).toVector
+    (files, deletesFromJson(dataDir, ctx, j))
+  }
+
+  private def deletesFromJson(dataDir: String, ctx: ColCtx,
+      j: JValue): Vector[DeleteFile] =
+    jArr(field(j, "deletes")).map { e =>
       val es = jArr(e)
       val dataRel = jStr(es(1))
       DeleteFile(abs(dataDir, jStr(es.head)),
@@ -385,8 +477,6 @@ private[sources] object MetadataLog {
           }.toMap
           else Map.empty)
     }.toVector
-    (files, deletes)
-  }
 
   // -- table metadata ----------------------------------------------------------
 
@@ -408,7 +498,7 @@ private[sources] object MetadataLog {
       "seqs" -> JBool(sn.seqsKnown))
   }
 
-  private def snapFromJson(dataDir: String, pvTypes: Seq[DataType],
+  private def snapFromJson(dataDir: String, specTypes: Map[Int, Seq[DataType]],
       tableCtx: ColCtx, j: JValue): Snapshot = {
     val manifest = jStr(field(j, "manifest"))
     // A pre-field-id snapshot schema migrates POSITIONALLY — sound because
@@ -434,12 +524,12 @@ private[sources] object MetadataLog {
         schema = schema,
         operation = jStr(field(j, "op")),
         manifestPath = manifest,
-        loader = ManifestRef(dataDir, manifest, pvTypes, ctx))
+        loader = ManifestRef(dataDir, manifest, specTypes, ctx))
     else {
       // EAGER: unflagged summary (legacy metadata) — entries may predate
       // sequence tracking and need the global reconstruction in
       // [[assignLegacySeqs]], which must see them materialized.
-      val (files, deletes) = readManifest(dataDir, manifest, pvTypes, ctx)
+      val (files, deletes) = readManifest(dataDir, manifest, specTypes, ctx)
       Snapshot(jLong(field(j, "v")), jLong(field(j, "ts")), files,
         appendedFiles = jInt(field(j, "appended")),
         schema = schema,
@@ -461,6 +551,14 @@ private[sources] object MetadataLog {
       // metadata = all identity.
       "partitionTransforms" -> JArray(
         st.transformsOrIdentity.toList.map(t => JString(t.name))),
+      "currentSpecId" -> JLong(st.currentSpecId.toLong),
+      // Retired partition specs by id: [(source col, transform wire name,
+      // pv type json)] — self-contained so later schema changes to a
+      // retired spec's source column never orphan old files' values.
+      "specHistory" -> JObject(st.specHistory.toList.map { case (id, fs) =>
+        id.toString -> (JArray(fs.toList.map { case (c, t, dt) =>
+          JArray(List(JString(c), JString(t), JString(dt))) }): JValue)
+      }),
       // Type-widening history: field id -> ascending [(throughSeq,
       // oldType.json)] — how readers resolve a file's WRITE-TIME types.
       // Absent in legacy metadata = never widened.
@@ -500,6 +598,18 @@ private[sources] object MetadataLog {
     // Manifests carry TRANSFORMED partition values — decode in their types.
     val pvTypes = partitionCols.zip(transforms)
       .map { case (c, t) => t.resultType(schema(c).dataType) }
+    val currentSpecId = fieldOpt(j, "currentSpecId").map(jInt).getOrElse(0)
+    val specHistory: Map[Int, Seq[(String, String, String)]] =
+      fieldOpt(j, "specHistory").map(sh =>
+        jObj(sh).map { case (id, fs) =>
+          id.toInt -> jArr(fs).map { f =>
+            val es = jArr(f); (jStr(es.head), jStr(es(1)), jStr(es(2)))
+          }
+        }.toMap).getOrElse(Map.empty)
+    val specTypes: Map[Int, Seq[DataType]] =
+      specHistory.map { case (id, fs) =>
+        id -> fs.map(f => DataType.fromJson(f._3))
+      } + (currentSpecId -> pvTypes)
     val ctx = colCtxOf(schema)
     val st = TableState(
       schema = schema,
@@ -508,7 +618,7 @@ private[sources] object MetadataLog {
       properties = jObj(field(j, "properties")).map {
         case (k, v) => k -> jStr(v) }.toMap,
       snapshots = jArr(field(j, "snapshots"))
-        .map(snapFromJson(dataDir, pvTypes, ctx, _)).toVector,
+        .map(snapFromJson(dataDir, specTypes, ctx, _)).toVector,
       tags = jObj(field(j, "tags")).map { case (n, v) => n -> jLong(v) }.toMap,
       epochs = scala.collection.immutable.ListMap(
         jArr(field(j, "epochs")).map { e =>
@@ -517,12 +627,14 @@ private[sources] object MetadataLog {
       branches = jObj(field(j, "branches")).map { case (n, b) =>
         n -> Branch(jLong(field(b, "base")),
           jArr(field(b, "snapshots"))
-            .map(snapFromJson(dataDir, pvTypes, ctx, _)).toVector)
+            .map(snapFromJson(dataDir, specTypes, ctx, _)).toVector)
       }.toMap,
       metaVersion = metaVersion,
       lastFieldId = lastFieldId,
       tableId = fieldOpt(j, "tableId").map(jStr).getOrElse(""),
       partitionTransforms = transforms,
+      currentSpecId = currentSpecId,
+      specHistory = specHistory,
       typeHistory = fieldOpt(j, "typeHistory").map(th =>
         jObj(th).map { case (id, hist) =>
           id.toInt -> jArr(hist).map { e =>
@@ -575,7 +687,7 @@ private[sources] object MetadataLog {
     * commit number; the caller reloads and retries its transition. */
   def tryCommit(before: TableState, after: TableState): Option[TableState] = {
     val dataDir = after.dataDir
-    val pvTypes = after.partitionValueTypes
+    val specTypes = after.specTypesMap
     val tableCtx = colCtxOf(after.schema)
     val chunkEntries = chunkEntriesOf(after.properties)
     val written = scala.collection.mutable.ArrayBuffer.empty[Path]
@@ -585,7 +697,7 @@ private[sources] object MetadataLog {
         // Serialize under the SNAPSHOT's own schema: stats ids/types must
         // match what that version's readers resolve against.
         val ctx = if (sn.schema == null) tableCtx else colCtxOf(sn.schema)
-        val (name, ps) = writeManifest(dataDir, sn, pvTypes, ctx, chunkEntries)
+        val (name, ps) = writeManifest(dataDir, sn, specTypes, ctx, chunkEntries)
         written ++= ps
         sn.copy(manifestPath = name)
       }

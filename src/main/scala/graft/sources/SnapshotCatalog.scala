@@ -796,6 +796,89 @@ object SnapshotCatalog {
     orphans
   }
 
+  /** PARTITION-SPEC EVOLUTION (Iceberg's per-file specs): re-partition the
+    * TABLE without touching a single data file. The current spec retires
+    * into [[SnapshotStore.TableState.specHistory]] under its id (with its
+    * partition-value types stored SELF-CONTAINED, so later renames/drops of
+    * its source columns never orphan old files' values); new writes land
+    * under the new spec; scans prune every file through ITS OWN spec.
+    * `spec` is a comma list of `col`, `days|hours|months|years(col)`,
+    * `bucket(n, col)`, `truncate(w, col)`; empty = unpartitioned.
+    * Compaction rewrites everything under the current spec, which is how a
+    * table eventually converges to one spec. Exposed as
+    * `CALL <catalog>.system.evolve_partition_spec(table, spec)`. */
+  def evolvePartitionSpec(catalog: String, ident: Seq[String],
+      spec: String): Int = {
+    val k = SnapshotStore.keyOf(catalog, ident)
+    val parsed = parseSpecString(spec)
+    SnapshotStore.update(k) { st =>
+      parsed.foreach { case (c, t) =>
+        require(st.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"partition column $c is not in the table schema")
+        require(t.accepts(st.schema(st.schema.fieldNames
+            .find(_.equalsIgnoreCase(c)).get).dataType),
+          s"partition transform ${t.name} does not accept column $c's type")
+      }
+      require(parsed.map(_._1.toLowerCase).distinct.length == parsed.length,
+        "duplicate partition source column — one transform per source column")
+      if (parsed.map(_._1) == st.partitionCols &&
+          parsed.map(_._2) == st.transformsOrIdentity) st // no-op re-spec
+      else {
+        val retired = st.partitionCols.zip(st.transformsOrIdentity)
+          .zip(st.partitionValueTypes)
+          .map { case ((c, t), dt) => (c, t.name, dt.json) }
+        st.copy(
+          partitionCols = parsed.map(_._1),
+          partitionTransforms = parsed.map(_._2),
+          currentSpecId = st.currentSpecId + 1,
+          specHistory = st.specHistory + (st.currentSpecId -> retired))
+      }
+    }
+    SnapshotStore.stateOf(k).currentSpecId
+  }
+
+  /** Parse "days(ts), bucket(8, id), region" into (source col, transform)
+    * pairs — the procedure-argument form of CREATE's PARTITIONED BY. */
+  private[sources] def parseSpecString(spec: String): Seq[(String, PTransform)] =
+    spec.trim match {
+      case "" => Nil
+      case str =>
+        // Split at TOP-LEVEL commas only — "bucket(4, id)" is one item.
+        val items = Seq.newBuilder[String]
+        var depth = 0
+        var start = 0
+        str.zipWithIndex.foreach { case (ch, i) =>
+          ch match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case ',' if depth == 0 =>
+              items += str.substring(start, i); start = i + 1
+            case _ => ()
+          }
+        }
+        items += str.substring(start)
+        items.result().map(_.trim).map { item =>
+        val m = java.util.regex.Pattern
+          .compile("(?i)^(days|hours|months|years)\\(\\s*([\\w.]+)\\s*\\)$")
+          .matcher(item)
+        val mb = java.util.regex.Pattern
+          .compile("(?i)^(bucket|truncate)\\(\\s*(\\d+)\\s*,\\s*([\\w.]+)\\s*\\)$")
+          .matcher(item)
+        if (m.matches())
+          (m.group(2), PTransform.fromName(m.group(1).toLowerCase))
+        else if (mb.matches()) {
+          val n = mb.group(2).toInt
+          (mb.group(3), PTransform.fromName(
+            s"${mb.group(1).toLowerCase}[$n]"))
+        } else {
+          require(item.matches("[\\w.]+"),
+            s"cannot parse partition spec item '$item' — expected col, " +
+              "days|hours|months|years(col), bucket(n, col), or truncate(w, col)")
+          (item, PIdentity)
+        }
+      }
+    }
+
   /** Small-file compaction (Iceberg's `rewrite_data_files`): every commit
     * adds its own file set, so a hot table degrades into many small files —
     * scan-task explosion, the #1 operational failure of file-backed
@@ -899,7 +982,12 @@ private[graft] object SnapshotStore {
         * this catalog's equivalent). Empty = legacy file: resolved
         * positionally against the scan schema, valid only while the
         * schema evolved append-only. */
-      writeCols: Vector[(Int, String)] = Vector.empty)
+      writeCols: Vector[(Int, String)] = Vector.empty,
+      /** The PARTITION SPEC this file was written under (Iceberg's
+        * per-file spec id): `partitionValues` are shaped/typed by that
+        * spec, and pruning consults it — never the current spec — for
+        * this file. 0 = the original spec. */
+      specId: Int = 0)
 
   /** One column's per-file stats. `min`/`max` are Catalyst-internal values
     * of the column's type over the file's NON-NULL rows; both null with
@@ -911,6 +999,40 @@ private[graft] object SnapshotStore {
   def idTypes(schema: StructType): Map[Int, DataType] =
     schema.fields.iterator.flatMap(f =>
       FieldIds.idOf(f).map(_ -> f.dataType)).toMap
+
+  /** Per-SPEC pruning contexts: identity-column maps for every spec
+    * (current + retired), transform fields for the CURRENT spec only —
+    * a retired spec's transform may have been computed under a since-
+    * evolved source type, so its files prune via identity values alone
+    * (sound: pruning is best-effort, predicates stay residual). Retired
+    * identity entries carry the STORED value type; a predicate typed
+    * differently (source column later widened) simply fails the
+    * evaluability gate and keeps the file. */
+  def specPruningOf(st: TableState):
+      Map[Int, (PartitionPredicates.PartCols, Seq[TransformPruning.TField])] =
+    (st.specHistory.keySet + st.currentSpecId).iterator.map { id =>
+      val (cols, tfs, pvT) = st.specOf(id)
+      val pc: PartitionPredicates.PartCols =
+        cols.zip(tfs).zipWithIndex.collect {
+          case ((c, t), i) if t.isIdentity => c.toLowerCase -> (i, pvT(i))
+        }.toMap
+      val tf =
+        if (id == st.currentSpecId)
+          TransformPruning.fieldsOf(cols, tfs, st.schema)
+        else Nil
+      id -> (pc, tf)
+    }.toMap
+
+  /** Identity-position maps per spec for CHUNK-summary pruning: column
+    * name → (partition POSITION, value type) — the StatCols shape, so
+    * chunk ranges prune through [[StatsPredicates]] verbatim. */
+  def specIdentCols(st: TableState): Map[Int, Map[String, (Int, DataType)]] =
+    (st.specHistory.keySet + st.currentSpecId).iterator.map { id =>
+      val (cols, tfs, pvT) = st.specOf(id)
+      id -> cols.zip(tfs).zipWithIndex.collect {
+        case ((c, t), i) if t.isIdentity => c.toLowerCase -> (i, pvT(i))
+      }.toMap
+    }.toMap
 
   /** Does equality-delete `d` possibly apply to data file `f`? Sequence
     * rule first (a delete hits strictly OLDER files); then KEY-RANGE
@@ -1043,6 +1165,24 @@ private[graft] object SnapshotStore {
     def deleteFiles: Vector[DeleteFile] =
       if (deletesIn != null) deletesIn else loaded._2
 
+    /** Chunk-level planning handle: the chunk index (names + per-chunk
+      * partition summaries) plus the manifest's delete files and a
+      * per-chunk loader — WITHOUT forcing the full inventory. None when
+      * the snapshot is eager, already resident (cache beats re-reading
+      * chunks), or its manifest is unchunked. */
+    def chunkSource(): Option[(Vector[MetadataLog.ChunkEntry],
+        Vector[DeleteFile], String => Vector[DataFile])] = {
+      if (loader == null || manifestPath == null) return None
+      val c = if (cached == null) null else cached.get()
+      if (c != null) return None
+      MetadataLog.chunkIndex(loader.dataDir, loader.name,
+        loader.specTypes, loader.ctx).map { case (idx, dels) =>
+        (idx, dels, (n: String) => MetadataLog.readChunkFiles(
+          loader.dataDir, n, loader.specTypes, loader.ctx,
+          RowFiles.sessionConf().value))
+      }
+    }
+
     /** File entries currently resident on the driver for THIS snapshot —
       * the probe surface for the lazy-residency contract (never forces a
       * load). */
@@ -1151,6 +1291,16 @@ private[graft] object SnapshotStore {
         * can detect the swap instead of resuming against a stranger's
         * history. Empty = legacy metadata predating the field. */
       tableId: String = "",
+      /** PARTITION-SPEC EVOLUTION (Iceberg's per-file spec ids): the id of
+        * the CURRENT spec (`partitionCols` + `partitionTransforms`), bumped
+        * by `evolve_partition_spec`. Data files record the spec they were
+        * written under; scans prune each file through ITS OWN spec. */
+      currentSpecId: Int = 0,
+      /** RETIRED specs by id: per field `(source column name, transform
+        * wire name, partition-value type json)` — self-contained (the
+        * result type is stored, not derived) so a later rename/drop of a
+        * retired spec's source column never orphans old files' values. */
+      specHistory: Map[Int, Seq[(String, String, String)]] = Map.empty,
       /** TYPE-WIDENING history per FIELD ID (Iceberg's safe promotions:
         * int→long, float→double, decimal precision-up). Each entry
         * `(throughSeq, oldType)` says "data files with seq <= throughSeq
@@ -1179,6 +1329,30 @@ private[graft] object SnapshotStore {
     def partitionValueTypes: Seq[DataType] =
       partitionCols.zip(transformsOrIdentity)
         .map { case (c, t) => t.resultType(schema(c).dataType) }
+    /** Partition-value types per spec id — the manifest codec's context. */
+    def specTypesMap: Map[Int, Seq[DataType]] =
+      specHistory.map { case (id, fs) =>
+        id -> fs.map(f => DataType.fromJson(f._3))
+      } + (currentSpecId -> partitionValueTypes)
+    /** Partition labels ("ts_day", "id_bucket") per spec id. */
+    def specLabelsMap: Map[Int, Seq[String]] =
+      specHistory.map { case (id, fs) =>
+        id -> fs.map(f => PTransform.fromName(f._2).label(f._1))
+      } + (currentSpecId -> partitionLabels)
+    /** A retired or current spec's (cols, transforms, pv types). */
+    def specOf(id: Int): (Seq[String], Seq[PTransform], Seq[DataType]) =
+      if (id == currentSpecId)
+        (partitionCols, transformsOrIdentity, partitionValueTypes)
+      else {
+        val h = specHistory.getOrElse(id, throw new IllegalStateException(
+          s"unknown partition spec id $id (current $currentSpecId, " +
+            s"retired ${specHistory.keys.toSeq.sorted.mkString(", ")})"))
+        (h.map(_._1), h.map(f => PTransform.fromName(f._2)),
+          h.map(f => DataType.fromJson(f._3)))
+      }
+    /** Every spec id live in CURRENT files (plus the current spec). */
+    def liveSpecIds: Set[Int] =
+      currentFiles.iterator.map(_.specId).toSet + currentSpecId
     /** The type field `id` had when a file of data sequence number `seq`
       * was written: the oldType of the first widening whose watermark
       * covers `seq`, else the live type. Legacy files (`seq = 0`) resolve
@@ -1320,7 +1494,7 @@ private[graft] object SnapshotStore {
           else st.epochs
         st.copy(
           snapshots = st.snapshots :+ Snapshot(st.nextVersion, nowMicros(),
-            st.currentFiles ++ newFiles.map(_.copy(seq = st.nextVersion)),
+            st.currentFiles ++ newFiles.map(_.copy(seq = st.nextVersion, specId = st.currentSpecId)),
             appendedFiles = -1, schema = st.schema,
             deleteFiles = st.currentDeletes ++
               newDeletes.map(_.copy(seq = st.nextVersion)),
@@ -1395,7 +1569,7 @@ private[graft] object SnapshotStore {
       // Stamp the new files' data sequence number with the version they
       // land in (carried files keep theirs): the ordering equality deletes
       // and write-schema resolution key on.
-      val stamped = newFiles.map(_.copy(seq = st.nextVersion))
+      val stamped = newFiles.map(_.copy(seq = st.nextVersion, specId = st.currentSpecId))
       val files =
         if (!replace) st.currentFiles ++ stamped
         else replacedSelector match {
@@ -1446,7 +1620,7 @@ private[graft] object SnapshotStore {
           s"delta commit on ${dotted(k)} deletes positions of unknown data " +
             s"file ${d.dataPath}"))
       st.copy(snapshots = st.snapshots :+ Snapshot(st.nextVersion, nowMicros(),
-        st.currentFiles ++ newFiles.map(_.copy(seq = st.nextVersion)),
+        st.currentFiles ++ newFiles.map(_.copy(seq = st.nextVersion, specId = st.currentSpecId)),
         appendedFiles = -1, schema = st.schema,
         deleteFiles = st.currentDeletes ++
           newDeletes.map(_.copy(seq = st.nextVersion)),
@@ -1466,7 +1640,7 @@ private[graft] object SnapshotStore {
       val (headFiles, headDeletes) = br.head(st)
       val version = br.base + br.snapshots.size + 1
       val next = Snapshot(version, nowMicros(),
-        headFiles ++ newFiles.map(_.copy(seq = version)),
+        headFiles ++ newFiles.map(_.copy(seq = version, specId = st.currentSpecId)),
         appendedFiles = newFiles.size,
         schema = st.schema, deleteFiles = headDeletes, operation = "append")
       st.copy(branches = st.branches.updated(name,
@@ -1501,7 +1675,7 @@ private[graft] object SnapshotStore {
           else st.epochs
         st.copy(
           snapshots = st.snapshots :+ Snapshot(st.nextVersion, nowMicros(),
-            st.currentFiles ++ newFiles.map(_.copy(seq = st.nextVersion)),
+            st.currentFiles ++ newFiles.map(_.copy(seq = st.nextVersion, specId = st.currentSpecId)),
             appendedFiles = newFiles.size,
             schema = st.schema, deleteFiles = st.currentDeletes,
             operation = "append"),
@@ -1527,7 +1701,7 @@ private[graft] object SnapshotStore {
           else st.epochs
         st.copy(
           snapshots = st.snapshots :+ Snapshot(st.nextVersion, nowMicros(),
-            newFiles.map(_.copy(seq = st.nextVersion)),
+            newFiles.map(_.copy(seq = st.nextVersion, specId = st.currentSpecId)),
             appendedFiles = -1,
             schema = st.schema, deleteFiles = Vector.empty,
             operation = "overwrite"),
@@ -1850,11 +2024,25 @@ private[sources] final class MemTable(fullName: String, k: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
   {
-    val (base, allDeletes) = pinned match {
-      case Some(files) => (files, pinnedDeletes.getOrElse(Vector.empty))
+    // CHUNK-SKIPPING planning handle: only for the LIVE unpinned,
+    // unrestricted scan of a lazy chunked snapshot — the case where the
+    // inventory is NOT yet resident and predicates may spare reading most
+    // of it. Its index also carries the manifest's delete files, so
+    // taking this path forces NO manifest chunk at all.
+    val filesOption = Option(options.get("files"))
+    val chunkSrc =
+      if (pinned.isDefined || filesOption.isDefined) None
+      else SnapshotStore.stateOf(k).snapshots.lastOption
+        .flatMap(_.chunkSource())
+    val (base, allDeletes): (() => Vector[SnapshotStore.DataFile],
+        Vector[SnapshotStore.DeleteFile]) = pinned match {
+      case Some(files) => (() => files, pinnedDeletes.getOrElse(Vector.empty))
       case None =>
         val st = SnapshotStore.stateOf(k)
-        (st.currentFiles, st.currentDeletes)
+        chunkSrc match {
+          case Some((_, dels, _)) => (() => st.currentFiles, dels)
+          case None => (() => st.currentFiles, st.currentDeletes)
+        }
     }
     val deletes = SnapshotStore.deleteMap(allDeletes)
     val eqDels = SnapshotStore.eqDeletes(allDeletes)
@@ -1862,16 +2050,21 @@ private[sources] final class MemTable(fullName: String, k: String,
     // THIS snapshot — the incremental-read hook a manifest-diffing consumer
     // (ChangeDataFeed's pruned feed) uses to touch only changed files.
     // Unknown paths fail loudly (a typo must not silently read as empty).
-    val restricted = Option(options.get("files")).map { csv =>
+    val restricted = filesOption.map { csv =>
       val allow = csv.split(',').filter(_.nonEmpty).toSet
-      val have = base.map(_.path).toSet
+      val all = base()
+      val have = all.map(_.path).toSet
       val unknown = allow -- have
       require(unknown.isEmpty,
         s"files option names ${unknown.size} path(s) not in this snapshot of " +
           s"$fullName, e.g. ${unknown.take(2).mkString(", ")}")
-      base.filter(f => allow(f.path))
+      all.filter(f => allow(f.path))
     }
-    new MemScanBuilder(tableSchema, partColMap, restricted.getOrElse(base),
+    val st0 = SnapshotStore.stateOf(k)
+    new MemScanBuilder(tableSchema, partColMap,
+      restricted.map(r => () => r).getOrElse(base),
+      chunked = chunkSrc.map { case (idx, _, load) =>
+        (idx, load, SnapshotStore.specIdentCols(st0)) },
       deletes = deletes,
       // Time-travel pins and file-restricted reads are batch-only; the
       // LIVE whole table is streamable.
@@ -1885,7 +2078,9 @@ private[sources] final class MemTable(fullName: String, k: String,
       // Per-file write-time type resolution: the overrides compare against
       // the SCAN schema (the pinned snapshot's for time travel), so a
       // pre-widen pin reads old files natively with no override.
-      typeHist = SnapshotStore.resolve(k).map(_.typeHistory).getOrElse(Map.empty))
+      typeHist = SnapshotStore.resolve(k).map(_.typeHistory).getOrElse(Map.empty),
+      specPruning = SnapshotStore.resolve(k)
+        .map(SnapshotStore.specPruningOf).getOrElse(Map.empty))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -1932,14 +2127,22 @@ private[sources] final class MemTable(fullName: String, k: String,
     * decidable from identity-partition values alone retires whole files in
     * one metadata commit — nothing is read or rewritten. */
   override def canDeleteWhere(predicates: Array[VPredicate]): Boolean =
-    pinned.isEmpty &&
-      predicates.forall(PartitionPredicates.evaluable(_, partColMap))
+    pinned.isEmpty && {
+      // Spec evolution: the predicate must be identity-decidable under the
+      // spec of EVERY live file, or the statement needs the rewrite path.
+      val st = SnapshotStore.stateOf(k)
+      val pruning = SnapshotStore.specPruningOf(st)
+      st.liveSpecIds.forall(id => predicates.forall(
+        PartitionPredicates.evaluable(_, pruning(id)._1)))
+    }
   override def deleteWhere(predicates: Array[VPredicate]): Unit = {
-    val cols = partColMap
     SnapshotStore.commit(k, Vector.empty, replace = true,
-      replacedSelector = Some(st => st.currentFiles.filter(f =>
-        PartitionPredicates.matchesAllDecided(
-          predicates.toSeq, cols, f.partitionValues))),
+      replacedSelector = Some { st =>
+        val pruning = SnapshotStore.specPruningOf(st)
+        st.currentFiles.filter(f =>
+          PartitionPredicates.matchesAllDecided(
+            predicates.toSeq, pruning(f.specId)._1, f.partitionValues))
+      },
       operation = Some("delete"))
   }
 }
@@ -2013,7 +2216,9 @@ private[sources] final class MemRowLevelOperation(
       SnapshotStore.deleteMap(st.currentDeletes),
       SnapshotStore.eqDeletes(st.currentDeletes),
       TransformPruning.fieldsOf(st.partitionCols, st.partitionTransforms,
-        st.schema))
+        st.schema),
+      typeHist = st.typeHistory,
+      specPruning = SnapshotStore.specPruningOf(st))
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new MemWriteBuilder(k, info.schema(), partCols, forceReplace = true,
@@ -2035,7 +2240,21 @@ private[sources] final class MemRowLevelScanBuilder(op: MemRowLevelOperation,
     deletes: Map[String, Vector[String]] = Map.empty,
     eqDeletes: Vector[SnapshotStore.DeleteFile] = Vector.empty,
     tFields: Seq[TransformPruning.TField] = Nil,
-    typeHist: Map[Int, Vector[(Long, DataType)]] = Map.empty)
+    typeHist: Map[Int, Vector[(Long, DataType)]] = Map.empty,
+    /** Per-SPEC pruning contexts (partition-spec evolution): each file is
+      * pruned through the spec IT was written under. Empty = single-spec
+      * table (partCols/tFields apply to every file). */
+    specPruning: Map[Int, (PartitionPredicates.PartCols, Seq[TransformPruning.TField])] =
+      Map.empty,
+    /** CHUNK-SKIPPING planning (lazy chunked manifests): the chunk index
+      * with per-chunk partition summaries, a per-chunk loader, and the
+      * per-spec identity-position maps — when pushed predicates can
+      * exclude a whole chunk, its manifest file is never read, so
+      * planning IO is O(matching chunks), not O(inventory) (Iceberg's
+      * manifest-list filtering). */
+    chunked: Option[(Vector[MetadataLog.ChunkEntry],
+      String => Vector[SnapshotStore.DataFile],
+      Map[Int, Map[String, (Int, DataType)]])] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownV2Filters {
   private val statCols = StatsPredicates.statCols(fullSchema)
@@ -2059,14 +2278,48 @@ private[sources] final class MemRowLevelScanBuilder(op: MemRowLevelOperation,
   }
   override def pushedPredicates(): Array[VPredicate] =
     pushed ++ transformUsable ++ statsUsable
+  /** The pruning context for one FILE: its own spec's identity map and
+    * transform fields (pre-evolution tables fall back to the builder's). */
+  private def specOf(f: SnapshotStore.DataFile):
+      (PartitionPredicates.PartCols, Seq[TransformPruning.TField]) =
+    if (specPruning.isEmpty) (partCols, tFields)
+    else specPruning.getOrElse(f.specId, (partCols, tFields))
+
+  /** The files this scan plans over: through the chunk index (skipping
+    * whole chunks whose identity-column ranges a pushed predicate
+    * excludes) when available AND some predicate pushed; the plain
+    * (cached) inventory otherwise. */
+  private def sourceFiles(): Vector[SnapshotStore.DataFile] = chunked match {
+    case Some((index, load, identCols))
+        if pushed.nonEmpty || transformUsable.nonEmpty || statsUsable.nonEmpty =>
+      val preds = pushed ++ transformUsable ++ statsUsable
+      index.filter { ce =>
+        val cols = identCols.getOrElse(ce.specId, Map.empty)
+        if (cols.isEmpty || ce.ranges.isEmpty) true
+        else {
+          // nullState rides as the nulls count against rowCount = 2:
+          // 0 = no nulls, 1 = some, 2 = all — exactly the three cases
+          // StatsPredicates' null logic distinguishes.
+          val stats = ce.ranges.zipWithIndex.map { case ((mn, mx, ns), pos) =>
+            pos -> SnapshotStore.ColStats(mn, mx, ns)
+          }.toMap
+          !preds.exists(p => StatsPredicates.usable(p, cols) &&
+            StatsPredicates.definitelyExcludes(p, cols, stats, 2L))
+        }
+      }.flatMap(ce => load(ce.name))
+    case _ => files
+  }
+
   override def build(): Scan = {
-    val retained = files.filter(f =>
+    val retained = sourceFiles().filter { f =>
+      val (pc, tf) = specOf(f)
       !pushed.exists(
-        PartitionPredicates.definitelyExcludes(_, partCols, f.partitionValues)) &&
+        PartitionPredicates.definitelyExcludes(_, pc, f.partitionValues)) &&
       !transformUsable.exists(
-        TransformPruning.definitelyExcludes(_, tFields, f.partitionValues)) &&
+        TransformPruning.definitelyExcludes(_, tf, f.partitionValues)) &&
       !statsUsable.exists(
-        StatsPredicates.definitelyExcludes(_, statCols, f.stats, f.rowCount)))
+        StatsPredicates.definitelyExcludes(_, statCols, f.stats, f.rowCount))
+    }
     if (!op.runtimeNarrowed) op.scanned = retained
     new MemRowLevelScan(op, fullSchema, required, retained, deletes, eqDeletes)
   }
@@ -2168,13 +2421,14 @@ private[sources] final class MemDeltaRowLevelOperation(
     // A plain pruned scan of the current snapshot (deletes applied — a
     // second MOR statement must not resurrect or re-delete rows): no
     // group filtering, because nothing is replaced.
-    new MemScanBuilder(tableSchema, partCols, st.currentFiles,
+    new MemScanBuilder(tableSchema, partCols, () => st.currentFiles,
       deletes = SnapshotStore.deleteMap(st.currentDeletes),
       splitTargetBytes = ScanSplits.targetBytes(st.properties),
       eqDeletes = SnapshotStore.eqDeletes(st.currentDeletes),
       tFields = TransformPruning.fieldsOf(st.partitionCols,
         st.partitionTransforms, st.schema),
-      typeHist = st.typeHistory)
+      typeHist = st.typeHistory,
+      specPruning = SnapshotStore.specPruningOf(st))
   }
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new MemDeltaWriteBuilder(k, info.schema(), baseVersion)
@@ -2436,10 +2690,20 @@ private[sources] final class MemWriteBuilder(k: String, writeSchema: StructType,
               cur.currentFiles.filter(f => paths(f.path))
             })
           case (_, Some(preds)) =>
-            val cols = partCols
-            Some(cur => cur.currentFiles.filter(f =>
-              PartitionPredicates.matchesAllDecided(
-                preds.toSeq, cols, f.partitionValues)))
+            Some { cur =>
+              val pruning = SnapshotStore.specPruningOf(cur)
+              // The overwrite decides per FILE under its own spec; a file
+              // whose spec cannot decide must fail loudly, not silently
+              // survive (Iceberg rejects undeterminable overwrites too).
+              cur.liveSpecIds.foreach(id => require(
+                preds.forall(PartitionPredicates.evaluable(_, pruning(id)._1)),
+                s"INSERT OVERWRITE predicate is not decidable under " +
+                  s"partition spec $id (spec evolution) — run CALL " +
+                  "<catalog>.system.rewrite_data_files to converge specs"))
+              cur.currentFiles.filter(f =>
+                PartitionPredicates.matchesAllDecided(
+                  preds.toSeq, pruning(f.specId)._1, f.partitionValues))
+            }
           case _ => None // plain truncate (if replace) or append
         }
       operationOverride.foreach(_ => require(replace,
@@ -2515,9 +2779,18 @@ private[sources] final class MemBatchWrite(k: String, writeSchema: StructType,
       if (!dynamicParts) replacedSelector
       else {
         // Dynamic overwrite: retire the partitions the new files land in.
+        // Partition identity is the TRANSFORMED value tuple — comparable
+        // only within one spec, so mixed-spec tables must converge first.
         val newParts = files.map(_.partitionValues).toSet
-        Some((cur: SnapshotStore.TableState) =>
-          cur.currentFiles.filter(f => newParts(f.partitionValues)))
+        Some((cur: SnapshotStore.TableState) => {
+          val stale = cur.currentFiles.filter(_.specId != cur.currentSpecId)
+          require(stale.isEmpty,
+            s"dynamic partition overwrite needs every live file on the " +
+              s"current partition spec, but ${stale.size} file(s) carry a " +
+              "retired spec — run CALL <catalog>.system.rewrite_data_files " +
+              "first")
+          cur.currentFiles.filter(f => newParts(f.partitionValues))
+        })
       }
     SnapshotStore.commit(k, files, replace, expectedBase, selector,
       operationOverride)
@@ -2678,14 +2951,28 @@ private[sources] final class MemWriterFactory(writeSchema: StructType,
   * sound). */
 private[sources] final class MemScanBuilder(fullSchema: StructType,
     partCols: PartitionPredicates.PartCols,
-    files: Vector[SnapshotStore.DataFile], streamKey: Option[String] = None,
+    files: () => Vector[SnapshotStore.DataFile], streamKey: Option[String] = None,
     maxVersionsPerTrigger: Option[Long] = None,
     startingVersion: Option[String] = None,
     deletes: Map[String, Vector[String]] = Map.empty,
     splitTargetBytes: Long = ScanSplits.DefaultTargetBytes,
     eqDeletes: Vector[SnapshotStore.DeleteFile] = Vector.empty,
     tFields: Seq[TransformPruning.TField] = Nil,
-    typeHist: Map[Int, Vector[(Long, DataType)]] = Map.empty)
+    typeHist: Map[Int, Vector[(Long, DataType)]] = Map.empty,
+    /** Per-SPEC pruning contexts (partition-spec evolution): each file is
+      * pruned through the spec IT was written under. Empty = single-spec
+      * table (partCols/tFields apply to every file). */
+    specPruning: Map[Int, (PartitionPredicates.PartCols, Seq[TransformPruning.TField])] =
+      Map.empty,
+    /** CHUNK-SKIPPING planning (lazy chunked manifests): the chunk index
+      * with per-chunk partition summaries, a per-chunk loader, and the
+      * per-spec identity-position maps — when pushed predicates can
+      * exclude a whole chunk, its manifest file is never read, so
+      * planning IO is O(matching chunks), not O(inventory) (Iceberg's
+      * manifest-list filtering). */
+    chunked: Option[(Vector[MetadataLog.ChunkEntry],
+      String => Vector[SnapshotStore.DataFile],
+      Map[Int, Map[String, (Int, DataType)]])] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownV2Filters {
   private val statCols = StatsPredicates.statCols(fullSchema)
@@ -2712,17 +2999,51 @@ private[sources] final class MemScanBuilder(fullSchema: StructType,
   }
   override def pushedPredicates(): Array[VPredicate] =
     pushed ++ transformUsable ++ statsUsable
+  /** The pruning context for one FILE: its own spec's identity map and
+    * transform fields (pre-evolution tables fall back to the builder's). */
+  private def specOf(f: SnapshotStore.DataFile):
+      (PartitionPredicates.PartCols, Seq[TransformPruning.TField]) =
+    if (specPruning.isEmpty) (partCols, tFields)
+    else specPruning.getOrElse(f.specId, (partCols, tFields))
+
+  /** The files this scan plans over: through the chunk index (skipping
+    * whole chunks whose identity-column ranges a pushed predicate
+    * excludes) when available AND some predicate pushed; the plain
+    * (cached) inventory otherwise. */
+  private def sourceFiles(): Vector[SnapshotStore.DataFile] = chunked match {
+    case Some((index, load, identCols))
+        if pushed.nonEmpty || transformUsable.nonEmpty || statsUsable.nonEmpty =>
+      val preds = pushed ++ transformUsable ++ statsUsable
+      index.filter { ce =>
+        val cols = identCols.getOrElse(ce.specId, Map.empty)
+        if (cols.isEmpty || ce.ranges.isEmpty) true
+        else {
+          // nullState rides as the nulls count against rowCount = 2:
+          // 0 = no nulls, 1 = some, 2 = all — exactly the three cases
+          // StatsPredicates' null logic distinguishes.
+          val stats = ce.ranges.zipWithIndex.map { case ((mn, mx, ns), pos) =>
+            pos -> SnapshotStore.ColStats(mn, mx, ns)
+          }.toMap
+          !preds.exists(p => StatsPredicates.usable(p, cols) &&
+            StatsPredicates.definitelyExcludes(p, cols, stats, 2L))
+        }
+      }.flatMap(ce => load(ce.name))
+    case _ => files()
+  }
+
   override def build(): Scan = {
-    val retained = files.filter(f =>
+    val retained = sourceFiles().filter { f =>
+      val (pc, tf) = specOf(f)
       !pushed.exists(
-        PartitionPredicates.definitelyExcludes(_, partCols, f.partitionValues)) &&
+        PartitionPredicates.definitelyExcludes(_, pc, f.partitionValues)) &&
       !transformUsable.exists(
-        TransformPruning.definitelyExcludes(_, tFields, f.partitionValues)) &&
+        TransformPruning.definitelyExcludes(_, tf, f.partitionValues)) &&
       !statsUsable.exists(
-        StatsPredicates.definitelyExcludes(_, statCols, f.stats, f.rowCount)))
+        StatsPredicates.definitelyExcludes(_, statCols, f.stats, f.rowCount))
+    }
     new MemScan(fullSchema, required, retained, streamKey, maxVersionsPerTrigger,
       startingVersion, deletes, partCols, splitTargetBytes, eqDeletes,
-      typeHist = typeHist)
+      typeHist = typeHist, specPruning = specPruning)
   }
 }
 
@@ -3136,9 +3457,14 @@ private[sources] final class MemScan(fullSchema: StructType,
     partCols: PartitionPredicates.PartCols = Map.empty,
     splitTargetBytes: Long = ScanSplits.DefaultTargetBytes,
     eqDeletes: Vector[SnapshotStore.DeleteFile] = Vector.empty,
-    typeHist: Map[Int, Vector[(Long, DataType)]] = Map.empty)
+    typeHist: Map[Int, Vector[(Long, DataType)]] = Map.empty,
+    specPruning: Map[Int, (PartitionPredicates.PartCols, Seq[TransformPruning.TField])] =
+      Map.empty)
     extends Scan with Batch with SupportsRuntimeV2Filtering {
   private var files = initial
+  private def pcOf(f: SnapshotStore.DataFile): PartitionPredicates.PartCols =
+    if (specPruning.isEmpty) partCols
+    else specPruning.get(f.specId).map(_._1).getOrElse(partCols)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -3170,7 +3496,7 @@ private[sources] final class MemScan(fullSchema: StructType,
   }
   override def filter(predicates: Array[VPredicate]): Unit =
     files = files.filter(f => !predicates.exists(
-      PartitionPredicates.definitelyExcludes(_, partCols, f.partitionValues)))
+      PartitionPredicates.definitelyExcludes(_, pcOf(f), f.partitionValues)))
 
   override def planInputPartitions(): Array[InputPartition] =
     ScanSplits.partitions(files, deletes, splitTargetBytes, eqDeletes,
@@ -3655,13 +3981,14 @@ private[sources] final class BranchTable(display: String, k: String,
         case ((c, t), i) if t.isIdentity =>
           c.toLowerCase -> (i, st.schema(c).dataType)
       }.toMap
-    new MemScanBuilder(st.schema, partColMap, files,
+    new MemScanBuilder(st.schema, partColMap, () => files,
       deletes = SnapshotStore.deleteMap(deletes),
       splitTargetBytes = ScanSplits.targetBytes(st.properties),
       eqDeletes = SnapshotStore.eqDeletes(deletes),
       tFields = TransformPruning.fieldsOf(st.partitionCols,
         st.partitionTransforms, st.schema),
-      typeHist = st.typeHistory)
+      typeHist = st.typeHistory,
+      specPruning = SnapshotStore.specPruningOf(st))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

@@ -108,17 +108,25 @@ private[sources] object MetaTables {
             // SparkSession.active at execution — a concurrent second
             // session must not hijack the read into its own conf/catalog).
             FilesMetaTable.distributedPartitionRows(parentKey, spark)
-          else
-            st.currentFiles.groupBy(_.partitionValues).toArray
-              .sortBy { case (pv, _) => pv.map(String.valueOf).mkString("/") }
-              .map { case (pv, fs) =>
+          else {
+            // Group per (spec, partition tuple): after a spec evolution,
+            // old- and new-spec files are distinct partitions (their
+            // rendered labels differ), matching Iceberg's partitions
+            // table unioning specs.
+            val labels = st.specLabelsMap
+            st.currentFiles.groupBy(f => (f.specId, f.partitionValues))
+              .toArray
+              .sortBy { case ((_, pv), _) => pv.map(String.valueOf).mkString("/") }
+              .map { case ((specId, pv), fs) =>
+                val ls = labels.getOrElse(specId, st.partitionLabels)
                 val part =
-                  if (st.partitionCols.isEmpty) null
-                  else UTF8String.fromString(st.partitionLabels.zip(pv)
+                  if (ls.isEmpty) null
+                  else UTF8String.fromString(ls.zip(pv)
                     .map { case (c, v) => s"$c=${String.valueOf(v)}" }.mkString("/"))
                 new GenericInternalRow(Array[Any](
                   part, fs.size.toLong, fs.map(_.rowCount).sum)): InternalRow
               }
+          }
         }))
       case "tags" => Some(new MetaTable(s"$display.tags",
         StructType(Seq(
@@ -242,18 +250,22 @@ private[sources] final class FilesMetaTable(name0: String, parentKey: String)
           .flatMap(mp => MetadataLog.manifestChunks(st.dataDir, mp))
         if (chunks.isDefined &&
             st.currentFiles.size > FilesMetaTable.localThreshold(st.properties))
-          new DistributedFilesScan(st.dataDir, chunks.get, st.partitionLabels,
-            st.partitionValueTypes,
+          new DistributedFilesScan(st.dataDir, chunks.get, st.specLabelsMap,
+            st.specTypesMap,
             MetadataLog.colCtxOf(st.schema),
             st.currentDeletes.map(d =>
               (d.path, d.entryCount, FilesMetaTable.contentOf(d), d.seq)).toArray)
         else new LocalScan {
           override def readSchema(): StructType = FilesMetaTable.FilesSchema
           override def rows(): Array[InternalRow] = {
+            val labels = st.specLabelsMap
             val data = st.currentFiles.toArray.map { f =>
               new GenericInternalRow(Array[Any](
                 UTF8String.fromString("data"), UTF8String.fromString(f.path),
-                FilesMetaTable.partitionString(st.partitionLabels, f.partitionValues),
+                // Partition rendered under the file's OWN spec (evolution).
+                FilesMetaTable.partitionString(
+                  labels.getOrElse(f.specId, st.partitionLabels),
+                  f.partitionValues),
                 f.rowCount,
                 if (f.sizeBytes > 0L) f.sizeBytes else null, f.seq))
             }
@@ -269,7 +281,8 @@ private[sources] final class FilesMetaTable(name0: String, parentKey: String)
 }
 
 private[sources] final case class ManifestChunkPartition(dataDir: String,
-    chunkName: String, partitionCols: Seq[String], pvTypes: Seq[DataType],
+    chunkName: String, specLabels: Map[Int, Seq[String]],
+    specTypes: Map[Int, Seq[DataType]],
     ctx: MetadataLog.ColCtx)
   extends org.apache.spark.sql.connector.read.InputPartition
 
@@ -278,7 +291,8 @@ private[sources] final case class DeleteEntriesPartition(
   extends org.apache.spark.sql.connector.read.InputPartition
 
 private[sources] final class DistributedFilesScan(dataDir: String,
-    chunks: Vector[String], partitionCols: Seq[String], pvTypes: Seq[DataType],
+    chunks: Vector[String], specLabels: Map[Int, Seq[String]],
+    specTypes: Map[Int, Seq[DataType]],
     ctx: MetadataLog.ColCtx, deletes: Array[(String, Long, String, Long)])
     extends Scan with org.apache.spark.sql.connector.read.Batch {
   override def readSchema(): StructType = FilesMetaTable.FilesSchema
@@ -287,7 +301,7 @@ private[sources] final class DistributedFilesScan(dataDir: String,
     s"graft-snapshot files metadata (distributed, ${chunks.size} manifest chunks)"
   override def planInputPartitions():
       Array[org.apache.spark.sql.connector.read.InputPartition] =
-    chunks.map(c => ManifestChunkPartition(dataDir, c, partitionCols, pvTypes,
+    chunks.map(c => ManifestChunkPartition(dataDir, c, specLabels, specTypes,
       ctx): org.apache.spark.sql.connector.read.InputPartition).toArray ++
       (if (deletes.isEmpty) Nil else Seq(DeleteEntriesPartition(deletes):
         org.apache.spark.sql.connector.read.InputPartition))
@@ -303,11 +317,12 @@ private[sources] final case class FilesChunkReaderFactory(
       p: org.apache.spark.sql.connector.read.InputPartition):
       org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
     val it: Iterator[InternalRow] = p match {
-      case ManifestChunkPartition(dataDir, chunk, partCols, pvTypes, ctx) =>
-        MetadataLog.readChunkFiles(dataDir, chunk, pvTypes, ctx, conf.value)
+      case ManifestChunkPartition(dataDir, chunk, specLabels, specTypes, ctx) =>
+        MetadataLog.readChunkFiles(dataDir, chunk, specTypes, ctx, conf.value)
           .iterator.map(f => new GenericInternalRow(Array[Any](
             UTF8String.fromString("data"), UTF8String.fromString(f.path),
-            FilesMetaTable.partitionString(partCols, f.partitionValues),
+            FilesMetaTable.partitionString(
+              specLabels.getOrElse(f.specId, Nil), f.partitionValues),
             f.rowCount,
             if (f.sizeBytes > 0L) f.sizeBytes else null, f.seq)))
       case DeleteEntriesPartition(entries) =>
@@ -368,7 +383,7 @@ private[sources] object SnapshotProcedures {
   def names: Seq[String] =
     Seq("expire_snapshots", "rollback_to_version", "create_tag", "drop_tag",
       "rewrite_data_files", "create_branch", "drop_branch", "fast_forward",
-      "remove_orphan_files")
+      "remove_orphan_files", "evolve_partition_spec")
 
   def load(catalogName: String, ident: Identifier): Option[UnboundProcedure] = {
     if (!ident.namespace().sameElements(Array("system"))) return None
@@ -460,6 +475,16 @@ private[sources] object SnapshotProcedures {
           orphans.map(p => new GenericInternalRow(
             Array[Any](UTF8String.fromString(p), !dry)): InternalRow).toArray
         }))
+      case "evolve_partition_spec" => Some(proc("evolve_partition_spec",
+        "re-partition the table WITHOUT rewriting data (Iceberg per-file " +
+          "specs): new writes land under the new spec, old files keep and " +
+          "prune through theirs; spec is a comma list of col, " +
+          "days|hours|months|years(col), bucket(n, col), truncate(w, col); " +
+          "empty = unpartitioned",
+        Seq(in("table", StringType), in("spec", StringType)),
+        StructType(Seq(StructField("spec_id", IntegerType, nullable = false))),
+        r => Array[Any](SnapshotCatalog.evolvePartitionSpec(
+          catalogName, identOf(str(r, 0)), str(r, 1)))))
       case "rewrite_data_files" => Some(proc("rewrite_data_files",
         "compact live data to one file per partition, or about " +
           "target_file_rows per file when unpartitioned (history preserved; " +

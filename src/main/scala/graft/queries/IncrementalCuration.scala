@@ -91,7 +91,7 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
   /** The LSH signature store lives in the SESSION catalog (bucketed
     * parquet + ingest ledger — n08's layout), one database per sink. */
   private val storeDb = "graft_store_inc_" +
-    sink.split('.').drop(1).mkString("_").replaceAll("[^A-Za-z0-9_]", "_")
+    sink.split('.').mkString("_").replaceAll("[^A-Za-z0-9_]", "_")
 
   private val base = s"p05:${spec.name}:" + java.util.UUID.nameUUIDFromBytes(
     checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -470,8 +470,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
               // reordered after a compaction folds the deletes.
               val colId = FieldIds.requireId(cur.schema, colName)
               val liveEq = (cur.currentDeletes ++
-                cur.branches.values.flatMap(_.snapshots.lastOption
-                  .toSeq.flatMap(_.deleteFiles)))
+                cur.branches.values.flatMap(_.head(cur)._2))
                 .filter(d => d.kind == "eq" && d.equalityCols.contains(colId))
               require(liveEq.isEmpty,
                 s"cannot drop $colName: ${liveEq.size} live equality-delete " +
@@ -503,21 +502,29 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
               requireIdCoverage(cur, s"ALTER COLUMN $colName TYPE")
               // A LIVE equality delete keyed on this column stores key
               // tuples in the OLD type; widening would make every probe
-              // compare long-vs-int. Compaction folds them first.
+              // compare long-vs-int. Compaction folds them first. Branch
+              // HEADS count (an EMPTY branch's head is its base snapshot,
+              // whose deletes main may have since folded).
               val colId = FieldIds.requireId(cur.schema, colName)
               val liveEq = (cur.currentDeletes ++
-                cur.branches.values.flatMap(_.snapshots.lastOption
-                  .toSeq.flatMap(_.deleteFiles)))
+                cur.branches.values.flatMap(_.head(cur)._2))
                 .filter(d => d.kind == "eq" && d.equalityCols.contains(colId))
               require(liveEq.isEmpty,
                 s"cannot widen $colName: ${liveEq.size} live equality-delete " +
                   "file(s) key on it — run CALL <catalog>.system." +
                   "rewrite_data_files first to fold them")
-              // Every file committed so far (main or branch) was written
-              // under `from`; future files get seq > W and the new type.
-              val w = (cur.snapshots.map(_.version) ++
-                cur.branches.values.flatMap(_.snapshots.map(_.version)))
-                .foldLeft(0L)(math.max)
+              // STAGED branch commits number their snapshots PAST main's
+              // head, so a single max watermark cannot separate their
+              // pre-widen files from main's post-widen ones — a main
+              // append after the widen would get seq <= W and decode its
+              // wide-written slots as the narrow type (silent garbage).
+              // Publish or drop branches first; the watermark is then
+              // exactly main's last version.
+              require(cur.branches.values.forall(_.snapshots.isEmpty),
+                s"cannot widen $colName while branches hold staged " +
+                  "commits (their data sequence numbers overlap main's " +
+                  "post-widen range) — fast_forward or drop_branch first")
+              val w = cur.snapshots.map(_.version).foldLeft(0L)(math.max)
               val fields = cur.schema.fields.clone()
               fields(idx) = fields(idx).copy(dataType = to)
               cur.copy(
@@ -1023,6 +1030,18 @@ private[graft] object SnapshotStore {
       id -> (pc, tf)
     }.toMap
 
+  /** Commit-side guard for partition-spec evolution races: every NEW
+    * file's descriptor carries the spec its partition values were SHAPED
+    * by (stamped at write planning); a commit landing after a concurrent
+    * `evolve_partition_spec` is a LOUD conflict — the alternative is a
+    * mislabeled file whose tuple is decoded under the wrong spec. */
+  def requireCurrentSpec(st: TableState, newFiles: Vector[DataFile]): Unit =
+    newFiles.find(_.specId != st.currentSpecId).foreach(f =>
+      throw new IllegalStateException(
+        s"concurrent partition-spec evolution on ${st.dataDir}: the write " +
+          s"planned under spec ${f.specId} but the table is now on spec " +
+          s"${st.currentSpecId} — rerun the statement"))
+
   /** Identity-position maps per spec for CHUNK-summary pruning: column
     * name → (partition POSITION, value type) — the StatCols shape, so
     * chunk ranges prune through [[StatsPredicates]] verbatim. */
@@ -1305,8 +1324,9 @@ private[graft] object SnapshotStore {
         * int→long, float→double, decimal precision-up). Each entry
         * `(throughSeq, oldType)` says "data files with seq <= throughSeq
         * were written while this field's type was oldType" — ascending,
-        * appended by `ALTER COLUMN … TYPE`. Readers resolve each file's
-        * WRITE-TIME type through this map ([[MemReaders.widenOverrides]])
+        * appended by `ALTER COLUMN … TYPE`. [[MemReaders.widenOverrides]]
+        * is the ONE resolution point: readers resolve each file's
+        * WRITE-TIME type through this map there
         * and up-cast decoded values to the live type; files written after
         * the widen carry the new type natively. Empty = no column ever
         * widened (every scan takes the zero-cost path). */
@@ -1353,12 +1373,6 @@ private[graft] object SnapshotStore {
     /** Every spec id live in CURRENT files (plus the current spec). */
     def liveSpecIds: Set[Int] =
       currentFiles.iterator.map(_.specId).toSet + currentSpecId
-    /** The type field `id` had when a file of data sequence number `seq`
-      * was written: the oldType of the first widening whose watermark
-      * covers `seq`, else the live type. Legacy files (`seq = 0`) resolve
-      * to the OLDEST recorded type — they predate every widen. */
-    def writeTypeAt(id: Int, seq: Long): Option[DataType] =
-      typeHistory.get(id).flatMap(_.find(seq <= _._1)).map(_._2)
   }
 
   /** In-JVM CACHE of the durable metadata log ([[MetadataLog]]) — the log
@@ -1494,7 +1508,7 @@ private[graft] object SnapshotStore {
           else st.epochs
         st.copy(
           snapshots = st.snapshots :+ Snapshot(st.nextVersion, nowMicros(),
-            st.currentFiles ++ newFiles.map(_.copy(seq = st.nextVersion, specId = st.currentSpecId)),
+            st.currentFiles ++ { requireCurrentSpec(st, newFiles); newFiles.map(_.copy(seq = st.nextVersion)) },
             appendedFiles = -1, schema = st.schema,
             deleteFiles = st.currentDeletes ++
               newDeletes.map(_.copy(seq = st.nextVersion)),
@@ -1569,7 +1583,7 @@ private[graft] object SnapshotStore {
       // Stamp the new files' data sequence number with the version they
       // land in (carried files keep theirs): the ordering equality deletes
       // and write-schema resolution key on.
-      val stamped = newFiles.map(_.copy(seq = st.nextVersion, specId = st.currentSpecId))
+      val stamped = { requireCurrentSpec(st, newFiles); newFiles.map(_.copy(seq = st.nextVersion)) }
       val files =
         if (!replace) st.currentFiles ++ stamped
         else replacedSelector match {
@@ -1620,7 +1634,7 @@ private[graft] object SnapshotStore {
           s"delta commit on ${dotted(k)} deletes positions of unknown data " +
             s"file ${d.dataPath}"))
       st.copy(snapshots = st.snapshots :+ Snapshot(st.nextVersion, nowMicros(),
-        st.currentFiles ++ newFiles.map(_.copy(seq = st.nextVersion, specId = st.currentSpecId)),
+        st.currentFiles ++ { requireCurrentSpec(st, newFiles); newFiles.map(_.copy(seq = st.nextVersion)) },
         appendedFiles = -1, schema = st.schema,
         deleteFiles = st.currentDeletes ++
           newDeletes.map(_.copy(seq = st.nextVersion)),
@@ -1640,7 +1654,7 @@ private[graft] object SnapshotStore {
       val (headFiles, headDeletes) = br.head(st)
       val version = br.base + br.snapshots.size + 1
       val next = Snapshot(version, nowMicros(),
-        headFiles ++ newFiles.map(_.copy(seq = version, specId = st.currentSpecId)),
+        { requireCurrentSpec(st, newFiles); headFiles ++ newFiles.map(_.copy(seq = version)) },
         appendedFiles = newFiles.size,
         schema = st.schema, deleteFiles = headDeletes, operation = "append")
       st.copy(branches = st.branches.updated(name,
@@ -1675,7 +1689,7 @@ private[graft] object SnapshotStore {
           else st.epochs
         st.copy(
           snapshots = st.snapshots :+ Snapshot(st.nextVersion, nowMicros(),
-            st.currentFiles ++ newFiles.map(_.copy(seq = st.nextVersion, specId = st.currentSpecId)),
+            st.currentFiles ++ { requireCurrentSpec(st, newFiles); newFiles.map(_.copy(seq = st.nextVersion)) },
             appendedFiles = newFiles.size,
             schema = st.schema, deleteFiles = st.currentDeletes,
             operation = "append"),
@@ -1701,7 +1715,7 @@ private[graft] object SnapshotStore {
           else st.epochs
         st.copy(
           snapshots = st.snapshots :+ Snapshot(st.nextVersion, nowMicros(),
-            newFiles.map(_.copy(seq = st.nextVersion, specId = st.currentSpecId)),
+            { requireCurrentSpec(st, newFiles); newFiles.map(_.copy(seq = st.nextVersion)) },
             appendedFiles = -1,
             schema = st.schema, deleteFiles = Vector.empty,
             operation = "overwrite"),
@@ -2030,18 +2044,25 @@ private[sources] final class MemTable(fullName: String, k: String,
     // of it. Its index also carries the manifest's delete files, so
     // taking this path forces NO manifest chunk at all.
     val filesOption = Option(options.get("files"))
+    // ONE state capture for the whole build: reading the store repeatedly
+    // would let a concurrent commit hand this scan version N's files with
+    // version N+1's deletes (or vice versa) — a snapshot-INCONSISTENT read
+    // that resurrects upserted-away rows.
+    val st = SnapshotStore.stateOf(k)
+    val sn = st.snapshots.lastOption
     val chunkSrc =
       if (pinned.isDefined || filesOption.isDefined) None
-      else SnapshotStore.stateOf(k).snapshots.lastOption
-        .flatMap(_.chunkSource())
+      else sn.flatMap(_.chunkSource())
     val (base, allDeletes): (() => Vector[SnapshotStore.DataFile],
         Vector[SnapshotStore.DeleteFile]) = pinned match {
       case Some(files) => (() => files, pinnedDeletes.getOrElse(Vector.empty))
       case None =>
-        val st = SnapshotStore.stateOf(k)
         chunkSrc match {
-          case Some((_, dels, _)) => (() => st.currentFiles, dels)
-          case None => (() => st.currentFiles, st.currentDeletes)
+          case Some((_, dels, _)) => (() => sn.fold(
+            Vector.empty[SnapshotStore.DataFile])(_.files), dels)
+          case None => (() => sn.fold(
+            Vector.empty[SnapshotStore.DataFile])(_.files),
+            sn.fold(Vector.empty[SnapshotStore.DeleteFile])(_.deleteFiles))
         }
     }
     val deletes = SnapshotStore.deleteMap(allDeletes)
@@ -2060,11 +2081,10 @@ private[sources] final class MemTable(fullName: String, k: String,
           s"$fullName, e.g. ${unknown.take(2).mkString(", ")}")
       all.filter(f => allow(f.path))
     }
-    val st0 = SnapshotStore.stateOf(k)
     new MemScanBuilder(tableSchema, partColMap,
       restricted.map(r => () => r).getOrElse(base),
       chunked = chunkSrc.map { case (idx, _, load) =>
-        (idx, load, SnapshotStore.specIdentCols(st0)) },
+        (idx, load, SnapshotStore.specIdentCols(st)) },
       deletes = deletes,
       // Time-travel pins and file-restricted reads are batch-only; the
       // LIVE whole table is streamable.
@@ -2078,9 +2098,8 @@ private[sources] final class MemTable(fullName: String, k: String,
       // Per-file write-time type resolution: the overrides compare against
       // the SCAN schema (the pinned snapshot's for time travel), so a
       // pre-widen pin reads old files natively with no override.
-      typeHist = SnapshotStore.resolve(k).map(_.typeHistory).getOrElse(Map.empty),
-      specPruning = SnapshotStore.resolve(k)
-        .map(SnapshotStore.specPruningOf).getOrElse(Map.empty))
+      typeHist = st.typeHistory,
+      specPruning = SnapshotStore.specPruningOf(st))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -2245,16 +2264,7 @@ private[sources] final class MemRowLevelScanBuilder(op: MemRowLevelOperation,
       * pruned through the spec IT was written under. Empty = single-spec
       * table (partCols/tFields apply to every file). */
     specPruning: Map[Int, (PartitionPredicates.PartCols, Seq[TransformPruning.TField])] =
-      Map.empty,
-    /** CHUNK-SKIPPING planning (lazy chunked manifests): the chunk index
-      * with per-chunk partition summaries, a per-chunk loader, and the
-      * per-spec identity-position maps — when pushed predicates can
-      * exclude a whole chunk, its manifest file is never read, so
-      * planning IO is O(matching chunks), not O(inventory) (Iceberg's
-      * manifest-list filtering). */
-    chunked: Option[(Vector[MetadataLog.ChunkEntry],
-      String => Vector[SnapshotStore.DataFile],
-      Map[Int, Map[String, (Int, DataType)]])] = None)
+      Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownV2Filters {
   private val statCols = StatsPredicates.statCols(fullSchema)
@@ -2285,33 +2295,8 @@ private[sources] final class MemRowLevelScanBuilder(op: MemRowLevelOperation,
     if (specPruning.isEmpty) (partCols, tFields)
     else specPruning.getOrElse(f.specId, (partCols, tFields))
 
-  /** The files this scan plans over: through the chunk index (skipping
-    * whole chunks whose identity-column ranges a pushed predicate
-    * excludes) when available AND some predicate pushed; the plain
-    * (cached) inventory otherwise. */
-  private def sourceFiles(): Vector[SnapshotStore.DataFile] = chunked match {
-    case Some((index, load, identCols))
-        if pushed.nonEmpty || transformUsable.nonEmpty || statsUsable.nonEmpty =>
-      val preds = pushed ++ transformUsable ++ statsUsable
-      index.filter { ce =>
-        val cols = identCols.getOrElse(ce.specId, Map.empty)
-        if (cols.isEmpty || ce.ranges.isEmpty) true
-        else {
-          // nullState rides as the nulls count against rowCount = 2:
-          // 0 = no nulls, 1 = some, 2 = all — exactly the three cases
-          // StatsPredicates' null logic distinguishes.
-          val stats = ce.ranges.zipWithIndex.map { case ((mn, mx, ns), pos) =>
-            pos -> SnapshotStore.ColStats(mn, mx, ns)
-          }.toMap
-          !preds.exists(p => StatsPredicates.usable(p, cols) &&
-            StatsPredicates.definitelyExcludes(p, cols, stats, 2L))
-        }
-      }.flatMap(ce => load(ce.name))
-    case _ => files
-  }
-
   override def build(): Scan = {
-    val retained = sourceFiles().filter { f =>
+    val retained = files.filter { f =>
       val (pc, tf) = specOf(f)
       !pushed.exists(
         PartitionPredicates.definitelyExcludes(_, pc, f.partitionValues)) &&
@@ -2741,7 +2726,7 @@ private[sources] final class MemStreamingWrite(k: String, writeSchema: StructTyp
     MemStreamWriterFactory(writeSchema, st.partitionCols, st.dataDir,
       RowFiles.sessionConf(), st.properties,
       FieldIds.writeColsFor(st.schema, writeSchema),
-      st.partitionTransforms)
+      st.partitionTransforms, st.currentSpecId)
   }
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.iterator
@@ -2768,7 +2753,7 @@ private[sources] final class MemBatchWrite(k: String, writeSchema: StructType,
     new MemWriterFactory(writeSchema, st.partitionCols, st.dataDir,
       RowFiles.sessionConf(), st.properties,
       FieldIds.writeColsFor(st.schema, writeSchema),
-      st.partitionTransforms)
+      st.partitionTransforms, st.currentSpecId)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.iterator
@@ -2809,13 +2794,13 @@ private[sources] final case class MemStreamWriterFactory(writeSchema: StructType
     partitionCols: Seq[String], dataDir: String,
     fsConf: org.apache.spark.util.SerializableConfiguration,
     props: Map[String, String], writeCols: Vector[(Int, String)],
-    transforms: Seq[PTransform] = Nil)
+    transforms: Seq[PTransform] = Nil, specId: Int = 0)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     MemWriters.writer(writeSchema, partitionCols, dataDir,
       s"e$epochId-p$partitionId-t$taskId-${UUID.randomUUID.toString.take(8)}",
-      fsConf.value, props, writeCols, transforms)
+      fsConf.value, props, writeCols, transforms, specId)
 }
 
 private[sources] object MemWriters {
@@ -2829,7 +2814,13 @@ private[sources] object MemWriters {
       conf: Configuration,
       props: Map[String, String] = Map.empty,
       writeCols: Vector[(Int, String)] = Vector.empty,
-      transforms: Seq[PTransform] = Nil): DataWriter[InternalRow] =
+      transforms: Seq[PTransform] = Nil,
+      /** The partition SPEC id the partitionCols/transforms above belong
+        * to — stamped into each file descriptor at WRITE time (the values
+        * are shaped by this spec); the commit validates it against the
+        * then-current spec, so a concurrent evolve_partition_spec is a
+        * LOUD conflict, never a mislabeled file. */
+      specId: Int = 0): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val format = DataFiles.formatOf(props)
       // Stats come back keyed by write-schema NAME; the descriptor keys
@@ -2920,7 +2911,8 @@ private[sources] object MemWriters {
           val idStats = meta.stats.flatMap { case (n, s) =>
             idByName.get(n).map(_ -> s) }
           SnapshotStore.DataFile(path, pv, w.rowCount, idStats,
-            meta.sizeBytes, meta.splitPoints, writeCols = writeCols)
+            meta.sizeBytes, meta.splitPoints, writeCols = writeCols,
+            specId = specId)
         }.toArray
         open.clear()
         MemCommitMessage(files)
@@ -2938,11 +2930,11 @@ private[sources] final class MemWriterFactory(writeSchema: StructType,
     fsConf: org.apache.spark.util.SerializableConfiguration,
     props: Map[String, String],
     writeCols: Vector[(Int, String)],
-    transforms: Seq[PTransform] = Nil) extends DataWriterFactory {
+    transforms: Seq[PTransform] = Nil, specId: Int = 0) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     MemWriters.writer(writeSchema, partitionCols, dataDir,
       s"p$partitionId-t$taskId-${UUID.randomUUID.toString.take(8)}",
-      fsConf.value, props, writeCols, transforms)
+      fsConf.value, props, writeCols, transforms, specId)
 }
 
 /** Plain read path: column pruning plus file-level partition pruning from
@@ -4004,7 +3996,7 @@ private[sources] final class BranchTable(display: String, k: String,
           new MemWriterFactory(schema(), st.partitionCols, st.dataDir,
             RowFiles.sessionConf(), st.properties,
             FieldIds.writeColsFor(st.schema, schema()),
-            st.partitionTransforms)
+            st.partitionTransforms, st.currentSpecId)
         }
         override def commit(messages: Array[WriterCommitMessage]): Unit = {
           val files = messages.iterator.map(_.asInstanceOf[MemCommitMessage])

@@ -125,6 +125,29 @@ class PartitionSpecEvolutionSuite extends AnyFunSuite {
       Seq(Row(1L, "east"), Row(3L, "east"), Row(5L, "north")))
   }
 
+  test("a write planned under a retired spec is a LOUD commit conflict, " +
+      "never a mislabeled file") {
+    val t = fresh("race")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, region STRING) PARTITIONED BY (region)")
+    val k = keyOf("race")
+    val st = SnapshotStore.stateOf(k)
+    // Simulate the race: a task writes its file under spec 0's shape...
+    val w = MemWriters.writer(st.schema, st.partitionCols, st.dataDir,
+      "race-task", RowFiles.sessionConf().value, st.properties,
+      FieldIds.writeColsFor(st.schema, st.schema), st.partitionTransforms,
+      specId = st.currentSpecId)
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(st.schema)
+    w.write(proj(org.apache.spark.sql.catalyst.InternalRow(1L,
+      org.apache.spark.unsafe.types.UTF8String.fromString("east"))))
+    val files = w.commit().asInstanceOf[MemCommitMessage].files.toVector
+    // ... and the spec evolves before the commit lands.
+    spark.sql(s"CALL $cat.system.evolve_partition_spec('pse.race', 'bucket(4, id)')")
+    val e = intercept[IllegalStateException](
+      SnapshotStore.commit(k, files, replace = false))
+    assert(e.getMessage.contains("partition-spec evolution"), e.getMessage)
+  }
+
   test("spec strings parse and validate; a retired spec's source column " +
       "can later be renamed without orphaning old files") {
     val t = fresh("v")

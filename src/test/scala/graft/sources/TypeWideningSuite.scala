@@ -152,6 +152,37 @@ class TypeWideningSuite extends AnyFunSuite {
       Seq(Row(1L, "a2"), Row(2L, "b")))
   }
 
+  test("widening is refused while branches hold STAGED commits (their " +
+      "seqs overlap main's post-widen range), and an EMPTY branch whose " +
+      "head still carries a folded eq delete blocks the widen too") {
+    val t = fresh("br")
+    spark.sql(s"CREATE TABLE $t (k INT, v STRING)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a')")
+    spark.sql(s"CALL $cat.system.create_branch('widen.br', 'stage')")
+    spark.sql(s"INSERT INTO $t.branch_stage VALUES (2, 'staged')")
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN k TYPE BIGINT"))
+    assert(e.getMessage.contains("staged"), e.getMessage)
+    spark.sql(s"CALL $cat.system.fast_forward('widen.br', 'stage')")
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN k TYPE BIGINT")
+    spark.sql(s"INSERT INTO $t VALUES (${Long.MaxValue}, 'wide')")
+    assert(spark.sql(s"SELECT sum(k) FROM $t WHERE k < 100")
+      .collect().head.getLong(0) === 3L)
+    // Empty-branch head: its BASE snapshot still applies an eq delete that
+    // main has since folded — the widen guard must see it.
+    val t2 = fresh("br2")
+    spark.sql(s"CREATE TABLE $t2 (k INT, v STRING)")
+    spark.sql(s"INSERT INTO $t2 VALUES (1, 'a'), (2, 'b')")
+    SnapshotUpsert.upsertBatch(t2, spark.sql("SELECT 1 AS k, 'a2' AS v"), Seq("k"))
+    spark.sql(s"CALL $cat.system.create_branch('widen.br2', 'frozen')")
+    spark.sql(s"CALL $cat.system.rewrite_data_files('widen.br2')") // folds main's delete
+    val e2 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $t2 ALTER COLUMN k TYPE BIGINT"))
+    assert(e2.getMessage.contains("equality-delete"), e2.getMessage)
+    assert(spark.sql(s"SELECT v FROM $t2.branch_frozen WHERE k = 1").collect()
+      .map(_.getString(0)).toSeq === Seq("a2"))
+  }
+
   test("a widened table still equality-upserts: post-widen delete keys " +
       "probe pre-widen files' up-cast values") {
     val t = fresh("upsert")

@@ -66,6 +66,9 @@ object SnapshotUpsert {
       val writeCols = FieldIds.writeColsFor(st.schema, writeSchema)
       val partitionCols = st.partitionCols
       val transforms = st.partitionTransforms
+      // The spec the partition routing above is SHAPED by — stamped into
+      // the descriptors; the commit validates it (evolution race guard).
+      val specId = st.currentSpecId
       val dataDir = st.dataDir
       val tag = java.util.UUID.randomUUID.toString.take(8)
 
@@ -89,7 +92,8 @@ object SnapshotUpsert {
         else {
           val attempt = java.util.UUID.randomUUID.toString.take(8)
           val w = MemWriters.writer(writeSchema, partitionCols, dataDir,
-            s"ups-$tag-p$pid-$attempt", conf.value, props, writeCols, transforms)
+            s"ups-$tag-p$pid-$attempt", conf.value, props, writeCols, transforms,
+            specId)
           val keyPath = s"$dataDir/ups-$tag-eq-p$pid-$attempt$ext"
           val keyProj = UnsafeProjection.create(
             keyOrds.toIndexedSeq.map(o =>
@@ -169,6 +173,9 @@ object SnapshotUpsert {
     val writeCols = FieldIds.writeColsFor(st.schema, writeSchema)
     val partitionCols = st.partitionCols
     val transforms = st.partitionTransforms
+    // The spec the partition routing above is SHAPED by — stamped into the
+    // descriptors; the commit validates it (spec-evolution race guard).
+    val specId = st.currentSpecId
     val dataDir = st.dataDir
     val tag = java.util.UUID.randomUUID.toString.take(8)
     val keySchema = StructType(keyCols.zipWithIndex.map { case (c, i) =>
@@ -184,7 +191,8 @@ object SnapshotUpsert {
       else {
         val attempt = java.util.UUID.randomUUID.toString.take(8)
         val w = MemWriters.writer(writeSchema, partitionCols, dataDir,
-          s"rpl-$tag-p$pid-$attempt", conf.value, props, writeCols, transforms)
+          s"rpl-$tag-p$pid-$attempt", conf.value, props, writeCols, transforms,
+          specId)
         val keyPath = s"$dataDir/rpl-$tag-eq-p$pid-$attempt$ext"
         val keyProj = UnsafeProjection.create(
           keyOrds.toIndexedSeq.map(o =>
@@ -254,6 +262,9 @@ object SnapshotUpsert {
     val writeCols = FieldIds.writeColsFor(st.schema, writeSchema)
     val partitionCols = st.partitionCols
     val transforms = st.partitionTransforms
+    // The spec the partition routing above is SHAPED by — stamped into the
+    // descriptors; the commit validates it (spec-evolution race guard).
+    val specId = st.currentSpecId
     val dataDir = st.dataDir
     val tag = java.util.UUID.randomUUID.toString.take(8)
     val files = aligned.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
@@ -261,7 +272,8 @@ object SnapshotUpsert {
       else {
         val attempt = java.util.UUID.randomUUID.toString.take(8)
         val w = MemWriters.writer(writeSchema, partitionCols, dataDir,
-          s"ovr-$tag-p$pid-$attempt", conf.value, props, writeCols, transforms)
+          s"ovr-$tag-p$pid-$attempt", conf.value, props, writeCols, transforms,
+          specId)
         it.foreach(w.write)
         Iterator.single(w.commit().asInstanceOf[MemCommitMessage].files)
       }
@@ -295,6 +307,9 @@ object SnapshotUpsert {
     val writeCols = FieldIds.writeColsFor(st.schema, writeSchema)
     val partitionCols = st.partitionCols
     val transforms = st.partitionTransforms
+    // The spec the partition routing above is SHAPED by — stamped into the
+    // descriptors; the commit validates it (spec-evolution race guard).
+    val specId = st.currentSpecId
     val dataDir = st.dataDir
     val tag = java.util.UUID.randomUUID.toString.take(8)
     val files = aligned.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
@@ -303,7 +318,8 @@ object SnapshotUpsert {
         // Per-attempt uuid: retries must not collide on create-exclusive.
         val attempt = java.util.UUID.randomUUID.toString.take(8)
         val w = MemWriters.writer(writeSchema, partitionCols, dataDir,
-          s"app-$tag-p$pid-$attempt", conf.value, props, writeCols, transforms)
+          s"app-$tag-p$pid-$attempt", conf.value, props, writeCols, transforms,
+          specId)
         it.foreach(w.write)
         Iterator.single(w.commit().asInstanceOf[MemCommitMessage].files)
       }

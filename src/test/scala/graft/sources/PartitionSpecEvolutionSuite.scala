@@ -148,6 +148,22 @@ class PartitionSpecEvolutionSuite extends AnyFunSuite {
     assert(e.getMessage.contains("partition-spec evolution"), e.getMessage)
   }
 
+  test("equality upserts and the incremental primitives work on an " +
+      "EVOLVED table (writers stamp the new spec)") {
+    val t = fresh("ups")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v STRING) PARTITIONED BY (v)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"CALL $cat.system.evolve_partition_spec('pse.ups', 'bucket(4, id)')")
+    import spark.implicits._
+    SnapshotUpsert.upsertBatch(t, Seq((1L, "A")).toDF("id", "v"), Seq("id"))
+    assert(spark.sql(s"SELECT v FROM $t ORDER BY id").collect()
+      .map(_.getString(0)).toSeq === Seq("A", "b"))
+    SnapshotUpsert.replaceByKey(t, Seq((3L, "c")).toDF("id", "v"),
+      Seq(2L).toDF("id"), Seq("id"))
+    assert(spark.sql(s"SELECT id, v FROM $t ORDER BY id").collect().toSeq ===
+      Seq(Row(1L, "A"), Row(3L, "c")))
+  }
+
   test("spec strings parse and validate; a retired spec's source column " +
       "can later be renamed without orphaning old files") {
     val t = fresh("v")

@@ -133,6 +133,81 @@ object CatalogBench {
     (s, dir) => pricingSummary(s, ensureOneFile(s, dir)),
     Some(pricingOracle))
 
+  /** Build-or-reuse the ROW-DECODE twin of cat01: same fixture rows, same
+    * parquet layout, `read.vectorized=false` — the A/B that isolates the
+    * vectorized ColumnarBatch decode win from everything else (cat01 vs
+    * cat05 differ ONLY in the decode inner loop). */
+  private def ensureRowDecode(s: SparkSession, dir: String): String = {
+    val name = "graft_snap.bench.lineitem_rowdecode"
+    val src = Tables.lineitem(s, dir)
+    val expected = src.count()
+    val current = SnapshotStore
+      .resolve(SnapshotStore.keyOf("graft_snap", Seq("bench", "lineitem_rowdecode")))
+      .map(_.currentFiles.map(_.rowCount).sum)
+    if (!current.contains(expected)) {
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.bench")
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      src.repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .writeTo(name)
+        .tableProperty("write.format", "parquet")
+        .tableProperty("read.vectorized", "false")
+        .create()
+    }
+    name
+  }
+
+  /** The cat01 scan with vectorized decode DISABLED — the row-at-a-time
+    * parquet baseline. BASELINE.md carries the cat01:cat05 ratio; the
+    * answer is byte-identical to cat01's. */
+  val cat05ScanRowDecode = Q(
+    "cat05_scan_rowdecode",
+    (s, dir) => pricingSummary(s, ensureRowDecode(s, dir)),
+    Some(pricingOracle))
+
+  /** RAW-SCAN shape: every column of the table decoded, aggregates kept
+    * deliberately cheap and exact (count, integer sums, min/max — no
+    * per-row decimal casts), so wall time ≈ decode time. This is the
+    * shape that isolates the vectorized-vs-row decode ratio that cat01's
+    * decimal-heavy aggregation masks. */
+  private def rawScan(s: SparkSession, table: String) =
+    s.table(table).agg(
+      count(lit(1)).as("n"),
+      sum("l_orderkey").as("sum_okey"),
+      sum("l_partkey").as("sum_pkey"),
+      sum("l_suppkey").as("sum_skey"),
+      sum("l_linenumber").as("sum_ln"),
+      min("l_quantity").as("min_qty"),
+      max("l_extendedprice").as("max_price"),
+      min("l_discount").as("min_disc"),
+      max("l_tax").as("max_tax"),
+      min("l_returnflag").as("min_rf"),
+      max("l_linestatus").as("max_ls"),
+      min("l_shipdate").as("min_ship"),
+      max("l_shipdate").as("max_ship"))
+
+  private val rawOracle = """SELECT count(*) AS n,
+      sum(l_orderkey) AS sum_okey, sum(l_partkey) AS sum_pkey,
+      sum(l_suppkey) AS sum_skey, sum(l_linenumber) AS sum_ln,
+      min(l_quantity) AS min_qty, max(l_extendedprice) AS max_price,
+      min(l_discount) AS min_disc, max(l_tax) AS max_tax,
+      min(l_returnflag) AS min_rf, max(l_linestatus) AS max_ls,
+      min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+    FROM lineitem"""
+
+  /** All-column raw scan, vectorized decode (the default). */
+  val cat06RawScan = Q(
+    "cat06_rawscan_vectorized",
+    (s, dir) => rawScan(s, ensureLineitem(s, dir, "parquet")),
+    Some(rawOracle))
+
+  /** The identical raw scan with `read.vectorized=false` — BASELINE.md
+    * carries the cat06:cat07 decode ratio (the round-14 A/B). */
+  val cat07RawScanRow = Q(
+    "cat07_rawscan_rowdecode",
+    (s, dir) => rawScan(s, ensureRowDecode(s, dir)),
+    Some(rawOracle))
+
   val all: Seq[Q] = Seq(cat01ScanParquet, cat02ScanGrf, cat03StatsSkip,
-    cat04ScanSplit)
+    cat04ScanSplit, cat05ScanRowDecode, cat06RawScan, cat07RawScanRow)
 }

@@ -821,16 +821,30 @@ object Governance {
           "CAST(s_nationkey AS INT) AS nk")
         .writeTo(t).append()
       Tables.nation(s, dir).createOrReplaceTempView("m14_nation_src")
-      val q = s.sql(
-        s"""SELECT n.n_name, count(*) AS n_supp,
-           |  CAST(sum(CAST(f.s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
-           |FROM $t f JOIN m14_nation_src n ON f.nk = n.n_nationkey
-           |WHERE n.n_regionkey IN (1, 2)
-           |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
-      require(q.queryExecution.executedPlan.toString
-          .contains("RuntimeFilters: [dynamicpruning"),
-        "dynamic partition pruning did not engage on the fact scan")
-      q
+      // The fact scan reports HONEST manifest statistics (hundreds of
+      // rows at fixture scale), so DPP's benefit heuristic — ratio ×
+      // fact bytes > dim bytes — would rightly skip pruning a fact
+      // smaller than its dimension. Production facts dwarf dims by
+      // 10^6×; pin the ratio so the gate keeps proving the mechanism
+      // (see m21 for the full rationale).
+      val ratioKey =
+        "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio"
+      val prev = s.conf.getOption(ratioKey)
+      s.conf.set(ratioKey, "1000000")
+      try {
+        val q = s.sql(
+          s"""SELECT n.n_name, count(*) AS n_supp,
+             |  CAST(sum(CAST(f.s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+             |FROM $t f JOIN m14_nation_src n ON f.nk = n.n_nationkey
+             |WHERE n.n_regionkey IN (1, 2)
+             |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+        require(q.queryExecution.executedPlan.toString
+            .contains("RuntimeFilters: [dynamicpruning"),
+          "dynamic partition pruning did not engage on the fact scan")
+        q
+      } finally {
+        prev.fold(s.conf.unset(ratioKey))(s.conf.set(ratioKey, _))
+      }
     },
     Some("""SELECT n.n_name, count(*) AS n_supp,
         CAST(sum(CAST(s.s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
@@ -1153,11 +1167,79 @@ object Governance {
         AND ts < TIMESTAMP '2024-01-16 00:00:00'
       GROUP BY event_type ORDER BY event_type"""))
 
+  /** Star join where BOTH sides live in the snapshot catalog — the shape
+    * the catalog's `SupportsReportStatistics` surface exists for. Without
+    * reported statistics a V2 relation costs `spark.sql.defaultSizeInBytes`
+    * (≈ infinite), so a 25-row catalog dimension could never STATICALLY
+    * plan as the broadcast side and dynamic partition pruning (which
+    * reuses that broadcast) never engages; m14 only passed because its
+    * dimension was a raw-parquet temp view. Here the dimension is a
+    * catalog table: the in-query asserts pin (a) the dim side planned
+    * BroadcastHashJoin from manifest-reported sizes alone and (b) the
+    * fact scan carrying the dynamic-pruning runtime filter. The oracle is
+    * the same join over raw parquet — stats must be invisible in the
+    * answer.
+    *
+    * The fallbackFilterRatio pin models production selectivity: DPP's
+    * benefit heuristic compares `ratio × fact-scan bytes` against the
+    * dim's scan bytes, and at fixture scale the honest fact estimate
+    * (hundreds of rows) is SMALLER than the dim's parquet footprint —
+    * at 100 TB the fact dwarfs the dim by 10^6×. Pinning the ratio for
+    * the gate keeps the MECHANISM proven while the cost model stays
+    * honest for real scans. */
+  val m21CatalogDimStar = Q(
+    "m21_catalog_dim_star",
+    (s, dir) => {
+      val fact = "graft_snap.gov.supplier_m21"
+      val dim = "graft_snap.gov.nation_m21"
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.gov")
+      s.sql(s"DROP TABLE IF EXISTS $fact")
+      s.sql(s"DROP TABLE IF EXISTS $dim")
+      s.sql(s"""CREATE TABLE $fact (
+        s_suppkey BIGINT, s_name STRING, s_acctbal DOUBLE, nk INT)
+        PARTITIONED BY (nk)""")
+      Tables.supplier(s, dir)
+        .selectExpr("s_suppkey", "s_name", "s_acctbal",
+          "CAST(s_nationkey AS INT) AS nk")
+        .writeTo(fact).append()
+      s.sql(s"CREATE TABLE $dim (n_nationkey INT, n_name STRING, n_regionkey BIGINT)")
+      Tables.nation(s, dir)
+        .selectExpr("CAST(n_nationkey AS INT) AS n_nationkey", "n_name",
+          "n_regionkey")
+        .writeTo(dim).append()
+      val ratioKey =
+        "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio"
+      val prev = s.conf.getOption(ratioKey)
+      s.conf.set(ratioKey, "1000000")
+      try {
+        val q = s.sql(
+          s"""SELECT n.n_name, count(*) AS n_supp,
+             |  CAST(sum(CAST(f.s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+             |FROM $fact f JOIN $dim n ON f.nk = n.n_nationkey
+             |WHERE n.n_regionkey IN (1, 2)
+             |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+        val plan = q.queryExecution.executedPlan.toString
+        require(plan.contains("RuntimeFilters: [dynamicpruning"),
+          "dynamic partition pruning did not engage on the catalog fact scan")
+        require(plan.contains("BroadcastHashJoin"),
+          "the catalog dimension did not plan as the broadcast side")
+        q
+      } finally {
+        prev.fold(s.conf.unset(ratioKey))(s.conf.set(ratioKey, _))
+      }
+    },
+    Some("""SELECT n.n_name, count(*) AS n_supp,
+        CAST(sum(CAST(s.s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_regionkey IN (1, 2)
+      GROUP BY n.n_name ORDER BY n.n_name"""))
+
   val all: Seq[Q] = Seq(
     m01MergeUpsert, m02Scd2History, m03IncrementalRefresh, m04SnapshotDiff,
     m05SqlMerge, m06SqlUpdateDelete, m07TimeTravel, m08ChangeFeed,
     m09IncrementalMaint, m10PartitionedCow, m11ChangeFeedPruned,
     m12MetadataHistory, m13MergeOnRead, m14DppStar, m15ChangesRelation,
     m16WapPublish, m17ChangesMaint, m18EqualityUpsert, m19UpsertChanges,
-    m20HiddenPartitioning, a01QualityAudit, z01ZorderLayout)
+    m20HiddenPartitioning, m21CatalogDimStar, a01QualityAudit,
+    z01ZorderLayout)
 }

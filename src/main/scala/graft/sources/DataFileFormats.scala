@@ -315,30 +315,34 @@ private[sources] object DataFiles {
     override def close(): Unit = reader.close()
   }
 
+  /** Read-side parquet conf: request the columns under their FILE-relative
+    * names (write-time names, or a sentinel no column bears for fields the
+    * file predates → NULL-padded by the clipped-schema read path), and pin
+    * the Spark-SQL keys the read-side schema converter asserts on — the
+    * session Hadoop conf carries only EXPLICITLY-SET SQL entries, so any
+    * the session left implicit must get their Spark defaults here. */
+  private def readConf(conf: Configuration, requested: StructType): Configuration = {
+    val c = new Configuration(conf)
+    c.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, requested.json)
+    c.setIfUnset("spark.sql.parquet.binaryAsString", "false")
+    c.setIfUnset("spark.sql.parquet.int96AsTimestamp", "true")
+    c.setIfUnset("spark.sql.caseSensitive", "false")
+    c.setIfUnset("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    c.setIfUnset("spark.sql.legacy.parquet.nanosAsLong", "false")
+    c.setIfUnset("spark.sql.parquet.fieldId.read.enabled", "false")
+    c.setIfUnset("spark.sql.parquet.ignoreVariantAnnotation", "false")
+    c.setIfUnset(
+      "spark.sql.parquet.reader.respectUnknownTypeAnnotation.enabled", "false")
+    c
+  }
+
   /** Parquet through Spark's ReadSupport: the requested catalyst schema is
     * pushed into the parquet layer, so only those columns are DECODED —
     * the columnar win the `.grf` stream could never give. */
   private final class ParquetStream(path: String, split: Split,
       projection: Projection, conf: Configuration) extends DataStream {
     private val reader = {
-      val c = new Configuration(conf)
-      // Request the columns under their FILE-relative names (write-time
-      // names, or a sentinel no column bears for fields the file predates
-      // → NULL-padded by the clipped-schema read path).
-      c.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA,
-        projection.parquetSchema.json)
-      // The session Hadoop conf carries only EXPLICITLY-SET SQL entries;
-      // the read-side schema converter requires these — pin Spark defaults
-      // for any the session left implicit.
-      c.setIfUnset("spark.sql.parquet.binaryAsString", "false")
-      c.setIfUnset("spark.sql.parquet.int96AsTimestamp", "true")
-      c.setIfUnset("spark.sql.caseSensitive", "false")
-      c.setIfUnset("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
-      c.setIfUnset("spark.sql.legacy.parquet.nanosAsLong", "false")
-      c.setIfUnset("spark.sql.parquet.fieldId.read.enabled", "false")
-      c.setIfUnset("spark.sql.parquet.ignoreVariantAnnotation", "false")
-      c.setIfUnset(
-        "spark.sql.parquet.reader.respectUnknownTypeAnnotation.enabled", "false")
+      val c = readConf(conf, projection.parquetSchema)
       val b = ParquetReader.builder(new ParquetReadSupport, new Path(path))
         .withConf(c)
       if (split.byteStart > 0L || split.byteEnd != Long.MaxValue)
@@ -363,6 +367,85 @@ private[sources] object DataFiles {
       out
     }
     override def close(): Unit = reader.close()
+  }
+
+  /** Is `dt` decodable by Spark's vectorized parquet reader? (The batch
+    * path below; everything else stays on the row stream.) */
+  def vectorizable(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | StringType | BinaryType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
+    case a: ArrayType => vectorizable(a.elementType)
+    case m: MapType => vectorizable(m.keyType) && vectorizable(m.valueType)
+    case s: StructType => s.fields.forall(f => vectorizable(f.dataType))
+    case _ => false
+  }
+
+  /** VECTORIZED parquet read of one split: Spark's own
+    * [[VectorizedParquetRecordReader]] decodes the requested columns
+    * straight into [[org.apache.spark.sql.vectorized.ColumnarBatch]]es —
+    * column-at-a-time decode with dictionary/RLE fast paths, several times
+    * faster than the row-at-a-time [[ParquetStream]] loop, and the batch
+    * hands whole-stage codegen its columnar input (`ColumnarToRow` spans).
+    * At 100 TB every catalog-table query is decode-bound; this is the
+    * inner loop that pays for it.
+    *
+    * Planned ONLY when the scan needs no per-row weaving (see
+    * `MemScan.columnarEligible`): no position/equality deletes, no
+    * `_file`/`_pos` metadata columns, no type-widening up-casts, every
+    * requested type [[vectorizable]]. Requested columns missing from the
+    * file (written before an ADD COLUMN, or the `_graft_absent_` sentinel
+    * after a DROP/RENAME) come back as all-NULL vectors — the same
+    * clipped-schema semantics as the row path.
+    *
+    * Rebase modes are pinned CORRECTED/UTC: every catalog data file is
+    * written by [[ParquetRowFileWriter]] (Spark's write support,
+    * `datetimeRebaseModeInWrite=CORRECTED`), so there are no legacy-hybrid
+    * calendars to rebase — this reader never sees foreign files.
+    *
+    * Row-group selection: `initialize` hands the byte range to parquet's
+    * midpoint filter, while the planner cut ranges exactly on recorded
+    * group boundaries — a group's midpoint falls inside a range iff the
+    * group starts inside it, so the two views agree split-for-split with
+    * the row path. */
+  final class ParquetBatchStream(path: String, split: Split,
+      projection: Projection, conf: Configuration, capacity: Int) {
+    require(projection.casts == null,
+      "vectorized read is only planned for never-widened projections")
+    private val reader = {
+      val c = readConf(conf, projection.parquetSchema)
+      // initialize(split, ctx) instantiates the ReadSupport from conf
+      // (the row path hands an instance to the builder instead).
+      c.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+        classOf[ParquetReadSupport].getName)
+      val r = new org.apache.spark.sql.execution.datasources.parquet
+        .VectorizedParquetRecordReader(
+          null, "CORRECTED", "UTC", "CORRECTED", "UTC",
+          /* useOffHeap = */ false, capacity)
+      var ok = false
+      try {
+        // byteEnd == MaxValue marks a whole-file read: clamp the length so
+        // start + length cannot overflow past MaxValue inside parquet.
+        val len =
+          if (split.byteEnd == Long.MaxValue) Long.MaxValue - split.byteStart
+          else split.byteEnd - split.byteStart
+        r.initialize(
+          // the reader casts to the OLD-API split class internally
+          new org.apache.hadoop.mapred.FileSplit(
+            new Path(path), split.byteStart, len, Array.empty[String]),
+          new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+            c, new org.apache.hadoop.mapreduce.TaskAttemptID()))
+        r.initBatch(new StructType(), InternalRow.empty)
+        r.enableReturningBatches()
+        ok = true
+        r
+      } finally if (!ok) r.close()
+    }
+    def next(): Boolean = reader.nextKeyValue()
+    def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+      reader.getCurrentValue.asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+    def close(): Unit = reader.close()
   }
 
   // -- per-file column stats -----------------------------------------------------

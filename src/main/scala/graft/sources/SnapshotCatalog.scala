@@ -17,7 +17,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform, Expression => VExpression, Literal => VLiteral}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsPushDownV2Filters, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsPushDownV2Filters, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -2099,7 +2099,8 @@ private[sources] final class MemTable(fullName: String, k: String,
       // the SCAN schema (the pinned snapshot's for time travel), so a
       // pre-widen pin reads old files natively with no override.
       typeHist = st.typeHistory,
-      specPruning = SnapshotStore.specPruningOf(st))
+      specPruning = SnapshotStore.specPruningOf(st),
+      vectorized = ScanSplits.vectorizedEnabled(props))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -2964,7 +2965,11 @@ private[sources] final class MemScanBuilder(fullSchema: StructType,
       * manifest-list filtering). */
     chunked: Option[(Vector[MetadataLog.ChunkEntry],
       String => Vector[SnapshotStore.DataFile],
-      Map[Int, Map[String, (Int, DataType)]])] = None)
+      Map[Int, Map[String, (Int, DataType)]])] = None,
+    /** Table property `read.vectorized` (default true): the operational
+      * off-switch for batch decode — and the bench lane's row-decode
+      * twin (cat05). */
+    vectorized: Boolean = true)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownV2Filters {
   private val statCols = StatsPredicates.statCols(fullSchema)
@@ -3035,7 +3040,7 @@ private[sources] final class MemScanBuilder(fullSchema: StructType,
     }
     new MemScan(fullSchema, required, retained, streamKey, maxVersionsPerTrigger,
       startingVersion, deletes, partCols, splitTargetBytes, eqDeletes,
-      typeHist = typeHist, specPruning = specPruning)
+      typeHist = typeHist, specPruning = specPruning, vectorized = vectorized)
   }
 }
 
@@ -3070,6 +3075,10 @@ private[sources] object ScanSplits {
   def targetBytes(props: Map[String, String]): Long =
     props.get("read.split.target-bytes").map(_.toLong)
       .getOrElse(DefaultTargetBytes)
+
+  /** `read.vectorized` table property — batch decode on by default. */
+  def vectorizedEnabled(props: Map[String, String]): Boolean =
+    props.get("read.vectorized").forall(_.toBoolean)
 
   def partitions(files: Vector[SnapshotStore.DataFile],
       deletes: Map[String, Vector[String]],
@@ -3271,7 +3280,14 @@ private[sources] object MemReaders {
     * downstream operators copy what they keep). */
   def factory(fullSchema: StructType, required: StructType,
       fsConf: org.apache.spark.util.SerializableConfiguration,
-      typeHist: Map[Int, Vector[(Long, DataType)]] = Map.empty): PartitionReaderFactory = {
+      typeHist: Map[Int, Vector[(Long, DataType)]] = Map.empty,
+      /** Plan VECTORIZED reads: the scan proved every partition needs no
+        * per-row weaving (`MemScan.columnarEligible`), so each task
+        * decodes straight to ColumnarBatch ([[DataFiles.ParquetBatchStream]]).
+        * `capacity` is the driver-resolved batch row count
+        * (`spark.sql.parquet.columnarReaderBatchSize`). */
+      columnar: Boolean = false,
+      capacity: Int = 4096): PartitionReaderFactory = {
     val dataSchema = StructType(required.fields.filter(f =>
       f.name != MemTable.FileColumnName && f.name != MemTable.PosColumnName))
     // Each required field: -1 = `_file`, -2 = `_pos`, else index into the
@@ -3284,7 +3300,27 @@ private[sources] object MemReaders {
         case _ => di += 1; di
       }
     }
-    (partition: InputPartition) => {
+    new PartitionReaderFactory {
+      override def supportColumnarReads(p: InputPartition): Boolean = columnar
+
+      override def createColumnarReader(partition: InputPartition):
+          PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+        val part = partition.asInstanceOf[MemFilePartition]
+        // Columnar is only planned when nothing applies per row (no
+        // deletes, no eq probes, no metadata columns, no widening), so
+        // `required` IS the stream shape and the batch passes through.
+        val proj = DataFiles.projectionFor(fullSchema, required, part.writeCols)
+        val stream = new DataFiles.ParquetBatchStream(part.path, part.split,
+          proj, fsConf.value, capacity)
+        new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+          override def next(): Boolean = stream.next()
+          override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+            stream.get()
+          override def close(): Unit = stream.close()
+        }
+      }
+
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
       val part = partition.asInstanceOf[MemFilePartition]
       new PartitionReader[InternalRow] {
         // Equality deletes probe key columns the projection may have
@@ -3342,6 +3378,7 @@ private[sources] object MemReaders {
           out
         }
         override def close(): Unit = stream.close()
+      }
       }
     }
   }
@@ -3451,12 +3488,42 @@ private[sources] final class MemScan(fullSchema: StructType,
     eqDeletes: Vector[SnapshotStore.DeleteFile] = Vector.empty,
     typeHist: Map[Int, Vector[(Long, DataType)]] = Map.empty,
     specPruning: Map[Int, (PartitionPredicates.PartCols, Seq[TransformPruning.TField])] =
-      Map.empty)
-    extends Scan with Batch with SupportsRuntimeV2Filtering {
+      Map.empty,
+    vectorized: Boolean = true)
+    extends Scan with Batch with SupportsRuntimeV2Filtering
+    with SupportsReportStatistics {
   private var files = initial
   private def pcOf(f: SnapshotStore.DataFile): PartitionPredicates.PartCols =
     if (specPruning.isEmpty) partCols
     else specPruning.get(f.specId).map(_._1).getOrElse(partCols)
+
+  /** PLANNER statistics from the manifest entries this scan already holds
+    * (Iceberg's `SparkScan.estimateStatistics` surface): row count is the
+    * descriptors' exact physical sum, size is rowCount × the unencoded
+    * width of the REQUIRED projection — the in-memory estimate join
+    * planning compares against `autoBroadcastJoinThreshold` (raw disk
+    * bytes would under-report snappy-compressed columns and over-trigger
+    * broadcasts). Because the scan was built AFTER pushdown pruned
+    * `files`, the estimate tightens with every pushed predicate — a
+    * filtered dimension reports its filtered size. Without this, the
+    * relation falls back to `spark.sql.defaultSizeInBytes` (≈ infinite):
+    * a 25-row dimension in the catalog could never statically broadcast,
+    * and at 100 TB the star-join plan is wrong by default.
+    *
+    * Merge-on-read tables over-count rows still masked by delete files —
+    * statistics are planner estimates, over-counting is the conservative
+    * direction (Iceberg reports the same pre-delete counts). */
+  override def estimateStatistics(): Statistics = {
+    val rows = files.map(_.rowCount).sum
+    val width = 8L + required.fields.map(_.dataType.defaultSize.toLong).sum
+    val size = math.max(rows * width, 1L)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(size)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -3494,8 +3561,30 @@ private[sources] final class MemScan(fullSchema: StructType,
     ScanSplits.partitions(files, deletes, splitTargetBytes, eqDeletes,
       SnapshotStore.idTypes(fullSchema))
 
+  /** Can EVERY partition of this scan decode vectorized? Columnar and
+    * row partitions cannot mix inside one scan (Spark's
+    * PARTITION_DEFINED contract), so the decision is scan-global and
+    * conservative, over the pre-runtime-filter `initial` set (runtime
+    * filtering only removes files — a uniformly eligible set stays
+    * eligible). Requirements: parquet files only, no position/equality
+    * deletes (per-row skip), no `_file`/`_pos` metadata weaving, no
+    * type-widening up-casts for any file, every requested type
+    * vectorizable, and a non-empty projection (zero-column count scans
+    * keep the row stream). */
+  private def columnarEligible: Boolean =
+    vectorized &&
+      deletes.isEmpty && eqDeletes.isEmpty && required.fields.nonEmpty &&
+      required.fields.forall(f =>
+        f.name != MemTable.FileColumnName && f.name != MemTable.PosColumnName &&
+          DataFiles.vectorizable(f.dataType)) &&
+      initial.forall(f => f.path.endsWith(".parquet") &&
+        MemReaders.widenOverrides(typeHist, required, f.seq).isEmpty)
+
   override def createReaderFactory(): PartitionReaderFactory =
-    MemReaders.factory(fullSchema, required, RowFiles.sessionConf(), typeHist)
+    MemReaders.factory(fullSchema, required, RowFiles.sessionConf(), typeHist,
+      columnar = columnarEligible,
+      capacity = org.apache.spark.sql.internal.SQLConf.get
+        .parquetVectorizedReaderBatchSize)
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =

@@ -1,0 +1,172 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** VECTORIZED catalog scans: parquet data files decode through Spark's
+  * ColumnarBatch reader (DataFiles.ParquetBatchStream) whenever no per-row
+  * weaving applies; every shape that DOES need per-row work (merge-on-read
+  * deletes, equality deletes, `_file`/`_pos` metadata, type widening, grf
+  * files) falls back to the row stream — and both paths must agree
+  * value-for-value. The A/B throughput claim lives in BASELINE/BENCH
+  * (cat01 vs cat02); this suite pins plan shape + exactness. */
+class VectorizedScanSuite extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val cat = "graft_snap"
+
+  private def fresh(name: String): String = {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.vec")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.vec.$name")
+    s"$cat.vec.$name"
+  }
+
+  /** Do ALL snapshot-catalog scans in `df`'s plan decode columnar? */
+  private def scansColumnar(df: DataFrame): Boolean = {
+    val scans = df.queryExecution.sparkPlan.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty, s"no BatchScanExec in:\n${df.queryExecution.sparkPlan}")
+    scans.forall(_.supportsColumnar)
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("plain parquet table scans columnar and matches the source") {
+    val t = fresh("basic")
+    val src = spark.range(0, 5000)
+      .selectExpr("id", "CAST(id % 7 AS INT) AS small",
+        "CAST(id AS DOUBLE) / 3 AS d", "concat('s', id % 11) AS s",
+        "CAST(id AS DECIMAL(12,2)) AS dec",
+        "timestamp_micros(1700000000000000 + id * 1000000) AS ts",
+        "date_add(DATE '2024-01-01', CAST(id % 300 AS INT)) AS dt",
+        "CASE WHEN id % 5 = 0 THEN NULL ELSE id * 2 END AS maybe")
+    src.writeTo(t).create()
+    val read = spark.table(t)
+    assert(scansColumnar(read), "plain parquet scan should be columnar")
+    assert(sortedRows(read) === sortedRows(src))
+  }
+
+  test("nested types (array/struct/map) scan columnar and exact") {
+    val t = fresh("nested")
+    val src = spark.range(0, 500)
+      .selectExpr("id", "array(id, id + 1, id + 2) AS arr",
+        "named_struct('a', id, 'b', concat('x', id)) AS st",
+        "map(concat('k', id % 3), id) AS mp")
+    src.writeTo(t).create()
+    val read = spark.table(t)
+    assert(scansColumnar(read))
+    assert(sortedRows(read) === sortedRows(src))
+  }
+
+  test("split-planned big file stays columnar, split-for-split exact") {
+    val t = fresh("splits")
+    spark.sql(s"""CREATE TABLE $t (id BIGINT, v DOUBLE)
+      TBLPROPERTIES ('write.parquet.row-group-bytes'='65536',
+                     'read.split.target-bytes'='65536')""")
+    spark.range(0, 200000).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+      .coalesce(1).writeTo(t).append()
+    val read = spark.table(t)
+    assert(read.rdd.getNumPartitions > 1,
+      "fixture must split into multiple tasks for the pin to mean anything")
+    assert(scansColumnar(read))
+    val agg = read.agg(count(lit(1)), sum("v")).head()
+    assert(agg.getLong(0) === 200000L)
+    assert(agg.getDouble(1) === (0L until 200000L).map(_.toDouble).sum)
+  }
+
+  test("columns added after a write read as NULL vectors, still columnar") {
+    val t = fresh("addcol")
+    spark.range(0, 100).selectExpr("id").writeTo(t).create()
+    spark.sql(s"ALTER TABLE $t ADD COLUMN extra DOUBLE")
+    spark.range(100, 200).selectExpr("id", "CAST(id AS DOUBLE) AS extra")
+      .writeTo(t).append()
+    val read = spark.table(t)
+    assert(scansColumnar(read))
+    assert(read.count() === 200)
+    assert(read.filter(col("extra").isNull).count() === 100)
+  }
+
+  test("renamed column resolves by field id in the batch path") {
+    val t = fresh("rename")
+    spark.range(0, 100).selectExpr("id", "id * 2 AS v").writeTo(t).create()
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO w")
+    spark.range(100, 200).selectExpr("id", "id * 2 AS w").writeTo(t).append()
+    val read = spark.table(t).select("w")
+    assert(scansColumnar(read))
+    assert(sortedRows(read) === (0L until 200L).map(i => s"[${i * 2}]").sorted)
+  }
+
+  test("merge-on-read deletes fall back to the row path, same answer") {
+    val t = fresh("mor")
+    spark.sql(s"""CREATE TABLE $t (id BIGINT, v BIGINT)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    spark.range(0, 1000).selectExpr("id", "id AS v").writeTo(t).append()
+    val before = spark.table(t)
+    assert(scansColumnar(before), "pre-delete scan should be columnar")
+    spark.sql(s"DELETE FROM $t WHERE id % 10 = 3")
+    val after = spark.table(t)
+    assert(!scansColumnar(after),
+      "a scan weaving position deletes must stay on the row path")
+    assert(after.count() === 900)
+    assert(after.filter(col("id") % 10 === 3).count() === 0)
+  }
+
+  test("type-widened history falls back to the row path, same answer") {
+    val t = fresh("widen")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v INT)")
+    spark.range(0, 100).selectExpr("id", "CAST(id AS INT) AS v")
+      .writeTo(t).append()
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN v TYPE BIGINT")
+    spark.range(100, 200).selectExpr("id", "id AS v").writeTo(t).append()
+    val read = spark.table(t)
+    assert(!scansColumnar(read),
+      "pre-widen files need an up-cast — row path required")
+    assert(read.agg(sum("v")).head().getLong(0) === (0L until 200L).sum)
+  }
+
+  test("grf-format tables keep the row stream") {
+    val t = fresh("grf")
+    spark.sql(s"CREATE TABLE $t (id BIGINT) TBLPROPERTIES ('write.format'='grf')")
+    spark.range(0, 100).writeTo(t).append()
+    val read = spark.table(t)
+    assert(!scansColumnar(read))
+    assert(read.count() === 100)
+  }
+
+  test("_file/_pos metadata columns keep the row stream") {
+    val t = fresh("meta")
+    spark.range(0, 100).writeTo(t).create()
+    val read = spark.table(t).select(col("id"), col("_pos"))
+    assert(!scansColumnar(read))
+    assert(read.agg(max("_pos")).head().getLong(0) >= 0)
+  }
+
+  test("read.vectorized=false property forces the row stream") {
+    val t = fresh("novec")
+    spark.sql(s"CREATE TABLE $t (id BIGINT) TBLPROPERTIES ('read.vectorized'='false')")
+    spark.range(0, 100).writeTo(t).append()
+    assert(!scansColumnar(spark.table(t)))
+    assert(spark.table(t).count() === 100)
+  }
+
+  test("columnar and row paths agree on a ranged split boundary") {
+    val t = fresh("boundary")
+    spark.sql(s"""CREATE TABLE $t (id BIGINT, s STRING)
+      TBLPROPERTIES ('write.parquet.row-group-bytes'='32768',
+                     'read.split.target-bytes'='32768')""")
+    spark.range(0, 50000).selectExpr("id", "concat('v', id) AS s")
+      .coalesce(1).writeTo(t).append()
+    // Row-path twin: the same table with `_pos` COLLECTED (dropping it
+    // pre-collect would let the optimizer prune it back out and re-plan
+    // columnar) — identical physical files, both decoders.
+    val columnar = spark.table(t).selectExpr("id", "s")
+    val row = spark.table(t).selectExpr("id", "s", "_pos")
+    assert(scansColumnar(columnar) && !scansColumnar(row))
+    val a = columnar.collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val b = row.collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(a.length === 50000 && a.sameElements(b))
+  }
+}

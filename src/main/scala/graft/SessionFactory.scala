@@ -54,6 +54,19 @@ object SessionFactory {
       // nanosecond long; Tables.events converts via `ts div 1000` →
       // timestamp_micros, matching DuckDB's truncating ns→µs read exactly.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The engine's session extensions: custom SQL functions, the skyline
+      // strategy, and the catalog-view / partition-field-evolution SQL
+      // dialect (the role IcebergSparkSessionExtensions plays in the
+      // reference's bootstrap, create_iceberg_tables.py:121-128).
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // STORAGE-PARTITIONED JOINS: recognize V2 scans' KeyGroupedPartitioning
+      // (off upstream by default). Tables opt into reporting it via
+      // 'read.preserve-partitioning'; push-part-values pinned so two
+      // same-spec tables with non-identical live partition-value sets
+      // still co-locate (empty groups ride along instead of forcing a
+      // shuffle fallback).
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       // The engine's versioned V2 catalog: statement-level MERGE/UPDATE/
       // DELETE (SupportsRowLevelOperations) and VERSION/TIMESTAMP AS OF
       // time travel — the role IcebergSparkSessionExtensions + a Glue

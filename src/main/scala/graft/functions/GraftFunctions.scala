@@ -77,5 +77,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Conf-gated (off by default): transparent ghost-replication rewrite of
     // low-parallelism trailing-range windows.
     ext.injectOptimizerRule(_ => graft.plans.GhostedRangeWindowRewrite)
+    // SQL views + ALTER ... ADD/DROP PARTITION FIELD on the snapshot
+    // catalog: parse-time intercept (Spark 4.1 hard-rejects non-session
+    // CreateView in analysis), read-time view expansion, and the planner
+    // strategy executing the intercepted commands. See
+    // graft.plans.GraftSqlExtensions.
+    ext.injectParser((_, parser) => new graft.plans.GraftSqlParser(parser))
+    ext.injectResolutionRule(session => graft.plans.GraftViewReads(session))
+    ext.injectPlannerStrategy(_ => graft.plans.GraftViewStrategy)
   }
 }

@@ -1,0 +1,329 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, InternalRow, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.{CTESubstitution, RelationTimeTravel, UnresolvedIdentifier, UnresolvedRelation, UnresolvedSubqueryColumnAliases}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Cast, Expression, Literal}
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LeafCommand, LogicalPlan, SubqueryAlias, UnaryCommand}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{DataType, StructType, TimestampType}
+
+import graft.sources.{GraftView, SnapshotCatalog}
+
+/** The SQL surface Spark 4.1 does not route to V2 catalogs natively,
+  * carried through session extensions exactly the way Iceberg's runtime
+  * carries it (`IcebergSparkSessionExtensions`: parser + resolution rule +
+  * planner strategy):
+  *
+  *   - `CREATE [OR REPLACE] VIEW cat.ns.v AS …` / `DROP VIEW` — Spark's
+  *     `ResolveSessionCatalog` throws `missingCatalogViewsAbilityError`
+  *     for ANY non-session `CreateView` (there is no V2 CreateViewExec in
+  *     4.1), so the statements are intercepted at PARSE time, before that
+  *     rule can see them, and re-planned onto the catalog's `ViewCatalog`
+  *     face. Reads expand eagerly in [[GraftViewReads]].
+  *   - `ALTER TABLE t ADD/DROP PARTITION FIELD <transform>` — Iceberg's
+  *     spec-evolution dialect; Spark's grammar rejects it, so the parse
+  *     failure falls through to a hand parser that routes to the SAME
+  *     `evolvePartitionSpec` mechanism as
+  *     `CALL cat.system.evolve_partition_spec`.
+  */
+final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val plan =
+      try delegate.parsePlan(sqlText)
+      catch {
+        case e: ParseException =>
+          GraftAlterPartitionField.parse(sqlText, delegate).getOrElse(throw e)
+      }
+    rewriteViewCommands(plan)
+  }
+
+  /** Reroute view DDL aimed at a graft catalog; session-catalog view DDL
+    * (temp views, spark_catalog) passes through untouched. */
+  private def rewriteViewCommands(plan: LogicalPlan): LogicalPlan = plan match {
+    case cv @ CreateView(UnresolvedIdentifier(parts, _), cols, _, _, props,
+        originalText, query, allowExisting, replace, _)
+        if GraftCatalogs.owns(parts) =>
+      GraftCreateView(parts, cols.map(_._1), props, originalText, query,
+        allowExisting, replace)
+    case dv @ DropView(UnresolvedIdentifier(parts, _), ifExists)
+        if GraftCatalogs.owns(parts) =>
+      GraftDropView(parts, ifExists)
+    case other => other
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+/** Which multipart identifiers belong to a [[SnapshotCatalog]]? Decided
+  * from the ACTIVE session's catalog manager (parse time has a session:
+  * `sql()` sets it). Head-qualified names only — the engine's sessions
+  * keep `spark_catalog` current, so graft views are always written
+  * catalog-qualified. */
+private[plans] object GraftCatalogs {
+  def owns(parts: Seq[String]): Boolean =
+    parts.length >= 2 && resolve(parts.head).isDefined
+
+  def resolve(name: String): Option[SnapshotCatalog] =
+    SparkSession.getActiveSession.flatMap { s =>
+      val cm = s.sessionState.catalogManager
+      try {
+        if (!cm.isCatalogRegistered(name)) None
+        else cm.catalog(name) match {
+          case c: SnapshotCatalog => Some(c)
+          case _ => None
+        }
+      } catch { case _: Exception => None }
+    }
+
+  /** (catalog, namespace-qualified Identifier) of `parts`. */
+  def identOf(parts: Seq[String]): (SnapshotCatalog, Identifier) = {
+    val cat = resolve(parts.head).getOrElse(sys.error(
+      s"'${parts.head}' is not a graft snapshot catalog"))
+    (cat, Identifier.of(parts.tail.init.toArray, parts.last))
+  }
+}
+
+/** `CREATE [OR REPLACE] VIEW` on a graft catalog. The query rides as the
+  * child so the analyzer RESOLVES it before execution — a definition that
+  * does not analyze never lands in the log, and its analyzed schema is
+  * what the log stores. */
+final case class GraftCreateView(parts: Seq[String], userCols: Seq[String],
+    properties: Map[String, String], originalText: Option[String],
+    query: LogicalPlan, allowExisting: Boolean, replace: Boolean)
+    extends UnaryCommand {
+  override def child: LogicalPlan = query
+  override protected def withNewChildInternal(newChild: LogicalPlan): GraftCreateView =
+    copy(query = newChild)
+}
+
+final case class GraftDropView(parts: Seq[String], ifExists: Boolean)
+    extends LeafCommand
+
+object GraftViewStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case c: GraftCreateView if c.query.resolved => GraftCreateViewExec(c) :: Nil
+    case d: GraftDropView => GraftDropViewExec(d) :: Nil
+    case e: GraftEvolveSpecField => GraftEvolveSpecFieldExec(e) :: Nil
+    case _ => Nil
+  }
+}
+
+private[plans] trait GraftCommandExec extends LeafExecNode {
+  def run(): Unit
+  override def output: Seq[Attribute] = Nil
+  override def executeCollect(): Array[InternalRow] = { run(); Array.empty }
+  override protected def doExecute(): RDD[InternalRow] = {
+    run(); sparkContext.parallelize(Seq.empty[InternalRow], 1)
+  }
+}
+
+final case class GraftCreateViewExec(c: GraftCreateView) extends GraftCommandExec {
+  override def run(): Unit = {
+    val (cat, ident) = GraftCatalogs.identOf(c.parts)
+    if (c.allowExisting && cat.viewExists(ident)) return
+    val sql = c.originalText.getOrElse(throw new IllegalArgumentException(
+      "CREATE VIEW needs the original query text"))
+    val qSchema = c.query.schema
+    require(c.userCols.isEmpty || c.userCols.length == qSchema.length,
+      s"view column list has ${c.userCols.length} names for " +
+        s"${qSchema.length} query columns")
+    val schema =
+      if (c.userCols.isEmpty) qSchema
+      else StructType(qSchema.fields.zip(c.userCols).map { case (f, n) =>
+        f.copy(name = n) })
+    val cm = session.sessionState.catalogManager
+    val info = new ViewInfo(ident, sql, cm.currentCatalog.name(),
+      cm.currentNamespace, schema,
+      qSchema.fieldNames, c.userCols.toArray, // queryColumnNames, aliases
+      c.userCols.map(_ => null: String).toArray, {
+        val m = new java.util.HashMap[String, String]()
+        c.properties.foreach { case (k, v) => m.put(k, v) }
+        m
+      })
+    if (c.replace) cat.replaceView(info, true) else cat.createView(info)
+    ()
+  }
+}
+
+final case class GraftDropViewExec(d: GraftDropView) extends GraftCommandExec {
+  override def run(): Unit = {
+    val (cat, ident) = GraftCatalogs.identOf(d.parts)
+    if (!cat.dropView(ident) && !d.ifExists)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident)
+  }
+}
+
+/** `ALTER TABLE t ADD|DROP PARTITION FIELD <field>` → the procedure's
+  * evolve mechanism, with add/drop editing the CURRENT spec list. */
+final case class GraftEvolveSpecField(parts: Seq[String], add: Boolean,
+    fieldText: String) extends LeafCommand
+
+final case class GraftEvolveSpecFieldExec(e: GraftEvolveSpecField)
+    extends GraftCommandExec {
+  override def run(): Unit =
+    GraftAlterPartitionField.execute(e.parts, e.add, e.fieldText)
+}
+
+object GraftAlterPartitionField {
+  private val Grammar = java.util.regex.Pattern.compile(
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+(ADD|DROP)\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*$""")
+
+  def parse(sqlText: String, parser: ParserInterface): Option[LogicalPlan] = {
+    val m = Grammar.matcher(sqlText)
+    if (!m.matches()) return None
+    val parts = parser.parseMultipartIdentifier(m.group(1))
+    Some(GraftEvolveSpecField(parts, m.group(2).equalsIgnoreCase("ADD"),
+      m.group(3)))
+  }
+
+  def execute(parts: Seq[String], add: Boolean, fieldText: String): Unit = {
+    GraftCatalogs.identOf(parts) // asserts graft ownership, loudly
+    val (c, t) = graft.sources.SnapshotCatalog.parseSpecField(fieldText)
+    val catalogName = parts.head
+    val ident = parts.tail
+    val current = graft.sources.SnapshotCatalog.currentSpecFields(catalogName, ident)
+    val next =
+      if (add) {
+        require(!current.exists(_._1.equalsIgnoreCase(c)),
+          s"source column $c already has a partition field " +
+            "(one transform per source column; DROP it first)")
+        current :+ (c, t)
+      } else {
+        val remaining = current.filterNot { case (cc, tt) =>
+          cc.equalsIgnoreCase(c) && tt == t }
+        require(remaining.length < current.length,
+          s"no partition field '${fieldText.trim}' on ${ident.mkString(".")} " +
+            s"(current: ${graft.sources.SnapshotCatalog.renderSpec(current)})")
+        remaining
+      }
+    graft.sources.SnapshotCatalog.evolvePartitionSpec(catalogName, ident,
+      graft.sources.SnapshotCatalog.renderSpec(next))
+    ()
+  }
+}
+
+/** Read-side view resolution (Iceberg's `ResolveViews` shape): expand an
+  * unresolved relation naming a graft-catalog VIEW into its parsed body —
+  * CTEs substituted (the analyzer's own substitution batch already ran),
+  * bare table names qualified under the DEFINITION-TIME catalog/namespace,
+  * nested views expanded EAGERLY with an explicit cycle check, and the
+  * stored column aliases applied by position. `VERSION AS OF n` on a view
+  * resolves the definition that was current at version n; `TIMESTAMP AS
+  * OF` picks by definition creation time. */
+final case class GraftViewReads(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      // Batch reads only: a streamed view would silently serve a batch
+      // body — `readStream.table` on a view stays a loud non-resolution.
+      case u: UnresolvedRelation if !u.isStreaming =>
+        expand(u.multipartIdentifier, None, Nil).getOrElse(u)
+      case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, version)
+          if isView(u.multipartIdentifier) =>
+        val picked = (ts, version) match {
+          case (_, Some(v)) =>
+            val n = v.toLongOption.getOrElse(throw new IllegalArgumentException(
+              s"view VERSION AS OF must be a definition version number, got '$v'"))
+            loadFor(u.multipartIdentifier, Some(Left(n)))
+          case (Some(e), _) =>
+            loadFor(u.multipartIdentifier, Some(Right(evalMicros(e))))
+          case _ => loadFor(u.multipartIdentifier, None)
+        }
+        picked.map(v => body(u.multipartIdentifier, v, Nil)).getOrElse(tt)
+    }
+
+  private def evalMicros(e: Expression): Long = {
+    require(e.resolved && e.foldable,
+      s"view TIMESTAMP AS OF needs a literal timestamp, got $e")
+    Cast(e, TimestampType, Some(conf.sessionLocalTimeZone)).eval() match {
+      case l: java.lang.Long => l
+      case other => throw new IllegalArgumentException(
+        s"view TIMESTAMP AS OF did not evaluate to a timestamp: $other")
+    }
+  }
+
+  private def split(parts: Seq[String]):
+      Option[(SnapshotCatalog, String, Identifier)] =
+    if (parts.length < 2) None
+    else GraftCatalogs.resolve(parts.head).map(c =>
+      (c, parts.head, Identifier.of(parts.tail.init.toArray, parts.last)))
+
+  private def isView(parts: Seq[String]): Boolean =
+    split(parts).exists { case (c, _, id) => c.viewExists(id) }
+
+  private def loadFor(parts: Seq[String],
+      pin: Option[Either[Long, Long]]): Option[GraftView] =
+    split(parts).filter { case (c, _, id) => c.viewExists(id) }
+      .map { case (c, _, id) =>
+        pin match {
+          case Some(Left(version)) => c.loadViewVersion(id, Some(version))
+          case Some(Right(micros)) => c.loadViewAsOf(id, micros)
+          case None => c.loadViewVersion(id, None)
+        }
+      }
+
+  private def expand(parts: Seq[String], pin: Option[Either[Long, Long]],
+      path: List[String]): Option[LogicalPlan] =
+    loadFor(parts, pin).map(v => body(parts, v, path))
+
+  /** Parse + prepare one view body, expanding nested views eagerly so
+    * the fixed point never revisits it and a definition cycle is a LOUD
+    * error instead of a max-iterations stall. */
+  private def body(parts: Seq[String], view: GraftView,
+      path: List[String]): LogicalPlan = {
+    val key = parts.mkString(".").toLowerCase
+    if (path.contains(key))
+      throw new IllegalStateException(
+        s"view definition cycle: ${(path :+ key).mkString(" -> ")}")
+    val parsed = spark.sessionState.sqlParser.parsePlan(view.query())
+    val substituted = CTESubstitution(parsed)
+    val defCat = view.currentCatalog()
+    val defNs = view.currentNamespace().toSeq
+    val qualified = substituted transformUp {
+      case u: UnresolvedRelation =>
+        val q = qualify(u.multipartIdentifier, defCat, defNs)
+        expand(q, None, path :+ key)
+          .getOrElse(if (q == u.multipartIdentifier) u
+            else u.copy(multipartIdentifier = q))
+    }
+    val aliased =
+      if (view.columnAliases().nonEmpty)
+        UnresolvedSubqueryColumnAliases(view.columnAliases().toSeq, qualified)
+      else qualified
+    SubqueryAlias(parts.last, aliased)
+  }
+
+  /** Bare names inside a stored definition resolve under the context the
+    * view was CREATED in (Iceberg's rule): 1-part names gain the
+    * definition catalog + namespace, 2-part names gain the catalog when
+    * their head is not itself a catalog. */
+  private def qualify(parts: Seq[String], defCat: String,
+      defNs: Seq[String]): Seq[String] = parts match {
+    case Seq(one) => (defCat +: defNs) :+ one
+    case head +: _ if !spark.sessionState.catalogManager
+        .isCatalogRegistered(head) => defCat +: parts
+    case _ => parts
+  }
+}

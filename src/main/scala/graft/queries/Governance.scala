@@ -1234,12 +1234,51 @@ object Governance {
       WHERE n.n_regionkey IN (1, 2)
       GROUP BY n.n_name ORDER BY n.n_name"""))
 
+  /** SQL VIEWS on the catalog (round 14): the derived-dataset surface —
+    * a versioned view DEFINITION persisted in the metadata log
+    * (`view-v<N>.json`), read back by re-parsing + re-analyzing the
+    * stored SQL under its creation-time name context. The gate CREATEs,
+    * REPLACEs (so the log holds two definition versions), reads the
+    * CURRENT definition for the oracle answer, and asserts in-query that
+    * `VERSION AS OF 1` still serves the original definition — the
+    * "views version like schemas" contract. Oracle: the view body
+    * inlined over raw parquet — the view layer must be invisible in the
+    * answer. CatalogViewSuite pins restart reload, dropped-column
+    * loudness, aliases, nesting, and cycles. */
+  val r02ViewQuery = Q(
+    "r02_view_query",
+    (s, dir) => {
+      val t = "graft_snap.gov.orders_r02"
+      val v = "graft_snap.gov.orders_r02_v"
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.gov")
+      s.sql(s"DROP VIEW IF EXISTS $v")
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"""CREATE TABLE $t (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_totalprice DOUBLE)""")
+      Tables.orders(s, dir)
+        .selectExpr("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .writeTo(t).append()
+      s.sql(s"CREATE VIEW $v AS SELECT o_orderstatus, count(*) AS n FROM $t GROUP BY o_orderstatus")
+      s.sql(s"""CREATE OR REPLACE VIEW $v AS
+        SELECT o_orderstatus, count(*) AS n,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM $t GROUP BY o_orderstatus""")
+      // Definition history is time-travelable: v1 had no `total` column.
+      require(s.sql(s"SELECT * FROM $v VERSION AS OF 1").columns.length == 2,
+        "VERSION AS OF 1 must serve the ORIGINAL view definition")
+      s.sql(s"SELECT * FROM $v ORDER BY o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   val all: Seq[Q] = Seq(
     m01MergeUpsert, m02Scd2History, m03IncrementalRefresh, m04SnapshotDiff,
     m05SqlMerge, m06SqlUpdateDelete, m07TimeTravel, m08ChangeFeed,
     m09IncrementalMaint, m10PartitionedCow, m11ChangeFeedPruned,
     m12MetadataHistory, m13MergeOnRead, m14DppStar, m15ChangesRelation,
     m16WapPublish, m17ChangesMaint, m18EqualityUpsert, m19UpsertChanges,
-    m20HiddenPartitioning, m21CatalogDimStar, a01QualityAudit,
+    m20HiddenPartitioning, m21CatalogDimStar, r02ViewQuery, a01QualityAudit,
     z01ZorderLayout)
 }

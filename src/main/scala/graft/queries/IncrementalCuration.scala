@@ -181,7 +181,12 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
       if (!spark.catalog.tableExists(gramsT))
         spark.sql(s"CREATE TABLE $gramsT (gram STRING, doc_id BIGINT)")
       if (!spark.catalog.tableExists(gramstatT))
-        spark.sql(s"CREATE TABLE $gramstatT (gram STRING, n_docs BIGINT)")
+        // Capped pipelines track sticky SATURATION per gram: once true,
+        // the gram's pairs are out of the index for good (partial pair
+        // sets would silently miss holders).
+        spark.sql(if (plan.spanCap.isDefined)
+          s"CREATE TABLE $gramstatT (gram STRING, n_docs BIGINT, sat BOOLEAN)"
+        else s"CREATE TABLE $gramstatT (gram STRING, n_docs BIGINT)")
     }
     if (!spark.catalog.tableExists(gatedT)) {
       val shape = IncrementalCuration.gatedShape(runner, plan, src.limit(0))
@@ -324,25 +329,83 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
         // Old counts pinned BEFORE the gramstat update below (pre-epoch
         // view, so a replay after a crash mid-trigger diffs against the
         // same base as the original attempt).
-        val changed = deltas.join(
-            preEpochView(gramstatT, s"$base:gramstat", epochId), Seq("gram"), "left")
+        val preStat = preEpochView(gramstatT, s"$base:gramstat", epochId)
+        val preSatCol =
+          if (plan.spanCap.isDefined) coalesce(col("sat"), lit(false))
+          else lit(false)
+        val changed = deltas.join(preStat, Seq("gram"), "left")
           .select(col("gram"),
             coalesce(col("n_docs"), lit(0L)).as("old_n"),
-            (coalesce(col("n_docs"), lit(0L)) + col("dn")).as("new_n"))
+            (coalesce(col("n_docs"), lit(0L)) + col("dn")).as("new_n"),
+            preSatCol.as("pre_sat"))
           .localCheckpoint()
         val flipped = changed
           .filter((col("old_n") >= 2) =!= (col("new_n") >= 2))
-          .select("gram").localCheckpoint()
-        SnapshotUpsert.replaceByKey(gramstatT,
-          changed.filter(col("new_n") > 0)
-            .select(col("gram"), col("new_n").as("n_docs")),
-          changed.select("gram"), Seq("gram"), s"$base:gramstat", epochId)
-        SnapshotUpsert.replaceByKey(gramsT, addPairs,
-          keptRemovedIds.select("doc_id"), Seq("doc_id"),
-          s"$base:grams", epochId)
+          .select("gram", "pre_sat").localCheckpoint()
+        plan.spanCap match {
+          case None =>
+            SnapshotUpsert.replaceByKey(gramstatT,
+              changed.filter(col("new_n") > 0)
+                .select(col("gram"), col("new_n").as("n_docs")),
+              changed.select("gram"), Seq("gram"), s"$base:gramstat", epochId)
+            SnapshotUpsert.replaceByKey(gramsT, addPairs,
+              keptRemovedIds.select("doc_id"), Seq("doc_id"),
+              s"$base:grams", epochId)
+          case Some(cap) =>
+            // STICKY saturation: a gram that ever reaches the cap stops
+            // carrying pairs forever — resuming after the count drops
+            // would leave a PARTIAL holder set the flip lookup below
+            // would silently trust. Counts stay exact regardless.
+            SnapshotUpsert.replaceByKey(gramstatT,
+              changed.filter(col("new_n") > 0)
+                .select(col("gram"), col("new_n").as("n_docs"),
+                  (col("pre_sat") || col("new_n") >= cap).as("sat")),
+              changed.select("gram"), Seq("gram"), s"$base:gramstat", epochId)
+            // Saturated set for THIS trigger's adds: every already-sticky
+            // gram (the full pre-epoch flag — a dn=0 gram is absent from
+            // `changed` but its batch pairs must still be skipped) plus
+            // grams crossing the cap now.
+            val satGrams = preStat.filter(col("sat")).select("gram")
+              .unionByName(changed.filter(col("new_n") >= cap).select("gram"))
+              .distinct()
+            SnapshotUpsert.replaceByKey(gramsT,
+              addPairs.join(satGrams, Seq("gram"), "left_anti"),
+              keptRemovedIds.select("doc_id"), Seq("doc_id"),
+              s"$base:grams", epochId)
+            // Evict the NEWLY saturated grams' previously tracked pairs.
+            val newlySat = changed
+              .filter(!col("pre_sat") && col("new_n") >= cap)
+              .select("gram").localCheckpoint()
+            if (!newlySat.isEmpty)
+              SnapshotUpsert.replaceByKey(gramsT, addPairs.limit(0),
+                newlySat, Seq("gram"), s"$base:grams_evict", epochId)
+        }
         // Kept OLD docs holding a flipped gram — their spans changed.
-        val affectedOld = s.table(gramsT).join(flipped, Seq("gram"))
+        // Never-saturated grams answer from the pairs index; a saturated
+        // gram's holders are not indexed (by design), so the RARE
+        // saturated flip — a gram that reached the cap collapsing below
+        // 2 via retractions — re-derives holders from the kept corpus.
+        val viaIndex = s.table(gramsT)
+          .join(flipped.filter(!col("pre_sat")).select("gram"), Seq("gram"))
           .select("doc_id").distinct()
+        val viaCorpus = {
+          val satFlipped = flipped.filter(col("pre_sat")).select("gram")
+            .localCheckpoint()
+          if (plan.spanCap.isEmpty || satFlipped.isEmpty)
+            viaIndex.limit(0)
+          else {
+            val keptCorpus =
+              if (!plan.nearDup) s.table(raw)
+              else s.table(raw).join(
+                s.table(ccT).filter(col("id") =!= col("root"))
+                  .select(col("id").as("doc_id")),
+                Seq("doc_id"), "left_anti")
+            TextOps.spanGramPairs(keptCorpus.select("doc_id", "text"))
+              .join(satFlipped, Seq("gram"))
+              .select("doc_id").distinct()
+          }
+        }
+        val affectedOld = viaIndex.unionByName(viaCorpus).distinct()
           .join(rows, Seq("doc_id"), "left_anti")
           .localCheckpoint()
         val r = keptBatch.unionByName(fetchDocs(affectedOld))
@@ -400,7 +463,14 @@ object IncrementalCuration {
     * [temperature_mix]` — exactly the shapes whose maintenance the engine
     * implements. Anything else must run through the full-recompute path. */
   final case class Grammar(nearDup: Boolean, span: Boolean,
-      rowLocal: Seq[PipelineStep], mix: Option[PipelineStep])
+      rowLocal: Seq[PipelineStep], mix: Option[PipelineStep],
+      /** `span_removal`'s `gram_cap` param: once a gram's distinct-doc
+        * count reaches the cap its (gram, doc_id) PAIRS leave the index
+        * permanently (sticky saturation) — the pairs table is then
+        * bounded by `distinct grams × cap` instead of total gram
+        * occurrences, while counts stay exact so the OUTPUT is identical
+        * (see the span stage's saturation notes). */
+      spanCap: Option[Int] = None)
 
   private val RowLocalOps =
     Set("quality_gate", "lang_id", "token_count", "sample_hash", "filter",
@@ -410,8 +480,15 @@ object IncrementalCuration {
     var rest = spec.steps
     val nearDup = rest.headOption.exists(_.op == "near_dup_drop")
     if (nearDup) rest = rest.tail
-    val span = rest.headOption.exists(_.op == "span_removal")
+    val spanStep = rest.headOption.filter(_.op == "span_removal")
+    val span = spanStep.isDefined
     if (span) rest = rest.tail
+    val spanCap = spanStep.flatMap(_.params.get("gram_cap")).map { c =>
+      val v = c.trim.toInt
+      require(v >= 3, s"span_removal gram_cap must be >= 3 (flips live at " +
+        s"the 2-boundary and need one tracked step above it), got $v")
+      v
+    }
     val mix = rest.lastOption.filter(_.op == "temperature_mix")
     if (mix.isDefined) rest = rest.init
     val bad = rest.filterNot(s => RowLocalOps(s.op))
@@ -420,7 +497,7 @@ object IncrementalCuration {
         "[near_dup_drop] [span_removal] rowLocal* [temperature_mix] with " +
         s"rowLocal in ${RowLocalOps.toSeq.sorted.mkString("{", ", ", "}")}; " +
         s"unsupported: ${bad.map(_.op).mkString(", ")}")
-    Grammar(nearDup, span, rest, mix)
+    Grammar(nearDup, span, rest, mix, spanCap)
   }
 
   /** The gated table's schema, derived by running the row-local segment

@@ -884,10 +884,66 @@ object Pipeline {
     },
     p03CurationPipeline.oracle)
 
+  /** p05 with the CAPPED span-gram index (`gram_cap`,
+    * [[IncrementalCuration]]'s sticky-saturation design): once a gram's
+    * distinct-doc count reaches the cap its (gram, doc_id) pairs leave
+    * the index permanently, bounding the state table by
+    * `distinct grams × cap` instead of total gram occurrences — the
+    * decomposable answer to p05's honestly-documented gram-volume-sized
+    * index. Counts stay exact and the rare saturated flip re-derives
+    * holders from the kept corpus, so the OUTPUT is identical: this gate
+    * shares p03's oracle verbatim, exactly like p05.
+    * IncrementalCurationSuite pins the binding-cap semantics (saturated
+    * down-flip via retractions, eviction invariants);
+    * `graft.GramCapProbe` measures the index staying bounded under
+    * verbatim-duplicated corpus growth while the uncapped index grows
+    * linearly. */
+  val p06CappedCuration = Q(
+    "p06_capped_curation",
+    (s, dir) => {
+      val src = "graft_snap.pipe.docs_src6"
+      val sink = "graft_snap.pipe.docs_curated6"
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.pipe")
+      s.sql(s"DROP TABLE IF EXISTS $src")
+      s.sql(s"CREATE TABLE $src (doc_id BIGINT, text STRING)")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      (0 to 1).foreach(i =>
+        docs.filter(col("doc_id") % 2 === i).writeTo(src).append())
+      val spec = graft.catalog.PipelineSpec.fromYaml(
+        s"""pipeline: capped_curation
+           |source:
+           |  table: $src
+           |  changes: true
+           |  max_versions_per_trigger: 1
+           |  refresh: incremental
+           |steps:
+           |  - op: near_dup_drop
+           |  - op: span_removal
+           |    gram_cap: 8
+           |  - op: quality_gate
+           |    min_score: 0.5
+           |  - op: lang_id
+           |  - op: token_count
+           |  - op: select
+           |    cols: doc_id, lang, n_tokens
+           |  - op: temperature_mix
+           |sink:
+           |  table: $sink
+           |""".stripMargin)
+      val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-p06-ckpt-" +
+        java.util.UUID.randomUUID
+      new PipelineRunner(s).runChanges(spec, ckpt).awaitTermination()
+      s.table(sink)
+        .selectExpr("doc_id", "lang", "n_tokens", "round(p_incl, 6) AS p_incl")
+        .orderBy("doc_id")
+    },
+    p03CurationPipeline.oracle)
+
   val all: Seq[Q] = Seq(
     c01DocChunks, c02TfidfTopTerms, c03Bm25TopTerms, c04UnigramXent,
     p01SequencePacking, p02CurationFunnel, p03CurationPipeline,
-    p04ChangesCuration, p05IncrementalCuration,
+    p04ChangesCuration, p05IncrementalCuration, p06CappedCuration,
     s01StratifiedSample, s02WeightedSample, x01MixtureRebalance,
     x02TemperatureSample, k01KmeansAssign, k02KmeansClusters,
     k03ClusterDiverseSample)

@@ -479,6 +479,9 @@ private[sources] object DataFiles {
     private val maxs = new Array[Any](n)
     private val nulls = new Array[Long](n)
     private val valid = Array.fill(n)(true)
+    // Per-column distinct-count sketch ([[NdvSketch]]) — merged at plan
+    // time into the scan's reported column statistics.
+    private val sketches: Array[NdvSketch] = types.map(_ => NdvSketch.empty)
 
     def update(u: UnsafeRow): Unit = {
       var i = 0
@@ -494,6 +497,7 @@ private[sources] object DataFiles {
                 mins(i) = InternalRow.copyValue(v)
               if (maxs(i) == null || orderings(i).gt(v, maxs(i)))
                 maxs(i) = InternalRow.copyValue(v)
+              NdvSketch.hash(v, types(i)).foreach(sketches(i).add)
           }
         }
         i += 1
@@ -508,7 +512,10 @@ private[sources] object DataFiles {
         // (null, null, nulls == rowCount) — the marker every comparison
         // predicate excludes.
         if (valid(i))
-          b += cols(i)._1.name -> SnapshotStore.ColStats(mins(i), maxs(i), nulls(i))
+          b += cols(i)._1.name -> SnapshotStore.ColStats(mins(i), maxs(i),
+            nulls(i),
+            if (sketches(i).isEmpty) null
+            else SnapshotStore.Ndv(sketches(i).registers))
         i += 1
       }
       b.result()

@@ -208,11 +208,16 @@ private[sources] object MetadataLog {
         val dt = ctx.byId(id)
         // A file written before a type WIDEN carries narrow stat boxes (an
         // Int min under a now-Long column) — coerce into the manifest
-        // schema's type (identity for never-widened tables).
+        // schema's type (identity for never-widened tables). The optional
+        // 4th element is the column's NDV sketch registers (base64) —
+        // hash-canonical across widening, so no coercion needed.
         s"#$id" -> (JArray(List(
           pvToJson(dt, TypeWidening.coerce(dt, s.min)),
           pvToJson(dt, TypeWidening.coerce(dt, s.max)),
-          JLong(s.nulls))): JValue)
+          JLong(s.nulls)) ++
+          Option(s.ndv).map(n => JString(
+            java.util.Base64.getEncoder.encodeToString(n.registers)): JValue).toList
+        ): JValue)
     })
     // Partition values are typed by the file's OWN spec (spec evolution).
     val pvT = specTypes.getOrElse(f.specId,
@@ -253,8 +258,13 @@ private[sources] object MetadataLog {
         id.filter(ctx.byId.contains).map { i =>
           val dt = ctx.byId(i)
           val vs = jArr(v)
+          val ndv = if (vs.length > 3) vs(3) match {
+            case JString(b64) => SnapshotStore.Ndv(
+              java.util.Base64.getDecoder.decode(b64))
+            case _ => null
+          } else null
           i -> SnapshotStore.ColStats(
-            pvFromJson(dt, vs.head), pvFromJson(dt, vs(1)), jLong(vs(2)))
+            pvFromJson(dt, vs.head), pvFromJson(dt, vs(1)), jLong(vs(2)), ndv)
         }
       }.toMap
     val sizeBytes = if (es.length > 4) jLong(es(4)) else 0L
@@ -768,7 +778,9 @@ private[sources] object MetadataLog {
     if (!fs.exists(dir)) return Nil
     fs.listStatus(dir).toSeq
       .filter(s => s.isDirectory &&
-        fs.exists(new Path(s.getPath, "metadata")))
+        // v1.json, not just metadata/: a VIEW's directory holds a metadata
+        // dir too (view-v<N>.json) and must not list as a table.
+        fs.exists(new Path(new Path(s.getPath, "metadata"), "v1.json")))
       .map(_.getPath.getName)
   }
 
@@ -799,7 +811,7 @@ private[sources] object MetadataLog {
     try out.write(bytes) finally out.close()
   }
 
-  private def readFully(p: Path): String = readFullyWith(p, null)
+  private[sources] def readFully(p: Path): String = readFullyWith(p, null)
 
   /** Read a metadata file whole. `conf` is the EXPLICIT Hadoop conf shipped
     * to executor-side readers (the distributed `.files` chunk scan); null
@@ -823,7 +835,7 @@ private[sources] object MetadataLog {
     * (atomic on HDFS; object stores need conditional put — the same
     * requirement Iceberg's Hadoop table operations document). Returns false
     * iff the target already exists (the CAS conflict). */
-  private def writeExclusive(target: Path, bytes: Array[Byte]): Boolean = {
+  private[sources] def writeExclusive(target: Path, bytes: Array[Byte]): Boolean = {
     val fs = fsOf(target)
     if (fs.getScheme == "file") {
       val local = java.nio.file.Paths.get(target.toUri.getPath)

@@ -235,6 +235,92 @@ private[graft] object PTransform {
   }
 }
 
+/** The partition transforms as DataSource V2 FUNCTIONS — what makes
+  * STORAGE-PARTITIONED JOINS plan: when a scan reports
+  * `KeyGroupedPartitioning(bucket(8, k))`, Spark's
+  * `V2ScanPartitioningAndOrdering` rule resolves the transform through the
+  * table catalog's `FunctionCatalog` (empty-namespace lookup by transform
+  * name), and `EnsureRequirements` matches the two sides by the BOUND
+  * function's `canonicalName` — same name + same source type ⇒ co-
+  * partitioned, no Exchange. `produceResult` delegates to the SAME
+  * [[PTransform]] evaluation the write path used, so a side Spark chooses
+  * to shuffle INTO this partitioning (`spark.sql.sources.v2.bucketing.
+  * shuffle.enabled`) lands rows in exactly the stored buckets.
+  *
+  * Canonical names carry the SOURCE TYPE (`graft.bucket(int)` ≠
+  * `graft.bucket(bigint)`): bucket hashes int and long identically (the
+  * widening guarantee), but Spark compares partition VALUES by the
+  * expression type, so cross-type co-partitioning is declared only where
+  * the value spaces genuinely coincide — conservatively, never. */
+private[graft] object PartitionFunctions {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+
+  val names: Set[String] = Set("bucket", "years", "months", "days", "hours", "truncate")
+
+  def load(name: String): Option[UnboundFunction] = name match {
+    case "bucket" => Some(new UnboundTransform("bucket", argsWithWidth = true))
+    case "years" | "months" | "days" | "hours" =>
+      Some(new UnboundTransform(name, argsWithWidth = false))
+    case "truncate" => Some(new UnboundTransform("truncate", argsWithWidth = true))
+    case _ => None
+  }
+
+  private def pOf(name: String, width: Int): PTransform = name match {
+    case "bucket" => PBucket(width)
+    case "years" => PYears
+    case "months" => PMonths
+    case "days" => PDays
+    case "hours" => PHours
+    case "truncate" => PTruncate(width)
+  }
+
+  /** Width-parameterized transforms bind (int width, source); time
+    * transforms bind (source). */
+  private final class UnboundTransform(fname: String, argsWithWidth: Boolean)
+      extends UnboundFunction {
+    override def name(): String = fname
+    override def description(): String =
+      s"graft partition transform $fname"
+    override def bind(inputType: StructType): BoundFunction = {
+      val expected = if (argsWithWidth) 2 else 1
+      require(inputType.fields.length == expected,
+        s"$fname expects $expected argument(s), got ${inputType.simpleString}")
+      if (argsWithWidth)
+        require(inputType.fields(0).dataType == IntegerType,
+          s"$fname's first argument must be INT, got ${inputType.fields(0).dataType}")
+      val srcType = inputType.fields.last.dataType
+      // Validate against the same accepts() gate CREATE TABLE uses (width
+      // unknown until runtime for parameterized transforms — use 1).
+      require(pOf(fname, 1).accepts(srcType),
+        s"$fname does not accept source type ${srcType.catalogString}")
+      new BoundTransform(fname, argsWithWidth, srcType)
+    }
+  }
+
+  private final class BoundTransform(fname: String, argsWithWidth: Boolean,
+      srcType: DataType) extends ScalarFunction[Any] {
+    override def inputTypes(): Array[DataType] =
+      if (argsWithWidth) Array(IntegerType, srcType) else Array(srcType)
+    override def resultType(): DataType =
+      pOf(fname, 1).resultType(srcType)
+    override def name(): String = fname
+    override def canonicalName(): String =
+      s"graft.$fname(${srcType.catalogString})"
+    override def isResultNullable: Boolean = true
+    override def produceResult(input: InternalRow): Any = {
+      if (argsWithWidth) {
+        val w = input.getInt(0)
+        val v = if (input.isNullAt(1)) null else input.get(1, srcType)
+        pOf(fname, w).eval(v, srcType)
+      } else {
+        val v = if (input.isNullAt(0)) null else input.get(0, srcType)
+        pOf(fname, 1).eval(v, srcType)
+      }
+    }
+  }
+}
+
 /** File pruning through partition TRANSFORMS: decides, from a file's
   * constant TRANSFORMED partition values, whether a predicate over the
   * SOURCE data column can possibly match any row of the file.

@@ -10,7 +10,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.{expressions => ce}
 import org.apache.spark.sql.catalyst.expressions.{UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.connector.catalog._
@@ -87,10 +87,119 @@ import org.apache.spark.unsafe.types.UTF8String
   * their files first — the same contract as Iceberg's expire_snapshots.
   */
 class SnapshotCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with FunctionCatalog with ViewCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
+
+  // -- partition-transform functions (storage-partitioned joins) ----------
+
+  /** The V2 FunctionCatalog face serves the PARTITION TRANSFORMS
+    * ([[PartitionFunctions]]): Spark's `V2ScanPartitioningAndOrdering`
+    * resolves a scan's reported `KeyGroupedPartitioning(bucket(8, k))`
+    * by loading "bucket" from THIS catalog at the EMPTY namespace
+    * (`V2ExpressionUtils.loadV2FunctionOpt`) — without it, reported
+    * partitioning silently degrades to unknown and every catalog⋈catalog
+    * join shuffles both sides. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty)
+      PartitionFunctions.names.map(Identifier.of(Array.empty[String], _)).toArray
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty)
+      PartitionFunctions.load(ident.name())
+        .getOrElse(throw new NoSuchFunctionException(ident))
+    else throw new NoSuchFunctionException(ident)
+
+  // -- views (ViewCatalog, durable — see GraftViews.scala) -----------------
+
+  /** Catalog-qualified path parts — the same deterministic directory
+    * layout tables use, so a table and view can never silently coexist
+    * at one identifier. */
+  private def viewParts(ident: Identifier): Seq[String] =
+    catalogName +: ident.namespace().toSeq :+ ident.name()
+
+  override def viewExists(ident: Identifier): Boolean =
+    ViewLog.exists(warehouse, viewParts(ident))
+
+  override def listViews(namespace: String*): Array[Identifier] =
+    ViewLog.list(warehouse, catalogName +: namespace)
+      .map(Identifier.of(namespace.toArray, _)).toArray
+
+  override def loadView(ident: Identifier): View =
+    loadViewVersion(ident, None)
+
+  /** Definition pinned at `version` (time travel over the definition
+    * history — see [[ViewLog]]). */
+  def loadViewVersion(ident: Identifier, version: Option[Long]): GraftView =
+    ViewLog.load(warehouse, viewParts(ident), version)
+      .map(new GraftView(ident, _))
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident))
+
+  /** Definition current at `micros` (TIMESTAMP AS OF over the history). */
+  def loadViewAsOf(ident: Identifier, micros: Long): GraftView =
+    ViewLog.loadAsOf(warehouse, viewParts(ident), micros)
+      .map(new GraftView(ident, _))
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident))
+
+  override def createView(info: ViewInfo): View =
+    createOrReplaceView(info, replace = false)
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View =
+    createOrReplaceView(info, replace = true)
+
+  private def createOrReplaceView(info: ViewInfo, replace: Boolean): View = {
+    val ident = info.ident()
+    // A table and a view must never share an identifier — resolution
+    // would be ambiguous and the deterministic directory would entangle
+    // two metadata logs.
+    if (tableExists(ident))
+      throw new TableAlreadyExistsException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    val d = GraftView.info(ident, info, SnapshotStore.nowMicros())
+    if (!ViewLog.create(warehouse, viewParts(ident), d, replace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
+    loadView(ident)
+  }
+
+  /** Property changes append the NEXT definition version (the log is
+    * immutable) with the same SQL. */
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val cur = loadViewVersion(ident, None).definition
+    val props = changes.foldLeft(cur.properties) {
+      case (p, s: ViewChange.SetProperty) => p + (s.property() -> s.value())
+      case (p, r: ViewChange.RemoveProperty) => p - r.property()
+      case (p, _) => p
+    }
+    val next = cur.copy(properties = props,
+      createdAtMicros = SnapshotStore.nowMicros())
+    if (!ViewLog.create(warehouse, viewParts(ident), next, replace = true))
+      throw new IllegalStateException(
+        s"concurrent view change on ${viewParts(ident).mkString(".")} — retry")
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    ViewLog.drop(warehouse, viewParts(ident))
+
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    if (!viewExists(from))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(from)
+    if (viewExists(to) || tableExists(to))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(to)
+    val src = new Path(MetadataLog.tableDir(warehouse, viewParts(from)))
+    val dst = new Path(MetadataLog.tableDir(warehouse, viewParts(to)))
+    val fs = src.getFileSystem(new Configuration())
+    if (!fs.rename(src, dst))
+      throw new IllegalStateException(s"renameView failed: $src -> $dst")
+  }
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -310,6 +419,11 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     * mounted offline). */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    // A view's identifier is taken: the deterministic directory would
+    // entangle the two metadata logs and resolution would be ambiguous.
+    if (viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
     val partFields = partitions.toSeq.map(PTransform.fromV2)
     val partCols = partFields.map(_._1)
     val partTransforms = partFields.map(_._2)
@@ -607,6 +721,77 @@ object SnapshotCatalog {
     before.snapshots.size - after.snapshots.size
   }
 
+  /** AGE-BASED expire (Iceberg's `max-snapshot-age-ms` retention): drop
+    * snapshots whose commit predates `cutoffMicros`, always keeping the
+    * newest `minKeep`, every tagged snapshot, and every live branch's
+    * base. Same orphan-file GC as [[expire]]; the time-travel gap guards
+    * keep reads into the removed range loud. */
+  def expireOlderThan(catalog: String, ident: Seq[String],
+      cutoffMicros: Long, minKeep: Int = 1): Int = {
+    require(minKeep >= 1, s"minKeep must be >= 1, got $minKeep")
+    val k = (catalog +: ident).mkString(SnapshotStore.Sep)
+    val (before, after) = SnapshotStore.update(k) { st =>
+      val keep = st.snapshots.filter(_.commitMicros >= cutoffMicros)
+        .map(_.version).toSet ++
+        st.snapshots.takeRight(minKeep).map(_.version) ++
+        st.tags.values ++ st.branches.values.map(_.base)
+      st.copy(snapshots = st.snapshots.filter(s => keep(s.version)))
+    }
+    def paths(sns: Vector[SnapshotStore.Snapshot]) =
+      sns.iterator.flatMap(sn =>
+        sn.files.iterator.map(_.path) ++ sn.deleteFiles.iterator.map(_.path)).toSet
+    RowFiles.delete(paths(before.snapshots) -- paths(after.snapshots))
+    before.snapshots.size - after.snapshots.size
+  }
+
+  /** POLICY-DRIVEN one-shot maintenance (`CALL cat.system.maintain(t)`):
+    * apply the table's own `write.*`/`history.*` properties instead of
+    * hand-run procedure calls — the automation a 100 TB lakehouse runs on
+    * a schedule per table:
+    *
+    *   - `history.expire.max-snapshot-age-ms` — age-based snapshot expiry
+    *     (with `history.expire.min-snapshots-to-keep`, default 1; tags and
+    *     branch bases always survive).
+    *   - `maintain.compact.min-delete-files` — fold merge-on-read delete
+    *     files back into data files once the LIVE delete-file count
+    *     reaches the threshold (read amplification is bounded by policy,
+    *     not by trigger count).
+    *   - `maintain.compact.min-files` — compact when the live data-file
+    *     count reaches the threshold (small-file pressure from streaming
+    *     appends).
+    *
+    * Unset properties skip their action; the call reports what ran.
+    * Compaction respects `write.sort-order` exactly like
+    * `rewrite_data_files` (it IS that path). */
+  def maintain(spark: org.apache.spark.sql.SparkSession, catalog: String,
+      ident: Seq[String]): (Int, Int, Int) = {
+    val k = SnapshotStore.keyOf(catalog, ident)
+    val props = SnapshotStore.stateOf(k).properties
+    val minKeep = props.get("history.expire.min-snapshots-to-keep")
+      .map(_.toInt).getOrElse(1)
+    val expired = props.get("history.expire.max-snapshot-age-ms")
+      .map(_.toLong).fold(0) { ms =>
+        expireOlderThan(catalog, ident,
+          SnapshotStore.nowMicros() - ms * 1000L, minKeep)
+      }
+    val st = SnapshotStore.stateOf(k)
+    val head = st.snapshots.lastOption
+    val delCount = head.fold(0)(_.deleteFiles.size)
+    val fileCount = head.fold(0)(_.files.size)
+    val shouldCompact =
+      props.get("maintain.compact.min-delete-files").map(_.toInt)
+        .exists(t => delCount >= t && delCount > 0) ||
+      props.get("maintain.compact.min-files").map(_.toInt)
+        .exists(fileCount >= _)
+    val (b, a) =
+      if (shouldCompact)
+        compact(spark, catalog, ident,
+          props.get("write.compact.target-file-rows").map(_.toLong)
+            .getOrElse(1L << 20))
+      else (fileCount, fileCount)
+    (expired, b, a)
+  }
+
   /** Name snapshot `version` of `catalog.ns.table` (Iceberg `CREATE TAG`):
     * the tag resolves in `VERSION AS OF '<name>'` and shields its snapshot
     * from [[expire]]. Re-tagging an existing name moves it. */
@@ -844,6 +1029,30 @@ object SnapshotCatalog {
     SnapshotStore.stateOf(k).currentSpecId
   }
 
+  /** ONE spec field, for `ALTER TABLE … ADD/DROP PARTITION FIELD`. */
+  private[graft] def parseSpecField(text: String): (String, PTransform) =
+    parseSpecString(text) match {
+      case Seq(one) => one
+      case other => throw new IllegalArgumentException(
+        s"expected exactly one partition field, got '$text' (${other.length})")
+    }
+
+  /** The CURRENT spec's (source column, transform) list. */
+  private[graft] def currentSpecFields(catalog: String,
+      ident: Seq[String]): Seq[(String, PTransform)] = {
+    val st = SnapshotStore.stateOf(SnapshotStore.keyOf(catalog, ident))
+    st.partitionCols.zip(st.transformsOrIdentity)
+  }
+
+  /** Render a spec list back to the procedure-argument string form. */
+  private[graft] def renderSpec(fields: Seq[(String, PTransform)]): String =
+    fields.map {
+      case (c, PIdentity) => c
+      case (c, PBucket(n)) => s"bucket($n, $c)"
+      case (c, PTruncate(w)) => s"truncate($w, $c)"
+      case (c, t) => s"${t.name}($c)"
+    }.mkString(", ")
+
   /** Parse "days(ts), bucket(8, id), region" into (source col, transform)
     * pairs — the procedure-argument form of CREATE's PARTITIONED BY. */
   private[sources] def parseSpecString(spec: String): Seq[(String, PTransform)] =
@@ -996,10 +1205,24 @@ private[graft] object SnapshotStore {
         * this file. 0 = the original spec. */
       specId: Int = 0)
 
+  /** Content-equal wrapper for [[NdvSketch]] registers — a bare Array
+    * field would give every enclosing case class REFERENCE equality,
+    * silently breaking manifest round-trip comparisons. */
+  final case class Ndv(registers: Array[Byte]) {
+    override def equals(o: Any): Boolean = o match {
+      case n: Ndv => java.util.Arrays.equals(registers, n.registers)
+      case _ => false
+    }
+    override def hashCode(): Int = java.util.Arrays.hashCode(registers)
+  }
+
   /** One column's per-file stats. `min`/`max` are Catalyst-internal values
     * of the column's type over the file's NON-NULL rows; both null with
-    * `nulls == rowCount` marks an all-null column. */
-  final case class ColStats(min: Any, max: Any, nulls: Long)
+    * `nulls == rowCount` marks an all-null column. `ndv` is the column's
+    * [[NdvSketch]] registers (HLL, mergeable at plan time), null when the
+    * file predates sketches or the column's tracking was invalidated. */
+  final case class ColStats(min: Any, max: Any, nulls: Long,
+      ndv: Ndv = null)
 
   /** lowercased-independent field id → live type map of `schema` — the
     * comparison context for stats-range pruning. */
@@ -2100,7 +2323,17 @@ private[sources] final class MemTable(fullName: String, k: String,
       // pre-widen pin reads old files natively with no override.
       typeHist = st.typeHistory,
       specPruning = SnapshotStore.specPruningOf(st),
-      vectorized = ScanSplits.vectorizedEnabled(props))
+      vectorized = ScanSplits.vectorizedEnabled(props),
+      // Opt-in (Iceberg's preserve-data-grouping trade): key-grouped
+      // tasks make same-spec joins Exchange-free but cap a plain full
+      // scan's parallelism at the partition-value count.
+      spjKeys =
+        if (props.get("read.preserve-partitioning").exists(_.toBoolean) &&
+            partCols.nonEmpty)
+          Some(partCols.zipWithIndex.map { case (c, i) =>
+            PTransform.toV2(c, tOf(i)) }.toArray)
+        else None,
+      currentSpecId = st.currentSpecId)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -2969,7 +3202,14 @@ private[sources] final class MemScanBuilder(fullSchema: StructType,
     /** Table property `read.vectorized` (default true): the operational
       * off-switch for batch decode — and the bench lane's row-decode
       * twin (cat05). */
-    vectorized: Boolean = true)
+    vectorized: Boolean = true,
+    /** STORAGE-PARTITIONED JOINS: the current spec's transforms, reported
+      * as `KeyGroupedPartitioning` when set (table property
+      * `read.preserve-partitioning` — opt-in like Iceberg's
+      * preserve-data-grouping, because grouping tasks by partition value
+      * caps a plain full scan's parallelism at the partition count). */
+    spjKeys: Option[Array[Transform]] = None,
+    currentSpecId: Int = 0)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownV2Filters {
   private val statCols = StatsPredicates.statCols(fullSchema)
@@ -3040,7 +3280,8 @@ private[sources] final class MemScanBuilder(fullSchema: StructType,
     }
     new MemScan(fullSchema, required, retained, streamKey, maxVersionsPerTrigger,
       startingVersion, deletes, partCols, splitTargetBytes, eqDeletes,
-      typeHist = typeHist, specPruning = specPruning, vectorized = vectorized)
+      typeHist = typeHist, specPruning = specPruning, vectorized = vectorized,
+      spjKeys = spjKeys, currentSpecId = currentSpecId)
   }
 }
 
@@ -3059,8 +3300,17 @@ private[sources] final case class MemFilePartition(path: String, rowCount: Long,
     eqDeletePaths: Seq[(String, Seq[Int], Long)] = Nil,
     /** The file's data sequence number — resolves its WRITE-TIME column
       * types through the table's type-widening history. */
-    seq: Long = 0L) extends InputPartition {
+    seq: Long = 0L,
+    /** The file's constant TRANSFORMED partition values (spec order) —
+      * the partition key storage-partitioned joins group tasks by. Empty
+      * for unpartitioned tables (the scan then never reports key-grouped
+      * partitioning, so `partitionKey` is never consulted). */
+    partitionValues: Seq[Any] = Nil)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
   def split: DataFiles.Split = DataFiles.Split(rowStart, rowCount, byteStart, byteEnd)
+  override def partitionKey(): InternalRow =
+    new ce.GenericInternalRow(partitionValues.toArray)
 }
 
 /** SPLIT-BY-OFFSET scan planning: cut each data file into tasks of about
@@ -3098,7 +3348,7 @@ private[sources] object ScanSplits {
       if (pts.length <= 1 || f.sizeBytes <= 0L || f.sizeBytes <= target)
         Vector(MemFilePartition(f.path, f.rowCount, dels,
           writeCols = f.writeCols, eqDeletePaths = eqs,
-          seq = f.seq): InputPartition)
+          seq = f.seq, partitionValues = f.partitionValues): InputPartition)
       else {
         // Greedily group consecutive chunks until a split reaches target.
         // Every recorded point starts a non-empty chunk, so (rowEnd >
@@ -3113,7 +3363,8 @@ private[sources] object ScanSplits {
             val rowEnd = if (i == pts.length) f.rowCount else pts(i)._1
             if (rowEnd > rowStart)
               out += MemFilePartition(f.path, rowEnd - rowStart, dels,
-                rowStart, pts(startIdx)._2, endByte, f.writeCols, eqs, f.seq)
+                rowStart, pts(startIdx)._2, endByte, f.writeCols, eqs, f.seq,
+                f.partitionValues)
             startIdx = i
           }
           i += 1
@@ -3489,9 +3740,12 @@ private[sources] final class MemScan(fullSchema: StructType,
     typeHist: Map[Int, Vector[(Long, DataType)]] = Map.empty,
     specPruning: Map[Int, (PartitionPredicates.PartCols, Seq[TransformPruning.TField])] =
       Map.empty,
-    vectorized: Boolean = true)
+    vectorized: Boolean = true,
+    spjKeys: Option[Array[Transform]] = None,
+    currentSpecId: Int = 0)
     extends Scan with Batch with SupportsRuntimeV2Filtering
-    with SupportsReportStatistics {
+    with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   private var files = initial
   private def pcOf(f: SnapshotStore.DataFile): PartitionPredicates.PartCols =
     if (specPruning.isEmpty) partCols
@@ -3514,7 +3768,8 @@ private[sources] final class MemScan(fullSchema: StructType,
     * statistics are planner estimates, over-counting is the conservative
     * direction (Iceberg reports the same pre-delete counts). */
   override def estimateStatistics(): Statistics = {
-    val rows = files.map(_.rowCount).sum
+    val live = files
+    val rows = live.map(_.rowCount).sum
     val width = 8L + required.fields.map(_.dataType.defaultSize.toLong).sum
     val size = math.max(rows * width, 1L)
     new Statistics {
@@ -3522,6 +3777,40 @@ private[sources] final class MemScan(fullSchema: StructType,
         java.util.OptionalLong.of(size)
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(rows)
+      /** Per-column NDV (merged manifest [[NdvSketch]]s) + null counts —
+        * what cost-based join reordering needs to see catalog-table
+        * cardinalities. Claimed only when EVERY retained file tracks the
+        * column (a partial merge would silently under-count), and only
+        * under CBO: the merge is O(required columns × files × 512B) per
+        * planning, and without CBO the attribute stats are dead weight. */
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val m = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        if (!org.apache.spark.sql.internal.SQLConf.get.cboEnabled) return m
+        required.fields.foreach { f =>
+          FieldIds.idOf(f).foreach { id =>
+            val per = live.map(_.stats.get(id))
+            if (live.nonEmpty && per.forall(_.exists(_.ndv != null))) {
+              val ndv = NdvSketch.mergedEstimate(
+                per.iterator.map(_.get.ndv.registers))
+              val totalNulls = per.map(_.get.nulls).sum
+              ndv.foreach { d =>
+                m.put(Expressions.column(f.name),
+                  new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                    override def distinctCount(): java.util.OptionalLong =
+                      java.util.OptionalLong.of(d)
+                    override def nullCount(): java.util.OptionalLong =
+                      java.util.OptionalLong.of(totalNulls)
+                  })
+              }
+            }
+          }
+        }
+        m
+      }
     }
   }
 
@@ -3560,6 +3849,29 @@ private[sources] final class MemScan(fullSchema: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     ScanSplits.partitions(files, deletes, splitTargetBytes, eqDeletes,
       SnapshotStore.idTypes(fullSchema))
+
+  /** STORAGE-PARTITIONED JOINS: report the current spec's transforms as
+    * `KeyGroupedPartitioning` (every task of one partition VALUE lands in
+    * one group), so two catalog tables sharing the spec join with ZERO
+    * Exchange — the persisted-store probe pattern at 100 TB, where the
+    * big bucketed side must never re-shuffle. Only sound when every
+    * scanned file was written under the CURRENT spec (a retired spec's
+    * tuples are shaped differently); mixed histories report unknown and
+    * plan like any other scan. Spark resolves the transforms through this
+    * catalog's FunctionCatalog face and groups tasks by
+    * [[MemFilePartition.partitionKey]]. */
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjKeys match {
+      case Some(keys) if keys.nonEmpty && files.nonEmpty &&
+          files.forall(_.specId == currentSpecId) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          keys.map(t => t: VExpression),
+          files.map(_.partitionValues).distinct.size)
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+          files.size)
+    }
 
   /** Can EVERY partition of this scan decode vectorized? Columnar and
     * row partitions cannot mix inside one scan (Spark's

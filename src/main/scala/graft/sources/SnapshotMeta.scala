@@ -383,7 +383,7 @@ private[sources] object SnapshotProcedures {
   def names: Seq[String] =
     Seq("expire_snapshots", "rollback_to_version", "create_tag", "drop_tag",
       "rewrite_data_files", "create_branch", "drop_branch", "fast_forward",
-      "remove_orphan_files", "evolve_partition_spec")
+      "remove_orphan_files", "evolve_partition_spec", "maintain")
 
   def load(catalogName: String, ident: Identifier): Option[UnboundProcedure] = {
     if (!ident.namespace().sameElements(Array("system"))) return None
@@ -474,6 +474,21 @@ private[sources] object SnapshotProcedures {
             catalogName, identOf(str(r, 0)), cutoff, dryRun = dry)
           orphans.map(p => new GenericInternalRow(
             Array[Any](UTF8String.fromString(p), !dry)): InternalRow).toArray
+        }))
+      case "maintain" => Some(proc("maintain",
+        "apply the table's own retention/compaction policy properties in " +
+          "one shot: history.expire.max-snapshot-age-ms (+ " +
+          "min-snapshots-to-keep), maintain.compact.min-delete-files, " +
+          "maintain.compact.min-files; unset properties skip their action",
+        Seq(in("table", StringType)),
+        StructType(Seq(
+          StructField("expired_snapshots", IntegerType, nullable = false),
+          StructField("files_before", IntegerType, nullable = false),
+          StructField("files_after", IntegerType, nullable = false))),
+        r => {
+          val (e, b, a) = SnapshotCatalog.maintain(
+            SparkSession.active, catalogName, identOf(str(r, 0)))
+          Array[Any](e, b, a)
         }))
       case "evolve_partition_spec" => Some(proc("evolve_partition_spec",
         "re-partition the table WITHOUT rewriting data (Iceberg per-file " +

@@ -127,7 +127,9 @@ object SnapshotUpsert {
       keyIds: Seq[Int]): Map[Int, SnapshotStore.ColStats] =
     meta.stats.flatMap { case (name, cs) =>
       name.stripPrefix("k").toIntOption.collect {
-        case i if i < keyIds.length => keyIds(i) -> cs
+        // ndv stripped: delete manifests serialize (min, max, nulls) only,
+        // and a memory-only sketch would desync the restart round-trip.
+        case i if i < keyIds.length => keyIds(i) -> cs.copy(ndv = null)
       }
     }
 

@@ -109,6 +109,110 @@ class IncrementalCurationSuite extends AnyFunSuite {
     assert(a === b)
   }
 
+  private def cappedYaml(src: String, sink: String, cap: Int): String =
+    s"""pipeline: inc_suite_capped
+       |source:
+       |  table: $src
+       |  changes: true
+       |  max_versions_per_trigger: 1
+       |  refresh: incremental
+       |steps:
+       |  - op: near_dup_drop
+       |  - op: span_removal
+       |    gram_cap: $cap
+       |  - op: quality_gate
+       |    min_score: 0.5
+       |  - op: lang_id
+       |  - op: token_count
+       |  - op: select
+       |    cols: doc_id, lang, n_tokens
+       |  - op: temperature_mix
+       |sink:
+       |  table: $sink
+       |""".stripMargin
+
+  test("capped gram index (gram_cap): 2-sliced capped run publishes the " +
+      "identical sink to the uncapped run") {
+    val s = spark
+    val src = "graft_snap.incs.src_cap"
+    val sink = "graft_snap.incs.sink_cap"
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.incs")
+    s.sql(s"DROP TABLE IF EXISTS $src")
+    s.sql(s"CREATE TABLE $src (doc_id BIGINT, text STRING)")
+    (0 until 2).foreach(i =>
+      docsFrame.filter(col("doc_id") % 2 === i).writeTo(src).append())
+    val spec = graft.catalog.PipelineSpec.fromYaml(cappedYaml(src, sink, 3))
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-incs-cap-" +
+      java.util.UUID.randomUUID
+    new PipelineRunner(s).runChanges(spec, ckpt).awaitTermination()
+    val uncapped = s"graft_snap.incs.sink_t2"
+    if (!spark.catalog.tableExists(uncapped)) runIncremental("t2", 2)
+    val a = spark.table(sink).orderBy("doc_id").collect().toSeq
+    val b = spark.table(uncapped).orderBy("doc_id").collect().toSeq
+    assert(a === b)
+    // The saturated grams' pairs are OUT of the index: no pair may belong
+    // to a gram the stat table marks sticky-saturated.
+    val satJoined = spark.table(s"${sink}_grams")
+      .join(spark.table(s"${sink}_gramstat").filter(col("sat")), Seq("gram"))
+    assert(satJoined.isEmpty,
+      "pairs of saturated grams must be evicted from the index")
+  }
+
+  test("saturated flip: a capped gram collapsing below 2 re-derives " +
+      "holders from the corpus — output still exact") {
+    val s = spark
+    val src = "graft_snap.incs.src_sat"
+    val sink = "graft_snap.incs.sink_sat"
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.incs")
+    s.sql(s"DROP TABLE IF EXISTS $src")
+    s.sql(s"CREATE TABLE $src (doc_id BIGINT, text STRING)")
+    // Shared 8-token run G held by three unrelated kept docs (count 3 =
+    // cap → sticky-saturated, pairs evicted); trigger 2's smaller-id
+    // near-dups retract two holders WITHOUT carrying G, collapsing G to
+    // ONE holder — the saturated down-flip whose holders only the corpus
+    // re-derivation can find.
+    val g = (1 to 8).map(i => s"g$i").mkString(" ")
+    val baseA = (1 to 60).map(i => s"a$i").mkString(" ")
+    val baseB = (1 to 60).map(i => s"b$i").mkString(" ")
+    val baseU = (1 to 60).map(i => s"u$i").mkString(" ")
+    val t1 = Seq(
+      (5L, s"$baseU $g"), // unrelated holder of G
+      (6L, s"$baseA $g"), // holder, retracted in trigger 2 by doc 2
+      (8L, s"$baseB $g")) // holder, retracted in trigger 2 by doc 4
+    val t2 = Seq(
+      (2L, s"$baseA x1 x2 x3 x4 x5 x6 x7 x8"), // near-dup of 6, no G
+      (4L, s"$baseB y1 y2 y3 y4 y5 y6 y7 y8")) // near-dup of 8, no G
+    import s.implicits._
+    t1.toDF("doc_id", "text").writeTo(src).append()
+    t2.toDF("doc_id", "text").writeTo(src).append()
+    val spec = graft.catalog.PipelineSpec.fromYaml(cappedYaml(src, sink, 3))
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-incs-sat-" +
+      java.util.UUID.randomUUID
+    new PipelineRunner(s).runChanges(spec, ckpt).awaitTermination()
+    // The sticky flag survives the collapse (count 1, sat still true) and
+    // its pairs stayed out of the index.
+    val gStat = spark.table(s"${sink}_gramstat")
+      .filter(col("gram").startsWith("g1 ") || col("gram") === "g1 g2 g3 g4 g5")
+    assert(gStat.filter(col("sat") && col("n_docs") === 1).count() > 0,
+      s"expected a sticky-saturated collapsed gram, got: " +
+        s"${spark.table(s"${sink}_gramstat").collect().mkString(", ")}")
+    // Exactness: gated set equals the batch p03 composition over the SAME
+    // corpus — doc 5 keeps its G run (no longer duplicated), which only
+    // the corpus fallback could have restored.
+    val all = t1 ++ t2
+    val inc = spark.table(s"${sink}_gated").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = batchGated(all.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(inc === batch)
+    val doc5Tokens = inc.find(_._1 == 5L).map(_._3)
+    val doc5Batch = batch.find(_._1 == 5L).map(_._3)
+    assert(doc5Tokens === doc5Batch)
+    assert(doc5Tokens.exists(_ == 68L),
+      s"doc 5 must keep all 68 tokens (G restored by the fallback), " +
+        s"got $doc5Tokens")
+  }
+
   test("replayed epoch is a no-op across every state table") {
     val s = spark
     val src = "graft_snap.incs.src_rp"

@@ -1,0 +1,200 @@
+package graft.sources
+
+import org.apache.spark.sql.AnalysisException
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** SQL VIEWS on the snapshot catalog (`ViewCatalog` + the parse-time
+  * intercept in graft.plans.GraftSqlExtensions): definitions persist in
+  * the metadata log one immutable `view-v<N>.json` per version, reads
+  * re-parse + re-analyze the stored SQL, `CREATE OR REPLACE` appends the
+  * next version, and `VERSION AS OF n` reads a view under its
+  * then-current definition. Plus the `ALTER TABLE … ADD/DROP PARTITION
+  * FIELD` dialect routing to the same spec-evolution mechanism as the
+  * procedure. */
+class CatalogViewSuite extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val cat = "graft_snap"
+
+  private def freshNs(): Unit =
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.views")
+
+  private def fresh(name: String): String = {
+    freshNs()
+    spark.sql(s"DROP VIEW IF EXISTS $cat.views.$name")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.views.$name")
+    s"$cat.views.$name"
+  }
+
+  private def baseTable(name: String, n: Int = 100): String = {
+    val t = fresh(name)
+    spark.range(0, n).selectExpr("id", "id * 2 AS v", "concat('s', id % 5) AS s")
+      .writeTo(t).create()
+    t
+  }
+
+  test("query through a view is identical to the inline SQL") {
+    val t = baseTable("base1")
+    val v = fresh("v1")
+    spark.sql(s"CREATE VIEW $v AS SELECT s, sum(v) AS total FROM $t GROUP BY s")
+    val through = spark.sql(s"SELECT * FROM $v ORDER BY s").collect()
+    val inline = spark.sql(
+      s"SELECT s, sum(v) AS total FROM $t GROUP BY s ORDER BY s").collect()
+    assert(through.map(_.toString).toSeq === inline.map(_.toString).toSeq)
+  }
+
+  test("CREATE OR REPLACE versions the definition; VERSION AS OF reads history") {
+    val t = baseTable("base2")
+    val v = fresh("v2")
+    spark.sql(s"CREATE VIEW $v AS SELECT count(*) AS n FROM $t")
+    spark.sql(s"CREATE OR REPLACE VIEW $v AS SELECT sum(v) AS n FROM $t")
+    assert(spark.sql(s"SELECT * FROM $v").head().getLong(0) ===
+      (0L until 100L).map(_ * 2).sum)
+    // Time travel over the DEFINITION history: v1 was the count.
+    assert(spark.sql(s"SELECT * FROM $v VERSION AS OF 1").head().getLong(0) === 100L)
+    assert(spark.sql(s"SELECT * FROM $v VERSION AS OF 2").head().getLong(0) ===
+      (0L until 100L).map(_ * 2).sum)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $v VERSION AS OF 9").collect()
+    }
+    assert(e.getMessage.contains("no version 9"))
+  }
+
+  test("views survive restart (durable metadata log)") {
+    val t = baseTable("base3")
+    val v = fresh("v3")
+    spark.sql(s"CREATE VIEW $v AS SELECT max(id) AS m FROM $t")
+    SnapshotStore.tables.clear()
+    SnapshotStore.namespaces.clear()
+    assert(spark.sql(s"SELECT * FROM $v").head().getLong(0) === 99L)
+  }
+
+  test("view over a dropped column fails loudly at read time") {
+    val t = baseTable("base4")
+    val v = fresh("v4")
+    spark.sql(s"CREATE VIEW $v AS SELECT id, v FROM $t")
+    spark.sql(s"ALTER TABLE $t DROP COLUMN v")
+    val e = intercept[AnalysisException] {
+      spark.sql(s"SELECT * FROM $v").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("v") ||
+      e.getMessage.contains("UNRESOLVED"))
+  }
+
+  test("explicit column aliases apply by position") {
+    val t = baseTable("base5")
+    val v = fresh("v5")
+    spark.sql(s"CREATE VIEW $v (key, doubled) AS SELECT id, v FROM $t")
+    val df = spark.sql(s"SELECT key, doubled FROM $v WHERE key = 3")
+    assert(df.head().getLong(1) === 6L)
+    assert(df.columns.toSeq === Seq("key", "doubled"))
+  }
+
+  test("create/drop semantics: duplicates loud, IF EXISTS quiet, " +
+      "table/view identifiers never collide") {
+    val t = baseTable("base6")
+    val v = fresh("v6")
+    spark.sql(s"CREATE VIEW $v AS SELECT * FROM $t")
+    assert(intercept[Exception] {
+      spark.sql(s"CREATE VIEW $v AS SELECT * FROM $t")
+    }.getMessage.nonEmpty)
+    // A view's name is taken for tables, and vice versa.
+    assert(intercept[Exception] {
+      spark.sql(s"CREATE TABLE $v (id BIGINT)")
+    }.getMessage.nonEmpty)
+    assert(intercept[Exception] {
+      spark.sql(s"CREATE VIEW $t AS SELECT 1 AS one")
+    }.getMessage.nonEmpty)
+    spark.sql(s"DROP VIEW $v")
+    assert(intercept[Exception] {
+      spark.sql(s"DROP VIEW $v")
+    }.getMessage.nonEmpty)
+    spark.sql(s"DROP VIEW IF EXISTS $v") // quiet
+  }
+
+  test("nested views expand; a definition cycle is a loud error") {
+    val t = baseTable("base7")
+    val a = fresh("v7a")
+    val b = fresh("v7b")
+    spark.sql(s"CREATE VIEW $a AS SELECT id, v FROM $t WHERE id < 50")
+    spark.sql(s"CREATE VIEW $b AS SELECT sum(v) AS total FROM $a")
+    assert(spark.sql(s"SELECT * FROM $b").head().getLong(0) ===
+      (0L until 50L).map(_ * 2).sum)
+    // REPLACE a to read b: now a -> b -> a.
+    spark.sql(s"CREATE OR REPLACE VIEW $a AS SELECT total AS id, total AS v FROM $b")
+    val e = intercept[Exception] { spark.sql(s"SELECT * FROM $a").collect() }
+    assert(e.getMessage.contains("cycle"),
+      s"expected a cycle error, got: ${e.getMessage}")
+  }
+
+  test("bare names in a definition resolve under the creation-time catalog") {
+    val t = baseTable("base8")
+    val v = fresh("v8")
+    // Create under USE graft_snap with a catalog-bare body; read it back
+    // from a DIFFERENT current catalog — the STORED context must supply
+    // the catalog, or the bare name would resolve against the reader's.
+    spark.sql(s"USE $cat")
+    try spark.sql(s"CREATE VIEW $v AS SELECT count(*) AS n FROM views.base8")
+    finally spark.sql("USE spark_catalog")
+    assert(spark.sql(s"SELECT * FROM $v").head().getLong(0) === 100L)
+    val _ = t
+  }
+
+  test("views with CTEs in the body expand correctly") {
+    val t = baseTable("base9")
+    val v = fresh("v9")
+    spark.sql(s"""CREATE VIEW $v AS
+      WITH big AS (SELECT * FROM $t WHERE v >= 100)
+      SELECT count(*) AS n FROM big""")
+    assert(spark.sql(s"SELECT * FROM $v").head().getLong(0) === 50L)
+  }
+
+  test("ALTER TABLE ADD/DROP PARTITION FIELD == the evolve procedure") {
+    freshNs()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.views.alter1")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.views.alter2")
+    val sql1 = s"$cat.views.alter1"
+    val call2 = s"$cat.views.alter2"
+    Seq(sql1, call2).foreach { t =>
+      spark.sql(s"CREATE TABLE $t (id BIGINT, ts TIMESTAMP, v DOUBLE)")
+      spark.range(0, 100).selectExpr("id",
+        "timestamp_micros(1700000000000000 + id * 86400000000) AS ts",
+        "CAST(id AS DOUBLE) AS v").writeTo(t).append()
+    }
+    spark.sql(s"ALTER TABLE $sql1 ADD PARTITION FIELD days(ts)")
+    spark.sql(s"ALTER TABLE $sql1 ADD PARTITION FIELD bucket(4, id)")
+    spark.sql(s"CALL $cat.system.evolve_partition_spec('views.alter2', 'days(ts)')")
+    spark.sql(s"CALL $cat.system.evolve_partition_spec('views.alter2', 'days(ts), bucket(4, id)')")
+    def state(n: String) = SnapshotStore.stateOf(
+      SnapshotStore.keyOf(cat, Seq("views", n)))
+    assert(state("alter1").partitionCols === state("alter2").partitionCols)
+    assert(state("alter1").transformsOrIdentity ===
+      state("alter2").transformsOrIdentity)
+    // Writes after the ALTER land under the evolved spec and prune.
+    spark.range(100, 200).selectExpr("id",
+      "timestamp_micros(1700000000000000 + id * 86400000000) AS ts",
+      "CAST(id AS DOUBLE) AS v").writeTo(sql1).append()
+    assert(spark.table(sql1).count() === 200)
+    // DROP removes exactly the named field.
+    spark.sql(s"ALTER TABLE $sql1 DROP PARTITION FIELD bucket(4, id)")
+    assert(state("alter1").partitionCols === Seq("ts"))
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $sql1 DROP PARTITION FIELD bucket(4, id)")
+    }
+    assert(e.getMessage.contains("no partition field"))
+  }
+
+  test("listViews surfaces persisted views; dropView prunes them") {
+    freshNs()
+    val v = fresh("v10")
+    val t = baseTable("base10")
+    spark.sql(s"CREATE VIEW $v AS SELECT * FROM $t")
+    val cm = spark.sessionState.catalogManager
+    val snap = cm.catalog(cat).asInstanceOf[SnapshotCatalog]
+    val listed = snap.listViews("views").map(_.name()).toSet
+    assert(listed.contains("v10"))
+    spark.sql(s"DROP VIEW $v")
+    assert(!snap.listViews("views").map(_.name()).toSet.contains("v10"))
+  }
+}

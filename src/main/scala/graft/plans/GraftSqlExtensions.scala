@@ -46,10 +46,10 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   /** Reroute view DDL aimed at a graft catalog; session-catalog view DDL
     * (temp views, spark_catalog) passes through untouched. */
   private def rewriteViewCommands(plan: LogicalPlan): LogicalPlan = plan match {
-    case cv @ CreateView(UnresolvedIdentifier(parts, _), cols, _, _, props,
-        originalText, query, allowExisting, replace, _)
+    case cv @ CreateView(UnresolvedIdentifier(parts, _), cols, comment, _,
+        props, originalText, query, allowExisting, replace, _)
         if GraftCatalogs.owns(parts) =>
-      GraftCreateView(parts, cols.map(_._1), props, originalText, query,
+      GraftCreateView(parts, cols, comment, props, originalText, query,
         allowExisting, replace)
     case dv @ DropView(UnresolvedIdentifier(parts, _), ifExists)
         if GraftCatalogs.owns(parts) =>
@@ -108,7 +108,8 @@ private[plans] object GraftCatalogs {
   * child so the analyzer RESOLVES it before execution — a definition that
   * does not analyze never lands in the log, and its analyzed schema is
   * what the log stores. */
-final case class GraftCreateView(parts: Seq[String], userCols: Seq[String],
+final case class GraftCreateView(parts: Seq[String],
+    userCols: Seq[(String, Option[String])], comment: Option[String],
     properties: Map[String, String], originalText: Option[String],
     query: LogicalPlan, allowExisting: Boolean, replace: Boolean)
     extends UnaryCommand {
@@ -150,15 +151,18 @@ final case class GraftCreateViewExec(c: GraftCreateView) extends GraftCommandExe
         s"${qSchema.length} query columns")
     val schema =
       if (c.userCols.isEmpty) qSchema
-      else StructType(qSchema.fields.zip(c.userCols).map { case (f, n) =>
+      else StructType(qSchema.fields.zip(c.userCols).map { case (f, (n, _)) =>
         f.copy(name = n) })
     val cm = session.sessionState.catalogManager
     val info = new ViewInfo(ident, sql, cm.currentCatalog.name(),
       cm.currentNamespace, schema,
-      qSchema.fieldNames, c.userCols.toArray, // queryColumnNames, aliases
-      c.userCols.map(_ => null: String).toArray, {
+      qSchema.fieldNames, c.userCols.map(_._1).toArray,
+      c.userCols.map(_._2.orNull).toArray, {
         val m = new java.util.HashMap[String, String]()
         c.properties.foreach { case (k, v) => m.put(k, v) }
+        // The view-level COMMENT rides as the reserved property
+        // (ViewCatalog.PROP_COMMENT) — V1 views store it the same way.
+        c.comment.foreach(m.put("comment", _))
         m
       })
     if (c.replace) cat.replaceView(info, true) else cat.createView(info)

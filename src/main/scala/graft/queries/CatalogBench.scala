@@ -28,8 +28,13 @@ object CatalogBench {
   /** Build-or-reuse `graft_snap.bench.lineitem_<fmt>` from the fixture dir.
     * Reuse test = exact physical row count from driver metadata (free) vs
     * the fixture count — a different scale factor rebuilds. */
-  private def ensureLineitem(s: SparkSession, dir: String, fmt: String): String = {
-    val table = s"lineitem_$fmt"
+  private def ensureLineitem(s: SparkSession, dir: String, fmt: String,
+      /** Extra table properties; the layout stays IDENTICAL across all
+        * variants — the cat01/cat05/cat06/cat07 A/Bs depend on the
+        * builds differing ONLY in properties. */
+      extraProps: Map[String, String] = Map.empty,
+      nameSuffix: String = ""): String = {
+    val table = s"lineitem_$fmt$nameSuffix"
     val name = s"graft_snap.bench.$table"
     val src = Tables.lineitem(s, dir)
     val expected = src.count()
@@ -39,11 +44,12 @@ object CatalogBench {
     if (!current.contains(expected)) {
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.bench")
       s.sql(s"DROP TABLE IF EXISTS $name")
-      src.repartitionByRange(8, col("l_orderkey"))
+      val w = src.repartitionByRange(8, col("l_orderkey"))
         .sortWithinPartitions("l_orderkey")
         .writeTo(name)
         .tableProperty("write.format", fmt)
-        .create()
+      extraProps.foreach { case (k, v) => w.tableProperty(k, v) }
+      w.create()
     }
     name
   }
@@ -134,28 +140,14 @@ object CatalogBench {
     Some(pricingOracle))
 
   /** Build-or-reuse the ROW-DECODE twin of cat01: same fixture rows, same
-    * parquet layout, `read.vectorized=false` — the A/B that isolates the
-    * vectorized ColumnarBatch decode win from everything else (cat01 vs
-    * cat05 differ ONLY in the decode inner loop). */
-  private def ensureRowDecode(s: SparkSession, dir: String): String = {
-    val name = "graft_snap.bench.lineitem_rowdecode"
-    val src = Tables.lineitem(s, dir)
-    val expected = src.count()
-    val current = SnapshotStore
-      .resolve(SnapshotStore.keyOf("graft_snap", Seq("bench", "lineitem_rowdecode")))
-      .map(_.currentFiles.map(_.rowCount).sum)
-    if (!current.contains(expected)) {
-      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.bench")
-      s.sql(s"DROP TABLE IF EXISTS $name")
-      src.repartitionByRange(8, col("l_orderkey"))
-        .sortWithinPartitions("l_orderkey")
-        .writeTo(name)
-        .tableProperty("write.format", "parquet")
-        .tableProperty("read.vectorized", "false")
-        .create()
-    }
-    name
-  }
+    * parquet layout via the SAME builder, `read.vectorized=false` — the
+    * A/B that isolates the vectorized ColumnarBatch decode win from
+    * everything else (cat01 vs cat05 differ ONLY in the decode inner
+    * loop). */
+  private def ensureRowDecode(s: SparkSession, dir: String): String =
+    ensureLineitem(s, dir, "parquet",
+      extraProps = Map("read.vectorized" -> "false"),
+      nameSuffix = "_rowdecode")
 
   /** The cat01 scan with vectorized decode DISABLED — the row-at-a-time
     * parquet baseline. BASELINE.md carries the cat01:cat05 ratio; the

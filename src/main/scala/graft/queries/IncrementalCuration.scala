@@ -341,7 +341,7 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
           .localCheckpoint()
         val flipped = changed
           .filter((col("old_n") >= 2) =!= (col("new_n") >= 2))
-          .select("gram", "pre_sat").localCheckpoint()
+          .select("gram", "pre_sat", "new_n").localCheckpoint()
         plan.spanCap match {
           case None =>
             SnapshotUpsert.replaceByKey(gramstatT,
@@ -381,16 +381,21 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
                 newlySat, Seq("gram"), s"$base:grams_evict", epochId)
         }
         // Kept OLD docs holding a flipped gram — their spans changed.
-        // Never-saturated grams answer from the pairs index; a saturated
-        // gram's holders are not indexed (by design), so the RARE
-        // saturated flip — a gram that reached the cap collapsing below
-        // 2 via retractions — re-derives holders from the kept corpus.
+        // The pairs index answers ONLY for grams untouched by saturation:
+        // already-sticky grams have no pairs, and a gram flipping AND
+        // crossing the cap in THIS trigger (one holder yesterday, >= cap
+        // today) had its old pair evicted above — reading the index for
+        // it would silently miss yesterday's holder. Both saturation
+        // cases re-derive holders from the kept corpus instead.
+        val capL = plan.spanCap.map(_.toLong).getOrElse(Long.MaxValue)
         val viaIndex = s.table(gramsT)
-          .join(flipped.filter(!col("pre_sat")).select("gram"), Seq("gram"))
+          .join(flipped.filter(!col("pre_sat") && col("new_n") < capL)
+            .select("gram"), Seq("gram"))
           .select("doc_id").distinct()
         val viaCorpus = {
-          val satFlipped = flipped.filter(col("pre_sat")).select("gram")
-            .localCheckpoint()
+          val satFlipped = flipped
+            .filter(col("pre_sat") || col("new_n") >= capL)
+            .select("gram").localCheckpoint()
           if (plan.spanCap.isEmpty || satFlipped.isEmpty)
             viaIndex.limit(0)
           else {

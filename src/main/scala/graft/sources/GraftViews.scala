@@ -39,6 +39,7 @@ private[graft] object ViewLog {
       schema: StructType,
       queryColumnNames: Seq[String],
       columnAliases: Seq[String],
+      columnComments: Seq[String],
       properties: Map[String, String],
       createdAtMicros: Long,
       version: Long)
@@ -58,6 +59,8 @@ private[graft] object ViewLog {
       "schema" -> JsonMethods.parse(d.schema.json),
       "queryColumnNames" -> JArray(d.queryColumnNames.map(JString(_)).toList),
       "columnAliases" -> JArray(d.columnAliases.map(JString(_)).toList),
+      "columnComments" -> JArray(d.columnComments.map(c =>
+        if (c == null) JNull else JString(c): JValue).toList),
       "properties" -> JObject(d.properties.toList.map { case (k, v) =>
         k -> (JString(v): JValue) }),
       "createdAtMicros" -> JLong(d.createdAtMicros))
@@ -84,6 +87,13 @@ private[graft] object ViewLog {
         .asInstanceOf[StructType],
       queryColumnNames = arr("queryColumnNames"),
       columnAliases = arr("columnAliases"),
+      columnComments = (j \ "columnComments") match {
+        case JArray(vs) => vs.map {
+          case JString(v) => v
+          case _ => null
+        }
+        case _ => Nil
+      },
       properties = (j \ "properties") match {
         case JObject(fs) => fs.collect { case (k, JString(v)) => k -> v }.toMap
         case _ => Map.empty
@@ -110,8 +120,15 @@ private[graft] object ViewLog {
     }.sorted
   }
 
-  def exists(warehouse: String, parts: Seq[String]): Boolean =
-    versions(warehouse, parts).nonEmpty
+  /** O(1): a live view ALWAYS has `view-v1.json` (creation claims v1 and
+    * drop removes every version), so existence is one file probe — this
+    * runs for every graft-qualified unresolved relation during analysis,
+    * where listing a busy table's whole metadata dir (thousands of
+    * vN.json + manifests) per reference would be a planning regression. */
+  def exists(warehouse: String, parts: Seq[String]): Boolean = {
+    val f = fileOf(warehouse, parts, 1L)
+    f.getFileSystem(new org.apache.hadoop.conf.Configuration()).exists(f)
+  }
 
   /** Load the CURRENT definition, or a pinned `version`. */
   def load(warehouse: String, parts: Seq[String],
@@ -188,8 +205,7 @@ private[graft] final class GraftView(ident: Identifier, d: ViewLog.Def)
   override def schema(): StructType = d.schema
   override def queryColumnNames(): Array[String] = d.queryColumnNames.toArray
   override def columnAliases(): Array[String] = d.columnAliases.toArray
-  override def columnComments(): Array[String] =
-    d.columnAliases.map(_ => null: String).toArray
+  override def columnComments(): Array[String] = d.columnComments.toArray
   override def properties(): java.util.Map[String, String] = {
     val m = new java.util.HashMap[String, String]()
     d.properties.foreach { case (k, v) => m.put(k, v) }
@@ -207,6 +223,7 @@ private[graft] object GraftView {
       schema = info.schema(),
       queryColumnNames = info.queryColumnNames().toSeq,
       columnAliases = info.columnAliases().toSeq,
+      columnComments = info.columnComments().toSeq,
       properties = {
         import scala.jdk.CollectionConverters._
         info.properties().asScala.toMap

@@ -157,7 +157,13 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     val ident = info.ident()
     // A table and a view must never share an identifier — resolution
     // would be ambiguous and the deterministic directory would entangle
-    // two metadata logs.
+    // two metadata logs. Enforced check-then-claim here and in
+    // createTable/renameTable/renameView; the cross-SESSION window (a
+    // concurrent CREATE TABLE and CREATE VIEW racing the same name claim
+    // DIFFERENT files, v1.json vs view-v1.json, so neither CAS conflicts)
+    // is a known narrow gap of the two-file layout — the same class of
+    // gap Iceberg's HadoopCatalog documents for its table/namespace
+    // races. Within one warehouse session the guards are exact.
     if (tableExists(ident))
       throw new TableAlreadyExistsException(
         (ident.namespace() :+ ident.name()).toSeq)
@@ -188,7 +194,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
   override def dropView(ident: Identifier): Boolean =
     ViewLog.drop(warehouse, viewParts(ident))
 
-  override def renameView(from: Identifier, to: Identifier): Unit = {
+  override def renameView(from: Identifier, rawTo: Identifier): Unit = {
+    val to = normalizeRenameTarget(rawTo, from.namespace())
     if (!viewExists(from))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(from)
     if (viewExists(to) || tableExists(to))
@@ -676,13 +683,37 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     * metadata location-relative for the same reason). Concurrent readers
     * holding the old absolute paths fail like readers of an expired
     * snapshot — the documented catalog contract for metadata races. */
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+  /** Spark's RenameTable hands the TARGET identifier un-stripped: a
+    * catalog-qualified `RENAME TO cat.ns.t` arrives with the catalog
+    * name still in `namespace()` — without normalization the rename
+    * would move the directory to `warehouse/cat/cat/ns/t` and every
+    * conflict guard would probe the wrong path. This catalog serves
+    * single-level namespaces, so a 2-level namespace is either our own
+    * catalog prefix (strip it) or an error (loud). */
+  private def normalizeRenameTarget(ident: Identifier,
+      sourceNs: Array[String]): Identifier =
+    ident.namespace().toSeq match {
+      case Seq(c, ns) if c == catalogName => Identifier.of(Array(ns), ident.name())
+      case Seq(_) => ident
+      case Seq() => Identifier.of(sourceNs, ident.name()) // bare: same ns
+      case other => throw new IllegalArgumentException(
+        s"rename target must be <namespace>.<name> within catalog " +
+          s"$catalogName, got namespace ${other.mkString(".")}")
+    }
+
+  override def renameTable(oldIdent: Identifier, rawNewIdent: Identifier): Unit = {
+    val newIdent = normalizeRenameTarget(rawNewIdent, oldIdent.namespace())
     val ok = key(oldIdent)
     val nk = key(newIdent)
     val st = SnapshotStore.resolve(ok)
       .getOrElse(throw new NoSuchTableException(oldIdent))
     if (SnapshotStore.resolve(nk).isDefined)
       throw new TableAlreadyExistsException(newIdent)
+    // A VIEW at the target would entangle two metadata logs in one
+    // directory (same invariant as createTable/createView/renameView).
+    if (viewExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(newIdent)
     val newDir = new Path(MetadataLog.tableDir(warehouse,
       catalogName +: newIdent.namespace().toSeq :+ newIdent.name()))
     val fs = RowFiles.fs(newDir)
@@ -702,37 +733,17 @@ object SnapshotCatalog {
     * time-travelable (load fails loudly) while the live table is untouched.
     * Data files referenced by no surviving snapshot are physically deleted
     * (Iceberg's expire-with-GC). Returns the number of snapshots expired. */
-  def expire(catalog: String, ident: Seq[String], keepLast: Int): Int = {
-    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
-    val k = (catalog +: ident).mkString(SnapshotStore.Sep)
+  /** Shared expire core: drop every snapshot outside `retain`'s verdict —
+    * ALWAYS keeping the newest `minKeep`, every tagged snapshot, and
+    * every live branch's BASE (expiring a fork point would strand the
+    * branch's reads and fast-forward) — then GC the files only the
+    * dropped snapshots referenced. Both expire flavors go through here so
+    * the retention shields and the GC can never diverge. */
+  private def expireWhere(k: String, minKeep: Int,
+      retain: SnapshotStore.Snapshot => Boolean): Int = {
+    require(minKeep >= 1, s"must keep at least 1 snapshot, got $minKeep")
     val (before, after) = SnapshotStore.update(k) { st =>
-      // Tagged snapshots are never expired (Iceberg's tag-retention rule),
-      // and neither is any live branch's BASE — expiring it would strand
-      // the branch's fork point and break its reads and fast-forward.
-      val keep = st.snapshots.takeRight(keepLast).map(_.version).toSet ++
-        st.tags.values ++ st.branches.values.map(_.base)
-      st.copy(snapshots = st.snapshots.filter(s => keep(s.version)))
-    }
-    def paths(sns: Vector[SnapshotStore.Snapshot]) =
-      sns.iterator.flatMap(sn =>
-        sn.files.iterator.map(_.path) ++ sn.deleteFiles.iterator.map(_.path)).toSet
-    val orphaned = paths(before.snapshots) -- paths(after.snapshots)
-    RowFiles.delete(orphaned)
-    before.snapshots.size - after.snapshots.size
-  }
-
-  /** AGE-BASED expire (Iceberg's `max-snapshot-age-ms` retention): drop
-    * snapshots whose commit predates `cutoffMicros`, always keeping the
-    * newest `minKeep`, every tagged snapshot, and every live branch's
-    * base. Same orphan-file GC as [[expire]]; the time-travel gap guards
-    * keep reads into the removed range loud. */
-  def expireOlderThan(catalog: String, ident: Seq[String],
-      cutoffMicros: Long, minKeep: Int = 1): Int = {
-    require(minKeep >= 1, s"minKeep must be >= 1, got $minKeep")
-    val k = (catalog +: ident).mkString(SnapshotStore.Sep)
-    val (before, after) = SnapshotStore.update(k) { st =>
-      val keep = st.snapshots.filter(_.commitMicros >= cutoffMicros)
-        .map(_.version).toSet ++
+      val keep = st.snapshots.filter(retain).map(_.version).toSet ++
         st.snapshots.takeRight(minKeep).map(_.version) ++
         st.tags.values ++ st.branches.values.map(_.base)
       st.copy(snapshots = st.snapshots.filter(s => keep(s.version)))
@@ -743,6 +754,20 @@ object SnapshotCatalog {
     RowFiles.delete(paths(before.snapshots) -- paths(after.snapshots))
     before.snapshots.size - after.snapshots.size
   }
+
+  def expire(catalog: String, ident: Seq[String], keepLast: Int): Int =
+    expireWhere((catalog +: ident).mkString(SnapshotStore.Sep), keepLast,
+      _ => false)
+
+  /** AGE-BASED expire (Iceberg's `max-snapshot-age-ms` retention): drop
+    * snapshots whose commit predates `cutoffMicros`, always keeping the
+    * newest `minKeep`, every tagged snapshot, and every live branch's
+    * base. Same orphan-file GC as [[expire]]; the time-travel gap guards
+    * keep reads into the removed range loud. */
+  def expireOlderThan(catalog: String, ident: Seq[String],
+      cutoffMicros: Long, minKeep: Int = 1): Int =
+    expireWhere((catalog +: ident).mkString(SnapshotStore.Sep), minKeep,
+      _.commitMicros >= cutoffMicros)
 
   /** POLICY-DRIVEN one-shot maintenance (`CALL cat.system.maintain(t)`):
     * apply the table's own `write.*`/`history.*` properties instead of
@@ -2647,7 +2672,8 @@ private[sources] final class MemDeltaRowLevelOperation(
       tFields = TransformPruning.fieldsOf(st.partitionCols,
         st.partitionTransforms, st.schema),
       typeHist = st.typeHistory,
-      specPruning = SnapshotStore.specPruningOf(st))
+      specPruning = SnapshotStore.specPruningOf(st),
+      vectorized = ScanSplits.vectorizedEnabled(st.properties))
   }
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new MemDeltaWriteBuilder(k, info.schema(), baseVersion)
@@ -4381,7 +4407,8 @@ private[sources] final class BranchTable(display: String, k: String,
       tFields = TransformPruning.fieldsOf(st.partitionCols,
         st.partitionTransforms, st.schema),
       typeHist = st.typeHistory,
-      specPruning = SnapshotStore.specPruningOf(st))
+      specPruning = SnapshotStore.specPruningOf(st),
+      vectorized = ScanSplits.vectorizedEnabled(st.properties))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

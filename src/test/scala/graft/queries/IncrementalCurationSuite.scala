@@ -213,6 +213,59 @@ class IncrementalCurationSuite extends AnyFunSuite {
         s"got $doc5Tokens")
   }
 
+  test("one-trigger flip-and-saturate: the PREVIOUS holder is still " +
+      "re-cut (review finding: eviction must not race the holder lookup)") {
+    val s = spark
+    val src = "graft_snap.incs.src_race"
+    val sink = "graft_snap.incs.sink_race"
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.incs")
+    s.sql(s"DROP TABLE IF EXISTS $src")
+    s.sql(s"CREATE TABLE $src (doc_id BIGINT, text STRING)")
+    // Trigger 1: docA alone holds gram run G (count 1, pair indexed).
+    // Trigger 2: docB and docC both add G -> count jumps 1 -> 3 = cap in
+    // ONE trigger: G both FLIPS (crosses 2) and SATURATES. The old pair
+    // (G, docA) is evicted this same trigger, so an index-based holder
+    // lookup after the eviction would MISS docA and leave its G spans
+    // uncut — the saturation route must re-derive holders instead.
+    val g = (1 to 8).map(i => s"g$i").mkString(" ")
+    val mk = (p: String) => (1 to 60).map(i => s"$p$i").mkString(" ")
+    val t1 = Seq((1L, s"${mk("a")} $g"))
+    val t2 = Seq((2L, s"${mk("b")} $g"), (3L, s"${mk("c")} $g"))
+    import s.implicits._
+    t1.toDF("doc_id", "text").writeTo(src).append()
+    t2.toDF("doc_id", "text").writeTo(src).append()
+    // NO quality_gate: the synthetic docs fail it in both modes, which
+    // would mask the stale row this pin exists to catch.
+    val spec = graft.catalog.PipelineSpec.fromYaml(
+      s"""pipeline: inc_suite_race
+         |source:
+         |  table: $src
+         |  changes: true
+         |  max_versions_per_trigger: 1
+         |  refresh: incremental
+         |steps:
+         |  - op: span_removal
+         |    gram_cap: 3
+         |  - op: token_count
+         |  - op: select
+         |    cols: doc_id, n_tokens
+         |sink:
+         |  table: $sink
+         |""".stripMargin)
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-incs-race-" +
+      java.util.UUID.randomUUID
+    new PipelineRunner(s).runChanges(spec, ckpt).awaitTermination()
+    val inc = spark.table(sink).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // The decisive pin: docA (trigger 1's only holder of G) must be
+    // re-cut to 60 tokens — G became duplicated the same trigger it
+    // saturated, and only the corpus re-derivation can find docA.
+    assert(inc.get(1L).contains(60L),
+      s"doc 1 must be re-cut to 60 tokens (G removed), got ${inc.get(1L)}")
+    assert(inc.get(2L).contains(60L) && inc.get(3L).contains(60L),
+      s"batch docs also lose G, got ${inc.get(2L)}/${inc.get(3L)}")
+  }
+
   test("replayed epoch is a no-op across every state table") {
     val s = spark
     val src = "graft_snap.incs.src_rp"

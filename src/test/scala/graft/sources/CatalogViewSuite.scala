@@ -185,6 +185,34 @@ class CatalogViewSuite extends AnyFunSuite {
     assert(e.getMessage.contains("no partition field"))
   }
 
+  test("renameTable refuses a target identifier held by a view") {
+    val t = baseTable("base11")
+    val v = fresh("v11")
+    spark.sql(s"CREATE VIEW $v AS SELECT * FROM $t")
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t RENAME TO $cat.views.v11")
+    }
+    assert(e.getMessage.nonEmpty)
+    // Both objects intact after the refused rename.
+    assert(spark.table(t).count() === 100)
+    assert(spark.sql(s"SELECT count(*) FROM $v").head().getLong(0) === 100)
+  }
+
+  test("view-level and per-column COMMENTs persist in the definition") {
+    val t = baseTable("base12")
+    val v = fresh("v12")
+    spark.sql(s"""CREATE VIEW $v (key COMMENT 'the id', doubled)
+      COMMENT 'daily rollup' AS SELECT id, v FROM $t""")
+    val cm = spark.sessionState.catalogManager
+    val snap = cm.catalog(cat).asInstanceOf[SnapshotCatalog]
+    val view = snap.loadView(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("views"), "v12"))
+    assert(view.properties().get("comment") === "daily rollup")
+    assert(view.columnComments().toSeq === Seq("the id", null))
+    assert(view.columnAliases().toSeq === Seq("key", "doubled"))
+  }
+
   test("listViews surfaces persisted views; dropView prunes them") {
     freshNs()
     val v = fresh("v10")

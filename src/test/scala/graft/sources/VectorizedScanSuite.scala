@@ -152,6 +152,17 @@ class VectorizedScanSuite extends AnyFunSuite {
     assert(spark.table(t).count() === 100)
   }
 
+  test("read.vectorized=false also governs BRANCH reads (review finding)") {
+    val t = fresh("novecbr")
+    spark.sql(s"CREATE TABLE $t (id BIGINT) TBLPROPERTIES ('read.vectorized'='false')")
+    spark.range(0, 100).writeTo(t).append()
+    spark.sql(s"CALL graft_snap.system.create_branch('vec.novecbr', 'audit')")
+    val branchRead = spark.sql(s"SELECT * FROM $t VERSION AS OF 'audit'")
+    assert(!scansColumnar(branchRead),
+      "the operational off-switch must hold on branch reads too")
+    assert(branchRead.count() === 100)
+  }
+
   test("columnar and row paths agree on a ranged split boundary") {
     val t = fresh("boundary")
     spark.sql(s"""CREATE TABLE $t (id BIGINT, s STRING)

@@ -3,10 +3,10 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, InternalRow, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.{CTESubstitution, RelationTimeTravel, UnresolvedIdentifier, UnresolvedRelation, UnresolvedSubqueryColumnAliases}
+import org.apache.spark.sql.catalyst.analysis.{CTESubstitution, RelationTimeTravel, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedSubqueryColumnAliases, UnresolvedTableOrView}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Cast, Expression, Literal}
 import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
-import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LeafCommand, LogicalPlan, SubqueryAlias, UnaryCommand}
+import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DescribeRelation, DropView, LeafCommand, LogicalPlan, ShowViews, SubqueryAlias, UnaryCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
@@ -54,6 +54,17 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case dv @ DropView(UnresolvedIdentifier(parts, _), ifExists)
         if GraftCatalogs.owns(parts) =>
       GraftDropView(parts, ifExists)
+    // SHOW VIEWS IN cat.ns — ResolveSessionCatalog throws
+    // missingCatalogViewsAbility for any non-session namespace, so this
+    // is intercepted at parse like CREATE/DROP.
+    case sv @ ShowViews(UnresolvedNamespace(parts, _), pattern, out)
+        if parts.nonEmpty && GraftCatalogs.resolve(parts.head).isDefined =>
+      GraftShowViews(parts, pattern, out)
+    // DESCRIBE over a graft VIEW (a table ident falls through untouched:
+    // the existence probe is O(1) against the view's v1 claim file).
+    case dr @ DescribeRelation(u: UnresolvedTableOrView, spec, extended, out)
+        if spec.isEmpty && GraftCatalogs.isView(u.multipartIdentifier) =>
+      GraftDescribeView(u.multipartIdentifier, extended, out)
     case other => other
   }
 
@@ -96,6 +107,12 @@ private[plans] object GraftCatalogs {
       } catch { case _: Exception => None }
     }
 
+  def isView(parts: Seq[String]): Boolean =
+    owns(parts) && {
+      val (c, id) = identOf(parts)
+      c.viewExists(id)
+    }
+
   /** (catalog, namespace-qualified Identifier) of `parts`. */
   def identOf(parts: Seq[String]): (SnapshotCatalog, Identifier) = {
     val cat = resolve(parts.head).getOrElse(sys.error(
@@ -121,10 +138,18 @@ final case class GraftCreateView(parts: Seq[String],
 final case class GraftDropView(parts: Seq[String], ifExists: Boolean)
     extends LeafCommand
 
+final case class GraftShowViews(parts: Seq[String], pattern: Option[String],
+    override val output: Seq[Attribute]) extends LeafCommand
+
+final case class GraftDescribeView(parts: Seq[String], isExtended: Boolean,
+    override val output: Seq[Attribute]) extends LeafCommand
+
 object GraftViewStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case c: GraftCreateView if c.query.resolved => GraftCreateViewExec(c) :: Nil
     case d: GraftDropView => GraftDropViewExec(d) :: Nil
+    case v: GraftShowViews => GraftShowViewsExec(v) :: Nil
+    case v: GraftDescribeView => GraftDescribeViewExec(v) :: Nil
     case e: GraftEvolveSpecField => GraftEvolveSpecFieldExec(e) :: Nil
     case _ => Nil
   }
@@ -177,6 +202,64 @@ final case class GraftDropViewExec(d: GraftDropView) extends GraftCommandExec {
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchViewException(ident)
   }
+}
+
+final case class GraftShowViewsExec(v: GraftShowViews) extends LeafExecNode {
+  import org.apache.spark.unsafe.types.UTF8String
+  override def output: Seq[Attribute] = v.output
+  private def rows(): Array[InternalRow] = {
+    val (cat, _) = GraftCatalogs.identOf(v.parts :+ "_")
+    val ns = v.parts.tail
+    val names = cat.listViews(ns: _*).map(_.name()).sorted
+    // Spark's SHOW pattern dialect: '|' alternates, '*' wildcards.
+    val keep: String => Boolean = v.pattern match {
+      case None => _ => true
+      case Some(p) =>
+        val rx = p.split('|').map(a =>
+          java.util.regex.Pattern.quote(a).replace("*", "\\E.*\\Q"))
+          .mkString("(?i)^(", "|", ")$").r
+        n => rx.findFirstIn(n).isDefined
+    }
+    names.filter(keep).map(n =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(ns.mkString(".")),
+          UTF8String.fromString(n), false)): InternalRow)
+  }
+  override def executeCollect(): Array[InternalRow] = rows()
+  override protected def doExecute(): RDD[InternalRow] =
+    sparkContext.parallelize(rows().toSeq, 1)
+}
+
+final case class GraftDescribeViewExec(v: GraftDescribeView) extends LeafExecNode {
+  import org.apache.spark.unsafe.types.UTF8String
+  override def output: Seq[Attribute] = v.output
+  private def rows(): Array[InternalRow] = {
+    val (cat, ident) = GraftCatalogs.identOf(v.parts)
+    val view = cat.loadViewVersion(ident, None)
+    def row(a: String, b: String, c: String): InternalRow =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(a), UTF8String.fromString(b),
+          if (c == null) null else UTF8String.fromString(c)))
+    val cols = view.schema().fields.zipWithIndex.map { case (f, i) =>
+      val comment =
+        if (i < view.columnComments().length) view.columnComments()(i) else null
+      row(f.name, f.dataType.catalogString, comment)
+    }
+    val extended =
+      if (!v.isExtended) Array.empty[InternalRow]
+      else Array(row("", "", null),
+        row("# Detailed View Information", "", null),
+        row("View Text", view.query(), null),
+        row("View Catalog and Namespace",
+          (view.currentCatalog() +: view.currentNamespace()).mkString("."), null),
+        row("Comment",
+          view.properties().getOrDefault("comment", ""), null),
+        row("Definition Version", view.definition.version.toString, null))
+    cols ++ extended
+  }
+  override def executeCollect(): Array[InternalRow] = rows()
+  override protected def doExecute(): RDD[InternalRow] =
+    sparkContext.parallelize(rows().toSeq, 1)
 }
 
 /** `ALTER TABLE t ADD|DROP PARTITION FIELD <field>` → the procedure's

@@ -213,6 +213,38 @@ class CatalogViewSuite extends AnyFunSuite {
     assert(view.columnAliases().toSeq === Seq("key", "doubled"))
   }
 
+  test("SHOW VIEWS lists catalog views, honoring the LIKE pattern") {
+    freshNs()
+    val t = baseTable("base13")
+    val a = fresh("report_daily")
+    val b = fresh("report_weekly")
+    val c = fresh("audit_v13")
+    Seq(a, b, c).foreach(v => spark.sql(s"CREATE VIEW $v AS SELECT * FROM $t"))
+    val all = spark.sql(s"SHOW VIEWS IN $cat.views")
+      .collect().map(_.getString(1)).toSet
+    assert(Set("report_daily", "report_weekly", "audit_v13").subsetOf(all))
+    val like = spark.sql(s"SHOW VIEWS IN $cat.views LIKE 'report*'")
+      .collect().map(_.getString(1)).toSet
+    assert(like === all.filter(_.startsWith("report")))
+    Seq(a, b, c).foreach(v => spark.sql(s"DROP VIEW $v"))
+  }
+
+  test("DESCRIBE serves a view's schema, comments, and definition") {
+    val t = baseTable("base14")
+    val v = fresh("v14")
+    spark.sql(s"""CREATE VIEW $v (key COMMENT 'pk', total)
+      COMMENT 'rollup' AS SELECT id, v FROM $t""")
+    val basic = spark.sql(s"DESCRIBE $v").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(basic.toSeq === Seq(("key", "bigint", "pk"), ("total", "bigint", null)))
+    val ext = spark.sql(s"DESCRIBE EXTENDED $v").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(ext("View Text").contains("SELECT id, v FROM"))
+    assert(ext("Comment") === "rollup")
+    // DESCRIBE of a TABLE is untouched by the intercept.
+    assert(spark.sql(s"DESCRIBE $t").collect().nonEmpty)
+  }
+
   test("listViews surfaces persisted views; dropView prunes them") {
     freshNs()
     val v = fresh("v10")

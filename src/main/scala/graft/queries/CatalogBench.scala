@@ -178,9 +178,15 @@ object CatalogBench {
       min("l_shipdate").as("min_ship"),
       max("l_shipdate").as("max_ship"))
 
+  /** DuckDB's sum(BIGINT/INT) widens to HUGEINT, which the driver's
+    * comparison frame renders as float64 ("451230286.0") and hash-fails
+    * against Spark's int64 — so every integer sum is CAST back to BIGINT,
+    * mirroring pricingOracle's casts above. */
   private val rawOracle = """SELECT count(*) AS n,
-      sum(l_orderkey) AS sum_okey, sum(l_partkey) AS sum_pkey,
-      sum(l_suppkey) AS sum_skey, sum(l_linenumber) AS sum_ln,
+      CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+      CAST(sum(l_partkey) AS BIGINT) AS sum_pkey,
+      CAST(sum(l_suppkey) AS BIGINT) AS sum_skey,
+      CAST(sum(l_linenumber) AS BIGINT) AS sum_ln,
       min(l_quantity) AS min_qty, max(l_extendedprice) AS max_price,
       min(l_discount) AS min_disc, max(l_tax) AS max_tax,
       min(l_returnflag) AS min_rf, max(l_linestatus) AS max_ls,

@@ -391,13 +391,16 @@ private[sources] object DataFiles {
     * At 100 TB every catalog-table query is decode-bound; this is the
     * inner loop that pays for it.
     *
-    * Planned ONLY when the scan needs no per-row weaving (see
-    * `MemScan.columnarEligible`): no position/equality deletes, no
-    * `_file`/`_pos` metadata columns, no type-widening up-casts, every
-    * requested type [[vectorizable]]. Requested columns missing from the
-    * file (written before an ADD COLUMN, or the `_graft_absent_` sentinel
-    * after a DROP/RENAME) come back as all-NULL vectors — the same
-    * clipped-schema semantics as the row path.
+    * Planned whenever the scan decodes batch-wise (see
+    * `MemScan.columnarEligible`): no `_file`/`_pos` metadata columns, no
+    * type-widening up-casts, every requested type [[vectorizable]].
+    * Merge-on-read position/equality deletes do NOT demote the scan —
+    * the catalog's batch reader filters each emitted batch through a
+    * selection remap (`MemReaders.SelectedColumnVector`). Requested
+    * columns missing from the file (written before an ADD COLUMN, or the
+    * `_graft_absent_` sentinel after a DROP/RENAME) come back as
+    * all-NULL vectors — the same clipped-schema semantics as the row
+    * path.
     *
     * Rebase modes are pinned CORRECTED/UTC: every catalog data file is
     * written by [[ParquetRowFileWriter]] (Spark's write support,

@@ -19,7 +19,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, 
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsPushDownV2Filters, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, Decimal, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -3490,6 +3490,51 @@ private[sources] object MemReaders {
   private val eqSetCache = new java.util.concurrent.ConcurrentHashMap[
     String, java.lang.ref.SoftReference[java.util.HashSet[EqKey]]]()
 
+  /** Zero-copy SELECTION over a decoded column vector: row `i` of this
+    * vector is row `sel(i)` of the delegate — how a vectorized scan keeps
+    * its ColumnarBatch shape when merge-on-read deletes drop rows
+    * (Iceberg's vectorized reads filter through the same row-id remap).
+    * The emitted batch's row count bounds the valid range; `sel` is
+    * reused batch-to-batch (the standard valid-until-`next()` reader
+    * contract, same as the decoder's own vector reuse). Struct children
+    * share the parent's row ids, so they remap through the SAME
+    * selection; array/map payloads live in child vectors addressed by
+    * offsets the delegate returns, so those pass through untouched. */
+  private[sources] final class SelectedColumnVector(
+      d: org.apache.spark.sql.vectorized.ColumnVector, sel: Array[Int])
+      extends org.apache.spark.sql.vectorized.ColumnVector(d.dataType) {
+    private lazy val kids: Array[SelectedColumnVector] = d.dataType match {
+      case s: StructType =>
+        Array.tabulate(s.length)(i => new SelectedColumnVector(d.getChild(i), sel))
+      case _ => Array.empty
+    }
+    /** The delegate is owned by the decode stream; never double-close. */
+    override def close(): Unit = ()
+    // Pre-selection approximations: may report nulls the selection
+    // dropped. Sound — they only force per-row isNullAt checks downstream,
+    // never skip them (under-reporting would be the unsafe direction).
+    override def hasNull: Boolean = d.hasNull
+    override def numNulls: Int = d.numNulls
+    override def isNullAt(i: Int): Boolean = d.isNullAt(sel(i))
+    override def getBoolean(i: Int): Boolean = d.getBoolean(sel(i))
+    override def getByte(i: Int): Byte = d.getByte(sel(i))
+    override def getShort(i: Int): Short = d.getShort(sel(i))
+    override def getInt(i: Int): Int = d.getInt(sel(i))
+    override def getLong(i: Int): Long = d.getLong(sel(i))
+    override def getFloat(i: Int): Float = d.getFloat(sel(i))
+    override def getDouble(i: Int): Double = d.getDouble(sel(i))
+    override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+      d.getArray(sel(i))
+    override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+      d.getMap(sel(i))
+    override def getDecimal(i: Int, precision: Int, scale: Int): Decimal =
+      d.getDecimal(sel(i), precision, scale)
+    override def getUTF8String(i: Int): UTF8String = d.getUTF8String(sel(i))
+    override def getBinary(i: Int): Array[Byte] = d.getBinary(sel(i))
+    override def getChild(ordinal: Int): org.apache.spark.sql.vectorized.ColumnVector =
+      kids(ordinal)
+  }
+
   /** The read schema a scan must STREAM so equality-delete keys can be
     * probed: the requested data columns plus any key columns the
     * projection pruned (streamed, never emitted). */
@@ -3558,10 +3603,14 @@ private[sources] object MemReaders {
   def factory(fullSchema: StructType, required: StructType,
       fsConf: org.apache.spark.util.SerializableConfiguration,
       typeHist: Map[Int, Vector[(Long, DataType)]] = Map.empty,
-      /** Plan VECTORIZED reads: the scan proved every partition needs no
-        * per-row weaving (`MemScan.columnarEligible`), so each task
-        * decodes straight to ColumnarBatch ([[DataFiles.ParquetBatchStream]]).
-        * `capacity` is the driver-resolved batch row count
+      /** Plan VECTORIZED reads: the scan proved every partition decodes
+        * batch-wise (`MemScan.columnarEligible` — parquet only, no
+        * metadata weaving, no widening up-casts), so each task decodes
+        * straight to ColumnarBatch ([[DataFiles.ParquetBatchStream]]).
+        * Merge-on-read position/equality deletes stay ON the batch path:
+        * survivors remap through a per-batch selection
+        * ([[MemReaders.SelectedColumnVector]]). `capacity` is the
+        * driver-resolved batch row count
         * (`spark.sql.parquet.columnarReaderBatchSize`). */
       columnar: Boolean = false,
       capacity: Int = 4096): PartitionReaderFactory = {
@@ -3583,18 +3632,82 @@ private[sources] object MemReaders {
       override def createColumnarReader(partition: InputPartition):
           PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
         val part = partition.asInstanceOf[MemFilePartition]
-        // Columnar is only planned when nothing applies per row (no
-        // deletes, no eq probes, no metadata columns, no widening), so
-        // `required` IS the stream shape and the batch passes through.
-        val proj = DataFiles.projectionFor(fullSchema, required, part.writeCols)
+        // Equality deletes probe key columns the projection may have
+        // pruned: extend the READ schema exactly like the row path. The
+        // required fields stay a PREFIX of the read schema (extra key
+        // columns are appended), so the emitted batch simply keeps the
+        // first `dataSchema.length` vectors.
+        val readSchema = MemReaders.schemaWithEqKeys(
+          fullSchema, dataSchema, part.eqDeletePaths.flatMap(_._2))
+        val proj = DataFiles.projectionFor(fullSchema, readSchema, part.writeCols)
         val stream = new DataFiles.ParquetBatchStream(part.path, part.split,
           proj, fsConf.value, capacity)
-        new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
-          override def next(): Boolean = stream.next()
-          override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
-            stream.get()
-          override def close(): Unit = stream.close()
-        }
+        val eqProbe = MemReaders.eqProbeFor(part.eqDeletePaths, readSchema,
+          fullSchema, fsConf.value)
+        val deleted: java.util.HashSet[java.lang.Long] =
+          if (part.deletePaths.isEmpty) null
+          else {
+            val set = new java.util.HashSet[java.lang.Long]()
+            part.deletePaths.foreach(dp =>
+              RowFiles.readDeletes(dp, fsConf.value).foreach(set.add(_)))
+            set
+          }
+        if (deleted == null && eqProbe.isEmpty)
+          new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+            override def next(): Boolean = stream.next()
+            override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+              stream.get()
+            override def close(): Unit = stream.close()
+          }
+        else
+          // MERGE-ON-READ over batches: decode stays columnar (the 2×+
+          // win), surviving row ids are collected per batch, and the
+          // emitted vectors REMAP through the selection — zero copy
+          // (Iceberg's vectorized read with deletes uses the same
+          // row-id-filter shape). Positions count FILE-globally from the
+          // slice's first physical row, split-agnostic, exactly like the
+          // row path's `_pos`.
+          new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+            private var pos = part.rowStart
+            private val sel = new Array[Int](capacity)
+            private var out: org.apache.spark.sql.vectorized.ColumnarBatch = null
+            override def next(): Boolean = {
+              while (stream.next()) {
+                val b = stream.get()
+                val n = b.numRows()
+                var k = 0
+                var i = 0
+                while (i < n) {
+                  if ((deleted == null || !deleted.contains(pos + i)) &&
+                      (eqProbe.isEmpty || !eqProbe.matched(b.getRow(i)))) {
+                    sel(k) = i; k += 1
+                  }
+                  i += 1
+                }
+                pos += n
+                if (k > 0) {
+                  out =
+                    if (k == n && readSchema.length == dataSchema.length) b
+                    else {
+                      val cols = new Array[
+                        org.apache.spark.sql.vectorized.ColumnVector](dataSchema.length)
+                      var c = 0
+                      while (c < cols.length) {
+                        cols(c) =
+                          if (k == n) b.column(c)
+                          else new MemReaders.SelectedColumnVector(b.column(c), sel)
+                        c += 1
+                      }
+                      new org.apache.spark.sql.vectorized.ColumnarBatch(cols, k)
+                    }
+                  return true
+                }
+              }
+              false
+            }
+            override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = out
+            override def close(): Unit = stream.close()
+          }
       }
 
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -3904,19 +4017,31 @@ private[sources] final class MemScan(fullSchema: StructType,
     * PARTITION_DEFINED contract), so the decision is scan-global and
     * conservative, over the pre-runtime-filter `initial` set (runtime
     * filtering only removes files — a uniformly eligible set stays
-    * eligible). Requirements: parquet files only, no position/equality
-    * deletes (per-row skip), no `_file`/`_pos` metadata weaving, no
-    * type-widening up-casts for any file, every requested type
-    * vectorizable, and a non-empty projection (zero-column count scans
-    * keep the row stream). */
+    * eligible). Requirements: parquet files only, no `_file`/`_pos`
+    * metadata weaving, no type-widening up-casts for any file, every
+    * READ type vectorizable, and a non-empty projection (zero-column
+    * count scans keep the row stream). Position/equality deletes do NOT
+    * demote the scan — the batch reader filters survivors through a
+    * selection remap — but equality deletes widen the check to the
+    * eq-key-extended READ schema (key columns are decoded for probing
+    * even when the projection pruned them, so they too must decode
+    * vectorized and never widen). A key column dropped from the current
+    * schema makes the extension throw → fall back to the row path, which
+    * surfaces the same error at read time with its richer message. */
   private def columnarEligible: Boolean =
-    vectorized &&
-      deletes.isEmpty && eqDeletes.isEmpty && required.fields.nonEmpty &&
+    vectorized && required.fields.nonEmpty &&
       required.fields.forall(f =>
         f.name != MemTable.FileColumnName && f.name != MemTable.PosColumnName &&
           DataFiles.vectorizable(f.dataType)) &&
-      initial.forall(f => f.path.endsWith(".parquet") &&
-        MemReaders.widenOverrides(typeHist, required, f.seq).isEmpty)
+      (try {
+        val readSchema =
+          if (eqDeletes.isEmpty) required
+          else MemReaders.schemaWithEqKeys(
+            fullSchema, required, eqDeletes.flatMap(_.equalityCols))
+        readSchema.fields.forall(f => DataFiles.vectorizable(f.dataType)) &&
+          initial.forall(f => f.path.endsWith(".parquet") &&
+            MemReaders.widenOverrides(typeHist, readSchema, f.seq).isEmpty)
+      } catch { case _: RuntimeException => false })
 
   override def createReaderFactory(): PartitionReaderFactory =
     MemReaders.factory(fullSchema, required, RowFiles.sessionConf(), typeHist,

@@ -99,7 +99,7 @@ class VectorizedScanSuite extends AnyFunSuite {
     assert(sortedRows(read) === (0L until 200L).map(i => s"[${i * 2}]").sorted)
   }
 
-  test("merge-on-read deletes fall back to the row path, same answer") {
+  test("merge-on-read position deletes STAY columnar, same answer") {
     val t = fresh("mor")
     spark.sql(s"""CREATE TABLE $t (id BIGINT, v BIGINT)
       TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
@@ -108,10 +108,99 @@ class VectorizedScanSuite extends AnyFunSuite {
     assert(scansColumnar(before), "pre-delete scan should be columnar")
     spark.sql(s"DELETE FROM $t WHERE id % 10 = 3")
     val after = spark.table(t)
-    assert(!scansColumnar(after),
-      "a scan weaving position deletes must stay on the row path")
+    assert(scansColumnar(after),
+      "position deletes filter through the batch selection — no row demotion")
     assert(after.count() === 900)
     assert(after.filter(col("id") % 10 === 3).count() === 0)
+    assert(after.agg(sum("v")).head().getLong(0) ===
+      (0L until 1000L).filterNot(_ % 10 == 3).sum)
+  }
+
+  test("position deletes: batch path ≡ row path value-for-value") {
+    val t = fresh("morab")
+    spark.sql(s"""CREATE TABLE $t (id BIGINT, s STRING)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+                     'write.parquet.row-group-bytes'='32768',
+                     'read.split.target-bytes'='32768')""")
+    spark.range(0, 50000).selectExpr("id", "concat('v', id) AS s")
+      .coalesce(1).writeTo(t).append()
+    spark.sql(s"DELETE FROM $t WHERE id % 7 = 2 OR id BETWEEN 20000 AND 21000")
+    // `_pos` forces the row path (metadata weaving); same files, same deletes.
+    val columnar = spark.table(t).selectExpr("id", "s")
+    val row = spark.table(t).selectExpr("id", "s", "_pos")
+    assert(scansColumnar(columnar) && !scansColumnar(row))
+    val a = columnar.collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val b = row.collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(a.sameElements(b))
+    assert(!a.exists(_._1 % 7 == 2))
+  }
+
+  test("a fully-deleted file reads as zero rows, still columnar") {
+    val t = fresh("morall")
+    spark.sql(s"""CREATE TABLE $t (id BIGINT)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    spark.range(0, 500).writeTo(t).append()
+    spark.sql(s"DELETE FROM $t WHERE id >= 0")
+    val read = spark.table(t)
+    assert(scansColumnar(read))
+    assert(read.count() === 0)
+  }
+
+  test("equality deletes stay columnar; pruned key columns decode for " +
+      "probing, then drop from the emitted batch") {
+    val t = fresh("eqvec")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, name STRING, score DOUBLE)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 1.0), (2, 'b', 2.0), (3, 'c', 3.0)")
+    import spark.implicits._
+    SnapshotUpsert.upsertBatch(t,
+      Seq((2L, "B", 20.0), (4L, "d", 4.0)).toDF("id", "name", "score"), Seq("id"))
+    val full = spark.table(t)
+    assert(scansColumnar(full), "equality deletes must not demote the scan")
+    assert(full.orderBy("id").collect().map(_.toString).toSeq ===
+      Seq("[1,a,1.0]", "[2,B,20.0]", "[3,c,3.0]", "[4,d,4.0]"))
+    // Projection WITHOUT the key column: the read schema extends with `id`
+    // for probing; the batch emitted downstream carries only `name`.
+    val pruned = spark.table(t).select("name")
+    assert(scansColumnar(pruned))
+    assert(pruned.collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("B", "a", "c", "d"))
+  }
+
+  test("mixed position + equality deletes compose on the batch path") {
+    val t = fresh("mixvec")
+    spark.sql(s"""CREATE TABLE $t (id BIGINT, name STRING, score DOUBLE)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    spark.range(0, 100)
+      .selectExpr("id", "concat('n', id) AS name", "CAST(id AS DOUBLE) AS score")
+      .writeTo(t).append()
+    spark.sql(s"DELETE FROM $t WHERE id % 10 = 0") // position deletes
+    import spark.implicits._
+    SnapshotUpsert.upsertBatch(t, // equality delete + append
+      Seq((7L, "N7", 700.0)).toDF("id", "name", "score"), Seq("id"))
+    val read = spark.table(t)
+    assert(scansColumnar(read))
+    assert(read.count() === 90)
+    assert(read.filter(col("id") === 7).collect().map(_.toString).toSeq ===
+      Seq("[7,N7,700.0]"))
+    assert(read.filter(col("id") % 10 === 0).count() === 0)
+  }
+
+  test("type widening of an eq-key column demotes the scan, same answer") {
+    val t = fresh("eqwiden")
+    spark.sql(s"CREATE TABLE $t (id INT, v BIGINT)")
+    spark.range(0, 50).selectExpr("CAST(id AS INT) AS id", "id AS v")
+      .writeTo(t).append()
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN id TYPE BIGINT")
+    import spark.implicits._
+    SnapshotUpsert.upsertBatch(t,
+      Seq((7L, 700L)).toDF("id", "v"), Seq("id"))
+    // Projection prunes `id`; the eq probe still needs it, and the
+    // pre-widen file requires an INT→BIGINT up-cast on it → row path.
+    val read = spark.table(t).select("v")
+    assert(!scansColumnar(read),
+      "a widened eq-key column needs the row path's up-cast weave")
+    assert(read.agg(sum("v")).head().getLong(0) ===
+      (0L until 50L).filterNot(_ == 7L).sum + 700L)
   }
 
   test("type-widened history falls back to the row path, same answer") {

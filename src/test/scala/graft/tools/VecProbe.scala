@@ -9,6 +9,12 @@ import org.apache.spark.sql.functions._
   * At plain sf0.1 the ~0.2 s job floor compresses the ratio; growing the
   * data makes the decode loop dominate, which is the 100 TB regime.
   *
+  * Phase 2 (round 15): a merge-on-read DELETE lands position-delete files
+  * on BOTH copies, the two paths are asserted answer-identical, and the
+  * same raw scan is re-timed — measuring that the batch path KEEPS its
+  * decode win when deletes filter through the selection remap
+  * (`MemReaders.SelectedColumnVector`) instead of demoting to row decode.
+  *
   * `Test/runMain graft.tools.VecProbe <sfDir> [copies] [cpus]`
   */
 object VecProbe {
@@ -29,6 +35,7 @@ object VecProbe {
       val w = src.repartition(8).writeTo(full)
         .tableProperty("write.format", "parquet")
         .tableProperty("read.vectorized", vectorized.toString)
+        .tableProperty("write.delete.mode", "merge-on-read")
       w.create()
       // Salted appends: distinct keys per copy, same byte volume.
       (1 until copies).foreach { i =>
@@ -63,6 +70,18 @@ object VecProbe {
     val tv = time(vec)
     val tr = time(row)
     println(f"[vecprobe] rows=$rows copies=$copies vectorized=$tv%.2f s row=$tr%.2f s ratio=${tr / tv}%.2f")
+
+    // Phase 2: the SAME scan over merge-on-read position deletes — the
+    // batch path must keep (most of) its win, not demote to row decode.
+    Seq(vec, row).foreach(t =>
+      spark.sql(s"DELETE FROM $t WHERE l_orderkey % 10 = 3"))
+    val a = rawScan(vec).collect().head.toString
+    val b = rawScan(row).collect().head.toString
+    require(a == b, s"batch/row paths disagree under deletes:\n  $a\n  $b")
+    val survivors = spark.table(vec).count()
+    val tvd = time(vec)
+    val trd = time(row)
+    println(f"[vecprobe] deleted: rows=$survivors vectorized=$tvd%.2f s row=$trd%.2f s ratio=${trd / tvd}%.2f")
     spark.sql(s"DROP TABLE IF EXISTS $vec")
     spark.sql(s"DROP TABLE IF EXISTS $row")
     spark.stop()

@@ -321,7 +321,21 @@ object GraftAlterPartitionField {
   * OF` picks by definition creation time. */
 final case class GraftViewReads(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  /** viewExists probes memoized for ONE rule invocation (one analyzer
+    * fixed-point iteration): every unresolved relation costs one
+    * filesystem probe per iteration otherwise, and a big union query
+    * names the same tables many times. Scoped to the invocation — never
+    * across queries — so a view created between two queries is always
+    * seen. Single-threaded within apply (the analyzer runs rules
+    * sequentially), so a plain HashMap is safe. */
+  private val probeMemo = new ThreadLocal[scala.collection.mutable.HashMap[String, Boolean]]
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    probeMemo.set(scala.collection.mutable.HashMap.empty)
+    try applyMemoized(plan) finally probeMemo.remove()
+  }
+
+  private def applyMemoized(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
       // Batch reads only: a streamed view would silently serve a batch
       // body — `readStream.table` on a view stays a loud non-resolution.
@@ -357,12 +371,19 @@ final case class GraftViewReads(spark: SparkSession) extends Rule[LogicalPlan] {
     else GraftCatalogs.resolve(parts.head).map(c =>
       (c, parts.head, Identifier.of(parts.tail.init.toArray, parts.last)))
 
+  private def memoizedExists(c: SnapshotCatalog, catName: String,
+      id: Identifier): Boolean = {
+    val memo = probeMemo.get()
+    if (memo == null) return c.viewExists(id)
+    memo.getOrElseUpdate(catName + " " + id.toString, c.viewExists(id))
+  }
+
   private def isView(parts: Seq[String]): Boolean =
-    split(parts).exists { case (c, _, id) => c.viewExists(id) }
+    split(parts).exists { case (c, n, id) => memoizedExists(c, n, id) }
 
   private def loadFor(parts: Seq[String],
       pin: Option[Either[Long, Long]]): Option[GraftView] =
-    split(parts).filter { case (c, _, id) => c.viewExists(id) }
+    split(parts).filter { case (c, n, id) => memoizedExists(c, n, id) }
       .map { case (c, _, id) =>
         pin match {
           case Some(Left(version)) => c.loadViewVersion(id, Some(version))

@@ -187,6 +187,21 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
         spark.sql(if (plan.spanCap.isDefined)
           s"CREATE TABLE $gramstatT (gram STRING, n_docs BIGINT, sat BOOLEAN)"
         else s"CREATE TABLE $gramstatT (gram STRING, n_docs BIGINT)")
+      else {
+        // Restarting an existing pipeline after TOGGLING span_removal's
+        // gram_cap would reuse a gramstat table shaped for the other mode
+        // — the capped path's col("sat") then fails deep in a trigger
+        // with an unresolved-column error. Fail fast, at the seam where
+        // the mismatch is explainable.
+        val hasSat = spark.table(gramstatT).schema.fieldNames
+          .exists(_.equalsIgnoreCase("sat"))
+        require(hasSat == plan.spanCap.isDefined,
+          s"pipeline spec changed: $gramstatT was created " +
+            s"${if (hasSat) "WITH" else "WITHOUT"} span_removal.gram_cap " +
+            s"but the plan now runs ${if (plan.spanCap.isDefined) "WITH"
+              else "WITHOUT"} it — resetState() (or drop the state tables) " +
+            "before restarting under the changed spec")
+      }
     }
     if (!spark.catalog.tableExists(gatedT)) {
       val shape = IncrementalCuration.gatedShape(runner, plan, src.limit(0))

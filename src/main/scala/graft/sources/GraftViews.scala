@@ -32,6 +32,15 @@ import org.json4s.jackson.JsonMethods
   */
 private[graft] object ViewLog {
 
+  /** One shared Hadoop Configuration for every view-log filesystem probe:
+    * `exists` runs for EVERY unresolved relation on every analyzer
+    * iteration ([[graft.plans.GraftViewReads]]), and constructing a fresh
+    * Configuration per probe re-parses the hadoop XML resources each time
+    * — measurable per-relation analysis latency on large queries. The
+    * object is only read after construction, which Hadoop documents as
+    * thread-safe. */
+  private val hconf = new org.apache.hadoop.conf.Configuration()
+
   final case class Def(
       sql: String,
       currentCatalog: String,
@@ -110,7 +119,7 @@ private[graft] object ViewLog {
     * empty = no view. */
   def versions(warehouse: String, parts: Seq[String]): Seq[Long] = {
     val md = dirOf(warehouse, parts)
-    val fs = md.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = md.getFileSystem(hconf)
     if (!fs.exists(md)) return Nil
     fs.listStatus(md).toSeq.flatMap { s =>
       val n = s.getPath.getName
@@ -127,7 +136,7 @@ private[graft] object ViewLog {
     * vN.json + manifests) per reference would be a planning regression. */
   def exists(warehouse: String, parts: Seq[String]): Boolean = {
     val f = fileOf(warehouse, parts, 1L)
-    f.getFileSystem(new org.apache.hadoop.conf.Configuration()).exists(f)
+    f.getFileSystem(hconf).exists(f)
   }
 
   /** Load the CURRENT definition, or a pinned `version`. */
@@ -176,7 +185,7 @@ private[graft] object ViewLog {
     val vs = versions(warehouse, parts)
     if (vs.isEmpty) return false
     val md = dirOf(warehouse, parts)
-    val fs = md.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = md.getFileSystem(hconf)
     vs.foreach(v => fs.delete(fileOf(warehouse, parts, v), false))
     // Remove the view dir if nothing else (no table metadata) lives there.
     val tdir = new Path(MetadataLog.tableDir(warehouse, parts))
@@ -188,7 +197,7 @@ private[graft] object ViewLog {
   /** View names on disk under `catalog +: namespace`. */
   def list(warehouse: String, parts: Seq[String]): Seq[String] = {
     val ns = new Path(MetadataLog.tableDir(warehouse, parts))
-    val fs = ns.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = ns.getFileSystem(hconf)
     if (!fs.exists(ns)) return Nil
     fs.listStatus(ns).toSeq.filter(_.isDirectory).map(_.getPath.getName)
       .filter(n => exists(warehouse, parts :+ n))

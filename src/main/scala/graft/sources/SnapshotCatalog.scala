@@ -204,6 +204,11 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     val src = new Path(MetadataLog.tableDir(warehouse, viewParts(from)))
     val dst = new Path(MetadataLog.tableDir(warehouse, viewParts(to)))
     val fs = src.getFileSystem(new Configuration())
+    // fs.rename returns FALSE (not an exception) when the destination's
+    // parent directory is missing — ensure it exists, like renameTable,
+    // so a rename into a fresh namespace works instead of surfacing an
+    // opaque failure.
+    fs.mkdirs(dst.getParent)
     if (!fs.rename(src, dst))
       throw new IllegalStateException(s"renameView failed: $src -> $dst")
   }
@@ -4006,7 +4011,13 @@ private[sources] final class MemScan(fullSchema: StructType,
           files.forall(_.specId == currentSpecId) =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           keys.map(t => t: VExpression),
-          files.map(_.partitionValues).distinct.size)
+          // Array[Byte] partition values (identity over a binary column)
+          // compare by REFERENCE inside Seq.distinct — normalize to a
+          // content-equal view or the reported group count over-counts.
+          files.map(_.partitionValues.map {
+            case a: Array[Byte] => a.toSeq
+            case v => v
+          }).distinct.size)
       case _ =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
           files.size)

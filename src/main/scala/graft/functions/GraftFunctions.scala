@@ -84,6 +84,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // graft.plans.GraftSqlExtensions.
     ext.injectParser((_, parser) => new graft.plans.GraftSqlParser(parser))
     ext.injectResolutionRule(session => graft.plans.GraftViewReads(session))
+    ext.injectResolutionRule(session => graft.plans.GraftMvValidate(session))
     ext.injectPlannerStrategy(_ => graft.plans.GraftViewStrategy)
   }
 }

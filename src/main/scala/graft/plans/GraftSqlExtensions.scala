@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, InternalRow, TableIden
 import org.apache.spark.sql.catalyst.analysis.{CTESubstitution, RelationTimeTravel, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedSubqueryColumnAliases, UnresolvedTableOrView}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Cast, Expression, Literal}
 import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
-import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DescribeRelation, DropView, LeafCommand, LogicalPlan, ShowViews, SubqueryAlias, UnaryCommand}
+import org.apache.spark.sql.catalyst.plans.logical.{CreateMaterializedViewAsSelect, CreateView, DescribeRelation, DropView, LeafCommand, LogicalPlan, ShowViews, SubqueryAlias, UnaryCommand, UnresolvedTableSpec}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
@@ -38,7 +38,9 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       try delegate.parsePlan(sqlText)
       catch {
         case e: ParseException =>
-          GraftAlterPartitionField.parse(sqlText, delegate).getOrElse(throw e)
+          GraftAlterPartitionField.parse(sqlText, delegate)
+            .orElse(GraftMvSql.parse(sqlText, delegate))
+            .getOrElse(throw e)
       }
     rewriteViewCommands(plan)
   }
@@ -65,7 +67,33 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case dr @ DescribeRelation(u: UnresolvedTableOrView, spec, extended, out)
         if spec.isEmpty && GraftCatalogs.isView(u.multipartIdentifier) =>
       GraftDescribeView(u.multipartIdentifier, extended, out)
+    // CREATE MATERIALIZED VIEW parses natively in Spark 4.1 — but only
+    // Declarative Pipelines can execute it; outside a pipeline it fails
+    // in analysis. Re-plan it onto the catalog's MV mechanism
+    // ([[graft.sources.MaterializedViews]]), keeping the body as the
+    // child so the analyzer resolves it before the maintainability check.
+    case mv: CreateMaterializedViewAsSelect
+        if ownsIdent(mv.name) && mv.columns.isEmpty =>
+      val UnresolvedIdentifier(parts, _) = mv.name: @unchecked
+      val (props, comment) = mv.tableSpec match {
+        case u: UnresolvedTableSpec => (u.properties, u.comment)
+        case _ => (Map.empty[String, String], None)
+      }
+      GraftCreateMaterializedView(parts, mv.partitioning,
+        props ++ comment.map("comment" -> _),
+        Option(mv.originalText).getOrElse(sys.error(
+          "CREATE MATERIALIZED VIEW needs the original query text")),
+        mv.query, mv.ifNotExists)
+    case mv: CreateMaterializedViewAsSelect if ownsIdent(mv.name) =>
+      sys.error("CREATE MATERIALIZED VIEW with an explicit column list " +
+        "is not supported — the view's schema is its body's (alias " +
+        "columns in the SELECT)")
     case other => other
+  }
+
+  private def ownsIdent(name: LogicalPlan): Boolean = name match {
+    case UnresolvedIdentifier(parts, _) => GraftCatalogs.owns(parts)
+    case _ => false
   }
 
   override def parseExpression(sqlText: String): Expression =
@@ -138,6 +166,52 @@ final case class GraftCreateView(parts: Seq[String],
 final case class GraftDropView(parts: Seq[String], ifExists: Boolean)
     extends LeafCommand
 
+/** `CREATE MATERIALIZED VIEW` on a graft catalog — the body rides as the
+  * child so it analyzes before [[graft.sources.MaterializedViews]] checks
+  * maintainability. The check runs at ANALYSIS time ([[GraftMvValidate]])
+  * against the resolved-but-unoptimized plan and stows its result in
+  * `spec`: by execution the optimizer has pushed filters INTO the scan
+  * and collapsed the relation to a ScanRelation, so a WHERE extracted
+  * from the optimized child could silently vanish — and a lost predicate
+  * means every later refresh folds unfiltered deltas. */
+final case class GraftCreateMaterializedView(parts: Seq[String],
+    partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
+    userProps: Map[String, String], bodySql: String, query: LogicalPlan,
+    ifNotExists: Boolean,
+    spec: Option[(graft.sources.MaterializedViews.Spec, StructType)] = None)
+    extends UnaryCommand {
+  override def child: LogicalPlan = query
+  override protected def withNewChildInternal(newChild: LogicalPlan):
+      GraftCreateMaterializedView = copy(query = newChild)
+}
+
+/** Analysis-time maintainability validation + spec extraction (see
+  * [[GraftCreateMaterializedView.spec]]). */
+final case class GraftMvValidate(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case c: GraftCreateMaterializedView if c.query.resolved && c.spec.isEmpty =>
+      c.copy(spec = Some((
+        graft.sources.MaterializedViews.extract(c.parts.head, c.query),
+        c.query.schema)))
+    case other => other
+  }
+}
+
+final case class GraftDropMaterializedView(parts: Seq[String],
+    ifExists: Boolean) extends LeafCommand
+
+final case class GraftRefreshMaterializedView(parts: Seq[String],
+    override val output: Seq[Attribute]) extends LeafCommand
+
+object GraftRefreshMaterializedView {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{BooleanType, LongType}
+  def outputAttrs: Seq[Attribute] = Seq(
+    AttributeReference("from_version", LongType, nullable = false)(),
+    AttributeReference("to_version", LongType, nullable = false)(),
+    AttributeReference("refreshed", BooleanType, nullable = false)())
+}
+
 final case class GraftShowViews(parts: Seq[String], pattern: Option[String],
     override val output: Seq[Attribute]) extends LeafCommand
 
@@ -148,6 +222,12 @@ object GraftViewStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case c: GraftCreateView if c.query.resolved => GraftCreateViewExec(c) :: Nil
     case d: GraftDropView => GraftDropViewExec(d) :: Nil
+    case c: GraftCreateMaterializedView if c.spec.isDefined =>
+      GraftCreateMaterializedViewExec(c) :: Nil
+    case d: GraftDropMaterializedView =>
+      GraftDropMaterializedViewExec(d) :: Nil
+    case r: GraftRefreshMaterializedView =>
+      GraftRefreshMaterializedViewExec(r) :: Nil
     case v: GraftShowViews => GraftShowViewsExec(v) :: Nil
     case v: GraftDescribeView => GraftDescribeViewExec(v) :: Nil
     case e: GraftEvolveSpecField => GraftEvolveSpecFieldExec(e) :: Nil
@@ -193,6 +273,42 @@ final case class GraftCreateViewExec(c: GraftCreateView) extends GraftCommandExe
     if (c.replace) cat.replaceView(info, true) else cat.createView(info)
     ()
   }
+}
+
+final case class GraftCreateMaterializedViewExec(c: GraftCreateMaterializedView)
+    extends GraftCommandExec {
+  override def run(): Unit = {
+    val (cat, ident) = GraftCatalogs.identOf(c.parts)
+    val (spec, schema) = c.spec.getOrElse(sys.error(
+      "internal: CREATE MATERIALIZED VIEW reached execution unvalidated"))
+    graft.sources.MaterializedViews.create(session, cat, ident, c.bodySql,
+      spec, schema, c.ifNotExists, c.partitioning.toArray, c.userProps)
+  }
+}
+
+final case class GraftDropMaterializedViewExec(d: GraftDropMaterializedView)
+    extends GraftCommandExec {
+  override def run(): Unit = {
+    val (cat, ident) = GraftCatalogs.identOf(d.parts)
+    graft.sources.MaterializedViews.drop(cat, ident, d.ifExists)
+  }
+}
+
+/** `REFRESH MATERIALIZED VIEW` — sugar over the refresh_mv procedure
+  * (same mechanism), returning the watermark movement as rows. */
+final case class GraftRefreshMaterializedViewExec(r: GraftRefreshMaterializedView)
+    extends LeafExecNode {
+  override def output: Seq[Attribute] = r.output
+  private def rows(): Array[InternalRow] = {
+    GraftCatalogs.identOf(r.parts) // asserts graft ownership, loudly
+    val (from, to, refreshed) = graft.sources.MaterializedViews.refresh(
+      session, r.parts.head, r.parts.tail, recover = false)
+    Array(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](from, to, refreshed)): InternalRow)
+  }
+  override def executeCollect(): Array[InternalRow] = rows()
+  override protected def doExecute(): RDD[InternalRow] =
+    sparkContext.parallelize(rows().toSeq, 1)
 }
 
 final case class GraftDropViewExec(d: GraftDropView) extends GraftCommandExec {
@@ -311,6 +427,33 @@ object GraftAlterPartitionField {
   }
 }
 
+/** The MATERIALIZED VIEW statements Spark's grammar rejects outright
+  * (`CREATE MATERIALIZED VIEW` parses natively and is intercepted in
+  * [[GraftSqlParser.rewriteViewCommands]]; DROP/REFRESH do not). */
+object GraftMvSql {
+  private val Drop = java.util.regex.Pattern.compile(
+    """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*$""")
+  private val Refresh = java.util.regex.Pattern.compile(
+    """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s*;?\s*$""")
+
+  def parse(sqlText: String, parser: ParserInterface): Option[LogicalPlan] = {
+    val d = Drop.matcher(sqlText)
+    if (d.matches()) {
+      val parts = parser.parseMultipartIdentifier(d.group(2))
+      if (!GraftCatalogs.owns(parts)) return None
+      return Some(GraftDropMaterializedView(parts, d.group(1) != null))
+    }
+    val r = Refresh.matcher(sqlText)
+    if (r.matches()) {
+      val parts = parser.parseMultipartIdentifier(r.group(1))
+      if (!GraftCatalogs.owns(parts)) return None
+      return Some(GraftRefreshMaterializedView(parts,
+        GraftRefreshMaterializedView.outputAttrs))
+    }
+    None
+  }
+}
+
 /** Read-side view resolution (Iceberg's `ResolveViews` shape): expand an
   * unresolved relation naming a graft-catalog VIEW into its parsed body —
   * CTEs substituted (the analyzer's own substitution batch already ran),
@@ -375,7 +518,7 @@ final case class GraftViewReads(spark: SparkSession) extends Rule[LogicalPlan] {
       id: Identifier): Boolean = {
     val memo = probeMemo.get()
     if (memo == null) return c.viewExists(id)
-    memo.getOrElseUpdate(catName + " " + id.toString, c.viewExists(id))
+    memo.getOrElseUpdate(catName + "\u0000" + id.toString, c.viewExists(id))
   }
 
   private def isView(parts: Seq[String]): Boolean =

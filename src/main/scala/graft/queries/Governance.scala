@@ -1273,12 +1273,83 @@ object Governance {
         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** DECLARATIVE MATERIALIZED VIEWS (round 15,
+    * [[graft.sources.MaterializedViews]]): m09/m17's maintenance algebra
+    * promoted to a STATEMENT — `CREATE MATERIALIZED VIEW` validates the
+    * body is incrementally maintainable and materializes it with a base-
+    * version watermark; `CALL system.refresh_mv` folds the base's
+    * `.changes` since the watermark into the stored table with one MERGE.
+    * The history is the adversarial one (a group-MOVING update that
+    * births a brand-new priority, then deletes), over a MULTI-column key
+    * and a nullable decimal measure with its count(col) witness. In-query
+    * pins: reads before refresh serve the STORED (stale) rows without
+    * recomputation — that is the point of materializing — and the CALL
+    * reports the exact watermark movement. Oracle: the body recomputed
+    * from scratch on the final state; decimal folding is associative, so
+    * the refreshed view must be hash-identical.
+    *
+    * Scale: refresh aggregates O(changed rows) and merges |view| +
+    * |changed groups| — the 100 TB dashboard rollup stays fresh per
+    * commit without ever rescanning the fact table. */
+  val r03MaterializedView = Q(
+    "r03_materialized_view",
+    (s, dir) => {
+      val t = "graft_snap.gov.orders_r03"
+      val v = "graft_snap.gov.orders_r03_mv"
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.gov")
+      s.sql(s"DROP MATERIALIZED VIEW IF EXISTS $v")
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"""CREATE TABLE $t (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_orderpriority STRING, price DECIMAL(12,2))""")
+      Tables.orders(s, dir).createOrReplaceTempView("r03_orders_src")
+      s.sql(s"""INSERT INTO $t
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+          CAST(o_totalprice AS DECIMAL(12,2))
+        FROM r03_orders_src WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'""")
+      s.sql(s"""CREATE MATERIALIZED VIEW $v AS
+        SELECT o_orderstatus AS st, o_orderpriority AS pri, count(*) AS n,
+          sum(price) AS total, count(price) AS np
+        FROM $t WHERE o_custkey % 3 <> 1
+        GROUP BY o_orderstatus, o_orderpriority""")
+      val atV1 = s.sql(s"SELECT sum(n) FROM $v").head().getLong(0)
+      // Commits 2..4: the rest of the inserts, a group-moving update
+      // (priority is half the key and it CHANGES, birthing 9-CANCELLED),
+      // and deletes.
+      s.sql(s"""INSERT INTO $t
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+          CAST(o_totalprice AS DECIMAL(12,2))
+        FROM r03_orders_src WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'""")
+      s.sql(s"""UPDATE $t SET o_orderpriority = '9-CANCELLED'
+        WHERE o_orderstatus = 'F' AND o_custkey % 7 = 3""")
+      s.sql(s"DELETE FROM $t WHERE o_custkey % 10 = 7")
+      // Reads serve the STORED rows — stale until refreshed, by design.
+      require(s.sql(s"SELECT sum(n) FROM $v").head().getLong(0) == atV1,
+        "an unrefreshed materialized view must serve its stored snapshot")
+      val r = s.sql(
+        "CALL graft_snap.system.refresh_mv(table => 'gov.orders_r03_mv')").head()
+      require(r.getLong(0) == 1L && r.getLong(1) == 4L && r.getBoolean(2),
+        s"refresh_mv must move the watermark 1 -> 4, got $r")
+      s.sql(s"""SELECT st, pri, n, CAST(total AS DOUBLE) AS total, np
+        FROM $v ORDER BY st, pri""")
+    },
+    Some("""WITH src AS (
+        SELECT o_custkey, o_orderstatus,
+          CASE WHEN o_orderstatus = 'F' AND o_custkey % 7 = 3
+               THEN '9-CANCELLED' ELSE o_orderpriority END AS pri,
+          CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        FROM orders)
+      SELECT o_orderstatus AS st, pri, count(*) AS n,
+        CAST(sum(price) AS DOUBLE) AS total, count(price) AS np
+      FROM src WHERE o_custkey % 10 <> 7 AND o_custkey % 3 <> 1
+      GROUP BY o_orderstatus, pri ORDER BY st, pri"""))
+
   val all: Seq[Q] = Seq(
     m01MergeUpsert, m02Scd2History, m03IncrementalRefresh, m04SnapshotDiff,
     m05SqlMerge, m06SqlUpdateDelete, m07TimeTravel, m08ChangeFeed,
     m09IncrementalMaint, m10PartitionedCow, m11ChangeFeedPruned,
     m12MetadataHistory, m13MergeOnRead, m14DppStar, m15ChangesRelation,
     m16WapPublish, m17ChangesMaint, m18EqualityUpsert, m19UpsertChanges,
-    m20HiddenPartitioning, m21CatalogDimStar, r02ViewQuery, a01QualityAudit,
-    z01ZorderLayout)
+    m20HiddenPartitioning, m21CatalogDimStar, r02ViewQuery,
+    r03MaterializedView, a01QualityAudit, z01ZorderLayout)
 }

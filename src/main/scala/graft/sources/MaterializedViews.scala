@@ -1,0 +1,544 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, IntegerType, LongType, ShortType, StructType}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** DECLARATIVE MATERIALIZED VIEWS over the snapshot catalog — the derived-
+  * data surface a warehouse serves dashboards from. An MV is a CATALOG
+  * TABLE (so reads get scan pushdown, manifest statistics, time travel of
+  * every refresh, and zero per-query recomputation — the point of
+  * materializing) whose definition and freshness ride in its table
+  * properties, durable across sessions like every other table property:
+  *
+  *   - `CREATE MATERIALIZED VIEW cat.ns.v AS <group-by body>` validates
+  *     the body is INCREMENTALLY MAINTAINABLE (below), creates the
+  *     backing table, materializes the body once, and records the base
+  *     snapshot version the contents reflect;
+  *   - `CALL cat.system.refresh_mv(table => 'ns.v')` (or `REFRESH
+  *     MATERIALIZED VIEW`) folds the base table's `.changes` rows between
+  *     the recorded version and the current one into the stored view with
+  *     ONE `MERGE INTO` — O(changed rows) work, never an O(base) rescan;
+  *   - `DROP MATERIALIZED VIEW` drops the backing table.
+  *
+  * MAINTAINABILITY CONTRACT (checked loudly at CREATE): the body is one
+  * `SELECT <group exprs + aggregates> FROM <this-catalog table> [WHERE
+  * deterministic-predicate] GROUP BY <exprs>` where every GROUP BY
+  * expression is selected (the stored view must hold the whole key), the
+  * aggregates are `count(*)` / `count(col)` / `sum(col)` (the
+  * distributive set a signed change feed maintains EXACTLY — see
+  * [[graft.operators.IncrementalMaintenance]] for the algebra), one
+  * `count(*)` is present (group death is undecidable without the stored
+  * row count), `sum` inputs are integral or decimal (double addition is
+  * order-dependent: the MV could not stay hash-exact against a
+  * recompute), and a NULLABLE sum input also selects `count(<same
+  * expr>)` (the stored sum must return to NULL when the last non-null
+  * row leaves the group, which only its non-null count can witness).
+  * min/max/avg/DISTINCT are rejected with guidance: they are not
+  * incrementally maintainable from deltas alone (min/max need the full
+  * group to survive a delete; avg = stored sum/count in a plain view).
+  *
+  * EXACTNESS: every delta the feed serves is folded by type-widened
+  * addition of the same values a from-scratch recompute would aggregate,
+  * and decimal/integer addition is associative + commutative — so after
+  * any refresh the MV is HASH-IDENTICAL to re-running the body (the r03
+  * gate). Copy-on-write rewrites surface file-grain DELETE+INSERT pairs
+  * whose contributions cancel; group-moving updates split into
+  * −old/+new rows naturally (m17's argument, generalized to arbitrary
+  * key/measure lists).
+  *
+  * CRASH SAFETY: a refresh is two commits (the MERGE on the MV table,
+  * then the watermark property update), so the watermark protocol is
+  * write-ahead: the target base version is CLAIMED in `mv.pending-base`
+  * (atomic metadata commit) before the MERGE, and finalized after. A
+  * crash between leaves the claim behind; the next refresh refuses
+  * loudly, and `recover => true` resolves it by VERSION MATH — the MV's
+  * snapshot version advanced past `mv.self-version` iff the MERGE
+  * landed, so recovery either finalizes (no re-apply: deltas are NOT
+  * idempotent) or clears the claim and re-runs. Concurrent refreshes of
+  * one MV are excluded by the atomic claim.
+  *
+  * Scale: refresh work is O(changed rows) aggregation (shuffled once on
+  * the group key) + one key-equi MERGE join of |view| + |changed groups|
+  * — the 100 TB fact table is touched only through its change feed's
+  * pruned file diffs. Reads are plain catalog scans of a table that is
+  * |groups| rows.
+  */
+private[graft] object MaterializedViews {
+
+  /** The ORIGINAL body SQL — presence marks a table as an MV. */
+  val PropSql = "mv.sql"
+  /** Base table's catalog-local identifier (dot-joined `ns.table`). */
+  val PropBase = "mv.base"
+  /** Optional WHERE predicate (qualifier-stripped SQL). */
+  val PropWhere = "mv.where"
+  /** JSON column plan: `[{out, kind, expr, nn?}]` in output order. */
+  val PropCols = "mv.cols"
+  /** Base snapshot version the stored contents reflect (the staleness
+    * surface: compare with the base's current version). */
+  val PropBaseVersion = "mv.base-version"
+  /** MV snapshot version right after the last refresh's MERGE — the
+    * crash-recovery witness (see protocol above). */
+  val PropSelfVersion = "mv.self-version"
+  /** Write-ahead claim of an in-flight refresh's target base version. */
+  val PropPending = "mv.pending-base"
+
+  /** One output column of the MV. `kind`: `group` | `count_star` |
+    * `count` | `sum`. `expr` is the defining expression's SQL with
+    * qualifiers stripped (re-parsed against the `.changes` frame at every
+    * refresh — a dropped base column fails loudly, never serves stale
+    * deltas). `nn` (sums over nullable inputs only) names the sibling
+    * `count(<expr>)` output that witnesses the all-null-group case. */
+  final case class MvCol(out: String, kind: String, expr: String,
+      nn: Option[String] = None)
+
+  final case class Spec(base: Seq[String], where: Option[String],
+      cols: Seq[MvCol])
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"CREATE MATERIALIZED VIEW: $msg")
+
+  private def unq(e: Expression): String =
+    e.transform {
+      case a: AttributeReference => a.withQualifier(Nil)
+    }.sql
+
+  /** Validate an ANALYZED body plan against the maintainability contract
+    * and extract the refresh plan. Every rejection names what to change. */
+  def extract(catalogName: String, body: LogicalPlan): Spec = {
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, c) => strip(c)
+      case other => other
+    }
+    val shapeMsg = "a materialized view body must be SELECT <group " +
+      "expressions and count(*)/count(col)/sum(col) aggregates> FROM " +
+      "<one table of the same snapshot catalog> [WHERE <deterministic " +
+      "predicate>] GROUP BY <expressions> — for anything richer, CREATE " +
+      "VIEW (recomputed per query) over one or more MVs"
+    strip(body) match {
+      case Aggregate(groupExprs, aggExprs, child, _) =>
+        val (whereOpt, rel) = strip(child) match {
+          case Filter(cond, c) => (Some(cond), strip(c))
+          case other => (None, other)
+        }
+        val r = rel match {
+          case d: DataSourceV2Relation => d
+          case other => fail(s"$shapeMsg (the FROM resolved to " +
+            s"${other.nodeName}, not a single catalog table)")
+        }
+        r.catalog match {
+          case Some(c: SnapshotCatalog) if c.name() == catalogName => ()
+          case _ => fail("the base table must live in the SAME snapshot " +
+            s"catalog as the materialized view ($catalogName) — its " +
+            "change feed is what refresh folds")
+        }
+        val baseIdent = r.identifier.getOrElse(fail(
+          "internal: the base relation carries no identifier"))
+        val base = baseIdent.namespace().toSeq :+ baseIdent.name()
+        whereOpt.foreach(c => if (!c.deterministic) fail(
+          "the WHERE predicate must be deterministic — refresh re-applies " +
+            "it to change rows, and a non-deterministic gate would admit " +
+            "different rows than the original materialization"))
+        if (groupExprs.isEmpty) fail(
+          "global aggregates (no GROUP BY) are not supported as " +
+            "materialized views — add a GROUP BY (a constant key works)")
+        groupExprs.foreach(g => if (!g.deterministic) fail(
+          s"GROUP BY expression ${g.sql} must be deterministic"))
+
+        val cols = aggExprs.map { out =>
+          val (inner, name) = out match {
+            case Alias(e, n) => (e, n)
+            case e => (e, out.name)
+          }
+          inner match {
+            case ae: AggregateExpression =>
+              if (ae.isDistinct) fail(
+                s"DISTINCT aggregate in $name: not incrementally " +
+                  "maintainable (a delete's effect depends on the full " +
+                  "remaining group)")
+              if (ae.filter.isDefined) fail(
+                s"FILTER clause on aggregate $name: move the predicate " +
+                  "into WHERE (refresh applies WHERE to the change feed)")
+              ae.aggregateFunction match {
+                case c: Count if c.children.sizeIs == 1 =>
+                  c.children.head match {
+                    case l: Literal if l.value != null =>
+                      MvCol(name, "count_star", "")
+                    case l: Literal => fail(
+                      s"count(NULL) in $name counts nothing — drop it")
+                    case e =>
+                      if (!e.deterministic) fail(
+                        s"count argument ${e.sql} must be deterministic")
+                      MvCol(name, "count", unq(e))
+                  }
+                case s: Sum =>
+                  val e = s.child
+                  if (!e.deterministic) fail(
+                    s"sum argument ${e.sql} must be deterministic")
+                  e.dataType match {
+                    case ByteType | ShortType | IntegerType | LongType |
+                        _: DecimalType => ()
+                    case other => fail(
+                      s"sum over ${other.simpleString} in $name: floating " +
+                        "addition is order-dependent, so the view could " +
+                        "not stay exact under incremental folds — CAST " +
+                        "the measure to DECIMAL in the body")
+                  }
+                  MvCol(name, "sum", unq(e))
+                case other => fail(
+                  s"aggregate ${other.prettyName} in $name is not " +
+                    "incrementally maintainable from a change feed " +
+                    "(supported: count(*), count(col), sum(col); " +
+                    "avg = stored sum/count divided in a plain VIEW; " +
+                    "min/max need the surviving group after a delete)")
+              }
+            case e =>
+              if (!groupExprs.exists(_.semanticEquals(e))) fail(
+                s"output column $name is neither a GROUP BY expression " +
+                  "nor a supported aggregate")
+              MvCol(name, "group", unq(e))
+          }
+        }
+
+        groupExprs.foreach { g =>
+          val selected = aggExprs.exists {
+            case Alias(e, _) => e.semanticEquals(g)
+            case e => e.semanticEquals(g)
+          }
+          if (!selected) fail(
+            s"GROUP BY expression ${g.sql} is not selected — the stored " +
+              "view must hold its full group key to be maintainable")
+        }
+        if (!cols.exists(_.kind == "count_star")) fail(
+          "the body must select count(*) — without the stored row count, " +
+            "a group emptying out is undecidable from deltas and the view " +
+            "would keep dead groups")
+
+        // A nullable sum input needs its count(<same expr>) sibling: pair
+        // them by canonicalized expression.
+        val countByExpr = aggExprs.collect {
+          case Alias(ae: AggregateExpression, n)
+              if !ae.isDistinct && ae.filter.isEmpty =>
+            ae.aggregateFunction match {
+              case c: Count if c.children.sizeIs == 1 &&
+                  !c.children.head.isInstanceOf[Literal] =>
+                Some(c.children.head.canonicalized -> n)
+              case _ => None
+            }
+          case _ => None
+        }.flatten.toMap
+        val sumsNullable = aggExprs.collect {
+          case Alias(ae: AggregateExpression, n) =>
+            ae.aggregateFunction match {
+              case s: Sum if s.child.nullable => Some(n -> s.child)
+              case _ => None
+            }
+          case _ => None
+        }.flatten.toMap
+        val withNn = cols.map { c =>
+          sumsNullable.get(c.out) match {
+            case Some(e) =>
+              val twin = countByExpr.get(e.canonicalized).getOrElse(fail(
+                s"sum(${unq(e)}) in ${c.out} has a NULLABLE input: also " +
+                  s"select count(${unq(e)}) — when the last non-null row " +
+                  "leaves a group the stored sum must return to NULL, " +
+                  "which only the non-null count can witness — or sum " +
+                  s"coalesce(${unq(e)}, 0) if NULLs should count as zero"))
+              c.copy(nn = Some(twin))
+            case None => c
+          }
+        }
+        Spec(base, whereOpt.map(unq), withNn)
+      case other => fail(s"$shapeMsg (got ${other.nodeName})")
+    }
+  }
+
+  // -- property (de)serialization -------------------------------------------
+
+  private def colsToJson(cols: Seq[MvCol]): String =
+    JsonMethods.compact(JsonMethods.render(JArray(cols.toList.map(c =>
+      JObject(List("out" -> JString(c.out), "kind" -> JString(c.kind),
+        "expr" -> JString(c.expr)) ++
+        c.nn.map(n => "nn" -> (JString(n): JValue)).toList)))))
+
+  private def colsFromJson(s: String): Seq[MvCol] =
+    JsonMethods.parse(s) match {
+      case JArray(vs) => vs.map { v =>
+        def str(n: String): String = (v \ n) match {
+          case JString(x) => x
+          case other => sys.error(s"mv.cols field '$n' malformed: $other")
+        }
+        MvCol(str("out"), str("kind"), str("expr"),
+          (v \ "nn") match { case JString(x) => Some(x); case _ => None })
+      }
+      case other => sys.error(s"mv.cols malformed: $other")
+    }
+
+  private def currentVersion(k: String): Long = {
+    val st = SnapshotStore.stateOf(k)
+    if (st.snapshots.isEmpty) 0L else st.snapshots.last.version
+  }
+
+  private def bq(n: String): String = "`" + n.replace("`", "``") + "`"
+
+  def isMv(props: Map[String, String]): Boolean = props.contains(PropSql)
+
+  // -- CREATE ---------------------------------------------------------------
+
+  /** Create + initially materialize. Exactness of the recorded watermark:
+    * the base version is read BEFORE the body executes and re-read after;
+    * versions only grow, so equality proves every scan the body planned
+    * saw exactly that version (scans capture state atomically at build).
+    * On inequality the backing table is dropped and the CREATE fails with
+    * a retry message — never a silently-wrong watermark. */
+  def create(spark: SparkSession, cat: SnapshotCatalog, ident: Identifier,
+      bodySql: String, spec: Spec, bodySchema: StructType, ifNotExists: Boolean,
+      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+      userProps: Map[String, String]): Unit = {
+    val full = (cat.name() +: ident.namespace().toSeq :+ ident.name())
+      .map(bq).mkString(".")
+    if (cat.tableExists(ident)) {
+      val existingMv = isMv(SnapshotStore.stateOf(
+        SnapshotStore.keyOf(cat.name(),
+          ident.namespace().toSeq :+ ident.name())).properties)
+      if (ifNotExists && existingMv) return
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException((ident.namespace() :+ ident.name()).toSeq)
+    }
+    if (cat.viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
+    val baseKey = SnapshotStore.keyOf(cat.name(), spec.base)
+    val mvKey = SnapshotStore.keyOf(cat.name(),
+      ident.namespace().toSeq :+ ident.name())
+    val props: Map[String, String] = userProps ++ Map(
+      PropSql -> bodySql,
+      PropBase -> spec.base.mkString("."),
+      PropCols -> colsToJson(spec.cols)) ++
+      spec.where.map(PropWhere -> _)
+    val jProps = new java.util.HashMap[String, String]()
+    props.foreach { case (k, v) => jProps.put(k, v) }
+    val c0 = currentVersion(baseKey)
+    cat.createTable(ident, bodySchema, partitioning, jProps)
+    try {
+      spark.sql(s"INSERT INTO $full $bodySql")
+      val c1 = currentVersion(baseKey)
+      if (c1 != c0) throw new IllegalStateException(
+        s"base table ${spec.base.mkString(".")} advanced (v$c0 -> v$c1) " +
+          "while CREATE MATERIALIZED VIEW materialized the body — the " +
+          "watermark would be ambiguous; retry the CREATE")
+      val selfV = currentVersion(mvKey)
+      SnapshotStore.update(mvKey)(st => st.copy(properties = st.properties +
+        (PropBaseVersion -> c0.toString) + (PropSelfVersion -> selfV.toString)))
+    } catch {
+      case e: Throwable =>
+        // Never leave a half-created MV behind: refresh would reject it
+        // (no watermark), but the name would be taken.
+        try cat.dropTable(ident) catch { case _: Exception => () }
+        throw e
+    }
+    ()
+  }
+
+  // -- REFRESH --------------------------------------------------------------
+
+  /** Fold the base's changes since the watermark into the stored view.
+    * Returns (fromVersion, toVersion, refreshed) — `refreshed = false`
+    * means the view was already current. */
+  def refresh(spark: SparkSession, catalogName: String,
+      identParts: Seq[String], recover: Boolean): (Long, Long, Boolean) = {
+    val mvKey = SnapshotStore.keyOf(catalogName, identParts)
+    val shown = (catalogName +: identParts).mkString(".")
+    var st = SnapshotStore.stateOf(mvKey)
+    if (!isMv(st.properties)) throw new IllegalArgumentException(
+      s"$shown is not a materialized view (no $PropSql property) — " +
+        "refresh_mv maintains tables created by CREATE MATERIALIZED VIEW")
+    if (!st.properties.contains(PropBaseVersion))
+      throw new IllegalStateException(
+        s"$shown's creation never completed (no $PropBaseVersion " +
+          "watermark) — DROP MATERIALIZED VIEW and re-CREATE")
+
+    // Crash recovery / concurrency gate (see protocol in the class doc).
+    st.properties.get(PropPending).foreach { p =>
+      if (!recover) throw new IllegalStateException(
+        s"a refresh of $shown is pending (claimed base v$p): either it " +
+          "is still running — wait — or it crashed; once you have " +
+          "verified none is running, rerun with recover => true")
+      val pv = p.toLong
+      val selfV = st.properties.get(PropSelfVersion).fold(0L)(_.toLong)
+      val now = currentVersion(mvKey)
+      if (now > selfV)
+        // The MERGE landed (only refresh writes this table); finalize.
+        SnapshotStore.update(mvKey)(s0 => s0.copy(properties =
+          s0.properties + (PropBaseVersion -> pv.toString) +
+            (PropSelfVersion -> now.toString) - PropPending))
+      else
+        // The MERGE never landed; clear the claim and fold normally.
+        SnapshotStore.update(mvKey)(s0 =>
+          s0.copy(properties = s0.properties - PropPending))
+      st = SnapshotStore.stateOf(mvKey)
+    }
+
+    val props = st.properties
+    val cols = colsFromJson(props(PropCols))
+    val base = props(PropBase).split('.').toSeq
+    val baseKey = SnapshotStore.keyOf(catalogName, base)
+    val b = props(PropBaseVersion).toLong
+    val c = currentVersion(baseKey)
+    if (c == b) return (b, c, false)
+    if (c < b) throw new IllegalStateException(
+      s"base table ${base.mkString(".")} is at v$c but $shown's watermark " +
+        s"is v$b — the base was dropped and recreated; DROP and " +
+        "re-CREATE the materialized view")
+
+    // Write-ahead claim: atomic (the update retries on CAS conflicts and
+    // re-checks, so two concurrent refreshes cannot both claim).
+    SnapshotStore.update(mvKey) { s0 =>
+      if (s0.properties.contains(PropPending))
+        throw new IllegalStateException(
+          s"a concurrent refresh of $shown claimed base " +
+            s"v${s0.properties(PropPending)} first")
+      s0.copy(properties = s0.properties + (PropPending -> c.toString))
+    }
+
+    val mvFull = (catalogName +: identParts).map(bq).mkString(".")
+    val baseFull = (catalogName +: base).map(bq).mkString(".")
+    val changes = spark.read
+      .option("startingVersion", (b + 1).toString)
+      .option("endingVersion", c.toString)
+      .table(s"$baseFull.changes")
+    val deltas = deltaFrame(changes, cols,
+      props.get(PropWhere), st.schema)
+    val src = "graft_mv_deltas_" + (catalogName +: identParts)
+      .mkString("_").replaceAll("[^A-Za-z0-9_]", "_")
+    deltas.createOrReplaceTempView(src)
+    try spark.sql(mergeSql(mvFull, src, cols, st.schema))
+    finally spark.catalog.dropTempView(src)
+
+    val vAfter = currentVersion(mvKey)
+    SnapshotStore.update(mvKey) { s0 =>
+      if (s0.properties.get(PropPending) != Some(c.toString))
+        throw new IllegalStateException(
+          s"refresh claim on $shown was replaced mid-refresh " +
+            "(concurrent recover => true?) — the view may be " +
+            "double-applied; roll it back to its last good snapshot")
+      s0.copy(properties = s0.properties +
+        (PropBaseVersion -> c.toString) +
+        (PropSelfVersion -> vAfter.toString) - PropPending)
+    }
+    (b, c, true)
+  }
+
+  /** Per-group signed (count, measure) deltas of a bounded change-feed
+    * frame — [[graft.operators.IncrementalMaintenance.aggDeltasFromChanges]]
+    * generalized to arbitrary key/measure lists. Sum measures are signed
+    * in the MV column's (already sum-widened) type, so folding adds in
+    * exactly the type a recompute would. */
+  private def deltaFrame(changes: DataFrame, cols: Seq[MvCol],
+      where: Option[String], mvSchema: StructType): DataFrame = {
+    val filtered = where.fold(changes)(w => changes.filter(expr(w)))
+    val ct = col("_change_type")
+    val signedN = when(ct === "INSERT", lit(1L))
+      .when(ct === "DELETE", lit(-1L))
+      .otherwise(raise_error(concat(
+        lit("refresh_mv: unexpected _change_type "), ct)))
+    val typeOf: Map[String, DataType] =
+      mvSchema.fields.map(f => f.name -> f.dataType).toMap
+    val projected = cols.zipWithIndex.map { case (mc, i) =>
+      mc.kind match {
+        case "group" => expr(mc.expr).as(s"g$i")
+        case "count_star" => signedN.as(s"d$i")
+        case "count" =>
+          (when(expr(mc.expr).isNull, lit(0L)).otherwise(lit(1L)) * signedN)
+            .as(s"d$i")
+        case "sum" =>
+          val x = expr(mc.expr).cast(typeOf(mc.out))
+          when(ct === "INSERT", x).otherwise(-x).as(s"d$i")
+        case other => sys.error(s"mv.cols kind malformed: $other")
+      }
+    }
+    val keyNames = cols.zipWithIndex.collect {
+      case (mc, i) if mc.kind == "group" => s"g$i"
+    }
+    val aggs = cols.zipWithIndex.collect {
+      case (mc, i) if mc.kind != "group" => sum(s"d$i").as(s"d$i")
+    }
+    filtered.select(projected: _*)
+      .groupBy(keyNames.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The one-statement fold. All UPDATE right-hand sides read the OLD row
+    * (standard MERGE semantics), so the all-null witness compares the
+    * UPDATED non-null count (old + delta). */
+  private def mergeSql(mvFull: String, src: String, cols: Seq[MvCol],
+      mvSchema: StructType): String = {
+    val idx = cols.zipWithIndex.toMap
+    val cnt = cols.find(_.kind == "count_star").get
+    val cntD = s"s.d${idx(cnt)}"
+    val on = cols.filter(_.kind == "group")
+      .map(g => s"t.${bq(g.out)} <=> s.g${idx(g)}").mkString(" AND ")
+    val typeOf: Map[String, String] =
+      mvSchema.fields.map(f => f.name -> f.dataType.sql).toMap
+    val sets = cols.collect {
+      case g if g.kind == "group" => None
+      case c if c.kind == "count_star" =>
+        Some(s"t.${bq(c.out)} = t.${bq(c.out)} + $cntD")
+      case c if c.kind == "count" =>
+        Some(s"t.${bq(c.out)} = t.${bq(c.out)} + coalesce(s.d${idx(c)}, 0)")
+      case c if c.kind == "sum" =>
+        val t = typeOf(c.out)
+        val add = s"CAST(coalesce(t.${bq(c.out)}, 0) + " +
+          s"coalesce(s.d${idx(c)}, 0) AS $t)"
+        Some(c.nn match {
+          case Some(nnOut) =>
+            val nnIdx = idx(cols.find(_.out == nnOut).get)
+            s"t.${bq(c.out)} = CASE WHEN t.${bq(nnOut)} + " +
+              s"coalesce(s.d$nnIdx, 0) = 0 THEN CAST(NULL AS $t) " +
+              s"ELSE $add END"
+          case None => s"t.${bq(c.out)} = $add"
+        })
+    }.flatten
+    val insertCols = cols.map(c => bq(c.out)).mkString(", ")
+    val insertVals = cols.map { c =>
+      c.kind match {
+        case "group" => s"s.g${idx(c)}"
+        case "count_star" => cntD
+        case "count" => s"coalesce(s.d${idx(c)}, 0)"
+        case "sum" => s"CAST(s.d${idx(c)} AS ${typeOf(c.out)})"
+      }
+    }.mkString(", ")
+    s"""MERGE INTO $mvFull t USING $src s
+      ON $on
+      WHEN MATCHED AND t.${bq(cnt.out)} + $cntD <= 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET ${sets.mkString(", ")}
+      WHEN NOT MATCHED AND $cntD > 0 THEN
+        INSERT ($insertCols) VALUES ($insertVals)"""
+  }
+
+  // -- DROP -----------------------------------------------------------------
+
+  /** Drop an MV (validates it IS one — plain tables refuse, so a typo
+    * cannot silently drop data under the MV dialect). */
+  def drop(cat: SnapshotCatalog, ident: Identifier, ifExists: Boolean): Unit = {
+    val k = SnapshotStore.keyOf(cat.name(),
+      ident.namespace().toSeq :+ ident.name())
+    SnapshotStore.resolve(k) match {
+      case None =>
+        if (!ifExists) throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchTableException(ident)
+      case Some(st) if !isMv(st.properties) =>
+        throw new IllegalArgumentException(
+          s"${SnapshotStore.dotted(k)} is a plain table, not a " +
+            "materialized view — use DROP TABLE")
+      case Some(_) => cat.dropTable(ident); ()
+    }
+  }
+}

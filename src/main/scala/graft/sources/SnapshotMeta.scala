@@ -383,7 +383,8 @@ private[sources] object SnapshotProcedures {
   def names: Seq[String] =
     Seq("expire_snapshots", "rollback_to_version", "create_tag", "drop_tag",
       "rewrite_data_files", "create_branch", "drop_branch", "fast_forward",
-      "remove_orphan_files", "evolve_partition_spec", "maintain")
+      "remove_orphan_files", "evolve_partition_spec", "maintain",
+      "refresh_mv")
 
   def load(catalogName: String, ident: Identifier): Option[UnboundProcedure] = {
     if (!ident.namespace().sameElements(Array("system"))) return None
@@ -489,6 +490,24 @@ private[sources] object SnapshotProcedures {
           val (e, b, a) = SnapshotCatalog.maintain(
             SparkSession.active, catalogName, identOf(str(r, 0)))
           Array[Any](e, b, a)
+        }))
+      case "refresh_mv" => Some(proc("refresh_mv",
+        "fold the base table's changes since the materialized view's " +
+          "watermark into the stored view (one MERGE, O(changed rows)); " +
+          "recover => true resolves a crashed refresh's pending claim " +
+          "(verify none is running first)",
+        Seq(in("table", StringType),
+          ProcedureParameter.in("recover", BooleanType)
+            .defaultValue("false").build()),
+        StructType(Seq(
+          StructField("from_version", LongType, nullable = false),
+          StructField("to_version", LongType, nullable = false),
+          StructField("refreshed", BooleanType, nullable = false))),
+        r => {
+          val recover = !r.isNullAt(1) && r.getBoolean(1)
+          val (from, to, refreshed) = MaterializedViews.refresh(
+            SparkSession.active, catalogName, identOf(str(r, 0)), recover)
+          Array[Any](from, to, refreshed)
         }))
       case "evolve_partition_spec" => Some(proc("evolve_partition_spec",
         "re-partition the table WITHOUT rewriting data (Iceberg per-file " +

@@ -1,0 +1,249 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** DECLARATIVE MATERIALIZED VIEWS ([[MaterializedViews]]): an MV is a
+  * catalog table whose definition + freshness watermark ride in its
+  * properties; `refresh_mv` folds the base's `.changes` into the stored
+  * rows with one MERGE. The contract under test:
+  *
+  *   - after ANY refresh the MV is ROW-IDENTICAL to re-running the body
+  *     from scratch (inserts, group-moving updates, deletes, group birth
+  *     and death — the m09/m17 adversarial history, multi-key multi-
+  *     measure this time);
+  *   - the maintainability validator rejects every non-foldable body
+  *     shape with guidance, at CREATE time (never a wrong refresh later);
+  *   - NULL semantics survive folding: a nullable sum returns to NULL
+  *     when its last non-null row leaves the group, and NULL group keys
+  *     are real groups (null-safe MERGE keys);
+  *   - the watermark protocol is crash-safe: a pending claim blocks
+  *     refresh loudly, and recover => true either finalizes (merge
+  *     landed) or clears and re-runs (it did not) by version math;
+  *   - definitions + watermarks are DURABLE: a restarted session
+  *     refreshes an MV it never created.
+  */
+class MaterializedViewSuite extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val cat = "graft_snap"
+
+  private def fresh(name: String): String = {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.mv")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.mv.$name")
+    s"$cat.mv.$name"
+  }
+
+  /** Orders-like base: key, group, nullable measure, non-null measure. */
+  private def baseTable(name: String, n: Int = 200): String = {
+    val t = fresh(name)
+    spark.sql(s"""CREATE TABLE $t (
+      k BIGINT, grp STRING, price DECIMAL(12,2), qty BIGINT)""")
+    spark.sql(s"""INSERT INTO $t
+      SELECT id, concat('g', id % 5),
+        CASE WHEN id % 7 = 0 THEN CAST(NULL AS DECIMAL(12,2))
+             ELSE CAST(id AS DECIMAL(12,2)) / 4 END,
+        id % 13
+      FROM range(0, $n)""")
+    t
+  }
+
+  private def mvBody(t: String): String =
+    s"""SELECT grp, count(*) AS n, sum(coalesce(qty, 0)) AS total_qty,
+      sum(price) AS total_price, count(price) AS n_priced
+      FROM $t WHERE k % 11 <> 3 GROUP BY grp"""
+
+  private def recompute(t: String): Array[String] =
+    spark.sql(mvBody(t) + " ORDER BY grp").collect().map(_.toString)
+
+  private def stored(v: String): Array[String] =
+    spark.sql(s"SELECT grp, n, total_qty, total_price, n_priced FROM $v " +
+      "ORDER BY grp").collect().map(_.toString)
+
+  test("create materializes the body exactly; refresh after inserts, " +
+      "group-moving updates and deletes is hash-identical to a recompute") {
+    val t = baseTable("base1")
+    val v = fresh("mv1")
+    spark.sql(s"CREATE MATERIALIZED VIEW $v AS ${mvBody(t)}")
+    assert(stored(v).toSeq === recompute(t).toSeq)
+
+    // Commit 2: inserts (a brand-new group g9 is born).
+    spark.sql(s"""INSERT INTO $t SELECT id, concat('g', id % 9),
+      CAST(id AS DECIMAL(12,2)), id % 3 FROM range(1000, 1100)""")
+    // Commit 3: a group-MOVING update (grp is the key and it changes).
+    spark.sql(s"UPDATE $t SET grp = 'g9', qty = qty + 1 WHERE k % 10 = 4")
+    // Commit 4: deletes, emptying some of what moved.
+    spark.sql(s"DELETE FROM $t WHERE k % 5 = 4")
+
+    val r = spark.sql(
+      s"CALL $cat.system.refresh_mv(table => 'mv.${v.split('.').last}')").head()
+    assert(r.getLong(0) === 1L && r.getLong(1) === 4L && r.getBoolean(2))
+    assert(stored(v).toSeq === recompute(t).toSeq)
+
+    // Already fresh: the no-op round trip reports refreshed = false.
+    val r2 = spark.sql(
+      s"CALL $cat.system.refresh_mv(table => 'mv.${v.split('.').last}')").head()
+    assert(r2.getLong(0) === 4L && r2.getLong(1) === 4L && !r2.getBoolean(2))
+  }
+
+  test("a nullable sum returns to NULL when the last non-null row leaves " +
+      "the group, and a group emptying out is deleted from the view") {
+    val t = fresh("base2")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, grp STRING, price DECIMAL(10,2))")
+    spark.sql(s"""INSERT INTO $t VALUES
+      (1, 'a', 5.00), (2, 'a', NULL), (3, 'b', 7.00), (4, 'b', 1.00)""")
+    val v = fresh("mv2")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $v AS
+      SELECT grp, count(*) AS n, sum(price) AS total, count(price) AS np
+      FROM $t GROUP BY grp""")
+    // a loses its only non-null price: stored sum must become NULL (a
+    // naive fold would leave 0.00). b empties entirely: the row must go.
+    spark.sql(s"DELETE FROM $t WHERE k IN (1, 3, 4)")
+    // refresh_mv refuses a plain table loudly.
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.refresh_mv(table => 'mv.base2')").collect()
+    }
+    assert(e.getMessage.contains("not a materialized view"))
+    spark.sql(s"REFRESH MATERIALIZED VIEW $v")
+    val rows = spark.sql(s"SELECT * FROM $v ORDER BY grp").collect()
+    assert(rows.length === 1)
+    assert(rows(0).getString(0) === "a" && rows(0).getLong(1) === 1L &&
+      rows(0).isNullAt(2) && rows(0).getLong(3) === 0L)
+  }
+
+  test("NULL group keys are real groups across refreshes (null-safe keys)") {
+    val t = fresh("base3")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, grp STRING, qty BIGINT)")
+    spark.sql(s"INSERT INTO $t VALUES (1, NULL, 10), (2, 'x', 1)")
+    val v = fresh("mv3")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $v AS
+      SELECT grp, count(*) AS n, sum(coalesce(qty, 0)) AS q FROM $t GROUP BY grp""")
+    spark.sql(s"INSERT INTO $t VALUES (3, NULL, 5)")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $v")
+    val nullRow = spark.sql(s"SELECT n, q FROM $v WHERE grp IS NULL").head()
+    // A non-null-safe MERGE key would have INSERTED a duplicate NULL row.
+    assert(spark.sql(s"SELECT count(*) FROM $v WHERE grp IS NULL")
+      .head().getLong(0) === 1L)
+    assert(nullRow.getLong(0) === 2L && nullRow.getLong(1) === 15L)
+  }
+
+  test("the maintainability validator rejects non-foldable bodies with " +
+      "guidance, at CREATE time") {
+    val t = baseTable("base4")
+    val v = fresh("mv4")
+    def rejects(body: String, needle: String): Unit = {
+      val e = intercept[Exception] {
+        spark.sql(s"CREATE MATERIALIZED VIEW $v AS $body")
+      }
+      assert(e.getMessage.contains(needle), s"got: ${e.getMessage}")
+      assert(!spark.sql(s"SHOW TABLES IN $cat.mv").collect()
+        .exists(_.getString(1) == "mv4"), "no half-created MV may remain")
+    }
+    rejects(s"SELECT grp, sum(qty) AS q FROM $t GROUP BY grp",
+      "must select count(*)")
+    rejects(s"SELECT grp, count(*) AS n, max(qty) AS m FROM $t GROUP BY grp",
+      "not incrementally maintainable")
+    rejects(s"SELECT grp, count(*) AS n, avg(qty) AS a FROM $t GROUP BY grp",
+      "not incrementally maintainable")
+    rejects(s"SELECT grp, count(*) AS n, count(DISTINCT qty) AS d FROM $t " +
+      "GROUP BY grp", "DISTINCT")
+    rejects(s"SELECT grp, count(*) AS n, " +
+      s"sum(CAST(qty AS DOUBLE)) AS q FROM $t GROUP BY grp",
+      "order-dependent")
+    rejects(s"SELECT grp, count(*) AS n, sum(price) AS p FROM $t GROUP BY grp",
+      "count(")
+    rejects(s"SELECT count(*) AS n FROM $t", "GROUP BY")
+    rejects(s"SELECT upper(grp) AS g, count(*) AS n FROM $t GROUP BY grp",
+      "neither a GROUP BY expression")
+    rejects(s"SELECT count(*) AS n FROM $t GROUP BY grp", "not selected")
+    rejects(s"SELECT grp, count(*) AS n FROM $t WHERE rand() < 0.5 GROUP BY grp",
+      "deterministic")
+    rejects(s"SELECT a.grp, count(*) AS n FROM $t a JOIN $t b ON a.k = b.k " +
+      "GROUP BY a.grp", "single catalog table")
+  }
+
+  test("watermark protocol: a pending claim blocks refresh loudly; " +
+      "recover finalizes a landed merge and re-runs an unlanded one") {
+    val t = fresh("base5")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, grp STRING, qty BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('g', id % 3), id FROM range(0, 30)")
+    val v = fresh("mv5")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $v AS
+      SELECT grp, count(*) AS n, sum(coalesce(qty, 0)) AS q FROM $t GROUP BY grp""")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('g', id % 3), id FROM range(100, 130)")
+
+    val mvKey = SnapshotStore.keyOf(cat, Seq("mv", "mv5"))
+    // Simulate a crash AFTER the claim, BEFORE the merge: plant the claim.
+    SnapshotStore.update(mvKey)(s0 => s0.copy(properties =
+      s0.properties + (MaterializedViews.PropPending -> "2")))
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.refresh_mv(table => 'mv.mv5')").collect()
+    }
+    assert(e.getMessage.contains("pending"))
+    // recover: version math says the merge never landed -> clear + re-run.
+    val r = spark.sql(
+      s"CALL $cat.system.refresh_mv(table => 'mv.mv5', recover => true)").head()
+    assert(r.getBoolean(2))
+    assert(spark.sql(s"SELECT sum(n) FROM $v").head().getLong(0) === 60L)
+
+    // Simulate a crash AFTER the merge, BEFORE finalize: rewind the
+    // properties to look pre-refresh while the data already folded.
+    spark.sql(s"INSERT INTO $t SELECT id, concat('g', id % 3), id FROM range(200, 210)")
+    val before = SnapshotStore.stateOf(mvKey).properties
+    spark.sql(s"CALL $cat.system.refresh_mv(table => 'mv.mv5')").collect()
+    assert(spark.sql(s"SELECT sum(n) FROM $v").head().getLong(0) === 70L)
+    SnapshotStore.update(mvKey)(s0 => s0.copy(properties =
+      before + (MaterializedViews.PropPending -> "3")))
+    // recover must FINALIZE (v advanced past self-version), never re-apply
+    // — a re-applied delta would double-count to 80.
+    val r2 = spark.sql(
+      s"CALL $cat.system.refresh_mv(table => 'mv.mv5', recover => true)").head()
+    assert(!r2.getBoolean(2))
+    assert(spark.sql(s"SELECT sum(n) FROM $v").head().getLong(0) === 70L)
+  }
+
+  test("definitions and watermarks are durable: a restarted session " +
+      "refreshes an MV it never created") {
+    val t = fresh("base6")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, grp STRING, qty BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('g', id % 4), id FROM range(0, 40)")
+    val v = fresh("mv6")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $v AS
+      SELECT grp, count(*) AS n, sum(coalesce(qty, 0)) AS q FROM $t GROUP BY grp""")
+    spark.sql(s"DELETE FROM $t WHERE k % 4 = 1")
+    // Restart: a fresh JVM has an empty state cache.
+    SnapshotStore.tables.clear()
+    spark.sql(s"REFRESH MATERIALIZED VIEW $v")
+    assert(spark.sql(s"SELECT grp, n, q FROM $v ORDER BY grp").collect()
+      .map(_.toString).toSeq ===
+      spark.sql(s"SELECT grp, count(*) AS n, sum(coalesce(qty, 0)) AS q FROM $t " +
+        "GROUP BY grp ORDER BY grp").collect().map(_.toString).toSeq)
+  }
+
+  test("DROP MATERIALIZED VIEW refuses a plain table; IF NOT EXISTS is " +
+      "idempotent; a partitioned MV folds exactly") {
+    val t = fresh("base7")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, grp STRING, qty BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('g', id % 3), id FROM range(0, 30)")
+    val e = intercept[Exception] {
+      spark.sql(s"DROP MATERIALIZED VIEW $t")
+    }
+    assert(e.getMessage.contains("plain table"))
+
+    val v = fresh("mv7")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $v PARTITIONED BY (grp) AS
+      SELECT grp, count(*) AS n, sum(coalesce(qty, 0)) AS q FROM $t GROUP BY grp""")
+    // Idempotent create.
+    spark.sql(s"""CREATE MATERIALIZED VIEW IF NOT EXISTS $v AS
+      SELECT grp, count(*) AS n, sum(coalesce(qty, 0)) AS q FROM $t GROUP BY grp""")
+    spark.sql(s"UPDATE $t SET grp = 'g0' WHERE k % 3 = 2")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $v")
+    assert(spark.sql(s"SELECT grp, n, q FROM $v ORDER BY grp").collect()
+      .map(_.toString).toSeq ===
+      spark.sql(s"SELECT grp, count(*) AS n, sum(coalesce(qty, 0)) AS q FROM $t " +
+        "GROUP BY grp ORDER BY grp").collect().map(_.toString).toSeq)
+    spark.sql(s"DROP MATERIALIZED VIEW $v")
+    assert(!spark.sql(s"SHOW TABLES IN $cat.mv").collect()
+      .exists(_.getString(1) == "mv7"))
+  }
+}

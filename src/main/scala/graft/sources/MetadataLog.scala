@@ -358,8 +358,30 @@ private[sources] object MetadataLog {
                       JLong(nullState)))
                   }
               })
+              // Pre-merged per-column NDV registers + null totals — the
+              // O(chunks) plan-time statistics surface: a fresh planner
+              // estimates column cardinalities from |chunks| merges
+              // instead of |files| (HLL union is associative, so the
+              // chunk-level merge lands on EXACTLY the per-file result).
+              // Recorded only when every file in the slice tracks the
+              // column, mirroring columnStats' partial-merge gate.
+              val ids = slice.flatMap(_.stats.keySet).distinct.sorted
+              val st: JValue = JObject(ids.toList.flatMap { id =>
+                val per = slice.map(_.stats.get(id))
+                if (ctx.byId.contains(id) &&
+                    per.forall(_.exists(_.ndv != null))) {
+                  val acc = new NdvSketch(
+                    per.head.get.ndv.registers.clone())
+                  per.tail.foreach(s =>
+                    NdvSketch(s.get.ndv.registers).foreach(acc.mergeInPlace))
+                  Some(s"#$id" -> (JArray(List(
+                    JString(java.util.Base64.getEncoder
+                      .encodeToString(acc.registers)),
+                    JLong(per.map(_.get.nulls).sum))): JValue))
+                } else None
+              })
               JObject("n" -> JString(cn), "s" -> JLong(specId.toLong),
-                "r" -> ranges): JValue
+                "r" -> ranges, "st" -> st): JValue
             }
           }
         JObject(
@@ -378,7 +400,11 @@ private[sources] object MetadataLog {
     * the summary scan planning skips chunks on. Legacy string entries
     * parse with no summary (never skipped). */
   final case class ChunkEntry(name: String, specId: Int,
-      ranges: Seq[(Any, Any, Long)])
+      ranges: Seq[(Any, Any, Long)],
+      /** Pre-merged per-FIELD-ID (NDV registers, null total) over the
+        * chunk's files; empty for pre-summary chunks (planning falls
+        * back to the per-file merge). */
+      stats: Map[Int, (SnapshotStore.Ndv, Long)] = Map.empty)
 
   private def chunkEntryFromJson(specTypes: Map[Int, Seq[DataType]],
       e: JValue): ChunkEntry = e match {
@@ -390,7 +416,18 @@ private[sources] object MetadataLog {
         val rs = jArr(r)
         (pvFromJson(dt, rs.head), pvFromJson(dt, rs(1)), jLong(rs(2)))
       }
-      ChunkEntry(jStr(field(obj, "n")), specId, ranges)
+      val stats = fieldOpt(obj, "st").map(jObj(_).flatMap { case (key, v) =>
+        key.drop(1).toIntOption.map { id =>
+          val vs = jArr(v)
+          val b64 = vs.head match {
+            case JString(b) => b
+            case other => sys.error(s"chunk stats malformed: $other")
+          }
+          id -> (SnapshotStore.Ndv(
+            java.util.Base64.getDecoder.decode(b64)), jLong(vs(1)))
+        }
+      }.toMap).getOrElse(Map.empty)
+      ChunkEntry(jStr(field(obj, "n")), specId, ranges, stats)
   }
 
   /** The chunk names (relative) of `name` if it is a chunked index
@@ -418,6 +455,10 @@ private[sources] object MetadataLog {
 
   /** Chunk loads since JVM start — the observable for chunk-skip tests. */
   val chunkLoads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** NDV register arrays consumed by plan-time column-stats merging —
+    * the observable for the O(chunks)-vs-O(files) stats claim. */
+  val statsMergeInputs = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Read one CHUNK's file entries — the executor-side body of the
     * distributed `.files` metadata scan. */

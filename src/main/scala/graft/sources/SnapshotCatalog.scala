@@ -3309,10 +3309,23 @@ private[sources] final class MemScanBuilder(fullSchema: StructType,
       !statsUsable.exists(
         StatsPredicates.definitelyExcludes(_, statCols, f.stats, f.rowCount))
     }
+    // O(chunks) plan-time statistics: when the scan retained EVERY file
+    // (nothing pushed → nothing pruned) and the lazy chunk index carries
+    // pre-merged summaries, column stats merge |chunks| register arrays
+    // instead of |files| — byte-identical results (HLL union is
+    // associative). A pruned scan keeps the per-file merge: its tighter
+    // file set IS the estimate.
+    val chunkNdv = chunked match {
+      case Some((index, _, _))
+          if pushed.isEmpty && transformUsable.isEmpty &&
+            statsUsable.isEmpty && index.nonEmpty =>
+        Some(index.map(_.stats))
+      case _ => None
+    }
     new MemScan(fullSchema, required, retained, streamKey, maxVersionsPerTrigger,
       startingVersion, deletes, partCols, splitTargetBytes, eqDeletes,
       typeHist = typeHist, specPruning = specPruning, vectorized = vectorized,
-      spjKeys = spjKeys, currentSpecId = currentSpecId)
+      spjKeys = spjKeys, currentSpecId = currentSpecId, chunkNdv = chunkNdv)
   }
 }
 
@@ -3886,7 +3899,11 @@ private[sources] final class MemScan(fullSchema: StructType,
       Map.empty,
     vectorized: Boolean = true,
     spjKeys: Option[Array[Transform]] = None,
-    currentSpecId: Int = 0)
+    currentSpecId: Int = 0,
+    /** Pre-merged per-chunk (NDV registers, nulls) by field id — set only
+      * for an UNPRUNED scan over a lazy chunked manifest, where merging
+      * |chunks| arrays replaces merging |files| (see the builder). */
+    chunkNdv: Option[Vector[Map[Int, (SnapshotStore.Ndv, Long)]]] = None)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -3921,12 +3938,19 @@ private[sources] final class MemScan(fullSchema: StructType,
         java.util.OptionalLong.of(size)
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(rows)
-      /** Per-column NDV (merged manifest [[NdvSketch]]s) + null counts —
-        * what cost-based join reordering needs to see catalog-table
-        * cardinalities. Claimed only when EVERY retained file tracks the
-        * column (a partial merge would silently under-count), and only
-        * under CBO: the merge is O(required columns × files × 512B) per
-        * planning, and without CBO the attribute stats are dead weight. */
+      /** Per-column NDV (merged manifest [[NdvSketch]]s) + null counts +
+        * MIN/MAX ranges — what cost-based join reordering and FILTER
+        * SELECTIVITY estimation need to see catalog-table cardinalities
+        * (`col > X` cardinality is guesswork from a distinct count
+        * alone). NDV/nulls are claimed only when EVERY retained file
+        * tracks the column (a partial merge would silently under-count);
+        * min/max merge over whichever files carry bounds (a partial
+        * range is still a sound over-approximation of the scanned range)
+        * and only for the value classes Spark's `ValueInterval` can
+        * actually estimate with — numeric/date/timestamp/boolean;
+        * strings would be dead weight. Everything is gated on CBO: the
+        * merge is O(required columns × files × 512B) per planning, and
+        * without CBO the attribute stats are unread. */
       override def columnStats(): java.util.Map[
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
@@ -3937,19 +3961,68 @@ private[sources] final class MemScan(fullSchema: StructType,
         required.fields.foreach { f =>
           FieldIds.idOf(f).foreach { id =>
             val per = live.map(_.stats.get(id))
-            if (live.nonEmpty && per.forall(_.exists(_.ndv != null))) {
-              val ndv = NdvSketch.mergedEstimate(
-                per.iterator.map(_.get.ndv.registers))
-              val totalNulls = per.map(_.get.nulls).sum
-              ndv.foreach { d =>
-                m.put(Expressions.column(f.name),
-                  new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
-                    override def distinctCount(): java.util.OptionalLong =
-                      java.util.OptionalLong.of(d)
-                    override def nullCount(): java.util.OptionalLong =
-                      java.util.OptionalLong.of(totalNulls)
-                  })
+            // NDV + null totals: O(chunks) from the index's pre-merged
+            // summaries when this scan qualifies (unpruned over a lazy
+            // chunked manifest), else the per-file merge. Identical
+            // results — HLL union is associative — different plan-time
+            // cost: |chunks| vs |files| 512-byte merges per column.
+            val ndvAndNulls: Option[(Long, Long)] = chunkNdv match {
+              case Some(chunks) if chunks.nonEmpty &&
+                  chunks.forall(_.contains(id)) =>
+                val entries = chunks.map(_(id))
+                MetadataLog.statsMergeInputs.addAndGet(entries.size.toLong)
+                NdvSketch.mergedEstimate(
+                  entries.iterator.map(_._1.registers))
+                  .map(d => (d, entries.map(_._2).sum))
+              case _ =>
+                if (live.nonEmpty && per.forall(_.exists(_.ndv != null))) {
+                  MetadataLog.statsMergeInputs.addAndGet(per.size.toLong)
+                  NdvSketch.mergedEstimate(
+                    per.iterator.map(_.get.ndv.registers))
+                    .map(d => (d, per.map(_.get.nulls).sum))
+                } else None
+            }
+            if (ndvAndNulls.isDefined) {
+              val (ndvEst, totalNulls) = ndvAndNulls.get
+              val rangeable = f.dataType match {
+                case _: org.apache.spark.sql.types.NumericType |
+                    org.apache.spark.sql.types.DateType |
+                    org.apache.spark.sql.types.TimestampType |
+                    org.apache.spark.sql.types.TimestampNTZType |
+                    org.apache.spark.sql.types.BooleanType => true
+                case _ => false
               }
+              val (minV, maxV) =
+                if (!rangeable) (None, None)
+                else {
+                  val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+                    .getInterpretedOrdering(f.dataType)
+                  // A file written before a type WIDEN carries narrow
+                  // boxes in the resident state (manifests coerce at
+                  // serialization; the cache is pre-coercion) — widen
+                  // into the live type before comparing.
+                  val mins = per.flatMap(_.toSeq)
+                    .map(s => TypeWidening.coerce(f.dataType, s.min))
+                    .filter(_ != null)
+                  val maxs = per.flatMap(_.toSeq)
+                    .map(s => TypeWidening.coerce(f.dataType, s.max))
+                    .filter(_ != null)
+                  (mins.reduceOption((a, b) => ord.min(a, b)),
+                    maxs.reduceOption((a, b) => ord.max(a, b)))
+                }
+              m.put(Expressions.column(f.name),
+                new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                  override def distinctCount(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(ndvEst)
+                  override def nullCount(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(totalNulls)
+                  override def min(): java.util.Optional[Object] =
+                    minV.fold(java.util.Optional.empty[Object]())(v =>
+                      java.util.Optional.of(v.asInstanceOf[Object]))
+                  override def max(): java.util.Optional[Object] =
+                    maxV.fold(java.util.Optional.empty[Object]())(v =>
+                      java.util.Optional.of(v.asInstanceOf[Object]))
+                })
             }
           }
         }

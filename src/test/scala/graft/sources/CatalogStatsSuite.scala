@@ -92,4 +92,49 @@ class CatalogStatsSuite extends AnyFunSuite {
     val df = Governance.m21CatalogDimStar.run(spark, SparkTestSession.sfDir)
     assert(df.collect().nonEmpty) // in-query requires pin the plan shape
   }
+
+  test("manifest min/max feed CBO filter selectivity: a selective range " +
+      "predicate flips the broadcast decision distinctCount alone cannot") {
+    val fact = fresh("mm_fact")
+    val probe = fresh("mm_probe")
+    // v is SCATTERED across files (id * 7919 mod N) so every file's
+    // [min, max] spans ~the whole domain and FILE-LEVEL stats pruning
+    // cannot shrink the scan — the flip below is attributable to the
+    // reported column ranges, not to pushdown having already pruned.
+    spark.range(0, 40000)
+      .selectExpr("id AS k", "(id * 7919) % 40000 AS v",
+        "concat('u', (id * 7919) % 40000) AS s")
+      .writeTo(fact).create()
+    spark.range(0, 40000).selectExpr("id AS k", "id AS w")
+      .writeTo(probe).create()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024).toString)
+    try {
+      def bhjOf(pred: String) = spark.sql(
+        s"""SELECT count(*) AS n FROM $probe p
+           |JOIN (SELECT k FROM $fact WHERE $pred) f ON p.k = f.k""".stripMargin)
+        .queryExecution.sparkPlan.collect { case b: BroadcastHashJoinExec => b }
+      // Long column: ndv ~40k AND range [0, 39999] → `v >= 39990` is
+      // estimable at ~10 rows → far under the threshold → broadcast.
+      assert(bhjOf("v >= 39990").nonEmpty,
+        "a range-estimable selective predicate should broadcast the " +
+          "filtered side statically")
+      // String column: ndv is tracked but ranges are deliberately not
+      // reported (ValueInterval cannot estimate string ranges) — the
+      // same shape stays un-broadcast. This is the "distinctCount alone
+      // cannot" half of the claim.
+      assert(bhjOf("s >= 'u9999'").isEmpty,
+        "a string range predicate has no usable interval and must not " +
+          "pretend selectivity")
+      // Statistics must be invisible in the answer.
+      assert(spark.sql(s"SELECT count(*) AS n FROM $probe p JOIN " +
+        s"(SELECT k FROM $fact WHERE v >= 39990) f ON p.k = f.k")
+        .head().getLong(0) === 10L)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }

@@ -142,4 +142,42 @@ class NdvStatsSuite extends AnyFunSuite {
       assert(v.exists(e => math.abs(e - 100) <= 10), s"v ndv after widen: $v")
     } finally spark.conf.set("spark.sql.cbo.enabled", "false")
   }
+
+  test("chunked manifests pre-merge NDV per chunk: a fresh planner's " +
+      "stats merge is bounded by chunk count, estimates unchanged") {
+    val t = fresh("chunkstats")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, s STRING) " +
+      "TBLPROPERTIES ('write.manifest.chunk-entries'='8')")
+    // 32 files (hash-spread ids) → a 4-chunk index at 8 entries/chunk.
+    spark.range(0, 20000).repartition(32)
+      .selectExpr("id", "concat('u', id % 500) AS s")
+      .writeTo(t).append()
+    def distinctOf(col: String): Option[Long] = {
+      val scan = spark.table(t).queryExecution.optimizedPlan
+        .collectLeaves().head
+      scan.stats.attributeStats.find(_._1.name == col)
+        .flatMap(_._2.distinctCount).map(_.toLong)
+    }
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      // Resident path: per-file merge (the cache IS the fast path).
+      val resident = distinctOf("id")
+      // Restart: the lazy chunked snapshot plans stats from the index's
+      // pre-merged summaries — |chunks| register arrays per column, not
+      // |files| — and HLL union associativity makes the estimate EXACTLY
+      // the per-file merge's.
+      SnapshotStore.tables.clear()
+      val before = MetadataLog.statsMergeInputs.get()
+      val fresh0 = distinctOf("id")
+      val inputs = MetadataLog.statsMergeInputs.get() - before
+      assert(fresh0 === resident,
+        s"chunk-merged estimate must equal the per-file merge: " +
+          s"$fresh0 vs $resident")
+      assert(fresh0.exists(e => math.abs(e - 20000) <= 2000)
+        , s"id ndv: $fresh0")
+      assert(inputs > 0 && inputs < 32,
+        s"fresh planning should merge O(chunks) register arrays " +
+          s"(expected ~4/column), merged $inputs for a 32-file table")
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
 }

@@ -3,10 +3,10 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, InternalRow, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.{CTESubstitution, RelationTimeTravel, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedSubqueryColumnAliases, UnresolvedTableOrView}
+import org.apache.spark.sql.catalyst.analysis.{CTESubstitution, RelationTimeTravel, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedSubqueryColumnAliases, UnresolvedTableOrView, UnresolvedView}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Cast, Expression, Literal}
 import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
-import org.apache.spark.sql.catalyst.plans.logical.{CreateMaterializedViewAsSelect, CreateView, DescribeRelation, DropView, LeafCommand, LogicalPlan, ShowViews, SubqueryAlias, UnaryCommand, UnresolvedTableSpec}
+import org.apache.spark.sql.catalyst.plans.logical.{AlterViewAs, CreateMaterializedViewAsSelect, CreateView, DescribeRelation, DropView, LeafCommand, LogicalPlan, SetViewProperties, ShowCreateTable, ShowViews, SubqueryAlias, UnaryCommand, UnresolvedTableSpec, UnsetViewProperties}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
@@ -88,6 +88,25 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       sys.error("CREATE MATERIALIZED VIEW with an explicit column list " +
         "is not supported — the view's schema is its body's (alias " +
         "columns in the SELECT)")
+    // ALTER VIEW on a graft catalog: Spark's ResolveSessionCatalog throws
+    // missingCatalogViewsAbility for all of these, so they are re-planned
+    // at parse like CREATE/DROP. `… AS` appends the next DEFINITION
+    // version; SET/UNSET TBLPROPERTIES append a properties-only version.
+    case AlterViewAs(u: UnresolvedView, originalText, query)
+        if GraftCatalogs.owns(u.multipartIdentifier) =>
+      GraftAlterViewAs(u.multipartIdentifier, originalText, query)
+    case SetViewProperties(u: UnresolvedView, props)
+        if GraftCatalogs.owns(u.multipartIdentifier) =>
+      GraftSetViewProperties(u.multipartIdentifier, props)
+    case UnsetViewProperties(u: UnresolvedView, keys, ifExists)
+        if GraftCatalogs.owns(u.multipartIdentifier) =>
+      GraftUnsetViewProperties(u.multipartIdentifier, keys, ifExists)
+    // SHOW CREATE TABLE over a graft VIEW renders the view DDL (Spark's
+    // native v2 exec serves graft TABLES); `SHOW CREATE VIEW` is not in
+    // Spark's grammar and arrives via the hand parser below.
+    case ShowCreateTable(u: UnresolvedTableOrView, _, out)
+        if GraftCatalogs.isView(u.multipartIdentifier) =>
+      GraftShowCreateView(u.multipartIdentifier, out)
     case other => other
   }
 
@@ -200,6 +219,33 @@ final case class GraftMvValidate(spark: SparkSession) extends Rule[LogicalPlan] 
 final case class GraftDropMaterializedView(parts: Seq[String],
     ifExists: Boolean) extends LeafCommand
 
+/** `ALTER VIEW … AS <query>` — the next DEFINITION version: new SQL +
+  * freshly analyzed schema under the CURRENT session context (the same
+  * capture CREATE does), properties carried over, column aliases reset
+  * (the new body's own names stand). */
+final case class GraftAlterViewAs(parts: Seq[String],
+    originalText: String, query: LogicalPlan) extends UnaryCommand {
+  override def child: LogicalPlan = query
+  override protected def withNewChildInternal(newChild: LogicalPlan):
+      GraftAlterViewAs = copy(query = newChild)
+}
+
+final case class GraftSetViewProperties(parts: Seq[String],
+    properties: Map[String, String]) extends LeafCommand
+
+final case class GraftUnsetViewProperties(parts: Seq[String],
+    keys: Seq[String], ifExists: Boolean) extends LeafCommand
+
+final case class GraftShowCreateView(parts: Seq[String],
+    override val output: Seq[Attribute]) extends LeafCommand
+
+object GraftShowCreateView {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.StringType
+  def outputAttrs: Seq[Attribute] = Seq(
+    AttributeReference("createtab_stmt", StringType, nullable = false)())
+}
+
 final case class GraftRefreshMaterializedView(parts: Seq[String],
     override val output: Seq[Attribute]) extends LeafCommand
 
@@ -228,6 +274,11 @@ object GraftViewStrategy extends SparkStrategy {
       GraftDropMaterializedViewExec(d) :: Nil
     case r: GraftRefreshMaterializedView =>
       GraftRefreshMaterializedViewExec(r) :: Nil
+    case a: GraftAlterViewAs if a.query.resolved =>
+      GraftAlterViewAsExec(a) :: Nil
+    case s: GraftSetViewProperties => GraftSetViewPropertiesExec(s) :: Nil
+    case u: GraftUnsetViewProperties => GraftUnsetViewPropertiesExec(u) :: Nil
+    case s: GraftShowCreateView => GraftShowCreateViewExec(s) :: Nil
     case v: GraftShowViews => GraftShowViewsExec(v) :: Nil
     case v: GraftDescribeView => GraftDescribeViewExec(v) :: Nil
     case e: GraftEvolveSpecField => GraftEvolveSpecFieldExec(e) :: Nil
@@ -305,6 +356,95 @@ final case class GraftRefreshMaterializedViewExec(r: GraftRefreshMaterializedVie
       session, r.parts.head, r.parts.tail, recover = false)
     Array(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](from, to, refreshed)): InternalRow)
+  }
+  override def executeCollect(): Array[InternalRow] = rows()
+  override protected def doExecute(): RDD[InternalRow] =
+    sparkContext.parallelize(rows().toSeq, 1)
+}
+
+final case class GraftAlterViewAsExec(a: GraftAlterViewAs)
+    extends GraftCommandExec {
+  override def run(): Unit = {
+    val (cat, ident) = GraftCatalogs.identOf(a.parts)
+    val cur = cat.loadViewVersion(ident, None) // loud NoSuchView if absent
+    val cm = session.sessionState.catalogManager
+    val info = new ViewInfo(ident, a.originalText, cm.currentCatalog.name(),
+      cm.currentNamespace, a.query.schema, a.query.schema.fieldNames,
+      Array.empty, Array.empty, cur.properties())
+    cat.replaceView(info, true)
+    ()
+  }
+}
+
+final case class GraftSetViewPropertiesExec(s: GraftSetViewProperties)
+    extends GraftCommandExec {
+  import org.apache.spark.sql.connector.catalog.ViewChange
+  override def run(): Unit = {
+    val (cat, ident) = GraftCatalogs.identOf(s.parts)
+    val changes = s.properties.toSeq.map { case (k, v) =>
+      ViewChange.setProperty(k, v): ViewChange }
+    cat.alterView(ident, changes: _*)
+    ()
+  }
+}
+
+final case class GraftUnsetViewPropertiesExec(u: GraftUnsetViewProperties)
+    extends GraftCommandExec {
+  import org.apache.spark.sql.connector.catalog.ViewChange
+  override def run(): Unit = {
+    val (cat, ident) = GraftCatalogs.identOf(u.parts)
+    val cur = cat.loadViewVersion(ident, None)
+    if (!u.ifExists) {
+      val have = cur.properties()
+      val missing = u.keys.filterNot(have.containsKey)
+      require(missing.isEmpty,
+        s"view ${u.parts.mkString(".")} has no propert" +
+          s"${if (missing.size == 1) "y" else "ies"} " +
+          s"${missing.mkString(", ")} — UNSET TBLPROPERTIES IF EXISTS " +
+          "skips missing keys")
+    }
+    val changes = u.keys.map(k => ViewChange.removeProperty(k): ViewChange)
+    cat.alterView(ident, changes: _*)
+    ()
+  }
+}
+
+/** `SHOW CREATE TABLE|VIEW` over a graft view: render DDL that
+  * re-executes to the SAME definition (the round-trip deploy tooling
+  * diffs against). Graft TABLES stay on Spark's native v2 exec. */
+final case class GraftShowCreateViewExec(s: GraftShowCreateView)
+    extends LeafExecNode {
+  import org.apache.spark.unsafe.types.UTF8String
+  override def output: Seq[Attribute] = s.output
+  private def quoteSql(v: String): String = "'" + v.replace("'", "''") + "'"
+  private def bq(n: String): String = "`" + n.replace("`", "``") + "`"
+  private def rows(): Array[InternalRow] = {
+    val (cat, ident) = GraftCatalogs.identOf(s.parts)
+    val view = cat.loadViewVersion(ident, None)
+    val name = (s.parts.head +: ident.namespace().toSeq :+ ident.name())
+      .map(bq).mkString(".")
+    val cols =
+      if (view.columnAliases().isEmpty) ""
+      else view.columnAliases().zipWithIndex.map { case (a, i) =>
+        val comment =
+          if (i < view.columnComments().length &&
+            view.columnComments()(i) != null)
+            s" COMMENT ${quoteSql(view.columnComments()(i))}"
+          else ""
+        s"  ${bq(a)}$comment"
+      }.mkString(" (\n", ",\n", ")")
+    val comment = Option(view.properties().get("comment"))
+      .map(c => s"\nCOMMENT ${quoteSql(c)}").getOrElse("")
+    import scala.jdk.CollectionConverters._
+    val props = view.properties().asScala.toSeq.filter(_._1 != "comment")
+      .sortBy(_._1)
+    val tblProps =
+      if (props.isEmpty) ""
+      else props.map { case (k, v) => s"${quoteSql(k)} = ${quoteSql(v)}" }
+        .mkString("\nTBLPROPERTIES (", ", ", ")")
+    val ddl = s"CREATE VIEW $name$cols$comment$tblProps AS\n${view.query()}"
+    Array(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(ddl))): InternalRow)
   }
   override def executeCollect(): Array[InternalRow] = rows()
   override protected def doExecute(): RDD[InternalRow] =
@@ -450,8 +590,20 @@ object GraftMvSql {
       return Some(GraftRefreshMaterializedView(parts,
         GraftRefreshMaterializedView.outputAttrs))
     }
+    val sc = ShowCreateView.matcher(sqlText)
+    if (sc.matches()) {
+      val parts = parser.parseMultipartIdentifier(sc.group(1))
+      if (!GraftCatalogs.isView(parts)) return None
+      return Some(GraftShowCreateView(parts, GraftShowCreateView.outputAttrs))
+    }
     None
   }
+
+  /** `SHOW CREATE VIEW` is not in Spark's grammar (views render through
+    * SHOW CREATE TABLE there); accept the natural spelling for graft
+    * views. */
+  private val ShowCreateView = java.util.regex.Pattern.compile(
+    """(?is)^\s*SHOW\s+CREATE\s+VIEW\s+([\w.`]+)\s*;?\s*$""")
 }
 
 /** Read-side view resolution (Iceberg's `ResolveViews` shape): expand an

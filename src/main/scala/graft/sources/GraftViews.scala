@@ -168,13 +168,31 @@ private[graft] object ViewLog {
     live.lastOption
   }
 
+  /** The TABLE-claim marker a fresh view writes at `metadata/v1.json` —
+    * the SAME file CREATE TABLE's `createInitial` claims — so a
+    * concurrent CREATE TABLE and CREATE VIEW racing one identifier
+    * contend on ONE create-exclusive claim instead of two disjoint files
+    * (the documented round-14 gap). Compact and prefix-stable:
+    * [[MetadataLog.load]] recognizes it by prefix and reports "not a
+    * table". Views created before the marker existed (no v1.json) keep
+    * working; they just lack the cross-kind race guard. */
+  private[sources] val TableClaimMarker =
+    """{"kind":"view","note":"claim marker: this identifier is a VIEW (see view-v<N>.json)"}"""
+
   /** Claim the NEXT definition version. `expectNone` makes plain CREATE
     * exclusive; REPLACE appends after the current max. Returns false when
-    * another writer claimed the same version first. */
+    * another writer claimed the same version first. A FIRST version also
+    * claims the table-namespace marker (see [[TableClaimMarker]]). */
   def create(warehouse: String, parts: Seq[String], d: Def,
       replace: Boolean): Boolean = {
     val vs = versions(warehouse, parts)
     if (vs.nonEmpty && !replace) return false
+    if (vs.isEmpty) {
+      val marker = new Path(dirOf(warehouse, parts), "v1.json")
+      marker.getFileSystem(hconf).mkdirs(marker.getParent)
+      if (!MetadataLog.writeExclusive(marker, TableClaimMarker.getBytes(UTF_8)))
+        return false
+    }
     val next = vs.lastOption.getOrElse(0L) + 1L
     MetadataLog.writeExclusive(fileOf(warehouse, parts, next),
       render(d.copy(version = next)).getBytes(UTF_8))
@@ -187,6 +205,16 @@ private[graft] object ViewLog {
     val md = dirOf(warehouse, parts)
     val fs = md.getFileSystem(hconf)
     vs.foreach(v => fs.delete(fileOf(warehouse, parts, v), false))
+    // Release the table-namespace claim LAST (readers between the two
+    // deletes see marker-without-definitions, which load() tolerates).
+    // Content-checked: a TABLE's v1.json must never be deleted here —
+    // though a dir can only hold one kind, legacy layouts predate the
+    // marker and defensiveness is free.
+    val marker = new Path(md, "v1.json")
+    if (fs.exists(marker) &&
+        (try MetadataLog.readFully(marker)
+          .startsWith("""{"kind":"view"""") catch { case _: Exception => false }))
+      fs.delete(marker, false)
     // Remove the view dir if nothing else (no table metadata) lives there.
     val tdir = new Path(MetadataLog.tableDir(warehouse, parts))
     if (fs.exists(md) && fs.listStatus(md).isEmpty) fs.delete(md, false)

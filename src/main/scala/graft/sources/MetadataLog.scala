@@ -801,7 +801,12 @@ private[sources] object MetadataLog {
     }
     if (versions.isEmpty) return None
     val v = versions.max
-    val st = parseState(dataDir, v, readFully(new Path(md, s"v$v.json")))
+    val raw = readFully(new Path(md, s"v$v.json"))
+    // A VIEW's table-namespace claim marker (see ViewLog.TableClaimMarker):
+    // the identifier is a view, not a table. Only v1 can be the marker —
+    // a real table's later commits claim v2+.
+    if (v == 1L && raw.startsWith("""{"kind":"view"""")) return None
+    val st = parseState(dataDir, v, raw)
     // A restarted JVM's commit clock must stay ahead of every loaded
     // commit, or TIMESTAMP AS OF could see a non-monotonic history.
     val maxMicros = (st.snapshots.iterator ++
@@ -818,10 +823,15 @@ private[sources] object MetadataLog {
     val fs = fsOf(dir)
     if (!fs.exists(dir)) return Nil
     fs.listStatus(dir).toSeq
-      .filter(s => s.isDirectory &&
+      .filter { s =>
         // v1.json, not just metadata/: a VIEW's directory holds a metadata
-        // dir too (view-v<N>.json) and must not list as a table.
-        fs.exists(new Path(new Path(s.getPath, "metadata"), "v1.json")))
+        // dir too (view-v<N>.json) and must not list as a table — and a
+        // post-round-15 view ALSO claims v1.json as its table-namespace
+        // marker, so the view-definition probe decides.
+        val m = new Path(s.getPath, "metadata")
+        s.isDirectory && fs.exists(new Path(m, "v1.json")) &&
+          !fs.exists(new Path(m, "view-v1.json"))
+      }
       .map(_.getPath.getName)
   }
 

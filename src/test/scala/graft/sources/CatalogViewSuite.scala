@@ -257,4 +257,112 @@ class CatalogViewSuite extends AnyFunSuite {
     spark.sql(s"DROP VIEW $v")
     assert(!snap.listViews("views").map(_.name()).toSet.contains("v10"))
   }
+
+  test("ALTER VIEW ... AS appends the next definition version; the old " +
+      "one stays time-travelable") {
+    val t = baseTable("base11")
+    val v = fresh("v11")
+    spark.sql(s"CREATE VIEW $v AS SELECT count(*) AS n FROM $t")
+    spark.sql(s"ALTER VIEW $v AS SELECT sum(v) AS total FROM $t")
+    assert(spark.sql(s"SELECT * FROM $v").columns.toSeq === Seq("total"))
+    assert(spark.sql(s"SELECT * FROM $v").head().getLong(0) ===
+      (0L until 100L).map(_ * 2).sum)
+    assert(spark.sql(s"SELECT * FROM $v VERSION AS OF 1").columns.toSeq ===
+      Seq("n"))
+    // Altering a view that does not exist is loud.
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER VIEW $cat.views.absent11 AS SELECT 1 AS x")
+    }
+    assert(e.getMessage.toLowerCase.contains("view"))
+  }
+
+  test("ALTER VIEW SET/UNSET TBLPROPERTIES version the properties; " +
+      "UNSET without IF EXISTS is loud on missing keys") {
+    val t = baseTable("base12")
+    val v = fresh("v12")
+    spark.sql(s"CREATE VIEW $v AS SELECT s FROM $t")
+    spark.sql(s"ALTER VIEW $v SET TBLPROPERTIES ('team' = 'etl', 'tier' = 'gold')")
+    val (snap, ident) = viewIdent(v)
+    assert(snap.loadView(ident).properties().get("team") === "etl")
+    spark.sql(s"ALTER VIEW $v UNSET TBLPROPERTIES ('tier')")
+    assert(!snap.loadView(ident).properties().containsKey("tier"))
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER VIEW $v UNSET TBLPROPERTIES ('nope')")
+    }
+    assert(e.getMessage.contains("nope"))
+    spark.sql(s"ALTER VIEW $v UNSET TBLPROPERTIES IF EXISTS ('nope')")
+    // Property history is versioned like definitions.
+    assert(snap.loadViewVersion(ident, Some(1L)).properties().isEmpty)
+  }
+
+  private def viewIdent(v: String): (SnapshotCatalog, org.apache.spark.sql
+      .connector.catalog.Identifier) = {
+    val parts = v.split('.')
+    val snap = spark.sessionState.catalogManager.catalog(parts.head)
+      .asInstanceOf[SnapshotCatalog]
+    (snap, org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array(parts(1)), parts(2)))
+  }
+
+  test("SHOW CREATE VIEW/TABLE round-trips: the rendered DDL re-executes " +
+      "to an identical definition") {
+    val t = baseTable("base13")
+    val v = fresh("v13")
+    spark.sql(s"""CREATE VIEW $v (grp COMMENT 'group key', total)
+      COMMENT 'rollup' TBLPROPERTIES ('owner' = 'etl')
+      AS SELECT s, sum(v) FROM $t GROUP BY s""")
+    val ddl = spark.sql(s"SHOW CREATE VIEW $v").head().getString(0)
+    assert(ddl.contains("CREATE VIEW") && ddl.contains("rollup") &&
+      ddl.contains("'owner' = 'etl'") && ddl.contains("COMMENT 'group key'"),
+      s"rendered DDL missing pieces:\n$ddl")
+    // Spark's spelling (SHOW CREATE TABLE over a view) serves the same.
+    assert(spark.sql(s"SHOW CREATE TABLE $v").head().getString(0) === ddl)
+    val before = spark.sql(s"SELECT * FROM $v ORDER BY grp").collect()
+      .map(_.toString).toSeq
+    val describeBefore = spark.sql(s"DESCRIBE $v").collect()
+      .map(_.toString).toSeq
+    spark.sql(s"DROP VIEW $v")
+    spark.sql(ddl)
+    assert(spark.sql(s"SELECT * FROM $v ORDER BY grp").collect()
+      .map(_.toString).toSeq === before)
+    assert(spark.sql(s"DESCRIBE $v").collect().map(_.toString).toSeq ===
+      describeBefore)
+    // Graft TABLES render through Spark's native v2 SHOW CREATE TABLE.
+    val tddl = spark.sql(s"SHOW CREATE TABLE $t").head().getString(0)
+    assert(tddl.contains("CREATE TABLE"), tddl)
+  }
+
+  test("a CREATE TABLE and CREATE VIEW racing one identifier contend on " +
+      "ONE claim file (the round-14 cross-session gap)") {
+    val v = fresh("raced")
+    val t = baseTable("base14")
+    spark.sql(s"CREATE VIEW $v AS SELECT s FROM $t")
+    // The view holds the TABLE claim: a cross-session CREATE TABLE that
+    // bypassed every in-JVM guard still loses the v1.json claim.
+    val (snap, _) = viewIdent(v)
+    val dataDir = MetadataLog.tableDir(
+      warehouseOf(snap), Seq(cat, "views", "raced"))
+    val claimed = MetadataLog.createInitial(SnapshotStore.TableState(
+      new org.apache.spark.sql.types.StructType()
+        .add("x", org.apache.spark.sql.types.LongType),
+      Nil, dataDir, Map.empty, Vector.empty))
+    assert(claimed.isEmpty,
+      "a view's identifier must hold the table-namespace claim")
+    // …and the view's directory never lists as a table.
+    assert(!MetadataLog.listDiskTables(warehouseOf(snap), Seq(cat, "views"))
+      .contains("raced"))
+    // Converse: a live TABLE's identifier refuses a view's FIRST-version
+    // claim at the same file.
+    val tDef = ViewLog.load(warehouseOf(snap), Seq(cat, "views", "raced")).get
+    assert(!ViewLog.create(warehouseOf(snap), Seq(cat, "views", "base14"),
+      tDef, replace = false),
+      "a table's identifier must refuse the view claim")
+    // Dropping the view releases the claim; a table can then take the name.
+    spark.sql(s"DROP VIEW $v")
+    spark.sql(s"CREATE TABLE $cat.views.raced (x BIGINT)")
+    spark.sql(s"DROP TABLE $cat.views.raced")
+  }
+
+  private def warehouseOf(snap: SnapshotCatalog): String =
+    SnapshotStore.warehouses.get(cat).get
 }

@@ -790,19 +790,36 @@ object Pipeline {
     * so the gate's cost is ~1.5× p03 — the slicing-independence claim
     * needs at least two triggers, and more would only re-prove it at
     * linear extra bench cost.) */
+  /** The 2-commit documents source p04/p05/p06 ALL stream from — built
+    * once per warehouse (idempotent: a live table with exactly commits
+    * v1, v2 is reused, anything else rebuilds). The three gates differ in
+    * ENGINE (full-refresh / incremental / capped-incremental), not in
+    * input, so re-ingesting the corpus per gate was pure bench
+    * scaffolding cost (round-14 verdict #8). */
+  private[queries] def ensureSharedDocsSrc(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val src = "graft_snap.pipe.docs_src_shared"
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.pipe")
+    val k = graft.sources.SnapshotStore.keyOf(
+      "graft_snap", Seq("pipe", "docs_src_shared"))
+    if (graft.sources.SnapshotStore.resolve(k)
+        .exists(_.snapshots.map(_.version) == Vector(1L, 2L))) return src
+    s.sql(s"DROP TABLE IF EXISTS $src")
+    s.sql(s"CREATE TABLE $src (doc_id BIGINT, text STRING)")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    (0 to 1).foreach(i =>
+      docs.filter(col("doc_id") % 2 === i).writeTo(src).append())
+    src
+  }
+
   val p04ChangesCuration = Q(
     "p04_changes_curation",
     (s, dir) => {
-      val src = "graft_snap.pipe.docs_src"
       val sink = "graft_snap.pipe.docs_curated"
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.pipe")
-      Seq(src, sink, s"${sink}_mirror").foreach(t =>
+      Seq(sink, s"${sink}_mirror").foreach(t =>
         s.sql(s"DROP TABLE IF EXISTS $t"))
-      s.sql(s"CREATE TABLE $src (doc_id BIGINT, text STRING)")
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      (0 to 1).foreach(i =>
-        docs.filter(col("doc_id") % 2 === i).writeTo(src).append())
+      val src = ensureSharedDocsSrc(s, dir)
       val spec = graft.catalog.PipelineSpec.fromYaml(
         s"""pipeline: changes_curation
            |source:
@@ -842,19 +859,14 @@ object Pipeline {
   val p05IncrementalCuration = Q(
     "p05_incremental_curation",
     (s, dir) => {
-      val src = "graft_snap.pipe.docs_src5"
       val sink = "graft_snap.pipe.docs_curated5"
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.pipe")
-      s.sql(s"DROP TABLE IF EXISTS $src")
-      s.sql(s"CREATE TABLE $src (doc_id BIGINT, text STRING)")
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      // TWO commits: the cheapest shape that still exercises CROSS-trigger
-      // maintenance (store probe against trigger 1's signatures, gram
-      // flips, maintained-aggregate deltas, kept->dropped retraction);
-      // IncrementalCurationSuite pins 3- and 2-slice runs identical.
-      (0 to 1).foreach(i =>
-        docs.filter(col("doc_id") % 2 === i).writeTo(src).append())
+      // TWO commits (the shared source), one per trigger: the cheapest
+      // shape that still exercises CROSS-trigger maintenance (store probe
+      // against trigger 1's signatures, gram flips, maintained-aggregate
+      // deltas, kept->dropped retraction); IncrementalCurationSuite pins
+      // 3- and 2-slice runs identical.
+      val src = ensureSharedDocsSrc(s, dir)
       val spec = graft.catalog.PipelineSpec.fromYaml(
         s"""pipeline: incremental_curation
            |source:
@@ -901,21 +913,20 @@ object Pipeline {
   val p06CappedCuration = Q(
     "p06_capped_curation",
     (s, dir) => {
-      val src = "graft_snap.pipe.docs_src6"
       val sink = "graft_snap.pipe.docs_curated6"
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.pipe")
-      s.sql(s"DROP TABLE IF EXISTS $src")
-      s.sql(s"CREATE TABLE $src (doc_id BIGINT, text STRING)")
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      (0 to 1).foreach(i =>
-        docs.filter(col("doc_id") % 2 === i).writeTo(src).append())
+      // The SHARED source, consumed in ONE AvailableNow trigger (no
+      // max_versions_per_trigger): p06's oracle claim is the CAPPED
+      // engine's output identity on the full corpus — cross-trigger
+      // saturation/fallback mechanics are IncrementalCurationSuite's
+      // job (saturated down-flip case), so re-running p05's two-trigger
+      // ingest here was duplicated gate scaffolding (round-14 verdict #8).
+      val src = ensureSharedDocsSrc(s, dir)
       val spec = graft.catalog.PipelineSpec.fromYaml(
         s"""pipeline: capped_curation
            |source:
            |  table: $src
            |  changes: true
-           |  max_versions_per_trigger: 1
            |  refresh: incremental
            |steps:
            |  - op: near_dup_drop

@@ -137,6 +137,50 @@ class StoragePartitionedJoinSuite extends AnyFunSuite {
     }
   }
 
+  test("partially-clustered distribution: a multi-file probe keeps its " +
+      "per-file splits and the store side replicates — zero Exchange, " +
+      "parallelism above the group count") {
+    val store = fresh("store_pc")
+    val probe = fresh("probe_pc")
+    spark.sql(s"""CREATE TABLE $store (k BIGINT, w BIGINT)
+      PARTITIONED BY (bucket(8, k))
+      TBLPROPERTIES ('read.preserve-partitioning'='true')""")
+    spark.sql(s"""CREATE TABLE $probe (k BIGINT, v BIGINT)
+      PARTITIONED BY (bucket(8, k))
+      TBLPROPERTIES ('read.preserve-partitioning'='true')""")
+    spark.range(0, 2000).selectExpr("id AS k", "id * 3 AS w")
+      .writeTo(store).append()
+    // Several appends → several files PER BUCKET on the probe: fully
+    // grouped SPJ would merge them into 8 tasks (the skew trap at 100 TB
+    // — one huge key group = one straggler task); partially-clustered
+    // keeps the probe's splits and replicates the store's matching group
+    // to each, still with ZERO Exchange.
+    (0 until 3).foreach { _ =>
+      spark.range(0, 2000).selectExpr("id AS k", "id * 2 AS v")
+        .writeTo(probe).append()
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
+      "true")
+    try {
+      val q = spark.table(probe).join(spark.table(store), "k")
+      assert(shuffles(q) === 0,
+        s"partially-clustered SPJ must not add an Exchange:\n${q.queryExecution.executedPlan}")
+      val tasks = q.queryExecution.toRdd.getNumPartitions
+      assert(tasks > 8,
+        s"expected per-split tasks (> 8 bucket groups), got $tasks — " +
+          "the probe side was fully grouped")
+      check(q, 6000L, 3L * (0L until 2000L).map(i => i * 5).sum)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+    }
+  }
+
   test("split-planned files keep grouping: splits of one bucket share a task group") {
     val a = fresh("a_split")
     val b = fresh("b_split")

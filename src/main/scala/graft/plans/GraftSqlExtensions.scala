@@ -77,6 +77,8 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       val UnresolvedIdentifier(parts, _) = mv.name: @unchecked
       val (props, comment) = mv.tableSpec match {
         case u: UnresolvedTableSpec => (u.properties, u.comment)
+        case t: org.apache.spark.sql.catalyst.plans.logical.TableSpec =>
+          (t.properties, t.comment)
         case _ => (Map.empty[String, String], None)
       }
       GraftCreateMaterializedView(parts, mv.partitioning,

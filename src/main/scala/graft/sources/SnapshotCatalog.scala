@@ -789,6 +789,11 @@ object SnapshotCatalog {
     *   - `maintain.compact.min-files` — compact when the live data-file
     *     count reaches the threshold (small-file pressure from streaming
     *     appends).
+    *   - `maintain.refresh-mv` (materialized views) — fold the base's
+    *     changes since the watermark first, so the scheduled maintenance
+    *     pass that expires/compacts a dashboard MV also keeps it FRESH
+    *     (refresh before compaction: the fold's MERGE adds delete files
+    *     the same pass may then fold away).
     *
     * Unset properties skip their action; the call reports what ran.
     * Compaction respects `write.sort-order` exactly like
@@ -796,6 +801,9 @@ object SnapshotCatalog {
   def maintain(spark: org.apache.spark.sql.SparkSession, catalog: String,
       ident: Seq[String]): (Int, Int, Int) = {
     val k = SnapshotStore.keyOf(catalog, ident)
+    if (SnapshotStore.stateOf(k).properties
+        .get("maintain.refresh-mv").contains("true"))
+      MaterializedViews.refresh(spark, catalog, ident, recover = false)
     val props = SnapshotStore.stateOf(k).properties
     val minKeep = props.get("history.expire.min-snapshots-to-keep")
       .map(_.toInt).getOrElse(1)

@@ -246,4 +246,25 @@ class MaterializedViewSuite extends AnyFunSuite {
     assert(!spark.sql(s"SHOW TABLES IN $cat.mv").collect()
       .exists(_.getString(1) == "mv7"))
   }
+
+  test("staleness metadata rides SHOW TBLPROPERTIES; maintain with " +
+      "maintain.refresh-mv refreshes as part of the policy pass") {
+    val t = fresh("base8")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, grp STRING, qty BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('g', id % 3), id FROM range(0, 30)")
+    val v = fresh("mv8")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $v
+      TBLPROPERTIES ('maintain.refresh-mv' = 'true') AS
+      SELECT grp, count(*) AS n, sum(coalesce(qty, 0)) AS q FROM $t GROUP BY grp""")
+    def prop(key: String): Option[String] =
+      spark.sql(s"SHOW TBLPROPERTIES $v").collect()
+        .find(_.getString(0) == key).map(_.getString(1))
+    assert(prop("mv.base-version").contains("1"), "the staleness surface")
+    assert(prop("mv.base").contains("mv.base8"))
+    spark.sql(s"INSERT INTO $t SELECT id, concat('g', id % 3), id FROM range(100, 120)")
+    spark.sql(s"CALL $cat.system.maintain(table => 'mv.mv8')").collect()
+    assert(prop("mv.base-version").contains("2"),
+      "maintain should have folded the base's new commit")
+    assert(spark.sql(s"SELECT sum(n) FROM $v").head().getLong(0) === 50L)
+  }
 }

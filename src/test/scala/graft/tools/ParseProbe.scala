@@ -21,6 +21,17 @@ object ParseProbe {
         catch { case e: Exception => s"${e.getClass.getSimpleName}: ${e.getMessage.linesIterator.next()}" }
       println(s"PROBE| $sql -> $r")
     }
+    try {
+      val cmv = p.parsePlan("CREATE MATERIALIZED VIEW spark_catalog.ns.v " +
+        "TBLPROPERTIES ('a'='b') AS SELECT 1 AS x")
+      cmv.collectFirst {
+        case m: org.apache.spark.sql.catalyst.plans.logical.CreateMaterializedViewAsSelect =>
+          println(s"PROBE| CMVAS tableSpec = ${m.tableSpec}")
+      }
+      println("PROBE| top node = " + cmv.getClass.getSimpleName)
+    } catch {
+      case e: Exception => println(s"PROBE| CMVAS TBLPROPERTIES -> ${e.getMessage.linesIterator.next()}")
+    }
     spark.stop()
   }
 }

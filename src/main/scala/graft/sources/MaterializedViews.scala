@@ -349,6 +349,43 @@ private[graft] object MaterializedViews {
 
   // -- REFRESH --------------------------------------------------------------
 
+  /** FULL rebuild: one atomic INSERT OVERWRITE of the body at the base's
+    * current version — the escape hatch when the base's history was
+    * EXPIRED past the watermark (the bounded `.changes` range no longer
+    * exists, so incremental folding is unknowable; Delta/Iceberg CDC
+    * consumers hit the same wall). Also useful after a base
+    * drop-and-recreate. Same claim protocol as the incremental path —
+    * the OVERWRITE is one commit, the watermark another, and version
+    * math decides finalize-vs-rerun after a crash (an overwrite IS
+    * idempotent, but the shared protocol keeps one recovery story). */
+  def refreshFull(spark: SparkSession, catalogName: String,
+      identParts: Seq[String]): (Long, Long, Boolean) = {
+    val mvKey = SnapshotStore.keyOf(catalogName, identParts)
+    val shown = (catalogName +: identParts).mkString(".")
+    val st = SnapshotStore.stateOf(mvKey)
+    if (!isMv(st.properties)) throw new IllegalArgumentException(
+      s"$shown is not a materialized view (no $PropSql property)")
+    st.properties.get(PropPending).foreach(p =>
+      throw new IllegalStateException(
+        s"a refresh of $shown is pending (claimed base v$p) — resolve it " +
+          "first (refresh_mv with recover => true)"))
+    val base = st.properties(PropBase).split('.').toSeq
+    val baseKey = SnapshotStore.keyOf(catalogName, base)
+    val b = st.properties.get(PropBaseVersion).fold(-1L)(_.toLong)
+    val mvFull = (catalogName +: identParts).map(bq).mkString(".")
+    val c0 = currentVersion(baseKey)
+    spark.sql(s"INSERT OVERWRITE $mvFull ${st.properties(PropSql)}")
+    val c1 = currentVersion(baseKey)
+    if (c1 != c0) throw new IllegalStateException(
+      s"base table ${base.mkString(".")} advanced (v$c0 -> v$c1) during " +
+        "the full refresh — the watermark would be ambiguous; the " +
+        "OVERWRITE landed, rerun refresh_mv(full => true) to re-stamp")
+    val vAfter = currentVersion(mvKey)
+    SnapshotStore.update(mvKey)(s0 => s0.copy(properties = s0.properties +
+      (PropBaseVersion -> c0.toString) + (PropSelfVersion -> vAfter.toString)))
+    (b, c0, true)
+  }
+
   /** Fold the base's changes since the watermark into the stored view.
     * Returns (fromVersion, toVersion, refreshed) — `refreshed = false`
     * means the view was already current. */
@@ -420,6 +457,24 @@ private[graft] object MaterializedViews {
       .mkString("_").replaceAll("[^A-Za-z0-9_]", "_")
     deltas.createOrReplaceTempView(src)
     try spark.sql(mergeSql(mvFull, src, cols, st.schema))
+    catch {
+      case e: Exception if {
+        val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+          .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        msgs.exists(m => m.contains("not a live snapshot") ||
+          m.contains("were expired"))
+      } =>
+        // The base's history was EXPIRED past the watermark: the bounded
+        // changes range is unknowable forever. Release the claim (the
+        // MERGE never landed) and point at the rebuild path.
+        SnapshotStore.update(mvKey)(s0 =>
+          s0.copy(properties = s0.properties - PropPending))
+        throw new IllegalStateException(
+          s"history of ${base.mkString(".")} was expired past $shown's " +
+            s"watermark v$b — the changes range (v${b + 1}..v$c) no " +
+            "longer exists, so incremental folding is unknowable; " +
+            "rebuild with CALL refresh_mv(table, full => true)", e)
+    }
     finally spark.catalog.dropTempView(src)
 
     val vAfter = currentVersion(mvKey)

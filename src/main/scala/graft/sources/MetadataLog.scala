@@ -368,12 +368,17 @@ private[sources] object MetadataLog {
               val ids = slice.flatMap(_.stats.keySet).distinct.sorted
               val st: JValue = JObject(ids.toList.flatMap { id =>
                 val per = slice.map(_.stats.get(id))
-                if (ctx.byId.contains(id) &&
-                    per.forall(_.exists(_.ndv != null))) {
+                // Coverage-gated like columnStats: EVERY file must carry a
+                // WELL-FORMED sketch (NdvSketch.apply validates length) —
+                // a malformed one degrades to "no chunk summary" rather
+                // than failing the commit or under-counting silently.
+                val sketches = per.map(s =>
+                  s.flatMap(cs => Option(cs.ndv))
+                    .flatMap(n => NdvSketch(n.registers)))
+                if (ctx.byId.contains(id) && sketches.forall(_.isDefined)) {
                   val acc = new NdvSketch(
-                    per.head.get.ndv.registers.clone())
-                  per.tail.foreach(s =>
-                    NdvSketch(s.get.ndv.registers).foreach(acc.mergeInPlace))
+                    sketches.head.get.registers.clone())
+                  sketches.tail.foreach(s => acc.mergeInPlace(s.get))
                   Some(s"#$id" -> (JArray(List(
                     JString(java.util.Base64.getEncoder
                       .encodeToString(acc.registers)),

@@ -3976,7 +3976,8 @@ private[sources] final class MemScan(fullSchema: StructType,
             // cost: |chunks| vs |files| 512-byte merges per column.
             val ndvAndNulls: Option[(Long, Long)] = chunkNdv match {
               case Some(chunks) if chunks.nonEmpty &&
-                  chunks.forall(_.contains(id)) =>
+                  chunks.forall(_.get(id).exists(
+                    _._1.registers.length == NdvSketch.M)) =>
                 val entries = chunks.map(_(id))
                 MetadataLog.statsMergeInputs.addAndGet(entries.size.toLong)
                 NdvSketch.mergedEstimate(

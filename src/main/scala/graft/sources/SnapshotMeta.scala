@@ -495,9 +495,13 @@ private[sources] object SnapshotProcedures {
         "fold the base table's changes since the materialized view's " +
           "watermark into the stored view (one MERGE, O(changed rows)); " +
           "recover => true resolves a crashed refresh's pending claim " +
-          "(verify none is running first)",
+          "(verify none is running first); full => true rebuilds with one " +
+          "INSERT OVERWRITE of the body — the escape hatch when the " +
+          "base's history was expired past the watermark",
         Seq(in("table", StringType),
           ProcedureParameter.in("recover", BooleanType)
+            .defaultValue("false").build(),
+          ProcedureParameter.in("full", BooleanType)
             .defaultValue("false").build()),
         StructType(Seq(
           StructField("from_version", LongType, nullable = false),
@@ -505,8 +509,12 @@ private[sources] object SnapshotProcedures {
           StructField("refreshed", BooleanType, nullable = false))),
         r => {
           val recover = !r.isNullAt(1) && r.getBoolean(1)
-          val (from, to, refreshed) = MaterializedViews.refresh(
-            SparkSession.active, catalogName, identOf(str(r, 0)), recover)
+          val full = !r.isNullAt(2) && r.getBoolean(2)
+          val (from, to, refreshed) =
+            if (full) MaterializedViews.refreshFull(
+              SparkSession.active, catalogName, identOf(str(r, 0)))
+            else MaterializedViews.refresh(
+              SparkSession.active, catalogName, identOf(str(r, 0)), recover)
           Array[Any](from, to, refreshed)
         }))
       case "evolve_partition_spec" => Some(proc("evolve_partition_spec",

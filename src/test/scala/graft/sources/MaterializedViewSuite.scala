@@ -247,6 +247,39 @@ class MaterializedViewSuite extends AnyFunSuite {
       .exists(_.getString(1) == "mv7"))
   }
 
+  test("expired base history past the watermark fails incremental refresh " +
+      "with guidance; full => true rebuilds and re-arms the watermark") {
+    val t = fresh("base9")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, grp STRING, qty BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('g', id % 3), id FROM range(0, 30)")
+    val v = fresh("mv9")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $v AS
+      SELECT grp, count(*) AS n, sum(coalesce(qty, 0)) AS q FROM $t GROUP BY grp""")
+    // Three more base commits, then expire all but the newest: the
+    // watermark (v1) now points into expired history.
+    spark.sql(s"INSERT INTO $t SELECT id, concat('g', id % 3), id FROM range(100, 110)")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('g', id % 3), id FROM range(200, 210)")
+    spark.sql(s"DELETE FROM $t WHERE k % 3 = 1")
+    spark.sql(s"CALL $cat.system.expire_snapshots(table => 'mv.base9', keep_last => 1)")
+    val e = intercept[Exception] {
+      spark.sql(s"REFRESH MATERIALIZED VIEW $v")
+    }
+    assert(e.getMessage.contains("full => true"), s"got: ${e.getMessage}")
+    // The failed attempt must NOT leave a pending claim behind.
+    val r = spark.sql(
+      s"CALL $cat.system.refresh_mv(table => 'mv.mv9', full => true)").head()
+    assert(r.getBoolean(2))
+    assert(spark.sql(s"SELECT grp, n, q FROM $v ORDER BY grp").collect()
+      .map(_.toString).toSeq ===
+      spark.sql(s"SELECT grp, count(*) AS n, sum(coalesce(qty, 0)) AS q " +
+        s"FROM $t GROUP BY grp ORDER BY grp").collect().map(_.toString).toSeq)
+    // ...and the rebuilt watermark folds incrementally again.
+    spark.sql(s"INSERT INTO $t SELECT id, concat('g', id % 3), id FROM range(300, 306)")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $v")
+    assert(spark.sql(s"SELECT sum(n) FROM $v").head().getLong(0) ===
+      spark.table(t).count())
+  }
+
   test("staleness metadata rides SHOW TBLPROPERTIES; maintain with " +
       "maintain.refresh-mv refreshes as part of the policy pass") {
     val t = fresh("base8")

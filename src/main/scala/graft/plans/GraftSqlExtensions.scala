@@ -418,8 +418,10 @@ final case class GraftShowCreateViewExec(s: GraftShowCreateView)
     extends LeafExecNode {
   import org.apache.spark.unsafe.types.UTF8String
   override def output: Seq[Attribute] = s.output
-  private def quoteSql(v: String): String = "'" + v.replace("'", "''") + "'"
-  private def bq(n: String): String = "`" + n.replace("`", "``") + "`"
+  private def quoteSql(v: String): String =
+    graft.catalog.DdlGenerator.quoteLiteral(v)
+  private def bq(n: String): String =
+    graft.catalog.DdlGenerator.quoteIdent(n)
   private def rows(): Array[InternalRow] = {
     val (cat, ident) = GraftCatalogs.identOf(s.parts)
     val view = cat.loadViewVersion(ident, None)

@@ -189,21 +189,57 @@ private[graft] object ViewLog {
     if (vs.nonEmpty && !replace) return false
     if (vs.isEmpty) {
       val marker = new Path(dirOf(warehouse, parts), "v1.json")
-      marker.getFileSystem(hconf).mkdirs(marker.getParent)
-      if (!MetadataLog.writeExclusive(marker, TableClaimMarker.getBytes(UTF_8)))
-        return false
+      val fs = marker.getFileSystem(hconf)
+      fs.mkdirs(marker.getParent)
+      if (!MetadataLog.writeExclusive(marker, TableClaimMarker.getBytes(UTF_8))) {
+        // Taken — by a table (v1.json is real state), by a live view, or
+        // by a crashed view creation's ORPHAN (marker without any
+        // view-v<N>.json). The orphan would wedge the name for BOTH
+        // kinds forever; it is reclaimable exactly because no definition
+        // ever landed — nothing can be reading it.
+        if (!isOrphanedMarker(fs, marker, warehouse, parts)) return false
+        fs.delete(marker, false)
+        if (!MetadataLog.writeExclusive(marker,
+            TableClaimMarker.getBytes(UTF_8))) return false
+      }
+      val ok =
+        try MetadataLog.writeExclusive(fileOf(warehouse, parts, 1L),
+          render(d.copy(version = 1L)).getBytes(UTF_8))
+        catch {
+          case e: Throwable => fs.delete(marker, false); throw e
+        }
+      // A definition that lost its own claim releases the marker — never
+      // leave the two-file pair half-claimed on a non-crash failure.
+      if (!ok) fs.delete(marker, false)
+      return ok
     }
     val next = vs.lastOption.getOrElse(0L) + 1L
     MetadataLog.writeExclusive(fileOf(warehouse, parts, next),
       render(d.copy(version = next)).getBytes(UTF_8))
   }
 
-  /** Drop every version (the whole definition history). */
+  /** Is `marker` a view claim with NO definition versions — the residue
+    * of a creation that crashed between its two writes? */
+  private def isOrphanedMarker(fs: org.apache.hadoop.fs.FileSystem,
+      marker: Path, warehouse: String, parts: Seq[String]): Boolean =
+    (try MetadataLog.readFully(marker).startsWith("""{"kind":"view"""")
+      catch { case _: Exception => false }) &&
+      versions(warehouse, parts).isEmpty
+
+  /** Drop every version (the whole definition history). A crashed
+    * creation's ORPHANED claim marker (no definitions) also drops here —
+    * the SQL-level recovery for the wedged-name state. */
   def drop(warehouse: String, parts: Seq[String]): Boolean = {
     val vs = versions(warehouse, parts)
-    if (vs.isEmpty) return false
     val md = dirOf(warehouse, parts)
     val fs = md.getFileSystem(hconf)
+    if (vs.isEmpty) {
+      val marker = new Path(md, "v1.json")
+      if (!fs.exists(marker) ||
+        !isOrphanedMarker(fs, marker, warehouse, parts)) return false
+      fs.delete(marker, false)
+      return true
+    }
     vs.foreach(v => fs.delete(fileOf(warehouse, parts, v), false))
     // Release the table-namespace claim LAST (readers between the two
     // deletes see marker-without-definitions, which load() tolerates).

@@ -75,7 +75,8 @@ private[graft] object MaterializedViews {
 
   /** The ORIGINAL body SQL — presence marks a table as an MV. */
   val PropSql = "mv.sql"
-  /** Base table's catalog-local identifier (dot-joined `ns.table`). */
+  /** Base table's catalog-local identifier parts as a JSON array (a
+    * dot-joined string would corrupt dotted part names). */
   val PropBase = "mv.base"
   /** Optional WHERE predicate (qualifier-stripped SQL). */
   val PropWhere = "mv.where"
@@ -87,8 +88,13 @@ private[graft] object MaterializedViews {
   /** MV snapshot version right after the last refresh's MERGE — the
     * crash-recovery witness (see protocol above). */
   val PropSelfVersion = "mv.self-version"
-  /** Write-ahead claim of an in-flight refresh's target base version. */
+  /** Write-ahead claim of an in-flight refresh's target base version. A
+    * FULL rebuild's claim is prefixed [[FullClaim]] — its crash
+    * resolution differs (rebuild, never version-math finalize). */
   val PropPending = "mv.pending-base"
+
+  /** Claim prefix marking a full rebuild (see [[refreshFull]]). */
+  val FullClaim = "full:"
 
   /** One output column of the MV. `kind`: `group` | `count_star` |
     * `count` | `sum`. `expr` is the defining expression's SQL with
@@ -109,6 +115,33 @@ private[graft] object MaterializedViews {
     e.transform {
       case a: AttributeReference => a.withQualifier(Nil)
     }.sql
+
+  /** REFRESH STABILITY: every stored expression re-evaluates at each
+    * refresh over the change feed, so beyond determinism-per-row it must
+    * evaluate the SAME on the same row FOREVER. Subqueries re-read their
+    * (possibly changed) inner table, and current_date/current_timestamp
+    * move between refreshes — both are `deterministic` by Catalyst's
+    * definition and both would silently diverge the MV from a recompute. */
+  private def requireRefreshStable(e: Expression, what: String): Unit = {
+    if (!e.deterministic) fail(s"$what ${unq(e)} must be deterministic")
+    // (Messages render `what` only: a subquery expression's .sql can
+    // itself throw on unresolved-plan fragments.)
+    e.foreach {
+      case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+        fail(s"$what contains a subquery: refresh would re-read the " +
+          "inner table's CURRENT contents against rows materialized " +
+          "under its OLD contents — join the table in a plain VIEW over " +
+          "the MV instead")
+      case t if t.nodeName == "CurrentDate" || t.nodeName == "CurrentTimestamp" ||
+          t.nodeName == "Now" || t.nodeName == "LocalTimestamp" ||
+          t.nodeName == "CurrentTimeZone" =>
+        fail(s"$what depends on evaluation time (${t.nodeName}): each " +
+          "refresh would gate change rows by a DIFFERENT instant than " +
+          "the stored rows were gated by — bake a literal timestamp " +
+          "into the body instead")
+      case _ => ()
+    }
+  }
 
   /** Validate an ANALYZED body plan against the maintainability contract
     * and extract the refresh plan. Every rejection names what to change. */
@@ -142,15 +175,11 @@ private[graft] object MaterializedViews {
         val baseIdent = r.identifier.getOrElse(fail(
           "internal: the base relation carries no identifier"))
         val base = baseIdent.namespace().toSeq :+ baseIdent.name()
-        whereOpt.foreach(c => if (!c.deterministic) fail(
-          "the WHERE predicate must be deterministic — refresh re-applies " +
-            "it to change rows, and a non-deterministic gate would admit " +
-            "different rows than the original materialization"))
+        whereOpt.foreach(requireRefreshStable(_, "the WHERE predicate"))
         if (groupExprs.isEmpty) fail(
           "global aggregates (no GROUP BY) are not supported as " +
             "materialized views — add a GROUP BY (a constant key works)")
-        groupExprs.foreach(g => if (!g.deterministic) fail(
-          s"GROUP BY expression ${g.sql} must be deterministic"))
+        groupExprs.foreach(requireRefreshStable(_, "GROUP BY expression"))
 
         val cols = aggExprs.map { out =>
           val (inner, name) = out match {
@@ -174,14 +203,12 @@ private[graft] object MaterializedViews {
                     case l: Literal => fail(
                       s"count(NULL) in $name counts nothing — drop it")
                     case e =>
-                      if (!e.deterministic) fail(
-                        s"count argument ${e.sql} must be deterministic")
+                      requireRefreshStable(e, "count argument")
                       MvCol(name, "count", unq(e))
                   }
                 case s: Sum =>
                   val e = s.child
-                  if (!e.deterministic) fail(
-                    s"sum argument ${e.sql} must be deterministic")
+                  requireRefreshStable(e, "sum argument")
                   e.dataType match {
                     case ByteType | ShortType | IntegerType | LongType |
                         _: DecimalType => ()
@@ -281,12 +308,27 @@ private[graft] object MaterializedViews {
       case other => sys.error(s"mv.cols malformed: $other")
     }
 
+  /** The base identifier rides as a JSON array — a dot-joined string
+    * would corrupt namespace/table names that themselves contain dots. */
+  private def basePartsToJson(parts: Seq[String]): String =
+    JsonMethods.compact(JsonMethods.render(
+      JArray(parts.toList.map(JString(_)))))
+
+  private def baseParts(props: Map[String, String]): Seq[String] =
+    JsonMethods.parse(props(PropBase)) match {
+      case JArray(vs) => vs.map {
+        case JString(p) => p
+        case other => sys.error(s"$PropBase part malformed: $other")
+      }
+      case other => sys.error(s"$PropBase malformed: $other")
+    }
+
   private def currentVersion(k: String): Long = {
     val st = SnapshotStore.stateOf(k)
     if (st.snapshots.isEmpty) 0L else st.snapshots.last.version
   }
 
-  private def bq(n: String): String = "`" + n.replace("`", "``") + "`"
+  private def bq(n: String): String = graft.catalog.DdlGenerator.quoteIdent(n)
 
   def isMv(props: Map[String, String]): Boolean = props.contains(PropSql)
 
@@ -320,7 +362,7 @@ private[graft] object MaterializedViews {
       ident.namespace().toSeq :+ ident.name())
     val props: Map[String, String] = userProps ++ Map(
       PropSql -> bodySql,
-      PropBase -> spec.base.mkString("."),
+      PropBase -> basePartsToJson(spec.base),
       PropCols -> colsToJson(spec.cols)) ++
       spec.where.map(PropWhere -> _)
     val jProps = new java.util.HashMap[String, String]()
@@ -354,10 +396,16 @@ private[graft] object MaterializedViews {
     * EXPIRED past the watermark (the bounded `.changes` range no longer
     * exists, so incremental folding is unknowable; Delta/Iceberg CDC
     * consumers hit the same wall). Also useful after a base
-    * drop-and-recreate. Same claim protocol as the incremental path —
-    * the OVERWRITE is one commit, the watermark another, and version
-    * math decides finalize-vs-rerun after a crash (an overwrite IS
-    * idempotent, but the shared protocol keeps one recovery story). */
+    * drop-and-recreate.
+    *
+    * Claim-protected like the incremental path — WITHOUT it, a crash
+    * between the landed OVERWRITE and the watermark stamp would leave a
+    * stale watermark over already-rebuilt rows, and the next incremental
+    * refresh would double-apply every delta silently. A full claim is
+    * marked `full:<c>` so incremental recovery can NEVER "finalize" it
+    * with version math (the safe resolution of a crashed rebuild is to
+    * rebuild — OVERWRITE is idempotent), and refreshFull itself resumes
+    * over any leftover full claim. */
   def refreshFull(spark: SparkSession, catalogName: String,
       identParts: Seq[String]): (Long, Long, Boolean) = {
     val mvKey = SnapshotStore.keyOf(catalogName, identParts)
@@ -365,24 +413,38 @@ private[graft] object MaterializedViews {
     val st = SnapshotStore.stateOf(mvKey)
     if (!isMv(st.properties)) throw new IllegalArgumentException(
       s"$shown is not a materialized view (no $PropSql property)")
-    st.properties.get(PropPending).foreach(p =>
-      throw new IllegalStateException(
-        s"a refresh of $shown is pending (claimed base v$p) — resolve it " +
-          "first (refresh_mv with recover => true)"))
-    val base = st.properties(PropBase).split('.').toSeq
+    st.properties.get(PropPending).foreach { p =>
+      if (!p.startsWith(FullClaim)) throw new IllegalStateException(
+        s"an incremental refresh of $shown is pending (claimed base v$p) " +
+          "— resolve it first (refresh_mv with recover => true)")
+      // A crashed full rebuild: the OVERWRITE is idempotent — resume.
+    }
+    val base = baseParts(st.properties)
     val baseKey = SnapshotStore.keyOf(catalogName, base)
     val b = st.properties.get(PropBaseVersion).fold(-1L)(_.toLong)
     val mvFull = (catalogName +: identParts).map(bq).mkString(".")
     val c0 = currentVersion(baseKey)
+    // Write-ahead claim BEFORE the overwrite (supersedes a leftover full
+    // claim; refuses to stomp an incremental one — checked above, and the
+    // recheck inside the atomic update closes the race).
+    SnapshotStore.update(mvKey) { s0 =>
+      s0.properties.get(PropPending).foreach(p =>
+        if (!p.startsWith(FullClaim)) throw new IllegalStateException(
+          s"a concurrent incremental refresh of $shown claimed base v$p"))
+      s0.copy(properties =
+        s0.properties + (PropPending -> (FullClaim + c0)))
+    }
     spark.sql(s"INSERT OVERWRITE $mvFull ${st.properties(PropSql)}")
     val c1 = currentVersion(baseKey)
     if (c1 != c0) throw new IllegalStateException(
       s"base table ${base.mkString(".")} advanced (v$c0 -> v$c1) during " +
-        "the full refresh — the watermark would be ambiguous; the " +
-        "OVERWRITE landed, rerun refresh_mv(full => true) to re-stamp")
+        "the full refresh — the watermark would be ambiguous; the claim " +
+        "stays pending, rerun refresh_mv(full => true) to rebuild and " +
+        "re-stamp")
     val vAfter = currentVersion(mvKey)
     SnapshotStore.update(mvKey)(s0 => s0.copy(properties = s0.properties +
-      (PropBaseVersion -> c0.toString) + (PropSelfVersion -> vAfter.toString)))
+      (PropBaseVersion -> c0.toString) +
+      (PropSelfVersion -> vAfter.toString) - PropPending))
     (b, c0, true)
   }
 
@@ -404,6 +466,14 @@ private[graft] object MaterializedViews {
 
     // Crash recovery / concurrency gate (see protocol in the class doc).
     st.properties.get(PropPending).foreach { p =>
+      // A FULL rebuild's claim is never version-math-recoverable here:
+      // whether its OVERWRITE landed or not, the safe resolution is to
+      // rebuild (idempotent) — finalizing a half-known rebuild would
+      // hand incremental folding a wrong watermark.
+      if (p.startsWith(FullClaim)) throw new IllegalStateException(
+        s"a FULL rebuild of $shown is pending (claimed base " +
+          s"v${p.stripPrefix(FullClaim)}) — rerun refresh_mv(table, " +
+          "full => true) to complete it")
       if (!recover) throw new IllegalStateException(
         s"a refresh of $shown is pending (claimed base v$p): either it " +
           "is still running — wait — or it crashed; once you have " +
@@ -425,7 +495,7 @@ private[graft] object MaterializedViews {
 
     val props = st.properties
     val cols = colsFromJson(props(PropCols))
-    val base = props(PropBase).split('.').toSeq
+    val base = baseParts(props)
     val baseKey = SnapshotStore.keyOf(catalogName, base)
     val b = props(PropBaseVersion).toLong
     val c = currentVersion(baseKey)

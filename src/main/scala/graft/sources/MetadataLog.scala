@@ -832,10 +832,18 @@ private[sources] object MetadataLog {
         // v1.json, not just metadata/: a VIEW's directory holds a metadata
         // dir too (view-v<N>.json) and must not list as a table — and a
         // post-round-15 view ALSO claims v1.json as its table-namespace
-        // marker, so the view-definition probe decides.
+        // marker, so the view-definition probe decides. A marker WITHOUT
+        // definitions (a creation crashed between its two writes) is
+        // caught by the v2-or-content check: real tables either committed
+        // past v1 (no read) or their v1 parses as table state.
         val m = new Path(s.getPath, "metadata")
+        def v1IsTableState: Boolean =
+          fs.exists(new Path(m, "v2.json")) ||
+            (try !readFully(new Path(m, "v1.json"))
+              .startsWith("""{"kind":"view"""")
+            catch { case _: Exception => false })
         s.isDirectory && fs.exists(new Path(m, "v1.json")) &&
-          !fs.exists(new Path(m, "view-v1.json"))
+          !fs.exists(new Path(m, "view-v1.json")) && v1IsTableState
       }
       .map(_.getPath.getName)
   }

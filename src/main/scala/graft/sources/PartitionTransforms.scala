@@ -56,7 +56,12 @@ private[graft] case object PIdentity extends PTransform {
   def eval(v: Any, src: DataType): Any = v
   def label(col: String): String = col
   def monotonic = true
-  def accepts(src: DataType): Boolean = true
+  // Binary is refused at the SEAM (create/evolve validate through this),
+  // not at first write: a binary partition VALUE is not serializable in
+  // the metadata log (MetadataLog.pvToJson), and raw Array[Byte] tuples
+  // compare by reference in every grouping — bucket(n, col) is the
+  // supported way to partition by binary content.
+  def accepts(src: DataType): Boolean = src != BinaryType
 }
 
 /** Shared epoch arithmetic for the time transforms. Timestamps are
@@ -119,22 +124,29 @@ private[graft] final case class PBucket(n: Int) extends PTransform {
   def monotonic = false
   def accepts(src: DataType): Boolean = src match {
     case IntegerType | LongType | StringType | DateType |
-         TimestampType | TimestampNTZType | ShortType | ByteType => true
+         TimestampType | TimestampNTZType | ShortType | ByteType |
+         BinaryType => true
     case _ => false
   }
   def eval(v: Any, src: DataType): Any =
     if (v == null) null
     else {
       // Stable across JVMs: Spark's Murmur3 (seed 42) over the value's
-      // widened-long form (integral/temporal types) or UTF8 bytes
-      // (strings) — int 5 and long 5 bucket identically, so a later
-      // int→long type widening never reshuffles buckets.
+      // widened-long form (integral/temporal types) or raw bytes
+      // (strings/binary — this is also the ONLY partition path for
+      // binary columns, whose identity values are unserializable) — int
+      // 5 and long 5 bucket identically, so a later int→long type
+      // widening never reshuffles buckets.
       import org.apache.spark.unsafe.hash.Murmur3_x86_32
       val h = src match {
         case StringType =>
           val s = v.asInstanceOf[UTF8String]
           Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
             s.numBytes(), 42)
+        case BinaryType =>
+          val b = v.asInstanceOf[Array[Byte]]
+          Murmur3_x86_32.hashUnsafeBytes(b,
+            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42)
         case IntegerType => Murmur3_x86_32.hashLong(v.asInstanceOf[Int].toLong, 42)
         case ShortType => Murmur3_x86_32.hashLong(v.asInstanceOf[Short].toLong, 42)
         case ByteType => Murmur3_x86_32.hashLong(v.asInstanceOf[Byte].toLong, 42)

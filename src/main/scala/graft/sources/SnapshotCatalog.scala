@@ -1243,6 +1243,18 @@ private[graft] object SnapshotStore {
         * this file. 0 = the original spec. */
       specId: Int = 0)
 
+  /** A partition-value tuple normalized for CONTENT equality: Array[Byte]
+    * values (identity transform over a binary column) compare by
+    * reference inside Seq equality/hashing — every grouping or set
+    * membership over partition tuples must go through this, or binary-
+    * partitioned tables silently never match themselves (the dynamic-
+    * overwrite and KeyGroupedPartitioning trap). */
+  def comparablePartition(values: Seq[Any]): Seq[Any] =
+    values.map {
+      case a: Array[Byte] => a.toSeq
+      case v => v
+    }
+
   /** Content-equal wrapper for [[NdvSketch]] registers — a bare Array
     * field would give every enclosing case class REFERENCE equality,
     * silently breaking manifest round-trip comparisons. */
@@ -3039,7 +3051,11 @@ private[sources] final class MemBatchWrite(k: String, writeSchema: StructType,
         // Dynamic overwrite: retire the partitions the new files land in.
         // Partition identity is the TRANSFORMED value tuple — comparable
         // only within one spec, so mixed-spec tables must converge first.
-        val newParts = files.map(_.partitionValues).toSet
+        // Content-normalized: binary partition values compare by
+        // reference raw, and a missed match here APPENDS instead of
+        // replacing (duplicate rows).
+        val newParts = files.map(f =>
+          SnapshotStore.comparablePartition(f.partitionValues)).toSet
         Some((cur: SnapshotStore.TableState) => {
           val stale = cur.currentFiles.filter(_.specId != cur.currentSpecId)
           require(stale.isEmpty,
@@ -3047,7 +3063,8 @@ private[sources] final class MemBatchWrite(k: String, writeSchema: StructType,
               s"current partition spec, but ${stale.size} file(s) carry a " +
               "retired spec — run CALL <catalog>.system.rewrite_data_files " +
               "first")
-          cur.currentFiles.filter(f => newParts(f.partitionValues))
+          cur.currentFiles.filter(f =>
+            newParts(SnapshotStore.comparablePartition(f.partitionValues)))
         })
       }
     SnapshotStore.commit(k, files, replace, expectedBase, selector,
@@ -4093,13 +4110,11 @@ private[sources] final class MemScan(fullSchema: StructType,
           files.forall(_.specId == currentSpecId) =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           keys.map(t => t: VExpression),
-          // Array[Byte] partition values (identity over a binary column)
-          // compare by REFERENCE inside Seq.distinct — normalize to a
-          // content-equal view or the reported group count over-counts.
-          files.map(_.partitionValues.map {
-            case a: Array[Byte] => a.toSeq
-            case v => v
-          }).distinct.size)
+          // Content-normalized: raw Array[Byte] values would make
+          // Seq.distinct over-count groups (reference equality).
+          files.map(f =>
+            SnapshotStore.comparablePartition(f.partitionValues))
+            .distinct.size)
       case _ =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
           files.size)

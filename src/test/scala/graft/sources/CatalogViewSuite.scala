@@ -365,4 +365,80 @@ class CatalogViewSuite extends AnyFunSuite {
 
   private def warehouseOf(snap: SnapshotCatalog): String =
     SnapshotStore.warehouses.get(cat).get
+
+  test("a creation crashed between its two writes leaves an orphaned " +
+      "claim marker — DROP VIEW clears it and CREATE reclaims") {
+    freshNs()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.views.orphaned")
+    spark.sql(s"DROP VIEW IF EXISTS $cat.views.orphaned")
+    val (snap, _) = viewIdent(s"$cat.views.orphaned")
+    val wh = warehouseOf(snap)
+    // Plant the crash residue: the table-namespace claim without any
+    // view-v<N>.json definition.
+    val marker = new org.apache.hadoop.fs.Path(
+      MetadataLog.tableDir(wh, Seq(cat, "views", "orphaned")),
+      "metadata/v1.json")
+    val fs = marker.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.mkdirs(marker.getParent)
+    val out = fs.create(marker, false)
+    out.write(ViewLog.TableClaimMarker.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    // The orphan must not read as a table, a view, or a listed anything.
+    assert(!snap.viewExists(org.apache.spark.sql.connector.catalog
+      .Identifier.of(Array("views"), "orphaned")))
+    assert(!MetadataLog.listDiskTables(wh, Seq(cat, "views"))
+      .contains("orphaned"))
+    // CREATE VIEW reclaims it in place (no definition ever landed, so
+    // nothing can be reading it)...
+    val t = baseTable("base15")
+    spark.sql(s"CREATE VIEW $cat.views.orphaned AS SELECT s FROM $t")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.views.orphaned")
+      .head().getLong(0) === 100L)
+    spark.sql(s"DROP VIEW $cat.views.orphaned")
+    // ...and DROP VIEW clears a bare orphan too (the explicit recovery).
+    val out2 = fs.create(marker, false)
+    out2.write(ViewLog.TableClaimMarker.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    out2.close()
+    spark.sql(s"DROP VIEW $cat.views.orphaned")
+    assert(!fs.exists(marker))
+    spark.sql(s"CREATE TABLE $cat.views.orphaned (x BIGINT)")
+    spark.sql(s"DROP TABLE $cat.views.orphaned")
+  }
+
+  test("identity partitioning over BINARY is refused at the seam (values " +
+      "are not log-serializable and compare by reference); bucket(n, " +
+      "binary) is the supported path and dynamic-overwrites exactly") {
+    freshNs()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.views.binpart")
+    val t = s"$cat.views.binpart"
+    // CREATE-time rejection — previously this failed at FIRST WRITE with
+    // an opaque serialization error deep in the manifest writer.
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $t (k BINARY, v BIGINT) PARTITIONED BY (k)")
+    }
+    assert(e.getMessage.contains("does not accept"), e.getMessage)
+    // ...and at the evolve seam.
+    spark.sql(s"CREATE TABLE $t (k BINARY, v BIGINT)")
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t ADD PARTITION FIELD k")
+    }
+    assert(e2.getMessage.contains("does not accept"), e2.getMessage)
+    // bucket over binary hashes CONTENT: dynamic overwrite replaces the
+    // row's partition instead of appending a duplicate.
+    spark.sql(s"DROP TABLE $t")
+    spark.sql(s"CREATE TABLE $t (k BINARY, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"INSERT INTO $t VALUES (X'AA', 1), (X'BB', 2)")
+    spark.table(t).filter("v = 1").withColumn("v",
+      org.apache.spark.sql.functions.lit(10L))
+      .writeTo(t).overwritePartitions()
+    val rows = spark.sql(s"SELECT hex(k) AS k, v FROM $t ORDER BY k, v")
+      .collect().map(_.toString).toSeq
+    // X'AA' and X'BB' may share a bucket: overwrite replaces the whole
+    // bucket's rows with the new frame's — either way NO duplicates.
+    assert(!rows.exists(_ == "[AA,1]") && rows.contains("[AA,10]"),
+      rows.toString)
+  }
 }

@@ -160,6 +160,16 @@ class MaterializedViewSuite extends AnyFunSuite {
       "deterministic")
     rejects(s"SELECT a.grp, count(*) AS n FROM $t a JOIN $t b ON a.k = b.k " +
       "GROUP BY a.grp", "single catalog table")
+    // Catalyst-deterministic but NOT refresh-stable: a subquery re-reads
+    // its inner table's current contents at each refresh, and
+    // current_date moves between refreshes — either would silently
+    // diverge the stored rows from a recompute.
+    rejects(s"SELECT grp, count(*) AS n FROM $t " +
+      s"WHERE k IN (SELECT k FROM $t WHERE qty > 5) GROUP BY grp",
+      "subquery")
+    rejects(s"SELECT grp, count(*) AS n FROM $t " +
+      "WHERE k < unix_date(current_date()) GROUP BY grp",
+      "evaluation time")
   }
 
   test("watermark protocol: a pending claim blocks refresh loudly; " +
@@ -280,6 +290,41 @@ class MaterializedViewSuite extends AnyFunSuite {
       spark.table(t).count())
   }
 
+  test("a crashed FULL rebuild's claim blocks incremental refresh (never " +
+      "version-math finalized) and full => true resumes it") {
+    val t = fresh("base10")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, grp STRING, qty BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('g', id % 3), id FROM range(0, 30)")
+    val v = fresh("mv10")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $v AS
+      SELECT grp, count(*) AS n, sum(coalesce(qty, 0)) AS q FROM $t GROUP BY grp""")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('g', id % 3), id FROM range(100, 110)")
+    // Simulate a full rebuild that crashed AFTER its OVERWRITE landed,
+    // BEFORE the watermark stamp: contents reflect v2, watermark says v1.
+    spark.sql(s"CALL $cat.system.refresh_mv(table => 'mv.mv10', full => true)")
+      .collect()
+    val mvKey = SnapshotStore.keyOf(cat, Seq("mv", "mv10"))
+    SnapshotStore.update(mvKey)(s0 => s0.copy(properties = s0.properties +
+      (MaterializedViews.PropBaseVersion -> "1") +
+      (MaterializedViews.PropPending ->
+        (MaterializedViews.FullClaim + "2"))))
+    // Incremental refresh must refuse — even with recover => true (a
+    // version-math finalize would be guessing about a rebuild).
+    val e = intercept[Exception] {
+      spark.sql(
+        s"CALL $cat.system.refresh_mv(table => 'mv.mv10', recover => true)")
+        .collect()
+    }
+    assert(e.getMessage.contains("FULL rebuild"), s"got: ${e.getMessage}")
+    // The full path resumes (OVERWRITE is idempotent) and re-arms.
+    spark.sql(s"CALL $cat.system.refresh_mv(table => 'mv.mv10', full => true)")
+      .collect()
+    assert(spark.sql(s"SELECT sum(n) FROM $v").head().getLong(0) === 40L)
+    spark.sql(s"INSERT INTO $t VALUES (500, 'g0', 1)")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $v")
+    assert(spark.sql(s"SELECT sum(n) FROM $v").head().getLong(0) === 41L)
+  }
+
   test("staleness metadata rides SHOW TBLPROPERTIES; maintain with " +
       "maintain.refresh-mv refreshes as part of the policy pass") {
     val t = fresh("base8")
@@ -293,7 +338,7 @@ class MaterializedViewSuite extends AnyFunSuite {
       spark.sql(s"SHOW TBLPROPERTIES $v").collect()
         .find(_.getString(0) == key).map(_.getString(1))
     assert(prop("mv.base-version").contains("1"), "the staleness surface")
-    assert(prop("mv.base").contains("mv.base8"))
+    assert(prop("mv.base").contains("""["mv","base8"]"""))
     spark.sql(s"INSERT INTO $t SELECT id, concat('g', id % 3), id FROM range(100, 120)")
     spark.sql(s"CALL $cat.system.maintain(table => 'mv.mv8')").collect()
     assert(prop("mv.base-version").contains("2"),

@@ -485,22 +485,37 @@ private[sources] object DataFiles {
     // Per-column distinct-count sketch ([[NdvSketch]]) — merged at plan
     // time into the scan's reported column statistics.
     private val sketches: Array[NdvSketch] = types.map(_ => NdvSketch.empty)
+    // STRING value-byte totals/max for CBO row-width estimation
+    // ([[SnapshotStore.ColStats.lenSum]]). Independent of `valid`: a
+    // 1 KB string invalidates min/max (unbounded manifests) but is
+    // exactly where width tracking earns its keep — so lengths AND null
+    // counts keep accumulating past invalidation.
+    private val isString = types.map(_ == StringType)
+    private val lenSums = new Array[Long](n)
+    private val lenMaxs = new Array[Long](n)
 
     def update(u: UnsafeRow): Unit = {
       var i = 0
       while (i < n) {
-        if (valid(i)) {
+        if (valid(i) || isString(i)) {
           val v = u.get(ordinals(i), types(i))
           if (v == null) nulls(i) += 1
-          else v match {
-            case s: UTF8String if s.numChars() > MaxStatsStringLen =>
-              valid(i) = false
-            case _ =>
+          else {
+            v match {
+              case s: UTF8String =>
+                val nb = s.numBytes().toLong
+                lenSums(i) += nb
+                if (nb > lenMaxs(i)) lenMaxs(i) = nb
+                if (s.numChars() > MaxStatsStringLen) valid(i) = false
+              case _ => ()
+            }
+            if (valid(i)) {
               if (mins(i) == null || orderings(i).lt(v, mins(i)))
                 mins(i) = InternalRow.copyValue(v)
               if (maxs(i) == null || orderings(i).gt(v, maxs(i)))
                 maxs(i) = InternalRow.copyValue(v)
               NdvSketch.hash(v, types(i)).foreach(sketches(i).add)
+            }
           }
         }
         i += 1
@@ -511,14 +526,22 @@ private[sources] object DataFiles {
       val b = Map.newBuilder[String, SnapshotStore.ColStats]
       var i = 0
       while (i < n) {
-        // An invalidated column reports nothing; an all-null column reports
-        // (null, null, nulls == rowCount) — the marker every comparison
-        // predicate excludes.
+        // An invalidated column reports no min/max/ndv; an all-null column
+        // reports (null, null, nulls == rowCount) — the marker every
+        // comparison predicate excludes. STRING columns keep their length
+        // stats (and exact null counts) through invalidation: a no-bounds
+        // entry with nulls < rowCount is sound for every pruning rule
+        // (null bounds always read as "cannot decide").
         if (valid(i))
           b += cols(i)._1.name -> SnapshotStore.ColStats(mins(i), maxs(i),
             nulls(i),
             if (sketches(i).isEmpty) null
-            else SnapshotStore.Ndv(sketches(i).registers))
+            else SnapshotStore.Ndv(sketches(i).registers),
+            lenSum = if (isString(i)) lenSums(i) else -1L,
+            lenMax = if (isString(i)) lenMaxs(i) else -1L)
+        else if (isString(i))
+          b += cols(i)._1.name -> SnapshotStore.ColStats(null, null,
+            nulls(i), null, lenSum = lenSums(i), lenMax = lenMaxs(i))
         i += 1
       }
       b.result()

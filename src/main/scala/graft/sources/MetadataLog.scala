@@ -210,14 +210,23 @@ private[sources] object MetadataLog {
         // Int min under a now-Long column) — coerce into the manifest
         // schema's type (identity for never-widened tables). The optional
         // 4th element is the column's NDV sketch registers (base64) —
-        // hash-canonical across widening, so no coercion needed.
+        // hash-canonical across widening, so no coercion needed. The
+        // optional 5th is [lenSum, lenMax] (string byte widths); when
+        // lengths exist without a sketch (long-string invalidation) the
+        // 4th rides as an explicit null placeholder.
+        val ndvJ: Option[JValue] = Option(s.ndv).map(n => JString(
+          java.util.Base64.getEncoder.encodeToString(n.registers)))
+        val lenJ: Option[JValue] =
+          if (s.lenSum >= 0)
+            Some(JArray(List(JLong(s.lenSum), JLong(s.lenMax))))
+          else None
+        val tail: List[JValue] =
+          if (lenJ.isDefined) List(ndvJ.getOrElse(JNull), lenJ.get)
+          else ndvJ.toList
         s"#$id" -> (JArray(List(
           pvToJson(dt, TypeWidening.coerce(dt, s.min)),
           pvToJson(dt, TypeWidening.coerce(dt, s.max)),
-          JLong(s.nulls)) ++
-          Option(s.ndv).map(n => JString(
-            java.util.Base64.getEncoder.encodeToString(n.registers)): JValue).toList
-        ): JValue)
+          JLong(s.nulls)) ++ tail): JValue)
     })
     // Partition values are typed by the file's OWN spec (spec evolution).
     val pvT = specTypes.getOrElse(f.specId,
@@ -263,8 +272,13 @@ private[sources] object MetadataLog {
               java.util.Base64.getDecoder.decode(b64))
             case _ => null
           } else null
+          val (lenSum, lenMax) = if (vs.length > 4) vs(4) match {
+            case JArray(ls) => (jLong(ls.head), jLong(ls(1)))
+            case _ => (-1L, -1L)
+          } else (-1L, -1L)
           i -> SnapshotStore.ColStats(
-            pvFromJson(dt, vs.head), pvFromJson(dt, vs(1)), jLong(vs(2)), ndv)
+            pvFromJson(dt, vs.head), pvFromJson(dt, vs(1)), jLong(vs(2)),
+            ndv, lenSum, lenMax)
         }
       }.toMap
     val sizeBytes = if (es.length > 4) jLong(es(4)) else 0L

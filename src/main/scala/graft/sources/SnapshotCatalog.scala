@@ -1270,9 +1270,15 @@ private[graft] object SnapshotStore {
     * of the column's type over the file's NON-NULL rows; both null with
     * `nulls == rowCount` marks an all-null column. `ndv` is the column's
     * [[NdvSketch]] registers (HLL, mergeable at plan time), null when the
-    * file predates sketches or the column's tracking was invalidated. */
+    * file predates sketches or the column's tracking was invalidated.
+    * `lenSum`/`lenMax` (STRING columns; -1 = untracked) are total and
+    * max VALUE BYTES over non-null rows — the sum form merges exactly at
+    * plan time into CBO's avgLen/maxLen, and tracking survives the
+    * long-string min/max invalidation (where width estimation matters
+    * most: a 1 KB-string column estimated at the 20-byte default is what
+    * mis-sizes every downstream plan). */
   final case class ColStats(min: Any, max: Any, nulls: Long,
-      ndv: Ndv = null)
+      ndv: Ndv = null, lenSum: Long = -1L, lenMax: Long = -1L)
 
   /** lowercased-independent field id → live type map of `schema` — the
     * comparison context for stats-range pruning. */
@@ -4008,8 +4014,25 @@ private[sources] final class MemScan(fullSchema: StructType,
                     .map(d => (d, per.map(_.get.nulls).sum))
                 } else None
             }
-            if (ndvAndNulls.isDefined) {
-              val (ndvEst, totalNulls) = ndvAndNulls.get
+            // STRING width stats (avgLen bytes, maxLen): claimed when
+            // every retained file tracked lengths — including files whose
+            // min/max were invalidated by long strings, which is exactly
+            // the wide-value case row-width estimation exists for. The
+            // lenSum form merges exactly: avg = Σsum / Σnon-null.
+            val lens: Option[(Long, Long)] =
+              if (live.nonEmpty && per.forall(_.exists(_.lenSum >= 0))) {
+                val entries = per.map(_.get)
+                val nonNull =
+                  live.map(_.rowCount).sum - entries.map(_.nulls).sum
+                Some((
+                  if (nonNull <= 0) 0L
+                  else entries.map(_.lenSum).sum / nonNull,
+                  entries.map(_.lenMax).max))
+              } else None
+            if (ndvAndNulls.isDefined || lens.isDefined) {
+              val ndvOpt = ndvAndNulls.map(_._1)
+              val totalNulls = ndvAndNulls.map(_._2).getOrElse(
+                per.map(_.fold(0L)(_.nulls)).sum)
               val rangeable = f.dataType match {
                 case _: org.apache.spark.sql.types.NumericType |
                     org.apache.spark.sql.types.DateType |
@@ -4039,7 +4062,8 @@ private[sources] final class MemScan(fullSchema: StructType,
               m.put(Expressions.column(f.name),
                 new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
                   override def distinctCount(): java.util.OptionalLong =
-                    java.util.OptionalLong.of(ndvEst)
+                    ndvOpt.fold(java.util.OptionalLong.empty())(
+                      java.util.OptionalLong.of)
                   override def nullCount(): java.util.OptionalLong =
                     java.util.OptionalLong.of(totalNulls)
                   override def min(): java.util.Optional[Object] =
@@ -4048,6 +4072,12 @@ private[sources] final class MemScan(fullSchema: StructType,
                   override def max(): java.util.Optional[Object] =
                     maxV.fold(java.util.Optional.empty[Object]())(v =>
                       java.util.Optional.of(v.asInstanceOf[Object]))
+                  override def avgLen(): java.util.OptionalLong =
+                    lens.fold(java.util.OptionalLong.empty())(l =>
+                      java.util.OptionalLong.of(l._1))
+                  override def maxLen(): java.util.OptionalLong =
+                    lens.fold(java.util.OptionalLong.empty())(l =>
+                      java.util.OptionalLong.of(l._2))
                 })
             }
           }

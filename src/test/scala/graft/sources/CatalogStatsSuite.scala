@@ -93,6 +93,36 @@ class CatalogStatsSuite extends AnyFunSuite {
     assert(df.collect().nonEmpty) // in-query requires pin the plan shape
   }
 
+  test("string width stats: avgLen/maxLen merge from manifests, survive " +
+      "restart AND the long-string min/max invalidation") {
+    val t = fresh("widths")
+    spark.range(0, 2000)
+      .selectExpr("id", "repeat('w', 100) AS wide",
+        "concat(repeat('x', 300), id) AS huge",
+        "CASE WHEN id % 4 = 0 THEN NULL ELSE 'ab' END AS short")
+      .writeTo(t).create()
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      SnapshotStore.tables.clear() // prove the manifest round-trip
+      val stats = spark.table(t).queryExecution.optimizedPlan
+        .collectLeaves().head.stats.attributeStats
+      def of(c: String) = stats.find(_._1.name == c).map(_._2)
+        .getOrElse(fail(s"no stats for $c: ${stats.keys}"))
+      assert(of("wide").avgLen.contains(100L) &&
+        of("wide").maxLen.contains(100L))
+      // >256-char strings invalidate min/max (unbounded manifests) but
+      // width tracking keeps going — the wide-value case IS the one
+      // row-width estimation exists for.
+      assert(of("huge").avgLen.exists(l => l >= 300L && l <= 305L),
+        s"huge avgLen: ${of("huge").avgLen}")
+      assert(of("huge").distinctCount.isEmpty && of("huge").min.isEmpty,
+        "invalidated bounds must not be claimed")
+      // avgLen averages over NON-NULL rows only; nulls counted exactly.
+      assert(of("short").avgLen.contains(2L))
+      assert(of("short").nullCount.contains(500L))
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+
   test("manifest min/max feed CBO filter selectivity: a selective range " +
       "predicate flips the broadcast decision distinctCount alone cannot") {
     val fact = fresh("mm_fact")

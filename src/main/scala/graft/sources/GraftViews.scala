@@ -196,8 +196,14 @@ private[graft] object ViewLog {
         // by a crashed view creation's ORPHAN (marker without any
         // view-v<N>.json). The orphan would wedge the name for BOTH
         // kinds forever; it is reclaimable exactly because no definition
-        // ever landed — nothing can be reading it.
-        if (!isOrphanedMarker(fs, marker, warehouse, parts)) return false
+        // ever landed — nothing can be reading it. AGE-FLOORED: a young
+        // marker is indistinguishable from a concurrent creation BETWEEN
+        // its two writes, and stealing that claim would let the loser's
+        // cleanup delete the winner's marker — only markers old enough
+        // that any in-flight creation has long finished reclaim here
+        // (the remove_orphan_files age-floor argument).
+        if (!isOrphanedMarker(fs, marker, warehouse, parts,
+          minAgeMs = OrphanReclaimAgeMs)) return false
         fs.delete(marker, false)
         if (!MetadataLog.writeExclusive(marker,
             TableClaimMarker.getBytes(UTF_8))) return false
@@ -218,12 +224,32 @@ private[graft] object ViewLog {
       render(d.copy(version = next)).getBytes(UTF_8))
   }
 
+  /** Prefix every claim-marker check keys on — ONE definition (three
+    * call sites would otherwise hardcode the magic string and drift). */
+  private[sources] val ViewClaimPrefix = """{"kind":"view""""
+
+  private[sources] def isViewClaimContent(s: String): Boolean =
+    s.startsWith(ViewClaimPrefix)
+
+  /** Auto-reclaim floor for orphaned markers: in-flight creations finish
+    * their second write in milliseconds, so minutes of age proves a
+    * crash. DROP VIEW reclaims without the floor (an explicit operator
+    * action). */
+  private val OrphanReclaimAgeMs = 10L * 60 * 1000
+
   /** Is `marker` a view claim with NO definition versions — the residue
-    * of a creation that crashed between its two writes? */
+    * of a creation that crashed between its two writes? `minAgeMs` > 0
+    * additionally demands the marker be old enough that no creation can
+    * still be in flight. */
   private def isOrphanedMarker(fs: org.apache.hadoop.fs.FileSystem,
-      marker: Path, warehouse: String, parts: Seq[String]): Boolean =
-    (try MetadataLog.readFully(marker).startsWith("""{"kind":"view"""")
-      catch { case _: Exception => false }) &&
+      marker: Path, warehouse: String, parts: Seq[String],
+      minAgeMs: Long = 0L): Boolean =
+    (try {
+      val st = fs.getFileStatus(marker)
+      (minAgeMs == 0L ||
+        System.currentTimeMillis() - st.getModificationTime >= minAgeMs) &&
+        isViewClaimContent(MetadataLog.readFully(marker))
+    } catch { case _: Exception => false }) &&
       versions(warehouse, parts).isEmpty
 
   /** Drop every version (the whole definition history). A crashed
@@ -248,8 +274,8 @@ private[graft] object ViewLog {
     // marker and defensiveness is free.
     val marker = new Path(md, "v1.json")
     if (fs.exists(marker) &&
-        (try MetadataLog.readFully(marker)
-          .startsWith("""{"kind":"view"""") catch { case _: Exception => false }))
+        (try isViewClaimContent(MetadataLog.readFully(marker))
+          catch { case _: Exception => false }))
       fs.delete(marker, false)
     // Remove the view dir if nothing else (no table metadata) lives there.
     val tdir = new Path(MetadataLog.tableDir(warehouse, parts))

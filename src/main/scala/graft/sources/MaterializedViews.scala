@@ -314,14 +314,19 @@ private[graft] object MaterializedViews {
     JsonMethods.compact(JsonMethods.render(
       JArray(parts.toList.map(JString(_)))))
 
-  private def baseParts(props: Map[String, String]): Seq[String] =
-    JsonMethods.parse(props(PropBase)) match {
+  private def baseParts(props: Map[String, String]): Seq[String] = {
+    val raw = props(PropBase)
+    // Legacy dot-joined format (pre-JSON MVs keep refreshing; only names
+    // that themselves contain dots needed the array form).
+    if (!raw.startsWith("[")) return raw.split('.').toSeq
+    JsonMethods.parse(raw) match {
       case JArray(vs) => vs.map {
         case JString(p) => p
         case other => sys.error(s"$PropBase part malformed: $other")
       }
       case other => sys.error(s"$PropBase malformed: $other")
     }
+  }
 
   private def currentVersion(k: String): Long = {
     val st = SnapshotStore.stateOf(k)
@@ -434,7 +439,21 @@ private[graft] object MaterializedViews {
       s0.copy(properties =
         s0.properties + (PropPending -> (FullClaim + c0)))
     }
-    spark.sql(s"INSERT OVERWRITE $mvFull ${st.properties(PropSql)}")
+    val selfV0 = currentVersion(mvKey)
+    try spark.sql(s"INSERT OVERWRITE $mvFull ${st.properties(PropSql)}")
+    catch {
+      case e: Throwable =>
+        // A transient overwrite failure that COMMITTED NOTHING releases
+        // the claim (version math proves nothing landed) — otherwise one
+        // hiccup forces a full rebuild of a possibly huge MV before any
+        // incremental refresh can run again.
+        if (currentVersion(mvKey) == selfV0)
+          SnapshotStore.update(mvKey)(s0 =>
+            if (s0.properties.get(PropPending).contains(FullClaim + c0))
+              s0.copy(properties = s0.properties - PropPending)
+            else s0)
+        throw e
+    }
     val c1 = currentVersion(baseKey)
     if (c1 != c0) throw new IllegalStateException(
       s"base table ${base.mkString(".")} advanced (v$c0 -> v$c1) during " +
@@ -442,9 +461,20 @@ private[graft] object MaterializedViews {
         "stays pending, rerun refresh_mv(full => true) to rebuild and " +
         "re-stamp")
     val vAfter = currentVersion(mvKey)
-    SnapshotStore.update(mvKey)(s0 => s0.copy(properties = s0.properties +
-      (PropBaseVersion -> c0.toString) +
-      (PropSelfVersion -> vAfter.toString) - PropPending))
+    SnapshotStore.update(mvKey) { s0 =>
+      // The stamp must still own the claim — a concurrent resume/recover
+      // replacing it mid-rebuild means two writers interleaved, and an
+      // unconditional stamp would bless contents of unknown provenance.
+      if (s0.properties.get(PropPending) != Some(FullClaim + c0))
+        throw new IllegalStateException(
+          s"full-rebuild claim on $shown was replaced mid-rebuild " +
+            s"(now ${s0.properties.get(PropPending)}) — concurrent " +
+            "refreshes interleaved; verify the view against its base and " +
+            "rerun refresh_mv(full => true)")
+      s0.copy(properties = s0.properties +
+        (PropBaseVersion -> c0.toString) +
+        (PropSelfVersion -> vAfter.toString) - PropPending)
+    }
     (b, c0, true)
   }
 

@@ -824,7 +824,7 @@ private[sources] object MetadataLog {
     // A VIEW's table-namespace claim marker (see ViewLog.TableClaimMarker):
     // the identifier is a view, not a table. Only v1 can be the marker —
     // a real table's later commits claim v2+.
-    if (v == 1L && raw.startsWith("""{"kind":"view"""")) return None
+    if (v == 1L && ViewLog.isViewClaimContent(raw)) return None
     val st = parseState(dataDir, v, raw)
     // A restarted JVM's commit clock must stay ahead of every loaded
     // commit, or TIMESTAMP AS OF could see a non-monotonic history.
@@ -851,13 +851,20 @@ private[sources] object MetadataLog {
         // caught by the v2-or-content check: real tables either committed
         // past v1 (no read) or their v1 parses as table state.
         val m = new Path(s.getPath, "metadata")
-        def v1IsTableState: Boolean =
-          fs.exists(new Path(m, "v2.json")) ||
-            (try !readFully(new Path(m, "v1.json"))
-              .startsWith("""{"kind":"view"""")
+        // ONE status probe replaces the bare exists: the claim marker is
+        // a fixed-length constant, so file SIZE decides table-vs-marker
+        // without reading content for every single-commit table (the
+        // prefix read runs only on an exact size collision).
+        def v1Status: Option[org.apache.hadoop.fs.FileStatus] =
+          try Some(fs.getFileStatus(new Path(m, "v1.json")))
+          catch { case _: java.io.FileNotFoundException => None }
+        def v1IsTableState: Boolean = v1Status.exists { st =>
+          st.getLen != ViewLog.TableClaimMarker.length.toLong ||
+            (try !ViewLog.isViewClaimContent(readFully(st.getPath))
             catch { case _: Exception => false })
-        s.isDirectory && fs.exists(new Path(m, "v1.json")) &&
-          !fs.exists(new Path(m, "view-v1.json")) && v1IsTableState
+        }
+        s.isDirectory && !fs.exists(new Path(m, "view-v1.json")) &&
+          v1IsTableState
       }
       .map(_.getPath.getName)
   }

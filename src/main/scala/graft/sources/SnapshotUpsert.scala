@@ -127,9 +127,11 @@ object SnapshotUpsert {
       keyIds: Seq[Int]): Map[Int, SnapshotStore.ColStats] =
     meta.stats.flatMap { case (name, cs) =>
       name.stripPrefix("k").toIntOption.collect {
-        // ndv stripped: delete manifests serialize (min, max, nulls) only,
-        // and a memory-only sketch would desync the restart round-trip.
-        case i if i < keyIds.length => keyIds(i) -> cs.copy(ndv = null)
+        // ndv AND length stats stripped: delete manifests serialize
+        // (min, max, nulls) only, and any memory-only extra would desync
+        // the restart round-trip.
+        case i if i < keyIds.length =>
+          keyIds(i) -> cs.copy(ndv = null, lenSum = -1L, lenMax = -1L)
       }
     }
 

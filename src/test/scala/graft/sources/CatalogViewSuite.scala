@@ -389,9 +389,18 @@ class CatalogViewSuite extends AnyFunSuite {
       .Identifier.of(Array("views"), "orphaned")))
     assert(!MetadataLog.listDiskTables(wh, Seq(cat, "views"))
       .contains("orphaned"))
+    // A YOUNG marker is indistinguishable from a creation in flight
+    // between its two writes: auto-reclaim must refuse it.
+    val tEarly = baseTable("base15")
+    val eYoung = intercept[Exception] {
+      spark.sql(s"CREATE VIEW $cat.views.orphaned AS SELECT s FROM $tEarly")
+    }
+    assert(eYoung.getMessage.nonEmpty)
+    // Age it past the reclaim floor — now it is provably crash residue.
+    fs.setTimes(marker, System.currentTimeMillis() - 11L * 60 * 1000, -1)
     // CREATE VIEW reclaims it in place (no definition ever landed, so
     // nothing can be reading it)...
-    val t = baseTable("base15")
+    val t = tEarly
     spark.sql(s"CREATE VIEW $cat.views.orphaned AS SELECT s FROM $t")
     assert(spark.sql(s"SELECT count(*) FROM $cat.views.orphaned")
       .head().getLong(0) === 100L)

@@ -115,6 +115,37 @@ object MorProbe {
       spark.sql(s"DROP TABLE $morT")
       amplified.unpersist()
     }
+
+    // PHASE 2 — deletion-vector trigger sweep (`SPARK_GRAFT_MOR_TRIGGERS`,
+    // default 20): one MOR table takes K successive scattered DELETE
+    // statements WITHOUT compaction; after each, the carried delete-
+    // structure count and the scan time. Pre-DV, structures grew one per
+    // statement per touched file and the read tax climbed with trigger
+    // count; with merge-on-write vectors the count stays ONE per touched
+    // data file and the read cost stays flat — bounded by deleted ROWS,
+    // not by write cadence.
+    val triggers = sys.env.getOrElse("SPARK_GRAFT_MOR_TRIGGERS", "20").toInt
+    if (triggers > 0) {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.probe")
+      val t = "graft_snap.probe.morp_triggers"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t (k BIGINT, v DOUBLE, pk STRING) " +
+        "PARTITIONED BY (pk) " +
+        "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+      spark.sql(s"INSERT INTO $t SELECT o_orderkey AS k, " +
+        s"o_totalprice AS v, concat('p', o_orderkey % $basePartitions) AS pk " +
+        s"FROM (SELECT * FROM parquet.`$sfDir/orders.parquet`)")
+      println("trigger,del_structs,max_structs_per_file,read_s")
+      (1 to triggers).foreach { i =>
+        spark.sql(s"DELETE FROM $t WHERE k % 1009 = $i")
+        val st = stateOf("morp_triggers")
+        val structs = st.currentDeletes.size
+        val maxPerFile = SnapshotStore.deleteMap(st.currentDeletes)
+          .values.map(_.size).maxOption.getOrElse(0)
+        println(f"$i,$structs,$maxPerFile,${readS(t)}%.3f")
+      }
+      spark.sql(s"DROP TABLE $t")
+    }
     spark.stop()
   }
 }

@@ -85,6 +85,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectParser((_, parser) => new graft.plans.GraftSqlParser(parser))
     ext.injectResolutionRule(session => graft.plans.GraftViewReads(session))
     ext.injectResolutionRule(session => graft.plans.GraftMvValidate(session))
+    // Automatic MV-based query rewrite: a fresh materialized view of the
+    // aggregated base serves the query instead of the base scan. Post-hoc
+    // resolution — the plan is resolved but filters are not yet pushed,
+    // so the WHERE is still visible to match against the stored spec.
+    ext.injectPostHocResolutionRule(session =>
+      graft.sources.GraftMvRewrite(session))
+    // (Global ORDER BY elision over one-partition sorted scans installs
+    // itself into experimental.extraOptimizations from GraftMvRewrite —
+    // every extension optimizer seam runs BEFORE Early Scan Push-Down
+    // attaches the reported ordering it needs.)
     ext.injectPlannerStrategy(_ => graft.plans.GraftViewStrategy)
   }
 }

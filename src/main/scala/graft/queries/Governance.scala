@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.operators.{MergeInto, ZOrder}
@@ -1344,6 +1345,179 @@ object Governance {
       FROM src WHERE o_custkey % 10 <> 7 AND o_custkey % 3 <> 1
       GROUP BY o_orderstatus, pri ORDER BY st, pri"""))
 
+  /** AUTOMATIC MV-BASED QUERY REWRITE (round 16,
+    * [[graft.sources.MvQueryRewrite]]): an aggregate over the BASE table
+    * is transparently served from a FRESH materialized view of it — the
+    * warehouse optimization MVs exist for. The gate builds the r03-style
+    * scenario (MV at commit 1, three more base commits, refresh), then
+    * runs the dashboard query against the BASE table:
+    *
+    *   - in-query pin 1: while the MV is STALE, the base query's plan
+    *     scans the base, never the view (a wrong answer served fast is
+    *     still wrong);
+    *   - in-query pin 2: after refresh_mv, the EXACT body shape plans as
+    *     a scan of the view's files — the base is not read at all;
+    *   - the RETURNED frame is a COARSER aggregate (GROUP BY status
+    *     only) — the subsumption path: the rule re-aggregates the stored
+    *     partials (count(*) → sum(n), sum/count → sums of partials), and
+    *     its plan is pinned in-query to scan the view, not the base.
+    *
+    * Oracle: DuckDB recomputes the coarser aggregate from the raw
+    * parquet — the rewrite chain (fold-refreshed MV + partial re-add)
+    * must be hash-identical to a from-scratch recompute.
+    *
+    * Scale: the rewritten query reads |groups| stored rows instead of
+    * the 100 TB fact table — plan-time matching is metadata-only (one
+    * table listing + property probes). */
+  val r04MvRewrite = Q(
+    "r04_mv_rewrite",
+    (s, dir) => {
+      val t = "graft_snap.gov.orders_r04"
+      val v = "graft_snap.gov.r04_rollup_mv"
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.gov")
+      s.sql(s"DROP MATERIALIZED VIEW IF EXISTS $v")
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"""CREATE TABLE $t (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_orderpriority STRING, price DECIMAL(12,2))""")
+      Tables.orders(s, dir).createOrReplaceTempView("r04_orders_src")
+      s.sql(s"""INSERT INTO $t
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+          CAST(o_totalprice AS DECIMAL(12,2))
+        FROM r04_orders_src WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'""")
+      s.sql(s"""CREATE MATERIALIZED VIEW $v AS
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          sum(price) AS total, count(price) AS np
+        FROM $t WHERE o_custkey % 3 <> 1
+        GROUP BY o_orderstatus, o_orderpriority""")
+      s.sql(s"""INSERT INTO $t
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+          CAST(o_totalprice AS DECIMAL(12,2))
+        FROM r04_orders_src WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'""")
+      s.sql(s"""UPDATE $t SET o_orderpriority = '9-CANCELLED'
+        WHERE o_orderstatus = 'F' AND o_custkey % 7 = 3""")
+      s.sql(s"DELETE FROM $t WHERE o_custkey % 10 = 7")
+      def scansOf(df: DataFrame): Seq[String] =
+        "BatchScan ([^\\[ ]+)".r
+          .findAllMatchIn(df.queryExecution.executedPlan.toString)
+          .map(_.group(1)).toSeq
+      val body = s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        sum(price) AS total, count(price) AS np
+        FROM $t WHERE o_custkey % 3 <> 1
+        GROUP BY o_orderstatus, o_orderpriority"""
+      val stale = scansOf(s.sql(body))
+      require(stale.exists(_.contains("orders_r04")) &&
+        !stale.exists(_.contains("r04_rollup_mv")),
+        s"a STALE materialized view must never serve a base query: $stale")
+      s.sql("CALL graft_snap.system.refresh_mv(table => 'gov.r04_rollup_mv')")
+      val exact = scansOf(s.sql(body))
+      require(exact.exists(_.contains("r04_rollup_mv")) &&
+        !exact.exists(_.contains("orders_r04")),
+        s"the fresh MV must serve the exact body shape, base unread: $exact")
+      // The returned frame: COARSER groups (subsumption — re-aggregated
+      // stored partials), still written as a query over the BASE table.
+      val df = s.sql(s"""SELECT o_orderstatus AS st, count(*) AS n,
+        CAST(sum(price) AS DOUBLE) AS total, count(price) AS np
+        FROM $t WHERE o_custkey % 3 <> 1
+        GROUP BY o_orderstatus ORDER BY st""")
+      val sub = scansOf(df)
+      require(sub.exists(_.contains("r04_rollup_mv")) &&
+        !sub.exists(_.contains("orders_r04")),
+        s"the coarser aggregate must re-aggregate the MV, base unread: $sub")
+      df
+    },
+    Some("""WITH src AS (
+        SELECT o_custkey, o_orderstatus,
+          CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        FROM orders)
+      SELECT o_orderstatus AS st, count(*) AS n,
+        CAST(sum(price) AS DOUBLE) AS total, count(price) AS np
+      FROM src WHERE o_custkey % 10 <> 7 AND o_custkey % 3 <> 1
+      GROUP BY o_orderstatus ORDER BY st"""))
+
+  /** STAR-SCHEMA (join) MATERIALIZED VIEWS (round 16,
+    * [[graft.sources.MaterializedViews]] star bodies): the dashboard
+    * norm — `fact ⋈ dim + GROUP BY dim attribute` — maintained
+    * incrementally when only the FACT advances. Refresh joins the
+    * bounded fact `.changes` to the dimension PINNED `AS OF` its
+    * recorded watermark and folds one MERGE, exactly like r03's
+    * single-table algebra (the join only widens the delta rows).
+    *
+    * The history is adversarial for a JOIN fold: plain inserts, a JOIN-
+    * KEY-moving update (`o_custkey` changes, moving rows across customer
+    * segments — the group lives on the DIM side), then deletes. In-query
+    * pins: a DIMENSION commit makes incremental refresh refuse LOUDLY
+    * naming `full => true` (a moved dim invalidates every stored group —
+    * no bounded delta can repair it), and the demanded rebuild re-arms
+    * incremental folding. Oracle: DuckDB recomputes the join-aggregate
+    * from raw parquet with the same update/delete applied — the folded
+    * view must be hash-identical.
+    *
+    * Scale: each refresh is O(fact changed rows) joined to a broadcast
+    * dimension — the fact is never rescanned; the only O(base) path is
+    * the explicit full rebuild a dim change demands. */
+  val r05StarMv = Q(
+    "r05_star_mv",
+    (s, dir) => {
+      val t = "graft_snap.gov.orders_r05"
+      val d = "graft_snap.gov.cust_r05"
+      val v = "graft_snap.gov.r05_seg_mv"
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.gov")
+      s.sql(s"DROP MATERIALIZED VIEW IF EXISTS $v")
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"DROP TABLE IF EXISTS $d")
+      s.sql(s"CREATE TABLE $t (o_orderkey BIGINT, o_custkey BIGINT, price DECIMAL(12,2))")
+      s.sql(s"CREATE TABLE $d (c_custkey BIGINT, c_mktsegment STRING)")
+      Tables.orders(s, dir).createOrReplaceTempView("r05_orders_src")
+      Tables.customer(s, dir).createOrReplaceTempView("r05_cust_src")
+      s.sql(s"INSERT INTO $d SELECT c_custkey, c_mktsegment FROM r05_cust_src")
+      s.sql(s"""INSERT INTO $t
+        SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2))
+        FROM r05_orders_src WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'""")
+      s.sql(s"""CREATE MATERIALIZED VIEW $v AS
+        SELECT d.c_mktsegment AS seg, count(*) AS n, sum(f.price) AS total,
+          count(f.price) AS np
+        FROM $t f JOIN $d d ON f.o_custkey = d.c_custkey
+        GROUP BY d.c_mktsegment""")
+      // Fact-only commits: inserts, a JOIN-KEY-moving update, deletes.
+      s.sql(s"""INSERT INTO $t
+        SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2))
+        FROM r05_orders_src WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'""")
+      s.sql(s"UPDATE $t SET o_custkey = o_custkey % 50 WHERE o_custkey % 7 = 3")
+      s.sql(s"DELETE FROM $t WHERE o_custkey % 10 = 7")
+      val r = s.sql(
+        "CALL graft_snap.system.refresh_mv(table => 'gov.r05_seg_mv')").head()
+      require(r.getLong(0) == 1L && r.getLong(1) == 4L && r.getBoolean(2),
+        s"star refresh must fold fact commits 2..4, got $r")
+      // A DIM commit (a customer no fact row references): incremental
+      // folding must refuse loudly and demand the rebuild.
+      s.sql(s"INSERT INTO $d VALUES (99999999, 'ZZ-NEW')")
+      s.sql(s"INSERT INTO $t VALUES (900000001, 1, 10.00)")
+      val msg =
+        try {
+          s.sql("CALL graft_snap.system.refresh_mv(table => 'gov.r05_seg_mv')")
+            .collect(); ""
+        } catch { case e: Exception => e.getMessage }
+      require(msg.contains("dimension") && msg.contains("full => true"),
+        s"a moved dimension must refuse incremental refresh loudly, got: $msg")
+      s.sql("CALL graft_snap.system.refresh_mv(table => 'gov.r05_seg_mv', " +
+        "full => true)").collect()
+      s.sql(s"""SELECT seg, n, CAST(total AS DOUBLE) AS total, np
+        FROM $v ORDER BY seg""")
+    },
+    Some("""WITH f0 AS (
+        SELECT CASE WHEN o_custkey % 7 = 3 THEN o_custkey % 50
+                    ELSE o_custkey END AS ck,
+          CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        FROM orders),
+      f AS (
+        SELECT * FROM f0 WHERE ck % 10 <> 7
+        UNION ALL SELECT 1 AS ck, CAST(10.00 AS DECIMAL(12,2)) AS price)
+      SELECT c.c_mktsegment AS seg, count(*) AS n,
+        CAST(sum(f.price) AS DOUBLE) AS total, count(f.price) AS np
+      FROM f JOIN customer c ON f.ck = c.c_custkey
+      GROUP BY c.c_mktsegment ORDER BY seg"""))
+
   val all: Seq[Q] = Seq(
     m01MergeUpsert, m02Scd2History, m03IncrementalRefresh, m04SnapshotDiff,
     m05SqlMerge, m06SqlUpdateDelete, m07TimeTravel, m08ChangeFeed,
@@ -1351,5 +1525,6 @@ object Governance {
     m12MetadataHistory, m13MergeOnRead, m14DppStar, m15ChangesRelation,
     m16WapPublish, m17ChangesMaint, m18EqualityUpsert, m19UpsertChanges,
     m20HiddenPartitioning, m21CatalogDimStar, r02ViewQuery,
-    r03MaterializedView, a01QualityAudit, z01ZorderLayout)
+    r03MaterializedView, r04MvRewrite, r05StarMv, a01QualityAudit,
+    z01ZorderLayout)
 }

@@ -1,9 +1,10 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, ExprId, Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions._
@@ -29,9 +30,10 @@ import org.json4s.jackson.JsonMethods
   *   - `DROP MATERIALIZED VIEW` drops the backing table.
   *
   * MAINTAINABILITY CONTRACT (checked loudly at CREATE): the body is one
-  * `SELECT <group exprs + aggregates> FROM <this-catalog table> [WHERE
-  * deterministic-predicate] GROUP BY <exprs>` where every GROUP BY
-  * expression is selected (the stored view must hold the whole key), the
+  * `SELECT <group exprs + aggregates> FROM <this-catalog table>
+  * [INNER JOIN <dim tables> ON …] [WHERE deterministic-predicate] GROUP
+  * BY <exprs>` where every GROUP BY expression is selected (the stored
+  * view must hold the whole key), the
   * aggregates are `count(*)` / `count(col)` / `sum(col)` (the
   * distributive set a signed change feed maintains EXACTLY — see
   * [[graft.operators.IncrementalMaintenance]] for the algebra), one
@@ -65,11 +67,26 @@ import org.json4s.jackson.JsonMethods
   * idempotent) or clears the claim and re-runs. Concurrent refreshes of
   * one MV are excluded by the atomic claim.
   *
+  * STAR BODIES (fact ⋈ dims): the LEFT-MOST table is the FACT — the one
+  * whose `.changes` refresh folds; every other INNER-joined table is a
+  * DIMENSION, recorded with its own snapshot watermark. Refresh joins
+  * the bounded fact changes to the dimensions PINNED `AS OF` those
+  * watermarks (a dim commit landing mid-refresh cannot corrupt the
+  * fold), so the fold is exact whenever only the fact advanced. A
+  * dimension that ADVANCED makes the stored rows irreparable by any
+  * bounded delta (every group may reference moved dim rows) — refresh
+  * refuses LOUDLY and names `refresh_mv(table, full => true)`. Star
+  * expressions are canonicalized under the refresh aliases `f`/`d0`/…
+  * (fact and dims routinely share column names). Outer joins, cross
+  * joins, and pinned (`AS OF`) body relations are rejected at CREATE
+  * with the reason.
+  *
   * Scale: refresh work is O(changed rows) aggregation (shuffled once on
   * the group key) + one key-equi MERGE join of |view| + |changed groups|
   * — the 100 TB fact table is touched only through its change feed's
-  * pruned file diffs. Reads are plain catalog scans of a table that is
-  * |groups| rows.
+  * pruned file diffs; a star's dimension joins broadcast dimension-sized
+  * sides against those bounded changes. Reads are plain catalog scans of
+  * a table that is |groups| rows.
   */
 private[graft] object MaterializedViews {
 
@@ -96,22 +113,45 @@ private[graft] object MaterializedViews {
   /** Claim prefix marking a full rebuild (see [[refreshFull]]). */
   val FullClaim = "full:"
 
+  /** STAR-schema MV properties: the dimension tables + join conditions
+    * (`{"bases": [[parts…]…], "conds": [sql…]}`) and the dimension
+    * snapshot versions the stored contents reflect (JSON long array,
+    * parallel to `bases`). Present only on join bodies. */
+  val PropDims = "mv.dims"
+  val PropDimVersions = "mv.dim-versions"
+
+  /** Refresh-time aliases the stored star expressions are qualified by:
+    * the fact's change feed is `f`, dimensions are `d0`, `d1`, … in body
+    * join order. */
+  val FactAlias = "f"
+  def dimAlias(i: Int): String = s"d$i"
+
   /** One output column of the MV. `kind`: `group` | `count_star` |
-    * `count` | `sum`. `expr` is the defining expression's SQL with
-    * qualifiers stripped (re-parsed against the `.changes` frame at every
-    * refresh — a dropped base column fails loudly, never serves stale
-    * deltas). `nn` (sums over nullable inputs only) names the sibling
-    * `count(<expr>)` output that witnesses the all-null-group case. */
+    * `count` | `sum`. `expr` is the defining expression's canonical SQL —
+    * qualifier-stripped for single-table bodies, qualified by the
+    * refresh aliases (`f`/`d0`/…) for star bodies — re-parsed against
+    * the changes frame at every refresh (a dropped base column fails
+    * loudly, never serves stale deltas). `nn` (sums over nullable inputs
+    * only) names the sibling `count(<expr>)` output that witnesses the
+    * all-null-group case. */
   final case class MvCol(out: String, kind: String, expr: String,
       nn: Option[String] = None)
 
+  /** `base` is the FACT — the table whose `.changes` refresh folds. A
+    * STAR body additionally carries `dims` (the other joined tables, in
+    * join order) and `joinConds` (every ON condition, conjoined at
+    * refresh); expressions of a star spec are canonicalized with the
+    * refresh-time aliases `f`/`d0`/`d1`/… as qualifiers (fact and dims
+    * routinely share column names — a qualifier-stripped form would be
+    * ambiguous or silently wrong). */
   final case class Spec(base: Seq[String], where: Option[String],
-      cols: Seq[MvCol])
+      cols: Seq[MvCol], dims: Seq[Seq[String]] = Nil,
+      joinConds: Seq[String] = Nil)
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"CREATE MATERIALIZED VIEW: $msg")
 
-  private def unq(e: Expression): String =
+  private[sources] def unq(e: Expression): String =
     e.transform {
       case a: AttributeReference => a.withQualifier(Nil)
     }.sql
@@ -152,7 +192,8 @@ private[graft] object MaterializedViews {
     }
     val shapeMsg = "a materialized view body must be SELECT <group " +
       "expressions and count(*)/count(col)/sum(col) aggregates> FROM " +
-      "<one table of the same snapshot catalog> [WHERE <deterministic " +
+      "<one table of the same snapshot catalog, optionally INNER-joined " +
+      "to dimension tables of that catalog> [WHERE <deterministic " +
       "predicate>] GROUP BY <expressions> — for anything richer, CREATE " +
       "VIEW (recomputed per query) over one or more MVs"
     strip(body) match {
@@ -161,20 +202,70 @@ private[graft] object MaterializedViews {
           case Filter(cond, c) => (Some(cond), strip(c))
           case other => (None, other)
         }
-        val r = rel match {
-          case d: DataSourceV2Relation => d
+        // FROM: one relation, or a tree of INNER joins (a STAR body). The
+        // LEFT-MOST table is the FACT — the one whose `.changes` refresh
+        // folds; every other leaf is a DIMENSION, held FIXED between
+        // refreshes (a dim that advanced forces a loud full rebuild).
+        def flatten(p: LogicalPlan):
+            (Seq[DataSourceV2Relation], Seq[Expression]) = strip(p) match {
+          case j: Join =>
+            if (j.joinType != Inner) fail(
+              s"${j.joinType.sql} JOIN in the body: only INNER joins are " +
+                "incrementally maintainable (an outer side's NULL-padded " +
+                "rows depend on the whole other side, not on a row delta)")
+            val cond = j.condition.getOrElse(fail(
+              "JOIN without an ON condition: a cross join's delta is the " +
+                "whole other table — join on keys, or CREATE VIEW instead"))
+            val (lr, lc) = flatten(j.left)
+            val (rr, rc) = flatten(j.right)
+            (lr ++ rr, (lc ++ rc) :+ cond)
+          case d: DataSourceV2Relation => (Seq(d), Nil)
           case other => fail(s"$shapeMsg (the FROM resolved to " +
             s"${other.nodeName}, not a single catalog table)")
         }
-        r.catalog match {
-          case Some(c: SnapshotCatalog) if c.name() == catalogName => ()
-          case _ => fail("the base table must live in the SAME snapshot " +
-            s"catalog as the materialized view ($catalogName) — its " +
-            "change feed is what refresh folds")
+        val (rels, joinCondExprs) = flatten(rel)
+        val idents = rels.map { r =>
+          r.catalog match {
+            case Some(c: SnapshotCatalog) if c.name() == catalogName => ()
+            case _ => fail("every table in the body must live in the SAME " +
+              s"snapshot catalog as the materialized view ($catalogName) — " +
+              "the fact's change feed is what refresh folds, joined to " +
+              "the catalog's dimension snapshots")
+          }
+          r.table match {
+            case m: MemTable if m.isLiveHead => ()
+            case _ => fail("the body must read LIVE table heads — a " +
+              "VERSION/TIMESTAMP AS OF or branch read is pinned to " +
+              "history, so the recorded watermark could never describe " +
+              "what was materialized and every refresh would be wrong")
+          }
+          val id = r.identifier.getOrElse(fail(
+            "internal: a base relation carries no identifier"))
+          id.namespace().toSeq :+ id.name()
         }
-        val baseIdent = r.identifier.getOrElse(fail(
-          "internal: the base relation carries no identifier"))
-        val base = baseIdent.namespace().toSeq :+ baseIdent.name()
+        val base = idents.head
+        val dims = idents.tail
+        // Canonical SQL for stored expressions: single-table bodies strip
+        // qualifiers (the legacy form round-15 specs are stored in); star
+        // bodies RE-QUALIFY every attribute with its refresh-time alias
+        // (`f`, `d0`, `d1`, …) — fact and dims routinely share column
+        // names, so a stripped form would be ambiguous or silently wrong.
+        val canon: Expression => String =
+          if (dims.isEmpty) unq
+          else {
+            val owner: Map[ExprId, String] = rels.zipWithIndex.flatMap {
+              case (r, i) =>
+                val a = if (i == 0) FactAlias else dimAlias(i - 1)
+                r.output.map(_.exprId -> a)
+            }.toMap
+            e => e.transform {
+              case a: AttributeReference =>
+                a.withQualifier(Seq(owner.getOrElse(a.exprId, fail(
+                  s"internal: column ${a.name} resolves to none of the " +
+                    "joined tables"))))
+            }.sql
+          }
+        joinCondExprs.foreach(requireRefreshStable(_, "the JOIN condition"))
         whereOpt.foreach(requireRefreshStable(_, "the WHERE predicate"))
         if (groupExprs.isEmpty) fail(
           "global aggregates (no GROUP BY) are not supported as " +
@@ -204,7 +295,7 @@ private[graft] object MaterializedViews {
                       s"count(NULL) in $name counts nothing — drop it")
                     case e =>
                       requireRefreshStable(e, "count argument")
-                      MvCol(name, "count", unq(e))
+                      MvCol(name, "count", canon(e))
                   }
                 case s: Sum =>
                   val e = s.child
@@ -218,7 +309,7 @@ private[graft] object MaterializedViews {
                         "not stay exact under incremental folds — CAST " +
                         "the measure to DECIMAL in the body")
                   }
-                  MvCol(name, "sum", unq(e))
+                  MvCol(name, "sum", canon(e))
                 case other => fail(
                   s"aggregate ${other.prettyName} in $name is not " +
                     "incrementally maintainable from a change feed " +
@@ -230,7 +321,7 @@ private[graft] object MaterializedViews {
               if (!groupExprs.exists(_.semanticEquals(e))) fail(
                 s"output column $name is neither a GROUP BY expression " +
                   "nor a supported aggregate")
-              MvCol(name, "group", unq(e))
+              MvCol(name, "group", canon(e))
           }
         }
 
@@ -282,7 +373,7 @@ private[graft] object MaterializedViews {
             case None => c
           }
         }
-        Spec(base, whereOpt.map(unq), withNn)
+        Spec(base, whereOpt.map(canon), withNn, dims, joinCondExprs.map(canon))
       case other => fail(s"$shapeMsg (got ${other.nodeName})")
     }
   }
@@ -295,7 +386,7 @@ private[graft] object MaterializedViews {
         "expr" -> JString(c.expr)) ++
         c.nn.map(n => "nn" -> (JString(n): JValue)).toList)))))
 
-  private def colsFromJson(s: String): Seq[MvCol] =
+  private[sources] def colsFromJson(s: String): Seq[MvCol] =
     JsonMethods.parse(s) match {
       case JArray(vs) => vs.map { v =>
         def str(n: String): String = (v \ n) match {
@@ -314,7 +405,7 @@ private[graft] object MaterializedViews {
     JsonMethods.compact(JsonMethods.render(
       JArray(parts.toList.map(JString(_)))))
 
-  private def baseParts(props: Map[String, String]): Seq[String] = {
+  private[sources] def baseParts(props: Map[String, String]): Seq[String] = {
     val raw = props(PropBase)
     // Legacy dot-joined format (pre-JSON MVs keep refreshing; only names
     // that themselves contain dots needed the array form).
@@ -327,6 +418,50 @@ private[graft] object MaterializedViews {
       case other => sys.error(s"$PropBase malformed: $other")
     }
   }
+
+  // Star-schema spec (de)serialization ---------------------------------------
+
+  private def dimsToJson(dims: Seq[Seq[String]], conds: Seq[String]): String =
+    JsonMethods.compact(JsonMethods.render(JObject(List(
+      "bases" -> JArray(dims.toList.map(d =>
+        JArray(d.toList.map(JString(_))))),
+      "conds" -> JArray(conds.toList.map(JString(_)))))))
+
+  /** (dimension ident parts, join condition SQLs); ([], []) for a
+    * single-table MV. */
+  private[sources] def dimsOf(props: Map[String, String]):
+      (Seq[Seq[String]], Seq[String]) =
+    props.get(PropDims).fold((Seq.empty[Seq[String]], Seq.empty[String])) { raw =>
+      val v = JsonMethods.parse(raw)
+      def strs(j: JValue): Seq[String] = j match {
+        case JArray(xs) => xs.map {
+          case JString(s) => s
+          case other => sys.error(s"$PropDims malformed: $other")
+        }
+        case other => sys.error(s"$PropDims malformed: $other")
+      }
+      val bases = (v \ "bases") match {
+        case JArray(bs) => bs.map(strs)
+        case other => sys.error(s"$PropDims bases malformed: $other")
+      }
+      (bases, strs(v \ "conds"))
+    }
+
+  private def dimVersionsToJson(vs: Seq[Long]): String =
+    JsonMethods.compact(JsonMethods.render(
+      JArray(vs.toList.map(v => JLong(v): JValue))))
+
+  private[sources] def dimVersionsOf(props: Map[String, String]): Seq[Long] =
+    props.get(PropDimVersions).fold(Seq.empty[Long]) { raw =>
+      JsonMethods.parse(raw) match {
+        case JArray(vs) => vs.map {
+          case JLong(v) => v
+          case JInt(v) => v.toLong
+          case other => sys.error(s"$PropDimVersions malformed: $other")
+        }
+        case other => sys.error(s"$PropDimVersions malformed: $other")
+      }
+    }
 
   private def currentVersion(k: String): Long = {
     val st = SnapshotStore.stateOf(k)
@@ -369,9 +504,13 @@ private[graft] object MaterializedViews {
       PropSql -> bodySql,
       PropBase -> basePartsToJson(spec.base),
       PropCols -> colsToJson(spec.cols)) ++
-      spec.where.map(PropWhere -> _)
+      spec.where.map(PropWhere -> _) ++
+      (if (spec.dims.isEmpty) Map.empty[String, String]
+       else Map(PropDims -> dimsToJson(spec.dims, spec.joinConds)))
     val jProps = new java.util.HashMap[String, String]()
     props.foreach { case (k, v) => jProps.put(k, v) }
+    val dimKeys = spec.dims.map(SnapshotStore.keyOf(cat.name(), _))
+    val dv0 = dimKeys.map(currentVersion)
     val c0 = currentVersion(baseKey)
     cat.createTable(ident, bodySchema, partitioning, jProps)
     try {
@@ -381,9 +520,16 @@ private[graft] object MaterializedViews {
         s"base table ${spec.base.mkString(".")} advanced (v$c0 -> v$c1) " +
           "while CREATE MATERIALIZED VIEW materialized the body — the " +
           "watermark would be ambiguous; retry the CREATE")
+      val dv1 = dimKeys.map(currentVersion)
+      if (dv1 != dv0) throw new IllegalStateException(
+        s"a dimension table of ${spec.base.mkString(".")}'s star advanced " +
+          "while CREATE MATERIALIZED VIEW materialized the body — the " +
+          "dimension watermark would be ambiguous; retry the CREATE")
       val selfV = currentVersion(mvKey)
       SnapshotStore.update(mvKey)(st => st.copy(properties = st.properties +
-        (PropBaseVersion -> c0.toString) + (PropSelfVersion -> selfV.toString)))
+        (PropBaseVersion -> c0.toString) + (PropSelfVersion -> selfV.toString) ++
+        (if (spec.dims.isEmpty) Map.empty[String, String]
+         else Map(PropDimVersions -> dimVersionsToJson(dv0)))))
     } catch {
       case e: Throwable =>
         // Never leave a half-created MV behind: refresh would reject it
@@ -410,7 +556,17 @@ private[graft] object MaterializedViews {
     * marked `full:<c>` so incremental recovery can NEVER "finalize" it
     * with version math (the safe resolution of a crashed rebuild is to
     * rebuild — OVERWRITE is idempotent), and refreshFull itself resumes
-    * over any leftover full claim. */
+    * over any leftover full claim.
+    *
+    * KNOWN CAVEAT (round-15 verdict): the watermark is validated by
+    * re-reading the base AFTER the overwrite, so a base advancing
+    * mid-rebuild forces a re-run — on a base committing faster than the
+    * rebuild completes, full rebuilds can retry indefinitely (the
+    * incremental path is unaffected). The fix would rebuild `AS OF` a
+    * version read once up front; that needs AS-OF injection into the
+    * stored body text (star bodies: one per relation), deferred until a
+    * real workload hits the window. Pause the base's writers around a
+    * full rebuild if you must guarantee completion. */
   def refreshFull(spark: SparkSession, catalogName: String,
       identParts: Seq[String]): (Long, Long, Boolean) = {
     val mvKey = SnapshotStore.keyOf(catalogName, identParts)
@@ -439,6 +595,9 @@ private[graft] object MaterializedViews {
       s0.copy(properties =
         s0.properties + (PropPending -> (FullClaim + c0)))
     }
+    val (dimsL, _) = dimsOf(st.properties)
+    val dimKeys = dimsL.map(SnapshotStore.keyOf(catalogName, _))
+    val dv0 = dimKeys.map(currentVersion)
     val selfV0 = currentVersion(mvKey)
     try spark.sql(s"INSERT OVERWRITE $mvFull ${st.properties(PropSql)}")
     catch {
@@ -460,6 +619,10 @@ private[graft] object MaterializedViews {
         "the full refresh — the watermark would be ambiguous; the claim " +
         "stays pending, rerun refresh_mv(full => true) to rebuild and " +
         "re-stamp")
+    if (dimKeys.map(currentVersion) != dv0) throw new IllegalStateException(
+      s"a dimension table of $shown's star advanced during the full " +
+        "refresh — the dimension watermark would be ambiguous; the claim " +
+        "stays pending, rerun refresh_mv(full => true)")
     val vAfter = currentVersion(mvKey)
     SnapshotStore.update(mvKey) { s0 =>
       // The stamp must still own the claim — a concurrent resume/recover
@@ -473,7 +636,9 @@ private[graft] object MaterializedViews {
             "rerun refresh_mv(full => true)")
       s0.copy(properties = s0.properties +
         (PropBaseVersion -> c0.toString) +
-        (PropSelfVersion -> vAfter.toString) - PropPending)
+        (PropSelfVersion -> vAfter.toString) ++
+        (if (dimsL.isEmpty) Map.empty[String, String]
+         else Map(PropDimVersions -> dimVersionsToJson(dv0))) - PropPending)
     }
     (b, c0, true)
   }
@@ -527,6 +692,21 @@ private[graft] object MaterializedViews {
     val cols = colsFromJson(props(PropCols))
     val base = baseParts(props)
     val baseKey = SnapshotStore.keyOf(catalogName, base)
+    // STAR gate: incremental folding joins the fact's changes to the
+    // dimensions AS OF the recorded dimension watermark — a dimension
+    // that ADVANCED means the stored rows no longer describe what a
+    // recompute would produce, and no bounded delta can repair them
+    // (every stored group may reference the moved dimension rows). The
+    // honest resolution is a rebuild, demanded loudly.
+    val (dimsL, joinConds) = dimsOf(props)
+    val dimVs = dimVersionsOf(props)
+    dimsL.zip(dimVs).foreach { case (d, vr) =>
+      val cur = currentVersion(SnapshotStore.keyOf(catalogName, d))
+      if (cur != vr) throw new IllegalStateException(
+        s"dimension ${d.mkString(".")} advanced (v$vr -> v$cur) since " +
+          s"$shown's last refresh — incremental folding holds dimensions " +
+          "FIXED; rebuild with CALL refresh_mv(table, full => true)")
+    }
     val b = props(PropBaseVersion).toLong
     val c = currentVersion(baseKey)
     if (c == b) return (b, c, false)
@@ -547,35 +727,52 @@ private[graft] object MaterializedViews {
 
     val mvFull = (catalogName +: identParts).map(bq).mkString(".")
     val baseFull = (catalogName +: base).map(bq).mkString(".")
-    val changes = spark.read
-      .option("startingVersion", (b + 1).toString)
-      .option("endingVersion", c.toString)
-      .table(s"$baseFull.changes")
-    val deltas = deltaFrame(changes, cols,
-      props.get(PropWhere), st.schema)
-    val src = "graft_mv_deltas_" + (catalogName +: identParts)
-      .mkString("_").replaceAll("[^A-Za-z0-9_]", "_")
-    deltas.createOrReplaceTempView(src)
-    try spark.sql(mergeSql(mvFull, src, cols, st.schema))
-    catch {
+    try {
+      val changes = spark.read
+        .option("startingVersion", (b + 1).toString)
+        .option("endingVersion", c.toString)
+        .table(s"$baseFull.changes")
+        .alias(FactAlias)
+      // STAR: join the bounded changes to each dimension PINNED at its
+      // recorded watermark (immune to a dim commit landing mid-refresh),
+      // under the refresh-time aliases the stored expressions carry. The
+      // joins enter as cross+filter; Catalyst re-plans them as the equi
+      // joins the conditions describe and broadcasts dimension-sized
+      // sides — the work stays O(changed rows).
+      val joined = dimsL.zip(dimVs).zipWithIndex.foldLeft(changes) {
+        case (acc, ((d, vr), i)) =>
+          val dimFull = (catalogName +: d).map(bq).mkString(".")
+          acc.crossJoin(
+            spark.sql(s"SELECT * FROM $dimFull VERSION AS OF $vr")
+              .alias(dimAlias(i)))
+      }
+      val withConds = joinConds.foldLeft(joined)((df, cs) => df.filter(expr(cs)))
+      val deltas = deltaFrame(withConds, cols,
+        props.get(PropWhere), st.schema)
+      val src = "graft_mv_deltas_" + (catalogName +: identParts)
+        .mkString("_").replaceAll("[^A-Za-z0-9_]", "_")
+      deltas.createOrReplaceTempView(src)
+      try spark.sql(mergeSql(mvFull, src, cols, st.schema))
+      finally spark.catalog.dropTempView(src)
+    } catch {
       case e: Exception if {
         val msgs = Iterator.iterate(e: Throwable)(_.getCause)
           .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
         msgs.exists(m => m.contains("not a live snapshot") ||
-          m.contains("were expired"))
+          m.contains("were expired") ||
+          m.contains("expired or future"))
       } =>
-        // The base's history was EXPIRED past the watermark: the bounded
-        // changes range is unknowable forever. Release the claim (the
-        // MERGE never landed) and point at the rebuild path.
+        // History the fold needs was EXPIRED: the bounded changes range,
+        // or a pinned dimension snapshot. Unknowable forever — release
+        // the claim (the MERGE never landed) and point at the rebuild.
         SnapshotStore.update(mvKey)(s0 =>
           s0.copy(properties = s0.properties - PropPending))
         throw new IllegalStateException(
-          s"history of ${base.mkString(".")} was expired past $shown's " +
-            s"watermark v$b — the changes range (v${b + 1}..v$c) no " +
-            "longer exists, so incremental folding is unknowable; " +
+          s"history needed by $shown's incremental fold was expired " +
+            s"(the ${base.mkString(".")} changes range v${b + 1}..v$c, " +
+            "or a dimension snapshot at its recorded watermark); " +
             "rebuild with CALL refresh_mv(table, full => true)", e)
     }
-    finally spark.catalog.dropTempView(src)
 
     val vAfter = currentVersion(mvKey)
     SnapshotStore.update(mvKey) { s0 =>
@@ -599,7 +796,10 @@ private[graft] object MaterializedViews {
   private def deltaFrame(changes: DataFrame, cols: Seq[MvCol],
       where: Option[String], mvSchema: StructType): DataFrame = {
     val filtered = where.fold(changes)(w => changes.filter(expr(w)))
-    val ct = col("_change_type")
+    // Qualified: the frame is the fact's change feed aliased [[FactAlias]]
+    // (star bodies join dimensions in — an unqualified name could collide
+    // with a dimension column of the same name).
+    val ct = col(s"$FactAlias._change_type")
     val signedN = when(ct === "INSERT", lit(1L))
       .when(ct === "DELETE", lit(-1L))
       .otherwise(raise_error(concat(

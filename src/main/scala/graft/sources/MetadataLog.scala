@@ -244,7 +244,9 @@ private[sources] object MetadataLog {
       JLong(f.seq),
       JArray(f.writeCols.toList.map { case (id, n) =>
         JArray(List(JLong(id.toLong), JString(n))) }),
-      JLong(f.specId.toLong)))
+      JLong(f.specId.toLong),
+      // Normalized write-time sort order ("" = unsorted/unknown).
+      JString(f.sortKey)))
   }
 
   /** Parse one manifest file entry — shared by the driver-side state load
@@ -294,12 +296,13 @@ private[sources] object MetadataLog {
       }.toVector
       else Vector.empty[(Int, String)]
     val specId = if (es.length > 8) jInt(es(8)) else 0
+    val sortKey = if (es.length > 9) jStr(es(9)) else ""
     val pvT = specTypes.getOrElse(specId,
       throw new IllegalStateException(
         s"manifest entry carries unknown partition spec id $specId"))
     DataFile(abs(dataDir, jStr(es.head)), jArr(es(2)).zip(pvT)
       .map { case (v, t) => pvFromJson(t, v) }.toVector, jLong(es(1)), stats,
-      sizeBytes, splits, seq, writeCols, specId)
+      sizeBytes, splits, seq, writeCols, specId, sortKey)
   }
 
   private def writeManifest(dataDir: String, sn: Snapshot,
@@ -325,7 +328,9 @@ private[sources] object MetadataLog {
             pvToJson(dt, TypeWidening.coerce(dt, cs.min)),
             pvToJson(dt, TypeWidening.coerce(dt, cs.max)),
             JLong(cs.nulls))): JValue)
-      })))))
+      }),
+      // Deletion-vector supersede lineage (kind = "dv" only).
+      JArray(d.supersedes.toList.map(p => JString(rel(dataDir, p))))))))
     def entry(f: DataFile) = fileEntryJson(dataDir, specTypes, ctx, f)
     val written = Seq.newBuilder[Path]
     val json =
@@ -545,7 +550,10 @@ private[sources] object MetadataLog {
                 pvFromJson(dt, vs.head), pvFromJson(dt, vs(1)), jLong(vs(2)))
             }
           }.toMap
-          else Map.empty)
+          else Map.empty,
+        supersedes =
+          if (es.length > 7) jArr(es(7)).map(p => abs(dataDir, jStr(p))).toVector
+          else Vector.empty)
     }.toVector
 
   // -- table metadata ----------------------------------------------------------

@@ -1241,7 +1241,14 @@ private[graft] object SnapshotStore {
         * per-file spec id): `partitionValues` are shaped/typed by that
         * spec, and pruning consults it — never the current spec — for
         * this file. 0 = the original spec. */
-      specId: Int = 0)
+      specId: Int = 0,
+      /** The normalized `write.sort-order` this file's rows were SORTED
+        * under at write ([[SortOrders.normalize]]) — stamped by writes
+        * that enforced an ordering (sorted appends, compaction). "" =
+        * unsorted/unknown. When EVERY scanned file carries the table's
+        * CURRENT order, the scan reports it (`SupportsReportOrdering`)
+        * and Spark elides Sort nodes over the sort key. */
+      sortKey: String = "")
 
   /** A partition-value tuple normalized for CONTENT equality: Array[Byte]
     * values (identity transform over a binary column) compare by
@@ -1367,12 +1374,19 @@ private[graft] object SnapshotStore {
   }
 
   /** One immutable DELETE file — Iceberg format-v2's two merge-on-read
-    * flavors:
+    * flavors plus v3's deletion vector:
     *
     *   - `kind = "pos"` (POSITION delete): `entryCount` sorted row
     *     positions at `path` (see [[RowFiles.writeDeletes]]) deleted from
     *     the data file at `dataPath`. Keyed to ONE data file so a scan
     *     task loads exactly the entries that apply to its file.
+    *   - `kind = "dv"` (DELETION VECTOR, Iceberg v3's shape — see
+    *     [[DeletionVectors]]): ALL dead positions of `dataPath` as one
+    *     roaring-style bitmap, REWRITTEN ON MERGE at each delta commit so
+    *     a data file carries at most ONE delete structure regardless of
+    *     how many statements deleted from it. `supersedes` lists the
+    *     predecessor structures this vector folded — the change feed's
+    *     witness that their positions are re-encoded, not new deaths.
     *   - `kind = "eq"` (EQUALITY delete): `entryCount` key tuples at
     *     `path` (a regular data file whose columns are the key columns,
     *     canonically named `k0..kn`); `equalityCols` holds the key
@@ -1392,7 +1406,10 @@ private[graft] object SnapshotStore {
         * SKIP probing data files whose key ranges are disjoint from the
         * delete's (Iceberg records delete-file bounds for the same
         * pruning). Empty = legacy descriptor, probe everything. */
-      stats: Map[Int, ColStats] = Map.empty)
+      stats: Map[Int, ColStats] = Map.empty,
+      /** `kind = "dv"` only: the delete-structure paths this vector
+        * folded (one supersede generation — its direct predecessors). */
+      supersedes: Vector[String] = Vector.empty)
 
   /** `appendedFiles` >= 0 marks an APPEND commit whose LAST `appendedFiles`
     * entries of `files` are the newly added ones (the streaming source's
@@ -1756,12 +1773,13 @@ private[graft] object SnapshotStore {
     }
   }
 
-  /** POSITION-delete files grouped by the data file they apply to — the
-    * shape a scan needs (each file's task loads exactly its own delete
-    * entries). Equality deletes are file-spanning and ride separately
-    * (see [[eqDeletes]]). */
+  /** POSITION-delete structures (per-commit `pos` files and folded `dv`
+    * vectors) grouped by the data file they apply to — the shape a scan
+    * needs (each file's task loads exactly its own delete entries; after
+    * a merge-on-write fold that is ONE vector). Equality deletes are
+    * file-spanning and ride separately (see [[eqDeletes]]). */
   def deleteMap(dels: Vector[DeleteFile]): Map[String, Vector[String]] =
-    dels.filter(_.kind == "pos").groupBy(_.dataPath)
+    dels.filter(d => d.kind == "pos" || d.kind == "dv").groupBy(_.dataPath)
       .map { case (dp, ds) => dp -> ds.map(_.path) }
 
   /** The equality-delete files of a delete list (scan-planning companion
@@ -1894,31 +1912,62 @@ private[graft] object SnapshotStore {
 
   /** Merge-on-read DELTA commit (Iceberg v2's row-level mode): the new
     * snapshot carries every existing data file UNCHANGED plus the delta's
-    * appended data files (MERGE/UPDATE inserts) and position-delete files.
+    * appended data files (MERGE/UPDATE inserts) and delete structures.
     * Marked a rewrite for the append-only streaming source (a row removal
     * is not representable as appends). Same optimistic base validation as
-    * the copy-on-write path. */
+    * the copy-on-write path.
+    *
+    * DELETION-VECTOR fold ([[DeletionVectors.mergeOnWrite]]): the task-
+    * written per-statement position files are merged with each targeted
+    * data file's existing structures into ONE `dv` entry BEFORE the
+    * metadata commit — the fold reads a snapshot of the state, and the
+    * commit validates that snapshot is still current (the same
+    * optimistic check the row-level rewrite already demands), so a
+    * concurrent writer can never make a vector lie. The folded task
+    * files are physically deleted after the commit (no snapshot ever
+    * referenced them). */
   def commitDelta(k: String, newFiles: Vector[DataFile],
       newDeletes: Vector[DeleteFile], expectedBase: Option[Long]): Unit = {
-    update(k) { st =>
-      val live = if (st.snapshots.isEmpty) 0L else st.snapshots.last.version
-      expectedBase.filter(_ != live).foreach { base =>
-        throw new IllegalStateException(
-          s"concurrent commit on ${dotted(k)}: the row-level rewrite read " +
-            s"v$base but the table is now at v$live — rerun the statement")
-      }
-      val known = (st.currentFiles.map(_.path) ++ newFiles.map(_.path)).toSet
-      newDeletes.find(d => d.kind == "pos" && !known(d.dataPath)).foreach(d =>
-        throw new IllegalStateException(
-          s"delta commit on ${dotted(k)} deletes positions of unknown data " +
-            s"file ${d.dataPath}"))
-      st.copy(snapshots = st.snapshots :+ Snapshot(st.nextVersion, nowMicros(),
-        st.currentFiles ++ { requireCurrentSpec(st, newFiles); newFiles.map(_.copy(seq = st.nextVersion)) },
-        appendedFiles = -1, schema = st.schema,
-        deleteFiles = st.currentDeletes ++
-          newDeletes.map(_.copy(seq = st.nextVersion)),
-        operation = "delta"))
+    val conf = RowFiles.sessionConf().value
+    val st0 = stateOf(k)
+    val v0 = if (st0.snapshots.isEmpty) 0L else st0.snapshots.last.version
+    expectedBase.filter(_ != v0).foreach { base =>
+      throw new IllegalStateException(
+        s"concurrent commit on ${dotted(k)}: the row-level rewrite read " +
+          s"v$base but the table is now at v$v0 — rerun the statement")
     }
+    val (posNew, otherNew) = newDeletes.partition(_.kind == "pos")
+    val (dvEntries, superseded, foldedPaths) =
+      DeletionVectors.mergeOnWrite(st0, posNew, st0.dataDir, conf)
+    try {
+      update(k) { st =>
+        val live = if (st.snapshots.isEmpty) 0L else st.snapshots.last.version
+        if (live != v0) throw new IllegalStateException(
+          s"concurrent commit on ${dotted(k)}: the delta folded deletes " +
+            s"at v$v0 but the table is now at v$live — rerun the statement")
+        val known = (st.currentFiles.map(_.path) ++ newFiles.map(_.path)).toSet
+        (otherNew ++ dvEntries).find(d => d.kind != "eq" && !known(d.dataPath))
+          .foreach(d => throw new IllegalStateException(
+            s"delta commit on ${dotted(k)} deletes positions of unknown data " +
+              s"file ${d.dataPath}"))
+        st.copy(snapshots = st.snapshots :+ Snapshot(st.nextVersion, nowMicros(),
+          st.currentFiles ++ { requireCurrentSpec(st, newFiles); newFiles.map(_.copy(seq = st.nextVersion)) },
+          appendedFiles = -1, schema = st.schema,
+          deleteFiles = st.currentDeletes.filterNot(d => superseded(d.path)) ++
+            (otherNew ++ dvEntries).map(_.copy(seq = st.nextVersion)),
+          operation = "delta"))
+      }
+    } catch {
+      case e: Throwable =>
+        // The freshly written vectors are unreferenced — clean them up;
+        // the task-written position files stay for the statement retry's
+        // abort path to handle.
+        RowFiles.delete(dvEntries.map(_.path))
+        throw e
+    }
+    // The fold consumed the task-written position files; no snapshot ever
+    // referenced them, so they would otherwise be orphans until expire().
+    RowFiles.delete(foldedPaths)
     ()
   }
 
@@ -2091,13 +2140,21 @@ private[sources] object RowFiles {
     } finally out.close()
   }
 
+  /** Sorted dead positions of one delete structure — a position-delete
+    * file (raw sorted longs) or a [[DeletionVectors]] bitmap, told apart
+    * by magic, so every consumer (scan readers, change-feed
+    * reconstruction, compaction) handles both through one call. */
   def readDeletes(pathStr: String, conf: Configuration): Array[Long] = {
     val p = new Path(pathStr)
     val in = new java.io.DataInputStream(
       new java.io.BufferedInputStream(p.getFileSystem(conf).open(p), 1 << 16))
     try {
-      require(in.readInt() == Magic, s"not a graft delete file: $pathStr")
-      Array.fill(in.readInt())(in.readLong())
+      in.readInt() match {
+        case Magic => Array.fill(in.readInt())(in.readLong())
+        case DeletionVectors.Magic => DeletionVectors.readBody(in, pathStr)
+        case other => sys.error(
+          s"not a graft delete file: $pathStr (magic 0x${other.toHexString})")
+      }
     } finally in.close()
   }
 
@@ -2288,6 +2345,17 @@ private[sources] final class MemTable(fullName: String, k: String,
   private def tOf(i: Int): PTransform =
     if (partTransforms.isEmpty) PIdentity else partTransforms(i)
 
+  /** Is this relation the table's LIVE HEAD (not a `VERSION/TIMESTAMP AS
+    * OF` pin, not a branch audit read)? MV-based query rewrite
+    * ([[MvQueryRewrite]]) may only substitute live-head scans — a pinned
+    * read's answer is defined by history, never by a view's freshness. */
+  private[sources] def isLiveHead: Boolean =
+    pinned.isEmpty && pinnedDeletes.isEmpty
+
+  /** The [[SnapshotStore]] key this table reads — relation identity for
+    * plan rules that must compare scans against catalog metadata. */
+  private[sources] def storeKey: String = k
+
   override def name(): String = fullName
   override def schema(): StructType = tableSchema
   override def partitioning(): Array[Transform] =
@@ -2389,7 +2457,9 @@ private[sources] final class MemTable(fullName: String, k: String,
           Some(partCols.zipWithIndex.map { case (c, i) =>
             PTransform.toV2(c, tOf(i)) }.toArray)
         else None,
-      currentSpecId = st.currentSpecId)
+      currentSpecId = st.currentSpecId,
+      // Sorted-scan ordering reporting (gated per file in the scan).
+      tableSortOrder = SortOrders.forRead(props, tableSchema))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -2867,6 +2937,21 @@ private[sources] object SortOrders {
         if (asc) org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING
         else org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING)
     }.toArray
+
+  /** The canonical per-file stamp of an enforced order — what
+    * [[SnapshotStore.DataFile.sortKey]] records and scans compare with
+    * the current property. Case-normalized so a property rewritten with
+    * different casing still matches files it did not re-sort. */
+  def normalize(order: Seq[(String, Boolean)]): String =
+    order.map { case (c, asc) =>
+      c.toLowerCase + (if (asc) " asc" else " desc") }.mkString(",")
+
+  /** The current table order for READ-side reporting — never throws:
+    * a sort-order property naming a since-dropped column just reports
+    * nothing (the write path keeps its loud failure). */
+  def forRead(props: Map[String, String], schema: StructType): Seq[(String, Boolean)] =
+    if (props.get("read.report-ordering").exists(_.equalsIgnoreCase("false"))) Nil
+    else try of(props, schema) catch { case _: Exception => Nil }
 }
 
 private[sources] final class MemWriteBuilder(k: String, writeSchema: StructType,
@@ -2932,7 +3017,9 @@ private[sources] final class MemWriteBuilder(k: String, writeSchema: StructType,
     val rangeDistribute = sortOrder.nonEmpty &&
       st.properties.get("write.distribution-mode").exists(_.equalsIgnoreCase("range"))
     if (hashDistribute || rangeDistribute || sortOrder.nonEmpty)
-      new GraftWrite with RequiresDistributionAndOrdering {
+      new GraftWrite(
+        if (sortOrder.isEmpty) "" else SortOrders.normalize(sortOrder))
+          with RequiresDistributionAndOrdering {
         override def requiredDistribution():
             org.apache.spark.sql.connector.distributions.Distribution =
           if (rangeDistribute)
@@ -2950,7 +3037,10 @@ private[sources] final class MemWriteBuilder(k: String, writeSchema: StructType,
     else new GraftWrite
   }
 
-  private class GraftWrite extends Write {
+  /** `sortStamp`: the normalized order the write ENFORCED (via
+    * [[RequiresDistributionAndOrdering]]) — every produced file's rows
+    * are sorted under it, recorded per file so reads can report ordering. */
+  private class GraftWrite(sortStamp: String = "") extends Write {
     override def description(): String =
       s"graft-snapshot ${if (replace) "replace" else "append"}"
     override def toBatch: BatchWrite = {
@@ -2989,7 +3079,7 @@ private[sources] final class MemWriteBuilder(k: String, writeSchema: StructType,
         // Base validation applies only to row-level rewrites; a user
         // truncate/overwrite is last-writer-wins by SQL semantics.
         if (forceReplace) expectedBase else None,
-        selector, dynamicParts, operationOverride)
+        selector, dynamicParts, operationOverride, sortStamp)
     }
     override def toStreaming:
         org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
@@ -3038,7 +3128,8 @@ private[sources] final class MemBatchWrite(k: String, writeSchema: StructType,
     replace: Boolean, expectedBase: Option[Long] = None,
     replacedSelector: Option[SnapshotStore.TableState => Vector[SnapshotStore.DataFile]] = None,
     dynamicParts: Boolean = false,
-    operationOverride: Option[String] = None) extends BatchWrite {
+    operationOverride: Option[String] = None,
+    sortStamp: String = "") extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val st = SnapshotStore.stateOf(k)
     new MemWriterFactory(writeSchema, st.partitionCols, st.dataDir,
@@ -3050,6 +3141,7 @@ private[sources] final class MemBatchWrite(k: String, writeSchema: StructType,
     val files = messages.iterator
       .map(_.asInstanceOf[MemCommitMessage])
       .flatMap(_.files)
+      .map(f => if (sortStamp.isEmpty) f else f.copy(sortKey = sortStamp))
       .toVector
     val selector =
       if (!dynamicParts) replacedSelector
@@ -3271,7 +3363,10 @@ private[sources] final class MemScanBuilder(fullSchema: StructType,
       * preserve-data-grouping, because grouping tasks by partition value
       * caps a plain full scan's parallelism at the partition count). */
     spjKeys: Option[Array[Transform]] = None,
-    currentSpecId: Int = 0)
+    currentSpecId: Int = 0,
+    /** The table's current `write.sort-order` for READ-side ordering
+      * reporting ([[SortOrders.forRead]]); Nil = never report. */
+    tableSortOrder: Seq[(String, Boolean)] = Nil)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownV2Filters {
   private val statCols = StatsPredicates.statCols(fullSchema)
@@ -3356,7 +3451,8 @@ private[sources] final class MemScanBuilder(fullSchema: StructType,
     new MemScan(fullSchema, required, retained, streamKey, maxVersionsPerTrigger,
       startingVersion, deletes, partCols, splitTargetBytes, eqDeletes,
       typeHist = typeHist, specPruning = specPruning, vectorized = vectorized,
-      spjKeys = spjKeys, currentSpecId = currentSpecId, chunkNdv = chunkNdv)
+      spjKeys = spjKeys, currentSpecId = currentSpecId, chunkNdv = chunkNdv,
+      tableSortOrder = tableSortOrder)
   }
 }
 
@@ -3879,14 +3975,18 @@ private[sources] object MemReaders {
             if (cur == null) return false
             pos += 1
             if (keep != null) {
-              // Position-keep mode: the commit's delete entries name the
-              // exact rows (alive by construction for DELETE changes — the
-              // MOR writer only targets rows its eq-applied scan saw; for
-              // restore-INSERTs a still-applicable equality delete keeps
-              // the row dead, so it is counted but suppressed).
+              // Position-keep mode: the kept set names candidate rows; a
+              // position ALSO present in the skip set is excluded — the
+              // keep∖skip difference is how a CUMULATIVE deletion vector
+              // reports only its delta (new deaths = dv minus the
+              // structures it superseded; resurrections = the dropped
+              // vector minus what still holds). A still-applicable
+              // equality delete suppresses a restore the same way. Both
+              // suppressions still count toward the early exit.
               if (keep.contains(pos)) {
                 kept += 1
-                if (skipEq.isEmpty || !skipEq.matched(cur)) return true
+                if ((skip == null || !skip.contains(pos)) &&
+                    (skipEq.isEmpty || !skipEq.matched(cur))) return true
               }
             } else if (keepEq.nonEmpty) {
               // EQUALITY-keep mode: the commit's key sets select the rows,
@@ -3934,10 +4034,12 @@ private[sources] final class MemScan(fullSchema: StructType,
     /** Pre-merged per-chunk (NDV registers, nulls) by field id — set only
       * for an UNPRUNED scan over a lazy chunked manifest, where merging
       * |chunks| arrays replaces merging |files| (see the builder). */
-    chunkNdv: Option[Vector[Map[Int, (SnapshotStore.Ndv, Long)]]] = None)
+    chunkNdv: Option[Vector[Map[Int, (SnapshotStore.Ndv, Long)]]] = None,
+    tableSortOrder: Seq[(String, Boolean)] = Nil)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   private var files = initial
   private def pcOf(f: SnapshotStore.DataFile): PartitionPredicates.PartCols =
     if (specPruning.isEmpty) partCols
@@ -4149,6 +4251,52 @@ private[sources] final class MemScan(fullSchema: StructType,
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
           files.size)
     }
+
+  /** SORTED SCANS (`SupportsReportOrdering`): report the table's
+    * `write.sort-order` as this scan's per-partition output ordering when
+    * it is PROVABLY true of every task — then Spark's
+    * `V2ScanPartitioningAndOrdering` + `RemoveRedundantSorts` /
+    * `EnsureRequirements` elide the Sort nodes a merge join, sorted
+    * aggregate, or ORDER BY would otherwise pay to re-sort 100 TB that is
+    * already sorted on disk. Sound because:
+    *
+    *   - every retained file carries a [[SnapshotStore.DataFile.sortKey]]
+    *     stamp equal to the CURRENT normalized order (a file appended
+    *     before the property was set, or under an older order, reports
+    *     nothing — the all-files gate, mirroring SPJ's current-spec gate);
+    *   - an input partition is a CONTIGUOUS slice of one sorted file
+    *     (split planning never bin-packs files), so any slice is sorted;
+    *     position/equality deletes only SKIP rows, preserving order;
+    *   - under KEY-GROUPED partitioning (SPJ) Spark CONCATENATES a
+    *     group's partitions, so ordering is only reported when every
+    *     group is exactly one unsplit file (the compacted-bucket case —
+    *     where the zero-Exchange, zero-Sort merge join lives);
+    *   - sort columns must survive the projection (the reported
+    *     references resolve against this scan's OUTPUT).
+    *
+    * `read.report-ordering = false` turns reporting off (the A/B lever;
+    * answers must be identical either way). */
+  override def outputOrdering():
+      Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    val none = Array.empty[org.apache.spark.sql.connector.expressions.SortOrder]
+    if (tableSortOrder.isEmpty || files.isEmpty) return none
+    val key = SortOrders.normalize(tableSortOrder)
+    if (!files.forall(_.sortKey == key)) return none
+    if (!tableSortOrder.forall { case (c, _) =>
+        required.fieldNames.exists(_.equalsIgnoreCase(c)) }) return none
+    val grouped = spjKeys.exists(ks => ks.nonEmpty &&
+      files.forall(_.specId == currentSpecId))
+    if (grouped) {
+      val groups = files.map(f =>
+        SnapshotStore.comparablePartition(f.partitionValues)).distinct.size
+      if (files.size != groups) return none
+      if (planInputPartitions().length != files.size) return none // splits
+    }
+    // Report with the OUTPUT schema's casing so the references resolve.
+    SortOrders.v2Ordering(tableSortOrder.map { case (c, asc) =>
+      (required.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(c), asc)
+    })
+  }
 
   /** Can EVERY partition of this scan decode vectorized? Columnar and
     * row partitions cannot mix inside one scan (Spark's
@@ -4389,14 +4537,31 @@ private[sources] object ChangeLog {
         val fileDeletes = prevFiles.filterNot(f => curPaths(f.path))
           .map(f => part(f, "DELETE", prevDelByData.getOrElse(f.path, Vector.empty))
             .copy(skipEqPaths = applEq(prevEq, f)))
-        // New position deletes on carried files: exactly those rows died
-        // (alive by construction — the MOR writer's eq-applied scan only
-        // targets live rows).
+        // Deletion-vector lineage: a structure listed in a dv's
+        // `supersedes` holds positions that dv re-encodes — its
+        // appearance or disappearance across the version boundary is a
+        // FOLD, not a change (one generation deep; a multi-generation
+        // rollback still reconstructs exactly through the keep∖skip
+        // set-difference below, at the cost of scanning a file that
+        // emits nothing).
+        val prevSuperseded =
+          prevDels.iterator.filter(_.kind == "dv").flatMap(_.supersedes).toSet
+        val curSuperseded = cur.deleteFiles.iterator
+          .filter(_.kind == "dv").flatMap(_.supersedes).toSet
+        // New position structures on carried files: the newly dead rows.
+        // Per-commit `pos` files name exactly the rows that died (alive by
+        // construction — the MOR writer's eq-applied scan only targets
+        // live rows); a `dv` is CUMULATIVE, so the predecessor structures
+        // it folded ride as a skip-set and the reader emits the set
+        // difference — the true delta.
         val posDeletes = cur.deleteFiles
-          .filter(d => d.kind == "pos" && !prevDelPaths(d.path) && survived(d.dataPath))
+          .filter(d => (d.kind == "pos" || d.kind == "dv") &&
+            !prevDelPaths(d.path) && !prevSuperseded(d.path) &&
+            survived(d.dataPath))
           .groupBy(_.dataPath).toSeq.map { case (dp, ds) =>
             MemChangePartition(dp, fileOf(dp).rowCount, "DELETE", cur.version,
               cur.commitMicros, keepPositionPaths = ds.map(_.path),
+              skipDeletePaths = prevDelByData.getOrElse(dp, Vector.empty),
               writeCols = fileOf(dp).writeCols, seq = fileOf(dp).seq) }
         // New EQUALITY deletes (an upsert's delete-by-key): the dead rows
         // are reconstructed by probing each OLDER carried file with the
@@ -4415,15 +4580,23 @@ private[sources] object ChangeLog {
               keepEqPaths = applEq(newEq, f),
               skipEqPaths = applEq(prevEq, f))
           }
-        // Position deletes dropped from carried files (rollback): restored
-        // — unless a still-live equality delete keeps the row dead (the
-        // reader's keep mode consults skipEqPaths, still counting the
+        // Position structures dropped from carried files (rollback):
+        // restored — unless the drop was a deletion-vector FOLD (the
+        // surviving dv lists the path in `supersedes`: those positions
+        // are still dead), and minus positions the commit's own
+        // structures still hold (a rollback across dv generations
+        // resurrects exactly the newer vector's extra positions). A
+        // still-live equality delete also keeps a row dead (the reader's
+        // keep mode consults both skip sets, still counting the
         // suppressed position toward its early exit).
         val restored = prevDels
-          .filter(d => d.kind == "pos" && !curDelPaths(d.path) && survived(d.dataPath))
+          .filter(d => (d.kind == "pos" || d.kind == "dv") &&
+            !curDelPaths(d.path) && !curSuperseded(d.path) &&
+            survived(d.dataPath))
           .groupBy(_.dataPath).toSeq.map { case (dp, ds) =>
             MemChangePartition(dp, fileOf(dp).rowCount, "INSERT", cur.version,
               cur.commitMicros, keepPositionPaths = ds.map(_.path),
+              skipDeletePaths = curDelByData.getOrElse(dp, Vector.empty),
               writeCols = fileOf(dp).writeCols, seq = fileOf(dp).seq,
               skipEqPaths = applEq(curEq, fileOf(dp))) }
         // Equality deletes dropped from carried files (rollback): rows

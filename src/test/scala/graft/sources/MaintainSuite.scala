@@ -59,24 +59,32 @@ class MaintainSuite extends AnyFunSuite {
     spark.sql(s"""CREATE TABLE $t (id BIGINT, v BIGINT)
       TBLPROPERTIES ('write.delete.mode'='merge-on-read',
                      'maintain.compact.min-delete-files'='3')""")
-    // One data file, so each DELETE adds exactly one position-delete file
-    // (MOR deletes are keyed per data file).
+    // Since round 16 each data file carries at most ONE delete structure
+    // (a deletion vector, merge-on-write) no matter how many statements
+    // deleted from it — so the threshold counts STRUCTURES, i.e. how many
+    // data files carry deletes. Three data files, deleted from one by one.
     spark.range(0, 1000).selectExpr("id", "id AS v").coalesce(1)
       .writeTo(t).append()
-    spark.sql(s"DELETE FROM $t WHERE id % 10 = 1")
-    spark.sql(s"DELETE FROM $t WHERE id % 10 = 2")
-    assert(state("mor").snapshots.last.deleteFiles.size === 2)
+    spark.range(1000, 2000).selectExpr("id", "id AS v").coalesce(1)
+      .writeTo(t).append()
+    spark.range(2000, 3000).selectExpr("id", "id AS v").coalesce(1)
+      .writeTo(t).append()
+    spark.sql(s"DELETE FROM $t WHERE id < 100")
+    spark.sql(s"DELETE FROM $t WHERE id IN (150, 160)") // same file: folds
+    spark.sql(s"DELETE FROM $t WHERE id >= 1000 AND id < 1100")
+    assert(state("mor").snapshots.last.deleteFiles.size === 2,
+      "repeated deletes from one file must FOLD, not accumulate")
     val below = spark.sql(s"CALL $cat.system.maintain('maint.mor')").head()
     assert(below.getInt(1) === below.getInt(2),
       "below the delete-file threshold maintain must not compact")
     assert(state("mor").snapshots.last.deleteFiles.size === 2)
-    spark.sql(s"DELETE FROM $t WHERE id % 10 = 3")
+    spark.sql(s"DELETE FROM $t WHERE id >= 2000 AND id < 2100")
     val expect = spark.table(t).orderBy("id").collect().toSeq
     spark.sql(s"CALL $cat.system.maintain('maint.mor')").collect()
     assert(state("mor").snapshots.last.deleteFiles.isEmpty,
       "at the threshold the deletes must fold into rewritten data files")
     assert(spark.table(t).orderBy("id").collect().toSeq === expect)
-    assert(spark.table(t).count() === 700)
+    assert(spark.table(t).count() === 2698)
   }
 
   test("small-file threshold compacts streaming-append pressure") {

@@ -53,8 +53,17 @@ class MaterializedViewSuite extends AnyFunSuite {
       sum(price) AS total_price, count(price) AS n_priced
       FROM $t WHERE k % 11 <> 3 GROUP BY grp"""
 
+  /** Run `f` with MV-based query rewrite forced OFF — the suite's
+    * stored-vs-recomputed checks recompute bodies from the BASE, and a
+    * fresh MV would serve that very comparison (turning it into a
+    * tautology) otherwise. */
+  private def noRewrite[T](f: => T): T = {
+    spark.conf.set(MvQueryRewrite.EnabledKey, "false")
+    try f finally spark.conf.unset(MvQueryRewrite.EnabledKey)
+  }
+
   private def recompute(t: String): Array[String] =
-    spark.sql(mvBody(t) + " ORDER BY grp").collect().map(_.toString)
+    noRewrite(spark.sql(mvBody(t) + " ORDER BY grp").collect().map(_.toString))
 
   private def stored(v: String): Array[String] =
     spark.sql(s"SELECT grp, n, total_qty, total_price, n_priced FROM $v " +
@@ -158,7 +167,9 @@ class MaterializedViewSuite extends AnyFunSuite {
     rejects(s"SELECT count(*) AS n FROM $t GROUP BY grp", "not selected")
     rejects(s"SELECT grp, count(*) AS n FROM $t WHERE rand() < 0.5 GROUP BY grp",
       "deterministic")
-    rejects(s"SELECT a.grp, count(*) AS n FROM $t a JOIN $t b ON a.k = b.k " +
+    // (A fact ⋈ dim JOIN body is ACCEPTED since round 16 — see the STAR
+    // tests below; a derived-table FROM is still not a catalog relation.)
+    rejects(s"SELECT a.grp, count(*) AS n FROM (SELECT * FROM $t LIMIT 10) a " +
       "GROUP BY a.grp", "single catalog table")
     // Catalyst-deterministic but NOT refresh-stable: a subquery re-reads
     // its inner table's current contents at each refresh, and
@@ -226,8 +237,8 @@ class MaterializedViewSuite extends AnyFunSuite {
     spark.sql(s"REFRESH MATERIALIZED VIEW $v")
     assert(spark.sql(s"SELECT grp, n, q FROM $v ORDER BY grp").collect()
       .map(_.toString).toSeq ===
-      spark.sql(s"SELECT grp, count(*) AS n, sum(coalesce(qty, 0)) AS q FROM $t " +
-        "GROUP BY grp ORDER BY grp").collect().map(_.toString).toSeq)
+      noRewrite(spark.sql(s"SELECT grp, count(*) AS n, sum(coalesce(qty, 0)) AS q FROM $t " +
+        "GROUP BY grp ORDER BY grp").collect().map(_.toString).toSeq))
   }
 
   test("DROP MATERIALIZED VIEW refuses a plain table; IF NOT EXISTS is " +
@@ -250,8 +261,8 @@ class MaterializedViewSuite extends AnyFunSuite {
     spark.sql(s"REFRESH MATERIALIZED VIEW $v")
     assert(spark.sql(s"SELECT grp, n, q FROM $v ORDER BY grp").collect()
       .map(_.toString).toSeq ===
-      spark.sql(s"SELECT grp, count(*) AS n, sum(coalesce(qty, 0)) AS q FROM $t " +
-        "GROUP BY grp ORDER BY grp").collect().map(_.toString).toSeq)
+      noRewrite(spark.sql(s"SELECT grp, count(*) AS n, sum(coalesce(qty, 0)) AS q FROM $t " +
+        "GROUP BY grp ORDER BY grp").collect().map(_.toString).toSeq))
     spark.sql(s"DROP MATERIALIZED VIEW $v")
     assert(!spark.sql(s"SHOW TABLES IN $cat.mv").collect()
       .exists(_.getString(1) == "mv7"))
@@ -344,5 +355,107 @@ class MaterializedViewSuite extends AnyFunSuite {
     assert(prop("mv.base-version").contains("2"),
       "maintain should have folded the base's new commit")
     assert(spark.sql(s"SELECT sum(n) FROM $v").head().getLong(0) === 50L)
+  }
+
+  // -- STAR-schema (join) MVs ------------------------------------------------
+
+  /** fact(k, dk, status, qty) ⋈ dim(dk, region) — dk deliberately shared
+    * between the two (the name-collision case a qualifier-stripped spec
+    * would corrupt). */
+  private def star(name: String): (String, String) = {
+    val f = fresh(s"${name}_fact")
+    val d = fresh(s"${name}_dim")
+    spark.sql(s"CREATE TABLE $f (k BIGINT, dk BIGINT, status STRING, qty BIGINT)")
+    spark.sql(s"CREATE TABLE $d (dk BIGINT, region STRING)")
+    spark.sql(s"""INSERT INTO $d
+      SELECT id, concat('R', id % 4) FROM range(0, 20)""")
+    spark.sql(s"""INSERT INTO $f
+      SELECT id, id % 20, concat('s', id % 2), id % 13 FROM range(0, 200)""")
+    (f, d)
+  }
+
+  private def starBody(f: String, d: String): String =
+    s"""SELECT d.region AS region, f.status AS status, count(*) AS n,
+      sum(coalesce(f.qty, 0)) AS tq
+      FROM $f f JOIN $d d ON f.dk = d.dk
+      WHERE f.k % 11 <> 3 GROUP BY d.region, f.status"""
+
+  private def starRecompute(f: String, d: String): Seq[String] =
+    noRewrite(spark.sql(starBody(f, d) + " ORDER BY region, status")
+      .collect().map(_.toString).toSeq)
+
+  test("STAR MV: fact ⋈ dim body folds fact-only commits exactly — " +
+      "inserts, a group-MOVING key update (the group lives on the DIM " +
+      "side), deletes; durable across a restart") {
+    val (f, d) = star("star1")
+    val v = fresh("star1_mv")
+    spark.sql(s"CREATE MATERIALIZED VIEW $v AS ${starBody(f, d)}")
+    assert(spark.sql(s"SELECT region, status, n, tq FROM $v ORDER BY region, status")
+      .collect().map(_.toString).toSeq === starRecompute(f, d))
+
+    // Fact commits: inserts, a dk-moving update (the fact's JOIN KEY
+    // changes, moving rows across dim regions), deletes.
+    spark.sql(s"""INSERT INTO $f
+      SELECT id, id % 20, concat('s', id % 2), id % 7 FROM range(1000, 1080)""")
+    spark.sql(s"UPDATE $f SET dk = (dk + 1) % 20 WHERE k % 5 = 2")
+    spark.sql(s"DELETE FROM $f WHERE k % 6 = 1")
+    val r = spark.sql(
+      s"CALL $cat.system.refresh_mv(table => 'mv.star1_mv')").head()
+    assert(r.getLong(0) === 1L && r.getLong(1) === 4L && r.getBoolean(2))
+    assert(spark.sql(s"SELECT region, status, n, tq FROM $v ORDER BY region, status")
+      .collect().map(_.toString).toSeq === starRecompute(f, d))
+
+    // Restart: star spec + dim watermarks reload from the durable log.
+    SnapshotStore.tables.clear()
+    spark.sql(s"INSERT INTO $f VALUES (5000, 3, 's0', 9)")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $v")
+    assert(spark.sql(s"SELECT region, status, n, tq FROM $v ORDER BY region, status")
+      .collect().map(_.toString).toSeq === starRecompute(f, d))
+  }
+
+  test("STAR MV: a dimension that ADVANCED refuses incremental refresh " +
+      "loudly; refresh_mv(full => true) rebuilds and re-arms the fold") {
+    val (f, d) = star("star2")
+    val v = fresh("star2_mv")
+    spark.sql(s"CREATE MATERIALIZED VIEW $v AS ${starBody(f, d)}")
+    // A dim commit — even one touching rows no fact row references.
+    spark.sql(s"INSERT INTO $d VALUES (999, 'R9')")
+    spark.sql(s"INSERT INTO $f VALUES (6000, 1, 's1', 2)")
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.refresh_mv(table => 'mv.star2_mv')").collect()
+    }
+    assert(e.getMessage.contains("dimension") &&
+      e.getMessage.contains("full => true"), s"got: ${e.getMessage}")
+    // The stored rows still serve (stale, by design) — and the rebuild
+    // path re-records the dim watermark so folding works again.
+    spark.sql(s"CALL $cat.system.refresh_mv(table => 'mv.star2_mv', full => true)")
+      .collect()
+    assert(spark.sql(s"SELECT region, status, n, tq FROM $v ORDER BY region, status")
+      .collect().map(_.toString).toSeq === starRecompute(f, d))
+    spark.sql(s"INSERT INTO $f VALUES (6001, 999, 's0', 4)")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $v")
+    assert(spark.sql(s"SELECT region, status, n, tq FROM $v ORDER BY region, status")
+      .collect().map(_.toString).toSeq === starRecompute(f, d))
+  }
+
+  test("STAR MV rejections: outer joins, cross joins, mixed-catalog " +
+      "sides, and pinned (AS OF) body relations — each at CREATE, " +
+      "with the reason") {
+    val (f, d) = star("star3")
+    val v = fresh("star3_mv")
+    def rejects(body: String, needle: String): Unit = {
+      val e = intercept[Exception] {
+        spark.sql(s"CREATE MATERIALIZED VIEW $v AS $body")
+      }
+      assert(e.getMessage.contains(needle), s"got: ${e.getMessage}")
+    }
+    rejects(s"""SELECT d.region AS region, count(*) AS n FROM $f f
+      LEFT JOIN $d d ON f.dk = d.dk GROUP BY d.region""", "INNER")
+    rejects(s"""SELECT d.region AS region, count(*) AS n FROM $f f
+      CROSS JOIN $d d GROUP BY d.region""", "INNER")
+    rejects(s"""SELECT f.status AS status, count(*) AS n FROM $f f
+      JOIN range(10) r ON f.k = r.id GROUP BY f.status""", "catalog")
+    rejects(s"""SELECT status, count(*) AS n FROM $f VERSION AS OF 1
+      GROUP BY status""", "LIVE")
   }
 }

@@ -1,0 +1,130 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SortExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** SORTED-SCAN ORDERING (`SupportsReportOrdering`,
+  * [[MemScan.outputOrdering]]): a scan whose every file was WRITTEN under
+  * the table's current `write.sort-order` reports that ordering, and
+  * Spark stops re-sorting data that is already sorted on disk. The
+  * contract:
+  *
+  *   - ORDER BY the sort key over a compacted range-distributed table
+  *     has NO Sort in the physical plan; with `read.report-ordering`
+  *     off the Sort reappears and the answer is identical;
+  *   - the gate is per-FILE: one file written before the order was
+  *     declared suppresses reporting (never a wrong order), and
+  *     `rewrite_data_files` converges the stamps;
+  *   - bucketed+sorted twins merge-join with ZERO Exchange AND ZERO
+  *     Sort — the 100 TB pattern: co-located AND co-sorted storage
+  *     makes the join a pure streaming merge.
+  */
+class ReportOrderingSuite extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val cat = "graft_snap"
+
+  private def fresh(name: String): String = {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ord")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ord.$name")
+    s"$cat.ord.$name"
+  }
+
+  private def sorts(df: DataFrame): Int =
+    df.queryExecution.executedPlan.collect { case s: SortExec => s }.size
+  private def shuffles(df: DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeExec => s }.size
+
+  test("ORDER BY the sort key over a compacted range-distributed table " +
+      "plans with NO Sort; the property off restores it, answers equal") {
+    val t = fresh("rng")
+    spark.sql(s"""CREATE TABLE $t (k BIGINT, v BIGINT)
+      TBLPROPERTIES ('write.sort-order' = 'k',
+                     'write.distribution-mode' = 'range')""")
+    spark.range(0, 20000).selectExpr("pmod(id * 7919, 20000) AS k", "id AS v")
+      .repartition(4).writeTo(t).append()
+    // Range-distributed + compacted into ONE file: a single sorted task.
+    spark.sql(s"CALL $cat.system.rewrite_data_files('ord.rng', 1000000)")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = spark.sql(s"SELECT k, v FROM $t ORDER BY k")
+      assert(sorts(q) === 0,
+        s"a sorted single-file scan must satisfy ORDER BY without a " +
+          s"Sort:\n${q.queryExecution.executedPlan}")
+      val sorted = q.collect().map(_.getLong(0)).toSeq
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+        "('read.report-ordering' = 'false')")
+      val off = spark.sql(s"SELECT k, v FROM $t ORDER BY k")
+      assert(sorts(off) === 1, "with reporting off the Sort must be paid")
+      assert(off.collect().map(_.getLong(0)).toSeq === sorted,
+        "reporting must never change the answer")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("the per-file gate: a file written BEFORE the order was declared " +
+      "suppresses reporting; compaction converges the stamps") {
+    val t = fresh("gate")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    spark.range(0, 1000).selectExpr("id AS k", "id AS v").coalesce(1)
+      .writeTo(t).append() // unsorted, unstamped
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+      "('write.sort-order' = 'k', 'write.distribution-mode' = 'range')")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val before = spark.sql(s"SELECT k FROM $t ORDER BY k")
+      assert(sorts(before) === 1,
+        "a pre-declaration file must suppress ordering (it may not be sorted)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // Compact under AQE (its shuffle coalescing is what shapes the range
+    // write into one file at this size — the compacted target shape).
+    spark.sql(s"CALL $cat.system.rewrite_data_files('ord.gate', 1000000)")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val after = spark.sql(s"SELECT k FROM $t ORDER BY k")
+      assert(sorts(after) === 0,
+        s"after compaction every file is stamped:\n${after.queryExecution.executedPlan}")
+      assert(after.collect().map(_.getLong(0)).toSeq === (0L until 1000L))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("bucketed + sorted twins: SortMergeJoin with ZERO Exchange and " +
+      "ZERO Sort (co-located, co-sorted storage)") {
+    val a = fresh("smj_a")
+    val b = fresh("smj_b")
+    Seq(a -> "v", b -> "w").foreach { case (t, c) =>
+      spark.sql(s"""CREATE TABLE $t (k BIGINT, $c BIGINT)
+        PARTITIONED BY (bucket(4, k))
+        TBLPROPERTIES ('read.preserve-partitioning' = 'true',
+                       'write.sort-order' = 'k')""")
+    }
+    // One write task: one sorted file per bucket (the compacted shape).
+    spark.range(0, 4000).selectExpr("id AS k", "id * 2 AS v").coalesce(1)
+      .writeTo(a).append()
+    spark.range(0, 4000).selectExpr("id AS k", "id * 3 AS w").coalesce(1)
+      .writeTo(b).append()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+    try {
+      val q = spark.table(a).join(spark.table(b), "k")
+      val plan = q.queryExecution.executedPlan
+      assert(plan.collect { case j: SortMergeJoinExec => j }.nonEmpty,
+        s"expected a SortMergeJoin:\n$plan")
+      assert(shuffles(q) === 0, s"expected zero Exchange:\n$plan")
+      assert(sorts(q) === 0,
+        s"co-sorted buckets must merge-join without Sort nodes:\n$plan")
+      assert(q.count() === 4000L)
+      assert(q.selectExpr("sum(v + w)").head().getLong(0) ===
+        (0L until 4000L).map(_ * 5).sum)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.join.preferSortMergeJoin")
+    }
+  }
+}

@@ -414,8 +414,9 @@ private[sources] object DataFiles {
     * the row path. */
   final class ParquetBatchStream(path: String, split: Split,
       projection: Projection, conf: Configuration, capacity: Int) {
-    require(projection.casts == null,
-      "vectorized read is only planned for never-widened projections")
+    // A widened projection decodes in the file's WRITE-TIME types
+    // (`parquetSchema` is fileTypes-based); the CALLER up-casts the
+    // emitted vectors (MemReaders.WidenedColumnVector).
     private val reader = {
       val c = readConf(conf, projection.parquetSchema)
       // initialize(split, ctx) instantiates the ReadSupport from conf

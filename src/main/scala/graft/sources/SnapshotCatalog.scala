@@ -1177,6 +1177,10 @@ object SnapshotCatalog {
     // files change, the logical rows do not, so the change feed skips it
     // (Iceberg excludes REPLACE snapshots from changelog scans the same way).
     shaped.writeTo(name).option("graft.operation", "replace").overwrite(lit(true))
+    // Equi-height histograms for opted-in columns ride compaction — the
+    // one moment the engine already rewrites every live row (see
+    // [[StatsHistograms]]); stored against the fresh snapshot version.
+    StatsHistograms.collect(spark, catalog, ident)
     (before, SnapshotStore.stateOf(k).currentFiles.size)
   }
 
@@ -2459,7 +2463,12 @@ private[sources] final class MemTable(fullName: String, k: String,
         else None,
       currentSpecId = st.currentSpecId,
       // Sorted-scan ordering reporting (gated per file in the scan).
-      tableSortOrder = SortOrders.forRead(props, tableSchema))
+      tableSortOrder = SortOrders.forRead(props, tableSchema),
+      // Pinned (time-travel) reads never serve histograms: the stored
+      // bins describe the CURRENT snapshot only.
+      histograms =
+        if (pinned.isDefined) Map.empty
+        else StatsHistograms.forRead(props, sn.fold(0L)(_.version)))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -3366,7 +3375,11 @@ private[sources] final class MemScanBuilder(fullSchema: StructType,
     currentSpecId: Int = 0,
     /** The table's current `write.sort-order` for READ-side ordering
       * reporting ([[SortOrders.forRead]]); Nil = never report. */
-    tableSortOrder: Seq[(String, Boolean)] = Nil)
+    tableSortOrder: Seq[(String, Boolean)] = Nil,
+    /** Current-snapshot equi-height histograms ([[StatsHistograms]]),
+      * keyed by lowercased column; served to CBO only by UNPRUNED scans
+      * (they describe the whole table). */
+    histograms: Map[String, StatsHistograms.ColHist] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownV2Filters {
   private val statCols = StatsPredicates.statCols(fullSchema)
@@ -3426,7 +3439,8 @@ private[sources] final class MemScanBuilder(fullSchema: StructType,
   }
 
   override def build(): Scan = {
-    val retained = sourceFiles().filter { f =>
+    val src = sourceFiles()
+    val retained = src.filter { f =>
       val (pc, tf) = specOf(f)
       !pushed.exists(
         PartitionPredicates.definitelyExcludes(_, pc, f.partitionValues)) &&
@@ -3452,7 +3466,18 @@ private[sources] final class MemScanBuilder(fullSchema: StructType,
       startingVersion, deletes, partCols, splitTargetBytes, eqDeletes,
       typeHist = typeHist, specPruning = specPruning, vectorized = vectorized,
       spjKeys = spjKeys, currentSpecId = currentSpecId, chunkNdv = chunkNdv,
-      tableSortOrder = tableSortOrder)
+      tableSortOrder = tableSortOrder,
+      // Whole-table histograms only for an UNPRUNED scan (a residual
+      // predicate that pruned NOTHING is fine — the filter estimate
+      // applies over the full-table stats it describes; a predicate-
+      // pruned file set would double-count the predicate). Chunk-skipped
+      // scans suppress rather than force the full inventory to compare.
+      histograms =
+        if (retained.size == src.size &&
+            (chunked.isEmpty || (pushed.isEmpty &&
+              transformUsable.isEmpty && statsUsable.isEmpty)))
+          histograms
+        else Map.empty)
   }
 }
 
@@ -3635,6 +3660,70 @@ private[sources] object MemReaders {
   private val eqSetCache = new java.util.concurrent.ConcurrentHashMap[
     String, java.lang.ref.SoftReference[java.util.HashSet[EqKey]]]()
 
+  /** UP-CASTING view over a decoded column vector — how a vectorized
+    * scan serves a column WIDENED after this file was written
+    * ([[TypeWidening]]) without demoting to the row path: the file
+    * decodes natively in its write-time type (the delegate) and every
+    * read of the LIVE type converts on access. Promotions are exactly
+    * [[TypeWidening.safePromotion]]'s (byte/short/int → wider ints,
+    * float → double, decimal precision/scale-up), all between scalar
+    * vectorizable types, so only the scalar accessors convert; nulls
+    * delegate untouched. Decimal re-precisions per access (allocation
+    * on the widened-decimal path only — never on the hot never-widened
+    * path, which skips wrapping entirely). */
+  private[sources] final class WidenedColumnVector(
+      d: org.apache.spark.sql.vectorized.ColumnVector,
+      from: DataType, to: DataType)
+      extends org.apache.spark.sql.vectorized.ColumnVector(to) {
+    import org.apache.spark.sql.types.{ByteType, DecimalType, FloatType, IntegerType, ShortType}
+    override def close(): Unit = d.close()
+    override def hasNull: Boolean = d.hasNull
+    override def numNulls(): Int = d.numNulls()
+    override def isNullAt(i: Int): Boolean = d.isNullAt(i)
+    override def getBoolean(i: Int): Boolean = d.getBoolean(i)
+    override def getByte(i: Int): Byte = d.getByte(i)
+    override def getShort(i: Int): Short = from match {
+      case ByteType => d.getByte(i).toShort
+      case _ => d.getShort(i)
+    }
+    override def getInt(i: Int): Int = from match {
+      case ByteType => d.getByte(i).toInt
+      case ShortType => d.getShort(i).toInt
+      case _ => d.getInt(i)
+    }
+    override def getLong(i: Int): Long = from match {
+      case ByteType => d.getByte(i).toLong
+      case ShortType => d.getShort(i).toLong
+      case IntegerType => d.getInt(i).toLong
+      case _ => d.getLong(i)
+    }
+    override def getFloat(i: Int): Float = d.getFloat(i)
+    override def getDouble(i: Int): Double = from match {
+      case FloatType => d.getFloat(i).toDouble
+      case _ => d.getDouble(i)
+    }
+    override def getDecimal(i: Int, precision: Int, scale: Int):
+        org.apache.spark.sql.types.Decimal = from match {
+      case dt: DecimalType =>
+        val v = d.getDecimal(i, dt.precision, dt.scale)
+        // Re-precision through the public constructor (exact: widening
+        // only ever grows precision/scale, so setScale cannot round).
+        if (v == null) null
+        else org.apache.spark.sql.types.Decimal(
+          v.toJavaBigDecimal.setScale(scale), precision, scale)
+      case _ => d.getDecimal(i, precision, scale)
+    }
+    override def getUTF8String(i: Int): org.apache.spark.unsafe.types.UTF8String =
+      d.getUTF8String(i)
+    override def getBinary(i: Int): Array[Byte] = d.getBinary(i)
+    override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+      d.getArray(i)
+    override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+      d.getMap(i)
+    override def getChild(ordinal: Int): org.apache.spark.sql.vectorized.ColumnVector =
+      d.getChild(ordinal)
+  }
+
   /** Zero-copy SELECTION over a decoded column vector: row `i` of this
     * vector is row `sel(i)` of the delegate — how a vectorized scan keeps
     * its ColumnarBatch shape when merge-on-read deletes drop rows
@@ -3784,7 +3873,24 @@ private[sources] object MemReaders {
         // first `dataSchema.length` vectors.
         val readSchema = MemReaders.schemaWithEqKeys(
           fullSchema, dataSchema, part.eqDeletePaths.flatMap(_._2))
-        val proj = DataFiles.projectionFor(fullSchema, readSchema, part.writeCols)
+        // Type widening: decode the file NATIVELY in its write-time types
+        // and wrap each widened column with an up-casting view — the
+        // batch path's twin of the row path's per-slot casts (a widened
+        // table no longer demotes the whole scan to row decode).
+        val proj = DataFiles.projectionFor(fullSchema, readSchema,
+          part.writeCols,
+          MemReaders.widenOverrides(typeHist, readSchema, part.seq))
+        val widenBatch: org.apache.spark.sql.vectorized.ColumnarBatch =>
+            org.apache.spark.sql.vectorized.ColumnarBatch =
+          if (proj.casts == null) identity
+          else { b =>
+            val cols = Array.tabulate(b.numCols()) { i =>
+              if (proj.fileTypes(i) == proj.types(i)) b.column(i)
+              else new MemReaders.WidenedColumnVector(b.column(i),
+                proj.fileTypes(i), proj.types(i))
+            }
+            new org.apache.spark.sql.vectorized.ColumnarBatch(cols, b.numRows())
+          }
         val stream = new DataFiles.ParquetBatchStream(part.path, part.split,
           proj, fsConf.value, capacity)
         val eqProbe = MemReaders.eqProbeFor(part.eqDeletePaths, readSchema,
@@ -3801,7 +3907,7 @@ private[sources] object MemReaders {
           new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
             override def next(): Boolean = stream.next()
             override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
-              stream.get()
+              widenBatch(stream.get())
             override def close(): Unit = stream.close()
           }
         else
@@ -3818,7 +3924,7 @@ private[sources] object MemReaders {
             private var out: org.apache.spark.sql.vectorized.ColumnarBatch = null
             override def next(): Boolean = {
               while (stream.next()) {
-                val b = stream.get()
+                val b = widenBatch(stream.get())
                 val n = b.numRows()
                 var k = 0
                 var i = 0
@@ -4035,7 +4141,8 @@ private[sources] final class MemScan(fullSchema: StructType,
       * for an UNPRUNED scan over a lazy chunked manifest, where merging
       * |chunks| arrays replaces merging |files| (see the builder). */
     chunkNdv: Option[Vector[Map[Int, (SnapshotStore.Ndv, Long)]]] = None,
-    tableSortOrder: Seq[(String, Boolean)] = Nil)
+    tableSortOrder: Seq[(String, Boolean)] = Nil,
+    histograms: Map[String, StatsHistograms.ColHist] = Map.empty)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -4131,7 +4238,11 @@ private[sources] final class MemScan(fullSchema: StructType,
                   else entries.map(_.lenSum).sum / nonNull,
                   entries.map(_.lenMax).max))
               } else None
-            if (ndvAndNulls.isDefined || lens.isDefined) {
+            // Equi-height histogram (compaction-collected, current
+            // snapshot only — the skewed-column selectivity fix).
+            val histOpt: Option[StatsHistograms.ColHist] =
+              histograms.get(f.name.toLowerCase).filter(_.bins.nonEmpty)
+            if (ndvAndNulls.isDefined || lens.isDefined || histOpt.isDefined) {
               val ndvOpt = ndvAndNulls.map(_._1)
               val totalNulls = ndvAndNulls.map(_._2).getOrElse(
                 per.map(_.fold(0L)(_.nulls)).sum)
@@ -4180,6 +4291,24 @@ private[sources] final class MemScan(fullSchema: StructType,
                   override def maxLen(): java.util.OptionalLong =
                     lens.fold(java.util.OptionalLong.empty())(l =>
                       java.util.OptionalLong.of(l._2))
+                  override def histogram(): java.util.Optional[
+                      org.apache.spark.sql.connector.read.colstats.Histogram] =
+                    histOpt.fold(java.util.Optional.empty[
+                        org.apache.spark.sql.connector.read.colstats.Histogram]()) { h =>
+                      java.util.Optional.of(
+                        new org.apache.spark.sql.connector.read.colstats.Histogram {
+                          override def height(): Double = h.height
+                          override def bins(): Array[
+                              org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                            h.bins.map(b =>
+                              new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                                override def lo(): Double = b.lo
+                                override def hi(): Double = b.hi
+                                override def ndv(): Long = b.ndv
+                              }: org.apache.spark.sql.connector.read.colstats.HistogramBin
+                            ).toArray
+                        })
+                    }
                 })
             }
           }
@@ -4304,16 +4433,18 @@ private[sources] final class MemScan(fullSchema: StructType,
     * conservative, over the pre-runtime-filter `initial` set (runtime
     * filtering only removes files — a uniformly eligible set stays
     * eligible). Requirements: parquet files only, no `_file`/`_pos`
-    * metadata weaving, no type-widening up-casts for any file, every
-    * READ type vectorizable, and a non-empty projection (zero-column
-    * count scans keep the row stream). Position/equality deletes do NOT
-    * demote the scan — the batch reader filters survivors through a
-    * selection remap — but equality deletes widen the check to the
-    * eq-key-extended READ schema (key columns are decoded for probing
-    * even when the projection pruned them, so they too must decode
-    * vectorized and never widen). A key column dropped from the current
-    * schema makes the extension throw → fall back to the row path, which
-    * surfaces the same error at read time with its richer message. */
+    * metadata weaving, every READ type vectorizable, and a non-empty
+    * projection (zero-column count scans keep the row stream).
+    * Position/equality deletes do NOT demote the scan — the batch reader
+    * filters survivors through a selection remap — and neither does TYPE
+    * WIDENING: pre-widen files decode natively and serve through an
+    * up-casting vector view ([[MemReaders.WidenedColumnVector]]).
+    * Equality deletes widen the check to the eq-key-extended READ schema
+    * (key columns are decoded for probing even when the projection pruned
+    * them, so they too must decode vectorized). A key column dropped from
+    * the current schema makes the extension throw → fall back to the row
+    * path, which surfaces the same error at read time with its richer
+    * message. */
   private def columnarEligible: Boolean =
     vectorized && required.fields.nonEmpty &&
       required.fields.forall(f =>
@@ -4325,8 +4456,7 @@ private[sources] final class MemScan(fullSchema: StructType,
           else MemReaders.schemaWithEqKeys(
             fullSchema, required, eqDeletes.flatMap(_.equalityCols))
         readSchema.fields.forall(f => DataFiles.vectorizable(f.dataType)) &&
-          initial.forall(f => f.path.endsWith(".parquet") &&
-            MemReaders.widenOverrides(typeHist, readSchema, f.seq).isEmpty)
+          initial.forall(_.path.endsWith(".parquet"))
       } catch { case _: RuntimeException => false })
 
   override def createReaderFactory(): PartitionReaderFactory =

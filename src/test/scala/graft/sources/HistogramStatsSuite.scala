@@ -1,0 +1,103 @@
+package graft.sources
+
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** EQUI-HEIGHT HISTOGRAMS ([[StatsHistograms]]): compaction-collected
+  * per-column bins fix CBO selectivity on SKEWED columns, where the
+  * min/max-uniform assumption is wrong by an order of magnitude. The
+  * contract:
+  *
+  *   - on a 95/5 skewed column, a tail predicate's estimated rows land
+  *     within 2× of actual while the uniform estimate is >10× off;
+  *   - the better estimate FLIPS a broadcast decision (the plan pin);
+  *   - any commit after collection retires the histogram (stale bins
+  *     must not estimate rows they do not describe) until the next
+  *     compaction re-collects.
+  */
+class HistogramStatsSuite extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val cat = "graft_snap"
+
+  private def fresh(name: String): String = {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.hist")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.hist.$name")
+    s"$cat.hist.$name"
+  }
+
+  /** 95% of rows in [0, 9], 5% spread uniformly over [10, 100009] — the
+    * Zipf-ish shape where uniform selectivity fails. */
+  private def skewed(name: String, histogram: Boolean): String = {
+    val t = fresh(name)
+    val props = if (histogram)
+      "TBLPROPERTIES ('stats.histogram-columns' = 'v')" else ""
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) $props")
+    spark.sql(s"""INSERT INTO $t
+      SELECT id, CASE WHEN id % 20 < 19 THEN id % 10
+                      ELSE 10 + (id * 7919) % 100000 END
+      FROM range(0, 40000)""")
+    spark.sql(s"CALL $cat.system.rewrite_data_files('hist.$name')")
+    t
+  }
+
+  private def estimate(t: String, pred: String): BigInt = {
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try spark.table(t).where(pred)
+      .queryExecution.optimizedPlan.stats.rowCount.getOrElse(BigInt(-1))
+    finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+
+  test("a skewed tail predicate estimates within 2x of actual with the " +
+      "histogram, while the uniform estimate is >10x off") {
+    val withH = skewed("sk_h", histogram = true)
+    val without = skewed("sk_u", histogram = false)
+    val pred = "v > 50000"
+    val actual = BigInt(spark.table(withH).where(pred).count())
+    assert(actual > 500 && actual < 1500, s"fixture sanity, got $actual")
+    val uniform = estimate(without, pred)
+    assert(uniform > actual * 10,
+      s"the uniform estimate should be wildly off (got $uniform vs $actual) " +
+        "— otherwise this fixture proves nothing")
+    val hist = estimate(withH, pred)
+    assert(hist <= actual * 2 && hist * 2 >= actual,
+      s"histogram estimate $hist should land within 2x of actual $actual")
+  }
+
+  test("the better estimate flips a broadcast decision; answers are " +
+      "identical either way; a post-collection commit retires the bins") {
+    val withH = skewed("fl_h", histogram = true)
+    val without = skewed("fl_u", histogram = false)
+    val probe = fresh("fl_probe")
+    spark.range(0, 40000).selectExpr("id AS k", "id AS w").writeTo(probe).create()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    // ~1000 true tail rows estimate to ~16 KB with the histogram (under
+    // the threshold); the uniform ~20k-row estimate lands far over it.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024).toString)
+    try {
+      def bhjOf(fact: String) = spark.sql(
+        s"""SELECT count(*) AS n FROM $probe p
+           |JOIN (SELECT k FROM $fact WHERE v > 50000) f ON p.k = f.k""".stripMargin)
+        .queryExecution.sparkPlan.collect { case b: BroadcastHashJoinExec => b }
+      assert(bhjOf(withH).nonEmpty,
+        "the histogram-informed selective side should broadcast statically")
+      assert(bhjOf(without).isEmpty,
+        "the uniform estimate must NOT broadcast — the flip is the histogram's")
+      val n = spark.sql(s"SELECT count(*) FROM $probe p JOIN " +
+        s"(SELECT k FROM $withH WHERE v > 50000) f ON p.k = f.k").head().getLong(0)
+      assert(n === spark.table(withH).where("v > 50000").count(),
+        "statistics must be invisible in the answer")
+      // A commit after collection retires the bins (the table no longer
+      // sits at the snapshot they describe) — the flip reverts.
+      spark.sql(s"INSERT INTO $withH VALUES (999999, 0)")
+      assert(bhjOf(withH).isEmpty,
+        "stale bins must not serve after the base advanced")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}

@@ -185,7 +185,8 @@ class VectorizedScanSuite extends AnyFunSuite {
     assert(read.filter(col("id") % 10 === 0).count() === 0)
   }
 
-  test("type widening of an eq-key column demotes the scan, same answer") {
+  test("type widening of an eq-key column KEEPS the batch path (round " +
+      "16: up-casting vector view), probe answers exact") {
     val t = fresh("eqwiden")
     spark.sql(s"CREATE TABLE $t (id INT, v BIGINT)")
     spark.range(0, 50).selectExpr("CAST(id AS INT) AS id", "id AS v")
@@ -194,25 +195,36 @@ class VectorizedScanSuite extends AnyFunSuite {
     import spark.implicits._
     SnapshotUpsert.upsertBatch(t,
       Seq((7L, 700L)).toDF("id", "v"), Seq("id"))
-    // Projection prunes `id`; the eq probe still needs it, and the
-    // pre-widen file requires an INT→BIGINT up-cast on it → row path.
+    // Projection prunes `id`; the eq probe still needs it — the pre-widen
+    // file decodes INT natively and probes through the widened view.
     val read = spark.table(t).select("v")
-    assert(!scansColumnar(read),
-      "a widened eq-key column needs the row path's up-cast weave")
+    assert(scansColumnar(read),
+      "a widened eq-key column must stay columnar through the up-cast view")
     assert(read.agg(sum("v")).head().getLong(0) ===
       (0L until 50L).filterNot(_ == 7L).sum + 700L)
   }
 
-  test("type-widened history falls back to the row path, same answer") {
+  test("type-widened history KEEPS the batch path: pre-widen files " +
+      "decode natively behind an up-casting view, batch ≡ row exact") {
     val t = fresh("widen")
-    spark.sql(s"CREATE TABLE $t (id BIGINT, v INT)")
-    spark.range(0, 100).selectExpr("id", "CAST(id AS INT) AS v")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v INT, p DECIMAL(6,2))")
+    spark.range(0, 100)
+      .selectExpr("id", "CAST(id AS INT) AS v",
+        "CAST(id AS DECIMAL(6,2)) / 4 AS p")
       .writeTo(t).append()
     spark.sql(s"ALTER TABLE $t ALTER COLUMN v TYPE BIGINT")
-    spark.range(100, 200).selectExpr("id", "id AS v").writeTo(t).append()
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN p TYPE DECIMAL(12,2)")
+    spark.range(100, 200)
+      .selectExpr("id", "id AS v", "CAST(id AS DECIMAL(12,2)) / 4 AS p")
+      .writeTo(t).append()
     val read = spark.table(t)
-    assert(!scansColumnar(read),
-      "pre-widen files need an up-cast — row path required")
+    assert(scansColumnar(read),
+      "pre-widen files must stay columnar behind the up-cast view")
+    val batch = read.orderBy("id").collect().map(_.toString).toSeq
+    // The row path must agree value-for-value (read.vectorized off).
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('read.vectorized'='false')")
+    val row = spark.table(t).orderBy("id").collect().map(_.toString).toSeq
+    assert(batch === row, "widened batch decode must equal the row path")
     assert(read.agg(sum("v")).head().getLong(0) === (0L until 200L).sum)
   }
 

@@ -537,6 +537,9 @@ private[graft] object MaterializedViews {
         try cat.dropTable(ident) catch { case _: Exception => () }
         throw e
     }
+    // The rewrite rule's discovery index is membership-keyed — a local
+    // CREATE must be servable immediately.
+    MvQueryRewrite.invalidate(cat.name())
     ()
   }
 
@@ -893,7 +896,10 @@ private[graft] object MaterializedViews {
         throw new IllegalArgumentException(
           s"${SnapshotStore.dotted(k)} is a plain table, not a " +
             "materialized view — use DROP TABLE")
-      case Some(_) => cat.dropTable(ident); ()
+      case Some(_) =>
+        cat.dropTable(ident)
+        MvQueryRewrite.invalidate(cat.name())
+        ()
     }
   }
 }

@@ -134,31 +134,71 @@ private[graft] object MvQueryRewrite {
     if (st.snapshots.isEmpty) 0L else st.snapshots.last.version
   }
 
-  /** Every MV in `cat` whose recorded base is `baseKey`. Listing errors
-    * (view claim dirs, concurrent drops) skip the entry — discovery is
-    * best-effort; matching re-validates everything it uses. */
+  /** catalog name → (builtAtMillis, baseKey → MV identifiers). The
+    * DISCOVERY index: which tables are MVs and what base each folds —
+    * membership changes only on CREATE/DROP MATERIALIZED VIEW, so the
+    * warehouse listing is cached JVM-wide with local create/drop
+    * invalidation ([[invalidate]]) plus a [[IndexTtlMs]] ceiling for
+    * MVs created by OTHER sessions (until it refreshes, such an MV is
+    * merely not yet served — never wrongly served: per-query matching
+    * re-resolves each candidate's CURRENT state for every freshness/
+    * shape gate). Without this, every aggregate over a catalog table
+    * would pay an O(|tables|) metadata listing at plan time. */
+  private val index = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Map[String, Vector[Identifier]])]()
+  private val IndexTtlMs = 30000L
+
+  /** Drop a catalog's discovery index (CREATE/DROP MATERIALIZED VIEW). */
+  def invalidate(catalogName: String): Unit = {
+    index.remove(catalogName)
+    ()
+  }
+
+  private def indexOf(cat: SnapshotCatalog): Map[String, Vector[Identifier]] = {
+    val name = cat.name()
+    val now = System.currentTimeMillis()
+    val cur = index.get(name)
+    if (cur != null && now - cur._1 < IndexTtlMs) return cur._2
+    val built: Map[String, Vector[Identifier]] =
+      try {
+        cat.listNamespaces().toSeq.flatMap { ns =>
+          val ids = try cat.listTables(ns).toSeq catch { case _: Exception => Nil }
+          ids.flatMap { id =>
+            val k = SnapshotStore.keyOf(name, id.namespace().toSeq :+ id.name())
+            try {
+              SnapshotStore.resolve(k)
+                .filter(st => MaterializedViews.isMv(st.properties))
+                .map(st => SnapshotStore.keyOf(name,
+                  MaterializedViews.baseParts(st.properties)) -> id)
+            } catch { case _: Exception => None }
+          }
+        }.groupBy(_._1).map { case (bk, xs) => bk -> xs.map(_._2).toVector }
+      } catch { case _: Exception => Map.empty }
+    index.put(name, (now, built))
+    built
+  }
+
+  /** Every MV of `cat` folding `baseKey`, with its CURRENT state —
+    * resolved fresh per query (the index only names candidates; every
+    * gate below re-validates against live metadata). Listing errors
+    * (view claim dirs, concurrent drops) skip the entry. */
   private def candidates(cat: SnapshotCatalog, baseKey: String): Seq[Cand] =
-    try {
-      cat.listNamespaces().toSeq.flatMap { ns =>
-        val ids = try cat.listTables(ns).toSeq catch { case _: Exception => Nil }
-        ids.flatMap { id =>
-          val k = SnapshotStore.keyOf(cat.name(),
-            id.namespace().toSeq :+ id.name())
-          try {
-            SnapshotStore.resolve(k)
-              .filter(st => MaterializedViews.isMv(st.properties))
-              // Star (join) MVs never serve a single-table aggregate:
-              // their rows are post-join, and their stored expressions
-              // carry f/d0/… qualifiers that must not string-match.
-              .filter(st => !st.properties.contains(MaterializedViews.PropDims))
-              .filter(st => SnapshotStore.keyOf(cat.name(),
-                MaterializedViews.baseParts(st.properties)) == baseKey)
-              .map(st => Cand(id, k, st,
-                MaterializedViews.colsFromJson(st.properties(PropCols))))
-          } catch { case _: Exception => None }
-        }
-      }
-    } catch { case _: Exception => Nil }
+    indexOf(cat).getOrElse(baseKey, Vector.empty).flatMap { id =>
+      val k = SnapshotStore.keyOf(cat.name(),
+        id.namespace().toSeq :+ id.name())
+      try {
+        SnapshotStore.resolve(k)
+          .filter(st => MaterializedViews.isMv(st.properties))
+          // Star (join) MVs never serve a single-table aggregate:
+          // their rows are post-join, and their stored expressions
+          // carry f/d0/… qualifiers that must not string-match.
+          .filter(st => !st.properties.contains(MaterializedViews.PropDims))
+          .filter(st => SnapshotStore.keyOf(cat.name(),
+            MaterializedViews.baseParts(st.properties)) == baseKey)
+          .map(st => Cand(id, k, st,
+            MaterializedViews.colsFromJson(st.properties(PropCols))))
+      } catch { case _: Exception => None }
+    }
 
   // -- matching --------------------------------------------------------------
 
@@ -176,8 +216,21 @@ private[graft] object MvQueryRewrite {
     val baseV = currentVersion(baseKey)
     cands.iterator
       .filter { c =>
-        !c.state.properties.contains(PropPending) &&
-          c.state.properties.get(PropBaseVersion).exists(_.toLong == baseV)
+        val props = c.state.properties
+        val mvCurrent =
+          if (c.state.snapshots.isEmpty) 0L else c.state.snapshots.last.version
+        !props.contains(PropPending) &&
+          props.get(PropBaseVersion).exists(_.toLong == baseV) &&
+          // TAMPER gate: only refresh/create ever write the backing table
+          // (PropSelfVersion is stamped after each), so a snapshot version
+          // PAST the stamp means someone ran DML directly against the MV —
+          // its rows no longer equal the body, and serving them would be
+          // wrong for a query that never mentioned the view. (A
+          // maintenance compaction of the MV table also moves the version
+          // and vetoes until the next refresh re-stamps — conservative,
+          // never wrong.)
+          props.get(MaterializedViews.PropSelfVersion)
+            .exists(_.toLong == mvCurrent)
       }
       .flatMap(c => matchOne(spark, agg, filterOpt, cat, c))
       .nextOption()
@@ -233,9 +286,13 @@ private[graft] object MvQueryRewrite {
       if (e.dataType == dt) e else Cast(e, dt, tz)
 
     /** Scalar mapping: group-column subtrees → MV attrs, literals pass,
-      * anything touching the base otherwise vetoes. */
+      * anything touching the base otherwise vetoes. NON-DETERMINISTIC
+      * expressions veto outright: `WHERE rand() < 0.5` samples base ROWS,
+      * and re-evaluating it over |groups| stored rows would keep or drop
+      * whole groups instead — silently wrong, not just re-randomized. */
     def mapScalar(e: Expression): Option[Expression] =
-      groupBySql.get(unq(e)) match {
+      if (!e.deterministic) None
+      else groupBySql.get(unq(e)) match {
         case Some(a) => Some(a)
         case None => e match {
           case _: SubqueryExpression => None
@@ -252,8 +309,11 @@ private[graft] object MvQueryRewrite {
       }
 
     /** Output mapping: like [[mapScalar]] plus aggregate serving. `exact`
-      * reads stored values directly; otherwise re-aggregates them. */
-    def mapValue(e: Expression, exact: Boolean): Option[Expression] = e match {
+      * reads stored values directly; otherwise re-aggregates them.
+      * Non-deterministic outputs veto like scalars (per-row vs per-group
+      * evaluation differs). */
+    def mapValue(e: Expression, exact: Boolean): Option[Expression] =
+      if (!e.deterministic) None else e match {
       case ae: AggregateExpression if ae.isDistinct || ae.filter.isDefined =>
         None
       case ae: AggregateExpression =>

@@ -1932,23 +1932,40 @@ private[graft] object SnapshotStore {
     * referenced them). */
   def commitDelta(k: String, newFiles: Vector[DataFile],
       newDeletes: Vector[DeleteFile], expectedBase: Option[Long]): Unit = {
-    val conf = RowFiles.sessionConf().value
-    val st0 = stateOf(k)
-    val v0 = if (st0.snapshots.isEmpty) 0L else st0.snapshots.last.version
-    expectedBase.filter(_ != v0).foreach { base =>
-      throw new IllegalStateException(
-        s"concurrent commit on ${dotted(k)}: the row-level rewrite read " +
-          s"v$base but the table is now at v$v0 — rerun the statement")
-    }
     val (posNew, otherNew) = newDeletes.partition(_.kind == "pos")
-    val (dvEntries, superseded, foldedPaths) =
-      DeletionVectors.mergeOnWrite(st0, posNew, st0.dataDir, conf)
+    // The deletion-vector fold pins the state it merged against; an
+    // EQ-ONLY delta (streaming upsert) folds nothing and keeps the old
+    // semantics — the CAS retry loop alone, so a concurrent append does
+    // NOT fail the statement (only expectedBase, when set, does).
+    val (dvEntries, superseded, foldedPaths, pinnedV) =
+      if (posNew.isEmpty)
+        (Vector.empty[DeleteFile], Set.empty[String], Vector.empty[String],
+          None: Option[Long])
+      else {
+        val conf = RowFiles.sessionConf().value
+        val st0 = stateOf(k)
+        val v0 = if (st0.snapshots.isEmpty) 0L else st0.snapshots.last.version
+        expectedBase.filter(_ != v0).foreach { base =>
+          throw new IllegalStateException(
+            s"concurrent commit on ${dotted(k)}: the row-level rewrite read " +
+              s"v$base but the table is now at v$v0 — rerun the statement")
+        }
+        val (e, s, f) = DeletionVectors.mergeOnWrite(st0, posNew, st0.dataDir, conf)
+        (e, s, f, Some(v0))
+      }
     try {
       update(k) { st =>
         val live = if (st.snapshots.isEmpty) 0L else st.snapshots.last.version
-        if (live != v0) throw new IllegalStateException(
-          s"concurrent commit on ${dotted(k)}: the delta folded deletes " +
-            s"at v$v0 but the table is now at v$live — rerun the statement")
+        expectedBase.filter(_ != live).foreach { base =>
+          throw new IllegalStateException(
+            s"concurrent commit on ${dotted(k)}: the row-level rewrite read " +
+              s"v$base but the table is now at v$live — rerun the statement")
+        }
+        pinnedV.filter(_ != live).foreach { v0 =>
+          throw new IllegalStateException(
+            s"concurrent commit on ${dotted(k)}: the delta folded deletes " +
+              s"at v$v0 but the table is now at v$live — rerun the statement")
+        }
         val known = (st.currentFiles.map(_.path) ++ newFiles.map(_.path)).toSet
         (otherNew ++ dvEntries).find(d => d.kind != "eq" && !known(d.dataPath))
           .foreach(d => throw new IllegalStateException(

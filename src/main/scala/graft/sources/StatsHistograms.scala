@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.types.{BooleanType, DataType, DateType, NumericType, StructType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DataType, DateType, NumericType, TimestampType}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -45,10 +45,22 @@ private[sources] object StatsHistograms {
   final case class Bin(lo: Double, hi: Double, ndv: Long)
   final case class ColHist(height: Double, bins: Vector[Bin])
 
+  /** Histogrammable types. Dates/timestamps must land in the SAME double
+    * space catalyst's estimation compares literals in — the INTERNAL
+    * representation (days / micros since epoch), not a SQL cast (a
+    * timestamp CAST to double yields seconds: a silent 10^6 selectivity
+    * error). Booleans and TimestampNTZ have no such conversion surface
+    * worth carrying — excluded. */
   private def supported(dt: DataType): Boolean = dt match {
-    case _: NumericType | DateType | TimestampType | TimestampNTZType |
-        BooleanType => true
+    case _: NumericType | DateType | TimestampType => true
     case _ => false
+  }
+
+  /** SQL projecting `c` into catalyst's estimation double space. */
+  private def toDoubleSql(c: String, dt: DataType): String = dt match {
+    case DateType => s"CAST(unix_date($c) AS DOUBLE)"
+    case TimestampType => s"CAST(unix_micros($c) AS DOUBLE)"
+    case _ => s"CAST($c AS DOUBLE)"
   }
 
   /** Collect + store histograms for the opted-in columns; called at the
@@ -76,9 +88,10 @@ private[sources] object StatsHistograms {
           None
         case Some(f) if !supported(f.dataType) =>
           logWarning(s"$ColumnsProp column '$c' (${f.dataType.simpleString}) " +
-            "is not histogrammable (numeric/date/timestamp/boolean) — skipped")
+            "is not histogrammable (numeric/date/timestamp) — skipped")
           None
-        case Some(f) => buildOne(spark, name, f.name, bins).map(f.name -> _)
+        case Some(f) =>
+          buildOne(spark, name, f.name, f.dataType, bins).map(f.name -> _)
       }
     }
     if (done.isEmpty) return Nil
@@ -101,12 +114,13 @@ private[sources] object StatsHistograms {
     * adjacent bins, preserving total mass), then one grouped pass for
     * per-bin NDV. None when the column has no non-null rows. */
   private def buildOne(spark: SparkSession, table: String, col: String,
-      bins: Int): Option[ColHist] = {
+      dt: DataType, bins: Int): Option[ColHist] = {
     val q = (1 until bins).map(i => i.toDouble / bins)
     val c = graft.catalog.DdlGenerator.quoteIdent(col)
+    val v = toDoubleSql(c, dt)
     val head = spark.sql(
-      s"""SELECT approx_percentile(CAST($c AS DOUBLE), array(${q.mkString(",")})) AS b,
-        min(CAST($c AS DOUBLE)) AS lo, max(CAST($c AS DOUBLE)) AS hi,
+      s"""SELECT approx_percentile($v, array(${q.mkString(",")})) AS b,
+        min($v) AS lo, max($v) AS hi,
         count($c) AS n
         FROM $table""").head()
     if (head.isNullAt(1) || head.getLong(3) == 0L) return None
@@ -114,6 +128,13 @@ private[sources] object StatsHistograms {
     val hi = head.getDouble(2)
     val n = head.getLong(3)
     val bounds = ((lo +: head.getSeq[Double](0)) :+ hi).toArray
+    // Non-finite boundaries (Infinity/NaN in a double column) serialize
+    // to unparseable SQL and invalid JSON — skip the column, loudly.
+    if (bounds.exists(b => !java.lang.Double.isFinite(b))) {
+      logWarning(s"$ColumnsProp column '$col' holds non-finite values " +
+        "(Infinity/NaN) — histogram skipped")
+      return None
+    }
     // Per-bin NDV in one grouped pass: assign each non-null value its bin
     // (upper-inclusive, catalyst's histogram semantics; the first bin
     // also takes its lower bound), approx-distinct per bin.
@@ -122,7 +143,7 @@ private[sources] object StatsHistograms {
       .mkString("CASE ", " ", s" ELSE ${bounds.length - 2} END")
     val ndvRows = spark.sql(
       s"""SELECT $binCase AS _b, approx_count_distinct(_v) AS _d
-        FROM (SELECT CAST($c AS DOUBLE) AS _v FROM $table WHERE $c IS NOT NULL)
+        FROM (SELECT $v AS _v FROM $table WHERE $c IS NOT NULL)
         GROUP BY 1""").collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val out = (0 until bounds.length - 1).map { i =>

@@ -65,6 +65,37 @@ class HistogramStatsSuite extends AnyFunSuite {
       s"histogram estimate $hist should land within 2x of actual $actual")
   }
 
+  test("DATE and TIMESTAMP columns histogram in catalyst's INTERNAL " +
+      "double space (days/micros); non-finite doubles skip the column " +
+      "instead of failing the compaction") {
+    val t = fresh("dts")
+    spark.sql(s"""CREATE TABLE $t (d DATE, ts TIMESTAMP, x DOUBLE)
+      TBLPROPERTIES ('stats.histogram-columns' = 'd, ts, x')""")
+    // x carries Infinity — collection must skip it, loudly, not throw.
+    spark.sql(s"""INSERT INTO $t
+      SELECT date_add(DATE '2024-01-01', CAST(id % 365 AS INT)),
+        timestamp_micros(1700000000000000 + id * 1000000),
+        CASE WHEN id = 7 THEN double('Infinity') ELSE CAST(id AS DOUBLE) END
+      FROM range(0, 2000)""")
+    spark.sql(s"CALL $cat.system.rewrite_data_files('hist.dts')")
+    val props = SnapshotStore.stateOf(
+      SnapshotStore.keyOf(cat, Seq("hist", "dts"))).properties
+    val stored = props(StatsHistograms.StoreProp)
+    assert(stored.contains("\"d\"") && stored.contains("\"ts\""))
+    assert(!stored.contains("\"x\""), "the Infinity column must be skipped")
+    // A date-range predicate estimates from the bins — sane, not 1 row,
+    // not the whole table (the internal-days space must line up with the
+    // literal catalyst compares in).
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val est = spark.table(t).where("d >= DATE '2024-12-01'")
+        .queryExecution.optimizedPlan.stats.rowCount.getOrElse(BigInt(-1))
+      val actual = BigInt(spark.table(t).where("d >= DATE '2024-12-01'").count())
+      assert(est > 0 && est <= actual * 2 && est * 2 >= actual,
+        s"date-histogram estimate $est should track actual $actual")
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+
   test("the better estimate flips a broadcast decision; answers are " +
       "identical either way; a post-collection commit retires the bins") {
     val withH = skewed("fl_h", histogram = true)

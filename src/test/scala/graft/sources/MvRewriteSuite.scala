@@ -219,6 +219,36 @@ class MvRewriteSuite extends AnyFunSuite {
     } finally spark.conf.unset(MvQueryRewrite.EnabledKey)
   }
 
+  test("NON-DETERMINISTIC predicates veto the rewrite: WHERE rand() " +
+      "samples base ROWS — re-evaluating it over groups would be wrong") {
+    val t = baseTable("rand_base")
+    val v = fresh("rand_mv")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $v AS
+      SELECT grp, count(*) AS n FROM $t GROUP BY grp""")
+    val on = scans(spark.sql(
+      s"SELECT grp, count(*) AS n FROM $t WHERE rand() < 0.5 GROUP BY grp"))
+    assert(on.exists(_.contains("rand_base")) &&
+      !on.exists(_.contains("rand_mv")),
+      s"a nondeterministic WHERE must plan against the base, got $on")
+  }
+
+  test("direct DML against the MV's backing table (self-version moved " +
+      "past the stamp) vetoes the rewrite — tampered rows never serve") {
+    val t = baseTable("tamper_base")
+    val v = fresh("tamper_mv")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $v AS
+      SELECT grp, count(*) AS n FROM $t GROUP BY grp""")
+    val q = s"SELECT grp, count(*) AS n FROM $t GROUP BY grp"
+    hitsMv(bothWays(q)._1, "tamper_mv", "tamper_base")
+    // Nothing blocks INSERT INTO the backing table — it is a catalog
+    // table; the rewrite must notice the snapshot moved past the stamp.
+    spark.sql(s"INSERT INTO $v VALUES ('gX', 12345)")
+    val (on, _) = bothWays(q)
+    assert(on.exists(_.contains("tamper_base")) &&
+      !on.exists(_.contains("tamper_mv")),
+      s"a tampered backing table must never serve, got $on")
+  }
+
   test("the substituted scan is PINNED to the validated MV snapshot " +
       "(a refresh landing between plan and execution cannot shift rows)") {
     val t = baseTable("pin_base")

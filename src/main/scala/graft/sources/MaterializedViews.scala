@@ -468,6 +468,23 @@ private[graft] object MaterializedViews {
     if (st.snapshots.isEmpty) 0L else st.snapshots.last.version
   }
 
+  /** Did the MV table's CONTENT change in versions (selfV, now]?
+    * Compaction commits (`operation = "replace"`) rewrite files, never
+    * rows — so a version drift made only of replaces is content-neutral.
+    * None = undecidable (some intervening snapshot was expired). This is
+    * what makes the crash-recovery version math survive MV-table
+    * maintenance: "the MERGE landed iff the version advanced" is
+    * falsified by a compaction landing between the crash and the
+    * recovery, and finalizing on a compaction would stamp never-applied
+    * deltas as applied. */
+  private[sources] def contentMoved(st: SnapshotStore.TableState,
+      selfV: Long, now: Long): Option[Boolean] = {
+    if (now <= selfV) return Some(false)
+    val between = st.snapshots.filter(s => s.version > selfV && s.version <= now)
+    if (between.size != (now - selfV)) None
+    else Some(between.exists(_.operation != "replace"))
+  }
+
   private def bq(n: String): String = graft.catalog.DdlGenerator.quoteIdent(n)
 
   def isMv(props: Map[String, String]): Boolean = props.contains(PropSql)
@@ -679,15 +696,27 @@ private[graft] object MaterializedViews {
       val pv = p.toLong
       val selfV = st.properties.get(PropSelfVersion).fold(0L)(_.toLong)
       val now = currentVersion(mvKey)
-      if (now > selfV)
-        // The MERGE landed (only refresh writes this table); finalize.
-        SnapshotStore.update(mvKey)(s0 => s0.copy(properties =
-          s0.properties + (PropBaseVersion -> pv.toString) +
-            (PropSelfVersion -> now.toString) - PropPending))
-      else
-        // The MERGE never landed; clear the claim and fold normally.
-        SnapshotStore.update(mvKey)(s0 =>
-          s0.copy(properties = s0.properties - PropPending))
+      contentMoved(st, selfV, now) match {
+        case Some(true) =>
+          // A CONTENT commit landed past the stamp — only the refresh's
+          // MERGE writes rows to this table, so it landed; finalize.
+          // (Version drift alone cannot prove this: a compaction also
+          // advances the version without touching a row.)
+          SnapshotStore.update(mvKey)(s0 => s0.copy(properties =
+            s0.properties + (PropBaseVersion -> pv.toString) +
+              (PropSelfVersion -> now.toString) - PropPending))
+        case Some(false) =>
+          // No content commit (at most compactions re-encoded the same
+          // rows): the MERGE never landed — clear the claim, adopt the
+          // maintenance drift into the stamp, and fold normally.
+          SnapshotStore.update(mvKey)(s0 => s0.copy(properties =
+            s0.properties + (PropSelfVersion -> now.toString) - PropPending))
+        case None => throw new IllegalStateException(
+          s"cannot recover $shown: its own history between the recovery " +
+            s"witness v$selfV and the current v$now was expired, so " +
+            "whether the crashed MERGE landed is undecidable — rebuild " +
+            "with CALL refresh_mv(table, full => true)")
+      }
       st = SnapshotStore.stateOf(mvKey)
     }
 
@@ -712,7 +741,21 @@ private[graft] object MaterializedViews {
     }
     val b = props(PropBaseVersion).toLong
     val c = currentVersion(baseKey)
-    if (c == b) return (b, c, false)
+    if (c == b) {
+      // Already current — but MAINTENANCE of the MV table itself
+      // (compaction) may have advanced its version past the
+      // PropSelfVersion stamp, which the rewrite rule's tamper gate
+      // reads as foreign DML. Adopt replace-only drift into the stamp
+      // (compaction is content-neutral) so the next refresh — maintain
+      // runs one before every compact — re-arms automatic rewrite;
+      // genuine content drift stays unstamped, keeping the veto.
+      val selfV = props.get(PropSelfVersion).fold(0L)(_.toLong)
+      val now = currentVersion(mvKey)
+      if (now != selfV && contentMoved(st, selfV, now) == Some(false))
+        SnapshotStore.update(mvKey)(s0 => s0.copy(properties =
+          s0.properties + (PropSelfVersion -> now.toString)))
+      return (b, c, false)
+    }
     if (c < b) throw new IllegalStateException(
       s"base table ${base.mkString(".")} is at v$c but $shown's watermark " +
         s"is v$b — the base was dropped and recreated; DROP and " +

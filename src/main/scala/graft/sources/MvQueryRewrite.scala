@@ -111,7 +111,11 @@ private[graft] object MvQueryRewrite {
   private def destructure(agg: Aggregate):
       Option[(Option[Expression], SnapshotCatalog, String)] = {
     def relOf(p: LogicalPlan): Option[(SnapshotCatalog, String)] = p match {
-      case r: DataSourceV2Relation => r.table match {
+      // Reader OPTIONS veto the rewrite outright: a `files`-restricted
+      // scan (the incremental-read hook) or any other option-modified
+      // read is NOT the whole live table the MV materializes — plain
+      // `spark.table`/SQL reads carry no options.
+      case r: DataSourceV2Relation if r.options.isEmpty => r.table match {
         case m: MemTable if m.isLiveHead => r.catalog match {
           case Some(c: SnapshotCatalog) => Some((c, m.storeKey))
           case _ => None

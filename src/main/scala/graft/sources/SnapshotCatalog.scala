@@ -1152,6 +1152,9 @@ object SnapshotCatalog {
     val k = SnapshotStore.keyOf(catalog, ident)
     val st = SnapshotStore.stateOf(k)
     val before = st.currentFiles.size
+    // Fail-fast: a malformed histogram property must fail the procedure
+    // BEFORE the rewrite commits, not after.
+    StatsHistograms.validate(st.properties)
     val name = (catalog +: ident).map(p => s"`$p`").mkString(".")
     import org.apache.spark.sql.functions.{col, lit}
     val df = spark.table(name)
@@ -1180,6 +1183,7 @@ object SnapshotCatalog {
     // Equi-height histograms for opted-in columns ride compaction — the
     // one moment the engine already rewrites every live row (see
     // [[StatsHistograms]]); stored against the fresh snapshot version.
+    // (Property validation ran BEFORE the rewrite committed.)
     StatsHistograms.collect(spark, catalog, ident)
     (before, SnapshotStore.stateOf(k).currentFiles.size)
   }
@@ -2481,10 +2485,12 @@ private[sources] final class MemTable(fullName: String, k: String,
       currentSpecId = st.currentSpecId,
       // Sorted-scan ordering reporting (gated per file in the scan).
       tableSortOrder = SortOrders.forRead(props, tableSchema),
-      // Pinned (time-travel) reads never serve histograms: the stored
-      // bins describe the CURRENT snapshot only.
+      // Pinned (time-travel) and `files`-restricted reads never serve
+      // histograms: the stored bins describe the CURRENT WHOLE table —
+      // a file subset's distribution can differ arbitrarily (changed
+      // files are exactly the skewed slice).
       histograms =
-        if (pinned.isDefined) Map.empty
+        if (pinned.isDefined || restricted.isDefined) Map.empty
         else StatsHistograms.forRead(props, sn.fold(0L)(_.version)))
   }
 
@@ -2966,11 +2972,22 @@ private[sources] object SortOrders {
 
   /** The canonical per-file stamp of an enforced order — what
     * [[SnapshotStore.DataFile.sortKey]] records and scans compare with
-    * the current property. Case-normalized so a property rewritten with
-    * different casing still matches files it did not re-sort. */
-  def normalize(order: Seq[(String, Boolean)]): String =
-    order.map { case (c, asc) =>
-      c.toLowerCase + (if (asc) " asc" else " desc") }.mkString(",")
+    * the current property. Keyed by FIELD ID, not name: names are
+    * reusable (RENAME a TO z; RENAME b TO a would make a name-keyed
+    * stamp claim an order the files do not have — the same reused-name
+    * trap the projection's `_graft_absent_` defense closes), ids are
+    * rename-stable. None when any sort column lacks an id (legacy
+    * pre-field-id tables): never stamp, never report. */
+  def normalize(order: Seq[(String, Boolean)],
+      schema: StructType): Option[String] = {
+    val parts = order.map { case (c, asc) =>
+      schema.fields.find(_.name.equalsIgnoreCase(c))
+        .flatMap(FieldIds.idOf)
+        .map(id => s"$id " + (if (asc) "asc" else "desc"))
+    }
+    if (parts.forall(_.isDefined)) Some(parts.map(_.get).mkString(","))
+    else None
+  }
 
   /** The current table order for READ-side reporting — never throws:
     * a sort-order property naming a since-dropped column just reports
@@ -3044,7 +3061,8 @@ private[sources] final class MemWriteBuilder(k: String, writeSchema: StructType,
       st.properties.get("write.distribution-mode").exists(_.equalsIgnoreCase("range"))
     if (hashDistribute || rangeDistribute || sortOrder.nonEmpty)
       new GraftWrite(
-        if (sortOrder.isEmpty) "" else SortOrders.normalize(sortOrder))
+        if (sortOrder.isEmpty) ""
+        else SortOrders.normalize(sortOrder, st.schema).getOrElse(""))
           with RequiresDistributionAndOrdering {
         override def requiredDistribution():
             org.apache.spark.sql.connector.distributions.Distribution =
@@ -3394,9 +3412,9 @@ private[sources] final class MemScanBuilder(fullSchema: StructType,
       * reporting ([[SortOrders.forRead]]); Nil = never report. */
     tableSortOrder: Seq[(String, Boolean)] = Nil,
     /** Current-snapshot equi-height histograms ([[StatsHistograms]]),
-      * keyed by lowercased column; served to CBO only by UNPRUNED scans
-      * (they describe the whole table). */
-    histograms: Map[String, StatsHistograms.ColHist] = Map.empty)
+      * keyed by FIELD ID; served to CBO only by UNPRUNED scans (they
+      * describe the whole table). */
+    histograms: Map[Int, StatsHistograms.ColHist] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownV2Filters {
   private val statCols = StatsPredicates.statCols(fullSchema)
@@ -3693,7 +3711,11 @@ private[sources] object MemReaders {
       from: DataType, to: DataType)
       extends org.apache.spark.sql.vectorized.ColumnVector(to) {
     import org.apache.spark.sql.types.{ByteType, DecimalType, FloatType, IntegerType, ShortType}
-    override def close(): Unit = d.close()
+    // NO-OP close (like [[SelectedColumnVector]]): the delegate is the
+    // DECODER's reusable vector, owned and closed by the reader itself —
+    // Spark closes each emitted batch, and a delegating close here would
+    // free the reader's buffers mid-stream (NPE on the next decode).
+    override def close(): Unit = ()
     override def hasNull: Boolean = d.hasNull
     override def numNulls(): Int = d.numNulls()
     override def isNullAt(i: Int): Boolean = d.isNullAt(i)
@@ -4159,7 +4181,7 @@ private[sources] final class MemScan(fullSchema: StructType,
       * |chunks| arrays replaces merging |files| (see the builder). */
     chunkNdv: Option[Vector[Map[Int, (SnapshotStore.Ndv, Long)]]] = None,
     tableSortOrder: Seq[(String, Boolean)] = Nil,
-    histograms: Map[String, StatsHistograms.ColHist] = Map.empty)
+    histograms: Map[Int, StatsHistograms.ColHist] = Map.empty)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -4258,7 +4280,7 @@ private[sources] final class MemScan(fullSchema: StructType,
             // Equi-height histogram (compaction-collected, current
             // snapshot only — the skewed-column selectivity fix).
             val histOpt: Option[StatsHistograms.ColHist] =
-              histograms.get(f.name.toLowerCase).filter(_.bins.nonEmpty)
+              histograms.get(id).filter(_.bins.nonEmpty)
             if (ndvAndNulls.isDefined || lens.isDefined || histOpt.isDefined) {
               val ndvOpt = ndvAndNulls.map(_._1)
               val totalNulls = ndvAndNulls.map(_._2).getOrElse(
@@ -4371,6 +4393,15 @@ private[sources] final class MemScan(fullSchema: StructType,
     ScanSplits.partitions(files, deletes, splitTargetBytes, eqDeletes,
       SnapshotStore.idTypes(fullSchema))
 
+  /** PLAN-TIME partition count for the ordering gates ([[outputOrdering]]
+    * and the sort-elision rule) — memoized: each gate would otherwise
+    * re-run full split planning (O(files)) per Sort node per optimizer
+    * pass. Computed over the pre-runtime-filter file set; runtime
+    * filtering only REMOVES partitions, so every ≤-bound checked against
+    * this count stays conservative. */
+  private[sources] lazy val planTimePartitionCount: Int =
+    try planInputPartitions().length catch { case _: Exception => Int.MaxValue }
+
   /** STORAGE-PARTITIONED JOINS: report the current spec's transforms as
     * `KeyGroupedPartitioning` (every task of one partition VALUE lands in
     * one group), so two catalog tables sharing the spec join with ZERO
@@ -4426,7 +4457,10 @@ private[sources] final class MemScan(fullSchema: StructType,
       Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     val none = Array.empty[org.apache.spark.sql.connector.expressions.SortOrder]
     if (tableSortOrder.isEmpty || files.isEmpty) return none
-    val key = SortOrders.normalize(tableSortOrder)
+    val key = SortOrders.normalize(tableSortOrder, fullSchema) match {
+      case Some(k) => k
+      case None => return none // legacy id-less sort column
+    }
     if (!files.forall(_.sortKey == key)) return none
     if (!tableSortOrder.forall { case (c, _) =>
         required.fieldNames.exists(_.equalsIgnoreCase(c)) }) return none
@@ -4436,7 +4470,7 @@ private[sources] final class MemScan(fullSchema: StructType,
       val groups = files.map(f =>
         SnapshotStore.comparablePartition(f.partitionValues)).distinct.size
       if (files.size != groups) return none
-      if (planInputPartitions().length != files.size) return none // splits
+      if (planTimePartitionCount != files.size) return none // splits
     }
     // Report with the OUTPUT schema's casing so the references resolve.
     SortOrders.v2Ordering(tableSortOrder.map { case (c, asc) =>

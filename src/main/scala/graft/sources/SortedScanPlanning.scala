@@ -47,9 +47,7 @@ private[graft] object SortedScanSortElision extends Rule[LogicalPlan] {
 
   private def singlePartition(r: DataSourceV2ScanRelation): Boolean =
     r.scan match {
-      case m: MemScan =>
-        try m.planInputPartitions().length <= 1
-        catch { case _: Exception => false }
+      case m: MemScan => m.planTimePartitionCount <= 1
       case _ => false
     }
 

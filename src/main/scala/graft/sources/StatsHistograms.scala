@@ -63,6 +63,23 @@ private[sources] object StatsHistograms {
     case _ => s"CAST($c AS DOUBLE)"
   }
 
+  /** Fail-fast property validation — called BEFORE compaction's rewrite
+    * commits, so a malformed `stats.histogram-bins` fails the procedure
+    * with nothing half-done (collection itself runs after the rewrite). */
+  def validate(props: Map[String, String]): Unit = {
+    if (props.get(ColumnsProp).exists(_.trim.nonEmpty)) { binsOf(props); () }
+  }
+
+  private def binsOf(props: Map[String, String]): Int = {
+    val bins = props.get(BinsProp).map(raw =>
+      raw.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"$BinsProp must be an integer in [2, 1024], got '$raw'")))
+      .getOrElse(32)
+    require(bins >= 2 && bins <= 1024,
+      s"$BinsProp must be in [2, 1024], got $bins")
+    bins
+  }
+
   /** Collect + store histograms for the opted-in columns; called at the
     * END of compaction (the table just became one fresh snapshot).
     * Returns the histogrammed column names (for the procedure's report). */
@@ -73,8 +90,7 @@ private[sources] object StatsHistograms {
     val cols = st.properties.get(ColumnsProp).map(_.trim).filter(_.nonEmpty)
       .fold(Seq.empty[String])(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
     if (cols.isEmpty) return Nil
-    val bins = st.properties.get(BinsProp).map(_.toInt).getOrElse(32)
-    require(bins >= 2 && bins <= 1024, s"$BinsProp must be in [2, 1024], got $bins")
+    val bins = binsOf(st.properties)
     val version =
       if (st.snapshots.isEmpty) 0L else st.snapshots.last.version
     val name = (catalog +: ident)
@@ -91,14 +107,25 @@ private[sources] object StatsHistograms {
             "is not histogrammable (numeric/date/timestamp) — skipped")
           None
         case Some(f) =>
-          buildOne(spark, name, f.name, f.dataType, bins).map(f.name -> _)
+          // Keyed by FIELD ID: names are reusable (RENAME + ADD COLUMN
+          // would hand a dead column's bins to an unrelated new one);
+          // ids are rename-stable. Id-less legacy columns skip.
+          FieldIds.idOf(f) match {
+            case None =>
+              logWarning(s"$ColumnsProp column '$c' carries no field id " +
+                "(legacy schema) — skipped")
+              None
+            case Some(id) =>
+              buildOne(spark, name, f.name, f.dataType, bins)
+                .map(h => (f.name, id, h))
+          }
       }
     }
     if (done.isEmpty) return Nil
     val json = JsonMethods.compact(JsonMethods.render(JObject(List(
       "v" -> JLong(version),
-      "cols" -> JObject(done.toList.map { case (c, h) =>
-        c.toLowerCase -> (JObject(List(
+      "cols" -> JObject(done.toList.map { case (_, id, h) =>
+        id.toString -> (JObject(List(
           "h" -> JDouble(h.height),
           "bins" -> JArray(h.bins.toList.map(b => JArray(List(
             JDouble(b.lo), JDouble(b.hi), JLong(b.ndv))))))): JValue)
@@ -153,18 +180,18 @@ private[sources] object StatsHistograms {
   }
 
   /** Parse the stored property IF it describes `currentVersion`; any
-    * later commit retires it until the next compaction. Never throws —
-    * a malformed property just serves nothing. */
+    * later commit retires it until the next compaction. Keyed by FIELD
+    * ID. Never throws — a malformed property just serves nothing. */
   def forRead(props: Map[String, String],
-      currentVersion: Long): Map[String, ColHist] =
-    props.get(StoreProp).fold(Map.empty[String, ColHist]) { raw =>
+      currentVersion: Long): Map[Int, ColHist] =
+    props.get(StoreProp).fold(Map.empty[Int, ColHist]) { raw =>
       try {
         val j = JsonMethods.parse(raw)
         val v = (j \ "v") match { case JLong(x) => x; case JInt(x) => x.toLong
           case _ => return Map.empty }
         if (v != currentVersion) return Map.empty
         (j \ "cols") match {
-          case JObject(fields) => fields.map { case (c, cj) =>
+          case JObject(fields) => fields.flatMap { case (c, cj) =>
             val h = (cj \ "h") match { case JDouble(x) => x
               case JInt(x) => x.toDouble; case _ => 0.0 }
             val bs = (cj \ "bins") match {
@@ -180,7 +207,7 @@ private[sources] object StatsHistograms {
               }.toVector
               case _ => Vector.empty
             }
-            c -> ColHist(h, bs)
+            c.toIntOption.map(_ -> ColHist(h, bs))
           }.toMap
           case _ => Map.empty
         }

@@ -81,8 +81,10 @@ class HistogramStatsSuite extends AnyFunSuite {
     val props = SnapshotStore.stateOf(
       SnapshotStore.keyOf(cat, Seq("hist", "dts"))).properties
     val stored = props(StatsHistograms.StoreProp)
-    assert(stored.contains("\"d\"") && stored.contains("\"ts\""))
-    assert(!stored.contains("\"x\""), "the Infinity column must be skipped")
+    // Bins are FIELD-ID-keyed: d and ts stored, the Infinity column (x)
+    // skipped — two column entries, not three.
+    assert("\"\\d+\":\\{\"h\"".r.findAllIn(stored).size === 2,
+      s"expected exactly d and ts histogrammed, got: ${stored.take(120)}")
     // A date-range predicate estimates from the bins — sane, not 1 row,
     // not the whole table (the internal-days space must line up with the
     // literal catalyst compares in).
@@ -94,6 +96,41 @@ class HistogramStatsSuite extends AnyFunSuite {
       assert(est > 0 && est <= actual * 2 && est * 2 >= actual,
         s"date-histogram estimate $est should track actual $actual")
     } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+
+  test("bins are FIELD-ID-keyed: a renamed column keeps its own bins, " +
+      "a new column reusing the name gets none; malformed bins fail " +
+      "BEFORE the rewrite commits") {
+    val t = fresh("ren")
+    spark.sql(s"""CREATE TABLE $t (k BIGINT, v BIGINT)
+      TBLPROPERTIES ('stats.histogram-columns' = 'v')""")
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(0, 1000)")
+    spark.sql(s"CALL $cat.system.rewrite_data_files('hist.ren')")
+    val key = SnapshotStore.keyOf(cat, Seq("hist", "ren"))
+    val stored = SnapshotStore.stateOf(key).properties(StatsHistograms.StoreProp)
+    // RENAME bumps no snapshot version: the SAME column (same id, same
+    // data) keeps serving its bins under the new name; a NEW column
+    // reusing the old name must not inherit them (id keys, not names).
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO w")
+    spark.sql(s"ALTER TABLE $t ADD COLUMN v DOUBLE")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val estW = spark.table(t).where("w >= 900")
+        .queryExecution.optimizedPlan.stats.rowCount.getOrElse(BigInt(-1))
+      assert(estW >= 50 && estW <= 200,
+        s"renamed column keeps its (id-keyed) bins, got $estW for ~100 rows")
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+    // Malformed bins property: the procedure must fail BEFORE the
+    // rewrite lands — the snapshot version must not move.
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('stats.histogram-bins' = 'abc')")
+    val vBefore = SnapshotStore.stateOf(key).snapshots.last.version
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.rewrite_data_files('hist.ren')").collect()
+    }
+    assert(e.getMessage.contains("histogram-bins"), s"got: ${e.getMessage}")
+    assert(SnapshotStore.stateOf(key).snapshots.last.version === vBefore,
+      "validation must precede the rewrite commit")
+    assert(stored.nonEmpty) // (fixture sanity)
   }
 
   test("the better estimate flips a broadcast decision; answers are " +

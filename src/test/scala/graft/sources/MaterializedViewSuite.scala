@@ -223,6 +223,51 @@ class MaterializedViewSuite extends AnyFunSuite {
     assert(spark.sql(s"SELECT sum(n) FROM $v").head().getLong(0) === 70L)
   }
 
+  test("recovery version-math survives MV-table COMPACTION: a replace " +
+      "commit between the crash and the recover must not finalize a " +
+      "never-landed fold") {
+    val t = fresh("base11")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, grp STRING, qty BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('g', id % 3), id FROM range(0, 30)")
+    val v = fresh("mv11")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $v AS
+      SELECT grp, count(*) AS n, sum(coalesce(qty, 0)) AS q FROM $t GROUP BY grp""")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('g', id % 3), id FROM range(100, 120)")
+    val mvKey = SnapshotStore.keyOf(cat, Seq("mv", "mv11"))
+    // Crash AFTER the claim, BEFORE the MERGE…
+    SnapshotStore.update(mvKey)(s0 => s0.copy(properties =
+      s0.properties + (MaterializedViews.PropPending -> "2")))
+    // …then MAINTENANCE compacts the MV table: its version advances
+    // WITHOUT any content commit. The old "version moved ⇒ merge landed"
+    // math would finalize here and silently drop the 20-row delta.
+    spark.sql(s"CALL $cat.system.rewrite_data_files('mv.mv11')")
+    val r = spark.sql(
+      s"CALL $cat.system.refresh_mv(table => 'mv.mv11', recover => true)").head()
+    assert(r.getBoolean(2), "recover must RE-RUN the fold, not finalize")
+    assert(spark.sql(s"SELECT sum(n) FROM $v").head().getLong(0) === 50L,
+      "the delta must actually be applied")
+  }
+
+  test("a no-op refresh adopts replace-only version drift into the " +
+      "self-version stamp (re-arming MV query rewrite after compaction)") {
+    val t = fresh("base12")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, grp STRING)")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('g', id % 3) FROM range(0, 30)")
+    val v = fresh("mv12")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $v AS
+      SELECT grp, count(*) AS n FROM $t GROUP BY grp""")
+    val mvKey = SnapshotStore.keyOf(cat, Seq("mv", "mv12"))
+    spark.sql(s"CALL $cat.system.rewrite_data_files('mv.mv12')")
+    def selfV = SnapshotStore.stateOf(mvKey)
+      .properties(MaterializedViews.PropSelfVersion).toLong
+    def nowV = SnapshotStore.stateOf(mvKey).snapshots.last.version
+    assert(selfV != nowV, "fixture: compaction drifted the version")
+    val r = spark.sql(s"CALL $cat.system.refresh_mv(table => 'mv.mv12')").head()
+    assert(!r.getBoolean(2), "base unchanged: a no-op refresh")
+    assert(selfV === nowV,
+      "the no-op refresh must adopt the compaction drift into the stamp")
+  }
+
   test("definitions and watermarks are durable: a restarted session " +
       "refreshes an MV it never created") {
     val t = fresh("base6")

@@ -249,6 +249,46 @@ class MvRewriteSuite extends AnyFunSuite {
       s"a tampered backing table must never serve, got $on")
   }
 
+  test("a `files`-restricted base read (the incremental hook) is NOT " +
+      "rewritten — its rows are a subset the whole-table MV does not " +
+      "describe") {
+    val t = baseTable("restr_base")
+    val v = fresh("restr_mv")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $v AS
+      SELECT grp, count(*) AS n FROM $t GROUP BY grp""")
+    hitsMv(bothWays(s"SELECT grp, count(*) AS n FROM $t GROUP BY grp")._1,
+      "restr_mv", "restr_base")
+    val files = SnapshotStore.stateOf(
+      SnapshotStore.keyOf(cat, Seq("mvr", "restr_base"))).currentFiles
+    val one = files.head.path
+    val restricted = spark.read.option("files", one).table(t)
+      .groupBy("grp").count()
+    val on = scans(restricted)
+    assert(on.exists(_.contains("restr_base")) &&
+      !on.exists(_.contains("restr_mv")),
+      s"an option-carrying read must never rewrite, got $on")
+    if (files.size > 1)
+      assert(restricted.agg(org.apache.spark.sql.functions.sum("count"))
+        .head().getLong(0) < 300L, "sanity: the restriction is real")
+  }
+
+  test("MV-table compaction vetoes the rewrite (conservative tamper " +
+      "gate); the next refresh — even a no-op — re-arms it") {
+    val t = baseTable("comp_base")
+    val v = fresh("comp_mv")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $v AS
+      SELECT grp, count(*) AS n FROM $t GROUP BY grp""")
+    val q = s"SELECT grp, count(*) AS n FROM $t GROUP BY grp"
+    hitsMv(bothWays(q)._1, "comp_mv", "comp_base")
+    spark.sql(s"CALL $cat.system.rewrite_data_files('mvr.comp_mv')")
+    val vetoed = scans(spark.sql(q))
+    assert(vetoed.exists(_.contains("comp_base")) &&
+      !vetoed.exists(_.contains("comp_mv")),
+      s"post-compaction version drift must veto until re-stamped, got $vetoed")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $v") // no-op; adopts the drift
+    hitsMv(bothWays(q)._1, "comp_mv", "comp_base")
+  }
+
   test("the substituted scan is PINNED to the validated MV snapshot " +
       "(a refresh landing between plan and execution cannot shift rows)") {
     val t = baseTable("pin_base")

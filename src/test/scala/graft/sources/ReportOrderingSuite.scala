@@ -92,6 +92,33 @@ class ReportOrderingSuite extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("a RENAME-SWAP cannot make stamps lie: field-id-keyed sort " +
+      "stamps stop reporting when the property's name resolves to a " +
+      "different column") {
+    val t = fresh("swap")
+    spark.sql(s"""CREATE TABLE $t (a BIGINT, b BIGINT)
+      TBLPROPERTIES ('write.sort-order' = 'a',
+                     'write.distribution-mode' = 'range')""")
+    spark.range(0, 5000).selectExpr("pmod(id * 7919, 5000) AS a", "id AS b")
+      .writeTo(t).append()
+    spark.sql(s"CALL $cat.system.rewrite_data_files('ord.swap', 1000000)")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      assert(sorts(spark.sql(s"SELECT a, b FROM $t ORDER BY a")) === 0,
+        "fixture: stamps serve before the swap")
+      // The trap: after the swap, property 'a' NAMES old b, but the
+      // files are physically sorted by old a. Name-keyed stamps would
+      // still match and elide a Sort the data does not satisfy.
+      spark.sql(s"ALTER TABLE $t RENAME COLUMN a TO z")
+      spark.sql(s"ALTER TABLE $t RENAME COLUMN b TO a")
+      val q = spark.sql(s"SELECT a, z FROM $t ORDER BY a")
+      assert(sorts(q) === 1,
+        s"the swapped column must re-sort:\n${q.queryExecution.executedPlan}")
+      assert(q.collect().map(_.getLong(0)).toSeq === (0L until 5000L),
+        "and the answer must actually be ordered by the NEW a")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("bucketed + sorted twins: SortMergeJoin with ZERO Exchange and " +
       "ZERO Sort (co-located, co-sorted storage)") {
     val a = fresh("smj_a")

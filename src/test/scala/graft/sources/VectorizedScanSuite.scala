@@ -205,27 +205,52 @@ class VectorizedScanSuite extends AnyFunSuite {
   }
 
   test("type-widened history KEEPS the batch path: pre-widen files " +
-      "decode natively behind an up-casting view, batch ≡ row exact") {
+      "decode natively behind an up-casting view, batch ≡ row exact — " +
+      "at DICTIONARY-PAGE scale (small fixtures never exercise the " +
+      "mixed-page decode that a delegating close() broke)") {
     val t = fresh("widen")
     spark.sql(s"CREATE TABLE $t (id BIGINT, v INT, p DECIMAL(6,2))")
-    spark.range(0, 100)
-      .selectExpr("id", "CAST(id AS INT) AS v",
-        "CAST(id AS DECIMAL(6,2)) / 4 AS p")
-      .writeTo(t).append()
+    // Repeating values + enough rows: parquet dictionary-encodes the
+    // pages, which is where the round-16 bench caught the NPE the
+    // 100-row version of this test missed.
+    spark.range(0, 200000)
+      .selectExpr("id", "CAST(id % 1000 AS INT) AS v",
+        "CAST(id % 777 AS DECIMAL(6,2)) / 4 AS p")
+      .coalesce(2).writeTo(t).append()
     spark.sql(s"ALTER TABLE $t ALTER COLUMN v TYPE BIGINT")
     spark.sql(s"ALTER TABLE $t ALTER COLUMN p TYPE DECIMAL(12,2)")
-    spark.range(100, 200)
+    spark.range(200000, 200100)
       .selectExpr("id", "id AS v", "CAST(id AS DECIMAL(12,2)) / 4 AS p")
       .writeTo(t).append()
     val read = spark.table(t)
     assert(scansColumnar(read),
       "pre-widen files must stay columnar behind the up-cast view")
-    val batch = read.orderBy("id").collect().map(_.toString).toSeq
+    val batch = read.agg(sum("v"), sum("p"), count(lit(1))).head()
     // The row path must agree value-for-value (read.vectorized off).
     spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('read.vectorized'='false')")
-    val row = spark.table(t).orderBy("id").collect().map(_.toString).toSeq
+    val row = spark.table(t).agg(sum("v"), sum("p"), count(lit(1))).head()
     assert(batch === row, "widened batch decode must equal the row path")
-    assert(read.agg(sum("v")).head().getLong(0) === (0L until 200L).sum)
+    assert(batch.getLong(2) === 200100L)
+  }
+
+  test("widened decode COMPOSES with merge-on-read deletes at " +
+      "dictionary scale: selection remap over the up-cast view, " +
+      "batch ≡ row exact") {
+    val t = fresh("widenmor")
+    spark.sql(s"""CREATE TABLE $t (id BIGINT, v INT)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    spark.range(0, 100000).selectExpr("id", "CAST(id % 500 AS INT) AS v")
+      .coalesce(1).writeTo(t).append()
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN v TYPE BIGINT")
+    spark.sql(s"DELETE FROM $t WHERE id % 9 = 4")
+    val read = spark.table(t)
+    assert(scansColumnar(read),
+      "widen + position deletes must keep the batch path")
+    val batch = read.agg(sum("v"), count(lit(1))).head()
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('read.vectorized'='false')")
+    val row = spark.table(t).agg(sum("v"), count(lit(1))).head()
+    assert(batch === row)
+    assert(batch.getLong(1) === (0L until 100000L).count(_ % 9 != 4))
   }
 
   test("grf-format tables keep the row stream") {

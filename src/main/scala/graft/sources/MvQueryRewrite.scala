@@ -69,10 +69,12 @@ import org.apache.spark.sql.types.DataType
   * same store, so the comparison is internally consistent (the usual
   * snapshot-read semantics of every non-pinned scan).
   *
-  * PLAN-TIME COST: one namespace/table listing of the catalog per
-  * analyzed query that aggregates a snapshot-catalog table (memoized per
-  * rule invocation), plus in-JVM state probes — metadata-scale, never
-  * data-scale. Disable with `spark.graft.mv.rewrite.enabled = false`.
+  * PLAN-TIME COST: an O(1) per-catalog discovery-index probe (the
+  * warehouse listing is cached JVM-wide; local CREATE/DROP invalidates,
+  * a 30 s TTL bounds cross-session staleness — a not-yet-indexed MV is
+  * merely not served, never wrongly served) plus in-JVM state probes
+  * for the base's own candidates — metadata-scale, never data-scale.
+  * Disable with `spark.graft.mv.rewrite.enabled = false`.
   */
 private[graft] object MvQueryRewrite {
 

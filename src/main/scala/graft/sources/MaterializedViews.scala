@@ -468,22 +468,31 @@ private[graft] object MaterializedViews {
     if (st.snapshots.isEmpty) 0L else st.snapshots.last.version
   }
 
-  /** Did the MV table's CONTENT change in versions (selfV, now]?
-    * Compaction commits (`operation = "replace"`) rewrite files, never
-    * rows — so a version drift made only of replaces is content-neutral.
-    * None = undecidable (some intervening snapshot was expired). This is
-    * what makes the crash-recovery version math survive MV-table
-    * maintenance: "the MERGE landed iff the version advanced" is
-    * falsified by a compaction landing between the crash and the
-    * recovery, and finalizing on a compaction would stamp never-applied
-    * deltas as applied. */
-  private[sources] def contentMoved(st: SnapshotStore.TableState,
-      selfV: Long, now: Long): Option[Boolean] = {
-    if (now <= selfV) return Some(false)
+  /** The operations of the MV table's snapshots in (selfV, now] — the
+    * crash-recovery witness REFINED from bare version math: "the MERGE
+    * landed iff the version advanced" is falsified by any OTHER writer
+    * of the table, and each kind resolves differently:
+    *
+    *   - `replace` (compaction) rewrites files, never rows —
+    *     content-neutral, adoptable into the stamp;
+    *   - `delta`/`overwrite` is a ROW-LEVEL commit — the refresh's own
+    *     MERGE lands as exactly one of these, so its presence finalizes;
+    *   - `append` can ONLY be foreign DML (no engine path appends to an
+    *     MV) — recovery must refuse loudly, never finalize over it.
+    *
+    * None = undecidable (some intervening snapshot was expired; sound
+    * because versions are dense — nextVersion = last + 1). */
+  private[sources] def opsBetween(st: SnapshotStore.TableState,
+      selfV: Long, now: Long): Option[Set[String]] = {
+    if (now <= selfV) return Some(Set.empty)
     val between = st.snapshots.filter(s => s.version > selfV && s.version <= now)
     if (between.size != (now - selfV)) None
-    else Some(between.exists(_.operation != "replace"))
+    else Some(between.map(_.operation).toSet)
   }
+
+  /** Replace-only (or empty) drift — the content-neutral case. */
+  private def maintenanceOnly(ops: Set[String]): Boolean =
+    ops.subsetOf(Set("replace"))
 
   private def bq(n: String): String = graft.catalog.DdlGenerator.quoteIdent(n)
 
@@ -695,22 +704,31 @@ private[graft] object MaterializedViews {
           "verified none is running, rerun with recover => true")
       val pv = p.toLong
       val selfV = st.properties.get(PropSelfVersion).fold(0L)(_.toLong)
-      val now = currentVersion(mvKey)
-      contentMoved(st, selfV, now) match {
-        case Some(true) =>
-          // A CONTENT commit landed past the stamp — only the refresh's
-          // MERGE writes rows to this table, so it landed; finalize.
-          // (Version drift alone cannot prove this: a compaction also
-          // advances the version without touching a row.)
+      // `now` from the SAME captured state as the snapshot list — a
+      // fresh store read could see a commit the list does not, making
+      // the drift spuriously "undecidable".
+      val now = if (st.snapshots.isEmpty) 0L else st.snapshots.last.version
+      opsBetween(st, selfV, now) match {
+        case Some(ops) if ops.exists(o => o == "delta" || o == "overwrite") =>
+          // A ROW-LEVEL commit landed past the stamp — the refresh's own
+          // MERGE lands as exactly one of these; finalize. (Bare version
+          // drift cannot prove this: compactions and foreign appends
+          // also advance the version.)
           SnapshotStore.update(mvKey)(s0 => s0.copy(properties =
             s0.properties + (PropBaseVersion -> pv.toString) +
               (PropSelfVersion -> now.toString) - PropPending))
-        case Some(false) =>
-          // No content commit (at most compactions re-encoded the same
-          // rows): the MERGE never landed — clear the claim, adopt the
-          // maintenance drift into the stamp, and fold normally.
+        case Some(ops) if maintenanceOnly(ops) =>
+          // At most compactions re-encoded the same rows: the MERGE never
+          // landed — clear the claim, adopt the maintenance drift into
+          // the stamp, and fold normally.
           SnapshotStore.update(mvKey)(s0 => s0.copy(properties =
             s0.properties + (PropSelfVersion -> now.toString) - PropPending))
+        case Some(ops) => throw new IllegalStateException(
+          s"cannot recover $shown: its history since the recovery witness " +
+            s"v$selfV contains ${ops.mkString("/")} commits no refresh " +
+            "produces — someone wrote the backing table directly; its " +
+            "rows no longer equal the body, rebuild with CALL " +
+            "refresh_mv(table, full => true)")
         case None => throw new IllegalStateException(
           s"cannot recover $shown: its own history between the recovery " +
             s"witness v$selfV and the current v$now was expired, so " +
@@ -748,12 +766,19 @@ private[graft] object MaterializedViews {
       // reads as foreign DML. Adopt replace-only drift into the stamp
       // (compaction is content-neutral) so the next refresh — maintain
       // runs one before every compact — re-arms automatic rewrite;
-      // genuine content drift stays unstamped, keeping the veto.
-      val selfV = props.get(PropSelfVersion).fold(0L)(_.toLong)
-      val now = currentVersion(mvKey)
-      if (now != selfV && contentMoved(st, selfV, now) == Some(false))
-        SnapshotStore.update(mvKey)(s0 => s0.copy(properties =
-          s0.properties + (PropSelfVersion -> now.toString)))
+      // genuine content drift stays unstamped, keeping the veto. The
+      // whole decision re-validates INSIDE the CAS closure: deciding
+      // outside would let this stamp overwrite a concurrent refresh's
+      // fresher self-version with a stale one (and a later recovery
+      // would then mis-finalize).
+      SnapshotStore.update(mvKey) { s0 =>
+        val sv = s0.properties.get(PropSelfVersion).fold(0L)(_.toLong)
+        val n0 = if (s0.snapshots.isEmpty) 0L else s0.snapshots.last.version
+        if (n0 != sv && !s0.properties.contains(PropPending) &&
+            opsBetween(s0, sv, n0).exists(maintenanceOnly))
+          s0.copy(properties = s0.properties + (PropSelfVersion -> n0.toString))
+        else s0 // returning the input commits nothing
+      }
       return (b, c, false)
     }
     if (c < b) throw new IllegalStateException(

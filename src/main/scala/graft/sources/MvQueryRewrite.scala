@@ -153,9 +153,14 @@ private[graft] object MvQueryRewrite {
   private val index = new java.util.concurrent.ConcurrentHashMap[
     String, (Long, Map[String, Vector[Identifier]])]()
   private val IndexTtlMs = 30000L
+  /** Bumped by [[invalidate]] — an index build that STARTED before a
+    * CREATE/DROP must not reinstall its pre-mutation listing over the
+    * invalidation (it just goes uncached; the next query rebuilds). */
+  private val generation = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Drop a catalog's discovery index (CREATE/DROP MATERIALIZED VIEW). */
   def invalidate(catalogName: String): Unit = {
+    generation.incrementAndGet()
     index.remove(catalogName)
     ()
   }
@@ -165,6 +170,7 @@ private[graft] object MvQueryRewrite {
     val now = System.currentTimeMillis()
     val cur = index.get(name)
     if (cur != null && now - cur._1 < IndexTtlMs) return cur._2
+    val genAtStart = generation.get()
     val built: Map[String, Vector[Identifier]] =
       try {
         cat.listNamespaces().toSeq.flatMap { ns =>
@@ -180,7 +186,7 @@ private[graft] object MvQueryRewrite {
           }
         }.groupBy(_._1).map { case (bk, xs) => bk -> xs.map(_._2).toVector }
       } catch { case _: Exception => Map.empty }
-    index.put(name, (now, built))
+    if (generation.get() == genAtStart) index.put(name, (now, built))
     built
   }
 

@@ -733,6 +733,16 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
 }
 
 object SnapshotCatalog {
+
+  /** Thread-local permit letting the engine's OWN compaction stamp
+    * `operation = replace` on a materialized view's backing table — the
+    * stamp is content-neutrality evidence the MV recovery/tamper
+    * machinery trusts, so user writes may never claim it there (see
+    * `newWriteBuilder`). Keyed by store key; `compact` arms it around
+    * its overwrite (same driver thread plans the write). */
+  private[sources] val compactPermit = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
   /** Snapshot retention (Iceberg `expire_snapshots`): keep the newest
     * `keepLast` snapshots of `catalog.ns.table`; older versions stop being
     * time-travelable (load fails loudly) while the live table is untouched.
@@ -1179,7 +1189,12 @@ object SnapshotCatalog {
     // `graft.operation=replace` stamps the snapshot as a compaction — the
     // files change, the logical rows do not, so the change feed skips it
     // (Iceberg excludes REPLACE snapshots from changelog scans the same way).
-    shaped.writeTo(name).option("graft.operation", "replace").overwrite(lit(true))
+    // On MV backing tables the stamp is permit-fenced (newWriteBuilder):
+    // MV recovery trusts replace commits as content-neutral, so only the
+    // engine's own compaction may claim one there.
+    compactPermit.set(compactPermit.get() + k)
+    try shaped.writeTo(name).option("graft.operation", "replace").overwrite(lit(true))
+    finally compactPermit.set(compactPermit.get() - k)
     // Equi-height histograms for opted-in columns ride compaction — the
     // one moment the engine already rewrites every live row (see
     // [[StatsHistograms]]); stored against the fresh snapshot version.
@@ -2503,6 +2518,17 @@ private[sources] final class MemTable(fullName: String, k: String,
     val op = Option(info.options().get("graft.operation"))
     op.filter(_ != "replace").foreach(o => throw new IllegalArgumentException(
       s"write option graft.operation only accepts 'replace' (compaction), got '$o'"))
+    // On a MATERIALIZED VIEW the replace stamp is reserved for the
+    // engine's own compaction: the MV recovery/tamper machinery trusts
+    // `operation = "replace"` as content-neutral, so a user overwrite
+    // claiming it would launder arbitrary rows past every gate.
+    if (op.isDefined && MaterializedViews.isMv(props) &&
+        !SnapshotCatalog.compactPermit.get().contains(k))
+      throw new IllegalArgumentException(
+        s"graft.operation=replace on materialized view $fullName is " +
+          "reserved for engine maintenance (rewrite_data_files) — a " +
+          "replace-stamped user overwrite would defeat the view's " +
+          "content-drift protection")
     new MemWriteBuilder(k, info.schema(), partColMap, queryId = info.queryId(),
       operationOverride = op)
   }

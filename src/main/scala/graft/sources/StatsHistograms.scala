@@ -65,9 +65,14 @@ private[sources] object StatsHistograms {
 
   /** Fail-fast property validation — called BEFORE compaction's rewrite
     * commits, so a malformed `stats.histogram-bins` fails the procedure
-    * with nothing half-done (collection itself runs after the rewrite). */
+    * with nothing half-done (collection itself runs after the rewrite).
+    * Gates exactly like [[collect]]'s column parse: a vacuous columns
+    * value (',') collects nothing, so it must not fail over the bins
+    * property either. */
   def validate(props: Map[String, String]): Unit = {
-    if (props.get(ColumnsProp).exists(_.trim.nonEmpty)) { binsOf(props); () }
+    val any = props.get(ColumnsProp).exists(
+      _.split(',').exists(_.trim.nonEmpty))
+    if (any) { binsOf(props); () }
   }
 
   private def binsOf(props: Map[String, String]): Int = {

@@ -131,6 +131,11 @@ class HistogramStatsSuite extends AnyFunSuite {
     assert(SnapshotStore.stateOf(key).snapshots.last.version === vBefore,
       "validation must precede the rewrite commit")
     assert(stored.nonEmpty) // (fixture sanity)
+    // A VACUOUS columns value collects nothing — so it must not fail
+    // over the (still malformed) bins property either (validate gates
+    // exactly like collect's column parse).
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('stats.histogram-columns' = ',')")
+    spark.sql(s"CALL $cat.system.rewrite_data_files('hist.ren')").collect()
   }
 
   test("the better estimate flips a broadcast decision; answers are " +

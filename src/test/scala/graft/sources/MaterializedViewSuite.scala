@@ -248,6 +248,38 @@ class MaterializedViewSuite extends AnyFunSuite {
       "the delta must actually be applied")
   }
 
+  test("recovery REFUSES foreign append DML (an append is provably not " +
+      "the refresh's MERGE); a user replace-stamped overwrite of the MV " +
+      "is fenced at the write") {
+    val t = fresh("base13")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, grp STRING)")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('g', id % 3) FROM range(0, 30)")
+    val v = fresh("mv13")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $v AS
+      SELECT grp, count(*) AS n FROM $t GROUP BY grp""")
+    spark.sql(s"INSERT INTO $t VALUES (100, 'g0')")
+    val mvKey = SnapshotStore.keyOf(cat, Seq("mv", "mv13"))
+    SnapshotStore.update(mvKey)(s0 => s0.copy(properties =
+      s0.properties + (MaterializedViews.PropPending -> "2")))
+    // Foreign DML while the claim is pending: an append commit.
+    spark.sql(s"INSERT INTO $v VALUES ('gX', 7)")
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.refresh_mv(table => 'mv.mv13', " +
+        "recover => true)").collect()
+    }
+    assert(e.getMessage.contains("directly") &&
+      e.getMessage.contains("full => true"), s"got: ${e.getMessage}")
+    // And the content-neutrality stamp itself cannot be forged: a user
+    // overwrite claiming graft.operation=replace on an MV is refused.
+    val e2 = intercept[Exception] {
+      spark.range(0, 3).selectExpr("concat('z', id) AS grp", "id AS n")
+        .writeTo(v).option("graft.operation", "replace")
+        .overwrite(org.apache.spark.sql.functions.lit(true))
+    }
+    assert(e2.getMessage.contains("reserved for engine maintenance"),
+      s"got: ${e2.getMessage}")
+  }
+
   test("a no-op refresh adopts replace-only version drift into the " +
       "self-version stamp (re-arming MV query rewrite after compaction)") {
     val t = fresh("base12")

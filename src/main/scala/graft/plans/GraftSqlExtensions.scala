@@ -335,7 +335,8 @@ final case class GraftCreateMaterializedViewExec(c: GraftCreateMaterializedView)
     val (spec, schema) = c.spec.getOrElse(sys.error(
       "internal: CREATE MATERIALIZED VIEW reached execution unvalidated"))
     graft.sources.MaterializedViews.create(session, cat, ident, c.bodySql,
-      spec, schema, c.ifNotExists, c.partitioning.toArray, c.userProps)
+      spec, schema, c.ifNotExists, c.partitioning.toArray, c.userProps,
+      Some(c.query))
   }
 }
 

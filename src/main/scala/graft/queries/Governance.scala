@@ -1310,7 +1310,7 @@ object Governance {
         FROM r03_orders_src WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'""")
       s.sql(s"""CREATE MATERIALIZED VIEW $v AS
         SELECT o_orderstatus AS st, o_orderpriority AS pri, count(*) AS n,
-          sum(price) AS total, count(price) AS np
+          sum(price) AS total, count(price) AS np, avg(o_custkey) AS ac
         FROM $t WHERE o_custkey % 3 <> 1
         GROUP BY o_orderstatus, o_orderpriority""")
       val atV1 = s.sql(s"SELECT sum(n) FROM $v").head().getLong(0)
@@ -1331,7 +1331,7 @@ object Governance {
         "CALL graft_snap.system.refresh_mv(table => 'gov.orders_r03_mv')").head()
       require(r.getLong(0) == 1L && r.getLong(1) == 4L && r.getBoolean(2),
         s"refresh_mv must move the watermark 1 -> 4, got $r")
-      s.sql(s"""SELECT st, pri, n, CAST(total AS DOUBLE) AS total, np
+      s.sql(s"""SELECT st, pri, n, CAST(total AS DOUBLE) AS total, np, ac
         FROM $v ORDER BY st, pri""")
     },
     Some("""WITH src AS (
@@ -1341,7 +1341,8 @@ object Governance {
           CAST(o_totalprice AS DECIMAL(12,2)) AS price
         FROM orders)
       SELECT o_orderstatus AS st, pri, count(*) AS n,
-        CAST(sum(price) AS DOUBLE) AS total, count(price) AS np
+        CAST(sum(price) AS DOUBLE) AS total, count(price) AS np,
+        avg(o_custkey) AS ac
       FROM src WHERE o_custkey % 10 <> 7 AND o_custkey % 3 <> 1
       GROUP BY o_orderstatus, pri ORDER BY st, pri"""))
 
@@ -1387,7 +1388,7 @@ object Governance {
         FROM r04_orders_src WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'""")
       s.sql(s"""CREATE MATERIALIZED VIEW $v AS
         SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-          sum(price) AS total, count(price) AS np
+          sum(price) AS total, count(price) AS np, avg(o_custkey) AS ac
         FROM $t WHERE o_custkey % 3 <> 1
         GROUP BY o_orderstatus, o_orderpriority""")
       s.sql(s"""INSERT INTO $t
@@ -1402,13 +1403,20 @@ object Governance {
           .findAllMatchIn(df.queryExecution.executedPlan.toString)
           .map(_.group(1)).toSeq
       val body = s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        sum(price) AS total, count(price) AS np
+        sum(price) AS total, count(price) AS np, avg(o_custkey) AS ac
         FROM $t WHERE o_custkey % 3 <> 1
         GROUP BY o_orderstatus, o_orderpriority"""
-      val stale = scansOf(s.sql(body))
+      // While the MV is STALE: with the top-up disabled the stored rows
+      // must never serve (a wrong answer served fast is still wrong) —
+      // the base is scanned, the view is not. (With it enabled the stale
+      // view serves view ∪ fold(.changes) — r07's gate.)
+      s.conf.set(graft.sources.MvQueryRewrite.TopUpKey, "false")
+      val stale =
+        try scansOf(s.sql(body))
+        finally s.conf.unset(graft.sources.MvQueryRewrite.TopUpKey)
       require(stale.exists(_.contains("orders_r04")) &&
         !stale.exists(_.contains("r04_rollup_mv")),
-        s"a STALE materialized view must never serve a base query: $stale")
+        s"a STALE materialized view must never serve its stored rows: $stale")
       s.sql("CALL graft_snap.system.refresh_mv(table => 'gov.r04_rollup_mv')")
       val exact = scansOf(s.sql(body))
       require(exact.exists(_.contains("r04_rollup_mv")) &&
@@ -1417,7 +1425,8 @@ object Governance {
       // The returned frame: COARSER groups (subsumption — re-aggregated
       // stored partials), still written as a query over the BASE table.
       val df = s.sql(s"""SELECT o_orderstatus AS st, count(*) AS n,
-        CAST(sum(price) AS DOUBLE) AS total, count(price) AS np
+        CAST(sum(price) AS DOUBLE) AS total, count(price) AS np,
+        avg(o_custkey) AS ac
         FROM $t WHERE o_custkey % 3 <> 1
         GROUP BY o_orderstatus ORDER BY st""")
       val sub = scansOf(df)
@@ -1431,7 +1440,8 @@ object Governance {
           CAST(o_totalprice AS DECIMAL(12,2)) AS price
         FROM orders)
       SELECT o_orderstatus AS st, count(*) AS n,
-        CAST(sum(price) AS DOUBLE) AS total, count(price) AS np
+        CAST(sum(price) AS DOUBLE) AS total, count(price) AS np,
+        avg(o_custkey) AS ac
       FROM src WHERE o_custkey % 10 <> 7 AND o_custkey % 3 <> 1
       GROUP BY o_orderstatus ORDER BY st"""))
 
@@ -1518,6 +1528,213 @@ object Governance {
       FROM f JOIN customer c ON f.ck = c.c_custkey
       GROUP BY c.c_mktsegment ORDER BY seg"""))
 
+  /** STAR-MV QUERY REWRITE (round 17, [[graft.sources.MvQueryRewrite]]
+    * over star specs): the dashboard norm — `fact ⋈ dim GROUP BY
+    * dim.attr` — served TRANSPARENTLY from the star MV r05 builds,
+    * closing round 16's gap (star MVs existed but never served a
+    * rewrite). Matching destructures the query's inner-equi-join tree,
+    * requires the table set to equal {fact} ∪ dims and the ON conjuncts
+    * to equal the stored spec as a multiset (canonicalized under the
+    * refresh aliases `f`/`d0`/…, equality commuted), and gates on BOTH
+    * the fact watermark AND every dimension watermark. In-query pins:
+    *
+    *   - the dashboard query's plan scans ONLY the view — neither the
+    *     100 TB fact nor the dimension appears;
+    *   - a DIMENSION commit vetoes the rewrite (stored rows joined the
+    *     OLD dim snapshot) until the demanded full rebuild re-stamps;
+    *   - an extra join conjunct vetoes (the query joins fewer rows than
+    *     the MV materialized);
+    *   - a fact-only aggregate is NEVER served by the star MV (its rows
+    *     are post-join — dim fan-out would corrupt the counts).
+    *
+    * Oracle: DuckDB recomputes the join-aggregate from raw parquet with
+    * the same update/delete applied — the served view must be
+    * hash-identical to a from-scratch recompute.
+    *
+    * Scale: the rewritten plan reads |segments| stored rows; plan-time
+    * matching is metadata-only. This is the 100 TB dashboard path: the
+    * fact is touched only by refresh's bounded change folds, never by
+    * the queries. */
+  val r06StarMvRewrite = Q(
+    "r06_star_mv_rewrite",
+    (s, dir) => {
+      val t = "graft_snap.gov.orders_r06"
+      val d = "graft_snap.gov.cust_r06"
+      val v = "graft_snap.gov.r06_seg_mv"
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.gov")
+      s.sql(s"DROP MATERIALIZED VIEW IF EXISTS $v")
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"DROP TABLE IF EXISTS $d")
+      s.sql(s"CREATE TABLE $t (o_orderkey BIGINT, o_custkey BIGINT, price DECIMAL(12,2))")
+      s.sql(s"CREATE TABLE $d (c_custkey BIGINT, c_mktsegment STRING)")
+      Tables.orders(s, dir).createOrReplaceTempView("r06_orders_src")
+      Tables.customer(s, dir).createOrReplaceTempView("r06_cust_src")
+      s.sql(s"INSERT INTO $d SELECT c_custkey, c_mktsegment FROM r06_cust_src")
+      s.sql(s"""INSERT INTO $t
+        SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2))
+        FROM r06_orders_src WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'""")
+      s.sql(s"""CREATE MATERIALIZED VIEW $v AS
+        SELECT d.c_mktsegment AS seg, count(*) AS n, sum(f.price) AS total,
+          count(f.price) AS np
+        FROM $t f JOIN $d d ON f.o_custkey = d.c_custkey
+        GROUP BY d.c_mktsegment""")
+      // Fact-only commits: inserts, a JOIN-KEY-moving update, deletes —
+      // then the incremental fold brings the view current.
+      s.sql(s"""INSERT INTO $t
+        SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2))
+        FROM r06_orders_src WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'""")
+      s.sql(s"UPDATE $t SET o_custkey = o_custkey % 50 WHERE o_custkey % 7 = 3")
+      s.sql(s"DELETE FROM $t WHERE o_custkey % 10 = 7")
+      s.sql("CALL graft_snap.system.refresh_mv(table => 'gov.r06_seg_mv')")
+      def scansOf(df: DataFrame): Seq[String] =
+        "BatchScan ([^\\[ ]+)".r
+          .findAllMatchIn(df.queryExecution.executedPlan.toString)
+          .map(_.group(1)).toSeq
+      val dash = s"""SELECT d.c_mktsegment AS seg, count(*) AS n,
+        CAST(sum(f.price) AS DOUBLE) AS total, count(f.price) AS np
+        FROM $t f JOIN $d d ON f.o_custkey = d.c_custkey
+        GROUP BY d.c_mktsegment ORDER BY seg"""
+      val served = scansOf(s.sql(dash))
+      require(served.exists(_.contains("r06_seg_mv")) &&
+        !served.exists(_.contains("orders_r06")) &&
+        !served.exists(_.contains("cust_r06")),
+        s"the star MV must serve the dashboard join — neither fact nor " +
+          s"dim scanned, got $served")
+      // An EXTRA join conjunct joins fewer rows than the MV holds: veto.
+      val extra = scansOf(s.sql(s"""SELECT d.c_mktsegment AS seg, count(*) AS n
+        FROM $t f JOIN $d d
+        ON f.o_custkey = d.c_custkey AND f.o_orderkey = d.c_custkey
+        GROUP BY d.c_mktsegment"""))
+      require(extra.exists(_.contains("orders_r06")) &&
+        !extra.exists(_.contains("r06_seg_mv")),
+        s"an extra join condition must veto the star rewrite, got $extra")
+      // A fact-only aggregate must not be served by post-join rows.
+      val factOnly = scansOf(s.sql(
+        s"SELECT o_custkey, count(*) AS n FROM $t GROUP BY o_custkey"))
+      require(!factOnly.exists(_.contains("r06_seg_mv")),
+        s"a star MV must never serve a single-table aggregate, got $factOnly")
+      // A DIM commit (a customer no fact row references): stored rows
+      // joined the OLD dim snapshot — the rewrite must veto until the
+      // demanded full rebuild re-stamps every watermark.
+      s.sql(s"INSERT INTO $d VALUES (99999999, 'ZZ-NEW')")
+      val dimStale = scansOf(s.sql(dash))
+      require(dimStale.exists(_.contains("orders_r06")) &&
+        !dimStale.exists(_.contains("r06_seg_mv")),
+        s"a moved dimension must veto the star rewrite, got $dimStale")
+      s.sql("CALL graft_snap.system.refresh_mv(table => 'gov.r06_seg_mv', " +
+        "full => true)").collect()
+      val df = s.sql(dash)
+      val rearmed = scansOf(df)
+      require(rearmed.exists(_.contains("r06_seg_mv")) &&
+        !rearmed.exists(_.contains("orders_r06")) &&
+        !rearmed.exists(_.contains("cust_r06")),
+        s"the rebuilt star MV must serve again, got $rearmed")
+      df
+    },
+    Some("""WITH f0 AS (
+        SELECT CASE WHEN o_custkey % 7 = 3 THEN o_custkey % 50
+                    ELSE o_custkey END AS ck,
+          CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        FROM orders),
+      f AS (SELECT * FROM f0 WHERE ck % 10 <> 7)
+      SELECT c.c_mktsegment AS seg, count(*) AS n,
+        CAST(sum(f.price) AS DOUBLE) AS total, count(f.price) AS np
+      FROM f JOIN customer c ON f.ck = c.c_custkey
+      GROUP BY c.c_mktsegment ORDER BY seg"""))
+
+  /** STALE-MV DELTA TOP-UP (round 17, [[graft.sources.MvQueryRewrite]] +
+    * [[graft.sources.MaterializedViews.topUpFrame]]): when the ONLY gate
+    * a candidate MV fails is its watermark, the rewrite serves
+    * `view ∪ signed-fold(.changes (b, c])` re-aggregated INLINE — the
+    * read-only form of the refresh fold — so dashboards stay on the
+    * |groups| + |changed rows| path BETWEEN refreshes instead of
+    * rescanning the 100 TB base. The gate never refreshes the MV: the
+    * returned frame is served from a view that stays stale throughout.
+    *
+    * In-query pins:
+    *
+    *   - the served plan scans the PINNED view and the base's bounded
+    *     `.changes` relation — the base's data files are ABSENT;
+    *   - with the top-up conf off, the same stale state falls back to a
+    *     base-only plan (the round-16 behavior);
+    *   - the served aggregate is the SUBSUMPTION shape (coarser GROUP
+    *     BY) — top-up composes with partial re-aggregation.
+    *
+    * Oracle: DuckDB recomputes the aggregate from the FINAL parquet
+    * state — the inline fold (insert + group-moving update + delete
+    * commits, exactly r03's adversarial history) must be hash-identical
+    * to a from-scratch recompute.
+    *
+    * Scale: the top-up reads |groups| stored rows + the pruned file
+    * diffs of the missed commits — O(changed rows), the same cost the
+    * refresh itself would pay, but without writing anything. */
+  val r07MvTopUp = Q(
+    "r07_mv_topup",
+    (s, dir) => {
+      val t = "graft_snap.gov.orders_r07"
+      val v = "graft_snap.gov.r07_rollup_mv"
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.gov")
+      s.sql(s"DROP MATERIALIZED VIEW IF EXISTS $v")
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"""CREATE TABLE $t (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_orderpriority STRING, price DECIMAL(12,2))""")
+      Tables.orders(s, dir).createOrReplaceTempView("r07_orders_src")
+      s.sql(s"""INSERT INTO $t
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+          CAST(o_totalprice AS DECIMAL(12,2))
+        FROM r07_orders_src WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'""")
+      s.sql(s"""CREATE MATERIALIZED VIEW $v AS
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          sum(price) AS total, count(price) AS np, avg(o_custkey) AS ac
+        FROM $t WHERE o_custkey % 3 <> 1
+        GROUP BY o_orderstatus, o_orderpriority""")
+      // Three missed commits: the rest of the inserts, a group-moving
+      // update, deletes — the MV stays STALE for the whole gate.
+      s.sql(s"""INSERT INTO $t
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+          CAST(o_totalprice AS DECIMAL(12,2))
+        FROM r07_orders_src WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'""")
+      s.sql(s"""UPDATE $t SET o_orderpriority = '9-CANCELLED'
+        WHERE o_orderstatus = 'F' AND o_custkey % 7 = 3""")
+      s.sql(s"DELETE FROM $t WHERE o_custkey % 10 = 7")
+      def scansOf(df: DataFrame): Seq[String] =
+        "BatchScan ([^\\[ ]+)".r
+          .findAllMatchIn(df.queryExecution.executedPlan.toString)
+          .map(_.group(1)).toSeq
+      val dash = s"""SELECT o_orderstatus AS st, count(*) AS n,
+        CAST(sum(price) AS DOUBLE) AS total, count(price) AS np,
+        avg(o_custkey) AS ac
+        FROM $t WHERE o_custkey % 3 <> 1
+        GROUP BY o_orderstatus ORDER BY st"""
+      val df = s.sql(dash)
+      val served = scansOf(df)
+      require(served.exists(_.contains("r07_rollup_mv")),
+        s"the stale MV must serve via top-up, got $served")
+      require(served.exists(_.contains("orders_r07.changes")),
+        s"the top-up must read the bounded change range, got $served")
+      require(!served.exists(_.endsWith("orders_r07")),
+        s"the base's data files must NOT be scanned, got $served")
+      // Conf-off: the same stale state plans base-only.
+      s.conf.set(graft.sources.MvQueryRewrite.TopUpKey, "false")
+      val off =
+        try scansOf(s.sql(dash))
+        finally s.conf.unset(graft.sources.MvQueryRewrite.TopUpKey)
+      require(off.exists(_.endsWith("orders_r07")) &&
+        !off.exists(_.contains("r07_rollup_mv")),
+        s"topup-off must fall back to the base, got $off")
+      df
+    },
+    Some("""WITH src AS (
+        SELECT o_custkey, o_orderstatus,
+          CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        FROM orders)
+      SELECT o_orderstatus AS st, count(*) AS n,
+        CAST(sum(price) AS DOUBLE) AS total, count(price) AS np,
+        avg(o_custkey) AS ac
+      FROM src WHERE o_custkey % 10 <> 7 AND o_custkey % 3 <> 1
+      GROUP BY o_orderstatus ORDER BY st"""))
+
   val all: Seq[Q] = Seq(
     m01MergeUpsert, m02Scd2History, m03IncrementalRefresh, m04SnapshotDiff,
     m05SqlMerge, m06SqlUpdateDelete, m07TimeTravel, m08ChangeFeed,
@@ -1525,6 +1742,6 @@ object Governance {
     m12MetadataHistory, m13MergeOnRead, m14DppStar, m15ChangesRelation,
     m16WapPublish, m17ChangesMaint, m18EqualityUpsert, m19UpsertChanges,
     m20HiddenPartitioning, m21CatalogDimStar, r02ViewQuery,
-    r03MaterializedView, r04MvRewrite, r05StarMv, a01QualityAudit,
-    z01ZorderLayout)
+    r03MaterializedView, r04MvRewrite, r05StarMv, r06StarMvRewrite,
+    r07MvTopUp, a01QualityAudit, z01ZorderLayout)
 }

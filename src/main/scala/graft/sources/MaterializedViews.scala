@@ -1,14 +1,14 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, ExprId, Expression, Literal}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, ExprId, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, IntegerType, LongType, ShortType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, IntegerType, LongType, ShortType, StructField, StructType}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -126,8 +126,18 @@ private[graft] object MaterializedViews {
   val FactAlias = "f"
   def dimAlias(i: Int): String = s"d$i"
 
+  /** Derived-constituent column names for an `avg` output: the backing
+    * table stores the avg VALUE (the body's visible schema) plus these
+    * two hidden columns the fold maintains (avg itself is not
+    * incrementally foldable; its sum/count are) — the same extra-
+    * aggregate requirement Oracle's fast-refreshable MVs impose, here
+    * synthesized automatically. */
+  def avgSumCol(out: String): String = s"__${out}_sum"
+  def avgCntCol(out: String): String = s"__${out}_cnt"
+
   /** One output column of the MV. `kind`: `group` | `count_star` |
-    * `count` | `sum`. `expr` is the defining expression's canonical SQL —
+    * `count` | `sum` | `avg` | `min` | `max`. `expr` is the defining
+    * expression's canonical SQL —
     * qualifier-stripped for single-table bodies, qualified by the
     * refresh aliases (`f`/`d0`/…) for star bodies — re-parsed against
     * the changes frame at every refresh (a dropped base column fails
@@ -146,7 +156,13 @@ private[graft] object MaterializedViews {
     * ambiguous or silently wrong). */
   final case class Spec(base: Seq[String], where: Option[String],
       cols: Seq[MvCol], dims: Seq[Seq[String]] = Nil,
-      joinConds: Seq[String] = Nil)
+      joinConds: Seq[String] = Nil,
+      /** CREATE-time materialization of avg constituents: the RESOLVED
+        * hidden aggregate expressions (appended to the body's Aggregate
+        * when first materializing) and the backing-table fields they
+        * land in, parallel to the trailing `avg`-constituent entries of
+        * `cols`. Never serialized — refresh re-derives from `cols`. */
+      hidden: Seq[(NamedExpression, StructField)] = Nil)
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"CREATE MATERIALIZED VIEW: $msg")
@@ -272,11 +288,35 @@ private[graft] object MaterializedViews {
             "materialized views — add a GROUP BY (a constant key works)")
         groupExprs.foreach(requireRefreshStable(_, "GROUP BY expression"))
 
+        // avg constituents synthesized per avg output (hidden backing
+        // columns + the resolved expressions that first materialize them).
+        val hiddenCols = Seq.newBuilder[MvCol]
+        val hiddenExprs = Seq.newBuilder[(NamedExpression, StructField)]
+        def sumWidened(dt: DataType): DataType = dt match {
+          case d: DecimalType =>
+            DecimalType(math.min(DecimalType.MAX_PRECISION, d.precision + 10),
+              d.scale)
+          case _ => LongType
+        }
+        def requireExactSummable(e: Expression, name: String, what: String): Unit =
+          e.dataType match {
+            case ByteType | ShortType | IntegerType | LongType |
+                _: DecimalType => ()
+            case other => fail(
+              s"$what over ${other.simpleString} in $name: floating " +
+                "addition is order-dependent, so the view could " +
+                "not stay exact under incremental folds — CAST " +
+                "the measure to DECIMAL in the body")
+          }
         val cols = aggExprs.map { out =>
           val (inner, name) = out match {
             case Alias(e, n) => (e, n)
             case e => (e, out.name)
           }
+          if (name.startsWith("__") &&
+              (name.endsWith("_sum") || name.endsWith("_cnt"))) fail(
+            s"output name $name collides with the reserved avg-constituent " +
+              "namespace (__<col>_sum/__<col>_cnt) — rename it")
           inner match {
             case ae: AggregateExpression =>
               if (ae.isDistinct) fail(
@@ -300,22 +340,64 @@ private[graft] object MaterializedViews {
                 case s: Sum =>
                   val e = s.child
                   requireRefreshStable(e, "sum argument")
-                  e.dataType match {
-                    case ByteType | ShortType | IntegerType | LongType |
-                        _: DecimalType => ()
-                    case other => fail(
-                      s"sum over ${other.simpleString} in $name: floating " +
-                        "addition is order-dependent, so the view could " +
-                        "not stay exact under incremental folds — CAST " +
-                        "the measure to DECIMAL in the body")
-                  }
+                  requireExactSummable(e, name, "sum")
                   MvCol(name, "sum", canon(e))
+                case a: Average =>
+                  // avg = derived sum/count: the backing table stores the
+                  // avg VALUE (the body's schema) plus hidden sum + count
+                  // constituents the fold maintains; every refresh
+                  // re-derives the value from the folded constituents.
+                  val e = a.child
+                  requireRefreshStable(e, "avg argument")
+                  requireExactSummable(e, name, "avg")
+                  val sumName = avgSumCol(name)
+                  val cntName = avgCntCol(name)
+                  val sumT = sumWidened(e.dataType)
+                  hiddenCols += MvCol(sumName, "sum", canon(e),
+                    nn = if (e.nullable) Some(cntName) else None)
+                  hiddenCols += MvCol(cntName, "count", canon(e))
+                  hiddenExprs += ((Alias(Sum(org.apache.spark.sql.catalyst
+                    .expressions.Cast(e, sumT)).toAggregateExpression(),
+                    sumName)(), StructField(sumName, sumT, nullable = true)))
+                  hiddenExprs += ((Alias(
+                    Count(Seq(e)).toAggregateExpression(), cntName)(),
+                    StructField(cntName, LongType, nullable = false)))
+                  MvCol(name, "avg", canon(e))
+                case mm @ (_: Min | _: Max) =>
+                  // min/max: fold least/greatest on inserts; a DELETE that
+                  // could have removed a group's extremum triggers a
+                  // recompute of ONLY the affected groups (refresh joins
+                  // the delta's deleted extrema against the stored value).
+                  // Star bodies refuse: the affected-group recompute
+                  // rescans the fact joined to pinned dims — split the MV.
+                  if (dims.nonEmpty) fail(
+                    s"min/max in $name: not supported in a STAR body — " +
+                      "a delete forces recomputing affected groups from " +
+                      "the joined row set; keep extrema in a single-table " +
+                      "MV of the fact (or a plain VIEW)")
+                  val e = mm.children.head
+                  requireRefreshStable(e,
+                    s"${mm.prettyName} argument")
+                  val orderStable = e.dataType match {
+                    case _: org.apache.spark.sql.types.NumericType |
+                        org.apache.spark.sql.types.StringType |
+                        org.apache.spark.sql.types.DateType |
+                        org.apache.spark.sql.types.TimestampType |
+                        org.apache.spark.sql.types.TimestampNTZType |
+                        org.apache.spark.sql.types.BooleanType => true
+                    case _ => false
+                  }
+                  if (!orderStable) fail(
+                    s"${mm.prettyName} over ${e.dataType.simpleString} in " +
+                      s"$name is not orderable-stable — use a primitive " +
+                      "orderable type")
+                  MvCol(name, if (mm.isInstanceOf[Min]) "min" else "max",
+                    canon(e))
                 case other => fail(
                   s"aggregate ${other.prettyName} in $name is not " +
                     "incrementally maintainable from a change feed " +
-                    "(supported: count(*), count(col), sum(col); " +
-                    "avg = stored sum/count divided in a plain VIEW; " +
-                    "min/max need the surviving group after a delete)")
+                    "(supported: count(*), count(col), sum(col), avg(col), " +
+                    "min(col), max(col))")
               }
             case e =>
               if (!groupExprs.exists(_.semanticEquals(e))) fail(
@@ -373,7 +455,8 @@ private[graft] object MaterializedViews {
             case None => c
           }
         }
-        Spec(base, whereOpt.map(canon), withNn, dims, joinCondExprs.map(canon))
+        Spec(base, whereOpt.map(canon), withNn ++ hiddenCols.result(),
+          dims, joinCondExprs.map(canon), hiddenExprs.result())
       case other => fail(s"$shapeMsg (got ${other.nodeName})")
     }
   }
@@ -506,10 +589,38 @@ private[graft] object MaterializedViews {
     * saw exactly that version (scans capture state atomically at build).
     * On inequality the backing table is dropped and the CREATE fails with
     * a retry message — never a silently-wrong watermark. */
+  /** Materialize the body into `full` — `INSERT INTO` for plain bodies;
+    * avg bodies append the RESOLVED hidden-constituent aggregates to the
+    * body's Aggregate and write the widened frame by name (the SQL text
+    * alone cannot name them). */
+  private def materialize(spark: SparkSession, full: String, bodySql: String,
+      body: Option[LogicalPlan], hidden: Seq[NamedExpression],
+      overwrite: Boolean): Unit = {
+    if (hidden.isEmpty) {
+      spark.sql(s"${if (overwrite) "INSERT OVERWRITE" else "INSERT INTO"} " +
+        s"$full $bodySql")
+      ()
+    } else {
+      def appendHidden(p: LogicalPlan): LogicalPlan = p match {
+        case SubqueryAlias(_, c) => appendHidden(c)
+        case a: Aggregate =>
+          a.copy(aggregateExpressions = a.aggregateExpressions ++ hidden)
+        case other => sys.error(
+          s"internal: avg-MV body is not an Aggregate (${other.nodeName})")
+      }
+      val analyzed = body.getOrElse(
+        spark.sql(bodySql).queryExecution.analyzed)
+      val df = org.apache.spark.sql.graftbridge.GraftPlanBridge
+        .ofRows(spark, appendHidden(analyzed))
+      if (overwrite) df.writeTo(full).overwrite(lit(true))
+      else df.writeTo(full).append()
+    }
+  }
+
   def create(spark: SparkSession, cat: SnapshotCatalog, ident: Identifier,
       bodySql: String, spec: Spec, bodySchema: StructType, ifNotExists: Boolean,
       partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
-      userProps: Map[String, String]): Unit = {
+      userProps: Map[String, String], body: Option[LogicalPlan] = None): Unit = {
     val full = (cat.name() +: ident.namespace().toSeq :+ ident.name())
       .map(bq).mkString(".")
     if (cat.tableExists(ident)) {
@@ -538,9 +649,14 @@ private[graft] object MaterializedViews {
     val dimKeys = spec.dims.map(SnapshotStore.keyOf(cat.name(), _))
     val dv0 = dimKeys.map(currentVersion)
     val c0 = currentVersion(baseKey)
-    cat.createTable(ident, bodySchema, partitioning, jProps)
+    // avg bodies widen the backing schema with the hidden constituents.
+    val fullSchema =
+      if (spec.hidden.isEmpty) bodySchema
+      else StructType(bodySchema.fields ++ spec.hidden.map(_._2))
+    cat.createTable(ident, fullSchema, partitioning, jProps)
     try {
-      spark.sql(s"INSERT INTO $full $bodySql")
+      materialize(spark, full, bodySql, body, spec.hidden.map(_._1),
+        overwrite = false)
       val c1 = currentVersion(baseKey)
       if (c1 != c0) throw new IllegalStateException(
         s"base table ${spec.base.mkString(".")} advanced (v$c0 -> v$c1) " +
@@ -628,8 +744,22 @@ private[graft] object MaterializedViews {
     val dimKeys = dimsL.map(SnapshotStore.keyOf(catalogName, _))
     val dv0 = dimKeys.map(currentVersion)
     val selfV0 = currentVersion(mvKey)
-    try spark.sql(s"INSERT OVERWRITE $mvFull ${st.properties(PropSql)}")
-    catch {
+    try {
+      // avg MVs re-derive the hidden constituents from the re-analyzed
+      // body (the stored SQL alone cannot name them); the same analyzed
+      // plan instance feeds both the extract and the write, so the
+      // appended expressions' ids resolve.
+      val hasDerived = colsFromJson(st.properties(PropCols))
+        .exists(_.kind == "avg")
+      val bodySql = st.properties(PropSql)
+      if (!hasDerived)
+        materialize(spark, mvFull, bodySql, None, Nil, overwrite = true)
+      else {
+        val analyzed = spark.sql(bodySql).queryExecution.analyzed
+        materialize(spark, mvFull, bodySql, Some(analyzed),
+          extract(catalogName, analyzed).hidden.map(_._1), overwrite = true)
+      }
+    } catch {
       case e: Throwable =>
         // A transient overwrite failure that COMMITTED NOTHING releases
         // the claim (version math proves nothing landed) — otherwise one
@@ -818,8 +948,8 @@ private[graft] object MaterializedViews {
               .alias(dimAlias(i)))
       }
       val withConds = joinConds.foldLeft(joined)((df, cs) => df.filter(expr(cs)))
-      val deltas = deltaFrame(withConds, cols,
-        props.get(PropWhere), st.schema)
+      val deltas = withExtremaRecompute(spark, catalogName, base, props, cols,
+        deltaFrame(withConds, cols, props.get(PropWhere), st.schema), c)
       val src = "graft_mv_deltas_" + (catalogName +: identParts)
         .mkString("_").replaceAll("[^A-Za-z0-9_]", "_")
       deltas.createOrReplaceTempView(src)
@@ -859,6 +989,110 @@ private[graft] object MaterializedViews {
     (b, c, true)
   }
 
+  /** STALE-MV DELTA TOP-UP — the read-only form of [[refresh]]'s fold,
+    * executed INLINE by the query rewrite ([[MvQueryRewrite]]) when the
+    * only failed gate is the watermark: the stored view at its pinned
+    * snapshot, UNION'd with the signed per-group fold of the base's
+    * `.changes` in `(b, c]`, re-aggregated back to the view's schema.
+    * Dashboards stay on the |groups| + |changed rows| path BETWEEN
+    * refreshes instead of falling back to the 100 TB base scan.
+    *
+    * EXACTNESS mirrors [[mergeSql]] clause for clause: totals add the
+    * same [[deltaFrame]] values a refresh would MERGE (decimal/integral
+    * addition, associative); a group whose folded count(*) is <= 0 is
+    * dead and filtered (MERGE's DELETE clause); a nullable sum returns
+    * to NULL exactly when its count(expr) witness hits zero (plain SQL
+    * SUM cannot see that case: stored 10/delta −10 sums to 0, not NULL).
+    * GROUP BY null-key semantics match the MERGE's `<=>` join.
+    *
+    * SINGLE-TABLE MVs only — a star's fold joins dimensions AS OF their
+    * watermarks; servable the same way, deferred until a workload needs
+    * it (the caller never offers star candidates). */
+  private[sources] def topUpFrame(spark: SparkSession, catalogName: String,
+      identParts: Seq[String], st: SnapshotStore.TableState,
+      b: Long, c: Long): DataFrame = {
+    val props = st.properties
+    val cols = colsFromJson(props(PropCols))
+    val base = baseParts(props)
+    val mvFull = (catalogName +: identParts).map(bq).mkString(".")
+    val baseFull = (catalogName +: base).map(bq).mkString(".")
+    // Pin the validated snapshot — a refresh landing between plan and
+    // execution must not double-apply (an empty never-written MV has no
+    // snapshot to pin; both read empty).
+    val view =
+      if (st.snapshots.isEmpty) spark.table(mvFull)
+      else spark.sql(
+        s"SELECT * FROM $mvFull VERSION AS OF ${st.snapshots.last.version}")
+    val changes = spark.read
+      .option("startingVersion", (b + 1).toString)
+      .option("endingVersion", c.toString)
+      .table(s"$baseFull.changes")
+      .alias(FactAlias)
+    val deltas = deltaFrame(changes, cols, props.get(PropWhere), st.schema)
+    val typeOf: Map[String, DataType] =
+      st.schema.fields.map(f => f.name -> f.dataType).toMap
+    // Both sides in delta algebra (g<i> keys, d<i> signed measures): the
+    // stored rows are "deltas" of weight +1; measure columns cast to the
+    // stored (sum-widened) type so the union's addition happens in it.
+    // avg columns are DERIVED from their (foldable) hidden constituents —
+    // they carry no delta of their own; min/max never reach here (the
+    // rewrite refuses to offer a top-up for extrema MVs: deletes in the
+    // missed range would need the affected-group recompute).
+    val viewSel = cols.zipWithIndex.flatMap { case (mc, i) =>
+      mc.kind match {
+        case "group" => Seq(col(bq(mc.out)).as(s"g$i"))
+        case "avg" => Nil
+        case _ => Seq(col(bq(mc.out)).as(s"d$i"))
+      }
+    }
+    val deltaSel = cols.zipWithIndex.flatMap { case (mc, i) =>
+      mc.kind match {
+        case "group" => Seq(col(s"g$i"))
+        case "avg" => Nil
+        case _ => Seq(col(s"d$i").cast(typeOf(mc.out)).as(s"d$i"))
+      }
+    }
+    val unioned = view.select(viewSel: _*).unionAll(deltas.select(deltaSel: _*))
+    val keys = cols.zipWithIndex.collect {
+      case (mc, i) if mc.kind == "group" => s"g$i" }
+    val aggs = cols.zipWithIndex.collect {
+      case (mc, i) if mc.kind != "group" && mc.kind != "avg" =>
+        sum(s"d$i").as(s"d$i") }
+    val tot = unioned.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val cntIdx = cols.indexWhere(_.kind == "count_star")
+    val alive = tot.filter(col(s"d$cntIdx") > 0L)
+    val outCols = cols.zipWithIndex.map { case (mc, i) =>
+      mc.kind match {
+        case "group" => col(s"g$i").as(mc.out)
+        case "count_star" => col(s"d$cntIdx").as(mc.out)
+        case "count" => coalesce(col(s"d$i"), lit(0L)).as(mc.out)
+        case "sum" =>
+          val t = typeOf(mc.out)
+          val v = col(s"d$i").cast(t)
+          mc.nn match {
+            case Some(nnOut) =>
+              val nnIdx = cols.indexWhere(_.out == nnOut)
+              when(coalesce(col(s"d$nnIdx"), lit(0L)) === 0L,
+                lit(null).cast(t)).otherwise(v).as(mc.out)
+            case None => v.as(mc.out)
+          }
+        case "avg" =>
+          // Derive from the folded constituents, mirroring mergeSql's
+          // avgOf: NULL when the post-fold count witness hits zero.
+          val sumIdx = cols.indexWhere(_.out == avgSumCol(mc.out))
+          val cIdx = cols.indexWhere(_.out == avgCntCol(mc.out))
+          val t = typeOf(mc.out)
+          val sumT = typeOf(cols(sumIdx).out)
+          when(coalesce(col(s"d$cIdx"), lit(0L)) === 0L, lit(null).cast(t))
+            .otherwise((col(s"d$sumIdx").cast(sumT) /
+              coalesce(col(s"d$cIdx"), lit(0L))).cast(t))
+            .as(mc.out)
+        case other => sys.error(s"mv.cols kind malformed: $other")
+      }
+    }
+    alive.select(outCols: _*)
+  }
+
   /** Per-group signed (count, measure) deltas of a bounded change-feed
     * frame — [[graft.operators.IncrementalMaintenance.aggDeltasFromChanges]]
     * generalized to arbitrary key/measure lists. Sum measures are signed
@@ -877,33 +1111,93 @@ private[graft] object MaterializedViews {
         lit("refresh_mv: unexpected _change_type "), ct)))
     val typeOf: Map[String, DataType] =
       mvSchema.fields.map(f => f.name -> f.dataType).toMap
-    val projected = cols.zipWithIndex.map { case (mc, i) =>
+    val projected = cols.zipWithIndex.flatMap { case (mc, i) =>
       mc.kind match {
-        case "group" => expr(mc.expr).as(s"g$i")
-        case "count_star" => signedN.as(s"d$i")
+        case "group" => Seq(expr(mc.expr).as(s"g$i"))
+        case "count_star" => Seq(signedN.as(s"d$i"))
         case "count" =>
-          (when(expr(mc.expr).isNull, lit(0L)).otherwise(lit(1L)) * signedN)
-            .as(s"d$i")
+          Seq((when(expr(mc.expr).isNull, lit(0L)).otherwise(lit(1L)) * signedN)
+            .as(s"d$i"))
         case "sum" =>
           val x = expr(mc.expr).cast(typeOf(mc.out))
-          when(ct === "INSERT", x).otherwise(-x).as(s"d$i")
+          Seq(when(ct === "INSERT", x).otherwise(-x).as(s"d$i"))
+        // avg is DERIVED: its hidden sum/count constituents (regular cols
+        // entries) carry the fold; the MERGE recomputes the value.
+        case "avg" => Nil
+        // min/max: the INSERTED extremum folds via least/greatest; the
+        // DELETED extremum drives the affected-group recompute decision.
+        case "min" | "max" =>
+          Seq(when(ct === "INSERT", expr(mc.expr)).as(s"mi$i"),
+            when(ct === "DELETE", expr(mc.expr)).as(s"md$i"))
         case other => sys.error(s"mv.cols kind malformed: $other")
       }
     }
     val keyNames = cols.zipWithIndex.collect {
       case (mc, i) if mc.kind == "group" => s"g$i"
     }
-    val aggs = cols.zipWithIndex.collect {
-      case (mc, i) if mc.kind != "group" => sum(s"d$i").as(s"d$i")
+    val aggs = cols.zipWithIndex.flatMap { case (mc, i) =>
+      mc.kind match {
+        case "group" | "avg" => Nil
+        case "min" => Seq(min(s"mi$i").as(s"mi$i"), min(s"md$i").as(s"md$i"))
+        case "max" => Seq(max(s"mi$i").as(s"mi$i"), max(s"md$i").as(s"md$i"))
+        case _ => Seq(sum(s"d$i").as(s"d$i"))
+      }
     }
     filtered.select(projected: _*)
       .groupBy(keyNames.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** MIN/MAX delete handling: a deleted value AT OR PAST a group's stored
+    * extremum means the extremum may not have survived — no delta can
+    * decide, so refresh RECOMPUTES exactly the AFFECTED groups from the
+    * current base (the delta frame's deleted-extrema name them) and the
+    * MERGE picks recomputed vs folded per group against the stored value.
+    * Groups touched only by inserts never rescan anything.
+    *
+    * Scale: the recompute is `base ⋈ (broadcast suspect keys)` semi-join
+    * → grouped min/max — bounded by the files holding the suspect
+    * groups' rows (group-key stats prune), and suspects are bounded by
+    * the CHANGED groups with deletes, never the table. */
+  private def withExtremaRecompute(spark: SparkSession, catalogName: String,
+      base: Seq[String], props: Map[String, String], cols: Seq[MvCol],
+      deltas: DataFrame, pinV: Long): DataFrame = {
+    val mm = cols.zipWithIndex.filter { case (c, _) =>
+      c.kind == "min" || c.kind == "max" }
+    if (mm.isEmpty) return deltas
+    val keyIdx = cols.zipWithIndex.collect {
+      case (c, i) if c.kind == "group" => i }
+    val delAny = mm.map { case (_, i) => col(s"md$i").isNotNull }
+      .reduce(_ or _)
+    val suspects = deltas.filter(delAny)
+      .select(keyIdx.map(i => col(s"g$i")): _*)
+    val baseFull = (catalogName +: base).map(bq).mkString(".")
+    // Pinned at the CLAIMED version — a base commit landing mid-refresh
+    // must not leak rows past the watermark into the recomputed extrema.
+    val base0 = spark.sql(s"SELECT * FROM $baseFull VERSION AS OF $pinV")
+    val baseF = props.get(PropWhere).fold(base0)(w => base0.filter(expr(w)))
+    val proj = keyIdx.map(i => expr(cols(i).expr).as(s"rg$i")) ++
+      mm.map { case (c, i) => expr(c.expr).as(s"rv$i") }
+    val semiCond = keyIdx.map(i => col(s"rg$i") <=> col(s"g$i"))
+      .reduce(_ and _)
+    val recAggs = mm.map { case (c, i) =>
+      (if (c.kind == "min") min(col(s"rv$i")) else max(col(s"rv$i")))
+        .as(s"r$i") }
+    val rec = baseF.select(proj: _*)
+      .join(broadcast(suspects), semiCond, "left_semi")
+      .groupBy(keyIdx.map(i => col(s"rg$i")): _*)
+      .agg(recAggs.head, recAggs.tail: _*)
+    val joinCond = keyIdx.map(i => deltas(s"g$i") <=> rec(s"rg$i"))
+      .reduce(_ and _)
+    keyIdx.foldLeft(deltas.join(rec, joinCond, "left")) { (df, i) =>
+      df.drop(rec(s"rg$i")) }
+  }
+
   /** The one-statement fold. All UPDATE right-hand sides read the OLD row
     * (standard MERGE semantics), so the all-null witness compares the
-    * UPDATED non-null count (old + delta). */
+    * UPDATED non-null count (old + delta), avg derives from the UPDATED
+    * constituents, and the min/max recompute decision compares the
+    * deleted extremum against the OLD stored value. */
   private def mergeSql(mvFull: String, src: String, cols: Seq[MvCol],
       mvSchema: StructType): String = {
     val idx = cols.zipWithIndex.toMap
@@ -913,32 +1207,75 @@ private[graft] object MaterializedViews {
       .map(g => s"t.${bq(g.out)} <=> s.g${idx(g)}").mkString(" AND ")
     val typeOf: Map[String, String] =
       mvSchema.fields.map(f => f.name -> f.dataType.sql).toMap
+    // Post-fold value SQL per column, in BOTH clauses' vocabularies
+    // (matched: old t + s deltas; not-matched: s deltas alone) — avg
+    // reads its constituents' post-fold values, so they are factored.
+    def updCount(c: MvCol): String =
+      s"t.${bq(c.out)} + coalesce(s.d${idx(c)}, 0)"
+    def insCount(c: MvCol): String = s"coalesce(s.d${idx(c)}, 0)"
+    def updSum(c: MvCol): String = {
+      val t = typeOf(c.out)
+      val add = s"CAST(coalesce(t.${bq(c.out)}, 0) + " +
+        s"coalesce(s.d${idx(c)}, 0) AS $t)"
+      c.nn match {
+        case Some(nnOut) =>
+          val nnC = cols.find(_.out == nnOut).get
+          s"CASE WHEN ${updCount(nnC)} = 0 THEN CAST(NULL AS $t) " +
+            s"ELSE $add END"
+        case None => add
+      }
+    }
+    def insSum(c: MvCol): String = s"CAST(s.d${idx(c)} AS ${typeOf(c.out)})"
+    def avgOf(c: MvCol, sumSql: String, cntSql: String): String = {
+      val t = typeOf(c.out)
+      s"CASE WHEN ($cntSql) = 0 THEN CAST(NULL AS $t) " +
+        s"ELSE CAST(($sumSql) / ($cntSql) AS $t) END"
+    }
+    def constituents(c: MvCol): (MvCol, MvCol) = (
+      cols.find(_.out == avgSumCol(c.out)).getOrElse(sys.error(
+        s"mv.cols: avg ${c.out} lost its sum constituent")),
+      cols.find(_.out == avgCntCol(c.out)).getOrElse(sys.error(
+        s"mv.cols: avg ${c.out} lost its count constituent")))
     val sets = cols.collect {
       case g if g.kind == "group" => None
       case c if c.kind == "count_star" =>
         Some(s"t.${bq(c.out)} = t.${bq(c.out)} + $cntD")
       case c if c.kind == "count" =>
-        Some(s"t.${bq(c.out)} = t.${bq(c.out)} + coalesce(s.d${idx(c)}, 0)")
+        Some(s"t.${bq(c.out)} = ${updCount(c)}")
       case c if c.kind == "sum" =>
-        val t = typeOf(c.out)
-        val add = s"CAST(coalesce(t.${bq(c.out)}, 0) + " +
-          s"coalesce(s.d${idx(c)}, 0) AS $t)"
-        Some(c.nn match {
-          case Some(nnOut) =>
-            val nnIdx = idx(cols.find(_.out == nnOut).get)
-            s"t.${bq(c.out)} = CASE WHEN t.${bq(nnOut)} + " +
-              s"coalesce(s.d$nnIdx, 0) = 0 THEN CAST(NULL AS $t) " +
-              s"ELSE $add END"
-          case None => s"t.${bq(c.out)} = $add"
-        })
+        Some(s"t.${bq(c.out)} = ${updSum(c)}")
+      case c if c.kind == "avg" =>
+        val (sumC, cntC) = constituents(c)
+        Some(s"t.${bq(c.out)} = ${avgOf(c, updSum(sumC), updCount(cntC))}")
+      case c if c.kind == "min" || c.kind == "max" =>
+        val i = idx(c)
+        val cmp = if (c.kind == "min") "<=" else ">="
+        val fold = if (c.kind == "min") "least" else "greatest"
+        // Deleted extremum could have been the stored one (or undercut it
+        // — an in-range insert-then-delete can go past the stored value):
+        // take the recompute; otherwise fold the inserted extremum
+        // (least/greatest skip NULLs, so insert-free groups keep t as-is).
+        Some(s"t.${bq(c.out)} = CASE WHEN s.md$i IS NOT NULL AND " +
+          s"(t.${bq(c.out)} IS NULL OR s.md$i $cmp t.${bq(c.out)}) " +
+          s"THEN s.r$i ELSE $fold(t.${bq(c.out)}, s.mi$i) END")
     }.flatten
     val insertCols = cols.map(c => bq(c.out)).mkString(", ")
     val insertVals = cols.map { c =>
       c.kind match {
         case "group" => s"s.g${idx(c)}"
         case "count_star" => cntD
-        case "count" => s"coalesce(s.d${idx(c)}, 0)"
-        case "sum" => s"CAST(s.d${idx(c)} AS ${typeOf(c.out)})"
+        case "count" => insCount(c)
+        case "sum" => insSum(c)
+        case "avg" =>
+          val (sumC, cntC) = constituents(c)
+          avgOf(c, insSum(sumC), insCount(cntC))
+        case "min" | "max" =>
+          // A brand-new group that ALSO saw deletes in the range (insert
+          // then delete of the same rows) cannot trust its inserted
+          // extremum — the recompute covers it.
+          val i = idx(c)
+          s"CASE WHEN s.md$i IS NOT NULL THEN s.r$i ELSE s.mi$i END"
+        case other => sys.error(s"mv.cols kind malformed: $other")
       }
     }.mkString(", ")
     s"""MERGE INTO $mvFull t USING $src s

@@ -3,13 +3,14 @@ package graft.sources
 import scala.collection.mutable
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Divide, EqualNullSafe, EqualTo, ExprId, Expression, Literal, NamedExpression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.types.DataType
+import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** AUTOMATIC MV-BASED QUERY REWRITE — the optimization materialized views
   * exist for: a user's aggregate over the 100 TB BASE table is answered
@@ -22,12 +23,22 @@ import org.apache.spark.sql.types.DataType
   * WHEN a rewrite fires (all conditions checked at plan time):
   *
   *   - the plan node is `Aggregate → [Filter] → <live-head scan of a
-  *     snapshot-catalog table>` — never a time-traveled / branch / meta
-  *     (`.changes`) relation: a pinned read's answer is defined by
-  *     history, not by any view's freshness;
-  *   - an MV of that base is FRESH: its `mv.base-version` watermark
-  *     equals the base's current version and no refresh claim is pending
-  *     (`mv.pending-base` — a mid-refresh or crashed view never serves);
+  *     snapshot-catalog table, or an INNER-equi-join tree of them>` —
+  *     never a time-traveled / branch / meta (`.changes`) relation: a
+  *     pinned read's answer is defined by history, not by any view's
+  *     freshness;
+  *   - an MV over EXACTLY those tables is FRESH: its `mv.base-version`
+  *     watermark equals the fact's current version, every dimension
+  *     watermark (`mv.dim-versions`) equals its dimension's current
+  *     version, and no refresh claim is pending (`mv.pending-base` — a
+  *     mid-refresh or crashed view never serves);
+  *   - for a JOIN query, the join tree matches the stored STAR spec:
+  *     the query's table set equals {fact} ∪ dims (each table once —
+  *     self-joins are ambiguous and veto), and the query's ON conjuncts
+  *     equal the spec's `mv.dims` conditions as a multiset (canonicalized
+  *     under the stored `f`/`d0`/… aliases, equality commuted) — an
+  *     extra or missing join condition changes the row multiset the MV
+  *     materialized, so either direction vetoes;
   *   - the query's WHERE is ACCOUNTED FOR: it equals the MV's stored
   *     predicate (canonicalized SQL), or — when conjunctive — one
   *     conjunct equals it and the rest reference only MV group columns
@@ -56,11 +67,12 @@ import org.apache.spark.sql.types.DataType
   *     the rows.
   *
   * EXACTNESS: a fresh MV is hash-identical to recomputing its body (the
-  * r03 gate); the mapped outputs read those very values, and subsumption
-  * re-adds partial sums whose addition is associative (integral/decimal
-  * only — enforced at CREATE). The r04 gate pins rewritten ≡ recomputed,
-  * hash-exact, with an in-query assert that the view's scan (not the
-  * base's) served the answer.
+  * r03/r05 gates); the mapped outputs read those very values, and
+  * subsumption re-adds partial sums whose addition is associative
+  * (integral/decimal only — enforced at CREATE). The r04 gate pins
+  * rewritten ≡ recomputed hash-exact for the single-table shape, r06 for
+  * the star shape, each with an in-query assert that the view's scan
+  * (not the base's) served the answer.
   *
   * CONSISTENCY: the substituted scan is PINNED to the MV snapshot whose
   * freshness was validated — a refresh landing between planning and
@@ -81,11 +93,27 @@ private[graft] object MvQueryRewrite {
   /** Session conf: set "false" to plan every aggregate against the base. */
   val EnabledKey = "spark.graft.mv.rewrite.enabled"
 
-  import MaterializedViews.{MvCol, PropBaseVersion, PropCols, PropPending, PropWhere, unq}
+  /** Session conf gating the STALE-MV delta top-up: when the only failed
+    * gate is the watermark, serve `view ∪ signed-fold(.changes (b, c])`
+    * re-aggregated inline instead of falling back to the base scan. */
+  val TopUpKey = "spark.graft.mv.rewrite.topup.enabled"
 
-  /** One candidate MV of some base table, resolved once per invocation. */
+  import MaterializedViews.{FactAlias, MvCol, PropBaseVersion, PropCols, PropPending, PropWhere, dimAlias, unq}
+
+  /** One candidate MV, resolved once per invocation. `factKey` is the
+    * store key of the table whose `.changes` refresh folds; star specs
+    * additionally carry `dimKeys` (join order), the stored join-condition
+    * SQLs, and the dimension watermarks parallel to `dimKeys`. */
   private final case class Cand(ident: Identifier, key: String,
-      state: SnapshotStore.TableState, cols: Seq[MvCol])
+      state: SnapshotStore.TableState, cols: Seq[MvCol], factKey: String,
+      dimKeys: Seq[String], joinConds: Seq[String], dimVersions: Seq[Long])
+
+  /** The servable part of a query plan: `Aggregate → [Filter] → <rels>`
+    * where `rels` is one live-head catalog scan or an inner-equi-join
+    * tree of them (join ON conjuncts in `conds`), all of one catalog. */
+  private final case class Shape(filter: Option[Expression],
+      cat: SnapshotCatalog, rels: Seq[(String, DataSourceV2Relation)],
+      conds: Seq[Expression])
 
   def rewrite(spark: SparkSession, plan: LogicalPlan): LogicalPlan = {
     // Candidates memoized per invocation (a UNION of aggregates over one
@@ -109,27 +137,48 @@ private[graft] object MvQueryRewrite {
     case other => other
   }
 
-  /** `Aggregate → [Filter] → live-head snapshot-catalog scan`, or None. */
-  private def destructure(agg: Aggregate):
-      Option[(Option[Expression], SnapshotCatalog, String)] = {
-    def relOf(p: LogicalPlan): Option[(SnapshotCatalog, String)] = p match {
-      // Reader OPTIONS veto the rewrite outright: a `files`-restricted
-      // scan (the incremental-read hook) or any other option-modified
-      // read is NOT the whole live table the MV materializes — plain
-      // `spark.table`/SQL reads carry no options.
-      case r: DataSourceV2Relation if r.options.isEmpty => r.table match {
-        case m: MemTable if m.isLiveHead => r.catalog match {
-          case Some(c: SnapshotCatalog) => Some((c, m.storeKey))
-          case _ => None
-        }
+  /** One leaf scan the rewrite may substitute for. Reader OPTIONS veto
+    * outright: a `files`-restricted scan (the incremental-read hook) or
+    * any other option-modified read is NOT the whole live table the MV
+    * materializes — plain `spark.table`/SQL reads carry no options. */
+  private def leafOf(p: LogicalPlan):
+      Option[(SnapshotCatalog, String, DataSourceV2Relation)] = p match {
+    case r: DataSourceV2Relation if r.options.isEmpty => r.table match {
+      case m: MemTable if m.isLiveHead => r.catalog match {
+        case Some(c: SnapshotCatalog) => Some((c, m.storeKey, r))
         case _ => None
       }
       case _ => None
     }
-    strip(agg.child) match {
-      case Filter(cond, c) => relOf(strip(c)).map { case (cat, k) =>
-        (Some(cond), cat, k) }
-      case other => relOf(other).map { case (cat, k) => (None, cat, k) }
+    case _ => None
+  }
+
+  /** `Aggregate → [Filter] → scan | inner-equi-join tree`, or None. */
+  private def destructure(agg: Aggregate): Option[Shape] = {
+    def flatten(p: LogicalPlan):
+        Option[(Seq[(SnapshotCatalog, String, DataSourceV2Relation)],
+                Seq[Expression])] = strip(p) match {
+      case j: Join if j.joinType == Inner && j.condition.isDefined =>
+        for {
+          (lr, lc) <- flatten(j.left)
+          (rr, rc) <- flatten(j.right)
+        } yield (lr ++ rr, (lc ++ rc) ++ conjuncts(j.condition.get))
+      case other => leafOf(other).map(l => (Seq(l), Nil))
+    }
+    val (filterOpt, from) = strip(agg.child) match {
+      case Filter(cond, c) => (Some(cond), c)
+      case other => (None, other: LogicalPlan)
+    }
+    flatten(from).flatMap { case (leaves, conds) =>
+      val cats = leaves.map(_._1)
+      // One catalog (the discovery index and the stored spec are
+      // catalog-local), each table at most once (a self-join's alias
+      // assignment is ambiguous — never guess).
+      val keys = leaves.map(_._2)
+      if (cats.exists(_.name() != cats.head.name())) None
+      else if (keys.distinct.size != keys.size) None
+      else Some(Shape(filterOpt, cats.head,
+        leaves.map(l => l._2 -> l._3), conds))
     }
   }
 
@@ -140,8 +189,8 @@ private[graft] object MvQueryRewrite {
     if (st.snapshots.isEmpty) 0L else st.snapshots.last.version
   }
 
-  /** catalog name → (builtAtMillis, baseKey → MV identifiers). The
-    * DISCOVERY index: which tables are MVs and what base each folds —
+  /** catalog name → (builtAtMillis, factKey → MV identifiers). The
+    * DISCOVERY index: which tables are MVs and what fact each folds —
     * membership changes only on CREATE/DROP MATERIALIZED VIEW, so the
     * warehouse listing is cached JVM-wide with local create/drop
     * invalidation ([[invalidate]]) plus a [[IndexTtlMs]] ceiling for
@@ -171,6 +220,12 @@ private[graft] object MvQueryRewrite {
     val cur = index.get(name)
     if (cur != null && now - cur._1 < IndexTtlMs) return cur._2
     val genAtStart = generation.get()
+    // A WHOLESALE listing failure must not be cached: one transient
+    // namespace-listing error would otherwise disable rewrite for every
+    // table of the catalog for a full TTL window. Per-table resolution
+    // errors (view claim dirs, concurrent drops) stay best-effort — they
+    // skip the entry, never the build.
+    var failed = false
     val built: Map[String, Vector[Identifier]] =
       try {
         cat.listNamespaces().toSeq.flatMap { ns =>
@@ -185,30 +240,31 @@ private[graft] object MvQueryRewrite {
             } catch { case _: Exception => None }
           }
         }.groupBy(_._1).map { case (bk, xs) => bk -> xs.map(_._2).toVector }
-      } catch { case _: Exception => Map.empty }
-    if (generation.get() == genAtStart) index.put(name, (now, built))
+      } catch { case _: Exception => failed = true; Map.empty }
+    if (!failed && generation.get() == genAtStart) index.put(name, (now, built))
     built
   }
 
-  /** Every MV of `cat` folding `baseKey`, with its CURRENT state —
+  /** Every MV of `cat` whose FACT is `factKey`, with its CURRENT state —
     * resolved fresh per query (the index only names candidates; every
     * gate below re-validates against live metadata). Listing errors
     * (view claim dirs, concurrent drops) skip the entry. */
-  private def candidates(cat: SnapshotCatalog, baseKey: String): Seq[Cand] =
-    indexOf(cat).getOrElse(baseKey, Vector.empty).flatMap { id =>
+  private def candidates(cat: SnapshotCatalog, factKey: String): Seq[Cand] =
+    indexOf(cat).getOrElse(factKey, Vector.empty).flatMap { id =>
       val k = SnapshotStore.keyOf(cat.name(),
         id.namespace().toSeq :+ id.name())
       try {
         SnapshotStore.resolve(k)
           .filter(st => MaterializedViews.isMv(st.properties))
-          // Star (join) MVs never serve a single-table aggregate:
-          // their rows are post-join, and their stored expressions
-          // carry f/d0/… qualifiers that must not string-match.
-          .filter(st => !st.properties.contains(MaterializedViews.PropDims))
           .filter(st => SnapshotStore.keyOf(cat.name(),
-            MaterializedViews.baseParts(st.properties)) == baseKey)
-          .map(st => Cand(id, k, st,
-            MaterializedViews.colsFromJson(st.properties(PropCols))))
+            MaterializedViews.baseParts(st.properties)) == factKey)
+          .map { st =>
+            val (dimsL, conds) = MaterializedViews.dimsOf(st.properties)
+            Cand(id, k, st,
+              MaterializedViews.colsFromJson(st.properties(PropCols)),
+              factKey, dimsL.map(d => SnapshotStore.keyOf(cat.name(), d)),
+              conds, MaterializedViews.dimVersionsOf(st.properties))
+          }
       } catch { case _: Exception => None }
     }
 
@@ -219,20 +275,38 @@ private[graft] object MvQueryRewrite {
     if (agg.groupingExpressions.isEmpty) return None // global aggregate: the
     // MV contract requires a GROUP BY, and an empty-base global agg must
     // yield its one default row — never rewritable from a keyed view.
-    val (filterOpt, cat, baseKey) = destructure(agg) match {
-      case Some(t) => t
+    val shape = destructure(agg) match {
+      case Some(s) => s
       case None => return None
     }
-    val cands = memo.getOrElseUpdate(baseKey, candidates(cat, baseKey))
+    val queryKeys = shape.rels.map(_._1).toSet
+    // The discovery index is keyed by FACT — any of the query's tables
+    // could be a candidate's fact, so probe each.
+    val cands = shape.rels.map(_._1)
+      .flatMap(k => memo.getOrElseUpdate(k, candidates(shape.cat, k)))
     if (cands.isEmpty) return None
-    val baseV = currentVersion(baseKey)
-    cands.iterator
+    val topUpOn = spark.sessionState.conf
+      .getConfString(TopUpKey, "true").toBoolean
+    val eligible = cands.iterator
+      .filter { c =>
+        // TABLE-SET gate: the MV materialized exactly the query's join —
+        // {fact} ∪ dims = the query's tables, each appearing once (a spec
+        // with a repeated table cannot be alias-assigned unambiguously).
+        val specKeys = c.factKey +: c.dimKeys
+        specKeys.distinct.size == specKeys.size &&
+          specKeys.toSet == queryKeys && specKeys.size == shape.rels.size
+      }
       .filter { c =>
         val props = c.state.properties
         val mvCurrent =
           if (c.state.snapshots.isEmpty) 0L else c.state.snapshots.last.version
         !props.contains(PropPending) &&
-          props.get(PropBaseVersion).exists(_.toLong == baseV) &&
+          // STAR freshness: every dimension watermark must equal its
+          // dimension's current version — stored rows joined a PINNED dim
+          // snapshot, and a moved dim invalidates every group.
+          c.dimKeys.zip(c.dimVersions).forall { case (dk, dv) =>
+            currentVersion(dk) == dv } &&
+          c.dimKeys.size == c.dimVersions.size &&
           // TAMPER gate: only refresh/create ever write the backing table
           // (PropSelfVersion is stamped after each), so a snapshot version
           // PAST the stamp means someone ran DML directly against the MV —
@@ -244,8 +318,51 @@ private[graft] object MvQueryRewrite {
           props.get(MaterializedViews.PropSelfVersion)
             .exists(_.toLong == mvCurrent)
       }
-      .flatMap(c => matchOne(spark, agg, filterOpt, cat, c))
+      // Freshness decides the SERVING SHAPE: an up-to-date watermark
+      // serves the pinned view directly; a merely-STALE single-table MV
+      // serves view ∪ signed-fold of the missed change range (the delta
+      // TOP-UP — O(|groups| + changed rows), never the base scan). None
+      // = unservable. Fresh candidates sort first: a direct view scan
+      // beats an inline fold.
+      .flatMap { c =>
+        val baseV = currentVersion(c.factKey)
+        c.state.properties.get(PropBaseVersion).map(_.toLong) match {
+          case Some(b) if b == baseV =>
+            Some((c, true, () => mvRelation(shape.cat, c): LogicalPlan))
+          case Some(b) if b < baseV && topUpOn && c.dimKeys.isEmpty &&
+              // Extrema MVs cannot top-up: a delete in the missed range
+              // needs the refresh's affected-group recompute, which
+              // writes nothing here.
+              !c.cols.exists(mc => mc.kind == "min" || mc.kind == "max") &&
+              changesRangeLive(c.factKey, b, baseV) =>
+            Some((c, false, () => MaterializedViews.topUpFrame(
+              spark, shape.cat.name(),
+              c.ident.namespace().toSeq :+ c.ident.name(),
+              c.state, b, baseV).queryExecution.analyzed))
+          case _ => None
+        }
+      }
+      .toSeq.sortBy(t => !t._2)
+    eligible.iterator
+      .flatMap { case (c, _, relPlan) =>
+        matchOne(spark, agg, shape, c, relPlan) }
       .nextOption()
+  }
+
+  /** Lazily-built substituted relation: plan construction (especially the
+    * top-up's nested analysis) only happens for a candidate that reaches
+    * output matching. */
+  private type RelPlan = () => LogicalPlan
+
+  /** Whether the base's snapshot list still covers `(b, c]` contiguously
+    * — the range the top-up's `.changes` read replays; an expired gap
+    * would fail the scan at execution, so an unreadable range simply
+    * never offers the top-up. */
+  private def changesRangeLive(baseKey: String, b: Long, c: Long): Boolean = {
+    val vs = SnapshotStore.stateOf(baseKey).snapshots
+      .map(_.version).filter(v => v > b && v <= c)
+    vs.size == (c - b) && vs.headOption.contains(b + 1) &&
+      vs.lastOption.contains(c)
   }
 
   /** Split a conjunction into its conjuncts. */
@@ -254,9 +371,75 @@ private[graft] object MvQueryRewrite {
     case other => Seq(other)
   }
 
+  /** Order-insensitive canonical key of a join conjunct: equality
+    * operands commute, so both sides sort. */
+  private def condKey(e: Expression): String = e match {
+    case EqualTo(l, r) => Seq(l.sql, r.sql).sorted.mkString(" = ")
+    case EqualNullSafe(l, r) => Seq(l.sql, r.sql).sorted.mkString(" <=> ")
+    case other => other.sql
+  }
+
   private def matchOne(spark: SparkSession, agg: Aggregate,
-      filterOpt: Option[Expression], cat: SnapshotCatalog,
-      cand: Cand): Option[LogicalPlan] = {
+      shape: Shape, cand: Cand, relPlan: RelPlan): Option[LogicalPlan] = {
+    val filterOpt = shape.filter
+
+    /** Canonical SQL under the spec's stored aliases: single-table specs
+      * store qualifier-STRIPPED expressions; star specs store `f`/`d0`/…
+      * qualified ones (fact and dims routinely share column names). A
+      * query attribute owned by none of the matched scans (correlation,
+      * metadata column) canonicalizes to None — every lookup below just
+      * fails and the base serves. */
+    val canon: Expression => Option[String] =
+      if (cand.dimKeys.isEmpty) e => Some(unq(e))
+      else {
+        val aliasOfKey: Map[String, String] =
+          ((cand.factKey -> FactAlias) +:
+            cand.dimKeys.zipWithIndex.map { case (k, i) => k -> dimAlias(i) }).toMap
+        val owner: Map[ExprId, String] = shape.rels.flatMap { case (k, r) =>
+          val a = aliasOfKey(k)
+          r.output.map(_.exprId -> a)
+        }.toMap
+        e => {
+          var ok = true
+          val t = e.transform {
+            case a: AttributeReference => owner.get(a.exprId) match {
+              case Some(q) => a.withQualifier(Seq(q))
+              case None => ok = false; a
+            }
+          }
+          if (ok) Some(t.sql) else None
+        }
+      }
+
+    // JOIN accounting (star specs): the query's ON conjuncts must equal
+    // the spec's as a MULTISET — an extra condition means the query sees
+    // fewer join rows than the MV materialized, a missing one means more;
+    // both are silently-wrong answers, so both veto.
+    if (cand.dimKeys.isEmpty) {
+      if (shape.conds.nonEmpty) return None
+    } else {
+      val parser = spark.sessionState.sqlParser
+      val specCs = cand.joinConds
+        .flatMap(s => conjuncts(parser.parseExpression(s))).map(condKey)
+      // Query side: canonicalize each conjunct's operand SQL under the
+      // stored aliases (the same rendering [[condKey]] applies to the
+      // re-parsed spec side), commuting equality operands.
+      val queryCs = shape.conds.flatMap(conjuncts).map { e =>
+        if (!e.deterministic) return None
+        val key = e match {
+          case EqualTo(l, r) =>
+            for { a <- canon(l); b <- canon(r) }
+              yield Seq(a, b).sorted.mkString(" = ")
+          case EqualNullSafe(l, r) =>
+            for { a <- canon(l); b <- canon(r) }
+              yield Seq(a, b).sorted.mkString(" <=> ")
+          case other => canon(other)
+        }
+        key.getOrElse(return None)
+      }
+      if (queryCs.sorted != specCs.sorted) return None
+    }
+
     // WHERE accounting: residual = query conjuncts not consumed by the
     // MV's stored predicate; None = unaccountable, no rewrite.
     val mvWhere = cand.state.properties.get(PropWhere)
@@ -265,16 +448,18 @@ private[graft] object MvQueryRewrite {
       case (None, Some(_)) => return None // MV sees fewer rows than the query
       case (Some(cond), None) => conjuncts(cond)
       case (Some(cond), Some(w)) =>
-        if (unq(cond) == w) Nil
+        if (canon(cond).contains(w)) Nil
         else {
-          val (consumed, rest) = conjuncts(cond).partition(c => unq(c) == w)
+          val (consumed, rest) = conjuncts(cond).partition(c =>
+            canon(c).contains(w))
           if (consumed.isEmpty) return None
           rest
         }
     }
 
-    // The substituted relation: the MV pinned at its validated snapshot.
-    val rel = mvRelation(cat, cand)
+    // The substituted relation: the MV pinned at its validated snapshot,
+    // or the stale candidate's inline top-up plan (same output schema).
+    val rel = relPlan()
     val attrOf: Map[String, Attribute] =
       rel.output.map(a => a.name -> a).toMap
     def attr(out: String): Option[Attribute] = attrOf.get(out)
@@ -290,6 +475,23 @@ private[graft] object MvQueryRewrite {
     val sumBySql: Map[String, Attribute] = cand.cols.collect {
       case c if c.kind == "sum" => attr(c.out).map(c.expr -> _)
     }.flatten.toMap
+    val minBySql: Map[String, Attribute] = cand.cols.collect {
+      case c if c.kind == "min" => attr(c.out).map(c.expr -> _)
+    }.flatten.toMap
+    val maxBySql: Map[String, Attribute] = cand.cols.collect {
+      case c if c.kind == "max" => attr(c.out).map(c.expr -> _)
+    }.flatten.toMap
+    // avg serves from (stored value, hidden sum, hidden count): exact
+    // shapes read the value; coarser shapes re-derive Σsum/Σcount.
+    val avgBySql: Map[String, (Attribute, Attribute, Attribute)] =
+      cand.cols.collect {
+        case c if c.kind == "avg" =>
+          for {
+            a <- attr(c.out)
+            s <- attr(MaterializedViews.avgSumCol(c.out))
+            n <- attr(MaterializedViews.avgCntCol(c.out))
+          } yield c.expr -> ((a, s, n))
+      }.flatten.toMap
     // A schema drifted out from under its spec (manual ALTER) maps
     // nothing — every lookup below just fails and the base serves.
 
@@ -304,7 +506,7 @@ private[graft] object MvQueryRewrite {
       * whole groups instead — silently wrong, not just re-randomized. */
     def mapScalar(e: Expression): Option[Expression] =
       if (!e.deterministic) None
-      else groupBySql.get(unq(e)) match {
+      else canon(e).flatMap(groupBySql.get) match {
         case Some(a) => Some(a)
         case None => e match {
           case _: SubqueryExpression => None
@@ -329,23 +531,49 @@ private[graft] object MvQueryRewrite {
       case ae: AggregateExpression if ae.isDistinct || ae.filter.isDefined =>
         None
       case ae: AggregateExpression =>
-        def serve(a: Attribute): Expression = {
+        def serveWith(reAgg: Attribute => AggregateFunction)(
+            a: Attribute): Expression = {
           val v: Expression =
-            if (exact) a else Sum(a).toAggregateExpression()
+            if (exact) a else reAgg(a).toAggregateExpression()
           castTo(v, ae.dataType)
         }
+        def serve(a: Attribute): Expression = serveWith(Sum(_))(a)
         ae.aggregateFunction match {
           case c: Count if c.children.sizeIs == 1 =>
             c.children.head match {
               case l: Literal if l.value != null => countStar.map(serve)
               case _: Literal => None // count(NULL): constant 0, not stored
-              case arg => countBySql.get(unq(arg)).map(serve)
+              case arg => canon(arg).flatMap(countBySql.get).map(serve)
             }
-          case s: Sum => sumBySql.get(unq(s.child)).map(serve)
-          case _ => None // min/max/avg/first/UDAF: not in the stored rollup
+          case s: Sum => canon(s.child).flatMap(sumBySql.get).map(serve)
+          // min/max are distributive over a partition of the groups:
+          // the minimum of stored group minima IS the coarser minimum
+          // (NULL minima — all-null groups — skip, like min itself).
+          case m: Min => canon(m.child).flatMap(minBySql.get)
+            .map(serveWith(Min(_)))
+          case m: Max => canon(m.child).flatMap(maxBySql.get)
+            .map(serveWith(Max(_)))
+          case a: Average =>
+            canon(a.child).flatMap(avgBySql.get).flatMap {
+              case (avgA, sumA, cntA) =>
+                if (exact) Some(castTo(avgA, ae.dataType))
+                else if (ae.dataType == DoubleType)
+                  // Σsum/Σcount in double — the exact long/decimal sums
+                  // cast late, so this equals recomputing avg wherever
+                  // double accumulation of the base is itself exact. A
+                  // group with count 0 contributes a NULL stored sum
+                  // (the nn witness), so all-null rollups stay NULL.
+                  Some(Divide(
+                    castTo(Sum(sumA).toAggregateExpression(), DoubleType),
+                    castTo(Sum(cntA).toAggregateExpression(), DoubleType)))
+                else None // decimal avg: replicating Average's decimal
+                // division/rounding bitwise is not worth a wrong hash —
+                // the exact shape serves, coarser shapes take the base.
+            }
+          case _ => None // first/UDAF/… : not in the stored rollup
         }
       case other =>
-        groupBySql.get(unq(other)) match {
+        canon(other).flatMap(groupBySql.get) match {
           case Some(a) => Some(a)
           case None => other match {
             case _: SubqueryExpression => None

@@ -150,10 +150,15 @@ class MaterializedViewSuite extends AnyFunSuite {
     }
     rejects(s"SELECT grp, sum(qty) AS q FROM $t GROUP BY grp",
       "must select count(*)")
-    rejects(s"SELECT grp, count(*) AS n, max(qty) AS m FROM $t GROUP BY grp",
+    // (max/avg/min are ACCEPTED since round 17 — see the extrema test —
+    // but their non-exact input types still refuse.)
+    rejects(s"SELECT grp, count(*) AS n, " +
+      s"avg(CAST(qty AS DOUBLE)) AS a FROM $t GROUP BY grp",
+      "order-dependent")
+    rejects(s"SELECT grp, count(*) AS n, first(qty) AS f FROM $t GROUP BY grp",
       "not incrementally maintainable")
-    rejects(s"SELECT grp, count(*) AS n, avg(qty) AS a FROM $t GROUP BY grp",
-      "not incrementally maintainable")
+    rejects(s"SELECT grp, count(*) AS n, qty AS __q_sum FROM $t " +
+      "GROUP BY grp, qty", "reserved")
     rejects(s"SELECT grp, count(*) AS n, count(DISTINCT qty) AS d FROM $t " +
       "GROUP BY grp", "DISTINCT")
     rejects(s"SELECT grp, count(*) AS n, " +
@@ -534,5 +539,116 @@ class MaterializedViewSuite extends AnyFunSuite {
       JOIN range(10) r ON f.k = r.id GROUP BY f.status""", "catalog")
     rejects(s"""SELECT status, count(*) AS n FROM $f VERSION AS OF 1
       GROUP BY status""", "LIVE")
+  }
+
+  // -- avg / min / max (round 17) ---------------------------------------------
+
+  /** avg stores hidden sum/count constituents; min/max fold inserts and
+    * RECOMPUTE only the affected groups when a delete removes (or, via
+    * in-range insert-then-delete, undercuts) a stored extremum. */
+  test("avg/min/max MVs: folding inserts, deleting a group's MAX, an " +
+      "in-range insert-then-delete past the stored MIN, and group birth " +
+      "with churn — all hash-identical to a recompute") {
+    val t = fresh("base_ext")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, grp STRING, v BIGINT, price DECIMAL(12,2))")
+    spark.sql(s"""INSERT INTO $t
+      SELECT id, concat('g', id % 4), id * 10,
+        CASE WHEN id % 6 = 0 THEN CAST(NULL AS DECIMAL(12,2))
+             ELSE CAST(id AS DECIMAL(12,2)) END
+      FROM range(0, 80)""")
+    val v = fresh("mv_ext")
+    val body = s"""SELECT grp, count(*) AS n, min(v) AS lo, max(v) AS hi,
+      avg(v) AS av, min(price) AS lop FROM $t GROUP BY grp"""
+    spark.sql(s"CREATE MATERIALIZED VIEW $v AS $body")
+    def recompute(): Array[String] = noRewrite(
+      spark.sql(body + " ORDER BY grp").collect().map(_.toString))
+    def stored(): Array[String] = spark.sql(
+      s"SELECT grp, n, lo, hi, av, lop FROM $v ORDER BY grp")
+      .collect().map(_.toString)
+    assert(stored().toSeq === recompute().toSeq, "initial materialization")
+
+    // Insert-only commit: extrema fold via least/greatest, no recompute
+    // (the fold path), including a BIRTH (g7).
+    spark.sql(s"INSERT INTO $t VALUES (1000, 'g7', 5, 1.00), " +
+      "(1001, 'g0', -20, NULL), (1002, 'g0', 99999, 2.00)")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $v")
+    assert(stored().toSeq === recompute().toSeq, "insert-only fold")
+
+    // DELETE exactly g1's current max (k=77 → v=770 is max of g1): the
+    // affected-group recompute must find the surviving max.
+    val hi1 = noRewrite(spark.sql(
+      s"SELECT max(v) FROM $t WHERE grp = 'g1'").head().getLong(0))
+    spark.sql(s"DELETE FROM $t WHERE grp = 'g1' AND v = $hi1")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $v")
+    assert(stored().toSeq === recompute().toSeq, "deleted the stored max")
+
+    // Delete a NON-extremum value: the stored extrema survive untouched
+    // (no recompute needed; the <=/>= gate must not misfire).
+    spark.sql(s"DELETE FROM $t WHERE grp = 'g2' AND k = 42")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $v")
+    assert(stored().toSeq === recompute().toSeq, "non-extremum delete")
+
+    // One range with BOTH an insert-then-delete UNDERCUTTING g3's min
+    // (the in-range value never survives but is lower than anything
+    // stored — folding it would be silently wrong) and an UPDATE moving
+    // a group's min away (group-moving delete+insert pair).
+    spark.sql(s"INSERT INTO $t VALUES (2000, 'g3', -999, 3.00)")
+    spark.sql(s"DELETE FROM $t WHERE k = 2000")
+    spark.sql(s"UPDATE $t SET grp = 'g0' WHERE grp = 'g3' AND v = " +
+      noRewrite(spark.sql(s"SELECT min(v) FROM $t WHERE grp = 'g3'")
+        .head().getLong(0)).toString)
+    spark.sql(s"REFRESH MATERIALIZED VIEW $v")
+    assert(stored().toSeq === recompute().toSeq,
+      "insert-then-delete past the min + min moved across groups")
+
+    // Group death and an all-null avg/min group.
+    spark.sql(s"DELETE FROM $t WHERE grp = 'g7'")
+    spark.sql(s"INSERT INTO $t VALUES (3000, 'g8', 7, NULL)")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $v")
+    assert(stored().toSeq === recompute().toSeq, "death + all-null group")
+    assert(!spark.sql(s"SELECT grp FROM $v").collect()
+      .exists(_.getString(0) == "g7"), "dead group removed")
+
+    // The avg column reads back exactly (double division of the exact
+    // hidden constituents); spot-check one group end-to-end.
+    val exp = noRewrite(spark.sql(
+      s"SELECT avg(v) FROM $t WHERE grp = 'g0'").head().getDouble(0))
+    assert(spark.sql(s"SELECT av FROM $v WHERE grp = 'g0'")
+      .head().getDouble(0) === exp)
+  }
+
+  test("extrema rejections and serving boundaries: min/max refuse STAR " +
+      "bodies; a stale extrema MV never offers the delta top-up") {
+    val f = fresh("ext_fact")
+    val d = fresh("ext_dim")
+    spark.sql(s"CREATE TABLE $f (k BIGINT, ck BIGINT, v BIGINT)")
+    spark.sql(s"CREATE TABLE $d (ck BIGINT, seg STRING)")
+    spark.sql(s"INSERT INTO $f SELECT id, id % 5, id FROM range(0, 50)")
+    spark.sql(s"INSERT INTO $d SELECT id, concat('s', id % 2) FROM range(0, 5)")
+    val v = fresh("ext_mv")
+    val e = intercept[Exception] {
+      spark.sql(s"""CREATE MATERIALIZED VIEW $v AS
+        SELECT d.seg AS seg, count(*) AS n, max(f.v) AS hi
+        FROM $f f JOIN $d d ON f.ck = d.ck GROUP BY d.seg""")
+    }
+    assert(e.getMessage.contains("STAR"), s"got: ${e.getMessage}")
+    // Single-table extrema MV: fresh serves the rewrite; stale does NOT
+    // top-up (extrema deltas are not foldable through deletes) — base.
+    spark.sql(s"""CREATE MATERIALIZED VIEW $v AS
+      SELECT ck, count(*) AS n, max(v) AS hi FROM $f GROUP BY ck""")
+    def scans(sql: String): Seq[String] =
+      "BatchScan ([^\\[ ]+)".r.findAllMatchIn(
+        spark.sql(sql).queryExecution.executedPlan.toString)
+        .map(_.group(1)).toSeq
+    val q = s"SELECT ck, count(*) AS n, max(v) AS hi FROM $f GROUP BY ck"
+    val fresh0 = scans(q)
+    assert(fresh0.exists(_.contains("ext_mv")) &&
+      !fresh0.exists(_.endsWith("ext_fact")),
+      s"fresh extrema MV must serve (max is distributive), got $fresh0")
+    spark.sql(s"INSERT INTO $f VALUES (9000, 1, 123456)")
+    val stale = scans(q)
+    assert(stale.exists(_.endsWith("ext_fact")) &&
+      !stale.exists(_.contains("ext_mv")),
+      s"a stale extrema MV must fall back, never top-up, got $stale")
   }
 }

@@ -101,7 +101,9 @@ class MvRewriteSuite extends AnyFunSuite {
     hitsMv(on2, "exact_mv", "exact_base")
   }
 
-  test("a STALE MV never serves; refresh_mv restores the rewrite") {
+  test("a STALE MV serves via the delta TOP-UP (view + bounded changes, " +
+      "never the base files); topup-off falls back; refresh restores the " +
+      "direct view scan") {
     val t = baseTable("stale_base")
     val v = fresh("stale_mv")
     spark.sql(s"""CREATE MATERIALIZED VIEW $v AS
@@ -109,12 +111,74 @@ class MvRewriteSuite extends AnyFunSuite {
     val q = s"SELECT grp, count(*) AS n, sum(coalesce(qty, 0)) AS tq FROM $t GROUP BY grp"
     hitsMv(bothWays(q)._1, "stale_mv", "stale_base")
     spark.sql(s"INSERT INTO $t VALUES (9001, 'g9', 's0', 1.00, 5)")
+    // Stale: the rewrite serves view ∪ fold(.changes) — the MV scan and
+    // the base's CHANGES relation appear, the base's plain scan does not
+    // (rows stay identical to the base plan; bothWays asserts it).
     val (onStale, _) = bothWays(q)
-    assert(onStale.exists(_.contains("stale_base")) &&
-      !onStale.exists(_.contains("stale_mv")),
-      s"a stale MV must not serve, got $onStale")
+    assert(onStale.exists(_.contains("stale_mv")),
+      s"a stale MV must serve via top-up, got $onStale")
+    assert(onStale.exists(_.contains("stale_base.changes")),
+      s"the top-up must read the bounded change range, got $onStale")
+    assert(!onStale.exists(_.endsWith("stale_base")),
+      s"the base's data files must NOT be scanned, got $onStale")
+    // The conf gate restores the old fallback.
+    spark.conf.set(MvQueryRewrite.TopUpKey, "false")
+    try {
+      val off = scans(spark.sql(q))
+      assert(off.exists(_.endsWith("stale_base")) &&
+        !off.exists(_.contains("stale_mv")),
+        s"topup-off must plan against the base, got $off")
+    } finally spark.conf.unset(MvQueryRewrite.TopUpKey)
+    // After the refresh, the DIRECT view scan serves again — no changes
+    // relation in the plan.
     spark.sql(s"CALL $cat.system.refresh_mv(table => 'mvr.stale_mv')")
-    hitsMv(bothWays(q)._1, "stale_mv", "stale_base")
+    val (onFresh, _) = bothWays(q)
+    hitsMv(onFresh, "stale_mv", "stale_base")
+    assert(!onFresh.exists(_.contains(".changes")),
+      s"a fresh MV serves directly, got $onFresh")
+  }
+
+  test("TOP-UP edge cases: a rollback inside the missed range folds its " +
+      "inverse changes exactly; a pending claim falls back to the base; " +
+      "an expired range never offers the top-up") {
+    val t = baseTable("topup_base", n = 200)
+    val v = fresh("topup_mv")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $v AS
+      SELECT grp, count(*) AS n, sum(price) AS total, count(price) AS np
+      FROM $t GROUP BY grp""")
+    val q = s"""SELECT grp, count(*) AS n, sum(price) AS total,
+      count(price) AS np FROM $t GROUP BY grp"""
+    // Commits: insert, delete, then ROLLBACK past the delete — the feed
+    // reports the rollback's resurrections; the fold must stay exact
+    // (bothWays compares rows against the base plan).
+    spark.sql(s"INSERT INTO $t VALUES (9001, 'g9', 's0', 1.00, 5)")
+    spark.sql(s"DELETE FROM $t WHERE grp = 'g1'")
+    spark.sql(s"CALL $cat.system.rollback_to_version(" +
+      "table => 'mvr.topup_base', version => 2)").collect()
+    val (on, _) = bothWays(q)
+    assert(on.exists(_.contains("topup_mv")) &&
+      on.exists(_.contains("topup_base.changes")) &&
+      !on.exists(_.endsWith("topup_base")),
+      s"rollback-in-range still tops up from the view + changes, got $on")
+    // A pending refresh claim blocks the top-up like any serving shape.
+    val mvKey = SnapshotStore.keyOf(cat, Seq("mvr", "topup_mv"))
+    SnapshotStore.update(mvKey)(st => st.copy(properties =
+      st.properties + (MaterializedViews.PropPending -> "4")))
+    try {
+      val claimed = scans(spark.sql(q))
+      assert(claimed.exists(_.endsWith("topup_base")) &&
+        !claimed.exists(_.contains("topup_mv")),
+        s"a claimed MV must not top-up, got $claimed")
+    } finally SnapshotStore.update(mvKey)(st => st.copy(properties =
+      st.properties - MaterializedViews.PropPending))
+    // Expire history past the watermark: the bounded range is unknowable
+    // — the rewrite must fall back, not fail the query.
+    spark.sql(s"CALL $cat.system.expire_snapshots(" +
+      "table => 'mvr.topup_base', keep_last => 1)").collect()
+    val expired = scans(spark.sql(q))
+    assert(expired.exists(_.endsWith("topup_base")) &&
+      !expired.exists(_.contains("topup_mv")),
+      s"an expired change range must fall back to the base, got $expired")
   }
 
   test("a pending refresh claim blocks the rewrite (mid-refresh or " +
@@ -287,6 +351,130 @@ class MvRewriteSuite extends AnyFunSuite {
       s"post-compaction version drift must veto until re-stamped, got $vetoed")
     spark.sql(s"REFRESH MATERIALIZED VIEW $v") // no-op; adopts the drift
     hitsMv(bothWays(q)._1, "comp_mv", "comp_base")
+  }
+
+  // -- STAR (join) MV rewrite -----------------------------------------------
+
+  /** Fact (300 rows, nullable decimal measure) ⋈ dim (20 rows, two
+    * attributes — one for the MV key, one for subsumption tests). */
+  private def starTables(factName: String, dimName: String): (String, String) = {
+    val f = fresh(factName)
+    val d = fresh(dimName)
+    spark.sql(s"CREATE TABLE $f (k BIGINT, ck BIGINT, price DECIMAL(12,2))")
+    spark.sql(s"""INSERT INTO $f
+      SELECT id, id % 20,
+        CASE WHEN id % 7 = 0 THEN CAST(NULL AS DECIMAL(12,2))
+             ELSE CAST(id AS DECIMAL(12,2)) / 4 END
+      FROM range(0, 300)""")
+    spark.sql(s"CREATE TABLE $d (ck BIGINT, seg STRING, region STRING)")
+    spark.sql(s"""INSERT INTO $d
+      SELECT id, concat('s', id % 4), concat('r', id % 2) FROM range(0, 20)""")
+    (f, d)
+  }
+
+  private def hitsOnlyMv(scanTables: Seq[String], mvName: String,
+      baseNames: Seq[String]): Unit = {
+    assert(scanTables.exists(_.contains(mvName)),
+      s"expected the MV scan in $scanTables")
+    baseNames.foreach(b => assert(!scanTables.exists(_.contains(b)),
+      s"table $b must NOT be scanned, got $scanTables"))
+  }
+
+  test("STAR rewrite: fact JOIN dim GROUP BY dim.attr serves from the " +
+      "star MV — neither the fact nor the dim is scanned; table order " +
+      "and commuted ON operands don't matter") {
+    val (f, d) = starTables("star_fact", "star_dim")
+    val v = fresh("star_mv")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $v AS
+      SELECT d.seg AS seg, count(*) AS n, sum(f.price) AS total,
+        count(f.price) AS np
+      FROM $f f JOIN $d d ON f.ck = d.ck GROUP BY d.seg""")
+    val q = s"""SELECT d.seg AS seg, count(*) AS n, sum(f.price) AS total,
+      count(f.price) AS np FROM $f f JOIN $d d ON f.ck = d.ck GROUP BY d.seg"""
+    val (on, off) = bothWays(q)
+    hitsOnlyMv(on, "star_mv", Seq("star_fact", "star_dim"))
+    assert(off.exists(_.contains("star_fact")),
+      "sanity: with the rule off the fact is scanned")
+    // Reversed table order, different user aliases, commuted equality.
+    val (on2, _) = bothWays(s"""SELECT x.seg AS seg, count(*) AS n
+      FROM $d x JOIN $f y ON x.ck = y.ck GROUP BY x.seg""")
+    hitsOnlyMv(on2, "star_mv", Seq("star_fact", "star_dim"))
+  }
+
+  test("STAR subsumption + WHERE accounting: coarser grouping " +
+      "re-aggregates stored partials; the stored fact predicate is " +
+      "consumed and a dim-group residual filters the view") {
+    val (f, d) = starTables("starw_fact", "starw_dim")
+    val v = fresh("starw_mv")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $v AS
+      SELECT d.seg AS seg, d.region AS region, count(*) AS n,
+        sum(f.price) AS total, count(f.price) AS np
+      FROM $f f JOIN $d d ON f.ck = d.ck
+      WHERE f.k % 11 <> 3
+      GROUP BY d.seg, d.region""")
+    // Coarser (region only) + the MV's own WHERE + a residual on seg.
+    val (on, _) = bothWays(s"""SELECT d.region AS region, count(*) AS n,
+      sum(f.price) AS total
+      FROM $f f JOIN $d d ON f.ck = d.ck
+      WHERE f.k % 11 <> 3 AND d.seg <> 's2'
+      GROUP BY d.region""")
+    hitsOnlyMv(on, "starw_mv", Seq("starw_fact", "starw_dim"))
+    // A mismatched fact predicate falls back.
+    val (onMiss, _) = bothWays(s"""SELECT d.seg AS seg, count(*) AS n
+      FROM $f f JOIN $d d ON f.ck = d.ck
+      WHERE f.k % 11 <> 4 GROUP BY d.seg""")
+    assert(onMiss.exists(_.contains("starw_fact")),
+      s"mismatched WHERE must plan against the base tables, got $onMiss")
+  }
+
+  test("STAR vetoes: stale dim, extra/changed join condition, extra " +
+      "table, fact-only aggregate, self-join — all fall back to the base") {
+    val (f, d) = starTables("starv_fact", "starv_dim")
+    val v = fresh("starv_mv")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $v AS
+      SELECT d.seg AS seg, count(*) AS n, sum(f.price) AS total,
+        count(f.price) AS np
+      FROM $f f JOIN $d d ON f.ck = d.ck GROUP BY d.seg""")
+    val q = s"""SELECT d.seg AS seg, count(*) AS n
+      FROM $f f JOIN $d d ON f.ck = d.ck GROUP BY d.seg"""
+    hitsOnlyMv(bothWays(q)._1, "starv_mv", Seq("starv_fact", "starv_dim"))
+    def baseOnly(sql: String, why: String): Unit = {
+      val (on, _) = bothWays(sql)
+      assert(!on.exists(_.contains("starv_mv")),
+        s"$why must veto the star rewrite, got $on")
+    }
+    // An EXTRA join conjunct: the query joins fewer rows than the MV holds.
+    baseOnly(s"""SELECT d.seg AS seg, count(*) AS n
+      FROM $f f JOIN $d d ON f.ck = d.ck AND f.k = d.ck GROUP BY d.seg""",
+      "an extra join condition")
+    // A CHANGED join condition: different row multiset entirely.
+    baseOnly(s"""SELECT d.seg AS seg, count(*) AS n
+      FROM $f f JOIN $d d ON f.k = d.ck GROUP BY d.seg""",
+      "a changed join condition")
+    // A fact-only aggregate: star rows are post-join (dim fan-out).
+    baseOnly(s"SELECT ck, count(*) AS n FROM $f GROUP BY ck",
+      "a single-table aggregate over the fact")
+    // A self-join: alias assignment is ambiguous.
+    baseOnly(s"""SELECT a.ck, count(*) AS n
+      FROM $f a JOIN $f b ON a.ck = b.ck GROUP BY a.ck""",
+      "a self-join")
+    // An extra table in the query's join tree.
+    val d2 = fresh("starv_dim2")
+    spark.sql(s"CREATE TABLE $d2 (ck BIGINT, extra STRING)")
+    spark.sql(s"INSERT INTO $d2 SELECT id, concat('e', id) FROM range(0, 20)")
+    baseOnly(s"""SELECT d.seg AS seg, count(*) AS n
+      FROM $f f JOIN $d d ON f.ck = d.ck JOIN $d2 e ON f.ck = e.ck
+      GROUP BY d.seg""",
+      "an extra joined table")
+    // A DIM commit: stored rows joined the OLD dim snapshot — veto until
+    // the demanded full rebuild re-stamps the watermarks.
+    spark.sql(s"INSERT INTO $d VALUES (999, 'sX', 'rX')")
+    val (onStale, _) = bothWays(q)
+    assert(!onStale.exists(_.contains("starv_mv")),
+      s"a moved dimension must veto the star rewrite, got $onStale")
+    spark.sql(s"CALL $cat.system.refresh_mv(table => 'mvr.starv_mv', " +
+      "full => true)").collect()
+    hitsOnlyMv(bothWays(q)._1, "starv_mv", Seq("starv_fact", "starv_dim"))
   }
 
   test("the substituted scan is PINNED to the validated MV snapshot " +

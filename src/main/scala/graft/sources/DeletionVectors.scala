@@ -152,11 +152,69 @@ private[sources] object DeletionVectors {
     out
   }
 
+  /** Commits whose delta touches MORE data files than this fold as a
+    * Spark job instead of a driver loop. The statement class DVs exist
+    * for — a scattered GDPR-style DELETE over a 100 TB table — touches
+    * ~every file (millions); folding them serially on the driver would
+    * serialize millions of filesystem read+write round-trips on one
+    * thread. Below the threshold the driver loop wins (no job-scheduling
+    * latency on a 3-file MERGE). */
+  val DistributeThreshold = 16
+
+  /** Instrumentation: data files folded ON THE DRIVER — the observable
+    * for the no-O(N)-driver-loop pin (a wide commit must leave it flat). */
+  val driverFoldFiles = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Merge already-SORTED position arrays (prior pos files, prior DVs,
+    * and task files all serialize sorted) into one sorted distinct
+    * long[] — primitive end-to-end: the boxed-HashSet alternative pays
+    * ~32 bytes/entry and re-sorts what was sorted. */
+  private[sources] def mergeSorted(inputs: Seq[Array[Long]]): Array[Long] = {
+    var total = 0
+    inputs.foreach(a => total += a.length)
+    val buf = new Array[Long](total)
+    var off = 0
+    inputs.foreach { a =>
+      System.arraycopy(a, 0, buf, off, a.length); off += a.length
+    }
+    java.util.Arrays.sort(buf)
+    var w = 0
+    var i = 0
+    while (i < buf.length) {
+      if (w == 0 || buf(w - 1) != buf(i)) { buf(w) = buf(i); w += 1 }
+      i += 1
+    }
+    if (w == buf.length) buf else java.util.Arrays.copyOf(buf, w)
+  }
+
+  /** Fold ONE data file's prior structures + this commit's task files
+    * into a fresh vector. Runs driver-side for narrow commits and
+    * TASK-side for wide ones — inputs are plain paths plus a shipped
+    * conf, outputs a serializable manifest entry. */
+  private def foldOne(dataPath: String, priorPaths: Vector[String],
+      newPaths: Vector[String], dataDir: String,
+      conf: Configuration): SnapshotStore.DeleteFile = {
+    val positions = mergeSorted(
+      (priorPaths ++ newPaths).map(p => RowFiles.readDeletes(p, conf)))
+    val dvPath = s"$dataDir/dv-${UUID.randomUUID.toString.take(12)}.grfdv"
+    write(dvPath, positions, conf)
+    SnapshotStore.DeleteFile(dvPath, dataPath, positions.length.toLong,
+      kind = "dv", supersedes = priorPaths)
+  }
+
   /** Fold this commit's task-written position-delete files with each
     * targeted data file's existing delete structures into ONE deletion
     * vector per data file. Returns (dv manifest entries, superseded
     * EXISTING paths, folded-new paths to physically delete post-commit —
-    * the task files were never referenced by any snapshot). */
+    * the task files were never referenced by any snapshot).
+    *
+    * DISTRIBUTION: above [[DistributeThreshold]] touched files the fold
+    * runs as a Spark job — one task per slice of files, each reading its
+    * files' O(deleted positions) bytes and writing one vector — leaving
+    * the driver nothing but the returned manifest entries (metadata-
+    * scale). A failed task fails the statement before anything commits;
+    * vectors written by lost speculative/retried attempts are
+    * unreferenced orphans the normal expire GC retires. */
   def mergeOnWrite(st: SnapshotStore.TableState,
       posNew: Vector[SnapshotStore.DeleteFile], dataDir: String,
       conf: Configuration):
@@ -165,23 +223,32 @@ private[sources] object DeletionVectors {
     val priorByData = st.currentDeletes
       .filter(d => d.kind == "pos" || d.kind == "dv")
       .groupBy(_.dataPath)
-    val superseded = Set.newBuilder[String]
-    val entries = posNew.groupBy(_.dataPath).toVector.map { case (dp, news) =>
-      val priors = priorByData.getOrElse(dp, Vector.empty)
-      priors.foreach(p => superseded += p.path)
-      val set = new java.util.HashSet[java.lang.Long]()
-      (priors ++ news).foreach(d =>
-        RowFiles.readDeletes(d.path, conf).foreach(set.add(_)))
-      val positions = new Array[Long](set.size)
-      val it = set.iterator()
-      var i = 0
-      while (it.hasNext) { positions(i) = it.next(); i += 1 }
-      java.util.Arrays.sort(positions)
-      val dvPath = s"$dataDir/dv-${UUID.randomUUID.toString.take(12)}.grfdv"
-      write(dvPath, positions, conf)
-      SnapshotStore.DeleteFile(dvPath, dp, positions.length.toLong,
-        kind = "dv", supersedes = priors.map(_.path))
-    }
-    (entries, superseded.result(), posNew.map(_.path))
+    val work: Vector[(String, Vector[String], Vector[String])] =
+      posNew.groupBy(_.dataPath).toVector.map { case (dp, news) =>
+        (dp, priorByData.getOrElse(dp, Vector.empty).map(_.path),
+          news.map(_.path))
+      }
+    val superseded = work.iterator.flatMap(_._2).toSet
+    val sparkOpt = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+    val entries =
+      if (work.size <= DistributeThreshold || sparkOpt.isEmpty)
+        work.map { case (dp, priors, news) =>
+          driverFoldFiles.incrementAndGet()
+          foldOne(dp, priors, news, dataDir, conf)
+        }
+      else {
+        val sc = sparkOpt.get.sparkContext
+        val shipped = new org.apache.spark.util.SerializableConfiguration(conf)
+        val dir = dataDir
+        val slices = math.min(work.size,
+          math.max(sc.defaultParallelism, 1) * 2)
+        sc.parallelize(work, slices)
+          .map { case (dp, priors, news) =>
+            foldOne(dp, priors, news, dir, shipped.value)
+          }
+          .collect().toVector
+      }
+    (entries, superseded, posNew.map(_.path))
   }
 }

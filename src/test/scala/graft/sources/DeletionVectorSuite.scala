@@ -150,6 +150,46 @@ class DeletionVectorSuite extends AnyFunSuite {
     assert(feed === Seq(("DELETE", 13L)))
   }
 
+  test("a WIDE merge-on-read statement folds vectors as a Spark job — " +
+      "no O(touched files) driver I/O loop (the GDPR-delete shape)") {
+    val t = fresh("dv4")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')")
+    // 24 data files — past DistributeThreshold, so the fold must leave
+    // the driver-loop counter untouched.
+    spark.sql(
+      s"INSERT INTO $t SELECT /*+ REPARTITION(24) */ id, id FROM range(0, 4800)")
+    val files = SnapshotStore.stateOf(keyOf("dv4")).currentFiles.size
+    assert(files > DeletionVectors.DistributeThreshold,
+      s"fixture must exceed the distribution threshold, got $files files")
+    val before = DeletionVectors.driverFoldFiles.get()
+    spark.sql(s"DELETE FROM $t WHERE k % 3 = 0") // scattered: every file
+    assert(DeletionVectors.driverFoldFiles.get() === before,
+      "a wide fold must run as a Spark job, not a driver loop")
+    structsPerFile("dv4").foreach { case (dp, paths) =>
+      assert(paths.length === 1 && paths.head.endsWith(".grfdv"),
+        s"distributed fold must leave ONE dv on $dp, got $paths")
+    }
+    assert(survivors(t) === (0L until 4800L).filterNot(_ % 3 == 0))
+    // A second wide statement folds the prior vectors task-side too.
+    spark.sql(s"DELETE FROM $t WHERE k % 3 = 1")
+    assert(DeletionVectors.driverFoldFiles.get() === before)
+    structsPerFile("dv4").foreach { case (_, paths) =>
+      assert(paths.length === 1)
+    }
+    assert(survivors(t) === (0L until 4800L).filter(_ % 3 == 2))
+    // Narrow commits keep the driver loop (no job latency on a 3-file
+    // MERGE): dv1/dv3 above exercise it; pin the counter moves for one.
+    val t2 = fresh("dv4narrow")
+    spark.sql(s"CREATE TABLE $t2 (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')")
+    spark.sql(s"INSERT INTO $t2 SELECT /*+ REPARTITION(2) */ id, id FROM range(0, 100)")
+    val b2 = DeletionVectors.driverFoldFiles.get()
+    spark.sql(s"DELETE FROM $t2 WHERE k % 5 = 0")
+    assert(DeletionVectors.driverFoldFiles.get() > b2,
+      "a narrow fold stays on the driver")
+  }
+
   test("container format round-trips sparse and dense runs across 64Ki " +
       "boundaries") {
     val conf = RowFiles.sessionConf().value

@@ -1198,8 +1198,17 @@ object SnapshotCatalog {
     // Equi-height histograms for opted-in columns ride compaction — the
     // one moment the engine already rewrites every live row (see
     // [[StatsHistograms]]); stored against the fresh snapshot version.
-    // (Property validation ran BEFORE the rewrite committed.)
-    StatsHistograms.collect(spark, catalog, ident)
+    // (Property validation ran BEFORE the rewrite committed.) Collection
+    // runs AFTER the rewrite has already landed, so a runtime failure in
+    // its aggregate queries must not fail the procedure for a state
+    // change that succeeded — stats are an optimization; a retry (or
+    // CALL collect_stats) re-collects.
+    try StatsHistograms.collect(spark, catalog, ident)
+    catch {
+      case e: Exception => org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"histogram collection after compacting ${SnapshotStore.dotted(k)} " +
+          s"failed (the compaction itself committed): ${e.getMessage}")
+    }
     (before, SnapshotStore.stateOf(k).currentFiles.size)
   }
 
@@ -2505,8 +2514,8 @@ private[sources] final class MemTable(fullName: String, k: String,
       // a file subset's distribution can differ arbitrarily (changed
       // files are exactly the skewed slice).
       histograms =
-        if (pinned.isDefined || restricted.isDefined) Map.empty
-        else StatsHistograms.forRead(props, sn.fold(0L)(_.version)))
+        if (pinned.isDefined || restricted.isDefined) None
+        else StatsHistograms.forRead(props, st, sn.fold(0L)(_.version)))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -3437,10 +3446,10 @@ private[sources] final class MemScanBuilder(fullSchema: StructType,
     /** The table's current `write.sort-order` for READ-side ordering
       * reporting ([[SortOrders.forRead]]); Nil = never report. */
     tableSortOrder: Seq[(String, Boolean)] = Nil,
-    /** Current-snapshot equi-height histograms ([[StatsHistograms]]),
-      * keyed by FIELD ID; served to CBO only by UNPRUNED scans (they
-      * describe the whole table). */
-    histograms: Map[Int, StatsHistograms.ColHist] = Map.empty)
+    /** Equi-height histograms ([[StatsHistograms]]) with their stamp
+      * version, keyed by FIELD ID; served to CBO only by scans whose
+      * pruning dropped NOTHING the bins describe (pre-stamp files). */
+    histograms: Option[(Long, Map[Int, StatsHistograms.ColHist])] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownV2Filters {
   private val statCols = StatsPredicates.statCols(fullSchema)
@@ -3528,17 +3537,23 @@ private[sources] final class MemScanBuilder(fullSchema: StructType,
       typeHist = typeHist, specPruning = specPruning, vectorized = vectorized,
       spjKeys = spjKeys, currentSpecId = currentSpecId, chunkNdv = chunkNdv,
       tableSortOrder = tableSortOrder,
-      // Whole-table histograms only for an UNPRUNED scan (a residual
-      // predicate that pruned NOTHING is fine — the filter estimate
-      // applies over the full-table stats it describes; a predicate-
-      // pruned file set would double-count the predicate). Chunk-skipped
-      // scans suppress rather than force the full inventory to compare.
-      histograms =
-        if (retained.size == src.size &&
-            (chunked.isEmpty || (pushed.isEmpty &&
-              transformUsable.isEmpty && statsUsable.isEmpty)))
-          histograms
-        else Map.empty)
+      // Histograms only when pruning dropped NOTHING the bins describe:
+      // a predicate-pruned STAMPED file would double-count the predicate
+      // (the filter estimate re-applies it over the histogram), but a
+      // pruned file sequenced PAST the stamp holds rows the bins never
+      // saw — dropping it is free. Chunk-skipped scans suppress rather
+      // than force the full inventory to compare.
+      histograms = histograms match {
+        case Some((stampV, m))
+            if (chunked.isEmpty || (pushed.isEmpty &&
+              transformUsable.isEmpty && statsUsable.isEmpty)) && {
+              retained.size == src.size || {
+                val kept = retained.iterator.map(_.path).toSet
+                src.forall(f => kept(f.path) || f.seq > stampV)
+              }
+            } => m
+        case _ => Map.empty
+      })
   }
 }
 
@@ -4502,6 +4517,68 @@ private[sources] final class MemScan(fullSchema: StructType,
     SortOrders.v2Ordering(tableSortOrder.map { case (c, asc) =>
       (required.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(c), asc)
     })
+  }
+
+  /** MULTI-PARTITION sorted ORDER BY (the 100 TB case the ≤1-partition
+    * elision cannot serve): a compacted range-distributed table's files
+    * are range-DISJOINT on the leading sort column — the manifests know
+    * — so concatenating this scan's partitions in file-range order
+    * (slices of one file stay in byte order; a sorted file's slices are
+    * ascending by construction) IS the global order: no Exchange, no
+    * Sort. Returns the partition permutation in [[planInputPartitions]]
+    * order, or None when not provable:
+    *
+    *   - the scan does not report ordering (covers the all-files
+    *     sortKey-stamp, projection-survival, and A/B-lever gates);
+    *   - key-grouped (SPJ) output — Spark concatenates groups itself,
+    *     in group order, which is not range order;
+    *   - a file lacks leading-column stats or holds NULLs in it (null
+    *     rows sort first/last; their file placement is not provable
+    *     from counts alone);
+    *   - file ranges OVERLAP, or touch at a boundary while the query
+    *     orders by FURTHER columns (`strictOnly` — boundary-equal rows
+    *     could interleave on the secondary keys; a single-column order
+    *     tolerates equal boundaries, equal values are interchangeable).
+    *
+    * Deterministic over the current file set, so the execution-time
+    * recompute (after runtime filtering REMOVED files — removal keeps
+    * disjointness) agrees with plan-time feasibility. */
+  private[sources] def rangeConcatPermutation(
+      strictOnly: Boolean): Option[Seq[Int]] = {
+    if (outputOrdering().isEmpty) return None
+    if (spjKeys.exists(_.nonEmpty)) return None
+    val (colName, asc) = tableSortOrder.head
+    val field = fullSchema.fields.find(_.name.equalsIgnoreCase(colName))
+      .getOrElse(return None)
+    val id = FieldIds.idOf(field).getOrElse(return None)
+    val ord: Ordering[Any] = {
+      val o = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(field.dataType)
+      if (asc) o else o.reverse
+    }
+    // (lo, hi) per file in the DIRECTION's sense; pre-widen boxes coerce
+    // into the live type before comparing (the estimator's rule).
+    val range: Map[String, (Any, Any)] = files.iterator.map { f =>
+      val s = f.stats.getOrElse(id, return None)
+      if (s.min == null || s.max == null || s.nulls != 0L) return None
+      val mn = TypeWidening.coerce(field.dataType, s.min)
+      val mx = TypeWidening.coerce(field.dataType, s.max)
+      f.path -> (if (asc) (mn, mx) else (mx, mn))
+    }.toMap
+    val mem = planInputPartitions().map {
+      case p: MemFilePartition => p
+      case _ => return None
+    }
+    if (mem.isEmpty) return None
+    val ranked = mem.map(_.path).distinct.toSeq.sortBy(p => range(p)._1)(ord)
+    ranked.sliding(2).foreach {
+      case Seq(a, b) =>
+        val c = ord.compare(range(a)._2, range(b)._1)
+        if (c > 0 || (c == 0 && strictOnly)) return None
+      case _ => ()
+    }
+    val rank = ranked.zipWithIndex.toMap
+    Some(mem.indices.sortBy(i => (rank(mem(i).path), mem(i).byteStart)))
   }
 
   /** Can EVERY partition of this scan decode vectorized? Columnar and

@@ -384,7 +384,7 @@ private[sources] object SnapshotProcedures {
     Seq("expire_snapshots", "rollback_to_version", "create_tag", "drop_tag",
       "rewrite_data_files", "create_branch", "drop_branch", "fast_forward",
       "remove_orphan_files", "evolve_partition_spec", "maintain",
-      "refresh_mv")
+      "refresh_mv", "collect_stats")
 
   def load(catalogName: String, ident: Identifier): Option[UnboundProcedure] = {
     if (!ident.namespace().sameElements(Array("system"))) return None
@@ -527,6 +527,23 @@ private[sources] object SnapshotProcedures {
         StructType(Seq(StructField("spec_id", IntegerType, nullable = false))),
         r => Array[Any](SnapshotCatalog.evolvePartitionSpec(
           catalogName, identOf(str(r, 0)), str(r, 1)))))
+      case "collect_stats" => Some(procRows("collect_stats",
+        "collect equi-height histograms for the table's " +
+          "stats.histogram-columns WITHOUT a rewrite (ANALYZE-style) — " +
+          "two table scans total, however many columns; one row per " +
+          "histogrammed column. Hot tables that are never compacted get " +
+          "CBO selectivity this way; appends keep serving the stored " +
+          "bins, row-changing commits retire them until the next call",
+        Seq(in("table", StringType)),
+        StructType(Seq(StructField("column", StringType, nullable = false))),
+        r => {
+          val identParts = identOf(str(r, 0))
+          StatsHistograms.validate(SnapshotStore.stateOf(
+            SnapshotStore.keyOf(catalogName, identParts)).properties)
+          StatsHistograms.collect(SparkSession.active, catalogName, identParts)
+            .map(c => new GenericInternalRow(
+              Array[Any](UTF8String.fromString(c))): InternalRow).toArray
+        }))
       case "rewrite_data_files" => Some(proc("rewrite_data_files",
         "compact live data to one file per partition, or about " +
           "target_file_rows per file when unpartitioned (history preserved; " +

@@ -12,30 +12,38 @@ import org.json4s.jackson.JsonMethods
   * 10×+ too many rows, and every broadcast/join-order decision downstream
   * inherits the error.
   *
-  * COLLECTION rides COMPACTION (`rewrite_data_files`) — the one moment
-  * the engine already rewrites every live row, so two aggregate passes
-  * per opted-in column are proportionate:
+  * COLLECTION runs in TWO table scans TOTAL, however many columns opt
+  * in — one SELECT computing every column's percentile boundaries +
+  * min/max/count, one stacked (posexplode) pass computing every
+  * column's per-bin NDV — and rides two surfaces:
   *
-  *   - `stats.histogram-columns = 'v, amount'` opts columns in
-  *     (numeric/date/timestamp/boolean only; others are skipped loudly
-  *     in the compaction output, never at read);
-  *   - `stats.histogram-bins` (default 32) sets the bin count;
-  *   - boundaries are `approx_percentile` at i/n quantiles (equi-height
-  *     by construction: height = rows/n), per-bin NDV from one grouped
-  *     `approx_count_distinct` pass over the bin index.
+  *   - COMPACTION (`rewrite_data_files`): the moment the engine already
+  *     rewrites every live row, +2 scans are proportionate;
+  *   - `CALL cat.system.collect_stats(table)` — an ANALYZE-style
+  *     procedure with NO rewrite, for hot tables that are never
+  *     compacted (collection alone is the two scans).
+  *
+  * Knobs: `stats.histogram-columns = 'v, amount'` opts columns in
+  * (numeric/date/timestamp only; others are skipped loudly in the
+  * procedure output, never at read); `stats.histogram-bins` (default
+  * 32) sets the bin count. Boundaries are `approx_percentile` at i/n
+  * quantiles (equi-height by construction: height = rows/n).
   *
   * STORAGE: one table property (`graft.stats.histogram`) holding the
   * bins PLUS the snapshot version they describe. Reads serve the
-  * histogram ONLY while the table still sits at that version — any later
-  * commit silently retires it until the next compaction (an estimate
-  * computed over different rows is not worth a wrong plan), and a scan
-  * whose pushdown PRUNED files never serves it (the histogram describes
-  * the whole table; combining it with a pruned row count would
-  * double-count the predicate).
+  * histogram while the table sits at that version OR has only APPENDED
+  * since — appends dilute a histogram (its boundary fractions drift
+  * toward staleness) but never invalidate its shape for selectivity
+  * FRACTIONS, which is how the estimator consumes it; any row-changing
+  * commit (delete/update/overwrite) silently retires it until the next
+  * collection (an estimate computed over removed rows is not worth a
+  * wrong plan). A scan whose pushdown PRUNED files never serves it
+  * (the histogram describes the whole table; combining it with a pruned
+  * row count would double-count the predicate).
   *
-  * Scale: collection is O(rows) inside an operation that is already
-  * O(rows); the stored form is O(columns × bins) bytes of metadata; plan
-  * time is a property parse. */
+  * Scale: collection is two O(rows) scans regardless of column count;
+  * the stored form is O(columns × bins) bytes of metadata; plan time is
+  * a property parse. */
 private[sources] object StatsHistograms {
 
   val ColumnsProp = "stats.histogram-columns"
@@ -85,9 +93,15 @@ private[sources] object StatsHistograms {
     bins
   }
 
-  /** Collect + store histograms for the opted-in columns; called at the
-    * END of compaction (the table just became one fresh snapshot).
-    * Returns the histogrammed column names (for the procedure's report). */
+  /** Collect + store histograms for the opted-in columns — TWO table
+    * scans total, however many columns (called at the end of compaction,
+    * and by `CALL system.collect_stats` with no rewrite). Returns the
+    * histogrammed column names (for the procedure's report).
+    *
+    * The stored stamp is the version read BEFORE scanning, re-validated
+    * after: a commit landing mid-collection would make the bins describe
+    * neither version, so the store is skipped loudly (the stats are an
+    * optimization; the next collection re-runs). */
   def collect(spark: SparkSession, catalog: String,
       ident: Seq[String]): Seq[String] = {
     val k = SnapshotStore.keyOf(catalog, ident)
@@ -102,7 +116,11 @@ private[sources] object StatsHistograms {
       .map(graft.catalog.DdlGenerator.quoteIdent).mkString(".")
     val fieldOf: Map[String, org.apache.spark.sql.types.StructField] =
       st.schema.fields.map(f => f.name.toLowerCase -> f).toMap
-    val done = cols.flatMap { c =>
+    // Eligibility gates (name, type, field id) are metadata-only; the
+    // survivors batch into the two scans below. Keyed by FIELD ID: names
+    // are reusable (RENAME + ADD COLUMN would hand a dead column's bins
+    // to an unrelated new one); ids are rename-stable.
+    val eligible = cols.flatMap { c =>
       fieldOf.get(c.toLowerCase) match {
         case None =>
           logWarning(s"$ColumnsProp names unknown column '$c' on $name — skipped")
@@ -112,20 +130,17 @@ private[sources] object StatsHistograms {
             "is not histogrammable (numeric/date/timestamp) — skipped")
           None
         case Some(f) =>
-          // Keyed by FIELD ID: names are reusable (RENAME + ADD COLUMN
-          // would hand a dead column's bins to an unrelated new one);
-          // ids are rename-stable. Id-less legacy columns skip.
           FieldIds.idOf(f) match {
             case None =>
               logWarning(s"$ColumnsProp column '$c' carries no field id " +
                 "(legacy schema) — skipped")
               None
-            case Some(id) =>
-              buildOne(spark, name, f.name, f.dataType, bins)
-                .map(h => (f.name, id, h))
+            case Some(id) => Some((f.name, id, f.dataType))
           }
       }
     }
+    if (eligible.isEmpty) return Nil
+    val done = buildAll(spark, name, eligible, bins)
     if (done.isEmpty) return Nil
     val json = JsonMethods.compact(JsonMethods.render(JObject(List(
       "v" -> JLong(version),
@@ -135,68 +150,117 @@ private[sources] object StatsHistograms {
           "bins" -> JArray(h.bins.toList.map(b => JArray(List(
             JDouble(b.lo), JDouble(b.hi), JLong(b.ndv))))))): JValue)
       })))))
+    val nowV = {
+      val s1 = SnapshotStore.stateOf(k)
+      if (s1.snapshots.isEmpty) 0L else s1.snapshots.last.version
+    }
+    if (nowV != version) {
+      logWarning(s"$name advanced (v$version -> v$nowV) while histograms " +
+        "were collected — the bins describe neither version; skipped " +
+        "(rerun collect_stats)")
+      return Nil
+    }
     SnapshotStore.update(k)(s0 =>
       s0.copy(properties = s0.properties + (StoreProp -> json)))
     done.map(_._1)
   }
 
-  /** Equi-height bins for one column: boundaries at the i/n quantiles of
-    * the NON-NULL values (exact percentile via approx_percentile's exact
-    * mode default accuracy — boundary error only shifts rows between
-    * adjacent bins, preserving total mass), then one grouped pass for
-    * per-bin NDV. None when the column has no non-null rows. */
-  private def buildOne(spark: SparkSession, table: String, col: String,
-      dt: DataType, bins: Int): Option[ColHist] = {
+  /** Equi-height bins for ALL eligible columns in two scans. Boundaries
+    * at the i/n quantiles of each column's non-null values — via
+    * `approx_percentile` at its default accuracy, which is APPROXIMATE
+    * on large inputs (the same sketch catalyst's own ANALYZE histograms
+    * use): boundary error shifts rows between ADJACENT bins only, so
+    * total mass and the equi-height shape are preserved to sketch
+    * accuracy, and the consumer is a selectivity ESTIMATE, never an
+    * answer. Then ONE stacked pass assigns every (column, value) pair
+    * its bin (upper-inclusive, catalyst's histogram semantics; the first
+    * bin also takes its lower bound) and approx-counts distincts per
+    * (column, bin) group. Columns with no non-null rows, or non-finite
+    * boundaries (Infinity/NaN would serialize to unparseable SQL and
+    * invalid JSON), drop out loudly between the passes. */
+  private def buildAll(spark: SparkSession, table: String,
+      eligible: Seq[(String, Int, DataType)], bins: Int):
+      Seq[(String, Int, ColHist)] = {
     val q = (1 until bins).map(i => i.toDouble / bins)
-    val c = graft.catalog.DdlGenerator.quoteIdent(col)
-    val v = toDoubleSql(c, dt)
-    val head = spark.sql(
-      s"""SELECT approx_percentile($v, array(${q.mkString(",")})) AS b,
-        min($v) AS lo, max($v) AS hi,
-        count($c) AS n
-        FROM $table""").head()
-    if (head.isNullAt(1) || head.getLong(3) == 0L) return None
-    val lo = head.getDouble(1)
-    val hi = head.getDouble(2)
-    val n = head.getLong(3)
-    val bounds = ((lo +: head.getSeq[Double](0)) :+ hi).toArray
-    // Non-finite boundaries (Infinity/NaN in a double column) serialize
-    // to unparseable SQL and invalid JSON — skip the column, loudly.
-    if (bounds.exists(b => !java.lang.Double.isFinite(b))) {
-      logWarning(s"$ColumnsProp column '$col' holds non-finite values " +
-        "(Infinity/NaN) — histogram skipped")
-      return None
+    val vOf = eligible.map { case (n, _, dt) =>
+      toDoubleSql(graft.catalog.DdlGenerator.quoteIdent(n), dt) }
+    // Pass 1: every column's boundaries + min/max + non-null count.
+    val aggExprs = eligible.indices.flatMap { i =>
+      val v = vOf(i)
+      Seq(s"approx_percentile($v, array(${q.mkString(",")})) AS _b$i",
+        s"min($v) AS _lo$i", s"max($v) AS _hi$i", s"count($v) AS _n$i")
     }
-    // Per-bin NDV in one grouped pass: assign each non-null value its bin
-    // (upper-inclusive, catalyst's histogram semantics; the first bin
-    // also takes its lower bound), approx-distinct per bin.
-    val binCase = (1 until bounds.length - 1)
-      .map(i => s"WHEN _v <= ${bounds(i)} THEN ${i - 1}")
-      .mkString("CASE ", " ", s" ELSE ${bounds.length - 2} END")
+    val head = spark.sql(
+      s"SELECT ${aggExprs.mkString(", ")} FROM $table").head()
+    final case class Survivor(name: String, id: Int, v: String,
+        bounds: Array[Double], n: Long)
+    val survivors = eligible.zipWithIndex.flatMap { case ((n, id, _), i) =>
+      val base = i * 4
+      if (head.isNullAt(base + 1) || head.getLong(base + 3) == 0L) None
+      else {
+        val bounds = ((head.getDouble(base + 1) +:
+          head.getSeq[Double](base)) :+ head.getDouble(base + 2)).toArray
+        if (bounds.exists(b => !java.lang.Double.isFinite(b))) {
+          logWarning(s"$ColumnsProp column '$n' holds non-finite values " +
+            "(Infinity/NaN) — histogram skipped")
+          None
+        } else Some(Survivor(n, id, vOf(i), bounds, head.getLong(base + 3)))
+      }
+    }
+    if (survivors.isEmpty) return Nil
+    // Pass 2: stack the surviving columns into (_c, _v) rows — the scan
+    // still reads each row once; the explode feeds straight into a
+    // partial (map-side) aggregation over |columns × bins| groups.
+    def binCase(bounds: Array[Double]): String =
+      if (bounds.length <= 2) "0"
+      else (1 until bounds.length - 1)
+        .map(i => s"WHEN _v <= ${bounds(i)} THEN ${i - 1}")
+        .mkString("CASE ", " ", s" ELSE ${bounds.length - 2} END")
+    val dispatch = survivors.zipWithIndex
+      .map { case (s, i) => s"WHEN $i THEN (${binCase(s.bounds)})" }
+      .mkString("CASE _c ", " ", " END")
+    val stacked = s"array(${survivors.map(_.v).mkString(", ")})"
     val ndvRows = spark.sql(
-      s"""SELECT $binCase AS _b, approx_count_distinct(_v) AS _d
-        FROM (SELECT $v AS _v FROM $table WHERE $c IS NOT NULL)
-        GROUP BY 1""").collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val out = (0 until bounds.length - 1).map { i =>
-      Bin(bounds(i), bounds(i + 1), math.max(1L, ndvRows.getOrElse(i, 0L)))
-    }.toVector
-    Some(ColHist(n.toDouble / out.length, out))
+      s"""SELECT _c, $dispatch AS _b, approx_count_distinct(_v) AS _d
+        FROM (SELECT posexplode($stacked) AS (_c, _v) FROM $table)
+        WHERE _v IS NOT NULL
+        GROUP BY 1, 2""").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    survivors.zipWithIndex.map { case (s, ci) =>
+      val out = (0 until s.bounds.length - 1).map { i =>
+        Bin(s.bounds(i), s.bounds(i + 1),
+          math.max(1L, ndvRows.getOrElse((ci, i), 0L)))
+      }.toVector
+      (s.name, s.id, ColHist(s.n.toDouble / out.length, out))
+    }
   }
 
-  /** Parse the stored property IF it describes `currentVersion`; any
-    * later commit retires it until the next compaction. Keyed by FIELD
-    * ID. Never throws — a malformed property just serves nothing. */
-  def forRead(props: Map[String, String],
-      currentVersion: Long): Map[Int, ColHist] =
-    props.get(StoreProp).fold(Map.empty[Int, ColHist]) { raw =>
+  /** Parse the stored property IF the table still sits at the stamped
+    * version or has only APPENDED since (appends dilute a histogram's
+    * fractions, never invalidate its shape — and the estimator consumes
+    * fractions); any row-changing commit retires it until the next
+    * collection. Returns the STAMP VERSION with the bins: the scan
+    * builder's pruned-scan veto exempts files sequenced PAST the stamp
+    * (their rows are not in the bins, so pruning them cannot double-
+    * count a predicate). Keyed by FIELD ID. Never throws — a malformed
+    * property just serves nothing. */
+  def forRead(props: Map[String, String], st: SnapshotStore.TableState,
+      currentVersion: Long): Option[(Long, Map[Int, ColHist])] =
+    props.get(StoreProp).flatMap { raw =>
       try {
         val j = JsonMethods.parse(raw)
         val v = (j \ "v") match { case JLong(x) => x; case JInt(x) => x.toLong
-          case _ => return Map.empty }
-        if (v != currentVersion) return Map.empty
+          case _ => return None }
+        if (v > currentVersion) return None // rollback past the stamp
+        if (v != currentVersion) {
+          // Append-only drift keeps serving (conservative); anything else
+          // — or an expired gap that makes the drift undecidable — retires.
+          val ok = MaterializedViews.opsBetween(st, v, currentVersion)
+            .exists(_.subsetOf(Set("append")))
+          if (!ok) return None
+        }
         (j \ "cols") match {
-          case JObject(fields) => fields.flatMap { case (c, cj) =>
+          case JObject(fields) => Some((v, fields.flatMap { case (c, cj) =>
             val h = (cj \ "h") match { case JDouble(x) => x
               case JInt(x) => x.toDouble; case _ => 0.0 }
             val bs = (cj \ "bins") match {
@@ -213,10 +277,10 @@ private[sources] object StatsHistograms {
               case _ => Vector.empty
             }
             c.toIntOption.map(_ -> ColHist(h, bs))
-          }.toMap
-          case _ => Map.empty
+          }.toMap))
+          case _ => None
         }
-      } catch { case _: Exception => Map.empty }
+      } catch { case _: Exception => None }
     }
 
   private def logWarning(msg: String): Unit =

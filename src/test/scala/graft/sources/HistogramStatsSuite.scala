@@ -5,17 +5,18 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
 
-/** EQUI-HEIGHT HISTOGRAMS ([[StatsHistograms]]): compaction-collected
-  * per-column bins fix CBO selectivity on SKEWED columns, where the
-  * min/max-uniform assumption is wrong by an order of magnitude. The
-  * contract:
+/** EQUI-HEIGHT HISTOGRAMS ([[StatsHistograms]]): per-column bins —
+  * collected at compaction or by `CALL collect_stats` (no rewrite) —
+  * fix CBO selectivity on SKEWED columns, where the min/max-uniform
+  * assumption is wrong by an order of magnitude. The contract:
   *
   *   - on a 95/5 skewed column, a tail predicate's estimated rows land
   *     within 2× of actual while the uniform estimate is >10× off;
   *   - the better estimate FLIPS a broadcast decision (the plan pin);
-  *   - any commit after collection retires the histogram (stale bins
-  *     must not estimate rows they do not describe) until the next
-  *     compaction re-collects.
+  *   - collection is TWO scans total regardless of column count;
+  *   - APPEND-only drift keeps serving the (conservative) bins; any
+  *     row-changing commit retires them (stale bins must not estimate
+  *     rows they no longer describe) until the next collection.
   */
 class HistogramStatsSuite extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -162,15 +163,89 @@ class HistogramStatsSuite extends AnyFunSuite {
         s"(SELECT k FROM $withH WHERE v > 50000) f ON p.k = f.k").head().getLong(0)
       assert(n === spark.table(withH).where("v > 50000").count(),
         "statistics must be invisible in the answer")
-      // A commit after collection retires the bins (the table no longer
-      // sits at the snapshot they describe) — the flip reverts.
+      // An APPEND after collection keeps serving (appends only dilute a
+      // conservative histogram — production tables append constantly and
+      // would otherwise almost never have selectivity)…
       spark.sql(s"INSERT INTO $withH VALUES (999999, 0)")
+      assert(bhjOf(withH).nonEmpty,
+        "append-only drift must keep serving the (conservative) bins")
+      // …but a ROW-CHANGING commit retires them: the bins describe rows
+      // that may no longer exist.
+      spark.sql(s"DELETE FROM $withH WHERE k = 999999")
       assert(bhjOf(withH).isEmpty,
-        "stale bins must not serve after the base advanced")
+        "stale bins must not serve after a row-changing commit")
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.conf.set("spark.sql.cbo.enabled", "false")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
+  }
+
+  test("CALL collect_stats histogramms a NEVER-compacted hot table " +
+      "(no rewrite), reporting the collected columns") {
+    val t = fresh("cs")
+    spark.sql(s"""CREATE TABLE $t (k BIGINT, v BIGINT)
+      TBLPROPERTIES ('stats.histogram-columns' = 'v')""")
+    spark.sql(s"""INSERT INTO $t
+      SELECT id, CASE WHEN id % 20 < 19 THEN id % 10
+                      ELSE 10 + (id * 7919) % 100000 END
+      FROM range(0, 40000)""")
+    // No rewrite_data_files — the uncompacted table gets selectivity
+    // from the procedure alone.
+    val reported = spark.sql(s"CALL $cat.system.collect_stats('hist.cs')")
+      .collect().map(_.getString(0)).toSeq
+    assert(reported === Seq("v"))
+    val pred = "v > 50000"
+    val actual = BigInt(spark.table(t).where(pred).count())
+    val est = estimate(t, pred)
+    assert(est <= actual * 2 && est * 2 >= actual,
+      s"collect_stats estimate $est should land within 2x of actual $actual")
+    // And the snapshot version did NOT move — no rewrite happened.
+    val key = SnapshotStore.keyOf(cat, Seq("hist", "cs"))
+    assert(SnapshotStore.stateOf(key).snapshots.last.version === 1L,
+      "collect_stats must not commit a rewrite")
+  }
+
+  test("collection is TWO scans total regardless of column count " +
+      "(job-counted): 3 opted-in columns run exactly as many jobs as 1") {
+    def mkTable(name: String, colsProp: String): Unit = {
+      val t = fresh(name)
+      spark.sql(s"""CREATE TABLE $t (a BIGINT, b BIGINT, c DOUBLE)
+        TBLPROPERTIES ('stats.histogram-columns' = '$colsProp')""")
+      spark.sql(s"""INSERT INTO $t
+        SELECT id, id % 97, CAST(id AS DOUBLE) / 3 FROM range(0, 20000)""")
+    }
+    mkTable("jobs1", "a")
+    mkTable("jobs3", "a, b, c")
+    val sc = spark.sparkContext
+    def jobsOf(table: String): Int = {
+      val group = s"hist-jobcount-$table-${System.nanoTime()}"
+      sc.setJobGroup(group, "histogram job-count pin")
+      try spark.sql(s"CALL $cat.system.collect_stats('hist.$table')").collect()
+      finally sc.clearJobGroup()
+      // Status-tracker data arrives via the async listener bus — poll
+      // until the count is stable.
+      var last = -1
+      var stable = 0
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (stable < 5 && System.nanoTime() < deadline) {
+        val c = sc.statusTracker.getJobIdsForGroup(group).length
+        if (c == last) stable += 1 else { stable = 0; last = c }
+        Thread.sleep(50)
+      }
+      last
+    }
+    val one = jobsOf("jobs1")
+    val three = jobsOf("jobs3")
+    assert(one >= 2, s"sanity: collection runs at least its two scans, got $one")
+    assert(three === one,
+      s"column count must not change the job count (two scans total) — " +
+        s"1 column ran $one jobs, 3 columns ran $three; a per-column " +
+        "loop would add 2 per column")
+    // The batched pass produced real bins for every column.
+    val stored = SnapshotStore.stateOf(SnapshotStore.keyOf(
+      cat, Seq("hist", "jobs3"))).properties(StatsHistograms.StoreProp)
+    assert("\"\\d+\":\\{\"h\"".r.findAllIn(stored).size === 3,
+      s"all three columns histogrammed, got: ${stored.take(160)}")
   }
 }

@@ -91,10 +91,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // so the WHERE is still visible to match against the stored spec.
     ext.injectPostHocResolutionRule(session =>
       graft.sources.GraftMvRewrite(session))
-    // (Global ORDER BY elision over one-partition sorted scans installs
-    // itself into experimental.extraOptimizations from GraftMvRewrite —
-    // every extension optimizer seam runs BEFORE Early Scan Push-Down
-    // attaches the reported ordering it needs.)
+    // (Global ORDER BY elision over sorted scans installs itself into
+    // experimental.extraOptimizations from GraftMvRewrite — every
+    // extension optimizer seam runs BEFORE Early Scan Push-Down attaches
+    // the reported ordering it needs.) The strategy planning its
+    // multi-partition RangeConcat node lives here.
+    ext.injectPlannerStrategy(_ => graft.sources.RangeConcatStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.GraftViewStrategy)
   }
 }

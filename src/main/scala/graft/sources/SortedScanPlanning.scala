@@ -1,28 +1,42 @@
 package graft.sources
 
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, SortOrder}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Sort}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Sort, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, RangePartitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
 
-/** GLOBAL-SORT elision over single-partition sorted scans — the piece
-  * Spark itself does not close: `SupportsReportOrdering` feeds the
-  * physical `RemoveRedundantSorts` / `EnsureRequirements` machinery,
-  * which happily drops LOCAL sorts and join-side sorts over a reported
-  * ordering, but a GLOBAL `ORDER BY` additionally requires the child's
+/** GLOBAL-SORT elision over sorted scans — the piece Spark itself does
+  * not close: `SupportsReportOrdering` feeds the physical
+  * `RemoveRedundantSorts` / `EnsureRequirements` machinery, which happily
+  * drops LOCAL sorts and join-side sorts over a reported ordering, but a
+  * GLOBAL `ORDER BY` additionally requires the child's
   * `outputPartitioning` to satisfy `OrderedDistribution` — and a V2 scan
-  * has no way to report range partitioning, so even a ONE-file sorted
-  * scan pays `Exchange rangepartitioning + Sort` to produce an order it
-  * already has.
+  * has no way to report range partitioning, so even a fully-sorted,
+  * range-distributed table pays `Exchange rangepartitioning + Sort` to
+  * produce an order it already has on disk.
   *
-  * This rule closes exactly the provable case: a global `Sort` whose
-  * child is (an attribute-only projection over) a catalog scan that
-  * REPORTS a satisfying ordering and plans AT MOST ONE input partition —
-  * one partition makes per-partition order global by definition. The
-  * partition count comes from the scan's own split planning (metadata
-  * only; a compacted range-distributed table under the default split
-  * size is the target shape). Multi-partition scans keep their Sort:
-  * per-partition order says nothing about inter-partition order.
+  * Two provable cases, tried in order:
+  *
+  *   - **≤1 planned partition**: per-partition order is global by
+  *     definition — drop the Sort outright;
+  *   - **range-disjoint multi-partition** (the 100 TB case): when every
+  *     file's leading-sort-column range is disjoint from the next
+  *     (manifest stats prove it — the shape compaction's range
+  *     distribution produces), the scan's partitions CONCATENATED in
+  *     file-range order ARE the global order. The Sort is replaced by
+  *     [[RangeConcat]], planned as [[RangeConcatExec]]: a zero-work
+  *     node that permutes the child RDD's partitions (no shuffle, no
+  *     sort, no row is touched) and reports `RangePartitioning` +
+  *     the order, so downstream requirements stay satisfied.
+  *
+  * Feasibility and the permutation come from the scan's own metadata
+  * ([[MemScan.rangeConcatPermutation]]) — plan-time cost is O(files)
+  * over resident manifests. Multi-partition scans whose ranges overlap
+  * keep their Sort: per-partition order says nothing global there.
   */
 private[graft] object SortedScanSortElision extends Rule[LogicalPlan] {
 
@@ -55,9 +69,95 @@ private[graft] object SortedScanSortElision extends Rule[LogicalPlan] {
     case s @ Sort(order, true, child, _) =>
       scanOf(child) match {
         case Some(r) if r.ordering.exists(o =>
-            SortOrder.orderingSatisfies(o, order)) && singlePartition(r) =>
-          child
+            SortOrder.orderingSatisfies(o, order)) =>
+          if (singlePartition(r)) child
+          else r.scan match {
+            case m: MemScan
+                // Feasibility probe at plan time; the exec recomputes the
+                // permutation at execution (runtime filtering may remove
+                // files — removal preserves disjointness).
+                if m.rangeConcatPermutation(order.length > 1).isDefined =>
+              RangeConcat(order, m, order.length > 1, child)
+            case _ => s
+          }
         case _ => s
       }
   }
+}
+
+/** Logical: global order produced by concatenating the child scan's
+  * range-disjoint partitions in range order (replaces a global Sort). */
+private[graft] final case class RangeConcat(order: Seq[SortOrder],
+    scan: MemScan, strictOnly: Boolean, child: LogicalPlan)
+    extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan):
+      RangeConcat = copy(child = newChild)
+}
+
+private[graft] object RangeConcatStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case RangeConcat(order, scan, strict, child) =>
+      RangeConcatExec(order, scan, strict, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical: permute the child's partitions into range order. Zero row
+  * work — partitions stream through untouched; only their SCHEDULING
+  * order changes, which is exactly what downstream total-order consumers
+  * (collect, write, limit) read. */
+private[graft] final case class RangeConcatExec(order: Seq[SortOrder],
+    scan: MemScan, strictOnly: Boolean, child: SparkPlan)
+    extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputOrdering: Seq[SortOrder] = order
+  override def outputPartitioning: Partitioning =
+    RangePartitioning(order, child.outputPartitioning.numPartitions)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val rdd = child.execute()
+    // Recompute against the EXECUTED file set (runtime filtering may have
+    // removed files since planning; removal preserves disjointness). A
+    // mismatch means the plan drifted in a way the rule cannot vouch for
+    // — fail loudly; a silently wrong order is worse than a retry.
+    val perm = scan.rangeConcatPermutation(strictOnly).getOrElse(
+      throw new IllegalStateException(
+        "RangeConcat: the scan's range-disjointness no longer holds at " +
+          "execution — rerun the query (files changed under the plan?)"))
+    require(perm.length == rdd.getNumPartitions,
+      s"RangeConcat: permutation covers ${perm.length} partitions but the " +
+        s"scan produced ${rdd.getNumPartitions}")
+    if (perm == perm.indices) rdd else new ReorderedRDD(rdd, perm.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan):
+      RangeConcatExec = copy(child = newChild)
+}
+
+/** `prev` with partitions re-indexed by `perm` — partition i of this RDD
+  * is partition perm(i) of the parent, computed in place (narrow
+  * dependency, locality preserved). */
+private[sources] final class ReorderedRDD(
+    prev: RDD[InternalRow], perm: Array[Int])
+    extends RDD[InternalRow](prev) {
+  private final class P(val index: Int, val parent: org.apache.spark.Partition)
+      extends org.apache.spark.Partition
+
+  override protected def getPartitions: Array[org.apache.spark.Partition] = {
+    val ps = firstParent[InternalRow].partitions
+    perm.indices.map(i => new P(i, ps(perm(i))): org.apache.spark.Partition)
+      .toArray
+  }
+
+  override def compute(split: org.apache.spark.Partition,
+      context: org.apache.spark.TaskContext): Iterator[InternalRow] =
+    firstParent[InternalRow].iterator(
+      split.asInstanceOf[P].parent, context)
+
+  override protected def getPreferredLocations(
+      split: org.apache.spark.Partition): Seq[String] =
+    firstParent[InternalRow].preferredLocations(
+      split.asInstanceOf[P].parent)
 }

@@ -119,6 +119,55 @@ class ReportOrderingSuite extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("MULTI-partition sorted ORDER BY: a range-distributed multi-FILE " +
+      "table concatenates its partitions in range order — no Sort, no " +
+      "Exchange; overlapping file ranges keep the Sort") {
+    val t = fresh("rngm")
+    spark.sql(s"""CREATE TABLE $t (k BIGINT, v BIGINT)
+      TBLPROPERTIES ('write.sort-order' = 'k',
+                     'write.distribution-mode' = 'range')""")
+    // Distinct keys (a permutation) so consecutive compacted files are
+    // STRICTLY range-disjoint.
+    spark.range(0, 40000).selectExpr("pmod(id * 7919, 40000) AS k", "id AS v")
+      .repartition(4).writeTo(t).append()
+    // Compact into MANY range-disjoint sorted files — the 100 TB shape.
+    // (AQE off for the compaction too: its shuffle coalescing would fold
+    // these small range partitions back into one file.)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sql(s"CALL $cat.system.rewrite_data_files('ord.rngm', 4000)")
+    val files = SnapshotStore.stateOf(
+      SnapshotStore.keyOf(cat, Seq("ord", "rngm"))).currentFiles
+    assert(files.size > 3, s"fixture needs many files, got ${files.size}")
+    try {
+      val q = spark.sql(s"SELECT k, v FROM $t ORDER BY k")
+      val plan = q.queryExecution.executedPlan
+      assert(sorts(q) === 0 && shuffles(q) === 0,
+        s"range-disjoint files must concatenate, not re-sort:\n$plan")
+      assert(plan.collect { case r: RangeConcatExec => r }.nonEmpty,
+        s"expected the RangeConcat node:\n$plan")
+      val rows = q.collect().map(_.getLong(0)).toSeq
+      assert(rows === (0L until 40000L), "the order must actually hold")
+      // Property-off twin: the Sort reappears, the answer is identical.
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+        "('read.report-ordering' = 'false')")
+      val off = spark.sql(s"SELECT k, v FROM $t ORDER BY k")
+      assert(sorts(off) === 1, "with reporting off the Sort must be paid")
+      assert(off.collect().map(_.getLong(0)).toSeq === rows)
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+        "('read.report-ordering' = 'true')")
+      // A sorted APPEND makes ranges OVERLAP (both cover the domain):
+      // every file is stamped, but concatenation is no longer provable —
+      // the Sort must stay and the answer must still be ordered.
+      spark.sql(s"INSERT INTO $t SELECT id AS k, id AS v FROM range(0, 5000)")
+      val q2 = spark.sql(s"SELECT k, v FROM $t ORDER BY k")
+      assert(sorts(q2) === 1,
+        s"overlapping file ranges must keep the Sort:\n" +
+          q2.queryExecution.executedPlan)
+      val r2 = q2.collect().map(_.getLong(0)).toSeq
+      assert(r2 === r2.sorted)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("bucketed + sorted twins: SortMergeJoin with ZERO Exchange and " +
       "ZERO Sort (co-located, co-sorted storage)") {
     val a = fresh("smj_a")

@@ -356,8 +356,13 @@ private[graft] object MaterializedViews {
                   hiddenCols += MvCol(sumName, "sum", canon(e),
                     nn = if (e.nullable) Some(cntName) else None)
                   hiddenCols += MvCol(cntName, "count", canon(e))
-                  hiddenExprs += ((Alias(Sum(org.apache.spark.sql.catalyst
-                    .expressions.Cast(e, sumT)).toAggregateExpression(),
+                  // Sum(e)'s RESULT already lands in sumT (long for
+                  // integrals, p+10 for decimals) — the outer Cast is a
+                  // no-op type assertion, never a second widen (casting
+                  // the INPUT would widen twice: Sum(decimal(22,2)) is
+                  // decimal(32,2), failing STRICT store assignment).
+                  hiddenExprs += ((Alias(org.apache.spark.sql.catalyst
+                    .expressions.Cast(Sum(e).toAggregateExpression(), sumT),
                     sumName)(), StructField(sumName, sumT, nullable = true)))
                   hiddenExprs += ((Alias(
                     Count(Seq(e)).toAggregateExpression(), cntName)(),
@@ -948,13 +953,25 @@ private[graft] object MaterializedViews {
               .alias(dimAlias(i)))
       }
       val withConds = joinConds.foldLeft(joined)((df, cs) => df.filter(expr(cs)))
+      val deltas0 = deltaFrame(withConds, cols, props.get(PropWhere), st.schema)
+      // Extrema refreshes read the fold TWICE (the broadcast suspect keys
+      // and the MERGE source share its lineage) — persist the bounded
+      // changed-groups frame so the `.changes` scan + fold run once.
+      val cached =
+        if (cols.exists(c => c.kind == "min" || c.kind == "max"))
+          Some(deltas0.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        else None
       val deltas = withExtremaRecompute(spark, catalogName, base, props, cols,
-        deltaFrame(withConds, cols, props.get(PropWhere), st.schema), c)
+        cached.getOrElse(deltas0), c)
       val src = "graft_mv_deltas_" + (catalogName +: identParts)
         .mkString("_").replaceAll("[^A-Za-z0-9_]", "_")
       deltas.createOrReplaceTempView(src)
       try spark.sql(mergeSql(mvFull, src, cols, st.schema))
-      finally spark.catalog.dropTempView(src)
+      finally {
+        spark.catalog.dropTempView(src)
+        cached.foreach(_.unpersist(false))
+      }
     } catch {
       case e: Exception if {
         val msgs = Iterator.iterate(e: Throwable)(_.getCause)

@@ -355,14 +355,21 @@ private[graft] object MvQueryRewrite {
   private type RelPlan = () => LogicalPlan
 
   /** Whether the base's snapshot list still covers `(b, c]` contiguously
-    * — the range the top-up's `.changes` read replays; an expired gap
-    * would fail the scan at execution, so an unreadable range simply
-    * never offers the top-up. */
+    * — the range the top-up's `.changes` read replays — AND the
+    * PREDECESSOR snapshot `b` when the first missed commit needs it:
+    * every non-append commit's change rows diff against the snapshot
+    * before it ([[ChangeLog.changePartitions]] fails loudly on an
+    * expired predecessor), and only commit `b+1`'s predecessor lies
+    * outside the range. An unreadable range simply never offers the
+    * top-up (the base serves) — never a query that errors at execution. */
   private def changesRangeLive(baseKey: String, b: Long, c: Long): Boolean = {
-    val vs = SnapshotStore.stateOf(baseKey).snapshots
-      .map(_.version).filter(v => v > b && v <= c)
-    vs.size == (c - b) && vs.headOption.contains(b + 1) &&
-      vs.lastOption.contains(c)
+    val sns = SnapshotStore.stateOf(baseKey).snapshots
+    val inRange = sns.filter(s => s.version > b && s.version <= c)
+    inRange.size == (c - b) &&
+      inRange.headOption.exists(_.version == b + 1) &&
+      inRange.lastOption.exists(_.version == c) &&
+      (b == 0L || inRange.head.operation == "append" ||
+        sns.exists(_.version == b))
   }
 
   /** Split a conjunction into its conjuncts. */

@@ -4540,11 +4540,17 @@ private[sources] final class MemScan(fullSchema: StructType,
     *     could interleave on the secondary keys; a single-column order
     *     tolerates equal boundaries, equal values are interchangeable).
     *
+    * Returns (permutation, allStrict): `allStrict` = every consecutive
+    * pair was STRICTLY disjoint — only then may the exec claim
+    * `RangePartitioning` (a tolerated boundary tie puts one key value in
+    * two partitions, which RangePartitioning's clustering contract
+    * forbids even though the ORDER stays correct).
+    *
     * Deterministic over the current file set, so the execution-time
     * recompute (after runtime filtering REMOVED files — removal keeps
-    * disjointness) agrees with plan-time feasibility. */
+    * disjointness and strictness) agrees with plan-time feasibility. */
   private[sources] def rangeConcatPermutation(
-      strictOnly: Boolean): Option[Seq[Int]] = {
+      strictOnly: Boolean): Option[(Seq[Int], Boolean)] = {
     if (outputOrdering().isEmpty) return None
     if (spjKeys.exists(_.nonEmpty)) return None
     val (colName, asc) = tableSortOrder.head
@@ -4571,15 +4577,29 @@ private[sources] final class MemScan(fullSchema: StructType,
     }
     if (mem.isEmpty) return None
     val ranked = mem.map(_.path).distinct.toSeq.sortBy(p => range(p)._1)(ord)
+    var allStrict = true
     ranked.sliding(2).foreach {
       case Seq(a, b) =>
         val c = ord.compare(range(a)._2, range(b)._1)
         if (c > 0 || (c == 0 && strictOnly)) return None
+        if (c == 0) allStrict = false
       case _ => ()
     }
     val rank = ranked.zipWithIndex.toMap
-    Some(mem.indices.sortBy(i => (rank(mem(i).path), mem(i).byteStart)))
+    Some((mem.indices.sortBy(i => (rank(mem(i).path), mem(i).byteStart)),
+      allStrict))
   }
+
+  /** PLAN-TIME feasibility probes for the rule — memoized like
+    * [[planTimePartitionCount]] (the fixed-point optimizer batch would
+    * otherwise re-run O(files) split planning + range sorting per Sort
+    * node per pass); execution calls [[rangeConcatPermutation]] fresh
+    * (post-runtime-filter). */
+  private lazy val rangeConcatStrictProbe = rangeConcatPermutation(true)
+  private lazy val rangeConcatLooseProbe = rangeConcatPermutation(false)
+  private[sources] def rangeConcatProbe(
+      strictOnly: Boolean): Option[(Seq[Int], Boolean)] =
+    if (strictOnly) rangeConcatStrictProbe else rangeConcatLooseProbe
 
   /** Can EVERY partition of this scan decode vectorized? Columnar and
     * row partitions cannot mix inside one scan (Spark's

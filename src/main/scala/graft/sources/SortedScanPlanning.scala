@@ -72,12 +72,16 @@ private[graft] object SortedScanSortElision extends Rule[LogicalPlan] {
             SortOrder.orderingSatisfies(o, order)) =>
           if (singlePartition(r)) child
           else r.scan match {
-            case m: MemScan
-                // Feasibility probe at plan time; the exec recomputes the
-                // permutation at execution (runtime filtering may remove
-                // files — removal preserves disjointness).
-                if m.rangeConcatPermutation(order.length > 1).isDefined =>
-              RangeConcat(order, m, order.length > 1, child)
+            case m: MemScan =>
+              // Memoized feasibility probe at plan time; the exec
+              // recomputes the permutation at execution (runtime
+              // filtering may remove files — removal preserves both
+              // disjointness and strictness).
+              m.rangeConcatProbe(order.length > 1) match {
+                case Some((_, allStrict)) =>
+                  RangeConcat(order, m, order.length > 1, allStrict, child)
+                case None => s
+              }
             case _ => s
           }
         case _ => s
@@ -86,10 +90,12 @@ private[graft] object SortedScanSortElision extends Rule[LogicalPlan] {
 }
 
 /** Logical: global order produced by concatenating the child scan's
-  * range-disjoint partitions in range order (replaces a global Sort). */
-private[graft] final case class RangeConcat(order: Seq[SortOrder],
-    scan: MemScan, strictOnly: Boolean, child: LogicalPlan)
-    extends UnaryNode {
+  * range-disjoint partitions in range order (replaces a global Sort).
+  * `allStrict` = plan-time strict disjointness held everywhere (gates
+  * the exec's RangePartitioning claim). */
+private[sources] final case class RangeConcat(order: Seq[SortOrder],
+    scan: MemScan, strictOnly: Boolean, allStrict: Boolean,
+    child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan):
@@ -98,8 +104,8 @@ private[graft] final case class RangeConcat(order: Seq[SortOrder],
 
 private[graft] object RangeConcatStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case RangeConcat(order, scan, strict, child) =>
-      RangeConcatExec(order, scan, strict, planLater(child)) :: Nil
+    case RangeConcat(order, scan, strict, allStrict, child) =>
+      RangeConcatExec(order, scan, strict, allStrict, planLater(child)) :: Nil
     case _ => Nil
   }
 }
@@ -108,13 +114,20 @@ private[graft] object RangeConcatStrategy extends SparkStrategy {
   * work — partitions stream through untouched; only their SCHEDULING
   * order changes, which is exactly what downstream total-order consumers
   * (collect, write, limit) read. */
-private[graft] final case class RangeConcatExec(order: Seq[SortOrder],
-    scan: MemScan, strictOnly: Boolean, child: SparkPlan)
-    extends UnaryExecNode {
+private[sources] final case class RangeConcatExec(order: Seq[SortOrder],
+    scan: MemScan, strictOnly: Boolean, allStrict: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputOrdering: Seq[SortOrder] = order
+  // RangePartitioning additionally promises every key value lives in ONE
+  // partition — true only under STRICT disjointness (a tolerated
+  // boundary tie in a single-column order keeps the ORDER correct but
+  // splits that key across two partitions, so claiming clustering there
+  // would let a parent elide an Exchange it needs).
   override def outputPartitioning: Partitioning =
-    RangePartitioning(order, child.outputPartitioning.numPartitions)
+    if (allStrict)
+      RangePartitioning(order, child.outputPartitioning.numPartitions)
+    else child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
     val rdd = child.execute()
@@ -122,7 +135,7 @@ private[graft] final case class RangeConcatExec(order: Seq[SortOrder],
     // removed files since planning; removal preserves disjointness). A
     // mismatch means the plan drifted in a way the rule cannot vouch for
     // — fail loudly; a silently wrong order is worse than a retry.
-    val perm = scan.rangeConcatPermutation(strictOnly).getOrElse(
+    val perm = scan.rangeConcatPermutation(strictOnly).map(_._1).getOrElse(
       throw new IllegalStateException(
         "RangeConcat: the scan's range-disjointness no longer holds at " +
           "execution — rerun the query (files changed under the plan?)"))

@@ -558,12 +558,13 @@ class MaterializedViewSuite extends AnyFunSuite {
       FROM range(0, 80)""")
     val v = fresh("mv_ext")
     val body = s"""SELECT grp, count(*) AS n, min(v) AS lo, max(v) AS hi,
-      avg(v) AS av, min(price) AS lop FROM $t GROUP BY grp"""
+      avg(v) AS av, min(price) AS lop, avg(price) AS avp
+      FROM $t GROUP BY grp"""
     spark.sql(s"CREATE MATERIALIZED VIEW $v AS $body")
     def recompute(): Array[String] = noRewrite(
       spark.sql(body + " ORDER BY grp").collect().map(_.toString))
     def stored(): Array[String] = spark.sql(
-      s"SELECT grp, n, lo, hi, av, lop FROM $v ORDER BY grp")
+      s"SELECT grp, n, lo, hi, av, lop, avp FROM $v ORDER BY grp")
       .collect().map(_.toString)
     assert(stored().toSeq === recompute().toSeq, "initial materialization")
 

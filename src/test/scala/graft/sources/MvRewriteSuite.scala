@@ -179,6 +179,24 @@ class MvRewriteSuite extends AnyFunSuite {
     assert(expired.exists(_.endsWith("topup_base")) &&
       !expired.exists(_.contains("topup_mv")),
       s"an expired change range must fall back to the base, got $expired")
+    // And the SUBTLER expiry: the range (b, c] itself is live but the
+    // PREDECESSOR snapshot b is gone while the first missed commit is a
+    // row-level one — its change rows diff against b, so the top-up
+    // must never be offered (a fallback, not an execution-time error).
+    val t2 = baseTable("topup_pred", n = 100)
+    val v2 = fresh("topup_pred_mv")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $v2 AS
+      SELECT grp, count(*) AS n FROM $t2 GROUP BY grp""") // watermark b=1
+    spark.sql(s"DELETE FROM $t2 WHERE grp = 'g1'")        // v2: overwrite
+    spark.sql(s"INSERT INTO $t2 VALUES (901, 'g9', 's0', 1.00, 2)") // v3
+    spark.sql(s"CALL $cat.system.expire_snapshots(" +
+      "table => 'mvr.topup_pred', keep_last => 2)").collect() // v1 gone
+    val q2 = s"SELECT grp, count(*) AS n FROM $t2 GROUP BY grp"
+    val noPred = scans(spark.sql(q2))
+    assert(noPred.exists(_.endsWith("topup_pred")) &&
+      !noPred.exists(_.contains("topup_pred_mv")),
+      s"an expired diff-predecessor must fall back to the base, got $noPred")
+    assert(spark.sql(q2).collect().nonEmpty, "and the query must run")
   }
 
   test("a pending refresh claim blocks the rewrite (mid-refresh or " +

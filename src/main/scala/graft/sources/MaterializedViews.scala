@@ -601,12 +601,13 @@ private[graft] object MaterializedViews {
   private def materialize(spark: SparkSession, full: String, bodySql: String,
       body: Option[LogicalPlan], hidden: Seq[NamedExpression],
       overwrite: Boolean): Unit = {
-    if (hidden.isEmpty) {
+    if (body.isEmpty && hidden.isEmpty) {
       spark.sql(s"${if (overwrite) "INSERT OVERWRITE" else "INSERT INTO"} " +
         s"$full $bodySql")
       ()
     } else {
       def appendHidden(p: LogicalPlan): LogicalPlan = p match {
+        case _ if hidden.isEmpty => p
         case SubqueryAlias(_, c) => appendHidden(c)
         case a: Aggregate =>
           a.copy(aggregateExpressions = a.aggregateExpressions ++ hidden)
@@ -619,6 +620,33 @@ private[graft] object MaterializedViews {
         .ofRows(spark, appendHidden(analyzed))
       if (overwrite) df.writeTo(full).overwrite(lit(true))
       else df.writeTo(full).append()
+    }
+  }
+
+  /** Pin every LIVE body relation to the version recorded for it — the
+    * AS-OF rebuild shape: fact at the claimed `c0`, each dim at its
+    * `dv0` entry. Relation `output` attrs are kept by `copy`, so the
+    * body's resolved expressions (and any appended hidden aggregates)
+    * stay valid over the pinned scans. */
+  private def pinBodyRelations(plan: LogicalPlan, catalogName: String,
+      factParts: Seq[String], c0: Long, dims: Seq[Seq[String]],
+      dv0: Seq[Long]): LogicalPlan = {
+    val vOf: Map[String, Long] =
+      ((SnapshotStore.keyOf(catalogName, factParts) -> c0) +:
+        dims.zip(dv0).map { case (d, v) =>
+          SnapshotStore.keyOf(catalogName, d) -> v }).toMap
+    plan.transform {
+      case r: DataSourceV2Relation => r.table match {
+        case m: MemTable if m.isLiveHead && vOf.contains(m.storeKey) =>
+          r.catalog match {
+            case Some(c: SnapshotCatalog) => r.copy(table = c.loadTable(
+              r.identifier.getOrElse(sys.error(
+                "internal: a body relation carries no identifier")),
+              vOf(m.storeKey).toString))
+            case _ => r
+          }
+        case _ => r
+      }
     }
   }
 
@@ -708,15 +736,15 @@ private[graft] object MaterializedViews {
     * rebuild — OVERWRITE is idempotent), and refreshFull itself resumes
     * over any leftover full claim.
     *
-    * KNOWN CAVEAT (round-15 verdict): the watermark is validated by
-    * re-reading the base AFTER the overwrite, so a base advancing
-    * mid-rebuild forces a re-run — on a base committing faster than the
-    * rebuild completes, full rebuilds can retry indefinitely (the
-    * incremental path is unaffected). The fix would rebuild `AS OF` a
-    * version read once up front; that needs AS-OF injection into the
-    * stored body text (star bodies: one per relation), deferred until a
-    * real workload hits the window. Pause the base's writers around a
-    * full rebuild if you must guarantee completion. */
+    * AS-OF REBUILD (round 17, closing the round-15 caveat): the body's
+    * relations are PINNED to the versions read up front (fact at the
+    * claimed `c0`, dims at `dv0`) via plan surgery over the re-analyzed
+    * body — a base or dim commit landing mid-rebuild no longer forces a
+    * retry loop (a base committing faster than the rebuild completes
+    * could previously starve it forever). The stored rows are exactly
+    * the body at the stamped watermarks; anything newer is ordinary
+    * staleness the incremental path folds next. Only the unpinnable
+    * never-written (version-0) shape keeps the loud advance-and-retry. */
   def refreshFull(spark: SparkSession, catalogName: String,
       identParts: Seq[String]): (Long, Long, Boolean) = {
     val mvKey = SnapshotStore.keyOf(catalogName, identParts)
@@ -749,21 +777,34 @@ private[graft] object MaterializedViews {
     val dimKeys = dimsL.map(SnapshotStore.keyOf(catalogName, _))
     val dv0 = dimKeys.map(currentVersion)
     val selfV0 = currentVersion(mvKey)
+    // A never-written relation (version 0) has no snapshot to pin.
+    val canPin = c0 > 0 && dv0.forall(_ > 0)
     try {
-      // avg MVs re-derive the hidden constituents from the re-analyzed
-      // body (the stored SQL alone cannot name them); the same analyzed
-      // plan instance feeds both the extract and the write, so the
-      // appended expressions' ids resolve.
+      // REBUILD AS OF the claimed versions: every live body relation
+      // pins to the snapshot read up front (fact at c0, dims at dv0), so
+      // a base or dim commit landing MID-REBUILD no longer forces a
+      // retry — the stored rows are exactly the body at the stamped
+      // watermarks, and the normal staleness machinery covers everything
+      // newer. (Closes the round-15 caveat: a base committing faster
+      // than the rebuild completes could starve full rebuilds forever.)
+      // A never-written relation (version 0) has no snapshot to pin —
+      // read live and keep the post-overwrite advance checks below for
+      // that rare shape. avg MVs also re-derive their hidden
+      // constituents from the SAME analyzed instance (the stored SQL
+      // alone cannot name them; extract must see the UNPINNED plan —
+      // it rejects AS-OF relations by contract).
       val hasDerived = colsFromJson(st.properties(PropCols))
         .exists(_.kind == "avg")
       val bodySql = st.properties(PropSql)
-      if (!hasDerived)
-        materialize(spark, mvFull, bodySql, None, Nil, overwrite = true)
-      else {
-        val analyzed = spark.sql(bodySql).queryExecution.analyzed
-        materialize(spark, mvFull, bodySql, Some(analyzed),
-          extract(catalogName, analyzed).hidden.map(_._1), overwrite = true)
-      }
+      val analyzed = spark.sql(bodySql).queryExecution.analyzed
+      val hidden =
+        if (!hasDerived) Nil
+        else extract(catalogName, analyzed).hidden.map(_._1)
+      val toWrite =
+        if (canPin) pinBodyRelations(analyzed, catalogName, base, c0, dimsL, dv0)
+        else analyzed
+      materialize(spark, mvFull, bodySql, Some(toWrite), hidden,
+        overwrite = true)
     } catch {
       case e: Throwable =>
         // A transient overwrite failure that COMMITTED NOTHING releases
@@ -777,16 +818,22 @@ private[graft] object MaterializedViews {
             else s0)
         throw e
     }
-    val c1 = currentVersion(baseKey)
-    if (c1 != c0) throw new IllegalStateException(
-      s"base table ${base.mkString(".")} advanced (v$c0 -> v$c1) during " +
-        "the full refresh — the watermark would be ambiguous; the claim " +
-        "stays pending, rerun refresh_mv(full => true) to rebuild and " +
-        "re-stamp")
-    if (dimKeys.map(currentVersion) != dv0) throw new IllegalStateException(
-      s"a dimension table of $shown's star advanced during the full " +
-        "refresh — the dimension watermark would be ambiguous; the claim " +
-        "stays pending, rerun refresh_mv(full => true)")
+    // Pinned rebuilds need no advance check: the stored rows are exactly
+    // the body AS OF (c0, dv0) whatever landed meanwhile, and those are
+    // the watermarks stamped below. Only the unpinnable version-0 shape
+    // keeps the loud retry.
+    if (!canPin) {
+      val c1 = currentVersion(baseKey)
+      if (c1 != c0) throw new IllegalStateException(
+        s"base table ${base.mkString(".")} advanced (v$c0 -> v$c1) during " +
+          "the full refresh — the watermark would be ambiguous; the claim " +
+          "stays pending, rerun refresh_mv(full => true) to rebuild and " +
+          "re-stamp")
+      if (dimKeys.map(currentVersion) != dv0) throw new IllegalStateException(
+        s"a dimension table of $shown's star advanced during the full " +
+          "refresh — the dimension watermark would be ambiguous; the claim " +
+          "stays pending, rerun refresh_mv(full => true)")
+    }
     val vAfter = currentVersion(mvKey)
     SnapshotStore.update(mvKey) { s0 =>
       // The stamp must still own the claim — a concurrent resume/recover
@@ -1022,9 +1069,11 @@ private[graft] object MaterializedViews {
     * SUM cannot see that case: stored 10/delta −10 sums to 0, not NULL).
     * GROUP BY null-key semantics match the MERGE's `<=>` join.
     *
-    * SINGLE-TABLE MVs only — a star's fold joins dimensions AS OF their
-    * watermarks; servable the same way, deferred until a workload needs
-    * it (the caller never offers star candidates). */
+    * STAR bodies serve too: the fold joins the bounded fact changes to
+    * the dimensions PINNED `AS OF` their recorded watermarks — exactly
+    * refresh's join — which is sound precisely because the caller's
+    * freshness gate proved every dimension still SITS at its watermark
+    * (only the fact advanced; a moved dim never reaches here). */
   private[sources] def topUpFrame(spark: SparkSession, catalogName: String,
       identParts: Seq[String], st: SnapshotStore.TableState,
       b: Long, c: Long): DataFrame = {
@@ -1045,7 +1094,17 @@ private[graft] object MaterializedViews {
       .option("endingVersion", c.toString)
       .table(s"$baseFull.changes")
       .alias(FactAlias)
-    val deltas = deltaFrame(changes, cols, props.get(PropWhere), st.schema)
+    val (dimsL, joinConds) = dimsOf(props)
+    val dimVs = dimVersionsOf(props)
+    val joined = dimsL.zip(dimVs).zipWithIndex.foldLeft(changes) {
+      case (acc, ((d, vr), i)) =>
+        val dimFull = (catalogName +: d).map(bq).mkString(".")
+        acc.crossJoin(
+          spark.sql(s"SELECT * FROM $dimFull VERSION AS OF $vr")
+            .alias(dimAlias(i)))
+    }
+    val withConds = joinConds.foldLeft(joined)((df, cs) => df.filter(expr(cs)))
+    val deltas = deltaFrame(withConds, cols, props.get(PropWhere), st.schema)
     val typeOf: Map[String, DataType] =
       st.schema.fields.map(f => f.name -> f.dataType).toMap
     // Both sides in delta algebra (g<i> keys, d<i> signed measures): the

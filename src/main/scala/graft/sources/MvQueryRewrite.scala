@@ -319,20 +319,23 @@ private[graft] object MvQueryRewrite {
             .exists(_.toLong == mvCurrent)
       }
       // Freshness decides the SERVING SHAPE: an up-to-date watermark
-      // serves the pinned view directly; a merely-STALE single-table MV
-      // serves view ∪ signed-fold of the missed change range (the delta
-      // TOP-UP — O(|groups| + changed rows), never the base scan). None
-      // = unservable. Fresh candidates sort first: a direct view scan
-      // beats an inline fold.
+      // serves the pinned view directly; a merely-STALE MV (single-table
+      // or star — dims proved fresh above) serves view ∪ signed-fold of
+      // the missed change range (the delta TOP-UP — O(|groups| + changed
+      // rows ⋈ pinned dims), never the fact scan). None = unservable.
+      // Fresh candidates sort first: a direct view scan beats an inline
+      // fold.
       .flatMap { c =>
         val baseV = currentVersion(c.factKey)
         c.state.properties.get(PropBaseVersion).map(_.toLong) match {
           case Some(b) if b == baseV =>
             Some((c, true, () => mvRelation(shape.cat, c): LogicalPlan))
-          case Some(b) if b < baseV && topUpOn && c.dimKeys.isEmpty &&
+          case Some(b) if b < baseV && topUpOn &&
               // Extrema MVs cannot top-up: a delete in the missed range
               // needs the refresh's affected-group recompute, which
-              // writes nothing here.
+              // writes nothing here. (Star MVs CAN: the gates above
+              // proved every dim still sits at its watermark, so the
+              // inline fold joins them AS OF exactly like refresh.)
               !c.cols.exists(mc => mc.kind == "min" || mc.kind == "max") &&
               changesRangeLive(c.factKey, b, baseV) =>
             Some((c, false, () => MaterializedViews.topUpFrame(

@@ -495,6 +495,38 @@ class MvRewriteSuite extends AnyFunSuite {
     hitsOnlyMv(bothWays(q)._1, "starv_mv", Seq("starv_fact", "starv_dim"))
   }
 
+  test("STAR top-up: a fact-only commit leaves the star MV stale — the " +
+      "rewrite serves view ∪ fold(changes ⋈ pinned dims); a dim commit " +
+      "still vetoes everything") {
+    val (f, d) = starTables("stt_fact", "stt_dim")
+    val v = fresh("stt_mv")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $v AS
+      SELECT d.seg AS seg, count(*) AS n, sum(f.price) AS total,
+        count(f.price) AS np
+      FROM $f f JOIN $d d ON f.ck = d.ck GROUP BY d.seg""")
+    val q = s"""SELECT d.seg AS seg, count(*) AS n, sum(f.price) AS total,
+      count(f.price) AS np FROM $f f JOIN $d d ON f.ck = d.ck GROUP BY d.seg"""
+    hitsOnlyMv(bothWays(q)._1, "stt_mv", Seq("stt_fact", "stt_dim"))
+    // Fact-only commit: the star MV is stale but every dim watermark
+    // still holds — the top-up folds the bounded fact changes joined to
+    // the PINNED dims. The fact's data files stay unread; the
+    // dimension-sized pinned scan is the fold's join side.
+    spark.sql(s"INSERT INTO $f VALUES (9001, 3, 12.34), (9002, 7, NULL)")
+    val (on, _) = bothWays(q)
+    assert(on.exists(_.contains("stt_mv")),
+      s"a stale star MV must serve via top-up, got $on")
+    assert(on.exists(_.contains("stt_fact.changes")),
+      s"the top-up must read the bounded fact change range, got $on")
+    assert(!on.exists(_.endsWith("stt_fact")),
+      s"the fact's data files must NOT be scanned, got $on")
+    // A DIM commit invalidates every stored group — no serving shape.
+    spark.sql(s"INSERT INTO $d VALUES (999, 'sX', 'rX')")
+    val (onDim, _) = bothWays(q)
+    assert(!onDim.exists(_.contains("stt_mv")) &&
+      onDim.exists(_.endsWith("stt_fact")),
+      s"a moved dimension must veto the top-up too, got $onDim")
+  }
+
   test("the substituted scan is PINNED to the validated MV snapshot " +
       "(a refresh landing between plan and execution cannot shift rows)") {
     val t = baseTable("pin_base")

@@ -800,6 +800,19 @@ private[graft] object MaterializedViews {
       val hidden =
         if (!hasDerived) Nil
         else extract(catalogName, analyzed).hidden.map(_._1)
+      // The ANALYSIS itself ran against the live head: re-check that the
+      // head still equals the pinned versions — equality proves analysis
+      // saw exactly the c0/dv0 state (a schema-changing commit in that
+      // window would type the plan for the NEW schema over OLD pinned
+      // data). This shrinks the retry window from the whole rebuild
+      // (round-15's starvation) to the milliseconds of planning.
+      if (canPin && (currentVersion(baseKey) != c0 ||
+          dimKeys.map(currentVersion) != dv0))
+        throw new IllegalStateException(
+          s"the base (or a dimension) of $shown advanced while the full " +
+            "rebuild analyzed its body — rerun refresh_mv(full => true) " +
+            "(nothing was written; the transient-failure path below " +
+            "releases the claim)")
       val toWrite =
         if (canPin) pinBodyRelations(analyzed, catalogName, base, c0, dimsL, dv0)
         else analyzed
@@ -986,45 +999,38 @@ private[graft] object MaterializedViews {
         .option("endingVersion", c.toString)
         .table(s"$baseFull.changes")
         .alias(FactAlias)
-      // STAR: join the bounded changes to each dimension PINNED at its
-      // recorded watermark (immune to a dim commit landing mid-refresh),
-      // under the refresh-time aliases the stored expressions carry. The
-      // joins enter as cross+filter; Catalyst re-plans them as the equi
-      // joins the conditions describe and broadcasts dimension-sized
-      // sides — the work stays O(changed rows).
-      val joined = dimsL.zip(dimVs).zipWithIndex.foldLeft(changes) {
-        case (acc, ((d, vr), i)) =>
-          val dimFull = (catalogName +: d).map(bq).mkString(".")
-          acc.crossJoin(
-            spark.sql(s"SELECT * FROM $dimFull VERSION AS OF $vr")
-              .alias(dimAlias(i)))
-      }
-      val withConds = joinConds.foldLeft(joined)((df, cs) => df.filter(expr(cs)))
+      val withConds = joinPinnedDims(spark, catalogName, changes,
+        dimsL, dimVs, joinConds)
       val deltas0 = deltaFrame(withConds, cols, props.get(PropWhere), st.schema)
       // Extrema refreshes read the fold TWICE (the broadcast suspect keys
       // and the MERGE source share its lineage) — persist the bounded
-      // changed-groups frame so the `.changes` scan + fold run once.
+      // changed-groups frame so the `.changes` scan + fold run once. The
+      // unpersist finally covers everything from here (a plan-building
+      // failure must not leak the cache entry for the session).
       val cached =
         if (cols.exists(c => c.kind == "min" || c.kind == "max"))
           Some(deltas0.persist(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         else None
-      val deltas = withExtremaRecompute(spark, catalogName, base, props, cols,
-        cached.getOrElse(deltas0), c)
-      val src = "graft_mv_deltas_" + (catalogName +: identParts)
-        .mkString("_").replaceAll("[^A-Za-z0-9_]", "_")
-      deltas.createOrReplaceTempView(src)
-      try spark.sql(mergeSql(mvFull, src, cols, st.schema))
-      finally {
-        spark.catalog.dropTempView(src)
-        cached.foreach(_.unpersist(false))
-      }
+      try {
+        val deltas = withExtremaRecompute(spark, catalogName, base, props,
+          cols, cached.getOrElse(deltas0), c)
+        val src = "graft_mv_deltas_" + (catalogName +: identParts)
+          .mkString("_").replaceAll("[^A-Za-z0-9_]", "_")
+        deltas.createOrReplaceTempView(src)
+        try spark.sql(mergeSql(mvFull, src, cols, st.schema))
+        finally spark.catalog.dropTempView(src)
+      } finally cached.foreach(_.unpersist(false))
     } catch {
       case e: Exception if {
         val msgs = Iterator.iterate(e: Throwable)(_.getCause)
           .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
         msgs.exists(m => m.contains("not a live snapshot") ||
           m.contains("were expired") ||
+          // ChangeLog's diff-predecessor error ("predecessor snapshot vN
+          // was expired"): the first missed commit is row-level and
+          // snapshot b is gone — the same unknowable-forever shape.
+          m.contains("was expired") ||
           m.contains("expired or future"))
       } =>
         // History the fold needs was EXPIRED: the bounded changes range,
@@ -1096,14 +1102,8 @@ private[graft] object MaterializedViews {
       .alias(FactAlias)
     val (dimsL, joinConds) = dimsOf(props)
     val dimVs = dimVersionsOf(props)
-    val joined = dimsL.zip(dimVs).zipWithIndex.foldLeft(changes) {
-      case (acc, ((d, vr), i)) =>
-        val dimFull = (catalogName +: d).map(bq).mkString(".")
-        acc.crossJoin(
-          spark.sql(s"SELECT * FROM $dimFull VERSION AS OF $vr")
-            .alias(dimAlias(i)))
-    }
-    val withConds = joinConds.foldLeft(joined)((df, cs) => df.filter(expr(cs)))
+    val withConds = joinPinnedDims(spark, catalogName, changes,
+      dimsL, dimVs, joinConds)
     val deltas = deltaFrame(withConds, cols, props.get(PropWhere), st.schema)
     val typeOf: Map[String, DataType] =
       st.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -1167,6 +1167,29 @@ private[graft] object MaterializedViews {
       }
     }
     alive.select(outCols: _*)
+  }
+
+  /** STAR fold join — shared by [[refresh]] and [[topUpFrame]] (the
+    * top-up's soundness argument is "exactly refresh's join", so the two
+    * must stay in lockstep): the bounded fact changes cross-joined to
+    * each dimension PINNED at its recorded watermark (immune to a dim
+    * commit landing mid-statement), under the refresh-time aliases the
+    * stored expressions carry, then filtered by the stored ON
+    * conditions. The joins enter as cross+filter; Catalyst re-plans them
+    * as the equi joins the conditions describe and broadcasts
+    * dimension-sized sides — the work stays O(changed rows). A
+    * single-table spec (no dims) passes the frame through. */
+  private def joinPinnedDims(spark: SparkSession, catalogName: String,
+      changes: DataFrame, dimsL: Seq[Seq[String]], dimVs: Seq[Long],
+      joinConds: Seq[String]): DataFrame = {
+    val joined = dimsL.zip(dimVs).zipWithIndex.foldLeft(changes) {
+      case (acc, ((d, vr), i)) =>
+        val dimFull = (catalogName +: d).map(bq).mkString(".")
+        acc.crossJoin(
+          spark.sql(s"SELECT * FROM $dimFull VERSION AS OF $vr")
+            .alias(dimAlias(i)))
+    }
+    joinConds.foldLeft(joined)((df, cs) => df.filter(expr(cs)))
   }
 
   /** Per-group signed (count, measure) deltas of a bounded change-feed

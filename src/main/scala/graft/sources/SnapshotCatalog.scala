@@ -4540,11 +4540,13 @@ private[sources] final class MemScan(fullSchema: StructType,
     *     could interleave on the secondary keys; a single-column order
     *     tolerates equal boundaries, equal values are interchangeable).
     *
-    * Returns (permutation, allStrict): `allStrict` = every consecutive
-    * pair was STRICTLY disjoint — only then may the exec claim
-    * `RangePartitioning` (a tolerated boundary tie puts one key value in
-    * two partitions, which RangePartitioning's clustering contract
-    * forbids even though the ORDER stays correct).
+    * Returns (permutation, mayClaimClustering): the second component is
+    * true only when every consecutive file pair was STRICTLY disjoint
+    * AND no file was split — only then may the exec claim
+    * `RangePartitioning` (a boundary tie, or a split file's unknowable
+    * intra-file slice boundary, can put one key value in two partitions,
+    * which the clustering contract forbids even though the ORDER stays
+    * correct).
     *
     * Deterministic over the current file set, so the execution-time
     * recompute (after runtime filtering REMOVED files — removal keeps
@@ -4585,9 +4587,15 @@ private[sources] final class MemScan(fullSchema: StructType,
         if (c == 0) allStrict = false
       case _ => ()
     }
+    // The clustering claim additionally demands ONE PARTITION PER FILE:
+    // a split file's intra-file slice boundaries can put one key value
+    // in two partitions (manifest stats cannot see inside a file), which
+    // RangePartitioning's contract forbids even though the concatenated
+    // ORDER is still correct.
+    val unsplit = mem.length == ranked.length
     val rank = ranked.zipWithIndex.toMap
     Some((mem.indices.sortBy(i => (rank(mem(i).path), mem(i).byteStart)),
-      allStrict))
+      allStrict && unsplit))
   }
 
   /** PLAN-TIME feasibility probes for the rule — memoized like

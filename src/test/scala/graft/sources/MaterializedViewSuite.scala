@@ -541,6 +541,42 @@ class MaterializedViewSuite extends AnyFunSuite {
       GROUP BY status""", "LIVE")
   }
 
+  test("an expired DIFF-PREDECESSOR (range live, snapshot b gone, first " +
+      "missed commit row-level) fails incremental refresh with the " +
+      "rebuild guidance, releases the claim, and full => true recovers") {
+    val t = fresh("base_pred")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, grp STRING, qty BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('g', id % 3), id FROM range(0, 30)")
+    val v = fresh("mv_pred")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $v AS
+      SELECT grp, count(*) AS n, sum(coalesce(qty, 0)) AS q
+      FROM $t GROUP BY grp""") // watermark b = 1
+    spark.sql(s"DELETE FROM $t WHERE grp = 'g1'")                  // v2
+    spark.sql(s"INSERT INTO $t VALUES (100, 'g9', 5)")             // v3
+    spark.sql(s"CALL $cat.system.expire_snapshots(" +
+      "table => 'mv.base_pred', keep_last => 2)").collect()        // v1 gone
+    // The range (1, 3] is live and contiguous, but v2 is a row-level
+    // commit whose change rows diff against the EXPIRED v1 — the fold is
+    // unknowable, guidance demanded, claim released (not stuck).
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.refresh_mv(table => 'mv.mv_pred')")
+        .collect()
+    }
+    assert(e.getMessage.contains("full => true"), s"got: ${e.getMessage}")
+    val props = SnapshotStore.stateOf(
+      SnapshotStore.keyOf(cat, Seq("mv", "mv_pred"))).properties
+    assert(!props.contains(MaterializedViews.PropPending),
+      "the claim must be released (the MERGE never landed)")
+    spark.sql(s"CALL $cat.system.refresh_mv(table => 'mv.mv_pred', " +
+      "full => true)").collect()
+    val stored = spark.sql(s"SELECT grp, n, q FROM $v ORDER BY grp")
+      .collect().map(_.toString).toSeq
+    val expect = noRewrite(spark.sql(
+      s"""SELECT grp, count(*) AS n, sum(coalesce(qty, 0)) AS q
+        FROM $t GROUP BY grp ORDER BY grp""").collect().map(_.toString).toSeq)
+    assert(stored === expect)
+  }
+
   // -- avg / min / max (round 17) ---------------------------------------------
 
   /** avg stores hidden sum/count constituents; min/max fold inserts and

@@ -132,13 +132,15 @@ class ReportOrderingSuite extends AnyFunSuite {
       .repartition(4).writeTo(t).append()
     // Compact into MANY range-disjoint sorted files — the 100 TB shape.
     // (AQE off for the compaction too: its shuffle coalescing would fold
-    // these small range partitions back into one file.)
+    // these small range partitions back into one file. The conf reset
+    // rides the SAME finally as everything else — a fixture failure must
+    // not leak AQE-off into later tests.)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.sql(s"CALL $cat.system.rewrite_data_files('ord.rngm', 4000)")
-    val files = SnapshotStore.stateOf(
-      SnapshotStore.keyOf(cat, Seq("ord", "rngm"))).currentFiles
-    assert(files.size > 3, s"fixture needs many files, got ${files.size}")
     try {
+      spark.sql(s"CALL $cat.system.rewrite_data_files('ord.rngm', 4000)")
+      val files = SnapshotStore.stateOf(
+        SnapshotStore.keyOf(cat, Seq("ord", "rngm"))).currentFiles
+      assert(files.size > 3, s"fixture needs many files, got ${files.size}")
       val q = spark.sql(s"SELECT k, v FROM $t ORDER BY k")
       val plan = q.queryExecution.executedPlan
       assert(sorts(q) === 0 && shuffles(q) === 0,

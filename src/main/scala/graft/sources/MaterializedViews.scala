@@ -810,9 +810,8 @@ private[graft] object MaterializedViews {
           dimKeys.map(currentVersion) != dv0))
         throw new IllegalStateException(
           s"the base (or a dimension) of $shown advanced while the full " +
-            "rebuild analyzed its body — rerun refresh_mv(full => true) " +
-            "(nothing was written; the transient-failure path below " +
-            "releases the claim)")
+            "rebuild analyzed its body — nothing was written and the " +
+            "claim is released; rerun refresh_mv(full => true)")
       val toWrite =
         if (canPin) pinBodyRelations(analyzed, catalogName, base, c0, dimsL, dv0)
         else analyzed
@@ -1041,8 +1040,9 @@ private[graft] object MaterializedViews {
         throw new IllegalStateException(
           s"history needed by $shown's incremental fold was expired " +
             s"(the ${base.mkString(".")} changes range v${b + 1}..v$c, " +
-            "or a dimension snapshot at its recorded watermark); " +
-            "rebuild with CALL refresh_mv(table, full => true)", e)
+            s"its diff predecessor v$b, or a dimension snapshot at its " +
+            "recorded watermark); rebuild with CALL " +
+            "refresh_mv(table, full => true)", e)
     }
 
     val vAfter = currentVersion(mvKey)

@@ -4553,6 +4553,10 @@ private[sources] final class MemScan(fullSchema: StructType,
     * disjointness and strictness) agrees with plan-time feasibility. */
   private[sources] def rangeConcatPermutation(
       strictOnly: Boolean): Option[(Seq[Int], Boolean)] = {
+    // Runtime filtering can empty the file set AFTER planning elided the
+    // Sort — an empty scan is trivially ordered (the exec must return
+    // zero rows, not throw "disjointness no longer holds").
+    if (files.isEmpty) return Some((Nil, true))
     if (outputOrdering().isEmpty) return None
     if (spjKeys.exists(_.nonEmpty)) return None
     val (colName, asc) = tableSortOrder.head
@@ -4577,7 +4581,7 @@ private[sources] final class MemScan(fullSchema: StructType,
       case p: MemFilePartition => p
       case _ => return None
     }
-    if (mem.isEmpty) return None
+    if (mem.isEmpty) return Some((Nil, true)) // only 0-row files remained
     val ranked = mem.map(_.path).distinct.toSeq.sortBy(p => range(p)._1)(ord)
     var allStrict = true
     ranked.sliding(2).foreach {

@@ -78,8 +78,8 @@ private[graft] object SortedScanSortElision extends Rule[LogicalPlan] {
               // filtering may remove files — removal preserves both
               // disjointness and strictness).
               m.rangeConcatProbe(order.length > 1) match {
-                case Some((_, allStrict)) =>
-                  RangeConcat(order, m, order.length > 1, allStrict, child)
+                case Some((_, mayClaim)) =>
+                  RangeConcat(order, m, order.length > 1, mayClaim, child)
                 case None => s
               }
             case _ => s
@@ -91,10 +91,11 @@ private[graft] object SortedScanSortElision extends Rule[LogicalPlan] {
 
 /** Logical: global order produced by concatenating the child scan's
   * range-disjoint partitions in range order (replaces a global Sort).
-  * `allStrict` = plan-time strict disjointness held everywhere (gates
-  * the exec's RangePartitioning claim). */
+  * `mayClaimClustering` = plan-time STRICT disjointness held everywhere
+  * AND no file was split (gates the exec's RangePartitioning claim —
+  * see [[MemScan.rangeConcatPermutation]]). */
 private[sources] final case class RangeConcat(order: Seq[SortOrder],
-    scan: MemScan, strictOnly: Boolean, allStrict: Boolean,
+    scan: MemScan, strictOnly: Boolean, mayClaimClustering: Boolean,
     child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
@@ -104,8 +105,8 @@ private[sources] final case class RangeConcat(order: Seq[SortOrder],
 
 private[graft] object RangeConcatStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case RangeConcat(order, scan, strict, allStrict, child) =>
-      RangeConcatExec(order, scan, strict, allStrict, planLater(child)) :: Nil
+    case RangeConcat(order, scan, strict, mayClaim, child) =>
+      RangeConcatExec(order, scan, strict, mayClaim, planLater(child)) :: Nil
     case _ => Nil
   }
 }
@@ -115,17 +116,18 @@ private[graft] object RangeConcatStrategy extends SparkStrategy {
   * order changes, which is exactly what downstream total-order consumers
   * (collect, write, limit) read. */
 private[sources] final case class RangeConcatExec(order: Seq[SortOrder],
-    scan: MemScan, strictOnly: Boolean, allStrict: Boolean,
+    scan: MemScan, strictOnly: Boolean, mayClaimClustering: Boolean,
     child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputOrdering: Seq[SortOrder] = order
   // RangePartitioning additionally promises every key value lives in ONE
-  // partition — true only under STRICT disjointness (a tolerated
-  // boundary tie in a single-column order keeps the ORDER correct but
-  // splits that key across two partitions, so claiming clustering there
-  // would let a parent elide an Exchange it needs).
+  // partition — true only under STRICT file disjointness AND one
+  // partition per file: a tolerated boundary tie, or a SPLIT file's
+  // unknowable intra-file slice boundary, keeps the ORDER correct but
+  // can put one key value in two partitions, and claiming clustering
+  // there would let a parent elide an Exchange it needs.
   override def outputPartitioning: Partitioning =
-    if (allStrict)
+    if (mayClaimClustering)
       RangePartitioning(order, child.outputPartitioning.numPartitions)
     else child.outputPartitioning
 

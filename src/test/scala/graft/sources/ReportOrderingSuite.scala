@@ -145,10 +145,37 @@ class ReportOrderingSuite extends AnyFunSuite {
       val plan = q.queryExecution.executedPlan
       assert(sorts(q) === 0 && shuffles(q) === 0,
         s"range-disjoint files must concatenate, not re-sort:\n$plan")
-      assert(plan.collect { case r: RangeConcatExec => r }.nonEmpty,
-        s"expected the RangeConcat node:\n$plan")
+      val rc = plan.collect { case r: RangeConcatExec => r }
+      assert(rc.nonEmpty, s"expected the RangeConcat node:\n$plan")
+      // Strictly-disjoint UNSPLIT files: the exec may claim
+      // RangePartitioning (every key value provably in one partition).
+      assert(rc.head.outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.RangePartitioning],
+        s"unsplit strict fixture must claim RangePartitioning, got " +
+          s"${rc.head.outputPartitioning}")
       val rows = q.collect().map(_.getLong(0)).toSeq
       assert(rows === (0L until 40000L), "the order must actually hold")
+      // A SPLIT sorted file still concatenates (slices of one sorted
+      // file are ordered by byte offset) but must NOT claim clustering:
+      // a key run crossing a slice boundary would live in two
+      // partitions, and manifest stats cannot see inside the file.
+      val ts = fresh("rngs")
+      spark.sql(s"""CREATE TABLE $ts (k BIGINT, pad STRING)
+        TBLPROPERTIES ('write.sort-order' = 'k',
+                       'write.parquet.row-group-bytes' = '4096',
+                       'read.split.target-bytes' = '16384')""")
+      spark.range(0, 20000).selectExpr("id AS k", "repeat('x', 40) AS pad")
+        .coalesce(1).writeTo(ts).append()
+      val qs = spark.sql(s"SELECT k FROM $ts ORDER BY k")
+      val plans = qs.queryExecution.executedPlan
+      val rcs = plans.collect { case r: RangeConcatExec => r }
+      assert(rcs.nonEmpty && sorts(qs) === 0,
+        s"a split sorted file still concatenates:\n$plans")
+      assert(!rcs.head.outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.RangePartitioning],
+        "a split file must NOT claim RangePartitioning (intra-file " +
+          "slice boundaries are unknowable)")
+      assert(qs.collect().map(_.getLong(0)).toSeq === (0L until 20000L))
       // Property-off twin: the Sort reappears, the answer is identical.
       spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
         "('read.report-ordering' = 'false')")

@@ -1735,6 +1735,78 @@ object Governance {
       FROM src WHERE o_custkey % 10 <> 7 AND o_custkey % 3 <> 1
       GROUP BY o_orderstatus ORDER BY st"""))
 
+  /** ROLLUP served from an MV (round 17, [[graft.sources.MvQueryRewrite]]
+    * over grouping analytics): `GROUP BY ROLLUP/CUBE/GROUPING SETS` plans
+    * as `Aggregate → Expand` — the rewrite keeps the Expand but feeds it
+    * |groups| STORED rows instead of the base: every grouping set's
+    * aggregate is the same distributive re-aggregation of partials the
+    * flat subsumption path serves (the MV holds EVERY group), and the
+    * grouping-id column keeps telling an Expand-null subtotal from a
+    * REAL NULL group value exactly as it does over the base. In-query
+    * pins: the rollup's plan scans ONLY the view; max() under a rollup
+    * falls back to the base. Oracle: DuckDB recomputes the ROLLUP from
+    * raw parquet (grouping keys coalesced to sentinels — Spark sorts
+    * NULLS FIRST, DuckDB LAST — with grouping() columns carried so
+    * subtotals stay distinguishable), hash-exact.
+    *
+    * Scale: the served rollup expands |groups| stored rows × sets,
+    * never the 100 TB base — the subtotal dashboard without a scan. */
+  val r08MvRollup = Q(
+    "r08_mv_rollup",
+    (s, dir) => {
+      val t = "graft_snap.gov.orders_r08"
+      val v = "graft_snap.gov.r08_rollup_mv"
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.gov")
+      s.sql(s"DROP MATERIALIZED VIEW IF EXISTS $v")
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"""CREATE TABLE $t (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_orderpriority STRING, price DECIMAL(12,2))""")
+      Tables.orders(s, dir).createOrReplaceTempView("r08_orders_src")
+      s.sql(s"""INSERT INTO $t
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+          CAST(o_totalprice AS DECIMAL(12,2))
+        FROM r08_orders_src""")
+      s.sql(s"""CREATE MATERIALIZED VIEW $v AS
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          sum(price) AS total, count(price) AS np
+        FROM $t WHERE o_custkey % 3 <> 1
+        GROUP BY o_orderstatus, o_orderpriority""")
+      def scansOf(df: DataFrame): Seq[String] =
+        "BatchScan ([^\\[ ]+)".r
+          .findAllMatchIn(df.queryExecution.executedPlan.toString)
+          .map(_.group(1)).toSeq
+      val df = s.sql(s"""SELECT coalesce(o_orderstatus, '~') AS st,
+        coalesce(o_orderpriority, '~') AS pri,
+        grouping(o_orderstatus) AS gst, grouping(o_orderpriority) AS gpri,
+        count(*) AS n, CAST(sum(price) AS DOUBLE) AS total,
+        count(price) AS np
+        FROM $t WHERE o_custkey % 3 <> 1
+        GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        ORDER BY st, pri, gst, gpri""")
+      val served = scansOf(df)
+      require(served.exists(_.contains("r08_rollup_mv")) &&
+        !served.exists(_.endsWith("orders_r08")),
+        s"the ROLLUP must serve from the view, base unread: $served")
+      // max() under a rollup is not stored — base plan, never wrong rows.
+      val veto = scansOf(s.sql(s"""SELECT o_orderstatus, max(o_custkey) AS m
+        FROM $t GROUP BY ROLLUP(o_orderstatus)"""))
+      require(veto.exists(_.endsWith("orders_r08")) &&
+        !veto.exists(_.contains("r08_rollup_mv")),
+        s"max() under ROLLUP must plan against the base, got $veto")
+      df
+    },
+    Some("""SELECT coalesce(o_orderstatus, '~') AS st,
+        coalesce(o_orderpriority, '~') AS pri,
+        CAST(grouping(o_orderstatus) AS TINYINT) AS gst,
+        CAST(grouping(o_orderpriority) AS TINYINT) AS gpri,
+        count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        count(CAST(o_totalprice AS DECIMAL(12,2))) AS np
+      FROM orders WHERE o_custkey % 3 <> 1
+      GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      ORDER BY st, pri, gst, gpri"""))
+
   val all: Seq[Q] = Seq(
     m01MergeUpsert, m02Scd2History, m03IncrementalRefresh, m04SnapshotDiff,
     m05SqlMerge, m06SqlUpdateDelete, m07TimeTravel, m08ChangeFeed,
@@ -1743,5 +1815,5 @@ object Governance {
     m16WapPublish, m17ChangesMaint, m18EqualityUpsert, m19UpsertChanges,
     m20HiddenPartitioning, m21CatalogDimStar, r02ViewQuery,
     r03MaterializedView, r04MvRewrite, r05StarMv, r06StarMvRewrite,
-    r07MvTopUp, a01QualityAudit, z01ZorderLayout)
+    r07MvTopUp, r08MvRollup, a01QualityAudit, z01ZorderLayout)
 }

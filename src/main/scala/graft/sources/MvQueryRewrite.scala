@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Divide, EqualNullSafe, EqualTo, ExprId, Expression, Literal, NamedExpression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -108,12 +108,19 @@ private[graft] object MvQueryRewrite {
       state: SnapshotStore.TableState, cols: Seq[MvCol], factKey: String,
       dimKeys: Seq[String], joinConds: Seq[String], dimVersions: Seq[Long])
 
-  /** The servable part of a query plan: `Aggregate → [Filter] → <rels>`
-    * where `rels` is one live-head catalog scan or an inner-equi-join
-    * tree of them (join ON conjuncts in `conds`), all of one catalog. */
+  /** The servable part of a query plan: `Aggregate → [Expand] →
+    * [Filter] → <rels>` where `rels` is one live-head catalog scan or an
+    * inner-equi-join tree of them (join ON conjuncts in `conds`), all of
+    * one catalog. `expand` present = a ROLLUP/CUBE/GROUPING SETS
+    * aggregate (the analyzer's grouping-analytics form). */
   private final case class Shape(filter: Option[Expression],
       cat: SnapshotCatalog, rels: Seq[(String, DataSourceV2Relation)],
-      conds: Seq[Expression])
+      conds: Seq[Expression], expand: Option[Expand] = None,
+      /** The grouping-analytics alias Project's exprId → child-expr map
+        * (ResolveGroupingAnalytics copies every group expression under a
+        * generated alias; Expand group slots reference the COPIES, which
+        * must substitute back to base expressions before matching). */
+      substs: Map[ExprId, Expression] = Map.empty)
 
   def rewrite(spark: SparkSession, plan: LogicalPlan): LogicalPlan = {
     // Candidates memoized per invocation (a UNION of aggregates over one
@@ -153,7 +160,8 @@ private[graft] object MvQueryRewrite {
     case _ => None
   }
 
-  /** `Aggregate → [Filter] → scan | inner-equi-join tree`, or None. */
+  /** `Aggregate → [Expand] → [Filter] → scan | inner-equi-join tree`,
+    * or None. */
   private def destructure(agg: Aggregate): Option[Shape] = {
     def flatten(p: LogicalPlan):
         Option[(Seq[(SnapshotCatalog, String, DataSourceV2Relation)],
@@ -165,7 +173,25 @@ private[graft] object MvQueryRewrite {
         } yield (lr ++ rr, (lc ++ rc) ++ conjuncts(j.condition.get))
       case other => leafOf(other).map(l => (Seq(l), Nil))
     }
-    val (filterOpt, from) = strip(agg.child) match {
+    // ROLLUP/CUBE/GROUPING SETS: the analyzer plans them as
+    // `Aggregate → Expand → Project(child cols ++ group-expr COPIES)`;
+    // the WHERE sits below that Project. The copies' alias map feeds the
+    // group-slot substitution; a Project that is anything else (a
+    // subquery's own computed columns) refuses the shape.
+    val (expandOpt, substs, belowAgg) = strip(agg.child) match {
+      case e: Expand => strip(e.child) match {
+        case p @ Project(ps, pc) if ps.forall {
+          case _: AttributeReference => true
+          case Alias(ae, _) => ae.deterministic
+          case _ => false
+        } =>
+          val m = ps.collect { case al @ Alias(ae, _) => al.exprId -> ae }
+          (Some(e), m.toMap, strip(pc))
+        case other => (Some(e), Map.empty[ExprId, Expression], other)
+      }
+      case other => (None, Map.empty[ExprId, Expression], other)
+    }
+    val (filterOpt, from) = belowAgg match {
       case Filter(cond, c) => (Some(cond), c)
       case other => (None, other: LogicalPlan)
     }
@@ -178,7 +204,7 @@ private[graft] object MvQueryRewrite {
       if (cats.exists(_.name() != cats.head.name())) None
       else if (keys.distinct.size != keys.size) None
       else Some(Shape(filterOpt, cats.head,
-        leaves.map(l => l._2 -> l._3), conds))
+        leaves.map(l => l._2 -> l._3), conds, expandOpt, substs))
     }
   }
 
@@ -597,6 +623,101 @@ private[graft] object MvQueryRewrite {
               else None
           }
         }
+    }
+
+    // ROLLUP/CUBE/GROUPING SETS (`Aggregate → Expand`): keep the Expand —
+    // its projections replicate INPUT rows once per grouping set with the
+    // non-grouped slots nulled — but feed it |groups| STORED rows instead
+    // of the base: every grouping set's aggregate is then the same
+    // distributive re-aggregation of partials the flat subsumption path
+    // serves (the MV holds EVERY group, so each set's re-add is exact),
+    // and the grouping-id column keeps telling an Expand-null from a real
+    // NULL group value exactly as it does over the base.
+    shape.expand.foreach { ex =>
+      // The canonical analyzer shape: the original child columns pass
+      // through first, then one slot per GROUP EXPRESSION (nulled in the
+      // sets that exclude it), then the grouping-id literal. The group
+      // count comes from the Aggregate (its keys are the group attrs +
+      // the id); the slot values reference the alias-Project's COPIES,
+      // substituted back to base expressions before matching.
+      val nGroups = agg.groupingExpressions.size - 1
+      val passN = ex.output.size - 1 - nGroups
+      if (nGroups < 0 || passN < 0) return None
+      val gidAttr = ex.output.last
+      val groupAttrs = ex.output.slice(passN, ex.output.size - 1)
+      if (ex.child.output.size < passN ||
+          ex.output.take(passN).map(_.exprId) !=
+            ex.child.output.take(passN).map(_.exprId)) return None
+      if (!ex.projections.forall(_.size == ex.output.size)) return None
+      val keepIds = (groupAttrs :+ gidAttr).map(_.exprId).toSet
+      if (!agg.groupingExpressions.forall {
+        case a: Attribute => keepIds(a.exprId)
+        case _ => false
+      }) return None
+      def subst(e: Expression): Expression = e.transform {
+        case a: AttributeReference =>
+          shape.substs.get(a.exprId).getOrElse(a)
+      }
+      // One SOURCE expression per group slot (its un-nulled value,
+      // identical across every set that includes it) — each must map
+      // onto the stored group columns.
+      val sources: Seq[Expression] = groupAttrs.indices.map { j =>
+        val vals = ex.projections.map(_(passN + j)).filter {
+          case l: Literal => l.value != null
+          case _ => true
+        }.distinct
+        if (vals.size != 1) return None
+        vals.head
+      }
+      val mappedSources = sources.map(s => mapScalar(subst(s)))
+      if (!mappedSources.forall(_.isDefined)) return None
+      val mappedResidualR = residual.map(mapScalar)
+      if (!mappedResidualR.forall(_.isDefined)) return None
+      val child = mappedResidualR.flatten
+        .reduceOption(And).map(Filter(_, rel)).getOrElse(rel: LogicalPlan)
+      val newProjections = ex.projections.map { p =>
+        val groupSlots = groupAttrs.indices.map { j =>
+          p(passN + j) match {
+            case l: Literal if l.value == null => l: Expression
+            case v if v.semanticEquals(sources(j)) => mappedSources(j).get
+            case _ => return None
+          }
+        }
+        (rel.output: Seq[Expression]) ++ groupSlots :+ p.last
+      }
+      val newExpand = Expand(newProjections,
+        rel.output ++ groupAttrs :+ gidAttr, child)
+      // Outputs: group/gid attrs pass (same exprIds through the new
+      // Expand); aggregates re-aggregate the stored partials (always the
+      // subsumption form — Expand means re-grouping); grouping()/
+      // grouping_id() resolved to bit-ops over the gid attr pass with it.
+      def mapOut(e: Expression): Option[Expression] =
+        if (!e.deterministic) None
+        else e match {
+          case a: Attribute =>
+            if (keepIds(a.exprId)) Some(a) else None
+          case ae: AggregateExpression => mapValue(ae, exact = false)
+          case l: Literal => Some(l)
+          case o if o.children.isEmpty => Some(o)
+          case o =>
+            val kids = o.children.map(mapOut)
+            if (kids.forall(_.isDefined))
+              Some(o.withNewChildren(kids.map(_.get)))
+            else None
+        }
+      val mappedOuts = agg.aggregateExpressions.map { out =>
+        val (inner, name, id) = out match {
+          case al @ Alias(e, n) => (e, n, al.exprId)
+          case e: NamedExpression => (e: Expression, e.name, e.exprId)
+        }
+        mapOut(inner).map {
+          case a: Attribute if a.exprId == id => a: NamedExpression
+          case m => Alias(m, name)(exprId = id)
+        }
+      }
+      if (!mappedOuts.forall(_.isDefined)) return None
+      return Some(agg.copy(aggregateExpressions = mappedOuts.flatten,
+        child = newExpand))
     }
 
     // Group mapping decides the shape: every query group expr must map;

@@ -527,6 +527,45 @@ class MvRewriteSuite extends AnyFunSuite {
       s"a moved dimension must veto the top-up too, got $onDim")
   }
 
+  test("ROLLUP/CUBE/GROUPING SETS over the base serve from the MV: the " +
+      "Expand re-groups |groups| stored rows, grouping-id vs real-NULL " +
+      "group values stay exact, unservable aggregates veto") {
+    val t = fresh("roll_base")
+    // REAL NULLs in a group column: the grouping-id must keep telling an
+    // Expand-null (subtotal row) from a genuine NULL group.
+    spark.sql(s"CREATE TABLE $t (k BIGINT, grp STRING, sub STRING, qty BIGINT)")
+    spark.sql(s"""INSERT INTO $t
+      SELECT id, CASE WHEN id % 7 = 0 THEN NULL ELSE concat('g', id % 3) END,
+        concat('s', id % 2), id % 11
+      FROM range(0, 300)""")
+    val v = fresh("roll_mv")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $v AS
+      SELECT grp, sub, count(*) AS n, sum(coalesce(qty, 0)) AS q
+      FROM $t GROUP BY grp, sub""")
+    val rollup = s"""SELECT grp, sub, count(*) AS n,
+      sum(coalesce(qty, 0)) AS q, grouping(grp) AS gg, grouping(sub) AS gs
+      FROM $t GROUP BY ROLLUP(grp, sub)"""
+    val (onR, offR) = bothWays(rollup)
+    hitsMv(onR, "roll_mv", "roll_base")
+    assert(offR.exists(_.contains("roll_base")), "sanity: off plans the base")
+    val (onC, _) = bothWays(s"""SELECT grp, sub, count(*) AS n
+      FROM $t GROUP BY CUBE(grp, sub)""")
+    hitsMv(onC, "roll_mv", "roll_base")
+    val (onG, _) = bothWays(s"""SELECT grp, sub, count(*) AS n
+      FROM $t GROUP BY GROUPING SETS ((grp), (sub), ())""")
+    hitsMv(onG, "roll_mv", "roll_base")
+    // Unservable aggregate under a rollup vetoes like the flat shape.
+    val (onMax, _) = bothWays(
+      s"SELECT grp, max(qty) AS m FROM $t GROUP BY ROLLUP(grp)")
+    assert(!onMax.exists(_.contains("roll_mv")),
+      s"max() under ROLLUP must veto (not stored), got $onMax")
+    // A grouping column outside the MV's key vetoes.
+    val (onK, _) = bothWays(
+      s"SELECT k, count(*) AS n FROM $t GROUP BY ROLLUP(k)")
+    assert(!onK.exists(_.contains("roll_mv")),
+      s"a non-MV grouping column must veto, got $onK")
+  }
+
   test("the substituted scan is PINNED to the validated MV snapshot " +
       "(a refresh landing between plan and execution cannot shift rows)") {
     val t = baseTable("pin_base")

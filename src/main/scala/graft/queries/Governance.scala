@@ -1456,16 +1456,16 @@ object Governance {
     * The history is adversarial for a JOIN fold: plain inserts, a JOIN-
     * KEY-moving update (`o_custkey` changes, moving rows across customer
     * segments — the group lives on the DIM side), then deletes. In-query
-    * pins: a DIMENSION commit makes incremental refresh refuse LOUDLY
-    * naming `full => true` (a moved dim invalidates every stored group —
-    * no bounded delta can repair it), and the demanded rebuild re-arms
-    * incremental folding. Oracle: DuckDB recomputes the join-aggregate
+    * pins: a DIMENSION commit + a fact insert fold together in ONE
+    * incremental refresh (round 18's dim-delta fold — the joined delta
+    * telescopes into one signed term per advanced input), and a second
+    * refresh is a no-op. Oracle: DuckDB recomputes the join-aggregate
     * from raw parquet with the same update/delete applied — the folded
     * view must be hash-identical.
     *
     * Scale: each refresh is O(fact changed rows) joined to a broadcast
-    * dimension — the fact is never rescanned; the only O(base) path is
-    * the explicit full rebuild a dim change demands. */
+    * dimension plus O(dim changed rows) joined to the key-pruned fact —
+    * the fact is never rescanned wholesale (r09 pins the scan volume). */
   val r05StarMv = Q(
     "r05_star_mv",
     (s, dir) => {
@@ -1499,19 +1499,19 @@ object Governance {
         "CALL graft_snap.system.refresh_mv(table => 'gov.r05_seg_mv')").head()
       require(r.getLong(0) == 1L && r.getLong(1) == 4L && r.getBoolean(2),
         s"star refresh must fold fact commits 2..4, got $r")
-      // A DIM commit (a customer no fact row references): incremental
-      // folding must refuse loudly and demand the rebuild.
+      // A DIM commit (a customer no fact row references) plus another
+      // fact insert: since round 18 BOTH fold incrementally in one
+      // refresh (the dim-delta fold) — no full rebuild.
       s.sql(s"INSERT INTO $d VALUES (99999999, 'ZZ-NEW')")
       s.sql(s"INSERT INTO $t VALUES (900000001, 1, 10.00)")
-      val msg =
-        try {
-          s.sql("CALL graft_snap.system.refresh_mv(table => 'gov.r05_seg_mv')")
-            .collect(); ""
-        } catch { case e: Exception => e.getMessage }
-      require(msg.contains("dimension") && msg.contains("full => true"),
-        s"a moved dimension must refuse incremental refresh loudly, got: $msg")
-      s.sql("CALL graft_snap.system.refresh_mv(table => 'gov.r05_seg_mv', " +
-        "full => true)").collect()
+      val r2 = s.sql(
+        "CALL graft_snap.system.refresh_mv(table => 'gov.r05_seg_mv')").head()
+      require(r2.getBoolean(2),
+        s"a dim + fact advance must fold incrementally, got $r2")
+      val r3 = s.sql(
+        "CALL graft_snap.system.refresh_mv(table => 'gov.r05_seg_mv')").head()
+      require(!r3.getBoolean(2),
+        s"both watermarks current: a second refresh must be a no-op, got $r3")
       s.sql(s"""SELECT seg, n, CAST(total AS DOUBLE) AS total, np
         FROM $v ORDER BY seg""")
     },
@@ -1807,6 +1807,204 @@ object Governance {
       GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
       ORDER BY st, pri, gst, gpri"""))
 
+  /** INCREMENTAL STAR-MV DIM REFRESH (round 18,
+    * [[graft.sources.MaterializedViews]] dim-delta fold): the last
+    * O(fact) rebuild on the MV hot path, removed. Dimensions churn daily
+    * in production (SCD attribute updates, key corrections, row
+    * retirements); before this round ANY dim commit forced
+    * `refresh_mv(full => true)` — an O(100 TB) fact rescan. Now the
+    * joined delta telescopes: `Δ(f ⋈ d) = Δf ⋈ d@old + f@new ⋈ Δd`, and
+    * every star aggregate (count/sum/avg) is linear in signed
+    * multiplicities, so the dim term folds EXACTLY — attribute-only
+    * updates, join-key moves, and deletes alike.
+    *
+    * In-query pins (against engine instrumentation, like the DV-fold
+    * counter):
+    *
+    *   - the dim fold's fact scan is KEY-PRUNED: with the fact
+    *     range-clustered on the join key, a dim update touching a narrow
+    *     key range opens only the files holding those keys
+    *     ([[graft.sources.MaterializedViews.lastDimFoldFactPartitions]]
+    *     stays at a fraction of the file count);
+    *   - a dim update touching only a column the view never reads
+    *     CANCELS in the reduced delta — the fact is not scanned AT ALL
+    *     (counter == 0), yet the watermark advances (next refresh no-op).
+    *
+    * Oracle: DuckDB recomputes the join-aggregate from raw parquet with
+    * the same dim update + delete applied — the incrementally-folded
+    * view must be hash-identical to the from-scratch recompute.
+    *
+    * Scale: the dim term's work is O(changed dim rows) reduced + a fact
+    * scan bounded by the files holding the affected join keys + one
+    * |groups|-row MERGE — at 100 TB the fact's manifest min/max (range
+    * clustering) is what turns "join the fact" into "open two files". */
+  val r09StarMvDimRefresh = Q(
+    "r09_star_mv_dim_refresh",
+    (s, dir) => {
+      val t = "graft_snap.gov.orders_r09"
+      val d = "graft_snap.gov.cust_r09"
+      val v = "graft_snap.gov.r09_seg_mv"
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.gov")
+      s.sql(s"DROP MATERIALIZED VIEW IF EXISTS $v")
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"DROP TABLE IF EXISTS $d")
+      // The fact lands RANGE-CLUSTERED on the join key (declared sort
+      // order + range distribution), so each file covers a disjoint
+      // o_custkey range — the layout that makes dim-fold pruning real.
+      s.sql(s"""CREATE TABLE $t (o_orderkey BIGINT, o_custkey BIGINT,
+        price DECIMAL(12,2))
+        TBLPROPERTIES ('write.sort-order' = 'o_custkey',
+          'write.distribution-mode' = 'range')""")
+      s.sql(s"CREATE TABLE $d (c_custkey BIGINT, c_mktsegment STRING, " +
+        "c_comment STRING)")
+      Tables.orders(s, dir).createOrReplaceTempView("r09_orders_src")
+      Tables.customer(s, dir).createOrReplaceTempView("r09_cust_src")
+      s.sql(s"INSERT INTO $d SELECT c_custkey, c_mktsegment, 'c' FROM r09_cust_src")
+      s.sql(s"""INSERT INTO $t
+        SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2))
+        FROM r09_orders_src""")
+      s.sql(s"""CREATE MATERIALIZED VIEW $v AS
+        SELECT d.c_mktsegment AS seg, count(*) AS n, sum(f.price) AS total,
+          count(f.price) AS np
+        FROM $t f JOIN $d d ON f.o_custkey = d.c_custkey
+        GROUP BY d.c_mktsegment""")
+      // DIM commits: an attribute UPDATE over a NARROW key range (the
+      // fact rows of custkeys 10..25 move to a new segment) and a dim
+      // row DELETE (custkey 40's fact rows leave the inner join).
+      s.sql(s"UPDATE $d SET c_mktsegment = 'Z-MOVED' " +
+        "WHERE c_custkey BETWEEN 10 AND 25")
+      s.sql(s"DELETE FROM $d WHERE c_custkey = 40")
+      val r = s.sql(
+        "CALL graft_snap.system.refresh_mv(table => 'gov.r09_seg_mv')").head()
+      require(r.getBoolean(2), s"the dim advance must fold incrementally, got $r")
+      val files = graft.sources.SnapshotStore.stateOf(
+        graft.sources.SnapshotStore.keyOf("graft_snap", Seq("gov", "orders_r09")))
+        .currentFiles.size
+      val scanned = graft.sources.MaterializedViews.lastDimFoldFactPartitions.get()
+      require(scanned >= 0L, "the refresh must have taken the dim-fold path")
+      require(files < 4 || scanned <= math.max(2L, files.toLong / 4),
+        s"the dim fold must open only the files holding the affected keys " +
+          s"(scanned $scanned of $files)")
+      // An update touching only a column the view never reads: the
+      // reduced delta CANCELS — no fact scan at all, watermark advances.
+      s.sql(s"UPDATE $d SET c_comment = 'seen' WHERE c_custkey % 3 = 0")
+      val r2 = s.sql(
+        "CALL graft_snap.system.refresh_mv(table => 'gov.r09_seg_mv')").head()
+      require(r2.getBoolean(2), s"the watermark adoption is a refresh, got $r2")
+      require(graft.sources.MaterializedViews.lastDimFoldFactPartitions.get() == 0L,
+        "an unreferenced-column dim update must not scan the fact")
+      val r3 = s.sql(
+        "CALL graft_snap.system.refresh_mv(table => 'gov.r09_seg_mv')").head()
+      require(!r3.getBoolean(2), s"watermarks current: must be a no-op, got $r3")
+      s.sql(s"""SELECT seg, n, CAST(total AS DOUBLE) AS total, np
+        FROM $v ORDER BY seg""")
+    },
+    Some("""WITH c AS (
+        SELECT c_custkey,
+          CASE WHEN c_custkey BETWEEN 10 AND 25 THEN 'Z-MOVED'
+               ELSE c_mktsegment END AS seg
+        FROM customer WHERE c_custkey <> 40),
+      f AS (SELECT o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        FROM orders)
+      SELECT c.seg AS seg, count(*) AS n,
+        CAST(sum(f.price) AS DOUBLE) AS total, count(f.price) AS np
+      FROM f JOIN c ON f.o_custkey = c.c_custkey
+      GROUP BY c.seg ORDER BY seg"""))
+
+  /** APPROX-DISTINCT MATERIALIZED VIEWS (round 18,
+    * [[graft.sources.MaterializedViews]] kind `approx_distinct` +
+    * [[graft.sources.MvQueryRewrite]] sketch serving): distinct-user
+    * counts are the most common dashboard aggregate after sum, and
+    * counts of distincts are NOT summable — the stored form must be a
+    * mergeable sketch. The MV stores per-group datasketches-HLL partials
+    * next to the visible estimate: inserts UNION partial sketches
+    * (O(changed rows)), a delete of a counted value recomputes only the
+    * AFFECTED groups (sketches are not invertible — the extrema
+    * machinery's shape), and the query rewrite serves
+    * `approx_count_distinct` both exact-shape (stored estimate) and
+    * COARSER (hll_union_agg of stored sketches, then estimate) — the
+    * re-aggregation BigQuery/Snowflake sketch MVs exist for.
+    *
+    * No DuckDB oracle is POSSIBLE (the sketch estimator has no SQL
+    * twin — q13/q49's no_oracle shape); the gate instead pins in-query:
+    * estimates within 5% of the exact distinct counts after an
+    * adversarial history (inserts, deletes, group moves), the stored
+    * estimate EQUAL to a from-scratch sketch of the final state
+    * (union-losslessness), and the rewrite's plan serving the coarser
+    * aggregate from the view with the base unread. sbt twins:
+    * MaterializedViewSuite + MvRewriteSuite sketch cases.
+    *
+    * Scale: refresh cost is O(changed rows) sketch building + a
+    * |groups|-row MERGE; the 100 TB fact is touched only by the
+    * affected-group recompute, pruned to the files holding suspect
+    * groups. Serving a coarser distinct count reads |groups| sketches —
+    * never the fact. */
+  val r10MvApproxDistinct = Q(
+    "r10_mv_approx_distinct",
+    (s, dir) => {
+      val t = "graft_snap.gov.orders_r10"
+      val v = "graft_snap.gov.r10_dist_mv"
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.gov")
+      s.sql(s"DROP MATERIALIZED VIEW IF EXISTS $v")
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"""CREATE TABLE $t (o_orderkey BIGINT, o_custkey BIGINT,
+        o_orderstatus STRING, price DECIMAL(12,2))""")
+      Tables.orders(s, dir).createOrReplaceTempView("r10_orders_src")
+      s.sql(s"""INSERT INTO $t
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+          CAST(o_totalprice AS DECIMAL(12,2))
+        FROM r10_orders_src WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'""")
+      s.sql(s"""CREATE MATERIALIZED VIEW $v AS
+        SELECT o_orderstatus, count(*) AS n,
+          approx_count_distinct(o_custkey) AS dc
+        FROM $t GROUP BY o_orderstatus""")
+      // Adversarial history: inserts, a group-moving update, deletes.
+      s.sql(s"""INSERT INTO $t
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+          CAST(o_totalprice AS DECIMAL(12,2))
+        FROM r10_orders_src WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'""")
+      s.sql(s"UPDATE $t SET o_orderstatus = 'Z' WHERE o_custkey % 7 = 3")
+      s.sql(s"DELETE FROM $t WHERE o_custkey % 10 = 7")
+      s.sql("CALL graft_snap.system.refresh_mv(table => 'gov.r10_dist_mv')")
+        .collect()
+      // 5% bound vs the exact distinct count, per group.
+      val exact = s.sql(s"""SELECT o_orderstatus, count(DISTINCT o_custkey)
+        FROM $t GROUP BY o_orderstatus""").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val served = s.sql(s"SELECT o_orderstatus, dc FROM $v").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(exact.keySet == served.keySet,
+        s"group sets must match: $exact vs $served")
+      exact.foreach { case (g, e) =>
+        require(math.abs(served(g) - e) <= math.max(1L, (e * 0.05).toLong),
+          s"group $g: served ${served(g)} vs exact $e")
+      }
+      // Union-losslessness: the folded sketch estimate equals a
+      // from-scratch sketch of the final state.
+      val direct = s.sql(
+        s"""SELECT o_orderstatus,
+          coalesce(hll_sketch_estimate(hll_sketch_agg(o_custkey)), 0)
+          FROM $t GROUP BY o_orderstatus""").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(served == direct,
+        s"stored estimates must equal a fresh sketch: $served vs $direct")
+      // The rewrite serves the COARSER global distinct from the view —
+      // the base unread (the sketch union is the whole point).
+      def scansOf(df: DataFrame): Seq[String] =
+        "BatchScan ([^\\[ ]+)".r
+          .findAllMatchIn(df.queryExecution.executedPlan.toString)
+          .map(_.group(1)).toSeq
+      val dash = s.sql(s"""SELECT o_orderstatus,
+        approx_count_distinct(o_custkey) AS dc
+        FROM $t GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+      val pl = scansOf(dash)
+      require(pl.exists(_.contains("r10_dist_mv")) &&
+        !pl.exists(_.contains("orders_r10")),
+        s"approx_count_distinct must serve from the sketch MV, got $pl")
+      dash
+    },
+    None)
+
   val all: Seq[Q] = Seq(
     m01MergeUpsert, m02Scd2History, m03IncrementalRefresh, m04SnapshotDiff,
     m05SqlMerge, m06SqlUpdateDelete, m07TimeTravel, m08ChangeFeed,
@@ -1815,5 +2013,6 @@ object Governance {
     m16WapPublish, m17ChangesMaint, m18EqualityUpsert, m19UpsertChanges,
     m20HiddenPartitioning, m21CatalogDimStar, r02ViewQuery,
     r03MaterializedView, r04MvRewrite, r05StarMv, r06StarMvRewrite,
-    r07MvTopUp, r08MvRollup, a01QualityAudit, z01ZorderLayout)
+    r07MvTopUp, r08MvRollup, r09StarMvDimRefresh, r10MvApproxDistinct,
+    a01QualityAudit, z01ZorderLayout)
 }

@@ -2,13 +2,13 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, ExprId, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, HllSketchAgg, HyperLogLogPlusPlus, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, IntegerType, LongType, ShortType, StructField, StructType}
+import org.apache.spark.sql.types.{BinaryType, ByteType, DataType, DecimalType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -72,14 +72,21 @@ import org.json4s.jackson.JsonMethods
   * DIMENSION, recorded with its own snapshot watermark. Refresh joins
   * the bounded fact changes to the dimensions PINNED `AS OF` those
   * watermarks (a dim commit landing mid-refresh cannot corrupt the
-  * fold), so the fold is exact whenever only the fact advanced. A
-  * dimension that ADVANCED makes the stored rows irreparable by any
-  * bounded delta (every group may reference moved dim rows) — refresh
-  * refuses LOUDLY and names `refresh_mv(table, full => true)`. Star
-  * expressions are canonicalized under the refresh aliases `f`/`d0`/…
-  * (fact and dims routinely share column names). Outer joins, cross
-  * joins, and pinned (`AS OF`) body relations are rejected at CREATE
-  * with the reason.
+  * fold). A dimension that ADVANCED folds incrementally too (round 18):
+  * an inner join is MULTILINEAR in its inputs, so the joined delta
+  * telescopes into one signed term per advanced input —
+  * `Δ(f ⋈ d0 ⋈ …) = Δf ⋈ d@old + Σᵢ f@new ⋈ d₍<ᵢ₎@new ⋈ Δdᵢ ⋈ d₍>ᵢ₎@old`
+  * — and every star aggregate (count/sum/avg; extrema are rejected at
+  * CREATE) is linear in signed multiplicities, so attribute-only dim
+  * updates, join-key-moving dim updates, and dim deletes all fold
+  * EXACTLY with no affected-group recompute. Each dim term reduces the
+  * dim's changes to net multiplicities over the columns the view reads
+  * (an update touching only unread columns cancels → no work at all)
+  * and joins them to the fact pruned by the affected join keys — never
+  * an O(fact) rebuild. Star expressions are canonicalized under the
+  * refresh aliases `f`/`d0`/… (fact and dims routinely share column
+  * names). Outer joins, cross joins, and pinned (`AS OF`) body
+  * relations are rejected at CREATE with the reason.
   *
   * Scale: refresh work is O(changed rows) aggregation (shuffled once on
   * the group key) + one key-equi MERGE join of |view| + |changed groups|
@@ -113,6 +120,42 @@ private[graft] object MaterializedViews {
   /** Claim prefix marking a full rebuild (see [[refreshFull]]). */
   val FullClaim = "full:"
 
+  /** Incremental-refresh claim codec: `<baseV>` when only the fact
+    * advanced (the legacy form), `<baseV>:<dimV0>,<dimV1>,…` when the
+    * refresh also folds dimension deltas — recovery's version-math
+    * finalize must then stamp the SAME dim watermarks the crashed MERGE
+    * folded toward, or the next refresh would re-fold the dim range. */
+  private[sources] def claimOf(c: Long, dimTargets: Option[Seq[Long]]): String =
+    dimTargets.fold(c.toString)(ds => s"$c:${ds.mkString(",")}")
+
+  private[sources] def parseClaim(p: String): (Long, Option[Seq[Long]]) = {
+    val i = p.indexOf(':')
+    if (i < 0) (p.toLong, None)
+    else (p.substring(0, i).toLong, Some(
+      p.substring(i + 1).split(',').toSeq.filter(_.nonEmpty).map(_.toLong)))
+  }
+
+  /** Instrumentation (test-read, like
+    * [[DeletionVectors.driverFoldFiles]]): planned fact-scan partitions
+    * of the last [[refresh]]'s DIM-delta folds. -1 = the refresh folded
+    * no dim delta; 0 = every advanced dim's projected delta CANCELLED
+    * (an update touching only columns the view never reads), so the
+    * fact was not scanned at all; otherwise the post-pushdown partition
+    * count of the key-pruned fact scans — the r09 gate pins this stays
+    * at the files holding the affected join keys, not the table. */
+  val lastDimFoldFactPartitions = new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  /** Net-multiplicity column of a reduced dimension delta (reserved like
+    * the avg-constituent namespace; collision with a real dim column is
+    * rejected at CREATE by the `__` guard only for outputs — the name is
+    * obscure enough to document rather than gate). */
+  private val DimNetCol = "__graft_dnet"
+
+  /** IN-list pruning cap: past this many affected join keys the fact
+    * filter is dropped (the join still bounds the semantics; only file
+    * pruning is lost, and a huge IN list would bloat the plan). */
+  private val MaxPruneKeys = 1000
+
   /** STAR-schema MV properties: the dimension tables + join conditions
     * (`{"bases": [[parts…]…], "conds": [sql…]}`) and the dimension
     * snapshot versions the stored contents reflect (JSON long array,
@@ -134,6 +177,16 @@ private[graft] object MaterializedViews {
     * synthesized automatically. */
   def avgSumCol(out: String): String = s"__${out}_sum"
   def avgCntCol(out: String): String = s"__${out}_cnt"
+
+  /** Hidden HLL-sketch constituent of an `approx_count_distinct` output
+    * (kind `approx_distinct`): the backing table stores the visible
+    * ESTIMATE plus this mergeable datasketches-HLL binary the fold
+    * unions — the BigQuery/Snowflake pattern (sketch partials per group,
+    * re-unionable on coarser re-aggregation). The stored estimator is
+    * the SKETCH's, not HyperLogLog++: an approximate aggregate has no
+    * defined exact value, and one canonical estimator is what keeps
+    * CREATE, refresh, and rewrite bit-identical to each other. */
+  def hllCol(out: String): String = s"__${out}_hll"
 
   /** One output column of the MV. `kind`: `group` | `count_star` |
     * `count` | `sum` | `avg` | `min` | `max`. `expr` is the defining
@@ -322,7 +375,8 @@ private[graft] object MaterializedViews {
               if (ae.isDistinct) fail(
                 s"DISTINCT aggregate in $name: not incrementally " +
                   "maintainable (a delete's effect depends on the full " +
-                  "remaining group)")
+                  "remaining group) — use approx_count_distinct(col), " +
+                  "which the view maintains via mergeable HLL sketches")
               if (ae.filter.isDefined) fail(
                 s"FILTER clause on aggregate $name: move the predicate " +
                   "into WHERE (refresh applies WHERE to the change feed)")
@@ -368,6 +422,38 @@ private[graft] object MaterializedViews {
                     Count(Seq(e)).toAggregateExpression(), cntName)(),
                     StructField(cntName, LongType, nullable = false)))
                   MvCol(name, "avg", canon(e))
+                case h: HyperLogLogPlusPlus =>
+                  // approx_count_distinct = derived estimate over a
+                  // hidden mergeable HLL sketch ([[hllCol]]). Inserts
+                  // union a partial sketch; a DELETE of a non-null value
+                  // triggers the affected-group recompute (a sketch is
+                  // not invertible) — the same shape as min/max, so the
+                  // same single-table-only restriction.
+                  if (dims.nonEmpty) fail(
+                    s"approx_count_distinct in $name: not supported in a " +
+                      "STAR body — a delete forces recomputing affected " +
+                      "groups from the joined row set; keep it in a " +
+                      "single-table MV of the fact (or a plain VIEW)")
+                  if (h.relativeSD != 0.05) fail(
+                    s"approx_count_distinct in $name passes a custom " +
+                      "relativeSD: the view stores ONE sketch per group " +
+                      "at the engine's precision — drop the argument")
+                  val e = h.child
+                  requireRefreshStable(e, "approx_count_distinct argument")
+                  e.dataType match {
+                    case IntegerType | LongType | StringType | BinaryType => ()
+                    case other => fail(
+                      s"approx_count_distinct over ${other.simpleString} " +
+                        s"in $name: the mergeable sketch hashes " +
+                        "int/bigint/string/binary — CAST the column in " +
+                        "the body")
+                  }
+                  val sketchName = hllCol(name)
+                  hiddenCols += MvCol(sketchName, "hll", canon(e))
+                  hiddenExprs += ((Alias(
+                    new HllSketchAgg(e).toAggregateExpression(), sketchName)(),
+                    StructField(sketchName, BinaryType, nullable = true)))
+                  MvCol(name, "approx_distinct", canon(e))
                 case mm @ (_: Min | _: Max) =>
                   // min/max: fold least/greatest on inserts; a DELETE that
                   // could have removed a group's extremum triggers a
@@ -402,7 +488,7 @@ private[graft] object MaterializedViews {
                   s"aggregate ${other.prettyName} in $name is not " +
                     "incrementally maintainable from a change feed " +
                     "(supported: count(*), count(col), sum(col), avg(col), " +
-                    "min(col), max(col))")
+                    "min(col), max(col), approx_count_distinct(col))")
               }
             case e =>
               if (!groupExprs.exists(_.semanticEquals(e))) fail(
@@ -597,10 +683,19 @@ private[graft] object MaterializedViews {
   /** Materialize the body into `full` — `INSERT INTO` for plain bodies;
     * avg bodies append the RESOLVED hidden-constituent aggregates to the
     * body's Aggregate and write the widened frame by name (the SQL text
-    * alone cannot name them). */
+    * alone cannot name them), then RE-DERIVE each visible DERIVED output
+    * (`derived`: the avg and approx_distinct cols, with visible types)
+    * from those very constituents: Catalyst's Average accumulates
+    * integral measures in DOUBLE, whose last-ulp result can differ from
+    * the exact-sum/count division every LATER surface uses
+    * ([[mergeSql]]'s avgOf, [[topUpFrame]], the rewrite's subsumption)
+    * once a group sum passes 2^53; HyperLogLog++'s estimate is a
+    * DIFFERENT estimator than the stored datasketches sketch. Deriving
+    * at first materialization makes CREATE, refresh, top-up, and
+    * rewrite agree bit-for-bit. */
   private def materialize(spark: SparkSession, full: String, bodySql: String,
       body: Option[LogicalPlan], hidden: Seq[NamedExpression],
-      overwrite: Boolean): Unit = {
+      derived: Seq[(MvCol, DataType)], overwrite: Boolean): Unit = {
     if (body.isEmpty && hidden.isEmpty) {
       spark.sql(s"${if (overwrite) "INSERT OVERWRITE" else "INSERT INTO"} " +
         s"$full $bodySql")
@@ -616,8 +711,25 @@ private[graft] object MaterializedViews {
       }
       val analyzed = body.getOrElse(
         spark.sql(bodySql).queryExecution.analyzed)
-      val df = org.apache.spark.sql.graftbridge.GraftPlanBridge
+      val df0 = org.apache.spark.sql.graftbridge.GraftPlanBridge
         .ofRows(spark, appendHidden(analyzed))
+      // Same Column algebra as the fold's SQL (avgOf's `CASE WHEN cnt =
+      // 0 THEN NULL ELSE CAST(sum / cnt AS t) END`; the sketch's
+      // `coalesce(hll_sketch_estimate(s), 0)`) — the analyzer coerces
+      // identically, so the stored value is the one every refresh would
+      // re-derive. withColumn replaces IN PLACE, keeping the backing
+      // table's column order.
+      val df = derived.foldLeft(df0) { case (acc, (mc, t)) =>
+        mc.kind match {
+          case "avg" => acc.withColumn(mc.out,
+            when(col(bq(avgCntCol(mc.out))) === 0L, lit(null).cast(t))
+              .otherwise((col(bq(avgSumCol(mc.out))) / col(bq(avgCntCol(mc.out))))
+                .cast(t)))
+          case "approx_distinct" => acc.withColumn(mc.out,
+            coalesce(hll_sketch_estimate(col(bq(hllCol(mc.out)))), lit(0L)))
+          case other => sys.error(s"internal: underivable MV kind $other")
+        }
+      }
       if (overwrite) df.writeTo(full).overwrite(lit(true))
       else df.writeTo(full).append()
     }
@@ -688,8 +800,13 @@ private[graft] object MaterializedViews {
       else StructType(bodySchema.fields ++ spec.hidden.map(_._2))
     cat.createTable(ident, fullSchema, partitioning, jProps)
     try {
+      val derived = spec.cols
+        .filter(c => c.kind == "avg" || c.kind == "approx_distinct").map(c =>
+          c -> bodySchema.fields.find(_.name == c.out).getOrElse(sys.error(
+            s"internal: output ${c.out} missing from the body schema"))
+            .dataType)
       materialize(spark, full, bodySql, body, spec.hidden.map(_._1),
-        overwrite = false)
+        derived, overwrite = false)
       val c1 = currentVersion(baseKey)
       if (c1 != c0) throw new IllegalStateException(
         s"base table ${spec.base.mkString(".")} advanced (v$c0 -> v$c1) " +
@@ -793,13 +910,19 @@ private[graft] object MaterializedViews {
       // constituents from the SAME analyzed instance (the stored SQL
       // alone cannot name them; extract must see the UNPINNED plan —
       // it rejects AS-OF relations by contract).
-      val hasDerived = colsFromJson(st.properties(PropCols))
-        .exists(_.kind == "avg")
+      val specCols = colsFromJson(st.properties(PropCols))
+      val hasDerived = specCols.exists(c =>
+        c.kind == "avg" || c.kind == "approx_distinct")
       val bodySql = st.properties(PropSql)
       val analyzed = spark.sql(bodySql).queryExecution.analyzed
       val hidden =
         if (!hasDerived) Nil
         else extract(catalogName, analyzed).hidden.map(_._1)
+      val derived = specCols
+        .filter(c => c.kind == "avg" || c.kind == "approx_distinct").map(c =>
+          c -> st.schema.fields.find(_.name == c.out).getOrElse(sys.error(
+            s"internal: output ${c.out} missing from the MV schema"))
+            .dataType)
       // The ANALYSIS itself ran against the live head: re-check that the
       // head still equals the pinned versions — equality proves analysis
       // saw exactly the c0/dv0 state (a schema-changing commit in that
@@ -815,7 +938,7 @@ private[graft] object MaterializedViews {
       val toWrite =
         if (canPin) pinBodyRelations(analyzed, catalogName, base, c0, dimsL, dv0)
         else analyzed
-      materialize(spark, mvFull, bodySql, Some(toWrite), hidden,
+      materialize(spark, mvFull, bodySql, Some(toWrite), hidden, derived,
         overwrite = true)
     } catch {
       case e: Throwable =>
@@ -896,7 +1019,7 @@ private[graft] object MaterializedViews {
         s"a refresh of $shown is pending (claimed base v$p): either it " +
           "is still running — wait — or it crashed; once you have " +
           "verified none is running, rerun with recover => true")
-      val pv = p.toLong
+      val (pv, pDims) = parseClaim(p)
       val selfV = st.properties.get(PropSelfVersion).fold(0L)(_.toLong)
       // `now` from the SAME captured state as the snapshot list — a
       // fresh store read could see a commit the list does not, making
@@ -907,10 +1030,14 @@ private[graft] object MaterializedViews {
           // A ROW-LEVEL commit landed past the stamp — the refresh's own
           // MERGE lands as exactly one of these; finalize. (Bare version
           // drift cannot prove this: compactions and foreign appends
-          // also advance the version.)
+          // also advance the version.) A dim-folding claim finalizes the
+          // dim watermarks it folded toward, or the next refresh would
+          // double-apply the dim delta.
           SnapshotStore.update(mvKey)(s0 => s0.copy(properties =
             s0.properties + (PropBaseVersion -> pv.toString) +
-              (PropSelfVersion -> now.toString) - PropPending))
+              (PropSelfVersion -> now.toString) ++
+              pDims.map(ds => PropDimVersions -> dimVersionsToJson(ds))
+              - PropPending))
         case Some(ops) if maintenanceOnly(ops) =>
           // At most compactions re-encoded the same rows: the MERGE never
           // landed — clear the claim, adopt the maintenance drift into
@@ -936,24 +1063,24 @@ private[graft] object MaterializedViews {
     val cols = colsFromJson(props(PropCols))
     val base = baseParts(props)
     val baseKey = SnapshotStore.keyOf(catalogName, base)
-    // STAR gate: incremental folding joins the fact's changes to the
-    // dimensions AS OF the recorded dimension watermark — a dimension
-    // that ADVANCED means the stored rows no longer describe what a
-    // recompute would produce, and no bounded delta can repair them
-    // (every stored group may reference the moved dimension rows). The
-    // honest resolution is a rebuild, demanded loudly.
+    // STAR dimensions: a dimension that ADVANCED no longer refuses — its
+    // bounded `.changes` range folds exactly like the fact's (see the
+    // DIM-DELTA fold below). Only a REGRESSED dimension (dropped and
+    // recreated under the watermark) is irreparable.
     val (dimsL, joinConds) = dimsOf(props)
     val dimVs = dimVersionsOf(props)
-    dimsL.zip(dimVs).foreach { case (d, vr) =>
-      val cur = currentVersion(SnapshotStore.keyOf(catalogName, d))
-      if (cur != vr) throw new IllegalStateException(
-        s"dimension ${d.mkString(".")} advanced (v$vr -> v$cur) since " +
-          s"$shown's last refresh — incremental folding holds dimensions " +
-          "FIXED; rebuild with CALL refresh_mv(table, full => true)")
+    val dimKeys = dimsL.map(SnapshotStore.keyOf(catalogName, _))
+    val dimCur = dimKeys.map(currentVersion)
+    dimsL.zip(dimVs).zip(dimCur).foreach { case ((d, vr), cur) =>
+      if (cur < vr) throw new IllegalStateException(
+        s"dimension ${d.mkString(".")} is at v$cur but $shown recorded " +
+          s"v$vr — the dimension was dropped and recreated; DROP and " +
+          "re-CREATE the materialized view")
     }
+    val advanced: Seq[Int] = dimVs.indices.filter(i => dimCur(i) != dimVs(i))
     val b = props(PropBaseVersion).toLong
     val c = currentVersion(baseKey)
-    if (c == b) {
+    if (c == b && advanced.isEmpty) {
       // Already current — but MAINTENANCE of the MV table itself
       // (compaction) may have advanced its version past the
       // PropSelfVersion stamp, which the rewrite rule's tamper gate
@@ -981,45 +1108,88 @@ private[graft] object MaterializedViews {
         "re-CREATE the materialized view")
 
     // Write-ahead claim: atomic (the update retries on CAS conflicts and
-    // re-checks, so two concurrent refreshes cannot both claim).
+    // re-checks, so two concurrent refreshes cannot both claim). A
+    // dim-folding refresh claims the dim target versions too — recovery
+    // must know what the crashed MERGE folded toward.
+    val claim = claimOf(c, if (advanced.isEmpty) None else Some(dimCur))
     SnapshotStore.update(mvKey) { s0 =>
       if (s0.properties.contains(PropPending))
         throw new IllegalStateException(
           s"a concurrent refresh of $shown claimed base " +
             s"v${s0.properties(PropPending)} first")
-      s0.copy(properties = s0.properties + (PropPending -> c.toString))
+      s0.copy(properties = s0.properties + (PropPending -> claim))
     }
 
     val mvFull = (catalogName +: identParts).map(bq).mkString(".")
     val baseFull = (catalogName +: base).map(bq).mkString(".")
+    if (advanced.isEmpty) lastDimFoldFactPartitions.set(-1L)
     try {
-      val changes = spark.read
-        .option("startingVersion", (b + 1).toString)
-        .option("endingVersion", c.toString)
-        .table(s"$baseFull.changes")
-        .alias(FactAlias)
-      val withConds = joinPinnedDims(spark, catalogName, changes,
-        dimsL, dimVs, joinConds)
-      val deltas0 = deltaFrame(withConds, cols, props.get(PropWhere), st.schema)
-      // Extrema refreshes read the fold TWICE (the broadcast suspect keys
-      // and the MERGE source share its lineage) — persist the bounded
-      // changed-groups frame so the `.changes` scan + fold run once. The
-      // unpersist finally covers everything from here (a plan-building
-      // failure must not leak the cache entry for the session).
-      val cached =
-        if (cols.exists(c => c.kind == "min" || c.kind == "max"))
-          Some(deltas0.persist(
-            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        else None
+      val frames = Seq.newBuilder[DataFrame]
+      val pinned = Seq.newBuilder[DataFrame]
       try {
-        val deltas = withExtremaRecompute(spark, catalogName, base, props,
-          cols, cached.getOrElse(deltas0), c)
-        val src = "graft_mv_deltas_" + (catalogName +: identParts)
-          .mkString("_").replaceAll("[^A-Za-z0-9_]", "_")
-        deltas.createOrReplaceTempView(src)
-        try spark.sql(mergeSql(mvFull, src, cols, st.schema))
-        finally spark.catalog.dropTempView(src)
-      } finally cached.foreach(_.unpersist(false))
+        if (c > b) {
+          // FACT fold: the bounded fact changes joined to every dimension
+          // AS OF its RECORDED (old) watermark — the first term of the
+          // telescoping Δ(f ⋈ d0 ⋈ …) = Δf ⋈ d@old + Σᵢ f@new ⋈ d₍<ᵢ₎@new
+          // ⋈ Δdᵢ ⋈ d₍>ᵢ₎@old (an inner join is multilinear in each input,
+          // so the signed per-input deltas sum exactly to the join's).
+          val changes = spark.read
+            .option("startingVersion", (b + 1).toString)
+            .option("endingVersion", c.toString)
+            .table(s"$baseFull.changes")
+            .alias(FactAlias)
+          val withConds = joinPinnedDims(spark, catalogName, changes,
+            dimsL, dimVs, joinConds)
+          frames += deltaFrame(withConds, cols, props.get(PropWhere), st.schema)
+        }
+        if (advanced.nonEmpty) {
+          // DIM-DELTA folds — the remaining telescoping terms, one per
+          // advanced dimension, in join order. Exact for every star body
+          // by construction: star aggregates are count/sum/avg (extrema
+          // are rejected at CREATE), all linear in signed multiplicities,
+          // so attribute-only updates, join-key-moving updates, and dim
+          // row deletes all fold without any affected-group recompute.
+          var factParts = 0L
+          advanced.foreach { i =>
+            dimDeltaFrame(spark, catalogName, base, baseFull, c, dimsL,
+              dimVs, dimCur, joinConds, i, cols, props.get(PropWhere),
+              st.schema) match {
+              case Some((frame, reduced, parts)) =>
+                frames += frame; pinned += reduced; factParts += parts
+              case None => () // projected delta cancelled: the dim commit
+              // touched only columns the view never reads — no work, the
+              // stamp below just adopts the new dim watermark.
+            }
+          }
+          lastDimFoldFactPartitions.set(factParts)
+        }
+        val all = frames.result()
+        if (all.nonEmpty) {
+          val deltas0 =
+            if (all.sizeIs == 1) all.head
+            else refoldUnion(all, cols)
+          // Extrema refreshes read the fold TWICE (the broadcast suspect
+          // keys and the MERGE source share its lineage) — persist the
+          // bounded changed-groups frame so the `.changes` scan + fold
+          // run once. The unpersist finally covers everything from here
+          // (a plan-building failure must not leak the cache entry).
+          val cached =
+            if (cols.exists(c => c.kind == "min" || c.kind == "max" ||
+                c.kind == "hll"))
+              Some(deltas0.persist(
+                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+            else None
+          try {
+            val deltas = withExtremaRecompute(spark, catalogName, base, props,
+              cols, cached.getOrElse(deltas0), c)
+            val src = "graft_mv_deltas_" + (catalogName +: identParts)
+              .mkString("_").replaceAll("[^A-Za-z0-9_]", "_")
+            deltas.createOrReplaceTempView(src)
+            try spark.sql(mergeSql(mvFull, src, cols, st.schema))
+            finally spark.catalog.dropTempView(src)
+          } finally cached.foreach(_.unpersist(false))
+        }
+      } finally pinned.result().foreach(_.unpersist(false))
     } catch {
       case e: Exception if {
         val msgs = Iterator.iterate(e: Throwable)(_.getCause)
@@ -1040,21 +1210,24 @@ private[graft] object MaterializedViews {
         throw new IllegalStateException(
           s"history needed by $shown's incremental fold was expired " +
             s"(the ${base.mkString(".")} changes range v${b + 1}..v$c, " +
-            s"its diff predecessor v$b, or a dimension snapshot at its " +
-            "recorded watermark); rebuild with CALL " +
+            s"its diff predecessor v$b, a dimension's changes range past " +
+            "its recorded watermark, or a dimension snapshot at that " +
+            "watermark); rebuild with CALL " +
             "refresh_mv(table, full => true)", e)
     }
 
     val vAfter = currentVersion(mvKey)
     SnapshotStore.update(mvKey) { s0 =>
-      if (s0.properties.get(PropPending) != Some(c.toString))
+      if (s0.properties.get(PropPending) != Some(claim))
         throw new IllegalStateException(
           s"refresh claim on $shown was replaced mid-refresh " +
             "(concurrent recover => true?) — the view may be " +
             "double-applied; roll it back to its last good snapshot")
       s0.copy(properties = s0.properties +
         (PropBaseVersion -> c.toString) +
-        (PropSelfVersion -> vAfter.toString) - PropPending)
+        (PropSelfVersion -> vAfter.toString) ++
+        (if (advanced.isEmpty) Map.empty[String, String]
+         else Map(PropDimVersions -> dimVersionsToJson(dimCur))) - PropPending)
     }
     (b, c, true)
   }
@@ -1085,6 +1258,16 @@ private[graft] object MaterializedViews {
       b: Long, c: Long): DataFrame = {
     val props = st.properties
     val cols = colsFromJson(props(PropCols))
+    // Defensive mirror of the caller-side gate (MvQueryRewrite excludes
+    // extrema and sketch candidates before offering a top-up): the
+    // generic viewSel/deltaSel branches below would silently SUM-fold a
+    // min/max or sketch column — a second caller, or drift in that gate,
+    // must fail loudly instead.
+    cols.find(c => c.kind == "min" || c.kind == "max" || c.kind == "hll" ||
+        c.kind == "approx_distinct").foreach(c =>
+      sys.error(s"internal: topUpFrame over ${c.kind} column ${c.out} — " +
+        "a delete in the missed range needs the refresh's affected-group " +
+        "recompute, which a read-only top-up cannot run"))
     val base = baseParts(props)
     val mvFull = (catalogName +: identParts).map(bq).mkString(".")
     val baseFull = (catalogName +: base).map(bq).mkString(".")
@@ -1192,22 +1375,184 @@ private[graft] object MaterializedViews {
     joinConds.foldLeft(joined)((df, cs) => df.filter(expr(cs)))
   }
 
+  /** The dim-`i` columns the stored spec READS — attributes qualified by
+    * `d<i>` anywhere in the group/measure expressions, the WHERE, or the
+    * join conditions. The reduced dim delta projects onto exactly these:
+    * an update touching only other columns cancels (zero net rows), so
+    * the view provably needs no work for it. */
+  private def referencedDimCols(spark: SparkSession, cols: Seq[MvCol],
+      where: Option[String], joinConds: Seq[String], i: Int): Seq[String] = {
+    val parser = spark.sessionState.sqlParser
+    val alias = dimAlias(i)
+    val sqls = cols.collect { case c if c.expr.nonEmpty => c.expr } ++
+      where.toSeq ++ joinConds
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    sqls.foreach { s =>
+      parser.parseExpression(s).foreach {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if u.nameParts.sizeIs >= 2 && u.nameParts.head == alias =>
+          seen += u.nameParts(1)
+        case _ => ()
+      }
+    }
+    seen.toSeq
+  }
+
+  /** Equi pairs `(fact column, dim-i column)` among the stored ON
+    * conjuncts — the join keys the dim fold's fact scan can PRUNE by.
+    * Only bare attribute = attribute conjuncts qualify (an expression
+    * side has no single pruning column); extraction failure just means
+    * no pruning, never wrong results (the join itself bounds the rows). */
+  private def factDimEquiPairs(spark: SparkSession, joinConds: Seq[String],
+      i: Int): Seq[(String, String)] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
+    val parser = spark.sessionState.sqlParser
+    val alias = dimAlias(i)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def attrOf(e: Expression, q: String): Option[String] = e match {
+      case u: UnresolvedAttribute
+          if u.nameParts.sizeIs == 2 && u.nameParts.head == q =>
+        Some(u.nameParts(1))
+      case _ => None
+    }
+    joinConds.flatMap(s => conjuncts(parser.parseExpression(s))).flatMap {
+      case EqualTo(l, r) =>
+        (for { f <- attrOf(l, FactAlias); d <- attrOf(r, alias) } yield (f, d))
+          .orElse(
+            for { f <- attrOf(r, FactAlias); d <- attrOf(l, alias) } yield (f, d))
+      case _ => None
+    }
+  }
+
+  /** One DIM-delta fold term: `fact@c ⋈ d₍<ᵢ₎@new ⋈ Δdᵢ ⋈ d₍>ᵢ₎@old`,
+    * folded through [[deltaFrame]] with the reduced delta's net signed
+    * multiplicities. Returns None when the projected delta CANCELS (the
+    * dim commit is invisible to the view — no fact scan at all);
+    * otherwise (frame, the persisted reduced delta for the caller to
+    * unpersist after the MERGE, planned fact-scan partitions).
+    *
+    * Scale: the reduced delta is O(changed dim rows) and bucketless; the
+    * fact scan is key-pruned — the affected join keys push down as an IN
+    * filter (semantically redundant next to the join, but it reaches the
+    * manifest min/max, so a key-clustered 100 TB fact opens only the
+    * files holding the affected keys); the dim-side joins broadcast. */
+  private def dimDeltaFrame(spark: SparkSession, catalogName: String,
+      base: Seq[String], baseFull: String, c: Long, dimsL: Seq[Seq[String]],
+      dimVs: Seq[Long], dimCur: Seq[Long], joinConds: Seq[String], i: Int,
+      cols: Seq[MvCol], where: Option[String], mvSchema: StructType):
+      Option[(DataFrame, DataFrame, Long)] = {
+    val alias = dimAlias(i)
+    def fullOf(j: Int): String = (catalogName +: dimsL(j)).map(bq).mkString(".")
+    val refCols = referencedDimCols(spark, cols, where, joinConds, i)
+    val changes = spark.read
+      .option("startingVersion", (dimVs(i) + 1).toString)
+      .option("endingVersion", dimCur(i).toString)
+      .table(s"${fullOf(i)}.changes")
+    val sign = when(col("_change_type") === "INSERT", lit(1L))
+      .when(col("_change_type") === "DELETE", lit(-1L))
+      .otherwise(raise_error(concat(
+        lit("refresh_mv: unexpected _change_type "), col("_change_type"))))
+    // Net multiplicity per distinct referenced-column projection — an
+    // UPDATE pairs into a −old/+new that cancels iff every column the
+    // view reads is unchanged. Persisted: read up to three times
+    // (cancellation probe, key collection, the MERGE's fold).
+    val reduced = changes
+      .groupBy(refCols.map(r => col(bq(r))): _*)
+      .agg(sum(sign).as(DimNetCol))
+      .filter(col(bq(DimNetCol)) =!= 0L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var keep = false
+    try {
+      // The cancellation probe doubles as the no-op short-circuit: a
+      // fact that was never written (version 0) has no snapshot to pin
+      // and nothing to join either way.
+      if (reduced.isEmpty || c == 0L) return None
+      val fact0 = spark.sql(s"SELECT * FROM $baseFull VERSION AS OF $c")
+        .alias(FactAlias)
+      val keyFilters = factDimEquiPairs(spark, joinConds, i).flatMap {
+        case (fx, dy) =>
+          val vals = reduced.select(col(bq(dy)))
+            .where(col(bq(dy)).isNotNull).distinct()
+            .limit(MaxPruneKeys + 1).collect().map(_.get(0)).toSeq
+          if (vals.sizeIs > MaxPruneKeys) None
+          else Some(fact0(fx).isin(vals: _*))
+      }
+      val factF = keyFilters.foldLeft(fact0: DataFrame)(_.filter(_))
+      // Instrumentation: post-pushdown planned partitions of THIS fold's
+      // fact scan (metadata-scale planning over resident manifests).
+      val parts = factF.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r.scan match {
+          case m: MemScan => m.planTimePartitionCount.toLong
+          case _ => 0L
+        }
+      }.sum
+      var joined: DataFrame = factF
+      dimsL.indices.foreach { j =>
+        if (j == i) joined = joined.crossJoin(reduced.alias(alias))
+        else {
+          // Telescoping versions: dims BEFORE i already folded (new),
+          // dims AFTER i not yet (old recorded watermark).
+          val v = if (j < i) dimCur(j) else dimVs(j)
+          joined = joined.crossJoin(
+            spark.sql(s"SELECT * FROM ${fullOf(j)} VERSION AS OF $v")
+              .alias(dimAlias(j)))
+        }
+      }
+      val withConds = joinConds.foldLeft(joined)((df, cs) => df.filter(expr(cs)))
+      val frame = deltaFrame(withConds, cols, where, mvSchema,
+        signed = Some(col(s"$alias.$DimNetCol")))
+      keep = true
+      Some((frame, reduced, parts))
+    } finally if (!keep) reduced.unpersist(false)
+  }
+
+  /** Re-aggregate the UNION of several per-input delta frames (fact +
+    * advanced dims) into one per-group delta set — plain signed addition
+    * per measure, cast back to each frame's delta type (SUM re-widens
+    * decimals). Extrema never reach here (single-table bodies have no
+    * dims, star bodies have no extrema). */
+  private def refoldUnion(frames: Seq[DataFrame], cols: Seq[MvCol]): DataFrame = {
+    val u = frames.reduce(_ unionAll _)
+    val typeOfDelta: Map[String, DataType] =
+      frames.head.schema.fields.map(f => f.name -> f.dataType).toMap
+    val keys = cols.zipWithIndex.collect {
+      case (mc, i) if mc.kind == "group" => s"g$i" }
+    val aggs = cols.zipWithIndex.collect {
+      case (mc, i) if mc.kind != "group" && mc.kind != "avg" =>
+        sum(s"d$i").cast(typeOfDelta(s"d$i")).as(s"d$i") }
+    u.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Per-group signed (count, measure) deltas of a bounded change-feed
     * frame — [[graft.operators.IncrementalMaintenance.aggDeltasFromChanges]]
     * generalized to arbitrary key/measure lists. Sum measures are signed
     * in the MV column's (already sum-widened) type, so folding adds in
-    * exactly the type a recompute would. */
+    * exactly the type a recompute would.
+    *
+    * `signed = None` reads the FACT change feed's `_change_type` (±1 per
+    * change row — the only form extrema support); `signed = Some(n)`
+    * folds with NET MULTIPLICITIES instead — the DIM-delta form, where
+    * each joined row carries the reduced dimension delta's signed net
+    * count (a fact row joined to a dim row whose projection appeared
+    * +2/−1 times contributes ×1). */
   private def deltaFrame(changes: DataFrame, cols: Seq[MvCol],
-      where: Option[String], mvSchema: StructType): DataFrame = {
+      where: Option[String], mvSchema: StructType,
+      signed: Option[Column] = None): DataFrame = {
     val filtered = where.fold(changes)(w => changes.filter(expr(w)))
     // Qualified: the frame is the fact's change feed aliased [[FactAlias]]
     // (star bodies join dimensions in — an unqualified name could collide
     // with a dimension column of the same name).
-    val ct = col(s"$FactAlias._change_type")
-    val signedN = when(ct === "INSERT", lit(1L))
-      .when(ct === "DELETE", lit(-1L))
-      .otherwise(raise_error(concat(
-        lit("refresh_mv: unexpected _change_type "), ct)))
+    lazy val ct = col(s"$FactAlias._change_type")
+    val signedN = signed.getOrElse(
+      when(ct === "INSERT", lit(1L))
+        .when(ct === "DELETE", lit(-1L))
+        .otherwise(raise_error(concat(
+          lit("refresh_mv: unexpected _change_type "), ct))))
     val typeOf: Map[String, DataType] =
       mvSchema.fields.map(f => f.name -> f.dataType).toMap
     val projected = cols.zipWithIndex.flatMap { case (mc, i) =>
@@ -1218,16 +1563,40 @@ private[graft] object MaterializedViews {
           Seq((when(expr(mc.expr).isNull, lit(0L)).otherwise(lit(1L)) * signedN)
             .as(s"d$i"))
         case "sum" =>
-          val x = expr(mc.expr).cast(typeOf(mc.out))
-          Seq(when(ct === "INSERT", x).otherwise(-x).as(s"d$i"))
-        // avg is DERIVED: its hidden sum/count constituents (regular cols
-        // entries) carry the fold; the MERGE recomputes the value.
-        case "avg" => Nil
+          val t = typeOf(mc.out)
+          val x = expr(mc.expr).cast(t)
+          signed match {
+            case None => Seq(when(ct === "INSERT", x).otherwise(-x).as(s"d$i"))
+            // Multiply in the widened type, land back in it (decimal ×
+            // long re-widens; the per-row product is |net| ≤ the bounded
+            // dim delta's row count times a row value — the same overflow
+            // exposure the post-union SUM already carries).
+            case Some(n) => Seq((x * n).cast(t).as(s"d$i"))
+          }
+        // avg and approx_distinct are DERIVED: their hidden constituents
+        // (regular cols entries) carry the fold; the MERGE recomputes
+        // the visible value.
+        case "avg" | "approx_distinct" => Nil
         // min/max: the INSERTED extremum folds via least/greatest; the
         // DELETED extremum drives the affected-group recompute decision.
+        // Only the fact form reaches here: extrema are single-table-only
+        // (no dims), so a dim fold can never carry them.
         case "min" | "max" =>
+          if (signed.isDefined) sys.error(
+            "internal: extrema columns in a dim-delta fold — star bodies " +
+              "reject min/max at CREATE")
           Seq(when(ct === "INSERT", expr(mc.expr)).as(s"mi$i"),
             when(ct === "DELETE", expr(mc.expr)).as(s"md$i"))
+        // HLL sketch constituent: inserts build a partial sketch the
+        // MERGE unions; a delete of a NON-NULL value flags the group for
+        // the affected-group recompute (a sketch is not invertible).
+        case "hll" =>
+          if (signed.isDefined) sys.error(
+            "internal: sketch columns in a dim-delta fold — star bodies " +
+              "reject approx_count_distinct at CREATE")
+          Seq(when(ct === "INSERT", expr(mc.expr)).as(s"hi$i"),
+            when(ct === "DELETE" && expr(mc.expr).isNotNull, lit(1))
+              .otherwise(lit(0)).as(s"hd$i"))
         case other => sys.error(s"mv.cols kind malformed: $other")
       }
     }
@@ -1236,9 +1605,11 @@ private[graft] object MaterializedViews {
     }
     val aggs = cols.zipWithIndex.flatMap { case (mc, i) =>
       mc.kind match {
-        case "group" | "avg" => Nil
+        case "group" | "avg" | "approx_distinct" => Nil
         case "min" => Seq(min(s"mi$i").as(s"mi$i"), min(s"md$i").as(s"md$i"))
         case "max" => Seq(max(s"mi$i").as(s"mi$i"), max(s"md$i").as(s"md$i"))
+        case "hll" => Seq(hll_sketch_agg(col(s"hi$i")).as(s"hi$i"),
+          max(s"hd$i").as(s"hd$i"))
         case _ => Seq(sum(s"d$i").as(s"d$i"))
       }
     }
@@ -1262,12 +1633,14 @@ private[graft] object MaterializedViews {
       base: Seq[String], props: Map[String, String], cols: Seq[MvCol],
       deltas: DataFrame, pinV: Long): DataFrame = {
     val mm = cols.zipWithIndex.filter { case (c, _) =>
-      c.kind == "min" || c.kind == "max" }
+      c.kind == "min" || c.kind == "max" || c.kind == "hll" }
     if (mm.isEmpty) return deltas
     val keyIdx = cols.zipWithIndex.collect {
       case (c, i) if c.kind == "group" => i }
-    val delAny = mm.map { case (_, i) => col(s"md$i").isNotNull }
-      .reduce(_ or _)
+    val delAny = mm.map {
+      case (c, i) if c.kind == "hll" => col(s"hd$i") === 1
+      case (_, i) => col(s"md$i").isNotNull
+    }.reduce(_ or _)
     val suspects = deltas.filter(delAny)
       .select(keyIdx.map(i => col(s"g$i")): _*)
     val baseFull = (catalogName +: base).map(bq).mkString(".")
@@ -1280,8 +1653,13 @@ private[graft] object MaterializedViews {
     val semiCond = keyIdx.map(i => col(s"rg$i") <=> col(s"g$i"))
       .reduce(_ and _)
     val recAggs = mm.map { case (c, i) =>
-      (if (c.kind == "min") min(col(s"rv$i")) else max(col(s"rv$i")))
-        .as(s"r$i") }
+      (c.kind match {
+        case "min" => min(col(s"rv$i"))
+        case "max" => max(col(s"rv$i"))
+        // A suspect group's sketch rebuilds from its surviving rows —
+        // bounded by the files holding those groups, like the extrema.
+        case _ => hll_sketch_agg(col(s"rv$i"))
+      }).as(s"r$i") }
     val rec = baseF.select(proj: _*)
       .join(broadcast(suspects), semiCond, "left_semi")
       .groupBy(keyIdx.map(i => col(s"rg$i")): _*)
@@ -1335,6 +1713,27 @@ private[graft] object MaterializedViews {
         s"mv.cols: avg ${c.out} lost its sum constituent")),
       cols.find(_.out == avgCntCol(c.out)).getOrElse(sys.error(
         s"mv.cols: avg ${c.out} lost its count constituent")))
+    def hllConstituent(c: MvCol): MvCol =
+      cols.find(_.out == hllCol(c.out)).getOrElse(sys.error(
+        s"mv.cols: approx_distinct ${c.out} lost its sketch constituent"))
+    // Post-fold sketch SQL for an hll constituent, per clause. Matched: a
+    // flagged delete takes the affected-group recompute (s.r); otherwise
+    // union the inserted partial into the stored sketch (NULL-guarded:
+    // hll_union propagates NULL). Not-matched: a brand-new group that
+    // ALSO saw deletes cannot trust its inserted partial — the recompute
+    // covers it (insert-then-delete in range).
+    def updHll(h: MvCol): String = {
+      val i = idx(h)
+      val t = s"t.${bq(h.out)}"
+      s"CASE WHEN s.hd$i = 1 THEN s.r$i WHEN s.hi$i IS NULL THEN $t " +
+        s"WHEN $t IS NULL THEN s.hi$i ELSE hll_union($t, s.hi$i) END"
+    }
+    def insHll(h: MvCol): String = {
+      val i = idx(h)
+      s"CASE WHEN s.hd$i = 1 THEN s.r$i ELSE s.hi$i END"
+    }
+    def estimateOf(sketchSql: String): String =
+      s"coalesce(hll_sketch_estimate($sketchSql), 0)"
     val sets = cols.collect {
       case g if g.kind == "group" => None
       case c if c.kind == "count_star" =>
@@ -1346,6 +1745,10 @@ private[graft] object MaterializedViews {
       case c if c.kind == "avg" =>
         val (sumC, cntC) = constituents(c)
         Some(s"t.${bq(c.out)} = ${avgOf(c, updSum(sumC), updCount(cntC))}")
+      case c if c.kind == "hll" =>
+        Some(s"t.${bq(c.out)} = ${updHll(c)}")
+      case c if c.kind == "approx_distinct" =>
+        Some(s"t.${bq(c.out)} = ${estimateOf(updHll(hllConstituent(c)))}")
       case c if c.kind == "min" || c.kind == "max" =>
         val i = idx(c)
         val cmp = if (c.kind == "min") "<=" else ">="
@@ -1368,6 +1771,8 @@ private[graft] object MaterializedViews {
         case "avg" =>
           val (sumC, cntC) = constituents(c)
           avgOf(c, insSum(sumC), insCount(cntC))
+        case "hll" => insHll(c)
+        case "approx_distinct" => estimateOf(insHll(hllConstituent(c)))
         case "min" | "max" =>
           // A brand-new group that ALSO saw deletes in the range (insert
           // then delete of the same rows) cannot trust its inserted

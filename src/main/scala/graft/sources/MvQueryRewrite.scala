@@ -3,8 +3,8 @@ package graft.sources
 import scala.collection.mutable
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Divide, EqualNullSafe, EqualTo, ExprId, Expression, Literal, NamedExpression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Coalesce, Divide, EqualNullSafe, EqualTo, ExprId, Expression, HllSketchEstimate, Literal, NamedExpression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Count, HllUnionAgg, HyperLogLogPlusPlus, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -355,27 +355,101 @@ private[graft] object MvQueryRewrite {
         val baseV = currentVersion(c.factKey)
         c.state.properties.get(PropBaseVersion).map(_.toLong) match {
           case Some(b) if b == baseV =>
-            Some((c, true, () => mvRelation(shape.cat, c): LogicalPlan))
+            Some((c, true, None: Option[(Long, Long)],
+              () => mvRelation(shape.cat, c): LogicalPlan))
           case Some(b) if b < baseV && topUpOn &&
-              // Extrema MVs cannot top-up: a delete in the missed range
-              // needs the refresh's affected-group recompute, which
-              // writes nothing here. (Star MVs CAN: the gates above
-              // proved every dim still sits at its watermark, so the
-              // inline fold joins them AS OF exactly like refresh.)
-              !c.cols.exists(mc => mc.kind == "min" || mc.kind == "max") &&
+              // Extrema and sketch MVs cannot top-up: a delete in the
+              // missed range needs the refresh's affected-group
+              // recompute, which writes nothing here. (Star MVs CAN: the
+              // gates above proved every dim still sits at its
+              // watermark, so the inline fold joins them AS OF exactly
+              // like refresh.)
+              !c.cols.exists(mc => mc.kind == "min" || mc.kind == "max" ||
+                mc.kind == "hll" || mc.kind == "approx_distinct") &&
               changesRangeLive(c.factKey, b, baseV) =>
-            Some((c, false, () => MaterializedViews.topUpFrame(
-              spark, shape.cat.name(),
-              c.ident.namespace().toSeq :+ c.ident.name(),
-              c.state, b, baseV).queryExecution.analyzed))
+            Some((c, false, Some((b, baseV)): Option[(Long, Long)],
+              () => MaterializedViews.topUpFrame(
+                spark, shape.cat.name(),
+                c.ident.namespace().toSeq :+ c.ident.name(),
+                c.state, b, baseV).queryExecution.analyzed))
           case _ => None
         }
       }
       .toSeq.sortBy(t => !t._2)
     eligible.iterator
-      .flatMap { case (c, _, relPlan) =>
-        matchOne(spark, agg, shape, c, relPlan) }
+      .flatMap { case (c, _, topUp, relPlan) =>
+        matchOne(spark, agg, shape, c, topUp, relPlan) }
       .nextOption()
+  }
+
+  /** ADVICE (r17): the coarser-group avg rewrite re-adds the stored
+    * long partials in DOUBLE — exact (and therefore equal to the
+    * un-rewritten plan, whose own Average also accumulates in double)
+    * only while every absolute mass involved stays under 2^53. This
+    * PROVES it from manifest metadata before serving: the total
+    * absolute mass each side can accumulate is bounded by
+    * Σ_files rows × max(|min|,|max|) over (the MV's hidden-sum column,
+    * the base's measure column, and — for a top-up serve — the files of
+    * the missed snapshot range, whose rows the inline fold re-adds).
+    * Any missing piece (no stats, non-column measure, unknown file)
+    * vetoes the double path — the exact shape still serves, coarser
+    * shapes take the base: never wrong, just unoptimized. */
+  private def doubleAvgServable(spark: SparkSession, cand: Cand,
+      sumA: Attribute, measureSql: String,
+      topUp: Option[(Long, Long)]): Boolean = {
+    if (sumA.dataType != org.apache.spark.sql.types.LongType) return false
+    val Exact = (1L << 53).toDouble
+    def massOf(files: Seq[SnapshotStore.DataFile], fid: Int): Option[Double] = {
+      var total = 0.0
+      files.foreach { f =>
+        f.stats.get(fid) match {
+          case Some(cs) if cs.min == null && cs.nulls == f.rowCount => ()
+          case Some(cs) if cs.min != null && cs.max != null =>
+            val mx = math.max(cs.min.asInstanceOf[Number].longValue.toDouble.abs,
+              cs.max.asInstanceOf[Number].longValue.toDouble.abs)
+            total += mx * f.rowCount + f.rowCount // + rows: the count side
+          case _ => return None
+        }
+      }
+      Some(total)
+    }
+    def fidOf(schema: org.apache.spark.sql.types.StructType,
+        name: String): Option[Int] =
+      schema.fields.find(_.name.equalsIgnoreCase(name)).flatMap(FieldIds.idOf)
+    // The measure must be a BARE column of a SINGLE-TABLE body to bound
+    // the un-rewritten side from the base's manifests (star bodies
+    // veto: join fan-out replicates fact rows, so no per-table manifest
+    // bounds the joined mass; computed measures have no single-column
+    // stats). Veto = the coarser double path falls back to the base —
+    // never wrong, just unoptimized.
+    val measureCol = try {
+      spark.sessionState.sqlParser.parseExpression(measureSql) match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if u.nameParts.sizeIs == 1 && cand.dimKeys.isEmpty =>
+          Some(u.nameParts.head)
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+    val bound = for {
+      mCol <- measureCol
+      sumFid <- fidOf(cand.state.schema, sumA.name)
+      viewMass <- massOf(cand.state.currentFiles, sumFid)
+      baseSt = SnapshotStore.stateOf(cand.factKey)
+      baseFid <- fidOf(baseSt.schema, mCol)
+      baseMass <- massOf(baseSt.currentFiles, baseFid)
+      rangeMass <- topUp match {
+        case None => Some(0.0)
+        case Some((b, c)) =>
+          // The top-up re-adds change rows of (b, c]; every such row
+          // lives in a file of snapshots [b, c] (deletes diff against
+          // the predecessor), so their union bounds the folded mass.
+          val files = baseSt.snapshots
+            .filter(s => s.version >= b && s.version <= c)
+            .flatMap(_.files).groupBy(_.path).map(_._2.head).toSeq
+          massOf(files, baseFid)
+      }
+    } yield viewMass + baseMass + rangeMass
+    bound.exists(_ < Exact)
   }
 
   /** Lazily-built substituted relation: plan construction (especially the
@@ -416,7 +490,8 @@ private[graft] object MvQueryRewrite {
   }
 
   private def matchOne(spark: SparkSession, agg: Aggregate,
-      shape: Shape, cand: Cand, relPlan: RelPlan): Option[LogicalPlan] = {
+      shape: Shape, cand: Cand, topUp: Option[(Long, Long)],
+      relPlan: RelPlan): Option[LogicalPlan] = {
     val filterOpt = shape.filter
 
     /** Canonical SQL under the spec's stored aliases: single-table specs
@@ -528,6 +603,18 @@ private[graft] object MvQueryRewrite {
             n <- attr(MaterializedViews.avgCntCol(c.out))
           } yield c.expr -> ((a, s, n))
       }.flatten.toMap
+    // approx_count_distinct serves from (stored estimate, hidden HLL
+    // sketch): exact shapes read the value; coarser shapes union the
+    // group sketches and re-estimate — the re-aggregable distinct count
+    // min/max/sum never give you.
+    val approxBySql: Map[String, (Attribute, Attribute)] =
+      cand.cols.collect {
+        case c if c.kind == "approx_distinct" =>
+          for {
+            a <- attr(c.out)
+            s <- attr(MaterializedViews.hllCol(c.out))
+          } yield c.expr -> ((a, s))
+      }.flatten.toMap
     // A schema drifted out from under its spec (manual ALTER) maps
     // nothing — every lookup below just fails and the base serves.
 
@@ -589,22 +676,42 @@ private[graft] object MvQueryRewrite {
             .map(serveWith(Min(_)))
           case m: Max => canon(m.child).flatMap(maxBySql.get)
             .map(serveWith(Max(_)))
+          case h: HyperLogLogPlusPlus if h.relativeSD == 0.05 =>
+            // The stored estimator is the datasketches sketch's (an
+            // approximate aggregate has no defined exact value — the MV
+            // contract, documented at CREATE). Coarser shapes union the
+            // per-group sketches: distinct counts are NOT summable, but
+            // sketches are union-mergeable — the whole point of storing
+            // them. A custom relativeSD falls through to the base (the
+            // stored sketch has one precision).
+            canon(h.child).flatMap(approxBySql.get).map {
+              case (valueA, sketchA) =>
+                if (exact) castTo(valueA, ae.dataType)
+                else castTo(Coalesce(Seq(
+                  HllSketchEstimate(
+                    new HllUnionAgg(sketchA).toAggregateExpression()),
+                  Literal(0L))), ae.dataType)
+            }
           case a: Average =>
-            canon(a.child).flatMap(avgBySql.get).flatMap {
-              case (avgA, sumA, cntA) =>
+            canon(a.child).flatMap { mSql =>
+              avgBySql.get(mSql).flatMap { case (avgA, sumA, cntA) =>
                 if (exact) Some(castTo(avgA, ae.dataType))
-                else if (ae.dataType == DoubleType)
-                  // Σsum/Σcount in double — the exact long/decimal sums
-                  // cast late, so this equals recomputing avg wherever
-                  // double accumulation of the base is itself exact. A
-                  // group with count 0 contributes a NULL stored sum
-                  // (the nn witness), so all-null rollups stay NULL.
+                else if (ae.dataType == DoubleType &&
+                    doubleAvgServable(spark, cand, sumA, mSql, topUp))
+                  // Σsum/Σcount in double — the exact long sums cast
+                  // late, PROVEN exact (and hence equal to the base
+                  // plan's own double accumulation) by the manifest
+                  // mass bound in [[doubleAvgServable]]. A group with
+                  // count 0 contributes a NULL stored sum (the nn
+                  // witness), so all-null rollups stay NULL.
                   Some(Divide(
                     castTo(Sum(sumA).toAggregateExpression(), DoubleType),
                     castTo(Sum(cntA).toAggregateExpression(), DoubleType)))
                 else None // decimal avg: replicating Average's decimal
                 // division/rounding bitwise is not worth a wrong hash —
                 // the exact shape serves, coarser shapes take the base.
+                // Unprovable double mass: same fallback.
+              }
             }
           case _ => None // first/UDAF/… : not in the stored rollup
         }

@@ -439,18 +439,116 @@ class MaterializedViewSuite extends AnyFunSuite {
     assert(spark.sql(s"SELECT sum(n) FROM $v").head().getLong(0) === 50L)
   }
 
+  // -- approx_count_distinct (HLL sketch) MVs --------------------------------
+
+  test("approx_count_distinct MV: inserts union the hidden sketch, a " +
+      "delete triggers the affected-group recompute, group-moving " +
+      "updates fold — the stored estimate always equals a from-scratch " +
+      "sketch and stays within 5% of the exact distinct count") {
+    val t = fresh("base_ad")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, grp STRING, u BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('g', id % 3), " +
+      "CASE WHEN id % 17 = 4 THEN NULL ELSE id % 500 END FROM range(0, 3000)")
+    val v = fresh("mv_ad")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $v AS
+      SELECT grp, count(*) AS n, approx_count_distinct(u) AS du
+      FROM $t GROUP BY grp""")
+    def check(): Unit = {
+      val served = spark.sql(s"SELECT grp, du FROM $v").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // Canonical-estimator pin: the stored estimate must equal a
+      // from-scratch datasketches sketch over the current rows (the
+      // union fold and the recompute are both lossless vs direct).
+      val direct = noRewrite(spark.sql(
+        s"""SELECT grp, coalesce(hll_sketch_estimate(hll_sketch_agg(u)), 0)
+          FROM $t GROUP BY grp""").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+      assert(served === direct, "stored estimate must equal a fresh sketch")
+      // Accuracy: within 5% of the exact distinct count per group.
+      val exact = noRewrite(spark.sql(
+        s"SELECT grp, count(DISTINCT u) FROM $t GROUP BY grp").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+      exact.foreach { case (g, e) =>
+        val s = served.getOrElse(g, fail(s"group $g missing from the MV"))
+        assert(math.abs(s - e) <= math.max(1L, (e * 0.05).toLong),
+          s"group $g: served $s vs exact $e")
+      }
+    }
+    check()
+    // Insert-only commits: the MERGE unions partial sketches, no
+    // recompute (new values + duplicates of stored ones).
+    spark.sql(s"INSERT INTO $t SELECT id, concat('g', id % 3), " +
+      "400 + id % 300 FROM range(5000, 6000)")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $v")
+    check()
+    // Deletes: sketches are not invertible — affected groups recompute.
+    spark.sql(s"DELETE FROM $t WHERE u % 7 = 3")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $v")
+    check()
+    // Group-moving update: −old/+new rows, both sides see deletes.
+    spark.sql(s"UPDATE $t SET grp = 'g0' WHERE k % 11 = 5")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $v")
+    check()
+    // A brand-new group born in the missed range.
+    spark.sql(s"INSERT INTO $t SELECT id, 'g9', id % 40 FROM range(9000, 9200)")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $v")
+    check()
+  }
+
+  test("approx_count_distinct MV rejections: STAR bodies, custom " +
+      "relativeSD, unhashable types; exact count(DISTINCT) guidance " +
+      "names the approx form; durable across restart") {
+    val t = fresh("base_ad2")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, grp STRING, u BIGINT, d DOUBLE)")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('g', id % 2), id % 50, " +
+      "CAST(id AS DOUBLE) FROM range(0, 400)")
+    val v = fresh("mv_ad2")
+    def rejects(body: String, needle: String): Unit = {
+      val e = intercept[Exception] {
+        spark.sql(s"CREATE MATERIALIZED VIEW $v AS $body")
+      }
+      assert(e.getMessage.contains(needle), s"got: ${e.getMessage}")
+    }
+    rejects(s"SELECT grp, count(*) AS n, count(DISTINCT u) AS du FROM $t " +
+      "GROUP BY grp", "approx_count_distinct")
+    rejects(s"SELECT grp, count(*) AS n, approx_count_distinct(u, 0.01) " +
+      s"AS du FROM $t GROUP BY grp", "relativeSD")
+    rejects(s"SELECT grp, count(*) AS n, approx_count_distinct(d) AS du " +
+      s"FROM $t GROUP BY grp", "CAST")
+    val (f, dd) = star("star_ad")
+    rejects(s"""SELECT d.region AS region, count(*) AS n,
+      approx_count_distinct(f.qty) AS dq
+      FROM $f f JOIN $dd d ON f.dk = d.dk GROUP BY d.region""", "STAR")
+    // The happy path survives a restart (sketch constituents rebuild
+    // from the durable spec on refresh).
+    spark.sql(s"""CREATE MATERIALIZED VIEW $v AS
+      SELECT grp, count(*) AS n, approx_count_distinct(u) AS du
+      FROM $t GROUP BY grp""")
+    SnapshotStore.tables.clear()
+    spark.sql(s"INSERT INTO $t SELECT id, 'g1', id % 80, 0.0 FROM range(700, 900)")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $v")
+    val served = spark.sql(s"SELECT grp, du FROM $v").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = noRewrite(spark.sql(
+      s"""SELECT grp, coalesce(hll_sketch_estimate(hll_sketch_agg(u)), 0)
+        FROM $t GROUP BY grp""").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    assert(served === direct)
+  }
+
   // -- STAR-schema (join) MVs ------------------------------------------------
 
-  /** fact(k, dk, status, qty) ⋈ dim(dk, region) — dk deliberately shared
-    * between the two (the name-collision case a qualifier-stripped spec
-    * would corrupt). */
+  /** fact(k, dk, status, qty) ⋈ dim(dk, region, note) — dk deliberately
+    * shared between the two (the name-collision case a qualifier-stripped
+    * spec would corrupt); `note` is never referenced by any star body
+    * (the dim-fold cancellation case). */
   private def star(name: String): (String, String) = {
     val f = fresh(s"${name}_fact")
     val d = fresh(s"${name}_dim")
     spark.sql(s"CREATE TABLE $f (k BIGINT, dk BIGINT, status STRING, qty BIGINT)")
-    spark.sql(s"CREATE TABLE $d (dk BIGINT, region STRING)")
+    spark.sql(s"CREATE TABLE $d (dk BIGINT, region STRING, note STRING)")
     spark.sql(s"""INSERT INTO $d
-      SELECT id, concat('R', id % 4) FROM range(0, 20)""")
+      SELECT id, concat('R', id % 4), concat('n', id) FROM range(0, 20)""")
     spark.sql(s"""INSERT INTO $f
       SELECT id, id % 20, concat('s', id % 2), id % 13 FROM range(0, 200)""")
     (f, d)
@@ -495,29 +593,128 @@ class MaterializedViewSuite extends AnyFunSuite {
       .collect().map(_.toString).toSeq === starRecompute(f, d))
   }
 
-  test("STAR MV: a dimension that ADVANCED refuses incremental refresh " +
-      "loudly; refresh_mv(full => true) rebuilds and re-arms the fold") {
+  test("STAR MV: an ADVANCED dimension folds incrementally — attribute " +
+      "update (whole regions move), dim-row delete, dim insert, and a " +
+      "simultaneous fact advance, all in bounded folds") {
     val (f, d) = star("star2")
     val v = fresh("star2_mv")
     spark.sql(s"CREATE MATERIALIZED VIEW $v AS ${starBody(f, d)}")
-    // A dim commit — even one touching rows no fact row references.
-    spark.sql(s"INSERT INTO $d VALUES (999, 'R9')")
-    spark.sql(s"INSERT INTO $f VALUES (6000, 1, 's1', 2)")
-    val e = intercept[Exception] {
-      spark.sql(s"CALL $cat.system.refresh_mv(table => 'mv.star2_mv')").collect()
-    }
-    assert(e.getMessage.contains("dimension") &&
-      e.getMessage.contains("full => true"), s"got: ${e.getMessage}")
-    // The stored rows still serve (stale, by design) — and the rebuild
-    // path re-records the dim watermark so folding works again.
-    spark.sql(s"CALL $cat.system.refresh_mv(table => 'mv.star2_mv', full => true)")
-      .collect()
+    // Dim commits: an ATTRIBUTE update (every fact row of dk=3 moves to
+    // region R9), a dim-row DELETE (dk=7's fact rows leave the inner
+    // join), an insert a later fact row will reference.
+    spark.sql(s"UPDATE $d SET region = 'R9' WHERE dk = 3")
+    spark.sql(s"DELETE FROM $d WHERE dk = 7")
+    spark.sql(s"INSERT INTO $d VALUES (999, 'R9', NULL)")
+    val r = spark.sql(
+      s"CALL $cat.system.refresh_mv(table => 'mv.star2_mv')").head()
+    assert(r.getBoolean(2), "a dim advance must fold incrementally now")
+    assert(MaterializedViews.lastDimFoldFactPartitions.get() >= 0L,
+      "the refresh must have taken the dim-fold path")
     assert(spark.sql(s"SELECT region, status, n, tq FROM $v ORDER BY region, status")
       .collect().map(_.toString).toSeq === starRecompute(f, d))
+    // FACT and DIM advanced together: one refresh folds both telescoping
+    // terms (Δf ⋈ d@old, then f@new ⋈ Δd).
     spark.sql(s"INSERT INTO $f VALUES (6001, 999, 's0', 4)")
+    spark.sql(s"UPDATE $d SET region = 'R0' WHERE dk = 5")
     spark.sql(s"REFRESH MATERIALIZED VIEW $v")
     assert(spark.sql(s"SELECT region, status, n, tq FROM $v ORDER BY region, status")
       .collect().map(_.toString).toSeq === starRecompute(f, d))
+    // Current on both watermarks: a second refresh is a no-op.
+    val r2 = spark.sql(
+      s"CALL $cat.system.refresh_mv(table => 'mv.star2_mv')").head()
+    assert(!r2.getBoolean(2), "fact and dims current: must be a no-op")
+  }
+
+  test("STAR MV: a dim JOIN-KEY-moving update folds exactly — the old " +
+      "key's fact rows leave the join, and a move ONTO an existing key " +
+      "fans its fact rows out to two dim rows") {
+    val (f, d) = star("star5")
+    val v = fresh("star5_mv")
+    spark.sql(s"CREATE MATERIALIZED VIEW $v AS ${starBody(f, d)}")
+    // dk=4 → 25: fact rows with dk=4 lose their dim row entirely;
+    // dk=18 → 2: fact rows with dk=2 now match TWO dim rows (legitimate
+    // inner-join fan-out — counts double for those rows).
+    spark.sql(s"UPDATE $d SET dk = 25 WHERE dk = 4")
+    spark.sql(s"UPDATE $d SET dk = 2 WHERE dk = 18")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $v")
+    assert(spark.sql(s"SELECT region, status, n, tq FROM $v ORDER BY region, status")
+      .collect().map(_.toString).toSeq === starRecompute(f, d))
+  }
+
+  test("STAR MV: a dim update touching only UNREFERENCED columns cancels " +
+      "— the fact is not scanned at all, the watermark still advances") {
+    val (f, d) = star("star6")
+    val v = fresh("star6_mv")
+    spark.sql(s"CREATE MATERIALIZED VIEW $v AS ${starBody(f, d)}")
+    spark.sql(s"UPDATE $d SET note = 'seen' WHERE dk % 2 = 0")
+    val r = spark.sql(
+      s"CALL $cat.system.refresh_mv(table => 'mv.star6_mv')").head()
+    assert(r.getBoolean(2), "the watermark adoption is a refresh")
+    assert(MaterializedViews.lastDimFoldFactPartitions.get() === 0L,
+      "a cancelled dim delta must not scan the fact")
+    assert(spark.sql(s"SELECT region, status, n, tq FROM $v ORDER BY region, status")
+      .collect().map(_.toString).toSeq === starRecompute(f, d))
+    val r2 = spark.sql(
+      s"CALL $cat.system.refresh_mv(table => 'mv.star6_mv')").head()
+    assert(!r2.getBoolean(2), "dim watermark adopted: must be a no-op")
+  }
+
+  test("STAR MV: a crashed dim-folding refresh (MERGE landed, stamp " +
+      "lost) version-math finalizes BOTH the base and the claimed dim " +
+      "watermarks — never a double-applied dim delta") {
+    val (f, d) = star("star7")
+    val v = fresh("star7_mv")
+    spark.sql(s"CREATE MATERIALIZED VIEW $v AS ${starBody(f, d)}")
+    val mvKey = SnapshotStore.keyOf(cat, Seq("mv", "star7_mv"))
+    val dimKey = SnapshotStore.keyOf(cat, Seq("mv", "star7_dim"))
+    val factKey = SnapshotStore.keyOf(cat, Seq("mv", "star7_fact"))
+    val b0 = SnapshotStore.stateOf(mvKey)
+      .properties(MaterializedViews.PropBaseVersion)
+    val dv0 = SnapshotStore.stateOf(mvKey)
+      .properties(MaterializedViews.PropDimVersions)
+    val selfV0 = SnapshotStore.stateOf(mvKey).snapshots.last.version
+    spark.sql(s"UPDATE $d SET region = 'R8' WHERE dk = 6")
+    spark.sql(s"INSERT INTO $f VALUES (7000, 6, 's1', 3)")
+    // A completed refresh = the MERGE landed; rewind its STAMP to
+    // simulate the crash between the two commits.
+    spark.sql(s"REFRESH MATERIALIZED VIEW $v")
+    val c = SnapshotStore.stateOf(factKey).snapshots.last.version
+    val dimC = SnapshotStore.stateOf(dimKey).snapshots.last.version
+    SnapshotStore.update(mvKey)(s0 => s0.copy(properties = s0.properties +
+      (MaterializedViews.PropBaseVersion -> b0) +
+      (MaterializedViews.PropDimVersions -> dv0) +
+      (MaterializedViews.PropSelfVersion -> selfV0.toString) +
+      (MaterializedViews.PropPending ->
+        MaterializedViews.claimOf(c, Some(Seq(dimC))))))
+    val r = spark.sql(
+      s"CALL $cat.system.refresh_mv(table => 'mv.star7_mv', recover => true)")
+      .head()
+    assert(!r.getBoolean(2),
+      "recovery must FINALIZE (the MERGE landed), not re-fold")
+    val stamped = SnapshotStore.stateOf(mvKey).properties
+    assert(stamped(MaterializedViews.PropBaseVersion) === c.toString)
+    assert(MaterializedViews.dimVersionsOf(stamped) === Seq(dimC))
+    assert(spark.sql(s"SELECT region, status, n, tq FROM $v ORDER BY region, status")
+      .collect().map(_.toString).toSeq === starRecompute(f, d))
+  }
+
+  test("STAR MV: a REGRESSED dimension (dropped and recreated under the " +
+      "watermark) refuses loudly") {
+    val (f, d) = star("star8")
+    val v = fresh("star8_mv")
+    // Extra dim commits so the recorded watermark sits ABOVE what the
+    // recreated dim's history can reach.
+    spark.sql(s"UPDATE $d SET note = 'a' WHERE dk = 1")
+    spark.sql(s"UPDATE $d SET note = 'b' WHERE dk = 1")
+    spark.sql(s"CREATE MATERIALIZED VIEW $v AS ${starBody(f, d)}")
+    spark.sql(s"DROP TABLE $d")
+    spark.sql(s"CREATE TABLE $d (dk BIGINT, region STRING, note STRING)")
+    spark.sql(s"INSERT INTO $d SELECT id, concat('R', id % 4), NULL FROM range(0, 20)")
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.refresh_mv(table => 'mv.star8_mv')").collect()
+    }
+    assert(e.getMessage.contains("dropped and recreated"),
+      s"got: ${e.getMessage}")
   }
 
   test("STAR MV rejections: outer joins, cross joins, mixed-catalog " +

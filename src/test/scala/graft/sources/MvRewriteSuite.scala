@@ -566,6 +566,72 @@ class MvRewriteSuite extends AnyFunSuite {
       s"a non-MV grouping column must veto, got $onK")
   }
 
+  test("approx_count_distinct serves from the MV: the exact shape reads " +
+      "the stored estimate, a coarser shape UNIONS the stored sketches; " +
+      "count(DISTINCT), custom rsd, and a stale sketch MV all veto") {
+    val t = fresh("ad_base")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, grp STRING, sub STRING, u BIGINT)")
+    spark.sql(s"""INSERT INTO $t
+      SELECT id, concat('g', id % 4), concat('s', id % 3), id % 700
+      FROM range(0, 4000)""")
+    val v = fresh("ad_mv")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $v AS
+      SELECT grp, sub, count(*) AS n, approx_count_distinct(u) AS du
+      FROM $t GROUP BY grp, sub""")
+    // EXACT shape: served straight off the stored estimates. (No
+    // bothWays: the stored estimator is the datasketches sketch's, a
+    // DIFFERENT approximation than HyperLogLog++ — the MV contract.)
+    val exactQ = spark.sql(s"""SELECT grp, sub, approx_count_distinct(u) AS du
+      FROM $t GROUP BY grp, sub""")
+    assert(scans(exactQ).exists(_.contains("ad_mv")) &&
+      !scans(exactQ).exists(_.contains("ad_base")),
+      s"exact shape must serve from the MV, got ${scans(exactQ)}")
+    val stored = spark.sql(s"SELECT grp, sub, du FROM $v").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    exactQ.collect().foreach { r =>
+      assert(r.getLong(2) === stored((r.getString(0), r.getString(1)))) }
+    // COARSER shape: sketches UNION across subgroups — the re-aggregable
+    // distinct count (sums of per-group distincts would overcount).
+    val coarse = spark.sql(
+      s"SELECT grp, approx_count_distinct(u) AS du FROM $t GROUP BY grp")
+    assert(scans(coarse).exists(_.contains("ad_mv")) &&
+      !scans(coarse).exists(_.contains("ad_base")),
+      s"coarser shape must union stored sketches, got ${scans(coarse)}")
+    val exactDistinct = {
+      spark.conf.set(MvQueryRewrite.EnabledKey, "false")
+      try spark.sql(s"SELECT grp, count(DISTINCT u) FROM $t GROUP BY grp")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset(MvQueryRewrite.EnabledKey)
+    }
+    coarse.collect().foreach { r =>
+      val e = exactDistinct(r.getString(0))
+      assert(math.abs(r.getLong(1) - e) <= math.max(1L, (e * 0.05).toLong),
+        s"coarse ${r.getString(0)}: served ${r.getLong(1)} vs exact $e")
+    }
+    // Vetoes: exact DISTINCT, a custom rsd, and a non-stored column.
+    for (q <- Seq(
+        s"SELECT grp, count(DISTINCT u) AS du FROM $t GROUP BY grp",
+        s"SELECT grp, approx_count_distinct(u, 0.01) AS du FROM $t GROUP BY grp",
+        s"SELECT grp, approx_count_distinct(k) AS dk FROM $t GROUP BY grp")) {
+      val s = scans(spark.sql(q))
+      assert(s.exists(_.contains("ad_base")) && !s.exists(_.contains("ad_mv")),
+        s"$q must plan against the base, got $s")
+    }
+    // STALE sketch MV: the delta top-up is never offered (a delete in
+    // the missed range would need the recompute) — the base serves.
+    spark.sql(s"INSERT INTO $t VALUES (90000, 'g0', 's0', 699)")
+    val stale = scans(spark.sql(
+      s"SELECT grp, sub, approx_count_distinct(u) AS du FROM $t GROUP BY grp, sub"))
+    assert(stale.exists(_.contains("ad_base")) &&
+      !stale.exists(_.contains("ad_mv")),
+      s"a stale sketch MV must not top-up, got $stale")
+    // A refresh re-arms the direct serve.
+    spark.sql(s"REFRESH MATERIALIZED VIEW $v")
+    val rearmed = scans(spark.sql(
+      s"SELECT grp, sub, approx_count_distinct(u) AS du FROM $t GROUP BY grp, sub"))
+    assert(rearmed.exists(_.contains("ad_mv")), s"got $rearmed")
+  }
+
   test("the substituted scan is PINNED to the validated MV snapshot " +
       "(a refresh landing between plan and execution cannot shift rows)") {
     val t = baseTable("pin_base")

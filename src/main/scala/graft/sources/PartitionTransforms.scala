@@ -268,14 +268,83 @@ private[graft] object PartitionFunctions {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 
-  val names: Set[String] = Set("bucket", "years", "months", "days", "hours", "truncate")
+  val names: Set[String] = Set("bucket", "years", "months", "days", "hours",
+    "truncate", "zorder2")
 
   def load(name: String): Option[UnboundFunction] = name match {
     case "bucket" => Some(new UnboundTransform("bucket", argsWithWidth = true))
     case "years" | "months" | "days" | "hours" =>
       Some(new UnboundTransform(name, argsWithWidth = false))
     case "truncate" => Some(new UnboundTransform("truncate", argsWithWidth = true))
+    case "zorder2" => Some(ZOrder2Function)
     case _ => None
+  }
+
+  /** `zorder2(x, y)` — the two-dimensional Morton key over the LOW 31
+    * bits of each dimension, served through the catalog's FunctionCatalog
+    * so a `write.sort-order = 'zorder(x, y)'` table can declare it as the
+    * WRITE-path required ordering ([[SortOrders]] →
+    * RequiresDistributionAndOrdering → V2ExpressionUtils resolves the
+    * transform here). Interleaving is the same formula as
+    * [[graft.operators.ZOrder.zKey]] (bit i of x at 2i, of y at 2i+1).
+    * Write-path clustering is a HINT (low-bit aliasing on wide domains
+    * degrades, never breaks, locality); compaction restores the full
+    * layout with manifest-normalized dimensions. */
+  private object ZOrder2Function extends UnboundFunction {
+    override def name(): String = "zorder2"
+    override def description(): String = "graft 2-D Morton (z-order) key"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2,
+        s"zorder2 expects 2 arguments, got ${inputType.simpleString}")
+      val ts = inputType.fields.map(_.dataType)
+      ts.foreach(t => require(zorderAccepts(t),
+        s"zorder2 does not accept ${t.catalogString} (integral types only)"))
+      new BoundZOrder2(ts(0), ts(1))
+    }
+  }
+
+  private[sources] def zorderAccepts(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  private[sources] def zorderLong(v: Any): Long = v match {
+    case null => 0L
+    case b: Byte => b.toLong
+    case s: Short => s.toLong
+    case i: Int => i.toLong
+    case l: Long => l
+    case other => sys.error(s"zorder2: unexpected value $other")
+  }
+
+  /** Interleave the low 31 bits of x (even positions) and y (odd). */
+  private[sources] def morton31(x: Long, y: Long): Long = {
+    val mask = (1L << 31) - 1
+    val xm = x & mask
+    val ym = y & mask
+    var acc = 0L
+    var i = 0
+    while (i < 31) {
+      acc |= ((xm >> i) & 1L) << (2 * i)
+      acc |= ((ym >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    acc
+  }
+
+  private final class BoundZOrder2(t0: DataType, t1: DataType)
+      extends ScalarFunction[Any] {
+    override def inputTypes(): Array[DataType] = Array(t0, t1)
+    override def resultType(): DataType = LongType
+    override def name(): String = "zorder2"
+    override def canonicalName(): String =
+      s"graft.zorder2(${t0.catalogString},${t1.catalogString})"
+    override def isResultNullable: Boolean = false
+    override def produceResult(input: InternalRow): Any = {
+      val x = if (input.isNullAt(0)) 0L else zorderLong(input.get(0, t0))
+      val y = if (input.isNullAt(1)) 0L else zorderLong(input.get(1, t1))
+      morton31(x, y)
+    }
   }
 
   private def pOf(name: String, width: Int): PTransform = name match {

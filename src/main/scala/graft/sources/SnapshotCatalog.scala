@@ -1172,17 +1172,74 @@ object SnapshotCatalog {
     // partitioned tables re-sort within each partition's file; an
     // unpartitioned table RANGE-repartitions on the sort key so each
     // output file covers a disjoint range (tight stats -> fewer files
-    // opened by a sort-key range predicate).
+    // opened by a sort-key range predicate). A `zorder(a, b)` spec
+    // clusters by the MORTON key instead, with each dimension
+    // NORMALIZED off the manifest's global min/max (metadata-only): the
+    // low-31-bit interleave then spends its bits on the occupied range,
+    // so both dimensions' per-file stats come out tight however wide the
+    // raw domains — the Iceberg OPTIMIZE ZORDER strategy as a declared,
+    // restorable layout.
     val order = SortOrders.of(st.properties, st.schema)
+    val zorder = SortOrders.zorderOf(st.properties, st.schema)
+    def zKeyCol: org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.functions.shiftright
+      val (a, b) = zorder.get
+      def norm(c: String): org.apache.spark.sql.Column = {
+        val raw = col(c).cast("long")
+        val fidOpt = st.schema.fields.find(_.name.equalsIgnoreCase(c))
+          .flatMap(FieldIds.idOf)
+        def numLong(v: Any): Long = v.asInstanceOf[Number].longValue
+        val boundsOpt = fidOpt.flatMap { fid =>
+          // Per-file verdicts: Some(Some(range)) = usable, Some(None) =
+          // all-null file (no contribution), None = stats unknown — any
+          // unknown file drops normalization (raw key still correct).
+          val per = st.currentFiles.map { f =>
+            f.stats.get(fid) match {
+              case Some(cs) if cs.min != null && cs.max != null =>
+                Some(Some((numLong(cs.min), numLong(cs.max))))
+              case Some(cs) if cs.min == null && cs.nulls == f.rowCount =>
+                Some(None)
+              case _ => None
+            }
+          }
+          if (per.exists(_.isEmpty)) None
+          else {
+            val bs = per.flatten.flatten
+            if (bs.isEmpty) None
+            else Some((bs.map(_._1).min, bs.map(_._2).max))
+          }
+        }
+        boundsOpt match {
+          case Some((mn, mx)) =>
+            // Align the dimension to the FULL 31-bit window: wide
+            // domains shift down, narrow ones shift UP — interleaving
+            // only tiles both dimensions when they occupy the same bit
+            // width (a 5-bit column against a 38-bit one would leave
+            // the narrow dimension in the Morton key's noise bits, and
+            // the layout would degenerate to a linear sort of the wide
+            // one).
+            val range = BigInt(mx) - BigInt(mn)
+            val bits = range.bitLength
+            if (bits >= 31) shiftright(raw - lit(mn), bits - 31)
+            else org.apache.spark.sql.functions.shiftleft(
+              raw - lit(mn), 31 - bits)
+          case None => raw
+        }
+      }
+      graft.operators.ZOrder.zKey(norm(a), norm(b), 31)
+    }
     def sortCols = order.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }
     val shaped =
       if (st.partitionCols.nonEmpty) {
         val r = df.repartition(st.partitionCols.map(col): _*)
-        if (order.nonEmpty) r.sortWithinPartitions(sortCols: _*) else r
+        if (zorder.nonEmpty) r.sortWithinPartitions(zKeyCol)
+        else if (order.nonEmpty) r.sortWithinPartitions(sortCols: _*) else r
       } else {
         val rows = st.currentFiles.map(_.rowCount).sum
         val n = math.max(1, math.ceil(rows.toDouble / targetFileRows).toInt)
-        if (order.nonEmpty)
+        if (zorder.nonEmpty)
+          df.repartitionByRange(n, zKeyCol).sortWithinPartitions(zKeyCol)
+        else if (order.nonEmpty)
           df.repartitionByRange(n, sortCols: _*).sortWithinPartitions(sortCols: _*)
         else df.repartition(n)
       }
@@ -2972,11 +3029,63 @@ private[sources] final case class MemDeltaWriterFactory(rowSchema: StructType,
 private[sources] object SortOrders {
   val Prop = "write.sort-order"
 
-  /** Parse the property into (column, ascending) pairs; empty = unsorted.
+  /** `zorder(a, b)` spec (round 18): MULTI-DIMENSIONAL clustering as
+    * declared table layout — Iceberg's OPTIMIZE ZORDER as a sort-order
+    * strategy. Two integral columns interleave into a Morton key; writes
+    * task-sort by it (via the catalog's `zorder2` V2 function) and
+    * COMPACTION range-clusters by the manifest-normalized key, after
+    * which point predicates on EITHER column open O(selectivity) files —
+    * the two-column layout a linear `'a, b'` order cannot give (b is
+    * unclustered within every run of a). Returns (colA, colB); None when
+    * the property is absent or a linear spec; loud on a malformed or
+    * ill-typed zorder form. */
+  def zorderOf(props: Map[String, String], schema: StructType):
+      Option[(String, String)] =
+    props.get(Prop).map(_.trim).filter(_.nonEmpty).flatMap { spec =>
+      if (!spec.toLowerCase.startsWith("zorder")) None
+      else {
+        val m = "(?i)^zorder\\s*\\(\\s*([^,()\\s]+)\\s*,\\s*([^,()\\s]+)\\s*\\)$"
+          .r.findFirstMatchIn(spec).getOrElse(
+            throw new IllegalArgumentException(
+              s"$Prop zorder form must be 'zorder(<colA>, <colB>)', got '$spec'"))
+        val cols = Seq(m.group(1), m.group(2))
+        cols.foreach { c =>
+          val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+            throw new IllegalArgumentException(
+              s"$Prop names unknown column '$c' (schema: " +
+                s"${schema.fieldNames.mkString(", ")})"))
+          require(PartitionFunctions.zorderAccepts(f.dataType),
+            s"$Prop zorder column '$c' must be integral " +
+              s"(got ${f.dataType.catalogString}) — CAST or derive an " +
+              "integral surrogate column")
+        }
+        require(!cols.head.equalsIgnoreCase(cols(1)),
+          s"$Prop zorder needs two DISTINCT columns, got '$spec'")
+        Some((cols.head, cols(1)))
+      }
+    }
+
+  /** The per-file stamp of a zorder-enforced write — never equal to any
+    * linear [[normalize]] form, so reads report NO ordering over
+    * z-clustered files (correct: a Morton layout is not sorted by any
+    * column). Field-id keyed like the linear stamp. */
+  def zorderStamp(cols: (String, String), schema: StructType): Option[String] = {
+    def idOf(c: String): Option[Int] =
+      schema.fields.find(_.name.equalsIgnoreCase(c)).flatMap(FieldIds.idOf)
+    for { a <- idOf(cols._1); b <- idOf(cols._2) } yield s"z:$a,$b"
+  }
+
+  /** Parse the property into (column, ascending) pairs; empty = unsorted
+    * (a `zorder(…)` spec validates via [[zorderOf]] and reports NO linear
+    * order — Morton clustering is not a column sort).
     * Fails loudly on unknown columns or malformed directions. */
   def of(props: Map[String, String], schema: StructType): Seq[(String, Boolean)] =
     props.get(Prop).map(_.trim).filter(_.nonEmpty).fold(
       Seq.empty[(String, Boolean)]) { spec =>
+      if (spec.toLowerCase.startsWith("zorder")) {
+        zorderOf(props, schema)
+        return Nil
+      }
       spec.split(',').toSeq.map { part =>
         val toks = part.trim.split("\\s+")
         require(toks.nonEmpty && toks.length <= 2,
@@ -3087,23 +3196,42 @@ private[sources] final class MemWriteBuilder(k: String, writeSchema: StructType,
     // and its sort-key stats are tight ([[SortOrders]]).
     val sortOrder = SortOrders.of(st.properties, st.schema)
       .filter { case (c, _) => writeSchema.fieldNames.exists(_.equalsIgnoreCase(c)) }
+    // `zorder(a, b)` layout: the write's required ordering is the Morton
+    // key, expressed as the catalog-served `zorder2` V2 function
+    // (Spark's DistributionAndOrderingUtils resolves it through this
+    // catalog's FunctionCatalog face) — each task's file is z-clustered,
+    // so BOTH dimensions' per-file stats tighten. Compaction restores
+    // the layout globally with manifest-normalized dimensions.
+    val zorder = SortOrders.zorderOf(st.properties, st.schema).filter {
+      case (a, b) => Seq(a, b).forall(c =>
+        writeSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    }
     // write.distribution-mode=range + a sort order = a GLOBAL range sort
     // (Iceberg's range mode): Spark range-partitions the incoming rows on
     // the sort key, so each task's file covers a DISJOINT key range —
     // tight per-file stats straight from the write, not only after
     // compaction. Plain sort order without range mode = task-local sort.
-    val rangeDistribute = sortOrder.nonEmpty &&
+    val rangeDistribute = (sortOrder.nonEmpty || zorder.nonEmpty) &&
       st.properties.get("write.distribution-mode").exists(_.equalsIgnoreCase("range"))
-    if (hashDistribute || rangeDistribute || sortOrder.nonEmpty)
+    val v2Order: Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      zorder match {
+        case Some((a, b)) => Array(Expressions.sort(
+          Expressions.apply("zorder2",
+            Expressions.column(a), Expressions.column(b)),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+        case None => SortOrders.v2Ordering(sortOrder)
+      }
+    if (hashDistribute || rangeDistribute || sortOrder.nonEmpty || zorder.nonEmpty)
       new GraftWrite(
-        if (sortOrder.isEmpty) ""
-        else SortOrders.normalize(sortOrder, st.schema).getOrElse(""))
+        zorder.flatMap(SortOrders.zorderStamp(_, st.schema)).getOrElse(
+          if (sortOrder.isEmpty) ""
+          else SortOrders.normalize(sortOrder, st.schema).getOrElse("")))
           with RequiresDistributionAndOrdering {
         override def requiredDistribution():
             org.apache.spark.sql.connector.distributions.Distribution =
           if (rangeDistribute)
             org.apache.spark.sql.connector.distributions.Distributions.ordered(
-              SortOrders.v2Ordering(sortOrder))
+              v2Order)
           else if (hashDistribute)
             org.apache.spark.sql.connector.distributions.Distributions.clustered(
               st.partitionCols.map(c => Expressions.identity(c): VExpression).toArray)
@@ -3111,7 +3239,7 @@ private[sources] final class MemWriteBuilder(k: String, writeSchema: StructType,
             org.apache.spark.sql.connector.distributions.Distributions.unspecified()
         override def requiredOrdering():
             Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-          SortOrders.v2Ordering(sortOrder)
+          v2Order
       }
     else new GraftWrite
   }

@@ -206,6 +206,52 @@ object CatalogBench {
     (s, dir) => rawScan(s, ensureRowDecode(s, dir)),
     Some(rawOracle))
 
+  /** Build-or-reuse the BLOOM-STATS variant: clustered by l_partkey so
+    * l_orderkey is SCATTERED — every file's orderkey [min, max] covers
+    * the whole domain and range stats can never skip a point predicate
+    * on it; `stats.bloom-columns` gives each file a membership filter
+    * that can. 32 files so each holds a small fraction of the orderkey
+    * domain (at the default 32 KiB cap a file's ~12% slice keeps the
+    * filter under half fill; fewer, bigger files would overload and
+    * drop it). */
+  private def ensureBloomTable(s: SparkSession, dir: String): String = {
+    val name = "graft_snap.bench.lineitem_bloom"
+    val src = Tables.lineitem(s, dir)
+    val expected = src.count()
+    val current = SnapshotStore
+      .resolve(SnapshotStore.keyOf("graft_snap", Seq("bench", "lineitem_bloom")))
+      .map(_.currentFiles.map(_.rowCount).sum)
+    if (!current.contains(expected)) {
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_snap.bench")
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      src.repartitionByRange(32, col("l_partkey"))
+        .sortWithinPartitions("l_partkey")
+        .writeTo(name)
+        .tableProperty("write.format", "parquet")
+        .tableProperty("stats.bloom-columns", "l_orderkey")
+        .create()
+    }
+    name
+  }
+
+  /** Point lookup on the scattered key: the manifest blooms open the few
+    * files that can hold orderkey 1's lineitems (≤ |lineitems of the
+    * order| + false-positive files) where min/max stats open all 32 —
+    * the needle-in-100 TB shape (find one order in a table clustered by
+    * something else) as a measured lane. */
+  val cat08BloomPoint = Q(
+    "cat08_bloom_point",
+    (s, dir) => s.table(ensureBloomTable(s, dir))
+      .filter(col("l_orderkey") === 1L)
+      .agg(count(lit(1)).as("n"),
+        sum("l_linenumber").as("sum_ln"),
+        dsum(col("l_quantity")).as("sum_qty")),
+    Some("""SELECT count(*) AS n,
+        CAST(sum(l_linenumber) AS BIGINT) AS sum_ln,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem WHERE l_orderkey = 1"""))
+
   val all: Seq[Q] = Seq(cat01ScanParquet, cat02ScanGrf, cat03StatsSkip,
-    cat04ScanSplit, cat05ScanRowDecode, cat06RawScan, cat07RawScanRow)
+    cat04ScanSplit, cat05ScanRowDecode, cat06RawScan, cat07RawScanRow,
+    cat08BloomPoint)
 }

@@ -106,7 +106,7 @@ private[sources] object DataFiles {
   private final class GrfRowFileWriter(path: String, schema: StructType,
       conf: Configuration, props: Map[String, String]) extends RowFileWriter {
     private val w = new RowFiles.Writer(path, schema.length, conf)
-    private val stats = new StatsCollector(schema)
+    private val stats = new StatsCollector(schema, props)
     private val chunkBytes = props.get("write.grf.chunk-bytes")
       .map(_.toLong).getOrElse(DefaultGrfChunkBytes)
     private val points = Vector.newBuilder[(Long, Long)]
@@ -156,7 +156,7 @@ private[sources] object DataFiles {
         .foreach(b.withRowGroupSize)
       b.build()
     }
-    private val stats = new StatsCollector(schema)
+    private val stats = new StatsCollector(schema, props)
     private var count = 0L
     override def write(u: UnsafeRow): Unit = {
       writer.write(u); stats.update(u); count += 1
@@ -470,8 +470,11 @@ private[sources] object DataFiles {
 
   /** Streaming min/max/null-count per supported column. Values read from
     * the reused row buffer are deep-copied only when they become the new
-    * bound. */
-  final class StatsCollector(schema: StructType) {
+    * bound. `props` opts columns into per-file [[FileBloom]] membership
+    * filters (`stats.bloom-columns`); non-stats-supported names are
+    * simply never collected (they have no canonical hash to probe). */
+  final class StatsCollector(schema: StructType,
+      props: Map[String, String] = Map.empty) {
     private val cols = schema.fields.zipWithIndex
       .filter { case (f, _) => statsSupported(f.dataType) }
     private val n = cols.length
@@ -494,6 +497,23 @@ private[sources] object DataFiles {
     private val isString = types.map(_ == StringType)
     private val lenSums = new Array[Long](n)
     private val lenMaxs = new Array[Long](n)
+    // Opt-in per-column bloom bit arrays (null = not opted in). Flat
+    // memory per column (the max collection size); values stream in via
+    // the SAME canonical hash the NDV sketch consumes, and [[result]]
+    // folds each array down to its density-fit size. Collection follows
+    // `valid` like the sketch: a column whose tracking invalidated
+    // (unbounded strings) drops its bloom with its min/max.
+    private val blooms: Array[Array[Long]] = {
+      val opted = FileBloom.columnsOf(props)
+      if (opted.isEmpty) new Array[Array[Long]](n)
+      else {
+        val m = FileBloom.maxBits(props)
+        cols.map { case (f, _) =>
+          if (opted.contains(f.name.toLowerCase)) FileBloom.emptyBits(m)
+          else null
+        }
+      }
+    }
 
     def update(u: UnsafeRow): Unit = {
       var i = 0
@@ -515,7 +535,10 @@ private[sources] object DataFiles {
                 mins(i) = InternalRow.copyValue(v)
               if (maxs(i) == null || orderings(i).gt(v, maxs(i)))
                 maxs(i) = InternalRow.copyValue(v)
-              NdvSketch.hash(v, types(i)).foreach(sketches(i).add)
+              NdvSketch.hash(v, types(i)).foreach { h =>
+                sketches(i).add(h)
+                if (blooms(i) != null) FileBloom.add(blooms(i), h)
+              }
             }
           }
         }
@@ -539,7 +562,11 @@ private[sources] object DataFiles {
             if (sketches(i).isEmpty) null
             else SnapshotStore.Ndv(sketches(i).registers),
             lenSum = if (isString(i)) lenSums(i) else -1L,
-            lenMax = if (isString(i)) lenMaxs(i) else -1L)
+            lenMax = if (isString(i)) lenMaxs(i) else -1L,
+            bloom =
+              if (blooms(i) == null) null
+              else Option(FileBloom.finish(blooms(i)))
+                .map(SnapshotStore.Bloom).orNull)
         else if (isString(i))
           b += cols(i)._1.name -> SnapshotStore.ColStats(null, null,
             nulls(i), null, lenSum = lenSums(i), lenMax = lenMaxs(i))
@@ -641,6 +668,15 @@ private[sources] object StatsPredicates {
         org.apache.spark.sql.catalyst.expressions.Literal(a, dt),
         org.apache.spark.sql.catalyst.expressions.Literal(b, dt))
         .eval(null).asInstanceOf[Boolean]
+    // Per-file [[FileBloom]] membership: definite ABSENCE of the hashed
+    // literal excludes the file for equality shapes — the skip min/max
+    // cannot make on a high-NDV column scattered across files. Hashing
+    // in the LIVE type matches write-time hashes across type widening
+    // (the canonical-hash contract NdvSketch documents).
+    def bloomExcludes(id: Int, dt: DataType, litV: Any): Boolean =
+      litV != null && stats.get(id).exists(cs => cs.bloom != null &&
+        NdvSketch.hash(litV, dt).exists(h =>
+          !FileBloom.mightContain(cs.bloom.bytes, h)))
     // A comparison can only be satisfied by a non-null value in [min, max].
     def rangeExcludes(op: String): Boolean = colLit(p, cols) match {
       case None => false
@@ -651,6 +687,8 @@ private[sources] object StatsPredicates {
           return if (op != "<=>") true
           else statOf(c, dt).exists(_.nulls == 0L)
         }
+        if ((op == "=" || op == "<=>") && bloomExcludes(c, dt, litV))
+          return true
         statOf(c, dt) match {
           case None => false
           case Some(s) =>
@@ -703,10 +741,16 @@ private[sources] object StatsPredicates {
         case Some((c, dt, vals)) => statOf(c, dt) match {
           case None => false
           case Some(s) =>
+            // Every value must be provably absent — by range OR by bloom
+            // (a null IN-value matches nothing). The two compose per
+            // value: range catches out-of-box values, the bloom catches
+            // in-box values the file never held.
             if (s.nulls == rowCount) true
-            else if (s.min == null || s.max == null) false
+            else if (s.min == null || s.max == null)
+              vals.forall(v => v == null || bloomExcludes(c, dt, v))
             else vals.forall(v =>
-              v == null || lt(dt, v, s.min) || lt(dt, s.max, v))
+              v == null || lt(dt, v, s.min) || lt(dt, s.max, v) ||
+                bloomExcludes(c, dt, v))
         }
       }
       case _ => false

@@ -220,8 +220,15 @@ private[sources] object MetadataLog {
           if (s.lenSum >= 0)
             Some(JArray(List(JLong(s.lenSum), JLong(s.lenMax))))
           else None
+        // Optional 6th element: the serialized [[FileBloom]] filter
+        // (base64); earlier optionals ride as null placeholders when a
+        // later one exists.
+        val bloomJ: Option[JValue] = Option(s.bloom).map(b => JString(
+          java.util.Base64.getEncoder.encodeToString(b.bytes)))
         val tail: List[JValue] =
-          if (lenJ.isDefined) List(ndvJ.getOrElse(JNull), lenJ.get)
+          if (bloomJ.isDefined)
+            List(ndvJ.getOrElse(JNull), lenJ.getOrElse(JNull), bloomJ.get)
+          else if (lenJ.isDefined) List(ndvJ.getOrElse(JNull), lenJ.get)
           else ndvJ.toList
         s"#$id" -> (JArray(List(
           pvToJson(dt, TypeWidening.coerce(dt, s.min)),
@@ -278,9 +285,14 @@ private[sources] object MetadataLog {
             case JArray(ls) => (jLong(ls.head), jLong(ls(1)))
             case _ => (-1L, -1L)
           } else (-1L, -1L)
+          val bloom = if (vs.length > 5) vs(5) match {
+            case JString(b64) => SnapshotStore.Bloom(
+              java.util.Base64.getDecoder.decode(b64))
+            case _ => null
+          } else null
           i -> SnapshotStore.ColStats(
             pvFromJson(dt, vs.head), pvFromJson(dt, vs(1)), jLong(vs(2)),
-            ndv, lenSum, lenMax)
+            ndv, lenSum, lenMax, bloom)
         }
       }.toMap
     val sizeBytes = if (es.length > 4) jLong(es(4)) else 0L

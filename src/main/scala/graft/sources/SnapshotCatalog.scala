@@ -484,6 +484,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     // write task trips it.
     DataFiles.formatOf(props)
     SortOrders.of(props, idSchema)
+    FileBloom.maxBits(props)
     val persisted = MetadataLog.createInitial(
       SnapshotStore.TableState(idSchema, partCols, dataDir, props, Vector.empty,
         partitionTransforms = partTransforms,
@@ -666,6 +667,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
               DataFiles.formatOf(Map("write.format" -> set.value))
             if (set.property == SortOrders.Prop)
               SortOrders.of(Map(SortOrders.Prop -> set.value), cur.schema)
+            if (set.property == FileBloom.MaxBytesProp)
+              FileBloom.maxBits(Map(FileBloom.MaxBytesProp -> set.value))
             cur.copy(properties = cur.properties + (set.property -> set.value))
           case rm: TableChange.RemoveProperty =>
             cur.copy(properties = cur.properties - rm.property)
@@ -1362,6 +1365,16 @@ private[graft] object SnapshotStore {
     override def hashCode(): Int = java.util.Arrays.hashCode(registers)
   }
 
+  /** Content-equal wrapper for a serialized [[FileBloom]] filter (same
+    * reference-equality trap as [[Ndv]]). */
+  final case class Bloom(bytes: Array[Byte]) {
+    override def equals(o: Any): Boolean = o match {
+      case b: Bloom => java.util.Arrays.equals(bytes, b.bytes)
+      case _ => false
+    }
+    override def hashCode(): Int = java.util.Arrays.hashCode(bytes)
+  }
+
   /** One column's per-file stats. `min`/`max` are Catalyst-internal values
     * of the column's type over the file's NON-NULL rows; both null with
     * `nulls == rowCount` marks an all-null column. `ndv` is the column's
@@ -1374,7 +1387,11 @@ private[graft] object SnapshotStore {
     * most: a 1 KB-string column estimated at the 20-byte default is what
     * mis-sizes every downstream plan). */
   final case class ColStats(min: Any, max: Any, nulls: Long,
-      ndv: Ndv = null, lenSum: Long = -1L, lenMax: Long = -1L)
+      ndv: Ndv = null, lenSum: Long = -1L, lenMax: Long = -1L,
+      /** Serialized [[FileBloom]] point-membership filter (opt-in via
+        * `stats.bloom-columns`); null = not collected. Hash-canonical
+        * across type widening like `ndv`. */
+      bloom: Bloom = null)
 
   /** lowercased-independent field id → live type map of `schema` — the
     * comparison context for stats-range pruning. */

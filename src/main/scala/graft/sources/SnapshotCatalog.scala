@@ -669,6 +669,9 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
               SortOrders.of(Map(SortOrders.Prop -> set.value), cur.schema)
             if (set.property == FileBloom.MaxBytesProp)
               FileBloom.maxBits(Map(FileBloom.MaxBytesProp -> set.value))
+            if (set.property == SortedScanMergePlanning.FanInProp)
+              SortedScanMergePlanning.fanInOf(
+                Map(SortedScanMergePlanning.FanInProp -> set.value))
             cur.copy(properties = cur.properties + (set.property -> set.value))
           case rm: TableChange.RemoveProperty =>
             cur.copy(properties = cur.properties - rm.property)
@@ -957,10 +960,169 @@ object SnapshotCatalog {
       val live = if (st.snapshots.isEmpty) 0L else st.snapshots.last.version
       if (live != br.base) throw new IllegalStateException(
         s"cannot fast-forward branch '$name': it forked at v${br.base} but " +
-          s"the table is now at v$live — drop the branch or re-stage its " +
-          "writes on a fresh fork")
+          s"the table is now at v$live — drop the branch, re-stage its " +
+          "writes on a fresh fork, or CALL <catalog>.system." +
+          "cherrypick_snapshot to replay it onto the moved head")
       st.copy(snapshots = st.snapshots ++ br.snapshots,
         branches = st.branches - name)
+    } match {
+      case (_, after) =>
+        if (after.snapshots.isEmpty) 0L else after.snapshots.last.version
+    }
+  }
+
+  /** CHERRY-PICK (Iceberg `cherrypick_snapshot`): re-apply a commit's
+    * FILE DELTA onto the CURRENT head as a fresh commit, with OCC
+    * conflict detection — the publish path [[fastForward]]'s moved-main
+    * refusal leaves closed. Two addressable sources:
+    *
+    *   - a MAIN-HISTORY VERSION (numeric `ref`): the delta of that
+    *     commit against its immediate predecessor replays onto the head
+    *     — re-applying a commit orphaned by `rollback_to_version`;
+    *   - a BRANCH NAME: every staged commit replays in order onto the
+    *     advanced head (fast-forward's dead end: the fork base moved),
+    *     then the ref drops exactly like a publish.
+    *
+    * OCC rule — overlapping FILE ops are loud, never merged: a delta
+    * that REMOVES a file the head no longer references (rewritten or
+    * expired by a commit that landed since), ADDS a path the head
+    * already references, or targets a delete structure at a data file
+    * the head dropped, conflicts — both histories touched the same
+    * file, and replaying would silently undo one of them. Disjoint
+    * deltas (the append-only staged-branch case, or a rolled-back
+    * rewrite whose inputs are untouched) apply cleanly.
+    *
+    * Replayed ADDED files are re-stamped with the NEW commit's sequence
+    * number: equality deletes that landed on main between the source
+    * commit and the head apply only to files OLDER than themselves, and
+    * a cherry-picked row is logically re-appended NOW (Iceberg assigns
+    * cherry-picked snapshots fresh sequence numbers for the same
+    * reason). Returns the new head version. */
+  def cherrypick(catalog: String, ident: Seq[String], ref: String): Long = {
+    val k = SnapshotStore.keyOf(catalog, ident)
+    SnapshotStore.update(k) { st =>
+      def headOf(snaps: Vector[SnapshotStore.Snapshot]):
+          (Vector[SnapshotStore.DataFile], Vector[SnapshotStore.DeleteFile]) =
+        snaps.lastOption.map(s => (s.files, s.deleteFiles))
+          .getOrElse((Vector.empty, Vector.empty))
+
+      /** Replay `s`'s delta vs (prevFiles, prevDeletes) onto the running
+        * head as version `v`; loud on any overlapping file op. */
+      def applyDelta(s: SnapshotStore.Snapshot,
+          prevFiles: Vector[SnapshotStore.DataFile],
+          prevDeletes: Vector[SnapshotStore.DeleteFile],
+          curFiles: Vector[SnapshotStore.DataFile],
+          curDeletes: Vector[SnapshotStore.DeleteFile], v: Long):
+          SnapshotStore.Snapshot = {
+        def conflict(what: String): Nothing = throw new IllegalStateException(
+          s"cannot cherry-pick '$ref' onto the moved head of " +
+            s"${ident.mkString(".")}: $what — the histories touched the " +
+            "same file; resolve on a fresh fork (rebase is a decision, " +
+            "not a default)")
+        val prevPaths = prevFiles.iterator.map(_.path).toSet
+        val sPaths = s.files.iterator.map(_.path).toSet
+        val added = s.files.filterNot(f => prevPaths(f.path))
+        val removed = prevFiles.filterNot(f => sPaths(f.path))
+        val prevDel = prevDeletes.iterator.map(_.path).toSet
+        val sDel = s.deleteFiles.iterator.map(_.path).toSet
+        val addedDel = s.deleteFiles.filterNot(d => prevDel(d.path))
+        val removedDel = prevDeletes.filterNot(d => sDel(d.path))
+        val curPaths = curFiles.iterator.map(_.path).toSet
+        val curDelPaths = curDeletes.iterator.map(_.path).toSet
+        removed.find(f => !curPaths(f.path)).foreach(f => conflict(
+          s"source v${s.version} rewrites ${f.path}, which the head no " +
+            "longer references"))
+        added.find(f => curPaths(f.path)).foreach(f => conflict(
+          s"source v${s.version} adds ${f.path}, which the head already " +
+            "references"))
+        addedDel.find(d => d.dataPath.nonEmpty && !curPaths(d.dataPath))
+          .foreach(d => conflict(
+            s"source v${s.version} deletes rows of ${d.dataPath}, which " +
+              "the head no longer references"))
+        // The one-delete-structure-per-data-file invariant (DV merge-fold)
+        // must survive the replay: the head growing its OWN vector for the
+        // same data file since the fork is a row-level conflict.
+        addedDel.find(d => d.kind == "dv" && curDeletes.exists(c =>
+          c.kind == "dv" && c.dataPath == d.dataPath)).foreach(d => conflict(
+          s"source v${s.version} and the head both carry deletion " +
+            s"vectors for ${d.dataPath}"))
+        removedDel.find(d => !curDelPaths(d.path)).foreach(d => conflict(
+          s"source v${s.version} folds delete file ${d.path}, which the " +
+            "head no longer references"))
+        val removedSet = removed.iterator.map(_.path).toSet
+        val removedDelSet = removedDel.iterator.map(_.path).toSet
+        // Appends land LAST (the appendedFiles suffix contract); added
+        // entries re-stamp to the new commit's sequence number.
+        val newFiles = curFiles.filterNot(f => removedSet(f.path)) ++
+          added.map(_.copy(seq = v))
+        val newDeletes = curDeletes.filterNot(d => removedDelSet(d.path)) ++
+          addedDel.map(_.copy(seq = v))
+        val pureAppend = s.appendedFiles >= 0 && removed.isEmpty &&
+          addedDel.isEmpty && removedDel.isEmpty
+        SnapshotStore.Snapshot(v, SnapshotStore.nowMicros(), newFiles,
+          appendedFiles = if (pureAppend) added.size else -1,
+          schema = st.schema, deleteFiles = newDeletes,
+          operation = s.operation)
+      }
+
+      st.branches.get(ref) match {
+        case Some(br) =>
+          val live = if (st.snapshots.isEmpty) 0L else st.snapshots.last.version
+          if (live == br.base)
+            // Unmoved main: identical to fast_forward's splice.
+            st.copy(snapshots = st.snapshots ++ br.snapshots,
+              branches = st.branches - ref)
+          else {
+            // Fork-base state (expire shields fork bases while the ref
+            // lives, so a miss means genuinely unreachable history).
+            var (pf, pd) =
+              if (br.base == 0L)
+                (Vector.empty[SnapshotStore.DataFile],
+                  Vector.empty[SnapshotStore.DeleteFile])
+              else st.snapshots.find(_.version == br.base)
+                .map(s => (s.files, s.deleteFiles))
+                .getOrElse(throw new IllegalStateException(
+                  s"cannot cherry-pick branch '$ref': its fork base " +
+                    s"v${br.base} is no longer in the snapshot log"))
+            var snaps = st.snapshots
+            var v = live
+            br.snapshots.foreach { s =>
+              v += 1
+              val (cf, cd) = headOf(snaps)
+              snaps :+= applyDelta(s, pf, pd, cf, cd, v)
+              pf = s.files; pd = s.deleteFiles
+            }
+            st.copy(snapshots = snaps, branches = st.branches - ref)
+          }
+        case None =>
+          val version = ref.toLongOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"cherrypick_snapshot: '$ref' is neither a branch of " +
+                s"${ident.mkString(".")} nor a numeric snapshot version; " +
+                s"branches: ${st.branches.keys.toSeq.sorted
+                  .mkString("[", ", ", "]")}"))
+          val idx = st.snapshots.indexWhere(_.version == version)
+          require(idx >= 0,
+            s"cannot cherry-pick version $version: not a live snapshot " +
+              s"(have ${st.snapshots.map(_.version).mkString("[", ", ", "]")})")
+          val src = st.snapshots(idx)
+          // The delta needs the TRUE immediate predecessor (version - 1);
+          // an expired gap makes the delta unreconstructable.
+          val (pf, pd) =
+            if (version == st.snapshots.head.version && version == 1L)
+              (Vector.empty[SnapshotStore.DataFile],
+                Vector.empty[SnapshotStore.DeleteFile])
+            else {
+              require(idx > 0 && st.snapshots(idx - 1).version == version - 1,
+                s"cannot cherry-pick version $version: its predecessor " +
+                  s"v${version - 1} was expired, so the commit's delta is " +
+                  "unreconstructable")
+              (st.snapshots(idx - 1).files, st.snapshots(idx - 1).deleteFiles)
+            }
+          val (cf, cd) = headOf(st.snapshots)
+          val v = st.snapshots.last.version + 1
+          st.copy(snapshots = st.snapshots :+ applyDelta(src, pf, pd, cf, cd, v))
+      }
     } match {
       case (_, after) =>
         if (after.snapshots.isEmpty) 0L else after.snapshots.last.version
@@ -2589,7 +2751,8 @@ private[sources] final class MemTable(fullName: String, k: String,
       // files are exactly the skewed slice).
       histograms =
         if (pinned.isDefined || restricted.isDefined) None
-        else StatsHistograms.forRead(props, st, sn.fold(0L)(_.version)))
+        else StatsHistograms.forRead(props, st, sn.fold(0L)(_.version)),
+      mergeFanIn = SortedScanMergePlanning.fanInOf(props))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -3594,7 +3757,10 @@ private[sources] final class MemScanBuilder(fullSchema: StructType,
     /** Equi-height histograms ([[StatsHistograms]]) with their stamp
       * version, keyed by FIELD ID; served to CBO only by scans whose
       * pruning dropped NOTHING the bins describe (pre-stamp files). */
-    histograms: Option[(Long, Map[Int, StatsHistograms.ColHist])] = None)
+    histograms: Option[(Long, Map[Int, StatsHistograms.ColHist])] = None,
+    /** K-way merge fan-in bound for sorted-overlapping ORDER BY planning
+      * ([[MemScan.mergeGroups]]); 0 = disabled. */
+    mergeFanIn: Int = SortedScanMergePlanning.DefaultFanIn)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownV2Filters {
   private val statCols = StatsPredicates.statCols(fullSchema)
@@ -3681,7 +3847,7 @@ private[sources] final class MemScanBuilder(fullSchema: StructType,
       startingVersion, deletes, partCols, splitTargetBytes, eqDeletes,
       typeHist = typeHist, specPruning = specPruning, vectorized = vectorized,
       spjKeys = spjKeys, currentSpecId = currentSpecId, chunkNdv = chunkNdv,
-      tableSortOrder = tableSortOrder,
+      tableSortOrder = tableSortOrder, mergeFanIn = mergeFanIn,
       // Histograms only when pruning dropped NOTHING the bins describe:
       // a predicate-pruned STAMPED file would double-count the predicate
       // (the filter estimate re-applies it over the histogram), but a
@@ -4367,7 +4533,10 @@ private[sources] final class MemScan(fullSchema: StructType,
       * |chunks| arrays replaces merging |files| (see the builder). */
     chunkNdv: Option[Vector[Map[Int, (SnapshotStore.Ndv, Long)]]] = None,
     tableSortOrder: Seq[(String, Boolean)] = Nil,
-    histograms: Map[Int, StatsHistograms.ColHist] = Map.empty)
+    histograms: Map[Int, StatsHistograms.ColHist] = Map.empty,
+    /** Max partitions one [[mergeGroups]] component may merge (k-way
+      * fan-in); 0 disables merge planning (`read.merge-scan=false`). */
+    mergeFanIn: Int = SortedScanMergePlanning.DefaultFanIn)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -4757,6 +4926,115 @@ private[sources] final class MemScan(fullSchema: StructType,
   private[sources] def rangeConcatProbe(
       strictOnly: Boolean): Option[(Seq[Int], Boolean)] =
     if (strictOnly) rangeConcatStrictProbe else rangeConcatLooseProbe
+
+  /** SORTED-OVERLAPPING scans — the case [[rangeConcatPermutation]]
+    * refuses: files are all sorted under the current order but their
+    * leading-column ranges OVERLAP (the steady-state compacted-table-
+    * plus-sorted-appends shape: big disjoint compacted files, small
+    * sorted appends straddling them). Concatenation cannot serve a
+    * global ORDER BY there, but a K-WAY MERGE of the overlapping
+    * partitions' sorted streams can — no Exchange, no Sort, no row
+    * buffering beyond one head per stream.
+    *
+    * Groups this scan's partitions into range-CONNECTED COMPONENTS of
+    * their files' leading-sort-column intervals, walking files in range
+    * order: a file joins the open component while its lo sits inside
+    * the component's running hi (touching boundaries also join under
+    * `strictOnly` — equal leading values could interleave on the
+    * secondary sort columns, and the in-component merge compares FULL
+    * row order, which handles any interleaving). Components are
+    * pairwise range-disjoint in order by construction, so merging each
+    * component and concatenating components in range order IS the
+    * global order. Split files' slices share the file's interval and
+    * land in one component; each slice is a sorted stream of its own.
+    *
+    * Same stats gates as range-concat (ordering reported, no SPJ
+    * grouping, leading-column stats present and null-free). Refuses
+    * (None) when any component's fan-in exceeds [[mergeFanIn]] — a
+    * single component spanning everything would serialize the table
+    * through one merge task, where the parallel Sort it replaces is the
+    * better plan — and when NO component merges (all singletons is
+    * range-concat's case, which the rule already tried).
+    *
+    * Returns (component → child-partition indices in
+    * [[planInputPartitions]] order, mayClaimClustering); the clustering
+    * claim holds only when every INTER-component boundary is strictly
+    * disjoint (a tolerated single-column boundary tie can put one key
+    * value in two output partitions). Deterministic over the current
+    * file set — the execution-time recompute (post-runtime-filter; file
+    * removal preserves sortedness and disjointness) agrees with
+    * plan-time feasibility wherever the file set did not change. */
+  private[sources] def mergeGroups(
+      strictOnly: Boolean): Option[(Seq[Seq[Int]], Boolean)] = {
+    if (mergeFanIn <= 0) return None
+    if (files.isEmpty) return Some((Nil, true))
+    if (outputOrdering().isEmpty) return None
+    if (spjKeys.exists(_.nonEmpty)) return None
+    val (colName, asc) = tableSortOrder.head
+    val field = fullSchema.fields.find(_.name.equalsIgnoreCase(colName))
+      .getOrElse(return None)
+    val id = FieldIds.idOf(field).getOrElse(return None)
+    val ord: Ordering[Any] = {
+      val o = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(field.dataType)
+      if (asc) o else o.reverse
+    }
+    val range: Map[String, (Any, Any)] = files.iterator.map { f =>
+      val s = f.stats.getOrElse(id, return None)
+      if (s.min == null || s.max == null || s.nulls != 0L) return None
+      val mn = TypeWidening.coerce(field.dataType, s.min)
+      val mx = TypeWidening.coerce(field.dataType, s.max)
+      f.path -> (if (asc) (mn, mx) else (mx, mn))
+    }.toMap
+    val mem = planInputPartitions().map {
+      case p: MemFilePartition => p
+      case _ => return None
+    }
+    if (mem.isEmpty) return Some((Nil, true))
+    val ranked = mem.map(_.path).distinct.toSeq.sortBy(p => range(p)._1)(ord)
+    // Walk files in range order building components; `hi` is the open
+    // component's running max (intervals are not nested-free — a wide
+    // compacted file can contain several appends).
+    val components = Vector.newBuilder[Vector[String]]
+    var current = Vector(ranked.head)
+    var hi = range(ranked.head)._2
+    var allBreaksStrict = true
+    ranked.drop(1).foreach { p =>
+      val (lo, pHi) = range(p)
+      val c = ord.compare(hi, lo)
+      if (c > 0 || (c == 0 && strictOnly)) {
+        current :+= p
+        if (ord.compare(pHi, hi) > 0) hi = pHi
+      } else {
+        if (c == 0) allBreaksStrict = false
+        components += current
+        current = Vector(p); hi = pHi
+      }
+    }
+    components += current
+    val comps = components.result()
+    if (comps.forall(_.length <= 1)) return None // range-concat's case
+    // Component per partition, partitions kept in (component, byteStart)
+    // order for determinism.
+    val compOf: Map[String, Int] =
+      comps.zipWithIndex.flatMap { case (c, i) => c.map(_ -> i) }.toMap
+    val groups = mem.indices
+      .groupBy(i => compOf(mem(i).path))
+      .toSeq.sortBy(_._1)
+      .map { case (_, idxs) =>
+        idxs.sortBy(i => (comps(compOf(mem(i).path))
+          .indexOf(mem(i).path), mem(i).byteStart)) }
+    if (groups.exists(_.length > mergeFanIn)) return None
+    Some((groups, allBreaksStrict))
+  }
+
+  /** Plan-time feasibility probes, memoized like [[rangeConcatProbe]];
+    * execution calls [[mergeGroups]] fresh (post-runtime-filter). */
+  private lazy val mergeGroupsStrictProbe = mergeGroups(true)
+  private lazy val mergeGroupsLooseProbe = mergeGroups(false)
+  private[sources] def mergeGroupsProbe(
+      strictOnly: Boolean): Option[(Seq[Seq[Int]], Boolean)] =
+    if (strictOnly) mergeGroupsStrictProbe else mergeGroupsLooseProbe
 
   /** Can EVERY partition of this scan decode vectorized? Columnar and
     * row partitions cannot mix inside one scan (Spark's

@@ -121,7 +121,7 @@ class ReportOrderingSuite extends AnyFunSuite {
 
   test("MULTI-partition sorted ORDER BY: a range-distributed multi-FILE " +
       "table concatenates its partitions in range order — no Sort, no " +
-      "Exchange; overlapping file ranges keep the Sort") {
+      "Exchange; overlapping file ranges k-way merge instead") {
     val t = fresh("rngm")
     spark.sql(s"""CREATE TABLE $t (k BIGINT, v BIGINT)
       TBLPROPERTIES ('write.sort-order' = 'k',
@@ -184,16 +184,38 @@ class ReportOrderingSuite extends AnyFunSuite {
       assert(off.collect().map(_.getLong(0)).toSeq === rows)
       spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
         "('read.report-ordering' = 'true')")
-      // A sorted APPEND makes ranges OVERLAP (both cover the domain):
-      // every file is stamped, but concatenation is no longer provable —
-      // the Sort must stay and the answer must still be ordered.
-      spark.sql(s"INSERT INTO $t SELECT id AS k, id AS v FROM range(0, 5000)")
+      // A sorted APPEND makes ranges OVERLAP (it straddles several
+      // compacted files): every file is stamped, concatenation is no
+      // longer provable — but the K-WAY MERGE is: the append's stream
+      // merges with exactly the files it straddles, untouched files
+      // stay pass-through, still no Sort and no Exchange. (The append
+      // writes through the table's range distribution; with AQE off a
+      // 32-partition shuffle would mint 32 tiny straddling files and
+      // push the overlap component past the merge fan-in bound — which
+      // correctly keeps the Sort, but is not this pin. Shrink the
+      // shuffle for the append so the component stays mergeable.)
+      val shufBefore = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      try spark.sql(s"INSERT INTO $t SELECT id AS k, id AS v FROM range(0, 5000)")
+      finally spark.conf.set("spark.sql.shuffle.partitions", shufBefore)
       val q2 = spark.sql(s"SELECT k, v FROM $t ORDER BY k")
-      assert(sorts(q2) === 1,
-        s"overlapping file ranges must keep the Sort:\n" +
-          q2.queryExecution.executedPlan)
+      val plan2 = q2.queryExecution.executedPlan
+      assert(sorts(q2) === 0 && shuffles(q2) === 0,
+        s"sorted-overlapping files must merge, not re-sort:\n$plan2")
+      assert(plan2.collect { case m: SortedMergeExec => m }.nonEmpty,
+        s"expected the SortedMerge node:\n$plan2")
       val r2 = q2.collect().map(_.getLong(0)).toSeq
       assert(r2 === r2.sorted)
+      assert(r2.length === rows.length + 5000)
+      // Merge off (`read.merge-scan = false`): the Sort reappears, the
+      // answer is identical — the A/B lever.
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+        "('read.merge-scan' = 'false')")
+      val moff = spark.sql(s"SELECT k, v FROM $t ORDER BY k")
+      assert(sorts(moff) === 1,
+        s"with merge planning off the Sort must be paid:\n" +
+          moff.queryExecution.executedPlan)
+      assert(moff.collect().map(_.getLong(0)).toSeq === r2)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 

@@ -383,8 +383,8 @@ private[sources] object SnapshotProcedures {
   def names: Seq[String] =
     Seq("expire_snapshots", "rollback_to_version", "create_tag", "drop_tag",
       "rewrite_data_files", "create_branch", "drop_branch", "fast_forward",
-      "remove_orphan_files", "evolve_partition_spec", "maintain",
-      "refresh_mv", "collect_stats")
+      "cherrypick_snapshot", "remove_orphan_files", "evolve_partition_spec",
+      "maintain", "refresh_mv", "collect_stats")
 
   def load(catalogName: String, ident: Identifier): Option[UnboundProcedure] = {
     if (!ident.namespace().sameElements(Array("system"))) return None
@@ -447,6 +447,16 @@ private[sources] object SnapshotProcedures {
         StructType(Seq(StructField("current_version", LongType, nullable = false))),
         r => Array[Any](
           SnapshotCatalog.fastForward(catalogName, identOf(str(r, 0)), str(r, 1)))))
+      case "cherrypick_snapshot" => Some(proc("cherrypick_snapshot",
+        "re-apply a commit's file delta onto the CURRENT head as a fresh " +
+          "commit (OCC: overlapping file ops are a loud conflict) — " +
+          "snapshot is a main-history version (re-apply a rolled-back " +
+          "commit) or a branch name (publish staged commits onto a MOVED " +
+          "main, fast_forward's refusal case; the ref drops on success)",
+        Seq(in("table", StringType), in("snapshot", StringType)),
+        StructType(Seq(StructField("current_version", LongType, nullable = false))),
+        r => Array[Any](
+          SnapshotCatalog.cherrypick(catalogName, identOf(str(r, 0)), str(r, 1)))))
       case "remove_orphan_files" => Some(procRows("remove_orphan_files",
         "delete unreferenced files under the table's data dir older than " +
           "older_than_hours (age floor protects in-flight writers; a " +

@@ -2752,7 +2752,9 @@ private[sources] final class MemTable(fullName: String, k: String,
       histograms =
         if (pinned.isDefined || restricted.isDefined) None
         else StatsHistograms.forRead(props, st, sn.fold(0L)(_.version)),
-      mergeFanIn = SortedScanMergePlanning.fanInOf(props))
+      mergeFanIn = SortedScanMergePlanning.fanInOf(props),
+      runtimeFileSkipping = !props.get("read.runtime-file-skipping")
+        .exists(_.equalsIgnoreCase("false")))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -3760,7 +3762,10 @@ private[sources] final class MemScanBuilder(fullSchema: StructType,
     histograms: Option[(Long, Map[Int, StatsHistograms.ColHist])] = None,
     /** K-way merge fan-in bound for sorted-overlapping ORDER BY planning
       * ([[MemScan.mergeGroups]]); 0 = disabled. */
-    mergeFanIn: Int = SortedScanMergePlanning.DefaultFanIn)
+    mergeFanIn: Int = SortedScanMergePlanning.DefaultFanIn,
+    /** Runtime data-column file skipping (sort/bloom columns reported
+      * as dynamically filterable). */
+    runtimeFileSkipping: Boolean = true)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownV2Filters {
   private val statCols = StatsPredicates.statCols(fullSchema)
@@ -3848,6 +3853,7 @@ private[sources] final class MemScanBuilder(fullSchema: StructType,
       typeHist = typeHist, specPruning = specPruning, vectorized = vectorized,
       spjKeys = spjKeys, currentSpecId = currentSpecId, chunkNdv = chunkNdv,
       tableSortOrder = tableSortOrder, mergeFanIn = mergeFanIn,
+      runtimeFileSkipping = runtimeFileSkipping,
       // Histograms only when pruning dropped NOTHING the bins describe:
       // a predicate-pruned STAMPED file would double-count the predicate
       // (the filter estimate re-applies it over the histogram), but a
@@ -4536,7 +4542,10 @@ private[sources] final class MemScan(fullSchema: StructType,
     histograms: Map[Int, StatsHistograms.ColHist] = Map.empty,
     /** Max partitions one [[mergeGroups]] component may merge (k-way
       * fan-in); 0 disables merge planning (`read.merge-scan=false`). */
-    mergeFanIn: Int = SortedScanMergePlanning.DefaultFanIn)
+    mergeFanIn: Int = SortedScanMergePlanning.DefaultFanIn,
+    /** Report sort/bloom columns for runtime data-column file skipping
+      * (`read.runtime-file-skipping`, default on). */
+    runtimeFileSkipping: Boolean = true)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -4728,6 +4737,29 @@ private[sources] final class MemScan(fullSchema: StructType,
     * three-valued evaluator as static pushdown, so it is sound by the
     * same argument: a file is dropped only when a predicate DEFINITELY
     * excludes every row it can hold. */
+  /** RUNTIME DATA-COLUMN file skipping ([[RuntimeFilePruning]]): beyond
+    * identity partition columns, the scan reports as filterable the
+    * columns whose MANIFEST evidence can actually skip files at 100 TB —
+    * the leading LINEAR sort column (range-clustered by compaction, so
+    * per-file [min, max] boxes are tight) and any column some current
+    * file carries a [[FileBloom]] for (point membership on a scattered
+    * key). Spark's dynamic-pruning planning then builds the dim-side
+    * subquery for star joins keyed on them, exactly as it would for a
+    * partition column — no declared partitioning required. Off via
+    * table property `read.runtime-file-skipping = false`. */
+  private lazy val runtimeSkipNames: Set[String] =
+    if (!runtimeFileSkipping) Set.empty
+    else {
+      val sc = StatsPredicates.statCols(fullSchema)
+      val sortLead = tableSortOrder.headOption.map(_._1.toLowerCase)
+        .filter(sc.contains).toSet
+      val bloomIds = initial.iterator.flatMap(_.stats.iterator)
+        .collect { case (id, s) if s.bloom != null => id }.toSet
+      sortLead ++ sc.collect { case (n, (id, _)) if bloomIds(id) => n }
+    }
+  private lazy val runtimeStatCols: StatsPredicates.StatCols =
+    StatsPredicates.statCols(fullSchema)
+
   override def filterAttributes(): Array[NamedReference] = {
     // Report the schema's original casing (the partCols map keys are
     // lowercased for case-insensitive predicate matching) — and ONLY
@@ -4737,12 +4769,23 @@ private[sources] final class MemScan(fullSchema: StructType,
     // that dropped the partition column must not advertise it.
     val lower = partCols.keySet
     val out = required.fieldNames.toSet
-    fullSchema.fieldNames.filter(n => lower(n.toLowerCase) && out(n))
+    fullSchema.fieldNames.filter(n =>
+      (lower(n.toLowerCase) || runtimeSkipNames(n.toLowerCase)) && out(n))
       .map(Expressions.column)
   }
-  override def filter(predicates: Array[VPredicate]): Unit =
+  override def filter(predicates: Array[VPredicate]): Unit = {
     files = files.filter(f => !predicates.exists(
       PartitionPredicates.definitelyExcludes(_, pcOf(f), f.partitionValues)))
+    // Data-column runtime skipping on the reported stat/bloom columns —
+    // sound like static stats pushdown (predicates stay residual), but
+    // fed by the JOIN's actual keys at execution.
+    if (runtimeSkipNames.nonEmpty)
+      files = RuntimeFilePruning.prune(files, predicates, runtimeStatCols)
+  }
+
+  /** Post-runtime-filter file count — test observable for the skipping
+    * contracts (never forces planning). */
+  private[graft] def currentFileCount: Int = files.size
 
   override def planInputPartitions(): Array[InputPartition] =
     ScanSplits.partitions(files, deletes, splitTargetBytes, eqDeletes,

@@ -137,9 +137,16 @@ private[sources] object RuntimeFilePruning {
       if (d.ord.lt(d.sorted(mid), mn)) lo = mid + 1 else hi = mid
     }
     if (lo == d.sorted.length) return true // every value below the box
-    // Values in [first >= min .. last <= max] are the candidates.
-    var end = lo
-    while (end < d.sorted.length && !d.ord.gt(d.sorted(end), mx)) end += 1
+    // First sorted value > max — the second binary search (a linear walk
+    // here would be O(in-range values) per file, the cost this decoder
+    // exists to avoid).
+    var lo2 = lo
+    var hi2 = d.sorted.length
+    while (lo2 < hi2) {
+      val mid = (lo2 + hi2) >>> 1
+      if (d.ord.gt(d.sorted(mid), mx)) hi2 = mid else lo2 = mid + 1
+    }
+    val end = lo2
     if (end == lo) return true // nearest value jumps past the box
     val b = s.bloom
     if (b == null || d.hashes == null ||

@@ -1322,7 +1322,19 @@ object SnapshotCatalog {
     * table must pass it via its own offset management (same contract as
     * Iceberg's rewrite commits). Returns (files before, files after). */
   def compact(spark: org.apache.spark.sql.SparkSession, catalog: String,
-      ident: Seq[String], targetFileRows: Long = 1L << 20): (Int, Int) = {
+      ident: Seq[String], targetFileRows: Long = 1L << 20,
+      /** PARTITION-SCOPED compaction (`where`): rewrite only the
+        * partitions a predicate selects — at 100 TB nobody compacts the
+        * whole table; the nightly job compacts yesterday's partition.
+        * The predicate must be decidable from identity-partition values
+        * (whole files retire or survive; the write path validates
+        * loudly), and the commit is the same atomic content-neutral
+        * `replace`: rows of the selected partitions re-insert reshaped,
+        * every other partition's files survive BY PATH IDENTITY, and
+        * NULL-partition rows are untouched (a predicate that evaluates
+        * NULL on them neither filters them in nor retires their files —
+        * the retire set and the re-insert set agree exactly). */
+      where: Option[String] = None): (Int, Int) = {
     require(targetFileRows >= 1, s"targetFileRows must be >= 1, got $targetFileRows")
     val k = SnapshotStore.keyOf(catalog, ident)
     val st = SnapshotStore.stateOf(k)
@@ -1394,6 +1406,46 @@ object SnapshotCatalog {
       graft.operators.ZOrder.zKey(norm(a), norm(b), 31)
     }
     def sortCols = order.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }
+    where.map(_.trim).filter(_.nonEmpty) match {
+      case Some(w) =>
+        require(st.partitionCols.nonEmpty,
+          "rewrite_data_files(where => …) compacts selected PARTITIONS — " +
+            s"$name is unpartitioned; compact it whole (omit `where`)")
+        // Friendly pre-check (the write path re-validates structurally):
+        // the predicate may reference only identity partition columns —
+        // whole files must retire or survive.
+        val identCols = st.partitionCols.zip(st.transformsOrIdentity)
+          .collect { case (c, tr) if tr.isIdentity => c.toLowerCase }.toSet
+        val refs = spark.sessionState.sqlParser.parseExpression(w).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.name.toLowerCase
+        }
+        val bad = refs.filterNot(identCols).distinct
+        require(bad.isEmpty,
+          "rewrite_data_files(where => …) predicates must reference only " +
+            s"IDENTITY partition columns ${identCols.toSeq.sorted
+              .mkString("(", ", ", ")")} — whole files must retire or " +
+            s"survive; got non-partition reference(s): ${bad.mkString(", ")}")
+        val cond = org.apache.spark.sql.functions.expr(w)
+        // Shape exactly like full partitioned compaction, over the
+        // selected partitions only; `overwrite(cond)` retires precisely
+        // the files whose partition values DEFINITELY satisfy the
+        // predicate, which is the same row set the filter kept.
+        val r = df.filter(cond).repartition(st.partitionCols.map(col): _*)
+        val scoped =
+          if (zorder.nonEmpty) r.sortWithinPartitions(zKeyCol)
+          else if (order.nonEmpty) r.sortWithinPartitions(sortCols: _*)
+          else r
+        compactPermit.set(compactPermit.get() + k)
+        try scoped.writeTo(name).option("graft.operation", "replace")
+          .overwrite(cond)
+        finally compactPermit.set(compactPermit.get() - k)
+        // No histogram collection here: stored bins describe the WHOLE
+        // table, and a scoped rewrite read only a slice — whole-table
+        // collection belongs to full compaction or CALL collect_stats.
+        return (before, SnapshotStore.stateOf(k).currentFiles.size)
+      case None => ()
+    }
     val shaped =
       if (st.partitionCols.nonEmpty) {
         val r = df.repartition(st.partitionCols.map(col): _*)

@@ -557,17 +557,25 @@ private[sources] object SnapshotProcedures {
       case "rewrite_data_files" => Some(proc("rewrite_data_files",
         "compact live data to one file per partition, or about " +
           "target_file_rows per file when unpartitioned (history preserved; " +
-          "a declared write.sort-order is restored — range-clustered files)",
+          "a declared write.sort-order is restored — range-clustered " +
+          "files); where => '<pred>' scopes the rewrite to the partitions " +
+          "an identity-partition predicate selects (the nightly " +
+          "compact-yesterday job) — other partitions' files survive by " +
+          "path identity",
         Seq(in("table", StringType),
           ProcedureParameter.in("target_file_rows", LongType)
-            .defaultValue((1L << 20).toString).build()),
+            .defaultValue((1L << 20).toString).build(),
+          ProcedureParameter.in("where", StringType)
+            .defaultValue("''").build()),
         StructType(Seq(
           StructField("files_before", IntegerType, nullable = false),
           StructField("files_after", IntegerType, nullable = false))),
         r => {
           val target = if (r.isNullAt(1)) 1L << 20 else r.getLong(1)
+          val w = if (r.isNullAt(2)) None
+            else Some(r.getUTF8String(2).toString).filter(_.trim.nonEmpty)
           val (b, a) = SnapshotCatalog.compact(SparkSession.active, catalogName,
-            identOf(str(r, 0)), target)
+            identOf(str(r, 0)), target, w)
           Array[Any](b, a)
         }))
       case _ => None

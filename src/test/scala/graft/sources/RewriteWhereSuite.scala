@@ -96,6 +96,33 @@ class RewriteWhereSuite extends AnyFunSuite {
       s"the compacted file must carry the sort stamp: $fs")
   }
 
+  test("merge-on-read deletes: a scoped rewrite APPLIES and sheds the " +
+      "selected partition's delete structures; other partitions keep theirs") {
+    val t = fresh("mor")
+    spark.sql(s"""CREATE TABLE $t (p INT, v BIGINT) PARTITIONED BY (p)
+      TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""")
+    spark.sql(s"INSERT INTO $t SELECT p, id AS v FROM range(0, 100, 1, 1) " +
+      "LATERAL VIEW explode(array(1, 2)) AS p")
+    spark.sql(s"DELETE FROM $t WHERE p = 1 AND v < 10")
+    spark.sql(s"DELETE FROM $t WHERE p = 2 AND v < 5")
+    def deletesByPart: Map[Any, Int] = {
+      val st = SnapshotStore.stateOf(SnapshotStore.keyOf(cat, Seq("rw", "mor")))
+      val partOf = st.currentFiles.map(f => f.path -> f.partitionValues.head).toMap
+      st.currentDeletes.groupBy(d => partOf(d.dataPath)).map { case (p, ds) => p -> ds.size }
+    }
+    assert(deletesByPart.keySet === Set(1, 2), s"fixture: $deletesByPart")
+    val expect = spark.sql(s"SELECT p, v FROM $t ORDER BY p, v").collect().toSeq
+    spark.sql(s"CALL $cat.system.rewrite_data_files('rw.mor', 1000000, " +
+      "where => 'p = 1')")
+    val after = deletesByPart
+    assert(!after.contains(1),
+      s"the rewritten partition's deletes must be applied and shed: $after")
+    assert(after.contains(2),
+      s"the untouched partition must keep its delete structures: $after")
+    assert(spark.sql(s"SELECT p, v FROM $t ORDER BY p, v").collect().toSeq
+      === expect)
+  }
+
   test("loud on a non-partition predicate and on an unpartitioned table") {
     val t = fresh("bad")
     spark.sql(s"CREATE TABLE $t (p INT, v BIGINT) PARTITIONED BY (p)")

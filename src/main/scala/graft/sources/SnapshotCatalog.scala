@@ -1674,8 +1674,29 @@ private[graft] object SnapshotStore {
         dt <- types.get(id)
         ds <- d.stats.get(id)
         fs <- f.stats.get(id)
-      } yield statRangesDisjoint(dt, ds, fs)).getOrElse(false)
+      } yield statRangesDisjoint(dt, ds, fs) ||
+        pointKeyBloomMiss(dt, ds, fs)).getOrElse(false)
     }
+
+  /** POINT-delete bloom pruning: a single-key equality delete (min ==
+    * max, no null keys — the streaming single-key upsert shape) cannot
+    * apply to a data file whose [[FileBloom]] proves the key ABSENT —
+    * the skip key-range boxes cannot make on a scattered high-NDV key,
+    * where every older file's range covers the key. Canonical hashing
+    * keeps pre-widen blooms valid for widen-coerced key values; a bloom
+    * false positive merely keeps the probe (sound). */
+  private def pointKeyBloomMiss(dt: DataType, ds: ColStats,
+      fs: ColStats): Boolean = {
+    if (fs.bloom == null || ds.nulls > 0 ||
+      ds.min == null || ds.max == null) return false
+    val mn = TypeWidening.coerce(dt, ds.min)
+    val mx = TypeWidening.coerce(dt, ds.max)
+    val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(dt)
+    if (!ord.equiv(mn, mx)) return false
+    NdvSketch.hash(mn, dt).exists(h =>
+      !FileBloom.mightContain(fs.bloom.bytes, h))
+  }
 
   private def statRangesDisjoint(dt: DataType, a: ColStats,
       b: ColStats): Boolean = {

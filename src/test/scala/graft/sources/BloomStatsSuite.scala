@@ -156,6 +156,34 @@ class BloomStatsSuite extends AnyFunSuite {
     assert(q.collect().toSeq === Seq(Row("u5")))
   }
 
+  test("point-key upsert probes only the bloom-matching file: equality-" +
+      "delete pruning through the data files' blooms where key ranges " +
+      "all overlap") {
+    val t = fresh("equps")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('stats.bloom-columns'='id')")
+    buildScattered(t) // 3 files, every id range covers the domain
+    import spark.implicits._
+    // id = 5 lives only in the j = 2 file; the single-key upsert's
+    // delete has range [5, 5], which every file's box covers — only the
+    // blooms can prune the probes.
+    SnapshotUpsert.upsertBatch(t, Seq((5L, "U5")).toDF("id", "v"), Seq("id"))
+    val st = SnapshotStore.stateOf(SnapshotStore.keyOf(cat, Seq("bloom", "equps")))
+    val eq = SnapshotStore.eqDeletes(st.currentDeletes)
+    assert(eq.size === 1, s"fixture: one eq delete expected, got $eq")
+    val parts = ScanSplits.partitions(st.currentFiles,
+      SnapshotStore.deleteMap(st.currentDeletes), Long.MaxValue, eq,
+      SnapshotStore.idTypes(st.schema))
+    val probed = parts.collect {
+      case p: MemFilePartition if p.eqDeletePaths.nonEmpty => p.path }
+    assert(probed.length === 1,
+      s"blooms must keep the probe on 1 of 3 overlapping files: $probed")
+    assert(spark.sql(s"SELECT v FROM $t WHERE id = 5").collect().toSeq ===
+      Seq(Row("U5")))
+    assert(spark.sql(s"SELECT count(*) FROM $t").collect()
+      .head.getLong(0) === 300L)
+  }
+
   test("malformed stats.bloom-max-bytes fails loudly at CREATE and ALTER") {
     val t = fresh("badprop")
     val e1 = intercept[Exception](spark.sql(s"CREATE TABLE $t (id BIGINT) " +

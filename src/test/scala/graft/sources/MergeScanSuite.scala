@@ -198,6 +198,50 @@ class MergeScanSuite extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.adaptive.forceApply")
   }
 
+  test("merge + merge-on-read deletes: the direct component readers " +
+      "apply delete structures exactly like the planned scan") {
+    val t = fresh("mor")
+    spark.sql(s"""CREATE TABLE $t (k BIGINT, v BIGINT)
+      TBLPROPERTIES ('write.sort-order' = 'k',
+                     'write.delete.mode' = 'merge-on-read')""")
+    // Two sorted files with fully overlapping ranges → one merged
+    // component of two streams.
+    spark.sql(s"INSERT INTO $t SELECT id * 2 AS k, id AS v FROM range(0, 500, 1, 1)")
+    spark.sql(s"INSERT INTO $t SELECT id * 2 + 1 AS k, id AS v FROM range(0, 500, 1, 1)")
+    spark.sql(s"DELETE FROM $t WHERE k % 10 = 3") // MOR: position deletes
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = spark.sql(s"SELECT k FROM $t ORDER BY k")
+      assert(merges(q.queryExecution.executedPlan).nonEmpty,
+        s"plan:\n${q.queryExecution.executedPlan}")
+      val ks = q.collect().map(_.getLong(0)).toSeq
+      assert(ks === (0L until 1000L).filter(_ % 10 != 3),
+        "the merged streams must apply the position deletes")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("merge + ADD COLUMN: pre-evolution files pad NULL through the " +
+      "direct component readers") {
+    val t = fresh("evo")
+    spark.sql(s"""CREATE TABLE $t (k BIGINT)
+      TBLPROPERTIES ('write.sort-order' = 'k')""")
+    spark.sql(s"INSERT INTO $t SELECT id * 2 AS k FROM range(0, 100, 1, 1)")
+    spark.sql(s"ALTER TABLE $t ADD COLUMN extra STRING")
+    spark.sql(s"INSERT INTO $t SELECT id * 2 + 1 AS k, concat('x', id) AS extra " +
+      "FROM range(0, 100, 1, 1)")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = spark.sql(s"SELECT k, extra FROM $t ORDER BY k")
+      assert(merges(q.queryExecution.executedPlan).nonEmpty,
+        s"plan:\n${q.queryExecution.executedPlan}")
+      val rows = q.collect()
+      assert(rows.map(_.getLong(0)).toSeq === (0L until 200L))
+      assert(rows.filter(_.getLong(0) % 2 == 0).forall(_.isNullAt(1)),
+        "pre-ALTER files must pad NULL")
+      assert(rows.find(_.getLong(0) == 3L).get.getString(1) === "x1")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("ORDER BY + LIMIT over the merge reads the leading component only " +
       "— and the answer matches the Sort twin") {
     val t = fresh("limit")

@@ -27,10 +27,21 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Edge-count ceiling for the driver-local fast path: 100k canonical
+    * edges is ~1.6 MB of longs — broadcast-join-sized, far under any
+    * driver budget — while a union-find over it replaces ~4 distributed
+    * star rounds (each 2 shuffles + a convergence probe). Same
+    * scale-adaptive pattern as the engine's IN-list-vs-semi-join caps:
+    * the distributed alternation below stays the unbounded-scale path. */
+  val LocalMaxEdges = 100000L
+
   /** @param pairs two columns `id_a`, `id_b` (undirected edges)
+    * @param localMaxEdges fast-path ceiling (tests pass 0 to force the
+    *   distributed alternation on small graphs)
     * @return `id`, `cluster_id` (min reachable id) for every endpoint
     */
-  def clusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  def clusters(pairs: DataFrame, maxIters: Int = 25,
+      localMaxEdges: Long = LocalMaxEdges): DataFrame = {
     // ONE pass over the (possibly expensive) caller plan: canonicalize,
     // dedup, checkpoint — then split self-pairs from real edges off the
     // materialized frame. Deriving selfNodes lazily from `pairs` would
@@ -41,6 +52,18 @@ object ConnectedComponents {
         greatest(col("id_a"), col("id_b")).as("hi"))
       .distinct()
       .localCheckpoint()
+    // Small-graph fast path: counting the checkpointed frame is one cheap
+    // cached-block pass; under the ceiling (and for the orderable id types
+    // a local min-label is trivially exact on), collect + union-find and
+    // skip the iterative rounds entirely. Output rows are IDENTICAL to the
+    // distributed fixpoint's: one (id, min reachable id) row per endpoint
+    // (ConnectedComponentsSuite runs both paths over the same graphs).
+    val idType = canon.schema.fields.head.dataType
+    val localizable =
+      idType == org.apache.spark.sql.types.LongType ||
+        idType == org.apache.spark.sql.types.IntegerType
+    if (localizable && localMaxEdges > 0L && canon.count() <= localMaxEdges)
+      return localClusters(canon)
     // Self-pairs (id_a = id_b) carry no connectivity but their endpoint is
     // still "every endpoint" under the contract: remember them and emit
     // singleton labels for any that end up in no real component.
@@ -112,5 +135,44 @@ object ConnectedComponents {
     labeled.union(
       selfNodes.join(labeled, Seq("id"), "left_anti")
         .select(col("id"), col("id").as("cluster_id")))
+  }
+
+  /** Driver-local labeling of a SMALL canonical edge frame (`lo`, `hi`,
+    * distinct, lo ≤ hi, ≤ [[LocalMaxEdges]] rows): path-compressing
+    * union-find keyed on the numeric id, component label = min member —
+    * the same function the star alternation converges to. Self-pairs
+    * label themselves unless a real edge reaches them, exactly like the
+    * distributed path's singleton handling. */
+  private def localClusters(canon: DataFrame): DataFrame = {
+    val spark = canon.sparkSession
+    val longIds = canon.schema.fields.head.dataType ==
+      org.apache.spark.sql.types.LongType
+    val edges = canon.collect().map { r =>
+      if (longIds) (r.getLong(0), r.getLong(1))
+      else (r.getInt(0).toLong, r.getInt(1).toLong)
+    }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent(root)
+      var cur = x
+      while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+      root
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // Union by MIN id: the root is always the component minimum, so the
+      // final find() IS the cluster label.
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val rows = parent.keysIterator
+      .map(id => (id, find(id))).toSeq.sortBy(_._1)
+    import spark.implicits._
+    val out = spark.createDataset(rows).toDF("id", "cluster_id")
+    if (longIds) out
+    else out.select(col("id").cast("int").as("id"),
+      col("cluster_id").cast("int").as("cluster_id"))
   }
 }

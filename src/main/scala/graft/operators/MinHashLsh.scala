@@ -268,13 +268,13 @@ object MinHashLsh {
     * side; the refreshes drop the writing session's FileStatusCache
     * entries (the n08 store-build lesson). */
   private def writeAttempt(s: org.apache.spark.sql.SparkSession, storeDb: String,
-      sh: DataFrame, p: Params, batchId: Long, attempt: String,
+      sh: DataFrame, bands: DataFrame, batchId: Long, attempt: String,
       streamId: String): Unit = {
     val led = ledger(storeDb)
     led.stamp(sh, batchId, attempt).write.mode("append")
       .bucketBy(StoreBuckets, "id").sortBy("id")
       .saveAsTable(s"$storeDb.corpus_shingles")
-    led.stamp(bandFrame(signaturesFromShingles(sh, p), p), batchId, attempt)
+    led.stamp(bands, batchId, attempt)
       .write.mode("append")
       .bucketBy(StoreBuckets, "band_idx", "band_hash").sortBy("band_idx", "band_hash")
       .saveAsTable(s"$storeDb.corpus_bands")
@@ -322,8 +322,24 @@ object MinHashLsh {
     val sh = batch
       .select(col(idCol).as("id"), shingles(col(textCol), p.shingleSize).as("shingles"))
       .persist()
-    try writeAttempt(s, storeDb, sh, p, batchId, IngestLedger.newAttempt(), streamId)
+    try writeAttempt(s, storeDb, sh, bandFrame(signaturesFromShingles(sh, p), p),
+      batchId, IngestLedger.newAttempt(), streamId)
     finally sh.unpersist()
+  }
+
+  /** [[appendToStore]] over PREBUILT `(id, shingles)` and
+    * `(id, band_idx, band_hash)` frames — the one-pass form for callers
+    * that already computed the batch's signature pipeline for their own
+    * probe (the incremental curation engine probes, self-joins AND
+    * ingests from one shingle frame; re-deriving the 64-perm signatures a
+    * third time here was pure duplicated aggregation). Same idempotency
+    * protocol: a committed batchId no-ops, the ledger marker is the
+    * single commit point. */
+  def appendPrebuiltToStore(storeDb: String, sh: DataFrame, bands: DataFrame,
+      streamId: String = IngestLedger.DefaultStream)(batchId: Long): Unit = {
+    val s = sh.sparkSession
+    if (isCommitted(s, storeDb, batchId, streamId)) return
+    writeAttempt(s, storeDb, sh, bands, batchId, IngestLedger.newAttempt(), streamId)
   }
 
   /** The full crawl-loop body: SCREEN the micro-batch against everything
@@ -359,17 +375,20 @@ object MinHashLsh {
     val sh = batch
       .select(col(idCol).as("id"), shingles(col(textCol), p.shingleSize).as("shingles"))
       .persist()
+    // ONE signature pipeline feeds both the screen's probe and the store
+    // append below (they were derived twice from the same shingle frame).
+    val bands = bandFrame(signaturesFromShingles(sh, p), p).persist()
     try {
-      val pairs = nearDupShinglesAgainstStore(
-        sh,
+      val pairs = nearDupBandsAgainstStore(
+        sh, bands,
         committedOnly(s.table(s"$storeDb.corpus_shingles"), commits),
         committedOnly(s.table(s"$storeDb.corpus_bands"), commits),
         p)
         .withColumn("batch_nr", lit(batchId)).withColumn("attempt", lit(attempt))
       pairs.write.mode("append").saveAsTable(s"$storeDb.$pairsTable")
       s.catalog.refreshTable(s"$storeDb.$pairsTable")
-      writeAttempt(s, storeDb, sh, p, batchId, attempt, streamId)
-    } finally sh.unpersist()
+      writeAttempt(s, storeDb, sh, bands, batchId, attempt, streamId)
+    } finally { bands.unpersist(); sh.unpersist() }
   }
 
   /** The committed view of a [[screenAndIngest]] pairs log — replay-safe
@@ -391,8 +410,18 @@ object MinHashLsh {
     * frame — the caller owns the frame's lifecycle, so a streaming loop
     * can share one frame across screen + ingest and release exactly it. */
   def nearDupShinglesAgainstStore(shB: DataFrame, corpusShingles: DataFrame,
-      corpusBands: DataFrame, p: Params): DataFrame = {
-    val candidates = bandFrame(signaturesFromShingles(shB, p), p).as("x")
+      corpusBands: DataFrame, p: Params): DataFrame =
+    nearDupBandsAgainstStore(shB,
+      bandFrame(signaturesFromShingles(shB, p), p), corpusShingles,
+      corpusBands, p)
+
+  /** The probe over a PREBUILT batch band frame — callers that also
+    * self-join or ingest the batch compute the signature pipeline once
+    * and pass it here instead of paying the 64-permutation aggregation
+    * per consumer. */
+  def nearDupBandsAgainstStore(shB: DataFrame, bandsB: DataFrame,
+      corpusShingles: DataFrame, corpusBands: DataFrame, p: Params): DataFrame = {
+    val candidates = bandsB.as("x")
       .join(corpusBands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_hash") === col("y.band_hash"))

@@ -224,11 +224,13 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
       s.table(raw).join(ids.select("doc_id"), Seq("doc_id"), "left_semi")
   }
 
-  /** Intra-batch verified near-dup pairs from a prebuilt shingle frame —
-    * [[MinHashLsh.nearDupPairs]]'s body over a caller-owned frame (no
-    * hidden persist to leak per trigger). */
-  private def pairsWithin(sh: DataFrame, p: MinHashLsh.Params): DataFrame = {
-    val bands = MinHashLsh.bandFrame(MinHashLsh.signaturesFromShingles(sh, p), p)
+  /** Intra-batch verified near-dup pairs from prebuilt shingle + band
+    * frames — [[MinHashLsh.nearDupPairs]]'s body over caller-owned frames
+    * (no hidden persist to leak per trigger, and the caller's one
+    * signature pipeline serves this self-join, the store probe and the
+    * ingest). */
+  private def pairsWithin(sh: DataFrame, bands: DataFrame,
+      p: MinHashLsh.Params): DataFrame = {
     val candidates = bands.as("x")
       .join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
@@ -257,6 +259,11 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
   def processBatch(batch: DataFrame, epochId: Long): Unit = {
     // Read/plan through the batch's OWN (cloned) session — see `s`'s doc.
     s = batch.sparkSession
+    // Phase labels (thread-local, so they stick to this trigger's jobs):
+    // the UI/probe attribution handle for each maintenance stage.
+    def phase(name: String): Unit =
+      s.sparkContext.setJobDescription(s"${spec.name} e$epochId: $name")
+    phase("ingest")
     val kinds = batch.select("_change_type").distinct()
       .collect().map(_.getString(0)).toSet
     require(kinds.subsetOf(Set("INSERT")),
@@ -267,11 +274,13 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
     if (rows.isEmpty) return
 
     // 1. Raw mirror (exactly-once append) — the retraction-time text source.
+    phase("raw")
     SnapshotUpsert.appendEpoch(raw, rows, s"$base:raw", epochId)
 
     val P = NearDup.P
 
     // 2. Near-dup components.
+    phase("neardup")
     val (keptBatch, keptRemovedIds): (DataFrame, DataFrame) =
       if (!plan.nearDup) (rows, rows.select("doc_id").limit(0).localCheckpoint())
       else {
@@ -279,7 +288,13 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
           .select(col("doc_id").as("id"),
             MinHashLsh.shingles(col("text"), P.shingleSize).as("shingles"))
           .persist()
+        // ONE 64-perm signature pipeline per trigger: the band frame feeds
+        // the store probe, the intra-batch self-join AND the store ingest
+        // below (it was derived three times from the same shingles).
+        val bandsB = MinHashLsh.bandFrame(
+          MinHashLsh.signaturesFromShingles(shB, P), P).persist()
         try {
+          phase("neardup:probe")
           val commits = MinHashLsh.committedBatches(s, storeDb)
           val storeSh = MinHashLsh.committedOnly(
             storeTableOr("corpus_shingles",
@@ -291,30 +306,37 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
                 MinHashLsh.signaturesFromShingles(shB.limit(0), P), P)
                 .withColumn("batch_nr", lit(0L))
                 .withColumn("attempt", lit(""))), commits)
-          val cross = MinHashLsh.nearDupShinglesAgainstStore(
-            shB, storeSh, storeBands, P)
+          val cross = MinHashLsh.nearDupBandsAgainstStore(
+            shB, bandsB, storeSh, storeBands, P)
             .select(col("batch_id").as("id_a"), col("corpus_id").as("id_b"))
-          val intra = pairsWithin(shB, P)
+          phase("neardup:intra")
+          val intra = pairsWithin(shB, bandsB, P)
+          phase("neardup:prevcc")
           val prevCC = preEpochView(ccT, s"$base:cc", epochId).localCheckpoint()
           val prevEdges = prevCC.filter(col("id") =!= col("root"))
             .select(col("id").as("id_a"), col("root").as("id_b"))
           // Materialize the NEW pair set BEFORE the store ingest: the
           // cross-pair plan reads the store's committed view, which the
           // ingest below advances.
+          phase("neardup:pairs")
           val newPairs = cross.unionByName(intra).localCheckpoint()
           // Fast path: no new edge ⇒ the assignment is unchanged — skip
           // the iterative CC and the state write entirely (deterministic,
           // so replays take the same branch).
+          phase("neardup:cc")
           val newCC =
             if (newPairs.isEmpty) prevCC
             else ConnectedComponents
               .clusters(newPairs.unionByName(prevEdges))
               .select(col("id"), col("cluster_id").as("root"))
               .localCheckpoint()
-          MinHashLsh.appendToStore(storeDb, "doc_id", "text", P,
-            streamId = base)(rows, epochId)
+          phase("neardup:store")
+          MinHashLsh.appendPrebuiltToStore(storeDb, shB, bandsB,
+            streamId = base)(epochId)
+          phase("neardup:ccwrite")
           if (!(newCC eq prevCC))
             SnapshotUpsert.overwriteEpoch(ccT, newCC, s"$base:cc", epochId)
+          phase("neardup:delta")
           val droppedNow = newCC.filter(col("id") =!= col("root")).select("id")
           val prevDropped = prevCC.filter(col("id") =!= col("root")).select("id")
           // Minima only decrease ⇒ drops only grow; the delta to retract.
@@ -325,13 +347,15 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
             .join(rows, newlyDropped("id") === rows("doc_id"), "left_anti")
             .select(col("id").as("doc_id"))
           (kept.localCheckpoint(), removedOld.localCheckpoint())
-        } finally shB.unpersist()
+        } finally { bandsB.unpersist(); shB.unpersist() }
       }
 
     // 3. Span-removal gram index + the recompute set R.
+    phase("span")
     val (recomputeDocs, cleaned): (DataFrame, DataFrame) =
       if (!plan.span) (keptBatch, keptBatch)
       else {
+        phase("span:pairs")
         val removedDocs = fetchDocs(keptRemovedIds)
         val addPairs = TextOps.spanGramPairs(
           keptBatch.select("doc_id", "text")).localCheckpoint()
@@ -348,6 +372,7 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
         val preSatCol =
           if (plan.spanCap.isDefined) coalesce(col("sat"), lit(false))
           else lit(false)
+        phase("span:stat")
         val changed = deltas.join(preStat, Seq("gram"), "left")
           .select(col("gram"),
             coalesce(col("n_docs"), lit(0L)).as("old_n"),
@@ -357,6 +382,7 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
         val flipped = changed
           .filter((col("old_n") >= 2) =!= (col("new_n") >= 2))
           .select("gram", "pre_sat", "new_n").localCheckpoint()
+        phase("span:index")
         plan.spanCap match {
           case None =>
             SnapshotUpsert.replaceByKey(gramstatT,
@@ -402,6 +428,7 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
         // today) had its old pair evicted above — reading the index for
         // it would silently miss yesterday's holder. Both saturation
         // cases re-derive holders from the kept corpus instead.
+        phase("span:flips")
         val capL = plan.spanCap.map(_.toLong).getOrElse(Long.MaxValue)
         val viaIndex = s.table(gramsT)
           .join(flipped.filter(!col("pre_sat") && col("new_n") < capL)
@@ -428,6 +455,7 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
         val affectedOld = viaIndex.unionByName(viaCorpus).distinct()
           .join(rows, Seq("doc_id"), "left_anti")
           .localCheckpoint()
+        phase("span:cut")
         val r = keptBatch.unionByName(fetchDocs(affectedOld))
         val dupGrams = s.table(gramstatT).filter(col("n_docs") >= 2)
         val cut = TextOps.dupSpanRemovalWith(r.select("doc_id", "text"), dupGrams)
@@ -438,11 +466,13 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
       }
 
     // 4. Row-local steps on the recompute set only.
+    phase("gated")
     val gatedR = plan.rowLocal.foldLeft(cleaned)(runner.applyStep)
 
     // 5. Restate the recompute set in the gated table (retract + append in
     // ONE delta commit — a doc that now fails a filter simply has no
     // restated row).
+    phase("restate")
     val replaceKeys = recomputeDocs.select("doc_id")
       .unionByName(keptRemovedIds.select("doc_id")).distinct()
     SnapshotUpsert.replaceByKey(gatedT,
@@ -450,6 +480,7 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
       replaceKeys, Seq("doc_id"), s"$base:gated", epochId)
 
     // 6. Maintained per-language aggregates + the derived sink.
+    phase("mix")
     plan.mix.foreach { step =>
       val vGated = versionOf(gatedT)
       val aggNow = s.table(aggT)
@@ -473,7 +504,9 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
       if (!s.catalog.tableExists(sink)) out.writeTo(sink).create()
       else out.writeTo(sink).overwrite(lit(true))
     }
+    phase("maintain")
     maintainState()
+    s.sparkContext.setJobDescription(null)
   }
 }
 

@@ -8,9 +8,18 @@ class ConnectedComponentsSuite extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  private def cc(pairs: (Long, Long)*): Map[Long, Long] =
-    ConnectedComponents.clusters(pairs.toSeq.toDF("id_a", "id_b"))
+  /** Both execution paths must agree: the driver-local union-find fast
+    * path (default at this size) and the distributed star alternation
+    * (forced with localMaxEdges = 0). */
+  private def cc(pairs: (Long, Long)*): Map[Long, Long] = {
+    val df = pairs.toSeq.toDF("id_a", "id_b")
+    val local = ConnectedComponents.clusters(df)
       .as[(Long, Long)].collect().toMap
+    val dist = ConnectedComponents.clusters(df, localMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local === dist, "local fast path diverged from star alternation")
+    local
+  }
 
   test("empty pair set yields an empty cluster frame (no NPE)") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")

@@ -47,6 +47,33 @@ object LaneProbe {
     }
   }
 
+  /** Per-SQL-statement durations (QueryExecutionListener): the lane-level
+    * view when one registered query runs many statements (MV scenarios,
+    * governance gates). Keyed by the logical plan's head + a line hint. */
+  private final class ExecTally
+      extends org.apache.spark.sql.util.QueryExecutionListener {
+    val rows = mutable.ArrayBuffer[(String, Double)]()
+    private def keyOf(qe: org.apache.spark.sql.execution.QueryExecution): String = {
+      val l = qe.logical
+      val head = l.nodeName
+      val detail = l.toString.linesIterator.take(2).mkString(" | ").take(140)
+      s"$head: $detail"
+    }
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        durationNs: Long): Unit = synchronized {
+      rows += ((s"[$funcName] ${keyOf(qe)}", durationNs / 1e9))
+    }
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        exception: Exception): Unit = ()
+    def reset(): Unit = synchronized { rows.clear() }
+    def report(top: Int): String = synchronized {
+      rows.sortBy(-_._2).take(top)
+        .map { case (k, s) => f"    $s%8.3f s  $k" }.mkString("\n")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val names = args.headOption.map(_.split(',').toSet).getOrElse(Set.empty)
     val passes = args.lift(1).flatMap(_.toIntOption).getOrElse(3)
@@ -61,6 +88,8 @@ object LaneProbe {
     spark.sparkContext.setLogLevel("WARN")
     val tally = new JobTally
     spark.sparkContext.addSparkListener(tally)
+    val execs = new ExecTally
+    spark.listenerManager.register(execs)
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => names.isEmpty || names.contains(q._1))
     require(qs.nonEmpty, s"no registered query matches $names")
@@ -72,14 +101,18 @@ object LaneProbe {
     qs.foreach { case (name, fn) =>
       val walls = (1 to passes).map { i =>
         val last = i == passes
-        if (last) tally.reset() // attribute jobs from the warmest pass only
+        if (last) { tally.reset(); execs.reset() } // attribute the warmest pass
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
         val sec = (System.nanoTime() - t0) / 1e9
         if (last) {
+          // Let the async listener bus drain before reading the tallies.
+          Thread.sleep(300)
           println(f"\n== $name: pass $i = $sec%.3f s, ${tally.jobs} jobs; top call sites:")
           println(tally.report(top = 25))
+          println(s"  -- statements:")
+          println(execs.report(top = 25))
         }
         sec
       }

@@ -271,16 +271,45 @@ object MinHashLsh {
       sh: DataFrame, bands: DataFrame, batchId: Long, attempt: String,
       streamId: String): Unit = {
     val led = ledger(storeDb)
-    led.stamp(sh, batchId, attempt).write.mode("append")
-      .bucketBy(StoreBuckets, "id").sortBy("id")
-      .saveAsTable(s"$storeDb.corpus_shingles")
-    led.stamp(bands, batchId, attempt)
-      .write.mode("append")
-      .bucketBy(StoreBuckets, "band_idx", "band_hash").sortBy("band_idx", "band_hash")
-      .saveAsTable(s"$storeDb.corpus_bands")
+    // The two table appends are INDEPENDENT jobs (distinct tables, the
+    // marker below is the only commit point), so they overlap on a tiny
+    // thread pool: the bands write's signature aggregation back-fills
+    // executor slots the shingle write's tail leaves idle (optimization
+    // guide: overlap independent jobs). Either failure propagates before
+    // the marker is written, preserving the attempt protocol.
+    runBoth(
+      () => led.stamp(sh, batchId, attempt).write.mode("append")
+        .bucketBy(StoreBuckets, "id").sortBy("id")
+        .saveAsTable(s"$storeDb.corpus_shingles"),
+      () => led.stamp(bands, batchId, attempt)
+        .write.mode("append")
+        .bucketBy(StoreBuckets, "band_idx", "band_hash").sortBy("band_idx", "band_hash")
+        .saveAsTable(s"$storeDb.corpus_bands"))
     led.commit(s, batchId, attempt, streamId)
     s.catalog.refreshTable(s"$storeDb.corpus_shingles")
     s.catalog.refreshTable(s"$storeDb.corpus_bands")
+  }
+
+  /** Run two independent Spark actions concurrently ([[runAll]]). */
+  private[graft] def runBoth(a: () => Unit, b: () => Unit): Unit =
+    runAll(Seq(a, b))
+
+  /** Run independent Spark actions concurrently and propagate the first
+    * failure after ALL settle (a dangling concurrent write must not
+    * outlive the caller's error handling). Spark's scheduler runs
+    * concurrent jobs FIFO, so later jobs' tasks back-fill the slots the
+    * earlier jobs' straggler tails leave idle instead of waiting for
+    * them — the standard overlap-independent-jobs motion for a store
+    * build with several unrelated table writes. */
+  private[graft] def runAll(actions: Seq[() => Unit]): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val fs = actions.map(a => Future(a()))
+    val rs = fs.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    rs.foreach(_.get)
+    ()
   }
 
   /** Append the ledger marker that makes an attempt's rows visible. */

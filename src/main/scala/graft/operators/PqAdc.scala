@@ -258,12 +258,17 @@ object PqAdc {
       .withColumn("norm", sqrt(graft.functions.VectorOps.sumSquares(col("emb"))))
       .persist()
     try {
-      led.stamp(encodeAssigned(b, centroids, m), batchId, attempt)
-        .write.mode("append")
-        .bucketBy(StoreBuckets, "cell_id").sortBy("cell_id")
-        .saveAsTable(s"$storeDb.pq_codes")
-      led.stamp(cellDrift(b, centroids), batchId, attempt)
-        .write.mode("append").saveAsTable(s"$storeDb.pq_drift")
+      // Codes and drift are independent appends into distinct tables; the
+      // ledger marker below is the single commit point — overlap the two
+      // jobs (guide §2.6) so the model-sized drift write hides inside the
+      // encode's runtime.
+      MinHashLsh.runBoth(
+        () => led.stamp(encodeAssigned(b, centroids, m), batchId, attempt)
+          .write.mode("append")
+          .bucketBy(StoreBuckets, "cell_id").sortBy("cell_id")
+          .saveAsTable(s"$storeDb.pq_codes"),
+        () => led.stamp(cellDrift(b, centroids), batchId, attempt)
+          .write.mode("append").saveAsTable(s"$storeDb.pq_drift"))
       led.commit(s, batchId, attempt, streamId)
     } finally b.unpersist()
     s.catalog.refreshTable(s"$storeDb.pq_codes")

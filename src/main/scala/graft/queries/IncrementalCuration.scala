@@ -383,36 +383,51 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
           .filter((col("old_n") >= 2) =!= (col("new_n") >= 2))
           .select("gram", "pre_sat", "new_n").localCheckpoint()
         phase("span:index")
+        // The gramstat and grams commits target DISTINCT tables and both
+        // read only pre-pinned inputs (changed/addPairs are checkpointed,
+        // preStat is a version-pinned view) — independent jobs, overlapped
+        // (guide §2.6). Each is individually epoch-guarded, so a crash
+        // between them replays exactly as it did sequentially.
         plan.spanCap match {
           case None =>
-            SnapshotUpsert.replaceByKey(gramstatT,
-              changed.filter(col("new_n") > 0)
-                .select(col("gram"), col("new_n").as("n_docs")),
-              changed.select("gram"), Seq("gram"), s"$base:gramstat", epochId)
-            SnapshotUpsert.replaceByKey(gramsT, addPairs,
-              keptRemovedIds.select("doc_id"), Seq("doc_id"),
-              s"$base:grams", epochId)
+            MinHashLsh.runBoth(
+              () => SnapshotUpsert.replaceByKey(gramstatT,
+                changed.filter(col("new_n") > 0)
+                  .select(col("gram"), col("new_n").as("n_docs")),
+                changed.select("gram"), Seq("gram"), s"$base:gramstat", epochId),
+              () => SnapshotUpsert.replaceByKey(gramsT, addPairs,
+                keptRemovedIds.select("doc_id"), Seq("doc_id"),
+                s"$base:grams", epochId))
           case Some(cap) =>
             // STICKY saturation: a gram that ever reaches the cap stops
             // carrying pairs forever — resuming after the count drops
             // would leave a PARTIAL holder set the flip lookup below
             // would silently trust. Counts stay exact regardless.
-            SnapshotUpsert.replaceByKey(gramstatT,
-              changed.filter(col("new_n") > 0)
-                .select(col("gram"), col("new_n").as("n_docs"),
-                  (col("pre_sat") || col("new_n") >= cap).as("sat")),
-              changed.select("gram"), Seq("gram"), s"$base:gramstat", epochId)
             // Saturated set for THIS trigger's adds: every already-sticky
             // gram (the full pre-epoch flag — a dn=0 gram is absent from
             // `changed` but its batch pairs must still be skipped) plus
             // grams crossing the cap now.
+            // Concurrency note: this plan scans the LIVE gramstat table at
+            // action time, possibly mid-flight with the overlapped gramstat
+            // commit. Either serialization yields the same set: the commit
+            // only (a) grows `sat` by grams with new_n >= cap — already in
+            // the union's second arm — or (b) deletes rows whose new_n hit
+            // 0, and a zero-holder gram has no addPairs rows for the
+            // anti-join to drop. Replays pin preStat AS OF the pre-epoch
+            // version, so recovery is exact regardless.
             val satGrams = preStat.filter(col("sat")).select("gram")
               .unionByName(changed.filter(col("new_n") >= cap).select("gram"))
               .distinct()
-            SnapshotUpsert.replaceByKey(gramsT,
-              addPairs.join(satGrams, Seq("gram"), "left_anti"),
-              keptRemovedIds.select("doc_id"), Seq("doc_id"),
-              s"$base:grams", epochId)
+            MinHashLsh.runBoth(
+              () => SnapshotUpsert.replaceByKey(gramstatT,
+                changed.filter(col("new_n") > 0)
+                  .select(col("gram"), col("new_n").as("n_docs"),
+                    (col("pre_sat") || col("new_n") >= cap).as("sat")),
+                changed.select("gram"), Seq("gram"), s"$base:gramstat", epochId),
+              () => SnapshotUpsert.replaceByKey(gramsT,
+                addPairs.join(satGrams, Seq("gram"), "left_anti"),
+                keptRemovedIds.select("doc_id"), Seq("doc_id"),
+                s"$base:grams", epochId))
             // Evict the NEWLY saturated grams' previously tracked pairs.
             val newlySat = changed
               .filter(!col("pre_sat") && col("new_n") >= cap)

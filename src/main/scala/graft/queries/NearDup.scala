@@ -330,15 +330,20 @@ object NearDup {
         MinHashLsh.shingles(col("text"), P.shingleSize).as("shingles"))
       .persist()
     try {
-      stamp(sh).write.mode("overwrite")
-        .option("path", s"$base/corpus_shingles")
-        .bucketBy(MinHashLsh.StoreBuckets, "id").sortBy("id")
-        .saveAsTable(s"$storeDb.corpus_shingles")
-      stamp(MinHashLsh.bandFrame(MinHashLsh.signaturesFromShingles(sh, P), P))
-        .write.mode("overwrite")
-        .option("path", s"$base/corpus_bands")
-        .bucketBy(MinHashLsh.StoreBuckets, "band_idx", "band_hash").sortBy("band_idx", "band_hash")
-        .saveAsTable(s"$storeDb.corpus_bands")
+      // Independent table writes overlap on two driver threads (guide
+      // §2.6): the bands build's signature aggregation back-fills slots
+      // the shingle write's tail frees. The ledger marker still lands
+      // strictly after BOTH (the single commit point).
+      MinHashLsh.runBoth(
+        () => stamp(sh).write.mode("overwrite")
+          .option("path", s"$base/corpus_shingles")
+          .bucketBy(MinHashLsh.StoreBuckets, "id").sortBy("id")
+          .saveAsTable(s"$storeDb.corpus_shingles"),
+        () => stamp(MinHashLsh.bandFrame(MinHashLsh.signaturesFromShingles(sh, P), P))
+          .write.mode("overwrite")
+          .option("path", s"$base/corpus_bands")
+          .bucketBy(MinHashLsh.StoreBuckets, "band_idx", "band_hash").sortBy("band_idx", "band_hash")
+          .saveAsTable(s"$storeDb.corpus_bands"))
       MinHashLsh.writeCommit(s, storeDb, MinHashLsh.BulkBatchNr, MinHashLsh.BulkAttempt)
     } finally sh.unpersist()
     s.catalog.refreshByPath(s"$base/corpus_shingles")

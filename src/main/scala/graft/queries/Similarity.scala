@@ -650,14 +650,18 @@ object Similarity {
     s.sql(s"DROP TABLE IF EXISTS ${NearDup.storeDb}.ivf_assign")
     rmrf(s"$base/ivf_centroids")
     rmrf(s"$base/ivf_assign")
-    centroids.write.mode("overwrite")
-      .option("path", s"$base/ivf_centroids")
-      .saveAsTable(s"${NearDup.storeDb}.ivf_centroids")
-    graft.operators.IvfAnn.assignTwoLevel(c, centroids, coarseProbe)
-      .write.mode("overwrite")
-      .option("path", s"$base/ivf_assign")
-      .bucketBy(16, "cell_id").sortBy("cell_id")
-      .saveAsTable(s"${NearDup.storeDb}.ivf_assign")
+    // The centroid (model-sized) and assignment writes are independent
+    // jobs targeting distinct tables — overlap them (guide §2.6) so the
+    // tiny centroid write hides inside the assignment job's runtime.
+    graft.operators.MinHashLsh.runBoth(
+      () => centroids.write.mode("overwrite")
+        .option("path", s"$base/ivf_centroids")
+        .saveAsTable(s"${NearDup.storeDb}.ivf_centroids"),
+      () => graft.operators.IvfAnn.assignTwoLevel(c, centroids, coarseProbe)
+        .write.mode("overwrite")
+        .option("path", s"$base/ivf_assign")
+        .bucketBy(16, "cell_id").sortBy("cell_id")
+        .saveAsTable(s"${NearDup.storeDb}.ivf_assign"))
     s.catalog.refreshByPath(s"$base/ivf_centroids")
     s.catalog.refreshByPath(s"$base/ivf_assign")
   }
@@ -911,22 +915,28 @@ object Similarity {
     NearDup.rmrfManagedTable(s, NearDup.storeDb, "pq_ingest_commits")
     val led = graft.operators.PqAdc.ledger(NearDup.storeDb)
     import graft.operators.IngestLedger.{BulkAttempt, BulkBatchNr}
-    centroids.write.mode("overwrite")
-      .option("path", s"$base/pq_centroids")
-      .saveAsTable(s"${NearDup.storeDb}.pq_centroids")
-    seedRows.select("vec_id", "emb").write.mode("overwrite")
-      .option("path", s"$base/pq_seeds")
-      .saveAsTable(s"${NearDup.storeDb}.pq_seeds")
-    led.stamp(graft.operators.PqAdc.encodeIndex(c, centroids, seedRows),
-        BulkBatchNr, BulkAttempt)
-      .write.mode("overwrite")
-      .option("path", s"$base/pq_codes")
-      .bucketBy(graft.operators.PqAdc.StoreBuckets, "cell_id").sortBy("cell_id")
-      .saveAsTable(s"${NearDup.storeDb}.pq_codes")
-    // Bulk drift baseline: the build-time routing quality every streamed
-    // batch's mean_centroid_cos is compared against (PqAdc.driftReport).
-    led.stamp(graft.operators.PqAdc.cellDrift(c, centroids), BulkBatchNr, BulkAttempt)
-      .write.mode("append").saveAsTable(s"${NearDup.storeDb}.pq_drift")
+    // All four writes are independent jobs into distinct tables; the
+    // ledger marker below is the single commit point — overlap them
+    // (guide §2.6) so the model-sized centroid/seed/drift writes hide
+    // inside the encode job's runtime.
+    graft.operators.MinHashLsh.runAll(Seq(
+      () => centroids.write.mode("overwrite")
+        .option("path", s"$base/pq_centroids")
+        .saveAsTable(s"${NearDup.storeDb}.pq_centroids"),
+      () => seedRows.select("vec_id", "emb").write.mode("overwrite")
+        .option("path", s"$base/pq_seeds")
+        .saveAsTable(s"${NearDup.storeDb}.pq_seeds"),
+      () => led.stamp(graft.operators.PqAdc.encodeIndex(c, centroids, seedRows),
+          BulkBatchNr, BulkAttempt)
+        .write.mode("overwrite")
+        .option("path", s"$base/pq_codes")
+        .bucketBy(graft.operators.PqAdc.StoreBuckets, "cell_id").sortBy("cell_id")
+        .saveAsTable(s"${NearDup.storeDb}.pq_codes"),
+      // Bulk drift baseline: the build-time routing quality every streamed
+      // batch's mean_centroid_cos is compared against (PqAdc.driftReport).
+      () => led.stamp(graft.operators.PqAdc.cellDrift(c, centroids),
+          BulkBatchNr, BulkAttempt)
+        .write.mode("append").saveAsTable(s"${NearDup.storeDb}.pq_drift")))
     led.commit(s, BulkBatchNr, BulkAttempt)
     Seq("pq_centroids", "pq_seeds", "pq_codes").foreach { t =>
       s.catalog.refreshByPath(s"$base/$t")

@@ -189,47 +189,65 @@ object SnapshotUpsert {
     val ext = DataFiles.extensionOf(DataFiles.formatOf(props))
 
     // One pass per task over `rows`: data files + that task's key file
-    // (same no-divergence argument as upsertBatch).
-    val results = aligned.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
-      if (it.isEmpty) Iterator.empty
-      else {
-        val attempt = java.util.UUID.randomUUID.toString.take(8)
-        val w = MemWriters.writer(writeSchema, partitionCols, dataDir,
-          s"rpl-$tag-p$pid-$attempt", conf.value, props, writeCols, transforms,
-          specId)
-        val keyPath = s"$dataDir/rpl-$tag-eq-p$pid-$attempt$ext"
-        val keyProj = UnsafeProjection.create(
-          keyOrds.toIndexedSeq.map(o =>
-            org.apache.spark.sql.catalyst.expressions.BoundReference(
-              o, writeSchema.fields(o).dataType, nullable = true)))
-        val kw = DataFiles.writer(keyPath, keySchema, conf.value, props)
-        var n = 0L
-        it.foreach { r => w.write(r); kw.write(keyProj(r)); n += 1 }
-        val keyMeta = kw.close()
-        Iterator.single((w.commit().asInstanceOf[MemCommitMessage].files,
-          SnapshotStore.DeleteFile(keyPath, "", n, "eq", keyIds,
-            stats = SnapshotUpsert.keyStats(keyMeta, keyIds))))
-      }
-    }.collect().toVector
-
-    // The retraction keys, as their own equality-delete files.
-    val delAligned = deleteKeys.select(keyCols.map(col): _*)
-      .toDF(keySchema.fieldNames: _*)
-    val extraDeletes = delAligned.queryExecution.toRdd
-      .mapPartitionsWithIndex { (pid, it) =>
+    // (same no-divergence argument as upsertBatch). The rows pass and the
+    // retraction-key pass below are INDEPENDENT Spark jobs feeding one
+    // atomic commit — run them concurrently (guide §2.6: overlap
+    // independent jobs) so the small retraction write hides inside the
+    // restate write's runtime; either failure aborts before the commit.
+    def rowsPass(): Vector[(Array[SnapshotStore.DataFile], SnapshotStore.DeleteFile)] =
+      aligned.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
         if (it.isEmpty) Iterator.empty
         else {
           val attempt = java.util.UUID.randomUUID.toString.take(8)
-          val path = s"$dataDir/rpl-$tag-del-p$pid-$attempt$ext"
-          val proj = UnsafeProjection.create(keySchema)
-          val w = DataFiles.writer(path, keySchema, conf.value, props)
+          val w = MemWriters.writer(writeSchema, partitionCols, dataDir,
+            s"rpl-$tag-p$pid-$attempt", conf.value, props, writeCols, transforms,
+            specId)
+          val keyPath = s"$dataDir/rpl-$tag-eq-p$pid-$attempt$ext"
+          val keyProj = UnsafeProjection.create(
+            keyOrds.toIndexedSeq.map(o =>
+              org.apache.spark.sql.catalyst.expressions.BoundReference(
+                o, writeSchema.fields(o).dataType, nullable = true)))
+          val kw = DataFiles.writer(keyPath, keySchema, conf.value, props)
           var n = 0L
-          it.foreach { r => w.write(proj(r)); n += 1 }
-          val meta = w.close()
-          Iterator.single(SnapshotStore.DeleteFile(path, "", n, "eq", keyIds,
-            stats = SnapshotUpsert.keyStats(meta, keyIds)))
+          it.foreach { r => w.write(r); kw.write(keyProj(r)); n += 1 }
+          val keyMeta = kw.close()
+          Iterator.single((w.commit().asInstanceOf[MemCommitMessage].files,
+            SnapshotStore.DeleteFile(keyPath, "", n, "eq", keyIds,
+              stats = SnapshotUpsert.keyStats(keyMeta, keyIds))))
         }
       }.collect().toVector
+
+    // The retraction keys, as their own equality-delete files.
+    def deletesPass(): Vector[SnapshotStore.DeleteFile] = {
+      val delAligned = deleteKeys.select(keyCols.map(col): _*)
+        .toDF(keySchema.fieldNames: _*)
+      delAligned.queryExecution.toRdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          if (it.isEmpty) Iterator.empty
+          else {
+            val attempt = java.util.UUID.randomUUID.toString.take(8)
+            val path = s"$dataDir/rpl-$tag-del-p$pid-$attempt$ext"
+            val proj = UnsafeProjection.create(keySchema)
+            val w = DataFiles.writer(path, keySchema, conf.value, props)
+            var n = 0L
+            it.foreach { r => w.write(proj(r)); n += 1 }
+            val meta = w.close()
+            Iterator.single(SnapshotStore.DeleteFile(path, "", n, "eq", keyIds,
+              stats = SnapshotUpsert.keyStats(meta, keyIds)))
+          }
+        }.collect().toVector
+    }
+    val (results, extraDeletes) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val fr = Future(rowsPass())
+      val fd = Future(deletesPass())
+      val rr = scala.util.Try(Await.result(fr, Duration.Inf))
+      val rd = scala.util.Try(Await.result(fd, Duration.Inf))
+      (rr.get, rd.get)
+    }
 
     val files = results.flatMap(_._1)
     val eqFiles = results.map(_._2) ++ extraDeletes

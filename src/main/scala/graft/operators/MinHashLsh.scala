@@ -132,8 +132,23 @@ object MinHashLsh {
         graft.functions.GraftFunctions.minhash(xxhash64(col("s"))).as("sig"))
   }
 
-  /** Signature aggregation over a prebuilt `(id, shingles)` frame. */
-  def signaturesFromShingles(sh: DataFrame, p: Params, seed: Long = 7L): DataFrame = {
+  /** Signature aggregation over a prebuilt `(id, shingles)` frame.
+    *
+    * The DEFAULT family (64 perms, seed 7 — every registered operator)
+    * routes through the sketch aggregate: one mutable buffer per group
+    * instead of 64 codegen'd min columns, measured ~15-20% faster at
+    * sf0.1 with ~1 MB smaller task binaries (SigProbe), output
+    * bit-identical (MinHashSketchAggSuite parity). Non-default families
+    * keep the relational form — the SQL-registered sketch carries the
+    * default salts only. */
+  def signaturesFromShingles(sh: DataFrame, p: Params, seed: Long = 7L): DataFrame =
+    if (p.nPerms == 64 && seed == 7L) signaturesSketch(sh, p)
+    else signaturesRelational(sh, p, seed)
+
+  /** The explode + 64-min-columns relational form — the general-family
+    * fallback and the parity reference the sketch is tested against. */
+  private[graft] def signaturesRelational(sh: DataFrame, p: Params,
+      seed: Long = 7L): DataFrame = {
     val exploded = sh
       .select(col("id"), explode(col("shingles")).as("s"))
       .withColumn("h", xxhash64(col("s")))

@@ -264,14 +264,18 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
     def phase(name: String): Unit =
       s.sparkContext.setJobDescription(s"${spec.name} e$epochId: $name")
     phase("ingest")
-    val kinds = batch.select("_change_type").distinct()
+    // ONE pass over the changes feed: checkpoint the batch first, then
+    // derive the kinds guard, the emptiness probe and the row projection
+    // from the cached blocks (they were three separate file-scan jobs).
+    val ckpt = batch.localCheckpoint()
+    val kinds = ckpt.select("_change_type").distinct()
       .collect().map(_.getString(0)).toSet
     require(kinds.subsetOf(Set("INSERT")),
       s"${spec.name}: incremental curation consumes APPEND-only sources; " +
         s"commit range delivered ${kinds.mkString(", ")}")
     val cols = srcCols
-    val rows = batch.select(cols.head, cols.tail: _*).localCheckpoint()
-    if (rows.isEmpty) return
+    val rows = ckpt.select(cols.head, cols.tail: _*)
+    if (kinds.isEmpty) return
 
     // 1. Raw mirror (exactly-once append) — the retraction-time text source.
     phase("raw")
@@ -501,6 +505,11 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
       val aggNow = s.table(aggT)
       val asOf = Option(aggNow.agg(max("as_of")).collect()(0).get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
+      def publish(agg: DataFrame): Unit = {
+        val out = IncrementalCuration.mixFromAgg(s.table(gatedT), agg, step)
+        if (!s.catalog.tableExists(sink)) out.writeTo(sink).create()
+        else out.writeTo(sink).overwrite(lit(true))
+      }
       if (asOf < vGated) {
         val feed = s.read
           .option("startingVersion", (asOf + 1).toString)
@@ -512,12 +521,15 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
           .applyDeltas(aggNow.drop("as_of"), deltas)
           .withColumn("as_of", lit(vGated))
           .localCheckpoint()
-        newAgg.writeTo(aggT).overwrite(lit(true))
-      }
-      val out = IncrementalCuration.mixFromAgg(
-        s.table(gatedT), s.table(aggT), step)
-      if (!s.catalog.tableExists(sink)) out.writeTo(sink).create()
-      else out.writeTo(sink).overwrite(lit(true))
+        // The sink derives from the checkpointed newAgg frame directly —
+        // the aggT overwrite only persists the same rows for the NEXT
+        // trigger's watermark read, so the two writes are independent
+        // and overlap (guide §2.6). A crash between them replays
+        // convergently: asOf < vGated still holds and both rewrite.
+        MinHashLsh.runBoth(
+          () => newAgg.writeTo(aggT).overwrite(lit(true)),
+          () => publish(newAgg))
+      } else publish(s.table(aggT))
     }
     phase("maintain")
     maintainState()

@@ -116,14 +116,22 @@ object Multimodal {
     * 1 within 1 ulp; rounding absorbs it). A decoder that mis-read
     * dimensions, dropped rows, or mangled pixel values hash-mismatches.
     *
-    * Scale: payload generation + decode are one narrow mapPartitions pass —
-    * no shuffle; the binary never leaves the partition. */
+    * Scale: payload generation + decode are one mapPartitions pass over
+    * the id rows; the only shuffle moves the 8-byte ids (to spread codec
+    * CPU across cores — the fixture is one parquet file, i.e. one scan
+    * task), and the binary never leaves the partition it is built in. */
   val mm04RealPngDecode = Q(
     "mm04_real_png_decode",
     (s, dir) => {
       import s.implicits._
+      // The documents fixture is one small parquet file -> ONE scan task,
+      // which would run every ImageIO encode+decode single-threaded (the
+      // classic unsplittable-input shape, guide §2.5). Spread the id rows
+      // across the session's parallelism before the codec map; the final
+      // orderBy fixes the output order, so results are unchanged.
       val media = Tables.documents(s, dir)
         .select(col("doc_id").cast("long")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
         .map { id =>
           val w = (16 + id % 32).toInt
           val h = (16 + id % 16).toInt
@@ -163,6 +171,11 @@ object Multimodal {
     "mm05_real_wav_decode",
     (s, dir) => {
       import s.implicits._
+      // NOT parallelized like mm04: javax.sound's AudioSystem provider
+      // registry synchronizes writers, so 32 concurrent tasks contend and
+      // run ~4x SLOWER than the single-task WAV encode (measured 0.8 s
+      // single-task vs 3.1 s repartitioned at sf0.1) — the uncompressed
+      // WAV codec is cheap enough that one task wins.
       val media = Tables.documents(s, dir)
         .select(col("doc_id").cast("long")).as[Long]
         .map { id =>

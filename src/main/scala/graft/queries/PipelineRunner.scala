@@ -180,13 +180,17 @@ final class PipelineRunner(spark: SparkSession) {
     val feed = reader.table(s"${spec.sourceTable}.changes")
     val writer = feed.writeStream
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        val kinds = batch.select("_change_type").distinct()
+        // One pass over the changes feed: checkpoint, then derive the
+        // kinds guard and the mirror rows from the cached blocks (they
+        // were two separate file-scan jobs per trigger).
+        val ckpt = batch.localCheckpoint()
+        val kinds = ckpt.select("_change_type").distinct()
           .collect().map(_.getString(0)).toSet
         require(kinds.subsetOf(Set("INSERT")),
           s"${spec.name}: curation-over-changes consumes APPEND-only sources; " +
             s"commit range delivered ${kinds.mkString(", ")} — deletions need " +
             "retraction logic no curation operator defines")
-        val rows = batch.select(srcCols.head, srcCols.tail: _*)
+        val rows = ckpt.select(srcCols.head, srcCols.tail: _*)
         // The replay guard keys on spec AND checkpoint: a fresh checkpoint
         // restarts epoch numbering at 0, and a spec-name-only id would
         // swallow its first batches as "replays" of the previous run.

@@ -19,7 +19,12 @@ class MinHashSketchAggSuite extends AnyFunSuite {
   test("sketch aggregate equals the relational 64-min-column signatures bit-for-bit") {
     GraftFunctions.register(spark)
     val p = MinHashLsh.Params()
-    val relational = MinHashLsh.signatures(docs, "doc_id", "text", p)
+    // The explicit relational reference: the public entry now ROUTES the
+    // default family through the sketch, so the parity claim must compare
+    // against the 64-min-column form directly.
+    val relational = MinHashLsh.signaturesRelational(
+        docs.select(col("doc_id").as("id"),
+          MinHashLsh.shingles(col("text"), p.shingleSize).as("shingles")), p)
       .select("id", "sig").as[(Long, Seq[Long])].collect().toMap
     val sketch = docs
       .select(col("doc_id").as("id"),

@@ -67,6 +67,12 @@ object SessionFactory {
       // shuffle fallback).
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      // One-side SPJ: when only ONE join side reports KeyGroupedPartitioning
+      // (a bucketed store table probed by a freshly computed batch frame),
+      // shuffle just the other side by the catalog's bucket function instead
+      // of re-shuffling both — the store side of every LSH/IVF/PQ probe
+      // stays exchange-free, which is the point of bucketing it.
+      .config("spark.sql.sources.v2.bucketing.shuffle.enabled", sys.env.getOrElse("GRAFT_SPJ_SHUFFLE", "true"))
       // The engine's versioned V2 catalog: statement-level MERGE/UPDATE/
       // DELETE (SupportsRowLevelOperations) and VERSION/TIMESTAMP AS OF
       // time travel — the role IcebergSparkSessionExtensions + a Glue

@@ -40,6 +40,14 @@ object GraftFunctions {
         MinHashSketchAgg(children.head).toAggregateExpression()
       }),
     (
+      FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_minhash_sig expects 1 argument, got ${children.length}")
+        MinHashSignature(children.head)
+      }),
+    (
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShingleExplode].getName, "graft_shingles"),
       ShingleExplode.fromExpressions _),
@@ -63,6 +71,9 @@ object GraftFunctions {
 
   /** `graft_minhash(shingleHash)` aggregate as a Column. */
   def minhash(shingleHash: Column): Column = call_function("graft_minhash", shingleHash)
+
+  /** `graft_minhash_sig(hashArray)` row-local signature as a Column. */
+  def minhashSig(hashes: Column): Column = call_function("graft_minhash_sig", hashes)
 
   /** `graft_heavy_hitters(item)` Misra–Gries aggregate as a Column. */
   def heavyHitters(item: Column): Column = call_function("graft_heavy_hitters", item)

@@ -4,9 +4,10 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** MinHash signature as a sketch aggregate (TypedImperativeAggregate —
@@ -98,4 +99,84 @@ case class MinHashSketchAgg(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): MinHashSketchAgg =
     copy(child = newChildren.head)
+}
+
+/** Row-local MinHash signature over a PRE-HASHED shingle array —
+  * `sig(i) = min over elements h of XXH64(h ⊕ salt_i, 42)`, the whole
+  * signature computed inside one projection.
+  *
+  * The signature frames this engine aggregates are ONE ROW PER DOCUMENT
+  * already (`(id, shingles array)`), so the explode + groupBy("id") the
+  * aggregate forms pay exists only to fold the array — a full Exchange
+  * plus two aggregation passes for something each row can compute alone.
+  * This expression deletes all of it: the plan is Scan → Project, and it
+  * participates in whole-stage codegen (the loop body is one static call;
+  * the per-element work — nPerms XXH64 rounds — dwarfs the call overhead).
+  *
+  * Bit-identical to [[MinHashSketchAgg]] over the exploded elements (same
+  * `Random(seed)` salts, same XXH64-seed-42 per-perm hash, min per
+  * register — parity asserted in the sbt suite). NULL for a NULL input, an
+  * empty array, or an all-NULL array — the cases where the exploded
+  * aggregate emits no row / a NULL signature; callers drop those rows
+  * explicitly to preserve the explode shape.
+  */
+case class MinHashSignature(child: Expression, nPerms: Int = 64, seed: Long = 7L)
+    extends UnaryExpression {
+
+  private lazy val salts: Array[Long] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(nPerms)(r.nextLong())
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> (shingle hashes), got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.compute(input.asInstanceOf[ArrayData], salts)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val saltsRef = ctx.addReferenceObj("minhashSalts", salts, "long[]")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = graft.functions.MinHashKernel.compute($a, $saltsRef);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** Static kernel shared by [[MinHashSignature]]'s interpreted and
+  * generated paths (a standalone object so the codegen call resolves
+  * through the Java static forwarder). */
+object MinHashKernel {
+  def compute(hashes: ArrayData, salts: Array[Long]): GenericArrayData = {
+    val m = hashes.numElements()
+    val out = Array.fill(salts.length)(Long.MaxValue)
+    var any = false
+    var j = 0
+    while (j < m) {
+      // A NULL element mirrors the aggregate's null-input skip (unreachable
+      // from the engine's pipelines — element hashes come from xxhash64).
+      if (!hashes.isNullAt(j)) {
+        any = true
+        val h = hashes.getLong(j)
+        var i = 0
+        while (i < salts.length) {
+          val p = XXH64.hashLong(h ^ salts(i), 42L)
+          if (p < out(i)) out(i) = p
+          i += 1
+        }
+      }
+      j += 1
+    }
+    if (!any) null else new GenericArrayData(out)
+  }
 }

@@ -63,7 +63,11 @@ object ConnectedComponents {
       idType == org.apache.spark.sql.types.LongType ||
         idType == org.apache.spark.sql.types.IntegerType
     if (localizable && localMaxEdges > 0L && canon.count() <= localMaxEdges)
-      return localClusters(canon)
+      // Null-keyed rows fall silently out of the distributed alternation's
+      // self-pair/edge filters (null comparisons are never true); drop them
+      // here too so both paths treat nulls identically — localClusters'
+      // row.getLong would NPE on them instead.
+      return localClusters(canon.filter(col("lo").isNotNull && col("hi").isNotNull))
     // Self-pairs (id_a = id_b) carry no connectivity but their endpoint is
     // still "every endpoint" under the contract: remember them and emit
     // singleton labels for any that end up in no real component.

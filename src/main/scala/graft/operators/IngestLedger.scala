@@ -81,9 +81,16 @@ final case class IngestLedger(db: String, table: String) {
       s.sql(s"ALTER TABLE $fqn ADD COLUMNS (stream_id STRING)")
       s.catalog.refreshTable(fqn)
     }
-    Seq((batchId, attempt, streamId)).toDF("batch_nr", "attempt", "stream_id")
-      .write.mode("append").saveAsTable(fqn)
-    s.catalog.refreshTable(fqn)
+    val marker = Seq((batchId, attempt, streamId))
+      .toDF("batch_nr", "attempt", "stream_id")
+    // Production stores live on the snapshot catalog (3-part names): the
+    // marker append is one manifest commit. Session-catalog ledgers (V1
+    // 2-part names — tests, ad-hoc stores) keep the saveAsTable path.
+    if (fqn.count(_ == '.') == 2) graft.sources.StoreTables.append(marker, fqn)
+    else {
+      marker.write.mode("append").saveAsTable(fqn)
+      s.catalog.refreshTable(fqn)
+    }
   }
 
   /** Committed view of a stamped store table registered under `db`. */

@@ -115,21 +115,28 @@ object MinHashLsh {
       docs.select(col(idCol).as("id"), shingles(col(textCol), p.shingleSize).as("shingles")),
       p, seed)
 
-  /** Signature aggregation via the MinHash sketch aggregate
-    * ([[graft.functions.MinHashSketchAgg]]): one mutable buffer per group
-    * instead of nPerms separate min columns — bit-identical output
-    * (parity-tested), tighter agg buffers, same linear scan.
+  /** Signature computation via the ROW-LOCAL sketch expression
+    * ([[graft.functions.MinHashSignature]]): the input frame is one row
+    * per document already, so the previous explode + groupBy("id") paid a
+    * full Exchange and two aggregation passes to fold an array each row
+    * can fold alone. The plan is now Scan → Filter(size>0) → Project —
+    * zero shuffles — with the per-element hashing unchanged
+    * (`transform(shingles, xxhash64)` feeds the same XXH64-seed-42 kernel).
+    * Bit-identical output (parity-tested): the size>0 filter reproduces
+    * the explode form's "zero shingles ⇒ no signature row", and
+    * `size(shingles)` IS the exploded row count (shingles are distinct).
     */
   def signaturesSketch(sh: DataFrame, p: Params): DataFrame = {
-    // The SQL-registered aggregate carries the default family (64 perms,
+    // The SQL-registered expression carries the default family (64 perms,
     // seed 7); other Params need the relational form.
-    require(p.nPerms == 64, s"graft_minhash is registered with 64 perms, got ${p.nPerms}")
+    require(p.nPerms == 64, s"graft_minhash_sig is registered with 64 perms, got ${p.nPerms}")
     graft.functions.GraftFunctions.register(sh.sparkSession)
-    sh.select(col("id"), explode(col("shingles")).as("s"))
-      .groupBy("id")
-      .agg(
-        count(lit(1)).as("n_shingles"),
-        graft.functions.GraftFunctions.minhash(xxhash64(col("s"))).as("sig"))
+    sh.filter(size(col("shingles")) > 0)
+      .select(
+        col("id"),
+        size(col("shingles")).cast("long").as("n_shingles"),
+        graft.functions.GraftFunctions.minhashSig(
+          transform(col("shingles"), s => xxhash64(s))).as("sig"))
   }
 
   /** Signature aggregation over a prebuilt `(id, shingles)` frame.
@@ -276,12 +283,15 @@ object MinHashLsh {
     IngestLedger.visible(store, commits)
 
   /** One ingest attempt's writes: stamped shingle + band appends, then —
-    * as the LAST action, the commit point — the ledger marker. Append-mode
-    * `saveAsTable` resolves columns by name and writes new bucketed files
-    * under the table's existing location with the SAME bucket spec
-    * ([[StoreBuckets]]), so probe joins stay shuffle-free on the store
-    * side; the refreshes drop the writing session's FileStatusCache
-    * entries (the n08 store-build lesson). */
+    * as the LAST action, the commit point — the ledger marker. The store
+    * lives on the SNAPSHOT catalog ([[graft.sources.StoreTables]] — one
+    * manifest commit per append instead of the V1 listing + commit
+    * protocol + catalog update that dominated the p04/p05/p06 lanes);
+    * the bucket transforms keep probe joins shuffle-free on the store
+    * side exactly as the V1 bucket spec did. The bands table buckets on
+    * `band_hash` alone (the snapshot catalog's transforms are
+    * single-column) — co-location on the compound (band_idx, band_hash)
+    * join key is implied, since equal pairs share the hash. */
   private def writeAttempt(s: org.apache.spark.sql.SparkSession, storeDb: String,
       sh: DataFrame, bands: DataFrame, batchId: Long, attempt: String,
       streamId: String): Unit = {
@@ -293,16 +303,14 @@ object MinHashLsh {
     // guide: overlap independent jobs). Either failure propagates before
     // the marker is written, preserving the attempt protocol.
     runBoth(
-      () => led.stamp(sh, batchId, attempt).write.mode("append")
-        .bucketBy(StoreBuckets, "id").sortBy("id")
-        .saveAsTable(s"$storeDb.corpus_shingles"),
-      () => led.stamp(bands, batchId, attempt)
-        .write.mode("append")
-        .bucketBy(StoreBuckets, "band_idx", "band_hash").sortBy("band_idx", "band_hash")
-        .saveAsTable(s"$storeDb.corpus_bands"))
+      () => graft.sources.StoreTables.append(
+        led.stamp(sh, batchId, attempt), s"$storeDb.corpus_shingles",
+        bucketSpec = Some((StoreBuckets, "id")), sortOrder = Some("id")),
+      () => graft.sources.StoreTables.append(
+        led.stamp(bands, batchId, attempt), s"$storeDb.corpus_bands",
+        bucketSpec = Some((StoreBuckets, "band_hash")),
+        sortOrder = Some("band_idx, band_hash")))
     led.commit(s, batchId, attempt, streamId)
-    s.catalog.refreshTable(s"$storeDb.corpus_shingles")
-    s.catalog.refreshTable(s"$storeDb.corpus_bands")
   }
 
   /** Run two independent Spark actions concurrently ([[runAll]]). */
@@ -315,13 +323,29 @@ object MinHashLsh {
     * concurrent jobs FIFO, so later jobs' tasks back-fill the slots the
     * earlier jobs' straggler tails leave idle instead of waiting for
     * them — the standard overlap-independent-jobs motion for a store
-    * build with several unrelated table writes. */
+    * build with several unrelated table writes.
+    *
+    * Job-attribution hygiene: SparkContext local properties (job group /
+    * description / scheduler pool) are InheritableThreadLocals, so a
+    * pooled thread would otherwise carry whatever the thread that FIRST
+    * forked it was doing — overlapped writes could be attributed to (and
+    * cancelled with!) an unrelated query's job group. Each task therefore
+    * runs under the CALLER's properties, captured here, and clears them
+    * after, so the pool never leaks attribution across queries. */
   private[graft] def runAll(actions: Seq[() => Unit]): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
-    val fs = actions.map(a => Future(a()))
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    val attributionKeys = Seq("spark.job.description", "spark.jobGroup.id",
+      "spark.job.interruptOnCancel", "spark.scheduler.pool")
+    val callerProps = attributionKeys.map(k => k -> sc.getLocalProperty(k))
+    val fs = actions.map(a => Future {
+      callerProps.foreach { case (k, v) => sc.setLocalProperty(k, v) }
+      try a()
+      finally attributionKeys.foreach(k => sc.setLocalProperty(k, null))
+    })
     val rs = fs.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
     rs.foreach(_.get)
     ()
@@ -429,8 +453,7 @@ object MinHashLsh {
         committedOnly(s.table(s"$storeDb.corpus_bands"), commits),
         p)
         .withColumn("batch_nr", lit(batchId)).withColumn("attempt", lit(attempt))
-      pairs.write.mode("append").saveAsTable(s"$storeDb.$pairsTable")
-      s.catalog.refreshTable(s"$storeDb.$pairsTable")
+      graft.sources.StoreTables.append(pairs, s"$storeDb.$pairsTable")
       writeAttempt(s, storeDb, sh, bands, batchId, attempt, streamId)
     } finally { bands.unpersist(); sh.unpersist() }
   }

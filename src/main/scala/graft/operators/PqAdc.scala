@@ -261,18 +261,20 @@ object PqAdc {
       // Codes and drift are independent appends into distinct tables; the
       // ledger marker below is the single commit point — overlap the two
       // jobs (guide §2.6) so the model-sized drift write hides inside the
-      // encode's runtime.
+      // encode's runtime. Each append is one snapshot-catalog manifest
+      // commit ([[graft.sources.StoreTables]]) — no listing/committer
+      // fixed cost, and no per-session FileStatusCache to refresh.
       MinHashLsh.runBoth(
-        () => led.stamp(encodeAssigned(b, centroids, m), batchId, attempt)
-          .write.mode("append")
-          .bucketBy(StoreBuckets, "cell_id").sortBy("cell_id")
-          .saveAsTable(s"$storeDb.pq_codes"),
-        () => led.stamp(cellDrift(b, centroids), batchId, attempt)
-          .write.mode("append").saveAsTable(s"$storeDb.pq_drift"))
+        () => graft.sources.StoreTables.append(
+          led.stamp(encodeAssigned(b, centroids, m), batchId, attempt),
+          s"$storeDb.pq_codes",
+          bucketSpec = Some((StoreBuckets, "cell_id")),
+          sortOrder = Some("cell_id")),
+        () => graft.sources.StoreTables.append(
+          led.stamp(cellDrift(b, centroids), batchId, attempt),
+          s"$storeDb.pq_drift"))
       led.commit(s, batchId, attempt, streamId)
     } finally b.unpersist()
-    s.catalog.refreshTable(s"$storeDb.pq_codes")
-    s.catalog.refreshTable(s"$storeDb.pq_drift")
   }
 
   /** Per-cell routing quality of a vector frame against a centroid table:

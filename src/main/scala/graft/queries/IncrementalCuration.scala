@@ -88,9 +88,12 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
   private val gramstatT = s"${sink}_gramstat"
   private val gatedT = if (plan.mix.isDefined) s"${sink}_gated" else sink
   private val aggT = s"${sink}_agg"
-  /** The LSH signature store lives in the SESSION catalog (bucketed
-    * parquet + ingest ledger — n08's layout), one database per sink. */
-  private val storeDb = "graft_store_inc_" +
+  /** The LSH signature store lives on the SNAPSHOT catalog (bucket
+    * transforms + ingest ledger — n08's layout, one namespace per sink):
+    * each per-trigger append is one manifest commit instead of the V1
+    * listing + commit-protocol + catalog-update fixed cost that dominated
+    * the p04/p05/p06 lanes. */
+  private val storeDb = "graft_snap.graft_store_inc_" +
     sink.split('.').mkString("_").replaceAll("[^A-Za-z0-9_]", "_")
 
   private val base = s"p05:${spec.name}:" + java.util.UUID.nameUUIDFromBytes(
@@ -159,11 +162,8 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
   def resetState(): Unit = {
     Seq(raw, ccT, gramsT, gramstatT, aggT, s"${sink}_gated", sink)
       .distinct.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-    new graft.catalog.CatalogAutomation(spark,
-      graft.catalog.CatalogProfile.Builtin()).ensureDatabase(storeDb)
     Seq("corpus_shingles", "corpus_bands", "ingest_commits").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $storeDb.$t")
-      NearDup.rmrfManagedTable(spark, storeDb, t)
     }
   }
 
@@ -259,15 +259,27 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
   def processBatch(batch: DataFrame, epochId: Long): Unit = {
     // Read/plan through the batch's OWN (cloned) session — see `s`'s doc.
     s = batch.sparkSession
+    // Trigger-scoped localCheckpoint registry: every checkpointed frame is
+    // consumed strictly within this trigger, so its cached blocks are
+    // released in the finally below — a long-running stream must not grow
+    // cached-block debt one trigger at a time (guide §5; the blocks were
+    // previously left to LRU eviction).
+    val released = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def chk(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint()
+      released += c
+      c
+    }
     // Phase labels (thread-local, so they stick to this trigger's jobs):
     // the UI/probe attribution handle for each maintenance stage.
     def phase(name: String): Unit =
       s.sparkContext.setJobDescription(s"${spec.name} e$epochId: $name")
+    try {
     phase("ingest")
     // ONE pass over the changes feed: checkpoint the batch first, then
     // derive the kinds guard, the emptiness probe and the row projection
     // from the cached blocks (they were three separate file-scan jobs).
-    val ckpt = batch.localCheckpoint()
+    val ckpt = chk(batch)
     val kinds = ckpt.select("_change_type").distinct()
       .collect().map(_.getString(0)).toSet
     require(kinds.subsetOf(Set("INSERT")),
@@ -286,7 +298,7 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
     // 2. Near-dup components.
     phase("neardup")
     val (keptBatch, keptRemovedIds): (DataFrame, DataFrame) =
-      if (!plan.nearDup) (rows, rows.select("doc_id").limit(0).localCheckpoint())
+      if (!plan.nearDup) (rows, chk(rows.select("doc_id").limit(0)))
       else {
         val shB = rows
           .select(col("doc_id").as("id"),
@@ -316,24 +328,23 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
           phase("neardup:intra")
           val intra = pairsWithin(shB, bandsB, P)
           phase("neardup:prevcc")
-          val prevCC = preEpochView(ccT, s"$base:cc", epochId).localCheckpoint()
+          val prevCC = chk(preEpochView(ccT, s"$base:cc", epochId))
           val prevEdges = prevCC.filter(col("id") =!= col("root"))
             .select(col("id").as("id_a"), col("root").as("id_b"))
           // Materialize the NEW pair set BEFORE the store ingest: the
           // cross-pair plan reads the store's committed view, which the
           // ingest below advances.
           phase("neardup:pairs")
-          val newPairs = cross.unionByName(intra).localCheckpoint()
+          val newPairs = chk(cross.unionByName(intra))
           // Fast path: no new edge ⇒ the assignment is unchanged — skip
           // the iterative CC and the state write entirely (deterministic,
           // so replays take the same branch).
           phase("neardup:cc")
           val newCC =
             if (newPairs.isEmpty) prevCC
-            else ConnectedComponents
+            else chk(ConnectedComponents
               .clusters(newPairs.unionByName(prevEdges))
-              .select(col("id"), col("cluster_id").as("root"))
-              .localCheckpoint()
+              .select(col("id"), col("cluster_id").as("root")))
           phase("neardup:store")
           MinHashLsh.appendPrebuiltToStore(storeDb, shB, bandsB,
             streamId = base)(epochId)
@@ -350,7 +361,7 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
           val removedOld = newlyDropped
             .join(rows, newlyDropped("id") === rows("doc_id"), "left_anti")
             .select(col("id").as("doc_id"))
-          (kept.localCheckpoint(), removedOld.localCheckpoint())
+          (chk(kept), chk(removedOld))
         } finally { bandsB.unpersist(); shB.unpersist() }
       }
 
@@ -361,8 +372,8 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
       else {
         phase("span:pairs")
         val removedDocs = fetchDocs(keptRemovedIds)
-        val addPairs = TextOps.spanGramPairs(
-          keptBatch.select("doc_id", "text")).localCheckpoint()
+        val addPairs = chk(TextOps.spanGramPairs(
+          keptBatch.select("doc_id", "text")))
         val delPairs = TextOps.spanGramPairs(
           removedDocs.select("doc_id", "text"))
         val deltas = addPairs.select(col("gram"), lit(1L).as("dn"))
@@ -377,15 +388,14 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
           if (plan.spanCap.isDefined) coalesce(col("sat"), lit(false))
           else lit(false)
         phase("span:stat")
-        val changed = deltas.join(preStat, Seq("gram"), "left")
+        val changed = chk(deltas.join(preStat, Seq("gram"), "left")
           .select(col("gram"),
             coalesce(col("n_docs"), lit(0L)).as("old_n"),
             (coalesce(col("n_docs"), lit(0L)) + col("dn")).as("new_n"),
-            preSatCol.as("pre_sat"))
-          .localCheckpoint()
-        val flipped = changed
+            preSatCol.as("pre_sat")))
+        val flipped = chk(changed
           .filter((col("old_n") >= 2) =!= (col("new_n") >= 2))
-          .select("gram", "pre_sat", "new_n").localCheckpoint()
+          .select("gram", "pre_sat", "new_n"))
         phase("span:index")
         // The gramstat and grams commits target DISTINCT tables and both
         // read only pre-pinned inputs (changed/addPairs are checkpointed,
@@ -411,17 +421,14 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
             // gram (the full pre-epoch flag — a dn=0 gram is absent from
             // `changed` but its batch pairs must still be skipped) plus
             // grams crossing the cap now.
-            // Concurrency note: this plan scans the LIVE gramstat table at
-            // action time, possibly mid-flight with the overlapped gramstat
-            // commit. Either serialization yields the same set: the commit
-            // only (a) grows `sat` by grams with new_n >= cap — already in
-            // the union's second arm — or (b) deletes rows whose new_n hit
-            // 0, and a zero-holder gram has no addPairs rows for the
-            // anti-join to drop. Replays pin preStat AS OF the pre-epoch
-            // version, so recovery is exact regardless.
-            val satGrams = preStat.filter(col("sat")).select("gram")
+            // Checkpointed BEFORE the overlapped writes below: preStat is
+            // the LIVE table on a first delivery, and materializing the
+            // set here removes the (previously argued-benign) race of its
+            // plan scanning gramstat mid-commit — the grams write now
+            // reads only pinned frames.
+            val satGrams = chk(preStat.filter(col("sat")).select("gram")
               .unionByName(changed.filter(col("new_n") >= cap).select("gram"))
-              .distinct()
+              .distinct())
             MinHashLsh.runBoth(
               () => SnapshotUpsert.replaceByKey(gramstatT,
                 changed.filter(col("new_n") > 0)
@@ -433,9 +440,9 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
                 keptRemovedIds.select("doc_id"), Seq("doc_id"),
                 s"$base:grams", epochId))
             // Evict the NEWLY saturated grams' previously tracked pairs.
-            val newlySat = changed
+            val newlySat = chk(changed
               .filter(!col("pre_sat") && col("new_n") >= cap)
-              .select("gram").localCheckpoint()
+              .select("gram"))
             if (!newlySat.isEmpty)
               SnapshotUpsert.replaceByKey(gramsT, addPairs.limit(0),
                 newlySat, Seq("gram"), s"$base:grams_evict", epochId)
@@ -454,9 +461,9 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
             .select("gram"), Seq("gram"))
           .select("doc_id").distinct()
         val viaCorpus = {
-          val satFlipped = flipped
+          val satFlipped = chk(flipped
             .filter(col("pre_sat") || col("new_n") >= capL)
-            .select("gram").localCheckpoint()
+            .select("gram"))
           if (plan.spanCap.isEmpty || satFlipped.isEmpty)
             viaIndex.limit(0)
           else {
@@ -471,9 +478,8 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
               .select("doc_id").distinct()
           }
         }
-        val affectedOld = viaIndex.unionByName(viaCorpus).distinct()
-          .join(rows, Seq("doc_id"), "left_anti")
-          .localCheckpoint()
+        val affectedOld = chk(viaIndex.unionByName(viaCorpus).distinct()
+          .join(rows, Seq("doc_id"), "left_anti"))
         phase("span:cut")
         val r = keptBatch.unionByName(fetchDocs(affectedOld))
         val dupGrams = s.table(gramstatT).filter(col("n_docs") >= 2)
@@ -517,10 +523,9 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
           .table(s"$gatedT.changes")
         val deltas = IncrementalMaintenance.aggDeltasFromChanges(
           feed, col("lang"), col("n_tokens"))
-        val newAgg = IncrementalMaintenance
+        val newAgg = chk(IncrementalMaintenance
           .applyDeltas(aggNow.drop("as_of"), deltas)
-          .withColumn("as_of", lit(vGated))
-          .localCheckpoint()
+          .withColumn("as_of", lit(vGated)))
         // The sink derives from the checkpointed newAgg frame directly —
         // the aggT overwrite only persists the same rows for the NEXT
         // trigger's watermark read, so the two writes are independent
@@ -533,7 +538,20 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
     }
     phase("maintain")
     maintainState()
-    s.sparkContext.setJobDescription(null)
+    } finally {
+      // Release this trigger's checkpointed blocks (all consumed above)
+      // and ALWAYS reset the thread's job description — an early return
+      // (empty batch) or a mid-trigger exception must not leave the
+      // foreachBatch thread's later jobs mislabeled with this epoch.
+      released.foreach { df =>
+        df.queryExecution.analyzed match {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            l.rdd.unpersist(false); ()
+          case _ => ()
+        }
+      }
+      s.sparkContext.setJobDescription(null)
+    }
   }
 }
 

@@ -274,51 +274,24 @@ object NearDup {
     },
     n07IncrementalNearDup.oracle)
 
-  private[queries] val storeDb = "graft_store"
+  private[queries] val storeDb = "graft_snap.graft_store"
 
   /** Provision the signature store: `(id, shingles)` and
-    * `(id, band_idx, band_hash)` as external bucketed tables under the
-    * catalog database `graft_store`. External + drop-and-rebuild because
-    * the in-memory catalog forgets metadata between sessions while the
-    * warehouse files survive (the r01 lesson) — every run converges to
-    * the same state. The shingle frame is persisted for the build's two
+    * `(id, band_idx, band_hash)` as bucket-transformed SNAPSHOT-CATALOG
+    * tables ([[graft.sources.StoreTables]] — one manifest commit per
+    * write; the V1 bucketed `saveAsTable` path paid ~1.4 s of listing +
+    * commit protocol + catalog update per table at fixture scale). The
+    * catalog's warehouse is per-process, so concurrent driver JVMs
+    * (Verify / sbt test / Bench) can never drop files under each other's
+    * in-flight probe scans — the isolation the old pid-suffixed tmp paths
+    * provided by hand. Drop-and-rebuild keeps every run converging to the
+    * same state. The shingle frame is persisted for the build's two
     * consumers (shingle table + signature aggregation) and released
-    * before returning.
-    *
-    * The store path is PER-PROCESS (pid suffix): the driver runs Verify,
-    * sbt test and Bench as separate JVMs that may overlap in time, and a
-    * shared path would let one process's drop-and-rebuild delete parquet
-    * files out from under another's in-flight probe scan (observed as
-    * FAILED_READ_FILE.FILE_NOT_EXIST). Within a process the path is
-    * stable, so repeated builds still converge; `refreshByPath` after
-    * each write drops the session's cached file listing from the
-    * previous build cycle (saveAsTable registers the new table but the
-    * shared FileStatusCache is keyed by path and would otherwise serve
-    * the pre-rebuild file list). */
+    * before returning. */
   private[queries] def buildCorpusStore(
       s: org.apache.spark.sql.SparkSession,
       corpus: org.apache.spark.sql.DataFrame): Unit = {
-    new graft.catalog.CatalogAutomation(s, graft.catalog.CatalogProfile.Builtin())
-      .ensureDatabase(storeDb)
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_store_" +
-      ProcessHandle.current().pid()
-    def rmrf(dir: String): Unit = {
-      val p = java.nio.file.Paths.get(dir)
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(q => java.nio.file.Files.delete(q))
-    }
-    s.sql(s"DROP TABLE IF EXISTS $storeDb.corpus_shingles")
-    s.sql(s"DROP TABLE IF EXISTS $storeDb.corpus_bands")
     s.sql(s"DROP TABLE IF EXISTS $storeDb.ingest_commits")
-    rmrf(s"$base/corpus_shingles")
-    rmrf(s"$base/corpus_bands")
-    // The ledger is a MANAGED table: its warehouse directory outlives the
-    // in-memory catalog across JVMs, so a fresh session's DROP IF EXISTS
-    // no-ops while the stale directory still blocks the re-create
-    // (LOCATION_ALREADY_EXISTS) — the same r01 lesson that makes the data
-    // tables external; the managed location is removed physically here.
-    rmrfManagedTable(s, storeDb, "ingest_commits")
     // The bulk rows carry the ingest-ledger stamp columns so streaming
     // appends (MinHashLsh.appendToStore, by-name schema match) can land in
     // the same tables, and committed-view readers see the bulk build.
@@ -335,31 +308,17 @@ object NearDup {
       // the shingle write's tail frees. The ledger marker still lands
       // strictly after BOTH (the single commit point).
       MinHashLsh.runBoth(
-        () => stamp(sh).write.mode("overwrite")
-          .option("path", s"$base/corpus_shingles")
-          .bucketBy(MinHashLsh.StoreBuckets, "id").sortBy("id")
-          .saveAsTable(s"$storeDb.corpus_shingles"),
-        () => stamp(MinHashLsh.bandFrame(MinHashLsh.signaturesFromShingles(sh, P), P))
-          .write.mode("overwrite")
-          .option("path", s"$base/corpus_bands")
-          .bucketBy(MinHashLsh.StoreBuckets, "band_idx", "band_hash").sortBy("band_idx", "band_hash")
-          .saveAsTable(s"$storeDb.corpus_bands"))
+        () => graft.sources.StoreTables.replace(
+          stamp(sh), s"$storeDb.corpus_shingles",
+          bucketSpec = Some((MinHashLsh.StoreBuckets, "id")),
+          sortOrder = Some("id")),
+        () => graft.sources.StoreTables.replace(
+          stamp(MinHashLsh.bandFrame(MinHashLsh.signaturesFromShingles(sh, P), P)),
+          s"$storeDb.corpus_bands",
+          bucketSpec = Some((MinHashLsh.StoreBuckets, "band_hash")),
+          sortOrder = Some("band_idx, band_hash")))
       MinHashLsh.writeCommit(s, storeDb, MinHashLsh.BulkBatchNr, MinHashLsh.BulkAttempt)
     } finally sh.unpersist()
-    s.catalog.refreshByPath(s"$base/corpus_shingles")
-    s.catalog.refreshByPath(s"$base/corpus_bands")
-  }
-
-  /** Physically remove a MANAGED table's warehouse directory — the
-    * cross-JVM staleness guard store provisioning needs for the
-    * ledger/drift tables it re-creates (shared with
-    * [[Similarity.buildPqStore]]). */
-  private[queries] def rmrfManagedTable(s: org.apache.spark.sql.SparkSession,
-      db: String, table: String): Unit = {
-    val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
-    val p = new org.apache.hadoop.fs.Path(wh, s"$db.db/$table")
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-    ()
   }
 
   val all: Seq[Q] = Seq(

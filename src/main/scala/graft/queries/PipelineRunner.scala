@@ -184,30 +184,40 @@ final class PipelineRunner(spark: SparkSession) {
         // kinds guard and the mirror rows from the cached blocks (they
         // were two separate file-scan jobs per trigger).
         val ckpt = batch.localCheckpoint()
-        val kinds = ckpt.select("_change_type").distinct()
-          .collect().map(_.getString(0)).toSet
-        require(kinds.subsetOf(Set("INSERT")),
-          s"${spec.name}: curation-over-changes consumes APPEND-only sources; " +
-            s"commit range delivered ${kinds.mkString(", ")} — deletions need " +
-            "retraction logic no curation operator defines")
-        val rows = ckpt.select(srcCols.head, srcCols.tail: _*)
-        // The replay guard keys on spec AND checkpoint: a fresh checkpoint
-        // restarts epoch numbering at 0, and a spec-name-only id would
-        // swallow its first batches as "replays" of the previous run.
-        val sinkId = s"pipeline:${spec.name}:" +
-          java.util.UUID.nameUUIDFromBytes(
-            checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            .toString.take(8)
-        graft.sources.SnapshotUpsert.appendEpoch(mirror, rows, sinkId, epochId)
-        // The refresh reads the accumulated corpus several times (near-dup,
-        // span stats, gate features) — pin it for the duration.
-        val corpus = spark.table(mirror).persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val curated = spec.steps.foldLeft(corpus: DataFrame)(applyStep)
-          if (!spark.catalog.tableExists(sink)) curated.writeTo(sink).create()
-          else curated.writeTo(sink).overwrite(lit(true))
-        } finally corpus.unpersist()
+          val kinds = ckpt.select("_change_type").distinct()
+            .collect().map(_.getString(0)).toSet
+          require(kinds.subsetOf(Set("INSERT")),
+            s"${spec.name}: curation-over-changes consumes APPEND-only sources; " +
+              s"commit range delivered ${kinds.mkString(", ")} — deletions need " +
+              "retraction logic no curation operator defines")
+          val rows = ckpt.select(srcCols.head, srcCols.tail: _*)
+          // The replay guard keys on spec AND checkpoint: a fresh checkpoint
+          // restarts epoch numbering at 0, and a spec-name-only id would
+          // swallow its first batches as "replays" of the previous run.
+          val sinkId = s"pipeline:${spec.name}:" +
+            java.util.UUID.nameUUIDFromBytes(
+              checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              .toString.take(8)
+          graft.sources.SnapshotUpsert.appendEpoch(mirror, rows, sinkId, epochId)
+          // The refresh reads the accumulated corpus several times (near-dup,
+          // span stats, gate features) — pin it for the duration.
+          val corpus = spark.table(mirror).persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val curated = spec.steps.foldLeft(corpus: DataFrame)(applyStep)
+            if (!spark.catalog.tableExists(sink)) curated.writeTo(sink).create()
+            else curated.writeTo(sink).overwrite(lit(true))
+          } finally corpus.unpersist()
+        } finally {
+          // Release the trigger's checkpointed blocks (guide §5: a
+          // long-running stream must not grow cached-block debt).
+          ckpt.queryExecution.analyzed match {
+            case l: org.apache.spark.sql.execution.LogicalRDD =>
+              l.rdd.unpersist(false); ()
+            case _ => ()
+          }
+        }
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -626,44 +626,26 @@ object Similarity {
 
   /** Provision the persisted IVF index (the n08 store pattern applied to
     * ANN): the two-level cell assignment `(vec_id, emb, norm, cell_id)` as
-    * an external catalog table BUCKETED BY cell_id — the candidate join's
-    * key, so a probe joins the index without shuffling the corpus side —
-    * plus the model-sized centroid table. External + drop-and-rebuild +
-    * per-process path + refreshByPath for exactly the reasons documented
-    * on [[NearDup.buildCorpusStore]] (in-memory catalog forgets metadata;
-    * concurrent driver JVMs must not delete files under each other's
-    * scans; the shared FileStatusCache is path-keyed). */
+    * a SNAPSHOT-CATALOG table bucket-transformed on cell_id — the
+    * candidate join's key, so a probe joins the index without shuffling
+    * the corpus side — plus the model-sized centroid table. One manifest
+    * commit per write ([[graft.sources.StoreTables]]); per-process
+    * isolation comes from the catalog's pid-suffixed warehouse (the old
+    * tmp-path + refreshByPath discipline is obsolete — no FileStatusCache
+    * in the V2 scan path). */
   private[queries] def buildIvfStore(
       s: SparkSession, c: DataFrame, centroids: DataFrame,
       coarseProbe: Int): Unit = {
-    new graft.catalog.CatalogAutomation(s, graft.catalog.CatalogProfile.Builtin())
-      .ensureDatabase(NearDup.storeDb)
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_store_" +
-      ProcessHandle.current().pid()
-    def rmrf(dir: String): Unit = {
-      val p = java.nio.file.Paths.get(dir)
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(q => java.nio.file.Files.delete(q))
-    }
-    s.sql(s"DROP TABLE IF EXISTS ${NearDup.storeDb}.ivf_centroids")
-    s.sql(s"DROP TABLE IF EXISTS ${NearDup.storeDb}.ivf_assign")
-    rmrf(s"$base/ivf_centroids")
-    rmrf(s"$base/ivf_assign")
     // The centroid (model-sized) and assignment writes are independent
     // jobs targeting distinct tables — overlap them (guide §2.6) so the
     // tiny centroid write hides inside the assignment job's runtime.
     graft.operators.MinHashLsh.runBoth(
-      () => centroids.write.mode("overwrite")
-        .option("path", s"$base/ivf_centroids")
-        .saveAsTable(s"${NearDup.storeDb}.ivf_centroids"),
-      () => graft.operators.IvfAnn.assignTwoLevel(c, centroids, coarseProbe)
-        .write.mode("overwrite")
-        .option("path", s"$base/ivf_assign")
-        .bucketBy(16, "cell_id").sortBy("cell_id")
-        .saveAsTable(s"${NearDup.storeDb}.ivf_assign"))
-    s.catalog.refreshByPath(s"$base/ivf_centroids")
-    s.catalog.refreshByPath(s"$base/ivf_assign")
+      () => graft.sources.StoreTables.replace(
+        centroids, s"${NearDup.storeDb}.ivf_centroids"),
+      () => graft.sources.StoreTables.replace(
+        graft.operators.IvfAnn.assignTwoLevel(c, centroids, coarseProbe),
+        s"${NearDup.storeDb}.ivf_assign",
+        bucketSpec = Some((16, "cell_id")), sortOrder = Some("cell_id")))
   }
 
   /** e10's two-level IVF search against a PERSISTED index — the last
@@ -882,37 +864,18 @@ object Similarity {
 
   /** Provision the persisted IVFADC index (e14): the [[graft.operators.PqAdc.encodeIndex]]
     * frame — cell routing + PQ codes + reconstructed norm, ~12 payload
-    * bytes per vector — as an external catalog table bucketed by cell_id
-    * (the probe join's key), next to the model-sized centroid and
-    * codebook-seed tables. Same external/drop-and-rebuild/per-process-path
-    * discipline as [[buildIvfStore]]. */
+    * bytes per vector — as a SNAPSHOT-CATALOG table bucket-transformed on
+    * cell_id (the probe join's key), next to the model-sized centroid and
+    * codebook-seed tables. Same one-manifest-commit-per-write +
+    * per-process-warehouse discipline as [[buildIvfStore]]. The drift
+    * table is dropped then re-created by the append so streaming batches
+    * (PqAdc.appendToPqStore) land in the same table and committed-view
+    * readers see the bulk build. */
   private[queries] def buildPqStore(
       s: SparkSession, c: DataFrame, centroids: DataFrame,
       seedRows: DataFrame): Unit = {
-    new graft.catalog.CatalogAutomation(s, graft.catalog.CatalogProfile.Builtin())
-      .ensureDatabase(NearDup.storeDb)
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_pq_store_" +
-      ProcessHandle.current().pid()
-    def rmrf(dir: String): Unit = {
-      val p = java.nio.file.Paths.get(dir)
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(q => java.nio.file.Files.delete(q))
-    }
-    Seq("pq_centroids", "pq_seeds", "pq_codes").foreach { t =>
-      s.sql(s"DROP TABLE IF EXISTS ${NearDup.storeDb}.$t")
-      rmrf(s"$base/$t")
-    }
-    // Ledger + drift are managed tables: dropped and re-seeded with the
-    // bulk stamp so streaming appends (PqAdc.appendToPqStore) land in the
-    // same tables and committed-view readers see the bulk build. Their
-    // warehouse directories are removed physically too — a fresh JVM's
-    // in-memory catalog forgets the tables while the stale managed dirs
-    // would block the re-create (LOCATION_ALREADY_EXISTS; the r01 lesson).
     s.sql(s"DROP TABLE IF EXISTS ${NearDup.storeDb}.pq_drift")
     s.sql(s"DROP TABLE IF EXISTS ${NearDup.storeDb}.pq_ingest_commits")
-    NearDup.rmrfManagedTable(s, NearDup.storeDb, "pq_drift")
-    NearDup.rmrfManagedTable(s, NearDup.storeDb, "pq_ingest_commits")
     val led = graft.operators.PqAdc.ledger(NearDup.storeDb)
     import graft.operators.IngestLedger.{BulkAttempt, BulkBatchNr}
     // All four writes are independent jobs into distinct tables; the
@@ -920,27 +883,23 @@ object Similarity {
     // (guide §2.6) so the model-sized centroid/seed/drift writes hide
     // inside the encode job's runtime.
     graft.operators.MinHashLsh.runAll(Seq(
-      () => centroids.write.mode("overwrite")
-        .option("path", s"$base/pq_centroids")
-        .saveAsTable(s"${NearDup.storeDb}.pq_centroids"),
-      () => seedRows.select("vec_id", "emb").write.mode("overwrite")
-        .option("path", s"$base/pq_seeds")
-        .saveAsTable(s"${NearDup.storeDb}.pq_seeds"),
-      () => led.stamp(graft.operators.PqAdc.encodeIndex(c, centroids, seedRows),
-          BulkBatchNr, BulkAttempt)
-        .write.mode("overwrite")
-        .option("path", s"$base/pq_codes")
-        .bucketBy(graft.operators.PqAdc.StoreBuckets, "cell_id").sortBy("cell_id")
-        .saveAsTable(s"${NearDup.storeDb}.pq_codes"),
+      () => graft.sources.StoreTables.replace(
+        centroids, s"${NearDup.storeDb}.pq_centroids"),
+      () => graft.sources.StoreTables.replace(
+        seedRows.select("vec_id", "emb"), s"${NearDup.storeDb}.pq_seeds"),
+      () => graft.sources.StoreTables.replace(
+        led.stamp(graft.operators.PqAdc.encodeIndex(c, centroids, seedRows),
+          BulkBatchNr, BulkAttempt),
+        s"${NearDup.storeDb}.pq_codes",
+        bucketSpec = Some((graft.operators.PqAdc.StoreBuckets, "cell_id")),
+        sortOrder = Some("cell_id")),
       // Bulk drift baseline: the build-time routing quality every streamed
       // batch's mean_centroid_cos is compared against (PqAdc.driftReport).
-      () => led.stamp(graft.operators.PqAdc.cellDrift(c, centroids),
-          BulkBatchNr, BulkAttempt)
-        .write.mode("append").saveAsTable(s"${NearDup.storeDb}.pq_drift")))
+      () => graft.sources.StoreTables.append(
+        led.stamp(graft.operators.PqAdc.cellDrift(c, centroids),
+          BulkBatchNr, BulkAttempt),
+        s"${NearDup.storeDb}.pq_drift")))
     led.commit(s, BulkBatchNr, BulkAttempt)
-    Seq("pq_centroids", "pq_seeds", "pq_codes").foreach { t =>
-      s.catalog.refreshByPath(s"$base/$t")
-    }
   }
 
   /** IVFADC against the PERSISTED code table

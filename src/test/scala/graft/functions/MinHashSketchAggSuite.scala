@@ -50,6 +50,27 @@ class MinHashSketchAggSuite extends AnyFunSuite {
     assert(one === many)
   }
 
+  test("row-local signature expression equals the relational form bit-for-bit, " +
+      "drops zero-shingle docs, and plans with zero Exchange") {
+    GraftFunctions.register(spark)
+    val p = MinHashLsh.Params()
+    // "" shingles to nothing (single empty token, bigram window empty):
+    // the relational explode emits NO row for it and the row-local filter
+    // must drop it identically.
+    val withEmpty = docs.union(Seq((5L, "")).toDF("doc_id", "text"))
+    val sh = withEmpty.select(col("doc_id").as("id"),
+      MinHashLsh.shingles(col("text"), p.shingleSize).as("shingles"))
+    val relational = MinHashLsh.signaturesRelational(sh, p)
+      .as[(Long, Long, Seq[Long])].collect().sortBy(_._1)
+    val rowLocal = MinHashLsh.signaturesSketch(sh, p)
+      .as[(Long, Long, Seq[Long])].collect().sortBy(_._1)
+    assert(rowLocal === relational)
+    assert(!rowLocal.map(_._1).contains(5L))
+    val plan = MinHashLsh.signaturesSketch(sh, p)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"row-local signatures must not shuffle:\n$plan")
+  }
+
   test("works through SQL after registration; empty group gives NULL") {
     GraftFunctions.register(spark)
     docs.createOrReplaceTempView("mh_docs")

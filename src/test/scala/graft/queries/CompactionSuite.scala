@@ -23,10 +23,74 @@ class CompactionSuite extends AnyFunSuite {
 
   private def auto = new CatalogAutomation(spark, CatalogProfile.Builtin())
 
+  /** compactTable serves V1 bucketed-parquet stores (the pre-round-20
+    * store layout; the production LSH store now lives on the snapshot
+    * catalog, whose compaction is rewrite_data_files — CompactionV2Suite
+    * territory). This suite keeps the V1 feature pinned on a local
+    * replica of that layout. */
+  private val compactDb = "graft_store_v1"
+  private val led = graft.operators.IngestLedger(compactDb, "ingest_commits")
+
+  private def rmrfManaged(table: String): Unit = {
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val p = new org.apache.hadoop.fs.Path(wh, s"$compactDb.db/$table")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
+  }
+
+  /** The pre-migration V1 store build: bucketed parquet + ledger stamp. */
+  private def buildV1Store(corpus: org.apache.spark.sql.DataFrame): Unit = {
+    auto.ensureDatabase(compactDb)
+    Seq("corpus_shingles", "corpus_bands", "ingest_commits").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $compactDb.$t")
+      rmrfManaged(t)
+    }
+    val sh = corpus
+      .select(col("doc_id").as("id"),
+        MinHashLsh.shingles(col("text"), NearDup.P.shingleSize).as("shingles"))
+      .persist()
+    try {
+      led.stamp(sh, -1L, "bulk").write.mode("overwrite")
+        .bucketBy(MinHashLsh.StoreBuckets, "id").sortBy("id")
+        .saveAsTable(s"$compactDb.corpus_shingles")
+      led.stamp(MinHashLsh.bandFrame(
+          MinHashLsh.signaturesFromShingles(sh, NearDup.P), NearDup.P), -1L, "bulk")
+        .write.mode("overwrite")
+        .bucketBy(MinHashLsh.StoreBuckets, "band_idx", "band_hash")
+        .sortBy("band_idx", "band_hash")
+        .saveAsTable(s"$compactDb.corpus_bands")
+      led.commit(spark, -1L, "bulk")
+    } finally { sh.unpersist(); () }
+  }
+
+  /** One V1 micro-batch append (what appendToStore did pre-migration). */
+  private def appendV1(batch: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+    val attempt = graft.operators.IngestLedger.newAttempt()
+    val sh = batch
+      .select(col("doc_id").as("id"),
+        MinHashLsh.shingles(col("text"), NearDup.P.shingleSize).as("shingles"))
+      .persist()
+    try {
+      led.stamp(sh, batchId, attempt).write.mode("append")
+        .bucketBy(MinHashLsh.StoreBuckets, "id").sortBy("id")
+        .saveAsTable(s"$compactDb.corpus_shingles")
+      led.stamp(MinHashLsh.bandFrame(
+          MinHashLsh.signaturesFromShingles(sh, NearDup.P), NearDup.P),
+          batchId, attempt)
+        .write.mode("append")
+        .bucketBy(MinHashLsh.StoreBuckets, "band_idx", "band_hash")
+        .sortBy("band_idx", "band_hash")
+        .saveAsTable(s"$compactDb.corpus_bands")
+      led.commit(spark, batchId, attempt)
+    } finally { sh.unpersist(); () }
+    spark.catalog.refreshTable(s"$compactDb.corpus_shingles")
+    spark.catalog.refreshTable(s"$compactDb.corpus_bands")
+  }
+
   private def probe() = MinHashLsh.nearDupAgainstStore(
     Tables.documents(spark, dir).filter(col("doc_id") % 7 === 0),
-    spark.table(s"${NearDup.storeDb}.corpus_shingles"),
-    spark.table(s"${NearDup.storeDb}.corpus_bands"),
+    spark.table(s"$compactDb.corpus_shingles"),
+    spark.table(s"$compactDb.corpus_bands"),
     "doc_id", "text", NearDup.P)
 
   private def noShuffleAboveStore(): Unit = {
@@ -46,33 +110,31 @@ class CompactionSuite extends AnyFunSuite {
     "the probe plan shuffle-free; reruns converge") {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    NearDup.buildCorpusStore(spark, docs.filter(col("doc_id") % 7 =!= 0))
+    buildV1Store(docs.filter(col("doc_id") % 7 =!= 0))
     // A run of streamed appends: three micro-batches of synthetic docs,
     // each its own file set per bucket — the small-file regime.
-    val append = MinHashLsh.appendToStore(NearDup.storeDb, "doc_id", "text", NearDup.P) _
     (0 until 3).foreach { b =>
-      append(Seq(
+      appendV1(Seq(
         (10000L + 2 * b, s"streamed slice $b about shuffle free bucketed joins"),
         (10001L + 2 * b, s"another slice $b document on catalyst plan shapes"))
         .toDF("doc_id", "text"), b.toLong)
     }
     // One orphan row from a dead ingest attempt — invisible to readers,
     // reclaimable by compaction.
-    val led = graft.operators.IngestLedger(NearDup.storeDb, "ingest_commits")
     led.stamp(
         Seq((99999L, Seq("orphan shingle"))).toDF("id", "shingles"),
         batchId = 9L, attempt = "dead-attempt")
       .write.mode("append")
       .bucketBy(MinHashLsh.StoreBuckets, "id").sortBy("id")
-      .saveAsTable(s"${NearDup.storeDb}.corpus_shingles")
-    spark.catalog.refreshTable(s"${NearDup.storeDb}.corpus_shingles")
+      .saveAsTable(s"$compactDb.corpus_shingles")
+    spark.catalog.refreshTable(s"$compactDb.corpus_shingles")
 
     val answerBefore = probe().orderBy("batch_id", "corpus_id").collect().toSeq
     assert(answerBefore.nonEmpty)
     noShuffleAboveStore()
 
-    val rBands = auto.compactTable(NearDup.storeDb, "corpus_bands")
-    val rShingles = auto.compactTable(NearDup.storeDb, "corpus_shingles",
+    val rBands = auto.compactTable(compactDb, "corpus_bands")
+    val rShingles = auto.compactTable(compactDb, "corpus_shingles",
       keepOnly = led.committedOnly(spark, _))
     assert(rBands.filesAfter < rBands.filesBefore,
       s"bands: ${rBands.filesBefore} -> ${rBands.filesAfter}")
@@ -82,7 +144,7 @@ class CompactionSuite extends AnyFunSuite {
 
     // The dead attempt's orphan row was reclaimed (raw count, not just
     // the committed view)…
-    assert(spark.table(s"${NearDup.storeDb}.corpus_shingles")
+    assert(spark.table(s"$compactDb.corpus_shingles")
       .filter(col("attempt") === "dead-attempt").count() === 0L)
     // …the probe's answer is byte-identical, and its plan is still the
     // shuffle-free bucketed join.
@@ -91,23 +153,22 @@ class CompactionSuite extends AnyFunSuite {
     noShuffleAboveStore()
 
     // Idempotent: a second pass converges (no growth, same answer).
-    val again = auto.compactTable(NearDup.storeDb, "corpus_bands")
+    val again = auto.compactTable(compactDb, "corpus_bands")
     assert(again.filesAfter <= rBands.filesAfter)
     assert(probe().orderBy("batch_id", "corpus_id").collect().toSeq === answerBefore)
 
-    // Leave the store in the normal full-corpus state for later suites.
-    NearDup.buildCorpusStore(spark, docs.filter(col("doc_id") % 7 =!= 0))
   }
 
   test("staging reclamation: local dead pids swept; foreign hosts only past TTL") {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
-    auto.ensureDatabase(NearDup.storeDb)
-    spark.sql(s"DROP TABLE IF EXISTS ${NearDup.storeDb}.compact_stage")
+    auto.ensureDatabase(compactDb)
+    spark.sql(s"DROP TABLE IF EXISTS $compactDb.compact_stage")
+    rmrfManaged("compact_stage")
     Seq((1L, "x")).toDF("id", "payload")
-      .write.saveAsTable(s"${NearDup.storeDb}.compact_stage")
+      .write.saveAsTable(s"$compactDb.compact_stage")
     val meta = org.apache.spark.sql.graftbridge.GraftPlanBridge
-      .tableMetadata(spark, NearDup.storeDb, "compact_stage")
+      .tableMetadata(spark, compactDb, "compact_stage")
     val parent = new Path(meta.location).getParent
     val fs = parent.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prefix = ".compact_stage__compact_"
@@ -129,7 +190,7 @@ class CompactionSuite extends AnyFunSuite {
     val localLive =
       if (ProcessHandle.of(1L).isPresent) Some(mk(s"${host}_1")) else None
 
-    auto.compactTable(NearDup.storeDb, "compact_stage")
+    auto.compactTable(compactDb, "compact_stage")
     assert(!fs.exists(localDead), "same-host dead-pid staging dir not reclaimed")
     assert(!fs.exists(foreignStale), "stale foreign-host staging dir not reclaimed")
     assert(fs.exists(foreignFresh),
@@ -141,18 +202,19 @@ class CompactionSuite extends AnyFunSuite {
 
   test("unbucketed tables compact to size-targeted coalesced files") {
     import spark.implicits._
-    auto.ensureDatabase(NearDup.storeDb)
-    spark.sql(s"DROP TABLE IF EXISTS ${NearDup.storeDb}.compact_plain")
+    auto.ensureDatabase(compactDb)
+    spark.sql(s"DROP TABLE IF EXISTS $compactDb.compact_plain")
+    rmrfManaged("compact_plain")
     (0 until 4).foreach { i =>
       Seq((i.toLong, s"row $i")).toDF("id", "payload")
-        .write.mode("append").saveAsTable(s"${NearDup.storeDb}.compact_plain")
+        .write.mode("append").saveAsTable(s"$compactDb.compact_plain")
     }
-    val before = spark.table(s"${NearDup.storeDb}.compact_plain")
+    val before = spark.table(s"$compactDb.compact_plain")
       .orderBy("id").collect().toSeq
-    val r = auto.compactTable(NearDup.storeDb, "compact_plain")
+    val r = auto.compactTable(compactDb, "compact_plain")
     assert(r.filesAfter === 1, s"expected 1 coalesced file, got ${r.filesAfter}")
     assert(r.filesAfter < r.filesBefore)
-    assert(spark.table(s"${NearDup.storeDb}.compact_plain")
+    assert(spark.table(s"$compactDb.compact_plain")
       .orderBy("id").collect().toSeq === before)
   }
 }

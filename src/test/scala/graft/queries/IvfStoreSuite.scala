@@ -69,13 +69,21 @@ class IvfStoreSuite extends AnyFunSuite {
       spark.table(s"${NearDup.storeDb}.ivf_centroids"),
       coarseProbe = 4, nProbe = 4, k = 5)
     assert(probe.count() > 0)
-    val scans = probe.queryExecution.sparkPlan.collect {
+    // The store tables are snapshot-catalog (V2) scans; any V1 file scan
+    // in the plan would be the corpus parquet being re-read — the bug
+    // this test exists to catch.
+    val v2Scans = probe.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(v2Scans.nonEmpty)
+    val nonStore = v2Scans.filterNot(b =>
+      b.table.name.contains("ivf_assign") || b.table.name.contains("ivf_centroids"))
+    assert(nonStore.isEmpty,
+      s"probe plan scans non-store tables: ${nonStore.map(_.table.name)}")
+    val fileScans = probe.queryExecution.sparkPlan.collect {
       case f: FileSourceScanExec => f
     }
-    assert(scans.nonEmpty)
-    val nonStore = scans.filterNot(_.tableIdentifier.exists(t =>
-      t.table == "ivf_assign" || t.table == "ivf_centroids"))
-    assert(nonStore.isEmpty,
-      s"probe plan scans non-store files: ${nonStore.map(_.tableIdentifier)}")
+    assert(fileScans.isEmpty,
+      s"probe plan re-scans corpus files: ${fileScans.map(_.tableIdentifier)}")
   }
 }

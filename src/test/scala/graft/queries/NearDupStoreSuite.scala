@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -55,9 +55,9 @@ class NearDupStoreSuite extends AnyFunSuite {
     val sp = probe.queryExecution.sparkPlan
     def storeScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
       p.collectFirst {
-        case f: FileSourceScanExec
-            if f.tableIdentifier.exists(t =>
-              t.table == "corpus_bands" || t.table == "corpus_shingles") => f
+        case b: BatchScanExec
+            if b.table.name.contains("corpus_bands") ||
+              b.table.name.contains("corpus_shingles") => b
       }.isDefined
     // The store tables appear in the plan at all (the probe is wired to
     // the catalog tables, not a recomputed frame)…

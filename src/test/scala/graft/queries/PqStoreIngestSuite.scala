@@ -127,9 +127,7 @@ class PqStoreIngestSuite extends AnyFunSuite {
       PqAdc.storedCodes(spark, NearDup.storeDb).limit(3)
         .drop("batch_nr", "attempt"), 5L, "dead-attempt")
       .select(m.fieldNames.map(col).toIndexedSeq: _*)
-    deadRows.write.mode("append")
-      .bucketBy(PqAdc.StoreBuckets, "cell_id").sortBy("cell_id")
-      .saveAsTable(s"${NearDup.storeDb}.pq_codes")
+    deadRows.writeTo(s"${NearDup.storeDb}.pq_codes").append()
     refreshStore()
     assert(PqAdc.storedCodes(spark, NearDup.storeDb).count() === afterFirst,
       "uncommitted attempt's rows leaked into the committed view")

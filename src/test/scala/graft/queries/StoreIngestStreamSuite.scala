@@ -176,17 +176,10 @@ class StoreIngestStreamSuite extends AnyFunSuite {
         .withColumn("attempt", org.apache.spark.sql.functions.lit("dead-attempt"))
     val sh = slice.select(col("doc_id").as("id"),
       MinHashLsh.shingles(col("text"), NearDup.P.shingleSize).as("shingles"))
-    deadStamp(sh).write.mode("append")
-      .bucketBy(MinHashLsh.StoreBuckets, "id").sortBy("id")
-      .saveAsTable(s"${NearDup.storeDb}.corpus_shingles")
+    deadStamp(sh).writeTo(s"${NearDup.storeDb}.corpus_shingles").append()
     deadStamp(MinHashLsh.bandFrame(
         MinHashLsh.signaturesFromShingles(sh, NearDup.P), NearDup.P))
-      .write.mode("append")
-      .bucketBy(MinHashLsh.StoreBuckets, "band_idx", "band_hash")
-      .sortBy("band_idx", "band_hash")
-      .saveAsTable(s"${NearDup.storeDb}.corpus_bands")
-    spark.catalog.refreshTable(s"${NearDup.storeDb}.corpus_shingles")
-    spark.catalog.refreshTable(s"${NearDup.storeDb}.corpus_bands")
+      .writeTo(s"${NearDup.storeDb}.corpus_bands").append()
 
     // The replay re-delivers batch 7. If the dead attempt's rows were
     // visible, doc 5 would screen against its own half-ingested copy and

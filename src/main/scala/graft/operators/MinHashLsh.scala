@@ -131,7 +131,18 @@ object MinHashLsh {
     // seed 7); other Params need the relational form.
     require(p.nPerms == 64, s"graft_minhash_sig is registered with 64 perms, got ${p.nPerms}")
     graft.functions.GraftFunctions.register(sh.sparkSession)
-    sh.filter(size(col("shingles")) > 0)
+    // The size>0 filter and the projection both reference `shingles`, and
+    // Catalyst pushes the filter below an unaliased producer projection —
+    // re-evaluating the tokenizer per reference (the guide's duplicated-
+    // expression trap). Pipeline callers pass a persisted frame (two cache
+    // reads, fine); a raw expression chain (n01's direct call) is pinned
+    // here instead of re-tokenized twice. Same caller-released cache
+    // contract as [[nearDupAgainst]] documents.
+    val pinned =
+      if (sh.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        sh.persist()
+      else sh
+    pinned.filter(size(col("shingles")) > 0)
       .select(
         col("id"),
         size(col("shingles")).cast("long").as("n_shingles"),
@@ -190,7 +201,11 @@ object MinHashLsh {
       .select(col(idCol).as("id"), shingles(col(textCol), p.shingleSize).as("shingles"))
       .persist()
     val sigs = signaturesFromShingles(sh, p)
-    val bands = bandFrame(sigs, p)
+    // Persisted: the self-join consumes the band frame TWICE, and with the
+    // row-local signature path there is no aggregation Exchange left for
+    // ReuseExchange to share — without the pin each side would recompute
+    // the 64-perm kernel. Same caller-released cache contract as `sh`.
+    val bands = bandFrame(sigs, p).persist()
     val candidates = bands.as("x")
       .join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&

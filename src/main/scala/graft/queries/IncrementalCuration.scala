@@ -436,7 +436,7 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
                     (col("pre_sat") || col("new_n") >= cap).as("sat")),
                 changed.select("gram"), Seq("gram"), s"$base:gramstat", epochId),
               () => SnapshotUpsert.replaceByKey(gramsT,
-                addPairs.join(satGrams, Seq("gram"), "left_anti"),
+                addPairs.join(broadcast(satGrams), Seq("gram"), "left_anti"),
                 keptRemovedIds.select("doc_id"), Seq("doc_id"),
                 s"$base:grams", epochId))
             // Evict the NEWLY saturated grams' previously tracked pairs.
@@ -456,9 +456,13 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
         // cases re-derive holders from the kept corpus instead.
         phase("span:flips")
         val capL = plan.spanCap.map(_.toLong).getOrElse(Long.MaxValue)
+        // Flipped grams are delta-bounded but checkpointed (no size
+        // estimate — the planner would sort-merge and shuffle the WHOLE
+        // pairs index); broadcast them explicitly (guide §3.1) so the
+        // index is scanned, never shuffled.
         val viaIndex = s.table(gramsT)
-          .join(flipped.filter(!col("pre_sat") && col("new_n") < capL)
-            .select("gram"), Seq("gram"))
+          .join(broadcast(flipped.filter(!col("pre_sat") && col("new_n") < capL)
+            .select("gram")), Seq("gram"))
           .select("doc_id").distinct()
         val viaCorpus = {
           val satFlipped = chk(flipped
@@ -474,7 +478,7 @@ final class IncrementalCuration(spark: SparkSession, spec: PipelineSpec,
                   .select(col("id").as("doc_id")),
                 Seq("doc_id"), "left_anti")
             TextOps.spanGramPairs(keptCorpus.select("doc_id", "text"))
-              .join(satFlipped, Seq("gram"))
+              .join(broadcast(satFlipped), Seq("gram"))
               .select("doc_id").distinct()
           }
         }

@@ -592,7 +592,7 @@ object TextOps {
       .persist()
     val uniq = d
       .select(col("doc_id"), explode(col("grams")).as("sh"))
-      .groupBy("sh")
+      .groupBy(xxhash64(col("sh")).as("shh"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("owner"))
       .filter(col("n_docs") === 1L)
       .groupBy(col("owner").as("doc_id"))

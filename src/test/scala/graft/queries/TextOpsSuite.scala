@@ -167,6 +167,15 @@ class TextOpsSuite extends AnyFunSuite {
         round($"n_repeated".cast("double") / $"n_grams", 6).as("dup_fraction"))
     assert(got.exceptAll(replay).count() === 0 &&
       replay.exceptAll(got).count() === 0)
+
+    // The pipeline groups document frequency by xxhash64(shingle) (8-byte
+    // shuffle keys instead of 5-gram strings — the 100 TB posture the d14
+    // registration documents). The replay equality above already fails on
+    // any collision; this pins the collision-freeness explicitly.
+    val grams = g.select($"sh").distinct()
+    assert(grams.count() ===
+      grams.select(xxhash64($"sh")).distinct().count(),
+      "xxhash64 collision among fixture shingles — hashed df grouping unsound")
   }
 
   test("language-id scores are deterministic and argmax picks the max") {
